@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load/overwrite/merge semantics (SURVEY.md §2.2).
+  *
+  * The reference's three write patterns:
+  *  - K1 schema'd partitioned append (consumo_detalle.py:257-310)
+  *  - K2 delete-and-replace of a trailing window — the idempotent
+  *    re-ingest that substitutes for streaming (consumo_detalle.py:317-340,
+  *    audio_digital.py:462-506)
+  *  - K3 MERGE upsert by id via a staging table (funnel_live.py:106-174)
+  *
+  * On parquet (no lakehouse format), K2 maps to dynamic partition
+  * overwrite and K3 to anti-join + union + rewrite of affected
+  * partitions.
+  */
+object Writers {
+
+  /** K1: partitioned append; `clusterBy` approximates BigQuery clustering
+    * with a sort within each file (data-skipping via parquet min/max).
+    */
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String, clusterBy: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (clusterBy.isEmpty) df
+      else df.repartition(col(partitionCol)).sortWithinPartitions(partitionCol, clusterBy: _*)
+    sorted.write.mode("append").partitionBy(partitionCol).parquet(path)
+  }
+
+  /** K2: idempotent delete-and-replace. Only partitions present in `df`
+    * are rewritten (dynamic partition overwrite); everything older stays.
+    * Caller pre-filters `df` to the replacement window, mirroring
+    * `DELETE WHERE fecha >= cutoff` + re-load of `dias_remplazo` days.
+    */
+  def replaceWindow(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
+  /** K3: MERGE-by-id without a lakehouse format:
+    * kept = target rows whose id is NOT in updates (anti join);
+    * result = kept ∪ updates. Pure-DataFrame version for composition and
+    * tests; `mergeByIdWrite` persists it.
+    */
+  def mergeById(target: DataFrame, updates: DataFrame, idCol: String): DataFrame =
+    target.join(updates.select(idCol).distinct(), Seq(idCol), "left_anti")
+      .unionByName(updates)
+
+  /** Persisting K3: stage to a temp dir, then atomically swap — a plain
+    * overwrite of `path` would delete the inputs of its own read at plan
+    * time. At 100 TB one would restrict the rewrite to affected
+    * partitions; semantics identical.
+    */
+  def mergeByIdWrite(spark: SparkSession, path: String, updates: DataFrame, idCol: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(path + "__staging")
+    val merged =
+      if (fs.exists(target)) mergeById(spark.read.parquet(path), updates, idCol)
+      else updates
+    merged.write.mode("overwrite").parquet(staged.toString)
+    fs.delete(target, true)
+    fs.rename(staged, target)
+  }
+}
