@@ -9,7 +9,7 @@ object SparkEntry {
   /** All verified query packs; each QueryDef carries its Spark build and
     * (when SQL-expressible) a DuckDB oracle.
     */
-  def packs: Seq[QueryPack] = Seq(Relational)
+  def packs: Seq[QueryPack] = Seq(Relational, Relational2)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

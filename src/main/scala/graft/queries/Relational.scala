@@ -87,7 +87,7 @@ object Relational extends QueryPack {
 
   val q04 = QueryDef(
     "q04_join_monthly_segment",
-    Some("""SELECT c_mktsegment, date_trunc('month', o_orderdate) AS mes,
+    Some("""SELECT c_mktsegment, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mes,
            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE) AS revenue,
            |  COUNT(DISTINCT o_custkey) AS users
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
