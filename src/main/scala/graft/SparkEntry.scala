@@ -9,7 +9,7 @@ object SparkEntry {
   /** All verified query packs; each QueryDef carries its Spark build and
     * (when SQL-expressible) a DuckDB oracle.
     */
-  def packs: Seq[QueryPack] = Seq(Relational, Relational2)
+  def packs: Seq[QueryPack] = Seq(Relational, Relational2, TextPack, DedupPack, SimilarityPack)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

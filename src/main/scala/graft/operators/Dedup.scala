@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus deduplication operators — the training-data-pipeline layer.
+  *
+  * Four strategies, each with a different scale/recall trade-off, all
+  * shuffle-bounded (no cross join on the fact side at any point):
+  *
+  *  - exact:   hash-groupBy on a content key — one shuffle.
+  *  - jaccard: shingle-explode inverted-index join — pairs sharing >= 1
+  *             shingle meet on a shingle-hash shuffle key; O(postings²)
+  *             per shingle instead of O(docs²).
+  *  - minhash: MinHash signatures + LSH banding — candidate pairs meet on
+  *             a band-key shuffle; recall tunable via (bands, rows).
+  *  - simhash: 32-bit SimHash + byte banding — EXACT for hamming <= 3 by
+  *             pigeonhole (4 disjoint bytes; <= 3 flipped bits leave one
+  *             byte untouched), so no cross join is ever needed.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one canonical row per content hash (smallest id).
+    * Equivalent to the reference's MERGE-by-id latest-wins but keyed on
+    * content (SURVEY.md §2.2 K3).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.withColumn("__key", md5(col(textCol)))
+    val canon = keyed.groupBy("__key").agg(min(col(idCol)).as(idCol))
+    keyed.join(canon, Seq("__key", idCol)).drop("__key")
+  }
+
+  /** All pairs (a.id < b.id) with shingle-set Jaccard >= minJaccard,
+    * via an inverted index: explode distinct shingles, equi-join on the
+    * shingle, count co-occurrences = |A∩B|, recover the union from
+    * per-doc set sizes. Integer arithmetic until one final division.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, minJaccard: Double): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
+    val posting = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    val inter = posting.as("a")
+      .join(posting.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature columns m0..m{n-1} for a shingle array column. */
+  def minhashSignature(shingles: Column, n: Int): Seq[Column] =
+    (0 until n).map(i => TextFns.minhash(shingles, i).as(s"m$i"))
+
+  /** LSH candidate pairs: docs sharing at least one of `bands` band keys
+    * (bands × rowsPerBand = signature length), then verified with exact
+    * Jaccard >= minJaccard over the shingle sets. Output matches a naive
+    * all-pairs Jaccard join restricted to LSH-reachable pairs.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+                      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
+    val sig = sh.select(col("id") +: col("shingles") +:
+      minhashSignature(col("shingles"), bands * rowsPerBand): _*)
+    val ms = (0 until bands * rowsPerBand).map(i => col(s"m$i"))
+    val banded = sig.select(col("id"), col("shingles"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), TextFns.bandKey(ms, b, rowsPerBand).as("key"))): _*)).as("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .distinct()
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dup pairs at hamming distance <= maxHamming over 32-bit SimHash.
+    * Exact (not approximate) for maxHamming <= 3: the 4 byte-bands are
+    * disjoint, so <= 3 bit flips leave at least one band equal and every
+    * qualifying pair meets in the band join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "byte banding is only exact for hamming <= 3")
+    val sig = df.select(col(idCol).as("id"),
+      TextFns.simhash32(TextFns.tokens(col(textCol))).as("sim"))
+    val banded = sig.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftright(col("sim"), 8 * b).bitwiseAND(255).as("key"))): _*)).as("bk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

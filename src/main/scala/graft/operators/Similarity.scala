@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns
+
+/** Vector-similarity search over an embedding column (Array[Float]).
+  *
+  * Determinism contract: all arithmetic is double-precision left-fold in
+  * array order (`aggregate`/`zip_with` preserve element order), so
+  * cosine values are bitwise-reproducible across engines — the DuckDB
+  * oracles compute the identical doubles.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (query
+  * side small × corpus side scanned once, no shuffle beyond the window).
+  * The LSH path buckets vectors by random-hyperplane signs so candidate
+  * generation is an equi-join on the bucket key — at 100 TB the corpus
+  * side shuffles once on a small key instead of cross-joining.
+  */
+object Similarity {
+
+  /** Fold-left double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k by cosine: every query row against the full
+    * corpus, ranked per query with a deterministic (cos desc, id) order.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("match_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "match_id", "rank", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * hash32("p:d") mapped to [-0.5, 0.5) in exact rational steps — the
+    * same value is reconstructible in any engine with md5.
+    */
+  def planeWeight(plane: Int, d: Column): Column =
+    (TextFns.hash32(concat(lit(s"$plane:"), d.cast("string"))) % 1000000L).cast("double") / 1000000.0 - 0.5
+
+  /** Sign-of-projection LSH bucket id over `planes` hyperplanes: bit p is
+    * set iff dot(plane_p, v) > 0. Fold in array-index order.
+    */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeWeight(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k: rank only candidates sharing the query's LSH bucket —
+    * the scale path (equi-join on bucket), trading recall for never
+    * materializing the cross product.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              planes: Int, k: Int): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = b.as("q").join(b.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("match_id"),
+        cosine(col("q.v"), col("c.v")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "match_id", "rank", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, via the LSH
+    * bucket join (candidates must agree on all plane signs — fine for
+    * high thresholds) or exact when planes = 0 (single bucket).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, planes: Int = 0): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      (if (planes == 0) lit(0L) else lshBucket(col(vecCol), planes)).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

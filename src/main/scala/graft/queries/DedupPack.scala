@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Near-duplicate detection over `documents` — n-gram Jaccard, MinHash+
+  * LSH, SimHash (see operators.Dedup for the scale design; none of these
+  * plans contains a document cross join).
+  *
+  * The testdata plants ~25 near-dup pairs at Jaccard >= 0.9 against a
+  * ~0.1 background — thresholds sit in that gap.
+  */
+object DedupPack extends QueryPack {
+
+  private val toksSql = "string_split(text, ' ')"
+  private def hash32Sql(s: String) = s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
+  private val shingles3Sql =
+    s"""list_distinct(CASE WHEN len($toksSql) >= 3
+       | THEN [array_to_string($toksSql[i:i+2], ' ') for i in range(1, len($toksSql) - 1)]
+       | ELSE [text] END)""".stripMargin
+
+  val q27 = QueryDef(
+    "q27_jaccard_pairs",
+    Some(s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS shingles FROM documents)
+            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin)) { t =>
+    // 3-gram Jaccard near-dup pairs via the shingle inverted-index join —
+    // the oracle cross-joins (fine at 500 docs); the engine never does.
+    Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // 16 minhashes = 4 bands x 4 rows; verification threshold 0.8.
+  private val Bands = 4; private val Rows = 4
+  private def minhashSql(i: Int) =
+    s"list_min(list_transform(shingles, s -> ${hash32Sql(s"'$i:' || s")}))"
+  private def bandKeySql(b: Int) =
+    s"md5(concat_ws(',', '$b', ${(b * Rows until b * Rows + Rows).map(i => s"m$i").mkString(", ")}))"
+
+  val q28 = QueryDef(
+    "q28_minhash_lsh",
+    Some(s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS shingles FROM documents),
+            |sig AS (SELECT doc_id, shingles,
+            |  ${(0 until Bands * Rows).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+            |  FROM sh),
+            |banded AS (
+            |  ${(0 until Bands).map(b =>
+                 s"SELECT doc_id, shingles, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+                 .mkString(" UNION ALL ")}
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            |    a.shingles AS sa, b.shingles AS sb
+            |  FROM banded a JOIN banded b
+            |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            |)
+            |SELECT id_a, id_b,
+            |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jaccard
+            |FROM cand
+            |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) >= 0.8
+            |ORDER BY id_a, id_b""".stripMargin)) { t =>
+    // MinHash(16) + LSH(4x4) banding, candidates verified at Jaccard
+    // >= 0.8 — the sub-quadratic scale path for corpus dedup.
+    Dedup.minhashLshPairs(t.documents, "doc_id", "text", k = 3,
+        bands = Bands, rowsPerBand = Rows, minJaccard = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q29 = QueryDef(
+    "q29_simhash_neardup",
+    Some(s"""WITH h AS (
+            |  SELECT doc_id, list_transform($toksSql, t -> ${hash32Sql("t")}) AS hs FROM documents
+            |), sig AS (
+            |  SELECT doc_id, CAST(list_sum(
+            |    [CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x & (1::BIGINT << j)) != 0 THEN 1 ELSE -1 END)) > 0
+            |          THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS sim
+            |  FROM h
+            |)
+            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |       bit_count(xor(a.sim, b.sim)) AS hamming
+            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            |ORDER BY id_a, id_b""".stripMargin)) { t =>
+    // 32-bit SimHash near-dups at hamming <= 3 via exact byte banding
+    // (pigeonhole: 4 disjoint bytes, <= 3 flips leave one equal).
+    Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q27, q28, q29)
+}

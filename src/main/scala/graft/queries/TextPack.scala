@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Text-analysis operators over the `documents` corpus: token stats,
+  * quality scoring, language ID, fingerprinting, exact dedup — the
+  * heuristic-filter layer of a training-data pipeline.
+  *
+  * Oracle strategy: every scalar is either integer-derived or a fixed
+  * op-order double expression, so DuckDB computes bitwise-identical
+  * values (see TextFns scaladoc).
+  */
+object TextPack extends QueryPack {
+
+  /** DuckDB fragments mirroring TextFns exactly. */
+  private val toksSql = "string_split(text, ' ')"
+  private def hash32Sql(s: String) = s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
+  private def shinglesSql(k: Int) =
+    s"""list_distinct(CASE WHEN len($toksSql) >= $k
+       | THEN [array_to_string($toksSql[i:i+${k - 1}], ' ') for i in range(1, len($toksSql) - ${k - 2})]
+       | ELSE [text] END)""".stripMargin
+  private val stopsIn = TextFns.StopWords.map(w => s"'$w'").mkString(", ")
+
+  val q22 = QueryDef(
+    "q22_text_stats",
+    Some(s"""SELECT doc_id, lang,
+            |  len($toksSql) AS n_tokens,
+            |  len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'), t -> t != '')) AS n_regex_tokens,
+            |  CAST(list_sum(list_transform($toksSql, t -> len(t))) AS DOUBLE) / len($toksSql) AS mean_token_len,
+            |  CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+            |  CAST(len(list_filter($toksSql, t -> t IN ($stopsIn))) AS DOUBLE) / len($toksSql) AS stopword_ratio
+            |FROM documents ORDER BY doc_id""".stripMargin)) { t =>
+    // Token counting (whitespace + BPE-ish regex) and corpus text stats —
+    // the per-doc feature layer every quality filter builds on.
+    val toks = TextFns.tokens(col("text"))
+    t.documents.select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        size(TextFns.regexTokens(col("text"))).as("n_regex_tokens"),
+        TextFns.meanTokenLen(toks).as("mean_token_len"),
+        TextFns.punctRatio(col("text")).as("punct_ratio"),
+        TextFns.stopwordRatio(toks).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql =
+    s"""(least(CAST(len($toksSql) AS DOUBLE) / 50.0, CAST(1.0 AS DOUBLE))
+       | + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z ]', '', 'g')) AS DOUBLE) / length(text) * 5.0, CAST(1.0 AS DOUBLE)))
+       | + (1.0 - abs(CAST(len(list_filter($toksSql, t -> t IN ($stopsIn))) AS DOUBLE) / len($toksSql) - 0.3))
+       |) / 3.0""".stripMargin
+
+  val q23 = QueryDef(
+    "q23_quality_filter",
+    Some(s"""WITH scored AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents)
+            |SELECT doc_id, lang, quality FROM scored WHERE quality >= 0.5
+            |ORDER BY doc_id""".stripMargin)) { t =>
+    // Heuristic quality filter: keep docs scoring >= 0.5 on the
+    // length/punctuation/stopword composite.
+    t.documents.select(
+        col("doc_id"), col("lang"),
+        TextFns.qualityScore(col("text"), TextFns.tokens(col("text"))).as("quality"))
+      .where(col("quality") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val q24 = QueryDef(
+    "q24_lang_id", {
+      val scores = TextFns.LangMarkers.map { case (lang, ms) =>
+        lang -> s"len(list_filter($toksSql, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, s) => s"WHEN $s = best AND best > 0 THEN '$lang'" }
+      Some(s"""WITH s AS (SELECT doc_id, lang, $best AS best, $toksSql AS toks FROM documents)
+              |SELECT lang, CASE ${cases.map(_.replace(toksSql, "toks")).mkString(" ")} ELSE 'und' END AS predicted,
+              |       COUNT(*) AS n
+              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }) { t =>
+    // n-gram/frequent-word language ID vs the ground-truth lang column —
+    // output is the confusion matrix. (The synthetic corpus shares one
+    // vocabulary across langs, so the heuristic mostly says en/und — the
+    // operator and its determinism are what's under test.)
+    t.documents.select(col("lang"), TextFns.langId(TextFns.tokens(col("text"))).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val q25 = QueryDef(
+    "q25_fingerprint_clusters",
+    Some(s"""WITH fp AS (
+            |  SELECT doc_id, list_min(list_transform(${shinglesSql(3)}, s -> ${hash32Sql("'0:' || s")})) AS fingerprint
+            |  FROM documents
+            |)
+            |SELECT doc_id, fingerprint,
+            |       COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
+            |FROM fp ORDER BY doc_id""".stripMargin)) { t =>
+    // Rolling-hash document fingerprint (min shingle hash) + cluster
+    // size: docs sharing a fingerprint are near-dup candidates.
+    val fp = t.documents.select(col("doc_id"), TextFns.fingerprint(col("text"), 3).as("fingerprint"))
+    val sizes = fp.groupBy("fingerprint").agg(count(lit(1)).as("cluster_size"))
+    fp.join(sizes, "fingerprint")
+      .select("doc_id", "fingerprint", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  val q26 = QueryDef(
+    "q26_exact_dedup",
+    Some("""SELECT d.doc_id, d.source, md5(d.text) AS content_key FROM documents d
+           |JOIN (SELECT md5(text) AS content_key, min(doc_id) AS doc_id FROM documents GROUP BY 1) k
+           |  ON md5(d.text) = k.content_key AND d.doc_id = k.doc_id
+           |ORDER BY d.doc_id""".stripMargin)) { t =>
+    // Exact dedup: canonical (min-id) row per content hash — one shuffle,
+    // the 100 TB-safe baseline dedup.
+    Dedup.exact(t.documents, "text", "doc_id")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("content_key"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26)
+}
