@@ -9,7 +9,8 @@ object SparkEntry {
   /** All verified query packs; each QueryDef carries its Spark build and
     * (when SQL-expressible) a DuckDB oracle.
     */
-  def packs: Seq[QueryPack] = Seq(Relational, Relational2, TextPack, DedupPack, SimilarityPack)
+  def packs: Seq[QueryPack] =
+    Seq(Relational, Relational2, TextPack, DedupPack, SimilarityPack, EnrichPack)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

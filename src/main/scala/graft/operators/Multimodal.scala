@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFns
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, plus batch "decode"
+  * over mapPartitions.
+  *
+  * The decode internals are STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` derives deterministic fake features from
+  * the bytes. Everything Spark-side — schema, partitioning, the
+  * per-partition batch loop, the feature struct — is real; swapping the
+  * stub for an actual codec is a one-function change inside
+  * `decodePartition`.
+  */
+object Multimodal {
+
+  /** Metadata schema carried alongside every media payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n_bytes", LongType)))
+
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("checksum", LongType)))
+
+  /** Attach a binary payload column + metadata struct. `format` cycles
+    * deterministically from the content hash — stand-in for a real
+    * container sniff of magic bytes.
+    */
+  def withMedia(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("media", col(textCol).cast("binary"))
+      .withColumn("meta", struct(
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (TextFns.hash32(col(textCol)) % 3 + 1).cast("int")).as("format"),
+        length(col("media")).cast("long").as("n_bytes")))
+
+  /** Expression-only stub decode (oracle-friendly): fake dims + checksum
+    * derived from content hash and first byte. A real decoder cannot be
+    * an expression — see `decodePartition` for the batch path.
+    */
+  def decodeStubExpr(media: Column, textCol: Column): Column = struct(
+    (TextFns.hash32(textCol) % 128 + 16).as("width"),
+    (TextFns.hash32(concat(lit("h:"), textCol)) % 128 + 16).as("height"),
+    (ascii(substring(textCol, 1, 1)) + length(media)).cast("long").as("checksum"))
+
+  /** Batch decode over mapPartitions — the real plumbing a native codec
+    * would plug into: rows stream per partition, the codec is initialized
+    * once per partition (like a broadcast mmdb reader), features come
+    * back as a struct column. The per-row body is the stub.
+    */
+  def decodePartition(df: DataFrame, mediaCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("features", FeatureSchema)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // a real implementation opens the codec/library handle here, once
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val feats = decodeBytesStub(bytes)
+        Row(r.get(idIdx), Row(feats._1, feats._2, feats._3))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The stub a real codec replaces: deterministic fake (width, height,
+    * checksum) from the raw bytes.
+    */
+  def decodeBytesStub(bytes: Array[Byte]): (Long, Long, Long) = {
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    (sum % 128 + 16, (sum / 7) % 128 + 16, bytes.length.toLong)
+  }
+
+  /** Frame sampling: every `stride`-th window of `frameLen` bytes.
+    * Expressed on the string side (binary slicing is engine-specific);
+    * emits (frame_no, frame) rows.
+    */
+  def frameSample(df: DataFrame, textCol: String, frameLen: Int, stride: Int): DataFrame =
+    df.withColumn("frame_no",
+        explode(sequence(lit(0), floor((length(col(textCol)) - frameLen).cast("double") / stride).cast("int"))))
+      .withColumn("frame", col(textCol).substr(col("frame_no") * stride + 1, lit(frameLen)))
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{TextFns, TimeFns}
+import graft.operators.{Enrich, Multimodal, Writers}
+
+/** Enrichment, multimodal plumbing, timezone semantics and the
+  * remaining pandas-idiom operators (SURVEY.md §2.11-§2.12, A6, A10,
+  * P6/P10/P11, R5, K3).
+  */
+object EnrichPack extends QueryPack {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  val q33 = QueryDef(
+    "q33_enrich_distinct",
+    Some("""WITH parsed AS (
+           |  SELECT user_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+           |)
+           |SELECT k // 10 AS k_band, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS users
+           |FROM parsed GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // §2.12 dictionary enrichment: the "parser" (stand-in for a UA/GeoIP
+    // library) runs once per DISTINCT props value via mapPartitions, and
+    // the result broadcast-joins back onto the fact — never per-row.
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val enriched = Enrich.viaDistinct(
+      t.events, "props", StructType(Seq(StructField("k", LongType)))) { props =>
+      Row(kRe.findFirstMatchIn(props).map(_.group(1).toLong).orNull)
+    }
+    enriched.groupBy((col("k") / 10).cast("long").as("k_band"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("users"))
+      .orderBy("k_band")
+  }
+
+  val q34 = QueryDef(
+    "q34_multimodal_decode",
+    Some("""SELECT doc_id,
+           |  (['jpeg','png','webp'])[CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 3 + 1] AS format,
+           |  octet_length(encode(text)) AS n_bytes,
+           |  CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 128 + 16 AS width,
+           |  CAST('0x' || substr(md5('h:' || text), 1, 8) AS BIGINT) % 128 + 16 AS height,
+           |  ascii(substr(text, 1, 1)) + octet_length(encode(text)) AS checksum
+           |FROM documents ORDER BY doc_id""".stripMargin)) { t =>
+    // Multimodal columns: opaque binary payload + typed metadata + stub
+    // decode (see operators.Multimodal — the codec internals are faked,
+    // the schema/plumbing is real).
+    Multimodal.withMedia(t.documents, "text")
+      .withColumn("f", Multimodal.decodeStubExpr(col("media"), col("text")))
+      .select(col("doc_id"), col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"),
+        col("f.width").as("width"), col("f.height").as("height"), col("f.checksum").as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  val q35 = QueryDef(
+    "q35_frame_sample",
+    Some("""SELECT doc_id, CAST(i AS INT) AS frame_no, substr(text, CAST(i * 25 + 1 AS INT), 40) AS frame
+           |FROM documents, UNNEST(range(0, CAST(floor(CAST(length(text) - 40 AS DOUBLE) / 25) AS BIGINT) + 1)) AS t(i)
+           |WHERE doc_id < 50 AND length(text) >= 40
+           |ORDER BY doc_id, frame_no""".stripMargin)) { t =>
+    // Frame sampling: stride-25 windows of 40 "bytes" — the video
+    // frame-extract shape as explode over a generated index.
+    Multimodal.frameSample(
+        t.documents.where(col("doc_id") < 50 && length(col("text")) >= 40),
+        "text", frameLen = 40, stride = 25)
+      .select(col("doc_id"), col("frame_no"), col("frame"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val q36 = QueryDef(
+    "q36_tz_santiago",
+    Some("""SELECT CAST(date_trunc('day', local_ts) AS TIMESTAMP) AS dia,
+           |       hour(local_ts) AS hora, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS minutes
+           |FROM (SELECT CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/Santiago' AS TIMESTAMP) AS local_ts,
+           |             value FROM events)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // UTC storage → America/Santiago reporting wall-clock (reference
+    // consumo_bloques_hora.py:105) — the tz duality SURVEY.md §7 flags.
+    val local = TimeFns.toSantiago(col("ts"))
+    t.events.groupBy(
+        date_trunc("day", local).as("dia"), hour(local).as("hora"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("minutes"))
+      .orderBy("dia", "hora")
+  }
+
+  val q37 = QueryDef(
+    "q37_session_recovery",
+    Some("""WITH per_user AS (
+           |  SELECT event_type, user_id,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS minutes,
+           |    COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2
+           |), staged AS (
+           |  SELECT event_type, minutes, round(minutes / (minutes / n)) AS sessions FROM per_user
+           |)
+           |SELECT event_type,
+           |  CAST(SUM(CAST(minutes AS DECIMAL(18,6))) AS DOUBLE) AS total_minutes,
+           |  CAST(SUM(sessions) AS BIGINT) AS total_sessions,
+           |  CASE WHEN SUM(sessions) > 0
+           |       THEN CAST(SUM(CAST(minutes AS DECIMAL(18,6))) AS DOUBLE) / CAST(SUM(sessions) AS BIGINT)
+           |       ELSE 0 END AS avg_minutes
+           |FROM staged GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // A6: weighted-average recovery — re-derive session counts as
+    // round(minutes/avg_minutes), re-aggregate, recompute the average
+    // (reference funnel_emisor.py:160-164, liveod_editorial.py:257-266).
+    val perUser = t.events.groupBy("event_type", "user_id")
+      .agg(dsum(col("value")).as("minutes"), count(lit(1)).as("n"))
+    val staged = perUser.select(col("event_type"), col("minutes"),
+      round(col("minutes") / (col("minutes") / col("n"))).as("sessions"))
+    staged.groupBy("event_type")
+      .agg(
+        sum(col("minutes").cast("decimal(18,6)")).cast("double").as("total_minutes"),
+        sum(col("sessions")).cast("long").as("total_sessions"))
+      .withColumn("avg_minutes",
+        when(col("total_sessions") > 0, col("total_minutes") / col("total_sessions")).otherwise(0.0))
+      .select("event_type", "total_minutes", "total_sessions", "avg_minutes")
+      .orderBy("event_type")
+  }
+
+  val q38 = QueryDef(
+    "q38_proportional_allocation",
+    Some("""WITH day_tot AS (
+           |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dia,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n_day
+           |  FROM events GROUP BY 1
+           |), per_type AS (
+           |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dia, event_type, COUNT(*) AS n_type
+           |  FROM events GROUP BY 1, 2
+           |)
+           |SELECT p.dia, p.event_type,
+           |  round(d.total * p.n_type / d.n_day, 2) AS allocated
+           |FROM per_type p JOIN day_tot d ON p.dia = d.dia
+           |ORDER BY p.dia, p.event_type""".stripMargin)) { t =>
+    // A10: proportional allocation of a total across segment columns
+    // (reference trafico_digital.py:356-383) — total × share, rounded.
+    val dayTot = t.events.groupBy(date_trunc("day", col("ts")).as("dia"))
+      .agg(dsum(col("value")).as("total"), count(lit(1)).as("n_day"))
+    val perType = t.events.groupBy(date_trunc("day", col("ts")).as("dia"), col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    perType.join(dayTot, "dia")
+      .select(col("dia"), col("event_type"),
+        round(col("total") * col("n_type") / col("n_day"), 2).as("allocated"))
+      .orderBy("dia", "event_type")
+  }
+
+  val q39 = QueryDef(
+    "q39_remap_filter",
+    Some("""SELECT CASE WHEN event_type = 'click' THEN 'interaccion'
+           |            WHEN event_type = 'view' THEN 'vista'
+           |            ELSE 'otro' END AS tipo,
+           |       COUNT(*) AS n
+           |FROM events
+           |WHERE NOT regexp_matches(props, '[=;]') AND lower(event_type) != 'error'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // P6 regex row filter + P5 case-folded inequality + P10/P11 CASE
+    // remap (reference mapa_consumo.py:168, consumo_bloques_hora.py:141,
+    // funnel_live.py:82-91).
+    t.events
+      .where(!col("props").rlike("[=;]") && lower(col("event_type")) =!= "error")
+      .groupBy(
+        when(col("event_type") === "click", "interaccion")
+          .when(col("event_type") === "view", "vista")
+          .otherwise("otro").as("tipo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tipo")
+  }
+
+  val q40 = QueryDef(
+    "q40_union_missing_columns",
+    Some("""SELECT 'total' AS periodo, event_type, COUNT(*) AS n,
+           |       CAST(NULL AS TIMESTAMP) AS dia, CAST(NULL AS DOUBLE) AS minutes
+           |FROM events GROUP BY 2
+           |UNION ALL
+           |SELECT 'diario', event_type, COUNT(*),
+           |       CAST(date_trunc('day', ts) AS TIMESTAMP),
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |FROM events GROUP BY 2, 4
+           |ORDER BY periodo, event_type, dia NULLS FIRST""".stripMargin)) { t =>
+    // R5/U2: schema-superset union — unionByName(allowMissingColumns)
+    // null-fills the absent columns, mirroring the reference's
+    // empty-frame-seeded concat (consumo_usuarios.py:110-116).
+    val total = t.events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("periodo", lit("total"))
+    val diario = t.events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dia"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("minutes"))
+      .withColumn("periodo", lit("diario"))
+    total.unionByName(diario, allowMissingColumns = true)
+      .select("periodo", "event_type", "n", "dia", "minutes")
+      .orderBy(col("periodo"), col("event_type"), col("dia").asc_nulls_first)
+  }
+
+  val q41 = QueryDef(
+    "q41_merge_upsert",
+    Some("""WITH target AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |), updates AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |)
+           |SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+           |UNION ALL SELECT * FROM updates
+           |ORDER BY o_orderkey""".stripMargin)) { t =>
+    // K3 MERGE-by-id semantics as a pure dataflow: anti-join keeps
+    // unmatched target rows, updates win on collision (reference
+    // funnel_live.py:106-174 staging + MERGE).
+    val tgt = t.orders.where(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val upd = t.orders.where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    Writers.mergeById(tgt, upd, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41)
+}
