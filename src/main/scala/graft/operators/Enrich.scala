@@ -31,7 +31,10 @@ object Enrich {
         val k = r.getString(0)
         Row.fromSeq(k +: fn(k).toSeq)
       })
-    val dict = spark.createDataFrame(dictRdd, keyed)
+    // persist: the lookup must run once per key total, not once per
+    // downstream action — same reason the reference caches its parsed
+    // UA/IP dictionaries in driver frames.
+    val dict = spark.createDataFrame(dictRdd, keyed).persist()
     df.join(broadcast(dict), Seq(keyCol), "left")
   }
 }

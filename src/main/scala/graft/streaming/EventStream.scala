@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer (SURVEY.md §2.9).
+  *
+  * The reference has no true streams: an hourly Airflow DAG re-runs the
+  * batch pipelines over a trailing window (descarga_hora.py:17-60), with
+  * idempotency via delete-and-replace (K2). The idiomatic Spark upgrade
+  * is `readStream` over the landing directory with event-time windows +
+  * a watermark playing the `dias_remplazo` late-data role, triggered
+  * `AvailableNow` so each run drains what's new and stops — the same
+  * cadence, minus the manual delete.
+  */
+object EventStream {
+
+  /** File-source stream over an events landing dir (parquet files with
+    * the given schema, appended by the ingest job).
+    */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Hourly rollup with late-data tolerance: tumbling 1-hour event-time
+    * windows, watermark = replacement window (the reference re-ingests
+    * `dias_remplazo` trailing days; late rows inside it still land).
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "4 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("minutes"))
+      .select(col("w.start").as("p_start"), col("event_type"), col("n"), col("minutes"))
+
+  /** Drain-everything-then-stop run, the streaming analog of one hourly
+    * DAG tick: partitioned parquet append + checkpoint give exactly-once
+    * per file, replacing the reference's DELETE+reload idempotency.
+    */
+  def runAvailableNow(rollup: DataFrame, outDir: String, checkpointDir: String): Unit =
+    rollup.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+      .awaitTermination()
+
+  // ---- custom state: gap-based sessionization ---------------------------
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, events: Int, minutes: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Int, minutes: Double)
+
+  /** Close a user's session after `gapMinutes` of event-time silence —
+    * the custom-state shape (`flatMapGroupsWithState`) the built-in
+    * windows can't express. Emits completed sessions only.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs), s.events, s.minutes))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t max s.lastTs, events = s.events + 1,
+                    minutes = s.minutes + e.value))
+                case Some(s) =>
+                  closed += Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs), s.events, s.minutes)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

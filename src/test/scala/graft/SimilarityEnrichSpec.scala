@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Enrich, Multimodal, Similarity}
+
+class SimilarityEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine is exact on known vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(c - 0.6) < 1e-7) // float inputs → ~1e-8 noise
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break and excludes self") {
+    val emb = sf().embeddings
+    val out = Similarity.bruteForceTopK(emb.where($"vec_id" === 0), emb, "vec_id", "embedding", 3)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.length == 3)
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(out.forall(_._2 != 0L))
+    assert(out.sliding(2).forall { case Array(x, y) => x._4 >= y._4 })
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with matching scores") {
+    val emb = sf().embeddings.limit(100)
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 99)
+      .select("query_id", "match_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, m, c) => (q, m) -> c }.toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", planes = 4, k = 3)
+      .select("query_id", "match_id", "cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, m, c) => assert(brute((q, m)) == c) }
+  }
+
+  test("Enrich.viaDistinct runs the lookup once per distinct key and joins back") {
+    val calls = spark.sparkContext.longAccumulator("lookup-calls")
+    val df = Seq(("k1", 1), ("k1", 2), ("k2", 3), ("k1", 4)).toDF("key", "v")
+    val out = Enrich.viaDistinct(df, "key",
+      StructType(Seq(StructField("upper", StringType)))) { k =>
+      calls.add(1); Row(k.toUpperCase)
+    }
+    val rows = out.select("key", "upper").as[(String, String)].collect()
+    assert(rows.length == 4)
+    assert(rows.toSet == Set("k1" -> "K1", "k2" -> "K2"))
+    assert(calls.value == 2) // once per DISTINCT key, not per row
+  }
+
+  test("Multimodal decodePartition carries features through mapPartitions") {
+    val media = Multimodal.withMedia(Seq((1L, "hello world")).toDF("doc_id", "text"), "text")
+    val out = Multimodal.decodePartition(media, "media", "doc_id")
+    val r = out.select($"doc_id", $"features.checksum").as[(Long, Long)].head()
+    assert(r._1 == 1L)
+    val expected = Multimodal.decodeBytesStub("hello world".getBytes("UTF-8"))._3
+    assert(r._2 == expected)
+  }
+
+  test("frameSample emits stride-aligned windows") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // len 10
+    val frames = Multimodal.frameSample(df, "text", frameLen = 4, stride = 3)
+      .select("frame_no", "frame").as[(Int, String)].collect().toSeq
+    assert(frames == Seq((0, "abcd"), (1, "defg"), (2, "ghij")))
+  }
+}

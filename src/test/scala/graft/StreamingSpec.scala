@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hourlyRollup over AvailableNow drains the landing dir incl. late rows") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val landing = s"$dir/landing"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val batch1 = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 4.0)).toDF("ts", "event_type", "value")
+    batch1.write.parquet(landing)
+
+    val stream = EventStream.read(spark, landing, batch1.schema)
+    assert(stream.isStreaming)
+    EventStream.runAvailableNow(EventStream.hourlyRollup(stream), out, ckpt)
+
+    // second tick: new file with a LATE row for hour 10 (inside the
+    // 4-day watermark) plus a sentinel far enough ahead to close all
+    // Jan-1 windows — append mode only emits watermark-closed windows.
+    Seq(
+      (ts("2024-01-01 10:30:00"), "click", 10.0),
+      (ts("2024-01-01 12:00:00"), "view", 1.0),
+      (ts("2024-01-10 00:00:00"), "sentinel", 0.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(landing)
+    EventStream.runAvailableNow(
+      EventStream.hourlyRollup(EventStream.read(spark, landing, batch1.schema)), out, ckpt)
+
+    val got = spark.read.parquet(out)
+      .where($"event_type" =!= "sentinel")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map { case (p, t, n, m) => (p.toString, t, n, m) }.toSet
+    // each closed window emitted exactly once, late row merged into hour 10
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "click", 3L, 13.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 4.0),
+      ("2024-01-01 12:00:00.0", "view", 1L, 1.0)))
+  }
+
+  test("sessionize closes sessions on event-time gaps via flatMapGroupsWithState") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val landing = s"$dir/landing"; val ckpt = s"$dir/ckpt"
+    import EventStream.{Event, Session}
+    // user 1: two bursts separated by >gap (first closes on the gap);
+    // the user-9 sentinel advances the watermark so every open session
+    // times out inside this one AvailableNow run (no-data micro-batch).
+    Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+      Event(1L, ts("2024-01-01 13:30:00"), 5.0),
+      Event(2L, ts("2024-01-01 10:00:00"), 7.0),
+      Event(9L, ts("2024-01-03 00:00:00"), 0.0)).toDF()
+      .write.parquet(landing)
+    val events = EventStream.read(spark, landing, Seq.empty[Event].toDF().schema).as[Event]
+    val q = EventStream.sessionize(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sess").as[Session].collect()
+      .map(s => (s.user_id, s.session_start.toString, s.n_events, s.minutes)).toSet
+    assert(got.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0))) // closed by the gap
+    assert(got.contains((1L, "2024-01-01 13:30:00.0", 1, 5.0))) // closed by timeout
+    assert(got.contains((2L, "2024-01-01 10:00:00.0", 1, 7.0)))
+  }
+}

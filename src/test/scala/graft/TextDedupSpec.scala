@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash32 matches the md5-prefix contract") {
+    // md5('hello') = 5d41402a... → 0x5d41402a = 1564557354
+    val v = spark.range(1).select(TextFns.hash32(lit("hello"))).as[Long].head()
+    assert(v == 1564557354L)
+  }
+
+  test("wordShingles: distinct k-grams, short docs collapse to one shingle") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(TextFns.wordShingles(TextFns.tokens($"text"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("exact dedup keeps the min-id row per content") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("jaccardPairs finds near-identical docs and scores them correctly") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w7"),  // shares 3 of the union's 5+... shingles
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", k = 3, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    val (a, b, j) = pairs.head
+    assert((a, b) == (1L, 2L))
+    // shingles: doc1 {123,234,345,456}, doc2 {123,234,345,457} → 3/5
+    assert(math.abs(j - 0.6) < 1e-12)
+  }
+
+  test("simhash byte banding finds exactly the pairs a cross join would") {
+    val docs = sf().documents.limit(200)
+    val viaBands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sig = docs.select($"doc_id", TextFns.simhash32(TextFns.tokens($"text")).as("sim"))
+    val naive = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .where(bit_count($"a.sim".bitwiseXOR($"b.sim")) <= 3)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(viaBands == naive)
+  }
+
+  test("minhash LSH recovers the planted near-dup pairs of the corpus") {
+    val truth = Dedup.jaccardPairs(sf().documents, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(sf().documents, "doc_id", "text", 3,
+        bands = 4, rowsPerBand = 4, minJaccard = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(lsh == truth) // at j>=0.9, P(no band collision) ≈ (1-0.9^4)^4 < 2%o per pair
+  }
+
+  test("langId picks the language with most marker hits, und when none") {
+    val df = Seq("the cat and the dog", "der hund und die katze", "xyzzy plugh").toDF("text")
+    val out = df.select(TextFns.langId(TextFns.tokens($"text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Writers
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-writers").toString
+
+  test("K2 replaceWindow rewrites only the partitions present in the new data, idempotently") {
+    val path = tmp() + "/t"
+    val day1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0)).toDF("fecha", "id", "v")
+    val day2 = Seq(("2024-01-02", 3L, 30.0)).toDF("fecha", "id", "v")
+    Writers.appendPartitioned(day1.unionByName(day2), path, "fecha")
+    // re-ingest day2 with corrected values — day1 must survive untouched
+    val fixed = Seq(("2024-01-02", 3L, 99.0), ("2024-01-02", 4L, 1.0)).toDF("fecha", "id", "v")
+    Writers.replaceWindow(fixed, path, "fecha")
+    Writers.replaceWindow(fixed, path, "fecha") // rerun = idempotent
+    val out = spark.read.parquet(path)
+    assert(out.count() == 4)
+    assert(out.where($"fecha" === "2024-01-01").count() == 2)
+    assert(out.where($"fecha" === "2024-01-02").as[(Long, Double, String)].collect().map(_._2).sorted.toSeq == Seq(1.0, 99.0))
+  }
+
+  test("K3 mergeById: updates win on collision, unmatched target rows survive") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val updates = Seq((2L, "B"), (3L, "C")).toDF("id", "v")
+    val merged = Writers.mergeById(target, updates, "id")
+      .as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+  }
+
+  test("K3 mergeByIdWrite persists through the staging swap and is rerunnable") {
+    val path = tmp() + "/t"
+    Writers.mergeByIdWrite(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    Writers.mergeByIdWrite(spark, path, Seq((2L, "B"), (3L, "C")).toDF("id", "v"), "id")
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+  }
+
+  test("K1 appendPartitioned clusters within partitions without changing content") {
+    val path = tmp() + "/t"
+    val df = Seq(("2024-01-01", 3L), ("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("fecha", "id")
+    Writers.appendPartitioned(df, path, "fecha", clusterBy = Seq("id"))
+    val out = spark.read.parquet(path)
+    assert(out.count() == 3)
+    assert(out.select(sum($"id")).as[Long].head() == 6L)
+  }
+}
