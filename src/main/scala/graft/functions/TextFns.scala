@@ -38,9 +38,21 @@ object TextFns {
           i => concat_ws(" ", slice(toks, i, lit(k)))))
         .otherwise(array(concat_ws(" ", toks))))
 
-  /** MinHash value for seed `i`: min over shingles of hash32(i:shingle). */
+  /** Universal-hash family over Z_P for MinHash: one md5 per shingle
+    * (hash32), then cheap affine derivations per seed — 16 signatures
+    * cost one string hash, not 16. Constants are plain literals, so the
+    * oracle reconstructs them exactly.
+    */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = ((i.toLong * 2654435761L) % (MinhashP - 1)) + 1
+  def minhashB(i: Int): Long = (i.toLong * 40503L * 49979693L) % MinhashP
+
+  /** MinHash value for seed `i`: min over shingles of
+    * (a_i * (hash32(shingle) % P) + b_i) % P.
+    */
   def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => hash32(concat(lit(s"$seed:"), s))))
+    array_min(transform(shingles,
+      s => (lit(minhashA(seed)) * (hash32(s) % MinhashP) + minhashB(seed)) % MinhashP))
 
   /** LSH band key: md5 over `r` consecutive minhash values of band `b`
     * (bands laid out [b*r, (b+1)*r)). Identical string assembly on the
@@ -51,22 +63,21 @@ object TextFns {
 
   /** 32-bit SimHash over the token multiset: bit j is 1 iff the count-
     * weighted sum of (2*bit_j(hash32(token)) - 1) is positive. Pure
-    * integer arithmetic → exact in any engine.
+    * integer arithmetic → exact in any engine. Runs through the native
+    * codegen expression (expressions.SimHash32); requires
+    * GraftFunctions.register on the session.
     */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => hash32(t))
-    (0 until 32).map { j =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def simhash32(toks: Column): Column =
+    call_function("graft_simhash32", transform(toks, t => hash32(t)))
 
   /** Rolling-hash document fingerprint: min hash32 over k-word shingles —
-    * a 1-hash MinHash, the winnowing-style content fingerprint.
+    * a 1-hash MinHash, the winnowing-style content fingerprint. Native
+    * one-pass path (requires GraftFunctions.register on the session).
     */
   def fingerprint(text: Column, k: Int = 3): Column =
-    minhash(wordShingles(tokens(text), k), 0)
+    element_at(
+      call_function("graft_minhash_sig",
+        call_function("graft_shingle_hashes", text, lit(k), lit(8)), lit(1)), 1)
 
   // ---- quality scoring ---------------------------------------------------
 

@@ -38,9 +38,13 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, minJaccard: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    // 56-bit shingle hashes as the posting key: same set sizes as the
+    // string shingles (distinct is computed on strings), far cheaper to
+    // shuffle/compare; collision odds at corpus scale ~2^-30 per pair.
     val sh = df.select(
       col(idCol).as("id"),
-      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
+      call_function("graft_shingle_hashes", col(textCol), lit(k), lit(14)).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
     val posting = sh.select(col("id"), explode(col("shingles")).as("sh"))
     val inter = posting.as("a")
@@ -55,9 +59,15 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature columns m0..m{n-1} for a shingle array column. */
-  def minhashSignature(shingles: Column, n: Int): Seq[Column] =
-    (0 until n).map(i => TextFns.minhash(shingles, i).as(s"m$i"))
+  /** MinHash signature columns m0..m{n-1} for a shingle array column:
+    * one md5 per shingle, then all n affine derivations in a single
+    * native pass (expressions.MinhashSig).
+    */
+  def minhashSignature(shingles: Column, n: Int): Seq[Column] = {
+    val sig = call_function("graft_minhash_sig",
+      transform(shingles, s => TextFns.hash32(s)), lit(n))
+    (0 until n).map(i => element_at(sig, i + 1).as(s"m$i"))
+  }
 
   /** LSH candidate pairs: docs sharing at least one of `bands` band keys
     * (bands × rowsPerBand = signature length), then verified with exact
@@ -66,23 +76,31 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"),
-      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
-    val sig = sh.select(col("id") +: col("shingles") +:
-      minhashSignature(col("shingles"), bands * rowsPerBand): _*)
-    val ms = (0 until bands * rowsPerBand).map(i => col(s"m$i"))
-    val banded = sig.select(col("id"), col("shingles"),
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    // Signatures come from hashed shingles (one md5 per shingle, native
+    // one-pass affine mins); shingle STRINGS are only materialized for
+    // the candidate pairs that must be verified exactly.
+    val sig = df.select(col(idCol).as("id"),
+      call_function("graft_minhash_sig",
+        call_function("graft_shingle_hashes", col(textCol), lit(k), lit(8)),
+        lit(bands * rowsPerBand)).as("sig"))
+    val ms = (0 until bands * rowsPerBand).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
+    val sigCols = sig.select(col("id") +: ms: _*)
+    val msRef = (0 until bands * rowsPerBand).map(i => col(s"m$i"))
+    val banded = sigCols.select(col("id"),
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), TextFns.bandKey(ms, b, rowsPerBand).as("key"))): _*)).as("bk"))
+        struct(lit(b).as("band"), TextFns.bandKey(msRef, b, rowsPerBand).as("key"))): _*)).as("bk"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val sh = df.select(col(idCol).as("id"),
+      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
     cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))
@@ -98,6 +116,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "byte banding is only exact for hamming <= 3")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val sig = df.select(col(idCol).as("id"),
       TextFns.simhash32(TextFns.tokens(col(textCol))).as("sim"))
     val banded = sig.select(col("id"), col("sim"),

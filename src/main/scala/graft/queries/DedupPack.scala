@@ -37,8 +37,10 @@ object DedupPack extends QueryPack {
 
   // 16 minhashes = 4 bands x 4 rows; verification threshold 0.8.
   private val Bands = 4; private val Rows = 4
-  private def minhashSql(i: Int) =
-    s"list_min(list_transform(shingles, s -> ${hash32Sql(s"'$i:' || s")}))"
+  private def minhashSql(i: Int) = {
+    import graft.functions.TextFns.{minhashA, minhashB, MinhashP}
+    s"list_min(list_transform(shingles, s -> (${minhashA(i)} * (${hash32Sql("s")} % $MinhashP) + ${minhashB(i)}) % $MinhashP))"
+  }
   private def bandKeySql(b: Int) =
     s"md5(concat_ws(',', '$b', ${(b * Rows until b * Rows + Rows).map(i => s"m$i").mkString(", ")}))"
 

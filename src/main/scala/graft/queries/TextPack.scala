@@ -89,7 +89,8 @@ object TextPack extends QueryPack {
   val q25 = QueryDef(
     "q25_fingerprint_clusters",
     Some(s"""WITH fp AS (
-            |  SELECT doc_id, list_min(list_transform(${shinglesSql(3)}, s -> ${hash32Sql("'0:' || s")})) AS fingerprint
+            |  SELECT doc_id, list_min(list_transform(${shinglesSql(3)},
+            |    s -> (${TextFns.minhashA(0)} * (${hash32Sql("s")} % ${TextFns.MinhashP}) + ${TextFns.minhashB(0)}) % ${TextFns.MinhashP})) AS fingerprint
             |  FROM documents
             |)
             |SELECT doc_id, fingerprint,
@@ -97,6 +98,7 @@ object TextPack extends QueryPack {
             |FROM fp ORDER BY doc_id""".stripMargin)) { t =>
     // Rolling-hash document fingerprint (min shingle hash) + cluster
     // size: docs sharing a fingerprint are near-dup candidates.
+    graft.expressions.GraftFunctions.register(t.spark)
     val fp = t.documents.select(col("doc_id"), TextFns.fingerprint(col("text"), 3).as("fingerprint"))
     val sizes = fp.groupBy("fingerprint").agg(count(lit(1)).as("cluster_size"))
     fp.join(sizes, "fingerprint")

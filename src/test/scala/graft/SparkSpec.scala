@@ -16,6 +16,7 @@ object TestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.expressions.GraftFunctions.register(s)
     s
   }
 }
