@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.OverlapJoinRewrite
+
+class OverlapRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val enabled: Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ OverlapJoinRewrite(spark)
+  }
+
+  private def intervalsDf(n: Int, path: String): DataFrame = {
+    val base = ts("2024-03-01 00:00:00").getTime
+    (0 until n).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 97000L % (3L * 86400000)),
+        new java.sql.Timestamp(base + i * 97000L % (3L * 86400000) + 3600000L * (1 + i % 30)))
+    }.toDF("id", "s", "e").write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  test("rewrites a large-large overlap join to a bucketed equi-join with identical results") {
+    enabled
+    val dir = Files.createTempDirectory("graft-rw").toString
+    val a = intervalsDf(500, s"$dir/a")
+    val b = intervalsDf(300, s"$dir/b").withColumnsRenamed(Map("id" -> "pid", "s" -> "ps", "e" -> "pe"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force "both sides too big to broadcast"
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = a.join(b, $"s" < $"pe" && $"e" >= $"ps")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("__graft_bucket"))
+      val got = joined.select("id", "pid").as[(Long, Long)].collect().toSet
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val naive = a.join(broadcast(b), $"s" < $"pe" && $"e" >= $"ps")
+        .select("id", "pid").as[(Long, Long)].collect().toSet
+      assert(got == naive)
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("leaves broadcast-able overlap joins to the nested-loop plan") {
+    enabled
+    val dir = Files.createTempDirectory("graft-rw2").toString
+    val a = intervalsDf(200, s"$dir/a")
+    val b = intervalsDf(20, s"$dir/b").withColumnsRenamed(Map("id" -> "pid", "s" -> "ps", "e" -> "pe"))
+    val joined = a.join(b, $"s" < $"pe" && $"e" >= $"ps")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("__graft_bucket"))
+  }
+
+  test("does not touch joins that already have an equi-key") {
+    enabled
+    val dir = Files.createTempDirectory("graft-rw3").toString
+    val a = intervalsDf(100, s"$dir/a")
+    val b = intervalsDf(100, s"$dir/b").withColumnsRenamed(Map("id" -> "pid", "s" -> "ps", "e" -> "pe"))
+    val joined = a.join(b, $"id" === $"pid" && $"s" < $"pe" && $"e" >= $"ps")
+    assert(!joined.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+  }
+}
