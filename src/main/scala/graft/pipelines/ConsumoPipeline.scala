@@ -1,0 +1,78 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TimeFns
+import graft.operators.{BandJoin, Enrich, OverlapJoin, Writers}
+
+/** End-to-end pipeline in the reference's DAG shape (SURVEY.md §3.1-3.2):
+  * extract → enrich → interval rollup → idempotent windowed load.
+  *
+  * Mirrors `consumo_detalle` + `consumo_bloques_hora`: the raw event
+  * feed is enriched via the distinct-value dictionary pattern, joined
+  * to an hourly calendar spine (broadcast overlap — the spine is
+  * dimension-sized), banded into VIP tiers, rolled up to prorated
+  * minutes + distinct listeners, and written with delete-and-replace
+  * semantics (only the partitions inside the replacement window are
+  * rewritten, so hourly re-runs are idempotent).
+  */
+object ConsumoPipeline {
+
+  case class Params(
+      spineStart: String, spineEnd: String,
+      grain: String = "1 hour",
+      vips: Seq[Long] = Seq(0L, 1L, 5L, 20L, 40L))
+
+  /** Transform stage: raw events (ts/user_id/event_type/value/props) →
+    * per (period, event_type, vip) rollup. Pure dataflow — testable
+    * without any write.
+    */
+  def rollup(spark: SparkSession, events: DataFrame, p: Params): DataFrame = {
+    // 1. enrichment: parse the props payload once per distinct value
+    //    (the reference's UA/GeoIP dictionary trick)
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val enriched = Enrich.viaDistinct(events, "props",
+      StructType(Seq(StructField("k", LongType)))) { props =>
+      Row(kRe.findFirstMatchIn(props).map(_.group(1).toLong).orNull)
+    }
+
+    // 2. event interval [second-truncated ts, ts + value minutes)
+    val intervals = enriched.select(
+      col("event_type"), col("user_id"), col("k"),
+      date_trunc("second", col("ts")).as("s"),
+      expr("timestampadd(SECOND, CAST(floor(value*60) AS BIGINT), date_trunc('second', ts))").as("e"),
+      col("value"))
+
+    // 3. overlap join to the calendar spine (broadcast; at 100 TB the
+    //    spine is still only hours-per-decade rows)
+    val spine = TimeFns.spine(spark, p.spineStart, p.spineEnd, p.grain)
+    val joined = OverlapJoin.broadcastOverlap(
+      intervals, spine, col("s"), col("e"), col("p_start"), col("p_end"))
+
+    // 4. per-user minutes inside each period, then VIP banding (theta
+    //    join vs the 5-row dim) and the final rollup
+    val perUser = joined
+      .groupBy("p_start", "event_type", "user_id")
+      .agg(
+        (sum(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end"))) / 60.0)
+          .as("minutes"),
+        count(lit(1)).as("n_events"))
+    val vips = spark.createDataFrame(
+      java.util.Arrays.asList(p.vips.map(Row(_)): _*),
+      StructType(Seq(StructField("vip", LongType, nullable = false))))
+    BandJoin.thresholdBands(perUser, vips, col("minutes"), col("vip"))
+      .groupBy("p_start", "event_type", "vip")
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("minutes")).as("minutes"))
+      .withColumn("fecha", to_date(col("p_start")))
+  }
+
+  /** Load stage: K2 delete-and-replace of the partitions present in the
+    * rollup (the trailing `dias_remplazo` window the caller filtered to).
+    */
+  def run(spark: SparkSession, events: DataFrame, p: Params, outPath: String): Unit =
+    Writers.replaceWindow(rollup(spark, events, p), outPath, "fecha")
+}

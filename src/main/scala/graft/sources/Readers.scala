@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers (SURVEY.md §2.1).
+  *
+  * The reference ingests from: the Mediastream metrics API (S1 JSON
+  * rows / S2 CSV-export URLs, consumo_detalle.py:108-143), BigQuery SQL
+  * (S3), Google Analytics (S4/S5), a holidays REST API (S6), local CSVs
+  * (S7), Postgres (S8) and JSON config files (S9). In this engine every
+  * external fetch lands as either a file the schema'd readers below
+  * consume, or as already-fetched rows (`fromRows`) — the query payload
+  * the reference ships to the API is a real DataFrame query here.
+  */
+object Readers {
+
+  /** S2/S7: schema'd CSV with header, timestamps parsed on read — the
+    * shape of the reference's `pd.read_csv(url)` + `to_datetime` casts.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", timestampFormat)
+      .schema(schema)
+      .csv(path)
+
+  /** S9: JSON config-as-table (`dicc_programas.json`,
+    * programas_live.py:26). multiLine handles pretty-printed configs.
+    */
+  def json(spark: SparkSession, path: String, schema: StructType,
+           multiLine: Boolean = true): DataFrame =
+    spark.read.option("multiLine", multiLine.toString).schema(schema).json(path)
+
+  /** S8: JDBC source (Cloud SQL Postgres in the reference). Partitioned
+    * read when bounds are given — a single-connection scan does not
+    * survive 100 TB-era table sizes.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties(),
+           partitionColumn: Option[String] = None,
+           lowerBound: Long = 0, upperBound: Long = 0, numPartitions: Int = 8): DataFrame = {
+    val base = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    val withProps = props.stringPropertyNames().toArray(Array.empty[String])
+      .foldLeft(base)((b, k) => b.option(k, props.getProperty(k)))
+    partitionColumn match {
+      case Some(c) => withProps
+        .option("partitionColumn", c)
+        .option("lowerBound", lowerBound).option("upperBound", upperBound)
+        .option("numPartitions", numPartitions).load()
+      case None => withProps.load()
+    }
+  }
+
+  /** S1/S4-S6: already-fetched API rows → DataFrame (the ingestion-side
+    * boundary; fetching itself is a job-runner concern, not an engine
+    * operator).
+    */
+  def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+}

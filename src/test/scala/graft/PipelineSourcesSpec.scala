@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipelines.ConsumoPipeline
+import graft.sources.Readers
+
+class PipelineSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv reader parses schema'd timestamps like the reference extract") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/x.csv"),
+      "start_date,user_id,minutes\n2024-01-01 10:00:00,u1,12.5\n2024-01-01 11:00:00,u2,3.0\n")
+    val schema = StructType(Seq(
+      StructField("start_date", TimestampType), StructField("user_id", StringType),
+      StructField("minutes", DoubleType)))
+    val df = Readers.csv(spark, s"$dir/x.csv", schema)
+    assert(df.schema == schema)
+    assert(df.count() == 2)
+    assert(df.agg(sum("minutes")).as[Double].head() == 15.5)
+  }
+
+  test("json config reader loads a dicc_programas-style file") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/dicc.json"),
+      """[{"programa": "matinal", "dias": [2,3,4,5,6]}, {"programa": "finde", "dias": [1,7]}]""")
+    val schema = StructType(Seq(
+      StructField("programa", StringType), StructField("dias", ArrayType(LongType))))
+    val df = Readers.json(spark, s"$dir/dicc.json", schema)
+    assert(df.count() == 2)
+    assert(df.where(array_contains($"dias", 7L)).select("programa").as[String].head() == "finde")
+  }
+
+  test("consumo pipeline end-to-end: rollup matches hand computation, rerun idempotent") {
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user A: 90 min starting 10:30 → hours 10(30m),11(60m... clipped)
+    val events = Seq(
+      (t("2024-01-01 10:30:00"), 7L, "play", 90.0, """{"k": 5}"""),
+      (t("2024-01-01 10:45:00"), 8L, "play", 1.0, """{"k": 77}""")
+    ).toDF("ts", "user_id", "event_type", "value", "props")
+    val p = ConsumoPipeline.Params("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    val out = s"$dir/rollup"
+    ConsumoPipeline.run(spark, events, p, out)
+    ConsumoPipeline.run(spark, events, p, out) // K2: rerun must not duplicate
+    val got = spark.read.parquet(out)
+      .select("p_start", "event_type", "vip", "users", "minutes")
+      .as[(java.sql.Timestamp, String, Long, Long, Double)].collect()
+      .map { case (ps, et, vip, u, m) => (ps.toString, et, vip, u, m) }.toSet
+    // hour 10: A 30m (vip 0,1,5,20) + B 1m (vip 0,1); hour 11: A 60m (all vips)
+    assert(got.contains(("2024-01-01 10:00:00.0", "play", 0L, 2L, 31.0)))
+    assert(got.contains(("2024-01-01 10:00:00.0", "play", 1L, 2L, 31.0)))
+    assert(got.contains(("2024-01-01 10:00:00.0", "play", 5L, 1L, 30.0)))
+    assert(got.contains(("2024-01-01 10:00:00.0", "play", 20L, 1L, 30.0)))
+    assert(got.contains(("2024-01-01 11:00:00.0", "play", 40L, 1L, 60.0)))
+    assert(!got.contains(("2024-01-01 10:00:00.0", "play", 40L, 1L, 30.0)))
+  }
+}
