@@ -108,6 +108,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Collapse near-dup PAIRS into clusters and pick one survivor per
+    * cluster: connected components by iterative min-label propagation
+    * (each iteration one equi-join + min-agg; converges in O(cluster
+    * diameter) rounds — near-dup clusters are shallow, so maxIter is a
+    * safety rail, not a tuning knob). Returns (id, canonical_id); rows
+    * with canonical_id = id are the survivors.
+    */
+  def canonicalize(ids: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "id_a", bCol: String = "id_b",
+                   maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("canonical_id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts the smallest canonical label among itself and
+      // its neighbours' labels
+      val viaNeighbor = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "canonical_id" -> "nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("nl"), col("canonical_id"))).as("canonical_id"))
+        .persist()
+      converged = next.join(labels.withColumnsRenamed(Map("canonical_id" -> "prev")), "id")
+        .where(col("canonical_id") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-dup pairs at hamming distance <= maxHamming over 32-bit SimHash.
     * Exact (not approximate) for maxHamming <= 3: the 4 byte-bands are
     * disjoint, so <= 3 bit flips leave at least one band equal and every

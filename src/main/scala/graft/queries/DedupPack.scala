@@ -94,5 +94,14 @@ object DedupPack extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q27, q28, q29)
+  val q44 = QueryDef("q44_dedup_survivors", None) { t =>
+    // The full dedup flow: near-dup pairs → connected components →
+    // min-id survivor per cluster. No SQL oracle (connected components
+    // need iteration); covered instead by DstCanonSpec golden tests.
+    val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, minJaccard = 0.5)
+    Dedup.canonicalize(t.documents.select("doc_id"), "doc_id", pairs)
+      .orderBy("id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44)
 }

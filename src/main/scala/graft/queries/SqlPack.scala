@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.BandJoin
+
+/** SQL-front-end + banding coverage: the reference's heaviest query is a
+  * ~140-line SQL text with CTEs and 5-6 UNION ALL branches
+  * (consumo_bloques_hora.py:102-245) — q42 runs that shape through
+  * `spark.sql` over temp views (S3: the engine's SQL surface), q43
+  * covers the age-banding range join (J5) + brand-validity clamp (P9).
+  */
+object SqlPack extends QueryPack {
+
+  val q42 = QueryDef(
+    "q42_sql_multibranch",
+    Some("""WITH consumo AS (
+           |  SELECT ts, user_id, event_type, value,
+           |         md5(CAST(user_id AS VARCHAR) || ':' || props) AS device_id
+           |  FROM events WHERE user_id IS NOT NULL
+           |), periodos AS (
+           |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+           |           TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 DAY)) AS p_start
+           |)
+           |SELECT 'por_tipo' AS rama, p.p_start, c.event_type,
+           |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS minutes,
+           |       COUNT(DISTINCT c.device_id) AS devices
+           |FROM consumo c JOIN periodos p
+           |  ON c.ts >= p.p_start AND c.ts < p.p_start + INTERVAL 1 DAY
+           |GROUP BY 2, 3
+           |UNION ALL
+           |SELECT 'total', p.p_start, 'ALL',
+           |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE),
+           |       COUNT(DISTINCT c.device_id)
+           |FROM consumo c JOIN periodos p
+           |  ON c.ts >= p.p_start AND c.ts < p.p_start + INTERVAL 1 DAY
+           |GROUP BY 2
+           |ORDER BY rama, p_start, event_type""".stripMargin)) { t =>
+    // The engine's SQL surface: CTE + device-id synthesis + period join
+    // + two UNION ALL branches, all as one spark.sql text (the
+    // reference ships this exact shape to BigQuery; here Catalyst plans
+    // it natively). Views registered per-call are idempotent.
+    t.events.createOrReplaceTempView("v_events")
+    t.spark.sql(
+      """WITH consumo AS (
+        |  SELECT ts, user_id, event_type, value,
+        |         md5(CAST(user_id AS STRING) || ':' || props) AS device_id
+        |  FROM v_events WHERE user_id IS NOT NULL
+        |), periodos AS (
+        |  SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+        |           TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 DAY)) AS p_start
+        |)
+        |SELECT 'por_tipo' AS rama, p.p_start, c.event_type,
+        |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS minutes,
+        |       COUNT(DISTINCT c.device_id) AS devices
+        |FROM consumo c JOIN periodos p
+        |  ON c.ts >= p.p_start AND c.ts < p.p_start + INTERVAL 1 DAY
+        |GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'total', p.p_start, 'ALL',
+        |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE),
+        |       COUNT(DISTINCT c.device_id)
+        |FROM consumo c JOIN periodos p
+        |  ON c.ts >= p.p_start AND c.ts < p.p_start + INTERVAL 1 DAY
+        |GROUP BY 2
+        |ORDER BY rama, p_start, event_type""".stripMargin)
+  }
+
+  val q43 = QueryDef(
+    "q43_range_band_validity",
+    Some(s"""WITH tramos (tramo, lo, hi) AS (VALUES
+            |  ('bajo', 0.0, 9.99), ('medio', 10.0, 24.99), ('alto', 25.0, 1e9)
+            |), validez (event_type, desde, hasta) AS (VALUES
+            |  ('click',    TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-20 00:00:00'),
+            |  ('view',     TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00'),
+            |  ('purchase', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-15 00:00:00')
+            |)
+            |SELECT t.tramo, e.event_type, COUNT(*) AS n,
+            |       COUNT(DISTINCT e.user_id) AS users
+            |FROM events e
+            |JOIN validez v ON e.event_type = v.event_type
+            |              AND e.ts >= v.desde AND e.ts < v.hasta
+            |JOIN tramos t ON e.value >= t.lo AND e.value <= t.hi
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // J5 range banding (age→tramo shape, superposition nb:190-196) +
+    // P9 brand-validity window clamp (mapa_consumo.py:138-150): both
+    // dims broadcast, fact streams once.
+    import t.spark.implicits._
+    val tramos = Seq(("bajo", 0.0, 9.99), ("medio", 10.0, 24.99), ("alto", 25.0, 1e9))
+      .toDF("tramo", "lo", "hi")
+    val validez = Seq(
+      ("click", "2024-01-05 00:00:00", "2024-01-20 00:00:00"),
+      ("view", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      ("purchase", "2024-01-10 00:00:00", "2024-01-15 00:00:00"))
+      .toDF("event_type", "desde", "hasta")
+      .select(col("event_type"), col("desde").cast("timestamp"), col("hasta").cast("timestamp"))
+    val clamped = t.events.join(broadcast(validez), Seq("event_type"))
+      .where(col("ts") >= col("desde") && col("ts") < col("hasta"))
+    BandJoin.rangeBand(clamped, tramos, col("value"), col("lo"), col("hi"))
+      .groupBy("tramo", "event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy("tramo", "event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.time.{Duration, LocalDate, ZoneId}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+import graft.operators.Dedup
+
+class DstCanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Santiago DST: prorated minutes reproduce the 23/25-hour local days") {
+    // the hard case SURVEY.md §7 flags: UTC storage, Santiago reporting —
+    // around the DST transitions a local day is 23 or 25 hours and the
+    // proration math must reproduce that, not assume 1440
+    val zone = ZoneId.of("America/Santiago")
+    val days = Seq("2024-04-06", "2024-04-07", "2024-09-07", "2024-09-08")
+    val lengths = days.map { d =>
+      val day = LocalDate.parse(d)
+      val expectedMin = Duration.between(
+        day.atStartOfDay(zone), day.plusDays(1).atStartOfDay(zone)).toMinutes
+
+      // local-day period bounds expressed in UTC via the engine's tz fns
+      val df = Seq((s"$d 00:00:00", s"${day.plusDays(1)} 00:00:00")).toDF("d0", "d1")
+        .select(
+          TimeFns.fromSantiago(col("d0").cast("timestamp")).as("p_start"),
+          TimeFns.fromSantiago(col("d1").cast("timestamp")).as("p_end"))
+      // an event covering the whole local day prorates to its true length
+      val got = df.select(
+        (TimeFns.overlapSeconds(col("p_start"), col("p_end"), col("p_start"), col("p_end")) / 60)
+          .cast("long").as("mins")).as[Long].head()
+      assert(got == expectedMin, s"local day $d")
+      expectedMin
+    }
+    // the four days around the two 2024 transitions contain one 25h and
+    // one 23h day and average back out to 24h
+    assert(lengths.contains(25 * 60L))
+    assert(lengths.contains(23 * 60L))
+    assert(lengths.sum == 4 * 24 * 60)
+  }
+
+  test("canonicalize resolves transitive near-dup clusters to min-id survivors") {
+    val ids = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, singletons 4 and 7
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.canonicalize(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("canonicalize on the real corpus keeps exactly one survivor per planted cluster") {
+    val docs = sf("sf0.01").documents
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val labels = Dedup.canonicalize(docs.select("doc_id"), "doc_id", pairs)
+    val survivors = labels.where($"canonical_id" === $"id").count()
+    val total = docs.count()
+    val dups = labels.where($"canonical_id" =!= $"id").count()
+    assert(survivors + dups == total)
+    // 25 planted pairs, one of them a 3-doc triangle {45,267,413}:
+    // 47 clustered docs in 23 clusters → 24 non-survivors
+    assert(dups == 24)
+  }
+}
