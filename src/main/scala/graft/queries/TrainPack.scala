@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns
+
+/** Training-corpus preparation operators beyond cleaning: PII
+  * redaction, deterministic dataset splits, per-source token budgets,
+  * multi-grain rollups.
+  */
+object TrainPack extends QueryPack {
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  val q45 = QueryDef(
+    "q45_pii_redaction",
+    Some(s"""SELECT doc_id,
+            |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+            |                 '$phoneRe', '<PHONE>', 'g') AS redacted,
+            |  length(text) - length(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'))
+            |    AS delta_email
+            |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)) { t =>
+    // PII scrubbing: email/phone patterns → typed placeholder tokens —
+    // the standard pre-training redaction pass (regex-only: synthetic
+    // corpus has no PII, the operator and its determinism are under
+    // test).
+    t.documents.where(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+          .as("redacted"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), emailRe, "<EMAIL>"))).as("delta_email"))
+      .orderBy("doc_id")
+  }
+
+  val q46 = QueryDef(
+    "q46_train_split",
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, lang,
+            |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+            |  FROM documents
+            |)
+            |SELECT CASE WHEN bucket < 80 THEN 'train'
+            |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+            |       lang, COUNT(*) AS n
+            |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Deterministic 80/10/10 split by content-stable hash — rerunnable,
+    // join-free, and identical on any engine (vs rand() splits that
+    // shuffle membership every run).
+    val bucket = TextFns.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    t.documents.select(
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        col("lang"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  val q47 = QueryDef(
+    "q47_token_budget_cap",
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+           |), ranked AS (
+           |  SELECT doc_id, source, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           |  FROM toks
+           |)
+           |SELECT source, COUNT(*) AS docs_kept, SUM(n_tokens) AS tokens_kept
+           |FROM ranked WHERE cum_tokens <= 800
+           |GROUP BY source ORDER BY source""".stripMargin)) { t =>
+    // Per-source token budget: keep docs (in deterministic id order)
+    // until the source's running token count exceeds the cap — the
+    // corpus-mixing operator of LLM data pipelines, as a cumulative
+    // window.
+    val toks = t.documents.select(col("doc_id"), col("source"),
+      size(TextFns.tokens(col("text"))).as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    toks.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 800)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val q48 = QueryDef(
+    "q48_rollup_grains",
+    Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           |       COUNT(*) AS docs, SUM(n_chars) AS chars
+           |FROM documents
+           |GROUP BY ROLLUP(lang, source)
+           |ORDER BY lang, source""".stripMargin)) { t =>
+    // Multi-grain aggregation in ONE pass via ROLLUP — the Spark-first
+    // collapse of the reference's parameterized periodo re-runs
+    // (SURVEY.md §2.5 note): (lang, source), (lang), () grains together.
+    t.documents
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("docs"), col("chars"))
+      .orderBy("lang", "source")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48)
+}
