@@ -179,5 +179,8 @@ object GraftFunctions {
       exprs => ShingleHashes(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_bottomk",
+      exprs => BottomK(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

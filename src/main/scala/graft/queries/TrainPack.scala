@@ -104,5 +104,37 @@ object TrainPack extends QueryPack {
       .orderBy("lang", "source")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48)
+  val q49 = QueryDef(
+    "q49_kmv_distinct_sketch",
+    Some("""WITH h AS (
+           |  SELECT DISTINCT event_type,
+           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+           |  FROM events
+           |), r AS (
+           |  SELECT event_type, hv,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+           |  FROM h
+           |)
+           |SELECT event_type, min(hv) AS h_min, max(hv) AS h_k,
+           |  (CAST(15 AS DOUBLE) * 4294967296.0) / max(hv) AS est_users
+           |FROM r WHERE rn <= 16
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)) { t =>
+    // KMV distinct sketch (expressions.BottomK, a TypedImperativeAggregate):
+    // constant-space approximate distinct users whose bottom-k state is
+    // exactly reproducible — the oracle recomputes the same k minima.
+    // Estimate = (k-1) * 2^32 / kth_min.
+    graft.expressions.GraftFunctions.register(t.spark)
+    val h = TextFns.hash32(col("user_id").cast("string"))
+    t.events
+      .select(col("event_type"), h.as("hv"))
+      .groupBy("event_type")
+      .agg(call_function("graft_bottomk", col("hv"), lit(16)).as("bottomk"))
+      .select(col("event_type"),
+        element_at(col("bottomk"), 1).as("h_min"),
+        element_at(col("bottomk"), 16).as("h_k"),
+        ((lit(15).cast("double") * 4294967296.0) / element_at(col("bottomk"), 16)).as("est_users"))
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49)
 }

@@ -63,4 +63,16 @@ class SimilarityEnrichSpec extends SparkSpec {
       .select("frame_no", "frame").as[(Int, String)].collect().toSeq
     assert(frames == Seq((0, "abcd"), (1, "defg"), (2, "ghij")))
   }
+
+  test("BottomK aggregate: distributed merge equals global bottom-k of distinct values") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (1 to 5000).map(i => (i % 3, (i * 2654435761L) % 100000))
+      .toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(call_function("graft_bottomk", $"v", lit(5)).as("bk"))
+      .select($"g", $"bk").as[(Int, Seq[Long])].collect().toMap
+    val expect = (1 to 5000).map(i => (i % 3, (i * 2654435761L) % 100000))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.take(5).toSeq).toMap
+    assert(got == expect)
+  }
 }
