@@ -136,5 +136,31 @@ object TrainPack extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49)
+  val q50 = QueryDef(
+    "q50_asof_join",
+    Some("""WITH clicks AS (
+           |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+           |), compras AS (
+           |  SELECT user_id, ts, max(value) AS compra_valor FROM events
+           |  WHERE event_type = 'purchase' GROUP BY 1, 2
+           |)
+           |SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.compra_valor AS asof_compra_valor
+           |FROM clicks c ASOF LEFT JOIN compras p
+           |  ON c.user_id = p.user_id AND p.ts <= c.ts
+           |ORDER BY c.event_id""".stripMargin)) { t =>
+    // As-of join (operators.AsOfJoin): each click gets the user's most
+    // recent prior purchase — one shuffle via union + last-non-null
+    // window, vs DuckDB's native ASOF LEFT JOIN as the oracle.
+    val clicks = t.events.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val compras = t.events.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("compra_valor"))
+    graft.operators.AsOfJoin.latestPriorTo(
+        clicks, compras, key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("compra_valor"))
+      .select("event_id", "user_id", "ts", "asof_ts", "asof_compra_valor")
+      .orderBy("event_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50)
 }

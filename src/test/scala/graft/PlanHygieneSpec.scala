@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape regression net: builds every SparkEntry query (no
+  * execution) and asserts the physical plan properties the 100 TB
+  * contract depends on.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  // q32 is the documented exact all-pairs baseline (its LSH variant is
+  // the scale path); everything else must never plan a cross product.
+  private val crossJoinAllowed = Set("q32_cosine_neardup")
+
+  test("no query plans a cartesian/cross product (except the documented baseline)") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (!crossJoinAllowed(name)) {
+        assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      }
+    }
+  }
+
+  test("filter and projection reach the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // 6-column read schema, not the 16-column table
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate"))
+  }
+
+  test("dimension chains broadcast; fact side is never built") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q03_join_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin")) // dims are all broadcast-sized here
+  }
+
+  test("aggregations are two-phase (partial before the exchange)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("partial_sum"))
+  }
+}
