@@ -66,4 +66,29 @@ class TextDedupSpec extends SparkSpec {
     val out = df.select(TextFns.langId(TextFns.tokens($"text"))).as[String].collect()
     assert(out.toSeq == Seq("en", "de", "und"))
   }
+
+  test("jaccardPairs inverted index equals naive all-pairs on random corpora") {
+    val words = Vector("a","b","c","d","e","f","g","h")
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(4 + rng.nextInt(12))(words(rng.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fast = Dedup.jaccardPairs(df, "doc_id", "text", k = 2, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b, math.round(j * 1e9)) }.toSet
+    // naive reference: all pairs over shingle sets computed in Scala
+    def sh(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val naive = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = sh(ta); sb = sh(tb)
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.3
+    } yield (ia, ib, math.round(j * 1e9))).toSet
+    assert(fast == naive)
+    assert(naive.nonEmpty)
+  }
 }
