@@ -121,7 +121,11 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("canonical_id")).persist()
+    // only edge-touched nodes need propagation — a vanishing fraction of
+    // the corpus (near-dups are rare by construction); everything else
+    // is its own canonical id and never enters the loop
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("canonical_id", col("id")).persist()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -141,7 +145,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    // no broadcast hint: Catalyst broadcasts when the cluster table is
+    // small (the usual case) and falls back to SMJ when it isn't
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
   }
 
   /** Near-dup pairs at hamming distance <= maxHamming over 32-bit SimHash.
