@@ -94,6 +94,37 @@ object Similarity {
       .select("query_id", "match_id", "rank", "cos")
   }
 
+  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
+    * cosine, ties to the smallest centroid id), then search only within
+    * the query's cell. Candidate generation is corpus × n_centroids
+    * (linear in the corpus for fixed n) followed by an equi-join on the
+    * cell id — the inverted-file trade: recall bounded by the cell
+    * partition, no all-pairs product. Centroids here are caller-chosen
+    * rows (deterministic); a k-means refinement would slot in without
+    * changing the plan shape.
+    */
+  def ivfTopK(df: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    val wAssign = Window.partitionBy("id").orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = v.crossJoin(broadcast(c))
+      .withColumn("ccos", cosPre(dot(col("v"), col("cv")), col("n"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("n"), col("centroid_id").as("cell"))
+    val scored = assigned.as("q").join(assigned.as("c"),
+        col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("match_id"),
+        cosPre(dot(col("q.v"), col("c.v")), col("q.n"), col("c.n")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "match_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, via the LSH
     * bucket join (candidates must agree on all plane signs — fine for
     * high thresholds) or exact when planes = 0 (single bucket).

@@ -86,5 +86,32 @@ object SimilarityPack extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32)
+  val q33b = QueryDef(
+    "q51_ivf_topk",
+    Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+            |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            |asg AS (
+            |  SELECT id, v, centroid_id AS cell,
+            |    row_number() OVER (PARTITION BY id
+            |      ORDER BY ${cosSql("v", "cv")} DESC, centroid_id) AS rn
+            |  FROM v CROSS JOIN c
+            |), cells AS (SELECT id, v, cell FROM asg WHERE rn = 1),
+            |scored AS (
+            |  SELECT q.id AS query_id, m.id AS match_id, ${cosSql("q.v", "m.v")} AS cos
+            |  FROM cells q JOIN cells m ON q.cell = m.cell AND q.id != m.id
+            |), ranked AS (
+            |  SELECT query_id, match_id, cos,
+            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT query_id, match_id, rank, cos FROM ranked WHERE rank <= 3
+            |ORDER BY query_id, rank""".stripMargin)) { t =>
+    // IVF-style ANN: nearest-centroid cells (16 fixed centroids) then
+    // in-cell top-3 — the inverted-file scale path next to q31's LSH.
+    Similarity.ivfTopK(t.embeddings, t.embeddings.where(col("vec_id") < 16),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b)
 }
