@@ -116,7 +116,7 @@ object TrainPack extends QueryPack {
            |  FROM h
            |)
            |SELECT event_type, min(hv) AS h_min, max(hv) AS h_k,
-           |  (CAST(15 AS DOUBLE) * 4294967296.0) / max(hv) AS est_users
+           |  (CAST(count(*) - 1 AS DOUBLE) * 4294967296.0) / max(hv) AS est_users
            |FROM r WHERE rn <= 16
            |GROUP BY event_type ORDER BY event_type""".stripMargin)) { t =>
     // KMV distinct sketch (expressions.BottomK, a TypedImperativeAggregate):
@@ -131,8 +131,9 @@ object TrainPack extends QueryPack {
       .agg(call_function("graft_bottomk", col("hv"), lit(16)).as("bottomk"))
       .select(col("event_type"),
         element_at(col("bottomk"), 1).as("h_min"),
-        element_at(col("bottomk"), 16).as("h_k"),
-        ((lit(15).cast("double") * 4294967296.0) / element_at(col("bottomk"), 16)).as("est_users"))
+        element_at(col("bottomk"), size(col("bottomk"))).as("h_k"),
+        (((size(col("bottomk")) - 1).cast("double") * 4294967296.0) /
+          element_at(col("bottomk"), size(col("bottomk")))).as("est_users"))
       .orderBy("event_type")
   }
 
