@@ -67,7 +67,7 @@ object TrainPack extends QueryPack {
            |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
            |  FROM toks
            |)
-           |SELECT source, COUNT(*) AS docs_kept, SUM(n_tokens) AS tokens_kept
+           |SELECT source, COUNT(*) AS docs_kept, CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
            |FROM ranked WHERE cum_tokens <= 800
            |GROUP BY source ORDER BY source""".stripMargin)) { t =>
     // Per-source token budget: keep docs (in deterministic id order)
@@ -87,7 +87,7 @@ object TrainPack extends QueryPack {
   val q48 = QueryDef(
     "q48_rollup_grains",
     Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-           |       COUNT(*) AS docs, SUM(n_chars) AS chars
+           |       COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
            |FROM documents
            |GROUP BY ROLLUP(lang, source)
            |ORDER BY lang, source""".stripMargin)) { t =>
