@@ -1,6 +1,15 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 object Bench {
+  /** Force FULL evaluation of every output column: a bare count() lets
+    * Catalyst prune final projections (filter/scalar queries would be
+    * mostly unmeasured); hashing all columns into one aggregate keeps the
+    * whole plan while shipping one row to the driver.
+    */
+  private def force(df: DataFrame): Unit =
+    df.select(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,7 +26,7 @@ object Bench {
       .foreach(df => df.count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

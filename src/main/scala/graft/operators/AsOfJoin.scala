@@ -24,26 +24,35 @@ object AsOfJoin {
   def latestPriorTo(left: DataFrame, right: DataFrame,
                     key: String, leftTs: String, rightTs: String,
                     payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // Timestamp and payload travel as ONE struct through ONE
+    // last(ignoreNulls) window, so both always come from the same matched
+    // right row — a NULL payload value on the matched row stays NULL
+    // instead of falling back to an older row's value (DuckDB ASOF
+    // semantics).
+    val carryType = StructType(
+      StructField("__rts", right.schema(rightTs).dataType) +:
+        payload.map(c => right.schema(c)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
-      .select((leftCols.map(col) :+ col("__ts") :+ col("__tag")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) :+
-        lit(null).cast("timestamp").as("__rts"): _*)
+      .select(leftCols.map(col) ++
+        Seq(col("__ts"), col("__tag"), lit(null).cast(carryType).as("__carry")): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
       .select(leftCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("__ts"), col("__tag")) ++
-        payload.map(c => col(c).as(s"__p_$c")) :+ col(rightTs).as("__rts"): _*)
+        Seq(col("__ts"), col("__tag"),
+          struct(col(rightTs).as("__rts") +: payload.map(col): _*).as("__carry")): _*)
 
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__tag") :+
-        last(col("__rts"), ignoreNulls = true).over(w).as("asof_ts")) ++
-        payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
-    carried.where(col("__tag") === 1).drop("__tag")
+    l.unionByName(r)
+      .withColumn("__c", last(col("__carry"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        (col("__c.__rts").as("asof_ts") +:
+          payload.map(c => col(s"__c.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -81,10 +81,13 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th window of `frameLen` bytes.
     * Expressed on the string side (binary slicing is engine-specific);
-    * emits (frame_no, frame) rows.
+    * emits (frame_no, frame) rows. Payloads shorter than one frame yield
+    * zero rows (without the guard, sequence(0, negative) would infer a
+    * -1 step and emit descending bogus frame numbers).
     */
   def frameSample(df: DataFrame, textCol: String, frameLen: Int, stride: Int): DataFrame =
-    df.withColumn("frame_no",
+    df.where(length(col(textCol)) >= frameLen)
+      .withColumn("frame_no",
         explode(sequence(lit(0), floor((length(col(textCol)) - frameLen).cast("double") / stride).cast("int"))))
       .withColumn("frame", col(textCol).substr(col("frame_no") * stride + 1, lit(frameLen)))
 }

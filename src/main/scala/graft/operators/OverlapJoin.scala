@@ -44,12 +44,17 @@ object OverlapJoin {
       fs: String, fe: String, ps: String, pe: String,
       grain: String = "day", step: String = "1 day"): DataFrame = {
 
+    // greatest(lo, hi) guards malformed end < start rows (sequence with a
+    // positive step would throw) — same guard the automatic
+    // OverlapJoinRewrite rule applies, so both paths agree on bad input.
     val fb = fact.withColumn(
       "__bucket",
-      explode(sequence(date_trunc(grain, col(fs)), date_trunc(grain, col(fe)), expr(s"INTERVAL $step"))))
+      explode(sequence(date_trunc(grain, col(fs)),
+        date_trunc(grain, greatest(col(fs), col(fe))), expr(s"INTERVAL $step"))))
     val pb = periods.withColumn(
       "__bucket",
-      explode(sequence(date_trunc(grain, col(ps)), date_trunc(grain, col(pe)), expr(s"INTERVAL $step"))))
+      explode(sequence(date_trunc(grain, col(ps)),
+        date_trunc(grain, greatest(col(ps), col(pe))), expr(s"INTERVAL $step"))))
 
     // Emit each overlapping pair exactly once: only in the bucket that
     // contains the start of the overlap region.

@@ -33,12 +33,25 @@ object Writers {
     * Caller pre-filters `df` to the replacement window, mirroring
     * `DELETE WHERE fecha >= cutoff` + re-load of `dias_remplazo` days.
     */
-  def replaceWindow(df: DataFrame, path: String, partitionCol: String): Unit = {
+  def replaceWindow(df: DataFrame, path: String, partitionCol: String): Unit =
+    replaceWindow(df, path, Seq(partitionCol))
+
+  /** K2 multi-column variant: partitions are (fecha, periodo, ...) tuples
+    * and only the tuples present in `df` are rewritten — the layout the
+    * per-periodo dual delete (consumo_usuarios.py:264-272,
+    * consumo_bloques_hora.py:30-67) needs, where daily rows replace from
+    * a trailing cutoff but monthly rows from the month start.
+    */
+  def replaceWindow(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** K3: MERGE-by-id without a lakehouse format:
@@ -50,20 +63,27 @@ object Writers {
     target.join(updates.select(idCol).distinct(), Seq(idCol), "left_anti")
       .unionByName(updates)
 
-  /** Persisting K3: stage to a temp dir, then atomically swap — a plain
-    * overwrite of `path` would delete the inputs of its own read at plan
-    * time. At 100 TB one would restrict the rewrite to affected
+  /** Persisting K3: stage to a temp dir, then swap — a plain overwrite of
+    * `path` would delete the inputs of its own read at plan time. The
+    * swap is rename-aside / rename-in / delete-aside: not atomic (plain
+    * filesystems have no multi-path transactions), but a crash at any
+    * point leaves a complete table at `path` or at `path__old` — never
+    * nothing. At 100 TB one would restrict the rewrite to affected
     * partitions; semantics identical.
     */
   def mergeByIdWrite(spark: SparkSession, path: String, updates: DataFrame, idCol: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(path + "__staging")
+    val aside = new org.apache.hadoop.fs.Path(path + "__old")
     val merged =
       if (fs.exists(target)) mergeById(spark.read.parquet(path), updates, idCol)
       else updates
     merged.write.mode("overwrite").parquet(staged.toString)
-    fs.delete(target, true)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) fs.rename(target, aside)
     fs.rename(staged, target)
+    if (hadTarget) fs.delete(aside, true)
   }
 }
