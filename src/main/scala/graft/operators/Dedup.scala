@@ -126,22 +126,30 @@ object Dedup {
     // is its own canonical id and never enters the loop
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("canonical_id", col("id")).persist()
+    // labels becomes a projection over the cached step below; unpersist
+    // must target the cached plan itself, so track it separately
+    var cached = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // each node adopts the smallest canonical label among itself and
-      // its neighbours' labels
+      // its neighbours' labels; the previous label rides along so the
+      // convergence check needs NO second join/job — one count() both
+      // materializes the persisted next AND folds the changed tally
       val viaNeighbor = edges
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "canonical_id" -> "nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), col("canonical_id").as("__prev"),
           least(col("canonical_id"), coalesce(col("nl"), col("canonical_id"))).as("canonical_id"))
-        .persist()
-      converged = next.join(labels.withColumnsRenamed(Map("canonical_id" -> "prev")), "id")
-        .where(col("canonical_id") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
+      // every 3rd iteration truncate lineage (lazy localCheckpoint: the
+      // count below materializes it in the same job) — without this the
+      // plan grows with cluster diameter and deep graphs stall the driver
+      val next = if ((i + 1) % 3 == 0) stepped.localCheckpoint(false) else stepped.persist()
+      converged = next.where(col("canonical_id") =!= col("__prev")).count() == 0
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "canonical_id")
       i += 1
     }
     edges.unpersist()

@@ -47,6 +47,42 @@ class DstCanonSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("canonicalize runs exactly one Spark job per propagation iteration") {
+    // the convergence check must NOT be a second driver action: the
+    // changed-label count folds into the same job that materializes the
+    // next labels (AQE/broadcast disabled so one action == one job)
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.addSparkListener(listener)
+    try {
+      val ids = (1L to 7L).toDF("doc_id")
+      val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+      Dedup.canonicalize(ids, "doc_id", pairs) // loop runs eagerly inside
+      // listener bus is async: poll until the job count stabilizes
+      var last = -1
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline && last != jobs.get()) {
+        last = jobs.get(); Thread.sleep(150)
+      }
+      // chain 1-2-3 converges in 3 iterations (2 changes, 1, 0):
+      // exactly one fused materialize+count job each
+      assert(jobs.get() == 3, s"expected 3 jobs, saw ${jobs.get()}")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("canonicalize on the real corpus keeps exactly one survivor per planted cluster") {
     val docs = sf("sf0.01").documents
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
