@@ -37,8 +37,36 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = cosPre(dot(a, b), norm(a), norm(b))
 
+  /** Corpus-scaled hyperplane count: expected bucket occupancy stays
+    * ~targetBucket as the corpus grows (planes = ceil(log2(n/target)),
+    * floored at 4), so the in-bucket candidate join is O(n · target),
+    * never O(n²) — at 1e9 vectors this is 25 planes / 33M buckets, not
+    * the compile-time 16 buckets that would go quadratic.
+    */
+  def planesFor(n: Long, targetBucket: Int = 32): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+
+  /** Corpus-scaled IVF cell count: ~targetCell vectors per cell. */
+  def centroidsFor(n: Long, targetCell: Int = 32): Int =
+    math.max(16, math.ceil(n.toDouble / targetCell).toInt)
+
+  /** Per-query top-k via the graft_topk_pairs TypedImperativeAggregate:
+    * partial (map-side) aggregation forwards at most k pairs per query
+    * per upstream partition, so the shuffle is O(queries × k) — the
+    * window row_number() plan would shuffle and sort EVERY candidate
+    * pair. Output matches the window exactly (score desc, id asc ties).
+    */
+  private def topKAgg(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(call_function("graft_topk_pairs", col("match_id"), col("cos"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "m")))
+      .select(col("query_id"), col("m.match_id").as("match_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("m.score").as("cos"))
+
   /** Brute-force exact top-k by cosine: every query row against the full
-    * corpus, ranked per query with a deterministic (cos desc, id) order.
+    * corpus — the documented O(Q×N) baseline (small Q side), but the
+    * rank step is still the partial-aggregate, not a window.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -49,10 +77,7 @@ object Similarity {
       norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("match_id"))
       .withColumn("cos", cosPre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "match_id", "rank", "cos")
+    topKAgg(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
@@ -75,23 +100,30 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** ANN top-k: rank only candidates sharing the query's LSH bucket —
-    * the scale path (equi-join on bucket), trading recall for never
-    * materializing the cross product.
+  /** ANN top-k: candidates share one of the query's probe buckets — the
+    * scale path (equi-join on bucket), trading recall for never
+    * materializing the cross product. Multiprobe: each query also
+    * probes the `planes` buckets at hamming distance 1 from its own
+    * (flip one sign bit), recovering most neighbors lost to a single
+    * near-boundary projection at the cost of a (planes+1)-way explode of
+    * the QUERY side only — the corpus still shuffles once on its bucket.
+    * A (q,c) pair can meet on at most one probe (probe values are
+    * distinct, c has one bucket), so no dedup pass is needed.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              planes: Int, k: Int): DataFrame = {
+              planes: Int, k: Int, multiprobe: Boolean = true): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"), lshBucket(col(vecCol), planes).as("bucket"))
-    val scored = b.as("q").join(b.as("c"),
-        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+    val probeCols =
+      if (multiprobe) col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+      else Seq(col("bucket"))
+    val q = b.withColumn("probe", explode(array(probeCols: _*)))
+    val scored = q.as("q").join(b.as("c"),
+        col("q.probe") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("match_id"),
         cosPre(dot(col("q.v"), col("c.v")), col("q.n"), col("c.n")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "match_id", "rank", "cos")
+    topKAgg(scored, k)
   }
 
   /** IVF-style ANN: assign every vector to its nearest centroid (argmax
@@ -104,25 +136,28 @@ object Similarity {
     * changing the plan shape.
     */
   def ivfTopK(df: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     val wAssign = Window.partitionBy("id").orderBy(col("ccos").desc, col("centroid_id"))
-    val assigned = v.crossJoin(broadcast(c))
+    // one ranked assignment pass serves both roles: rn == 1 is the
+    // vector's home cell (corpus side), rn <= nprobe are the query's
+    // probe cells — searching the nprobe nearest cells recovers
+    // neighbors that fell just across a cell boundary
+    val ranked = v.crossJoin(broadcast(c))
       .withColumn("ccos", cosPre(dot(col("v"), col("cv")), col("n"), col("cn")))
       .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("id"), col("v"), col("n"), col("centroid_id").as("cell"))
-    val scored = assigned.as("q").join(assigned.as("c"),
+      .where(col("rn") <= nprobe)
+      .select(col("id"), col("v"), col("n"), col("centroid_id").as("cell"), col("rn"))
+    val home = ranked.where(col("rn") === 1).drop("rn")
+    val probes = ranked.drop("rn")
+    val scored = probes.as("q").join(home.as("c"),
         col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("match_id"),
         cosPre(dot(col("q.v"), col("c.v")), col("q.n"), col("c.n")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "match_id", "rank", "cos")
+    topKAgg(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, via the LSH

@@ -43,6 +43,11 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** planesFor(500 vectors at sf0.01) = 4 — the oracle is written for
+    * the sf0.01 corpus the driver verifies at; the Spark side derives
+    * the same number from the corpus count and keeps growing with it
+    * (planesFor(2000) = 6 at sf0.1, ~25 at 1e9).
+    */
   private val Planes = 4
   /** DuckDB mirror of Similarity.planeWeight/lshBucket. */
   private def planeWeightSql(p: Int, d: String) =
@@ -52,13 +57,16 @@ object SimilarityPack extends QueryPack {
        | i -> CAST($v[i] AS DOUBLE) * ${planeWeightSql(p, "i - 1")}))""".stripMargin
   private def bucketSql(v: String) =
     (0 until Planes).map(p => s"(CASE WHEN ${projSql(p, v)} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+  private val probesSql =
+    ("bucket" +: (0 until Planes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
 
   val q31 = QueryDef(
     "q31_topk_lsh",
     Some(s"""WITH b AS (SELECT vec_id AS id, embedding AS v, ${bucketSql("embedding")} AS bucket FROM embeddings),
+            |q AS (SELECT id, v, probe FROM b, UNNEST($probesSql) AS t(probe)),
             |scored AS (
             |  SELECT q.id AS query_id, c.id AS match_id, ${cosSql("q.v", "c.v")} AS cos
-            |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.id != c.id
+            |  FROM q JOIN b c ON q.probe = c.bucket AND q.id != c.id
             |), ranked AS (
             |  SELECT query_id, match_id, cos,
             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
@@ -66,9 +74,12 @@ object SimilarityPack extends QueryPack {
             |)
             |SELECT query_id, match_id, rank, cos FROM ranked WHERE rank <= 3
             |ORDER BY query_id, rank""".stripMargin)) { t =>
-    // LSH-bucketed ANN top-3: candidates restricted to the query's
-    // 4-hyperplane sign bucket — equi-join instead of cross product.
-    Similarity.lshTopK(t.embeddings, "vec_id", "embedding", planes = Planes, k = 3)
+    // LSH-bucketed ANN top-3 with hamming-1 multiprobe: candidates come
+    // from the query's sign bucket plus its `planes` one-bit-flip
+    // neighbors — equi-join instead of cross product, plane count scaled
+    // to the corpus, rank via map-side partial top-k aggregate.
+    Similarity.lshTopK(t.embeddings, "vec_id", "embedding",
+        planes = Similarity.planesFor(t.embeddings.count()), k = 3)
       .orderBy("query_id", "rank")
   }
 
@@ -88,6 +99,8 @@ object SimilarityPack extends QueryPack {
 
   val q33b = QueryDef(
     "q51_ivf_topk",
+    // centroidsFor(500 at sf0.01) = 16; like q31, the oracle fixes the
+    // sf0.01 value while the Spark side scales with the corpus count
     Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
             |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
             |asg AS (
@@ -95,10 +108,11 @@ object SimilarityPack extends QueryPack {
             |    row_number() OVER (PARTITION BY id
             |      ORDER BY ${cosSql("v", "cv")} DESC, centroid_id) AS rn
             |  FROM v CROSS JOIN c
-            |), cells AS (SELECT id, v, cell FROM asg WHERE rn = 1),
+            |), home AS (SELECT id, v, cell FROM asg WHERE rn = 1),
+            |probes AS (SELECT id, v, cell FROM asg WHERE rn <= 2),
             |scored AS (
             |  SELECT q.id AS query_id, m.id AS match_id, ${cosSql("q.v", "m.v")} AS cos
-            |  FROM cells q JOIN cells m ON q.cell = m.cell AND q.id != m.id
+            |  FROM probes q JOIN home m ON q.cell = m.cell AND q.id != m.id
             |), ranked AS (
             |  SELECT query_id, match_id, cos,
             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
@@ -106,10 +120,12 @@ object SimilarityPack extends QueryPack {
             |)
             |SELECT query_id, match_id, rank, cos FROM ranked WHERE rank <= 3
             |ORDER BY query_id, rank""".stripMargin)) { t =>
-    // IVF-style ANN: nearest-centroid cells (16 fixed centroids) then
-    // in-cell top-3 — the inverted-file scale path next to q31's LSH.
-    Similarity.ivfTopK(t.embeddings, t.embeddings.where(col("vec_id") < 16),
-        "vec_id", "embedding", k = 3)
+    // IVF-style ANN: corpus-scaled centroid count, nprobe=2 nearest
+    // cells searched per query, in-cell top-3 via partial aggregate —
+    // the inverted-file scale path next to q31's LSH.
+    val nc = Similarity.centroidsFor(t.embeddings.count())
+    Similarity.ivfTopK(t.embeddings, t.embeddings.where(col("vec_id") < nc),
+        "vec_id", "embedding", k = 3, nprobe = 2)
       .orderBy("query_id", "rank")
   }
 

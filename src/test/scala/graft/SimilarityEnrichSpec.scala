@@ -35,6 +35,43 @@ class SimilarityEnrichSpec extends SparkSpec {
     lsh.foreach { case (q, m, c) => assert(brute((q, m)) == c) }
   }
 
+  test("ANN bucket counts scale with the corpus; candidate pairs stay O(n * bucket)") {
+    // the round-1 weakness: compile-time 16 buckets → O(n²/16) in-bucket
+    // join at 100 TB. planesFor/centroidsFor must grow with n...
+    assert(Similarity.planesFor(500) == 4)   // sf0.01 — oracle parity
+    assert(Similarity.planesFor(2000) == 6)  // sf0.1
+    assert(Similarity.planesFor(1L << 30) == 25)
+    assert(Similarity.centroidsFor(500) == 16) // sf0.01 — oracle parity
+    assert(Similarity.centroidsFor(2000) == 63)
+    assert(Similarity.centroidsFor(1L << 30) > 30000000)
+
+    // ...and the realized candidate-pair count must be bounded by
+    // n × (planes + 1) × max-bucket-occupancy, far below the n(n-1)
+    // cross product a fixed bucket count degenerates to
+    val emb = sf("sf0.01").embeddings
+    val n = emb.count()
+    val planes = Similarity.planesFor(n)
+    val b = emb.select($"vec_id".as("id"),
+      Similarity.lshBucket($"embedding", planes).as("bucket"))
+    val maxBucket = b.groupBy("bucket").count().agg(max("count")).as[Long].head()
+    val probed = b.withColumn("probe",
+      explode(array(($"bucket" +: (0 until planes).map(p => $"bucket".bitwiseXOR(lit(1L << p)))): _*)))
+    val candidates = probed.as("q").join(b.as("c"),
+      $"q.probe" === $"c.bucket" && $"q.id" =!= $"c.id").count()
+    assert(candidates <= n * (planes + 1) * maxBucket)
+    // at 500 vectors multiprobe covers 5 of 16 buckets (~31% of pairs);
+    // the covered fraction is (planes+1)/2^planes and shrinks with n
+    assert(candidates < n * (n - 1) / 2, s"candidates=$candidates vs n²=${n * (n - 1)}")
+  }
+
+  test("frameSample emits zero rows for payloads shorter than one frame") {
+    val df = Seq((1L, "abc"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(df, "text", frameLen = 4, stride = 3)
+      .select("doc_id", "frame_no").as[(Long, Int)].collect().toSeq
+    assert(frames.forall(_._1 == 2L)) // the 3-char doc contributes nothing
+    assert(frames.nonEmpty)
+  }
+
   test("Enrich.viaDistinct runs the lookup once per distinct key and joins back") {
     val calls = spark.sparkContext.longAccumulator("lookup-calls")
     val df = Seq(("k1", 1), ("k1", 2), ("k2", 3), ("k1", 4)).toDF("key", "v")
