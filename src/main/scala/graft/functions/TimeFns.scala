@@ -50,6 +50,17 @@ object TimeFns {
   def toSantiago(ts: Column): Column = from_utc_timestamp(ts, "America/Santiago")
   def fromSantiago(ts: Column): Column = to_utc_timestamp(ts, "America/Santiago")
 
+  /** Oficial → ipsos schedule envelope (reference programas_live.py:
+    * 112-121): the ipsos block floors the official start to its hour
+    * (xx:00:00) and ceils the official end to the NEXT hour boundary —
+    * an end already on a boundary stays put (the reference's -1s /
+    * minute=59 / +1s dance, exact for the whole-minute schedule times it
+    * is applied to).
+    */
+  def ipsosStart(start: Column): Column = date_trunc("hour", start)
+  def ipsosEnd(end: Column): Column =
+    date_trunc("hour", end - expr("INTERVAL 1 SECOND")) + expr("INTERVAL 1 HOUR")
+
   /** Calendar spine of [p_start, p_end) rows at a grain, the Spark shape
     * of BigQuery GENERATE_TIMESTAMP_ARRAY + UNNEST (reference
     * Complex_user_superposition_by_hour_etl.ipynb:48-56) and of the

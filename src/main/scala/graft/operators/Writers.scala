@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Load/overwrite/merge semantics (SURVEY.md §2.2).
@@ -54,6 +54,58 @@ object Writers {
     }
   }
 
+  /** K2's per-periodo asymmetric delete (consumo_usuarios.py:264-272,
+    * consumo_bloques_hora.py:30-67): one table holds rows at several
+    * grains distinguished by `periodoCol`; on re-ingest, daily/hourly
+    * rows are deleted from the trailing `cutoff`, but mensual rows from
+    * the START of cutoff's month — month-to-date rows are recomputed
+    * whole. Pure dataflow (kept ∪ replacement) so it composes and
+    * oracle-verifies; `replacePeriodWindowWrite` persists it.
+    *
+    * Note dynamic partition overwrite alone can NOT express this: a day
+    * whose re-extract came back empty must still be deleted, and the
+    * mensual delete bound differs from the daily one.
+    */
+  def replacePeriodWindow(existing: DataFrame, replacement: DataFrame,
+                          fechaCol: String, periodoCol: String,
+                          cutoff: Column, mensualLabel: String = "mensual"): DataFrame = {
+    val doomed = when(col(periodoCol) === mensualLabel,
+        col(fechaCol) >= date_trunc("month", cutoff))
+      .otherwise(col(fechaCol) >= cutoff)
+    existing.where(!doomed).unionByName(replacement)
+  }
+
+  /** Persisting the dual-window replace: read-filter-rewrite through the
+    * same staged swap as mergeByIdWrite. Idempotent: rerunning with the
+    * same replacement yields the same table. At 100 TB the rewrite set
+    * is bounded by predicate pushdown on (periodo, fecha) partitions —
+    * everything older than the window is untouched by the filter.
+    */
+  def replacePeriodWindowWrite(spark: SparkSession, path: String, replacement: DataFrame,
+                               fechaCol: String, periodoCol: String,
+                               cutoff: Column, mensualLabel: String = "mensual"): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val merged =
+      if (fs.exists(target))
+        replacePeriodWindow(spark.read.parquet(path), replacement,
+          fechaCol, periodoCol, cutoff, mensualLabel)
+      else replacement
+    stagedSwap(fs, path, merged)
+  }
+
+  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(path + "__staging")
+    val aside = new org.apache.hadoop.fs.Path(path + "__old")
+    df.write.mode("overwrite").parquet(staged.toString)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) fs.rename(target, aside)
+    fs.rename(staged, target)
+    if (hadTarget) fs.delete(aside, true)
+  }
+
   /** K3: MERGE-by-id without a lakehouse format:
     * kept = target rows whose id is NOT in updates (anti join);
     * result = kept ∪ updates. Pure-DataFrame version for composition and
@@ -74,16 +126,9 @@ object Writers {
   def mergeByIdWrite(spark: SparkSession, path: String, updates: DataFrame, idCol: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    val staged = new org.apache.hadoop.fs.Path(path + "__staging")
-    val aside = new org.apache.hadoop.fs.Path(path + "__old")
     val merged =
       if (fs.exists(target)) mergeById(spark.read.parquet(path), updates, idCol)
       else updates
-    merged.write.mode("overwrite").parquet(staged.toString)
-    if (fs.exists(aside)) fs.delete(aside, true)
-    val hadTarget = fs.exists(target)
-    if (hadTarget) fs.rename(target, aside)
-    fs.rename(staged, target)
-    if (hadTarget) fs.delete(aside, true)
+    stagedSwap(fs, path, merged)
   }
 }

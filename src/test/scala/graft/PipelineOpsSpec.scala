@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+import graft.operators.Segmentation
+import graft.queries.PipelinePack
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ipsos envelope: floor start to hour, ceil end to NEXT boundary, exact hours stay") {
+    val df = Seq(
+      ("08:35:00", "09:40:00"), // mid-hour both → 08:00 / 10:00
+      ("08:00:00", "09:00:00"), // already aligned → unchanged
+      ("08:59:00", "09:01:00")  // spans boundary → 08:00 / 10:00
+    ).toDF("s", "e").select(
+      concat(lit("2024-01-01 "), $"s").cast("timestamp").as("s"),
+      concat(lit("2024-01-01 "), $"e").cast("timestamp").as("e"))
+    val out = df.select(
+        date_format(TimeFns.ipsosStart($"s"), "HH:mm:ss").as("is"),
+        date_format(TimeFns.ipsosEnd($"e"), "HH:mm:ss").as("ie"))
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(("08:00:00", "10:00:00"), ("08:00:00", "09:00:00"), ("08:00:00", "10:00:00")))
+  }
+
+  test("listener toggle: per block, started-in-block users are a subset of overlap users") {
+    // the q_registrados semantic: 'old' (start >= p_start) can never see
+    // a user that 'new' (end >= p_start, i.e. plain overlap) misses
+    val rows = PipelinePack.q52.build(sf("sf0.001"))
+      .select("logica", "p_start", "users")
+      .as[(String, java.sql.Timestamp, Long)].collect()
+    val newU = rows.filter(_._1 == "new").map(r => r._2 -> r._3).toMap
+    val oldU = rows.filter(_._1 == "old").map(r => r._2 -> r._3).toMap
+    assert(oldU.nonEmpty)
+    oldU.foreach { case (block, n) =>
+      assert(newU.contains(block), s"old block $block missing from new")
+      assert(n <= newU(block), s"block $block: old=$n > new=${newU(block)}")
+    }
+  }
+
+  test("segmentation rules: id-list, bool, null and equality ops compose into one output") {
+    val data = Seq(
+      (1L, "BUILDING", true, null.asInstanceOf[String]),
+      (2L, "MACHINERY", false, "nota"),
+      (3L, "BUILDING", false, null.asInstanceOf[String])
+    ).toDF("id", "seg", "flag", "nota")
+    val out = Segmentation.applyRules(data, Seq(
+        Segmentation.Rule("b", "seg", "eq", "BUILDING"),
+        Segmentation.Rule("ids", "id", "in", "2,3"),
+        Segmentation.Rule("f", "flag", "bool", "True"),
+        Segmentation.Rule("nn", "nota", "null", "")),
+      memberCol = "id")
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("b", 1L), ("b", 3L), ("ids", 2L), ("ids", 3L), ("f", 1L), ("nn", 1L), ("nn", 3L)))
+    intercept[IllegalArgumentException] {
+      Segmentation.predicate(Segmentation.Rule("x", "k", "regex", "v"))
+    }
+  }
+
+  test("replacePeriodWindow is idempotent as pure dataflow") {
+    val existing = Seq(("diario", "2024-06-10", 1.0), ("mensual", "2024-06-01", 2.0),
+        ("diario", "2024-06-20", 3.0))
+      .toDF("periodo", "fecha", "v").withColumn("fecha", $"fecha".cast("timestamp"))
+    val rep = Seq(("diario", "2024-06-20", 9.0), ("mensual", "2024-06-01", 8.0))
+      .toDF("periodo", "fecha", "v").withColumn("fecha", $"fecha".cast("timestamp"))
+    val cutoff = lit("2024-06-15").cast("timestamp")
+    val once = graft.operators.Writers.replacePeriodWindow(existing, rep, "fecha", "periodo", cutoff)
+    val twice = graft.operators.Writers.replacePeriodWindow(once, rep, "fecha", "periodo", cutoff)
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.count() == 3)
+  }
+}

@@ -24,6 +24,36 @@ class WritersSpec extends SparkSpec {
     assert(out.where($"fecha" === "2024-01-02").as[(Long, Double, String)].collect().map(_._2).sorted.toSeq == Seq(1.0, 99.0))
   }
 
+  test("K2 per-periodo dual window: daily replaced from cutoff, mensual from month start, idempotently") {
+    val path = tmp() + "/t"
+    def ts(s: String) = s"$s 00:00:00"
+    // existing table: dailies across two months + the two month rows
+    val existing = Seq(
+      ("diario", ts("2024-05-30"), 1.0), ("diario", ts("2024-06-10"), 2.0),
+      ("diario", ts("2024-06-20"), 3.0), ("mensual", ts("2024-05-01"), 50.0),
+      ("mensual", ts("2024-06-01"), 60.0)
+    ).toDF("periodo", "fecha", "v").withColumn("fecha", $"fecha".cast("timestamp"))
+    existing.write.parquet(path)
+    // re-ingest with cutoff 2024-06-15: dailies >= 06-15 replaced,
+    // mensual June recomputed WHOLE (from 06-01) — the asymmetry
+    val replacement = Seq(
+      ("diario", ts("2024-06-20"), 33.0), ("mensual", ts("2024-06-01"), 66.0)
+    ).toDF("periodo", "fecha", "v").withColumn("fecha", $"fecha".cast("timestamp"))
+    val cutoff = lit("2024-06-15").cast("timestamp")
+    Writers.replacePeriodWindowWrite(spark, path, replacement, "fecha", "periodo", cutoff)
+    Writers.replacePeriodWindowWrite(spark, path, replacement, "fecha", "periodo", cutoff) // rerun
+    val out = spark.read.parquet(path).select("periodo", "fecha", "v")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+      .map { case (p, f, v) => (p, f.toString.take(10), v) }.toSet
+    assert(out == Set(
+      ("diario", "2024-05-30", 1.0),   // before cutoff: kept
+      ("diario", "2024-06-10", 2.0),   // before cutoff, same month: kept
+      ("diario", "2024-06-20", 33.0),  // inside window: replaced
+      ("mensual", "2024-05-01", 50.0), // prior month: kept
+      ("mensual", "2024-06-01", 66.0)  // cutoff month: replaced whole
+    ))
+  }
+
   test("K3 mergeById: updates win on collision, unmatched target rows survive") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val updates = Seq((2L, "B"), (3L, "C")).toDF("id", "v")
