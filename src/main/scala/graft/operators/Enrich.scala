@@ -21,6 +21,13 @@ object Enrich {
     * values matching `outSchema` (a Row of extra columns). `fn` runs
     * distributed via mapPartitions — one call per distinct key, never
     * per fact row. Left join preserves unmatched facts.
+    *
+    * The broadcast hint is size-gated: UA/IP dictionaries are
+    * dimension-sized, but a high-cardinality key column would OOM the
+    * driver if hinted unconditionally — above the session's
+    * autoBroadcastJoinThreshold the hint is dropped and Catalyst/AQE
+    * picks the join strategy. (The count() this needs is not extra work:
+    * the persisted dictionary must be materialized for the join anyway.)
     */
   def viaDistinct(df: DataFrame, keyCol: String, outSchema: StructType)
                  (fn: String => Row): DataFrame = {
@@ -35,6 +42,10 @@ object Enrich {
     // downstream action — same reason the reference caches its parsed
     // UA/IP dictionaries in driver frames.
     val dict = spark.createDataFrame(dictRdd, keyed).persist()
-    df.join(broadcast(dict), Seq(keyCol), "left")
+    val estBytes = dict.count() * (keyed.fields.map(_.dataType.defaultSize).sum + 16L)
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val hinted = if (threshold >= 0 && estBytes <= threshold) broadcast(dict) else dict
+    df.join(hinted, Seq(keyCol), "left")
   }
 }

@@ -85,6 +85,24 @@ class SimilarityEnrichSpec extends SparkSpec {
     assert(calls.value == 2) // once per DISTINCT key, not per row
   }
 
+  test("Enrich.viaDistinct drops the broadcast hint above the threshold") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def plan(rows: Int): String = {
+      val df = (1 to rows).map(i => (s"key$i", i)).toDF("key", "v")
+      Enrich.viaDistinct(df, "key",
+        StructType(Seq(StructField("upper", StringType))))(k => Row(k.toUpperCase))
+        .queryExecution.executedPlan.toString
+    }
+    try {
+      // dimension-sized dictionary → broadcast join
+      assert(plan(50).contains("BroadcastHashJoin"))
+      // same dictionary over a tiny threshold → hint dropped, no driver
+      // collect of the dictionary
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+      assert(!plan(50).contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("Multimodal decodePartition carries features through mapPartitions") {
     val media = Multimodal.withMedia(Seq((1L, "hello world")).toDF("doc_id", "text"), "text")
     val out = Multimodal.decodePartition(media, "media", "doc_id")
