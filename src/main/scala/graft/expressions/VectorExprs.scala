@@ -182,6 +182,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bottomk",
       exprs => BottomK(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_hashes",
+      exprs => ShingleHashes(exprs(0), 1, 8, distinct = false), "built-in")
     reg.createOrReplaceTempFunction("graft_topk_pairs",
       exprs => TopKPairs(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")

@@ -70,6 +70,15 @@ object TextFns {
   def simhash32(toks: Column): Column =
     call_function("graft_simhash32", transform(toks, t => hash32(t)))
 
+  /** SimHash straight from text: the tokenize+md5 pass runs fused inside
+    * one native eval (graft_token_hashes = ShingleHashes k=1,
+    * non-distinct) instead of an interpreted per-token transform —
+    * value-identical to `simhash32(tokens(text))`, ~4× cheaper on the
+    * near-dup hot path.
+    */
+  def simhashText(text: Column): Column =
+    call_function("graft_simhash32", call_function("graft_token_hashes", text))
+
   /** Rolling-hash document fingerprint: min hash32 over k-word shingles —
     * a 1-hash MinHash, the winnowing-style content fingerprint. Native
     * one-pass path (requires GraftFunctions.register on the session).

@@ -170,7 +170,7 @@ object Dedup {
     require(maxHamming <= 3, "byte banding is only exact for hamming <= 3")
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val sig = df.select(col(idCol).as("id"),
-      TextFns.simhash32(TextFns.tokens(col(textCol))).as("sim"))
+      TextFns.simhashText(col(textCol)).as("sim"))
     val banded = sig.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sim"), 8 * b).bitwiseAND(255).as("key"))): _*)).as("bk"))

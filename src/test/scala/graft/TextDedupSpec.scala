@@ -13,6 +13,22 @@ class TextDedupSpec extends SparkSpec {
     assert(v == 1564557354L)
   }
 
+  test("fused token-hash pass equals the composed split+hash32 path, multiset preserved") {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Seq("a b c", "a a b", "", "solo", "x  y") // repeats + empty tokens
+    val df = docs.toDF("text")
+    val fused = df.select(call_function("graft_token_hashes", $"text")).as[Seq[Long]].collect()
+    val composed = df.select(transform(TextFns.tokens($"text"), t => TextFns.hash32(t)))
+      .as[Seq[Long]].collect()
+    assert(fused.toSeq == composed.toSeq)
+    // and simhashText equals simhash32(tokens(...)) on the real corpus
+    val d = sf().documents.limit(200)
+    val both = d.select(
+      TextFns.simhashText($"text").as("a"),
+      TextFns.simhash32(TextFns.tokens($"text")).as("b"))
+    assert(both.where($"a" =!= $"b").isEmpty)
+  }
+
   test("wordShingles: distinct k-grams, short docs collapse to one shingle") {
     val df = Seq("a b c d", "a b").toDF("text")
     val out = df.select(TextFns.wordShingles(TextFns.tokens($"text"), 3)).as[Seq[String]].collect()
