@@ -131,4 +131,30 @@ object Writers {
       else updates
     stagedSwap(fs, path, merged)
   }
+
+  /** K3 at scale: merge-by-id restricted to the partitions the updates
+    * touch. Valid when the id embeds its partition — the reference's
+    * synthesized ids do (soporte + date + periodo + vip,
+    * audio_digital.py:245-255; funnel_emisor.py:190-191) — so a matching
+    * target row can only live in a partition present in `updates`. Only
+    * those partitions are read, merged and dynamically overwritten; the
+    * rest of the table is never opened, which is what makes MERGE usable
+    * on a 100 TB table with a bounded replace window.
+    *
+    * The affected slice is localCheckpoint'ed before the overwrite (you
+    * cannot lazily read the files you are replacing); it is bounded by
+    * the update window, not the table.
+    */
+  def mergeByIdWritePartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                                idCol: String, partitionCol: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      updates.write.partitionBy(partitionCol).parquet(path)
+    } else {
+      val parts = updates.select(partitionCol).distinct().collect().map(_.get(0))
+      val affected = spark.read.parquet(path).where(col(partitionCol).isin(parts: _*))
+      val merged = mergeById(affected, updates, idCol).localCheckpoint(true)
+      replaceWindow(merged, path, Seq(partitionCol))
+    }
+  }
 }

@@ -59,4 +59,24 @@ object Readers {
     */
   def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  /** K5: truncate+append to a JDBC table (reference
+    * Encuestas_etl_Bigquery_SQL.ipynb:268-276 — `TRUNCATE TABLE` then
+    * chunked `to_sql`). `truncate=true` keeps the table's DDL (indexes,
+    * grants) instead of drop/recreate, exactly the reference's contract;
+    * `batchsize` mirrors its chunking, `numPartitions` caps concurrent
+    * connections.
+    */
+  def jdbcTruncateAppend(df: DataFrame, url: String, table: String,
+                         props: java.util.Properties = new java.util.Properties(),
+                         batchSize: Int = 10000, numPartitions: Int = 8): Unit = {
+    val base = df.coalesce(numPartitions).write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("truncate", "true")
+      .option("batchsize", batchSize.toString)
+      .mode("overwrite")
+    props.stringPropertyNames().toArray(Array.empty[String])
+      .foldLeft(base)((b, k) => b.option(k, props.getProperty(k)))
+      .save()
+  }
 }

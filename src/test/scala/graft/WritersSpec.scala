@@ -70,6 +70,23 @@ class WritersSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C"))
   }
 
+  test("K3 partition-restricted merge rewrites only touched partitions") {
+    val path = tmp() + "/t"
+    val base = Seq(("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"), ("2024-01-02", 3L, "c"))
+      .toDF("fecha", "id", "v")
+    Writers.mergeByIdWritePartitioned(spark, path, base, "id", "fecha")
+    val untouchedFiles = new java.io.File(path + "/fecha=2024-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // updates touch only the 2024-01-01 partition
+    val updates = Seq(("2024-01-01", 2L, "B"), ("2024-01-01", 4L, "d")).toDF("fecha", "id", "v")
+    Writers.mergeByIdWritePartitioned(spark, path, updates, "id", "fecha")
+    val out = spark.read.parquet(path).select("id", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    val after = new java.io.File(path + "/fecha=2024-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == untouchedFiles, "untouched partition was rewritten")
+  }
+
   test("K1 appendPartitioned clusters within partitions without changing content") {
     val path = tmp() + "/t"
     val df = Seq(("2024-01-01", 3L), ("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("fecha", "id")
