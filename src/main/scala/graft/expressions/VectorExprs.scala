@@ -164,6 +164,70 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Sign-of-projection LSH bucket id in one pass: bit p is set iff
+  * dot(plane_p, vec) > 0. The hyperplane weights derive from the same
+  * md5 formula as Similarity.planeWeight but are computed ONCE per
+  * (planes, dims) per executor — the composed higher-order-function
+  * formula re-derives every weight with an md5 PER ROW (planes × dims
+  * md5 calls per vector), which dominates bucket assignment cost.
+  * Fold order matches aggregate(zip_with(...)) exactly → bitwise-equal
+  * buckets, so the DuckDB oracle mirror is unchanged.
+  *
+  * CodegenFallback: all projection work happens inside one eval.
+  */
+case class LshBucket(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket expects array<float>, got $other")
+    }
+
+  @transient private var wDims = -1
+  @transient private var w: Array[Array[Double]] = _
+
+  /** hash32("p:d") % 1e6 / 1e6 - 0.5 — Similarity.planeWeight verbatim. */
+  private def weights(dims: Int): Array[Array[Double]] = {
+    if (wDims != dims) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      w = Array.tabulate(planes, dims) { (p, d) =>
+        md.reset()
+        val dig = md.digest(s"$p:$d".getBytes("UTF-8"))
+        var v = 0L; var b = 0
+        while (b < 4) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+        (v % 1000000L).toDouble / 1000000.0 - 0.5
+      }
+      wDims = dims
+    }
+    w
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val ws = weights(dims)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val wp = ws(p)
+      var proj = 0.0
+      var d = 0
+      while (d < dims) { proj += arr.getFloat(d).toDouble * wp(d); d += 1 }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Idempotent registration of the native functions on a session. */
   def register(spark: SparkSession): Unit = {
@@ -181,6 +245,9 @@ object GraftFunctions {
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_bottomk",
       exprs => BottomK(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      exprs => LshBucket(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_token_hashes",
       exprs => ShingleHashes(exprs(0), 1, 8, distinct = false), "built-in")

@@ -88,10 +88,17 @@ object Similarity {
     (TextFns.hash32(concat(lit(s"$plane:"), d.cast("string"))) % 1000000L).cast("double") / 1000000.0 - 0.5
 
   /** Sign-of-projection LSH bucket id over `planes` hyperplanes: bit p is
-    * set iff dot(plane_p, v) > 0. Fold in array-index order. (Bucket
-    * assignment runs once per vector — interpreted HOF cost is fine.)
+    * set iff dot(plane_p, v) > 0 — the native one-pass expression
+    * (expressions.LshBucket); weights are derived once per executor, not
+    * md5-rederived per row like the composed formula below.
     */
   def lshBucket(vec: Column, planes: Int): Column =
+    call_function("graft_lsh_bucket", vec, lit(planes))
+
+  /** The reference formula lshBucket is value-equal to (kept for the
+    * equivalence spec): fold in array-index order per plane.
+    */
+  def lshBucketComposed(vec: Column, planes: Int): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

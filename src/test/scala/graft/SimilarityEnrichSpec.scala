@@ -35,6 +35,15 @@ class SimilarityEnrichSpec extends SparkSpec {
     lsh.foreach { case (q, m, c) => assert(brute((q, m)) == c) }
   }
 
+  test("native LSH bucket equals the composed md5-weight formula") {
+    graft.expressions.GraftFunctions.register(spark)
+    val emb = sf().embeddings.limit(200)
+    val both = emb.select(
+      Similarity.lshBucket($"embedding", 6).as("a"),
+      Similarity.lshBucketComposed($"embedding", 6).as("b"))
+    assert(both.where($"a" =!= $"b").isEmpty)
+  }
+
   test("ANN bucket counts scale with the corpus; candidate pairs stay O(n * bucket)") {
     // the round-1 weakness: compile-time 16 buckets → O(n²/16) in-bucket
     // join at 100 TB. planesFor/centroidsFor must grow with n...
