@@ -75,4 +75,24 @@ object ConsumoPipeline {
     */
   def run(spark: SparkSession, events: DataFrame, p: Params, outPath: String): Unit =
     Writers.replaceWindow(rollup(spark, events, p), outPath, "fecha")
+
+  /** Dual-grain publication mirroring consumo_bloques_hora's parallel
+    * etl_dia / etl_mes tasks + per-periodo delete windows
+    * (consumo_bloques_hora.py:30-67, 324-332): hourly and monthly
+    * rollups land in ONE table keyed by `periodo`, and a re-run replaces
+    * hourly rows from `cutoff` but the month rows from their month
+    * start. `pHora`'s spine is the trailing replacement window;
+    * `pMensual`'s spine starts at the month boundary (month-to-date
+    * recomputed whole).
+    */
+  def runDualGrain(spark: SparkSession, events: DataFrame,
+                   pHora: Params, pMensual: Params,
+                   outPath: String, cutoff: org.apache.spark.sql.Column): Unit = {
+    val hora = rollup(spark, events, pHora)
+      .withColumn("periodo", lit("hora"))
+    val mensual = rollup(spark, events, pMensual.copy(grain = "1 month"))
+      .withColumn("periodo", lit("mensual"))
+    Writers.replacePeriodWindowWrite(spark, outPath,
+      hora.unionByName(mensual), "fecha", "periodo", cutoff)
+  }
 }

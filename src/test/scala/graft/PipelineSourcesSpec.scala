@@ -33,6 +33,42 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(df.where(array_contains($"dias", 7L)).select("programa").as[String].head() == "finde")
   }
 
+  test("dual-grain pipeline: hourly replaced from cutoff, month recomputed whole") {
+    val dir = Files.createTempDirectory("graft-pipe2").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = s"$dir/rollup"
+    // initial full load: events on Jan 5 and Jan 20
+    val events1 = Seq(
+      (t("2024-01-05 10:00:00"), 1L, "play", 30.0, """{"k": 1}"""),
+      (t("2024-01-20 10:00:00"), 2L, "play", 30.0, """{"k": 1}""")
+    ).toDF("ts", "user_id", "event_type", "value", "props")
+    val full = ConsumoPipeline.Params("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    ConsumoPipeline.runDualGrain(spark, events1, full, full, out,
+      lit("2024-01-01 00:00:00").cast("timestamp"))
+    // hourly re-run with cutoff Jan 15: only Jan-20 hours replaced, but
+    // the January month row is recomputed whole (month-to-date from the
+    // re-extracted feed, where the Jan 20 playback now reads 60 min)
+    val events2 = Seq(
+      (t("2024-01-05 10:00:00"), 1L, "play", 30.0, """{"k": 1}"""),
+      (t("2024-01-20 10:00:00"), 2L, "play", 60.0, """{"k": 1}""")
+    ).toDF("ts", "user_id", "event_type", "value", "props")
+    val hora = ConsumoPipeline.Params("2024-01-15 00:00:00", "2024-02-01 00:00:00")
+    ConsumoPipeline.runDualGrain(spark, events2, hora, full, out,
+      lit("2024-01-15 00:00:00").cast("timestamp"))
+    val got = spark.read.parquet(out).where($"vip" === 0L)
+      .select("periodo", "p_start", "minutes")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+      .map { case (p, ps, m) => (p, ps.toString.take(10), m) }.toSet
+    assert(got == Set(
+      ("hora", "2024-01-05", 30.0),   // before cutoff: kept from run 1
+      ("hora", "2024-01-20", 60.0),   // inside window: replaced
+      ("hora", "2024-01-20", 0.0),    // 11:00 block: the boundary-touching
+                                      // playback matches with 0 prorated
+                                      // minutes (reference's end >= inicio)
+      ("mensual", "2024-01-01", 90.0) // month recomputed whole: 30 + 60
+    ))
+  }
+
   test("consumo pipeline end-to-end: rollup matches hand computation, rerun idempotent") {
     val dir = Files.createTempDirectory("graft-pipe").toString
     def t(s: String) = java.sql.Timestamp.valueOf(s)
