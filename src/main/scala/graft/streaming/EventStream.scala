@@ -50,6 +50,33 @@ object EventStream {
       .start()
       .awaitTermination()
 
+  /** Micro-batch → merge publication: Update-mode window rows are
+    * exactly MERGE updates — each batch's changed (hour, event_type)
+    * aggregates upsert into the published table via the
+    * partition-restricted merge (K3), so a late row inside the watermark
+    * REWRITES its aggregate in place instead of appending a correction
+    * row, and only the touched hour partitions are opened. This is the
+    * streaming analog of the reference's delete-and-replace re-ingest,
+    * lakehouse-free: Update windows + foreachBatch +
+    * mergeByIdWritePartitioned.
+    */
+  def runMergePublish(rollup: DataFrame, outDir: String, checkpointDir: String): Unit =
+    rollup.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keyed = batch
+            .withColumn("hora", date_format(col("p_start"), "yyyy-MM-dd-HH"))
+            .withColumn("row_id", concat_ws("|", col("hora"), col("event_type")))
+          graft.operators.Writers.mergeByIdWritePartitioned(
+            batch.sparkSession, outDir, keyed, "row_id", "hora")
+        }
+      }
+      .start()
+      .awaitTermination()
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

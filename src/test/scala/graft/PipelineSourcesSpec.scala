@@ -33,6 +33,32 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(df.where(array_contains($"dias", 7L)).select("programa").as[String].head() == "finde")
   }
 
+  test("S1 metrics payload: fetched API rows land via fromRows; the payload IS a query") {
+    // the reference POSTs {dimension[], filter[], trunc} to the metrics
+    // API (consumo_usuarios.py:68-146); here the fetched rows become a
+    // DataFrame and the payload's semantics run as a real query:
+    // select(dims).where(date between).groupBy(trunc)
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("start_date", TimestampType), StructField("property", StringType),
+      StructField("minutes", DoubleType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fetched = Seq(
+      Row(t("2024-01-01 10:20:00"), "horizonte", 12.0),
+      Row(t("2024-01-01 11:10:00"), "horizonte", 6.0),
+      Row(t("2024-01-01 10:40:00"), "playfm", 3.0),
+      Row(t("2024-02-01 09:00:00"), "horizonte", 99.0)) // outside the filter
+    val df = Readers.fromRows(spark, fetched, schema)
+    val got = df
+      .where($"start_date".between(t("2024-01-01 00:00:00"), t("2024-01-31 23:59:59"))
+        && $"property" === "horizonte")
+      .groupBy(date_trunc("hour", $"start_date").as("hora"))
+      .agg(sum("minutes").as("minutes"))
+      .as[(java.sql.Timestamp, Double)].collect()
+      .map { case (h, m) => h.toString -> m }.toMap
+    assert(got == Map("2024-01-01 10:00:00.0" -> 12.0, "2024-01-01 11:00:00.0" -> 6.0))
+  }
+
   test("dual-grain pipeline: hourly replaced from cutoff, month recomputed whole") {
     val dir = Files.createTempDirectory("graft-pipe2").toString
     def t(s: String) = java.sql.Timestamp.valueOf(s)

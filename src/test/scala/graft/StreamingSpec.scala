@@ -45,6 +45,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 12:00:00.0", "view", 1L, 1.0)))
   }
 
+  test("merge publication rewrites a late row's aggregate in place (Update mode + K3)") {
+    val dir = Files.createTempDirectory("graft-merge-pub").toString
+    val landing = s"$dir/landing"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val schema = Seq((ts("2024-01-01 10:05:00"), "click", 1.0))
+      .toDF("ts", "event_type", "value").schema
+    Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 11:05:00"), "view", 4.0)).toDF("ts", "event_type", "value")
+      .write.parquet(landing)
+    EventStream.runMergePublish(
+      EventStream.hourlyRollup(EventStream.read(spark, landing, schema)), out, ckpt)
+    // a LATE hour-10 click arrives on the next tick: its (hour, type)
+    // aggregate must be REWRITTEN (n=2), not appended as a second row,
+    // and the untouched hour-11 view row must survive the merge
+    Seq((ts("2024-01-01 10:30:00"), "click", 10.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(landing)
+    EventStream.runMergePublish(
+      EventStream.hourlyRollup(EventStream.read(spark, landing, schema)), out, ckpt)
+    val got = spark.read.parquet(out)
+      .select("p_start", "event_type", "n", "minutes")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map { case (p, t, n, m) => (p.toString, t, n, m) }.toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 11.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
+  }
+
   test("sessionize closes sessions on event-time gaps via flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val landing = s"$dir/landing"; val ckpt = s"$dir/ckpt"
