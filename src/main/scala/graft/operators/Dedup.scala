@@ -59,6 +59,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus contamination pairs: (left doc, right doc) whose
+    * shingle-set Jaccard >= minJaccard, docs compared ACROSS the two
+    * corpora only — the train/test decontamination pass of an LLM data
+    * pipeline (is an eval document leaked into the training set?).
+    * Same inverted-index plan as [[jaccardPairs]]: postings meet on the
+    * shingle hash, no corpus cross join.
+    */
+  def jaccardPairsAcross(left: DataFrame, right: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, minJaccard: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(left.sparkSession)
+    def shingled(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      call_function("graft_shingle_hashes", col(textCol), lit(k), lit(14)).as("shingles"))
+    val la = shingled(left); val rb = shingled(right)
+    val sizesA = la.select(col("id"), size(col("shingles")).as("n"))
+    val sizesB = rb.select(col("id"), size(col("shingles")).as("n"))
+    val postA = la.select(col("id"), explode(col("shingles")).as("sh"))
+    val postB = rb.select(col("id"), explode(col("shingles")).as("sh"))
+    val inter = postA.as("a")
+      .join(postB.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .join(sizesB.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature columns m0..m{n-1} for a shingle array column:
     * one md5 per shingle, then all n affine derivations in a single
     * native pass (expressions.MinhashSig).

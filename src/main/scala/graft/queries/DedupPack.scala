@@ -94,6 +94,34 @@ object DedupPack extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  val q57 = QueryDef(
+    "q57_contamination",
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, text,
+            |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+            |  FROM documents
+            |), train AS (SELECT doc_id, $shingles3Sql AS shingles FROM b WHERE bucket < 80),
+            |tst AS (SELECT doc_id, $shingles3Sql AS shingles FROM b WHERE bucket >= 90)
+            |SELECT a.doc_id AS id_a, t.doc_id AS id_b,
+            |  CAST(len(list_intersect(a.shingles, t.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(t.shingles) - len(list_intersect(a.shingles, t.shingles))) AS jaccard
+            |FROM train a JOIN tst t
+            |  ON CAST(len(list_intersect(a.shingles, t.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(t.shingles) - len(list_intersect(a.shingles, t.shingles))) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin)) { t =>
+    // Train/test decontamination: deterministic q46 split, then
+    // cross-corpus near-dup detection — an eval doc whose 3-gram overlap
+    // with any training doc clears the threshold is contaminated. Same
+    // inverted-index plan as q27, restricted to cross-split pairs.
+    import graft.functions.TextFns
+    val bucket = TextFns.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val withBucket = t.documents.withColumn("bucket", bucket)
+    graft.operators.Dedup.jaccardPairsAcross(
+        withBucket.where(col("bucket") < 80), withBucket.where(col("bucket") >= 90),
+        "doc_id", "text", k = 3, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   val q44 = QueryDef("q44_dedup_survivors", None) { t =>
     // The full dedup flow: near-dup pairs → connected components →
     // min-id survivor per cluster. No SQL oracle (connected components
@@ -103,5 +131,5 @@ object DedupPack extends QueryPack {
       .orderBy("id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44)
+  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57)
 }
