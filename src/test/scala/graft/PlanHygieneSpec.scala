@@ -20,6 +20,16 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("ANN ranking is a map-side partial aggregate, not a window over candidate pairs") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("q30_topk_bruteforce", "q31_topk_lsh", "q51_ivf_topk").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_graft_topk_pairs"),
+        s"$q: top-k must partially aggregate before the shuffle")
+    }
+  }
+
   test("filter and projection reach the parquet scan") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
