@@ -274,5 +274,23 @@ object PipelinePack extends QueryPack {
       .orderBy("tag", "member")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56)
+  val q58 = QueryDef(
+    "q58_skew_salted_agg",
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Aggregation-skew mitigation (operators.Skew): partial-aggregate on
+    // (key, salt) spreads a hot group over 16 reducers, the final
+    // aggregate recombines — result identical to the plain GROUP BY the
+    // oracle runs (salting must be invisible in values). Decimal partials
+    // keep the double sum order-independent across the extra phase.
+    graft.operators.Skew.saltedAgg(t.events, Seq("event_type"), buckets = 16)(
+        partials = Seq(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pt")),
+        finals = Seq(sum(col("pn")).cast("long").as("n"),
+          sum(col("pt")).cast("double").as("total")))
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58)
 }
