@@ -122,10 +122,32 @@ object DedupPack extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  val q44 = QueryDef("q44_dedup_survivors", None) { t =>
+  val q44 = QueryDef(
+    "q44_dedup_survivors",
+    // connected components ARE SQL-expressible: transitive closure as a
+    // recursive CTE (tiny here — clusters are shallow), canonical id =
+    // min over the reachable set. The engine's label propagation must
+    // agree exactly.
+    Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles3Sql AS shingles FROM documents),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            |),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |),
+            |canon AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY 1)
+            |SELECT d.doc_id AS id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+            |FROM documents d LEFT JOIN canon c ON d.doc_id = c.id
+            |ORDER BY id""".stripMargin)) { t =>
     // The full dedup flow: near-dup pairs → connected components →
-    // min-id survivor per cluster. No SQL oracle (connected components
-    // need iteration); covered instead by DstCanonSpec golden tests.
+    // min-id survivor per cluster (iterative min-label propagation;
+    // also golden-tested in DstCanonSpec).
     val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, minJaccard = 0.5)
     Dedup.canonicalize(t.documents.select("doc_id"), "doc_id", pairs)
       .orderBy("id")
