@@ -292,5 +292,65 @@ object PipelinePack extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58)
+  val q59 = QueryDef(
+    "q59_superposition_share",
+    Some("""WITH ud AS (
+           |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS dia, event_type,
+           |    user_id % 60 + 15 AS edad
+           |  FROM events
+           |), tramos(desc_tramo, edad_inf, edad_sup) AS (
+           |  VALUES ('joven', 15, 34), ('adulto', 35, 54), ('mayor', 55, 74)
+           |), banded AS (
+           |  SELECT ud.*, t.desc_tramo FROM ud JOIN tramos t
+           |    ON ud.edad >= t.edad_inf AND ud.edad <= t.edad_sup
+           |), base AS (
+           |  SELECT desc_tramo, event_type, COUNT(DISTINCT user_id) AS users_a
+           |  FROM banded GROUP BY 1, 2
+           |), pares AS (
+           |  SELECT a.desc_tramo, a.event_type AS tipo_a, b.event_type AS tipo_b,
+           |    COUNT(DISTINCT a.user_id) AS users_ab
+           |  FROM banded a JOIN banded b
+           |    ON a.user_id = b.user_id AND a.dia = b.dia AND a.event_type < b.event_type
+           |  GROUP BY 1, 2, 3
+           |)
+           |SELECT p.desc_tramo, p.tipo_a, p.tipo_b, p.users_ab, s.users_a,
+           |  CASE WHEN s.users_a > 0 THEN CAST(p.users_ab AS DOUBLE) / s.users_a ELSE 0 END AS share
+           |FROM pares p JOIN base s ON p.desc_tramo = s.desc_tramo AND p.tipo_a = s.event_type
+           |ORDER BY 1, 2, 3""".stripMargin)) { t =>
+    // The superposition notebooks' full output shape (Complex_user_
+    // superposition_by_hour_etl.ipynb: segment loops at cells 98-420,
+    // tramo banding at 190-196): age-banded audiences (J5), same-day
+    // co-listening pairs (J7), pair counts joined back to the base
+    // audience (J13) and a guarded share (A7) — the reference runs one
+    // pandas pass per segment; here all segments ride one plan.
+    import graft.operators.BandJoin
+    val ud = t.events.select(col("user_id"), date_trunc("day", col("ts")).as("dia"), col("event_type"))
+      .distinct()
+      .withColumn("edad", col("user_id") % 60 + 15)
+    val tramos = t.spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("joven", 15L, 34L),
+        org.apache.spark.sql.Row("adulto", 35L, 54L),
+        org.apache.spark.sql.Row("mayor", 55L, 74L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("desc_tramo", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("edad_inf", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("edad_sup", org.apache.spark.sql.types.LongType))))
+    val banded = BandJoin.rangeBand(ud, tramos, col("edad"), col("edad_inf"), col("edad_sup"))
+      .drop("edad_inf", "edad_sup")
+    val base = banded.groupBy("desc_tramo", "event_type")
+      .agg(countDistinct(col("user_id")).as("users_a"))
+    val pares = banded.as("a").join(banded.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.dia") === col("b.dia") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.desc_tramo").as("desc_tramo"),
+        col("a.event_type").as("tipo_a"), col("b.event_type").as("tipo_b"))
+      .agg(countDistinct(col("a.user_id")).as("users_ab"))
+    pares.join(base.withColumnsRenamed(Map("event_type" -> "tipo_a")), Seq("desc_tramo", "tipo_a"))
+      .select(col("desc_tramo"), col("tipo_a"), col("tipo_b"), col("users_ab"), col("users_a"),
+        when(col("users_a") > 0, col("users_ab").cast("double") / col("users_a"))
+          .otherwise(0.0).as("share"))
+      .orderBy("desc_tramo", "tipo_a", "tipo_b")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59)
 }
