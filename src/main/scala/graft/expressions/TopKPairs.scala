@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   * pairs per query, so the shuffle is O(queries × k) instead of
   * O(candidate pairs). Deterministic: ties break on the smaller id, same
   * as the window's (score DESC, id) ordering.
+  *
+  * Set semantics: an exactly duplicated (id, score) input contributes
+  * once (TreeSet buffer) — candidate generation upstream must emit each
+  * (query, match) pair once, which every ANN path here guarantees by
+  * construction (a pair meets on at most one probe/cell).
   */
 case class TopKPairs(
     idChild: Expression,

@@ -188,23 +188,27 @@ case class LshBucket(child: Expression, planes: Int)
         s"graft_lsh_bucket expects array<float>, got $other")
     }
 
-  @transient private var wDims = -1
-  @transient private var w: Array[Array[Double]] = _
+  // the expression instance is shared across task THREADS in an
+  // executor; a volatile (dims, matrix) pair publishes the computed
+  // weights safely (recomputation on a race is idempotent and rare)
+  @transient @volatile private var cachedW: (Int, Array[Array[Double]]) = _
 
   /** hash32("p:d") % 1e6 / 1e6 - 0.5 — Similarity.planeWeight verbatim. */
   private def weights(dims: Int): Array[Array[Double]] = {
-    if (wDims != dims) {
+    val c = cachedW
+    if (c != null && c._1 == dims) c._2
+    else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      w = Array.tabulate(planes, dims) { (p, d) =>
+      val w = Array.tabulate(planes, dims) { (p, d) =>
         md.reset()
         val dig = md.digest(s"$p:$d".getBytes("UTF-8"))
         var v = 0L; var b = 0
         while (b < 4) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
         (v % 1000000L).toDouble / 1000000.0 - 0.5
       }
-      wDims = dims
+      cachedW = (dims, w)
+      w
     }
-    w
   }
 
   override def nullSafeEval(input: Any): Any = {
