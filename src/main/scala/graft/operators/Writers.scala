@@ -72,7 +72,9 @@ object Writers {
     val doomed = when(col(periodoCol) === mensualLabel,
         col(fechaCol) >= date_trunc("month", cutoff))
       .otherwise(col(fechaCol) >= cutoff)
-    existing.where(!doomed).unionByName(replacement)
+    // coalesce: a NULL fecha/periodo must survive like SQL DELETE's
+    // three-valued WHERE (null predicate = not deleted), not be dropped
+    existing.where(!coalesce(doomed, lit(false))).unionByName(replacement)
   }
 
   /** Persisting the dual-window replace: read-filter-rewrite through the
