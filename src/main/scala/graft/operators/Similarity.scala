@@ -153,11 +153,16 @@ object Similarity {
     // vector's home cell (corpus side), rn <= nprobe are the query's
     // probe cells — searching the nprobe nearest cells recovers
     // neighbors that fell just across a cell boundary
+    // persist: the assignment (corpus × centroids dot products) is the
+    // IVF index build — both the probe and home sides consume it, and
+    // Spark does not reuse the exchange across their different rn
+    // filters, so without the cache the pass would run twice
     val ranked = v.crossJoin(broadcast(c))
       .withColumn("ccos", cosPre(dot(col("v"), col("cv")), col("n"), col("cn")))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") <= nprobe)
       .select(col("id"), col("v"), col("n"), col("centroid_id").as("cell"), col("rn"))
+      .persist()
     val home = ranked.where(col("rn") === 1).drop("rn")
     val probes = ranked.drop("rn")
     val scored = probes.as("q").join(home.as("c"),
