@@ -35,9 +35,19 @@ object Dedup {
     * via an inverted index: explode distinct shingles, equi-join on the
     * shingle, count co-occurrences = |A∩B|, recover the union from
     * per-doc set sizes. Integer arithmetic until one final division.
+    *
+    * `maxDocFreq` is the text-skew valve for 100 TB corpora: a shingle
+    * appearing in d documents contributes d² join rows, so one
+    * boilerplate shingle (a license header line) can dominate the whole
+    * shuffle. Capping document frequency drops only those
+    * near-zero-information postings — intersections shrink by at most
+    * the dropped shingles, so reported Jaccard becomes a lower bound
+    * (exact for pairs not sharing any capped shingle). Default ∞ keeps
+    * the operator exact.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int, minJaccard: Double): DataFrame = {
+                   k: Int, minJaccard: Double,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     // 56-bit shingle hashes as the posting key: same set sizes as the
     // string shingles (distinct is computed on strings), far cheaper to
@@ -46,7 +56,12 @@ object Dedup {
       col(idCol).as("id"),
       call_function("graft_shingle_hashes", col(textCol), lit(k), lit(14)).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val posting = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    val allPosting = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    val posting =
+      if (maxDocFreq == Long.MaxValue) allPosting
+      else allPosting.withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .where(col("__df") <= maxDocFreq).drop("__df")
     val inter = posting.as("a")
       .join(posting.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

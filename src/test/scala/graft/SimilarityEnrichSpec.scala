@@ -35,6 +35,47 @@ class SimilarityEnrichSpec extends SparkSpec {
     lsh.foreach { case (q, m, c) => assert(brute((q, m)) == c) }
   }
 
+  test("graft_topk_pairs equals window row_number ranking on random scored pairs") {
+    graft.expressions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    // unique (query, match) pairs incl. deliberate score TIES per query
+    val rows = (for {
+      q <- 0L until 40L
+      m <- 0L until 30L if m != q
+    } yield (q, m, math.floor(rnd.nextDouble() * 20) / 20.0)).toSeq
+    val scored = rows.toDF("query_id", "match_id", "cos").repartition(8)
+    val agg = scored.groupBy("query_id")
+      .agg(call_function("graft_topk_pairs", $"match_id", $"cos", lit(3)).as("tk"))
+      .select($"query_id", posexplode($"tk").as(Seq("pos", "m")))
+      .select($"query_id", $"m.match_id".as("match_id"),
+        ($"pos" + 1).cast("int").as("rank"), $"m.score".as("cos"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy($"cos".desc, $"match_id")
+      scored.withColumn("rank", row_number().over(w)).where($"rank" <= 3)
+        .select("query_id", "match_id", "rank", "cos")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    }
+    assert(agg == win)
+    assert(agg.size == 40 * 3)
+  }
+
+  test("jaccardPairs maxDocFreq cap is a no-op when slack and only prunes hot postings") {
+    val docs = sf().documents.limit(300)
+    val exact = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDocFreq = 1000000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == exact) // cap above every df → identical
+    val tight = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDocFreq = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    // df=1 shingles can never produce a pair → everything pruned
+    assert(tight.isEmpty)
+  }
+
   test("native LSH bucket equals the composed md5-weight formula") {
     graft.expressions.GraftFunctions.register(spark)
     val emb = sf().embeddings.limit(200)
