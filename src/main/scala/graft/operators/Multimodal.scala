@@ -79,6 +79,43 @@ object Multimodal {
     (sum % 128 + 16, (sum / 7) % 128 + 16, bytes.length.toLong)
   }
 
+  /** Batch resize over mapPartitions: same plumbing as decodePartition
+    * (codec handle once per partition, rows stream through), emitting
+    * the resized payload plus its new metadata. The "resize" is a
+    * deterministic stub — keep every `stride`-th byte up to `maxBytes`
+    * (a real image scaler slots into `resizeBytesStub` unchanged).
+    */
+  def resizePartition(df: DataFrame, mediaCol: String, idCol: String,
+                      maxBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("media_resized", BinaryType),
+      StructField("meta_resized", MetaSchema)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // a real implementation opens the scaler/codec here, once
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val out = resizeBytesStub(bytes, maxBytes)
+        Row(r.get(idIdx), out, Row("raw", out.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic stand-in for a scaler: stride-sample the payload down
+    * to at most `maxBytes` (stride = ceil(len/maxBytes)).
+    */
+  def resizeBytesStub(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
+    if (bytes.length <= maxBytes) bytes
+    else {
+      val stride = (bytes.length + maxBytes - 1) / maxBytes
+      Array.tabulate((bytes.length + stride - 1) / stride)(i => bytes(i * stride))
+    }
+  }
+
   /** Frame sampling: every `stride`-th window of `frameLen` bytes.
     * Expressed on the string side (binary slicing is engine-specific);
     * emits (frame_no, frame) rows. Payloads shorter than one frame yield

@@ -68,6 +68,36 @@ object EnrichPack extends QueryPack {
       .orderBy("doc_id", "frame_no")
   }
 
+  val q60 = QueryDef(
+    "q60_media_resize",
+    Some("""WITH b AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_orig,
+           |    CASE WHEN length(text) <= 64 THEN 1 ELSE (length(text) + 63) // 64 END AS stride
+           |  FROM documents WHERE doc_id < 200
+           |)
+           |SELECT doc_id, n_orig,
+           |  CAST(CASE WHEN n_orig <= 64 THEN n_orig
+           |            ELSE (n_orig + stride - 1) // stride END AS BIGINT) AS n_resized,
+           |  substr(text, 1, 1) AS primera,
+           |  substr(text, CAST(stride + 1 AS INT), 1) AS segunda
+           |FROM b ORDER BY doc_id""".stripMargin)) { t =>
+    // Media resize plumbing (operators.Multimodal.resizePartition): the
+    // payload streams through mapPartitions — codec handle per
+    // partition, rows batched — and comes back as a smaller binary with
+    // fresh metadata. The "scaler" stub stride-samples bytes to <= 64,
+    // which the oracle reproduces arithmetically; the sampled content
+    // itself is pinned by golden spec.
+    val docs = t.documents.where(col("doc_id") < 200)
+    val media = Multimodal.withMedia(docs, "text")
+    val resized = Multimodal.resizePartition(media, "media", "doc_id", maxBytes = 64)
+    docs.join(resized, "doc_id")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_orig"),
+        col("meta_resized.n_bytes").as("n_resized"),
+        substring(col("media_resized").cast("string"), 1, 1).as("primera"),
+        substring(col("media_resized").cast("string"), 2, 1).as("segunda"))
+      .orderBy("doc_id")
+  }
+
   val q36 = QueryDef(
     "q36_tz_santiago",
     Some("""SELECT CAST(date_trunc('day', local_ts) AS TIMESTAMP) AS dia,
@@ -214,5 +244,5 @@ object EnrichPack extends QueryPack {
     Writers.mergeById(tgt, upd, "o_orderkey").orderBy("o_orderkey")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41)
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60)
 }

@@ -153,6 +153,20 @@ class SimilarityEnrichSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Multimodal resize stub stride-samples bytes deterministically") {
+    // len 10, max 4 → stride 3 → indices 0,3,6,9
+    assert(Multimodal.resizeBytesStub("abcdefghij".getBytes("UTF-8"), 4).toSeq ==
+      "adgj".getBytes("UTF-8").toSeq)
+    // under the cap: unchanged
+    assert(Multimodal.resizeBytesStub("abc".getBytes("UTF-8"), 4).toSeq ==
+      "abc".getBytes("UTF-8").toSeq)
+    val media = Multimodal.withMedia(Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "text")
+    val out = Multimodal.resizePartition(media, "media", "doc_id", maxBytes = 4)
+      .select($"doc_id", $"media_resized".cast("string"), $"meta_resized.n_bytes")
+      .as[(Long, String, Long)].head()
+    assert(out == ((1L, "adgj", 4L)))
+  }
+
   test("Multimodal decodePartition carries features through mapPartitions") {
     val media = Multimodal.withMedia(Seq((1L, "hello world")).toDF("doc_id", "text"), "text")
     val out = Multimodal.decodePartition(media, "media", "doc_id")
