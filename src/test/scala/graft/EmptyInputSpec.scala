@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{TextFns, TimeFns}
+import graft.operators._
+
+/** Empty-input propagation battery (SURVEY.md §7 "hard parts": the
+  * reference passes empty frames through untouched, e.g.
+  * audio_digital.py:208-209). A replacement window with no new data, a
+  * corpus slice with no documents, a schedule with no programs — every
+  * operator must return an empty, correctly-schema'd result, not throw.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noEvents =
+    Seq.empty[(java.sql.Timestamp, java.sql.Timestamp, Long)].toDF("s", "e", "user_id")
+
+  test("overlap joins: empty fact side yields empty, both paths") {
+    val spine = TimeFns.spine(spark, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "1 hour")
+    assert(OverlapJoin.broadcastOverlap(noEvents, spine, $"s", $"e", $"p_start", $"p_end").isEmpty)
+    assert(OverlapJoin.bucketedOverlap(noEvents, spine, "s", "e", "p_start", "p_end").isEmpty)
+  }
+
+  test("dedup stack: empty corpus yields empty pairs and labels") {
+    assert(Dedup.exact(noDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.jaccardPairs(noDocs, "doc_id", "text", 3, 0.5).isEmpty)
+    assert(Dedup.minhashLshPairs(noDocs, "doc_id", "text", 3, 4, 4, 0.8).isEmpty)
+    assert(Dedup.simhashPairs(noDocs, "doc_id", "text", 3).isEmpty)
+    val somePairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // empty edge set: every id is its own canonical id
+    val labels = Dedup.canonicalize(Seq(1L, 2L).toDF("doc_id"), "doc_id", somePairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L))
+    assert(Dedup.jaccardPairsAcross(noDocs, noDocs, "doc_id", "text", 3, 0.5).isEmpty)
+  }
+
+  test("similarity stack: empty corpus yields empty top-k and pairs") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding", 3).isEmpty)
+    assert(Similarity.lshTopK(noVecs, "vec_id", "embedding", 4, 3).isEmpty)
+    assert(Similarity.ivfTopK(noVecs, noVecs, "vec_id", "embedding", 3).isEmpty)
+    assert(Similarity.cosineNearDupPairs(noVecs, "vec_id", "embedding", 0.5).isEmpty)
+  }
+
+  test("as-of join: empty right side keeps every left row with null payload") {
+    val clicks = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val noRight = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "v")
+    val out = AsOfJoin.latestPriorTo(clicks, noRight, "user_id", "ts", "ts", Seq("v"))
+    assert(out.count() == 1)
+    assert(out.where($"asof_ts".isNull && $"asof_v".isNull).count() == 1)
+  }
+
+  test("writers: empty replacement leaves the dual-window table intact") {
+    val existing = Seq(("diario", ts("2024-06-10 00:00:00"), 1.0))
+      .toDF("periodo", "fecha", "v")
+    val empty = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("periodo", "fecha", "v")
+    val out = Writers.replacePeriodWindow(existing, empty, "fecha", "periodo",
+      lit("2024-06-15 00:00:00").cast("timestamp"))
+    assert(out.count() == 1) // nothing doomed, nothing added
+    assert(Writers.mergeById(existing, empty, "fecha").count() == 1)
+  }
+
+  test("segmentation and banding: empty data yields empty memberships") {
+    val noCust = Seq.empty[(Long, String)].toDF("id", "seg")
+    assert(Segmentation.applyRules(noCust,
+      Seq(Segmentation.Rule("t", "seg", "eq", "X")), "id").isEmpty)
+    val vips = Seq(0L, 5L).toDF("vip")
+    assert(BandJoin.thresholdBands(
+      Seq.empty[(Long, Double)].toDF("id", "minutes"), vips, $"minutes", $"vip").isEmpty)
+  }
+
+  test("text functions: empty and whitespace-only documents score without throwing") {
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val out = edge.select(
+        $"doc_id",
+        TextFns.qualityScore($"text", TextFns.tokens($"text")).as("q"),
+        TextFns.langId(TextFns.tokens($"text")).as("lang"),
+        TextFns.simhashText($"text").as("sim"))
+      .as[(Long, Double, String, Long)].collect()
+    assert(out.length == 3)
+    assert(out.forall { case (_, q, lang, _) => !q.isNaN && lang.nonEmpty })
+  }
+}
