@@ -117,10 +117,31 @@ case class OverlapJoinRewrite(spark: SparkSession)
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — injects the
   * overlap-join rewrite and the native graft_* functions into any
-  * session (cluster-wide, no code changes in the submitting job).
+  * session (cluster-wide, no code changes in the submitting job): a
+  * pure-SQL user gets `SELECT graft_dot(...)` without touching Scala.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import graft.expressions._
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def intArg(e: Expression): Int = e.eval(null).asInstanceOf[Int]
+
+  private def fn(name: String)(b: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.expressions", name),
+      (exprs: Seq[Expression]) => b(exprs))
+
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => OverlapJoinRewrite(session))
+    ext.injectFunction(fn("graft_dot")(e => DotProduct(e(0), e(1))))
+    ext.injectFunction(fn("graft_simhash32")(e => SimHash32(e(0))))
+    ext.injectFunction(fn("graft_minhash_sig")(e => MinhashSig(e(0), intArg(e(1)))))
+    ext.injectFunction(fn("graft_shingle_hashes")(e =>
+      ShingleHashes(e(0), intArg(e(1)), intArg(e(2)))))
+    ext.injectFunction(fn("graft_token_hashes")(e =>
+      ShingleHashes(e(0), 1, 8, distinct = false)))
+    ext.injectFunction(fn("graft_lsh_bucket")(e => LshBucket(e(0), intArg(e(1)))))
+    ext.injectFunction(fn("graft_bottomk")(e => BottomK(e(0), intArg(e(1)))))
+    ext.injectFunction(fn("graft_topk_pairs")(e => TopKPairs(e(0), e(1), intArg(e(2)))))
   }
 }

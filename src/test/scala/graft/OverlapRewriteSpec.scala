@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 import graft.plans.OverlapJoinRewrite
 
 class OverlapRewriteSpec extends SparkSpec {
+
+  test("GraftExtensions serves graft_* functions to a pure-SQL session") {
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // same SparkContext, new session state with the extensions applied
+    // (config-based extensions are a static conf — ignored when the
+    // context already exists — so the builder hook stands in here; the
+    // conf path is what Engine.session/spark-submit use)
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(ext => new graft.plans.GraftExtensions().apply(ext))
+      .getOrCreate()
+    try {
+      val d = s2.sql(
+        """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(d == 11.0)
+      val h = s2.sql("SELECT graft_token_hashes('hello') AS h")
+        .collect()(0).getSeq[Long](0)
+      assert(h == Seq(1564557354L)) // md5('hello') prefix, TextDedupSpec golden
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
   import spark.implicits._
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
