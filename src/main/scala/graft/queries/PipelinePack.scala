@@ -233,12 +233,20 @@ object PipelinePack extends QueryPack {
         col("irrenunciable"), col("interferiado"), dia.as("dia"))
     val habiles = dim.where(col("feriado") === false && col("interferiado").isNull &&
       col("dia").between(2, 6))
-    broadcast(habiles).join(t.orders,
-        date_trunc("day", col("o_orderdate")) === col("fecha"), "left")
+    // an outer join can never broadcast-build its preserved side, so the
+    // spine-preserving join is pushed to the AGGREGATE level where both
+    // sides are month-sized: the fact streams once through a broadcast
+    // INNER join, business-day counts come from the dim alone, and the
+    // zero-fill left join runs dim-side (J9 at aggregate granularity)
+    val dimAgg = habiles.groupBy(date_trunc("month", col("fecha")).as("mes"))
+      .agg(countDistinct(col("fecha")).as("dias_habiles"))
+    val factAgg = t.orders
+      .join(broadcast(habiles), date_trunc("day", col("o_orderdate")) === col("fecha"))
       .groupBy(date_trunc("month", col("fecha")).as("mes"))
-      .agg(countDistinct(col("fecha")).as("dias_habiles"),
-        count(col("o_orderkey")).as("n_orders"),
-        dsum(col("o_totalprice")).as("monto"))
+      .agg(count(col("o_orderkey")).as("n_orders"), dsum(col("o_totalprice")).as("monto"))
+    dimAgg.join(broadcast(factAgg), Seq("mes"), "left")
+      .select(col("mes"), col("dias_habiles"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("monto"))
       .orderBy("mes")
   }
 
