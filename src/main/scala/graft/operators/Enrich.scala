@@ -42,9 +42,14 @@ object Enrich {
     // downstream action — same reason the reference caches its parsed
     // UA/IP dictionaries in driver frames.
     val dict = spark.createDataFrame(dictRdd, keyed).persist()
-    val estBytes = dict.count() * (keyed.fields.map(_.dataType.defaultSize).sum + 16L)
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    dict.count() // materialize so the cached-plan statistics are REAL bytes
+    // sessionState's typed conf handles "-1" (broadcast disabled) and
+    // unit suffixes — raw JavaUtils.byteStringAsBytes throws on "-1";
+    // stats come from the materialized cache, not schema defaultSize
+    // (which prices every string at 20 bytes and would wave a multi-GB
+    // dictionary of long UA strings through the gate)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val estBytes = dict.queryExecution.optimizedPlan.stats.sizeInBytes
     val hinted = if (threshold >= 0 && estBytes <= threshold) broadcast(dict) else dict
     df.join(hinted, Seq(keyCol), "left")
   }

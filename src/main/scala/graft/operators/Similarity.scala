@@ -156,13 +156,16 @@ object Similarity {
     // persist: the assignment (corpus × centroids dot products) is the
     // IVF index build — both the probe and home sides consume it, and
     // Spark does not reuse the exchange across their different rn
-    // filters, so without the cache the pass would run twice
+    // filters, so without the cache the pass would run twice. The cache
+    // IS the in-session IVF index: it lives until the session drops it
+    // (spark.catalog.clearCache() or LRU eviction) — a production
+    // deployment would materialize the assignment to storage instead.
     val ranked = v.crossJoin(broadcast(c))
       .withColumn("ccos", cosPre(dot(col("v"), col("cv")), col("n"), col("cn")))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") <= nprobe)
       .select(col("id"), col("v"), col("n"), col("centroid_id").as("cell"), col("rn"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val home = ranked.where(col("rn") === 1).drop("rn")
     val probes = ranked.drop("rn")
     val scored = probes.as("q").join(home.as("c"),

@@ -103,8 +103,15 @@ object Writers {
     df.write.mode("overwrite").parquet(staged.toString)
     if (fs.exists(aside)) fs.delete(aside, true)
     val hadTarget = fs.exists(target)
-    if (hadTarget) fs.rename(target, aside)
-    fs.rename(staged, target)
+    // Hadoop rename reports failure by RETURNING FALSE, not throwing —
+    // every result must be checked or a failed swap would fall through
+    // to delete the last complete copy
+    if (hadTarget && !fs.rename(target, aside))
+      throw new java.io.IOException(s"stagedSwap: could not move $target aside")
+    if (!fs.rename(staged, target)) {
+      if (hadTarget) fs.rename(aside, target) // best-effort restore
+      throw new java.io.IOException(s"stagedSwap: could not move staging into $target")
+    }
     if (hadTarget) fs.delete(aside, true)
   }
 

@@ -70,7 +70,10 @@ object Readers {
   def jdbcTruncateAppend(df: DataFrame, url: String, table: String,
                          props: java.util.Properties = new java.util.Properties(),
                          batchSize: Int = 10000, numPartitions: Int = 8): Unit = {
-    val base = df.coalesce(numPartitions).write.format("jdbc")
+    // repartition, NOT coalesce: coalesce propagates upstream and would
+    // throttle the whole producing job to numPartitions tasks; one extra
+    // shuffle of the (dimension-sized) output only caps connections
+    val base = df.repartition(numPartitions).write.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("truncate", "true")
       .option("batchsize", batchSize.toString)

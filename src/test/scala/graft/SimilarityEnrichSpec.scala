@@ -150,6 +150,10 @@ class SimilarityEnrichSpec extends SparkSpec {
       // collect of the dictionary
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
       assert(!plan(50).contains("BroadcastHashJoin"))
+      // "-1" (broadcast disabled) must drop the hint, not crash the
+      // byte-string parse
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!plan(50).contains("BroadcastHashJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
