@@ -45,6 +45,34 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 12:00:00.0", "view", 1L, 1.0)))
   }
 
+  test("streamed hourly rollup equals the batch aggregate over the same files") {
+    // the micro-batch path must be value-identical to running the same
+    // groupBy as one batch plan — the guarantee that lets the engine
+    // swap between K2 batch re-runs and the streaming sink freely
+    val dir = Files.createTempDirectory("graft-eq").toString
+    val landing = s"$dir/landing"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val events = sf().events
+      .select(col("ts"), col("event_type"), col("value"))
+      .where($"ts" < ts("2024-01-08 00:00:00"))
+    events.write.parquet(landing)
+    // sentinel far past the watermark closes every window in one tick
+    Seq((ts("2024-03-01 00:00:00"), "sentinel", 0.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(landing)
+    EventStream.runAvailableNow(
+      EventStream.hourlyRollup(EventStream.read(spark, landing, events.schema)), out, ckpt)
+    val streamed = spark.read.parquet(out)
+      .where($"event_type" =!= "sentinel")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = events
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("minutes"))
+      .select($"w.start", $"event_type", $"n", $"minutes")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("merge publication rewrites a late row's aggregate in place (Update mode + K3)") {
     val dir = Files.createTempDirectory("graft-merge-pub").toString
     val landing = s"$dir/landing"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
