@@ -163,5 +163,48 @@ object TrainPack extends QueryPack {
       .orderBy("event_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50)
+  val q61 = QueryDef(
+    "q61_kmv_vs_exact",
+    Some("""WITH h AS (
+           |  SELECT DISTINCT event_type,
+           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+           |  FROM events
+           |), r AS (
+           |  SELECT event_type, hv,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+           |  FROM h
+           |), sk AS (
+           |  SELECT event_type,
+           |    (CAST(count(*) - 1 AS DOUBLE) * 4294967296.0) / max(hv) AS est_users
+           |  FROM r WHERE rn <= 16 GROUP BY 1
+           |), ex AS (
+           |  SELECT event_type, COUNT(DISTINCT user_id) AS users_exact FROM events GROUP BY 1
+           |)
+           |SELECT ex.event_type AS event_type, users_exact, est_users,
+           |       abs(est_users / users_exact - 1) < 0.5 AS dentro_margen
+           |FROM ex JOIN sk ON ex.event_type = sk.event_type
+           |ORDER BY 1""".stripMargin)) { t =>
+    // A2's 100 TB opt-in, side by side with the exact it replaces: exact
+    // COUNT(DISTINCT) shuffles every distinct user per group; the
+    // constant-space KMV sketch (graft_bottomk) shuffles at most k
+    // values per group and lands within its expected error — both
+    // engines rebuild the identical sketch, so even the estimate
+    // hash-matches.
+    graft.expressions.GraftFunctions.register(t.spark)
+    val h = TextFns.hash32(col("user_id").cast("string"))
+    val sk = t.events.select(col("event_type"), h.as("hv"))
+      .groupBy("event_type")
+      .agg(call_function("graft_bottomk", col("hv"), lit(16)).as("bk"))
+      .select(col("event_type"),
+        (((size(col("bk")) - 1).cast("double") * 4294967296.0) /
+          element_at(col("bk"), size(col("bk")))).as("est_users"))
+    val ex = t.events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users_exact"))
+    ex.join(sk, "event_type")
+      .select(col("event_type"), col("users_exact"), col("est_users"),
+        (abs(col("est_users") / col("users_exact") - 1) < 0.5).as("dentro_margen"))
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61)
 }
