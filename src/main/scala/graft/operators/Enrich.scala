@@ -40,7 +40,10 @@ object Enrich {
       })
     // persist: the lookup must run once per key total, not once per
     // downstream action — same reason the reference caches its parsed
-    // UA/IP dictionaries in driver frames.
+    // UA/IP dictionaries in driver frames. The cache lives for the
+    // session (it IS the parsed dictionary); repeated enrichments with
+    // different lookups should share one enriched dict or clear the
+    // cache between runs.
     val dict = spark.createDataFrame(dictRdd, keyed).persist()
     dict.count() // materialize so the cached-plan statistics are REAL bytes
     // sessionState's typed conf handles "-1" (broadcast disabled) and

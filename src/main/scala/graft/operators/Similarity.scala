@@ -165,7 +165,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") <= nprobe)
       .select(col("id"), col("v"), col("n"), col("centroid_id").as("cell"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist()
     val home = ranked.where(col("rn") === 1).drop("rn")
     val probes = ranked.drop("rn")
     val scored = probes.as("q").join(home.as("c"),

@@ -104,13 +104,33 @@ object TrainPack extends QueryPack {
       .orderBy("lang", "source")
   }
 
+  /** Shared KMV sketch: bottom-16 hashed user ids per event_type with
+    * the (k-1)·2³²/h_k estimator (q49 exposes the sketch, q61 compares
+    * it to exact). NULL user_ids are excluded on BOTH engines — BottomK
+    * skips nulls while DuckDB's DISTINCT would keep a NULL row, so the
+    * guard keeps the two definitions aligned (and an all-null group
+    * can't produce an empty sketch).
+    */
+  private def kmvSketch(t: graft.Tables) = {
+    graft.expressions.GraftFunctions.register(t.spark)
+    val h = TextFns.hash32(col("user_id").cast("string"))
+    t.events.where(col("user_id").isNotNull)
+      .select(col("event_type"), h.as("hv"))
+      .groupBy("event_type")
+      .agg(call_function("graft_bottomk", col("hv"), lit(16)).as("bottomk"))
+  }
+  private def kmvEstimate(bk: org.apache.spark.sql.Column) =
+    ((size(bk) - 1).cast("double") * 4294967296.0) / element_at(bk, size(bk))
+  private val kmvSketchSql =
+    """h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      |  FROM events WHERE user_id IS NOT NULL
+      |)""".stripMargin
+
   val q49 = QueryDef(
     "q49_kmv_distinct_sketch",
-    Some("""WITH h AS (
-           |  SELECT DISTINCT event_type,
-           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
-           |  FROM events
-           |), r AS (
+    Some(s"""WITH $kmvSketchSql, r AS (
            |  SELECT event_type, hv,
            |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
            |  FROM h
@@ -123,17 +143,11 @@ object TrainPack extends QueryPack {
     // constant-space approximate distinct users whose bottom-k state is
     // exactly reproducible — the oracle recomputes the same k minima.
     // Estimate = (k-1) * 2^32 / kth_min.
-    graft.expressions.GraftFunctions.register(t.spark)
-    val h = TextFns.hash32(col("user_id").cast("string"))
-    t.events
-      .select(col("event_type"), h.as("hv"))
-      .groupBy("event_type")
-      .agg(call_function("graft_bottomk", col("hv"), lit(16)).as("bottomk"))
+    kmvSketch(t)
       .select(col("event_type"),
         element_at(col("bottomk"), 1).as("h_min"),
         element_at(col("bottomk"), size(col("bottomk"))).as("h_k"),
-        (((size(col("bottomk")) - 1).cast("double") * 4294967296.0) /
-          element_at(col("bottomk"), size(col("bottomk")))).as("est_users"))
+        kmvEstimate(col("bottomk")).as("est_users"))
       .orderBy("event_type")
   }
 
@@ -165,11 +179,7 @@ object TrainPack extends QueryPack {
 
   val q61 = QueryDef(
     "q61_kmv_vs_exact",
-    Some("""WITH h AS (
-           |  SELECT DISTINCT event_type,
-           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
-           |  FROM events
-           |), r AS (
+    Some(s"""WITH $kmvSketchSql, r AS (
            |  SELECT event_type, hv,
            |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
            |  FROM h
@@ -178,7 +188,8 @@ object TrainPack extends QueryPack {
            |    (CAST(count(*) - 1 AS DOUBLE) * 4294967296.0) / max(hv) AS est_users
            |  FROM r WHERE rn <= 16 GROUP BY 1
            |), ex AS (
-           |  SELECT event_type, COUNT(DISTINCT user_id) AS users_exact FROM events GROUP BY 1
+           |  SELECT event_type, COUNT(DISTINCT user_id) AS users_exact FROM events
+           |  WHERE user_id IS NOT NULL GROUP BY 1
            |)
            |SELECT ex.event_type AS event_type, users_exact, est_users,
            |       abs(est_users / users_exact - 1) < 0.5 AS dentro_margen
@@ -190,15 +201,9 @@ object TrainPack extends QueryPack {
     // values per group and lands within its expected error — both
     // engines rebuild the identical sketch, so even the estimate
     // hash-matches.
-    graft.expressions.GraftFunctions.register(t.spark)
-    val h = TextFns.hash32(col("user_id").cast("string"))
-    val sk = t.events.select(col("event_type"), h.as("hv"))
-      .groupBy("event_type")
-      .agg(call_function("graft_bottomk", col("hv"), lit(16)).as("bk"))
-      .select(col("event_type"),
-        (((size(col("bk")) - 1).cast("double") * 4294967296.0) /
-          element_at(col("bk"), size(col("bk")))).as("est_users"))
-    val ex = t.events.groupBy("event_type")
+    val sk = kmvSketch(t)
+      .select(col("event_type"), kmvEstimate(col("bottomk")).as("est_users"))
+    val ex = t.events.where(col("user_id").isNotNull).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("users_exact"))
     ex.join(sk, "event_type")
       .select(col("event_type"), col("users_exact"), col("est_users"),
