@@ -57,6 +57,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("replacePeriodWindow invariants hold on random tables (idempotent, window-exact)") {
+    import org.scalacheck.Gen
+    val day = Gen.choose(1, 28)
+    val month = Gen.oneOf(5, 6, 7)
+    val rowGen = for {
+      p <- Gen.oneOf("diario", "mensual")
+      m <- month
+      d <- day
+      v <- Gen.choose(0.0, 100.0)
+    } yield (p, f"2024-$m%02d-${if (p == "mensual") 1 else d}%02d", math.floor(v))
+    val rows = Gen.listOfN(60, rowGen).sample.get.distinct
+    val existing = rows.toDF("periodo", "fecha", "v")
+      .withColumn("fecha", $"fecha".cast("timestamp"))
+    val rep = Seq(("diario", "2024-06-20", -1.0), ("mensual", "2024-06-01", -2.0))
+      .toDF("periodo", "fecha", "v").withColumn("fecha", $"fecha".cast("timestamp"))
+    val cutoff = lit("2024-06-15").cast("timestamp")
+    val once = graft.operators.Writers.replacePeriodWindow(existing, rep, "fecha", "periodo", cutoff)
+    val twice = graft.operators.Writers.replacePeriodWindow(once, rep, "fecha", "periodo", cutoff)
+    // idempotent under re-application of the same replacement
+    assert(once.collect().toSet == twice.collect().toSet)
+    val out = once.select("periodo", "fecha", "v")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    // window-exact: inside the window only replacement rows (negative v)
+    // survive; outside it nothing changed
+    out.foreach { case (p, f, v) =>
+      val d = f.toString.take(10)
+      val doomed = if (p == "mensual") d >= "2024-06-01" else d >= "2024-06-15"
+      if (doomed) assert(v < 0, s"surviving pre-image row in window: $p $d $v")
+      else assert(v >= 0, s"replacement leaked outside window: $p $d $v")
+    }
+    val keptSet = out.collect { case (p, f, v) if v >= 0 => (p, f.toString.take(10), v) }.toSet
+    val origSet = rows.collect { case (p, d, v)
+      if !(if (p == "mensual") d >= "2024-06-01" else d >= "2024-06-15") => (p, d, v) }.toSet
+    assert(keptSet == origSet)
+  }
+
   test("replacePeriodWindow is idempotent as pure dataflow") {
     val existing = Seq(("diario", "2024-06-10", 1.0), ("mensual", "2024-06-01", 2.0),
         ("diario", "2024-06-20", 3.0))
