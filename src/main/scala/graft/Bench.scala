@@ -5,10 +5,23 @@ object Bench {
   /** Force FULL evaluation of every output column: a bare count() lets
     * Catalyst prune final projections (filter/scalar queries would be
     * mostly unmeasured); hashing all columns into one aggregate keeps the
-    * whole plan while shipping one row to the driver.
+    * whole plan while shipping one row to the driver. The hash sums as
+    * DECIMAL: a long sum of 64-bit hashes overflows and ANSI mode
+    * (Spark 4 default) turns that into an exception — which the old
+    * swallow-everything harness hid, under-measuring every multi-row
+    * query.
     */
   private def force(df: DataFrame): Unit =
-    df.select(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    df.select(sum(xxhash64(struct(df.columns.map(col): _*)).cast("decimal(38,0)")))
+      .collect()
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def r3(v: Double): Double = math.round(v * 1000) / 1000.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,15 +37,28 @@ object Bench {
     val t = Tables(spark, sfDir)
     Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
       .foreach(df => df.count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // one progress line per query as it finishes (the driver's tail
+    // capture can reconstruct a run even if the summary line is cut),
+    // then ONE compact summary with name-sorted keys and ms-rounded
+    // timings so the line stays short enough to parse whole. A failing
+    // query is RECORDED (per-query err + top-level errors map), never
+    // silently folded into a near-zero timing.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { force(fn(spark, sfDir)); None }
+                catch { case e: Throwable =>
+                  Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+      val sec = r3((System.nanoTime() - t0) / 1e9)
+      val errJson = err.map(m => s""","err":"${esc(m)}"""").getOrElse("")
+      println(s"""{"query":"${esc(name)}","sec":$sec$errJson}""")
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (name, sec, _) => s""""${esc(name)}":$sec""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (name, _, Some(m)) => s""""${esc(name)}":"${esc(m)}"""" }
+      .mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

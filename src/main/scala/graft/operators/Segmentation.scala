@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * member) pairs, the shape a mailing platform ingests.
   *
   * The reference evaluates each rule as a driver-side pandas filter.
-  * Here each rule becomes a Column predicate and the result is ONE
-  * union-of-filters plan: the data scans stay distributed and Catalyst
-  * collapses the shared scan; only the rules themselves (human-authored,
-  * dimension-sized by construction) ever touch the driver, to build the
-  * plan — not a hot-path collect.
+  * Here ALL rules compile into ONE pass over the data:
+  * `explode(filter(array(when(pred_i, tag_i)…), isNotNull))` — each row
+  * is tested against every rule inside a single projection, so N rules
+  * cost one scan, not N (a union-of-filters plan re-scans the input per
+  * rule: different residual filters defeat Catalyst's exchange reuse).
+  * Only the rules themselves (human-authored, dimension-sized by
+  * construction) ever touch the driver, to build the plan — not a
+  * hot-path collect.
   */
 object Segmentation {
 
@@ -26,27 +29,41 @@ object Segmentation {
     */
   final case class Rule(tag: String, key: String, op: String, value: String)
 
-  def predicate(r: Rule): Column = r.op match {
-    case "in"   => col(r.key).cast("string").isin(r.value.split(","): _*)
-    case "bool" => col(r.key) === (r.value == "True")
-    case "null" => col(r.key).isNull
-    case "eq"   => col(r.key).cast("string") === r.value
-    case other  => throw new IllegalArgumentException(s"unknown rule op: $other")
+  def predicate(r: Rule): Column = {
+    // "null" is the only op whose value is legitimately absent (the
+    // reference encodes it as a None table_value); the rest would
+    // otherwise NPE inside split/compare with no hint which rule broke
+    def v: String = {
+      require(r.value != null,
+        s"segmentation rule '${r.tag}': op '${r.op}' requires a non-null value")
+      r.value
+    }
+    r.op match {
+      case "in"   => col(r.key).cast("string").isin(v.split(","): _*)
+      case "bool" => col(r.key) === (v == "True")
+      case "null" => col(r.key).isNull
+      case "eq"   => col(r.key).cast("string") === v
+      case other  => throw new IllegalArgumentException(s"unknown rule op: $other")
+    }
   }
 
   /** Evaluate every rule against `data`; emit (tag, member) rows where
-    * `member` is `memberCol` (the reference uses email).
+    * `member` is `memberCol` (the reference uses email). One scan for
+    * all N rules: rows matching no rule explode away with the empty
+    * array, rows matching several emit one row per matching tag — the
+    * same multiset as per-rule filters unioned.
     */
   def applyRules(data: DataFrame, rules: Seq[Rule], memberCol: String): DataFrame = {
     require(rules.nonEmpty, "no segmentation rules")
-    rules.map { r =>
-      data.where(predicate(r))
-        .select(lit(r.tag).as("tag"), col(memberCol).as("member"))
-    }.reduce(_ unionByName _)
+    val tags = array(rules.map(r => when(predicate(r), lit(r.tag))): _*)
+    data.select(explode(filter(tags, _.isNotNull)).as("tag"),
+      col(memberCol).as("member"))
   }
 
   /** Rules arriving as a table (the reference reads them from Postgres,
-    * S8): collect — the rules table is tiny — and delegate.
+    * S8): collect — the rules table is tiny — and delegate. A NULL
+    * value survives as null here; `predicate` rejects it with a clear
+    * error for the ops that need one ("null" ignores it).
     */
   def applyRules(data: DataFrame, rules: DataFrame, memberCol: String): DataFrame =
     applyRules(data,

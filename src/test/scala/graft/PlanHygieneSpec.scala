@@ -47,6 +47,14 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin")) // dims are all broadcast-sized here
   }
 
+  test("segmentation compiles N rules into exactly one scan of the input") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q56_segmentation_rules")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"q56 scans its input $scans times — rules must share one pass:\n$plan")
+  }
+
   test("aggregations are two-phase (partial before the exchange)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
