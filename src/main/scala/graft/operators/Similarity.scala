@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.expressions.GraftFunctions
 import graft.functions.TextFns
 
@@ -47,9 +46,18 @@ object Similarity {
     math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
 
-  /** Corpus-scaled IVF cell count: ~targetCell vectors per cell. */
+  /** Corpus-scaled IVF cell count, sqrt-sized (the standard IVF
+    * trade): nlist = sqrt(n / targetCell), so the centroid table is
+    * o(n) — it stays broadcastable far longer — and the assignment
+    * pass costs n · sqrt(n / targetCell) dot products instead of the
+    * n²/targetCell a linearly-growing centroid count degenerates to.
+    * Cells hold ~sqrt(n · targetCell) vectors; nprobe bounds how many
+    * a query searches. 1e9 vectors → 5 793 centroids (assignment
+    * ~6e12 dots spread across the cluster), not the 31M centroids /
+    * 3e16 dots of the old linear sizing.
+    */
   def centroidsFor(n: Long, targetCell: Int = 32): Int =
-    math.max(16, math.ceil(n.toDouble / targetCell).toInt)
+    math.max(16, math.ceil(math.sqrt(n.toDouble / targetCell)).toInt)
 
   /** Per-query top-k via the graft_topk_pairs TypedImperativeAggregate:
     * partial (map-side) aggregation forwards at most k pairs per query
@@ -133,46 +141,118 @@ object Similarity {
     topKAgg(scored, k)
   }
 
-  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
-    * cosine, ties to the smallest centroid id), then search only within
-    * the query's cell. Candidate generation is corpus × n_centroids
-    * (linear in the corpus for fixed n) followed by an equi-join on the
-    * cell id — the inverted-file trade: recall bounded by the cell
-    * partition, no all-pairs product. Centroids here are caller-chosen
-    * rows (deterministic); a k-means refinement would slot in without
-    * changing the plan shape.
+  /** A built IVF index: the cached centroid table and the cached
+    * per-vector cell assignment (rn = 1 is the home cell, rn <= nprobe
+    * the probe cells). The caches ARE the in-session index — they live
+    * until `release()` (or LRU eviction); a production deployment would
+    * materialize the assignment to storage instead.
     */
-  def ivfTopK(df: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
+  final case class IvfIndex(centroids: DataFrame, assignment: DataFrame) {
+    def release(): Unit = { assignment.unpersist(); centroids.unpersist() }
+  }
+
+  /** IVF index build: every vector's nprobe nearest centroids (argmax
+    * cosine, ties to the smallest centroid id). The assignment pass is
+    * corpus × nlist dot products — with the sqrt `centroidsFor` sizing
+    * that is n·sqrt(n), the standard IVF build cost, and the ranking is
+    * the `graft_topk_pairs` partial aggregate, so the post-join shuffle
+    * carries O(n · nprobe) rows, never the n × nlist candidate set a
+    * window sort would move. The centroid broadcast is size-gated like
+    * Enrich's dictionary: above the session broadcast threshold the
+    * hint is dropped and the assignment runs as a partitioned cartesian
+    * (n_part_v × n_part_c tasks) instead of dying in a driver build.
+    */
+  def ivfIndex(df: DataFrame, centroids: DataFrame,
+               idCol: String, vecCol: String, nprobe: Int = 2): IvfIndex = {
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+      norm(col(vecCol)).as("cn")).persist()
+    c.count() // materialize so the cached-plan stats are real bytes
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val estBytes = c.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cHinted = if (threshold >= 0 && estBytes <= threshold) broadcast(c) else c
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
-    val wAssign = Window.partitionBy("id").orderBy(col("ccos").desc, col("centroid_id"))
-    // one ranked assignment pass serves both roles: rn == 1 is the
-    // vector's home cell (corpus side), rn <= nprobe are the query's
-    // probe cells — searching the nprobe nearest cells recovers
-    // neighbors that fell just across a cell boundary
-    // persist: the assignment (corpus × centroids dot products) is the
-    // IVF index build — both the probe and home sides consume it, and
-    // Spark does not reuse the exchange across their different rn
-    // filters, so without the cache the pass would run twice. The cache
-    // IS the in-session IVF index: it lives until the session drops it
-    // (spark.catalog.clearCache() or LRU eviction) — a production
-    // deployment would materialize the assignment to storage instead.
-    val ranked = v.crossJoin(broadcast(c))
-      .withColumn("ccos", cosPre(dot(col("v"), col("cv")), col("n"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") <= nprobe)
-      .select(col("id"), col("v"), col("n"), col("centroid_id").as("cell"), col("rn"))
+    val assignment = v.crossJoin(cHinted)
+      .select(col("id"), col("v"), col("n"),
+        cosPre(dot(col("v"), col("cv")), col("n"), col("cn")).as("ccos"), col("centroid_id"))
+      .groupBy("id")
+      .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+        call_function("graft_topk_pairs", col("centroid_id"), col("ccos"), lit(nprobe)).as("tk"))
+      .select(col("id"), col("v"), col("n"), posexplode(col("tk")).as(Seq("pos", "m")))
+      .select(col("id"), col("v"), col("n"), col("m.match_id").as("cell"),
+        (col("pos") + 1).cast("int").as("rn"))
       .persist()
-    val home = ranked.where(col("rn") === 1).drop("rn")
-    val probes = ranked.drop("rn")
+    IvfIndex(c, assignment)
+  }
+
+  /** Search a built IVF index: candidates live in the query's nprobe
+    * nearest cells (equi-join on the cell id) — the inverted-file
+    * trade: recall bounded by the cell partition, no all-pairs product.
+    */
+  def ivfTopK(index: IvfIndex, k: Int): DataFrame = {
+    val home = index.assignment.where(col("rn") === 1).drop("rn")
+    val probes = index.assignment.drop("rn")
     val scored = probes.as("q").join(home.as("c"),
         col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("match_id"),
         cosPre(dot(col("q.v"), col("c.v")), col("q.n"), col("c.n")).as("cos"))
     topKAgg(scored, k)
+  }
+
+  /** One-shot IVF ANN: build the index and search it. The index caches
+    * stay session-resident (both the probe and home sides consume the
+    * assignment, and Spark does not reuse the exchange across their
+    * different rn filters); callers that loop should use
+    * `ivfIndex`/`ivfTopK(index, k)` and `release()` when done.
+    * Centroids are caller-chosen rows (deterministic); `kmeansRefine`
+    * slots in front without changing the plan shape.
+    */
+  def ivfTopK(df: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopK(ivfIndex(df, centroids, idCol, vecCol, nprobe), k)
+
+  /** Deterministic Lloyd refinement of caller-chosen seed centroids:
+    * `iters` rounds of (assign to nearest centroid, recompute each
+    * cell's elementwise mean). Empty cells keep their previous
+    * centroid. Each round costs one assignment pass (n · nlist dots,
+    * partial-aggregated to one row per vector) plus an elementwise-mean
+    * shuffle of n · dim (cell, dim, value) triples — the standard
+    * distributed k-means step; no driver-side math, no collect.
+    * Returns (centroid_id, vec) with ids preserved from the seeds, so
+    * downstream assignment stays deterministic.
+    */
+  def kmeansRefine(df: DataFrame, seeds: DataFrame,
+                   idCol: String, vecCol: String, iters: Int = 2): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    // centroids stay array<float> (graft_dot's input type); means are
+    // computed in double and cast back — deterministic on both engines
+    var c = seeds.select(col(idCol).cast("long").as("centroid_id"),
+      col(vecCol).cast("array<float>").as("cv"))
+    for (_ <- 1 to iters) {
+      val cn = c.select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn"))
+      val best = v.crossJoin(broadcast(cn))
+        .select(col("id"), col("v"),
+          cosPre(dot(col("v"), col("cv")), col("n"), col("cn")).as("ccos"), col("centroid_id"))
+        .groupBy("id")
+        .agg(first(col("v")).as("v"),
+          call_function("graft_topk_pairs", col("centroid_id"), col("ccos"), lit(1)).as("tk"))
+        .select(col("id"), col("v"), col("tk").getItem(0).getField("match_id").as("cell"))
+      val means = best
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("centroid_id"),
+          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("cv"))
+      // empty cells keep their previous centroid (standard Lloyd fix)
+      c = c.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(means("cv"), c("cv")).as("cv"))
+        .localCheckpoint(true) // cut the per-iteration lineage
+    }
+    c.select(col("centroid_id"), col("cv"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, via the LSH

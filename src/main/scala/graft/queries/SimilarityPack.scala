@@ -43,12 +43,17 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** planesFor(500 vectors at sf0.01) = 4 — the oracle is written for
-    * the sf0.01 corpus the driver verifies at; the Spark side derives
-    * the same number from the corpus count and keeps growing with it
-    * (planesFor(2000) = 6 at sf0.1, ~25 at 1e9).
+  /** The correctness gate runs at sf0.01, where embeddings has exactly
+    * 500 rows; the oracle constants below are GENERATED from the same
+    * planesFor/centroidsFor formulas the Spark side applies to the live
+    * corpus count, so a formula change cannot silently desync the two
+    * (at any other scale factor the counts differ by design — the
+    * Spark side keeps growing: planesFor(2000) = 6 at sf0.1, ~25 at
+    * 1e9).
     */
-  private val Planes = 4
+  private val Sf001Corpus = 500L
+  private val Planes = Similarity.planesFor(Sf001Corpus)
+  private val Centroids = Similarity.centroidsFor(Sf001Corpus)
   /** DuckDB mirror of Similarity.planeWeight/lshBucket. */
   private def planeWeightSql(p: Int, d: String) =
     s"(CAST(CAST('0x' || substr(md5('$p:' || CAST($d AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 - 0.5)"
@@ -99,9 +104,10 @@ object SimilarityPack extends QueryPack {
 
   val q33b = QueryDef(
     "q51_ivf_topk",
-    // centroidsFor(500 at sf0.01) = 16; like q31, the oracle fixes the
-    // sf0.01 value while the Spark side scales with the corpus count
-    Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    // the oracle's centroid count comes from the same centroidsFor
+    // formula at the sf0.01 corpus size; the Spark side scales with the
+    // live corpus count
+    Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $Centroids),
             |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
             |asg AS (
             |  SELECT id, v, centroid_id AS cell,
