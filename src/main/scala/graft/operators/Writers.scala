@@ -79,9 +79,17 @@ object Writers {
 
   /** Persisting the dual-window replace: read-filter-rewrite through the
     * same staged swap as mergeByIdWrite. Idempotent: rerunning with the
-    * same replacement yields the same table. At 100 TB the rewrite set
-    * is bounded by predicate pushdown on (periodo, fecha) partitions —
-    * everything older than the window is untouched by the filter.
+    * same replacement yields the same table. The swapped table is
+    * PHYSICALLY partitioned on (periodo, fecha), so the claim that a
+    * 100 TB re-ingest is bounded by partition pruning actually holds:
+    * the kept-rows filter prunes to the replace window at the file
+    * listing, and downstream readers prune the same way. (The full-table
+    * rewrite below is the local-parquet stand-in; on a lakehouse table
+    * the same dataflow lands as a partition-scoped replace.)
+    *
+    * Readers see a sub-second gap between the two renames in
+    * `stagedSwap` where `path` does not exist — see its scaladoc; use a
+    * lakehouse format where readers need snapshot isolation.
     */
   def replacePeriodWindowWrite(spark: SparkSession, path: String, replacement: DataFrame,
                                fechaCol: String, periodoCol: String,
@@ -93,14 +101,26 @@ object Writers {
         replacePeriodWindow(spark.read.parquet(path), replacement,
           fechaCol, periodoCol, cutoff, mensualLabel)
       else replacement
-    stagedSwap(fs, path, merged)
+    stagedSwap(fs, path, merged, Seq(periodoCol, fechaCol))
   }
 
-  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame): Unit = {
+  /** Write `df` to a staging dir (partitioned when `partitionCols` is
+    * non-empty), then swap it into `path` via rename-aside / rename-in /
+    * delete-aside. Not atomic (plain filesystems have no multi-path
+    * transactions): a crash at any point leaves a complete table at
+    * `path` or at `path__old` — never nothing — but concurrent READERS
+    * can observe a brief window between the two renames where `path`
+    * does not exist and must retry (or the table must live in a
+    * lakehouse format with snapshot isolation).
+    */
+  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame,
+                         partitionCols: Seq[String] = Nil): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(path + "__staging")
     val aside = new org.apache.hadoop.fs.Path(path + "__old")
-    df.write.mode("overwrite").parquet(staged.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(staged.toString)
     if (fs.exists(aside)) fs.delete(aside, true)
     val hadTarget = fs.exists(target)
     // Hadoop rename reports failure by RETURNING FALSE, not throwing —
@@ -150,17 +170,37 @@ object Writers {
     * rest of the table is never opened, which is what makes MERGE usable
     * on a 100 TB table with a bounded replace window.
     *
+    * FAILURE MODE if the precondition is violated: an update row whose
+    * id already exists in the target under a DIFFERENT partition value
+    * leaves BOTH rows in the table (the old partition is never opened,
+    * so its copy survives the anti-join). That is the id-embeds-
+    * partition contract, not a bug this writer can cheaply detect at
+    * scale — checking would mean scanning every unaffected partition,
+    * exactly the cost this writer exists to avoid. Set
+    * `assertIdsLocal = true` in tests/backfills to pay that scan and
+    * fail loudly instead.
+    *
     * The affected slice is localCheckpoint'ed before the overwrite (you
     * cannot lazily read the files you are replacing); it is bounded by
     * the update window, not the table.
     */
   def mergeByIdWritePartitioned(spark: SparkSession, path: String, updates: DataFrame,
-                                idCol: String, partitionCol: String): Unit = {
+                                idCol: String, partitionCol: String,
+                                assertIdsLocal: Boolean = false): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       updates.write.partitionBy(partitionCol).parquet(path)
     } else {
       val parts = updates.select(partitionCol).distinct().collect().map(_.get(0))
+      if (assertIdsLocal) {
+        val strays = spark.read.parquet(path)
+          .where(!col(partitionCol).isin(parts: _*))
+          .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
+          .limit(5).collect()
+        require(strays.isEmpty,
+          s"mergeByIdWritePartitioned: update ids exist in unaffected partitions " +
+            s"(id does not embed $partitionCol); e.g. ${strays.mkString(", ")}")
+      }
       val affected = spark.read.parquet(path).where(col(partitionCol).isin(parts: _*))
       val merged = mergeById(affected, updates, idCol).localCheckpoint(true)
       replaceWindow(merged, path, Seq(partitionCol))

@@ -54,6 +54,40 @@ class WritersSpec extends SparkSpec {
     ))
   }
 
+  test("K2 dual-window publication is physically partitioned on (periodo, fecha)") {
+    val path = tmp() + "/t"
+    def ts(s: String) = s"$s 00:00:00"
+    val rows = Seq(("diario", ts("2024-06-10"), 1.0), ("mensual", ts("2024-06-01"), 2.0))
+      .toDF("periodo", "fecha", "v").withColumn("fecha", $"fecha".cast("timestamp"))
+    Writers.replacePeriodWindowWrite(spark, path, rows, "fecha", "periodo",
+      lit("2024-06-01").cast("timestamp"))
+    // partition pruning at 100 TB needs REAL hive-layout directories
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("periodo=diario", "periodo=mensual"))
+    assert(new java.io.File(path + "/periodo=diario").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("fecha=")))
+    // read-back recovers values and types through partition inference
+    val back = spark.read.parquet(path).select("periodo", "fecha", "v")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+      .map { case (p, f, v) => (p, f.toString.take(10), v) }.toSet
+    assert(back == Set(("diario", "2024-06-10", 1.0), ("mensual", "2024-06-01", 2.0)))
+  }
+
+  test("K3 partition-restricted merge: assertIdsLocal detects an id that moved partitions") {
+    val path = tmp() + "/t"
+    val base = Seq(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b")).toDF("fecha", "id", "v")
+    Writers.mergeByIdWritePartitioned(spark, path, base, "id", "fecha")
+    // id 2 arrives under a DIFFERENT fecha: the contract is violated
+    val moved = Seq(("2024-01-03", 2L, "B")).toDF("fecha", "id", "v")
+    intercept[IllegalArgumentException] {
+      Writers.mergeByIdWritePartitioned(spark, path, moved, "id", "fecha", assertIdsLocal = true)
+    }
+    // without the (full-scan) assertion the documented failure mode is
+    // a duplicate id — the old partition is never opened
+    Writers.mergeByIdWritePartitioned(spark, path, moved, "id", "fecha")
+    assert(spark.read.parquet(path).where($"id" === 2L).count() == 2)
+  }
+
   test("K3 mergeById: updates win on collision, unmatched target rows survive") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val updates = Seq((2L, "B"), (3L, "C")).toDF("id", "v")
