@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TimeFns
+import graft.operators.Writers
+
+/** The reference's single heaviest query as ONE plan + ONE publication:
+  * consumo_bloques_hora.py:102-245 — a ~140-line BigQuery text with a
+  * consumo CTE, two user dimensions (userradios / useremisor and their
+  * union), a media→show→programa dictionary chain, an interval-overlap
+  * join to the periodos spine, and FIVE UNION ALL branches that slice
+  * the same consumption by different dim/filter/label combinations; run
+  * at two grains (HOUR/DAY vs MONTH, py:226-232) and published with the
+  * per-periodo dual delete window (py:30-67).
+  *
+  * Here the five branches ride one DataFrame plan (shared consumo scan,
+  * broadcast dims, broadcast spine overlap join per grain) and the
+  * publication is the replacePeriodWindow dataflow: hora rows replaced
+  * from the re-extract cutoff, the mensual row recomputed whole — q62
+  * proves the values, ConsumoBloquesSpec proves the persisted rerun.
+  *
+  * Determinism: per-row minutes truncate to tenths IN INTEGER SPACE
+  * (sec div 6 → tenths, summed as longs, one final /10 double division),
+  * the exact arithmetic of BigQuery's sum(trunc(sec/60, 1)) without
+  * order-dependent double accumulation.
+  */
+object ConsumoBloquesPack extends QueryPack {
+
+  private val MonthStart = "2024-01-01 00:00:00"
+  private val MonthEnd = "2024-02-01 00:00:00"
+  private val Cutoff = "2024-01-15 00:00:00"
+
+  // ---- shared relations (Spark) -------------------------------------
+
+  /** The consumo CTE: events as [s, e) playback intervals with a
+    * synthesized device id and a content key into the media dictionary
+    * (consumo_bloques_hora.py:104-109).
+    */
+  private def consumo(t: Tables, from: Option[String]): DataFrame = {
+    val base = t.events.select(
+      date_trunc("second", col("ts")).as("s"),
+      expr("timestampadd(SECOND, CAST(floor(value*60) AS BIGINT), date_trunc('second', ts))").as("e"),
+      col("user_id"),
+      col("event_type").as("content_type"),
+      (col("event_id") % 200).as("content_id"),
+      md5(concat(col("user_id").cast("string"), lit(":"), col("props"))).as("device_id"))
+    from.map(f => base.where(col("s") >= lit(f).cast("timestamp"))).getOrElse(base)
+  }
+
+  /** userradios / useremisor split (py:117-127): one platform's users
+    * carry their federation as soporte, the other a fixed label.
+    */
+  private def userradios(t: Tables): DataFrame =
+    t.customer.where(col("c_custkey") < 150 && col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("platform_id"),
+        concat(lit("R_"), col("c_mktsegment")).as("soporte"))
+
+  private def useremisor(t: Tables): DataFrame =
+    t.customer.where(col("c_custkey") < 150 && col("c_custkey") % 2 === 1)
+      .select(col("c_custkey").as("platform_id"), lit("Emisor Podcasting").as("soporte"))
+
+  private def users(t: Tables): DataFrame = userradios(t).unionByName(useremisor(t))
+
+  /** dicc_medios → dicc_shows → dicc_programas chain (py:183-187). */
+  private def medios(t: Tables): DataFrame =
+    t.spark.range(200).select(col("id").as("media_id"), (col("id") % 40).as("show_id"))
+
+  private def shows(t: Tables): DataFrame =
+    t.part.where(col("p_partkey") < 40)
+      .select(col("p_partkey").as("_id"), col("p_name").as("title"))
+
+  private def pro(t: Tables): DataFrame =
+    shows(t).where(col("_id") % 5 === 0)
+      .select(col("_id").as("show_id"), upper(col("title")).as("programa"))
+
+  // ---- the five branches at one grain -------------------------------
+
+  /** Sum of per-row tenth-minutes (integer-truncated), one final double
+    * division — BigQuery's sum(trunc(sec/60, 1)) made order-independent.
+    */
+  private def aggBranch(rama: String, joined: DataFrame): DataFrame =
+    joined.groupBy("soporte", "content_type", "bloque", "periodo", "p_start")
+      .agg(
+        (sum(floor(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end")) / 6))
+          .cast("double") / 10.0).as("minutos"),
+        countDistinct(col("device_id")).as("devices"))
+      .select(lit(rama).as("rama"), col("soporte"), col("content_type"), col("bloque"),
+        col("periodo"), col("p_start"), col("minutos"), col("devices"))
+
+  /** All five branches over one consumo extract and one spine: the dims
+    * and the spine broadcast, the fact streams once per branch (the
+    * reference runs the same five scans inside BigQuery).
+    */
+  private def grain(t: Tables, con: DataFrame, spine: DataFrame): DataFrame = {
+    def joined(dim: DataFrame): DataFrame =
+      con.join(broadcast(dim), col("user_id") === col("platform_id"))
+        .join(broadcast(spine),
+          TimeFns.overlaps(col("s"), col("e"), col("p_start"), col("p_end")))
+    val nullBloque = lit(null).cast("string")
+    // 1) live listening by radio-federation users (py:131-146)
+    val b1 = aggBranch("radios_live",
+      joined(userradios(t)).where(col("content_type") =!= "view")
+        .withColumn("bloque", nullBloque))
+    // 2) on-demand over the union dim (py:150-161)
+    val b2 = aggBranch("users_od",
+      joined(users(t)).where(col("content_type") =!= "click")
+        .withColumn("bloque", nullBloque))
+    // 3) everything relabeled LiveOD (py:165-176)
+    val b3 = aggBranch("live_od",
+      joined(users(t)).withColumn("content_type", lit("LiveOD"))
+        .withColumn("bloque", nullBloque))
+    // 4) radios by show/programa via the dictionary chain (py:180-199)
+    val b4 = aggBranch("radios_shows",
+      joined(userradios(t)).where(col("content_type") =!= "click")
+        .join(broadcast(medios(t)), col("content_id") === col("media_id"))
+        .join(broadcast(shows(t)), col("show_id") === col("_id"))
+        .join(broadcast(pro(t)), Seq("show_id"), "left")
+        .withColumn("bloque", coalesce(col("programa"), upper(col("title")))))
+    // 5) emisor by show title (py:203-217)
+    val b5 = aggBranch("emisor_shows",
+      joined(useremisor(t)).where(col("content_type") =!= "click")
+        .join(broadcast(medios(t)), col("content_id") === col("media_id"))
+        .join(broadcast(shows(t)), col("show_id") === col("_id"))
+        .withColumn("bloque", upper(col("title"))))
+    b1.unionByName(b2).unionByName(b3).unionByName(b4).unionByName(b5)
+  }
+
+  /** Dual-grain rollup: the hora grain over `conHora` with its spine
+    * starting at `horaStart`, the mensual grain always over the full
+    * month extract (the reference re-extracts from month start for
+    * MONTH runs, py:98-101,226-232).
+    */
+  def rollup(t: Tables, conHora: DataFrame, horaStart: String, conMes: DataFrame): DataFrame = {
+    val horas = TimeFns.spine(t.spark, horaStart, MonthEnd, "1 hour")
+      .withColumn("periodo", lit("hora"))
+    val mes = TimeFns.spine(t.spark, MonthStart, MonthEnd, "1 month")
+      .withColumn("periodo", lit("mensual"))
+    grain(t, conHora, horas).unionByName(grain(t, conMes, mes))
+  }
+
+  /** First full-month load: both grains over the complete extract. */
+  def firstLoad(t: Tables): DataFrame =
+    rollup(t, consumo(t, None), MonthStart, consumo(t, None))
+
+  /** The hourly rerun's re-extract: consumo from the cutoff for the
+    * hora grain, the full month again for mensual (py:30-67's dual
+    * delete windows pair with exactly this extract asymmetry).
+    */
+  def rerunReplacement(t: Tables): DataFrame =
+    rollup(t, consumo(t, Some(Cutoff)), Cutoff, consumo(t, None))
+
+  def cutoffTs: org.apache.spark.sql.Column = lit(Cutoff).cast("timestamp")
+
+  /** The publication dataflow q62 verifies and ConsumoBloquesSpec
+    * persists through replacePeriodWindowWrite: dual-window delete +
+    * union of the rerun replacement over the first load.
+    */
+  def publish(t: Tables): DataFrame =
+    Writers.replacePeriodWindow(firstLoad(t), rerunReplacement(t), "p_start", "periodo",
+      cutoffTs)
+
+  // ---- DuckDB oracle (generated from the same branch parameters) ----
+
+  private val RelationsSql =
+    s"""consumo_full AS (
+       |  SELECT date_trunc('second', ts) AS s,
+       |    date_trunc('second', ts) + INTERVAL (CAST(floor(value*60) AS BIGINT)) SECOND AS e,
+       |    user_id, event_type AS content_type, event_id % 200 AS content_id,
+       |    md5(CAST(user_id AS VARCHAR) || ':' || props) AS device_id
+       |  FROM events),
+       |consumo_cut AS (SELECT * FROM consumo_full WHERE s >= TIMESTAMP '$Cutoff'),
+       |userradios AS (
+       |  SELECT c_custkey AS platform_id, 'R_' || c_mktsegment AS soporte
+       |  FROM customer WHERE c_custkey < 150 AND c_custkey % 2 = 0),
+       |useremisor AS (
+       |  SELECT c_custkey AS platform_id, 'Emisor Podcasting' AS soporte
+       |  FROM customer WHERE c_custkey < 150 AND c_custkey % 2 = 1),
+       |users AS (SELECT * FROM userradios UNION ALL SELECT * FROM useremisor),
+       |medios AS (SELECT g AS media_id, g % 40 AS show_id
+       |           FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT), 199)) AS g)),
+       |shows AS (SELECT p_partkey AS _id, p_name AS title FROM part WHERE p_partkey < 40),
+       |pro AS (SELECT _id AS show_id, upper(title) AS programa FROM shows WHERE _id % 5 = 0),
+       |spine_hora_full AS (
+       |  SELECT g AS p_start, g + INTERVAL 1 HOUR AS p_end, 'hora' AS periodo
+       |  FROM (SELECT unnest(generate_series(TIMESTAMP '$MonthStart',
+       |          TIMESTAMP '2024-01-31 23:00:00', INTERVAL 1 HOUR)) AS g)),
+       |spine_hora_cut AS (SELECT * FROM spine_hora_full WHERE p_start >= TIMESTAMP '$Cutoff'),
+       |spine_mes AS (SELECT TIMESTAMP '$MonthStart' AS p_start,
+       |  TIMESTAMP '$MonthEnd' AS p_end, 'mensual' AS periodo)""".stripMargin
+
+  private def branchSql(rama: String, con: String, dim: String, spine: String,
+                        where: String, contentType: String, bloque: String,
+                        extraJoins: String): String =
+    s"""SELECT '$rama' AS rama, d.soporte, $contentType AS content_type, $bloque AS bloque,
+       |  p.periodo, p.p_start,
+       |  CAST(SUM(date_diff('second', greatest(c.s, p.p_start), least(c.e, p.p_end)) // 6) AS DOUBLE) / 10 AS minutos,
+       |  COUNT(DISTINCT c.device_id) AS devices
+       |FROM $con c JOIN $dim d ON c.user_id = d.platform_id
+       |$extraJoins
+       |JOIN $spine p ON c.s < p.p_end AND c.e >= p.p_start
+       |$where
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  private val ShowJoins =
+    """JOIN medios m ON c.content_id = m.media_id
+      |JOIN shows sh ON m.show_id = sh._id""".stripMargin
+
+  private def grainSql(con: String, spine: String): String = Seq(
+    branchSql("radios_live", con, "userradios", spine,
+      "WHERE c.content_type != 'view'", "c.content_type", "CAST(NULL AS VARCHAR)", ""),
+    branchSql("users_od", con, "users", spine,
+      "WHERE c.content_type != 'click'", "c.content_type", "CAST(NULL AS VARCHAR)", ""),
+    branchSql("live_od", con, "users", spine,
+      "", "'LiveOD'", "CAST(NULL AS VARCHAR)", ""),
+    branchSql("radios_shows", con, "userradios", spine,
+      "WHERE c.content_type != 'click'", "c.content_type",
+      "coalesce(pro.programa, upper(sh.title))",
+      ShowJoins + "\nLEFT JOIN pro ON sh._id = pro.show_id"),
+    branchSql("emisor_shows", con, "useremisor", spine,
+      "WHERE c.content_type != 'click'", "c.content_type", "upper(sh.title)",
+      ShowJoins)).mkString("\nUNION ALL\n")
+
+  val q62 = QueryDef(
+    "q62_consumo_bloques",
+    Some(s"""WITH $RelationsSql,
+            |existing AS (
+            |${grainSql("consumo_full", "spine_hora_full")}
+            |UNION ALL
+            |${grainSql("consumo_full", "spine_mes")}
+            |), replacement AS (
+            |${grainSql("consumo_cut", "spine_hora_cut")}
+            |UNION ALL
+            |${grainSql("consumo_full", "spine_mes")}
+            |), kept AS (
+            |  SELECT * FROM existing
+            |  WHERE NOT (CASE WHEN periodo = 'mensual'
+            |                  THEN p_start >= TIMESTAMP '$MonthStart'
+            |                  ELSE p_start >= TIMESTAMP '$Cutoff' END)
+            |)
+            |SELECT rama, soporte, content_type, bloque, periodo, p_start, minutos, devices
+            |FROM kept
+            |UNION ALL
+            |SELECT rama, soporte, content_type, bloque, periodo, p_start, minutos, devices
+            |FROM replacement
+            |ORDER BY periodo, rama, soporte, content_type, bloque, p_start""".stripMargin)) { t =>
+    publish(t).orderBy("periodo", "rama", "soporte", "content_type", "bloque", "p_start")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q62)
+}
