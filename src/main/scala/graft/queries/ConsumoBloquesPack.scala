@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TimeFns
@@ -76,55 +76,63 @@ object ConsumoBloquesPack extends QueryPack {
       .select(col("_id").as("show_id"), upper(col("title")).as("programa"))
 
   // ---- the five branches at one grain -------------------------------
+  // Minutes are the sum of per-row tenth-minutes (integer-truncated:
+  // sec div 6), one final double division — BigQuery's
+  // sum(trunc(sec/60, 1)) made order-independent.
 
-  /** Sum of per-row tenth-minutes (integer-truncated), one final double
-    * division — BigQuery's sum(trunc(sec/60, 1)) made order-independent.
+  /** All five branches over ONE pass of the consumo extract (the same
+    * single-scan compilation as Segmentation.applyRules): the user dim
+    * carries an is_radios flag, the media→show→programa chain is
+    * pre-joined into one broadcast dictionary, and each fact×spine row
+    * explodes into the branches whose (dim, filter) predicates it
+    * satisfies — identical output to five unioned branch plans, but the
+    * fact streams once per grain instead of five times. (The reference
+    * pays five scans inside BigQuery; at 100 TB that is the dominant
+    * cost, so the re-expression folds them.)
     */
-  private def aggBranch(rama: String, joined: DataFrame): DataFrame =
-    joined.groupBy("soporte", "content_type", "bloque", "periodo", "p_start")
+  private def grain(t: Tables, con: DataFrame, spine: DataFrame): DataFrame = {
+    val userFlags = userradios(t).withColumn("is_radios", lit(true))
+      .unionByName(useremisor(t).withColumn("is_radios", lit(false)))
+    val mediaChain = medios(t)
+      .join(shows(t), col("show_id") === col("_id"))
+      .join(pro(t), Seq("show_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("programa"), upper(col("title"))).as("bloque_radios"),
+        upper(col("title")).as("bloque_emisor"))
+    val joined = con
+      .join(broadcast(userFlags), col("user_id") === col("platform_id"))
+      .join(broadcast(mediaChain), col("content_id") === col("media_id"), "left")
+      .join(broadcast(spine),
+        TimeFns.overlaps(col("s"), col("e"), col("p_start"), col("p_end")))
+    val ct = col("content_type")
+    val nullS = lit(null).cast("string")
+    def tag(rama: String, cond: Column, ctOut: Column, bloque: Column): Column =
+      when(cond, struct(lit(rama).as("rama"), ctOut.as("ct"), bloque.as("bloque")))
+    // the media chain join is left-outer so the one scan keeps rows the
+    // show branches drop; those branches re-impose the inner-join
+    // semantics with an isNotNull condition
+    val tags = array(
+      tag("radios_live", col("is_radios") && ct =!= "view", ct, nullS),
+      tag("users_od", ct =!= "click", ct, nullS),
+      tag("live_od", lit(true), lit("LiveOD"), nullS),
+      tag("radios_shows",
+        col("is_radios") && ct =!= "click" && col("media_id").isNotNull,
+        ct, col("bloque_radios")),
+      tag("emisor_shows",
+        !col("is_radios") && ct =!= "click" && col("media_id").isNotNull,
+        ct, col("bloque_emisor")))
+    joined
+      .select(col("soporte"), col("periodo"), col("p_start"), col("p_end"),
+        col("s"), col("e"), col("device_id"),
+        explode(filter(tags, _.isNotNull)).as("b"))
+      .groupBy(col("b.rama").as("rama"), col("soporte"), col("b.ct").as("content_type"),
+        col("b.bloque").as("bloque"), col("periodo"), col("p_start"))
       .agg(
         (sum(floor(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end")) / 6))
           .cast("double") / 10.0).as("minutos"),
         countDistinct(col("device_id")).as("devices"))
-      .select(lit(rama).as("rama"), col("soporte"), col("content_type"), col("bloque"),
+      .select(col("rama"), col("soporte"), col("content_type"), col("bloque"),
         col("periodo"), col("p_start"), col("minutos"), col("devices"))
-
-  /** All five branches over one consumo extract and one spine: the dims
-    * and the spine broadcast, the fact streams once per branch (the
-    * reference runs the same five scans inside BigQuery).
-    */
-  private def grain(t: Tables, con: DataFrame, spine: DataFrame): DataFrame = {
-    def joined(dim: DataFrame): DataFrame =
-      con.join(broadcast(dim), col("user_id") === col("platform_id"))
-        .join(broadcast(spine),
-          TimeFns.overlaps(col("s"), col("e"), col("p_start"), col("p_end")))
-    val nullBloque = lit(null).cast("string")
-    // 1) live listening by radio-federation users (py:131-146)
-    val b1 = aggBranch("radios_live",
-      joined(userradios(t)).where(col("content_type") =!= "view")
-        .withColumn("bloque", nullBloque))
-    // 2) on-demand over the union dim (py:150-161)
-    val b2 = aggBranch("users_od",
-      joined(users(t)).where(col("content_type") =!= "click")
-        .withColumn("bloque", nullBloque))
-    // 3) everything relabeled LiveOD (py:165-176)
-    val b3 = aggBranch("live_od",
-      joined(users(t)).withColumn("content_type", lit("LiveOD"))
-        .withColumn("bloque", nullBloque))
-    // 4) radios by show/programa via the dictionary chain (py:180-199)
-    val b4 = aggBranch("radios_shows",
-      joined(userradios(t)).where(col("content_type") =!= "click")
-        .join(broadcast(medios(t)), col("content_id") === col("media_id"))
-        .join(broadcast(shows(t)), col("show_id") === col("_id"))
-        .join(broadcast(pro(t)), Seq("show_id"), "left")
-        .withColumn("bloque", coalesce(col("programa"), upper(col("title")))))
-    // 5) emisor by show title (py:203-217)
-    val b5 = aggBranch("emisor_shows",
-      joined(useremisor(t)).where(col("content_type") =!= "click")
-        .join(broadcast(medios(t)), col("content_id") === col("media_id"))
-        .join(broadcast(shows(t)), col("show_id") === col("_id"))
-        .withColumn("bloque", upper(col("title"))))
-    b1.unionByName(b2).unionByName(b3).unionByName(b4).unionByName(b5)
   }
 
   /** Dual-grain rollup: the hora grain over `conHora` with its spine

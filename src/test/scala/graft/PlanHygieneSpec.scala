@@ -55,6 +55,19 @@ class PlanHygieneSpec extends SparkSpec {
     assert(scans == 1, s"q56 scans its input $scans times — rules must share one pass:\n$plan")
   }
 
+  test("q62's five branches share one fact scan per (load, grain)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q62_consumo_bloques")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val factScans = "events\\.parquet".r.findAllIn(plan).length
+    // q62 recomputes BOTH sides of the publication (existing +
+    // replacement; production reads `existing` from storage), each at
+    // two grains: 2 loads × 2 grains = 4 fact scans. The five branches
+    // must NOT multiply that (5 branch plans would be 20).
+    assert(factScans == 4,
+      s"q62 scans events $factScans times — the 5 branches must share one pass per load+grain")
+  }
+
   test("aggregations are two-phase (partial before the exchange)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
