@@ -51,22 +51,24 @@ object PipelinePack extends QueryPack {
             |ORDER BY logica, p_start""".stripMargin)) { t =>
     // The new/old listener asymmetry (reference q_registrados_.py:136-142):
     // the SAME aggregate, parameterized on which timestamp must fall
-    // inside the block — 'new' joins on plain overlap (end >= p_start),
-    // 'old' requires the playback to have STARTED inside the block
-    // (start >= p_start), a strict subset. Both branches union into one
-    // plan, mirroring the reference's format-string toggle.
+    // inside the block — 'new' is plain overlap (end >= p_start), 'old'
+    // requires the playback to have STARTED inside the block
+    // (start >= p_start), a strict SUBSET of the overlap rows. So one
+    // overlap join feeds both: every row tags 'new', the started-inside
+    // rows also tag 'old' (explode), and the fact streams ONCE instead
+    // of once per toggle — same compilation as the segmentation rules.
     val ev = eventIntervals(t)
     val spine = TimeFns.spine(t.spark, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "1 hour")
-    def branch(logica: String): DataFrame = {
-      val toggleTs = if (logica == "new") col("e") else col("s")
-      ev.join(broadcast(spine), col("s") < col("p_end") && toggleTs >= col("p_start"))
-        .groupBy("p_start")
-        .agg(countDistinct(col("user_id")).as("users"),
-          (sum(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end"))) / 60.0)
-            .as("minutes"))
-        .select(lit(logica).as("logica"), col("p_start"), col("users"), col("minutes"))
-    }
-    branch("new").unionByName(branch("old")).orderBy("logica", "p_start")
+    val tags = array(lit("new"), when(col("s") >= col("p_start"), lit("old")))
+    ev.join(broadcast(spine), col("s") < col("p_end") && col("e") >= col("p_start"))
+      .select(col("user_id"), col("s"), col("e"), col("p_start"), col("p_end"),
+        explode(filter(tags, _.isNotNull)).as("logica"))
+      .groupBy("logica", "p_start")
+      .agg(countDistinct(col("user_id")).as("users"),
+        (sum(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end"))) / 60.0)
+          .as("minutes"))
+      .select(col("logica"), col("p_start"), col("users"), col("minutes"))
+      .orderBy("logica", "p_start")
   }
 
   val q53 = QueryDef(
@@ -99,8 +101,12 @@ object PipelinePack extends QueryPack {
     // Oficial→ipsos envelope (reference programas_live.py:112-121): floor
     // start to xx:00:00, ceil end to the next hour boundary, then measure
     // the same consumption through BOTH sets of block bounds (the
-    // reference publishes both) — overlap join twice + join of two
-    // aggregates (J13).
+    // reference publishes both). The ipsos envelope CONTAINS the oficial
+    // window by construction, so one overlap join on the wider ipsos
+    // bounds feeds both measures: the ipsos minutes sum every joined
+    // row, the oficial minutes sum conditionally over the subset that
+    // also overlaps the oficial window — one fact pass, not two (J13
+    // becomes conditional aggregation, A11).
     val ev = eventIntervals(t)
     val env = t.events.where(col("event_type") === "purchase" && col("user_id") < 10)
       .select(col("event_id").as("programa_id"),
@@ -108,12 +114,16 @@ object PipelinePack extends QueryPack {
         (date_trunc("minute", col("ts")) + expr("INTERVAL 90 MINUTES")).as("fin"))
       .withColumn("inicio_ipsos", TimeFns.ipsosStart(col("inicio")))
       .withColumn("fin_ipsos", TimeFns.ipsosEnd(col("fin")))
-    def mins(bs: String, be: String, out: String): DataFrame =
-      broadcast(env).join(ev, col("s") < col(be) && col("e") >= col(bs))
-        .groupBy("programa_id")
-        .agg((sum(TimeFns.overlapSeconds(col("s"), col("e"), col(bs), col(be))) / 60.0).as(out))
-    env.join(mins("inicio", "fin", "minutes_oficial"), Seq("programa_id"), "left")
-      .join(mins("inicio_ipsos", "fin_ipsos", "minutes_ipsos"), Seq("programa_id"), "left")
+    val both = broadcast(env).join(ev,
+        col("s") < col("fin_ipsos") && col("e") >= col("inicio_ipsos"))
+      .groupBy("programa_id")
+      .agg(
+        (sum(when(col("s") < col("fin") && col("e") >= col("inicio"),
+          TimeFns.overlapSeconds(col("s"), col("e"), col("inicio"), col("fin")))) / 60.0)
+          .as("minutes_oficial"),
+        (sum(TimeFns.overlapSeconds(col("s"), col("e"), col("inicio_ipsos"), col("fin_ipsos"))) / 60.0)
+          .as("minutes_ipsos"))
+    env.join(both, Seq("programa_id"), "left")
       .select(col("programa_id"), col("inicio"), col("fin"),
         col("inicio_ipsos"), col("fin_ipsos"),
         coalesce(col("minutes_oficial"), lit(0.0)).as("minutes_oficial"),

@@ -57,6 +57,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("segmentation rules from a table: NULL value is fine for 'null', a clear error elsewhere") {
+    val data = Seq((1L, "BUILDING")).toDF("id", "seg")
+    val okRules = Seq(("nn", "seg", "null", null.asInstanceOf[String]))
+      .toDF("tag", "key", "op", "value")
+    assert(Segmentation.applyRules(data, okRules, "id").count() == 0) // seg not null
+    val badRules = Seq(("b", "seg", "eq", null.asInstanceOf[String]))
+      .toDF("tag", "key", "op", "value")
+    val e = intercept[IllegalArgumentException] {
+      Segmentation.applyRules(data, badRules, "id").count()
+    }
+    assert(e.getMessage.contains("'b'") && e.getMessage.contains("'eq'"))
+  }
+
   test("replacePeriodWindow invariants hold on random tables (idempotent, window-exact)") {
     import org.scalacheck.Gen
     val day = Gen.choose(1, 28)
