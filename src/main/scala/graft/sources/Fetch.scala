@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.time.LocalDateTime
+import java.time.Duration
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's windowed-ingest protocol (S1/S4–S6), minus the HTTP
+  * transport the sandbox cannot exercise:
+  *
+  *  - `dateWindows` — chunk [start, end) into fixed-frequency query
+  *    windows, with a partial tail window when the span does not divide
+  *    evenly (gen_qdates, consumo_detalle.py:44-78);
+  *  - `withRetries` — bounded re-attempts per window, raising only
+  *    after exhaustion (download_data, consumo_detalle.py:108-143);
+  *  - `windowedIngest` — per window: fetch → rows-as-DataFrame → sink,
+  *    landing each chunk before the next is fetched exactly like the
+  *    reference's per-period upload_bq loop (consumo_detalle.py:364-381)
+  *    — a mid-run failure keeps every previously landed chunk, which is
+  *    what makes the K2 replace-window re-ingest the recovery story.
+  *
+  * The transport is a plain function so production supplies an HTTP
+  * client and tests supply fakes; everything around it — the chunking,
+  * the retry budget, the append cadence — is the real engine surface.
+  */
+object Fetch {
+
+  /** Chunk [start, endExclusive) into [from, to) windows of `step`;
+    * the last window is clamped to endExclusive (the reference appends
+    * the partial tail manually). Driver-side and tiny: windows are
+    * hours-per-backfill, never data-sized.
+    */
+  def dateWindows(start: LocalDateTime, endExclusive: LocalDateTime,
+                  step: Duration): Seq[(LocalDateTime, LocalDateTime)] = {
+    require(!step.isNegative && !step.isZero, "step must be positive")
+    val out = Seq.newBuilder[(LocalDateTime, LocalDateTime)]
+    var cur = start
+    while (cur.isBefore(endExclusive)) {
+      val next = cur.plus(step)
+      out += ((cur, if (next.isBefore(endExclusive)) next else endExclusive))
+      cur = next
+    }
+    out.result()
+  }
+
+  /** Run `attempt` up to `attempts` times (1-based attempt index);
+    * rethrows the last failure once the budget is spent — the
+    * reference's while-loop with the terminal "intentos superados".
+    */
+  def withRetries[T](attempts: Int)(attempt: Int => T): T = {
+    require(attempts >= 1, "attempts must be >= 1")
+    var i = 1
+    var last: Throwable = null
+    while (i <= attempts) {
+      try return attempt(i)
+      catch { case e: Throwable => last = e; i += 1 }
+    }
+    throw new RuntimeException(s"fetch failed after $attempts attempts", last)
+  }
+
+  /** The full windowed ingest: for each window fetch rows (with the
+    * retry budget) and hand the chunk to `sink` before fetching the
+    * next. Returns the number of windows landed. A window whose fetch
+    * exhausts its retries aborts the run — previously landed chunks
+    * stay, and a rerun through the K2 replace-window writer (or the
+    * Runner's resume) re-ingests idempotently from the failure point.
+    */
+  def windowedIngest(spark: SparkSession, schema: StructType,
+                     start: LocalDateTime, endExclusive: LocalDateTime,
+                     step: Duration, attempts: Int = 3)
+                    (fetch: (LocalDateTime, LocalDateTime) => Seq[Row])
+                    (sink: DataFrame => Unit): Int = {
+    var landed = 0
+    dateWindows(start, endExclusive, step).foreach { case (from, to) =>
+      val rows = withRetries(attempts)(_ => fetch(from, to))
+      sink(Readers.fromRows(spark, rows, schema))
+      landed += 1
+    }
+    landed
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.time.{Duration, LocalDateTime}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sources.Fetch
+
+/** The windowed-ingest protocol of the reference's API extracts
+  * (consumo_detalle.py:44-78 chunking, 108-143 bounded retries,
+  * 364-381 per-chunk landing) with a fake transport — the sandbox has
+  * no network, but the chunk/retry/append cadence is engine surface.
+  */
+class FetchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("fecha", StringType), StructField("v", LongType)))
+
+  private def t(s: String) = LocalDateTime.parse(s)
+
+  test("dateWindows chunks evenly and clamps the partial tail window") {
+    val even = Fetch.dateWindows(t("2024-01-01T00:00"), t("2024-01-02T00:00"), Duration.ofHours(12))
+    assert(even == Seq(
+      (t("2024-01-01T00:00"), t("2024-01-01T12:00")),
+      (t("2024-01-01T12:00"), t("2024-01-02T00:00"))))
+    val ragged = Fetch.dateWindows(t("2024-01-01T00:00"), t("2024-01-01T20:00"), Duration.ofHours(12))
+    assert(ragged.last == ((t("2024-01-01T12:00"), t("2024-01-01T20:00")))) // clamped tail
+    assert(Fetch.dateWindows(t("2024-01-01T00:00"), t("2024-01-01T00:00"), Duration.ofHours(1)).isEmpty)
+  }
+
+  test("withRetries survives transient failures and raises after the budget") {
+    var calls = 0
+    val got = Fetch.withRetries(3) { i =>
+      calls += 1
+      if (i < 3) sys.error(s"transient $i") else "ok"
+    }
+    assert(got == "ok" && calls == 3)
+    calls = 0
+    val e = intercept[RuntimeException] {
+      Fetch.withRetries(2) { _ => calls += 1; sys.error("hard down") }
+    }
+    assert(calls == 2 && e.getMessage.contains("after 2 attempts"))
+    assert(e.getCause.getMessage == "hard down")
+  }
+
+  test("windowedIngest lands each chunk before the next fetch; a dead window keeps prior chunks") {
+    val path = Files.createTempDirectory("graft-fetch").toString + "/t"
+    def rows(from: LocalDateTime, n: Int) = (1 to n).map(i => Row(from.toLocalDate.toString, i.toLong))
+    // happy path: 3 daily windows, flaky transport (each window fails once)
+    val failedOnce = scala.collection.mutable.Set.empty[LocalDateTime]
+    val landed = Fetch.windowedIngest(spark, schema,
+      t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1)) { (from, _) =>
+      if (failedOnce.add(from)) sys.error("flaky 500")
+      rows(from, 2)
+    } { df => graft.operators.Writers.appendPartitioned(df, path, "fecha") }
+    assert(landed == 3)
+    assert(spark.read.parquet(path).count() == 6)
+
+    // a permanently dead window aborts the run but keeps earlier chunks
+    val path2 = Files.createTempDirectory("graft-fetch").toString + "/t"
+    intercept[RuntimeException] {
+      Fetch.windowedIngest(spark, schema,
+        t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1), attempts = 2) { (from, _) =>
+        if (from == t("2024-01-03T00:00")) sys.error("outage")
+        rows(from, 1)
+      } { df => graft.operators.Writers.appendPartitioned(df, path2, "fecha") }
+    }
+    val kept = spark.read.parquet(path2).select("fecha").as[String].collect().toSet
+    assert(kept == Set("2024-01-01", "2024-01-02")) // recovery = K2 re-ingest from here
+  }
+}
