@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import graft.plans.NanosTsPushdown
+
+/** NanosTsPushdown: time-window filters over the TIMESTAMP(NANOS)
+  * events table must reach the parquet scan as raw-long bounds — and
+  * must never change results.
+  */
+class NanosPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ NanosTsPushdown(spark)
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[NanosTsPushdown])
+  }
+
+  private def pushed(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+
+  test("window filters on the converted ts push raw nanosecond bounds to the scan") {
+    val ev = sf().events
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    withRule {
+      val ge = ev.where($"ts" >= cut)
+      // 2024-01-15T00:00:00Z = 1705276800 s -> nanos
+      assert(pushed(ge).contains("GreaterThanOrEqual(ts,1705276800000000000)"), pushed(ge))
+      val lt = ev.where($"ts" < cut)
+      assert(pushed(lt).contains("LessThan(ts,1705276800000000000)"), pushed(lt))
+      val band = ev.where($"ts" > cut && $"ts" <= lit("2024-01-20 00:00:00").cast("timestamp"))
+      assert(pushed(band).contains("GreaterThanOrEqual(ts,1705276800000001000)"), pushed(band))
+      assert(pushed(band).contains("LessThan(ts,1705708800000001000)"), pushed(band))
+      // literal-first spelling mirrors
+      val mirr = ev.where(cut <= $"ts")
+      assert(pushed(mirr).contains("GreaterThanOrEqual(ts,1705276800000000000)"), pushed(mirr))
+    }
+  }
+
+  test("the rule never changes results, including on exact boundary timestamps") {
+    val ev = sf().events
+    // an exact event timestamp makes >=/</boundary semantics observable
+    val boundary = ev.select(max($"ts")).as[java.sql.Timestamp].head()
+    val cuts = Seq(
+      lit("2024-01-15 00:00:00").cast("timestamp"),
+      lit(boundary),
+      lit("2024-01-10 12:34:56.789").cast("timestamp"))
+    cuts.foreach { cut =>
+      Seq[(String, org.apache.spark.sql.Column)](
+        (">=", $"ts" >= cut), (">", $"ts" > cut),
+        ("<", $"ts" < cut), ("<=", $"ts" <= cut)).foreach { case (op, cond) =>
+        val without = ev.where(cond).count()
+        val with_ = withRule(ev.where(cond).count())
+        assert(with_ == without, s"op $op at $cut: $with_ != $without")
+      }
+    }
+  }
+
+  test("filters with no converted-ts comparison are left untouched") {
+    val ev = sf().events
+    withRule {
+      val plain = ev.where($"user_id" >= 10)
+      assert(pushed(plain).contains("GreaterThanOrEqual(user_id,10)"))
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("1705"))
+    }
+  }
+}
