@@ -77,6 +77,19 @@ object EventStream {
       .start()
       .awaitTermination()
 
+  /** Streaming exact dedup — the training-data ingest front door: drop
+    * re-deliveries of the same record key within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keys state by `idCols` and evicts
+    * entries older than the watermark, so state is bounded by the
+    * horizon's arrival volume, never the corpus (historical dedup is
+    * the batch operator, q26; this guards the live feed where at-least-
+    * once delivery from the ingest job is the norm).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "4 days"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -45,6 +45,35 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 12:00:00.0", "view", 1L, 1.0)))
   }
 
+  test("dedupStream drops re-delivered ids across micro-batches within the watermark") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    val landing = s"$dir/landing"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    // tick 1: ids 1,2 (and 1 re-delivered inside the same batch)
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 10:10:00"), "b")).toDF("event_id", "ts", "payload")
+      .write.parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def tick(): Unit =
+      EventStream.dedupStream(EventStream.read(spark, landing, schema), Seq("event_id"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start().awaitTermination()
+    tick()
+    // tick 2: id 1 re-delivered AGAIN (at-least-once ingest), id 3 new
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (3L, ts("2024-01-01 11:00:00"), "c")).toDF("event_id", "ts", "payload")
+      .write.mode("append").parquet(landing)
+    tick()
+    val got = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // every id exactly once across ticks
+  }
+
   test("streamed hourly rollup equals the batch aggregate over the same files") {
     // the micro-batch path must be value-identical to running the same
     // groupBy as one batch plan — the guarantee that lets the engine
