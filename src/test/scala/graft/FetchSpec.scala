@@ -29,6 +29,29 @@ class FetchSpec extends SparkSpec {
     assert(Fetch.dateWindows(t("2024-01-01T00:00"), t("2024-01-01T00:00"), Duration.ofHours(1)).isEmpty)
   }
 
+  test("dateWindows tiles any span exactly: no gaps, no overlaps, ordered") {
+    import org.scalacheck.Gen
+    val gen = for {
+      startMin <- Gen.choose(0L, 1000000L)
+      spanMin <- Gen.choose(1L, 10000L)
+      stepMin <- Gen.choose(1L, 500L)
+    } yield (startMin, spanMin, stepMin)
+    val base = t("2020-01-01T00:00")
+    (1 to 200).foreach { i =>
+      val (s0, span, step) = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong))
+      val start = base.plusMinutes(s0)
+      val end = start.plusMinutes(span)
+      val ws = Fetch.dateWindows(start, end, Duration.ofMinutes(step))
+      assert(ws.head._1 == start && ws.last._2 == end)
+      ws.sliding(2).foreach {
+        case Seq((_, aTo), (bFrom, _)) => assert(aTo == bFrom) // no gap, no overlap
+        case _ => ()
+      }
+      assert(ws.forall { case (f, to) => f.isBefore(to) })
+    }
+  }
+
   test("withRetries survives transient failures and raises after the budget") {
     var calls = 0
     val got = Fetch.withRetries(3) { i =>
