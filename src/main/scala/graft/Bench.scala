@@ -36,7 +36,8 @@ object Bench {
     // untimed warmup: file listing, parquet footers, codegen/JIT paths —
     // steady-state throughput is what the 100 TB contract cares about
     val t = Tables(spark, sfDir)
-    Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
+    Seq(t.lineitem, t.orders, t.customer, t.supplier, t.part, t.nation, t.region,
+        t.events, t.documents, t.embeddings)
       .foreach(df => df.count())
     // one progress line per query as it finishes (the driver's tail
     // capture can reconstruct a run even if the summary line is cut),
