@@ -17,6 +17,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Enrich {
 
+  /** Broadcast hint gated on the session threshold vs the plan's
+    * statistics: above the threshold (or with broadcast disabled via
+    * -1) the hint is dropped and Catalyst/AQE picks the join strategy —
+    * the pattern every dictionary-sized-but-unbounded relation in this
+    * engine shares (the UA/GeoIP dictionary here, the IVF centroid
+    * table, the k-means iteration). Call on a MATERIALIZED relation
+    * (persisted+counted, checkpointed, or a real source) so the stats
+    * are bytes, not schema-default guesses.
+    */
+  def sizeGatedBroadcast(df: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold >= 0 && estBytes <= threshold) broadcast(df) else df
+  }
+
   /** Enrich `df` by `keyCol`: `fn` maps each distinct key to derived
     * values matching `outSchema` (a Row of extra columns). `fn` runs
     * distributed via mapPartitions — one call per distinct key, never
@@ -46,14 +61,9 @@ object Enrich {
     // cache between runs.
     val dict = spark.createDataFrame(dictRdd, keyed).persist()
     dict.count() // materialize so the cached-plan statistics are REAL bytes
-    // sessionState's typed conf handles "-1" (broadcast disabled) and
-    // unit suffixes — raw JavaUtils.byteStringAsBytes throws on "-1";
     // stats come from the materialized cache, not schema defaultSize
     // (which prices every string at 20 bytes and would wave a multi-GB
     // dictionary of long UA strings through the gate)
-    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val estBytes = dict.queryExecution.optimizedPlan.stats.sizeInBytes
-    val hinted = if (threshold >= 0 && estBytes <= threshold) broadcast(dict) else dict
-    df.join(hinted, Seq(keyCol), "left")
+    df.join(sizeGatedBroadcast(dict), Seq(keyCol), "left")
   }
 }

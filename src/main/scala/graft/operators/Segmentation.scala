@@ -63,11 +63,18 @@ object Segmentation {
   /** Rules arriving as a table (the reference reads them from Postgres,
     * S8): collect — the rules table is tiny — and delegate. A NULL
     * value survives as null here; `predicate` rejects it with a clear
-    * error for the ops that need one ("null" ignores it).
+    * error for the ops that need one ("null" ignores it). A NULL tag or
+    * key is rejected immediately: a null tag would otherwise be
+    * filtered out of the tag array SILENTLY, dropping the whole
+    * segment's members with no error.
     */
   def applyRules(data: DataFrame, rules: DataFrame, memberCol: String): DataFrame =
     applyRules(data,
       rules.select("tag", "key", "op", "value").collect().toSeq
-        .map(r => Rule(r.getString(0), r.getString(1), r.getString(2), r.getString(3))),
+        .map { r =>
+          require(!r.isNullAt(0), "segmentation rule with NULL tag")
+          require(!r.isNullAt(1), s"segmentation rule '${r.getString(0)}': NULL key")
+          Rule(r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+        },
       memberCol)
 }

@@ -169,9 +169,7 @@ object Similarity {
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn")).persist()
     c.count() // materialize so the cached-plan stats are real bytes
-    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val estBytes = c.queryExecution.optimizedPlan.stats.sizeInBytes
-    val cHinted = if (threshold >= 0 && estBytes <= threshold) broadcast(c) else c
+    val cHinted = graft.operators.Enrich.sizeGatedBroadcast(c)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     val assignment = v.crossJoin(cHinted)
       .select(col("id"), col("v"), col("n"),
@@ -218,7 +216,10 @@ object Similarity {
     * centroid. Each round costs one assignment pass (n · nlist dots,
     * partial-aggregated to one row per vector) plus an elementwise-mean
     * shuffle of n · dim (cell, dim, value) triples — the standard
-    * distributed k-means step; no driver-side math, no collect.
+    * distributed k-means step; no driver-side math, no collect. The
+    * centroid side goes through the same size-gated broadcast as
+    * ivfIndex, and the mean accumulates in DECIMAL so the refined
+    * centroids are identical across partition counts and reruns.
     * Returns (centroid_id, vec) with ids preserved from the seeds, so
     * downstream assignment stays deterministic.
     */
@@ -227,12 +228,12 @@ object Similarity {
     GraftFunctions.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     // centroids stay array<float> (graft_dot's input type); means are
-    // computed in double and cast back — deterministic on both engines
+    // computed exactly (decimal sum, one division) and cast back
     var c = seeds.select(col(idCol).cast("long").as("centroid_id"),
       col(vecCol).cast("array<float>").as("cv"))
     for (_ <- 1 to iters) {
       val cn = c.select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn"))
-      val best = v.crossJoin(broadcast(cn))
+      val best = v.crossJoin(graft.operators.Enrich.sizeGatedBroadcast(cn))
         .select(col("id"), col("v"),
           cosPre(dot(col("v"), col("cv")), col("n"), col("cn")).as("ccos"), col("centroid_id"))
         .groupBy("id")
@@ -242,7 +243,9 @@ object Similarity {
       val means = best
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"))
+        // decimal sum + one division: order-independent, unlike avg()
+        // over doubles whose value drifts with partition count
+        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell").as("centroid_id"),

@@ -97,10 +97,18 @@ object Writers {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val merged =
-      if (fs.exists(target))
-        replacePeriodWindow(spark.read.parquet(path), replacement,
+      if (fs.exists(target)) {
+        // partition-column type inference on read-back may retype the
+        // partition columns (a 'yyyy-MM-dd' STRING fecha comes back as
+        // DATE, a numeric periodo label as INT); align them to the
+        // replacement's declared types so the doomed-filter comparison
+        // and the union always see the caller's original schema
+        val existing = Seq(periodoCol, fechaCol).foldLeft(spark.read.parquet(path)) {
+          (df, c) => df.withColumn(c, col(c).cast(replacement.schema(c).dataType))
+        }
+        replacePeriodWindow(existing, replacement,
           fechaCol, periodoCol, cutoff, mensualLabel)
-      else replacement
+      } else replacement
     stagedSwap(fs, path, merged, Seq(periodoCol, fechaCol))
   }
 
@@ -193,8 +201,17 @@ object Writers {
     } else {
       val parts = updates.select(partitionCol).distinct().collect().map(_.get(0))
       if (assertIdsLocal) {
+        // three-valued isin: a NULL partition value yields NULL (not
+        // true), so the naive !isin silently exempts the null partition
+        // from the stray scan — handle it explicitly on both sides
+        val nonNull = parts.filter(_ != null)
+        val inParts = if (nonNull.isEmpty) lit(false)
+                      else col(partitionCol).isin(nonNull: _*)
+        val stray = if (parts.length != nonNull.length) // updates touch the null partition
+          !coalesce(inParts, lit(false)) && col(partitionCol).isNotNull
+        else !coalesce(inParts, lit(false))
         val strays = spark.read.parquet(path)
-          .where(!col(partitionCol).isin(parts: _*))
+          .where(stray)
           .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
           .limit(5).collect()
         require(strays.isEmpty,

@@ -84,12 +84,16 @@ object Runner {
         case None if resume && hfs.exists(flag) => Resumed
         case None =>
           hfs.delete(flag, false) // clear BEFORE running: crash = flag off
+          // NonFatal only: an OOM or interrupt aborts the whole DAG run
+          // instead of being recorded as a routine stage failure
           try { s.run(); hfs.create(flag, true).close(); Ran }
-          catch { case e: Throwable => Failed(e) }
+          catch { case scala.util.control.NonFatal(e) => Failed(e) }
       }
       outcomes += s.name -> outcome
     }
-    outcomes.toMap
+    // ListMap keeps execution order (the documented contract) for DAGs
+    // of any size — plain Map only happens to preserve it up to 4 keys
+    scala.collection.immutable.ListMap(outcomes.toSeq: _*)
   }
 
   /** The sentinel's view (the reference's seguimiento email body): one

@@ -61,8 +61,6 @@ object ConsumoBloquesPack extends QueryPack {
     t.customer.where(col("c_custkey") < 150 && col("c_custkey") % 2 === 1)
       .select(col("c_custkey").as("platform_id"), lit("Emisor Podcasting").as("soporte"))
 
-  private def users(t: Tables): DataFrame = userradios(t).unionByName(useremisor(t))
-
   /** dicc_medios → dicc_shows → dicc_programas chain (py:183-187). */
   private def medios(t: Tables): DataFrame =
     t.spark.range(200).select(col("id").as("media_id"), (col("id") % 40).as("show_id"))

@@ -46,6 +46,8 @@ object Fetch {
   /** Run `attempt` up to `attempts` times (1-based attempt index);
     * rethrows the last failure once the budget is spent — the
     * reference's while-loop with the terminal "intentos superados".
+    * Only NonFatal failures consume the budget: OOM/interrupts and
+    * Scala control-flow throwables propagate immediately.
     */
   def withRetries[T](attempts: Int)(attempt: Int => T): T = {
     require(attempts >= 1, "attempts must be >= 1")
@@ -53,27 +55,33 @@ object Fetch {
     var last: Throwable = null
     while (i <= attempts) {
       try return attempt(i)
-      catch { case e: Throwable => last = e; i += 1 }
+      catch { case scala.util.control.NonFatal(e) => last = e; i += 1 }
     }
     throw new RuntimeException(s"fetch failed after $attempts attempts", last)
   }
 
   /** The full windowed ingest: for each window fetch rows (with the
-    * retry budget) and hand the chunk to `sink` before fetching the
-    * next. Returns the number of windows landed. A window whose fetch
-    * exhausts its retries aborts the run — previously landed chunks
-    * stay, and a rerun through the K2 replace-window writer (or the
-    * Runner's resume) re-ingests idempotently from the failure point.
+    * retry budget) and hand the chunk PLUS its window bounds to `sink`
+    * before fetching the next. Returns the number of windows landed.
+    *
+    * The sink MUST key its write by the window (e.g. K2 replaceWindow
+    * on a window-derived partition) for the recovery story to hold: a
+    * window whose fetch exhausts its retries aborts the run with all
+    * previously landed chunks intact, and the rerun re-fetches every
+    * window of the span — re-landed windows must REPLACE their earlier
+    * copy, not append beside it, or pre-crash windows double. (The
+    * reference has the same contract: per-period upload into a
+    * delete-and-replace window, consumo_detalle.py:364-381 + K2.)
     */
   def windowedIngest(spark: SparkSession, schema: StructType,
                      start: LocalDateTime, endExclusive: LocalDateTime,
                      step: Duration, attempts: Int = 3)
                     (fetch: (LocalDateTime, LocalDateTime) => Seq[Row])
-                    (sink: DataFrame => Unit): Int = {
+                    (sink: (DataFrame, LocalDateTime, LocalDateTime) => Unit): Int = {
     var landed = 0
     dateWindows(start, endExclusive, step).foreach { case (from, to) =>
       val rows = withRetries(attempts)(_ => fetch(from, to))
-      sink(Readers.fromRows(spark, rows, schema))
+      sink(Readers.fromRows(spark, rows, schema), from, to)
       landed += 1
     }
     landed

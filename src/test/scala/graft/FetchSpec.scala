@@ -68,6 +68,10 @@ class FetchSpec extends SparkSpec {
   }
 
   test("windowedIngest lands each chunk before the next fetch; a dead window keeps prior chunks") {
+    // window-keyed K2 sink: re-landing a window REPLACES its partition
+    def k2Sink(path: String)(df: org.apache.spark.sql.DataFrame,
+                             from: LocalDateTime, to: LocalDateTime): Unit =
+      graft.operators.Writers.replaceWindow(df, path, "fecha")
     val path = Files.createTempDirectory("graft-fetch").toString + "/t"
     def rows(from: LocalDateTime, n: Int) = (1 to n).map(i => Row(from.toLocalDate.toString, i.toLong))
     // happy path: 3 daily windows, flaky transport (each window fails once)
@@ -76,7 +80,7 @@ class FetchSpec extends SparkSpec {
       t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1)) { (from, _) =>
       if (failedOnce.add(from)) sys.error("flaky 500")
       rows(from, 2)
-    } { df => graft.operators.Writers.appendPartitioned(df, path, "fecha") }
+    }(k2Sink(path))
     assert(landed == 3)
     assert(spark.read.parquet(path).count() == 6)
 
@@ -87,9 +91,25 @@ class FetchSpec extends SparkSpec {
         t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1), attempts = 2) { (from, _) =>
         if (from == t("2024-01-03T00:00")) sys.error("outage")
         rows(from, 1)
-      } { df => graft.operators.Writers.appendPartitioned(df, path2, "fecha") }
+      }(k2Sink(path2))
     }
     val kept = spark.read.parquet(path2).select("fecha").as[String].collect().toSet
-    assert(kept == Set("2024-01-01", "2024-01-02")) // recovery = K2 re-ingest from here
+    assert(kept == Set("2024-01-01", "2024-01-02"))
+
+    // the recovery contract: rerun re-fetches EVERY window; the K2 sink
+    // makes that idempotent (pre-crash windows replaced, not doubled)
+    Fetch.windowedIngest(spark, schema,
+      t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1)) { (from, _) =>
+      rows(from, 1)
+    }(k2Sink(path2))
+    assert(spark.read.parquet(path2).count() == 3) // one row per window, no dupes
+  }
+
+  test("withRetries does not consume the budget on fatal throwables") {
+    var calls = 0
+    intercept[InterruptedException] {
+      Fetch.withRetries(5) { _ => calls += 1; throw new InterruptedException("cancel") }
+    }
+    assert(calls == 1) // propagated immediately, not retried
   }
 }

@@ -43,14 +43,16 @@ class HourlyDagSpec extends SparkSpec {
         Fetch.windowedIngest(spark, schema,
           t("2024-01-01T00:00"), t("2024-01-01T04:00"), Duration.ofHours(1)) { (f, tt) =>
           transport(f, tt)
-        } { df =>
-          graft.operators.Writers.appendPartitioned(
-            df.withColumn("fecha", to_date(col("ts"))), landing, "fecha")
+        } { (df, from, _) =>
+          // window-keyed K2 landing: the rerun's re-fetch of pre-crash
+          // windows REPLACES their partition instead of appending dupes
+          graft.operators.Writers.replaceWindow(
+            df.withColumn("w", lit(from.toString)), landing, "w")
         }
         ()
       }),
       Stage("load", deps = Seq("extract"))(() =>
-        ConsumoPipeline.run(spark, spark.read.parquet(landing).drop("fecha"), p, table)))
+        ConsumoPipeline.run(spark, spark.read.parquet(landing).drop("w"), p, table)))
 
     // tick 1: window 2 dead -> extract fails, load blocked, flags off
     val first = Runner.run(spark, stages, flags)
@@ -61,20 +63,20 @@ class HourlyDagSpec extends SparkSpec {
     assert(spark.read.parquet(landing).count() == 2)
 
     // tick 2: API back up. The extract stage re-runs whole (its flag is
-    // off); the landing append gets windows 0,1 AGAIN — which is the
-    // at-least-once reality the K2 replace-window load absorbs, because
-    // the rollup re-aggregates the whole spine and replaces partitions.
+    // off) and re-fetches windows 0,1 — the window-keyed K2 landing
+    // replaces their partitions, so the landing dir equals a clean run.
     outage = false
     val second = Runner.run(spark, stages, flags)
     assert(second("extract") == Runner.Ran && second("load") == Runner.Ran)
     assert(Runner.report(spark, flags, stages).forall(_._2))
+    assert(spark.read.parquet(landing).count() == 4) // one row per window
 
-    // published table == one clean single-run pipeline over clean input
-    // (duplicated landing rows double minutes — so compare against the
-    // ACTUAL landing content run through the same rollup; the published
-    // values must match the load stage's input exactly, proving the
-    // replace-window publish dropped nothing and duplicated nothing)
-    val expect = ConsumoPipeline.rollup(spark, spark.read.parquet(landing).drop("fecha"), p)
+    // published table == one clean never-crashed run over clean input:
+    // the real recovery contract, provable because the window-keyed
+    // landing de-duplicated the re-extract
+    val cleanInput = Seq(0, 1, 2, 3).map(h => row(h, h.toLong, 10.0 + h))
+    val clean = spark.createDataFrame(java.util.Arrays.asList(cleanInput: _*), schema)
+    val expect = ConsumoPipeline.rollup(spark, clean, p)
       .select("p_start", "event_type", "vip", "users", "n_events", "minutes")
       .as[(java.sql.Timestamp, String, Long, Long, Long, Double)].collect().toSet
     val got = spark.read.parquet(table)

@@ -68,6 +68,14 @@ class PipelineOpsSpec extends SparkSpec {
       Segmentation.applyRules(data, badRules, "id").count()
     }
     assert(e.getMessage.contains("'b'") && e.getMessage.contains("'eq'"))
+    // a NULL tag would silently drop the whole segment's members from
+    // the explode — reject it loudly instead
+    val nullTag = Seq((null.asInstanceOf[String], "seg", "eq", "BUILDING"))
+      .toDF("tag", "key", "op", "value")
+    val e2 = intercept[IllegalArgumentException] {
+      Segmentation.applyRules(data, nullTag, "id").count()
+    }
+    assert(e2.getMessage.contains("NULL tag"))
   }
 
   test("replacePeriodWindow invariants hold on random tables (idempotent, window-exact)") {

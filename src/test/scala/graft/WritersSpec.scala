@@ -73,6 +73,22 @@ class WritersSpec extends SparkSpec {
     assert(back == Set(("diario", "2024-06-10", 1.0), ("mensual", "2024-06-01", 2.0)))
   }
 
+  test("K2 dual-window rerun preserves a STRING fecha through partition-type inference") {
+    // partition read-back infers 'yyyy-MM-dd' strings as DATE; the
+    // writer must cast the read-back columns to the replacement's
+    // declared types or the rerun's doomed-filter/union see drifted ones
+    val path = tmp() + "/t"
+    val rows = Seq(("diario", "2024-06-10", 1.0), ("diario", "2024-06-20", 2.0))
+      .toDF("periodo", "fecha", "v")
+    Writers.replacePeriodWindowWrite(spark, path, rows, "fecha", "periodo", lit("2024-06-01"))
+    val fixed = Seq(("diario", "2024-06-20", 22.0)).toDF("periodo", "fecha", "v")
+    Writers.replacePeriodWindowWrite(spark, path, fixed, "fecha", "periodo", lit("2024-06-15"))
+    val back = spark.read.parquet(path)
+    // values correct AND the data round-trips usably as strings
+    assert(back.select($"fecha".cast("string"), $"v").as[(String, Double)].collect().toSet ==
+      Set(("2024-06-10", 1.0), ("2024-06-20", 22.0)))
+  }
+
   test("K3 partition-restricted merge: assertIdsLocal detects an id that moved partitions") {
     val path = tmp() + "/t"
     val base = Seq(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b")).toDF("fecha", "id", "v")
