@@ -61,6 +61,23 @@ class NanosPushdownSpec extends SparkSpec {
     }
   }
 
+  test("the truncation algebra is exact for randomized nanos, including negatives") {
+    // pure check of the four inversions the rule emits: for any long
+    // nanos a and post-epoch micros m, the raw-long bound must be
+    // EQUIVALENT to the original comparison on a div 1000 (truncating
+    // division, like Spark's `div` and Scala's /)
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).foreach { _ =>
+      val a = rnd.nextLong()
+      val m = math.abs(rnd.nextLong() % 4102444800000000L) + 1 // (0, year-2100] micros
+      val d = a / 1000
+      assert((d >= m) == (a >= m * 1000), s"a=$a m=$m >=")
+      assert((d > m) == (a >= (m + 1) * 1000), s"a=$a m=$m >")
+      assert((d < m) == (a < m * 1000), s"a=$a m=$m <")
+      assert((d <= m) == (a < (m + 1) * 1000), s"a=$a m=$m <=")
+    }
+  }
+
   test("filters with no converted-ts comparison are left untouched") {
     val ev = sf().events
     withRule {
