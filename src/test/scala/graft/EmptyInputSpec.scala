@@ -74,6 +74,26 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Double)].toDF("id", "minutes"), vips, $"minutes", $"vip").isEmpty)
   }
 
+  test("round-3 surface: empty spans, corpora and DAGs propagate cleanly") {
+    // windowed ingest over an empty span: zero windows, sink untouched
+    var sank = 0
+    val n = graft.sources.Fetch.windowedIngest(spark,
+      StructType(Seq(StructField("x", LongType))),
+      java.time.LocalDateTime.parse("2024-01-01T00:00"),
+      java.time.LocalDateTime.parse("2024-01-01T00:00"),
+      java.time.Duration.ofHours(1))((_, _) => Seq.empty)((_, _, _) => sank += 1)
+    assert(n == 0 && sank == 0)
+    // k-means over an empty corpus: seeds come back unchanged
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val refined = Similarity.kmeansRefine(noVecs, seeds, "vec_id", "embedding", iters = 2)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(refined == Map(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)))
+    // an empty DAG runs to an empty report
+    val flags = java.nio.file.Files.createTempDirectory("graft-empty-dag").toString
+    assert(graft.pipelines.Runner.run(spark, Seq.empty, flags).isEmpty)
+  }
+
   test("text functions: empty and whitespace-only documents score without throwing") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
     val out = edge.select(
