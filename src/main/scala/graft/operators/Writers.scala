@@ -94,8 +94,11 @@ object Writers {
   def replacePeriodWindowWrite(spark: SparkSession, path: String, replacement: DataFrame,
                                fechaCol: String, periodoCol: String,
                                cutoff: Column, mensualLabel: String = "mensual"): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path: with tables on an object store and a
+    // different default FS (the normal cluster layout), FileSystem.get
+    // would exists/rename against the WRONG filesystem
     val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(target)) {
         // partition-column type inference on read-back may retype the
@@ -161,8 +164,11 @@ object Writers {
     * partitions; semantics identical.
     */
   def mergeByIdWrite(spark: SparkSession, path: String, updates: DataFrame, idCol: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path: with tables on an object store and a
+    // different default FS (the normal cluster layout), FileSystem.get
+    // would exists/rename against the WRONG filesystem
     val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(target)) mergeById(spark.read.parquet(path), updates, idCol)
       else updates
@@ -195,8 +201,9 @@ object Writers {
   def mergeByIdWritePartitioned(spark: SparkSession, path: String, updates: DataFrame,
                                 idCol: String, partitionCol: String,
                                 assertIdsLocal: Boolean = false): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
       updates.write.partitionBy(partitionCol).parquet(path)
     } else {
       val parts = updates.select(partitionCol).distinct().collect().map(_.get(0))

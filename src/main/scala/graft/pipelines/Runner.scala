@@ -44,10 +44,13 @@ object Runner {
     new Path(flagDir, s"${stage}._SUCCESS")
 
   def flagSet(spark: SparkSession, flagDir: String, stage: String): Boolean =
-    fs(spark).exists(flagPath(flagDir, stage))
+    fsFor(spark, flagDir).exists(flagPath(flagDir, stage))
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** FS resolved from the flag dir's scheme, not the default FS — flag
+    * dirs on an object store must work when the default FS is HDFS.
+    */
+  private def fsFor(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Topologically order `stages` (stable: ready stages keep their
     * declaration order, like the reference's sequential DAG file).
@@ -71,7 +74,7 @@ object Runner {
   /** Run the DAG; returns each stage's outcome in execution order. */
   def run(spark: SparkSession, stages: Seq[Stage], flagDir: String,
           resume: Boolean = true): Map[String, Outcome] = {
-    val hfs = fs(spark)
+    val hfs = fsFor(spark, flagDir)
     hfs.mkdirs(new Path(flagDir))
     val outcomes = scala.collection.mutable.LinkedHashMap.empty[String, Outcome]
     topoSort(stages).foreach { s =>
@@ -104,5 +107,5 @@ object Runner {
 
   /** Clear every flag — the reference's start-of-day reset. */
   def reset(spark: SparkSession, flagDir: String, stages: Seq[Stage]): Unit =
-    stages.foreach(s => { fs(spark).delete(flagPath(flagDir, s.name), false); () })
+    stages.foreach(s => { fsFor(spark, flagDir).delete(flagPath(flagDir, s.name), false); () })
 }
