@@ -42,17 +42,13 @@ object Writers {
     * consumo_bloques_hora.py:30-67) needs, where daily rows replace from
     * a trailing cutoff but monthly rows from the month start.
     */
-  def replaceWindow(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  def replaceWindow(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    // per-write option, NOT a session-conf mutate/restore: concurrent
+    // jobs sharing the session must not observe each other's overwrite
+    // mode mid-write
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
 
   /** K2's per-periodo asymmetric delete (consumo_usuarios.py:264-272,
     * consumo_bloques_hora.py:30-67): one table holds rows at several
