@@ -222,6 +222,15 @@ object Similarity {
     * centroids are identical across partition counts and reruns.
     * Returns (centroid_id, vec) with ids preserved from the seeds, so
     * downstream assignment stays deterministic.
+    *
+    * Spec-gated, not oracle-gated, deliberately: DuckDB's float→decimal
+    * cast rounds half-way values differently from Spark's HALF_UP
+    * (measured: 0.0001220703125 → …312 there, …313 here), and a float's
+    * exact decimal expansion can exceed decimal(38)'s digits — so
+    * bitwise cross-engine parity of the means is not achievable; the
+    * contract that matters (same result across partitionings/reruns
+    * within the engine) is what the decimal accumulation guarantees and
+    * the recall spec exercises.
     */
   def kmeansRefine(df: DataFrame, seeds: DataFrame,
                    idCol: String, vecCol: String, iters: Int = 2): DataFrame = {
