@@ -241,7 +241,12 @@ object Similarity {
     var c = seeds.select(col(idCol).cast("long").as("centroid_id"),
       col(vecCol).cast("array<float>").as("cv"))
     for (_ <- 1 to iters) {
-      val cn = c.select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn"))
+      // persist + count before the gate: sizeGatedBroadcast needs REAL
+      // byte stats — the raw seeds plan's estimate can be the multi-GB
+      // source file a small seed slice was filtered from, which would
+      // wrongly drop the hint and cartesian the first iteration
+      val cn = c.select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn")).persist()
+      cn.count()
       val best = v.crossJoin(graft.operators.Enrich.sizeGatedBroadcast(cn))
         .select(col("id"), col("v"),
           cosPre(dot(col("v"), col("cv")), col("n"), col("cn")).as("ccos"), col("centroid_id"))
@@ -251,6 +256,11 @@ object Similarity {
         .select(col("id"), col("v"), col("tk").getItem(0).getField("match_id").as("cell"))
       val means = best
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        // keep the decimal accumulator inside its range: NaN/Inf/1e16+
+        // components (garbage embeddings) would THROW the ANSI decimal
+        // cast mid-job — exclude them from the mean instead (the filter
+        // runs before the groupBy, so the count denominator matches)
+        .where(!isnan(col("x")) && abs(col("x")) < 1e15f)
         .groupBy("cell", "dim")
         // decimal sum + one division: order-independent, unlike avg()
         // over doubles whose value drifts with partition count
@@ -262,7 +272,9 @@ object Similarity {
       // empty cells keep their previous centroid (standard Lloyd fix)
       c = c.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(means("cv"), c("cv")).as("cv"))
-        .localCheckpoint(true) // cut the per-iteration lineage
+        .localCheckpoint(true) // cut the per-iteration lineage (eager —
+                               // safe to drop cn afterwards)
+      cn.unpersist()
     }
     c.select(col("centroid_id"), col("cv"))
   }

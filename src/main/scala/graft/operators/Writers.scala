@@ -203,25 +203,27 @@ object Writers {
       updates.write.partitionBy(partitionCol).parquet(path)
     } else {
       val parts = updates.select(partitionCol).distinct().collect().map(_.get(0))
+      // three-valued isin: a NULL partition value yields NULL (not
+      // true), so both the affected read AND the stray scan need a
+      // null-safe membership predicate — with naive isin, a merge into
+      // the null partition would read an EMPTY affected slice and the
+      // dynamic overwrite would then delete that partition's kept rows
+      val nonNull = parts.filter(_ != null)
+      val nonNullIn = if (nonNull.isEmpty) lit(false)
+                      else coalesce(col(partitionCol).isin(nonNull: _*), lit(false))
+      val inParts = if (parts.length != nonNull.length) // updates touch the null partition
+        nonNullIn || col(partitionCol).isNull
+      else nonNullIn
       if (assertIdsLocal) {
-        // three-valued isin: a NULL partition value yields NULL (not
-        // true), so the naive !isin silently exempts the null partition
-        // from the stray scan — handle it explicitly on both sides
-        val nonNull = parts.filter(_ != null)
-        val inParts = if (nonNull.isEmpty) lit(false)
-                      else col(partitionCol).isin(nonNull: _*)
-        val stray = if (parts.length != nonNull.length) // updates touch the null partition
-          !coalesce(inParts, lit(false)) && col(partitionCol).isNotNull
-        else !coalesce(inParts, lit(false))
         val strays = spark.read.parquet(path)
-          .where(stray)
+          .where(!inParts)
           .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
           .limit(5).collect()
         require(strays.isEmpty,
           s"mergeByIdWritePartitioned: update ids exist in unaffected partitions " +
             s"(id does not embed $partitionCol); e.g. ${strays.mkString(", ")}")
       }
-      val affected = spark.read.parquet(path).where(col(partitionCol).isin(parts: _*))
+      val affected = spark.read.parquet(path).where(inParts)
       val merged = mergeById(affected, updates, idCol).localCheckpoint(true)
       replaceWindow(merged, path, Seq(partitionCol))
     }

@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.time.LocalDateTime
-import java.time.Duration
+import java.time.{Duration, LocalDateTime, ZoneOffset}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
 
 /** The reference's windowed-ingest protocol (S1/S4–S6), minus the HTTP
@@ -85,5 +85,31 @@ object Fetch {
       landed += 1
     }
     landed
+  }
+
+  /** The ready-made window-keyed sink: each chunk lands in a partition
+    * keyed by the WINDOW START (epoch seconds — digits-only, so the
+    * hive directory name needs no escaping), replacing any earlier copy
+    * of the same window. An EMPTY re-fetch still clears the window's
+    * partition — dynamic partition overwrite alone cannot delete a
+    * partition it writes no rows for, which is exactly the "day whose
+    * re-extract came back empty must still be deleted" case the
+    * replacePeriodWindow scaladoc calls out. With this sink a rerun of
+    * `windowedIngest` over the same span makes the landing dir EQUAL a
+    * clean single run, regardless of how row contents moved or vanished
+    * between fetches.
+    */
+  def windowKeyedSink(path: String, windowCol: String = "w")
+                     (df: DataFrame, from: LocalDateTime, to: LocalDateTime): Unit = {
+    val key = from.toEpochSecond(ZoneOffset.UTC)
+    if (df.isEmpty) {
+      val part = new org.apache.hadoop.fs.Path(path, s"$windowCol=$key")
+      val fs = part.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(part, true)
+      ()
+    } else {
+      graft.operators.Writers.replaceWindow(
+        df.withColumn(windowCol, lit(key)), path, windowCol)
+    }
   }
 }

@@ -68,10 +68,6 @@ class FetchSpec extends SparkSpec {
   }
 
   test("windowedIngest lands each chunk before the next fetch; a dead window keeps prior chunks") {
-    // window-keyed K2 sink: re-landing a window REPLACES its partition
-    def k2Sink(path: String)(df: org.apache.spark.sql.DataFrame,
-                             from: LocalDateTime, to: LocalDateTime): Unit =
-      graft.operators.Writers.replaceWindow(df, path, "fecha")
     val path = Files.createTempDirectory("graft-fetch").toString + "/t"
     def rows(from: LocalDateTime, n: Int) = (1 to n).map(i => Row(from.toLocalDate.toString, i.toLong))
     // happy path: 3 daily windows, flaky transport (each window fails once)
@@ -80,7 +76,7 @@ class FetchSpec extends SparkSpec {
       t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1)) { (from, _) =>
       if (failedOnce.add(from)) sys.error("flaky 500")
       rows(from, 2)
-    }(k2Sink(path))
+    }(Fetch.windowKeyedSink(path))
     assert(landed == 3)
     assert(spark.read.parquet(path).count() == 6)
 
@@ -91,18 +87,23 @@ class FetchSpec extends SparkSpec {
         t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1), attempts = 2) { (from, _) =>
         if (from == t("2024-01-03T00:00")) sys.error("outage")
         rows(from, 1)
-      }(k2Sink(path2))
+      }(Fetch.windowKeyedSink(path2))
     }
     val kept = spark.read.parquet(path2).select("fecha").as[String].collect().toSet
     assert(kept == Set("2024-01-01", "2024-01-02"))
 
-    // the recovery contract: rerun re-fetches EVERY window; the K2 sink
-    // makes that idempotent (pre-crash windows replaced, not doubled)
+    // the recovery contract: rerun re-fetches EVERY window and the
+    // window-keyed sink replaces earlier copies — even rows whose DATA
+    // moved dates between fetches cannot double (the partition key is
+    // the WINDOW, not row content), and an empty re-fetch CLEARS its
+    // window (the delete dynamic overwrite can't express)
     Fetch.windowedIngest(spark, schema,
       t("2024-01-01T00:00"), t("2024-01-04T00:00"), Duration.ofDays(1)) { (from, _) =>
-      rows(from, 1)
-    }(k2Sink(path2))
-    assert(spark.read.parquet(path2).count() == 3) // one row per window, no dupes
+      if (from == t("2024-01-01T00:00")) Seq.empty // late retraction
+      else rows(from.minusDays(1), 1)              // data dated OUTSIDE its window
+    }(Fetch.windowKeyedSink(path2))
+    val after = spark.read.parquet(path2).select("fecha").as[String].collect().sorted.toSeq
+    assert(after == Seq("2024-01-01", "2024-01-02")) // w1 cleared; w2/w3 replaced, no dupes
   }
 
   test("withRetries does not consume the budget on fatal throwables") {

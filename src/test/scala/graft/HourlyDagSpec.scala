@@ -43,12 +43,9 @@ class HourlyDagSpec extends SparkSpec {
         Fetch.windowedIngest(spark, schema,
           t("2024-01-01T00:00"), t("2024-01-01T04:00"), Duration.ofHours(1)) { (f, tt) =>
           transport(f, tt)
-        } { (df, from, _) =>
-          // window-keyed K2 landing: the rerun's re-fetch of pre-crash
-          // windows REPLACES their partition instead of appending dupes
-          graft.operators.Writers.replaceWindow(
-            df.withColumn("w", lit(from.toString)), landing, "w")
-        }
+        }(Fetch.windowKeyedSink(landing)) // window-keyed K2 landing:
+        // the rerun's re-fetch of pre-crash windows REPLACES their
+        // partition instead of appending dupes
         ()
       }),
       Stage("load", deps = Seq("extract"))(() =>

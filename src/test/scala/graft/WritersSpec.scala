@@ -104,6 +104,20 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(path).where($"id" === 2L).count() == 2)
   }
 
+  test("K3 partition-restricted merge into the NULL partition keeps its untouched rows") {
+    // three-valued isin: with a naive affected-read, a merge touching
+    // the null partition reads an EMPTY affected slice and the dynamic
+    // overwrite then deletes the partition's kept rows
+    val path = tmp() + "/t"
+    val base = Seq((null.asInstanceOf[String], 1L, "a"), (null.asInstanceOf[String], 2L, "b"),
+      ("2024-01-02", 3L, "c")).toDF("fecha", "id", "v")
+    Writers.mergeByIdWritePartitioned(spark, path, base, "id", "fecha")
+    val updates = Seq((null.asInstanceOf[String], 2L, "B")).toDF("fecha", "id", "v")
+    Writers.mergeByIdWritePartitioned(spark, path, updates, "id", "fecha", assertIdsLocal = true)
+    val out = spark.read.parquet(path).select("id", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c")) // id 1 survived the null-partition rewrite
+  }
+
   test("K3 mergeById: updates win on collision, unmatched target rows survive") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val updates = Seq((2L, "B"), (3L, "C")).toDF("id", "v")
