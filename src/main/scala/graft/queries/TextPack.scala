@@ -119,5 +119,61 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26)
+  val q63 = QueryDef(
+    "q63_repetition_filter",
+    Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |base AS (
+            |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+            |  FROM toks),
+            |uni AS (
+            |  SELECT doc_id, MAX(c) AS top_unigram_n FROM (
+            |    SELECT doc_id, COUNT(*) AS c
+            |    FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY doc_id, tok)
+            |  GROUP BY doc_id),
+            |bi AS (
+            |  SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+            |    SELECT doc_id, COUNT(*) AS c
+            |    FROM (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+            |          FROM toks WHERE len(toks) >= 2)
+            |    GROUP BY doc_id, bg)
+            |  GROUP BY doc_id)
+            |SELECT b.doc_id, b.n_tokens,
+            |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+            |  CAST(top_unigram_n AS DOUBLE) / n_tokens AS top_unigram_frac,
+            |  CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / greatest(n_tokens - 1, 1) AS top_bigram_frac,
+            |  (CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / greatest(n_tokens - 1, 1) > 0.18
+            |   OR CAST(n_distinct AS DOUBLE) / n_tokens < 0.5) AS repetitive
+            |FROM base b JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+            |ORDER BY doc_id""".stripMargin)) { t =>
+    // Gopher-style repetition filters — the standard quality signals the
+    // length/punct/stopword composite (q23) does not cover: distinct-
+    // token ratio, top-unigram fraction, top-bigram fraction, and the
+    // keep/drop flag. Distributed as explode → two-phase (doc, gram)
+    // count → per-doc max: partial aggregation keeps the shuffle at one
+    // row per distinct (doc, gram), never a collected token list. All
+    // ratios are one double division of two exact counts.
+    val toks = t.documents.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val base = toks.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_unigram_n"))
+    val bi = toks.where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+    val topBigramFrac = coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+      greatest(col("n_tokens") - 1, lit(1))
+    val distinctRatio = col("n_distinct").cast("double") / col("n_tokens")
+    base.join(uni, "doc_id").join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        distinctRatio.as("distinct_ratio"),
+        (col("top_unigram_n").cast("double") / col("n_tokens")).as("top_unigram_frac"),
+        topBigramFrac.as("top_bigram_frac"),
+        (topBigramFrac > 0.18 || distinctRatio < 0.5).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63)
 }
