@@ -279,6 +279,46 @@ object Similarity {
     c.select(col("centroid_id"), col("cv"))
   }
 
+  /** Cross-corpus embedding near-dup: every (query, corpus) pair with
+    * cosine >= threshold — the embedding-space analog of the n-gram
+    * train/test contamination scan (Dedup.jaccardPairsAcross). With
+    * planes > 0 both corpora bucket on the same hyperplanes and
+    * candidates come from an equi-join on the bucket (multiprobe
+    * explodes the QUERY side to its hamming-1 neighbors, recovering
+    * near-boundary losses); planes = 0 is the exact baseline — the
+    * query side is the small one (a test set), so the non-equi join
+    * broadcasts it and streams the training corpus once, the q30
+    * pattern, never a shuffled cartesian. A pair can meet on at most
+    * one probe (probe values are distinct, the corpus row has one
+    * bucket), so no dedup pass is needed.
+    */
+  def crossNearDup(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, threshold: Double,
+                   planes: Int = 0, multiprobe: Boolean = true): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    def prep(df: DataFrame, idOut: String) = df.select(col(idCol).as(idOut),
+      col(vecCol).as(s"${idOut}_v"), norm(col(vecCol)).as(s"${idOut}_n"))
+    val q0 = prep(queries, "query_id")
+    val c0 = prep(corpus, "match_id")
+    val cos = cosPre(dot(col("query_id_v"), col("match_id_v")),
+      col("query_id_n"), col("match_id_n"))
+    val pairs =
+      if (planes == 0) {
+        // exact baseline: non-equi join on the threshold itself — the
+        // small query side broadcasts (BNLJ), the corpus streams once
+        q0.join(c0, cos >= threshold)
+      } else {
+        val probeCols =
+          if (multiprobe) col("qb") +: (0 until planes).map(p => col("qb").bitwiseXOR(lit(1L << p)))
+          else Seq(col("qb"))
+        val q = q0.withColumn("qb", lshBucket(col("query_id_v"), planes))
+          .withColumn("probe", explode(array(probeCols: _*)))
+        val c = c0.withColumn("cb", lshBucket(col("match_id_v"), planes))
+        q.join(c, col("probe") === col("cb")).where(cos >= threshold)
+      }
+    pairs.select(col("query_id"), col("match_id"), cos.as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, via the LSH
     * bucket join (candidates must agree on all plane signs — fine for
     * high thresholds) or exact when planes = 0 (single bucket).

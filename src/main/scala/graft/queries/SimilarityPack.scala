@@ -135,5 +135,30 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b)
+  val q64 = QueryDef(
+    "q64_embedding_contamination",
+    Some(s"""WITH q AS (
+            |  SELECT vec_id AS query_id, embedding AS v, ${bucketSql("embedding")} AS bucket
+            |  FROM embeddings WHERE vec_id % 50 = 0),
+            |qp AS (SELECT query_id, v, probe FROM q, UNNEST($probesSql) AS t(probe)),
+            |c AS (
+            |  SELECT vec_id AS match_id, embedding AS v, ${bucketSql("embedding")} AS cb
+            |  FROM embeddings WHERE vec_id % 50 != 0)
+            |SELECT qp.query_id, c.match_id, ${cosSql("qp.v", "c.v")} AS cos
+            |FROM qp JOIN c ON qp.probe = c.cb
+            |WHERE ${cosSql("qp.v", "c.v")} >= 0.4
+            |ORDER BY query_id, match_id""".stripMargin)) { t =>
+    // Train/test contamination in EMBEDDING space (the cosine analog of
+    // q57's n-gram scan): the held-out set probes its LSH bucket plus
+    // hamming-1 neighbors against the bucketed training corpus — an
+    // equi-join, never test × train. Same deterministic split family as
+    // q46/q30 (hash-derived, here vec_id % 50).
+    val test = t.embeddings.where(col("vec_id") % 50 === 0)
+    val train = t.embeddings.where(col("vec_id") % 50 =!= 0)
+    graft.operators.Similarity.crossNearDup(test, train, "vec_id", "embedding",
+        threshold = 0.4, planes = Similarity.planesFor(t.embeddings.count()))
+      .orderBy("query_id", "match_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64)
 }
