@@ -175,5 +175,36 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63)
+  val q65 = QueryDef(
+    "q65_token_histogram",
+    Some(s"""WITH d AS (
+            |  SELECT source, len($toksSql) AS n_tokens FROM documents),
+            |b AS (
+            |  SELECT source, length(bin(n_tokens)) - 1 AS bucket, n_tokens FROM d),
+            |tot AS (SELECT source, COUNT(*) AS src_docs FROM d GROUP BY 1)
+            |SELECT b.source, b.bucket,
+            |  COUNT(*) AS n_docs,
+            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+            |  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(src_docs) AS share
+            |FROM b JOIN tot ON b.source = tot.source
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Token-length histogram per source — the mixture-analysis view a
+    // training pipeline reads before weighting sources. Buckets are
+    // floor(log2(n_tokens)) computed in INTEGER space (length of the
+    // binary representation) — a floating log2 can disagree between
+    // engines at exact powers of two. Two tiny aggregates; at 100 TB
+    // both are partial-aggregated on (source, bucket) / (source).
+    val toks = t.documents.select(col("source"),
+      size(TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val b = toks.withColumn("bucket", length(bin(col("n_tokens"))) - 1)
+    val tot = toks.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    b.join(broadcast(tot), "source")
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (count(lit(1)).cast("double") / first(col("src_docs"))).as("share"))
+      .orderBy("source", "bucket")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65)
 }
