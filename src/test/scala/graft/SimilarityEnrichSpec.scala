@@ -157,6 +157,30 @@ class SimilarityEnrichSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("crossNearDup: LSH pairs are a subset of exact pairs with equal cosines; no dupes") {
+    val emb = sf("sf0.01").embeddings
+    val test = emb.where($"vec_id" % 50 === 0)
+    val train = emb.where($"vec_id" % 50 =!= 0)
+    val exact = Similarity.crossNearDup(test, train, "vec_id", "embedding",
+        threshold = 0.3, planes = 0)
+      .as[(Long, Long, Double)].collect()
+    val exactMap = exact.map { case (q, m, c) => (q, m) -> c }.toMap
+    assert(exactMap.size == exact.length) // planes=0 emits each pair once
+    assert(exact.nonEmpty)
+    val lsh = Similarity.crossNearDup(test, train, "vec_id", "embedding",
+        threshold = 0.3, planes = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.length == lsh.map(p => (p._1, p._2)).distinct.length) // one probe per pair
+    lsh.foreach { case (q, m, c) =>
+      assert(exactMap(q -> m) == c) // every LSH pair is an exact pair, same cosine
+    }
+    // the exact path streams the corpus through a broadcast non-equi
+    // join — never a shuffled equi-join on a constant bucket
+    val plan = Similarity.crossNearDup(test, train, "vec_id", "embedding", 0.3, planes = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("ivfTopK recall vs brute force stays above the floor; kmeans refinement keeps it") {
     val emb = sf("sf0.01").embeddings
     val n = emb.count()
