@@ -65,27 +65,55 @@ object Writers {
   def replacePeriodWindow(existing: DataFrame, replacement: DataFrame,
                           fechaCol: String, periodoCol: String,
                           cutoff: Column, mensualLabel: String = "mensual"): DataFrame = {
-    val doomed = when(col(periodoCol) === mensualLabel,
-        col(fechaCol) >= date_trunc("month", cutoff))
-      .otherwise(col(fechaCol) >= cutoff)
+    val doomed = doomedPredicate(col(fechaCol), col(periodoCol), cutoff, mensualLabel)
     // coalesce: a NULL fecha/periodo must survive like SQL DELETE's
     // three-valued WHERE (null predicate = not deleted), not be dropped
     existing.where(!coalesce(doomed, lit(false))).unionByName(replacement)
   }
 
-  /** Persisting the dual-window replace: read-filter-rewrite through the
-    * same staged swap as mergeByIdWrite. Idempotent: rerunning with the
-    * same replacement yields the same table. The swapped table is
-    * PHYSICALLY partitioned on (periodo, fecha), so the claim that a
-    * 100 TB re-ingest is bounded by partition pruning actually holds:
-    * the kept-rows filter prunes to the replace window at the file
-    * listing, and downstream readers prune the same way. (The full-table
-    * rewrite below is the local-parquet stand-in; on a lakehouse table
-    * the same dataflow lands as a partition-scoped replace.)
+  /** The dual-window DELETE predicate, shared between the pure dataflow
+    * (row-level filter) and the persisted writer (evaluated on partition
+    * VALUES — sound because it reads nothing but fecha/periodo, which are
+    * exactly the physical partition columns).
+    */
+  private def doomedPredicate(fecha: Column, periodo: Column,
+                              cutoff: Column, mensualLabel: String): Column =
+    when(periodo === mensualLabel, fecha >= date_trunc("month", cutoff))
+      .otherwise(fecha >= cutoff)
+
+  /** Persisting the dual-window replace, restricted to the partitions the
+    * replace window dooms. The table is PHYSICALLY partitioned on
+    * (periodo, fecha) and the doomed predicate is a pure function of
+    * those two columns, so whole partitions live or die — no row-level
+    * rewrite is ever needed:
     *
-    * Readers see a sub-second gap between the two renames in
-    * `stagedSwap` where `path` does not exist — see its scaladoc; use a
-    * lakehouse format where readers need snapshot isolation.
+    *  1. enumerate existing (periodo, fecha) partition tuples from the
+    *     driver-side directory listing (a metadata op, O(#partitions));
+    *  2. evaluate the SAME doomed predicate on those tuples (cast to the
+    *     replacement's declared types, so string/date/timestamp fechas
+    *     compare exactly as the row-level filter would);
+    *  3. delete the doomed partitions the replacement writes NO rows for
+    *     (the empty-re-extract case dynamic overwrite cannot express —
+    *     same move as Fetch.windowKeyedSink);
+    *  4. dynamic-partition-overwrite the replacement.
+    *
+    * Partitions outside the replace window are never listed beyond their
+    * names, never read, and never rewritten — at 100 TB an hourly rerun
+    * touches only the trailing window + current month, not the table.
+    * Idempotent: a rerun with the same replacement overwrites the same
+    * partitions to the same bytes and re-deletes nothing.
+    *
+    * Not atomic across partitions (plain filesystems): a crash between
+    * steps 3 and 4 leaves already-doomed partitions deleted and
+    * to-be-overwritten ones stale until the rerun completes. Each
+    * partition individually swaps atomically-enough via the parquet
+    * committer; use a lakehouse format where readers need a table-level
+    * snapshot.
+    *
+    * A pre-existing table NOT in (periodo, fecha) hive layout (e.g. a
+    * legacy unpartitioned dump) is migrated once through the full
+    * read-filter-`stagedSwap` path and is partition-restricted from then
+    * on.
     */
   def replacePeriodWindowWrite(spark: SparkSession, path: String, replacement: DataFrame,
                                fechaCol: String, periodoCol: String,
@@ -95,20 +123,95 @@ object Writers {
     // would exists/rename against the WRONG filesystem
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(target)) {
-        // partition-column type inference on read-back may retype the
-        // partition columns (a 'yyyy-MM-dd' STRING fecha comes back as
-        // DATE, a numeric periodo label as INT); align them to the
-        // replacement's declared types so the doomed-filter comparison
-        // and the union always see the caller's original schema
-        val existing = Seq(periodoCol, fechaCol).foldLeft(spark.read.parquet(path)) {
-          (df, c) => df.withColumn(c, col(c).cast(replacement.schema(c).dataType))
-        }
-        replacePeriodWindow(existing, replacement,
-          fechaCol, periodoCol, cutoff, mensualLabel)
-      } else replacement
-    stagedSwap(fs, path, merged, Seq(periodoCol, fechaCol))
+    val partCols = Seq(periodoCol, fechaCol)
+    if (!fs.exists(target)) {
+      replacement.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+      return
+    }
+    val topDirs = fs.listStatus(target).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    if (!topDirs.exists(_.startsWith(s"$periodoCol="))) {
+      // legacy layout: one-time migration through the staged full rewrite
+      // (partition-column type inference on read-back may retype the
+      // partition columns; align them to the replacement's declared types
+      // so the doomed filter and the union see the caller's schema)
+      val existing = partCols.foldLeft(spark.read.parquet(path)) {
+        (df, c) => df.withColumn(c, col(c).cast(replacement.schema(c).dataType))
+      }
+      val merged = replacePeriodWindow(existing, replacement,
+        fechaCol, periodoCol, cutoff, mensualLabel)
+      stagedSwap(fs, path, merged, partCols)
+      return
+    }
+    // (1) existing partition tuples, as the RAW escaped dir names (reused
+    // verbatim for deletion — never re-escaped) plus unescaped values
+    val tuples: Seq[(String, String, String, String)] = for {
+      pDir <- topDirs.toSeq if pDir.startsWith(s"$periodoCol=")
+      fStat <- fs.listStatus(new org.apache.hadoop.fs.Path(target, pDir)).toSeq
+      if fStat.isDirectory
+      fDir = fStat.getPath.getName if fDir.startsWith(s"$fechaCol=")
+    } yield (pDir, fDir,
+      unescapePathName(pDir.substring(periodoCol.length + 1)),
+      unescapePathName(fDir.substring(fechaCol.length + 1)))
+    // a __HIVE_DEFAULT_PARTITION__ (null) tuple can never be doomed: the
+    // predicate is three-valued null there, which the dataflow keeps
+    val named = tuples.filterNot { case (_, _, p, f) =>
+      p == nullPartitionName || f == nullPartitionName }
+    // (2)+(3) doomed tuples with no replacement rows → explicit delete.
+    // Membership is decided by a typed anti-join (null-safe equality on
+    // the CAST values), not by string-comparing dir names against
+    // formatted values — immune to formatting drift between the hive
+    // path encoding and Spark's cast-to-string
+    if (named.nonEmpty) {
+      import spark.implicits._
+      val pT = replacement.schema(periodoCol).dataType
+      val fT = replacement.schema(fechaCol).dataType
+      val tupleDf = named.toDF("p_dir", "f_dir", "p_raw", "f_raw")
+        .withColumn("p_val", col("p_raw").cast(pT))
+        .withColumn("f_val", col("f_raw").cast(fT))
+      val doomedDf = tupleDf.where(coalesce(
+        doomedPredicate(col("f_val"), col("p_val"), cutoff, mensualLabel), lit(false)))
+      // one extra pass over the replacement (bounded by the replace
+      // window, not the table) — the same price mergeByIdWritePartitioned
+      // pays to learn its affected partitions
+      val replParts = replacement
+        .select(col(periodoCol).cast(pT).as("p_val"), col(fechaCol).cast(fT).as("f_val"))
+        .distinct()
+      val toDelete = doomedDf
+        .join(replParts, doomedDf("p_val") <=> replParts("p_val") &&
+          doomedDf("f_val") <=> replParts("f_val"), "left_anti")
+        .select("p_dir", "f_dir").as[(String, String)].collect()
+      toDelete.foreach { case (pDir, fDir) =>
+        val dead = new org.apache.hadoop.fs.Path(target, s"$pDir/$fDir")
+        fs.delete(dead, true)
+        // drop a periodo dir left childless so partition discovery never
+        // sees an empty intermediate level
+        val parent = new org.apache.hadoop.fs.Path(target, pDir)
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, true)
+      }
+    }
+    // (4) rewrite exactly the partitions the replacement has rows for
+    replaceWindow(replacement, path, partCols)
+  }
+
+  private val nullPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Inverse of Hive's partition-path escaping (%XX hex sequences), so
+    * directory names round-trip to comparable values. Local, dependency-
+    * free equivalent of Spark's internal ExternalCatalogUtils helper.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Write `df` to a staging dir (partitioned when `partitionCols` is

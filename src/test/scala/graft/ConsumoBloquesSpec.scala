@@ -32,6 +32,21 @@ class ConsumoBloquesSpec extends SparkSpec {
       "p_start", "periodo", ConsumoBloquesPack.cutoffTs)
     assert(canon(spark.read.parquet(path)) == canon(ConsumoBloquesPack.firstLoad(t)))
 
+    // partitions OUTSIDE the replace window (hora, pre-cutoff) must come
+    // through the rerun byte-identical — the writer may not even open
+    // them, let alone rewrite them; this is what makes the hourly rerun
+    // O(window) instead of O(table) at 100 TB
+    def untouched(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path + "/periodo=hora"))
+        .filter(_.getName.endsWith(".parquet"))
+        .filter(_.getParentFile.getName.replace("%3A", ":") < "p_start=2024-01-15 00:00:00")
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val beforeRerun = untouched()
+    assert(beforeRerun.nonEmpty, "fixture must have pre-cutoff hora partitions")
+
     // the hourly rerun: trailing-window re-extract replaces hora rows
     // from the cutoff, mensual recomputed whole
     val replacement = ConsumoBloquesPack.rerunReplacement(t)
@@ -39,6 +54,8 @@ class ConsumoBloquesSpec extends SparkSpec {
       "p_start", "periodo", ConsumoBloquesPack.cutoffTs)
     val afterRerun = canon(spark.read.parquet(path))
     assert(afterRerun == canon(ConsumoBloquesPack.publish(t)))
+    assert(untouched() == beforeRerun,
+      "rerun rewrote partitions outside the replace window")
 
     // a second identical rerun must change nothing
     Writers.replacePeriodWindowWrite(spark, path, replacement,
