@@ -45,14 +45,33 @@ object Bench {
     // timings so the line stays short enough to parse whole. A failing
     // query is RECORDED (per-query err + top-level errors map), never
     // silently folded into a near-zero timing.
+    //
+    // Each query is timed TWICE and the min reported: a single pass is
+    // contention-sensitive (a leftover sbt-test JVM or GC pause can
+    // spike one query 3-5x and manufacture a phantom regression — it
+    // did, three times, in the round-3 driver tail); min-of-2 damps
+    // that while the first pass doubles as the query-specific codegen
+    // warmup. Both raw passes are kept in the per-query line.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { force(fn(spark, sfDir)); None }
-                catch { case e: Throwable =>
-                  Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
-      val sec = r3((System.nanoTime() - t0) / 1e9)
+      def timedPass(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { force(fn(spark, sfDir)); None }
+                  catch { case e: Throwable =>
+                    Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+        (r3((System.nanoTime() - t0) / 1e9), err)
+      }
+      val (s1, e1) = timedPass()
+      val (sec, err, runs) =
+        if (e1.isDefined) (s1, e1, Seq(s1))
+        else {
+          val (s2, e2) = timedPass()
+          // a second-pass failure on a first-pass success is real flake:
+          // surface it rather than hide behind the green first run
+          if (e2.isDefined) (s1, e2, Seq(s1, s2))
+          else (math.min(s1, s2), None, Seq(s1, s2))
+        }
       val errJson = err.map(m => s""","err":"${esc(m)}"""").getOrElse("")
-      println(s"""{"query":"${esc(name)}","sec":$sec$errJson}""")
+      println(s"""{"query":"${esc(name)}","sec":$sec,"runs":[${runs.mkString(",")}]$errJson}""")
       (name, sec, err)
     }
     val qs = results.map { case (name, sec, _) => s""""${esc(name)}":$sec""" }

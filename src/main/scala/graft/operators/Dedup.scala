@@ -57,11 +57,19 @@ object Dedup {
       call_function("graft_shingle_hashes", col(textCol), lit(k), lit(14)).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
     val allPosting = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    // hot shingles are FEW by definition (at most |postings|/maxDocFreq),
+    // so the valve is a partial-aggregated groupBy blocklist + anti-join
+    // — NOT a count-over-Window, which would sort every posting within
+    // each hash partition just to compute a count, exactly on the skewed
+    // corpora the valve exists for. AQE turns the anti join into a
+    // broadcast at runtime when the blocklist is as small as expected.
     val posting =
       if (maxDocFreq == Long.MaxValue) allPosting
-      else allPosting.withColumn("__df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .where(col("__df") <= maxDocFreq).drop("__df")
+      else {
+        val hot = allPosting.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxDocFreq).select("sh")
+        allPosting.join(hot, Seq("sh"), "left_anti")
+      }
     val inter = posting.as("a")
       .join(posting.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -187,9 +187,21 @@ object Similarity {
   /** Search a built IVF index: candidates live in the query's nprobe
     * nearest cells (equi-join on the cell id) — the inverted-file
     * trade: recall bounded by the cell partition, no all-pairs product.
+    *
+    * `homeCells` > 1 is IVF multi-assignment: each corpus vector is
+    * LISTED in its `homeCells` nearest cells (storage inflates by that
+    * factor — the standard recall/storage trade), so a pair whose two
+    * vectors straddle a cell boundary still meets without widening the
+    * query's probe set. A pair can then meet in up to
+    * min(nprobe, homeCells) cells; `graft_topk_pairs` has set semantics
+    * on (score, id), so duplicate meetings collapse inside the partial
+    * aggregate — no distinct pass, the shuffle stays O(n · nprobe).
+    * Requires homeCells <= the nprobe the index was built with.
     */
-  def ivfTopK(index: IvfIndex, k: Int): DataFrame = {
-    val home = index.assignment.where(col("rn") === 1).drop("rn")
+  def ivfTopK(index: IvfIndex, k: Int): DataFrame = ivfTopK(index, k, 1)
+
+  def ivfTopK(index: IvfIndex, k: Int, homeCells: Int): DataFrame = {
+    val home = index.assignment.where(col("rn") <= homeCells).drop("rn")
     val probes = index.assignment.drop("rn")
     val scored = probes.as("q").join(home.as("c"),
         col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
@@ -207,8 +219,22 @@ object Similarity {
     * slots in front without changing the plan shape.
     */
   def ivfTopK(df: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame =
-    ivfTopK(ivfIndex(df, centroids, idCol, vecCol, nprobe), k)
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2,
+              homeCells: Int = 1): DataFrame =
+    ivfTopK(ivfIndex(df, centroids, idCol, vecCol, nprobe), k, homeCells)
+
+  /** Deterministic hash-spread seed centroids: the k corpus rows with the
+    * smallest md5-derived key (ties to the smaller id) — a uniform
+    * pseudo-random sample that decorrelates seeds from id locality,
+    * where first-k-ids seeding inherits whatever clustering the insert
+    * order carries (adjacent ids are often near-duplicates, wasting
+    * cells). Plans as TakeOrderedAndProject: per-partition top-k, no
+    * global sort shuffle — o(n) rows ever move.
+    */
+  def hashSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(TextFns.hash32(col(idCol).cast("string")), col(idCol))
+      .limit(k)
 
   /** Deterministic Lloyd refinement of caller-chosen seed centroids:
     * `iters` rounds of (assign to nearest centroid, recompute each
