@@ -77,4 +77,26 @@ object Segmentation {
           Rule(r.getString(0), r.getString(1), r.getString(2), r.getString(3))
         },
       memberCol)
+
+  /** Cross-segment exclusivity (Bigquery_to_csv_2.ipynb:66-90): segments
+    * are priority-ordered and a member belongs only to the FIRST segment
+    * that claims them — the reference expresses this as a GROWING CHAIN
+    * of left-outer anti joins (segment k excludes the emails of all k−1
+    * earlier segments: O(N²) joins, each a shuffle). One min-priority
+    * aggregate over the (tag, member) pairs produces the identical
+    * assignment in a single shuffle: group by member, keep the
+    * smallest-priority tag. Ties inside the same priority (a tag not in
+    * `priorities`) resolve by tag name so the result is deterministic;
+    * unlisted tags sort after every listed one, preserving the
+    * reference's "later segments only get leftovers" contract.
+    */
+  def exclusive(memberships: DataFrame, priorities: Seq[String]): DataFrame = {
+    val prio = priorities.zipWithIndex.foldRight(lit(priorities.size): Column) {
+      case ((t, i), acc) => when(col("tag") === t, lit(i)).otherwise(acc)
+    }
+    memberships
+      .groupBy("member")
+      .agg(min(struct(prio.as("p"), col("tag").as("tag"))).as("w"))
+      .select(col("w.tag").as("tag"), col("member"))
+  }
 }
