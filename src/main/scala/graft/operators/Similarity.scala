@@ -213,10 +213,14 @@ object Similarity {
   /** One-shot IVF ANN: build the index and search it. The index caches
     * stay session-resident (both the probe and home sides consume the
     * assignment, and Spark does not reuse the exchange across their
-    * different rn filters); callers that loop should use
-    * `ivfIndex`/`ivfTopK(index, k)` and `release()` when done.
-    * Centroids are caller-chosen rows (deterministic); `kmeansRefine`
-    * slots in front without changing the plan shape.
+    * different rn filters). Repeated calls with the SAME inputs do not
+    * accumulate copies — CacheManager dedups persisted plans by
+    * analyzed-plan equality, so an identical rebuild maps onto the
+    * existing cache entries (spec-asserted). Callers whose inputs
+    * change between calls should use `ivfIndex`/`ivfTopK(index, k)`
+    * and `release()` for an explicit lifecycle. Centroids are
+    * caller-chosen rows (deterministic); `kmeansRefine` slots in front
+    * without changing the plan shape.
     */
   def ivfTopK(df: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int = 2,

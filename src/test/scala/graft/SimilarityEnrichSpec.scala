@@ -99,6 +99,11 @@ class SimilarityEnrichSpec extends SparkSpec {
     assert(Similarity.planesFor(1L << 30) == 25)
     assert(Similarity.centroidsFor(500) == 16) // sf0.01 — oracle parity
     assert(Similarity.centroidsFor(2000) == 16)
+    // the q31/q51/q64 oracle constants are GENERATED from these formulas
+    // at the documented sf0.01 corpus size — if the testdata drifts, the
+    // gate must break HERE, loudly, not as a silent oracle mismatch
+    assert(sf("sf0.01").embeddings.count() == 500,
+      "sf0.01 embeddings corpus size changed: regenerate the ANN oracle constants")
     // sqrt-scaled (round-2 weakness fixed): 1e9 vectors → ~5.8k
     // centroids, not the 33M a linear n/32 sizing degenerates to — the
     // centroid table stays o(n) and broadcastable far longer
@@ -215,6 +220,21 @@ class SimilarityEnrichSpec extends SparkSpec {
     info(s"recall: seeds@2=$seedRecall refined@2=$refinedRecall2 refined@3x2=$refinedRecall")
     assert(refinedRecall2 >= 0.30, s"refined-centroid nprobe=2 recall $refinedRecall2 below floor")
     assert(refinedRecall >= 0.60, s"refined-centroid nprobe=3 recall $refinedRecall below floor")
+  }
+
+  test("repeated one-shot ivfTopK calls reuse the session index cache, not accumulate it") {
+    // the one-shot overload persists the centroid table + assignment (the
+    // in-session index); CacheManager dedups by analyzed plan, so an
+    // identical rebuild must map to the SAME cache entries — callers with
+    // changing inputs use ivfIndex/release() for an explicit lifecycle
+    val emb = sf().embeddings
+    val nc = Similarity.centroidsFor(emb.count())
+    val seeds = emb.where($"vec_id" < nc)
+    Similarity.ivfTopK(emb, seeds, "vec_id", "embedding", k = 3).count()
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    Similarity.ivfTopK(emb, seeds, "vec_id", "embedding", k = 3).count()
+    val n2 = spark.sparkContext.getPersistentRDDs.size
+    assert(n2 == n1, s"identical one-shot rebuild grew the cache ($n1 -> $n2)")
   }
 
   test("frameSample emits zero rows for payloads shorter than one frame") {
