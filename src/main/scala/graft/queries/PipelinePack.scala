@@ -292,6 +292,48 @@ object PipelinePack extends QueryPack {
       .orderBy("tag", "member")
   }
 
+  val q68 = QueryDef(
+    "q68_segment_exclusive",
+    Some("""WITH data AS (
+           |  SELECT c_custkey, c_mktsegment, c_acctbal < 0 AS moroso,
+           |    CASE WHEN c_acctbal > 9000 THEN 'rich' END AS nota
+           |  FROM customer
+           |), memberships AS (
+           |  SELECT 'seg_building' AS tag, c_custkey AS member FROM data WHERE c_mktsegment = 'BUILDING'
+           |  UNION ALL
+           |  SELECT 'vip_ids', c_custkey FROM data WHERE CAST(c_custkey AS VARCHAR) IN ('1','5','9','100')
+           |  UNION ALL
+           |  SELECT 'morosos', c_custkey FROM data WHERE moroso = TRUE
+           |  UNION ALL
+           |  SELECT 'sin_nota', c_custkey FROM data WHERE nota IS NULL
+           |), prio(tag, idx) AS (
+           |  VALUES ('vip_ids', 0), ('morosos', 1), ('seg_building', 2), ('sin_nota', 3)
+           |), best AS (
+           |  SELECT m.member, MIN(p.idx) AS idx
+           |  FROM memberships m JOIN prio p ON m.tag = p.tag
+           |  GROUP BY m.member
+           |)
+           |SELECT p.tag, best.member FROM best JOIN prio p ON best.idx = p.idx
+           |ORDER BY tag, member""".stripMargin)) { t =>
+    // Cross-segment exclusivity over the q56 membership plan
+    // (Bigquery_to_csv_2.ipynb:66-90): the reference's chained left-anti
+    // joins as ONE min-priority aggregate — each member lands in the
+    // first segment that claims them, and nowhere else.
+    val data = t.customer.select(
+      col("c_custkey"), col("c_mktsegment"),
+      (col("c_acctbal") < 0).as("moroso"),
+      when(col("c_acctbal") > 9000, "rich").otherwise(lit(null)).as("nota"))
+    val memberships = Segmentation.applyRules(data, Seq(
+        Segmentation.Rule("seg_building", "c_mktsegment", "eq", "BUILDING"),
+        Segmentation.Rule("vip_ids", "c_custkey", "in", "1,5,9,100"),
+        Segmentation.Rule("morosos", "moroso", "bool", "True"),
+        Segmentation.Rule("sin_nota", "nota", "null", "")),
+      memberCol = "c_custkey")
+    Segmentation.exclusive(memberships,
+        Seq("vip_ids", "morosos", "seg_building", "sin_nota"))
+      .orderBy("tag", "member")
+  }
+
   val q58 = QueryDef(
     "q58_skew_salted_agg",
     Some("""SELECT event_type, COUNT(*) AS n,
@@ -370,5 +412,5 @@ object PipelinePack extends QueryPack {
       .orderBy("desc_tramo", "tipo_a", "tipo_b")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59)
+  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59, q68)
 }
