@@ -88,7 +88,8 @@ object ConsumoBloquesPack extends QueryPack {
     * pays five scans inside BigQuery; at 100 TB that is the dominant
     * cost, so the re-expression folds them.)
     */
-  private def grain(t: Tables, con: DataFrame, spine: DataFrame): DataFrame = {
+  private def grain(t: Tables, con: DataFrame, spine: DataFrame,
+                    gate: Column = lit(true)): DataFrame = {
     val userFlags = userradios(t).withColumn("is_radios", lit(true))
       .unionByName(useremisor(t).withColumn("is_radios", lit(false)))
     val mediaChain = medios(t)
@@ -102,6 +103,7 @@ object ConsumoBloquesPack extends QueryPack {
       .join(broadcast(mediaChain), col("content_id") === col("media_id"), "left")
       .join(broadcast(spine),
         TimeFns.overlaps(col("s"), col("e"), col("p_start"), col("p_end")))
+      .where(gate)
     val ct = col("content_type")
     val nullS = lit(null).cast("string")
     def tag(rama: String, cond: Column, ctOut: Column, bloque: Column): Column =
@@ -133,29 +135,37 @@ object ConsumoBloquesPack extends QueryPack {
         col("periodo"), col("p_start"), col("minutos"), col("devices"))
   }
 
-  /** Dual-grain rollup: the hora grain over `conHora` with its spine
-    * starting at `horaStart`, the mensual grain always over the full
-    * month extract (the reference re-extracts from month start for
-    * MONTH runs, py:98-101,226-232).
+  /** Dual-grain rollup as ONE fact pass: both grains' spines union into
+    * a single broadcast window dim (`periodo` distinguishes them — it is
+    * already an aggregation key, so the unioned join produces exactly
+    * the rows the two separate joins did), and the rerun's asymmetric
+    * extract (consumo re-read from the cutoff for hora, the full month
+    * for mensual, py:98-101,226-232) becomes a per-grain gate on the
+    * event's start instead of a second filtered scan. The reference pays
+    * 2 grain runs × the consumo scan; r3 of this pack paid 2 scans; now
+    * the fact streams once per rollup.
     */
-  def rollup(t: Tables, conHora: DataFrame, horaStart: String, conMes: DataFrame): DataFrame = {
+  def rollup(t: Tables, horaStart: String, horaExtractFloor: Option[String]): DataFrame = {
     val horas = TimeFns.spine(t.spark, horaStart, MonthEnd, "1 hour")
       .withColumn("periodo", lit("hora"))
     val mes = TimeFns.spine(t.spark, MonthStart, MonthEnd, "1 month")
       .withColumn("periodo", lit("mensual"))
-    grain(t, conHora, horas).unionByName(grain(t, conMes, mes))
+    val gate = horaExtractFloor
+      .map(f => col("periodo") =!= "hora" || col("s") >= lit(f).cast("timestamp"))
+      .getOrElse(lit(true))
+    grain(t, consumo(t, None), horas.unionByName(mes), gate)
   }
 
   /** First full-month load: both grains over the complete extract. */
   def firstLoad(t: Tables): DataFrame =
-    rollup(t, consumo(t, None), MonthStart, consumo(t, None))
+    rollup(t, MonthStart, None)
 
   /** The hourly rerun's re-extract: consumo from the cutoff for the
     * hora grain, the full month again for mensual (py:30-67's dual
     * delete windows pair with exactly this extract asymmetry).
     */
   def rerunReplacement(t: Tables): DataFrame =
-    rollup(t, consumo(t, Some(Cutoff)), Cutoff, consumo(t, None))
+    rollup(t, Cutoff, Some(Cutoff))
 
   def cutoffTs: org.apache.spark.sql.Column = lit(Cutoff).cast("timestamp")
 

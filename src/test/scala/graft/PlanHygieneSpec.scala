@@ -55,17 +55,19 @@ class PlanHygieneSpec extends SparkSpec {
     assert(scans == 1, s"q56 scans its input $scans times — rules must share one pass:\n$plan")
   }
 
-  test("q62's five branches share one fact scan per (load, grain)") {
+  test("q62's five branches and both grains share one fact scan per load") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q62_consumo_bloques")(spark, dir)
       .queryExecution.executedPlan.toString
     val factScans = "events\\.parquet".r.findAllIn(plan).length
     // q62 recomputes BOTH sides of the publication (existing +
-    // replacement; production reads `existing` from storage), each at
-    // two grains: 2 loads × 2 grains = 4 fact scans. The five branches
-    // must NOT multiply that (5 branch plans would be 20).
-    assert(factScans == 4,
-      s"q62 scans events $factScans times — the 5 branches must share one pass per load+grain")
+    // replacement; production reads `existing` from storage): 2 loads ×
+    // 1 scan each — the grains ride one unioned spine and the rerun's
+    // asymmetric extract is a per-grain gate, so neither the 5 branches
+    // nor the 2 grains multiply the scan (5 branch plans × 2 grains
+    // would be 20).
+    assert(factScans == 2,
+      s"q62 scans events $factScans times — branches and grains must share one pass per load")
   }
 
   test("aggregations are two-phase (partial before the exchange)") {
