@@ -121,16 +121,23 @@ object ConsumoBloquesPack extends QueryPack {
       tag("emisor_shows",
         !col("is_radios") && ct =!= "click" && col("media_id").isNotNull,
         ct, col("bloque_emisor")))
+    // two-level aggregate: sum + countDistinct in one agg plans an
+    // Expand that doubles every exploded row before the shuffle;
+    // pre-aggregating per device keeps both levels plain partial hash
+    // aggs (identical values — long sums are associative)
     joined
       .select(col("soporte"), col("periodo"), col("p_start"), col("p_end"),
         col("s"), col("e"), col("device_id"),
         explode(filter(tags, _.isNotNull)).as("b"))
       .groupBy(col("b.rama").as("rama"), col("soporte"), col("b.ct").as("content_type"),
-        col("b.bloque").as("bloque"), col("periodo"), col("p_start"))
-      .agg(
-        (sum(floor(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end")) / 6))
-          .cast("double") / 10.0).as("minutos"),
-        countDistinct(col("device_id")).as("devices"))
+        col("b.bloque").as("bloque"), col("periodo"), col("p_start"), col("device_id"))
+      .agg(sum(floor(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end")) / 6))
+        .as("dtenths"))
+      .groupBy("rama", "soporte", "content_type", "bloque", "periodo", "p_start")
+      // count(device_id), not count(*): countDistinct excludes NULLs,
+      // so a null-device group must not count as a device
+      .agg((sum(col("dtenths")).cast("double") / 10.0).as("minutos"),
+        count(col("device_id")).as("devices"))
       .select(col("rama"), col("soporte"), col("content_type"), col("bloque"),
         col("periodo"), col("p_start"), col("minutos"), col("devices"))
   }

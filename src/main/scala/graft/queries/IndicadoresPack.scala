@@ -161,12 +161,18 @@ object IndicadoresPack extends QueryPack {
       tag("device", habil30, col("device_type")),
       tag("bloque", col("kind") === "bloque" && in30, col("grp_w")),
       tag("30ih", col("kind") === "inhabil" && in30, nullS))
+    // two-level aggregate instead of sum + countDistinct in one: the
+    // mixed distinct/non-distinct form plans an Expand that doubles
+    // every exploded pair before the shuffle; pre-aggregating per
+    // window makes both levels plain partial-aggregated hash aggs and
+    // the second level's input is already window-deduplicated
     joined
       .select(col("platform_id"), col("s"), col("e"), col("ws"), col("we"),
         explode(filter(tags, _.isNotNull)).as("b"))
-      .groupBy(col("platform_id"), col("b.ind").as("ind"), col("b.grp").as("grp"))
-      .agg(sum(TimeFns.overlapSeconds(col("s"), col("e"), col("ws"), col("we"))).as("secs"),
-        countDistinct(col("ws")).as("q"))
+      .groupBy(col("platform_id"), col("b.ind").as("ind"), col("b.grp").as("grp"), col("ws"))
+      .agg(sum(TimeFns.overlapSeconds(col("s"), col("e"), col("ws"), col("we"))).as("wsecs"))
+      .groupBy("platform_id", "ind", "grp")
+      .agg(sum(col("wsecs")).as("secs"), count(lit(1)).as("q"))
   }
 
   /** One wide-row slot per output family: where its long-form rows live
