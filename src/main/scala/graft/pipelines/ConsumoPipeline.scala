@@ -28,7 +28,19 @@ object ConsumoPipeline {
     * per (period, event_type, vip) rollup. Pure dataflow — testable
     * without any write.
     */
-  def rollup(spark: SparkSession, events: DataFrame, p: Params): DataFrame = {
+  def rollup(spark: SparkSession, events: DataFrame, p: Params): DataFrame =
+    rollupOver(spark, events, p,
+      TimeFns.spine(spark, p.spineStart, p.spineEnd, p.grain)
+        .withColumn("periodo", lit("")))
+      .drop("periodo")
+
+  /** The rollup over an explicit spine carrying a `periodo` column —
+    * several grains ride ONE pass of the fact when their spines union
+    * (periodo rides every aggregation key, so the unioned overlap join
+    * produces exactly the rows the per-grain joins would).
+    */
+  private def rollupOver(spark: SparkSession, events: DataFrame, p: Params,
+                         spine: DataFrame): DataFrame = {
     // 1. enrichment: parse the props payload once per distinct value
     //    (the reference's UA/GeoIP dictionary trick)
     val kRe = """"k"\s*:\s*(\d+)""".r
@@ -46,14 +58,13 @@ object ConsumoPipeline {
 
     // 3. overlap join to the calendar spine (broadcast; at 100 TB the
     //    spine is still only hours-per-decade rows)
-    val spine = TimeFns.spine(spark, p.spineStart, p.spineEnd, p.grain)
     val joined = OverlapJoin.broadcastOverlap(
       intervals, spine, col("s"), col("e"), col("p_start"), col("p_end"))
 
     // 4. per-user minutes inside each period, then VIP banding (theta
     //    join vs the 5-row dim) and the final rollup
     val perUser = joined
-      .groupBy("p_start", "event_type", "user_id")
+      .groupBy("periodo", "p_start", "event_type", "user_id")
       .agg(
         (sum(TimeFns.overlapSeconds(col("s"), col("e"), col("p_start"), col("p_end"))) / 60.0)
           .as("minutes"),
@@ -62,7 +73,7 @@ object ConsumoPipeline {
       java.util.Arrays.asList(p.vips.map(Row(_)): _*),
       StructType(Seq(StructField("vip", LongType, nullable = false))))
     BandJoin.thresholdBands(perUser, vips, col("minutes"), col("vip"))
-      .groupBy("p_start", "event_type", "vip")
+      .groupBy("periodo", "p_start", "event_type", "vip")
       .agg(
         countDistinct(col("user_id")).as("users"),
         sum(col("n_events")).as("n_events"),
@@ -88,11 +99,17 @@ object ConsumoPipeline {
   def runDualGrain(spark: SparkSession, events: DataFrame,
                    pHora: Params, pMensual: Params,
                    outPath: String, cutoff: org.apache.spark.sql.Column): Unit = {
-    val hora = rollup(spark, events, pHora)
-      .withColumn("periodo", lit("hora"))
-    val mensual = rollup(spark, events, pMensual.copy(grain = "1 month"))
-      .withColumn("periodo", lit("mensual"))
+    // both grains ride one fact pass: union the spines, tag periodo
+    // (the q62 fold — the enrichment and banding config must agree for
+    // the shared pass to be semantics-preserving)
+    require(pHora.vips == pMensual.vips,
+      "dual-grain fold requires identical VIP banding across grains")
+    val spine = TimeFns.spine(spark, pHora.spineStart, pHora.spineEnd, pHora.grain)
+        .withColumn("periodo", lit("hora"))
+      .unionByName(
+        TimeFns.spine(spark, pMensual.spineStart, pMensual.spineEnd, "1 month")
+          .withColumn("periodo", lit("mensual")))
     Writers.replacePeriodWindowWrite(spark, outPath,
-      hora.unionByName(mensual), "fecha", "periodo", cutoff)
+      rollupOver(spark, events, pHora, spine), "fecha", "periodo", cutoff)
   }
 }
