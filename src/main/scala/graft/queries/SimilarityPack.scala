@@ -135,6 +135,38 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  val q69 = QueryDef(
+    "q69_ivf_multiassign",
+    // q51's plan with the recall levers engaged: every corpus vector is
+    // LISTED in its 2 nearest cells (multi-assignment) and each query
+    // probes its 3 nearest — a pair can meet in up to 2 cells, so the
+    // oracle DISTINCTs the scored pairs exactly as graft_topk_pairs's
+    // set semantics collapse duplicate meetings
+    Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $Centroids),
+            |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            |asg AS (
+            |  SELECT id, v, centroid_id AS cell,
+            |    row_number() OVER (PARTITION BY id
+            |      ORDER BY ${cosSql("v", "cv")} DESC, centroid_id) AS rn
+            |  FROM v CROSS JOIN c
+            |), home AS (SELECT id, v, cell FROM asg WHERE rn <= 2),
+            |probes AS (SELECT id, v, cell FROM asg WHERE rn <= 3),
+            |scored AS (
+            |  SELECT DISTINCT q.id AS query_id, m.id AS match_id, ${cosSql("q.v", "m.v")} AS cos
+            |  FROM probes q JOIN home m ON q.cell = m.cell AND q.id != m.id
+            |), ranked AS (
+            |  SELECT query_id, match_id, cos,
+            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT query_id, match_id, rank, cos FROM ranked WHERE rank <= 3
+            |ORDER BY query_id, rank""".stripMargin)) { t =>
+    val nc = Similarity.centroidsFor(t.embeddings.count())
+    Similarity.ivfTopK(t.embeddings, t.embeddings.where(col("vec_id") < nc),
+        "vec_id", "embedding", k = 3, nprobe = 3, homeCells = 2)
+      .orderBy("query_id", "rank")
+  }
+
   val q64 = QueryDef(
     "q64_embedding_contamination",
     Some(s"""WITH q AS (
@@ -160,5 +192,5 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "match_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64)
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69)
 }
