@@ -114,6 +114,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keptSet == origSet)
   }
 
+  test("partition-restricted write equals the pure dataflow on random tables") {
+    // the scale-critical rewrite's equivalence contract: for random
+    // (periodo, fecha, v) tables, random replacements (including doomed
+    // partitions the replacement writes NO rows for — the explicit-
+    // delete case) and several rerun rounds, reading back
+    // replacePeriodWindowWrite's table must equal the pure
+    // replacePeriodWindow dataflow applied to the same inputs
+    import org.scalacheck.Gen
+    val rowGen = for {
+      p <- Gen.oneOf("diario", "mensual")
+      m <- Gen.oneOf(5, 6)
+      d <- Gen.choose(1, 28)
+      v <- Gen.choose(1.0, 100.0)
+    } yield (p, f"2024-$m%02d-${if (p == "mensual") 1 else d}%02d", math.floor(v))
+    val cutoff = lit("2024-06-10").cast("timestamp")
+    (1 to 3).foreach { round =>
+      val existingRows = Gen.listOfN(40, rowGen).sample.get.distinct
+      // replacement: only in-window rows, and deliberately sparse so
+      // some doomed partitions get no replacement (must be DELETED)
+      val repRows = Gen.listOfN(6, rowGen).sample.get.distinct
+        .collect { case (p, d, v) if (if (p == "mensual") d >= "2024-06-01" else d >= "2024-06-10") =>
+          (p, d, -v - round) }
+      val existing = existingRows.toDF("periodo", "fecha", "v")
+        .withColumn("fecha", $"fecha".cast("timestamp"))
+      val rep = repRows.toDF("periodo", "fecha", "v")
+        .withColumn("fecha", $"fecha".cast("timestamp"))
+      val path = java.nio.file.Files.createTempDirectory(s"graft-rpw$round").toString + "/t"
+      existing.write.partitionBy("periodo", "fecha").parquet(path)
+      graft.operators.Writers.replacePeriodWindowWrite(spark, path, rep, "fecha", "periodo", cutoff)
+      val expected = graft.operators.Writers
+        .replacePeriodWindow(existing, rep, "fecha", "periodo", cutoff)
+        .select($"periodo", $"fecha".cast("string"), $"v")
+        .as[(String, String, Double)].collect().toSet
+      val got = spark.read.parquet(path)
+        .select($"periodo", $"fecha".cast("timestamp").cast("string"), $"v")
+        .as[(String, String, Double)].collect().toSet
+      assert(got == expected, s"round $round: write path diverged from pure dataflow")
+    }
+  }
+
   test("replacePeriodWindow is idempotent as pure dataflow") {
     val existing = Seq(("diario", "2024-06-10", 1.0), ("mensual", "2024-06-01", 2.0),
         ("diario", "2024-06-20", 3.0))
