@@ -52,7 +52,12 @@ object Bench {
     // did, three times, in the round-3 driver tail); min-of-2 damps
     // that while the first pass doubles as the query-specific codegen
     // warmup. Both raw passes are kept in the per-query line.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration valve: SPARK_GRAFT_ONLY=q27,q44 times a subset;
+    // unset (the driver's case) benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       def timedPass(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { force(fn(spark, sfDir)); None }

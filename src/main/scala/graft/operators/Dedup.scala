@@ -55,8 +55,13 @@ object Dedup {
     val sh = df.select(
       col(idCol).as("id"),
       call_function("graft_shingle_hashes", col(textCol), lit(k), lit(14)).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val allPosting = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    // the set size rides each posting (one int beside the id — n is
+    // functionally dependent on id, so grouping on both is free) instead
+    // of living in a separate sizes table: joining sizes back onto the
+    // pair aggregate would re-scan the corpus twice more and shuffle the
+    // PRE-threshold pair set through two extra joins
+    val allPosting = sh.select(col("id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("sh"))
     // hot shingles are FEW by definition (at most |postings|/maxDocFreq),
     // so the valve is a partial-aggregated groupBy blocklist + anti-join
     // — NOT a count-over-Window, which would sort every posting within
@@ -70,13 +75,13 @@ object Dedup {
           .where(col("__df") > maxDocFreq).select("sh")
         allPosting.join(hot, Seq("sh"), "left_anti")
       }
-    val inter = posting.as("a")
+    // the self-join's two sides are the identical subtree shuffled on the
+    // same key, so ReuseExchange computes the posting exchange once
+    posting.as("a")
       .join(posting.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("a.n").as("na"),
+        col("b.id").as("id_b"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
@@ -97,17 +102,15 @@ object Dedup {
       col(idCol).as("id"),
       call_function("graft_shingle_hashes", col(textCol), lit(k), lit(14)).as("shingles"))
     val la = shingled(left); val rb = shingled(right)
-    val sizesA = la.select(col("id"), size(col("shingles")).as("n"))
-    val sizesB = rb.select(col("id"), size(col("shingles")).as("n"))
-    val postA = la.select(col("id"), explode(col("shingles")).as("sh"))
-    val postB = rb.select(col("id"), explode(col("shingles")).as("sh"))
-    val inter = postA.as("a")
-      .join(postB.as("b"), col("a.sh") === col("b.sh"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // sizes ride the postings (see jaccardPairs): no sizes tables, no
+    // post-aggregate joins over the pre-threshold pair set
+    def posting(df: DataFrame) = df.select(col("id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("sh"))
+    posting(la).as("a")
+      .join(posting(rb).as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.id").as("id_a"), col("a.n").as("na"),
+        col("b.id").as("id_b"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizesA.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
-      .join(sizesB.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
