@@ -126,6 +126,26 @@ object Dedup {
     (0 until n).map(i => element_at(sig, i + 1).as(s"m$i"))
   }
 
+  /** (id, band-key) rows for LSH banding: MinHash signatures from hashed
+    * shingles (one md5 per shingle, native one-pass affine mins), then
+    * one row per (doc, band) keyed on the band's row hash. Shingle
+    * STRINGS are never materialized here — only candidate pairs that
+    * reach exact verification pay for them.
+    */
+  private def bandedKeys(df: DataFrame, idCol: String, textCol: String, k: Int,
+                         bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      call_function("graft_minhash_sig",
+        call_function("graft_shingle_hashes", col(textCol), lit(k), lit(8)),
+        lit(bands * rowsPerBand)).as("sig"))
+    val ms = (0 until bands * rowsPerBand).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
+    val sigCols = sig.select(col("id") +: ms: _*)
+    val msRef = (0 until bands * rowsPerBand).map(i => col(s"m$i"))
+    sigCols.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), TextFns.bandKey(msRef, b, rowsPerBand).as("key"))): _*)).as("bk"))
+  }
+
   /** LSH candidate pairs: docs sharing at least one of `bands` band keys
     * (bands × rowsPerBand = signature length), then verified with exact
     * Jaccard >= minJaccard over the shingle sets. Output matches a naive
@@ -134,19 +154,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    // Signatures come from hashed shingles (one md5 per shingle, native
-    // one-pass affine mins); shingle STRINGS are only materialized for
-    // the candidate pairs that must be verified exactly.
-    val sig = df.select(col(idCol).as("id"),
-      call_function("graft_minhash_sig",
-        call_function("graft_shingle_hashes", col(textCol), lit(k), lit(8)),
-        lit(bands * rowsPerBand)).as("sig"))
-    val ms = (0 until bands * rowsPerBand).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
-    val sigCols = sig.select(col("id") +: ms: _*)
-    val msRef = (0 until bands * rowsPerBand).map(i => col(s"m$i"))
-    val banded = sigCols.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), TextFns.bandKey(msRef, b, rowsPerBand).as("key"))): _*)).as("bk"))
+    val banded = bandedKeys(df, idCol, textCol, k, bands, rowsPerBand)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key") &&
@@ -158,6 +166,37 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup pairs: (left doc, right doc)
+    * sharing a band key and verifying at Jaccard >= minJaccard — the
+    * INCREMENTAL ingestion shape (a new batch screened against the
+    * standing corpus) where jaccardPairsAcross is the exhaustive one.
+    * Both corpora band on the same minhash family, so the candidate
+    * step is an equi-join on (band, key): the standing corpus shuffles
+    * once on its band keys no matter how small the batch is, and at
+    * 100 TB the corpus side's banding would be precomputed and stored,
+    * making a nightly batch screen o(batch) new work.
+    */
+  def minhashLshPairsAcross(left: DataFrame, right: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(left.sparkSession)
+    val cand = bandedKeys(left, idCol, textCol, k, bands, rowsPerBand).as("a")
+      .join(bandedKeys(right, idCol, textCol, k, bands, rowsPerBand).as("b"),
+        col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
+    cand
+      .join(sh(left).select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sh(right).select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))

@@ -65,7 +65,7 @@ object Similarity {
     * window row_number() plan would shuffle and sort EVERY candidate
     * pair. Output matches the window exactly (score desc, id asc ties).
     */
-  private def topKAgg(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topKAgg(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(call_function("graft_topk_pairs", col("match_id"), col("cos"), lit(k)).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "m")))

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.{Dedup, Similarity}
+
+/** Corpus-construction operators a large-scale training-data pipeline
+  * runs AFTER the per-document layers (TextPack) and pair-finding layers
+  * (DedupPack) exist: the composed clean→dedup→redact→split pipeline as
+  * ONE artifact, deterministic mixture resampling, stratified sampling,
+  * incremental batch-vs-corpus screening, and int8-quantized similarity
+  * search.
+  *
+  * Determinism: every sampling/splitting decision is an md5-derived hash
+  * on a stable id (never rand()), so membership is identical across
+  * engines, reruns and partitionings.
+  */
+object CorpusPack extends QueryPack {
+
+  import DedupPack.{toksSql, hash32Sql, shingles3Sql, Bands, Rows, minhashSql, bandKeySql}
+
+  private val bucketSql =
+    s"${hash32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
+  private def bucketCol = TextFns.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+
+  val q70 = QueryDef(
+    "q70_pipeline_survivors",
+    // the full recipe composed: quality gate → exact dedup → near-dup
+    // connected components (recursive CTE) → PII redaction → hash split
+    Some(s"""WITH RECURSIVE scored AS (
+            |  SELECT doc_id, lang, source, text, ${TextPack.qualitySql} AS quality FROM documents
+            |), q AS (SELECT * FROM scored WHERE quality >= 0.5),
+            |ex AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM q),
+            |s AS (SELECT doc_id, lang, source, text, quality FROM ex WHERE doc_id = keeper),
+            |sh AS (SELECT doc_id, $shingles3Sql AS shingles FROM s),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            |),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |),
+            |canon AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY 1),
+            |surv AS (
+            |  SELECT s.* FROM s LEFT JOIN canon c ON s.doc_id = c.id
+            |  WHERE coalesce(c.canonical_id, s.doc_id) = s.doc_id
+            |)
+            |SELECT doc_id, lang, source,
+            |  CASE WHEN $bucketSql < 80 THEN 'train'
+            |       WHEN $bucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+            |  quality,
+            |  len(string_split(regexp_replace(regexp_replace(text, '${TrainPack.emailRe}', '<EMAIL>', 'g'),
+            |                                  '${TrainPack.phoneRe}', '<PHONE>', 'g'), ' ')) AS n_tokens
+            |FROM surv ORDER BY doc_id""".stripMargin)) { t =>
+    // The training-data pipeline END-TO-END as one artifact (the same
+    // compose-the-ingredients move as q62/q66/q67 for the reference's
+    // pipelines): quality gate (q23) → exact dedup (q26) → near-dup
+    // cluster canonicalization keeping min-id survivors (q27+q44) →
+    // PII redaction (q45) → deterministic split (q46), emitting the
+    // per-document training manifest. The quality+exact stage is
+    // localCheckpoint'ed ONCE: three downstream consumers (pair
+    // finding, the id spine, the final manifest join) would otherwise
+    // each recompute the scan; at 100 TB each stage boundary would be a
+    // persisted table instead, with identical semantics.
+    val quality = TextFns.qualityScore(col("text"), TextFns.tokens(col("text")))
+    val q = t.documents
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), quality.as("quality"))
+      .where(col("quality") >= 0.5)
+    val s = Dedup.exact(q, "text", "doc_id").localCheckpoint(true)
+    val pairs = Dedup.jaccardPairs(s, "doc_id", "text", k = 3, minJaccard = 0.5)
+    val survivors = Dedup.canonicalize(s.select("doc_id"), "doc_id", pairs)
+      .where(col("id") === col("canonical_id"))
+      .select(col("id").as("doc_id"))
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), TrainPack.emailRe, "<EMAIL>"), TrainPack.phoneRe, "<PHONE>")
+    s.join(survivors, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(bucketCol < 80, "train").when(bucketCol < 90, "val").otherwise("test").as("split"),
+        col("quality"),
+        size(TextFns.tokens(redacted)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q71 = QueryDef(
+    "q71_mixture_epochs",
+    // per-source half-epoch weights 0.5..2.0; fractional epochs keep a
+    // deterministic hash-chosen half of the source's docs
+    Some(s"""WITH m AS (
+            |  SELECT source, len($toksSql) AS n_tokens,
+            |    ((CAST(substr(source, 4) AS INT) % 4 + 1) >> 1)
+            |    + CASE WHEN (CAST(substr(source, 4) AS INT) % 4 + 1) % 2 = 1
+            |                AND ${hash32Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < 500
+            |           THEN 1 ELSE 0 END AS copies
+            |  FROM documents
+            |)
+            |SELECT source, CAST(t.epoch AS BIGINT) AS epoch, COUNT(*) AS docs,
+            |       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+            |FROM m, UNNEST(generate_series(1, copies)) AS t(epoch)
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Domain-mixture resampling: each source gets a target weight in
+    // half-epochs (derived from its id: 0.5x..2.0x); a doc is emitted
+    // `floor(w)` times plus once more for a deterministic hash-chosen
+    // fraction — the up/down-sampling step that turns corpus weights
+    // into an epoch-expanded training mix. The expansion is a per-row
+    // generator (explode of a sequence), shuffle-free until the final
+    // rollup; integer half-epoch arithmetic end to end, so both engines
+    // pick the same copies.
+    val srcnum = expr("CAST(substring(source, 4) AS INT)")
+    val rh = (srcnum % 4) + 1 // half-epochs: 1..4
+    val extra = (rh % 2) === 1 &&
+      TextFns.hash32(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000 < 500
+    val copies = shiftright(rh, 1) + when(extra, 1).otherwise(0)
+    t.documents
+      .select(col("source"), size(TextFns.tokens(col("text"))).as("n_tokens"), copies.as("copies"))
+      .select(col("source"), col("n_tokens"),
+        explode(when(col("copies") >= 1, sequence(lit(1), col("copies")))
+          .otherwise(lit(Array.empty[Int]))).as("epoch"))
+      .groupBy(col("source"), col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy("source", "epoch")
+  }
+
+  val q72 = QueryDef(
+    "q72_stratified_sample",
+    Some(s"""WITH s AS (
+            |  SELECT source,
+            |    ((CAST(substr(source, 4) AS INT) % 5) + 1) * 1000 AS rate_bp,
+            |    CASE WHEN ${hash32Sql("'samp:' || CAST(doc_id AS VARCHAR)")} % 10000
+            |              < ((CAST(substr(source, 4) AS INT) % 5) + 1) * 1000
+            |         THEN 1 ELSE 0 END AS kept
+            |  FROM documents
+            |)
+            |SELECT source, CAST(rate_bp AS DOUBLE) / 10000.0 AS target_rate,
+            |       COUNT(*) AS docs, CAST(SUM(kept) AS BIGINT) AS sampled,
+            |       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_rate
+            |FROM s GROUP BY 1, 2 ORDER BY 1""".stripMargin)) { t =>
+    // Stratified sampling with per-stratum target rates (10%..50% by
+    // source), membership by stable hash in basis points — join-free,
+    // rerunnable, and auditable: the output reports achieved vs target
+    // rate per stratum. The scan emits a 0/1 kept flag so counting all
+    // docs and counting sampled docs is ONE pass, not two.
+    val srcnum = expr("CAST(substring(source, 4) AS INT)")
+    val rateBp = ((srcnum % 5) + 1) * 1000
+    val kept = when(
+      TextFns.hash32(concat(lit("samp:"), col("doc_id").cast("string"))) % 10000 < rateBp, 1)
+      .otherwise(0)
+    t.documents
+      .select(col("source"), rateBp.as("rate_bp"), kept.as("kept"))
+      .groupBy(col("source"), (col("rate_bp").cast("double") / 10000.0).as("target_rate"))
+      .agg(count(lit(1)).as("docs"), sum(col("kept")).as("sampled"))
+      .withColumn("achieved_rate", col("sampled").cast("double") / col("docs"))
+      .orderBy("source")
+  }
+
+  val q73 = QueryDef(
+    "q73_incremental_dedup", {
+      def sigSql(src: String) =
+        s"""SELECT doc_id, shingles,
+           |  ${(0 until Bands * Rows).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+           |  FROM (SELECT doc_id, $shingles3Sql AS shingles FROM $src)""".stripMargin
+      def bandedSql(sig: String) =
+        (0 until Bands).map(b =>
+          s"SELECT doc_id, shingles, $b AS band, ${bandKeySql(b)} AS key FROM $sig")
+          .mkString(" UNION ALL ")
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, text, $bucketSql AS bucket FROM documents
+              |), batch AS (SELECT doc_id, text FROM b WHERE bucket >= 80),
+              |corpus AS (SELECT doc_id, text FROM b WHERE bucket < 80),
+              |exacts AS (SELECT DISTINCT ba.doc_id FROM batch ba JOIN corpus c ON md5(ba.text) = md5(c.text)),
+              |sigb AS (${sigSql("batch")}),
+              |sigc AS (${sigSql("corpus")}),
+              |bb AS (${bandedSql("sigb")}),
+              |bc AS (${bandedSql("sigc")}),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, a.shingles AS sa, c.shingles AS sb
+              |  FROM bb a JOIN bc c ON a.band = c.band AND a.key = c.key
+              |),
+              |near AS (
+              |  SELECT DISTINCT id_a AS doc_id FROM cand
+              |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              |        len(list_distinct(list_concat(sa, sb))) >= 0.8
+              |)
+              |SELECT ba.doc_id,
+              |  CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+              |       WHEN n.doc_id IS NOT NULL THEN 'dup_near' ELSE 'new' END AS verdict
+              |FROM batch ba LEFT JOIN exacts e ON ba.doc_id = e.doc_id
+              |LEFT JOIN near n ON ba.doc_id = n.doc_id
+              |ORDER BY ba.doc_id""".stripMargin)
+    }) { t =>
+    // Incremental ingestion screening: the day's new batch (hash bucket
+    // >= 80, ~20%) against the standing corpus — a doc is rejected as an
+    // exact dup (content hash seen) or a near dup (MinHash+LSH band
+    // collision verifying at Jaccard >= 0.8, Dedup.minhashLshPairsAcross),
+    // else admitted. The synthetic corpus has no exact cross-split dups
+    // (q26 keeps all 500 docs), so 'dup_exact' is empty here by
+    // construction — the branch is exercised, not populated. Both checks
+    // are equi-joins on small keys; at 100 TB the corpus's content
+    // hashes and band keys would be precomputed tables, making a batch
+    // screen o(batch) new work.
+    val wb = t.documents.withColumn("bucket", bucketCol)
+    val batch = wb.where(col("bucket") >= 80).select("doc_id", "text")
+    val corpus = wb.where(col("bucket") < 80).select("doc_id", "text")
+    val exacts = batch.withColumn("__k", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("__k")), Seq("__k"), "left_semi")
+      .select("doc_id")
+    val near = Dedup.minhashLshPairsAcross(batch, corpus, "doc_id", "text",
+        k = 3, bands = Bands, rowsPerBand = Rows, minJaccard = 0.8)
+      .select(col("id_a").as("doc_id")).distinct()
+    batch.join(exacts.withColumn("__e", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("__n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__e").isNotNull, "dup_exact")
+          .when(col("__n").isNotNull, "dup_near").otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val q74 = QueryDef(
+    "q74_quantized_topk",
+    Some("""WITH p AS (
+           |  SELECT vec_id, embedding AS v,
+           |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+           |  FROM embeddings
+           |), qz AS (
+           |  SELECT vec_id, scale,
+           |    list_transform(v, x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS qv
+           |  FROM p
+           |), q AS (SELECT vec_id AS query_id, scale AS qs, qv AS qqv FROM qz WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id AS match_id, scale AS cs, qv AS cqv FROM qz WHERE vec_id % 50 != 0),
+           |scored AS (
+           |  SELECT query_id, match_id,
+           |    list_sum(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * cqv[i])) * qs * cs AS score
+           |  FROM q, c
+           |), ranked AS (
+           |  SELECT query_id, match_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, match_id, rank, score FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin)) { t =>
+    // Int8 scalar-quantized similarity search: per-vector symmetric
+    // quantization (scale = max|x|/127, codes = round-half-up(x/scale))
+    // shrinks the corpus 4x — at 100 TB the difference between an
+    // in-memory and a spilling index. Scoring is the integer-code dot
+    // product rescaled by the two scales; 64-dim int8 products sum to
+    // < 2^21, so the double fold is EXACT on both engines and the
+    // approximate scores hash-match bitwise. Brute-force baseline shape
+    // as q30 (small query side); the IVF/LSH bucketing composes in
+    // front unchanged since codes are just a narrower vector column.
+    graft.expressions.GraftFunctions.register(t.spark)
+    def prep(df: org.apache.spark.sql.DataFrame, idOut: String, pre: String) = df
+      .select(col("vec_id").as(idOut), col("embedding").as("v"))
+      .withColumn(s"${pre}s",
+        greatest(array_max(transform(col("v"), x => abs(x.cast("double")))) / 127.0, lit(1e-30)))
+      .select(col(idOut), col(s"${pre}s"),
+        transform(col("v"), x => floor(x.cast("double") / col(s"${pre}s") + 0.5).cast("float"))
+          .as(s"${pre}qv"))
+    val q = prep(t.embeddings.where(col("vec_id") % 50 === 0), "query_id", "q")
+    val c = prep(t.embeddings.where(col("vec_id") % 50 =!= 0), "match_id", "c")
+    val scored = q.crossJoin(c)
+      .select(col("query_id"), col("match_id"),
+        (Similarity.dot(col("qqv"), col("cqv")) * col("qs") * col("cs")).as("cos"))
+    Similarity.topKAgg(scored, 5)
+      .withColumnRenamed("cos", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74)
+}

@@ -12,9 +12,9 @@ import graft.operators.Dedup
   */
 object DedupPack extends QueryPack {
 
-  private val toksSql = "string_split(text, ' ')"
-  private def hash32Sql(s: String) = s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
-  private val shingles3Sql =
+  private[queries] val toksSql = "string_split(text, ' ')"
+  private[queries] def hash32Sql(s: String) = s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
+  private[queries] val shingles3Sql =
     s"""list_distinct(CASE WHEN len($toksSql) >= 3
        | THEN [array_to_string($toksSql[i:i+2], ' ') for i in range(1, len($toksSql) - 1)]
        | ELSE [text] END)""".stripMargin
@@ -36,12 +36,12 @@ object DedupPack extends QueryPack {
   }
 
   // 16 minhashes = 4 bands x 4 rows; verification threshold 0.8.
-  private val Bands = 4; private val Rows = 4
-  private def minhashSql(i: Int) = {
+  private[queries] val Bands = 4; private[queries] val Rows = 4
+  private[queries] def minhashSql(i: Int) = {
     import graft.functions.TextFns.{minhashA, minhashB, MinhashP}
     s"list_min(list_transform(shingles, s -> (${minhashA(i)} * (${hash32Sql("s")} % $MinhashP) + ${minhashB(i)}) % $MinhashP))"
   }
-  private def bandKeySql(b: Int) =
+  private[queries] def bandKeySql(b: Int) =
     s"md5(concat_ws(',', '$b', ${(b * Rows until b * Rows + Rows).map(i => s"m$i").mkString(", ")}))"
 
   val q28 = QueryDef(

@@ -45,7 +45,7 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  private val qualitySql =
+  private[queries] val qualitySql =
     s"""(least(CAST(len($toksSql) AS DOUBLE) / 50.0, CAST(1.0 AS DOUBLE))
        | + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z ]', '', 'g')) AS DOUBLE) / length(text) * 5.0, CAST(1.0 AS DOUBLE)))
        | + (1.0 - abs(CAST(len(list_filter($toksSql, t -> t IN ($stopsIn))) AS DOUBLE) / len($toksSql) - 0.3))

@@ -10,8 +10,8 @@ import graft.functions.TextFns
   */
 object TrainPack extends QueryPack {
 
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+  private[queries] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val phoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
 
   val q45 = QueryDef(
     "q45_pii_redaction",
