@@ -269,5 +269,89 @@ object CorpusPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74)
+  val q75 = QueryDef(
+    "q75_sequence_packing",
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents
+            |), cum AS (
+            |  SELECT doc_id, source, n_tokens,
+            |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+            |  FROM toks
+            |), placed AS (
+            |  SELECT source, n_tokens,
+            |    cum_before // 256 AS pack_id,
+            |    (cum_before + n_tokens - 1) // 256 != cum_before // 256 AS straddles
+            |  FROM cum
+            |)
+            |SELECT source, CAST(pack_id AS BIGINT) AS pack_id, COUNT(*) AS docs,
+            |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+            |       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+            |FROM placed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Sequence packing for pretraining batches: docs stream onto a
+    // per-source token tape in stable id order and 256-token tiles are
+    // the packs — the concatenate-and-slice packing LLM training uses
+    // (a doc straddling a tile boundary is split across two contexts;
+    // the straddle count sizes that loss). One cumulative window per
+    // source (the same prefix-sum shape as q47's token budget — packing
+    // is inherently sequential, the partition key is what distributes
+    // it), then one rollup.
+    val toks = t.documents.select(col("doc_id"), col("source"),
+      size(TextFns.tokens(col("text"))).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        expr("cum_before div 256").as("pack_id"),
+        (expr("(cum_before + n_tokens - 1) div 256") =!= expr("cum_before div 256")).as("straddles"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+        sum(when(col("straddles"), 1).otherwise(0)).as("n_straddle"))
+      .orderBy("source", "pack_id")
+  }
+
+  val q76 = QueryDef(
+    "q76_ngram_containment",
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, text, $bucketSql AS bucket FROM documents
+            |), train_sh AS (SELECT doc_id, ${TextPack.shinglesSql(5)} AS shingles FROM b WHERE bucket < 80),
+            |test_sh AS (SELECT doc_id, ${TextPack.shinglesSql(5)} AS shingles FROM b WHERE bucket >= 90),
+            |train_grams AS (SELECT DISTINCT unnest(shingles) AS g FROM train_sh),
+            |t_post AS (SELECT doc_id, unnest(shingles) AS g FROM test_sh),
+            |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM t_post JOIN train_grams USING (g) GROUP BY 1)
+            |SELECT s.doc_id, len(s.shingles) AS n_grams,
+            |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+            |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(s.shingles) AS hit_frac,
+            |       coalesce(h.n_hit, 0) > 0 AS contaminated
+            |FROM test_sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+            |ORDER BY s.doc_id""".stripMargin)) { t =>
+    // Membership-based decontamination (the published n-gram overlap
+    // check): a held-out doc is contaminated if ANY of its 5-grams
+    // appears anywhere in the training split — subset containment, not
+    // q57's pairwise similarity, so one distinct-gram table stands in
+    // for the whole training corpus and the test side probes it with an
+    // equi-join: no pair enumeration at all, and at 100 TB the train
+    // gram table is a precomputed, bucketed artifact. Counting is on
+    // 56-bit gram hashes (the q27 move): same distinct counts, far
+    // cheaper to shuffle than gram strings.
+    graft.expressions.GraftFunctions.register(t.spark)
+    val wb = t.documents.withColumn("bucket", bucketCol)
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      call_function("graft_shingle_hashes", col("text"), lit(5), lit(14)).as("shingles"))
+    val trainGrams = sh(wb.where(col("bucket") < 80))
+      .select(explode(col("shingles")).as("g")).distinct()
+    val testSh = sh(wb.where(col("bucket") >= 90))
+    val hits = testSh.select(col("doc_id"), explode(col("shingles")).as("g"))
+      .join(trainGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    testSh.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("shingles")).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / size(col("shingles"))).as("hit_frac"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76)
 }

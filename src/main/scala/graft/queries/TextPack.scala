@@ -17,7 +17,7 @@ object TextPack extends QueryPack {
   /** DuckDB fragments mirroring TextFns exactly. */
   private val toksSql = "string_split(text, ' ')"
   private def hash32Sql(s: String) = s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
-  private def shinglesSql(k: Int) =
+  private[queries] def shinglesSql(k: Int) =
     s"""list_distinct(CASE WHEN len($toksSql) >= $k
        | THEN [array_to_string($toksSql[i:i+${k - 1}], ' ') for i in range(1, len($toksSql) - ${k - 2})]
        | ELSE [text] END)""".stripMargin

@@ -90,6 +90,45 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming ingestion near-dup screen — the front door of an
+    * incremental training-data pipeline: documents arriving on a landing
+    * dir are screened against the STANDING corpus and land with a
+    * verdict. Each micro-batch runs the batch cross-corpus operator
+    * (Dedup.minhashLshPairsAcross — band-key equi-join, exact verify on
+    * candidates) via foreachBatch: batch-vs-static screening carries no
+    * streaming state at all (the corpus is the state, and it lives in
+    * storage), unlike a stream-side aggregation whose distinct/grouping
+    * state would grow with the corpus. dropDuplicatesWithinWatermark
+    * upstream (dedupStream) handles exact re-deliveries; this catches
+    * near-dups of already-published documents. Checkpointed AvailableNow
+    * micro-batches give per-file at-least-once; the parquet append is
+    * idempotent per batch id only if outDir is keyed, so production
+    * would publish through the K3 merge like runMergePublish — kept a
+    * plain append here to keep the screen's dataflow the subject.
+    */
+  def screenStream(newDocs: DataFrame, corpus: DataFrame,
+                   outDir: String, checkpointDir: String,
+                   k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                   minJaccard: Double = 0.8): Unit =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val near = graft.operators.Dedup.minhashLshPairsAcross(
+              batch, corpus, "doc_id", "text", k, bands, rowsPerBand, minJaccard)
+            .groupBy(col("id_a").as("doc_id")).agg(max(col("jaccard")).as("best_jaccard"))
+          batch.select("doc_id").join(near, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+              col("best_jaccard").isNotNull.as("near_dup"))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+      .awaitTermination()
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

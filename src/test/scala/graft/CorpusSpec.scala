@@ -67,6 +67,37 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("screenStream verdicts equal the batch cross-corpus screen over the same files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-screen").toString
+    val landing = s"$dir/landing"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val t = sf("sf0.001")
+    val bucket = graft.functions.TextFns.hash32(
+      concat(lit("split:"), $"doc_id".cast("string"))) % 100
+    val wb = t.documents.withColumn("bucket", bucket)
+    val corpus = wb.where($"bucket" < 80).select("doc_id", "text")
+    val batchDocs = wb.where($"bucket" >= 80).select("doc_id", "text")
+    // two ticks: half the batch lands, is screened, then the rest
+    batchDocs.where($"doc_id" % 2 === 0).write.parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def tick(): Unit = graft.streaming.EventStream.screenStream(
+      graft.streaming.EventStream.read(spark, landing, schema), corpus, out, ckpt)
+    tick()
+    batchDocs.where($"doc_id" % 2 === 1).write.mode("append").parquet(landing)
+    tick()
+    val streamed = spark.read.parquet(out)
+      .as[(Long, Double, Boolean)].collect().toSet
+    val batchNear = Dedup.minhashLshPairsAcross(batchDocs, corpus, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, minJaccard = 0.8)
+      .groupBy($"id_a".as("doc_id")).agg(max($"jaccard").as("bj"))
+    val expected = batchDocs.select("doc_id").join(batchNear, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"bj", lit(0.0)), $"bj".isNotNull)
+      .as[(Long, Double, Boolean)].collect().toSet
+    // every landed doc screened exactly once, verdicts identical to the
+    // batch operator (micro-batching is invisible: the corpus is static)
+    assert(streamed == expected)
+    assert(streamed.exists(_._3), "planted cross-split near-dup should be flagged")
+  }
+
   test("q74 quantized ranking recovers the exact dot-product top-1 for most queries") {
     val t = sf("sf0.001")
     graft.expressions.GraftFunctions.register(spark)
