@@ -7,8 +7,10 @@ package graft
 class PlanHygieneSpec extends SparkSpec {
 
   // q32 is the documented exact all-pairs baseline (its LSH variant is
-  // the scale path); everything else must never plan a cross product.
-  private val crossJoinAllowed = Set("q32_cosine_neardup")
+  // the scale path); q74 is the quantized brute-force baseline with the
+  // same caveat (IVF/LSH bucketing composes in front of the codes).
+  // Everything else must never plan a cross product.
+  private val crossJoinAllowed = Set("q32_cosine_neardup", "q74_quantized_topk")
 
   test("no query plans a cartesian/cross product (except the documented baseline)") {
     val dir = "/root/testdata/sf0.001"
@@ -37,6 +39,19 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
     // 6-column read schema, not the 16-column table
     assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate"))
+  }
+
+  test("corpus-pack scans prune documents to the columns they use") {
+    val dir = "/root/testdata/sf0.001"
+    def fmt(q: String) = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // q76 probes grams: only (doc_id, text) may be read, never the
+    // lang/source/n_chars columns the table also carries
+    assert(fmt("q76_ngram_containment").contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // q75 packs per source: (doc_id, text, source) and nothing else
+    assert(fmt("q75_sequence_packing").contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"))
+    // q71/q72 never need doc text beyond tokens/ids
+    assert(!fmt("q72_stratified_sample").contains("n_chars"))
   }
 
   test("dimension chains broadcast; fact side is never built") {
