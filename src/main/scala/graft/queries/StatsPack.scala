@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical profiling and the full ranking-window battery over the
+  * events stream — the monitoring/report layer next to the pipelines
+  * (the reference's sanity metrics are COUNT/nunique; a production
+  * migration gets the distribution profile with them).
+  *
+  * Determinism: moments derive from DECIMAL sums (order-independent)
+  * with the variance assembled in ONE fixed double expression; exact
+  * interpolated percentiles (Spark `percentile` ≡ DuckDB
+  * `quantile_cont`, verified bitwise incl. non-representable
+  * interpolants); every window orders by a unique or value key so rank
+  * functions are reproducible.
+  */
+object StatsPack extends QueryPack {
+
+  val q77 = QueryDef(
+    "q77_stats_profile",
+    Some("""WITH c AS (
+           |  SELECT event_type, value, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+           |), s AS (
+           |  SELECT event_type, COUNT(value) AS n,
+           |    CAST(SUM(v100) AS BIGINT) AS sum100,
+           |    CAST(SUM(v100 * v100) AS BIGINT) AS sumsq100,
+           |    min(value) AS vmin, max(value) AS vmax,
+           |    quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95
+           |  FROM c GROUP BY 1
+           |)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  CAST(sum100 AS DOUBLE) / 100.0 / n AS mean,
+           |  (CAST(sumsq100 AS DOUBLE) - CAST(sum100 AS DOUBLE) * CAST(sum100 AS DOUBLE) / n) / (n - 1) / 10000.0 AS var_samp,
+           |  sqrt((CAST(sumsq100 AS DOUBLE) - CAST(sum100 AS DOUBLE) * CAST(sum100 AS DOUBLE) / n) / (n - 1) / 10000.0) AS stddev,
+           |  vmin, vmax, p50, p95
+           |FROM s ORDER BY event_type""".stripMargin)) { t =>
+    // Per-group distribution profile: exact moments via integer cents
+    // (value is 2-decimal money, so round(value*100) is the exact
+    // integer both engines agree on — a decimal cast of value*value
+    // would round its 12th decimal differently per engine, the
+    // kmeansRefine lesson), variance assembled driver-free from Σx and
+    // Σx² in one fixed-order double expression — the built-in var_samp
+    // folds doubles in partition order and would NOT reproduce across
+    // partitionings. Percentiles are the exact interpolated ones
+    // (Spark `percentile` ≡ DuckDB `quantile_cont` bitwise); at 100 TB
+    // the constant-space sketch opt-in is q49's pattern, this is the
+    // exact side-by-side. One two-phase hash aggregate, one shuffle
+    // row per group.
+    val v100 = round(col("value") * 100).cast("long")
+    t.events
+      .select(col("event_type"), col("value"), v100.as("v100"))
+      .groupBy("event_type")
+      .agg(
+        count(col("value")).as("n"),
+        sum(col("v100")).as("sum100"),
+        sum(col("v100") * col("v100")).as("sumsq100"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        expr("percentile(value, 0.5D)").as("p50"),
+        expr("percentile(value, 0.95D)").as("p95"))
+      .select(col("event_type"), col("n"),
+        (col("sum100").cast("double") / 100.0 / col("n")).as("mean"),
+        ((col("sumsq100").cast("double") - col("sum100").cast("double") * col("sum100").cast("double") / col("n"))
+          / (col("n") - 1) / 10000.0).as("var_samp"),
+        sqrt((col("sumsq100").cast("double") - col("sum100").cast("double") * col("sum100").cast("double") / col("n"))
+          / (col("n") - 1) / 10000.0).as("stddev"),
+        col("vmin"), col("vmax"), col("p50"), col("p95"))
+      .orderBy("event_type")
+  }
+
+  val q78 = QueryDef(
+    "q78_window_battery",
+    Some("""SELECT event_id, event_type,
+           |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+           |  rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+           |  dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS drk,
+           |  lag(value) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_value,
+           |  lead(value) OVER (PARTITION BY event_type ORDER BY event_id) AS next_value,
+           |  ntile(4) OVER (PARTITION BY event_type ORDER BY event_id) AS tile,
+           |  cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cdist,
+           |  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS prank
+           |FROM events WHERE user_id < 50
+           |ORDER BY event_id""".stripMargin)) { t =>
+    // The §2.6 ranking-window battery in one pass: all eight functions
+    // share two window specs (id order and value order) over the same
+    // partition key, so Catalyst plans ONE exchange + two sorts, not
+    // eight. Ranks over `value` are deterministic under ties (they
+    // depend only on the sort key); offsets/ntile order by the unique
+    // id.
+    val byId = Window.partitionBy("event_type").orderBy("event_id")
+    val byValue = Window.partitionBy("event_type").orderBy("value")
+    t.events.where(col("user_id") < 50)
+      .select(col("event_id"), col("event_type"),
+        row_number().over(byId).as("rn"),
+        rank().over(byValue).as("rk"),
+        dense_rank().over(byValue).as("drk"),
+        lag(col("value"), 1).over(byId).as("prev_value"),
+        lead(col("value"), 1).over(byId).as("next_value"),
+        ntile(4).over(byId).as("tile"),
+        cume_dist().over(byValue).as("cdist"),
+        percent_rank().over(byValue).as("prank"))
+      .orderBy("event_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q77, q78)
+}

@@ -85,6 +85,30 @@ class PlanHygieneSpec extends SparkSpec {
       s"q62 scans events $factScans times — branches and grains must share one pass per load")
   }
 
+  test("q78's eight window functions share one exchange (two sorts, not eight)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q78_window_battery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // all eight functions partition by event_type: one hash exchange on
+    // the partition key (plus the final ORDER BY range exchange), and
+    // one sort per distinct ORDER BY key (event_id, value) — Catalyst
+    // must merge same-spec windows rather than planning eight exchanges
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"q78 plans $hashExchanges hash exchanges — same-partition windows must share one:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows <= 2, s"q78 plans $windows Window operators for two window specs")
+  }
+
+  test("q77's profile is one two-phase aggregate over one scan") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q77_stats_profile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "events\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"q77 scans events $scans times — moments and percentiles must share one pass")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+  }
+
   test("aggregations are two-phase (partial before the exchange)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
