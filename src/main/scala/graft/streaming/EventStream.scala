@@ -129,6 +129,40 @@ object EventStream {
       .start()
       .awaitTermination()
 
+  /** Stream-stream session pairing: a `start` event stream joined to a
+    * `stop` event stream into closed listening intervals — the streaming
+    * CONSTRUCTION of the (inicio, fin) intervals every batch overlap
+    * join (J3, q05) consumes; the reference instead re-derives intervals
+    * each hourly tick from the full trailing window
+    * (consumo_bloques_hora.py re-extract). Left-outer so a start whose
+    * stop never arrives inside `maxSessionMinutes` emits with a null
+    * end once the watermark passes — exactly the crashed-session input
+    * the session-count recovery (A6, q37) repairs downstream.
+    *
+    * 100 TB state contract: equality on session_id makes the join a
+    * hash lookup, and the time-range bound (end inside [start, start +
+    * maxSession]) plus BOTH watermarks is what lets Spark EVICT matched
+    * and expired starts — a stream-stream join without the range
+    * condition keeps every start row in state forever. State is bounded
+    * by sessions *opened per horizon*, never total history.
+    */
+  def pairSessions(starts: DataFrame, stops: DataFrame,
+                   maxSessionMinutes: Int = 180,
+                   watermark: String = "1 hour"): DataFrame = {
+    val s = starts.withWatermark("ts", watermark)
+      .select(col("session_id"), col("user_id"), col("ts").as("start_ts"))
+    val e = stops.withWatermark("ts", watermark)
+      .select(col("session_id").as("stop_session_id"),
+        col("ts").as("end_ts"), col("value").as("minutes"))
+    s.join(e,
+        col("session_id") === col("stop_session_id") &&
+          col("end_ts") >= col("start_ts") &&
+          col("end_ts") <= col("start_ts") + expr(s"INTERVAL $maxSessionMinutes MINUTES"),
+        "leftOuter")
+      .select(col("session_id"), col("user_id"), col("start_ts"),
+        col("end_ts"), col("minutes"))
+  }
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -129,6 +129,50 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
   }
 
+  test("pairSessions joins start/stop streams; a never-stopped start emits null on watermark") {
+    val dir = Files.createTempDirectory("graft-pair").toString
+    val startsDir = s"$dir/starts"; val stopsDir = s"$dir/stops"; val ckpt = s"$dir/ckpt"
+    // s1/s2 close normally; s3 never gets a stop (crashed session);
+    // s4's stop arrives OUTSIDE maxSessionMinutes so it must NOT match.
+    // Far-future sentinels on BOTH sides advance the min watermark so
+    // the no-data micro-batch flushes the outer-join nulls in one
+    // AvailableNow run.
+    Seq(
+      ("s1", 1L, ts("2024-01-01 10:00:00")),
+      ("s2", 1L, ts("2024-01-01 11:00:00")),
+      ("s3", 2L, ts("2024-01-01 10:05:00")),
+      ("s4", 3L, ts("2024-01-01 10:10:00")),
+      ("zz_sentinel", 9L, ts("2024-01-05 00:00:00")))
+      .toDF("session_id", "user_id", "ts").write.parquet(startsDir)
+    Seq(
+      ("s1", ts("2024-01-01 10:30:00"), 30.0),
+      ("s2", ts("2024-01-01 11:20:00"), 20.0),
+      ("s4", ts("2024-01-01 16:00:00"), 350.0), // past the 3 h bound
+      ("zz_sentinel2", ts("2024-01-05 00:00:00"), 0.0))
+      .toDF("session_id", "ts", "value").write.parquet(stopsDir)
+    val starts = EventStream.read(spark, startsDir,
+      Seq.empty[(String, Long, java.sql.Timestamp)].toDF("session_id", "user_id", "ts").schema)
+    val stops = EventStream.read(spark, stopsDir,
+      Seq.empty[(String, java.sql.Timestamp, Double)].toDF("session_id", "ts", "value").schema)
+    val q = EventStream.pairSessions(starts, stops)
+      .writeStream.format("memory").queryName("paired")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("paired")
+      .where(!$"session_id".startsWith("zz_sentinel"))
+      .as[(String, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Option[Double])]
+      .collect()
+      .map { case (sid, u, st, en, m) => (sid, u, st.toString, en.map(_.toString), m) }.toSet
+    assert(got == Set(
+      ("s1", 1L, "2024-01-01 10:00:00.0", Some("2024-01-01 10:30:00.0"), Some(30.0)),
+      ("s2", 1L, "2024-01-01 11:00:00.0", Some("2024-01-01 11:20:00.0"), Some(20.0)),
+      ("s3", 2L, "2024-01-01 10:05:00.0", None, None),
+      ("s4", 3L, "2024-01-01 10:10:00.0", None, None))) // out-of-bound stop = crash
+  }
+
   test("sessionize closes sessions on event-time gaps via flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val landing = s"$dir/landing"; val ckpt = s"$dir/ckpt"
