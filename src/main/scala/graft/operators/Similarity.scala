@@ -365,4 +365,41 @@ object Similarity {
         cosPre(dot(col("a.v"), col("b.v")), col("a.n"), col("b.n")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid
+    * cell, enumerate pairs only WITHIN a cell, connect pairs above the
+    * cosine threshold into components, and keep the min-id member of
+    * each component. Returns (id, canonical_id, survivor) for the full
+    * corpus — the training-set filter is `where(survivor)`.
+    *
+    * Scale shape: the pair join is cell-bucketed, so candidate volume
+    * is Σ|cell|² with |cell| ≈ n / nlist held ~constant by the sqrt
+    * `centroidsFor` sizing — near-linear total, vs the O(n²) exact
+    * pair scan. Pairs STRADDLING a cell boundary are missed — the
+    * paper's documented recall trade; raise recall with kmeansRefine'd
+    * centroids (tighter cells) rather than widening the probe set,
+    * since dedup only needs each DUPLICATE GROUP co-located, not every
+    * neighbor found. Component labels come from Dedup.canonicalize
+    * (one job per propagation round, edge-touched nodes only), and the
+    * transient IVF caches are released before returning — the result
+    * plan reads only the materialized labels and the corpus ids.
+    */
+  def semanticDedup(df: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val index = ivfIndex(df, centroids, idCol, vecCol, nprobe = 1)
+    val home = index.assignment.where(col("rn") === 1)
+    val edges = home.as("a").join(home.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosPre(dot(col("a.v"), col("b.v")), col("a.n"), col("b.n")).as("cos"))
+      .where(col("cos") >= threshold)
+    val canon = Dedup.canonicalize(df.select(col(idCol)), idCol, edges)
+    // canonicalize materialized its labels (persist/checkpoint + count
+    // per round), so dropping the IVF caches does not force a rebuild
+    index.release()
+    canon.select(col("id"), col("canonical_id"),
+      (col("id") === col("canonical_id")).as("survivor"))
+  }
 }

@@ -167,6 +167,46 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  val q79 = QueryDef(
+    "q79_semantic_dedup",
+    // SemDeDup: IVF home-cell assignment → within-cell pairs above the
+    // threshold → connected components (recursive CTE, the q44 oracle
+    // pattern) → min-id survivor. Centroid count from the same
+    // centroidsFor formula at the pinned sf0.01 corpus size.
+    Some(s"""WITH RECURSIVE c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $Centroids),
+            |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            |asg AS (
+            |  SELECT id, v, centroid_id AS cell,
+            |    row_number() OVER (PARTITION BY id
+            |      ORDER BY ${cosSql("v", "cv")} DESC, centroid_id) AS rn
+            |  FROM v CROSS JOIN c
+            |), home AS (SELECT id, v, cell FROM asg WHERE rn = 1),
+            |pairs AS (
+            |  SELECT a.id AS id_a, b.id AS id_b
+            |  FROM home a JOIN home b ON a.cell = b.cell AND a.id < b.id
+            |  WHERE ${cosSql("a.v", "b.v")} >= 0.35
+            |),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |),
+            |canon AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY 1)
+            |SELECT e.vec_id AS id, coalesce(c.canonical_id, e.vec_id) AS canonical_id,
+            |  coalesce(c.canonical_id, e.vec_id) = e.vec_id AS survivor
+            |FROM embeddings e LEFT JOIN canon c ON e.vec_id = c.id
+            |ORDER BY id""".stripMargin)) { t =>
+    // Semantic dedup over the embedding corpus: cell-bucketed pair
+    // enumeration (never O(n²)), components via min-label propagation,
+    // min-id survivor per component.
+    val nc = Similarity.centroidsFor(t.embeddings.count())
+    Similarity.semanticDedup(t.embeddings,
+        t.embeddings.where(col("vec_id") < nc), "vec_id", "embedding",
+        threshold = 0.35)
+      .orderBy("id")
+  }
+
   val q64 = QueryDef(
     "q64_embedding_contamination",
     Some(s"""WITH q AS (
@@ -192,5 +232,5 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "match_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69)
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79)
 }

@@ -61,6 +61,32 @@ class SimilarityEnrichSpec extends SparkSpec {
     assert(agg.size == 40 * 3)
   }
 
+  test("semanticDedup keeps the min id per within-cell component and never orphans a member") {
+    // two tight clusters on opposite axes plus a lone vector; centroids
+    // are the first row of each cluster, so cells split the corpus
+    // cleanly and each cluster collapses to its min id
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)), (2L, Array(0.98f, 0.15f, 0f)),
+      (10L, Array(0f, 1f, 0f)), (11L, Array(0f, 0.99f, 0.1f)),
+      (20L, Array(0.6f, 0.75f, 0.2f))).toDF("vec_id", "embedding")
+    val centroids = emb.where($"vec_id".isin(0L, 10L))
+    val out = Similarity.semanticDedup(emb, centroids, "vec_id", "embedding", threshold = 0.95)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // 20 lands in one of the two cells but clears nobody's 0.95 bar
+    assert(out == Set((0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (10L, 10L, true), (11L, 10L, false), (20L, 20L, true)))
+    // corpus-level invariants on the real table: every non-survivor's
+    // canonical is a survivor, and an impossible threshold keeps everyone
+    val real = Similarity.semanticDedup(sf().embeddings,
+        sf().embeddings.where($"vec_id" < 4), "vec_id", "embedding", threshold = 0.35)
+      .as[(Long, Long, Boolean)].collect()
+    val surv = real.filter(_._3).map(_._1).toSet
+    assert(real.filter(!_._3).forall(r => surv(r._2)))
+    val none = Similarity.semanticDedup(sf().embeddings,
+      sf().embeddings.where($"vec_id" < 4), "vec_id", "embedding", threshold = 1.1)
+    assert(none.where(!$"survivor").count() == 0)
+  }
+
   test("jaccardPairs maxDocFreq cap is a no-op when slack and only prunes hot postings") {
     val docs = sf().documents.limit(300)
     val exact = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
