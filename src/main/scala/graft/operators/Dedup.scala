@@ -205,11 +205,17 @@ object Dedup {
   }
 
   /** Collapse near-dup PAIRS into clusters and pick one survivor per
-    * cluster: connected components by iterative min-label propagation
-    * (each iteration one equi-join + min-agg; converges in O(cluster
-    * diameter) rounds — near-dup clusters are shallow, so maxIter is a
-    * safety rail, not a tuning knob). Returns (id, canonical_id); rows
-    * with canonical_id = id are the survivors.
+    * cluster: connected components by min-label propagation PLUS
+    * pointer jumping — each round every node adopts the smallest label
+    * among its own, its neighbours', and its current canonical's
+    * label. The jump halves the remaining label-chain length every
+    * round, so convergence is O(log diameter) rounds instead of the
+    * O(diameter) of plain propagation — the difference between 5 and
+    * 500 rounds on the chain-shaped duplicate graphs that semantic
+    * dedup produces (shingle clusters are shallow; embedding-threshold
+    * graphs are not). Same fixpoint either way: min label of the
+    * connected component, deterministic. Returns (id, canonical_id);
+    * rows with canonical_id = id are the survivors.
     */
   def canonicalize(ids: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "id_a", bCol: String = "id_b",
@@ -238,11 +244,26 @@ object Dedup {
       val stepped = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), col("canonical_id").as("__prev"),
           least(col("canonical_id"), coalesce(col("nl"), col("canonical_id"))).as("canonical_id"))
-      // every 3rd iteration truncate lineage (lazy localCheckpoint: the
-      // count below materializes it in the same job) — without this the
-      // plan grows with cluster diameter and deep graphs stall the driver
-      val next = if ((i + 1) % 3 == 0) stepped.localCheckpoint(false) else stepped.persist()
+        .persist() // both jump sides read this one cached plan, not two rebuilds
+      // pointer jump: adopt the canonical's canonical. Labels cover
+      // exactly the edge-touched nodes and every label IS such a node,
+      // so the lookup never misses (left + coalesce is belt-and-braces)
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("id").as("cid"), col("canonical_id").as("cl")).as("p"),
+          col("x.canonical_id") === col("p.cid"), "left")
+        .select(col("x.id").as("id"), col("x.__prev").as("__prev"),
+          least(col("x.canonical_id"), coalesce(col("p.cl"), col("x.canonical_id"))).as("canonical_id"))
+      // truncate lineage EVERY round (lazy localCheckpoint: the count
+      // below materializes it in the same job). The jump references
+      // `stepped` twice, so without per-round truncation the analyzed
+      // plan doubles each round and the driver drowns in plan
+      // analysis/cache-lookup time (measured: 8 rounds of ~16 s of jobs
+      // hiding behind ~110 s of driver overhead at every-3rd cadence);
+      // checkpointing each round keeps every plan O(1) — the self-join
+      // then reads a two-node RDD-leaf plan, not a doubling tree
+      val next = jumped.localCheckpoint(false)
       converged = next.where(col("canonical_id") =!= col("__prev")).count() == 0
+      stepped.unpersist()
       cached.unpersist()
       cached = next
       labels = next.select("id", "canonical_id")

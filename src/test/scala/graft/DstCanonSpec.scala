@@ -73,9 +73,11 @@ class DstCanonSpec extends SparkSpec {
       while (System.currentTimeMillis() < deadline && last != jobs.get()) {
         last = jobs.get(); Thread.sleep(150)
       }
-      // chain 1-2-3 converges in 3 iterations (2 changes, 1, 0):
-      // exactly one fused materialize+count job each
-      assert(jobs.get() == 3, s"expected 3 jobs, saw ${jobs.get()}")
+      // chain 1-2-3 with pointer jumping converges in 2 iterations
+      // (one change round — neighbour min + jump resolve 3→1 together —
+      // then one verify round): exactly one fused materialize+count job
+      // each. Plain propagation would take 3.
+      assert(jobs.get() == 2, s"expected 2 jobs, saw ${jobs.get()}")
     } finally {
       sc.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
