@@ -10,7 +10,7 @@ object SparkEntry {
     * (when SQL-expressible) a DuckDB oracle.
     */
   def packs: Seq[QueryPack] =
-    Seq(Relational, Relational2, TextPack, DedupPack, SimilarityPack, EnrichPack, SqlPack, TrainPack, PipelinePack, ConsumoBloquesPack, IndicadoresPack, TraficoPack, CorpusPack, StatsPack)
+    Seq(Relational, Relational2, TextPack, DedupPack, SimilarityPack, EnrichPack, SqlPack, TrainPack, PipelinePack, ConsumoBloquesPack, IndicadoresPack, TraficoPack, CorpusPack, StatsPack, LayoutPack)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning — the first lever at
+  * 100 TB, before any operator runs: a table laid out so that parquet
+  * min/max footer statistics make MOST files/row-groups skippable for
+  * range predicates on ANY clustered column, not just the leading sort
+  * key. The reference gets this for free from BigQuery clustering
+  * (`cluster_fields` on its landing tables, e.g. audio_digital.py's
+  * date+soporte clustered destinations); on plain parquet it has to be
+  * produced by the writer, which is what this operator does.
+  *
+  * Mechanism: each clustered column is mapped to a `bits`-wide uniform
+  * bucket between its min and max (one cheap stats pass — at scale these
+  * bounds come from catalog stats), the buckets' bits are interleaved
+  * into a Morton (Z-order) value, and the data is range-partitioned and
+  * sorted by that value. Locality in z-space = locality in every
+  * clustered dimension, so each file's footer covers a tight box: a
+  * 2-D range predicate then intersects O(perimeter) files instead of
+  * O(n) — and, crucially, a predicate on the SECOND column alone still
+  * skips ~(1 - 2^-bits_per_dim) of the table, where a linear sort on
+  * the first column skips nothing.
+  *
+  * Everything is built-in codegen'd expressions (shifts/ors — no UDF),
+  * the exchange is one `repartitionByRange` (sampled range boundaries,
+  * no global sort), and the write is a plain parquet append, so the
+  * whole layout pass is a single shuffle over the table.
+  */
+object Layout {
+
+  /** Morton value over `zCols` given per-column (min, max) bounds:
+    * uniform `bits`-wide buckets, bit-interleaved high-to-low so equal
+    * prefixes = nested boxes. Null values clamp to bucket 0 (they sort
+    * first, same as a plain sort). Bounds degenerate (min==max) → the
+    * column contributes constant bits and the order falls back to the
+    * remaining columns.
+    */
+  def zvalue(zCols: Seq[Column], bounds: Seq[(Double, Double)], bits: Int): Column = {
+    require(zCols.nonEmpty && zCols.size == bounds.size, "one (min,max) per z column")
+    require(bits >= 1 && bits * zCols.size <= 62, s"$bits bits x ${zCols.size} cols overflows a long")
+    val nBuckets = 1L << bits
+    val buckets = zCols.zip(bounds).map { case (c, (lo, hi)) =>
+      val span = if (hi > lo) hi - lo else 1.0
+      val raw = floor((c.cast("double") - lit(lo)) / lit(span) * lit(nBuckets.toDouble)).cast("long")
+      // clamp: the max value itself lands in bucket nBuckets, nulls to 0
+      coalesce(least(greatest(raw, lit(0L)), lit(nBuckets - 1)), lit(0L))
+    }
+    (bits - 1 to 0 by -1).foldLeft(lit(0L)) { (z, bit) =>
+      buckets.foldLeft(z)((acc, b) =>
+        shiftleft(acc, 1).bitwiseOR(shiftright(b, bit).bitwiseAND(lit(1L))))
+    }
+  }
+
+  /** Write `df` to `path` z-ordered on `zCols` across `numFiles` files.
+    * One stats aggregate (min/max per z column) + one range exchange +
+    * sorted write; the z column itself is dropped before writing — the
+    * layout is invisible to readers except through footer statistics.
+    */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+                  numFiles: Int, bits: Int = 8): Unit = {
+    val row = df.select(zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c"))): _*)
+      .head()
+    val bounds = zCols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    df.withColumn("__z", zvalue(zCols.map(col), bounds, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Plain linear layout for comparison: range-partitioned and sorted on
+    * the single leading column — what a naive `ORDER BY` write produces.
+    */
+  def linearWrite(df: DataFrame, path: String, sortCol: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Spec/diagnostic helper: of the parquet row groups under `path`, how
+    * many could a reader with `ranges` (column -> inclusive [lo, hi],
+    * conjunctive) NOT skip from footer min/max statistics alone?
+    * Returns (intersecting, total). Reads footers only — this is
+    * exactly the information a file-skipping reader (or the parquet
+    * row-group filter) has before touching data pages.
+    */
+  def rowGroupsIntersecting(spark: org.apache.spark.sql.SparkSession, path: String,
+                            ranges: Map[String, (Double, Double)]): (Int, Int) = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new HPath(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    val files = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    var total = 0
+    var intersecting = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        reader.getFooter.getBlocks.forEach { block =>
+          total += 1
+          val hit = ranges.forall { case (name, (lo, hi)) =>
+            val idx = schema.getFieldIndex(name)
+            val st = block.getColumns.get(idx).getStatistics
+            if (st == null || !st.hasNonNullValue) true // no stats: cannot skip
+            else {
+              val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b: java.lang.Long) => (a.toDouble, b.toDouble)
+                case (a: java.lang.Double, b: java.lang.Double) => (a.toDouble, b.toDouble)
+                case (a: java.lang.Integer, b: java.lang.Integer) => (a.toDouble, b.toDouble)
+                case (a: java.lang.Float, b: java.lang.Float) => (a.toDouble, b.toDouble)
+                case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
+              }
+              mx >= lo && mn <= hi
+            }
+          }
+          if (hit) intersecting += 1
+        }
+      } finally reader.close()
+    }
+    (intersecting, total)
+  }
+}

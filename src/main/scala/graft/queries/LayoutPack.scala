@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Storage-layout layer: the table organization that decides how much
+  * of a 100 TB table a query has to READ before any operator runs.
+  * The reference leans on BigQuery clustering for this
+  * (`cluster_fields` on its landing tables); on parquet the writer has
+  * to produce the layout itself — `Layout.zorderWrite` (Morton
+  * interleaving + one range exchange).
+  *
+  * q80 oracle-gates the full round trip: write events z-ordered on
+  * (user_id, value), read the table back, and answer a 2-D range box
+  * aggregate. The oracle runs the same aggregate over the raw events
+  * table — the layout must be value-invisible (same multiset, footer
+  * statistics only affect how much a reader can SKIP, which
+  * LayoutSpec pins directly on row-group metadata).
+  */
+object LayoutPack extends QueryPack {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val q80 = QueryDef(
+    "q80_zorder_scan",
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events
+           |WHERE user_id BETWEEN 40 AND 70 AND value BETWEEN 200.0 AND 240.0
+           |GROUP BY 1 ORDER BY event_type""".stripMargin)) { t =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_q80_zorder").toString + "/events_z"
+    Layout.zorderWrite(
+      t.events.select("event_id", "user_id", "event_type", "value"),
+      dir, Seq("user_id", "value"), numFiles = 16)
+    t.spark.read.parquet(dir)
+      .where(col("user_id").between(40, 70) && col("value").between(200.0, 240.0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = sf("sf0.01").events
+    .select("event_id", "user_id", "event_type", "value")
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  test("z-order layout preserves the exact row multiset") {
+    val dir = tmp("zorder_roundtrip")
+    Layout.zorderWrite(events, dir, Seq("user_id", "value"), 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == events.count())
+    // order-independent content check: sum of row hashes must match
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(xxhash64(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .cast("decimal(38,0)"))).head().getDecimal(0)
+    assert(sig(back) == sig(events))
+  }
+
+  test("z-order skips row groups on the non-leading dimension where a linear sort cannot") {
+    val zDir = tmp("zorder_z")
+    val linDir = tmp("zorder_lin")
+    Layout.zorderWrite(events, zDir, Seq("user_id", "value"), 16)
+    Layout.linearWrite(events, linDir, "user_id", 16)
+    // a tight box on value ALONE — the second z dimension. The linear
+    // layout is sorted by user_id, so every file spans the full value
+    // range and nothing is skippable; the z layout dedicates half its
+    // interleaved bits to value, so only files whose value-box
+    // intersects the band survive footer pruning.
+    val band = Map("value" -> (200.0, 240.0))
+    val (zHit, zTotal) = Layout.rowGroupsIntersecting(spark, zDir, band)
+    val (linHit, linTotal) = Layout.rowGroupsIntersecting(spark, linDir, band)
+    assert(zTotal >= 16 && linTotal >= 16)
+    assert(linHit == linTotal, s"linear layout should be unskippable on value, hit $linHit/$linTotal")
+    assert(zHit * 2 <= zTotal, s"z layout should skip at least half on value, hit $zHit/$zTotal")
+    // and a 2-D box intersects close to the product of the per-dim
+    // fractions, not the sum: strictly fewer groups than either layout
+    // scans for the band alone
+    val box = Map("user_id" -> (40.0, 70.0), "value" -> (200.0, 240.0))
+    val (zBox, _) = Layout.rowGroupsIntersecting(spark, zDir, box)
+    assert(zBox < zHit, s"2-D box ($zBox) should prune below the 1-D band ($zHit)")
+  }
+
+  test("zvalue interleaves bits: box-adjacent points get close z values, far points do not") {
+    // 2-bit, 2-col sanity grid: zvalue of (bucket x, bucket y) over
+    // [0,4) x [0,4) must equal the hand-computed Morton number
+    val pts = Seq((0.0, 0.0, 0L), (3.999, 3.999, 15L), (0.0, 3.999, 5L), (3.999, 0.0, 10L))
+    val df = pts.toDF("x", "y", "expect")
+      .withColumn("z", Layout.zvalue(Seq(col("x"), col("y")), Seq((0.0, 4.0), (0.0, 4.0)), 2))
+    assert(df.where(col("z") =!= col("expect")).count() == 0)
+  }
+
+  test("degenerate bounds (min==max) fall back to the remaining dimensions") {
+    val df = Seq((1.0, 10.0), (1.0, 30.0), (1.0, 20.0)).toDF("a", "b")
+      .withColumn("z", Layout.zvalue(Seq(col("a"), col("b")), Seq((1.0, 1.0), (10.0, 30.0)), 4))
+    val zs = df.orderBy("b").select("z").as[Long].collect()
+    assert(zs.sorted.sameElements(zs), "z must be monotone in the only varying column")
+  }
+}
