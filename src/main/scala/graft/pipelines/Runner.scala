@@ -99,6 +99,45 @@ object Runner {
     scala.collection.immutable.ListMap(outcomes.toSeq: _*)
   }
 
+  /** Backfill/catchup over an ordered period list — the Airflow
+    * behavior the reference's DAGs rely on (catchup over missed
+    * execution dates; descarga_hora.py is re-run per missed hour, and
+    * the writers' delete-and-replace windows make each period's rerun
+    * idempotent). Each period gets its OWN flag namespace
+    * (`flagDir/<period>`), so a completed period costs one directory
+    * listing on re-catchup (every stage Resumed, nothing re-executed)
+    * and a crashed period resumes from its failed stage.
+    *
+    * `dependsOnPast = false` (Airflow's default): periods are
+    * independent — a broken period is recorded and the rest of the
+    * backfill continues. `dependsOnPast = true`: a failure stops the
+    * catch-up — later periods' stages are marked Blocked on the failed
+    * period and their bodies never run (the incremental-load contract,
+    * where period N+1 reads period N's published output).
+    *
+    * Periods are caller-enumerated strings (dates, hours): the clock
+    * stays outside, so backfills are deterministic and testable — same
+    * seam as the reference's execution_date.
+    */
+  def backfill(spark: SparkSession, periods: Seq[String], mkStages: String => Seq[Stage],
+               flagDir: String, dependsOnPast: Boolean = false,
+               resume: Boolean = true): scala.collection.immutable.ListMap[String, Map[String, Outcome]] = {
+    require(periods.distinct.size == periods.size, "duplicate backfill periods")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Outcome]]
+    var failedPeriod: Option[String] = None
+    periods.foreach { p =>
+      failedPeriod match {
+        case Some(fp) if dependsOnPast =>
+          out += p -> mkStages(p).map(s => s.name -> (Blocked(s"period:$fp"): Outcome)).toMap
+        case _ =>
+          val r = run(spark, mkStages(p), new Path(flagDir, p).toString, resume)
+          out += p -> r
+          if (r.exists(!_._2.ok) && failedPeriod.isEmpty) failedPeriod = Some(p)
+      }
+    }
+    scala.collection.immutable.ListMap(out.toSeq: _*)
+  }
+
   /** The sentinel's view (the reference's seguimiento email body): one
     * (stage, ok) row per flag — dimension-sized, driver-side.
     */

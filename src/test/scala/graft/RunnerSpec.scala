@@ -86,6 +86,55 @@ class RunnerSpec extends SparkSpec {
     assert(!ran)
   }
 
+  test("backfill catches up missed periods; completed periods cost a listing, not a rerun") {
+    val flags = tmp() + "/flags"
+    val periods = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    val runs = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var brokenPeriod = "2024-01-03"
+    def mkStages(p: String) = Seq(
+      Stage("land")(() => {
+        runs(s"land@$p") += 1
+        if (p == brokenPeriod) sys.error("feed gap")
+      }),
+      Stage("publish", deps = Seq("land"))(() => { runs(s"publish@$p") += 1 }))
+
+    // periods are independent (Airflow default): the broken period is
+    // recorded, the rest of the catch-up still lands
+    val first = Runner.backfill(spark, periods, mkStages, flags)
+    assert(first.keys.toSeq == periods)
+    assert(first("2024-01-03")("land").isInstanceOf[Failed])
+    assert(first("2024-01-03")("publish") == Blocked("land"))
+    assert(Seq("2024-01-01", "2024-01-02", "2024-01-04")
+      .forall(p => first(p).values.forall(_ == Ran)))
+
+    // feed fixed; re-catchup re-executes ONLY the broken period's DAG —
+    // completed periods resolve to Resumed off their flag files
+    brokenPeriod = ""
+    val second = Runner.backfill(spark, periods, mkStages, flags)
+    assert(Seq("2024-01-01", "2024-01-02", "2024-01-04")
+      .forall(p => second(p).values.forall(_ == Resumed)))
+    assert(second("2024-01-03").values.forall(_ == Ran))
+    assert(runs("land@2024-01-01") == 1 && runs("publish@2024-01-04") == 1)
+    assert(runs("land@2024-01-03") == 2 && runs("publish@2024-01-03") == 1)
+  }
+
+  test("backfill with dependsOnPast stops the catch-up at the first broken period") {
+    val flags = tmp() + "/flags"
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def mkStages(p: String) = Seq(Stage("load")(() => {
+      ran += p
+      if (p == "h02") sys.error("increment missing")
+    }))
+    val out = Runner.backfill(spark, Seq("h01", "h02", "h03", "h04"), mkStages, flags,
+      dependsOnPast = true)
+    assert(out("h01")("load") == Ran)
+    assert(out("h02")("load").isInstanceOf[Failed])
+    // later periods: marked blocked on the broken period, bodies never run
+    assert(out("h03")("load") == Blocked("period:h02"))
+    assert(out("h04")("load") == Blocked("period:h02"))
+    assert(ran.toSeq == Seq("h01", "h02"))
+  }
+
   test("declaration order is kept among ready stages; deps always run first") {
     val flags = tmp() + "/flags"
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
