@@ -353,5 +353,44 @@ object CorpusPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76)
+  val q81 = QueryDef(
+    "q81_context_chunks",
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, $toksSql AS tk, len($toksSql) AS n FROM documents
+            |), nch AS (
+            |  SELECT doc_id, tk, (greatest(n - 64, 0) + 47) // 48 + 1 AS m FROM toks
+            |), ch AS (
+            |  SELECT doc_id, tk, unnest(range(0, m)) AS chunk_id FROM nch
+            |)
+            |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+            |  CAST(chunk_id * 48 AS BIGINT) AS start,
+            |  CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tok,
+            |  ${hash32Sql("array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')")} AS h
+            |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)) { t =>
+    // Context-window chunking: every doc becomes ceil((n-W)/S)+1
+    // overlapping W-token windows at stride S (overlap W-S = 16 tokens
+    // carries context across boundaries) — the chunk step between
+    // cleaning and packing in an LLM data pipeline. One generator
+    // explode per doc, no shuffle at all until the final presentation
+    // sort: chunk count is derived arithmetically, the slice is a
+    // built-in, and the chunk fingerprint reuses the md5-derived
+    // hash32 both engines rebuild bit-identically. The LAST window is
+    // short (slice clamps at the doc end) rather than re-anchored
+    // backwards, so token offsets stay aligned to the stride grid and
+    // a chunk's provenance is (doc_id, start) alone.
+    val W = 64
+    val S = 48
+    val toks = t.documents.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .withColumn("m", expr(s"(greatest(size(tk) - $W, 0) + ${S - 1}) div $S + 1"))
+    toks.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L), col("m") - 1)).as("chunk_id"))
+      .withColumn("start", col("chunk_id") * S)
+      .withColumn("piece", slice(col("tk"), col("start") + lit(1), lit(W)))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        size(col("piece")).cast("long").as("n_tok"),
+        TextFns.hash32(concat_ws(" ", col("piece"))).as("h"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76, q81)
 }
