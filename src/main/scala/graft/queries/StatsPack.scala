@@ -102,5 +102,57 @@ object StatsPack extends QueryPack {
       .orderBy("event_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q77, q78)
+  val q82 = QueryDef(
+    "q82_winsorized_stats",
+    Some("""WITH src AS (
+           |  SELECT event_type, value, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+           |), pct AS (
+           |  SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+           |  FROM src GROUP BY 1
+           |), j AS (
+           |  SELECT s.event_type, s.value, s.v100, p.lo, p.hi
+           |  FROM src s JOIN pct p USING (event_type)
+           |), g AS (
+           |  SELECT event_type, COUNT(*) AS n, min(lo) AS lo, min(hi) AS hi,
+           |    CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           |    CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           |    CAST(SUM(CASE WHEN value >= lo AND value <= hi THEN v100 ELSE 0 END) AS BIGINT) AS mid100
+           |  FROM j GROUP BY 1
+           |)
+           |SELECT event_type, CAST(n AS BIGINT) AS n, lo, hi, n_lo, n_hi,
+           |  (CAST(mid100 AS DOUBLE) / 100.0 + n_lo * lo + n_hi * hi) / n AS winsor_mean
+           |FROM g ORDER BY event_type""".stripMargin)) { t =>
+    // Winsorized (outlier-clipped) mean per group — the robust location
+    // estimate a monitoring layer wants when a feed glitch injects
+    // extremes the plain mean would follow. Exact two-pass plan: pass 1
+    // computes the exact interpolated p05/p95 fences per group (a
+    // group-sized table), which broadcast back onto the fact scan of
+    // pass 2 — the clip never shuffles the fact. Determinism: the
+    // fences are the bitwise-matched interpolated percentiles (q77),
+    // interior values accumulate as integer cents, and the winsorized
+    // mean is assembled in ONE fixed double expression from those exact
+    // components — clipped tails contribute n_tail * fence, not a
+    // float sum over reordered doubles.
+    val src = t.events.select(col("event_type"), col("value"),
+      round(col("value") * 100).cast("long").as("v100"))
+    val pct = src.groupBy("event_type").agg(
+      expr("percentile(value, 0.05D)").as("lo"),
+      expr("percentile(value, 0.95D)").as("hi"))
+    src.join(broadcast(pct), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("value") >= col("lo") && col("value") <= col("hi"), col("v100"))
+          .otherwise(0L)).as("mid100"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        col("n_lo"), col("n_hi"),
+        ((col("mid100").cast("double") / 100.0 + col("n_lo") * col("lo") + col("n_hi") * col("hi"))
+          / col("n")).as("winsor_mean"))
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q77, q78, q82)
 }
