@@ -392,5 +392,36 @@ object CorpusPack extends QueryPack {
       .orderBy("doc_id", "chunk_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76, q81)
+  val q83 = QueryDef(
+    "q83_source_cap",
+    Some(s"""WITH scored AS (
+            |  SELECT source, doc_id, ${TextPack.qualitySql} AS quality FROM documents
+            |), r AS (
+            |  SELECT source, doc_id, quality,
+            |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+            |  FROM scored
+            |)
+            |SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk, quality
+            |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin)) { t =>
+    // Per-source document cap — keep only the 10 best-quality docs per
+    // source (the per-domain cap a crawl corpus applies so boilerplate
+    // farms can't dominate the mixture). The ranking is the
+    // graft_topk_pairs partial aggregate, NOT a window: map-side
+    // partials forward at most K pairs per source per upstream
+    // partition, so the shuffle carries O(sources x K) rows and
+    // nothing ever sorts the fact — the row_number() plan would
+    // exchange and sort every document. Ties (quality desc, doc_id
+    // asc) match the window exactly, which is what the oracle runs.
+    graft.expressions.GraftFunctions.register(t.spark)
+    val scored = t.documents.select(col("source"), col("doc_id"),
+      TextFns.qualityScore(col("text"), TextFns.tokens(col("text"))).as("quality"))
+    scored.groupBy("source")
+      .agg(call_function("graft_topk_pairs", col("doc_id"), col("quality"), lit(10)).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "m")))
+      .select(col("source"), col("m.match_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"), col("m.score").as("quality"))
+      .orderBy("source", "rnk")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76, q81, q83)
 }
