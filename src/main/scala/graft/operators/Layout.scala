@@ -79,6 +79,45 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Global contiguous ordinals 0..n-1 by (`keyCol`, `tieCols`) WITHOUT
+    * a single-partition sort — `row_number() OVER (ORDER BY key)` plans
+    * a global Exchange to ONE partition, the canonical driver-melting
+    * anti-pattern at 100 TB. Distributed equivalent in three o(fact)
+    * steps around one partitioned sort:
+    *   1. bucket each row arithmetically (uniform buckets over the key's
+    *      min/max from one stats pass — all rows with EQUAL keys land in
+    *      the same bucket, so tie-breaking never crosses buckets);
+    *   2. per-bucket counts → prefix-sum offsets (a bucket-sized table;
+    *      its window is single-partition by construction but over
+    *      `buckets` rows, not the fact);
+    *   3. row_number within each bucket (hash-partitioned sort — the
+    *      only fact-wide work) + broadcast offset.
+    * Ordinals are identical to the global window's: bucket order is key
+    * order because buckets are monotone in the key. Key must be
+    * non-null; heavy key skew concentrates in one bucket (at scale,
+    * swap the uniform bucketing for quantile boundaries — same plan).
+    */
+  def ordinals(df: DataFrame, keyCol: String, tieCols: Seq[String],
+               buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val row = df.agg(min(col(keyCol)).cast("double").as("lo"),
+      max(col(keyCol)).cast("double").as("hi")).head()
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val span = if (hi > lo) hi - lo else 1.0
+    val bucket = least(greatest(
+      floor((col(keyCol).cast("double") - lit(lo)) / lit(span) * lit(buckets.toDouble)).cast("long"),
+      lit(0L)), lit(buckets.toLong - 1))
+    val withB = df.withColumn("__b", bucket)
+    val counts = withB.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    val offsets = counts
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c")).drop("__c")
+    val wIn = Window.partitionBy("__b").orderBy((keyCol +: tieCols).map(col): _*)
+    withB.join(broadcast(offsets), "__b")
+      .withColumn("ordinal", (col("__off") + row_number().over(wIn) - 1).cast("long"))
+      .drop("__b", "__off")
+  }
+
   /** Spec/diagnostic helper: of the parquet row groups under `path`, how
     * many could a reader with `ranges` (column -> inclusive [lo, hi],
     * conjunctive) NOT skip from footer min/max statistics alone?

@@ -40,5 +40,21 @@ object LayoutPack extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80)
+  val q84 = QueryDef(
+    "q84_global_ordinals",
+    Some("""SELECT doc_id, n_chars,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS ordinal
+           |FROM documents ORDER BY doc_id""".stripMargin)) { t =>
+    // Global contiguous ordinals by (n_chars, doc_id) — the id-assignment
+    // step (sample indices, shard offsets) that naively plans as a
+    // one-partition global sort. Layout.ordinals produces the identical
+    // numbering from bucket arithmetic + per-bucket distributed sorts;
+    // the oracle runs the naive global window, proving equivalence.
+    Layout.ordinals(t.documents.select(col("doc_id"), col("n_chars")),
+        "n_chars", Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"), col("ordinal"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80, q84)
 }

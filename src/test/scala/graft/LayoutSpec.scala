@@ -57,6 +57,25 @@ class LayoutSpec extends SparkSpec {
     assert(df.where(col("z") =!= col("expect")).count() == 0)
   }
 
+  test("ordinals match the global window and sort the fact hash-partitioned, not on one partition") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate keys spanning would-be boundaries + a tie-heavy column:
+    // equal keys must land in one bucket so tie-breaking never crosses
+    val df = spark.range(0, 5000).select(
+      (col("id") % 97).as("k"), col("id").as("tie"))
+    val got = Layout.ordinals(df, "k", Seq("tie"), buckets = 64)
+    val want = df.withColumn("ordinal",
+      (row_number().over(Window.orderBy("k", "tie")) - 1).cast("long"))
+    assert(got.join(want, Seq("k", "tie"))
+      .where(got("ordinal") =!= want("ordinal")).count() == 0)
+    assert(got.count() == 5000)
+    // the fact-side sort must be partitioned by bucket: the physical
+    // plan carries a hash exchange on __b, and the ONLY single-partition
+    // exchange allowed is the bucket-sized offsets window
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__b"), "expected bucket-partitioned window sort")
+  }
+
   test("degenerate bounds (min==max) fall back to the remaining dimensions") {
     val df = Seq((1.0, 10.0), (1.0, 30.0), (1.0, 20.0)).toDF("a", "b")
       .withColumn("z", Layout.zvalue(Seq(col("a"), col("b")), Seq((1.0, 1.0), (10.0, 30.0)), 4))
