@@ -232,5 +232,51 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "match_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79)
+  val q85 = QueryDef(
+    "q85_contrastive_negatives",
+    Some(s"""WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+            |a AS (
+            |  SELECT vec_id AS anchor_id, embedding AS av, unnest(range(1, 5)) AS j
+            |  FROM embeddings
+            |), pick AS (
+            |  SELECT anchor_id, av, j,
+            |    ${DedupPack.hash32Sql("'neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % cnt AS raw,
+            |    cnt
+            |  FROM a, n
+            |), chosen AS (
+            |  SELECT anchor_id, av, CAST(j AS BIGINT) AS j,
+            |    CASE WHEN raw = anchor_id THEN (raw + 1) % cnt ELSE raw END AS neg_id
+            |  FROM pick
+            |)
+            |SELECT c.anchor_id, c.j, c.neg_id, ${cosSql("c.av", "e.embedding")} AS cos,
+            |  ${cosSql("c.av", "e.embedding")} >= 0.3 AS hard
+            |FROM chosen c JOIN embeddings e ON e.vec_id = c.neg_id
+            |ORDER BY anchor_id, j""".stripMargin)) { t =>
+    // Contrastive negative mining: K=4 negatives per anchor chosen by a
+    // deterministic hash over (anchor, slot) — never rand(), so the
+    // pairing is identical across engines, reruns and partitionings; a
+    // self-hit re-rolls to the next id. The pairing is a plain equi-join
+    // on the synthesized neg_id (one shuffle, broadcastable corpus-side
+    // at dim scale) — NO cross join, which is what makes per-anchor
+    // negative sampling viable when the corpus is 10^9 vectors. The
+    // `hard` flag (cos >= 0.3) is the usual hard-negative marker for
+    // curriculum reweighting.
+    graft.expressions.GraftFunctions.register(t.spark)
+    val n = t.embeddings.count()
+    val anchors = t.embeddings
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+        explode(sequence(lit(1L), lit(4L))).as("j"))
+    val raw = graft.functions.TextFns.hash32(
+      concat(lit("neg:"), col("anchor_id").cast("string"), lit(":"), col("j").cast("string"))) % n
+    val cos = Similarity.dot(col("av"), col("nv")) /
+      (sqrt(Similarity.dot(col("av"), col("av"))) * sqrt(Similarity.dot(col("nv"), col("nv"))))
+    anchors
+      .withColumn("neg_id", when(raw === col("anchor_id"), (raw + 1) % n).otherwise(raw))
+      .join(t.embeddings.select(col("vec_id").as("neg_id"), col("embedding").as("nv")), "neg_id")
+      .select(col("anchor_id"), col("j"), col("neg_id"),
+        cos.as("cos"), (cos >= 0.3).as("hard"))
+      .orderBy("anchor_id", "j")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79, q85)
 }
