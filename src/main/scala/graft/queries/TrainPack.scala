@@ -211,5 +211,57 @@ object TrainPack extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61)
+  val q86 = QueryDef(
+    "q86_incremental_rollup",
+    Some("""WITH h AS (
+           |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mes,
+           |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS hv,
+           |    o_totalprice
+           |  FROM orders
+           |), scal AS (
+           |  SELECT mes, COUNT(*) AS n,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |    min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           |  FROM h GROUP BY 1
+           |), d AS (SELECT DISTINCT mes, hv FROM h),
+           |r AS (SELECT mes, hv, row_number() OVER (PARTITION BY mes ORDER BY hv) AS rn FROM d),
+           |sk AS (
+           |  SELECT mes, (CAST(count(*) - 1 AS DOUBLE) * 4294967296.0) / max(hv) AS est_cust
+           |  FROM r WHERE rn <= 16 GROUP BY mes
+           |)
+           |SELECT s.mes, s.n, s.total, s.mn, s.mx, k.est_cust
+           |FROM scal s JOIN sk k USING (mes) ORDER BY mes""".stripMargin)) { t =>
+    // Incremental aggregation: the nightly pattern where per-key rollup
+    // STATES are stored and only the delta is scanned — history rows
+    // are never touched again. Every statistic here is mergeable:
+    // count/sum/min/max trivially, the DECIMAL sum keeps the merge
+    // exact regardless of how the data was split, and distinct-count
+    // rides the KMV sketch, whose merge (bottom-k of unioned bottom-ks
+    // = bottom-k of the union, exactly) is why a sketch replaces exact
+    // COUNT(DISTINCT) the moment aggregation goes incremental. The
+    // oracle recomputes everything from the full fact: merged state ==
+    // full recompute, bit for bit — including the sketch estimate.
+    graft.expressions.GraftFunctions.register(t.spark)
+    val cutoff = lit("1999-01-01 00:00:00").cast("timestamp")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(date_trunc("month", col("o_orderdate")).as("mes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_d"),
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"),
+          call_function("graft_bottomk",
+            TextFns.hash32(col("o_custkey").cast("string")), lit(16)).as("sk"))
+    val states = state(t.orders.where(col("o_orderdate") < cutoff))
+      .unionByName(state(t.orders.where(col("o_orderdate") >= cutoff)))
+    val scalars = states.groupBy("mes").agg(
+      sum(col("n")).as("n"), sum(col("sum_d")).as("sum_d"),
+      min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val sketches = states.select(col("mes"), explode(col("sk")).as("hv"))
+      .groupBy("mes").agg(call_function("graft_bottomk", col("hv"), lit(16)).as("sk"))
+    scalars.join(sketches, "mes")
+      .select(col("mes"), col("n"), col("sum_d").cast("double").as("total"),
+        col("mn"), col("mx"), kmvEstimate(col("sk")).as("est_cust"))
+      .orderBy("mes")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86)
 }
