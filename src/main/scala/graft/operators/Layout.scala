@@ -79,6 +79,25 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Persist `df` as a bucketed table: rows hash-partitioned into
+    * `buckets` files by `key` AT WRITE TIME, bucket metadata in the
+    * session catalog, data at `path`. A join (or aggregate) keyed on the
+    * bucket column then needs NO exchange at read time — both sides
+    * arrive pre-co-partitioned, which turns every recurring join on a
+    * 100 TB fact from a full shuffle into a map-side merge. This is the
+    * pay-once-shuffle-forever layout (Spark's native analogue of the
+    * reference's clustered BigQuery destinations), complementary to
+    * `zorderWrite` (which optimizes SCANS, not joins). sortBy(key)
+    * additionally makes each bucket merge-join-ready without a sort.
+    */
+  def bucketedWrite(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
   /** Global contiguous ordinals 0..n-1 by (`keyCol`, `tieCols`) WITHOUT
     * a single-partition sort — `row_number() OVER (ORDER BY key)` plans
     * a global Exchange to ONE partition, the canonical driver-melting

@@ -56,5 +56,30 @@ object LayoutPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80, q84)
+  val q87 = QueryDef(
+    "q87_bucketed_join",
+    Some("""SELECT c.c_mktsegment, COUNT(*) AS n,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)) { t =>
+    // The recurring-join layout: both sides persisted bucketed on the
+    // join key, so the join itself plans WITHOUT an exchange on either
+    // side (LayoutSpec pins that on the physical plan with broadcast
+    // disabled) — at 100 TB the shuffle is paid once at landing time
+    // and every nightly join after it is a map-side merge. The oracle
+    // joins the raw tables: bucketing must be value-invisible.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q87").toString
+    Layout.bucketedWrite(t.orders.select("o_custkey", "o_totalprice"),
+      "graft_b_orders", s"$dir/orders", "o_custkey", 8)
+    Layout.bucketedWrite(t.customer.select("c_custkey", "c_mktsegment"),
+      "graft_b_customer", s"$dir/customer", "c_custkey", 8)
+    val o = t.spark.table("graft_b_orders")
+    val c = t.spark.table("graft_b_customer")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80, q84, q87)
 }

@@ -76,6 +76,30 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(__b"), "expected bucket-partitioned window sort")
   }
 
+  test("bucketed tables join with no exchange on either side") {
+    val dir = tmp("bucketed")
+    val orders = sf("sf0.01").orders.select("o_custkey", "o_totalprice")
+    val customer = sf("sf0.01").customer.select("c_custkey", "c_mktsegment")
+    Layout.bucketedWrite(orders, "graft_t_orders", s"$dir/o", "o_custkey", 8)
+    Layout.bucketedWrite(customer, "graft_t_customer", s"$dir/c", "c_custkey", 8)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = spark.table("graft_t_orders")
+        .join(spark.table("graft_t_customer"), col("o_custkey") === col("c_custkey"))
+      bucketed.count() // materialize so AQE finalizes the plan
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // same join over plain parquet DOES shuffle — the bucketing is
+      // what removed it, not the data size
+      val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      plain.count()
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(bucketed.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("degenerate bounds (min==max) fall back to the remaining dimensions") {
     val df = Seq((1.0, 10.0), (1.0, 30.0), (1.0, 20.0)).toDF("a", "b")
       .withColumn("z", Layout.zvalue(Seq(col("a"), col("b")), Seq((1.0, 1.0), (10.0, 30.0)), 4))
