@@ -412,5 +412,46 @@ object PipelinePack extends QueryPack {
       .orderBy("desc_tramo", "tipo_a", "tipo_b")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59, q68)
+  val q88 = QueryDef(
+    "q88_expectations",
+    Some("""WITH v AS (
+           |  SELECT 'price_not_null' AS rule, CAST(COUNT(*) AS BIGINT) AS violations,
+           |    min(CAST(o_orderkey AS VARCHAR)) AS sample_key
+           |  FROM orders WHERE o_totalprice IS NULL
+           |  UNION ALL
+           |  SELECT 'price_range', CAST(COUNT(*) AS BIGINT), min(CAST(o_orderkey AS VARCHAR))
+           |  FROM orders WHERE NOT (o_totalprice BETWEEN 0 AND 300000)
+           |  UNION ALL
+           |  SELECT 'status_set', CAST(COUNT(*) AS BIGINT), min(CAST(o_orderkey AS VARCHAR))
+           |  FROM orders WHERE NOT o_orderstatus IN ('P', 'O', 'F')
+           |  UNION ALL
+           |  SELECT 'priority_set', CAST(COUNT(*) AS BIGINT), min(CAST(o_orderkey AS VARCHAR))
+           |  FROM orders WHERE NOT o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED')
+           |  UNION ALL
+           |  SELECT 'key_unique', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT), min(CAST(k AS VARCHAR))
+           |  FROM (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+           |  UNION ALL
+           |  SELECT 'custkey_fk', CAST(COUNT(*) AS BIGINT), min(CAST(o_orderkey AS VARCHAR))
+           |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           |)
+           |SELECT rule, violations, sample_key FROM v ORDER BY rule""".stripMargin)) { t =>
+    // Declarative data-quality gate (the reference's email_nulos checks
+    // as an engine): six rules — two of which fire on this data — where
+    // ALL row-level rules share ONE fact scan (when-tag explode, the
+    // segmentation pattern), uniqueness is one hash aggregate and
+    // referential integrity one anti-join. Zero-violation rules still
+    // report (the rule spine joins counts back), with a deterministic
+    // lexicographic-min sample key for triage.
+    import graft.operators.Expectations._
+    check(t.orders, "o_orderkey", Seq(
+      NotNull("price_not_null", "o_totalprice"),
+      InRange("price_range", "o_totalprice", 0, 300000),
+      InSet("status_set", "o_orderstatus", Seq("P", "O", "F")),
+      InSet("priority_set", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED")),
+      Unique("key_unique", "o_orderkey"),
+      ForeignKey("custkey_fk", "o_custkey", t.customer, "c_custkey")))
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59, q68, q88)
 }

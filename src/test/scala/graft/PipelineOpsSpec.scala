@@ -166,4 +166,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(once.collect().toSet == twice.collect().toSet)
     assert(once.count() == 3)
   }
+
+  test("expectations count planted violations of every rule type, zero-fill the clean ones") {
+    import graft.operators.Expectations._
+    val dim = Seq(1, 2, 3).toDF("dk")
+    val rows = Seq(
+      (10L, Some(5.0), "a", 1),   // clean
+      (11L, None, "a", 2),        // null value
+      (12L, Some(99.0), "b", 3),  // out of range
+      (12L, Some(6.0), "zz", 4),  // dup key + bad set + FK orphan
+      (13L, Some(-1.0), "a", 1)   // out of range (below)
+    ).toDF("k", "v", "cat", "fk")
+    val got = check(rows, "k", Seq(
+      NotNull("v_not_null", "v"),
+      InRange("v_range", "v", 0, 10),
+      InSet("cat_set", "cat", Seq("a", "b")),
+      Unique("k_unique", "k"),
+      ForeignKey("fk_dim", "fk", dim, "dk"),
+      InSet("cat_clean", "cat", Seq("a", "b", "zz")))) // never fires
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got("v_not_null") == ((1L, "11")))
+    assert(got("v_range") == ((2L, "12")))    // null v is NOT a range violation
+    assert(got("cat_set") == ((1L, "12")))
+    assert(got("k_unique") == ((1L, "12")))   // one extra copy, samples the value
+    assert(got("fk_dim") == ((1L, "12")))
+    assert(got("cat_clean") == ((0L, null)))
+  }
 }
