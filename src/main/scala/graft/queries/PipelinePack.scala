@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TimeFns
+import graft.functions.{TextFns, TimeFns}
 import graft.operators.{Segmentation, Writers}
 
 /** Round-2 closure of the reference pipelines the judge flagged as
@@ -453,5 +453,56 @@ object PipelinePack extends QueryPack {
       ForeignKey("custkey_fk", "o_custkey", t.customer, "c_custkey")))
   }
 
-  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59, q68, q88)
+  val q89 = QueryDef(
+    "q89_snapshot_diff",
+    Some(s"""WITH a AS (
+            |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            |  WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+            |), b AS (
+            |  SELECT o_orderkey,
+            |    CASE WHEN ${DedupPack.hash32Sql("'chg:' || CAST(o_orderkey AS VARCHAR)")} % 10 = 0
+            |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+            |    o_orderstatus
+            |  FROM orders
+            |  WHERE o_orderdate < TIMESTAMP '1999-07-01 00:00:00'
+            |    AND ${DedupPack.hash32Sql("'del:' || CAST(o_orderkey AS VARCHAR)")} % 20 != 0
+            |), d AS (
+            |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+            |    CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+            |         WHEN a.o_orderkey IS NULL THEN 'added'
+            |         WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+            |           OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'changed'
+            |    END AS status,
+            |    concat_ws(',',
+            |      CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'o_totalprice' END,
+            |      CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'o_orderstatus' END)
+            |      AS cc,
+            |    a.o_totalprice AS old_o_totalprice, b.o_totalprice AS new_o_totalprice,
+            |    a.o_orderstatus AS old_o_orderstatus, b.o_orderstatus AS new_o_orderstatus
+            |  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+            |)
+            |SELECT o_orderkey, status,
+            |  CASE WHEN status = 'changed' THEN cc END AS changed_cols,
+            |  old_o_totalprice, new_o_totalprice, old_o_orderstatus, new_o_orderstatus
+            |FROM d WHERE status IS NOT NULL ORDER BY o_orderkey""".stripMargin)) { t =>
+    // Snapshot diff / CDC audit: the old snapshot vs a new one that
+    // adds six months, drops a hash-chosen 5% and doubles the price of
+    // a hash-chosen 10% — Diff.snapshotDiff reports exactly the added/
+    // removed/changed keys and which columns changed, in one
+    // full-outer join; identical rows never leave the join.
+    val chg = TextFns.hash32(concat(lit("chg:"), col("o_orderkey").cast("string"))) % 10 === 0
+    val del = TextFns.hash32(concat(lit("del:"), col("o_orderkey").cast("string"))) % 20 =!= 0
+    val a = t.orders.where(col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val b = t.orders.where(col("o_orderdate") < lit("1999-07-01 00:00:00").cast("timestamp"))
+      .where(del)
+      .select(col("o_orderkey"),
+        when(chg, col("o_totalprice") * 2).otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    graft.operators.Diff.snapshotDiff(a, b, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59, q68, q88, q89)
 }
