@@ -244,5 +244,45 @@ object EnrichPack extends QueryPack {
     Writers.mergeById(tgt, upd, "o_orderkey").orderBy("o_orderkey")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60)
+  val q90 = QueryDef(
+    "q90_scd2_intervals",
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+           |), r AS (
+           |  SELECT user_id, event_type, ts,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |    - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+           |  FROM ev
+           |), isl AS (
+           |  SELECT user_id, event_type, grp, min(ts) AS valid_from, COUNT(*) AS n_events
+           |  FROM r GROUP BY 1, 2, 3
+           |)
+           |SELECT user_id, event_type, valid_from,
+           |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to,
+           |  CAST(n_events AS BIGINT) AS n_events
+           |FROM isl ORDER BY user_id, valid_from, event_type""".stripMargin)) { t =>
+    // SCD Type 2 from a change stream: compress each user's event-type
+    // run into a validity interval (valid_from, valid_to), open-ended
+    // for the current state — the slowly-changing-dimension build every
+    // warehouse needs when the upstream only ships observations.
+    // Gaps-and-islands: the difference of two row_numbers is constant
+    // within a run, so runs become group keys — two partitioned sorts
+    // over the fact (both keyed by user, never a global sort), then the
+    // interval chaining happens on the island table, which is
+    // run-sized, not event-sized.
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wTyp = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val islands = t.events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
+    islands
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1).over(wNext).as("valid_to"), col("n_events"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90)
 }
