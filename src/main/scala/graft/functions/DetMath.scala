@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic transcendental math from pure IEEE-754 arithmetic.
+  *
+  * The pack-wide oracle strategy (QueryDef scaladoc) forbids library
+  * transcendentals: `Math.log` is only 1-ulp-accurate and measurably
+  * disagrees bitwise with DuckDB's `ln` (~1/4500 inputs on the idf
+  * range), which would make any score built on it hash-mismatch. IEEE
+  * `+ - * /` however are CORRECTLY ROUNDED in every engine, so a log
+  * computed by an explicit arithmetic-only algorithm — identical op
+  * order on both sides — is bitwise reproducible anywhere.
+  *
+  * `detLn(x)` for x >= 1:
+  *  1. range-reduce in INTEGER space (the q65 move): e = bitlength of
+  *     floor(x) minus 1, p = 1 << e exact, m = x/p in [1,2);
+  *  2. fold m >= 1.5 into the exponent so the series argument m2 sits
+  *     in [0.75, 1.5) and z = (m2-1)/(m2+1) in [-1/7, 1/5];
+  *  3. atanh Horner series to z^13 (truncation < 3e-12 relative) plus
+  *     e * ln2 with ln2 as a decimal literal both engines parse to the
+  *     same double.
+  *
+  * Probe-verified bitwise identical to the DuckDB fragment emitted by
+  * [[detLnSql]] on 4,500 idf-shaped inputs; relative accuracy vs
+  * Math.log ~1e-11, far below any ranking threshold.
+  */
+object DetMath {
+
+  val Ln2 = "0.6931471805599453"
+
+  /** Natural log of a DOUBLE column, x >= 1, arithmetic-only. */
+  def detLn(x: Column): Column = {
+    val e = length(bin(floor(x).cast("long"))) - 1
+    val m = x / call_function("shiftleft", lit(1L), e).cast("double")
+    val eAdj = when(m >= 1.5, e + 1).otherwise(e).cast("double")
+    val m2 = when(m >= 1.5, m / 2.0).otherwise(m)
+    val z = (m2 - 1.0) / (m2 + 1.0)
+    val z2 = z * z
+    val series = lit(2.0) * z * (lit(1.0) + z2 * (lit(1.0 / 3.0) + z2 * (lit(1.0 / 5.0) +
+      z2 * (lit(1.0 / 7.0) + z2 * (lit(1.0 / 9.0) + z2 * (lit(1.0 / 11.0) + z2 * lit(1.0 / 13.0)))))))
+    eAdj * Ln2.toDouble + series
+  }
+
+  /** The same computation as DuckDB SQL over a scalar expression `x`
+    * (x >= 1). Emitted as a correlated scalar so the caller can inline
+    * it; every literal and op matches [[detLn]] exactly.
+    */
+  def detLnSql(x: String): String =
+    s"""(SELECT eadj * $Ln2 +
+       |   2.0*z*(1.0 + z2*((1.0/3.0) + z2*((1.0/5.0) + z2*((1.0/7.0) + z2*((1.0/9.0) + z2*((1.0/11.0) + z2*(1.0/13.0)))))))
+       | FROM (SELECT eadj, z, z*z AS z2 FROM (
+       |   SELECT CASE WHEN m >= 1.5 THEN CAST(e + 1 AS DOUBLE) ELSE CAST(e AS DOUBLE) END AS eadj,
+       |          ((CASE WHEN m >= 1.5 THEN m / 2.0 ELSE m END) - 1.0)
+       |        / ((CASE WHEN m >= 1.5 THEN m / 2.0 ELSE m END) + 1.0) AS z
+       |   FROM (SELECT e, (xx) / CAST((CAST(1 AS BIGINT) << e) AS DOUBLE) AS m
+       |         FROM (SELECT length(bin(CAST(floor(xx) AS BIGINT))) - 1 AS e)))))"""
+      .stripMargin.replace("xx", x)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
+import graft.functions.{DetMath, TextFns}
 import graft.operators.Dedup
 
 /** Text-analysis operators over the `documents` corpus: token stats,
@@ -206,5 +206,71 @@ object TextPack extends QueryPack {
       .orderBy("source", "bucket")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65)
+  /** Fixed keyword query for q91 — literal on both engines so the
+    * conditional-aggregation sum has one fixed term order.
+    */
+  private val BmTerms = Seq("vector", "merge", "window")
+
+  val q91 = QueryDef(
+    "q91_bm25_topk", {
+      val x = "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+      val inList = BmTerms.map(t => s"'$t'").mkString(", ")
+      val caseCols = BmTerms.map(t =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c_$t").mkString(",\n        ")
+      val nTerms = BmTerms.map(t => s"CASE WHEN c_$t IS NOT NULL THEN 1 ELSE 0 END")
+        .reduceLeft((a, b) => s"($a + $b)")
+      val score = BmTerms.map(t => s"coalesce(c_$t, 0.0)").reduceLeft((a, b) => s"($a + $b)")
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+              |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+              |p AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+              |        (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM toks)
+              |      WHERE term IN ($inList) GROUP BY 1, 2, 3),
+              |tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              |sc AS (SELECT p.doc_id, p.term,
+              |        ${DetMath.detLnSql(x)}
+              |        * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+              |           (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+              |       FROM p JOIN tdf USING (term) CROSS JOIN stats),
+              |w AS (SELECT doc_id, $caseCols FROM sc GROUP BY 1)
+              |SELECT doc_id, $nTerms AS n_terms, $score AS score
+              |FROM w ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+    }) { t =>
+    // BM25 keyword retrieval, top-20 — the lexical-search face of the
+    // corpus next to the embedding ANN (q30/q31/q51). Plan: the posting
+    // build filters to the query's terms BEFORE any shuffle (explode →
+    // narrow isin filter), so the grouped state is O(matching docs × |Q|),
+    // never the corpus vocabulary; doc length rides the posting key
+    // instead of joining the corpus back; df and the one-row corpus
+    // stats broadcast; the final top-k is TakeOrderedAndProject (partial
+    // per-partition top-k, no global sort). idf uses DetMath.detLn —
+    // library ln is not bitwise-reproducible across engines (see DetMath)
+    // — and the over-terms sum is conditional aggregation in literal term
+    // order, so every double op has one fixed order on both engines.
+    val k1 = lit(1.2)
+    val toks = t.documents.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"), sum("dl").as("sum_dl"))
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(BmTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val tdf = postings.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val x = (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0
+    val tfD = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val contrib = DetMath.detLn(x) * ((tfD * lit(1.2 + 1.0)) /
+      (tfD + k1 * (lit(1.0 - 0.75) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    val aggs = BmTerms.map(q => max(when(col("term") === q, col("contrib"))).as(s"c_$q"))
+    val wide = postings.join(broadcast(tdf), "term").crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val nTerms = BmTerms.map(q => when(col(s"c_$q").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    val score = BmTerms.map(q => coalesce(col(s"c_$q"), lit(0.0))).reduceLeft(_ + _)
+    wide.select(col("doc_id"), nTerms.as("n_terms"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65, q91)
 }
