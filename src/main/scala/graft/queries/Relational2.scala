@@ -381,6 +381,36 @@ object Relational2 extends QueryPack {
       .orderBy("programa")
   }
 
+  val q92 = QueryDef(
+    "q92_bloom_pruned_join",
+    Some("""SELECT p_type,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand = 'Brand#23'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Runtime-filter join, the explicit deterministic form: a bloom
+    // filter built from the selective dim side (Brand#23 parts) prunes
+    // the fact BEFORE its exchange — at 100 TB the fact shuffle carries
+    // only plausibly-matching rows (~3% here), and the join itself
+    // removes the filter's false positives, so the oracle is simply the
+    // plain join. The filter is pure codegen'd bit math on a plan
+    // literal (operators.Bloom); BloomSpec pins no-false-negatives and
+    // the actual prune rate.
+    val dim = t.part.where(col("p_brand") === "Brand#23").select("p_partkey", "p_type")
+    // revenue arithmetic entirely in decimal space: both factors are
+    // 2-decimal quantities, so the casts are exact and the product/sum
+    // never round — a decimal cast of the double PRODUCT would hit
+    // engine-specific rounding at the cents boundary.
+    val fact = t.lineitem.select(col("l_partkey").as("p_partkey"),
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    graft.operators.Bloom.prunedJoin(fact, dim, "p_partkey")
+      .groupBy("p_type")
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy("p_type")
+  }
+
   override def queries: Seq[QueryDef] = Seq(
-    q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q92)
 }
