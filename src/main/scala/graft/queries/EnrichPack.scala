@@ -284,5 +284,64 @@ object EnrichPack extends QueryPack {
       .orderBy("user_id", "valid_from", "event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90)
+  val q93 = QueryDef(
+    "q93_gap_fill_interpolate",
+    Some("""WITH obs AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v_obs
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           |days AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS d),
+           |users AS (SELECT DISTINCT user_id FROM events),
+           |g AS (SELECT u.user_id, days.d, o.v_obs
+           |      FROM users u CROSS JOIN days LEFT JOIN obs o ON o.user_id = u.user_id AND o.d = days.d),
+           |w AS (SELECT user_id, d, v_obs,
+           |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           |  last_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+           |  first_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           |  first_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+           |  FROM g)
+           |SELECT user_id, d, v_obs, ffill,
+           |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+           |       WHEN ffill IS NOT NULL AND next_v IS NOT NULL
+           |         THEN ffill + (next_v - ffill) * (CAST(date_diff('day', prev_d, d) AS DOUBLE) / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+           |       ELSE ffill END AS interp
+           |FROM w ORDER BY user_id, d""".stripMargin)) { t =>
+    // Time-series regularization — the resample step of a metrics/sensor
+    // pipeline: a daily spine per user (every user × every day, gaps
+    // explicit), forward fill, and linear interpolation between the
+    // bracketing observations. Both window passes are partitioned by
+    // user and sorted only within the partition — never a global sort —
+    // and the 30-row day dim broadcasts onto the user list, so the plan
+    // is one shuffle on user_id at any scale. Edges are defined: before
+    // the first observation interp stays null, after the last it carries
+    // the forward fill. The interpolation is a single fixed-order double
+    // expression of two exact day counts, so both engines agree bitwise.
+    import org.apache.spark.sql.expressions.Window
+    val obs = t.events.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+      .agg(max(col("value")).as("v_obs"))
+    val days = t.spark.range(1).select(explode(sequence(
+      lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+      expr("interval 1 day"))).as("d"))
+    val spine = t.events.select("user_id").distinct().crossJoin(broadcast(days))
+    val g = spine.join(obs, Seq("user_id", "d"), "left")
+    val back = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = g.select(col("user_id"), col("d"), col("v_obs"),
+      last(col("v_obs"), ignoreNulls = true).over(back).as("ffill"),
+      last(when(col("v_obs").isNotNull, col("d")), ignoreNulls = true).over(back).as("prev_d"),
+      first(col("v_obs"), ignoreNulls = true).over(fwd).as("next_v"),
+      first(when(col("v_obs").isNotNull, col("d")), ignoreNulls = true).over(fwd).as("next_d"))
+    w.select(col("user_id"), col("d"), col("v_obs"), col("ffill"),
+        when(col("v_obs").isNotNull, col("v_obs"))
+          .when(col("ffill").isNotNull && col("next_v").isNotNull,
+            col("ffill") + (col("next_v") - col("ffill")) *
+              (datediff(col("d"), col("prev_d")).cast("double") /
+                datediff(col("next_d"), col("prev_d")).cast("double")))
+          .otherwise(col("ffill")).as("interp"))
+      .orderBy("user_id", "d")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93)
 }
