@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.functions.TextFns
+import graft.operators.{Dedup, FuzzyJoin}
 
 /** Near-duplicate detection over `documents` — n-gram Jaccard, MinHash+
   * LSH, SimHash (see operators.Dedup for the scale design; none of these
@@ -153,5 +154,50 @@ object DedupPack extends QueryPack {
       .orderBy("id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57)
+  val q94 = QueryDef(
+    "q94_fuzzy_join", {
+      val h = hash32Sql("'fz:' || s_name")
+      Some(s"""WITH src AS (
+              |  SELECT s_suppkey, s_name,
+              |    CAST(${hash32Sql("'fp:' || s_name")} % length(s_name) + 1 AS INTEGER) AS p
+              |  FROM supplier),
+              |dirty AS (
+              |  SELECT s_suppkey AS d_key,
+              |    CASE WHEN $h % 3 = 0
+              |           THEN substr(s_name, 1, p - 1) || substr(s_name, p + 1, length(s_name) - p)
+              |         WHEN $h % 3 = 1
+              |           THEN substr(s_name, 1, p - 1) || 'x' || substr(s_name, p + 1, length(s_name) - p)
+              |         ELSE s_name END AS d_name
+              |  FROM src),
+              |canon AS (SELECT s_suppkey AS c_key, s_name AS c_name FROM supplier)
+              |SELECT d_key, c_key, CAST(levenshtein(d_name, c_name) AS INTEGER) AS dist
+              |FROM dirty JOIN canon ON levenshtein(d_name, c_name) <= 1
+              |ORDER BY 1, 2""".stripMargin)
+    }) { t =>
+    // Record linkage: match deterministically-corrupted supplier names
+    // (hash-chosen delete / substitute / keep) back to the canonical
+    // list at edit distance <= 1. The oracle is the naive predicate
+    // join; the engine runs FuzzyJoin.join1 — symmetric-deletion
+    // blocking, an equi-join on exploded deletion-1 neighborhood keys
+    // with exact verification on candidates only. Lossless (the del-1
+    // neighborhoods of any two strings within one edit must intersect)
+    // where prefix blocking would put every 'Supplier#...' name in one
+    // block; FuzzyJoinSpec pins block-join == naive-join equality.
+    val s = col("s_name")
+    val p = (TextFns.hash32(concat(lit("fp:"), s)) % length(s)).cast("int") + 1
+    val h = TextFns.hash32(concat(lit("fz:"), s))
+    val corrupted = when(h % 3 === 0,
+        concat(s.substr(lit(1), p - 1), s.substr(p + 1, length(s) - p)))
+      .when(h % 3 === 1,
+        concat(s.substr(lit(1), p - 1), lit("x"), s.substr(p + 1, length(s) - p)))
+      .otherwise(s)
+    val dirty = t.supplier.select(col("s_suppkey").as("d_key"), corrupted.as("d_name"))
+    val canon = t.supplier.select(col("s_suppkey").as("c_key"), col("s_name").as("c_name"))
+    FuzzyJoin.join1(dirty, canon, "d_name", "c_name")
+      .select(col("d_key"), col("c_key"),
+        levenshtein(col("d_name"), col("c_name")).as("dist"))
+      .orderBy("d_key", "c_key")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94)
 }
