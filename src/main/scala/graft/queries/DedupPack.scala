@@ -199,5 +199,53 @@ object DedupPack extends QueryPack {
       .orderBy("d_key", "c_key")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94)
+  val q95 = QueryDef(
+    "q95_quality_survivorship",
+    Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles3Sql AS shingles FROM documents),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            |),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |),
+            |canon AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY 1),
+            |comp AS (SELECT d.doc_id AS id, coalesce(c.canonical_id, d.doc_id) AS component_id
+            |         FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+            |q AS (SELECT doc_id, ${TextPack.qualitySql} AS quality FROM documents),
+            |j AS (SELECT comp.id, comp.component_id, q.quality FROM comp JOIN q ON comp.id = q.doc_id),
+            |s AS (SELECT id, component_id, quality,
+            |  first_value(id) OVER (PARTITION BY component_id ORDER BY quality DESC, id) AS survivor_id
+            |  FROM j)
+            |SELECT id AS doc_id, component_id, survivor_id, (id = survivor_id) AS keep, quality
+            |FROM s ORDER BY doc_id""".stripMargin)) { t =>
+    // Survivorship POLICY on top of near-dup components: instead of
+    // q44's min-id canonical, each cluster keeps its best-quality member
+    // (argmax quality, ties to the lower id) — what a curation pipeline
+    // actually wants when one near-duplicate is the cleaner copy. The
+    // survivor election is an AGGREGATE (max_by over a (quality, -id)
+    // struct key), not a per-cluster window sort: one partial-aggregated
+    // shuffle row per component, joined back broadcast-style — the same
+    // plan shape at 100 TB.
+    val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, minJaccard = 0.5)
+    val comp = Dedup.canonicalize(t.documents.select("doc_id"), "doc_id", pairs)
+      .withColumnRenamed("canonical_id", "component_id")
+    val q = t.documents.select(col("doc_id"),
+      TextFns.qualityScore(col("text"), TextFns.tokens(col("text"))).as("quality"))
+    val j = comp.join(q, comp("id") === q("doc_id"))
+      .select(col("id"), col("component_id"), col("quality"))
+    val surv = j.groupBy("component_id")
+      .agg(max_by(col("id"), struct(col("quality"), -col("id"))).as("survivor_id"))
+    j.join(surv, "component_id")
+      .select(col("id").as("doc_id"), col("component_id"), col("survivor_id"),
+        (col("id") === col("survivor_id")).as("keep"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94, q95)
 }
