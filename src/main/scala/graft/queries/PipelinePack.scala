@@ -504,5 +504,35 @@ object PipelinePack extends QueryPack {
       .orderBy("o_orderkey")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59, q68, q88, q89)
+  val q96 = QueryDef(
+    "q96_orc_roundtrip",
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Storage-format parity: land the fact as ORC (columnar like
+    // parquet, the interchange format a Hive-side consumer would hand
+    // us), partitioned on the coarse filter column, then answer from
+    // the ORC copy — value-identical to the parquet original, which is
+    // what the oracle reads. Partition pruning and ORC predicate
+    // pushdown both apply on the read side (FormatsSpec pins the pushed
+    // filter and the round-tripped schema); the write is one pass,
+    // partitionBy on a 3-value column so no small-file explosion.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q96_orc").toString + "/lineitem_orc"
+    t.lineitem
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+      .write.mode("overwrite").partitionBy("l_returnflag").orc(dir)
+    t.spark.read.orc(dir)
+      .where(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q52, q53, q54, q55, q56, q58, q59, q68, q88, q89, q96)
 }
