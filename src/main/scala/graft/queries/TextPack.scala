@@ -272,5 +272,23 @@ object TextPack extends QueryPack {
       .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
 
-  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65, q91)
+  val q97 = QueryDef(
+    "q97_phrase_search",
+    Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            |h AS (SELECT doc_id,
+            |        [i for i in range(1, len(toks)) if toks[i] = 'hash' AND toks[i + 1] = 'join'] AS hits
+            |      FROM toks)
+            |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits, CAST(list_min(hits) AS BIGINT) AS first_pos
+            |FROM h WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin)) { t =>
+    // Exact phrase search ('hash join') from a positional index —
+    // aligned-position equi-joins, the lexical complement of BM25 (q91):
+    // postings are filtered to the phrase's own vocabulary before any
+    // shuffle, each extra phrase word is one co-partitioned hash join,
+    // and multi-occurrence/overlapping matches count individually
+    // (RetrievalSpec pins overlap semantics on 'a a a').
+    graft.operators.Retrieval.phraseSearch(t.documents, "doc_id", "text", Seq("hash", "join"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65, q91, q97)
 }
