@@ -343,5 +343,49 @@ object EnrichPack extends QueryPack {
       .orderBy("user_id", "d")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93)
+  val q98 = QueryDef(
+    "q98_sessionize",
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, event_id,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN prev_ts IS NULL
+           |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk
+           |  FROM e),
+           |s AS (
+           |  SELECT user_id, ts,
+           |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           |  FROM f)
+           |SELECT user_id, session_id, COUNT(*) AS n_events,
+           |  min(ts) AS session_start, max(ts) AS session_end,
+           |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Time-gap sessionization (30-min inactivity breaks a session) —
+    // the batch twin of EventStream's stateful sessionizer: one
+    // user-partitioned window pass marks breaks (gap math in exact
+    // integer microseconds — a fractional-seconds epoch would put the
+    // engines on different doubles), a running sum numbers sessions,
+    // one aggregate emits per-session stats. Both window sorts and the
+    // aggregate share the user_id partitioning: one shuffle total.
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = t.events.select(col("user_id"), col("ts"), col("event_id"),
+      lag(col("ts"), 1).over(order).as("prev_ts"))
+    val f = e.withColumn("brk",
+      when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1).otherwise(0))
+    val s = f.select(col("user_id"), col("ts"),
+      sum(col("brk")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long").as("session_id"))
+    s.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98)
 }
