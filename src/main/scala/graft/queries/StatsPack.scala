@@ -154,5 +154,42 @@ object StatsPack extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q77, q78, q82)
+  val q99 = QueryDef(
+    "q99_rolling_window",
+    Some("""WITH daily AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS d,
+           |    SUM(CAST(value AS DECIMAL(18,2))) AS day_spend, COUNT(*) AS day_n
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           |x AS (SELECT user_id, d, datediff('day', DATE '2024-01-01', d) AS dn, day_spend, day_n
+           |      FROM daily),
+           |r AS (SELECT user_id, d,
+           |  CAST(SUM(day_spend) OVER w AS DOUBLE) AS spend_7d,
+           |  CAST(SUM(day_n) OVER w AS BIGINT) AS n_7d
+           |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY dn
+           |                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+           |SELECT user_id, d, spend_7d, n_7d,
+           |  spend_7d / CAST(n_7d AS DOUBLE) AS avg_7d
+           |FROM r ORDER BY user_id, d""".stripMargin)) { t =>
+    // Trailing 7-day rolling spend per user — the moving-average face of
+    // the monitoring layer. Two-level plan: an exact daily pre-aggregate
+    // (decimal sums — partial-aggregated, one shuffle row per (user,
+    // day)) and a RANGE frame over the integer day ordinal on the
+    // pre-aggregate, so the window slides over at most 31 rows per user,
+    // not the raw fact. Decimal window sums keep the rolling total
+    // order-invariant; the average is one double division at the end.
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_spend"),
+        count(lit(1)).as("day_n"))
+      .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy("user_id").orderBy("dn").rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("d"),
+        sum(col("day_spend")).over(w).cast("double").as("spend_7d"),
+        sum(col("day_n")).over(w).cast("long").as("n_7d"))
+      .withColumn("avg_7d", col("spend_7d") / col("n_7d").cast("double"))
+      .orderBy("user_id", "d")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99)
 }
