@@ -191,5 +191,51 @@ object StatsPack extends QueryPack {
       .orderBy("user_id", "d")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99)
+  /** Fixed event-type vocabulary — literal on both engines so the
+    * per-type entropy terms sum in one fixed order (the q91 move).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val q100 = QueryDef(
+    "q100_entropy_profile", {
+      import graft.functions.DetMath
+      val cCols = EventTypes.map(tp =>
+        s"CAST(SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS BIGINT) AS c_$tp")
+        .mkString(",\n        ")
+      val terms = EventTypes.map { tp =>
+        s"CASE WHEN c_$tp > 0 THEN CAST(c_$tp AS DOUBLE) * ${DetMath.detLnSql(s"CAST(c_$tp AS DOUBLE)")} ELSE 0.0 END"
+      }.reduceLeft((a, b) => s"($a + $b)")
+      val nTypes = EventTypes.map(tp => s"CASE WHEN c_$tp > 0 THEN 1 ELSE 0 END")
+        .reduceLeft((a, b) => s"($a + $b)")
+      Some(s"""WITH g AS (
+              |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+              |        $cCols
+              |  FROM events GROUP BY 1)
+              |SELECT user_id, n, $nTypes AS n_types,
+              |  ${DetMath.detLnSql("CAST(n AS DOUBLE)")} - ($terms) / CAST(n AS DOUBLE) AS entropy
+              |FROM g ORDER BY user_id""".stripMargin)
+    }) { t =>
+    // Per-user Shannon entropy of the event-type mix — the behavioral-
+    // diversity profile a monitoring layer reads next to q77's moments.
+    // H = ln(n) − (Σ c·ln c)/n over the five known event types, every
+    // ln a DetMath.detLn (bitwise-reproducible arithmetic, see q91) and
+    // the Σ a conditional-aggregation sum in literal vocabulary order —
+    // one partial-aggregated scan, no collected value lists, no
+    // order-sensitive double accumulation.
+    import graft.functions.DetMath
+    val cAggs = EventTypes.map(tp =>
+      sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c_$tp"))
+    val allAggs = count(lit(1)).as("n") +: cAggs
+    val g = t.events.groupBy("user_id").agg(allAggs.head, allAggs.tail: _*)
+    val terms = EventTypes.map { tp =>
+      val c = col(s"c_$tp")
+      when(c > 0, c.cast("double") * DetMath.detLn(c.cast("double"))).otherwise(0.0)
+    }.reduceLeft(_ + _)
+    val nTypes = EventTypes.map(tp => when(col(s"c_$tp") > 0, 1).otherwise(0)).reduceLeft(_ + _)
+    g.select(col("user_id"), col("n"), nTypes.as("n_types"),
+        (DetMath.detLn(col("n").cast("double")) - terms / col("n").cast("double")).as("entropy"))
+      .orderBy("user_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99, q100)
 }
