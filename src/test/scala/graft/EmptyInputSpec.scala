@@ -94,6 +94,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.pipelines.Runner.run(spark, Seq.empty, flags).isEmpty)
   }
 
+  test("round-5 operators: empty sides propagate empty, never throw") {
+    // bloom: an empty build side must prune EVERYTHING (no key was added)
+    val noKeys = Seq.empty[Long].toDF("k")
+    val probe = (1L to 100L).toDF("k")
+    assert(Bloom.prunedJoin(probe, noKeys, "k").isEmpty)
+    assert(Bloom.prunedJoin(noKeys, probe, "k").isEmpty)
+    // fuzzy join: either side empty
+    val noNames = Seq.empty[(Long, String)].toDF("lid", "lw")
+    val names = Seq((1L, "abc")).toDF("rid", "rw")
+    assert(FuzzyJoin.join1(noNames, names, "lw", "rw").isEmpty)
+    // phrase search over an empty corpus
+    assert(Retrieval.phraseSearch(noDocs, "doc_id", "text", Seq("a", "b")).isEmpty)
+    // snapshot diff of two empty snapshots
+    assert(Diff.snapshotDiff(
+      Seq.empty[(Long, Double)].toDF("id", "v"),
+      Seq.empty[(Long, Double)].toDF("id", "v"),
+      Seq("id"), Seq("v")).isEmpty)
+  }
+
   test("text functions: empty and whitespace-only documents score without throwing") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
     val out = edge.select(
