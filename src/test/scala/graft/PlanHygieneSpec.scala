@@ -115,4 +115,34 @@ class PlanHygieneSpec extends SparkSpec {
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("partial_sum"))
   }
+
+  test("q91's top-k is TakeOrderedAndProject, never a global sort of all docs") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q91_bm25_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q91 must plan a partial top-k:\n$plan")
+  }
+
+  test("q92's bloom bit test filters the fact below its exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q92_bloom_pruned_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the probe-side Filter carries the literal-array bit test
+    // (shiftright on element_at) — i.e. pruning happens at the scan
+    // stage, not after the join
+    assert(plan.contains("shiftright"), s"q92 lost its bloom probe filter:\n$plan")
+  }
+
+  test("q98's lag, running sum, and session aggregate share one hash exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q98_sessionize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both windows partition by user_id and the (user_id, session_id)
+    // aggregate is satisfied by the same clustering: one hash exchange
+    // (plus only the final presentation ORDER BY's range exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"q98 plans $hashExchanges hash exchanges — windows and aggregate must share one:\n$plan")
+  }
 }
