@@ -247,5 +247,48 @@ object DedupPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94, q95)
+  val q101 = QueryDef(
+    "q101_source_overlap_matrix", {
+      val sigCols = (0 until 16).map(i => s"MIN(${minhashSql(i)}) AS m_$i").mkString(",\n        ")
+      val matches = (0 until 16).map(i => s"CASE WHEN a.m_$i = b.m_$i THEN 1 ELSE 0 END")
+        .reduceLeft((x, y) => s"($x + $y)")
+      Some(s"""WITH sh AS (SELECT source, $shingles3Sql AS shingles FROM documents),
+              |sig AS (
+              |  SELECT source,
+              |        $sigCols
+              |  FROM sh GROUP BY 1)
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |  $matches AS seed_matches,
+              |  CAST($matches AS DOUBLE) / 16.0 AS jaccard_est
+              |FROM sig a JOIN sig b ON a.source < b.source
+              |ORDER BY 1, 2""".stripMargin)
+    }) { t =>
+    // Corpus-LEVEL overlap screening: one MinHash signature per SOURCE
+    // (the min of each seed over the union of the source's shingles —
+    // min is associative, so the per-source signature partial-aggregates
+    // like any min) and a pairwise seed-match count estimating the
+    // Jaccard overlap of the sources' shingle sets. The matrix costs
+    // sources² signature comparisons — never a document pair — which is
+    // how you screen "does crawl B substantially duplicate crawl A?"
+    // before committing to the doc-level dedup. Pure integer minima:
+    // bitwise-deterministic in any engine.
+    import graft.functions.TextFns
+    val sh = t.documents.select(col("source"),
+        explode(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("s"))
+      .select(col("source"), (TextFns.hash32(col("s")) % TextFns.MinhashP).as("hs"))
+    val aggs = (0 until 16).map(i =>
+      min((lit(TextFns.minhashA(i)) * col("hs") + lit(TextFns.minhashB(i))) % TextFns.MinhashP)
+        .as(s"m_$i"))
+    val sig = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val a = sig.select(col("source").as("src_a") +: (0 until 16).map(i => col(s"m_$i").as(s"a_$i")): _*)
+    val b = sig.select(col("source").as("src_b") +: (0 until 16).map(i => col(s"m_$i").as(s"b_$i")): _*)
+    val matches = (0 until 16).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduceLeft(_ + _)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), matches.as("seed_matches"),
+        (matches.cast("double") / 16.0).as("jaccard_est"))
+      .orderBy("src_a", "src_b")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94, q95, q101)
 }
