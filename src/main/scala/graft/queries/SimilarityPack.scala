@@ -278,5 +278,68 @@ object SimilarityPack extends QueryPack {
       .orderBy("anchor_id", "j")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79, q85)
+  val q102 = QueryDef(
+    "q102_label_centroid_outliers", {
+      val S = "1048576.0" // 2^20 fixed-point scale
+      Some(s"""WITH q AS (
+              |  SELECT vec_id, label, i AS pos,
+              |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $S) AS BIGINT) AS qv
+              |  FROM (SELECT vec_id, label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+              |        FROM embeddings)),
+              |cstat AS (
+              |  SELECT label, pos,
+              |    CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $S AS c
+              |  FROM q GROUP BY 1, 2),
+              |cen AS (SELECT label, list(c ORDER BY pos) AS cen FROM cstat GROUP BY 1),
+              |xq AS (
+              |  SELECT vec_id, label,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $S) AS DOUBLE) / $S) AS v
+              |  FROM embeddings),
+              |d AS (
+              |  SELECT xq.vec_id, xq.label,
+              |    list_sum(list_transform(range(1, len(v) + 1),
+              |      i -> (v[i] - cen[i]) * (v[i] - cen[i]))) AS dist2
+              |  FROM xq JOIN cen ON xq.label = cen.label)
+              |SELECT vec_id, label, dist2,
+              |  CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rnk,
+              |  (row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) <= 3) AS is_outlier
+              |FROM d ORDER BY vec_id""".stripMargin)
+    }) { t =>
+    // Embedding hygiene: per-label centroids and distance outliers —
+    // the mislabeled-example screen run before contrastive training.
+    // Mean-pooling sums doubles across rows, which is order-sensitive,
+    // so values are quantized onto a 2^20 fixed-point grid first: the
+    // per-(label, dim) sums become exact integers (partial-aggregated,
+    // shuffle rows = labels × dims, the posexplode is CPU-narrow), the
+    // centroid is two divisions, and each vector's squared distance is
+    // the fold-left zip the cosine oracle already proves bitwise. The
+    // top-3 rank per label is a window over label partitions (rows per
+    // label are bounded); at corpus scale the same rank comes from the
+    // graft_topk_pairs aggregate.
+    val S = lit(1048576.0)
+    val q = t.embeddings.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        floor(col("x").cast("double") * S).as("qv"))
+    val cstat = q.groupBy("label", "pos")
+      .agg((sum("qv").cast("double") / count(lit(1)).cast("double") / S).as("c"))
+    val cen = cstat.groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cen"))
+    val xq = t.embeddings.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * S).cast("double") / S).as("v"))
+    val d = xq.join(broadcast(cen), "label")
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("v"), col("cen"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e).as("dist2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
+    d.select(col("vec_id"), col("label"), col("dist2"),
+        row_number().over(w).cast("long").as("rnk"),
+        (row_number().over(w) <= 3).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79, q85, q102)
 }
