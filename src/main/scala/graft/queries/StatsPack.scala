@@ -237,5 +237,44 @@ object StatsPack extends QueryPack {
       .orderBy("user_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99, q100)
+  val q103 = QueryDef(
+    "q103_chi2_contingency",
+    Some("""WITH cell AS (
+           |  SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+           |         CAST(COUNT(*) AS BIGINT) AS observed
+           |  FROM events GROUP BY 1, 2),
+           |rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rt FROM cell GROUP BY 1),
+           |ct AS (SELECT dow, CAST(SUM(observed) AS BIGINT) AS ct FROM cell GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cell)
+           |SELECT c.event_type, c.dow, c.observed,
+           |  CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           |  ((CAST(observed AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+           |   * (CAST(observed AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)))
+           |  / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS cell_chi2
+           |FROM cell c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+           |ORDER BY 1, 2""".stripMargin)) { t =>
+    // Independence screening: the event_type × weekday contingency
+    // table with per-cell chi-square deviation terms — which (type,
+    // day) cells drive a drift alert, next to q77's moments and q100's
+    // entropy. Everything derives from exact integer counts through
+    // fixed-order rational arithmetic (no transcendentals needed);
+    // marginals and the grand total broadcast onto the 35-cell table,
+    // so the plan is one partial-aggregated fact scan plus tiny-side
+    // joins at any scale.
+    val cell = t.events
+      .select(col("event_type"), dayofweek(col("ts").cast("date")).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("observed"))
+    val rt = cell.groupBy("event_type").agg(sum("observed").as("rt"))
+    val ct = cell.groupBy("dow").agg(sum("observed").as("ct"))
+    val tot = cell.agg(sum("observed").as("n"))
+    val expected = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    val dev = col("observed").cast("double") - expected
+    cell.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("observed"),
+        expected.as("expected"), ((dev * dev) / expected).as("cell_chi2"))
+      .orderBy("event_type", "dow")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99, q100, q103)
 }
