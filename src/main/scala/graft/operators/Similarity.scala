@@ -169,9 +169,18 @@ object Similarity {
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn")).persist()
     c.count() // materialize so the cached-plan stats are real bytes
+    IvfIndex(c, assignTo(c, df, idCol, vecCol, nprobe).persist())
+  }
+
+  /** The assignment pass against a PREPARED centroid table
+    * ((centroid_id, cv, cn)) — shared by the initial build and the
+    * incremental append.
+    */
+  private def assignTo(c: DataFrame, df: DataFrame,
+                       idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val cHinted = graft.operators.Enrich.sizeGatedBroadcast(c)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
-    val assignment = v.crossJoin(cHinted)
+    v.crossJoin(cHinted)
       .select(col("id"), col("v"), col("n"),
         cosPre(dot(col("v"), col("cv")), col("n"), col("cn")).as("ccos"), col("centroid_id"))
       .groupBy("id")
@@ -180,8 +189,30 @@ object Similarity {
       .select(col("id"), col("v"), col("n"), posexplode(col("tk")).as(Seq("pos", "m")))
       .select(col("id"), col("v"), col("n"), col("m.match_id").as("cell"),
         (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Incremental index maintenance — the nightly-ingest path: assign
+    * only the NEW batch to the frozen centroids and union it into the
+    * assignment. o(batch · nlist) new work; the standing corpus's
+    * assignment is reused from cache, never recomputed. Because cell
+    * assignment is per-vector, the result is IDENTICAL to a full
+    * rebuild over (corpus ∪ batch) with the same centroids
+    * (IvfAppendSpec pins set equality); freezing centroids between
+    * re-clusterings is the trade every IVF deployment makes, and
+    * recall drifts only as far as the data distribution does. Pass the
+    * same `nprobe` the index was built with. The superseded assignment
+    * cache is migrated: the merged assignment materializes first, then
+    * the old one is unpersisted (the shared centroid cache is
+    * untouched — do NOT release() the old index).
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame,
+                idCol: String, vecCol: String, nprobe: Int = 2): IvfIndex = {
+    val merged = index.assignment
+      .unionByName(assignTo(index.centroids, batch, idCol, vecCol, nprobe))
       .persist()
-    IvfIndex(c, assignment)
+    merged.count()
+    index.assignment.unpersist()
+    IvfIndex(index.centroids, merged)
   }
 
   /** Search a built IVF index: candidates live in the query's nprobe
