@@ -290,5 +290,46 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65, q91, q97)
+  val q104 = QueryDef(
+    "q104_distinctive_terms", {
+      val lnArg = "CAST(ns AS DOUBLE) / CAST(df AS DOUBLE)"
+      Some(s"""WITH terms AS (SELECT source, unnest($toksSql) AS term FROM documents),
+              |cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2),
+              |sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM cnt GROUP BY 1),
+              |nsrc AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS ns FROM documents),
+              |sc AS (SELECT cnt.source, cnt.term, c,
+              |         CAST(c AS DOUBLE) * ${graft.functions.DetMath.detLnSql(lnArg)} AS score
+              |       FROM cnt JOIN sdf USING (term) CROSS JOIN nsrc),
+              |r AS (SELECT source, term, c, score,
+              |        row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+              |      FROM sc)
+              |SELECT source, term, c, score, CAST(rnk AS INTEGER) AS rnk
+              |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)
+    }) { t =>
+    // Distinctive vocabulary per source — tf·idf over SOURCES (score =
+    // count × ln(n_sources/source_df), the ln a DetMath.detLn): the
+    // per-source fingerprint a mixture report prints next to q65's
+    // length histograms. Ranking runs on the vocab-sized (source, term)
+    // count table — already partial-aggregated, orders of magnitude
+    // smaller than the corpus — with the source-df side joined
+    // broadcast-style; terms appearing in every source score exactly
+    // zero and fall out of the top-5 naturally.
+    import graft.functions.DetMath
+    import org.apache.spark.sql.expressions.Window
+    val terms = t.documents.select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+    val cnt = terms.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val sdf = cnt.groupBy("term").agg(count(lit(1)).as("df"))
+    val nsrc = t.documents.agg(countDistinct(col("source")).as("ns"))
+    val score = col("c").cast("double") *
+      DetMath.detLn(col("ns").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("term"))
+    cnt.join(sdf, "term").crossJoin(broadcast(nsrc))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("source"), col("term"), col("c"), col("score"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65, q91, q97, q104)
 }
