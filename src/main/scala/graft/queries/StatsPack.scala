@@ -276,5 +276,37 @@ object StatsPack extends QueryPack {
       .orderBy("event_type", "dow")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99, q100, q103)
+  val q105 = QueryDef(
+    "q105_user_accounting",
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           |active AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS active_users FROM ud GROUP BY 1),
+           |fs AS (SELECT user_id, MIN(d) AS d FROM ud GROUP BY 1),
+           |news AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY 1),
+           |j AS (SELECT a.d, a.active_users, coalesce(n.new_users, 0) AS new_users
+           |      FROM active a LEFT JOIN news n ON a.d = n.d)
+           |SELECT d, active_users, new_users,
+           |  CAST(SUM(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+           |FROM j ORDER BY d""".stripMargin)) { t =>
+    // Daily audience accounting: active users, NEW users (first-seen
+    // that day), and the running cumulative distinct-user count — the
+    // growth view that naively plans as a per-day COUNT(DISTINCT ...
+    // WHERE ts <= day) rescan per row. Instead: one distinct pass on
+    // (user, day), a min-per-user first-seen aggregate (both
+    // partial-aggregated fact-side), and the cumulative sum runs over
+    // the DAY-count table — ~30 rows, so the single-partition global
+    // window is free; the heavy lifting never leaves the partial
+    // aggregates.
+    import org.apache.spark.sql.expressions.Window
+    val ud = t.events.select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    val active = ud.groupBy("d").agg(count(lit(1)).as("active_users"))
+    val first = ud.groupBy("user_id").agg(min(col("d")).as("d"))
+    val news = first.groupBy("d").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("d"), "left")
+      .select(col("d"), col("active_users"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w).cast("long"))
+      .orderBy("d")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99, q100, q103, q105)
 }
