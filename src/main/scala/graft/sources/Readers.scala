@@ -33,6 +33,35 @@ object Readers {
            multiLine: Boolean = true): DataFrame =
     spark.read.option("multiLine", multiLine.toString).schema(schema).json(path)
 
+  /** Malformed-row quarantine for JSON-lines feeds: PERMISSIVE parse
+    * with a corrupt-record capture column, split into (good rows,
+    * quarantined raw lines). An upstream producer shipping one broken
+    * line then costs a triage row, not the whole load (the reference's
+    * fetch would crash its DAG tick). The parsed frame is cached before
+    * the split — Spark refuses to filter on only the internal corrupt
+    * column of an uncached scan, and the cache also keeps the two
+    * branches to one parse. Sized for landing batches (one tick's
+    * fetch), not for re-reading a 100 TB lake: quarantine belongs at
+    * the ingest edge, where batches are bounded.
+    */
+  def jsonWithQuarantine(spark: SparkSession, path: String,
+                         schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    require(!schema.fieldNames.contains("_corrupt_record"), "reserved column name")
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record", StringType, nullable = true))
+    val df = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val good = df.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = df.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, bad)
+  }
+
   /** S8: JDBC source (Cloud SQL Postgres in the reference). Partitioned
     * read when bounds are given — a single-connection scan does not
     * survive 100 TB-era table sizes.

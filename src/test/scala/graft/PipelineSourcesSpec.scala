@@ -119,4 +119,23 @@ class PipelineSourcesSpec extends SparkSpec {
     assert(got.contains(("2024-01-01 11:00:00.0", "play", 40L, 1L, 60.0)))
     assert(!got.contains(("2024-01-01 10:00:00.0", "play", 40L, 1L, 30.0)))
   }
+
+  test("json quarantine: broken lines route to triage, good rows parse once") {
+    val dir = Files.createTempDirectory("graft-quarantine").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/feed.jsonl"),
+      """{"id": 1, "v": 10.5}
+        |{"id": 2, "v": }
+        |{"id": 3, "v": 30.0}
+        |not json at all
+        |{"id": 5, "v": 50.0}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val (good, bad) = Readers.jsonWithQuarantine(spark, s"$dir/feed.jsonl", schema)
+    assert(good.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    val raws = bad.as[String].collect()
+    assert(raws.length == 2)
+    assert(raws.exists(_.contains("not json at all")))
+  }
 }
