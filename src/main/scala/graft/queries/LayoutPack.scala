@@ -81,5 +81,31 @@ object LayoutPack extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80, q84, q87)
+  val q106 = QueryDef(
+    "q106_compaction_roundtrip",
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Small-file compaction under the oracle gate: fragment the fact
+    // into ~16 files per partition (a streaming/hourly append's natural
+    // decay), run the partition-restricted compactor, and answer from
+    // the compacted copy — value-identical to the original, which is
+    // what the oracle reads. CompactionSpec pins the layout effects
+    // (file counts, untouched partitions byte-identical, idempotence);
+    // this query pins that the rewrite moves no data.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q106").toString + "/events_c"
+    t.events.select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(16)
+      .write.partitionBy("event_type").parquet(dir)
+    graft.operators.Layout.compactPartitions(t.spark, dir, "event_type",
+      targetBytes = 1L << 30, minFiles = 4)
+    t.spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106)
 }

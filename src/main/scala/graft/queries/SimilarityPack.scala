@@ -341,5 +341,48 @@ object SimilarityPack extends QueryPack {
       .orderBy("vec_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79, q85, q102)
+  val q107 = QueryDef(
+    "q107_ivf_append_search",
+    // same oracle text as q51: an appended index must be
+    // indistinguishable from a full rebuild on the frozen centroids
+    Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $Centroids),
+            |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            |asg AS (
+            |  SELECT id, v, centroid_id AS cell,
+            |    row_number() OVER (PARTITION BY id
+            |      ORDER BY ${cosSql("v", "cv")} DESC, centroid_id) AS rn
+            |  FROM v CROSS JOIN c
+            |), home AS (SELECT id, v, cell FROM asg WHERE rn = 1),
+            |probes AS (SELECT id, v, cell FROM asg WHERE rn <= 2),
+            |scored AS (
+            |  SELECT q.id AS query_id, m.id AS match_id, ${cosSql("q.v", "m.v")} AS cos
+            |  FROM probes q JOIN home m ON q.cell = m.cell AND q.id != m.id
+            |), ranked AS (
+            |  SELECT query_id, match_id, cos,
+            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT query_id, match_id, rank, cos FROM ranked WHERE rank <= 3
+            |ORDER BY query_id, rank""".stripMargin)) { t =>
+    // The INCREMENTAL index path under the oracle gate: build the IVF
+    // index on the first 80% of the corpus, ivfAppend the remaining
+    // batch onto the frozen centroids (o(batch · nlist) new work — the
+    // standing assignment is reused from cache), and search. The oracle
+    // is q51's full-corpus SQL verbatim: an appended index must be
+    // bitwise indistinguishable from a full rebuild, because cell
+    // assignment is per-vector (IvfAppendSpec pins the same equality
+    // engine-side).
+    val n = t.embeddings.count()
+    val nc = Similarity.centroidsFor(n)
+    val cents = t.embeddings.where(col("vec_id") < nc)
+    val cut = (n * 4) / 5
+    val base = t.embeddings.where(col("vec_id") < cut)
+    val batch = t.embeddings.where(col("vec_id") >= cut)
+    val idx = Similarity.ivfIndex(base, cents, "vec_id", "embedding", nprobe = 2)
+    val appended = Similarity.ivfAppend(idx, batch, "vec_id", "embedding", nprobe = 2)
+    Similarity.ivfTopK(appended, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79, q85, q102, q107)
 }
