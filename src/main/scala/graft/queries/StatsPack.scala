@@ -308,5 +308,73 @@ object StatsPack extends QueryPack {
       .orderBy("d")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99, q100, q103, q105)
+  val q108 = QueryDef(
+    "q108_mergeable_histogram", {
+      def pick(q: String, alias: String) =
+        s"""(SELECT event_type,
+           |   CAST(CAST(1 AS BIGINT) << bucket AS DOUBLE)
+           |     + (($q * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE)) / CAST(c AS DOUBLE))
+           |       * CAST(CAST(1 AS BIGINT) << bucket AS DOUBLE) AS $alias
+           | FROM (SELECT event_type, bucket, c, cum - c AS cum_before, n,
+           |         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+           |       FROM w WHERE CAST(cum AS DOUBLE) >= $q * CAST(n AS DOUBLE))
+           | WHERE rn = 1)""".stripMargin
+      Some(s"""WITH hist AS (
+              |  SELECT event_type,
+              |    length(bin(CAST(floor(value) AS BIGINT) + 1)) - 1 AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM events GROUP BY 1, 2),
+              |w AS (
+              |  SELECT event_type, bucket, c,
+              |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              |  FROM hist),
+              |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1)
+              |SELECT t.event_type, t.n, p50.p50_est, p90.p90_est
+              |FROM tot t
+              |JOIN ${pick("0.5", "p50_est")} p50 ON t.event_type = p50.event_type
+              |JOIN ${pick("0.9", "p90_est")} p90 ON t.event_type = p90.event_type
+              |ORDER BY 1""".stripMargin)
+    }) { t =>
+    // Mergeable quantile states — the distribution complement of q86's
+    // KMV: the state is an integer log2-bucket histogram, whose merge
+    // is plain count addition, so incremental rollups never re-read
+    // history. PROOF BY ORACLE (the q107 move): the engine computes the
+    // state from two disjoint half-month increments and MERGES them;
+    // the oracle computes it from the full table in one pass — bitwise
+    // equality of the interpolated p50/p90 estimates proves
+    // merge == recompute. All arithmetic is exact integers until the
+    // final fixed-order interpolation.
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        (length(bin(floor(col("value")).cast("long") + 1)) - 1).as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    // two increments, merged by re-aggregation — the mergeable-state path
+    val merged = state(t.events.where(col("ts") < cut))
+      .unionByName(state(t.events.where(col("ts") >= cut)))
+      .groupBy("event_type", "bucket").agg(sum("c").as("c"))
+    val w = merged
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")).cast("long"))
+    def pick(q: Double, alias: String) = {
+      val lower = call_function("shiftleft", lit(1L), col("bucket")).cast("double")
+      w.where(col("cum").cast("double") >= lit(q) * col("n").cast("double"))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type").orderBy("bucket")))
+        .where(col("rn") === 1)
+        .select(col("event_type"),
+          (lower + ((lit(q) * col("n").cast("double") - (col("cum") - col("c")).cast("double")) /
+            col("c").cast("double")) * lower).as(alias))
+    }
+    val tot = merged.groupBy("event_type").agg(sum("c").cast("long").as("n"))
+    tot.join(pick(0.5, "p50_est"), "event_type")
+      .join(pick(0.9, "p90_est"), "event_type")
+      .select("event_type", "n", "p50_est", "p90_est")
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q77, q78, q82, q99, q100, q103, q105, q108)
 }
