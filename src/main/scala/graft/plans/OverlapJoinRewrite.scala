@@ -134,6 +134,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => OverlapJoinRewrite(session))
     ext.injectOptimizerRule(session => NanosTsPushdown(session))
+    ext.injectOptimizerRule(session => FuzzyJoinRewrite(session))
     ext.injectFunction(fn("graft_dot")(e => DotProduct(e(0), e(1))))
     ext.injectFunction(fn("graft_simhash32")(e => SimHash32(e(0))))
     ext.injectFunction(fn("graft_minhash_sig")(e => MinhashSig(e(0), intArg(e(1)))))
