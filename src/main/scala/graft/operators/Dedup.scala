@@ -300,4 +300,47 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Incremental connected components — merge NEW edges into an existing
+    * labeling without re-propagating the standing corpus: contract each
+    * new edge's endpoints to their current canonical labels (new ids
+    * label themselves), run the propagation loop on that LABEL graph —
+    * components-touched-sized, not corpus-sized — and remap. Components
+    * no new edge touches keep their labels bit-for-bit; canonical = min
+    * id survives contraction because the min of sub-component minima is
+    * the global minimum, so the result is IDENTICAL to a full recompute
+    * over (old edges ∪ new edges) — q109 proves it against the same
+    * recursive-CTE oracle as q44, and the nightly-ingest story
+    * (ivfAppend, minhashLshPairsAcross, this) composes: screen the
+    * batch, find its pairs, fold them into yesterday's labels.
+    *
+    * `labels` must cover every pre-existing id ((id, canonical_id),
+    * e.g. canonicalize's output); new ids appearing only in `newPairs`
+    * are picked up automatically.
+    */
+  def canonicalizeIncremental(labels: DataFrame, newPairs: DataFrame,
+                              aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val la = labels.withColumnsRenamed(Map("id" -> aCol, "canonical_id" -> "__ca"))
+    val lb = labels.withColumnsRenamed(Map("id" -> bCol, "canonical_id" -> "__cb"))
+    // lift new edges to the canonical-label graph (unknown ids = themselves)
+    val lifted = newPairs
+      .join(la, Seq(aCol), "left").join(lb, Seq(bCol), "left")
+      .select(coalesce(col("__ca"), col(aCol)).as(aCol),
+        coalesce(col("__cb"), col(bCol)).as(bCol))
+      .where(col(aCol) =!= col(bCol))
+      .distinct()
+    val newIds = newPairs.select(col(aCol).as("id"))
+      .unionByName(newPairs.select(col(bCol).as("id")))
+      .distinct()
+      .join(labels.select("id"), Seq("id"), "left_anti")
+    val universe = labels.select(col("canonical_id").as("id")).distinct()
+      .unionByName(newIds).distinct()
+    // simultaneous select, not withColumnsRenamed: a sequential rename
+    // map whose target collides with the other source name renames both
+    val relabel = canonicalize(universe, "id", lifted)
+      .select(col("id").as("canonical_id"), col("canonical_id").as("__final"))
+    labels.unionByName(newIds.withColumn("canonical_id", col("id")))
+      .join(relabel, Seq("canonical_id"), "left")
+      .select(col("id"), coalesce(col("__final"), col("canonical_id")).as("canonical_id"))
+  }
 }

@@ -290,5 +290,50 @@ object DedupPack extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94, q95, q101)
+  val q109 = QueryDef(
+    "q109_incremental_components",
+    // q44's oracle VERBATIM: the incremental path must reproduce the
+    // full-recompute labeling exactly
+    Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles3Sql AS shingles FROM documents),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            |),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |),
+            |canon AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY 1)
+            |SELECT d.doc_id AS id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+            |FROM documents d LEFT JOIN canon c ON d.doc_id = c.id
+            |ORDER BY id""".stripMargin)) { t =>
+    // Incremental components under the oracle gate: yesterday's corpus
+    // is docs < 400 (labeled by the standard propagation), tonight's
+    // batch adds the rest — only the NEW pairs (those touching a new
+    // doc) are folded in via canonicalizeIncremental, which contracts
+    // them to the canonical-label graph (components-touched-sized) and
+    // remaps. The oracle is q44's full-closure CTE verbatim: the
+    // incremental path must reproduce the full recompute bit for bit.
+    val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, minJaccard = 0.5)
+    val oldPairs = pairs.where(col("id_a") < 400 && col("id_b") < 400)
+    val newPairs = pairs.where(col("id_a") >= 400 || col("id_b") >= 400)
+    val oldLabels = Dedup.canonicalize(
+      t.documents.where(col("doc_id") < 400).select("doc_id"), "doc_id", oldPairs)
+    val allIds = t.documents.select(col("doc_id").as("id"))
+    // new docs with no pairs at all still need self-labels
+    val seeded = allIds.join(oldLabels.select("id"), Seq("id"), "left_anti")
+      .join(newPairs.select(col("id_a").as("id"))
+        .unionByName(newPairs.select(col("id_b").as("id"))).distinct(),
+        Seq("id"), "left_anti")
+      .withColumn("canonical_id", col("id"))
+      .unionByName(oldLabels)
+    Dedup.canonicalizeIncremental(seeded, newPairs)
+      .orderBy("id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109)
 }
