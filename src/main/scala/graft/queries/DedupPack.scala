@@ -318,7 +318,11 @@ object DedupPack extends QueryPack {
     // them to the canonical-label graph (components-touched-sized) and
     // remaps. The oracle is q44's full-closure CTE verbatim: the
     // incremental path must reproduce the full recompute bit for bit.
+    // the pair table feeds four consumers (old split, lift, new-id
+    // derivation, seed anti-join) — materialize the inverted-index join
+    // once instead of re-running it per reference
     val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, minJaccard = 0.5)
+      .localCheckpoint()
     val oldPairs = pairs.where(col("id_a") < 400 && col("id_b") < 400)
     val newPairs = pairs.where(col("id_a") >= 400 || col("id_b") >= 400)
     val oldLabels = Dedup.canonicalize(
