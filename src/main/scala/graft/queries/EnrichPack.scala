@@ -387,5 +387,33 @@ object EnrichPack extends QueryPack {
       .orderBy("user_id", "session_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98)
+  val q110 = QueryDef(
+    "q110_json_extract",
+    Some("""WITH p AS (
+           |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |  FROM events)
+           |SELECT event_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(k) AS BIGINT) AS n_parsed,
+           |  CAST(MIN(k) AS BIGINT) AS k_min,
+           |  CAST(MAX(k) AS BIGINT) AS k_max,
+           |  CAST(SUM(k) AS BIGINT) AS k_sum,
+           |  CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Semi-structured payload extraction — the GA/Firebase event-params
+    // shape (the reference unpacks JSON API payloads row by row in
+    // pandas): get_json_object path extraction stays inside codegen, a
+    // malformed or missing path yields null (counted separately via
+    // n vs n_parsed, never an error), and the aggregate is one
+    // partial-aggregated scan. All outputs are exact integers.
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t.events.select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"), countDistinct(col("k")).as("k_distinct"))
+      .orderBy("event_type")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110)
 }
