@@ -260,7 +260,11 @@ class SimilarityEnrichSpec extends SparkSpec {
     val n1 = spark.sparkContext.getPersistentRDDs.size
     Similarity.ivfTopK(emb, seeds, "vec_id", "embedding", k = 3).count()
     val n2 = spark.sparkContext.getPersistentRDDs.size
-    assert(n2 == n1, s"identical one-shot rebuild grew the cache ($n1 -> $n2)")
+    // one-directional: getPersistentRDDs is a WEAK-value map, so a GC
+    // between the two measurements can legitimately shrink it (observed
+    // flaking the strict equality in full-suite runs); the property
+    // under test is only that an identical rebuild does not ACCUMULATE
+    assert(n2 <= n1, s"identical one-shot rebuild grew the cache ($n1 -> $n2)")
   }
 
   test("frameSample emits zero rows for payloads shorter than one frame") {
