@@ -411,6 +411,29 @@ object Relational2 extends QueryPack {
       .orderBy("p_type")
   }
 
+  val q111 = QueryDef(
+    "q111_cube_grouping",
+    Some("""SELECT
+           |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           |  l_returnflag, l_linestatus,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           |FROM lineitem
+           |GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY 1, 2, 3""".stripMargin)) { t =>
+    // CUBE with grouping_id — every subtotal grain of the two-flag
+    // matrix in ONE pass (Catalyst's Expand feeds a single two-phase
+    // aggregate: grains × groups rows into the exchange, never one job
+    // per grain). grouping_id disambiguates a rolled-up NULL from a
+    // data NULL; Spark's bit order (first column = high bit) matches
+    // GROUPING(a)*2 + GROUPING(b).
+    t.lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"), col("n"), col("qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
   override def queries: Seq[QueryDef] = Seq(
-    q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q92)
+    q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q92, q111)
 }
