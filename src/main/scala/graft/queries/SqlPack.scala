@@ -101,5 +101,36 @@ object SqlPack extends QueryPack {
       .orderBy("tramo", "event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43)
+  val q112 = QueryDef(
+    "q112_correlated_subquery",
+    Some("""SELECT c_custkey, c_nationkey,
+           |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+           |FROM customer c
+           |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+           |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+           |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+           |       WHERE c3.c_nationkey = c.c_nationkey)
+           |ORDER BY c_custkey""".stripMargin)) { t =>
+    // Correlated scalar subqueries through the SQL front end — customers
+    // above their nation's average balance, the classic decorrelation
+    // shape. Catalyst rewrites both correlated scalars into ONE grouped
+    // aggregate joined back on the correlation key (the BigQuery habit
+    // of re-running the inner query per row never happens). The
+    // above-average predicate cross-multiplies instead of dividing —
+    // balance × count > sum stays exact in decimal, where comparing
+    // against a rounded decimal AVERAGE would put the two engines on
+    // different sides of an exact tie.
+    t.customer.createOrReplaceTempView("v_customer")
+    t.spark.sql(
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM v_customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM v_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM v_customer c3
+        |       WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q112)
 }
