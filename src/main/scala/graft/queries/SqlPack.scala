@@ -132,5 +132,34 @@ object SqlPack extends QueryPack {
         |ORDER BY c_custkey""".stripMargin)
   }
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43, q112)
+  val q113 = QueryDef(
+    "q113_lateral_topn",
+    Some("""SELECT n.n_nationkey, n.n_name, t.c_custkey, t.acctbal
+           |FROM nation n, LATERAL (
+           |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+           |  FROM customer c
+           |  WHERE c.c_nationkey = n.n_nationkey
+           |  ORDER BY acctbal DESC, c_custkey
+           |  LIMIT 2) t
+           |ORDER BY n.n_nationkey, t.acctbal DESC, t.c_custkey""".stripMargin)) { t =>
+    // LATERAL correlated subquery — per-nation top-2 balances, the
+    // top-N-per-group shape written the way an analyst migrating off
+    // BigQuery writes it. Catalyst plans the lateral as a join + window
+    // (DomainJoin decorrelation), not a per-nation rescan; the ORDER BY
+    // inside the lateral carries a full tie-break so LIMIT 2 is
+    // deterministic in both engines.
+    t.nation.createOrReplaceTempView("v_nation")
+    t.customer.createOrReplaceTempView("v_customer")
+    t.spark.sql(
+      """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.acctbal
+        |FROM v_nation n, LATERAL (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |  FROM v_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY acctbal DESC, c_custkey
+        |  LIMIT 2) t
+        |ORDER BY n.n_nationkey, t.acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q112, q113)
 }
