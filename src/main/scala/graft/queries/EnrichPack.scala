@@ -415,5 +415,48 @@ object EnrichPack extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110)
+  val q114 = QueryDef(
+    "q114_native_session_window",
+    // the gaps-and-islands formulation with session_window's boundary
+    // semantics: a NEW session starts when the gap is >= 30 min (the
+    // native operator extends a session only while ts < prev + gap),
+    // where q98's manual break uses strictly-greater — distinguishable
+    // only by a gap of exactly 1800.000000 s
+    Some("""WITH e AS (
+           |  SELECT user_id, ts,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN prev_ts IS NULL
+           |           OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS brk
+           |  FROM e),
+           |s AS (
+           |  SELECT user_id, ts,
+           |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           |  FROM f)
+           |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           |       COUNT(*) AS n_events
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin)) { t =>
+    // Spark's NATIVE session windows — the idiomatic form of q98: an
+    // AGGREGATE with merging session state, one shuffle on the grouping
+    // key, no sort-based window functions at all (the preferred plan at
+    // 100 TB, and the exact construct the streaming sessionizer shares).
+    // The oracle is the portable gaps-and-islands SQL with the native
+    // boundary semantics, proving the two formulations agree; the
+    // window's end is last-event + gap by definition, so subtracting
+    // the gap recovers max(ts) exactly in microsecond arithmetic.
+    t.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110, q114)
 }
