@@ -36,13 +36,21 @@ object FuzzyJoin {
 
   /** All (left, right) row pairs with levenshtein(leftCol, rightCol) <= 1.
     * Column names of the two sides must be disjoint.
+    *
+    * Candidate pairs meeting on several shared block keys are deduped BY
+    * CONSTRUCTION, not `distinct()` (which would also collapse
+    * legitimately duplicate input rows): a pair is kept only in the
+    * lexicographically smallest element of the two neighborhoods'
+    * intersection, so output multiplicity is exactly that of the naive
+    * `levenshtein <= 1` join — the same move as plans.FuzzyJoinRewrite.
     */
   def join1(left: DataFrame, right: DataFrame, leftCol: String, rightCol: String): DataFrame = {
     val lk = left.select(col("*"), explode(del1(col(leftCol))).as("graft_blk"))
     val rk = right.select(col("*"), explode(del1(col(rightCol))).as("graft_blk"))
     lk.join(rk, "graft_blk")
+      .where(col("graft_blk") ===
+        array_min(array_intersect(del1(col(leftCol)), del1(col(rightCol)))))
       .drop("graft_blk")
-      .distinct() // candidate pairs can meet on several shared keys
       .where(levenshtein(col(leftCol), col(rightCol)) <= 1)
   }
 }

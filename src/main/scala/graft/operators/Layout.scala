@@ -57,13 +57,24 @@ object Layout {
     * One stats aggregate (min/max per z column) + one range exchange +
     * sorted write; the z column itself is dropped before writing — the
     * layout is invisible to readers except through footer statistics.
+    *
+    * `knownBounds`: per-column (min, max) from catalog/table statistics.
+    * When supplied the stats job is SKIPPED — at 100 TB the bounds are
+    * already in the catalog and recomputing them per write is a full
+    * extra scan. Bounds only shape bucket boundaries; values outside
+    * them clamp to the edge buckets, so stale stats degrade locality,
+    * never correctness.
     */
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
-                  numFiles: Int, bits: Int = 8): Unit = {
-    val row = df.select(zCols.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c"))): _*)
-      .head()
-    val bounds = zCols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+                  numFiles: Int, bits: Int = 8,
+                  knownBounds: Option[Seq[(Double, Double)]] = None): Unit = {
+    val bounds = knownBounds.getOrElse {
+      val row = df.select(zCols.flatMap(c =>
+        Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c"))): _*)
+        .head()
+      zCols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    }
+    require(bounds.size == zCols.size, "one (min,max) per z column")
     df.withColumn("__z", zvalue(zCols.map(col), bounds, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -113,19 +124,40 @@ object Layout {
     *      only fact-wide work) + broadcast offset.
     * Ordinals are identical to the global window's: bucket order is key
     * order because buckets are monotone in the key. Key must be
-    * non-null; heavy key skew concentrates in one bucket (at scale,
-    * swap the uniform bucketing for quantile boundaries — same plan).
+    * non-null.
+    *
+    * Bucketing strategy, in order of preference:
+    *   - `boundaries` (sorted ascending quantile cut points, e.g. from
+    *     `approxQuantile` maintained in the catalog): bucket = number of
+    *     boundaries <= key. Equi-DEPTH, so heavy key skew no longer
+    *     concentrates in one straggler bucket, and NO stats job runs.
+    *   - `knownBounds` (min, max) from catalog statistics: uniform
+    *     buckets, no stats job.
+    *   - neither: uniform buckets over a one-pass min/max stats job.
     */
   def ordinals(df: DataFrame, keyCol: String, tieCols: Seq[String],
-               buckets: Int = 1024): DataFrame = {
+               buckets: Int = 1024,
+               knownBounds: Option[(Double, Double)] = None,
+               boundaries: Option[Seq[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val row = df.agg(min(col(keyCol)).cast("double").as("lo"),
-      max(col(keyCol)).cast("double").as("hi")).head()
-    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-    val span = if (hi > lo) hi - lo else 1.0
-    val bucket = least(greatest(
-      floor((col(keyCol).cast("double") - lit(lo)) / lit(span) * lit(buckets.toDouble)).cast("long"),
-      lit(0L)), lit(buckets.toLong - 1))
+    val bucket = boundaries match {
+      case Some(bs) =>
+        require(bs == bs.sorted, "quantile boundaries must be ascending")
+        // number of cut points <= key: monotone in the key, equal keys
+        // share a bucket; the array is a small plan literal (one value
+        // per bucket boundary, not per row)
+        size(filter(typedLit(bs), b => b <= col(keyCol).cast("double"))).cast("long")
+      case None =>
+        val (lo, hi) = knownBounds.getOrElse {
+          val row = df.agg(min(col(keyCol)).cast("double").as("lo"),
+            max(col(keyCol)).cast("double").as("hi")).head()
+          (row.getDouble(0), row.getDouble(1))
+        }
+        val span = if (hi > lo) hi - lo else 1.0
+        least(greatest(
+          floor((col(keyCol).cast("double") - lit(lo)) / lit(span) * lit(buckets.toDouble)).cast("long"),
+          lit(0L)), lit(buckets.toLong - 1))
+    }
     val withB = df.withColumn("__b", bucket)
     val counts = withB.groupBy("__b").agg(count(lit(1)).as("__c"))
     val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
@@ -209,13 +241,20 @@ object Layout {
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Nil
+    // Directory names are Hive-ESCAPED (':' → '%3A', null →
+    // __HIVE_DEFAULT_PARTITION__): unescape before matching against the
+    // data's own values, or escaped/null partitions silently miss the
+    // join and are skipped while still being reported as rewritten.
+    val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+    val unescape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName _
     val parts = fs.listStatus(dir).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith(s"$partitionCol="))
     val marked = parts.flatMap { p =>
       val files = fs.listStatus(p.getPath).filter(_.getPath.getName.endsWith(".parquet"))
       if (files.length >= minFiles) {
         val bytes = files.map(_.getLen).sum
-        val value = p.getPath.getName.stripPrefix(s"$partitionCol=")
+        val raw = p.getPath.getName.stripPrefix(s"$partitionCol=")
+        val value: Option[String] = if (raw == hiveNull) None else Some(unescape(raw))
         Some((value, p.getPath.toString, math.max(1L, (bytes + targetBytes - 1) / targetBytes)))
       } else None
     }
@@ -224,9 +263,15 @@ object Layout {
     val nf = marked.map { case (v, _, n) => (v, n) }.toSeq.toDF("__pv", "__nf")
     val df = spark.read.option("basePath", path).parquet(marked.map(_._2).toSeq: _*)
     val dataCols = df.columns.filterNot(_ == partitionCol)
+    // match on the partition column's own TYPE (dirname "01" must meet
+    // int 1), null-safely so the hive-default partition compacts too
     val salted = df
-      .join(broadcast(nf), col(partitionCol).cast("string") === col("__pv"))
+      .join(broadcast(nf), col(partitionCol) <=> col("__pv").cast(df.schema(partitionCol).dataType))
       .withColumn("__salt", pmod(hash(dataCols.map(col).toSeq: _*).cast("long"), col("__nf")))
+    // report only partitions actually present in the rewritten data —
+    // a listed directory with zero surviving rows was not rewritten
+    val rewritten = salted.select(col("__pv")).distinct()
+      .as[Option[String]].collect().map(_.getOrElse(hiveNull)).toSeq.sorted
     salted
       .repartition(col(partitionCol), col("__salt"))
       .drop("__pv", "__nf", "__salt")
@@ -234,6 +279,6 @@ object Layout {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
-    marked.map(_._1).toSeq
+    rewritten
   }
 }

@@ -423,17 +423,17 @@ object EnrichPack extends QueryPack {
     // where q98's manual break uses strictly-greater — distinguishable
     // only by a gap of exactly 1800.000000 s
     Some("""WITH e AS (
-           |  SELECT user_id, ts,
+           |  SELECT user_id, ts, event_id,
            |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
            |  FROM events),
            |f AS (
-           |  SELECT user_id, ts,
+           |  SELECT user_id, ts, event_id,
            |    CASE WHEN prev_ts IS NULL
            |           OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS brk
            |  FROM e),
            |s AS (
            |  SELECT user_id, ts,
-           |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
            |  FROM f)
            |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,

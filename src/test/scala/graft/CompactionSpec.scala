@@ -51,4 +51,33 @@ class CompactionSpec extends SparkSpec {
     // idempotent: nothing left to compact at this threshold
     assert(Layout.compactPartitions(spark, dir, "event_type", 1L << 30, 4).isEmpty)
   }
+
+  test("hive-escaped and null partition values compact, and only real rewrites are reported") {
+    val dir = Files.createTempDirectory("graft-compact-esc").toString + "/t"
+    // partition values needing hive escaping (':') plus a null partition
+    val df = spark.range(0, 400).select(
+      col("id").as("v"),
+      when(col("id") % 3 === 0, lit("a:b"))
+        .when(col("id") % 3 === 1, lit(null: String))
+        .otherwise(lit("plain")).as("p"))
+    df.repartition(8).write.partitionBy("p").parquet(dir)
+    assert(new java.io.File(s"$dir/p=a%3Ab").exists(), "fixture must produce an escaped dirname")
+    assert(new java.io.File(s"$dir/p=__HIVE_DEFAULT_PARTITION__").exists())
+
+    val before = spark.read.parquet(dir)
+    val beforeSum = before.agg(sum("v")).head().getLong(0)
+    val beforeNulls = before.where(col("p").isNull).count()
+    val rewritten = Layout.compactPartitions(spark, dir, "p", targetBytes = 1L << 30, minFiles = 4)
+    assert(rewritten.toSet == Set("a:b", "plain", "__HIVE_DEFAULT_PARTITION__"),
+      s"rewrote: $rewritten")
+
+    def parquetFiles(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles("p=a%3Ab") == 1)
+    assert(parquetFiles("p=__HIVE_DEFAULT_PARTITION__") == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 400)
+    assert(after.agg(sum("v")).head().getLong(0) == beforeSum)
+    assert(after.where(col("p").isNull).count() == beforeNulls)
+  }
 }

@@ -100,6 +100,49 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("supplied bounds/boundaries skip the stats job entirely") {
+    // a key column that THROWS when scanned: without injected bounds the
+    // eager min/max stats job hits it; with bounds/boundaries, plan
+    // construction must run no job at all
+    val boom = udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("stats job ran against poisoned input")
+      x
+    })
+    val poisoned = spark.range(100).select(boom(col("id")).as("k"), col("id").as("v"))
+    intercept[Exception] { Layout.ordinals(poisoned, "k", Seq("v")) }
+    val planned = Layout.ordinals(poisoned, "k", Seq("v"), boundaries = Some(Seq(3.0, 6.0)))
+    assert(planned.columns.contains("ordinal")) // planning only — no scan happened
+    val planned2 = Layout.ordinals(poisoned, "k", Seq("v"), knownBounds = Some((0.0, 100.0)))
+    assert(planned2.columns.contains("ordinal"))
+  }
+
+  test("zorderWrite with catalog bounds writes the same rows, no stats pass") {
+    val dir = tmp("zbounds")
+    val df = spark.range(0, 2000).select(
+      (col("id") % 50).cast("double").as("x"), (col("id") % 37).cast("double").as("y"),
+      col("id").as("v"))
+    Layout.zorderWrite(df, s"$dir/z", Seq("x", "y"), numFiles = 4,
+      knownBounds = Some(Seq((0.0, 50.0), (0.0, 37.0))))
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == 2000)
+    assert(back.select("x", "y", "v").as[(Double, Double, Long)].collect().toSet ==
+      df.select("x", "y", "v").as[(Double, Double, Long)].collect().toSet)
+  }
+
+  test("quantile boundaries give exact global ordinals under heavy key skew") {
+    import org.apache.spark.sql.expressions.Window
+    // 500 copies of one hot key: uniform buckets would put them all in
+    // one straggler; equi-depth boundaries still yield the same ordinals
+    val keys = Seq.fill(500)(7.0) ++ (1 to 100).map(_.toDouble)
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val got = Layout.ordinals(df, "k", Seq("v"), boundaries = Some(Seq(5.0, 7.0, 50.0)))
+    val want = df.withColumn("ordinal",
+      (row_number().over(Window.orderBy("k", "v")) - 1).cast("long"))
+    assert(got.join(want, Seq("k", "v"))
+      .where(got("ordinal") =!= want("ordinal")).count() == 0)
+    assert(got.count() == 600)
+  }
+
   test("degenerate bounds (min==max) fall back to the remaining dimensions") {
     val df = Seq((1.0, 10.0), (1.0, 30.0), (1.0, 20.0)).toDF("a", "b")
       .withColumn("z", Layout.zvalue(Seq(col("a"), col("b")), Seq((1.0, 1.0), (10.0, 30.0)), 4))
