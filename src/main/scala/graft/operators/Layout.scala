@@ -237,6 +237,12 @@ object Layout {
   def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
                         partitionCol: String, targetBytes: Long = 128L << 20,
                         minFiles: Int = 4): Seq[String] = {
+    if (Snapshot.isSnapshotTable(spark, path)) {
+      // snapshot route: old files stay on disk until vacuum, so readers
+      // pinned to the pre-compaction version are never broken — the
+      // concurrent-reader guarantee the raw path below cannot give
+      return Snapshot.compact(spark, path, targetBytes, minFiles)
+    }
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,382 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import scala.jdk.CollectionConverters._
+
+/** Minimal per-table snapshot/commit log: atomic table commits with
+  * reader isolation on a plain filesystem.
+  *
+  * The reference gets atomicity free from BigQuery — every load job,
+  * DELETE and MERGE commits atomically (funnel_live.py:106-174,
+  * consumo_detalle.py:317-340). Plain-parquet writers cannot: stagedSwap
+  * has a no-table window between renames, dynamic partition overwrite
+  * can crash between partition delete and rewrite, and compaction reads
+  * files its own commit replaces. This layer closes all of those with
+  * the standard log-structured scheme (the publicly documented core of
+  * Delta/Iceberg, reduced to what the engine needs):
+  *
+  *  - data files are IMMUTABLE and written under per-transaction
+  *    directories (`txn-<id>/<hive partition dirs>/part-N.parquet`) — a
+  *    writer never touches a file a reader could be holding;
+  *  - a table version is a MANIFEST (`_graft_log/v00000042.json`)
+  *    listing exactly the live files; the commit IS the atomic
+  *    appearance of that manifest (write to a temp name, then a single
+  *    rename — no reader ever sees a partial manifest);
+  *  - readers pin the manifest they opened: a concurrent commit creates
+  *    a NEW version and never deletes files referenced by older ones,
+  *    so a pinned scan is repeatable until `vacuum` reclaims versions
+  *    the caller has declared dead.
+  *
+  * A crash before the manifest rename leaves orphan data files and the
+  * PREVIOUS version fully intact (rerun-safe: the rerun writes a fresh
+  * txn dir); a crash after the rename IS the new version. There is no
+  * intermediate observable state — SnapshotSpec kills the protocol
+  * between every pair of steps and proves readers always see exactly
+  * the old or the new table.
+  *
+  * Concurrency contract: single WRITER per table (the reference's
+  * Airflow DAG serializes its writers the same way); readers are
+  * unlimited and never blocked. Optimistic multi-writer conflict
+  * detection is a lakehouse format's job, not this layer's.
+  *
+  * At 100 TB: manifests are O(#live files) metadata, commits are O(new
+  * files) + one rename, and every routed writer below stays partition-
+  * restricted — the log adds no data-path cost over the raw writers.
+  */
+object Snapshot {
+
+  val LogDirName = "_graft_log"
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Table version: the exact set of live data files (paths relative to
+    * the table root), the partition columns, and the table schema (DDL)
+    * so even an empty version reads with the right shape.
+    */
+  final case class Manifest(version: Long, partitionCols: Seq[String],
+                            schemaDdl: String, files: Seq[String])
+
+  /** Test-only fault injection: SnapshotSpec points this at a throwing
+    * hook to simulate a crash between any two steps of the commit
+    * protocol. Never set outside tests.
+    */
+  @volatile private[graft] var faultHook: String => Unit = _ => ()
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def isSnapshotTable(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new HPath(path, LogDirName))
+
+  // ---------------------------------------------------------------- log
+
+  private val ManifestName = """v(\d{8})\.json""".r
+
+  private def manifestPath(path: String, v: Long): HPath =
+    new HPath(s"$path/$LogDirName/" + f"v$v%08d.json")
+
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val log = new HPath(path, LogDirName)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(n) => n.toLong
+    }.sorted
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  def manifest(spark: SparkSession, path: String, version: Long): Manifest = {
+    val fs = fsFor(spark, path)
+    val in = fs.open(manifestPath(path, version))
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = new ObjectMapper().readTree(bytes)
+    Manifest(
+      root.get("version").asLong(),
+      root.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
+      root.get("schemaDdl").asText(),
+      root.get("files").elements().asScala.map(_.asText()).toSeq)
+  }
+
+  def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
+    latestVersion(spark, path).map(manifest(spark, path, _))
+
+  /** Partition values of a manifest-relative file path, by parsing the
+    * hive-escaped `col=value` segments between the txn dir and the file
+    * name. Null partitions carry the [[NullPartition]] sentinel.
+    */
+  private[graft] def partitionValues(partitionCols: Seq[String], file: String): Map[String, String] = {
+    val unescape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName _
+    val segs = file.split('/').drop(1).dropRight(1)
+    segs.flatMap { s =>
+      val eq = s.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val (c, v) = (unescape(s.take(eq)), s.drop(eq + 1))
+        if (partitionCols.contains(c)) Some(c -> (if (v == NullPartition) v else unescape(v)))
+        else None
+      }
+    }.toMap
+  }
+
+  // --------------------------------------------------------------- read
+
+  /** The latest committed version, pinned: the returned DataFrame reads
+    * exactly the files of the manifest that was current at this call —
+    * later commits (even compactions that drop these files from the
+    * live set) do not change or break it until `vacuum` reclaims them.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path,
+      latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table (no $LogDirName): $path")))
+
+  /** Time travel: read an explicit committed version. */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    readFiles(spark, path, manifest(spark, path, version))
+
+  private def readFiles(spark: SparkSession, path: String, m: Manifest,
+                        only: Option[Seq[String]] = None): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val files = only.getOrElse(m.files)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    // one read per txn group (partition inference needs the group's own
+    // basePath), then a by-name union; cast to the table schema so
+    // partition-value inference drift can never retype a column
+    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    groups.map { case (txn, fls) =>
+      spark.read.option("basePath", s"$path/$txn").parquet(fls.map(f => s"$path/$f"): _*)
+    }.reduce(_.unionByName(_))
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  // -------------------------------------------------------------- write
+
+  private def listParquetRecursive(fs: FileSystem, dir: HPath): Seq[HPath] = {
+    val it = fs.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[HPath]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.toSeq
+  }
+
+  /** Write `df` into a fresh immutable txn dir under the table root;
+    * returns the new files' table-relative paths. Nothing is live until
+    * a manifest referencing them commits.
+    */
+  private def writeTxnFiles(df: DataFrame, path: String, partitionCols: Seq[String]): Seq[String] = {
+    val txn = s"txn-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    val dir = s"$path/$txn"
+    val w = df.write.mode("errorifexists")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).parquet(dir)
+    faultHook("data-files-written")
+    val fs = fsFor(df.sparkSession, path)
+    val root = fs.makeQualified(new HPath(path)).toString
+    listParquetRecursive(fs, new HPath(dir)).map { p =>
+      val q = fs.makeQualified(p).toString
+      require(q.startsWith(root + "/"), s"txn file $q outside table root $root")
+      q.drop(root.length + 1)
+    }.sorted
+  }
+
+  /** The atomic step: stage the manifest JSON under a temp name in the
+    * log dir, then a single rename to its version name. Readers list
+    * only `vNNNNNNNN.json` names, so the staged file is invisible and
+    * the rename is the commit point.
+    */
+  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Long = {
+    val fs = fsFor(spark, path)
+    val log = new HPath(path, LogDirName)
+    if (!fs.exists(log)) fs.mkdirs(log)
+    val target = manifestPath(path, m.version)
+    if (fs.exists(target))
+      throw new java.io.IOException(
+        s"snapshot commit conflict: version ${m.version} already exists at $path " +
+          "(single-writer contract violated)")
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    node.put("schemaDdl", m.schemaDdl)
+    val pc = node.putArray("partitionCols"); m.partitionCols.foreach(pc.add)
+    val fl = node.putArray("files"); m.files.foreach(fl.add)
+    val tmp = new HPath(log, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    faultHook("manifest-staged")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"snapshot commit failed: could not rename into $target")
+    }
+    faultHook("manifest-committed")
+    m.version
+  }
+
+  private def nextManifest(spark: SparkSession, path: String,
+                           files: Seq[String], partitionCols: Seq[String],
+                           schemaDdl: String): Manifest = {
+    val v = latestVersion(spark, path).getOrElse(0L) + 1
+    Manifest(v, partitionCols, schemaDdl, files)
+  }
+
+  // --------------------------------------------------------- operations
+
+  /** Initialize a snapshot table (version 1) from `df`. */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+             partitionCols: Seq[String] = Nil): Long = {
+    require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
+    val files = writeTxnFiles(df, path, partitionCols)
+    commitManifest(spark, path, Manifest(1L, partitionCols, df.schema.toDDL, files))
+  }
+
+  /** K1 append: new version = old live set + the new txn's files. */
+  def append(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val files = writeTxnFiles(df, path, m.partitionCols)
+    commitManifest(spark, path, m.copy(version = m.version + 1, files = m.files ++ files))
+  }
+
+  /** K4 full overwrite: new version = exactly the new txn's files. The
+    * atomic replacement stagedSwap approximates — with no window where
+    * the table is missing, because the old version stays live until the
+    * manifest rename.
+    */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val files = writeTxnFiles(df, path, m.partitionCols)
+    commitManifest(spark, path,
+      Manifest(m.version + 1, m.partitionCols, df.schema.toDDL, files))
+  }
+
+  /** K2 partition replacement: drop every old file whose partition
+    * tuple satisfies `dropOld` OR is re-written by `replacement`, add
+    * the replacement's files — one atomic commit, including the
+    * empty-re-extract deletes dynamic overwrite cannot express.
+    */
+  def replacePartitions(spark: SparkSession, path: String, replacement: DataFrame,
+                        dropOld: Map[String, String] => Boolean): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
+    val newFiles = writeTxnFiles(replacement, path, m.partitionCols)
+    val newParts = newFiles.map(partitionValues(m.partitionCols, _)).toSet
+    val kept = m.files.filterNot { f =>
+      val pv = partitionValues(m.partitionCols, f)
+      dropOld(pv) || newParts.contains(pv)
+    }
+    commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles))
+  }
+
+  /** K3 partition-restricted MERGE-by-id, snapshot form. Unlike the raw
+    * writer there is NO read-own-overwrite hazard and no localCheckpoint:
+    * the affected slice is read from immutable pinned files, and the
+    * commit atomically swaps the affected partitions' file sets.
+    * Same id-embeds-partition contract as `Writers.mergeByIdWritePartitioned`.
+    */
+  def mergeById(spark: SparkSession, path: String, updates: DataFrame,
+                idCol: String, partitionCol: String,
+                assertIdsLocal: Boolean = false): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    require(m.partitionCols == Seq(partitionCol),
+      s"snapshot table is partitioned by ${m.partitionCols}, not $partitionCol")
+    val pType = StructType.fromDDL(m.schemaDdl)(partitionCol).dataType
+    // typed membership: manifest value strings cast to the partition
+    // column's type, null-safely semi-joined against the updates' values
+    import spark.implicits._
+    val fileParts = m.files.map(f => partitionValues(m.partitionCols, f)(partitionCol))
+    val partDf = fileParts.distinct.toDF("__raw")
+      .withColumn("__val",
+        when(col("__raw") === NullPartition, lit(null).cast(pType))
+          .otherwise(col("__raw").cast(pType)))
+    val updParts = updates.select(col(partitionCol).cast(pType).as("__val")).distinct()
+    val affectedRaw = partDf.join(updParts, partDf("__val") <=> updParts("__val"), "left_semi")
+      .select("__raw").as[String].collect().toSet
+    val affectedFiles = m.files.filter(f =>
+      affectedRaw.contains(partitionValues(m.partitionCols, f)(partitionCol)))
+    if (assertIdsLocal) {
+      val strays = readFiles(spark, path, m, Some(m.files.diff(affectedFiles)))
+        .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
+        .limit(5).collect()
+      require(strays.isEmpty,
+        s"Snapshot.mergeById: update ids exist in unaffected partitions " +
+          s"(id does not embed $partitionCol); e.g. ${strays.mkString(", ")}")
+    }
+    val affected = readFiles(spark, path, m, Some(affectedFiles))
+    val merged = Writers.mergeById(affected, updates, idCol)
+    replacePartitions(spark, path, merged,
+      dropOld = pv => affectedRaw.contains(pv(partitionCol)))
+  }
+
+  /** Small-file compaction, snapshot form: bin-pack every partition
+    * holding >= `minFiles` live files. Readers pinned to the old version
+    * keep reading the OLD files — they stay on disk until `vacuum` —
+    * which is exactly the concurrent-reader guarantee the raw
+    * `Layout.compactPartitions` documents as out of reach. Returns the
+    * compacted partitions' value strings.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
+              minFiles: Int = 4): Seq[String] = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    require(m.partitionCols.size == 1, "compact expects a single partition column")
+    val pCol = m.partitionCols.head
+    val fs = fsFor(spark, path)
+    val byPart = m.files.groupBy(f => partitionValues(m.partitionCols, f)(pCol))
+    val marked = byPart.filter(_._2.size >= minFiles)
+    if (marked.isEmpty) return Nil
+    val markedFiles = marked.values.flatten.toSeq
+    val bytes = markedFiles.map(f => fs.getFileStatus(new HPath(s"$path/$f")).getLen).sum
+    val slice = readFiles(spark, path, m, Some(markedFiles))
+    val dataCols = slice.columns.filterNot(_ == pCol)
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val packed = slice
+      .withColumn("__salt", pmod(hash(dataCols.map(col).toSeq: _*).cast("long"), lit(nOut)))
+      .repartition(col(pCol), col("__salt"))
+      .drop("__salt")
+    replacePartitions(spark, path, packed, dropOld = pv => marked.contains(pv(pCol)))
+    marked.keys.toSeq.sorted
+  }
+
+  /** Reclaim space: drop all but the newest `keepVersions` manifests and
+    * delete data files referenced by NO retained manifest. Uncommitted
+    * txn files (a crashed writer's orphans) are deleted only when older
+    * than `orphanGraceMs` — an in-flight writer's files are never
+    * touched. After vacuum, reads pinned to dropped versions break;
+    * callers declare that trade by calling this.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
+             orphanGraceMs: Long = 3600L * 1000): Unit = {
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return
+    val (dead, kept) = vs.splitAt(math.max(0, vs.size - math.max(1, keepVersions)))
+    val live = kept.flatMap(v => manifest(spark, path, v).files).toSet
+    val now = System.currentTimeMillis()
+    val root = fs.makeQualified(new HPath(path)).toString
+    fs.listStatus(new HPath(path)).filter(s => s.isDirectory && s.getPath.getName.startsWith("txn-"))
+      .foreach { txn =>
+        listParquetRecursive(fs, txn.getPath).foreach { f =>
+          val rel = fs.makeQualified(f).toString.drop(root.length + 1)
+          val st = fs.getFileStatus(f)
+          if (!live.contains(rel) && now - st.getModificationTime > orphanGraceMs)
+            fs.delete(f, false)
+        }
+        // prune txn dirs (and partition dirs) emptied of data files
+        if (listParquetRecursive(fs, txn.getPath).isEmpty &&
+            now - txn.getModificationTime > orphanGraceMs)
+          fs.delete(txn.getPath, true)
+      }
+    dead.foreach(v => fs.delete(manifestPath(path, v), false))
+  }
+}

@@ -25,6 +25,9 @@ object Writers {
     val sorted =
       if (clusterBy.isEmpty) df
       else df.repartition(col(partitionCol)).sortWithinPartitions(partitionCol, clusterBy: _*)
+    if (Snapshot.isSnapshotTable(df.sparkSession, path)) {
+      Snapshot.append(df.sparkSession, path, sorted); return
+    }
     sorted.write.mode("append").partitionBy(partitionCol).parquet(path)
   }
 
@@ -42,13 +45,20 @@ object Writers {
     * consumo_bloques_hora.py:30-67) needs, where daily rows replace from
     * a trailing cutoff but monthly rows from the month start.
     */
-  def replaceWindow(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+  def replaceWindow(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    if (Snapshot.isSnapshotTable(df.sparkSession, path)) {
+      // atomic form: partitions present in df swap their file sets in
+      // one manifest commit — no crash window between delete and rewrite
+      Snapshot.replacePartitions(df.sparkSession, path, df, dropOld = _ => false)
+      return
+    }
     // per-write option, NOT a session-conf mutate/restore: concurrent
     // jobs sharing the session must not observe each other's overwrite
     // mode mid-write
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).parquet(path)
+  }
 
   /** K2's per-periodo asymmetric delete (consumo_usuarios.py:264-272,
     * consumo_bloques_hora.py:30-67): one table holds rows at several
@@ -124,6 +134,33 @@ object Writers {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partCols = Seq(periodoCol, fechaCol)
+    if (Snapshot.isSnapshotTable(spark, path)) {
+      // snapshot route: the dual-window delete + overwrite collapses to
+      // ONE atomic manifest commit (dropOld = the doomed predicate over
+      // the live partition tuples) — no crash window at all
+      val m = Snapshot.latestManifest(spark, path).get
+      require(m.partitionCols == partCols,
+        s"snapshot table is partitioned by ${m.partitionCols}, expected $partCols")
+      import spark.implicits._
+      val pT = replacement.schema(periodoCol).dataType
+      val fT = replacement.schema(fechaCol).dataType
+      val tuples = m.files.map(Snapshot.partitionValues(m.partitionCols, _))
+        .map(pv => (pv(periodoCol), pv(fechaCol))).distinct
+      // null tuples can never be doomed (three-valued DELETE semantics)
+      val named = tuples.filterNot { case (p, f) =>
+        p == nullPartitionName || f == nullPartitionName }
+      val doomed: Set[(String, String)] = if (named.isEmpty) Set.empty else {
+        named.toDF("p_raw", "f_raw")
+          .withColumn("p_val", col("p_raw").cast(pT))
+          .withColumn("f_val", col("f_raw").cast(fT))
+          .where(coalesce(
+            doomedPredicate(col("f_val"), col("p_val"), cutoff, mensualLabel), lit(false)))
+          .select("p_raw", "f_raw").as[(String, String)].collect().toSet
+      }
+      Snapshot.replacePartitions(spark, path, replacement,
+        dropOld = pv => doomed.contains((pv(periodoCol), pv(fechaCol))))
+      return
+    }
     if (!fs.exists(target)) {
       replacement.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
       return
@@ -263,6 +300,12 @@ object Writers {
     * partitions; semantics identical.
     */
   def mergeByIdWrite(spark: SparkSession, path: String, updates: DataFrame, idCol: String): Unit = {
+    if (Snapshot.isSnapshotTable(spark, path)) {
+      // snapshot route: read the pinned live set (immutable files — no
+      // read-own-overwrite hazard), commit the merge as one new version
+      Snapshot.overwrite(spark, path, mergeById(Snapshot.read(spark, path), updates, idCol))
+      return
+    }
     // resolve the FS from the path: with tables on an object store and a
     // different default FS (the normal cluster layout), FileSystem.get
     // would exists/rename against the WRONG filesystem
@@ -325,6 +368,10 @@ object Writers {
   def mergeByIdWritePartitioned(spark: SparkSession, path: String, updates: DataFrame,
                                 idCol: String, partitionCol: String,
                                 assertIdsLocal: Boolean = false): Unit = {
+    if (Snapshot.isSnapshotTable(spark, path)) {
+      Snapshot.mergeById(spark, path, updates, idCol, partitionCol, assertIdsLocal)
+      return
+    }
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) {

@@ -107,5 +107,52 @@ object LayoutPack extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106)
+  val q116 = QueryDef(
+    "q116_snapshot_pipeline",
+    Some("""WITH target AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |), updates AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |     OR o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+           |), merged AS (
+           |  SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+           |  UNION ALL SELECT * FROM updates
+           |)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // The snapshot/commit-log table end to end — create, MERGE-by-id
+    // through the routed writer (one atomic manifest commit, pinned
+    // reads, no read-own-overwrite hazard), compact, vacuum, read back.
+    // This is the write contract the reference gets from BigQuery
+    // (atomic load/DELETE/MERGE, funnel_live.py:106-174) rebuilt on a
+    // plain filesystem; the oracle recomputes the same merge
+    // relationally, so the layer must be value-invisible.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q116").toString + "/orders_s"
+    val base = t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val cut95 = lit("1995-01-01 00:00:00").cast("timestamp")
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val target = base.where(col("o_orderdate") >= cut95 && col("o_orderdate") < cut97)
+      .drop("o_orderdate")
+    val updates = base.where(col("o_orderdate") >= cut97 || col("o_orderdate") < cut95)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    graft.operators.Snapshot.create(t.spark, dir, target, Seq("o_orderpriority"))
+    // updates keep each key's priority, so the id-embeds-partition
+    // contract holds — asserted, not assumed
+    graft.operators.Writers.mergeByIdWritePartitioned(
+      t.spark, dir, updates, "o_orderkey", "o_orderpriority", assertIdsLocal = true)
+    graft.operators.Layout.compactPartitions(t.spark, dir, "o_orderpriority",
+      targetBytes = 1L << 30, minFiles = 2)
+    graft.operators.Snapshot.vacuum(t.spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    graft.operators.Snapshot.read(t.spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116)
 }

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Snapshot, Writers}
+
+/** The snapshot/commit-log layer: atomic commits, reader isolation,
+  * crash injection between every pair of protocol steps, and the routed
+  * writers (replaceWindow / replacePeriodWindowWrite / mergeById* /
+  * compactPartitions) proven equal to their pure-dataflow twins.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-snap-$tag").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range, tag: Long): DataFrame =
+    ids.map(i => (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", tag * 1000 + i))
+      .toDF("id", "p", "v")
+
+  test("create / append / overwrite round-trip with time travel") {
+    val dir = tmp("basic")
+    Snapshot.create(spark, dir, fixture(0 until 30, 1), Seq("p"))
+    assert(Snapshot.latestVersion(spark, dir).contains(1L))
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 30, 1)))
+
+    Snapshot.append(spark, dir, fixture(100 until 110, 2))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 30, 1)) ++ rows(fixture(100 until 110, 2)))
+
+    Snapshot.overwrite(spark, dir, fixture(500 until 505, 3))
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(500 until 505, 3)))
+
+    // time travel: every prior version still reads exactly
+    assert(rows(Snapshot.readVersion(spark, dir, 1)) == rows(fixture(0 until 30, 1)))
+    assert(rows(Snapshot.readVersion(spark, dir, 2)) ==
+      rows(fixture(0 until 30, 1)) ++ rows(fixture(100 until 110, 2)))
+  }
+
+  test("crash injection: killed between EVERY pair of steps, readers see old XOR new") {
+    val points = Seq("data-files-written", "manifest-staged", "manifest-committed")
+    for (point <- points) {
+      val dir = tmp(s"crash")
+      Snapshot.create(spark, dir, fixture(0 until 20, 1), Seq("p"))
+      val v1 = rows(Snapshot.read(spark, dir))
+
+      Snapshot.faultHook = p => if (p == point) throw new RuntimeException(s"injected crash at $p")
+      try {
+        intercept[RuntimeException] {
+          Snapshot.overwrite(spark, dir, fixture(0 until 20, 2))
+        }
+      } finally Snapshot.faultHook = _ => ()
+
+      val seen = rows(Snapshot.read(spark, dir))
+      if (point == "manifest-committed") {
+        // crash AFTER the rename: the commit happened — new version
+        assert(seen == rows(fixture(0 until 20, 2)), s"at $point")
+        assert(Snapshot.latestVersion(spark, dir).contains(2L))
+      } else {
+        // crash before the rename: old version fully intact
+        assert(seen == v1, s"at $point")
+        assert(Snapshot.latestVersion(spark, dir).contains(1L))
+        // the RERUN (same logical write) succeeds and commits cleanly
+        Snapshot.overwrite(spark, dir, fixture(0 until 20, 2))
+        assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 20, 2)))
+        assert(Snapshot.latestVersion(spark, dir).contains(2L))
+      }
+    }
+  }
+
+  test("concurrent reader survives compaction; vacuum then reclaims the old version") {
+    val dir = tmp("reader")
+    // fragment: many small appends into the same partitions
+    Snapshot.create(spark, dir, fixture(0 until 10, 1), Seq("p"))
+    (1 to 4).foreach(i => Snapshot.append(spark, dir, fixture(i * 10 until i * 10 + 10, 1)))
+    val pinned = Snapshot.read(spark, dir) // pin the pre-compaction manifest
+    val expect = rows(pinned)
+
+    val compacted = Snapshot.compact(spark, dir, targetBytes = 1L << 30, minFiles = 2)
+    assert(compacted.toSet == Set("a", "b", "c"))
+    // the pinned reader still resolves its OLD files, byte-for-byte
+    assert(rows(pinned) == expect)
+    assert(rows(Snapshot.read(spark, dir)) == expect) // and the new version agrees
+    // compaction actually reduced the live file count
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.files.size == 3, s"expected one file per partition, got ${m.files}")
+
+    // vacuum with zero grace: only the latest version's files survive
+    Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(Snapshot.versions(spark, dir) == Seq(m.version))
+    assert(rows(Snapshot.read(spark, dir)) == expect)
+    intercept[Exception] { rows(pinned) } // pinned files are gone — declared trade
+  }
+
+  test("routed writers equal their pure-dataflow twins on a snapshot table") {
+    // K3 partitioned merge
+    val dir = tmp("merge")
+    val target = fixture(0 until 40, 1)
+    Snapshot.create(spark, dir, target, Seq("p"))
+    val updates = fixture(30 until 50, 9) // overlaps partitions, updates + inserts
+    Writers.mergeByIdWritePartitioned(spark, dir, updates, "id", "p", assertIdsLocal = true)
+    assert(rows(Snapshot.read(spark, dir)) == rows(Writers.mergeById(target, updates, "id")))
+    assert(Snapshot.latestVersion(spark, dir).contains(2L))
+
+    // K3 full merge through mergeByIdWrite
+    val dir2 = tmp("merge2")
+    Snapshot.create(spark, dir2, target, Seq("p"))
+    Writers.mergeByIdWrite(spark, dir2, updates, "id")
+    assert(rows(Snapshot.read(spark, dir2)) == rows(Writers.mergeById(target, updates, "id")))
+
+    // compaction route (via Layout API) — identical data, fewer files
+    val dir3 = tmp("compact")
+    Snapshot.create(spark, dir3, fixture(0 until 10, 1), Seq("p"))
+    (1 to 3).foreach(i => Writers.appendPartitioned(fixture(i * 10 until i * 10 + 10, 1), dir3, "p"))
+    val before = rows(Snapshot.read(spark, dir3))
+    val done = Layout.compactPartitions(spark, dir3, "p", targetBytes = 1L << 30, minFiles = 2)
+    assert(done.nonEmpty)
+    assert(rows(Snapshot.read(spark, dir3)) == before)
+  }
+
+  test("routed dual-window replace equals replacePeriodWindow dataflow, atomically") {
+    val dir = tmp("dual")
+    def mk(rs: Seq[(String, String, Long)]): DataFrame =
+      rs.toDF("periodo", "fecha", "n")
+    val existing = mk(Seq(
+      ("diario", "2021-03-01", 1L), ("diario", "2021-03-10", 2L), ("diario", "2021-03-20", 3L),
+      ("mensual", "2021-02-01", 10L), ("mensual", "2021-03-01", 20L)))
+    Snapshot.create(spark, dir, existing, Seq("periodo", "fecha"))
+
+    val cutoff = lit("2021-03-15").cast("string")
+    // replacement: re-extract from the cutoff; the 2021-03-20 day came
+    // back EMPTY (must be deleted) and the month-to-date row recomputes
+    val replacement = mk(Seq(
+      ("diario", "2021-03-16", 4L), ("mensual", "2021-03-01", 21L)))
+    Writers.replacePeriodWindowWrite(spark, dir, replacement, "fecha", "periodo", cutoff)
+
+    val want = Writers.replacePeriodWindow(existing, replacement, "fecha", "periodo", cutoff)
+      .as[(String, String, Long)].collect().toSet
+    val got = Snapshot.read(spark, dir).as[(String, String, Long)].collect().toSet
+    assert(got == want)
+    // the doomed-but-not-replaced day is gone; pre-window days intact
+    assert(!got.exists(r => r._1 == "diario" && r._2 == "2021-03-20"))
+    assert(got.exists(r => r._1 == "diario" && r._2 == "2021-03-01"))
+    // exactly one atomic commit happened
+    assert(Snapshot.latestVersion(spark, dir).contains(2L))
+
+    // and the whole replace is crash-atomic: kill before the commit,
+    // table unchanged; rerun lands the full replace
+    val dirC = tmp("dualcrash")
+    Snapshot.create(spark, dirC, existing, Seq("periodo", "fecha"))
+    Snapshot.faultHook = p => if (p == "manifest-staged") throw new RuntimeException("crash")
+    try intercept[RuntimeException] {
+      Writers.replacePeriodWindowWrite(spark, dirC, replacement, "fecha", "periodo", cutoff)
+    } finally Snapshot.faultHook = _ => ()
+    assert(Snapshot.read(spark, dirC).as[(String, String, Long)].collect().toSet ==
+      existing.as[(String, String, Long)].collect().toSet)
+    Writers.replacePeriodWindowWrite(spark, dirC, replacement, "fecha", "periodo", cutoff)
+    assert(Snapshot.read(spark, dirC).as[(String, String, Long)].collect().toSet == want)
+  }
+
+  test("null and hive-escaped partition values round-trip through the snapshot layer") {
+    val dir = tmp("esc")
+    val df = Seq((1L, "a:b", 1L), (2L, null: String, 2L), (3L, "plain", 3L), (4L, "a:b", 4L))
+      .toDF("id", "p", "v")
+    Snapshot.create(spark, dir, df, Seq("p"))
+    val back = Snapshot.read(spark, dir)
+    assert(rows(back) == rows(df))
+    assert(back.where(col("p").isNull).count() == 1)
+    // merge into the escaped and null partitions
+    val upd = Seq((1L, "a:b", 100L), (2L, null: String, 200L)).toDF("id", "p", "v")
+    Writers.mergeByIdWritePartitioned(spark, dir, upd, "id", "p")
+    val after = rows(Snapshot.read(spark, dir))
+    assert(after == rows(Writers.mergeById(df, upd, "id")))
+  }
+}
