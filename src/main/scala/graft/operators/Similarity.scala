@@ -241,6 +241,35 @@ object Similarity {
     topKAgg(scored, k)
   }
 
+  /** Quantized IVF search — int8 codes THROUGH the inverted file: cell
+    * assignment runs at full precision (the index is built once, its
+    * quality should not pay the quantization tax), then in-cell scoring
+    * uses per-vector symmetric int8 quantization (scale = max|x|/127,
+    * codes = round-half-up(x/scale)) and the RESCALED integer dot
+    * product `dot(qcodes, ccodes) * qscale * cscale` — q74's 4x-smaller
+    * scoring payload composed with q51's o(n·nprobe) candidate set
+    * instead of its brute-force cross join. 64-dim int8 products stay
+    * under 2^21, so the double fold is exact and the scores reproduce
+    * bitwise across engines. Codes are derived per assignment row by
+    * codegen'd array expressions — at scale they would be materialized
+    * INTO the index (a narrower column next to `v`), which changes
+    * storage, not this plan.
+    */
+  def ivfTopKQuantized(index: IvfIndex, k: Int): DataFrame = {
+    def quantized(df: DataFrame, pre: String): DataFrame = df
+      .withColumn(s"${pre}s",
+        greatest(array_max(transform(col("v"), x => abs(x.cast("double")))) / 127.0, lit(1e-30)))
+      .withColumn(s"${pre}qv",
+        transform(col("v"), x => floor(x.cast("double") / col(s"${pre}s") + 0.5).cast("float")))
+    val home = quantized(index.assignment.where(col("rn") === 1).drop("rn"), "c")
+    val probes = quantized(index.assignment.drop("rn"), "q")
+    val scored = probes.as("q").join(home.as("c"),
+        col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("match_id"),
+        (dot(col("q.qqv"), col("c.cqv")) * col("q.qs") * col("c.cs")).as("cos"))
+    topKAgg(scored, k).withColumnRenamed("cos", "score")
+  }
+
   /** One-shot IVF ANN: build the index and search it. The index caches
     * stay session-resident (both the probe and home sides consume the
     * assignment, and Spark does not reuse the exchange across their

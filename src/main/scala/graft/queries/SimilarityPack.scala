@@ -135,6 +135,47 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  val q115 = QueryDef(
+    "q115_quantized_ivf",
+    // q51's inverted file × q74's int8 quantization: assignment at full
+    // precision, in-cell scoring on rescaled integer dot products —
+    // candidates stay o(n·nprobe), never the corpus pair set
+    Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $Centroids),
+            |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            |qz AS (
+            |  SELECT id, v,
+            |    greatest(list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+            |  FROM v
+            |), qc AS (
+            |  SELECT id, v, scale,
+            |    list_transform(v, x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS qv
+            |  FROM qz
+            |), asg AS (
+            |  SELECT qc.id, qc.qv, qc.scale, centroid_id AS cell,
+            |    row_number() OVER (PARTITION BY qc.id
+            |      ORDER BY ${cosSql("qc.v", "cv")} DESC, centroid_id) AS rn
+            |  FROM qc CROSS JOIN c
+            |), home AS (SELECT id, qv, scale, cell FROM asg WHERE rn = 1),
+            |probes AS (SELECT id, qv, scale, cell FROM asg WHERE rn <= 2),
+            |scored AS (
+            |  SELECT q.id AS query_id, m.id AS match_id,
+            |    list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * m.qv[i]))
+            |      * q.scale * m.scale AS score
+            |  FROM probes q JOIN home m ON q.cell = m.cell AND q.id != m.id
+            |), ranked AS (
+            |  SELECT query_id, match_id, score,
+            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT query_id, match_id, rank, score FROM ranked WHERE rank <= 3
+            |ORDER BY query_id, rank""".stripMargin)) { t =>
+    val nc = Similarity.centroidsFor(t.embeddings.count())
+    val index = Similarity.ivfIndex(t.embeddings, t.embeddings.where(col("vec_id") < nc),
+      "vec_id", "embedding", nprobe = 2)
+    Similarity.ivfTopKQuantized(index, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   val q69 = QueryDef(
     "q69_ivf_multiassign",
     // q51's plan with the recall levers engaged: every corpus vector is
@@ -384,5 +425,5 @@ object SimilarityPack extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79, q85, q102, q107)
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33b, q64, q69, q79, q85, q102, q107, q115)
 }
