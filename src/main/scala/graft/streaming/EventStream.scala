@@ -163,6 +163,31 @@ object EventStream {
         col("end_ts"), col("minutes"))
   }
 
+  /** NATIVE session windows in streaming — the same `session_window`
+    * aggregate q114 runs in batch, with the watermark driving state
+    * purge: a session's state merges while events keep arriving within
+    * the gap, is emitted exactly once when the watermark passes its
+    * close, and is dropped from the store at that same moment — state
+    * is bounded by sessions OPEN within the horizon, never history.
+    * This is the built-in-operator twin of `sessionize`'s
+    * flatMapGroupsWithState (which exists for payloads the built-in
+    * can't express, e.g. the minutes accumulator with custom close
+    * rules); for plain per-session counts the native operator is the
+    * preferred plan — merging aggregate, one shuffle, no typed state
+    * closure. Boundary semantics match q114: the emitted window end is
+    * last-event + gap, so subtracting the gap recovers max(ts).
+    */
+  def sessionWindowRollup(events: DataFrame, gapMinutes: Int,
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr(s"INTERVAL $gapMinutes MINUTES")).as("session_end"),
+        col("n_events"))
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -173,6 +173,37 @@ class StreamingSpec extends SparkSpec {
       ("s4", 3L, "2024-01-01 10:10:00.0", None, None))) // out-of-bound stop = crash
   }
 
+  test("native session_window stream equals the batch q114 aggregate on the same fixture") {
+    val dir = Files.createTempDirectory("graft-sesswin").toString
+    val landing = s"$dir/landing"; val ckpt = s"$dir/ckpt"
+    val events = sf().events.select(col("user_id"), col("ts"))
+    events.write.parquet(landing)
+    // far-future sentinel: the watermark passes every real session's
+    // close, so Append emits (and purges) all of them in one tick
+    Seq((999999L, ts("2030-01-01 00:00:00"))).toDF("user_id", "ts")
+      .write.mode("append").parquet(landing)
+    val q = EventStream.sessionWindowRollup(
+        EventStream.read(spark, landing, events.schema), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sesswin")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sesswin")
+      .where($"user_id" =!= 999999L)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    // the batch twin — q114's exact construct over the same files
+    val batch = events
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start",
+        ($"session_window.end" - expr("INTERVAL 30 MINUTES")), $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize closes sessions on event-time gaps via flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val landing = s"$dir/landing"; val ckpt = s"$dir/ckpt"
