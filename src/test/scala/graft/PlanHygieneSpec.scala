@@ -134,6 +134,43 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("shiftright"), s"q92 lost its bloom probe filter:\n$plan")
   }
 
+  test("golden plans: the ten heaviest queries keep their exchange/sort/join shape") {
+    // Structural regression net for the queries that dominate the bench:
+    // timings on a shared box are contention-noisy (two phantom 3-6x
+    // spikes adjudicated in round 5), but these counts only change when
+    // the PLAN changes. Values are the audited sf0.001 shapes — a count
+    // drifting UP means a lost broadcast, a split window, or a new
+    // shuffle; update a pin only after re-auditing the plan by hand.
+    val dir = "/root/testdata/sf0.001"
+    //                      (hash, range, sort, smj, bhj, bnlj)
+    val pins = Seq(
+      // connected-components family: per-round self-joins contract to
+      // the label graph; exchanges scale with the (fixed) round count
+      "q109_incremental_components" -> (29, 1, 32, 20, 0, 0),
+      "q95_quality_survivorship"    -> (6, 1, 8, 3, 2, 0),
+      "q79_semantic_dedup"          -> (2, 1, 3, 1, 0, 0),
+      "q70_pipeline_survivors"      -> (2, 1, 3, 1, 1, 0),
+      "q44_dedup_survivors"         -> (2, 1, 3, 1, 0, 0),
+      // one fact pass per grain x 2 loads; spine/dim joins broadcast
+      // (bnlj = the two broadcast range/overlap joins)
+      "q62_consumo_bloques"         -> (4, 1, 1, 0, 8, 2),
+      "q27_jaccard_pairs"           -> (1, 1, 1, 0, 1, 0),
+      "q92_bloom_pruned_join"       -> (1, 1, 1, 0, 1, 0),
+      "q66_indicadores_cia"         -> (3, 1, 1, 0, 2, 2),
+      "q67_trafico_digital"         -> (4, 1, 3, 0, 0, 0))
+    pins.foreach { case (q, (hash, range, sort, smj, bhj, bnlj)) =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      def c(p: String) = p.r.findAllIn(plan).length
+      val got = (c("Exchange hashpartitioning"), c("Exchange rangepartitioning"),
+        c("\\bSort \\["), c("SortMergeJoin"), c("BroadcastHashJoin"),
+        c("BroadcastNestedLoopJoin"))
+      assert(got == ((hash, range, sort, smj, bhj, bnlj)),
+        s"$q plan shape drifted: (hash,range,sort,smj,bhj,bnlj) = $got, " +
+          s"pinned (${hash},$range,$sort,$smj,$bhj,$bnlj)")
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian product")
+    }
+  }
+
   test("q98's lag, running sum, and session aggregate share one hash exchange") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q98_sessionize")(spark, dir)
