@@ -2,7 +2,7 @@ package graft.operators
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -55,10 +55,14 @@ object Snapshot {
 
   /** Table version: the exact set of live data files (paths relative to
     * the table root), the partition columns, and the table schema (DDL)
-    * so even an empty version reads with the right shape.
+    * so even an empty version reads with the right shape. `stats` maps
+    * a live file to its [[SnapshotStats.FileStats]] (per-column
+    * min/max/nullCount reduced from the parquet footer at commit time);
+    * files may lack stats — [[readWhere]] then simply cannot skip them.
     */
   final case class Manifest(version: Long, partitionCols: Seq[String],
-                            schemaDdl: String, files: Seq[String])
+                            schemaDdl: String, files: Seq[String],
+                            stats: Map[String, SnapshotStats.FileStats] = Map.empty)
 
   /** Test-only fault injection: SnapshotSpec points this at a throwing
     * hook to simulate a crash between any two steps of the commit
@@ -96,11 +100,26 @@ object Snapshot {
     val in = fs.open(manifestPath(path, version))
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = new ObjectMapper().readTree(bytes)
+    val stats: Map[String, SnapshotStats.FileStats] =
+      if (!root.has("stats")) Map.empty
+      else root.get("stats").properties().asScala.map { e =>
+        val n = e.getValue
+        val cols = if (!n.has("cols")) Map.empty[String, SnapshotStats.ColStats]
+        else n.get("cols").properties().asScala.map { ce =>
+          val c = ce.getValue
+          ce.getKey -> SnapshotStats.ColStats(
+            if (c.has("mn")) Some(c.get("mn").asText()) else None,
+            if (c.has("mx")) Some(c.get("mx").asText()) else None,
+            if (c.has("nulls")) Some(c.get("nulls").asLong()) else None)
+        }.toMap
+        e.getKey -> SnapshotStats.FileStats(n.get("rows").asLong(), cols)
+      }.toMap
     Manifest(
       root.get("version").asLong(),
       root.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
       root.get("schemaDdl").asText(),
-      root.get("files").elements().asScala.map(_.asText()).toSeq)
+      root.get("files").elements().asScala.map(_.asText()).toSeq,
+      stats)
   }
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -140,6 +159,61 @@ object Snapshot {
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
     readFiles(spark, path, manifest(spark, path, version))
 
+  /** Filtered read with FILE SKIPPING: opens only files whose manifest
+    * stats (per-column min/max/nullCount, [[SnapshotStats]]) might hold
+    * a matching row, then applies `pred` as a residual filter — so
+    * pruning is an optimization by construction, never a semantics
+    * change. This is the metadata a 100 TB scan needs ABOVE the parquet
+    * footer: footer row-group pruning only helps after a file is
+    * opened; manifest pruning avoids opening (and listing, and
+    * scheduling) the file at all. Predicates the stats walker does not
+    * understand degrade to a full scan plus filter, never to a wrong
+    * answer.
+    */
+  def readWhere(spark: SparkSession, path: String, pred: Column,
+                version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifest(spark, path, _)).orElse(latestManifest(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    readFiles(spark, path, m, Some(SnapshotStats.prune(spark, m, pred))).where(pred)
+  }
+
+  /** Spec/diagnostic twin of [[readWhere]]: (files kept, files total)
+    * for `pred` against the pinned manifest's stats.
+    */
+  def pruneFiles(spark: SparkSession, path: String, pred: Column,
+                 version: Option[Long] = None): (Seq[String], Int) = {
+    val m = version.map(manifest(spark, path, _)).orElse(latestManifest(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    (SnapshotStats.prune(spark, m, pred), m.files.size)
+  }
+
+  /** Change feed between two committed versions, at file granularity:
+    * rows in files that joined the live set are `insert`, rows in files
+    * that left it are `delete` (tagged in a `_change_type` column). For
+    * append-only history this is exact row-level CDC; for rewrites it
+    * is file-accurate — a compaction shows as delete+insert of equal
+    * rows, which `net = true` cancels out (multiset EXCEPT in both
+    * directions, the standard change-feed reconciliation) so only true
+    * row changes remain. Cost is O(changed files) — the unchanged 100 TB
+    * is never read, which is the whole point of an incremental nightly
+    * consumer.
+    */
+  def readChanges(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long,
+                  net: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = manifest(spark, path, fromVersion)
+    val to = manifest(spark, path, toVersion)
+    require(from.schemaDdl == to.schemaDdl,
+      s"readChanges needs a schema-stable window; v$fromVersion and v$toVersion differ")
+    val added = to.files.diff(from.files)
+    val removed = from.files.diff(to.files)
+    val ins = readFiles(spark, path, to, Some(added))
+    val del = readFiles(spark, path, from, Some(removed))
+    val (insN, delN) = if (net) (ins.exceptAll(del), del.exceptAll(ins)) else (ins, del)
+    insN.withColumn("_change_type", lit("insert"))
+      .unionByName(delN.withColumn("_change_type", lit("delete")))
+  }
+
   private def readFiles(spark: SparkSession, path: String, m: Manifest,
                         only: Option[Seq[String]] = None): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -175,8 +249,18 @@ object Snapshot {
   private def writeTxnFiles(df: DataFrame, path: String, partitionCols: Seq[String]): Seq[String] = {
     val txn = s"txn-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     val dir = s"$path/$txn"
-    val w = df.write.mode("errorifexists")
-    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).parquet(dir)
+    // INT96 timestamps carry no footer statistics; pin the annotated
+    // micros encoding so SnapshotStats can skip on timestamp predicates
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsOld = df.sparkSession.conf.getOption(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val w = df.write.mode("errorifexists")
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).parquet(dir)
+    } finally tsOld match {
+      case Some(v) => df.sparkSession.conf.set(tsKey, v)
+      case None    => df.sparkSession.conf.unset(tsKey)
+    }
     faultHook("data-files-written")
     val fs = fsFor(df.sparkSession, path)
     val root = fs.makeQualified(new HPath(path)).toString
@@ -207,6 +291,22 @@ object Snapshot {
     node.put("schemaDdl", m.schemaDdl)
     val pc = node.putArray("partitionCols"); m.partitionCols.foreach(pc.add)
     val fl = node.putArray("files"); m.files.foreach(fl.add)
+    if (m.stats.nonEmpty) {
+      val st = node.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (f, fs) =>
+        val fn = st.putObject(f)
+        fn.put("rows", fs.rows)
+        if (fs.cols.nonEmpty) {
+          val cn = fn.putObject("cols")
+          fs.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+            val n = cn.putObject(c)
+            cs.mn.foreach(n.put("mn", _))
+            cs.mx.foreach(n.put("mx", _))
+            cs.nulls.foreach(n.put("nulls", _))
+          }
+        }
+      }
+    }
     val tmp = new HPath(log, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
@@ -229,12 +329,18 @@ object Snapshot {
 
   // --------------------------------------------------------- operations
 
+  private def statsFor(spark: SparkSession, path: String, files: Seq[String],
+                       schemaDdl: String, partitionCols: Seq[String]): Map[String, SnapshotStats.FileStats] =
+    SnapshotStats.collect(spark, path, files, StructType.fromDDL(schemaDdl), partitionCols)
+
   /** Initialize a snapshot table (version 1) from `df`. */
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionCols: Seq[String] = Nil): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
+    val ddl = df.schema.toDDL
     val files = writeTxnFiles(df, path, partitionCols)
-    commitManifest(spark, path, Manifest(1L, partitionCols, df.schema.toDDL, files))
+    commitManifest(spark, path, Manifest(1L, partitionCols, ddl, files,
+      statsFor(spark, path, files, ddl, partitionCols)))
   }
 
   /** K1 append: new version = old live set + the new txn's files. */
@@ -242,7 +348,8 @@ object Snapshot {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val files = writeTxnFiles(df, path, m.partitionCols)
-    commitManifest(spark, path, m.copy(version = m.version + 1, files = m.files ++ files))
+    commitManifest(spark, path, m.copy(version = m.version + 1, files = m.files ++ files,
+      stats = m.stats ++ statsFor(spark, path, files, m.schemaDdl, m.partitionCols)))
   }
 
   /** K4 full overwrite: new version = exactly the new txn's files. The
@@ -253,9 +360,11 @@ object Snapshot {
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val ddl = df.schema.toDDL
     val files = writeTxnFiles(df, path, m.partitionCols)
     commitManifest(spark, path,
-      Manifest(m.version + 1, m.partitionCols, df.schema.toDDL, files))
+      Manifest(m.version + 1, m.partitionCols, ddl, files,
+        statsFor(spark, path, files, ddl, m.partitionCols)))
   }
 
   /** K2 partition replacement: drop every old file whose partition
@@ -274,7 +383,9 @@ object Snapshot {
       val pv = partitionValues(m.partitionCols, f)
       dropOld(pv) || newParts.contains(pv)
     }
-    commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles))
+    commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles,
+      stats = m.stats.view.filterKeys(kept.toSet).toMap ++
+        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols)))
   }
 
   /** K3 partition-restricted MERGE-by-id, snapshot form. Unlike the raw

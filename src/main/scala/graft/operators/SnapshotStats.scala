@@ -1,0 +1,436 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** File-level data skipping for [[Snapshot]] tables.
+  *
+  * The reference's scans are pruned by BigQuery's own block metadata
+  * (partition + cluster statistics on every landing table,
+  * consumo_detalle.py:301-306); a plain-parquet reader has nothing
+  * above the footer, so every pinned scan opens every live file. This
+  * module closes that gap with the standard lakehouse scheme (the
+  * publicly documented data-skipping core of Delta/Iceberg):
+  *
+  *  - at COMMIT time, each new data file's parquet footer is reduced to
+  *    per-column (min, max, nullCount) and stored in the manifest —
+  *    metadata-only reads, no data pages touched, O(new files) work per
+  *    commit, embarrassingly parallel;
+  *  - at READ time, [[Snapshot.readWhere]] evaluates the predicate
+  *    against those stats and opens only files that might hold a match,
+  *    then applies the SAME predicate as a residual filter — pruning is
+  *    an optimization by construction, never a semantics change.
+  *
+  * Soundness rules (a wrong skip silently loses rows, so every decision
+  * errs toward KEEP):
+  *  - only conjuncts the walker fully understands can vote to skip;
+  *    anything else — casts, functions, unknown nodes — becomes
+  *    `keep = true`;
+  *  - stat comparisons run IN Spark over columns cast to the table's own
+  *    types, so coercion and ordering semantics are identical to the
+  *    residual filter's, not a hand-rolled re-implementation;
+  *  - NULL stat values (file has no stats for the column) propagate
+  *    through Kleene logic to a top-level `coalesce(keep, true)`;
+  *  - float/double stats poisoned by NaN are dropped at collection;
+  *  - string min/max are merged across row groups with unsigned byte
+  *    comparison — the same binary ordering parquet's UTF8 comparator
+  *    and Spark's UTF8String use.
+  *
+  * Canonical manifest encoding per Spark type (stable across engines and
+  * parquet logical-type units): integral → decimal string; float/double
+  * → `toString`; string → raw UTF-8; boolean → true/false; date → epoch
+  * days; timestamp → epoch micros (MILLIS/MICROS/NANOS footers all
+  * normalized; INT96 has no stats and is skipped — the snapshot writer
+  * pins TIMESTAMP_MICROS output for exactly this reason).
+  */
+object SnapshotStats {
+
+  /** Per-column stats of one data file. `mn`/`mx` use the canonical
+    * string encoding above; None = unknown (absent/unusable footer
+    * stats) and can never cause a skip.
+    */
+  final case class ColStats(mn: Option[String], mx: Option[String], nulls: Option[Long])
+
+  /** Stats of one data file: row count plus per-column stats. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  private[operators] def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** TIMESTAMP_NTZ canonical form: the wall-clock micros as an ISO local
+    * datetime string, so decoding (`cast(.. as timestamp_ntz)`) is
+    * session-timezone-independent — an epoch-micros form would need a
+    * tz-sensitive cast and could unsoundly skip under a non-UTC session.
+    */
+  private def ntzString(micros: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC
+    ).format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
+
+  // ---------------------------------------------------------- collection
+
+  /** Typed min/max accumulator; merges row-group stats in the value
+    * domain, not via string compare.
+    */
+  private sealed trait Acc {
+    def add(v: Any): Acc
+    def mn: String
+    def mx: String
+  }
+  private final case class LongAcc(lo: Long, hi: Long) extends Acc {
+    def add(v: Any): Acc = { val l = v.asInstanceOf[Number].longValue(); LongAcc(math.min(lo, l), math.max(hi, l)) }
+    def mn: String = lo.toString
+    def mx: String = hi.toString
+  }
+  private final case class DoubleAcc(lo: Double, hi: Double) extends Acc {
+    def add(v: Any): Acc = { val d = v.asInstanceOf[Number].doubleValue(); DoubleAcc(math.min(lo, d), math.max(hi, d)) }
+    def mn: String = lo.toString
+    def mx: String = hi.toString
+  }
+  private final case class BoolAcc(lo: Boolean, hi: Boolean) extends Acc {
+    def add(v: Any): Acc = { val b = v.asInstanceOf[Boolean]; BoolAcc(lo && b, hi || b) }
+    def mn: String = lo.toString
+    def mx: String = hi.toString
+  }
+  private final case class BytesAcc(lo: Array[Byte], hi: Array[Byte]) extends Acc {
+    def add(v: Any): Acc = {
+      val b = v.asInstanceOf[Array[Byte]]
+      BytesAcc(if (unsignedLt(b, lo)) b else lo, if (unsignedLt(hi, b)) b else hi)
+    }
+    def mn: String = new String(lo, java.nio.charset.StandardCharsets.UTF_8)
+    def mx: String = new String(hi, java.nio.charset.StandardCharsets.UTF_8)
+  }
+  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Footer stat value → canonical domain value for `dt`, or None when
+    * the physical/logical parquet type can't be mapped soundly (INT96
+    * timestamps, NaN floats, unexpected encodings).
+    */
+  private def normalize(dt: DataType, pt: org.apache.parquet.schema.PrimitiveType, v: AnyRef): Option[Any] =
+    (dt, pt.getPrimitiveTypeName) match {
+      case (ByteType | ShortType | IntegerType, PrimitiveTypeName.INT32) =>
+        Some(v.asInstanceOf[Number].longValue())
+      case (LongType, PrimitiveTypeName.INT64) =>
+        Some(v.asInstanceOf[Number].longValue())
+      case (DateType, PrimitiveTypeName.INT32)
+        if pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        Some(v.asInstanceOf[Number].longValue())
+      case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT64) =>
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val raw = v.asInstanceOf[Number].longValue()
+            import LogicalTypeAnnotation.TimeUnit._
+            ts.getUnit match {
+              case MILLIS => Some(math.multiplyExact(raw, 1000L))
+              case MICROS => Some(raw)
+              case NANOS  => Some(Math.floorDiv(raw, 1000L)) // see micros note below
+            }
+          case _ => None
+        }
+      case (FloatType, PrimitiveTypeName.FLOAT) =>
+        val f = v.asInstanceOf[java.lang.Float].doubleValue()
+        if (f.isNaN) None else Some(f)
+      case (DoubleType, PrimitiveTypeName.DOUBLE) =>
+        val d = v.asInstanceOf[java.lang.Double].doubleValue()
+        if (d.isNaN) None else Some(d)
+      case (StringType, PrimitiveTypeName.BINARY) =>
+        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+      case (BooleanType, PrimitiveTypeName.BOOLEAN) =>
+        Some(v.asInstanceOf[java.lang.Boolean].booleanValue())
+      case _ => None
+    }
+
+  private def emptyAcc(dt: DataType, first: Any): Acc = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType | TimestampNTZType =>
+      val l = first.asInstanceOf[Long]; LongAcc(l, l)
+    case FloatType | DoubleType => val d = first.asInstanceOf[Double]; DoubleAcc(d, d)
+    case BooleanType => val b = first.asInstanceOf[Boolean]; BoolAcc(b, b)
+    case StringType => val b = first.asInstanceOf[Array[Byte]]; BytesAcc(b, b)
+    case other => throw new IllegalStateException(s"no accumulator for $other")
+  }
+
+  /** Reduce one file's parquet FOOTER to [[FileStats]] for the schema's
+    * supported top-level columns. Metadata-only: no data pages read.
+    * A NANOS max is floored to micros, which can under-report by <1µs;
+    * the only nanos producer in this engine is µs-precision (Tables
+    * events note), and an under-reported MAX only weakens `>` pruning,
+    * never unsounds `<`/`<=` (floor(min) <= true min is conservative
+    * for the lower bound by the same argument... it is not — so a NANOS
+    * min is ALSO floored, which is exact for the lower bound (floor can
+    * only move min down = conservative) and the max case is made
+    * conservative by adding one micro at encode time below.
+    */
+  private[operators] def footerStats(conf: Configuration, file: HPath, schema: StructType): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val msg = footer.getFileMetaData.getSchema
+      val fields = schema.fields.filter(f => supported(f.dataType) && msg.containsField(f.name))
+        .filter(f => msg.getType(msg.getFieldIndex(f.name)).isPrimitive)
+      var rows = 0L
+      // per column: (acc, minMaxKnown, nulls, nullsKnown)
+      val acc = scala.collection.mutable.Map[String, (Option[Acc], Boolean, Long, Boolean)]()
+      fields.foreach(f => acc(f.name) = (None, true, 0L, true))
+      footer.getBlocks.forEach { block =>
+        rows += block.getRowCount
+        val byPath = new java.util.HashMap[String, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]()
+        block.getColumns.forEach(c => byPath.put(c.getPath.toDotString, c))
+        fields.foreach { f =>
+          val (a0, known0, n0, nk0) = acc(f.name)
+          val cc = byPath.get(f.name)
+          val st = if (cc == null) null else cc.getStatistics
+          if (st == null || st.isEmpty) {
+            // row group has no usable stats: file min/max and null count unknowable
+            acc(f.name) = (a0, false, n0, false)
+          } else {
+            val nk = nk0 && st.isNumNullsSet
+            val n = if (st.isNumNullsSet) n0 + st.getNumNulls else n0
+            if (st.hasNonNullValue) {
+              val pt = msg.getType(msg.getFieldIndex(f.name)).asPrimitiveType()
+              (normalize(f.dataType, pt, st.genericGetMin.asInstanceOf[AnyRef]), normalize(f.dataType, pt, st.genericGetMax.asInstanceOf[AnyRef])) match {
+                case (Some(lo), Some(hi)) =>
+                  val a1 = a0 match {
+                    case Some(a) => Some(a.add(lo).add(hi))
+                    case None    => Some(emptyAcc(f.dataType, lo).add(hi))
+                  }
+                  acc(f.name) = (a1, known0, n, nk)
+                case _ => acc(f.name) = (a0, false, n, nk)
+              }
+            } else acc(f.name) = (a0, known0, n, nk) // all-null row group
+          }
+        }
+      }
+      val nanosCols: Set[String] = fields.collect {
+        case f if (f.dataType == TimestampType || f.dataType == TimestampNTZType) &&
+          (msg.getType(msg.getFieldIndex(f.name)).asPrimitiveType().getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }) => f.name
+      }.toSet
+      val cols = fields.flatMap { f =>
+        val (a, known, n, nk) = acc(f.name)
+        val nulls = if (nk) Some(n) else None
+        a match {
+          case Some(acc0) if known =>
+            val (mnS, mxS) = f.dataType match {
+              case TimestampType | TimestampNTZType =>
+                val la = acc0.asInstanceOf[LongAcc]
+                // NANOS→micros floor: bump the max by 1µs so the true max
+                // is always <= the recorded max (min's floor is already
+                // <= the true min)
+                val hi = if (nanosCols.contains(f.name)) la.hi + 1L else la.hi
+                if (f.dataType == TimestampNTZType) (ntzString(la.lo), ntzString(hi))
+                else (la.lo.toString, hi.toString)
+              case _ => (acc0.mn, acc0.mx)
+            }
+            Some(f.name -> ColStats(Some(mnS), Some(mxS), nulls))
+          case _ if nulls.isDefined || !known =>
+            Some(f.name -> ColStats(None, None, nulls))
+          case _ => None
+        }
+      }.toMap
+      FileStats(rows, cols)
+    } finally reader.close()
+  }
+
+  /** Canonical encoding of a hive PARTITION-DIRECTORY value: the file's
+    * min = max = the partition value, so partition predicates prune
+    * through the same path as data-column predicates.
+    */
+  private def canonicalPartitionValue(dt: DataType, raw: String): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => scala.util.Try(raw.trim.toLong.toString).toOption
+    case FloatType | DoubleType => scala.util.Try(raw.trim.toDouble.toString).toOption
+    case StringType  => Some(raw)
+    case BooleanType => raw.trim.toLowerCase match { case "true" => Some("true"); case "false" => Some("false"); case _ => None }
+    case DateType    => scala.util.Try(java.time.LocalDate.parse(raw.trim).toEpochDay.toString).toOption
+    case _           => None // timestamp partition dirs: format varies, skip
+  }
+
+  /** Collect [[FileStats]] for `relFiles` (paths relative to `root`):
+    * footer reduction + partition-value pseudo-stats, on a bounded
+    * driver-side pool (footer reads are O(KB) metadata operations; at
+    * very large commit sizes this belongs in the write tasks, which is
+    * a lakehouse format's job).
+    */
+  def collect(spark: SparkSession, root: String, relFiles: Seq[String],
+              schema: StructType, partitionCols: Seq[String]): Map[String, FileStats] = {
+    if (relFiles.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pTypes = partitionCols.flatMap(c => schema.fields.find(_.name == c).map(c -> _.dataType)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, relFiles.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = relFiles.map { rel =>
+        new java.util.concurrent.Callable[(String, FileStats)] {
+          def call(): (String, FileStats) = {
+            val base = footerStats(conf, new HPath(s"$root/$rel"), schema)
+            val pv = Snapshot.partitionValues(partitionCols, rel)
+            val pCols = pv.flatMap { case (c, raw) =>
+              pTypes.get(c).map { dt =>
+                if (raw == Snapshot.NullPartition) c -> ColStats(None, None, Some(base.rows))
+                else canonicalPartitionValue(dt, raw) match {
+                  case Some(v) => c -> ColStats(Some(v), Some(v), Some(0L))
+                  case None    => c -> ColStats(None, None, Some(0L))
+                }
+              }
+            }
+            rel -> FileStats(base.rows, base.cols ++ pCols)
+          }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
+  // ------------------------------------------------------------- pruning
+
+  /** Decode a canonical stat string column into the table column's own
+    * Spark type, so every comparison below runs with exactly the
+    * semantics the residual filter will use.
+    */
+  private def decode(dt: DataType, c: Column): Column = dt match {
+    case DateType      => date_from_unix_date(c.cast(IntegerType))
+    case TimestampType => timestamp_micros(c.cast(LongType))
+    case other         => c.cast(other) // incl. TIMESTAMP_NTZ: tz-free string cast
+  }
+
+  private final case class StatRefs(mn: Column, mx: Column, nulls: Column, rows: Column)
+
+  import ColumnBridge.{AttrNode, FnNode, LitNode, PredNode, ValueNode}
+
+  private def referencedAttrs(p: PredNode): Set[String] = p match {
+    case AttrNode(n)     => Set(n)
+    case FnNode(_, args) => args.flatMap(referencedAttrs).toSet
+    case _               => Set.empty
+  }
+
+  /** keep-expression over the stats frame: TRUE/NULL = the file might
+    * hold a matching row; FALSE = provably cannot. Unknown shapes map
+    * to keep=true — the walker can only ever make pruning WEAKER.
+    */
+  private def keep(p: PredNode, refs: String => Option[StatRefs]): Column = {
+    // (attr, value, flipped): both `a op v` and `v op a` orientations
+    def asVal(p: PredNode): Option[Column] = p match {
+      case l: LitNode   => Some(l.value)
+      case v: ValueNode => Some(v.value)
+      case _            => None
+    }
+    def sides(args: Seq[PredNode]): Option[(StatRefs, Column, Boolean)] = args match {
+      case Seq(AttrNode(a), v) => for (r <- refs(a); c <- asVal(v)) yield (r, c, false)
+      case Seq(v, AttrNode(a)) => for (r <- refs(a); c <- asVal(v)) yield (r, c, true)
+      case _                   => None
+    }
+    def cmp(args: Seq[PredNode])(f: (StatRefs, Column) => Column)(g: (StatRefs, Column) => Column): Column =
+      sides(args).map { case (r, c, flipped) => if (flipped) g(r, c) else f(r, c) }.getOrElse(lit(true))
+    def eq(args: Seq[PredNode]): Column =
+      cmp(args)((r, c) => r.mn <= c && r.mx >= c)((r, c) => r.mn <= c && r.mx >= c)
+    def nullable(args: Seq[PredNode]): Column = args match {
+      case Seq(AttrNode(a)) => refs(a).map(r => r.nulls.isNull || r.nulls > 0).getOrElse(lit(true))
+      case _                => lit(true)
+    }
+    p match {
+      case FnNode("and", Seq(l, r)) => keep(l, refs) && keep(r, refs)
+      case FnNode("or", Seq(l, r))  => keep(l, refs) || keep(r, refs)
+      case FnNode("=" | "==" | "equal_null", args) if args.size == 2 &&
+        !args.exists { case LitNode(_, null) => true; case _ => false } => eq(args)
+      case FnNode("<=>" | "equal_null", args) if args.size == 2 =>
+        args match {
+          case Seq(a, LitNode(_, null)) => nullable(Seq(a))
+          case Seq(LitNode(_, null), a) => nullable(Seq(a))
+          case _                        => eq(args)
+        }
+      case FnNode(">", args)  => cmp(args)((r, c) => r.mx > c)((r, c) => r.mn < c)
+      case FnNode(">=", args) => cmp(args)((r, c) => r.mx >= c)((r, c) => r.mn <= c)
+      case FnNode("<", args)  => cmp(args)((r, c) => r.mn < c)((r, c) => r.mx > c)
+      case FnNode("<=", args) => cmp(args)((r, c) => r.mn <= c)((r, c) => r.mx >= c)
+      case FnNode("in", (a: AttrNode) +: vs)
+        if vs.nonEmpty && vs.forall(v => v.isInstanceOf[LitNode] || v.isInstanceOf[ValueNode]) =>
+        vs.map(v => eq(Seq(a, v))).reduce(_ || _)
+      case FnNode("!" | "not", Seq(FnNode("=" | "==", args))) if args.size == 2 =>
+        // skip only a constant-v file: min == max == v (null-safe: an
+        // unknown min/max compares false and keeps the file)
+        cmp(args)((r, c) => !(r.mn <=> c && r.mx <=> c))((r, c) => !(r.mn <=> c && r.mx <=> c))
+      case FnNode("isNull" | "isnull", args)       => nullable(args)
+      case FnNode("isNotNull" | "isnotnull", args) => args match {
+        case Seq(AttrNode(a)) =>
+          refs(a).map(r => r.nulls.isNull || r.rows.isNull || r.nulls < r.rows).getOrElse(lit(true))
+        case _ => lit(true)
+      }
+      case FnNode("startswith", Seq(AttrNode(a), LitNode(c, raw: String))) =>
+        refs(a).map { r =>
+          val n = raw.length
+          substring(r.mn, 1, n) <= c && substring(r.mx, 1, n) >= c
+        }.getOrElse(lit(true))
+      case _ => lit(true)
+    }
+  }
+
+  /** Files of `m` that might satisfy `pred` per manifest stats. Sound:
+    * the result is always a superset of the files holding matching
+    * rows. Files without stats are kept. The evaluation itself is one
+    * local-relation filter — Spark's own casts and orderings decide
+    * every comparison.
+    */
+  def prune(spark: SparkSession, m: Snapshot.Manifest, pred: Column): Seq[String] = {
+    if (m.files.isEmpty || m.stats.isEmpty) return m.files
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val root = ColumnBridge.pred(pred)
+    // stat columns: referenced by the predicate, supported, present in schema
+    val referenced = referencedAttrs(root)
+    val statCols = schema.fields
+      .filter(f => referenced.contains(f.name) && supported(f.dataType))
+      .map(_.name)
+    if (statCols.isEmpty) return m.files
+
+    val idx = statCols.zipWithIndex.toMap
+    val rawSchema = StructType(
+      StructField("__file", StringType) +:
+        StructField("__rw", LongType) +:
+        statCols.flatMap(c => Seq(
+          StructField(s"__mn_${idx(c)}", StringType),
+          StructField(s"__mx_${idx(c)}", StringType),
+          StructField(s"__nl_${idx(c)}", LongType))))
+    val rows: Seq[Row] = m.files.map { f =>
+      val fs = m.stats.get(f)
+      val cells: Seq[Any] = statCols.flatMap { c =>
+        fs.flatMap(_.cols.get(c)) match {
+          case Some(cs) => Seq(cs.mn.orNull, cs.mx.orNull, cs.nulls.map(Long.box).orNull)
+          case None     => Seq(null, null, null)
+        }
+      }
+      Row.fromSeq(f +: fs.map(s => Long.box(s.rows)).orNull +: cells)
+    }
+    import scala.jdk.CollectionConverters._
+    val statsDf = spark.createDataFrame(rows.asJava, rawSchema)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val refs: String => Option[StatRefs] = name => idx.get(name).map { i =>
+      StatRefs(
+        decode(types(name), col(s"__mn_$i")),
+        decode(types(name), col(s"__mx_$i")),
+        col(s"__nl_$i"), col("__rw"))
+    }
+    statsDf.where(coalesce(keep(root, refs), lit(true)))
+      .select("__file").collect().map(_.getString(0)).toSeq
+  }
+}

@@ -154,5 +154,145 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116)
+  val q117 = QueryDef(
+    "q117_snapshot_pruned_scan",
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           |  AND o_totalprice > 150000.0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Manifest data skipping end to end: land orders range-laid-out on
+    // o_orderdate (16 files, disjoint date spans — the natural layout of
+    // a date-partitioned ingest), then answer a half-year slice through
+    // Snapshot.readWhere. The manifest's per-file min/max lets the read
+    // OPEN only the files whose span intersects the slice — at 100 TB
+    // that is the difference between listing+scheduling every file of
+    // the table and touching ~5% of them — and the residual filter
+    // makes pruning value-invisible, which is what the oracle (same
+    // predicate over raw orders) checks. The require pins that skipping
+    // actually happened; SnapshotStatsSpec pins the per-type semantics.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q117").toString + "/orders_s"
+    val base = t.orders
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+      .repartitionByRange(16, col("o_orderdate"))
+    graft.operators.Snapshot.create(t.spark, dir, base)
+    val pred = col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp") &&
+      col("o_totalprice") > 150000.0
+    val (kept, total) = graft.operators.Snapshot.pruneFiles(t.spark, dir, pred)
+    require(kept.size < total / 2,
+      s"expected the date band to skip most files, kept ${kept.size}/$total")
+    graft.operators.Snapshot.readWhere(t.spark, dir, pred)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q118 = QueryDef(
+    "q118_snapshot_changes",
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           |), upd AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+           |), merged AS (
+           |  SELECT * FROM base
+           |  WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+           |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           |  UNION ALL SELECT * FROM upd
+           |), feed AS (
+           |  SELECT 'delete' AS _change_type, o_orderpriority, o_totalprice FROM base
+           |  WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+           |  UNION ALL
+           |  SELECT 'insert' AS _change_type, o_orderpriority, o_totalprice FROM merged
+           |)
+           |SELECT _change_type, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // The snapshot change feed as an incremental consumer sees it: a
+    // MERGE that touches two of five priority partitions produces
+    // delete(old partition content) + insert(merged partition content)
+    // — and NOTHING for untouched partitions, so the nightly consumer's
+    // cost is O(changed partitions), never a table diff. The oracle
+    // recomputes the same feed relationally from the raw table.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q118").toString + "/orders_s"
+    val cut96 = lit("1996-01-01 00:00:00").cast("timestamp")
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    val base = t.orders.where(col("o_orderdate") < cut96)
+      .select(cols.map(col): _*)
+    val upd = t.orders
+      .where(col("o_orderdate") >= cut97 &&
+        col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    graft.operators.Snapshot.create(t.spark, dir, base, Seq("o_orderpriority"))
+    graft.operators.Snapshot.mergeById(t.spark, dir, upd, "o_orderkey", "o_orderpriority")
+    graft.operators.Snapshot.readChanges(t.spark, dir, 1L, 2L)
+      .groupBy("_change_type", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("_change_type", "o_orderpriority")
+  }
+
+  val q119 = QueryDef(
+    "q119_incremental_mv",
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           |), upd AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+           |), final AS (
+           |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           |  UNION ALL SELECT * FROM upd
+           |)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Incremental materialized-view maintenance off the change feed:
+    // the rollup is computed ONCE at v1, the table then takes a MERGE,
+    // and the new rollup is produced by applying the net v1→v2 deltas
+    // (insert = +row, delete = −row) — never rescanning the table. The
+    // oracle recomputes the rollup from the final table state, proving
+    // delta-application ≡ recompute. At 100 TB this is the difference
+    // between a nightly O(changed partitions) job and a nightly table
+    // scan per downstream aggregate.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q119").toString + "/orders_s"
+    val cut96 = lit("1996-01-01 00:00:00").cast("timestamp")
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val base = t.orders.where(col("o_orderdate") < cut96)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val upd = t.orders
+      .where(col("o_orderdate") >= cut97 &&
+        col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    graft.operators.Snapshot.create(t.spark, dir, base, Seq("o_orderpriority"))
+    // the standing view, built at v1 and never rebuilt (decimal state so
+    // delta-application is exact and order-independent)
+    val mv = graft.operators.Snapshot.readVersion(t.spark, dir, 1L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    graft.operators.Snapshot.mergeById(t.spark, dir, upd, "o_orderkey", "o_orderpriority")
+    val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = graft.operators.Snapshot.readChanges(t.spark, dir, 1L, 2L, net = true)
+      .groupBy("o_orderpriority")
+      .agg(sum(sgn).as("dn"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * sgn).cast("decimal(28,2)")).as("dtotal"))
+    mv.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("dtotal"), lit(0).cast("decimal(28,2)"))).cast("double").as("total"))
+      .where(col("n") > 0)
+      .orderBy("o_orderpriority")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116, q117, q118, q119)
 }

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** Manifest data skipping ([[graft.operators.SnapshotStats]]) and the
+  * version change feed: pruning must be sound (readWhere ≡ read +
+  * filter, always), effective (a range-laid-out table skips most
+  * files), conservative under anything the walker can't reason about,
+  * and the CDC view must reproduce exactly the rows that changed.
+  */
+class SnapshotStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-snapstats-$tag").toString + "/t"
+
+  /** 16 range-disjoint files over id 0..1599 (repartitionByRange on id
+    * gives each file a tight, non-overlapping id span).
+    */
+  private def rangeTable(dir: String): Unit = {
+    val df = (0 until 1600).map { i =>
+      (i.toLong, s"u${"%04d".format(i)}", i.toDouble / 10.0,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 20)),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60L)),
+        i % 2 == 0, if (i < 30) null else s"tag${i % 7}")
+    }.toDF("id", "name", "score", "d", "ts", "flag", "tag")
+      .repartitionByRange(16, col("id"))
+    Snapshot.create(spark, dir, df)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("range predicate prunes most files; result identical to full filter") {
+    val dir = tmp("range")
+    rangeTable(dir)
+    val pred = col("id").between(100L, 180L)
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, pred)
+    assert(total == 16, s"expected 16 files, got $total")
+    assert(kept.size <= 2, s"expected <=2 files kept for a 5% range, got ${kept.size}")
+    assertSame(Snapshot.readWhere(spark, dir, pred), Snapshot.read(spark, dir).where(pred))
+  }
+
+  test("every supported type prunes and stays sound") {
+    val dir = tmp("types")
+    rangeTable(dir)
+    val full = Snapshot.read(spark, dir)
+    val preds = Seq(
+      col("id") === 777L,
+      col("name") < "u0100",
+      col("name").startsWith("u15"),
+      col("score") >= 150.0,
+      col("d") === lit(java.sql.Date.valueOf("2024-02-15")),
+      col("ts") > lit(java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T00:00:00Z"))),
+      col("tag").isNull,
+      lit(200L) > col("id"), // literal-on-left orientation
+      col("id").isin(3L, 4L, 1500L))
+    for (p <- preds) {
+      val (kept, total) = Snapshot.pruneFiles(spark, dir, p)
+      assert(kept.size < total, s"no pruning for $p")
+      assertSame(Snapshot.readWhere(spark, dir, p), full.where(p))
+    }
+    // boolean: both values present everywhere -> keeps all, still sound
+    assertSame(Snapshot.readWhere(spark, dir, col("flag") === true), full.where(col("flag") === true))
+  }
+
+  test("compound, negated and unknown predicates stay conservative-correct") {
+    val dir = tmp("compound")
+    rangeTable(dir)
+    val full = Snapshot.read(spark, dir)
+    val cases = Seq(
+      col("id") < 50L || col("id") > 1550L,                     // OR of two skippable ranges
+      col("id") < 50L && col("name") =!= "u0003",               // AND with Not(EqualTo)
+      !(col("id") === 5L),
+      length(col("name")) === 5,                                // unknown shape: no pruning
+      col("id") < 50L || length(col("name")) === 5,             // OR with unknown arm: keeps all
+      col("tag").isNotNull && col("id") <= 10L)
+    for (p <- cases) assertSame(Snapshot.readWhere(spark, dir, p), full.where(p))
+    // the OR of two ranges must still prune the middle files
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, col("id") < 50L || col("id") > 1550L)
+    assert(kept.size < total)
+    // an OR with an un-walkable arm must keep everything
+    val (keptAll, total2) = Snapshot.pruneFiles(spark, dir, col("id") < 50L || length(col("name")) === 5)
+    assert(keptAll.size == total2)
+  }
+
+  test("partition-value predicates prune through the same path") {
+    val dir = tmp("parts")
+    val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", i.toDouble)).toDF("id", "p", "v")
+    Snapshot.create(spark, dir, df, Seq("p"))
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, col("p") === "p1")
+    assert(kept.size < total && kept.nonEmpty)
+    assert(kept.forall(_.contains("p=p1")))
+    assertSame(Snapshot.readWhere(spark, dir, col("p") === "p1"),
+      Snapshot.read(spark, dir).where(col("p") === "p1"))
+  }
+
+  test("a stats-less manifest (older layout) reads fine and skips nothing") {
+    val dir = tmp("compat")
+    rangeTable(dir)
+    // strip the stats node from the manifest on disk, as a pre-stats
+    // version of this layer would have written it
+    val log = new java.io.File(s"$dir/${Snapshot.LogDirName}")
+    val mf = log.listFiles().filter(_.getName.matches("v\\d{8}\\.json")).head
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(mf).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("stats")
+    java.nio.file.Files.write(mf.toPath, mapper.writeValueAsBytes(root))
+    // drop the local-fs checksum shadow, stale after the direct rewrite
+    new java.io.File(log, s".${mf.getName}.crc").delete()
+    val pred = col("id").between(100L, 180L)
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, pred)
+    assert(kept.size == total, "stats-less manifest must keep every file")
+    assertSame(Snapshot.readWhere(spark, dir, pred), Snapshot.read(spark, dir).where(pred))
+  }
+
+  test("stats survive append / replacePartitions and pin to the read version") {
+    val dir = tmp("evolve")
+    val mk = (lo: Int, hi: Int, p: String) =>
+      (lo until hi).map(i => (i.toLong, p, i.toDouble)).toDF("id", "p", "v")
+    Snapshot.create(spark, dir, mk(0, 100, "a"), Seq("p"))
+    Snapshot.append(spark, dir, mk(100, 200, "b"))
+    Snapshot.replacePartitions(spark, dir, mk(200, 300, "a"), _ => false)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.files.nonEmpty && m.files.forall(m.stats.contains),
+      s"every live file needs stats: ${m.files.filterNot(m.stats.contains)}")
+    // old partition-a rows replaced: id<100 must be provably gone
+    val (kept, _) = Snapshot.pruneFiles(spark, dir, col("id") < 100L)
+    assert(kept.isEmpty, s"replaced files still matching: $kept")
+    // but the pinned old version still prunes with its own stats
+    val (keptV2, totalV2) = Snapshot.pruneFiles(spark, dir, col("id") < 100L, version = Some(2L))
+    assert(keptV2.nonEmpty && keptV2.size < totalV2)
+  }
+
+  test("change feed: appends are exact row-level inserts") {
+    val dir = tmp("cdc-append")
+    val mk = (lo: Int, hi: Int, tag: Long) =>
+      (lo until hi).map(i => (i.toLong, tag * 1000 + i)).toDF("id", "v")
+    Snapshot.create(spark, dir, mk(0, 50, 1))
+    Snapshot.append(spark, dir, mk(50, 80, 2))
+    Snapshot.append(spark, dir, mk(80, 90, 3))
+    val ch = Snapshot.readChanges(spark, dir, 1L, 3L)
+    assert(ch.where(col("_change_type") === "delete").isEmpty)
+    assertSame(ch.where(col("_change_type") === "insert").drop("_change_type"),
+      mk(50, 80, 2).unionAll(mk(80, 90, 3)))
+  }
+
+  test("change feed: compaction nets to zero; merge nets to the true row changes") {
+    val dir = tmp("cdc-net")
+    val base = (0 until 200).map(i => (i.toLong, s"p${i % 2}", i.toDouble)).toDF("id", "p", "v")
+      .repartition(6)
+    Snapshot.create(spark, dir, base, Seq("p"))
+    // compaction rewrite: file-level delete+insert of identical rows
+    Snapshot.compact(spark, dir, targetBytes = 1L << 30, minFiles = 2)
+    val v2 = Snapshot.latestVersion(spark, dir).get
+    assert(Snapshot.readChanges(spark, dir, 1L, v2, net = true).isEmpty,
+      "a pure rewrite must net to no changes")
+    assert(Snapshot.readChanges(spark, dir, 1L, v2).count() > 0,
+      "file-level feed does show the rewrite")
+    // a real merge: updated rows appear as delete(old)+insert(new)
+    val upd = Seq((10L, "p0", 99999.0)).toDF("id", "p", "v")
+    Snapshot.mergeById(spark, dir, upd, "id", "p")
+    val v3 = Snapshot.latestVersion(spark, dir).get
+    val net = Snapshot.readChanges(spark, dir, v2, v3, net = true)
+    val ins = net.where(col("_change_type") === "insert").select("id", "p", "v").as[(Long, String, Double)].collect().toSet
+    val del = net.where(col("_change_type") === "delete").select("id", "p", "v").as[(Long, String, Double)].collect().toSet
+    assert(ins == Set((10L, "p0", 99999.0)))
+    assert(del == Set((10L, "p0", 10.0)))
+  }
+
+  test("change feed refuses a schema-unstable window") {
+    val dir = tmp("cdc-schema")
+    Snapshot.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    Snapshot.overwrite(spark, dir, Seq((1L, "a", 2.0)).toDF("id", "s", "extra"))
+    intercept[IllegalArgumentException] {
+      Snapshot.readChanges(spark, dir, 1L, 2L)
+    }
+  }
+}
