@@ -435,9 +435,18 @@ object Snapshot {
     * which is exactly the concurrent-reader guarantee the raw
     * `Layout.compactPartitions` documents as out of reach. Returns the
     * compacted partitions' value strings.
+    *
+    * `zorderBy`: also CLUSTER the rewritten data on these columns
+    * (Morton interleave, `Layout.zvalue`) — the maintenance pass every
+    * hourly-append table needs at 100 TB, because appends interleave key
+    * ranges until per-file min/max spans degrade to the whole domain and
+    * [[readWhere]] can no longer skip anything. Z bounds come from the
+    * MANIFEST's own per-file stats (metadata-only — no extra scan);
+    * a z column with no usable stats falls back to one min/max job over
+    * the marked slice. Clustering changes layout only, never values.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
-              minFiles: Int = 4): Seq[String] = {
+              minFiles: Int = 4, zorderBy: Seq[String] = Nil): Seq[String] = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     require(m.partitionCols.size == 1, "compact expects a single partition column")
@@ -451,12 +460,50 @@ object Snapshot {
     val slice = readFiles(spark, path, m, Some(markedFiles))
     val dataCols = slice.columns.filterNot(_ == pCol)
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val packed = slice
-      .withColumn("__salt", pmod(hash(dataCols.map(col).toSeq: _*).cast("long"), lit(nOut)))
-      .repartition(col(pCol), col("__salt"))
-      .drop("__salt")
+    val packed =
+      if (zorderBy.isEmpty)
+        slice
+          .withColumn("__salt", pmod(hash(dataCols.map(col).toSeq: _*).cast("long"), lit(nOut)))
+          .repartition(col(pCol), col("__salt"))
+          .drop("__salt")
+      else {
+        val bounds = zBoundsFromStats(m, markedFiles, zorderBy).getOrElse {
+          val row = slice.select(zorderBy.flatMap(c =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
+          zorderBy.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+        }
+        slice
+          .withColumn("__z", Layout.zvalue(zorderBy.map(col), bounds, bits = 8))
+          .repartitionByRange(nOut.toInt, col(pCol), col("__z"))
+          .sortWithinPartitions(col(pCol), col("__z"))
+          .drop("__z")
+      }
     replacePartitions(spark, path, packed, dropOld = pv => marked.contains(pv(pCol)))
     marked.keys.toSeq.sorted
+  }
+
+  /** Per-column (min, max) doubles for `zCols` over `files`, computed
+    * from the manifest's stats alone; None when any column/file lacks a
+    * numeric-decodable stat (caller then pays a stats job).
+    */
+  private def zBoundsFromStats(m: Manifest, files: Seq[String],
+                               zCols: Seq[String]): Option[Seq[(Double, Double)]] = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val bounds = zCols.map { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType)
+      val per = files.map { f =>
+        for {
+          fsStats <- m.stats.get(f)
+          cs <- fsStats.cols.get(c)
+          mn <- cs.mn; mx <- cs.mx
+          lo <- SnapshotStats.canonicalToDouble(dt.orNull, mn)
+          hi <- SnapshotStats.canonicalToDouble(dt.orNull, mx)
+        } yield (lo, hi)
+      }
+      if (per.exists(_.isEmpty)) None
+      else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+    }
+    if (bounds.exists(_.isEmpty)) None else Some(bounds.flatten)
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

@@ -303,6 +303,22 @@ object SnapshotStats {
     } finally pool.shutdown()
   }
 
+  /** Canonical stat string → double, for layout math over manifest
+    * stats (z-order bounds). None for types without a numeric canonical.
+    */
+  private[operators] def canonicalToDouble(dt: DataType, s: String): Option[Double] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType | DateType | TimestampType =>
+      scala.util.Try(s.toDouble).toOption
+    case TimestampNTZType =>
+      scala.util.Try {
+        val i = java.time.LocalDateTime
+          .parse(s, java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
+          .toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond.toDouble * 1e6 + i.getNano / 1000.0
+      }.toOption
+    case _ => None
+  }
+
   // ------------------------------------------------------------- pruning
 
   /** Decode a canonical stat string column into the table column's own

@@ -172,6 +172,35 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(del == Set((10L, "p0", 10.0)))
   }
 
+  test("z-order compaction tightens pruning without changing values") {
+    val dir = tmp("zcompact")
+    // 8 appends, each spanning the FULL (x, y) domain — the interleaved
+    // layout hourly appends produce: every file's min/max covers
+    // everything, so nothing can be skipped
+    val mk = (seed: Int) => (0 until 500).map { i =>
+      val x = (i * 37 + seed * 131) % 1000
+      val y = (i * 91 + seed * 17) % 1000
+      (seed * 1000L + i, "p0", x.toLong, y.toLong)
+    }.toDF("id", "p", "x", "y")
+    Snapshot.create(spark, dir, mk(0).coalesce(1), Seq("p"))
+    (1 until 8).foreach(s => Snapshot.append(spark, dir, mk(s).coalesce(1)))
+    val box = col("x").between(100L, 200L) && col("y").between(100L, 200L)
+    val before = Snapshot.pruneFiles(spark, dir, box)
+    assert(before._1.size == before._2, "interleaved appends: nothing skippable")
+    val full = Snapshot.read(spark, dir).select("id", "p", "x", "y")
+      .as[(Long, String, Long, Long)].collect().toSet
+
+    Snapshot.compact(spark, dir, targetBytes = 6L << 10, minFiles = 2,
+      zorderBy = Seq("x", "y"))
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, box)
+    assert(total > 1, "compaction should still produce several files")
+    assert(kept.size < total, s"z-clustered files must make the box skippable: $kept of $total")
+    val after = Snapshot.read(spark, dir).select("id", "p", "x", "y")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(after == full, "clustering must not change table contents")
+    assertSame(Snapshot.readWhere(spark, dir, box), Snapshot.read(spark, dir).where(box))
+  }
+
   test("change feed refuses a schema-unstable window") {
     val dir = tmp("cdc-schema")
     Snapshot.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
