@@ -62,7 +62,8 @@ object Snapshot {
     */
   final case class Manifest(version: Long, partitionCols: Seq[String],
                             schemaDdl: String, files: Seq[String],
-                            stats: Map[String, SnapshotStats.FileStats] = Map.empty)
+                            stats: Map[String, SnapshotStats.FileStats] = Map.empty,
+                            streamBatch: Map[String, Long] = Map.empty)
 
   /** Test-only fault injection: SnapshotSpec points this at a throwing
     * hook to simulate a crash between any two steps of the commit
@@ -114,12 +115,16 @@ object Snapshot {
         }.toMap
         e.getKey -> SnapshotStats.FileStats(n.get("rows").asLong(), cols)
       }.toMap
+    val streamBatch: Map[String, Long] =
+      if (!root.has("streamBatch")) Map.empty
+      else root.get("streamBatch").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap
     Manifest(
       root.get("version").asLong(),
       root.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
       root.get("schemaDdl").asText(),
       root.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats)
+      stats, streamBatch)
   }
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -221,13 +226,17 @@ object Snapshot {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // one read per txn group (partition inference needs the group's own
-    // basePath), then a by-name union; cast to the table schema so
-    // partition-value inference drift can never retype a column
+    // basePath), then a by-name union (missing = pre-evolution txns,
+    // filled with null); cast to the table schema so partition-value
+    // inference drift can never retype a column
     val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    groups.map { case (txn, fls) =>
+    val unioned = groups.map { case (txn, fls) =>
       spark.read.option("basePath", s"$path/$txn").parquet(fls.map(f => s"$path/$f"): _*)
-    }.reduce(_.unionByName(_))
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    schema.fields.map { f =>
+      if (unioned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq match { case cols => unioned.select(cols: _*) }
   }
 
   // -------------------------------------------------------------- write
@@ -291,6 +300,10 @@ object Snapshot {
     node.put("schemaDdl", m.schemaDdl)
     val pc = node.putArray("partitionCols"); m.partitionCols.foreach(pc.add)
     val fl = node.putArray("files"); m.files.foreach(fl.add)
+    if (m.streamBatch.nonEmpty) {
+      val sb = node.putObject("streamBatch")
+      m.streamBatch.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
+    }
     if (m.stats.nonEmpty) {
       val st = node.putObject("stats")
       m.stats.toSeq.sortBy(_._1).foreach { case (f, fs) =>
@@ -343,13 +356,63 @@ object Snapshot {
       statsFor(spark, path, files, ddl, partitionCols)))
   }
 
-  /** K1 append: new version = old live set + the new txn's files. */
-  def append(spark: SparkSession, path: String, df: DataFrame): Long = {
+  /** K1 append: new version = old live set + the new txn's files.
+    *
+    * `mergeSchema = true` allows the batch to ADD columns (the snapshot
+    * form of the reference's autodetect loads — BigQuery load jobs with
+    * `schema=[]` grow the destination table's schema the same way,
+    * e.g. audio_digital.py's rollups): genuinely new fields append to
+    * the table schema, and pre-evolution files read those columns as
+    * null. Without it, a batch whose column set differs from the table
+    * is refused — silently dropping a column is how data loss hides.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             mergeSchema: Boolean = false): Long =
+    appendWith(spark, path, df, mergeSchema, identity)
+
+  private def appendWith(spark: SparkSession, path: String, df: DataFrame,
+                         mergeSchema: Boolean, finish: Manifest => Manifest): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val table = StructType.fromDDL(m.schemaDdl)
+    val newCols = df.schema.fields.filter(f => !table.fieldNames.contains(f.name))
+    val missing = table.fieldNames.filterNot(df.columns.contains)
+    val ddl =
+      if (!mergeSchema) {
+        require(newCols.isEmpty && missing.isEmpty,
+          s"append schema mismatch (new: ${newCols.map(_.name).mkString(",")}; " +
+            s"missing: ${missing.mkString(",")}); pass mergeSchema = true to evolve")
+        m.schemaDdl
+      } else {
+        require(missing.isEmpty, s"appended batch lacks table columns: ${missing.mkString(",")}")
+        StructType(table.fields ++ newCols).toDDL
+      }
     val files = writeTxnFiles(df, path, m.partitionCols)
-    commitManifest(spark, path, m.copy(version = m.version + 1, files = m.files ++ files,
-      stats = m.stats ++ statsFor(spark, path, files, m.schemaDdl, m.partitionCols)))
+    commitManifest(spark, path, finish(m.copy(version = m.version + 1, schemaDdl = ddl,
+      files = m.files ++ files,
+      stats = m.stats ++ statsFor(spark, path, files, ddl, m.partitionCols))))
+  }
+
+  /** Exactly-once micro-batch append for a Structured Streaming
+    * `foreachBatch` sink: the append and the (appId, batchId) watermark
+    * commit in ONE manifest, so a batch redelivered after a failure —
+    * foreachBatch's documented at-least-once contract — is recognized
+    * and skipped. This closes the only gap between Structured Streaming
+    * and the reference's BigQuery loads (each hourly re-ingest there is
+    * one atomic load job). A crash after files but before the manifest
+    * leaves only orphans (vacuum reclaims them) and the retry appends
+    * cleanly. Returns true if the batch was appended, false if it was a
+    * duplicate. Single writer per table, as everywhere in this layer.
+    */
+  def appendBatch(spark: SparkSession, path: String, df: DataFrame,
+                  appId: String, batchId: Long,
+                  mergeSchema: Boolean = false): Boolean = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    if (m.streamBatch.get(appId).exists(_ >= batchId)) return false
+    appendWith(spark, path, df, mergeSchema,
+      mNew => mNew.copy(streamBatch = mNew.streamBatch + (appId -> batchId)))
+    true
   }
 
   /** K4 full overwrite: new version = exactly the new txn's files. The

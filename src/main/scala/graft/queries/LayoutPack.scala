@@ -294,5 +294,36 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116, q117, q118, q119)
+  val q120 = QueryDef(
+    "q120_schema_evolution",
+    Some("""SELECT
+           |  CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           |       THEN '(pre-evolution)' ELSE o_orderpriority END AS pr,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Schema evolution across commits — the snapshot form of the
+    // reference's autodetect loads (BigQuery `schema=[]` destinations
+    // grow columns as batches bring them, audio_digital.py:350,
+    // indicadores_cia.py:80-86): the table starts 2-column, a later
+    // append brings o_orderpriority with mergeSchema, and every
+    // pre-evolution file reads the new column as NULL. The oracle
+    // recomputes the same shape from the raw table with the evolution
+    // boundary as a CASE.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q120").toString + "/orders_s"
+    val cut96 = lit("1996-01-01 00:00:00").cast("timestamp")
+    graft.operators.Snapshot.create(t.spark, dir,
+      t.orders.where(col("o_orderdate") < cut96)
+        .select("o_orderkey", "o_totalprice"))
+    graft.operators.Snapshot.append(t.spark, dir,
+      t.orders.where(col("o_orderdate") >= cut96)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      mergeSchema = true)
+    graft.operators.Snapshot.read(t.spark, dir)
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)")).as("pr"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("pr")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120)
 }

@@ -209,4 +209,66 @@ class SnapshotStatsSpec extends SparkSpec {
       Snapshot.readChanges(spark, dir, 1L, 2L)
     }
   }
+
+  test("schema evolution: mergeSchema append adds columns, old files read null") {
+    val dir = tmp("evolution")
+    Snapshot.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // column-set mismatch without the flag is refused, both directions
+    intercept[IllegalArgumentException] {
+      Snapshot.append(spark, dir, Seq((3L, "c", 9.5)).toDF("id", "s", "score"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.append(spark, dir, Seq(3L).toDF("id"), mergeSchema = true)
+    }
+    Snapshot.append(spark, dir, Seq((3L, "c", 9.5)).toDF("id", "s", "score"),
+      mergeSchema = true)
+    val got = Snapshot.read(spark, dir).select("id", "s", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+    // the evolved column prunes like any other (old files: unknown stats)
+    assertSame(
+      Snapshot.readWhere(spark, dir, col("score") > 5.0),
+      Snapshot.read(spark, dir).where(col("score") > 5.0))
+    // pinned pre-evolution version still reads with its own 2-col schema
+    assert(Snapshot.readVersion(spark, dir, 1L).columns.toSeq == Seq("id", "s"))
+  }
+
+  test("appendBatch is exactly-once under foreachBatch redelivery") {
+    val dir = tmp("sink")
+    Snapshot.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    val b1 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    assert(Snapshot.appendBatch(spark, dir, b1, "appA", 0L))
+    // redelivery of the same batch id: recognized, not re-appended
+    assert(!Snapshot.appendBatch(spark, dir, b1, "appA", 0L))
+    assert(Snapshot.appendBatch(spark, dir, Seq((3L, "z")).toDF("id", "v"), "appA", 1L))
+    // a DIFFERENT app's batch 1 is independent
+    assert(Snapshot.appendBatch(spark, dir, Seq((9L, "w")).toDF("id", "v"), "appB", 1L))
+    assert(Snapshot.read(spark, dir).count() == 5)
+
+    // end to end through a real foreachBatch sink, rerun from the same
+    // source: the second run redelivers nothing new and the table is
+    // unchanged
+    val landing = tmp("sink-landing")
+    Seq((10L, "s1"), (11L, "s2")).toDF("id", "v").write.parquet(landing)
+    def tick(ckpt: String): Unit = {
+      val q = spark.readStream.schema("id BIGINT, v STRING").parquet(landing)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          Snapshot.appendBatch(df.sparkSession, dir, df, "stream1", id): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val ckpt = tmp("sink-ckpt")
+    tick(ckpt)
+    val n1 = Snapshot.read(spark, dir).count()
+    assert(n1 == 7)
+    // wipe the checkpoint: the whole source replays as batch 0 again —
+    // the manifest watermark, not the checkpoint, rejects it
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    tick(tmp("sink-ckpt2"))
+    assert(Snapshot.read(spark, dir).count() == n1, "replayed batch must not double-append")
+  }
 }
