@@ -376,6 +376,8 @@ object SnapshotStats {
           case Seq(LitNode(_, null), a) => nullable(Seq(a))
           case _                        => eq(args)
         }
+      case FnNode("between", Seq(a, lo, hi)) =>
+        keep(FnNode("and", Seq(FnNode(">=", Seq(a, lo)), FnNode("<=", Seq(a, hi)))), refs)
       case FnNode(">", args)  => cmp(args)((r, c) => r.mx > c)((r, c) => r.mn < c)
       case FnNode(">=", args) => cmp(args)((r, c) => r.mx >= c)((r, c) => r.mn <= c)
       case FnNode("<", args)  => cmp(args)((r, c) => r.mn < c)((r, c) => r.mx > c)

@@ -1,7 +1,9 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.internal.{Cast, ColumnNode, Literal, UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.internal.{Cast, ColumnNode, Literal, SqlExpression, UnresolvedAttribute, UnresolvedFunction}
 
 /** Bridge into Spark 4's `private[sql]` Column internals. Spark 4 made
   * `Column` API-agnostic: it wraps an `org.apache.spark.sql.internal
@@ -51,6 +53,49 @@ object ColumnBridge {
       AttrNode(a.nameParts.mkString("."))
     case l: Literal =>
       LitNode(Column(l), l.value)
+    case s: SqlExpression =>
+      // expr("...") predicates: parse with the session parser and walk
+      // the (unresolved) Catalyst tree instead
+      SparkSession.getActiveSession
+        .map(sp => walkCatalyst(sp.sessionState.sqlParser.parseExpression(s.expression)))
+        .getOrElse(OpaqueNode)
+    case _ => OpaqueNode
+  }
+
+  /** The same translation for an unresolved Catalyst tree (the form
+    * `expr("...")` parses to). Function names mirror the ColumnNode
+    * spellings the consumer already matches.
+    */
+  private def walkCatalyst(e: ce.Expression): PredNode = e match {
+    case ce.And(l, r) => FnNode("and", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.Or(l, r)  => FnNode("or", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.Not(c)    => FnNode("!", Seq(walkCatalyst(c)))
+    case ce.EqualTo(l, r)            => FnNode("=", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.EqualNullSafe(l, r)      => FnNode("<=>", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.GreaterThan(l, r)        => FnNode(">", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.GreaterThanOrEqual(l, r) => FnNode(">=", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.LessThan(l, r)           => FnNode("<", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.LessThanOrEqual(l, r)    => FnNode("<=", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case ce.In(v, list)              => FnNode("in", (v +: list).map(walkCatalyst))
+    case ce.IsNull(c)                => FnNode("isNull", Seq(walkCatalyst(c)))
+    case ce.IsNotNull(c)             => FnNode("isNotNull", Seq(walkCatalyst(c)))
+    case ce.StartsWith(l, r)         => FnNode("startswith", Seq(walkCatalyst(l), walkCatalyst(r)))
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => AttrNode(a.name)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      if !f.isDistinct && f.filter.isEmpty =>
+      // the parser leaves some operators as named functions (BETWEEN, …)
+      FnNode(f.nameParts.last.toLowerCase(java.util.Locale.ROOT), f.arguments.map(walkCatalyst))
+    case l: ce.Literal =>
+      // surface the EXTERNAL value (catalyst literals hold UTF8String &
+      // friends internally), matching LitNode's contract
+      val ext = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)
+      LitNode(ExpressionUtils.column(l), ext)
+    case c: ce.Cast =>
+      walkCatalyst(c.child) match {
+        case _: LitNode | _: ValueNode => ValueNode(ExpressionUtils.column(c))
+        case _                         => OpaqueNode
+      }
     case _ => OpaqueNode
   }
 }

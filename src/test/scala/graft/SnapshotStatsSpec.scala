@@ -88,6 +88,27 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(keptAll.size == total2)
   }
 
+  test("expr(...) string predicates prune too") {
+    val dir = tmp("sqlpred")
+    rangeTable(dir)
+    val full = Snapshot.read(spark, dir)
+    val preds = Seq(
+      expr("id BETWEEN 100 AND 180"),
+      expr("id < 50 OR id > 1550"),
+      expr("name >= 'u1500' AND NOT (id = 1501)"),
+      expr("d = DATE'2024-02-15'"),
+      expr("ts > TIMESTAMP'2024-01-02 00:00:00'"),
+      expr("id IN (3, 4, 1500)"))
+    for (p <- preds) {
+      val (kept, total) = Snapshot.pruneFiles(spark, dir, p)
+      assert(kept.size < total, s"no pruning for $p")
+      assertSame(Snapshot.readWhere(spark, dir, p), full.where(p))
+    }
+    // un-walkable SQL stays a full conservative scan
+    assertSame(Snapshot.readWhere(spark, dir, expr("length(name) = 5")),
+      full.where(expr("length(name) = 5")))
+  }
+
   test("partition-value predicates prune through the same path") {
     val dir = tmp("parts")
     val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", i.toDouble)).toDF("id", "p", "v")
