@@ -569,6 +569,23 @@ object Snapshot {
     if (bounds.exists(_.isEmpty)) None else Some(bounds.flatten)
   }
 
+  /** Table history, one row per retained version: (version, numFiles,
+    * numRows, schema DDL) — numRows from the manifest's own per-file
+    * stats (no data read); -1 when a version predates stats. The
+    * observability surface of the commit log, driver-sized by
+    * construction (#versions rows).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, path).map { v =>
+      val m = manifest(spark, path, v)
+      val rows =
+        if (m.files.forall(m.stats.contains)) m.files.map(m.stats(_).rows).sum
+        else -1L
+      (v, m.files.size, rows, m.schemaDdl)
+    }.toDF("version", "num_files", "num_rows", "schema_ddl")
+  }
+
   /** Reclaim space: drop all but the newest `keepVersions` manifests and
     * delete data files referenced by NO retained manifest. Uncommitted
     * txn files (a crashed writer's orphans) are deleted only when older
@@ -599,5 +616,12 @@ object Snapshot {
           fs.delete(txn.getPath, true)
       }
     dead.foreach(v => fs.delete(manifestPath(path, v), false))
+    // a crashed writer can also strand a staged manifest (.tmp-*);
+    // invisible to readers, but reclaim it past the grace window
+    val log = new HPath(path, LogDirName)
+    fs.listStatus(log)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-") &&
+        now - s.getModificationTime > orphanGraceMs)
+      .foreach(s => fs.delete(s.getPath, false))
   }
 }

@@ -254,6 +254,22 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Snapshot.readVersion(spark, dir, 1L).columns.toSeq == Seq("id", "s"))
   }
 
+  test("history reports per-version file and row counts without reading data") {
+    val dir = tmp("history")
+    Snapshot.create(spark, dir, (0 until 100).map(i => (i.toLong, i.toString)).toDF("id", "s"))
+    Snapshot.append(spark, dir, (100 until 130).map(i => (i.toLong, i.toString)).toDF("id", "s"))
+    Snapshot.overwrite(spark, dir, (0 until 7).map(i => (i.toLong, i.toString)).toDF("id", "s"))
+    val h = Snapshot.history(spark, dir)
+      .select("version", "num_rows").as[(Long, Long)].collect().toMap
+    assert(h == Map(1L -> 100L, 2L -> 130L, 3L -> 7L))
+    // a stale staged manifest is reclaimed by vacuum, not surfaced
+    val log = new java.io.File(s"$dir/${Snapshot.LogDirName}")
+    java.nio.file.Files.write(new java.io.File(log, ".tmp-dead").toPath, "{}".getBytes)
+    Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(!new java.io.File(log, ".tmp-dead").exists)
+    assert(Snapshot.history(spark, dir).count() == 1)
+  }
+
   test("appendBatch is exactly-once under foreachBatch redelivery") {
     val dir = tmp("sink")
     Snapshot.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
