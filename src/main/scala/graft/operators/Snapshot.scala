@@ -219,6 +219,11 @@ object Snapshot {
       .unionByName(delN.withColumn("_change_type", lit("delete")))
   }
 
+  /** [[graft.sources.SnapshotSource]]'s entry into the pinned read path. */
+  private[graft] def readManifestFiles(spark: SparkSession, path: String, m: Manifest,
+                                       only: Seq[String]): DataFrame =
+    readFiles(spark, path, m, Some(only))
+
   private def readFiles(spark: SparkSession, path: String, m: Manifest,
                         only: Option[Seq[String]] = None): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)

@@ -404,22 +404,67 @@ object SnapshotStats {
     }
   }
 
+  /** [[prune]] driven by Catalyst's pushed-down `sources.Filter`s (the
+    * DSv1/DSv2 pushdown ADT — already attribute/value normalized, so
+    * the translation to the mini-AST is direct). The filter array is an
+    * implicit conjunction; unknown filter shapes become opaque nodes
+    * and can only weaken pruning.
+    */
+  def pruneByFilters(spark: SparkSession, m: Snapshot.Manifest,
+                     filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.{sources => sf}
+    def ln(v: Any): PredNode = LitNode(lit(v), v)
+    def toPred(f: sf.Filter): PredNode = f match {
+      case sf.EqualTo(a, v)            => FnNode("=", Seq(AttrNode(a), ln(v)))
+      case sf.EqualNullSafe(a, v)      => FnNode("<=>", Seq(AttrNode(a), ln(v)))
+      case sf.GreaterThan(a, v)        => FnNode(">", Seq(AttrNode(a), ln(v)))
+      case sf.GreaterThanOrEqual(a, v) => FnNode(">=", Seq(AttrNode(a), ln(v)))
+      case sf.LessThan(a, v)           => FnNode("<", Seq(AttrNode(a), ln(v)))
+      case sf.LessThanOrEqual(a, v)    => FnNode("<=", Seq(AttrNode(a), ln(v)))
+      case sf.In(a, vs)                => FnNode("in", AttrNode(a) +: vs.toSeq.map(ln))
+      case sf.IsNull(a)                => FnNode("isNull", Seq(AttrNode(a)))
+      case sf.IsNotNull(a)             => FnNode("isNotNull", Seq(AttrNode(a)))
+      case sf.And(l, r)                => FnNode("and", Seq(toPred(l), toPred(r)))
+      case sf.Or(l, r)                 => FnNode("or", Seq(toPred(l), toPred(r)))
+      case sf.Not(c)                   => FnNode("!", Seq(toPred(c)))
+      case sf.StringStartsWith(a, v)   => FnNode("startswith", Seq(AttrNode(a), ln(v)))
+      case _                           => ColumnBridge.OpaqueNode
+    }
+    if (filters.isEmpty) m.files
+    else pruneNode(spark, m,
+      filters.map(toPred).reduceLeft((l, r) => FnNode("and", Seq(l, r))))
+  }
+
   /** Files of `m` that might satisfy `pred` per manifest stats. Sound:
     * the result is always a superset of the files holding matching
     * rows. Files without stats are kept. The evaluation itself is one
     * local-relation filter — Spark's own casts and orderings decide
     * every comparison.
     */
-  def prune(spark: SparkSession, m: Snapshot.Manifest, pred: Column): Seq[String] = {
-    if (m.files.isEmpty || m.stats.isEmpty) return m.files
+  /** Test-only observability: (kept, total) of the most recent prune
+    * decision — lets a spec assert that a scan driven through the SQL
+    * path actually skipped files. Never read by engine code.
+    */
+  @volatile private[graft] var lastPrune: (Int, Int) = (0, 0)
+
+  def prune(spark: SparkSession, m: Snapshot.Manifest, pred: Column): Seq[String] =
+    pruneNode(spark, m, ColumnBridge.pred(pred))
+
+  private def pruneNode(spark: SparkSession, m: Snapshot.Manifest, root: PredNode): Seq[String] = {
+    if (m.files.isEmpty || m.stats.isEmpty) {
+      lastPrune = (m.files.size, m.files.size)
+      return m.files
+    }
     val schema = StructType.fromDDL(m.schemaDdl)
-    val root = ColumnBridge.pred(pred)
     // stat columns: referenced by the predicate, supported, present in schema
     val referenced = referencedAttrs(root)
     val statCols = schema.fields
       .filter(f => referenced.contains(f.name) && supported(f.dataType))
       .map(_.name)
-    if (statCols.isEmpty) return m.files
+    if (statCols.isEmpty) {
+      lastPrune = (m.files.size, m.files.size)
+      return m.files
+    }
 
     val idx = statCols.zipWithIndex.toMap
     val rawSchema = StructType(
@@ -448,7 +493,9 @@ object SnapshotStats {
         decode(types(name), col(s"__mx_$i")),
         col(s"__nl_$i"), col("__rw"))
     }
-    statsDf.where(coalesce(keep(root, refs), lit(true)))
+    val kept = statsDf.where(coalesce(keep(root, refs), lit(true)))
       .select("__file").collect().map(_.getString(0)).toSeq
+    lastPrune = (kept.size, m.files.size)
+    kept
   }
 }

@@ -325,5 +325,34 @@ object LayoutPack extends QueryPack {
       .orderBy("pr")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120)
+  val q121 = QueryDef(
+    "q121_snapshot_sql_source",
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // The snapshot table through the REGISTERED data source and plain
+    // SQL — no engine API in the query path at all: Catalyst pushes the
+    // WHERE into the relation's buildScan, which drives the manifest
+    // pruner, and re-applies the predicate above the scan so skipping
+    // stays an optimization. SnapshotStatsSpec asserts the skip count
+    // for this exact shape; here the oracle gates the values.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q121").toString + "/orders_s"
+    graft.operators.Snapshot.create(t.spark, dir,
+      t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+        .repartitionByRange(16, col("o_orderdate")))
+    t.spark.read.format("graft.sources.SnapshotSource").load(dir)
+      .createOrReplaceTempView("graft_q121_orders")
+    t.spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_q121_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121)
 }

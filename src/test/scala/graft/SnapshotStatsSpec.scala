@@ -254,6 +254,37 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Snapshot.readVersion(spark, dir, 1L).columns.toSeq == Seq("id", "s"))
   }
 
+  test("the registered source skips files for plain SQL queries") {
+    val dir = tmp("source")
+    rangeTable(dir)
+    val src = spark.read.format("graft.sources.SnapshotSource").load(dir)
+    src.createOrReplaceTempView("snap_t")
+    // same rows as the engine-native read
+    assertSame(src, Snapshot.read(spark, dir))
+
+    graft.operators.SnapshotStats.lastPrune = (-1, -1)
+    val got = spark.sql(
+      "SELECT COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS s FROM snap_t WHERE id BETWEEN 100 AND 180")
+      .as[(Long, Long)].head()
+    assert(got == ((81L, (100L to 180L).sum)))
+    val (kept, total) = graft.operators.SnapshotStats.lastPrune
+    assert(total == 16 && kept <= 2,
+      s"SQL WHERE must reach the manifest pruner: kept $kept of $total")
+
+    // a filter the pruner can't use still answers correctly (full scan)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snap_t WHERE length(name) = 5")
+      .as[Long].head() == 1600L)
+
+    // versionAsOf pins an old version through the same source
+    Snapshot.overwrite(spark, dir, Seq((1L, "x", 0.5, java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), true, "t"))
+      .toDF("id", "name", "score", "d", "ts", "flag", "tag"))
+    val v1 = spark.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", "1").load(dir)
+    assert(v1.count() == 1600L)
+    assert(spark.read.format("graft.sources.SnapshotSource").load(dir).count() == 1L)
+  }
+
   test("history reports per-version file and row counts without reading data") {
     val dir = tmp("history")
     Snapshot.create(spark, dir, (0 until 100).map(i => (i.toLong, i.toString)).toDF("id", "s"))
