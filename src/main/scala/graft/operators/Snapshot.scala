@@ -574,6 +574,24 @@ object Snapshot {
     if (bounds.exists(_.isEmpty)) None else Some(bounds.flatten)
   }
 
+  /** Metadata-only aggregation: COUNT(*) plus per-column MIN / MAX /
+    * COUNT(col) computed purely from the manifest's file stats — zero
+    * data files opened, one local-relation job over #files rows. The
+    * 100 TB form of `SELECT count(*), min(c), max(c) FROM t`: file
+    * minima/maxima are exact file-level aggregates, so their fold is
+    * the exact table aggregate. Refuses (so the caller can fall back to
+    * a real scan) when any live file lacks usable stats for a requested
+    * column — a wrong-but-fast answer is never an option. Output
+    * columns: `n`, then `min_<c>`, `max_<c>`, `cnt_<c>` per requested
+    * column.
+    */
+  def metadataAgg(spark: SparkSession, path: String, cols: Seq[String],
+                  version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifest(spark, path, _)).orElse(latestManifest(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    SnapshotStats.metadataAgg(spark, m, cols)
+  }
+
   /** Table history, one row per retained version: (version, numFiles,
     * numRows, schema DDL) — numRows from the manifest's own per-file
     * stats (no data read); -1 when a version predates stats. The

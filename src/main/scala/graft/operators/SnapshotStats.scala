@@ -404,6 +404,60 @@ object SnapshotStats {
     }
   }
 
+  /** Engine of [[Snapshot.metadataAgg]]: exact table-level aggregates
+    * folded from per-file stats. Requires usable stats (min/max/nulls)
+    * for every requested column in every live file.
+    */
+  private[operators] def metadataAgg(spark: SparkSession, m: Snapshot.Manifest,
+                                     cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "metadataAgg needs at least one column")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val types = cols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      require(supported(f.dataType), s"no stats support for ${f.dataType} column $c")
+      // string footer stats may be TRUNCATED bounds (valid for pruning,
+      // not exact values) — refuse rather than risk a wrong MIN/MAX
+      require(f.dataType != StringType, s"metadataAgg: string min/max not exact ($c)")
+      c -> f.dataType
+    }.toMap
+    val missing = m.files.filter { f =>
+      !m.stats.get(f).exists(fs => cols.forall(c =>
+        fs.cols.get(c).exists(cs =>
+          cs.nulls.isDefined && ((cs.mn.isDefined && cs.mx.isDefined) ||
+            // an all-null file legitimately has no min/max
+            cs.nulls.contains(fs.rows)))))
+    }
+    require(missing.isEmpty,
+      s"metadataAgg: files without usable stats for ${cols.mkString(",")} " +
+        s"(fall back to a scan): ${missing.take(3).mkString(", ")}...")
+    val idx = cols.zipWithIndex.toMap
+    val rawSchema = StructType(
+      StructField("__rw", LongType) +:
+        cols.flatMap(c => Seq(
+          StructField(s"__mn_${idx(c)}", StringType),
+          StructField(s"__mx_${idx(c)}", StringType),
+          StructField(s"__nl_${idx(c)}", LongType))))
+    val rows: Seq[Row] = m.files.map { f =>
+      val fs = m.stats(f)
+      Row.fromSeq(Long.box(fs.rows) +: cols.flatMap { c =>
+        val cs = fs.cols(c)
+        Seq(cs.mn.orNull, cs.mx.orNull, Long.box(cs.nulls.get))
+      })
+    }
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, rawSchema)
+    df.agg(
+      sum(col("__rw")).as("n"),
+      cols.flatMap { c =>
+        val i = idx(c)
+        Seq(
+          min(decode(types(c), col(s"__mn_$i"))).as(s"min_$c"),
+          max(decode(types(c), col(s"__mx_$i"))).as(s"max_$c"),
+          (sum(col("__rw")) - sum(col(s"__nl_$i"))).as(s"cnt_$c"))
+      }: _*)
+  }
+
   /** [[prune]] driven by Catalyst's pushed-down `sources.Filter`s (the
     * DSv1/DSv2 pushdown ADT — already attribute/value normalized, so
     * the translation to the mini-AST is direct). The filter array is an

@@ -354,5 +354,30 @@ object LayoutPack extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
-  override def queries: Seq[QueryDef] = Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121)
+  val q122 = QueryDef(
+    "q122_metadata_agg",
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+           |  CAST(COUNT(o_totalprice) AS BIGINT) AS cnt_o_totalprice
+           |FROM orders""".stripMargin)) { t =>
+    // COUNT/MIN/MAX answered from the MANIFEST alone — zero data files
+    // opened (the plan under the agg is a #files-row local relation).
+    // File minima/maxima are exact file-level aggregates, so their fold
+    // is the exact table aggregate; the oracle recomputes from the raw
+    // rows. At 100 TB this is the difference between a metadata lookup
+    // and a full scan for the most common profiling query there is.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q122").toString + "/orders_s"
+    graft.operators.Snapshot.create(t.spark, dir,
+      t.orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(16, col("o_orderdate")))
+    graft.operators.Snapshot.metadataAgg(t.spark, dir, Seq("o_totalprice", "o_orderdate"))
+      .select(col("n"),
+        col("min_o_totalprice").as("min_price"), col("max_o_totalprice").as("max_price"),
+        col("min_o_orderdate").as("min_date"), col("max_o_orderdate").as("max_date"),
+        col("cnt_o_totalprice"))
+  }
+
+  override def queries: Seq[QueryDef] =
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122)
 }

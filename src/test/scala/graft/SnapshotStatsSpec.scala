@@ -285,6 +285,23 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.SnapshotSource").load(dir).count() == 1L)
   }
 
+  test("metadataAgg folds exact aggregates from stats, refuses when unusable") {
+    val dir = tmp("metaagg")
+    rangeTable(dir)
+    // strings (truncatable bounds) and unknown columns are refused
+    intercept[IllegalArgumentException] { Snapshot.metadataAgg(spark, dir, Seq("id", "tag")) }
+    intercept[IllegalArgumentException] { Snapshot.metadataAgg(spark, dir, Seq("no_such")) }
+    val ok = Snapshot.metadataAgg(spark, dir, Seq("id", "score"))
+      .select("n", "min_id", "max_id", "cnt_id", "min_score", "max_score", "cnt_score")
+      .as[(Long, Long, Long, Long, Double, Double, Long)].head()
+    val exp = Snapshot.read(spark, dir)
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"),
+        count("id").as("cnt_id"), min("score").as("min_score"), max("score").as("max_score"),
+        count("score").as("cnt_score"))
+      .as[(Long, Long, Long, Long, Double, Double, Long)].head()
+    assert(ok == exp)
+  }
+
   test("history reports per-version file and row counts without reading data") {
     val dir = tmp("history")
     Snapshot.create(spark, dir, (0 until 100).map(i => (i.toLong, i.toString)).toDF("id", "s"))
