@@ -47,7 +47,35 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, minJaccard: Double,
-                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                   maxDocFreq: Long = Long.MaxValue): DataFrame =
+    shinglePairAgg(df, idCol, textCol, k, maxDocFreq)
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Containment near-dups: pairs whose shingle INTERSECTION covers at
+    * least `minContainment` of the SMALLER document's shingle set —
+    * the asymmetric duplication Jaccard structurally under-scores: a
+    * tweet-sized doc quoted whole inside a long article has tiny
+    * Jaccard (union ≈ the article) but containment ≈ 1. A corpus dedup
+    * that only thresholds Jaccard keeps every such subsumed fragment.
+    * Same inverted-index plan as [[jaccardPairs]] (postings equi-join,
+    * no cross join, same doc-frequency valve), different final ratio.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, minContainment: Double,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame =
+    shinglePairAgg(df, idCol, textCol, k, maxDocFreq)
+      .withColumn("containment", col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+
+  /** Shared shingle-posting pair aggregate: (id_a, na, id_b, nb, inter)
+    * for every co-occurring pair. See [[jaccardPairs]] for the plan
+    * rationale comments.
+    */
+  private def shinglePairAgg(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, maxDocFreq: Long): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     // 56-bit shingle hashes as the posting key: same set sizes as the
     // string shingles (distinct is computed on strings), far cheaper to
@@ -82,9 +110,6 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("a.n").as("na"),
         col("b.id").as("id_b"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Cross-corpus contamination pairs: (left doc, right doc) whose

@@ -36,6 +36,27 @@ object DedupPack extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  val q123 = QueryDef(
+    "q123_containment_pairs",
+    Some(s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS shingles FROM documents)
+            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    least(len(a.shingles), len(b.shingles)) AS containment
+            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            |    least(len(a.shingles), len(b.shingles)) >= 0.4
+            |ORDER BY id_a, id_b""".stripMargin)) { t =>
+    // Containment dedup — the asymmetric case Jaccard misses: a short
+    // doc quoted whole inside a long one has Jaccard ≈ |short|/|long|
+    // (arbitrarily small) but containment ≈ 1, so the subsumed fragment
+    // survives a Jaccard-only pass. Same postings plan as q27; the
+    // ratio divides the intersection by the SMALLER set instead of the
+    // union. The 0.4 threshold sits below the planted-pair band so both
+    // planted near-dups and genuinely subsumed fragments surface.
+    Dedup.containmentPairs(t.documents, "doc_id", "text", k = 3, minContainment = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   // 16 minhashes = 4 bands x 4 rows; verification threshold 0.8.
   private[queries] val Bands = 4; private[queries] val Rows = 4
   private[queries] def minhashSql(i: Int) = {
@@ -339,5 +360,6 @@ object DedupPack extends QueryPack {
       .orderBy("id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109)
+  override def queries: Seq[QueryDef] =
+    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123)
 }

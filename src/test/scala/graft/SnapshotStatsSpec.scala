@@ -43,6 +43,12 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(total == 16, s"expected 16 files, got $total")
     assert(kept.size <= 2, s"expected <=2 files kept for a 5% range, got ${kept.size}")
     assertSame(Snapshot.readWhere(spark, dir, pred), Snapshot.read(spark, dir).where(pred))
+    // the residual filter must ALSO push into the parquet scan of the
+    // kept files (row-group pruning under the file pruning): the
+    // identity cast to the table schema can't block pushdown
+    val plan = Snapshot.readWhere(spark, dir, pred).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,100), LessThanOrEqual(id,180)]"),
+      s"predicate did not reach the scan:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString}")
   }
 
   test("every supported type prunes and stays sound") {

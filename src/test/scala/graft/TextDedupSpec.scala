@@ -107,4 +107,22 @@ class TextDedupSpec extends SparkSpec {
     assert(fast == naive)
     assert(naive.nonEmpty)
   }
+
+  test("containmentPairs finds a short doc subsumed in a long one where jaccard cannot") {
+    import spark.implicits._
+    val fragment = "the quick brown fox jumps over the lazy dog"
+    val article = (1 to 40).map(i => s"filler sentence number $i with unique words w$i x$i")
+      .mkString(" ") + " " + fragment
+    val df = Seq((1L, fragment), (2L, article), (3L, "entirely different text about ships"))
+      .toDF("doc_id", "text")
+    val cont = graft.operators.Dedup.containmentPairs(df, "doc_id", "text", k = 3,
+      minContainment = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)), s"fragment must be found contained: $cont")
+    // the same pair is invisible to a jaccard threshold: union ≈ article
+    val jac = graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", k = 3,
+      minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, s"jaccard should miss the subsumed fragment: $jac")
+  }
 }
