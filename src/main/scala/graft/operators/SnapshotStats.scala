@@ -539,7 +539,13 @@ object SnapshotStats {
       Row.fromSeq(f +: fs.map(s => Long.box(s.rows)).orNull +: cells)
     }
     import scala.jdk.CollectionConverters._
-    val statsDf = spark.createDataFrame(rows.asJava, rawSchema)
+    // small manifests ride a LocalRelation; big ones go through an RDD
+    // so a million-file table never embeds a million-row literal into
+    // the plan (analyzer/codegen blowup — the bloom-literal lesson)
+    val statsDf =
+      if (rows.size <= 10000) spark.createDataFrame(rows.asJava, rawSchema)
+      else spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1 + rows.size / 100000), rawSchema)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val refs: String => Option[StatRefs] = name => idx.get(name).map { i =>
       StatRefs(

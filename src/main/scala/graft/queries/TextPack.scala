@@ -331,5 +331,47 @@ object TextPack extends QueryPack {
       .orderBy("source", "rnk")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q63, q65, q91, q97, q104)
+  val q124 = QueryDef(
+    "q124_unigram_nll", {
+      val lnArg = "CAST(total AS DOUBLE) / CAST(c AS DOUBLE)"
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+              |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+              |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+              |sc AS (SELECT doc_id,
+              |         CAST(floor(${graft.functions.DetMath.detLnSql(lnArg)} * 1000000.0) AS BIGINT) AS mn
+              |       FROM toks JOIN freq USING (tok) CROSS JOIN tot)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+              |  CAST(SUM(mn) AS BIGINT) AS nll_micro,
+              |  (CAST(SUM(mn) AS DOUBLE) / 1000000.0) / COUNT(*) AS avg_nll
+              |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)
+    }) { t =>
+    // Unigram-LM negative log likelihood per document — the classic
+    // perplexity-proxy quality filter (the publicly documented CCNet
+    // recipe scores docs with a language model and keeps the
+    // low-perplexity tail; the unigram form is its first rung): one
+    // corpus pass builds token frequencies, a posting join prices each
+    // token at -ln p(tok) = detLn(total/c), and per-doc totals
+    // accumulate in INTEGER micro-nats (floor is IEEE-exact in every
+    // engine; a double sum over shuffled postings would be
+    // order-sensitive). Two shuffles (freq groupBy, doc groupBy) — the
+    // frequency table is vocab-sized and AQE broadcasts it onto the
+    // posting join at any corpus scale.
+    import graft.functions.DetMath
+    val toks = t.documents.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    toks.join(freq, "tok").crossJoin(broadcast(tot))
+      .withColumn("mn",
+        floor(DetMath.detLn(col("total").cast("double") / col("c").cast("double")) * 1000000.0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("mn")).as("nll_micro"))
+      .withColumn("avg_nll",
+        (col("nll_micro").cast("double") / 1000000.0) / col("n_toks"))
+      .select("doc_id", "n_toks", "nll_micro", "avg_nll")
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] =
+    Seq(q22, q23, q24, q25, q26, q63, q65, q91, q97, q104, q124)
 }
