@@ -447,14 +447,16 @@ object SnapshotStats {
     }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, rawSchema)
+    // coalesce the counting aggregates so an EMPTY table answers 0, not
+    // null (min/max stay null — standard SQL semantics over no rows)
     df.agg(
-      sum(col("__rw")).as("n"),
+      coalesce(sum(col("__rw")), lit(0L)).as("n"),
       cols.flatMap { c =>
         val i = idx(c)
         Seq(
           min(decode(types(c), col(s"__mn_$i"))).as(s"min_$c"),
           max(decode(types(c), col(s"__mx_$i"))).as(s"max_$c"),
-          (sum(col("__rw")) - sum(col(s"__nl_$i"))).as(s"cnt_$c"))
+          coalesce(sum(col("__rw")) - sum(col(s"__nl_$i")), lit(0L)).as(s"cnt_$c"))
       }: _*)
   }
 
@@ -553,7 +555,9 @@ object SnapshotStats {
         decode(types(name), col(s"__mx_$i")),
         col(s"__nl_$i"), col("__rw"))
     }
-    val kept = statsDf.where(coalesce(keep(root, refs), lit(true)))
+    // a zero-row file (an empty write's schema stub) can never match
+    val nonEmpty = coalesce(col("__rw") > 0, lit(true))
+    val kept = statsDf.where(nonEmpty && coalesce(keep(root, refs), lit(true)))
       .select("__file").collect().map(_.getString(0)).toSeq
     lastPrune = (kept.size, m.files.size)
     kept

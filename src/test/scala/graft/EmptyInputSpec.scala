@@ -113,6 +113,32 @@ class EmptyInputSpec extends SparkSpec {
       Seq("id"), Seq("v")).isEmpty)
   }
 
+  test("round-6 surface: empty snapshot tables and corpora propagate cleanly") {
+    // containment over an empty corpus
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text", k = 3, minContainment = 0.5).isEmpty)
+    // a snapshot table CREATED from an empty frame: zero data files,
+    // schema preserved, every read/stat/changes path defined
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-snap").toString + "/t"
+    Snapshot.create(spark, dir, noDocs)
+    assert(Snapshot.read(spark, dir).isEmpty)
+    assert(Snapshot.read(spark, dir).columns.toSeq == Seq("doc_id", "text"))
+    assert(Snapshot.readWhere(spark, dir, col("doc_id") > 5L).isEmpty)
+    // the empty write leaves one zero-row schema-stub file; its rows=0
+    // stat proves it unmatchable, so pruning drops it
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, col("doc_id") > 5L)
+    assert(kept.isEmpty && total == 1)
+    Snapshot.append(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"))
+    assert(Snapshot.readChanges(spark, dir, 1L, 2L)
+      .where(col("_change_type") === "insert").count() == 1)
+    // metadataAgg over the empty v1: count 0, min/max null
+    val r = Snapshot.metadataAgg(spark, dir, Seq("doc_id"), version = Some(1L)).head()
+    assert(r.getLong(r.fieldIndex("n")) == 0L && r.isNullAt(r.fieldIndex("min_doc_id")))
+    assert(r.getLong(r.fieldIndex("cnt_doc_id")) == 0L)
+    // appendBatch with an empty batch still advances the watermark
+    assert(Snapshot.appendBatch(spark, dir, noDocs, "app", 0L))
+    assert(!Snapshot.appendBatch(spark, dir, noDocs, "app", 0L))
+  }
+
   test("text functions: empty and whitespace-only documents score without throwing") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
     val out = edge.select(
