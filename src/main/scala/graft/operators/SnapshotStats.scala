@@ -267,40 +267,63 @@ object SnapshotStats {
     case _           => None // timestamp partition dirs: format varies, skip
   }
 
-  /** Collect [[FileStats]] for `relFiles` (paths relative to `root`):
-    * footer reduction + partition-value pseudo-stats, on a bounded
-    * driver-side pool (footer reads are O(KB) metadata operations; at
-    * very large commit sizes this belongs in the write tasks, which is
-    * a lakehouse format's job).
+  /** One file's full stats: footer reduction + partition-value
+    * pseudo-stats. Runs wherever the caller puts it (driver pool or
+    * executor task — everything it touches is static).
+    */
+  private def statsForFile(conf: Configuration, root: String, rel: String,
+                           schema: StructType,
+                           pTypes: Map[String, DataType],
+                           partitionCols: Seq[String]): (String, FileStats) = {
+    val base = footerStats(conf, new HPath(s"$root/$rel"), schema)
+    val pv = Snapshot.partitionValues(partitionCols, rel)
+    val pCols = pv.flatMap { case (c, raw) =>
+      pTypes.get(c).map { dt =>
+        if (raw == Snapshot.NullPartition) c -> ColStats(None, None, Some(base.rows))
+        else canonicalPartitionValue(dt, raw) match {
+          case Some(v) => c -> ColStats(Some(v), Some(v), Some(0L))
+          case None    => c -> ColStats(None, None, Some(0L))
+        }
+      }
+    }
+    rel -> FileStats(base.rows, base.cols ++ pCols)
+  }
+
+  /** Collect [[FileStats]] for `relFiles` (paths relative to `root`).
+    * Small commits run on a bounded driver-side pool (footer reads are
+    * O(KB) metadata operations — a Spark job would cost more than it
+    * saves); commits above `distributeAbove` files run as ONE Spark job
+    * over the file list, so a million-file landing reduces its footers
+    * with cluster parallelism and the driver only collects the
+    * per-file stat rows.
     */
   def collect(spark: SparkSession, root: String, relFiles: Seq[String],
-              schema: StructType, partitionCols: Seq[String]): Map[String, FileStats] = {
+              schema: StructType, partitionCols: Seq[String],
+              distributeAbove: Int = 256): Map[String, FileStats] = {
     if (relFiles.isEmpty) return Map.empty
     val conf = spark.sparkContext.hadoopConfiguration
     val pTypes = partitionCols.flatMap(c => schema.fields.find(_.name == c).map(c -> _.dataType)).toMap
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, relFiles.size))
-    try {
-      import scala.jdk.CollectionConverters._
-      val tasks = relFiles.map { rel =>
-        new java.util.concurrent.Callable[(String, FileStats)] {
-          def call(): (String, FileStats) = {
-            val base = footerStats(conf, new HPath(s"$root/$rel"), schema)
-            val pv = Snapshot.partitionValues(partitionCols, rel)
-            val pCols = pv.flatMap { case (c, raw) =>
-              pTypes.get(c).map { dt =>
-                if (raw == Snapshot.NullPartition) c -> ColStats(None, None, Some(base.rows))
-                else canonicalPartitionValue(dt, raw) match {
-                  case Some(v) => c -> ColStats(Some(v), Some(v), Some(0L))
-                  case None    => c -> ColStats(None, None, Some(0L))
-                }
-              }
-            }
-            rel -> FileStats(base.rows, base.cols ++ pCols)
+    if (relFiles.size > distributeAbove) {
+      val sconf = org.apache.spark.graftbridge.ConfBridge.serializable(conf)
+      val slices = math.max(1, math.min(relFiles.size / 32, 512))
+      spark.sparkContext.parallelize(relFiles, slices)
+        .map(rel => statsForFile(
+          org.apache.spark.graftbridge.ConfBridge.value(sconf),
+          root, rel, schema, pTypes, partitionCols))
+        .collect().toMap
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, relFiles.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = relFiles.map { rel =>
+          new java.util.concurrent.Callable[(String, FileStats)] {
+            def call(): (String, FileStats) =
+              statsForFile(conf, root, rel, schema, pTypes, partitionCols)
           }
         }
-      }
-      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
-    } finally pool.shutdown()
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
   }
 
   /** Canonical stat string → double, for layout math over manifest

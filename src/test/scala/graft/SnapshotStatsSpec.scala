@@ -308,6 +308,18 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(ok == exp)
   }
 
+  test("distributed stats collection equals the driver pool (and the manifest)") {
+    val dir = tmp("dist")
+    rangeTable(dir)
+    val m = Snapshot.latestManifest(spark, dir).get
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val pooled = graft.operators.SnapshotStats.collect(spark, dir, m.files, schema, Nil)
+    val jobbed = graft.operators.SnapshotStats.collect(spark, dir, m.files, schema, Nil,
+      distributeAbove = 2)
+    assert(jobbed == pooled)
+    assert(pooled == m.stats)
+  }
+
   test("history reports per-version file and row counts without reading data") {
     val dir = tmp("history")
     Snapshot.create(spark, dir, (0 until 100).map(i => (i.toLong, i.toString)).toDF("id", "s"))
