@@ -161,5 +161,38 @@ object SqlPack extends QueryPack {
         |ORDER BY n.n_nationkey, t.acctbal DESC, t.c_custkey""".stripMargin)
   }
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43, q112, q113)
+  val q125 = QueryDef(
+    "q125_exists_notexists",
+    Some("""SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numlast
+           |FROM supplier s JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+           |WHERE EXISTS (SELECT 1 FROM lineitem l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_shipdate > l1.l_shipdate)
+           |GROUP BY 1, 2 ORDER BY numlast DESC, s_suppkey""".stripMargin)) { t =>
+    // The TPC-H Q21 join shape — a correlated EXISTS and a correlated
+    // NOT EXISTS against the same fact — through the SQL front end:
+    // which supplier shipped the FINAL line of each multi-supplier
+    // order. Catalyst decorrelates both into one left-semi and one
+    // left-anti join on l_orderkey (never a per-row rescan); the
+    // NOT EXISTS anti join carries the shipdate inequality as its
+    // join condition. Counting lines (not windowing) keeps the plan
+    // two joins + one aggregate at any fact scale.
+    t.supplier.createOrReplaceTempView("v_supplier")
+    t.lineitem.createOrReplaceTempView("v_lineitem")
+    t.spark.sql(
+      """SELECT s_suppkey, s_name, COUNT(*) AS numlast
+        |FROM v_supplier s JOIN v_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM v_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_suppkey, s_name ORDER BY numlast DESC, s_suppkey""".stripMargin)
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q112, q113, q125)
 }
