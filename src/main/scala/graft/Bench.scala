@@ -84,7 +84,16 @@ object Bench {
     val errs = results.collect { case (name, _, Some(m)) => s""""${esc(name)}":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"${esc(sfDir)}"}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"${esc(sfDir)}"}"""
+    println(summary)
+    // also persist the summary: the driver's stdout tail capture is
+    // char-capped and has truncated past runs' per-query records
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_summary.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (summary + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] summary write failed: $e") }
     spark.stop()
   }
 }

@@ -71,6 +71,11 @@ object Snapshot {
     */
   @volatile private[graft] var faultHook: String => Unit = _ => ()
 
+  /** Serializes the parquet-conf window of [[writeTxnFiles]] across
+    * concurrently-writing snapshot tables in the same JVM.
+    */
+  private val writeConfLock = new Object
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -264,16 +269,24 @@ object Snapshot {
     val txn = s"txn-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     val dir = s"$path/$txn"
     // INT96 timestamps carry no footer statistics; pin the annotated
-    // micros encoding so SnapshotStats can skip on timestamp predicates
+    // micros encoding so SnapshotStats can skip on timestamp predicates.
+    // The key must be session conf (ParquetFileFormat.prepareWrite reads
+    // sessionState.conf AFTER writer options merge, so a per-write
+    // option cannot override it); the set/write/restore window is
+    // serialized under [[writeConfLock]] so two snapshot writers on
+    // DIFFERENT tables in one session (allowed — the single-writer rule
+    // is per table) cannot interleave set/restore and strand the conf.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsOld = df.sparkSession.conf.getOption(tsKey)
-    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
-      val w = df.write.mode("errorifexists")
-      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).parquet(dir)
-    } finally tsOld match {
-      case Some(v) => df.sparkSession.conf.set(tsKey, v)
-      case None    => df.sparkSession.conf.unset(tsKey)
+    writeConfLock.synchronized {
+      val tsOld = df.sparkSession.conf.getOption(tsKey)
+      df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try {
+        val w = df.write.mode("errorifexists")
+        (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).parquet(dir)
+      } finally tsOld match {
+        case Some(v) => df.sparkSession.conf.set(tsKey, v)
+        case None    => df.sparkSession.conf.unset(tsKey)
+      }
     }
     faultHook("data-files-written")
     val fs = fsFor(df.sparkSession, path)
@@ -425,14 +438,38 @@ object Snapshot {
     * the table is missing, because the old version stays live until the
     * manifest rename.
     */
-  def overwrite(spark: SparkSession, path: String, df: DataFrame): Long = {
+  def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
+    overwriteWith(spark, path, df, identity)
+
+  private def overwriteWith(spark: SparkSession, path: String, df: DataFrame,
+                            finish: Manifest => Manifest): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val ddl = df.schema.toDDL
     val files = writeTxnFiles(df, path, m.partitionCols)
-    commitManifest(spark, path,
-      Manifest(m.version + 1, m.partitionCols, ddl, files,
-        statsFor(spark, path, files, ddl, m.partitionCols)))
+    // streamBatch watermarks survive an overwrite: a foreachBatch
+    // redelivery after a full rewrite must still be recognized as a
+    // duplicate, or appendBatch's exactly-once contract breaks
+    commitManifest(spark, path, finish(
+      m.copy(version = m.version + 1, schemaDdl = ddl, files = files,
+        stats = statsFor(spark, path, files, ddl, m.partitionCols))))
+  }
+
+  /** Exactly-once micro-batch OVERWRITE — the full-rewrite twin of
+    * [[appendBatch]], for incremental consumers whose publish step
+    * replaces the whole downstream table (a maintained rollup): the
+    * rewrite and the (appId, batchId) watermark commit in one manifest,
+    * so a redelivered batch is recognized and skipped. Returns true if
+    * applied, false if duplicate.
+    */
+  def overwriteBatch(spark: SparkSession, path: String, df: DataFrame,
+                     appId: String, batchId: Long): Boolean = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    if (m.streamBatch.get(appId).exists(_ >= batchId)) return false
+    overwriteWith(spark, path, df,
+      mNew => mNew.copy(streamBatch = mNew.streamBatch + (appId -> batchId)))
+    true
   }
 
   /** K2 partition replacement: drop every old file whose partition

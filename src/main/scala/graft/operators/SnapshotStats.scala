@@ -79,6 +79,18 @@ object SnapshotStats {
       java.time.ZoneOffset.UTC
     ).format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
 
+  /** Encodable NTZ range: years 1..9999. Outside it the 'uuuu' pattern
+    * emits a signed year ('+10000-…') that Spark's timestamp_ntz cast
+    * parses to NULL — pruning would stay conservative, but metadataAgg
+    * would silently omit the file from min/max. Such stats are dropped
+    * at collection instead (unknown = keep-and-refuse, never wrong).
+    */
+  private val NtzMinMicros: Long =
+    java.time.LocalDateTime.of(1, 1, 1, 0, 0).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+  private val NtzMaxMicros: Long =
+    java.time.LocalDateTime.of(9999, 12, 31, 23, 59, 59, 999999000)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 999999L
+
   // ---------------------------------------------------------- collection
 
   /** Typed min/max accumulator; merges row-group stats in the value
@@ -233,18 +245,23 @@ object SnapshotStats {
         val nulls = if (nk) Some(n) else None
         a match {
           case Some(acc0) if known =>
-            val (mnS, mxS) = f.dataType match {
+            val mnMx: Option[(String, String)] = f.dataType match {
               case TimestampType | TimestampNTZType =>
                 val la = acc0.asInstanceOf[LongAcc]
                 // NANOS→micros floor: bump the max by 1µs so the true max
                 // is always <= the recorded max (min's floor is already
                 // <= the true min)
                 val hi = if (nanosCols.contains(f.name)) la.hi + 1L else la.hi
-                if (f.dataType == TimestampNTZType) (ntzString(la.lo), ntzString(hi))
-                else (la.lo.toString, hi.toString)
-              case _ => (acc0.mn, acc0.mx)
+                if (f.dataType == TimestampNTZType) {
+                  if (la.lo < NtzMinMicros || hi > NtzMaxMicros) None
+                  else Some((ntzString(la.lo), ntzString(hi)))
+                } else Some((la.lo.toString, hi.toString))
+              case _ => Some((acc0.mn, acc0.mx))
             }
-            Some(f.name -> ColStats(Some(mnS), Some(mxS), nulls))
+            mnMx match {
+              case Some((mnS, mxS)) => Some(f.name -> ColStats(Some(mnS), Some(mxS), nulls))
+              case None             => Some(f.name -> ColStats(None, None, nulls))
+            }
           case _ if nulls.isDefined || !known =>
             Some(f.name -> ColStats(None, None, nulls))
           case _ => None
@@ -420,7 +437,11 @@ object SnapshotStats {
       }
       case FnNode("startswith", Seq(AttrNode(a), LitNode(c, raw: String))) =>
         refs(a).map { r =>
-          val n = raw.length
+          // prefix length in CODEPOINTS: Spark's substring counts
+          // codepoints, raw.length counts UTF-16 units — for a literal
+          // with supplementary chars the unit count over-takes the
+          // prefix and could unsoundly skip a matching file
+          val n = raw.codePointCount(0, raw.length)
           substring(r.mn, 1, n) <= c && substring(r.mx, 1, n) >= c
         }.getOrElse(lit(true))
       case _ => lit(true)
@@ -470,6 +491,16 @@ object SnapshotStats {
     }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, rawSchema)
+    // defense in depth: a recorded stat whose decode comes back NULL
+    // (corrupt/out-of-range encoding) would silently drop its file from
+    // the min/max fold — refuse instead, same contract as missing stats
+    val undecodable = cols.flatMap { c =>
+      val i = idx(c)
+      Seq(col(s"__mn_$i").isNotNull && decode(types(c), col(s"__mn_$i")).isNull,
+          col(s"__mx_$i").isNotNull && decode(types(c), col(s"__mx_$i")).isNull)
+    }.reduce(_ || _)
+    require(df.where(undecodable).isEmpty,
+      s"metadataAgg: undecodable stats for ${cols.mkString(",")} (fall back to a scan)")
     // coalesce the counting aggregates so an EMPTY table answers 0, not
     // null (min/max stay null — standard SQL semantics over no rows)
     df.agg(

@@ -336,6 +336,61 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Snapshot.history(spark, dir).count() == 1)
   }
 
+  test("startsWith with supplementary chars prunes soundly (codepoint prefix)") {
+    val dir = tmp("emoji")
+    // two range-separated files; one holds only "😀b" (emoji + b).
+    // A UTF-16-unit prefix length would take substring(mn,1,2) = the whole
+    // value, compare it > the 1-codepoint literal, and unsoundly skip.
+    val df = Seq("😀b", "aa").toDF("s").repartitionByRange(2, col("s"))
+    Snapshot.create(spark, dir, df)
+    val pred = col("s").startsWith("😀")
+    assertSame(Snapshot.readWhere(spark, dir, pred), Snapshot.read(spark, dir).where(pred))
+    assert(Snapshot.readWhere(spark, dir, pred).count() == 1L)
+    // and an ASCII prefix still prunes the other file away
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, col("s").startsWith("a"))
+    assert(total == 2 && kept.size == 1)
+  }
+
+  test("NTZ stats outside years 1-9999 are dropped; metadataAgg refuses, pruning keeps") {
+    import java.time.LocalDateTime
+    val dir = tmp("ntz-far")
+    Snapshot.create(spark, dir,
+      Seq(LocalDateTime.of(2024, 1, 1, 0, 0), LocalDateTime.of(10000, 1, 1, 0, 0))
+        .toDF("t").coalesce(1))
+    // the year-10000 max is unencodable: stats dropped -> file kept
+    val pred = col("t") > lit(LocalDateTime.of(2030, 1, 1, 0, 0))
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, pred)
+    assert(kept.size == total, "unencodable NTZ stats must keep the file")
+    assertSame(Snapshot.readWhere(spark, dir, pred), Snapshot.read(spark, dir).where(pred))
+    // refused, never a silently-wrong aggregate
+    intercept[IllegalArgumentException] { Snapshot.metadataAgg(spark, dir, Seq("t")) }
+    // an in-range NTZ table still metadata-aggregates exactly
+    val ok = tmp("ntz-ok")
+    Snapshot.create(spark, ok,
+      Seq(LocalDateTime.of(2024, 1, 1, 0, 0), LocalDateTime.of(2024, 6, 2, 3, 4, 5))
+        .toDF("t").coalesce(1))
+    val got = Snapshot.metadataAgg(spark, ok, Seq("t"))
+      .select("n", "min_t", "max_t", "cnt_t")
+      .as[(Long, LocalDateTime, LocalDateTime, Long)].head()
+    assert(got == ((2L, LocalDateTime.of(2024, 1, 1, 0, 0), LocalDateTime.of(2024, 6, 2, 3, 4, 5), 2L)))
+  }
+
+  test("overwrite carries streaming watermarks; overwriteBatch is exactly-once") {
+    val dir = tmp("ow-wm")
+    Snapshot.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    assert(Snapshot.appendBatch(spark, dir, Seq((1L, "x")).toDF("id", "v"), "appA", 7L))
+    Snapshot.overwrite(spark, dir, Seq((5L, "rewritten")).toDF("id", "v"))
+    assert(!Snapshot.appendBatch(spark, dir, Seq((1L, "x")).toDF("id", "v"), "appA", 7L),
+      "a redelivery after a full rewrite must still be recognized")
+    assert(Snapshot.appendBatch(spark, dir, Seq((2L, "y")).toDF("id", "v"), "appA", 8L))
+    // the full-rewrite twin: apply once, skip the duplicate
+    assert(Snapshot.overwriteBatch(spark, dir, Seq((9L, "mv")).toDF("id", "v"), "consumerA", 3L))
+    assert(!Snapshot.overwriteBatch(spark, dir, Seq((10L, "dup")).toDF("id", "v"), "consumerA", 3L))
+    assert(Snapshot.read(spark, dir).as[(Long, String)].collect().toSet == Set((9L, "mv")))
+    // and the overwriteBatch manifest still carries appA's watermark
+    assert(!Snapshot.appendBatch(spark, dir, Seq((2L, "y")).toDF("id", "v"), "appA", 8L))
+  }
+
   test("appendBatch is exactly-once under foreachBatch redelivery") {
     val dir = tmp("sink")
     Snapshot.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
