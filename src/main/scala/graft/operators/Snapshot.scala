@@ -89,20 +89,67 @@ object Snapshot {
   private def manifestPath(path: String, v: Long): HPath =
     new HPath(s"$path/$LogDirName/" + f"v$v%08d.json")
 
+  private def lastPointerPath(path: String): HPath =
+    new HPath(s"$path/$LogDirName/_last")
+
+  /** Test-only observability: called with the table path whenever a
+    * full log-directory listing happens — a spec pins that the common
+    * read path (pointer + forward probe) never lists. Never read by
+    * engine code.
+    */
+  @volatile private[graft] var listHook: String => Unit = _ => ()
+
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val fs = fsFor(spark, path)
     val log = new HPath(path, LogDirName)
     if (!fs.exists(log)) Seq.empty
-    else fs.listStatus(log).toSeq.map(_.getPath.getName).collect {
-      case ManifestName(n) => n.toLong
-    }.sorted
+    else {
+      listHook(path)
+      fs.listStatus(log).toSeq.map(_.getPath.getName).collect {
+        case ManifestName(n) => n.toLong
+      }.sorted
+    }
   }
 
-  def latestVersion(spark: SparkSession, path: String): Option[Long] =
-    versions(spark, path).lastOption
-
-  def manifest(spark: SparkSession, path: String, version: Long): Manifest = {
+  /** O(1) in the log size: the `_last` pointer names the latest
+    * committed version; a forward probe covers the
+    * crash-between-rename-and-pointer window (the pointer is a HINT —
+    * the manifest rename is the commit point, so a stale, torn or
+    * missing pointer only costs the full-listing fallback, never a
+    * wrong answer). Without this, every read of a years-of-hourly-
+    * commits table pays an O(#versions) directory listing.
+    */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
     val fs = fsFor(spark, path)
+    val hinted: Option[Long] =
+      try {
+        val p = lastPointerPath(path)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption
+        }
+      } catch { case _: Exception => None }
+    hinted match {
+      case Some(v) if fs.exists(manifestPath(path, v)) =>
+        var cur = v
+        while (fs.exists(manifestPath(path, cur + 1))) cur += 1
+        Some(cur)
+      case _ => versions(spark, path).lastOption
+    }
+  }
+
+  private def writeLastPointer(fs: FileSystem, path: String, v: Long): Unit =
+    try {
+      val out = fs.create(lastPointerPath(path), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () } // hint only: readers fall back
+
+  def manifest(spark: SparkSession, path: String, version: Long): Manifest =
+    manifestFrom(fsFor(spark, path), path, version)
+
+  private def manifestFrom(fs: FileSystem, path: String, version: Long): Manifest = {
     val in = fs.open(manifestPath(path, version))
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = new ObjectMapper().readTree(bytes)
@@ -118,7 +165,8 @@ object Snapshot {
             if (c.has("mx")) Some(c.get("mx").asText()) else None,
             if (c.has("nulls")) Some(c.get("nulls").asLong()) else None)
         }.toMap
-        e.getKey -> SnapshotStats.FileStats(n.get("rows").asLong(), cols)
+        e.getKey -> SnapshotStats.FileStats(n.get("rows").asLong(), cols,
+          if (n.has("bytes")) n.get("bytes").asLong() else 0L)
       }.toMap
     val streamBatch: Map[String, Long] =
       if (!root.has("streamBatch")) Map.empty
@@ -327,6 +375,7 @@ object Snapshot {
       m.stats.toSeq.sortBy(_._1).foreach { case (f, fs) =>
         val fn = st.putObject(f)
         fn.put("rows", fs.rows)
+        if (fs.bytes > 0L) fn.put("bytes", fs.bytes)
         if (fs.cols.nonEmpty) {
           val cn = fn.putObject("cols")
           fs.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -348,6 +397,9 @@ object Snapshot {
       throw new java.io.IOException(s"snapshot commit failed: could not rename into $target")
     }
     faultHook("manifest-committed")
+    // after the commit point: a crash here leaves the pointer one
+    // behind, which the read path's forward probe absorbs
+    writeLastPointer(fs, path, m.version)
     m.version
   }
 
@@ -403,7 +455,9 @@ object Snapshot {
         m.schemaDdl
       } else {
         require(missing.isEmpty, s"appended batch lacks table columns: ${missing.mkString(",")}")
-        StructType(table.fields ++ newCols).toDDL
+        // an evolved column is nullable BY CONSTRUCTION: every
+        // pre-evolution file reads it as null, whatever the batch says
+        StructType(table.fields ++ newCols.map(_.copy(nullable = true))).toDDL
       }
     val files = writeTxnFiles(df, path, m.partitionCols)
     commitManifest(spark, path, finish(m.copy(version = m.version + 1, schemaDdl = ddl,
@@ -535,11 +589,15 @@ object Snapshot {
   }
 
   /** Small-file compaction, snapshot form: bin-pack every partition
-    * holding >= `minFiles` live files. Readers pinned to the old version
-    * keep reading the OLD files — they stay on disk until `vacuum` —
-    * which is exactly the concurrent-reader guarantee the raw
-    * `Layout.compactPartitions` documents as out of reach. Returns the
-    * compacted partitions' value strings.
+    * holding >= `minFiles` live files — for single-column, multi-column
+    * AND unpartitioned tables (an unpartitioned table is one partition
+    * group). Readers pinned to the old version keep reading the OLD
+    * files — they stay on disk until `vacuum` — which is exactly the
+    * concurrent-reader guarantee the raw `Layout.compactPartitions`
+    * documents as out of reach. The commit swaps EXACTLY the marked
+    * files for their rewrite, one atomic manifest. Returns the
+    * compacted partitions as value strings (single column: the raw
+    * value; multi: hive-style `c1=v1/c2=v2`; unpartitioned: `""`).
     *
     * `zorderBy`: also CLUSTER the rewritten data on these columns
     * (Morton interleave, `Layout.zvalue`) — the maintenance pass every
@@ -554,22 +612,20 @@ object Snapshot {
               minFiles: Int = 4, zorderBy: Seq[String] = Nil): Seq[String] = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    require(m.partitionCols.size == 1, "compact expects a single partition column")
-    val pCol = m.partitionCols.head
-    val fs = fsFor(spark, path)
-    val byPart = m.files.groupBy(f => partitionValues(m.partitionCols, f)(pCol))
+    val pCols = m.partitionCols
+    val byPart = m.files.groupBy(f => partitionValues(pCols, f))
     val marked = byPart.filter(_._2.size >= minFiles)
     if (marked.isEmpty) return Nil
     val markedFiles = marked.values.flatten.toSeq
-    val bytes = markedFiles.map(f => fs.getFileStatus(new HPath(s"$path/$f")).getLen).sum
+    val bytes = markedFiles.map(fileBytes(spark, path, m, _)).sum
     val slice = readFiles(spark, path, m, Some(markedFiles))
-    val dataCols = slice.columns.filterNot(_ == pCol)
+    val dataCols = slice.columns.filterNot(pCols.contains)
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     val packed =
       if (zorderBy.isEmpty)
         slice
           .withColumn("__salt", pmod(hash(dataCols.map(col).toSeq: _*).cast("long"), lit(nOut)))
-          .repartition(col(pCol), col("__salt"))
+          .repartition((pCols.map(col) :+ col("__salt")): _*)
           .drop("__salt")
       else {
         val bounds = zBoundsFromStats(m, markedFiles, zorderBy).getOrElse {
@@ -579,13 +635,39 @@ object Snapshot {
         }
         slice
           .withColumn("__z", Layout.zvalue(zorderBy.map(col), bounds, bits = 8))
-          .repartitionByRange(nOut.toInt, col(pCol), col("__z"))
-          .sortWithinPartitions(col(pCol), col("__z"))
+          .repartitionByRange(nOut.toInt, (pCols.map(col) :+ col("__z")): _*)
+          .sortWithinPartitions((pCols.map(col) :+ col("__z")): _*)
           .drop("__z")
       }
-    replacePartitions(spark, path, packed, dropOld = pv => marked.contains(pv(pCol)))
-    marked.keys.toSeq.sorted
+    replaceFiles(spark, path, packed, markedFiles.toSet)
+    marked.keys.toSeq.map { pv =>
+      if (pCols.isEmpty) ""
+      else if (pCols.size == 1) pv(pCols.head)
+      else pCols.map(c => s"$c=${pv(c)}").mkString("/")
+    }.sorted
   }
+
+  /** Swap EXACTLY `drop` (live files) for `replacement`'s rewrite in
+    * one atomic commit — the file-precise core under [[compact]].
+    */
+  private def replaceFiles(spark: SparkSession, path: String, replacement: DataFrame,
+                           drop: Set[String]): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val newFiles = writeTxnFiles(replacement, path, m.partitionCols)
+    val kept = m.files.filterNot(drop)
+    commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles,
+      stats = m.stats.view.filterKeys(kept.toSet).toMap ++
+        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols)))
+  }
+
+  /** Byte size of a live file — from the manifest's own stats when
+    * recorded (no RPC), else one `getFileStatus`.
+    */
+  private[graft] def fileBytes(spark: SparkSession, path: String, m: Manifest,
+                               file: String): Long =
+    m.stats.get(file).map(_.bytes).filter(_ > 0L).getOrElse(
+      fsFor(spark, path).getFileStatus(new HPath(s"$path/$file")).getLen)
 
   /** Per-column (min, max) doubles for `zCols` over `files`, computed
     * from the manifest's stats alone; None when any column/file lacks a
@@ -635,15 +717,31 @@ object Snapshot {
     * observability surface of the commit log, driver-sized by
     * construction (#versions rows).
     */
-  def history(spark: SparkSession, path: String): DataFrame = {
+  def history(spark: SparkSession, path: String,
+              distributeAbove: Int = 64): DataFrame = {
     import spark.implicits._
-    versions(spark, path).map { v =>
-      val m = manifest(spark, path, v)
+    def row(m: Manifest): (Long, Int, Long, String) = {
       val rows =
         if (m.files.forall(m.stats.contains)) m.files.map(m.stats(_).rows).sum
         else -1L
-      (v, m.files.size, rows, m.schemaDdl)
-    }.toDF("version", "num_files", "num_rows", "schema_ddl")
+      (m.version, m.files.size, rows, m.schemaDdl)
+    }
+    val vs = versions(spark, path)
+    val tuples =
+      if (vs.size <= distributeAbove)
+        vs.map(v => row(manifest(spark, path, v)))
+      else {
+        // a long-lived table accumulates thousands of manifests; read
+        // them in ONE Spark job instead of a serial driver loop
+        val sconf = org.apache.spark.graftbridge.ConfBridge.serializable(
+          spark.sparkContext.hadoopConfiguration)
+        val slices = math.max(1, math.min(vs.size / 16, 256))
+        spark.sparkContext.parallelize(vs, slices).map { v =>
+          val conf = org.apache.spark.graftbridge.ConfBridge.value(sconf)
+          row(manifestFrom(new HPath(path).getFileSystem(conf), path, v))
+        }.collect().toSeq.sortBy(_._1)
+      }
+    tuples.toDF("version", "num_files", "num_rows", "schema_ddl")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

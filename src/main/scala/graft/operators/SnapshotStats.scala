@@ -59,8 +59,12 @@ object SnapshotStats {
     */
   final case class ColStats(mn: Option[String], mx: Option[String], nulls: Option[Long])
 
-  /** Stats of one data file: row count plus per-column stats. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** Stats of one data file: row count, per-column stats, and the
+    * file's byte size (0 = unknown, pre-bytes manifests) — carried so
+    * scan planning (split sizing, relation sizeInBytes, compaction
+    * bin-packing) never needs a per-file filesystem RPC.
+    */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats], bytes: Long = 0L)
 
   private[operators] def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
@@ -193,7 +197,8 @@ object SnapshotStats {
     * conservative by adding one micro at encode time below.
     */
   private[operators] def footerStats(conf: Configuration, file: HPath, schema: StructType): FileStats = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val inFile = HadoopInputFile.fromPath(file, conf)
+    val reader = ParquetFileReader.open(inFile)
     try {
       val footer = reader.getFooter
       val msg = footer.getFileMetaData.getSchema
@@ -267,7 +272,7 @@ object SnapshotStats {
           case _ => None
         }
       }.toMap
-      FileStats(rows, cols)
+      FileStats(rows, cols, inFile.getLength)
     } finally reader.close()
   }
 
@@ -303,7 +308,7 @@ object SnapshotStats {
         }
       }
     }
-    rel -> FileStats(base.rows, base.cols ++ pCols)
+    rel -> FileStats(base.rows, base.cols ++ pCols, base.bytes)
   }
 
   /** Collect [[FileStats]] for `relFiles` (paths relative to `root`).

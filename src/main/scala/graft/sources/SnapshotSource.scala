@@ -1,10 +1,15 @@
 package graft.sources
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.graftbridge.ScanBridge
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.{Snapshot, SnapshotStats}
 
@@ -17,51 +22,124 @@ import graft.operators.{Snapshot, SnapshotStats}
   *   spark.sql("SELECT ... FROM t WHERE d BETWEEN ... ")   // skips files
   * }}}
   *
-  * Implemented against the stable DSv1 `PrunedFilteredScan` contract:
-  * Catalyst pushes the query's column list and conjunctive filters into
-  * `buildScan`, which uses them for MANIFEST file skipping
-  * ([[SnapshotStats]]) and column pruning. Every filter is declared
-  * unhandled, so Spark re-applies the full predicate above the scan —
-  * the same pruning-is-only-an-optimization contract as
-  * `Snapshot.readWhere`, enforced by the engine rather than promised by
-  * this source. The `sources.Filter` ADT is already attribute/value
-  * normalized, so translation to the pruner's mini-AST is direct.
+  * The relation is a plain [[HadoopFsRelation]] over a MANIFEST-backed
+  * [[FileIndex]] — the architecture every serious lakehouse reader uses,
+  * because it inherits Spark's whole native parquet scan: filter
+  * pushdown into the file scan (`PushedFilters`, row-group pruning),
+  * column pruning at the reader, vectorized columnar batches and
+  * whole-stage codegen. This source only decides WHICH files exist
+  * ([[SnapshotFileIndex.listFiles]]): manifest-stats skipping for data
+  * filters (conservative, pruning-is-only-an-optimization — Spark
+  * re-applies data filters above the scan) and exact partition pruning
+  * (required: Spark does NOT re-apply partition filters). Everything
+  * after file selection is stock Spark, so a 100 TB scan through SQL
+  * pays exactly what `spark.read.parquet` would — minus the files the
+  * manifest proves irrelevant.
   */
 class SnapshotSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path"))
-    val version = parameters.get("versionAsOf").map(_.toLong)
-    SnapshotRelation(sqlContext.sparkSession, path, version)
+    // pin the manifest at relation creation — reader isolation: one
+    // relation, one version, repeatable scans
+    val m = parameters.get("versionAsOf").map(_.toLong)
+      .map(Snapshot.manifest(spark, path, _))
+      .orElse(Snapshot.latestManifest(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val index = new SnapshotFileIndex(spark, path, m, tableSchema)
+    // dataSchema = the FULL table schema: partition columns keep their
+    // declared position (HadoopFsRelation dedups the overlap), and the
+    // file-source strategy reads them from partition values, never from
+    // the data files
+    HadoopFsRelation(index, index.partitionSchema, tableSchema, None,
+      new ParquetFileFormat, Map.empty)(spark)
   }
 }
 
-final case class SnapshotRelation(spark: SparkSession, path: String,
-                                  version: Option[Long]) extends BaseRelation
-    with PrunedFilteredScan {
+/** [[FileIndex]] over one pinned snapshot manifest. File "listing" is a
+  * pure metadata operation — the manifest already knows the live files,
+  * their partition values, byte sizes and per-column stats — so
+  * planning a scan costs zero filesystem listings.
+  */
+final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
+                              m: Snapshot.Manifest, tableSchema: StructType)
+    extends FileIndex {
 
-  // pin the manifest at relation creation — the DSv1 form of reader
-  // isolation: one relation, one version, repeatable scans
-  private val m: Snapshot.Manifest =
-    version.map(Snapshot.manifest(spark, path, _))
-      .orElse(Snapshot.latestManifest(spark, path))
-      .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+  override val partitionSchema: StructType =
+    StructType(m.partitionCols.map(c => tableSchema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"partition column $c not in table schema"))))
 
-  override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = StructType.fromDDL(m.schemaDdl)
-
-  // declare everything unhandled: Spark evaluates the full predicate
-  // above this scan, so skipping below can never change results
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
-
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val pruned = SnapshotStats.pruneByFilters(spark, m, filters)
-    val df = Snapshot.readManifestFiles(spark, path, m, pruned)
-    val projected: DataFrame =
-      if (requiredColumns.isEmpty) df else df.select(requiredColumns.map(col).toSeq: _*)
-    projected.rdd
+  partitionSchema.fields.foreach { f =>
+    require(canRepresent(f.dataType),
+      s"unsupported partition column type for the SQL source: ${f.dataType}")
   }
+
+  private def canRepresent(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         DateType | BooleanType | DoubleType | FloatType => true
+    case _ => false
+  }
+
+  private val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val qualifiedRoot = fs.makeQualified(new HPath(tablePath))
+
+  /** Hive partition-dir string → catalyst partition value. */
+  private def partitionValue(dt: DataType, raw: String): Any =
+    if (raw == null || raw == Snapshot.NullPartition) null
+    else dt match {
+      case StringType  => UTF8String.fromString(raw)
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case ShortType   => raw.toShort
+      case ByteType    => raw.toByte
+      case DateType    => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case BooleanType => raw.toBoolean
+      case DoubleType  => raw.toDouble
+      case FloatType   => raw.toFloat
+      case other       => throw new IllegalArgumentException(s"unsupported partition type $other")
+    }
+
+  private def status(rel: String): FileStatus = {
+    val p = new HPath(qualifiedRoot, rel)
+    val len = m.stats.get(rel).map(_.bytes).filter(_ > 0L)
+      .getOrElse(fs.getFileStatus(p).getLen)
+    new FileStatus(len, false, 1, fs.getDefaultBlockSize(p), 0L, p)
+  }
+
+  override def rootPaths: Seq[HPath] = Seq(qualifiedRoot)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // manifest-stats skipping: every translatable conjunct votes; an
+    // untranslatable one just doesn't prune (Spark re-applies data
+    // filters above the scan, so this can only be an optimization)
+    val pushed = (partitionFilters ++ dataFilters).flatMap(ScanBridge.translate).toArray
+    val kept = SnapshotStats.pruneByFilters(spark, m, pushed)
+    val byPart = kept.groupBy(f => Snapshot.partitionValues(m.partitionCols, f))
+    // exact partition pruning — required, not an optimization: Spark
+    // trusts the index and never re-evaluates partition filters
+    val keepPart = ScanBridge.partitionPredicate(partitionFilters, partitionSchema)
+    byPart.toSeq
+      .map { case (pv, files) =>
+        val row = InternalRow.fromSeq(partitionSchema.fields.toSeq.map(f =>
+          partitionValue(f.dataType, pv.getOrElse(f.name, null))))
+        (row, files)
+      }
+      .filter { case (row, _) => keepPart(row) }
+      .map { case (row, files) => PartitionDirectory(row, files.sorted.map(status).toArray) }
+  }
+
+  override def inputFiles: Array[String] =
+    m.files.map(f => new HPath(qualifiedRoot, f).toString).toArray
+
+  override def refresh(): Unit = () // pinned manifest: nothing to refresh
+
+  override lazy val sizeInBytes: Long =
+    m.files.map(f => m.stats.get(f).map(_.bytes).filter(_ > 0L)
+      .getOrElse(fs.getFileStatus(new HPath(qualifiedRoot, f)).getLen)).sum
 }

@@ -52,6 +52,53 @@ class CompactionSpec extends SparkSpec {
     assert(Layout.compactPartitions(spark, dir, "event_type", 1L << 30, 4).isEmpty)
   }
 
+  test("snapshot compaction: unpartitioned table bin-packs to the target") {
+    import graft.operators.Snapshot
+    val dir = Files.createTempDirectory("graft-compact-np").toString + "/t"
+    Snapshot.create(spark, dir,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(6))
+    (1 to 3).foreach(k => Snapshot.append(spark, dir,
+      (k * 100 until k * 100 + 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)))
+    val before = Snapshot.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(Snapshot.latestManifest(spark, dir).get.files.size >= 18)
+    val rewritten = Snapshot.compact(spark, dir, targetBytes = 1L << 30, minFiles = 2)
+    assert(rewritten == Seq(""), s"unpartitioned group tag: $rewritten")
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.files.size == 1, s"expected one packed file, got ${m.files.size}")
+    assert(Snapshot.read(spark, dir).as[(Long, String)].collect().toSet == before)
+    // idempotent: a second pass has nothing >= minFiles to do
+    assert(Snapshot.compact(spark, dir, targetBytes = 1L << 30, minFiles = 2).isEmpty)
+  }
+
+  test("snapshot compaction: two-level partitioning rewrites only fragmented leaves") {
+    import graft.operators.Snapshot
+    val dir = Files.createTempDirectory("graft-compact-2l").toString + "/t"
+    val mk = (n: Int, reg: String, yr: Int, parts: Int) =>
+      (0 until n).map(i => (i.toLong, reg, yr, i.toDouble)).toDF("id", "region", "yr", "v")
+        .repartition(parts)
+    Snapshot.create(spark, dir, mk(40, "na", 2024, 5), Seq("region", "yr"))
+    Snapshot.append(spark, dir, mk(40, "na", 2025, 5))
+    Snapshot.append(spark, dir, mk(40, "eu", 2024, 1).coalesce(1)) // healthy leaf
+    val before = Snapshot.read(spark, dir).as[(Long, String, Int, Double)].collect().toSet
+    val m0 = Snapshot.latestManifest(spark, dir).get
+    val healthy = m0.files.filter(_.contains("region=eu"))
+    assert(healthy.size == 1)
+
+    val rewritten = Snapshot.compact(spark, dir, targetBytes = 1L << 30, minFiles = 2)
+    assert(rewritten == Seq("region=na/yr=2024", "region=na/yr=2025"), s"got $rewritten")
+    val m1 = Snapshot.latestManifest(spark, dir).get
+    // the healthy leaf's file is untouched (same manifest entry)
+    assert(m1.files.filter(_.contains("region=eu")) == healthy)
+    // fragmented leaves collapsed; values identical
+    assert(m1.files.count(_.contains("region=na/yr=2024")) == 1)
+    assert(m1.files.count(_.contains("region=na/yr=2025")) == 1)
+    assert(Snapshot.read(spark, dir).as[(Long, String, Int, Double)].collect().toSet == before)
+    // partition predicates still prune through the rewritten layout
+    val (kept, total) = Snapshot.pruneFiles(spark, dir,
+      col("region") === "na" && col("yr") === 2024)
+    assert(kept.size == 1 && total == 3)
+  }
+
   test("hive-escaped and null partition values compact, and only real rewrites are reported") {
     val dir = Files.createTempDirectory("graft-compact-esc").toString + "/t"
     // partition values needing hive escaping (':') plus a null partition

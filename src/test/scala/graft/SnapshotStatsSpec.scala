@@ -291,6 +291,61 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.SnapshotSource").load(dir).count() == 1L)
   }
 
+  test("the SQL source plans a native parquet scan: pushdown, columnar, no RDD") {
+    val dir = tmp("src-plan")
+    rangeTable(dir)
+    val df = spark.read.format("graft.sources.SnapshotSource").load(dir)
+      .where(col("id").between(100L, 180L)).select("id", "name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"SQL source must not plan an RDD scan:\n$plan")
+    assert(plan.contains("FileScan parquet"), s"expected a native parquet scan:\n$plan")
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(id,100), LessThanOrEqual(id,180)]"),
+      s"filters must push into the parquet scan:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString}")
+    assert(plan.contains("ColumnarToRow"), s"scan must be columnar:\n$plan")
+    // column pruning reaches the reader: only the projected columns
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"),
+      s"projection must prune the read schema:\n${plan.linesIterator.filter(_.contains("ReadSchema")).mkString}")
+    assert(df.count() == 81L)
+  }
+
+  test("the SQL source prunes partitions exactly, even un-walkable filters") {
+    val dir = tmp("src-part")
+    val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", i.toDouble)).toDF("id", "p", "v")
+    Snapshot.create(spark, dir, df, Seq("p"))
+    val src = spark.read.format("graft.sources.SnapshotSource").load(dir)
+    // partition columns keep their declared schema position
+    assert(src.columns.toSeq == Seq("id", "p", "v"))
+    assertSame(src, Snapshot.read(spark, dir))
+    // simple partition filter: prunes to one partition's files
+    val one = src.where(col("p") === "p1")
+    assert(one.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+    assertSame(one, Snapshot.read(spark, dir).where(col("p") === "p1"))
+    // a partition filter the stats walker can NOT reason about must be
+    // applied EXACTLY by the index (Spark does not re-apply it)
+    val tricky = src.where(length(col("p")) === lit(2) && substring(col("p"), 2, 1) === "2")
+    assert(tricky.count() == 100L)
+    assertSame(tricky, Snapshot.read(spark, dir)
+      .where(length(col("p")) === lit(2) && substring(col("p"), 2, 1) === "2"))
+    // null partitions round-trip through the source
+    val nd = tmp("src-null")
+    Snapshot.create(spark, nd,
+      Seq((1L, "a"), (2L, null)).toDF("id", "p"), Seq("p"))
+    val nsrc = spark.read.format("graft.sources.SnapshotSource").load(nd)
+    assert(nsrc.where(col("p").isNull).select("id").as[Long].collect().toSeq == Seq(2L))
+    assertSame(nsrc, Snapshot.read(spark, nd))
+  }
+
+  test("the SQL source reads evolved tables (old files fill null) and pinned versions") {
+    val dir = tmp("src-evolve")
+    Snapshot.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Snapshot.append(spark, dir, Seq((3L, "c", 9.5)).toDF("id", "s", "score"), mergeSchema = true)
+    val src = spark.read.format("graft.sources.SnapshotSource").load(dir)
+    assert(src.select("id", "s", "score").as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+    val v1 = spark.read.format("graft.sources.SnapshotSource").option("versionAsOf", "1").load(dir)
+    assert(v1.columns.toSeq == Seq("id", "s") && v1.count() == 2L)
+  }
+
   test("metadataAgg folds exact aggregates from stats, refuses when unusable") {
     val dir = tmp("metaagg")
     rangeTable(dir)
@@ -389,6 +444,43 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).as[(Long, String)].collect().toSet == Set((9L, "mv")))
     // and the overwriteBatch manifest still carries appA's watermark
     assert(!Snapshot.appendBatch(spark, dir, Seq((2L, "y")).toDF("id", "v"), "appA", 8L))
+  }
+
+  test("latest-version reads are pointer-driven: zero log listings") {
+    val dir = tmp("pointer")
+    Snapshot.create(spark, dir, Seq((0L, "v0")).toDF("id", "v"))
+    (1 until 20).foreach(i => Snapshot.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    var listings = 0
+    Snapshot.listHook = _ => listings += 1
+    try {
+      assert(Snapshot.latestVersion(spark, dir).contains(20L))
+      assert(Snapshot.read(spark, dir).count() == 20L)
+      assert(listings == 0, s"pointer-driven read must not list the log dir ($listings listings)")
+
+      val last = new java.io.File(s"$dir/${Snapshot.LogDirName}/_last")
+      def rewrite(s: String): Unit = {
+        java.nio.file.Files.write(last.toPath, s.getBytes)
+        new java.io.File(last.getParent, "._last.crc").delete(): Unit
+      }
+      // stale pointer (crash between manifest rename and pointer write):
+      // the forward probe finds the true latest without a listing
+      rewrite("18")
+      assert(Snapshot.latestVersion(spark, dir).contains(20L))
+      assert(listings == 0, "stale pointer must resolve by probing, not listing")
+      // corrupt pointer: full-listing fallback, still correct
+      rewrite("not-a-number")
+      assert(Snapshot.latestVersion(spark, dir).contains(20L))
+      assert(listings > 0, "corrupt pointer must fall back to listing")
+      // the next commit restores the pointer
+      Snapshot.append(spark, dir, Seq((99L, "x")).toDF("id", "v"))
+      listings = 0
+      assert(Snapshot.latestVersion(spark, dir).contains(21L))
+      assert(listings == 0)
+    } finally Snapshot.listHook = _ => ()
+    // distributed history pass gives the same answer as the serial one
+    val serial = Snapshot.history(spark, dir).collect().toSeq
+    val dist = Snapshot.history(spark, dir, distributeAbove = 2).collect().toSeq
+    assert(dist == serial)
   }
 
   test("appendBatch is exactly-once under foreachBatch redelivery") {

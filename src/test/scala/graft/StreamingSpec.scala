@@ -232,4 +232,68 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, "2024-01-01 13:30:00.0", 1, 5.0))) // closed by timeout
     assert(got.contains((2L, "2024-01-01 10:00:00.0", 1, 7.0)))
   }
+
+  test("change-feed consumer: streaming drain is exactly-once and crash-convergent") {
+    import graft.operators.Snapshot
+    import graft.streaming.FeedConsumer
+    val dir = Files.createTempDirectory("graft-feed").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val ticks = s"$dir/ticks"
+    val mk = (lo: Int, hi: Int) =>
+      (lo until hi).map(i => (i.toLong, s"k${i % 3}", i.toDouble)).toDF("id", "k", "v")
+    Snapshot.create(spark, src, mk(0, 60), Seq("k"))
+    Snapshot.create(spark, dst,
+      FeedConsumer.emptyRollup(spark, Snapshot.read(spark, src), Seq("k")))
+
+    // the recompute the consumer must always converge to
+    def expected(): Set[(String, Long, BigDecimal)] =
+      Snapshot.read(spark, src).groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("decimal(28,2)").as("total"))
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => (t._1, t._2, BigDecimal(t._3))).toSet
+    def state(): Set[(String, Long, BigDecimal)] =
+      Snapshot.read(spark, dst).as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => (t._1, t._2, BigDecimal(t._3))).toSet
+
+    // the nightly tick as a streaming job: each tick file drives one
+    // foreachBatch drain; the WATERMARK lives in dst's manifest
+    Seq(1).toDF("tick").write.parquet(ticks)
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema("tick INT").parquet(ticks)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          FeedConsumer.drain(spark, src, dst, "mv1")(
+            FeedConsumer.additiveRollup(Seq("k"), "v")): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run(s"$dir/ckpt1")
+    assert(state() == expected(), "bootstrap drain must equal the recompute")
+
+    // source advances: an append and a merge
+    Snapshot.append(spark, src, mk(60, 90))
+    Snapshot.mergeById(spark, src,
+      Seq((0L, "k0", 1000.0), (3L, "k0", 2000.0)).toDF("id", "k", "v"), "id", "k")
+
+    // CRASH between feed read and publish: the txn files are written,
+    // the commit never happens — watermark unchanged, rerun re-drains
+    Snapshot.faultHook = stage => if (stage == "data-files-written")
+      throw new RuntimeException("injected crash before publish")
+    val before = state()
+    Seq(2).toDF("tick").write.mode("append").parquet(ticks)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run(s"$dir/ckpt2") }
+    Snapshot.faultHook = _ => ()
+    assert(state() == before, "a crashed drain must leave the rollup untouched")
+
+    // rerun (fresh checkpoint = full redelivery): converges exactly once
+    run(s"$dir/ckpt3")
+    assert(state() == expected(), "rerun after crash must converge to the recompute")
+
+    // an idle tick after catching up is a no-op (watermark-guarded)
+    assert(FeedConsumer.drain(spark, src, dst, "mv1")(
+      FeedConsumer.additiveRollup(Seq("k"), "v")).isEmpty)
+  }
 }
