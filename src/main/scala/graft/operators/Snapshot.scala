@@ -163,7 +163,8 @@ object Snapshot {
           ce.getKey -> SnapshotStats.ColStats(
             if (c.has("mn")) Some(c.get("mn").asText()) else None,
             if (c.has("mx")) Some(c.get("mx").asText()) else None,
-            if (c.has("nulls")) Some(c.get("nulls").asLong()) else None)
+            if (c.has("nulls")) Some(c.get("nulls").asLong()) else None,
+            c.has("tr") && c.get("tr").asBoolean())
         }.toMap
         e.getKey -> SnapshotStats.FileStats(n.get("rows").asLong(), cols,
           if (n.has("bytes")) n.get("bytes").asLong() else 0L)
@@ -383,6 +384,7 @@ object Snapshot {
             cs.mn.foreach(n.put("mn", _))
             cs.mx.foreach(n.put("mx", _))
             cs.nulls.foreach(n.put("nulls", _))
+            if (cs.trunc) n.put("tr", true)
           }
         }
       }

@@ -55,9 +55,77 @@ object SnapshotStats {
 
   /** Per-column stats of one data file. `mn`/`mx` use the canonical
     * string encoding above; None = unknown (absent/unusable footer
-    * stats) and can never cause a skip.
+    * stats) and can never cause a skip. `trunc` marks string bounds
+    * stored TRUNCATED (prefix min, bumped-prefix max): still valid
+    * bounds for pruning, but not exact values — [[metadataAgg]]
+    * refuses them. Parquet's own footer stats are exact-or-absent on
+    * this writer (chunk stats above 4 KB are dropped, never truncated),
+    * so truncation exists only in this manifest encoding, where it
+    * keeps a long-string column prunable without bloating the log.
     */
-  final case class ColStats(mn: Option[String], mx: Option[String], nulls: Option[Long])
+  final case class ColStats(mn: Option[String], mx: Option[String], nulls: Option[Long],
+                            trunc: Boolean = false)
+
+  /** Cap on stored string-stat bytes; longer bounds are truncated and
+    * marked. 64 bytes keeps nearly all real-world prefix selectivity.
+    */
+  private[operators] val MaxStatBytes = 64
+
+  /** Longest codepoint prefix of `s` whose UTF-8 size fits the cap —
+    * never split inside a codepoint, or the stored bound could order
+    * differently than the value it bounds.
+    */
+  private def utf8Prefix(s: String): String = {
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+      if (bytes + w > MaxStatBytes) return s.substring(0, i)
+      bytes += w
+      i += Character.charCount(cp)
+    }
+    s
+  }
+
+  /** Upper bound for every string extending `s`'s capped prefix: the
+    * prefix with its last bumpable codepoint incremented (skipping the
+    * surrogate gap — UTF-8 byte order tracks codepoint order, so the
+    * bumped prefix is byte-greater than anything sharing the original
+    * prefix). None when no codepoint can go up (all U+10FFFF — then the
+    * max is simply unknown).
+    */
+  private def bumpedPrefix(s: String): Option[String] = {
+    val cps = utf8Prefix(s).codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val c = cps(i)
+      val next = if (c == 0xD7FF) 0xE000 else c + 1
+      if (next <= Character.MAX_CODE_POINT && !(next >= 0xD800 && next <= 0xDFFF)) {
+        val out = java.util.Arrays.copyOf(cps, i + 1)
+        out(i) = next
+        return Some(new String(out, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Truncate-and-mark: (mn, mx, trunc). Bounds stay valid — a
+    * truncated min is a prefix (<= the true min), a truncated max is a
+    * bumped prefix (>= the true max) — exactness is what the flag
+    * surrenders.
+    */
+  private[operators] def stringStats(lo: Array[Byte], hi: Array[Byte]): (Option[String], Option[String], Boolean) = {
+    val loS = new String(lo, java.nio.charset.StandardCharsets.UTF_8)
+    val hiS = new String(hi, java.nio.charset.StandardCharsets.UTF_8)
+    if (lo.length <= MaxStatBytes && hi.length <= MaxStatBytes) (Some(loS), Some(hiS), false)
+    else {
+      val mn = if (lo.length <= MaxStatBytes) loS else utf8Prefix(loS)
+      val mx = if (hi.length <= MaxStatBytes) Some(hiS) else bumpedPrefix(hiS)
+      (Some(mn), mx, true)
+    }
+  }
 
   /** Stats of one data file: row count, per-column stats, and the
     * file's byte size (0 = unknown, pre-bytes manifests) — carried so
@@ -250,7 +318,7 @@ object SnapshotStats {
         val nulls = if (nk) Some(n) else None
         a match {
           case Some(acc0) if known =>
-            val mnMx: Option[(String, String)] = f.dataType match {
+            val cs: ColStats = f.dataType match {
               case TimestampType | TimestampNTZType =>
                 val la = acc0.asInstanceOf[LongAcc]
                 // NANOS→micros floor: bump the max by 1µs so the true max
@@ -258,15 +326,16 @@ object SnapshotStats {
                 // <= the true min)
                 val hi = if (nanosCols.contains(f.name)) la.hi + 1L else la.hi
                 if (f.dataType == TimestampNTZType) {
-                  if (la.lo < NtzMinMicros || hi > NtzMaxMicros) None
-                  else Some((ntzString(la.lo), ntzString(hi)))
-                } else Some((la.lo.toString, hi.toString))
-              case _ => Some((acc0.mn, acc0.mx))
+                  if (la.lo < NtzMinMicros || hi > NtzMaxMicros) ColStats(None, None, nulls)
+                  else ColStats(Some(ntzString(la.lo)), Some(ntzString(hi)), nulls)
+                } else ColStats(Some(la.lo.toString), Some(hi.toString), nulls)
+              case StringType =>
+                val ba = acc0.asInstanceOf[BytesAcc]
+                val (mn, mx, tr) = stringStats(ba.lo, ba.hi)
+                ColStats(mn, mx, nulls, tr)
+              case _ => ColStats(Some(acc0.mn), Some(acc0.mx), nulls)
             }
-            mnMx match {
-              case Some((mnS, mxS)) => Some(f.name -> ColStats(Some(mnS), Some(mxS), nulls))
-              case None             => Some(f.name -> ColStats(None, None, nulls))
-            }
+            Some(f.name -> cs)
           case _ if nulls.isDefined || !known =>
             Some(f.name -> ColStats(None, None, nulls))
           case _ => None
@@ -465,11 +534,15 @@ object SnapshotStats {
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no such column: $c"))
       require(supported(f.dataType), s"no stats support for ${f.dataType} column $c")
-      // string footer stats may be TRUNCATED bounds (valid for pruning,
-      // not exact values) — refuse rather than risk a wrong MIN/MAX
-      require(f.dataType != StringType, s"metadataAgg: string min/max not exact ($c)")
       c -> f.dataType
     }.toMap
+    // string min/max fold is exact only over EXACT stored bounds:
+    // refuse any file whose string stats were truncated at collection
+    val truncated = m.files.filter(f =>
+      m.stats.get(f).exists(fs => cols.exists(c => fs.cols.get(c).exists(_.trunc))))
+    require(truncated.isEmpty,
+      s"metadataAgg: truncated string stats for ${cols.mkString(",")} " +
+        s"(fall back to a scan): ${truncated.take(3).mkString(", ")}")
     val missing = m.files.filter { f =>
       !m.stats.get(f).exists(fs => cols.forall(c =>
         fs.cols.get(c).exists(cs =>

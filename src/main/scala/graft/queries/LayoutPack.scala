@@ -359,25 +359,117 @@ object LayoutPack extends QueryPack {
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
            |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
            |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+           |  MIN(o_orderpriority) AS min_pr, MAX(o_orderpriority) AS max_pr,
            |  CAST(COUNT(o_totalprice) AS BIGINT) AS cnt_o_totalprice
            |FROM orders""".stripMargin)) { t =>
     // COUNT/MIN/MAX answered from the MANIFEST alone — zero data files
     // opened (the plan under the agg is a #files-row local relation).
     // File minima/maxima are exact file-level aggregates, so their fold
     // is the exact table aggregate; the oracle recomputes from the raw
-    // rows. At 100 TB this is the difference between a metadata lookup
-    // and a full scan for the most common profiling query there is.
+    // rows. String min/max participate because stored string stats are
+    // exact unless truncation-marked (then metadataAgg refuses). At
+    // 100 TB this is the difference between a metadata lookup and a
+    // full scan for the most common profiling query there is.
     val dir = java.nio.file.Files.createTempDirectory("graft_q122").toString + "/orders_s"
     graft.operators.Snapshot.create(t.spark, dir,
-      t.orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+      t.orders.select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
         .repartitionByRange(16, col("o_orderdate")))
-    graft.operators.Snapshot.metadataAgg(t.spark, dir, Seq("o_totalprice", "o_orderdate"))
+    graft.operators.Snapshot.metadataAgg(t.spark, dir,
+      Seq("o_totalprice", "o_orderdate", "o_orderpriority"))
       .select(col("n"),
         col("min_o_totalprice").as("min_price"), col("max_o_totalprice").as("max_price"),
         col("min_o_orderdate").as("min_date"), col("max_o_orderdate").as("max_date"),
+        col("min_o_orderpriority").as("min_pr"), col("max_o_orderpriority").as("max_pr"),
         col("cnt_o_totalprice"))
   }
 
+  val q126 = QueryDef(
+    "q126_multilevel_compact",
+    Some("""SELECT o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Two-level-partitioned snapshot table under maintenance: two
+    // fragmented loads land (priority, year) leaves as several small
+    // files each, one multi-column `compact` bin-packs every fragmented
+    // leaf in a single atomic commit — and moves no rows across
+    // partitions. The oracle recomputes the same rollup from the raw
+    // table, so any row lost, duplicated or re-homed by the rewrite
+    // fails the gate. The hourly-append + nightly-compact lifecycle
+    // every 100 TB fact table lives.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q126").toString + "/orders_s"
+    val base = t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    graft.operators.Snapshot.create(t.spark, dir,
+      base.where(col("o_orderdate") < cut).repartition(3), Seq("o_orderpriority", "yr"))
+    graft.operators.Snapshot.append(t.spark, dir,
+      base.where(col("o_orderdate") >= cut).repartition(3))
+    val packed = graft.operators.Snapshot.compact(t.spark, dir, minFiles = 2)
+    require(packed.nonEmpty, "fixture must fragment at least one leaf")
+    graft.operators.Snapshot.read(t.spark, dir)
+      .groupBy(col("o_orderpriority"), col("yr"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority", "yr")
+  }
+
+  val q127 = QueryDef(
+    "q127_change_feed_rollup",
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |), ins AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+           |), upd AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice * 3 AS o_totalprice FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           |    AND o_orderpriority IN ('2-HIGH', '5-LOW')
+           |), final AS (
+           |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           |  UNION ALL SELECT * FROM ins
+           |  UNION ALL SELECT * FROM upd
+           |)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total
+           |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // The change-feed consumer end to end as a BATCH-checkable fact:
+    // bootstrap drain, then an append + a merge on the source, then a
+    // catch-up drain — the downstream rollup must equal the oracle's
+    // full recompute from the source's final state, though the consumer
+    // only ever read the NET deltas of each window (O(changed files),
+    // q119's algebra run by the standing FeedConsumer with its
+    // manifest-watermarked exactly-once publish).
+    import graft.operators.Snapshot
+    import graft.streaming.FeedConsumer
+    val root = java.nio.file.Files.createTempDirectory("graft_q127").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val cutH1 = lit("1997-06-01 00:00:00").cast("timestamp")
+    val cut96 = lit("1996-01-01 00:00:00").cast("timestamp")
+    val base = t.orders.where(col("o_orderdate") < cut97)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Snapshot.create(t.spark, src, base, Seq("o_orderpriority"))
+    Snapshot.create(t.spark, dst, FeedConsumer.emptyRollup(t.spark, base, Seq("o_orderpriority")))
+    val fold = FeedConsumer.additiveRollup(Seq("o_orderpriority"), "o_totalprice") _
+    FeedConsumer.drain(t.spark, src, dst, "q127")(fold)
+    Snapshot.append(t.spark, src,
+      t.orders.where(col("o_orderdate") >= cut97 && col("o_orderdate") < cutH1)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    Snapshot.mergeById(t.spark, src,
+      t.orders.where(col("o_orderdate") < cut96 &&
+          col("o_orderpriority").isin("2-HIGH", "5-LOW"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") * 3).as("o_totalprice")),
+      "o_orderkey", "o_orderpriority")
+    FeedConsumer.drain(t.spark, src, dst, "q127")(fold)
+    Snapshot.read(t.spark, dst)
+      .select(col("o_orderpriority"), col("n"), col("total").cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127)
 }

@@ -75,6 +75,53 @@ class ConsumoBloquesSpec extends SparkSpec {
       canon(replacement.where($"periodo" === "hora" && $"p_start" >= cut)))
   }
 
+  test("snapshot-published q62: rerun is idempotent AND atomic under fault injection") {
+    import graft.operators.Snapshot
+    val t = sf()
+    val path = Files.createTempDirectory("graft-bloques-snap").toString + "/consumo_bloques"
+    // publish the first load INTO a snapshot table; all later writer
+    // calls route through the atomic replacePartitions commit
+    Snapshot.create(spark, path, ConsumoBloquesPack.firstLoad(t), Seq("periodo", "p_start"))
+    val replacement = ConsumoBloquesPack.rerunReplacement(t)
+
+    // crash between the replacement's file writes and the manifest
+    // commit: the dual-window delete+rewrite must be ALL-OR-NOTHING —
+    // the raw writer's documented crash window (stale+deleted mix)
+    // cannot exist here
+    Snapshot.faultHook = stage =>
+      if (stage == "manifest-staged") throw new RuntimeException("injected crash mid-publish")
+    intercept[RuntimeException] {
+      Writers.replacePeriodWindowWrite(spark, path, replacement,
+        "p_start", "periodo", ConsumoBloquesPack.cutoffTs)
+    }
+    Snapshot.faultHook = _ => ()
+    assert(canon(Snapshot.read(spark, path)) == canon(ConsumoBloquesPack.firstLoad(t)),
+      "a crashed publish must leave exactly the old table")
+
+    // the rerun completes: table == the q62 dataflow
+    Writers.replacePeriodWindowWrite(spark, path, replacement,
+      "p_start", "periodo", ConsumoBloquesPack.cutoffTs)
+    assert(canon(Snapshot.read(spark, path)) == canon(ConsumoBloquesPack.publish(t)))
+
+    // pre-cutoff hora files are carried by MANIFEST ENTRY, not
+    // rewritten — the O(window)-not-O(table) contract, snapshot form
+    def preCutoff(): Seq[String] = {
+      val m = Snapshot.latestManifest(spark, path).get
+      m.files.filter { f =>
+        val pv = Snapshot.partitionValues(m.partitionCols, f)
+        pv("periodo") == "hora" && pv("p_start") < "2024-01-15 00:00:00"
+      }.sorted
+    }
+    val carried = preCutoff()
+    assert(carried.nonEmpty)
+
+    // identical rerun: contents unchanged, untouched files still carried
+    Writers.replacePeriodWindowWrite(spark, path, replacement,
+      "p_start", "periodo", ConsumoBloquesPack.cutoffTs)
+    assert(canon(Snapshot.read(spark, path)) == canon(ConsumoBloquesPack.publish(t)))
+    assert(preCutoff() == carried, "rerun rewrote files outside the replace window")
+  }
+
   test("the replace window is observable: straddling playback changes replaced rows (sf0.01)") {
     // sf0.001 has no event crossing the Jan-15 cutoff; sf0.01 has 9 —
     // there the re-extract (which drops pre-cutoff starts) must produce

@@ -349,18 +349,40 @@ class SnapshotStatsSpec extends SparkSpec {
   test("metadataAgg folds exact aggregates from stats, refuses when unusable") {
     val dir = tmp("metaagg")
     rangeTable(dir)
-    // strings (truncatable bounds) and unknown columns are refused
-    intercept[IllegalArgumentException] { Snapshot.metadataAgg(spark, dir, Seq("id", "tag")) }
     intercept[IllegalArgumentException] { Snapshot.metadataAgg(spark, dir, Seq("no_such")) }
-    val ok = Snapshot.metadataAgg(spark, dir, Seq("id", "score"))
-      .select("n", "min_id", "max_id", "cnt_id", "min_score", "max_score", "cnt_score")
-      .as[(Long, Long, Long, Long, Double, Double, Long)].head()
+    val ok = Snapshot.metadataAgg(spark, dir, Seq("id", "score", "tag"))
+      .select("n", "min_id", "max_id", "cnt_id", "min_score", "max_score", "cnt_score",
+        "min_tag", "max_tag", "cnt_tag")
+      .as[(Long, Long, Long, Long, Double, Double, Long, String, String, Long)].head()
     val exp = Snapshot.read(spark, dir)
       .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"),
         count("id").as("cnt_id"), min("score").as("min_score"), max("score").as("max_score"),
-        count("score").as("cnt_score"))
-      .as[(Long, Long, Long, Long, Double, Double, Long)].head()
+        count("score").as("cnt_score"), min("tag").as("min_tag"), max("tag").as("max_tag"),
+        count("tag").as("cnt_tag"))
+      .as[(Long, Long, Long, Long, Double, Double, Long, String, String, Long)].head()
     assert(ok == exp)
+  }
+
+  test("long string stats truncate-and-mark: pruning stays sound, metadataAgg refuses") {
+    val dir = tmp("longstr")
+    // two range-separated files; values far beyond the 64-byte stat cap
+    val mk = (p: Char) => (0 until 50).map(i => s"$p${"%03d".format(i)}" + ("x" * 200))
+    Snapshot.create(spark, dir, (mk('a') ++ mk('q')).toDF("s").repartitionByRange(2, col("s")))
+    val m = Snapshot.latestManifest(spark, dir).get
+    val cs = m.stats.values.flatMap(_.cols.get("s")).toSeq
+    assert(cs.nonEmpty && cs.forall(_.trunc), "long string stats must be marked truncated")
+    assert(cs.forall(c => c.mn.get.getBytes("UTF-8").length <= 64 + 4),
+      "stored bounds must be capped")
+    // truncated bounds still prune: a prefix range hits one file only
+    val pred = col("s").startsWith("q0")
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, pred)
+    assert(total == 2 && kept.size == 1, s"expected 1 of 2 files, got ${kept.size}")
+    assertSame(Snapshot.readWhere(spark, dir, pred), Snapshot.read(spark, dir).where(pred))
+    // range compare over truncated bounds is also sound
+    val pred2 = col("s") > ("q025" + ("x" * 200))
+    assertSame(Snapshot.readWhere(spark, dir, pred2), Snapshot.read(spark, dir).where(pred2))
+    // exactness is gone: refuse, never a wrong MIN/MAX
+    intercept[IllegalArgumentException] { Snapshot.metadataAgg(spark, dir, Seq("s")) }
   }
 
   test("distributed stats collection equals the driver pool (and the manifest)") {
