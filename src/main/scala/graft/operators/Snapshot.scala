@@ -39,10 +39,16 @@ import scala.jdk.CollectionConverters._
   * between every pair of steps and proves readers always see exactly
   * the old or the new table.
   *
-  * Concurrency contract: single WRITER per table (the reference's
-  * Airflow DAG serializes its writers the same way); readers are
-  * unlimited and never blocked. Optimistic multi-writer conflict
-  * detection is a lakehouse format's job, not this layer's.
+  * Concurrency contract: readers are unlimited and never blocked.
+  * APPEND-family writers (`append`, `appendBatch`) are multi-writer
+  * safe via optimistic concurrency — a version collision rebases the
+  * commit onto the current manifest and retries, which is always
+  * semantics-preserving because appends commute. Read-modify-write
+  * writers (`overwrite`, `replacePartitions`, `mergeById`, `compact`)
+  * stay single-writer-per-table (the reference's Airflow DAG
+  * serializes them the same way) and REFUSE on conflict
+  * ([[CommitConflictException]]) rather than silently discard a
+  * concurrent commit.
   *
   * At 100 TB: manifests are O(#live files) metadata, commits are O(new
   * files) + one rename, and every routed writer below stays partition-
@@ -75,6 +81,25 @@ object Snapshot {
     * concurrently-writing snapshot tables in the same JVM.
     */
   private val writeConfLock = new Object
+
+  /** A concurrent commit took this version first. APPEND-family writers
+    * catch it and rebase ([[append]]'s retry loop); read-modify-write
+    * writers (overwrite, replace, merge) let it propagate — their new
+    * state was derived from a manifest that is no longer latest, and
+    * blindly rebasing would silently discard the other writer's commit.
+    */
+  final class CommitConflictException(msg: String) extends java.io.IOException(msg)
+
+  /** Per-table commit-section locks (one JVM). HDFS-class filesystems
+    * make the manifest rename-no-overwrite atomic across writers; a
+    * local filesystem's rename overwrites, so the exists+rename window
+    * is additionally serialized per table within the JVM. Cross-JVM
+    * local-FS writers remain the caller's coordination problem — the
+    * scale deployment (HDFS/object store with atomic create) is not.
+    */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(path: String): Object =
+    commitLocks.computeIfAbsent(path, _ => new Object)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -357,10 +382,6 @@ object Snapshot {
     val log = new HPath(path, LogDirName)
     if (!fs.exists(log)) fs.mkdirs(log)
     val target = manifestPath(path, m.version)
-    if (fs.exists(target))
-      throw new java.io.IOException(
-        s"snapshot commit conflict: version ${m.version} already exists at $path " +
-          "(single-writer contract violated)")
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", m.version)
@@ -394,9 +415,18 @@ object Snapshot {
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     finally out.close()
     faultHook("manifest-staged")
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"snapshot commit failed: could not rename into $target")
+    // the conflict check and the rename form one critical section (see
+    // [[commitLocks]]); the rename remains the commit point
+    commitLock(fs.makeQualified(new HPath(path)).toString).synchronized {
+      if (fs.exists(target)) {
+        fs.delete(tmp, true)
+        throw new CommitConflictException(
+          s"snapshot commit conflict: version ${m.version} already exists at $path")
+      }
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(s"snapshot commit failed: could not rename into $target")
+      }
     }
     faultHook("manifest-committed")
     // after the commit point: a crash here leaves the pointer one
@@ -440,16 +470,26 @@ object Snapshot {
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
              mergeSchema: Boolean = false): Long =
-    appendWith(spark, path, df, mergeSchema, identity)
+    appendWith(spark, path, df, mergeSchema, identity, _ => true).get
 
+  /** Append core with OPTIMISTIC CONCURRENCY: txn files are validated
+    * and written once, then the commit rebases onto whatever manifest
+    * is current and retries on a concurrent commit — appends commute,
+    * so a rebase (re-union the live file list, re-resolve the evolved
+    * schema) is always semantics-preserving. This is the one writer
+    * family where multi-writer is safe without conflict analysis; the
+    * read-modify-write writers still refuse on conflict. `guard`
+    * re-evaluates against each rebased manifest (appendBatch's
+    * duplicate check — another writer may have landed this very batch);
+    * a false guard abandons the txn files to vacuum and returns None.
+    */
   private def appendWith(spark: SparkSession, path: String, df: DataFrame,
-                         mergeSchema: Boolean, finish: Manifest => Manifest): Long = {
-    val m = latestManifest(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val table = StructType.fromDDL(m.schemaDdl)
-    val newCols = df.schema.fields.filter(f => !table.fieldNames.contains(f.name))
-    val missing = table.fieldNames.filterNot(df.columns.contains)
-    val ddl =
+                         mergeSchema: Boolean, finish: Manifest => Manifest,
+                         guard: Manifest => Boolean): Option[Long] = {
+    def resolveDdl(m: Manifest): String = {
+      val table = StructType.fromDDL(m.schemaDdl)
+      val newCols = df.schema.fields.filter(f => !table.fieldNames.contains(f.name))
+      val missing = table.fieldNames.filterNot(df.columns.contains)
       if (!mergeSchema) {
         require(newCols.isEmpty && missing.isEmpty,
           s"append schema mismatch (new: ${newCols.map(_.name).mkString(",")}; " +
@@ -461,10 +501,28 @@ object Snapshot {
         // pre-evolution file reads it as null, whatever the batch says
         StructType(table.fields ++ newCols.map(_.copy(nullable = true))).toDDL
       }
-    val files = writeTxnFiles(df, path, m.partitionCols)
-    commitManifest(spark, path, finish(m.copy(version = m.version + 1, schemaDdl = ddl,
-      files = m.files ++ files,
-      stats = m.stats ++ statsFor(spark, path, files, ddl, m.partitionCols))))
+    }
+    val m0 = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    resolveDdl(m0) // fail fast before any data lands
+    if (!guard(m0)) return None
+    val files = writeTxnFiles(df, path, m0.partitionCols)
+    // the batch's own schema covers exactly the new files' columns, so
+    // stats are computed once and reused across commit retries
+    val newStats = statsFor(spark, path, files, df.schema.toDDL, m0.partitionCols)
+    var attempt = 0
+    while (true) {
+      val m = if (attempt == 0) m0 else latestManifest(spark, path).getOrElse(m0)
+      if (!guard(m)) return None
+      val ddl = resolveDdl(m)
+      try {
+        return Some(commitManifest(spark, path, finish(m.copy(version = m.version + 1,
+          schemaDdl = ddl, files = m.files ++ files, stats = m.stats ++ newStats))))
+      } catch {
+        case _: CommitConflictException if attempt < 10 => attempt += 1
+      }
+    }
+    None // unreachable
   }
 
   /** Exactly-once micro-batch append for a Structured Streaming
@@ -480,14 +538,10 @@ object Snapshot {
     */
   def appendBatch(spark: SparkSession, path: String, df: DataFrame,
                   appId: String, batchId: Long,
-                  mergeSchema: Boolean = false): Boolean = {
-    val m = latestManifest(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    if (m.streamBatch.get(appId).exists(_ >= batchId)) return false
+                  mergeSchema: Boolean = false): Boolean =
     appendWith(spark, path, df, mergeSchema,
-      mNew => mNew.copy(streamBatch = mNew.streamBatch + (appId -> batchId)))
-    true
-  }
+      mNew => mNew.copy(streamBatch = mNew.streamBatch + (appId -> batchId)),
+      guard = m => !m.streamBatch.get(appId).exists(_ >= batchId)).isDefined
 
   /** K4 full overwrite: new version = exactly the new txn's files. The
     * atomic replacement stagedSwap approximates — with no window where

@@ -81,7 +81,8 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
 
   private def canRepresent(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType |
-         DateType | BooleanType | DoubleType | FloatType => true
+         DateType | BooleanType | DoubleType | FloatType |
+         TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -101,6 +102,10 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
       case BooleanType => raw.toBoolean
       case DoubleType  => raw.toDouble
       case FloatType   => raw.toFloat
+      case TimestampType => ScanBridge.timestampValue(raw, spark).getOrElse(
+        throw new IllegalArgumentException(s"unparseable timestamp partition value: $raw"))
+      case TimestampNTZType => ScanBridge.timestampNtzValue(raw).getOrElse(
+        throw new IllegalArgumentException(s"unparseable ntz partition value: $raw"))
       case other       => throw new IllegalArgumentException(s"unsupported partition type $other")
     }
 

@@ -18,6 +18,22 @@ import org.apache.spark.sql.types.StructType
   */
 object ScanBridge {
 
+  /** Hive partition-dir timestamp string → catalyst micros, with the
+    * SESSION's timezone — the same parse Spark's own partition
+    * inference uses, so a `p_start=2024-01-15 00%3A00%3A00` dir reads
+    * identically through this index and through `spark.read.parquet`.
+    */
+  def timestampValue(raw: String, spark: org.apache.spark.sql.SparkSession): Option[Long] =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+      org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+        spark.sessionState.conf.sessionLocalTimeZone))
+
+  /** Timezone-free variant for TIMESTAMP_NTZ partition columns. */
+  def timestampNtzValue(raw: String): Option[Long] =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestampWithoutTimeZone(
+      org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+
   /** Catalyst predicate → pushdown `Filter`, when expressible. The
     * consumer treats None conservatively (no pruning from this
     * conjunct).

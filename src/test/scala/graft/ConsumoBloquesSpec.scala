@@ -120,6 +120,11 @@ class ConsumoBloquesSpec extends SparkSpec {
       "p_start", "periodo", ConsumoBloquesPack.cutoffTs)
     assert(canon(Snapshot.read(spark, path)) == canon(ConsumoBloquesPack.publish(t)))
     assert(preCutoff() == carried, "rerun rewrote files outside the replace window")
+
+    // and the published table is readable through the REGISTERED SQL
+    // source (timestamp partition column included) — the BI read path
+    val sql = spark.read.format("graft.sources.SnapshotSource").load(path)
+    assert(canon(sql) == canon(ConsumoBloquesPack.publish(t)))
   }
 
   test("the replace window is observable: straddling playback changes replaced rows (sf0.01)") {

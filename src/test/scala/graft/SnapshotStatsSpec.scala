@@ -335,6 +335,21 @@ class SnapshotStatsSpec extends SparkSpec {
     assertSame(nsrc, Snapshot.read(spark, nd))
   }
 
+  test("the SQL source reads timestamp-partitioned tables (the K2 dual-grain layout)") {
+    val dir = tmp("src-ts")
+    val mkTs = (s: String) => java.sql.Timestamp.valueOf(s)
+    Snapshot.create(spark, dir, Seq(
+      (1L, mkTs("2024-01-14 23:00:00")),
+      (2L, mkTs("2024-01-15 00:00:00")),
+      (3L, mkTs("2024-01-15 01:00:00"))).toDF("id", "p_start"), Seq("p_start"))
+    val src = spark.read.format("graft.sources.SnapshotSource").load(dir)
+    assertSame(src, Snapshot.read(spark, dir))
+    val cut = mkTs("2024-01-15 00:00:00")
+    val sel = src.where(col("p_start") >= cut)
+    assert(sel.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    assertSame(sel, Snapshot.read(spark, dir).where(col("p_start") >= cut))
+  }
+
   test("the SQL source reads evolved tables (old files fill null) and pinned versions") {
     val dir = tmp("src-evolve")
     Snapshot.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
@@ -466,6 +481,57 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).as[(Long, String)].collect().toSet == Set((9L, "mv")))
     // and the overwriteBatch manifest still carries appA's watermark
     assert(!Snapshot.appendBatch(spark, dir, Seq((2L, "y")).toDF("id", "v"), "appA", 8L))
+  }
+
+  test("concurrent appends all land via optimistic rebase; batch dedup survives the race") {
+    val dir = tmp("concurrent")
+    Snapshot.create(spark, dir, Seq((-1L, -1L)).toDF("id", "w"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writers = (0 until 8).map { w =>
+        scala.concurrent.Future {
+          Snapshot.append(spark, dir,
+            (0 until 10).map(i => (w * 100L + i, w.toLong)).toDF("id", "w"))
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writers), scala.concurrent.duration.Duration("120s"))
+      // every writer's batch landed exactly once, versions contiguous
+      assert(Snapshot.read(spark, dir).count() == 81L)
+      assert(Snapshot.read(spark, dir).groupBy("w").count()
+        .where(col("w") >= 0).select("count").as[Long].collect().forall(_ == 10L))
+      assert(Snapshot.versions(spark, dir) == (1L to 9L))
+
+      // same (appId, batchId) raced by two writers: exactly one applies
+      val dup = (0 until 4).map { _ =>
+        scala.concurrent.Future {
+          Snapshot.appendBatch(spark, dir, Seq((999L, 99L)).toDF("id", "w"), "race", 1L)
+        }
+      }
+      val applied = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(dup), scala.concurrent.duration.Duration("120s"))
+      assert(applied.count(identity) == 1, s"expected exactly one winner, got $applied")
+      assert(Snapshot.read(spark, dir).where(col("id") === 999L).count() == 1L)
+    } finally pool.shutdown()
+    // read-modify-write stays single-writer: an append landing between
+    // an overwrite's manifest read and its commit must REFUSE the
+    // overwrite (rebasing would silently discard the append)
+    val before = Snapshot.read(spark, dir).count()
+    var injected = false
+    Snapshot.faultHook = stage => if (stage == "data-files-written" && !injected) {
+      injected = true
+      Snapshot.append(spark, dir, Seq((2000L, 200L)).toDF("id", "w"))
+    }
+    try {
+      intercept[Snapshot.CommitConflictException] {
+        Snapshot.overwrite(spark, dir, Seq((0L, 0L)).toDF("id", "w"))
+      }
+    } finally Snapshot.faultHook = _ => ()
+    // the concurrent append survived; the overwrite landed nothing
+    assert(Snapshot.read(spark, dir).count() == before + 1)
+    assert(Snapshot.read(spark, dir).where(col("id") === 2000L).count() == 1L)
   }
 
   test("latest-version reads are pointer-driven: zero log listings") {
