@@ -36,7 +36,8 @@ import graft.operators.{Snapshot, SnapshotStats}
   * pays exactly what `spark.read.parquet` would — minus the files the
   * manifest proves irrelevant.
   */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft-snapshot"
 
   override def createRelation(sqlContext: SQLContext,
@@ -50,15 +51,113 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
       .map(Snapshot.manifest(spark, path, _))
       .orElse(Snapshot.latestManifest(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    SnapshotSource.relationFor(spark, path, m)
+  }
+
+  // ---- streaming: the commit log as a Structured Streaming source ----
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot needs a path"))
+    val m = Snapshot.latestManifest(sqlContext.sparkSession, path)
+      .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    (shortName(), schema.getOrElse(StructType.fromDDL(m.schemaDdl)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot needs a path"))
+    new SnapshotStreamSource(sqlContext.sparkSession, path,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+  }
+}
+
+object SnapshotSource {
+  /** [[HadoopFsRelation]] over (a subset of) one pinned manifest:
+    * dataSchema = the FULL table schema so partition columns keep
+    * their declared position (HadoopFsRelation dedups the overlap; the
+    * file-source strategy reads them from partition values, never from
+    * the data files).
+    */
+  private[sources] def relationFor(spark: SparkSession, path: String,
+                                   m: Snapshot.Manifest,
+                                   schema: Option[StructType] = None): HadoopFsRelation = {
+    val tableSchema = schema.getOrElse(StructType.fromDDL(m.schemaDdl))
     val index = new SnapshotFileIndex(spark, path, m, tableSchema)
-    // dataSchema = the FULL table schema: partition columns keep their
-    // declared position (HadoopFsRelation dedups the overlap), and the
-    // file-source strategy reads them from partition values, never from
-    // the data files
     HadoopFsRelation(index, index.partitionSchema, tableSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
   }
+}
+
+/** The commit log as a Structured Streaming SOURCE: offsets are table
+  * VERSIONS, a micro-batch is the files APPENDED over an offset range —
+  * `spark.readStream.format("graft.sources.SnapshotSource").load(path)`
+  * turns every hourly commit into a micro-batch with no landing-dir
+  * convention at all. Semantics (the standard lakehouse contract):
+  *
+  *  - first batch: the full table at the stream's first offset (or
+  *    nothing before `startingVersion`, for consumers that only want
+  *    the future);
+  *  - each later batch: per-commit appended files, walked version by
+  *    version — appends stream exactly-once;
+  *  - a commit that REMOVES files (overwrite/replace/merge/compact) is
+  *    refused by default — silently streaming a rewrite would re-emit
+  *    rows; `skipChangeCommits = true` skips those commits entirely
+  *    (their appends included), the consumer declaring it only wants
+  *    genuine appends;
+  *  - `vacuum` must retain at least the reader's lag in versions, or
+  *    the source fails fast on the missing manifest.
+  *
+  * Each batch plans through [[SnapshotSource.relationFor]] — the same
+  * native parquet scan as the batch source, marked streaming.
+  */
+final class SnapshotStreamSource(spark: SparkSession, path: String,
+                                 override val schema: StructType,
+                                 startingVersion: Option[Long],
+                                 skipChangeCommits: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.graftbridge.StreamBridge
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    Snapshot.latestVersion(spark, path).map(StreamBridge.longOffset)
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
+    val vEnd = StreamBridge.offsetVersion(end)
+    val mEnd = Snapshot.manifest(spark, path, vEnd)
+    val vStart = start.map(StreamBridge.offsetVersion).orElse(startingVersion)
+    val files: Seq[String] = vStart match {
+      case None => mEnd.files // bootstrap: the whole table as of vEnd
+      case Some(v0) =>
+        // per-commit walk, so rewrite detection has commit granularity
+        var prev = Snapshot.manifest(spark, path, v0)
+        val out = Seq.newBuilder[String]
+        (v0 + 1 to vEnd).foreach { v =>
+          val cur = Snapshot.manifest(spark, path, v)
+          val removed = prev.files.diff(cur.files)
+          if (removed.isEmpty) out ++= cur.files.diff(prev.files)
+          else if (!skipChangeCommits)
+            throw new IllegalStateException(
+              s"snapshot stream source: version $v of $path rewrites " +
+                s"${removed.size} file(s); streaming it would re-emit rows. " +
+                "Set skipChangeCommits = true to stream appends only.")
+          prev = cur
+        }
+        out.result()
+    }
+    StreamBridge.streamingScan(spark,
+      SnapshotSource.relationFor(spark, path, mEnd.copy(files = files), Some(schema)))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$path]"
 }
 
 /** [[FileIndex]] over one pinned snapshot manifest. File "listing" is a

@@ -233,6 +233,76 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, "2024-01-01 10:00:00.0", 1, 7.0)))
   }
 
+  test("snapshot table as a streaming source: appends flow once, rewrites refuse or skip") {
+    import graft.operators.Snapshot
+    val dir = Files.createTempDirectory("graft-snapstream").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Snapshot.create(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("v"))
+
+    def run(extra: Map[String, String] = Map.empty): Unit = {
+      val reader = spark.readStream.format("graft.sources.SnapshotSource")
+      extra.foreach { case (k, w) => reader.option(k, w) }
+      val q = reader.load(src)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+    def got(): Set[(Long, String)] =
+      spark.read.parquet(out).as[(Long, String)].collect().toSet
+
+    // bootstrap: the whole table is the first batch
+    run()
+    assert(got() == Set((1L, "a"), (2L, "b")))
+    // appends flow exactly once per commit
+    Snapshot.append(spark, src, Seq((3L, "c")).toDF("id", "v"))
+    Snapshot.append(spark, src, Seq((4L, "d")).toDF("id", "v"))
+    run()
+    assert(got() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // an idle tick emits nothing new
+    run()
+    assert(got().size == 4)
+
+    // a rewrite commit refuses by default (streaming it would re-emit)
+    Snapshot.mergeById(spark, src, Seq((1L, "a")).toDF("id", "v"), "id", "v")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    // ... and is skipped entirely with skipChangeCommits; later appends
+    // flow (first tick replays the failed batch from the offset WAL —
+    // skipped now — the next tick drains the append)
+    Snapshot.append(spark, src, Seq((5L, "e")).toDF("id", "v"))
+    run(Map("skipChangeCommits" -> "true"))
+    run(Map("skipChangeCommits" -> "true"))
+    assert(got() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+
+    // startingVersion: a fresh consumer that only wants the future
+    val out2 = s"$dir/out2"; val ckpt2 = s"$dir/ckpt2"
+    val vNow = Snapshot.latestVersion(spark, src).get
+    val q2 = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", vNow.toString)
+      .load(src)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .format("parquet").option("path", out2)
+      .start()
+    q2.awaitTermination()
+    Snapshot.append(spark, src, Seq((6L, "f")).toDF("id", "v"))
+    val q3 = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", vNow.toString)
+      .load(src)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .format("parquet").option("path", out2)
+      .start()
+    q3.awaitTermination()
+    assert(spark.read.parquet(out2).as[(Long, String)].collect().toSet == Set((6L, "f")),
+      "startingVersion consumer must see only post-start appends")
+  }
+
   test("change-feed consumer: streaming drain is exactly-once and crash-convergent") {
     import graft.operators.Snapshot
     import graft.streaming.FeedConsumer
