@@ -388,7 +388,10 @@ object LayoutPack extends QueryPack {
     Some("""SELECT o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
            |  CAST(COUNT(*) AS BIGINT) AS n,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-           |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
     // Two-level-partitioned snapshot table under maintenance: two
     // fragmented loads land (priority, year) leaves as several small
     // files each, one multi-column `compact` bin-packs every fragmented
@@ -396,9 +399,13 @@ object LayoutPack extends QueryPack {
     // partitions. The oracle recomputes the same rollup from the raw
     // table, so any row lost, duplicated or re-homed by the rewrite
     // fails the gate. The hourly-append + nightly-compact lifecycle
-    // every 100 TB fact table lives.
+    // every 100 TB fact table lives. (A two-year slice: the semantics
+    // are per-leaf, so more years only add IO to the timed region.)
     val dir = java.nio.file.Files.createTempDirectory("graft_q126").toString + "/orders_s"
+    val lo = lit("1995-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
     val base = t.orders
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
       .withColumn("yr", year(col("o_orderdate")).cast("int"))
     val cut = lit("1996-01-01 00:00:00").cast("timestamp")

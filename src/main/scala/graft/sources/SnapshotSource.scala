@@ -217,8 +217,20 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
 
   override def rootPaths: Seq[HPath] = Seq(qualifiedRoot)
 
+  // listFiles is invoked at least twice per query (partition-pruning
+  // rule at optimize time, scan exec at run time); the index is pinned
+  // and immutable, so identical filter sets memoize
+  private val listCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[PartitionDirectory]]()
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val key = (partitionFilters ++ dataFilters).map(_.canonicalized.toString).sorted.mkString("&")
+    listCache.computeIfAbsent(key, _ => listFilesUncached(partitionFilters, dataFilters))
+  }
+
+  private def listFilesUncached(partitionFilters: Seq[Expression],
+                                dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // manifest-stats skipping: every translatable conjunct votes; an
     // untranslatable one just doesn't prune (Spark re-applies data
     // filters above the scan, so this can only be an optimization)

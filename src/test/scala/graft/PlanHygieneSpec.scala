@@ -171,6 +171,27 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("SQL over the registered snapshot source plans a native pushed-down parquet scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-src").toString + "/t"
+    graft.operators.Snapshot.create(spark, dir,
+      (0 until 2000).map(i => (i.toLong, s"n$i", i * 1.5)).toDF("id", "name", "score")
+        .repartitionByRange(8, col("id")))
+    spark.read.format("graft.sources.SnapshotSource").load(dir)
+      .createOrReplaceTempView("plan_snap_t")
+    val plan = spark.sql(
+      "SELECT name FROM plan_snap_t WHERE id BETWEEN 100 AND 180")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"SQL source must not plan an RDD scan:\n$plan")
+    assert(plan.contains("FileScan parquet"), s"expected the native parquet scan:\n$plan")
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(id,100), LessThanOrEqual(id,180)]"),
+      s"WHERE must reach the parquet scan:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString}")
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"),
+      "projection must prune the read schema")
+    assert(plan.contains("ColumnarToRow"), "scan must be columnar")
+  }
+
   test("q98's lag, running sum, and session aggregate share one hash exchange") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q98_sessionize")(spark, dir)
