@@ -644,6 +644,113 @@ object Snapshot {
       dropOld = pv => affectedRaw.contains(pv(partitionCol)))
   }
 
+  // --------------------------------------------------- row-level DML
+
+  /** Row-level DELETE by predicate, file-granular — the plain-SQL
+    * `DELETE FROM t WHERE pred` the reference gets from BigQuery
+    * (consumo_detalle.py delete-and-replace windows), restated as the
+    * copy-on-write protocol a 100 TB table needs. Three tiers, so the
+    * data actually rewritten is the MINIMUM the predicate demands:
+    *
+    *  1. manifest-stats pruning picks candidate files — a file whose
+    *     min/max prove no row can match is never opened;
+    *  2. one scan of the candidates counts matches PER FILE (Catalyst
+    *     prunes the scan to the predicate's columns) — a candidate with
+    *     zero real matches stays byte-identical in the new version;
+    *  3. a file where EVERY row matches is dropped from the manifest
+    *     with no rewrite at all (row count from its own stats); only
+    *     files with a partial match are read again and rewritten
+    *     without their matching rows.
+    *
+    * SQL semantics: rows where `pred` is NULL are kept (DELETE removes
+    * only where the predicate is true). Commits one new version (or
+    * none if nothing matched — returns the current version unchanged).
+    */
+  def delete(spark: SparkSession, path: String, pred: Column): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val matched = matchedPerFile(spark, path, m, pred)
+    if (matched.isEmpty) return m.version
+    val (whole, partial) = matched.partition { case (f, n) =>
+      m.stats.get(f).exists(_.rows == n)
+    }
+    val rewrite = partial.keys.toSeq.sorted
+    if (rewrite.isEmpty) {
+      val kept = m.files.filterNot(whole.keySet)
+      commitManifest(spark, path, m.copy(version = m.version + 1, files = kept,
+        stats = m.stats.view.filterKeys(kept.toSet).toMap))
+    } else {
+      val remainder = readFiles(spark, path, m, Some(rewrite))
+        .where(!coalesce(pred, lit(false)))
+      replaceFiles(spark, path, remainder, whole.keySet ++ rewrite)
+    }
+  }
+
+  /** Row-level UPDATE by predicate: `set` maps column name → new-value
+    * expression (evaluated against the old row, so `"c" -> col("c")+1`
+    * works). Same candidate pruning and zero-match skip as [[delete]];
+    * every file holding at least one matching row is rewritten with
+    * `set` applied to its matching rows only. Rows where `pred` is
+    * NULL are untouched (SQL UPDATE semantics). Returns the committed
+    * version (unchanged if nothing matched).
+    */
+  def update(spark: SparkSession, path: String, pred: Column,
+             set: Map[String, Column]): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val bad = set.keySet.diff(schema.fieldNames.toSet)
+    require(bad.isEmpty, s"Snapshot.update: unknown column(s) ${bad.mkString(", ")}")
+    require(set.keySet.intersect(m.partitionCols.toSet).isEmpty,
+      "Snapshot.update: cannot update a partition column (delete + append instead)")
+    val rewrite = matchedPerFile(spark, path, m, pred).keys.toSeq.sorted
+    if (rewrite.isEmpty) return m.version
+    val hit = coalesce(pred, lit(false))
+    val updated = readFiles(spark, path, m, Some(rewrite)).select(
+      schema.fields.toSeq.map { f =>
+        set.get(f.name)
+          .map(v => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
+    replaceFiles(spark, path, updated, rewrite.toSet)
+  }
+
+  /** Exact per-file match counts for `pred` over the stats-pruned
+    * candidate files: one job, scanning only predicate columns of only
+    * candidate files. Keys are table-relative paths; files with zero
+    * matches are absent.
+    */
+  private def matchedPerFile(spark: SparkSession, path: String, m: Manifest,
+                             pred: Column): Map[String, Long] = {
+    val candidates = SnapshotStats.prune(spark, m, pred)
+    if (candidates.isEmpty) return Map.empty
+    val counts = readFiles(spark, path, m, Some(candidates))
+      .where(coalesce(pred, lit(false)))
+      .groupBy(input_file_name().as("__file")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byKey = candidates.map(f => fileKey(s"$path/$f") -> f).toMap
+    counts.map { case (abs, n) =>
+      byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
+        s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
+    }.toMap
+  }
+
+  /** Canonical comparison key for a data-file path: scheme/authority
+    * stripped, every layer of percent-encoding decoded to fixpoint —
+    * `input_file_name()` URI-encodes (sometimes doubly, for hive dirs
+    * whose raw names already contain `%XX` escapes) while manifest
+    * paths are raw filesystem names.
+    */
+  private def fileKey(s: String): String = {
+    var cur = new HPath(s).toUri.getPath
+    var dec = java.net.URLDecoder.decode(cur.replace("+", "%2B"), "UTF-8")
+    while (dec != cur) {
+      cur = dec
+      dec = java.net.URLDecoder.decode(cur.replace("+", "%2B"), "UTF-8")
+    }
+    cur
+  }
+
   /** Small-file compaction, snapshot form: bin-pack every partition
     * holding >= `minFiles` live files — for single-column, multi-column
     * AND unpartitioned tables (an unpartitioned table is one partition

@@ -421,6 +421,46 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority", "yr")
   }
 
+  val q128 = QueryDef(
+    "q128_row_level_dml",
+    Some("""WITH survivors AS (
+           |  SELECT o_orderkey, o_orderpriority,
+           |    CASE WHEN o_orderpriority = '1-URGENT'
+           |           AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+           |         THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
+           |  FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Row-level DELETE + UPDATE against a year-partitioned snapshot
+    // table — the copy-on-write DML tier end to end. The DELETE's
+    // predicate aligns with whole partitions (those files DROP from the
+    // manifest with no rewrite); the UPDATE cuts across them (only
+    // files holding a matching row are rewritten). The oracle
+    // recomputes the final state from the raw table, so a row deleted
+    // too eagerly, kept wrongly, double-updated or lost in the rewrite
+    // fails the gate. This is the reference's BigQuery DELETE/MERGE
+    // maintenance (consumo_detalle.py) as it has to work on 100 TB of
+    // immutable parquet: rewrite the minimum, atomically.
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q128").toString + "/orders_s"
+    val base = t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+    Snapshot.create(t.spark, dir, base.repartition(2), Seq("yr"))
+    Snapshot.delete(t.spark, dir, col("yr") >= 1998)
+    Snapshot.update(t.spark, dir,
+      col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") < lit("1993-01-01 00:00:00").cast("timestamp"),
+      Map("o_totalprice" -> (col("o_totalprice") * 3)))
+    Snapshot.read(t.spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val q127 = QueryDef(
     "q127_change_feed_rollup",
     Some("""WITH base AS (
@@ -478,5 +518,5 @@ object LayoutPack extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128)
 }

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** Row-level DELETE / UPDATE on snapshot tables: minimum-rewrite
+  * guarantees (untouched files stay byte-identical, fully-matching
+  * files drop with no rewrite, zero-match candidates survive the exact
+  * check), SQL NULL-predicate semantics, and time travel across DML.
+  */
+class SnapshotDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-dml-$tag").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i.toLong * 10))
+      .toDF("id", "p", "v")
+
+  /** (relative file, size, mtime) of every live data file — identity
+    * check: a file that was not rewritten keeps all three.
+    */
+  private def fileIdentity(dir: String): Map[String, (Long, Long)] = {
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.latestManifest(spark, dir).get.files.map { f =>
+      val st = fs.getFileStatus(new HPath(s"$dir/$f"))
+      f -> (st.getLen, st.getModificationTime)
+    }.toMap
+  }
+
+  test("delete rewrites only files that hold matching rows") {
+    val dir = tmp("prune")
+    // id-ranged files: ranges land in separate appends = separate files
+    Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))
+    Snapshot.append(spark, dir, fixture(100 until 200).repartition(1))
+    Snapshot.append(spark, dir, fixture(200 until 300).repartition(1))
+    val before = fileIdentity(dir)
+    assert(before.size == 3)
+
+    val v = Snapshot.delete(spark, dir, col("id") >= 120 && col("id") < 130)
+    assert(v == 4L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 300)).filterNot(r => r._1 >= 120 && r._1 < 130))
+
+    // the two files whose stats exclude the range are the SAME files
+    val after = fileIdentity(dir)
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size == 2, s"expected 2 untouched files, got $untouched")
+    untouched.foreach(f => assert(before(f) == after(f), s"$f was rewritten"))
+    // time travel: the pre-delete version still reads in full
+    assert(rows(Snapshot.readVersion(spark, dir, 3)) == rows(fixture(0 until 300)))
+  }
+
+  test("fully-matching files drop with no rewrite; no-match is a no-op") {
+    val dir = tmp("whole")
+    Snapshot.create(spark, dir, fixture(0 until 50).repartition(1))
+    Snapshot.append(spark, dir, fixture(50 until 100).repartition(1))
+    val before = fileIdentity(dir)
+
+    // no row matches: same version comes back, nothing committed
+    val v0 = Snapshot.latestVersion(spark, dir).get
+    assert(Snapshot.delete(spark, dir, col("id") > 10000) == v0)
+    assert(Snapshot.latestVersion(spark, dir).get == v0)
+
+    // every row of file 2 matches: manifest drops it, zero files written
+    val v1 = Snapshot.delete(spark, dir, col("id") >= 50)
+    assert(v1 == v0 + 1)
+    val after = fileIdentity(dir)
+    assert(after.size == 1 && before.keySet.intersect(after.keySet) == after.keySet,
+      "surviving file must be the original, unwritten")
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 50)))
+  }
+
+  test("NULL predicate rows are kept by delete and untouched by update") {
+    val dir = tmp("nulls")
+    val df = Seq((1L, "a", 5L), (2L, null.asInstanceOf[String], 7L), (3L, "b", 9L))
+      .toDF("id", "p", "v")
+    Snapshot.create(spark, dir, df)
+    // p = 'a' is NULL for row 2: only row 1 may go
+    Snapshot.delete(spark, dir, col("p") === "a")
+    assert(Snapshot.read(spark, dir).select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // update where p = 'b': NULL-pred row 2 keeps its value
+    Snapshot.update(spark, dir, col("p") === "b", Map("v" -> (col("v") + 100)))
+    assert(rows(Snapshot.read(spark, dir)) == Set((2L, null, 7L), (3L, "b", 109L)))
+  }
+
+  test("update applies expressions over old values, only in matching files") {
+    val dir = tmp("upd")
+    Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))
+    Snapshot.append(spark, dir, fixture(100 until 200).repartition(1))
+    val before = fileIdentity(dir)
+
+    val v = Snapshot.update(spark, dir, col("id") < 10,
+      Map("v" -> (col("v") * 2), "p" -> concat(col("p"), lit("!"))))
+    assert(v == 3L)
+    val expect = rows(fixture(0 until 200)).map {
+      case (id, p, vv) if id < 10 => (id, p + "!", vv * 2)
+      case r => r
+    }
+    assert(rows(Snapshot.read(spark, dir)) == expect)
+    // the 100..200 file is byte-identical
+    val after = fileIdentity(dir)
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size == 1 && before(kept.head) == after(kept.head))
+    // guard rails
+    intercept[IllegalArgumentException] {
+      Snapshot.update(spark, dir, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("DML on a timestamp-partitioned table (escaped hive dirs) stays exact") {
+    val dir = tmp("ts")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 10L),
+      (2L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 20L),
+      (3L, java.sql.Timestamp.valueOf("2020-02-01 12:30:00"), 30L))
+      .toDF("id", "ts", "v")
+    Snapshot.create(spark, dir, df, Seq("ts"))
+    // raw dir names contain %3A escapes; the match-count join must still
+    // resolve input_file_name back to manifest entries
+    Snapshot.delete(spark, dir, col("id") === 2L)
+    assert(Snapshot.read(spark, dir).select("id").as[Long].collect().toSet == Set(1L, 3L))
+    Snapshot.update(spark, dir, col("id") === 3L, Map("v" -> lit(99L)))
+    assert(Snapshot.read(spark, dir).select("v").as[Long].collect().toSet == Set(10L, 99L))
+  }
+
+  test("update cannot retype a column or touch a partition column") {
+    val dir = tmp("guard")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    intercept[IllegalArgumentException] {
+      Snapshot.update(spark, dir, lit(true), Map("p" -> lit("x")))
+    }
+    // value cast to the declared type: long column stays long
+    Snapshot.update(spark, dir, col("id") === 1L, Map("v" -> lit(2.9)))
+    val schema = Snapshot.read(spark, dir).schema
+    assert(schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(Snapshot.read(spark, dir).where(col("id") === 1L)
+      .select("v").as[Long].head() == 2L)
+  }
+}
