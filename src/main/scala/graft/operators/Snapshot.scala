@@ -69,7 +69,8 @@ object Snapshot {
   final case class Manifest(version: Long, partitionCols: Seq[String],
                             schemaDdl: String, files: Seq[String],
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
-                            streamBatch: Map[String, Long] = Map.empty)
+                            streamBatch: Map[String, Long] = Map.empty,
+                            committedAtMicros: Long = 0L)
 
   /** Test-only fault injection: SnapshotSpec points this at a throwing
     * hook to simulate a crash between any two steps of the commit
@@ -203,7 +204,8 @@ object Snapshot {
       root.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
       root.get("schemaDdl").asText(),
       root.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, streamBatch)
+      stats, streamBatch,
+      if (root.has("committedAt")) root.get("committedAt").asLong() else 0L)
   }
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -242,6 +244,36 @@ object Snapshot {
   /** Time travel: read an explicit committed version. */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
     readFiles(spark, path, manifest(spark, path, version))
+
+  /** Newest retained version committed at or before `tsMicros` (epoch
+    * micros) — commit stamps are monotone per table (commits serialize
+    * on the version counter), so a BINARY SEARCH over the retained log
+    * resolves the timestamp in O(log #versions) manifest reads, never a
+    * full log scan. None when the earliest retained commit is already
+    * later (or the table predates commit stamps and `tsMicros` is
+    * before stamp support — stamp 0 sorts before every real time).
+    */
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMicros: Long): Option[Long] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return None
+    val fs = fsFor(spark, path)
+    var lo = 0
+    var hi = vs.size - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (manifestFrom(fs, path, vs(mid)).committedAtMicros <= tsMicros) {
+        best = mid; lo = mid + 1
+      } else hi = mid - 1
+    }
+    if (best < 0) None else Some(vs(best))
+  }
+
+  /** Time travel by wall clock: the table as of `tsMicros`. */
+  def readTimestampAsOf(spark: SparkSession, path: String, tsMicros: Long): DataFrame =
+    readVersion(spark, path, versionAtTimestamp(spark, path, tsMicros).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $path committed at or before t=$tsMicros")))
 
   /** Filtered read with FILE SKIPPING: opens only files whose manifest
     * stats (per-column min/max/nullCount, [[SnapshotStats]]) might hold
@@ -385,6 +417,10 @@ object Snapshot {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", m.version)
+    // commit wall-clock, stamped HERE (never caller-supplied): per-table
+    // commits serialize on the version counter, so this is monotone up
+    // to OS clock steps — the basis for timestamp time travel
+    node.put("committedAt", System.currentTimeMillis() * 1000L)
     node.put("schemaDdl", m.schemaDdl)
     val pc = node.putArray("partitionCols"); m.partitionCols.foreach(pc.add)
     val fl = node.putArray("files"); m.files.foreach(fl.add)
@@ -883,11 +919,11 @@ object Snapshot {
   def history(spark: SparkSession, path: String,
               distributeAbove: Int = 64): DataFrame = {
     import spark.implicits._
-    def row(m: Manifest): (Long, Int, Long, String) = {
+    def row(m: Manifest): (Long, Long, Int, Long, String) = {
       val rows =
         if (m.files.forall(m.stats.contains)) m.files.map(m.stats(_).rows).sum
         else -1L
-      (m.version, m.files.size, rows, m.schemaDdl)
+      (m.version, m.committedAtMicros, m.files.size, rows, m.schemaDdl)
     }
     val vs = versions(spark, path)
     val tuples =
@@ -904,7 +940,7 @@ object Snapshot {
           row(manifestFrom(new HPath(path).getFileSystem(conf), path, v))
         }.collect().toSeq.sortBy(_._1)
       }
-    tuples.toDF("version", "num_files", "num_rows", "schema_ddl")
+    tuples.toDF("version", "committed_at_micros", "num_files", "num_rows", "schema_ddl")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

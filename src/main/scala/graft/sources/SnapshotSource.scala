@@ -47,7 +47,17 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException("graft-snapshot needs a path"))
     // pin the manifest at relation creation — reader isolation: one
     // relation, one version, repeatable scans
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "graft-snapshot: versionAsOf and timestampAsOf are mutually exclusive")
     val m = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { raw =>
+        // epoch micros, or an ISO-8601 instant like 2026-08-13T10:00:00Z
+        val micros = raw.toLongOption.getOrElse(
+          java.time.Instant.parse(raw).toEpochMilli * 1000L)
+        Snapshot.versionAtTimestamp(spark, path, micros).getOrElse(
+          throw new IllegalArgumentException(
+            s"no version of $path committed at or before $raw"))
+      })
       .map(Snapshot.manifest(spark, path, _))
       .orElse(Snapshot.latestManifest(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))

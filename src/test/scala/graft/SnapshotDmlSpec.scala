@@ -131,6 +131,39 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).select("v").as[Long].collect().toSet == Set(10L, 99L))
   }
 
+  test("timestamp time travel resolves the newest commit at-or-before") {
+    val dir = tmp("tt")
+    Snapshot.create(spark, dir, fixture(0 until 10))
+    Thread.sleep(5)
+    Snapshot.append(spark, dir, fixture(10 until 20))
+    Thread.sleep(5)
+    Snapshot.delete(spark, dir, col("id") < 5)
+    val stamp = (1L to 3L).map(v =>
+      v -> Snapshot.manifest(spark, dir, v).committedAtMicros).toMap
+    assert(stamp.values.forall(_ > 0L) && stamp(1) < stamp(2) && stamp(2) < stamp(3))
+
+    assert(Snapshot.versionAtTimestamp(spark, dir, stamp(1) - 1).isEmpty)
+    assert(Snapshot.versionAtTimestamp(spark, dir, stamp(1)).contains(1L))
+    assert(Snapshot.versionAtTimestamp(spark, dir, stamp(3) - 1).contains(2L))
+    assert(Snapshot.versionAtTimestamp(spark, dir, Long.MaxValue).contains(3L))
+    assert(rows(Snapshot.readTimestampAsOf(spark, dir, stamp(2))) ==
+      rows(fixture(0 until 20)))
+
+    // the SQL source takes the same pin
+    val viaSource = spark.read.format("graft.sources.SnapshotSource")
+      .option("timestampAsOf", stamp(2).toString).load(dir)
+    assert(rows(viaSource) == rows(fixture(0 until 20)))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("timestampAsOf", stamp(1).toString)
+        .option("versionAsOf", "1").load(dir)
+    }
+    // history surfaces the stamps
+    val h = Snapshot.history(spark, dir)
+      .select("version", "committed_at_micros").as[(Long, Long)].collect().toMap
+    assert(h == stamp)
+  }
+
   test("update cannot retype a column or touch a partition column") {
     val dir = tmp("guard")
     Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
