@@ -95,5 +95,9 @@ object Bench {
       java.nio.file.Files.write(out, (summary + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] summary write failed: $e") }
     spark.stop()
+    // a run with any per-query error must not look like a clean rc=0 run
+    // (BENCH_r07 carried q98's error under rc 0) — the summary line and
+    // file are already written, so the driver still gets full timings
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -37,18 +37,14 @@ object Engine {
 final case class Tables(spark: SparkSession, dir: String) {
   def apply(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default; read nanos as long and surface a microsecond
-    * TimestampType `ts` (the source values are µs-precision, so exact).
+  /** Read `name` and normalize its event-time column to session-TZ
+    * TimestampType whatever the ingest's physical encoding — see
+    * [[Tables.normalizeTs]]. `nanosAsLong` is set first so a
+    * TIMESTAMP(NANOS) file reads (as long) instead of erroring.
     */
-  private def withNanosTs(name: String): DataFrame = {
+  private def withEventTs(name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(name)
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => df
-    }
+    Tables.normalizeTs(apply(name))
   }
 
   def lineitem: DataFrame   = apply("lineitem")
@@ -58,7 +54,40 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = apply("part")
   def nation: DataFrame     = apply("nation")
   def region: DataFrame     = apply("region")
-  def events: DataFrame     = withNanosTs("events")
+  def events: DataFrame     = withEventTs("events")
   def documents: DataFrame  = apply("documents")
   def embeddings: DataFrame = apply("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize an event-time column to TimestampType regardless of how the
+    * producer encoded it. The reference never sees this problem — its
+    * engine ingests timestamps from CSV/API text and BigQuery TIMESTAMP
+    * (UTC instants, consumo_detalle.py:127-143, 272-273) and the warehouse
+    * owns the physical encoding; a lake engine instead meets whatever the
+    * writer produced, so the seam must absorb all of:
+    *
+    *  - `LongType` — epoch NANOS read under `nanosAsLong` (the source
+    *    values are µs-precision, so `div 1000` is exact);
+    *  - `TIMESTAMP_NTZ` — parquet timestamp with isAdjustedToUTC=false;
+    *    under the engine's UTC session the cast is value-exact;
+    *  - `TimestampType` — already the canonical type, untouched.
+    *
+    * Every reader of an event-time column (batch [[Tables.events]], every
+    * streaming watermark in [[graft.streaming.EventStream]]) goes through
+    * here, so a fixture/ingest encoding change can never again break
+    * queries downstream of the seam.
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    if (!df.columns.contains(colName)) df
+    else df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
 }

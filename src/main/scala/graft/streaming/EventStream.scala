@@ -21,14 +21,14 @@ object EventStream {
     * the given schema, appended by the ingest job).
     */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
 
   /** Hourly rollup with late-data tolerance: tumbling 1-hour event-time
     * windows, watermark = replacement window (the reference re-ingests
     * `dias_remplazo` trailing days; late rows inside it still land).
     */
   def hourlyRollup(events: DataFrame, watermark: String = "4 days"): DataFrame =
-    events
+    graft.Tables.normalizeTs(events)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
@@ -87,7 +87,7 @@ object EventStream {
     */
   def dedupStream(events: DataFrame, idCols: Seq[String],
                   watermark: String = "4 days"): DataFrame =
-    events.withWatermark("ts", watermark)
+    graft.Tables.normalizeTs(events).withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
   /** Streaming ingestion near-dup screen — the front door of an
@@ -149,9 +149,9 @@ object EventStream {
   def pairSessions(starts: DataFrame, stops: DataFrame,
                    maxSessionMinutes: Int = 180,
                    watermark: String = "1 hour"): DataFrame = {
-    val s = starts.withWatermark("ts", watermark)
+    val s = graft.Tables.normalizeTs(starts).withWatermark("ts", watermark)
       .select(col("session_id"), col("user_id"), col("ts").as("start_ts"))
-    val e = stops.withWatermark("ts", watermark)
+    val e = graft.Tables.normalizeTs(stops).withWatermark("ts", watermark)
       .select(col("session_id").as("stop_session_id"),
         col("ts").as("end_ts"), col("value").as("minutes"))
     s.join(e,
@@ -179,7 +179,7 @@ object EventStream {
     */
   def sessionWindowRollup(events: DataFrame, gapMinutes: Int,
                           watermark: String = "1 hour"): DataFrame =
-    events
+    graft.Tables.normalizeTs(events)
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("n_events"))

@@ -5,12 +5,57 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import graft.plans.NanosTsPushdown
 
-/** NanosTsPushdown: time-window filters over the TIMESTAMP(NANOS)
+/** NanosTsPushdown: time-window filters over a TIMESTAMP(NANOS)
   * events table must reach the parquet scan as raw-long bounds — and
   * must never change results.
+  *
+  * Self-fixturing: the suite writes its OWN nanos-encoded parquet via
+  * the parquet-java API (Spark cannot produce TIMESTAMP(NANOS) output),
+  * so the rule stays pinned regardless of which physical encoding the
+  * shared testdata generator happens to emit — the round-7 fixture
+  * regeneration switched events.ts to TIMESTAMP_NTZ and silently
+  * un-pinned the old shared-fixture version of this suite.
   */
 class NanosPushdownSpec extends SparkSpec {
   import spark.implicits._
+
+  /** A tiny events table physically encoded as TIMESTAMP(NANOS), exactly
+    * the encoding the rule exists for: µs-precision instants over
+    * January 2024 (so the spec's window literals cut through the data),
+    * stored as nanos.
+    */
+  private lazy val nanosEvents: org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_fixture")
+    dir.toFile.deleteOnExit()
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(DOUBLE).named("value")
+      .named("events")
+    val w = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    val rnd = new scala.util.Random(42)
+    val jan1Micros = 1704067200000000L // 2024-01-01T00:00:00Z
+    (0 until 5000).foreach { i =>
+      val micros = jan1Micros + math.abs(rnd.nextLong() % (31L * 86400 * 1000000))
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", micros * 1000L)
+      g.add("user_id", (rnd.nextInt(100)).toLong)
+      g.add("value", rnd.nextDouble() * 60)
+      w.write(g)
+    }
+    w.close()
+    Tables(spark, dir.toString).events
+  }
 
   private def withRule[T](f: => T): T = {
     spark.experimental.extraOptimizations =
@@ -25,7 +70,7 @@ class NanosPushdownSpec extends SparkSpec {
       .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
 
   test("window filters on the converted ts push raw nanosecond bounds to the scan") {
-    val ev = sf().events
+    val ev = nanosEvents
     val cut = lit("2024-01-15 00:00:00").cast("timestamp")
     withRule {
       val ge = ev.where($"ts" >= cut)
@@ -43,7 +88,7 @@ class NanosPushdownSpec extends SparkSpec {
   }
 
   test("the rule never changes results, including on exact boundary timestamps") {
-    val ev = sf().events
+    val ev = nanosEvents
     // an exact event timestamp makes >=/</boundary semantics observable
     val boundary = ev.select(max($"ts")).as[java.sql.Timestamp].head()
     val cuts = Seq(
@@ -79,7 +124,7 @@ class NanosPushdownSpec extends SparkSpec {
   }
 
   test("filters with no converted-ts comparison are left untouched") {
-    val ev = sf().events
+    val ev = nanosEvents
     withRule {
       val plain = ev.where($"user_id" >= 10)
       assert(pushed(plain).contains("GreaterThanOrEqual(user_id,10)"))
