@@ -682,6 +682,15 @@ object Snapshot {
 
   // --------------------------------------------------- row-level DML
 
+  /** Execute a SQL-text DML statement (`DELETE FROM … WHERE …`,
+    * `UPDATE … SET … WHERE …`, `MERGE INTO … USING …`) against the
+    * `tables` registry of snapshot paths — the reference's maintenance
+    * statements verbatim (consumo_detalle.py:317-340,
+    * funnel_live.py:106-174). See [[SnapshotSql]].
+    */
+  def sql(spark: SparkSession, sqlText: String, tables: Map[String, String]): Long =
+    SnapshotSql(spark, sqlText, tables)
+
   /** Row-level DELETE by predicate, file-granular — the plain-SQL
     * `DELETE FROM t WHERE pred` the reference gets from BigQuery
     * (consumo_detalle.py delete-and-replace windows), restated as the

@@ -461,6 +461,62 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  val q129 = QueryDef(
+    "q129_sql_text_dml",
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate,
+           |         CAST(year(o_orderdate) AS INT) AS yr FROM orders
+           |), survivors AS (
+           |  SELECT o_orderpriority,
+           |    CASE WHEN yr = 1997 AND o_orderpriority = '5-LOW'
+           |           THEN o_totalprice * 2
+           |         WHEN o_orderpriority = '1-URGENT'
+           |           AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+           |           THEN o_totalprice * 3
+           |         ELSE o_totalprice END AS o_totalprice
+           |  FROM base WHERE yr < 1998
+           |  UNION ALL
+           |  SELECT o_orderpriority, o_totalprice FROM base
+           |  WHERE yr = 1998 AND o_orderpriority = '2-HIGH'
+           |)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // q128's copy-on-write DML driven entirely from SQL TEXT — the
+    // reference's maintenance statements pasted as-is (DELETE window,
+    // UPDATE backfill, MERGE upsert: consumo_detalle.py:317-340,
+    // funnel_live.py:106-174) through Snapshot.sql's session-parser
+    // front end into the same minimum-rewrite tiers. The oracle
+    // recomputes the final state from the raw table, so a predicate
+    // mis-parse, a qualifier mis-resolution, or an assignment applied
+    // to the wrong rows fails the gate.
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q129").toString + "/orders_s"
+    val base = t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+    Snapshot.create(t.spark, dir, base.repartition(2), Seq("yr"))
+    val reg = Map("orders_s" -> dir)
+    Snapshot.sql(t.spark, "DELETE FROM orders_s WHERE yr >= 1998", reg)
+    Snapshot.sql(t.spark,
+      "UPDATE orders_s SET o_totalprice = o_totalprice * 3 " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'", reg)
+    base.where((col("yr") === 1997 && col("o_orderpriority") === "5-LOW") ||
+        (col("yr") === 1998 && col("o_orderpriority") === "2-HIGH"))
+      .withColumn("o_totalprice",
+        when(col("yr") === 1997, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+      .createOrReplaceTempView("q129_updates")
+    Snapshot.sql(t.spark,
+      "MERGE INTO orders_s USING q129_updates " +
+        "ON orders_s.o_orderkey = q129_updates.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *", reg)
+    Snapshot.read(t.spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val q127 = QueryDef(
     "q127_change_feed_rollup",
     Some("""WITH base AS (
@@ -518,5 +574,5 @@ object LayoutPack extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129)
 }

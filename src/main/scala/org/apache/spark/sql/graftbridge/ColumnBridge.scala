@@ -38,6 +38,12 @@ object ColumnBridge {
 
   def pred(c: Column): PredNode = walk(c.node)
 
+  /** Wrap a Catalyst expression (e.g. one the session parser produced
+    * from SQL text) as a user-facing Column; unresolved attributes
+    * resolve at analysis against whatever Dataset it is applied to.
+    */
+  def column(e: ce.Expression): Column = ExpressionUtils.column(e)
+
   private def walk(n: ColumnNode): PredNode = n match {
     case f: UnresolvedFunction if !f.isDistinct && !f.isUserDefinedFunction =>
       FnNode(f.functionName, f.arguments.map(walk))

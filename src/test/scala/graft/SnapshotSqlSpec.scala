@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** SQL-text DML front end ([[graft.operators.SnapshotSql]]): the
+  * reference's literal maintenance statements (DELETE / UPDATE /
+  * MERGE, consumo_detalle.py:317-340, funnel_live.py:106-174) routed
+  * through the session parser into the same minimum-rewrite tiers the
+  * Scala API uses — equivalence with the Scala calls, and the refusal
+  * surface (unknown table / column / qualifier, subqueries,
+  * unsupported shapes).
+  */
+class SnapshotSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-sqldml-$tag").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i.toLong * 10))
+      .toDF("id", "p", "v")
+
+  test("DELETE FROM … WHERE matches the Scala delete exactly") {
+    val a = tmp("del-sql"); val b = tmp("del-api")
+    Seq(a, b).foreach(d => Snapshot.create(spark, d, fixture(0 until 200), Seq("p")))
+    val vSql = Snapshot.sql(spark,
+      "DELETE FROM t WHERE t.id BETWEEN 50 AND 99 AND p = 'even'", Map("t" -> a))
+    val vApi = Snapshot.delete(spark, b,
+      col("id") >= 50 && col("id") <= 99 && col("p") === "even")
+    assert(vSql == vApi)
+    assert(rows(Snapshot.read(spark, a)) == rows(Snapshot.read(spark, b)))
+    assert(rows(Snapshot.read(spark, a)) ==
+      rows(fixture(0 until 200)).filterNot(r => r._1 >= 50 && r._1 <= 99 && r._2 == "even"))
+  }
+
+  test("UPDATE … SET … WHERE applies parser-grade expressions over old values") {
+    val dir = tmp("upd")
+    Snapshot.create(spark, dir, fixture(0 until 100), Seq("p"))
+    // swap-safe simultaneous assignment + an IN-list predicate: both are
+    // session-parser features the front end inherits for free
+    Snapshot.sql(spark,
+      "UPDATE t SET v = v * 2 + id WHERE id IN (3, 4, 5) OR v >= 950", Map("t" -> dir))
+    val expect = rows(fixture(0 until 100)).map { case (id, p, v) =>
+      if (Set(3L, 4L, 5L)(id) || v >= 950) (id, p, v * 2 + id) else (id, p, v)
+    }
+    assert(rows(Snapshot.read(spark, dir)) == expect)
+  }
+
+  test("UPDATE with no WHERE touches every row; version advances once") {
+    val dir = tmp("upd-all")
+    Snapshot.create(spark, dir, fixture(0 until 50))
+    val v = Snapshot.sql(spark, "UPDATE t SET v = 0", Map("t" -> dir))
+    assert(v == 2L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 50)).map { case (id, p, _) => (id, p, 0L) })
+  }
+
+  test("MERGE INTO … USING routes to mergeById (upserts + unmatched survive)") {
+    val sqlDir = tmp("merge-sql"); val apiDir = tmp("merge-api")
+    Seq(sqlDir, apiDir).foreach(d =>
+      Snapshot.create(spark, d, fixture(0 until 100), Seq("p")))
+    val updates = Seq(
+      (4L, "even", 999L),   // update
+      (200L, "even", 42L),  // insert
+      (201L, "odd", 43L))   // insert
+      .toDF("id", "p", "v")
+    updates.createOrReplaceTempView("updates")
+    val vSql = Snapshot.sql(spark,
+      "MERGE INTO t USING updates ON t.id = updates.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      Map("t" -> sqlDir))
+    val vApi = Snapshot.mergeById(spark, apiDir, updates, "id", "p")
+    assert(vSql == vApi)
+    assert(rows(Snapshot.read(spark, sqlDir)) == rows(Snapshot.read(spark, apiDir)))
+    assert(rows(Snapshot.read(spark, sqlDir)).contains((4L, "even", 999L)))
+    assert(rows(Snapshot.read(spark, sqlDir)).contains((200L, "even", 42L)))
+  }
+
+  test("refusals: unknown table, unknown SET column, foreign qualifier, subquery") {
+    val dir = tmp("refuse")
+    Snapshot.create(spark, dir, fixture(0 until 10))
+    val reg = Map("t" -> dir)
+    val unknownTable = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "DELETE FROM nope WHERE id = 1", reg)
+    }
+    assert(unknownTable.getMessage.contains("unknown table 'nope'"))
+    val unknownCol = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "UPDATE t SET missing = 1", reg)
+    }
+    assert(unknownCol.getMessage.contains("unknown column"))
+    val foreignQual = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "DELETE FROM t WHERE other.id = 1", reg)
+    }
+    assert(foreignQual.getMessage.contains("unknown qualifier 'other'"))
+    val subq = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "DELETE FROM t WHERE id IN (SELECT id FROM t)", reg)
+    }
+    assert(subq.getMessage.contains("subqueries"))
+    val dupAssign = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "UPDATE t SET v = 1, v = 2", reg)
+    }
+    assert(dupAssign.getMessage.toLowerCase.contains("twice") ||
+      dupAssign.getMessage.toLowerCase.contains("duplicate"))
+    // nothing committed by any refused statement
+    assert(Snapshot.latestVersion(spark, dir).contains(1L))
+  }
+
+  test("refusals: non-DML statements and unsupported merge shapes") {
+    val dir = tmp("shape")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    val reg = Map("t" -> dir)
+    val select = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "SELECT * FROM t", reg)
+    }
+    assert(select.getMessage.contains("DELETE / UPDATE / MERGE"))
+    fixture(0 until 1).createOrReplaceTempView("src")
+    val badMerge = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark,
+        "MERGE INTO t USING src ON t.id = src.id " +
+          "WHEN MATCHED THEN DELETE", reg)
+    }
+    assert(badMerge.getMessage.contains("UPDATE SET *"))
+    val badOn = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark,
+        "MERGE INTO t USING src ON t.id = src.v " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *", reg)
+    }
+    assert(badOn.getMessage.contains("same id column"))
+  }
+}
