@@ -65,12 +65,27 @@ object Snapshot {
     * a live file to its [[SnapshotStats.FileStats]] (per-column
     * min/max/nullCount reduced from the parquet footer at commit time);
     * files may lack stats — [[readWhere]] then simply cannot skip them.
+    * `dvs` maps a live file to its deletion vector ([[DvRef]]): the
+    * file's rows at the recorded positions are DELETED in this version
+    * (merge-on-read; see [[delete]]). A file absent from `dvs` is fully
+    * live.
     */
   final case class Manifest(version: Long, partitionCols: Seq[String],
                             schemaDdl: String, files: Seq[String],
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
                             streamBatch: Map[String, Long] = Map.empty,
-                            committedAtMicros: Long = 0L)
+                            committedAtMicros: Long = 0L,
+                            dvs: Map[String, DvRef] = Map.empty)
+
+  /** Deletion vector for one data file: `file` is the table-relative
+    * path of a parquet directory holding the deleted PHYSICAL row
+    * positions (`f` = data-file basename, `pos` = row index), `rows`
+    * the number of positions — so live-row counts stay metadata-exact
+    * (`stats.rows - dv.rows`). A new delete on an already-DV'd file
+    * writes a REPLACEMENT vector holding old ∪ new positions; vectors
+    * are immutable like data files, so pinned readers never break.
+    */
+  final case class DvRef(file: String, rows: Long)
 
   /** Test-only fault injection: SnapshotSpec points this at a throwing
     * hook to simulate a crash between any two steps of the commit
@@ -199,13 +214,19 @@ object Snapshot {
       if (!root.has("streamBatch")) Map.empty
       else root.get("streamBatch").properties().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap
+    val dvs: Map[String, DvRef] =
+      if (!root.has("dvs")) Map.empty
+      else root.get("dvs").properties().asScala.map { e =>
+        e.getKey -> DvRef(e.getValue.get("file").asText(), e.getValue.get("rows").asLong())
+      }.toMap
     Manifest(
       root.get("version").asLong(),
       root.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
       root.get("schemaDdl").asText(),
       root.get("files").elements().asScala.map(_.asText()).toSeq,
       stats, streamBatch,
-      if (root.has("committedAt")) root.get("committedAt").asLong() else 0L)
+      if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
+      dvs)
   }
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -321,8 +342,13 @@ object Snapshot {
     val to = manifest(spark, path, toVersion)
     require(from.schemaDdl == to.schemaDdl,
       s"readChanges needs a schema-stable window; v$fromVersion and v$toVersion differ")
-    val added = to.files.diff(from.files)
-    val removed = from.files.diff(to.files)
+    // a file whose deletion vector changed kept its path but not its
+    // rows: treat it as removed-at-from-state + added-at-to-state, and
+    // `net` cancellation reduces that to exactly the deleted rows
+    val dvChanged = to.files.intersect(from.files)
+      .filter(f => from.dvs.get(f) != to.dvs.get(f))
+    val added = to.files.diff(from.files) ++ dvChanged
+    val removed = from.files.diff(to.files) ++ dvChanged
     val ins = readFiles(spark, path, to, Some(added))
     val del = readFiles(spark, path, from, Some(removed))
     val (insN, delN) = if (net) (ins.exceptAll(del), del.exceptAll(ins)) else (ins, del)
@@ -335,24 +361,100 @@ object Snapshot {
                                        only: Seq[String]): DataFrame =
     readFiles(spark, path, m, Some(only))
 
+  /** Internal provenance columns for DML and deletion-vector plumbing:
+    * the scanned file's full path and the row's PHYSICAL index within
+    * it (Spark's parquet `_metadata` columns — exact and stable however
+    * the scan is split or filtered).
+    */
+  private[graft] val MetaFile = "_graft_file"
+  private[graft] val MetaPos = "_graft_pos"
+
   private def readFiles(spark: SparkSession, path: String, m: Manifest,
-                        only: Option[Seq[String]] = None): DataFrame = {
+                        only: Option[Seq[String]] = None): DataFrame =
+    readFilesMeta(spark, path, m, only, meta = false)
+
+  /** The one read core under every batch path. `meta = true` appends
+    * [[MetaFile]]/[[MetaPos]]. Files with a deletion vector are read
+    * minus their deleted positions: the DV rows (driver-known small —
+    * [[delete]] only takes the DV tier for low matched fractions) are
+    * BROADCAST anti-joined on (file basename, physical position), so
+    * merge-on-read costs one broadcast hash probe per row of only the
+    * DV'd files; DV-free files take the plain scan unchanged.
+    */
+  private def readFilesMeta(spark: SparkSession, path: String, m: Manifest,
+                            only: Option[Seq[String]], meta: Boolean): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     val files = only.getOrElse(m.files)
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val dvRefs = m.dvs.view.filterKeys(files.toSet).toMap
+    val needMeta = meta || dvRefs.nonEmpty
+    if (files.isEmpty) {
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      return if (!meta) base
+      else base.withColumn(MetaFile, lit(null).cast("string"))
+        .withColumn(MetaPos, lit(null).cast("long"))
+    }
     // one read per txn group (partition inference needs the group's own
     // basePath), then a by-name union (missing = pre-evolution txns,
     // filled with null); cast to the table schema so partition-value
     // inference drift can never retype a column
     val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     val unioned = groups.map { case (txn, fls) =>
-      spark.read.option("basePath", s"$path/$txn").parquet(fls.map(f => s"$path/$f"): _*)
+      val df = spark.read.option("basePath", s"$path/$txn").parquet(fls.map(f => s"$path/$f"): _*)
+      if (needMeta)
+        df.withColumn(MetaFile, col("_metadata.file_path"))
+          .withColumn(MetaPos, col("_metadata.row_index"))
+      else df
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-    schema.fields.map { f =>
+    val outCols = schema.fields.toSeq.map { f =>
       if (unioned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }.toSeq match { case cols => unioned.select(cols: _*) }
+    } ++ (if (needMeta) Seq(col(MetaFile), col(MetaPos)) else Nil)
+    val selected = unioned.select(outCols: _*)
+    val live =
+      if (dvRefs.isEmpty) selected
+      else {
+        // positional anti-join on the vector's identity key: (data-file
+        // basename, the row's partition values, physical position).
+        // One write job emits the SAME part-file basename into every
+        // partition dir it touches, so basename alone cannot identify a
+        // file of a partitioned table; basename + typed partition
+        // values can (same txn + same partition = same dir = distinct
+        // names; different txns = different job uuid in the name) —
+        // and typed values dodge the URI-encoding drift that makes
+        // full-path string matching fragile.
+        val dv = readDvRows(spark, path, m, dvRefs.values.map(_.file).toSeq)
+        val cond = m.partitionCols.foldLeft(
+          element_at(split(selected(MetaFile), "/"), -1) === dv(DvFileCol) &&
+            selected(MetaPos) === dv(DvPosCol)) { (c, pc) =>
+          c && (selected(pc) <=> dv(DvColPrefix + pc))
+        }
+        selected.join(broadcast(dv), cond, "left_anti")
+      }
+    if (meta) live else live.drop(MetaFile, MetaPos)
+  }
+
+  /** Deletion-vector column names — prefixed so they can never collide
+    * with table columns inside the anti-join.
+    */
+  private val DvColPrefix = "_graft_dv_"
+  private val DvFileCol = DvColPrefix + "f"
+  private val DvPosCol = DvColPrefix + "pos"
+
+  /** Union the given deletion-vector parquet dirs into
+    * (basename, partition values, position) — grouped by their commit
+    * dir so partition inference gets the right basePath.
+    */
+  private def readDvRows(spark: SparkSession, path: String, m: Manifest,
+                         refs: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val groups = refs.distinct.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+    val sel = Seq(col(DvFileCol).cast("string").as(DvFileCol),
+        col(DvPosCol).cast("long").as(DvPosCol)) ++
+      m.partitionCols.map(pc =>
+        col(DvColPrefix + pc).cast(schema(pc).dataType).as(DvColPrefix + pc))
+    groups.map { case (base, rs) =>
+      spark.read.option("basePath", s"$path/$base").parquet(rs.map(r => s"$path/$r"): _*)
+    }.reduce(_.unionByName(_)).select(sel: _*)
   }
 
   // -------------------------------------------------------------- write
@@ -427,6 +529,15 @@ object Snapshot {
     if (m.streamBatch.nonEmpty) {
       val sb = node.putObject("streamBatch")
       m.streamBatch.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
+    }
+    if (m.dvs.nonEmpty) {
+      require(m.dvs.keySet.subsetOf(m.files.toSet),
+        "manifest dvs reference non-live files: " +
+          m.dvs.keySet.diff(m.files.toSet).mkString(", "))
+      val dv = node.putObject("dvs")
+      m.dvs.toSeq.sortBy(_._1).foreach { case (f, r) =>
+        val n = dv.putObject(f); n.put("file", r.file); n.put("rows", r.rows)
+      }
     }
     if (m.stats.nonEmpty) {
       val st = node.putObject("stats")
@@ -595,10 +706,12 @@ object Snapshot {
     val files = writeTxnFiles(df, path, m.partitionCols)
     // streamBatch watermarks survive an overwrite: a foreachBatch
     // redelivery after a full rewrite must still be recognized as a
-    // duplicate, or appendBatch's exactly-once contract breaks
+    // duplicate, or appendBatch's exactly-once contract breaks.
+    // dvs do not: no old file is live, so no vector applies.
     commitManifest(spark, path, finish(
       m.copy(version = m.version + 1, schemaDdl = ddl, files = files,
-        stats = statsFor(spark, path, files, ddl, m.partitionCols))))
+        stats = statsFor(spark, path, files, ddl, m.partitionCols),
+        dvs = Map.empty)))
   }
 
   /** Exactly-once micro-batch OVERWRITE — the full-rewrite twin of
@@ -636,7 +749,8 @@ object Snapshot {
     }
     commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles,
       stats = m.stats.view.filterKeys(kept.toSet).toMap ++
-        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols)))
+        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
+      dvs = m.dvs.view.filterKeys(kept.toSet).toMap))
   }
 
   /** K3 partition-restricted MERGE-by-id, snapshot form. Unlike the raw
@@ -711,24 +825,82 @@ object Snapshot {
     * only where the predicate is true). Commits one new version (or
     * none if nothing matched — returns the current version unchanged).
     */
-  def delete(spark: SparkSession, path: String, pred: Column): Long = {
+  def delete(spark: SparkSession, path: String, pred: Column,
+             dvMaxFraction: Double = 0.1): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val matched = matchedPerFile(spark, path, m, pred)
     if (matched.isEmpty) return m.version
-    val (whole, partial) = matched.partition { case (f, n) =>
-      m.stats.get(f).exists(_.rows == n)
+    // live rows = physical rows minus already-deleted positions — the
+    // whole-file and fraction tiers must judge against what a reader
+    // actually sees, or a second delete on a DV'd file mis-tiers
+    def liveRows(f: String): Option[Long] =
+      m.stats.get(f).map(_.rows - m.dvs.get(f).map(_.rows).getOrElse(0L))
+    val (whole, rest) = matched.partition { case (f, n) => liveRows(f).contains(n) }
+    // vectors identify a file by (basename, partition values) — unique
+    // for anything this writer produced; a hand-assembled table that
+    // still collides falls back to the always-correct rewrite tier
+    val collided = m.files
+      .groupBy(f => (f.substring(f.lastIndexOf('/') + 1), partitionValues(m.partitionCols, f)))
+      .filter(_._2.size > 1).values.flatten.toSet
+    val (dvTier, rewriteTier) = rest.partition { case (f, n) =>
+      dvMaxFraction > 0 && !collided(f) &&
+        liveRows(f).exists(lv => lv > 0 && n.toDouble / lv <= dvMaxFraction)
     }
-    val rewrite = partial.keys.toSeq.sorted
-    if (rewrite.isEmpty) {
-      val kept = m.files.filterNot(whole.keySet)
-      commitManifest(spark, path, m.copy(version = m.version + 1, files = kept,
-        stats = m.stats.view.filterKeys(kept.toSet).toMap))
-    } else {
-      val remainder = readFiles(spark, path, m, Some(rewrite))
-        .where(!coalesce(pred, lit(false)))
-      replaceFiles(spark, path, remainder, whole.keySet ++ rewrite)
+    val rewrite = rewriteTier.keys.toSeq.sorted
+    val newFiles =
+      if (rewrite.isEmpty) Nil
+      else writeTxnFiles(
+        readFiles(spark, path, m, Some(rewrite)).where(!coalesce(pred, lit(false))),
+        path, m.partitionCols)
+    val dvNew =
+      if (dvTier.isEmpty) Map.empty[String, DvRef]
+      else writeDv(spark, path, m, pred, dvTier)
+    val dropped = whole.keySet ++ rewrite.toSet
+    val kept = m.files.filterNot(dropped)
+    commitManifest(spark, path, m.copy(
+      version = m.version + 1,
+      files = kept ++ newFiles,
+      stats = m.stats.view.filterKeys(kept.toSet).toMap ++
+        (if (newFiles.isEmpty) Map.empty
+         else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols)),
+      dvs = (m.dvs -- dropped) ++ dvNew))
+  }
+
+  /** Write REPLACEMENT deletion vectors for the `matched` files: the
+    * predicate's matched physical positions plus each file's
+    * previously-deleted positions (vectors are immutable; a new delete
+    * supersedes the old vector rather than mutating it), grouped by
+    * data-file basename under one commit dir. Nothing is live until
+    * the manifest commits. Per-file row counts come from the already-
+    * computed match counts plus the superseded vector's count — no
+    * extra job.
+    */
+  private def writeDv(spark: SparkSession, path: String, m: Manifest, pred: Column,
+                      matched: Map[String, Long]): Map[String, DvRef] = {
+    val files = matched.keys.toSeq.sorted
+    val dvDirRel = s"_dv/dv-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    val fresh = readFilesMeta(spark, path, m, Some(files), meta = true)
+      .where(coalesce(pred, lit(false)))
+      .select(Seq(element_at(split(col(MetaFile), "/"), -1).as(DvFileCol),
+        col(MetaPos).as(DvPosCol)) ++
+        m.partitionCols.map(pc => col(pc).as(DvColPrefix + pc)): _*)
+    val carried = files.flatMap(f => m.dvs.get(f).map(_.file)) match {
+      case Nil  => fresh
+      case refs => fresh.unionByName(readDvRows(spark, path, m, refs))
     }
+    // DV-tier data is small by construction (fraction-capped point
+    // deletes): one output file per basename group, positions sorted
+    // for run-length-friendly encoding
+    carried.repartition(1).sortWithinPartitions(DvFileCol, DvPosCol)
+      .write.mode("errorifexists").partitionBy(DvFileCol).parquet(s"$path/$dvDirRel")
+    faultHook("dv-files-written")
+    files.map { f =>
+      val base = f.substring(f.lastIndexOf('/') + 1)
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(base)
+      f -> DvRef(s"$dvDirRel/$DvFileCol=$esc",
+        matched(f) + m.dvs.get(f).map(_.rows).getOrElse(0L))
+    }.toMap
   }
 
   /** Row-level UPDATE by predicate: `set` maps column name → new-value
@@ -769,9 +941,9 @@ object Snapshot {
                              pred: Column): Map[String, Long] = {
     val candidates = SnapshotStats.prune(spark, m, pred)
     if (candidates.isEmpty) return Map.empty
-    val counts = readFiles(spark, path, m, Some(candidates))
+    val counts = readFilesMeta(spark, path, m, Some(candidates), meta = true)
       .where(coalesce(pred, lit(false)))
-      .groupBy(input_file_name().as("__file")).count()
+      .groupBy(col(MetaFile).as("__file")).count()
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val byKey = candidates.map(f => fileKey(s"$path/$f") -> f).toMap
     counts.map { case (abs, n) =>
@@ -822,7 +994,12 @@ object Snapshot {
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val pCols = m.partitionCols
     val byPart = m.files.groupBy(f => partitionValues(pCols, f))
-    val marked = byPart.filter(_._2.size >= minFiles)
+    // a partition holding any DV'd file is always marked: compaction is
+    // how deletion vectors FOLD AWAY (the rewrite reads live rows, so
+    // the new files carry no vector and the native scan path returns)
+    val marked = byPart.filter { case (_, fls) =>
+      fls.size >= minFiles || fls.exists(m.dvs.contains)
+    }
     if (marked.isEmpty) return Nil
     val markedFiles = marked.values.flatten.toSeq
     val bytes = markedFiles.map(fileBytes(spark, path, m, _)).sum
@@ -866,7 +1043,10 @@ object Snapshot {
     val kept = m.files.filterNot(drop)
     commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles,
       stats = m.stats.view.filterKeys(kept.toSet).toMap ++
-        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols)))
+        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
+      // a replaced file's rewrite was read DV-applied, so its vector is
+      // FOLDED IN by construction; only surviving files keep theirs
+      dvs = m.dvs.view.filterKeys(kept.toSet).toMap))
   }
 
   /** Byte size of a live file — from the manifest's own stats when
@@ -916,6 +1096,12 @@ object Snapshot {
                   version: Option[Long] = None): DataFrame = {
     val m = version.map(manifest(spark, path, _)).orElse(latestManifest(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    // a deleted row may have been a file's min/max/null-count carrier;
+    // metadata answers over DV'd files would be wrong-but-fast, which
+    // this surface never permits — compact folds vectors in
+    require(m.dvs.isEmpty,
+      s"metadataAgg: ${m.dvs.size} file(s) carry deletion vectors; " +
+        "compact the table to fold them in, or run a real scan")
     SnapshotStats.metadataAgg(spark, m, cols)
   }
 
@@ -930,7 +1116,8 @@ object Snapshot {
     import spark.implicits._
     def row(m: Manifest): (Long, Long, Int, Long, String) = {
       val rows =
-        if (m.files.forall(m.stats.contains)) m.files.map(m.stats(_).rows).sum
+        if (m.files.forall(m.stats.contains))
+          m.files.map(f => m.stats(f).rows - m.dvs.get(f).map(_.rows).getOrElse(0L)).sum
         else -1L
       (m.version, m.committedAtMicros, m.files.size, rows, m.schemaDdl)
     }
@@ -980,6 +1167,18 @@ object Snapshot {
         if (listParquetRecursive(fs, txn.getPath).isEmpty &&
             now - txn.getModificationTime > orphanGraceMs)
           fs.delete(txn.getPath, true)
+      }
+    // deletion-vector commit dirs referenced by NO retained manifest
+    // (superseded vectors, folded-away vectors, a crashed delete's
+    // orphans) reclaim like data files, past the same grace window
+    val liveDv = kept.flatMap(v => manifest(spark, path, v).dvs.values
+      .map(_.file.split('/').take(2).mkString("/"))).toSet
+    val dvRoot = new HPath(path, "_dv")
+    if (fs.exists(dvRoot))
+      fs.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
+        if (!liveDv.contains(s"_dv/${d.getPath.getName}") &&
+            now - d.getModificationTime > orphanGraceMs)
+          fs.delete(d.getPath, true)
       }
     dead.foreach(v => fs.delete(manifestPath(path, v), false))
     // a crashed writer can also strand a staged manifest (.tmp-*);

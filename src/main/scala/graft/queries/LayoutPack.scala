@@ -474,7 +474,10 @@ object LayoutPack extends QueryPack {
            |           AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
            |           THEN o_totalprice * 3
            |         ELSE o_totalprice END AS o_totalprice
-           |  FROM base WHERE yr < 1998
+           |  FROM base
+           |  WHERE yr < 1998
+           |    AND (o_orderkey % 1000 <> 7
+           |         OR (yr = 1997 AND o_orderpriority = '5-LOW'))
            |  UNION ALL
            |  SELECT o_orderpriority, o_totalprice FROM base
            |  WHERE yr = 1998 AND o_orderpriority = '2-HIGH'
@@ -502,6 +505,12 @@ object LayoutPack extends QueryPack {
       "UPDATE orders_s SET o_totalprice = o_totalprice * 3 " +
         "WHERE o_orderpriority = '1-URGENT' " +
         "AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'", reg)
+    // point delete (~0.1% of rows per file): takes the DELETION-VECTOR
+    // tier — zero data files rewritten, readers anti-join the vector —
+    // and the oracle's recompute gates its value-invisibility. The
+    // merge below re-inserts any 1997/5-LOW rows this removed (they
+    // stop matching and become WHEN NOT MATCHED inserts).
+    Snapshot.sql(t.spark, "DELETE FROM orders_s WHERE o_orderkey % 1000 = 7", reg)
     base.where((col("yr") === 1997 && col("o_orderpriority") === "5-LOW") ||
         (col("yr") === 1998 && col("o_orderpriority") === "2-HIGH"))
       .withColumn("o_totalprice",

@@ -94,15 +94,44 @@ object SnapshotSource {
     * their declared position (HadoopFsRelation dedups the overlap; the
     * file-source strategy reads them from partition values, never from
     * the data files).
+    *
+    * A version whose in-scope files carry DELETION VECTORS cannot be a
+    * plain file scan (the files physically hold deleted rows), so it
+    * plans through [[DvSnapshotRelation]] instead: column-pruned but
+    * row-based — correct always, slower until the next compaction
+    * folds the vectors in and this native path returns. That is the
+    * intended lifecycle: DVs buy cheap point deletes between
+    * maintenance windows, not a permanent table state.
     */
   private[sources] def relationFor(spark: SparkSession, path: String,
                                    m: Snapshot.Manifest,
-                                   schema: Option[StructType] = None): HadoopFsRelation = {
+                                   schema: Option[StructType] = None): BaseRelation = {
     val tableSchema = schema.getOrElse(StructType.fromDDL(m.schemaDdl))
+    if (m.dvs.keySet.intersect(m.files.toSet).nonEmpty)
+      return new DvSnapshotRelation(spark, path, m, tableSchema)
     val index = new SnapshotFileIndex(spark, path, m, tableSchema)
     HadoopFsRelation(index, index.partitionSchema, tableSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
   }
+}
+
+/** Merge-on-read fallback relation for manifests with live deletion
+  * vectors: delegates to the snapshot read core (broadcast positional
+  * anti-join) and hands Spark the rows. Declares every filter
+  * unhandled, so Spark re-applies them above — pruning inside the core
+  * stays an optimization.
+  */
+final class DvSnapshotRelation(spark: SparkSession, path: String,
+                               m: Snapshot.Manifest, tableSchema: StructType)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = tableSchema
+  override def buildScan(requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val df = Snapshot.readManifestFiles(spark, path, m, m.files)
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*)).rdd
+  }
+  override def toString: String = s"DvSnapshotRelation[$path v${m.version}]"
 }
 
 /** The commit log as a Structured Streaming SOURCE: offsets are table
@@ -151,11 +180,18 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
         (v0 + 1 to vEnd).foreach { v =>
           val cur = Snapshot.manifest(spark, path, v)
           val removed = prev.files.diff(cur.files)
-          if (removed.isEmpty) out ++= cur.files.diff(prev.files)
+          // a deletion-vector change removes ROWS without removing a
+          // file — every bit as much a rewrite for a consumer that
+          // assumed appends-only
+          val dvChanged = cur.files.intersect(prev.files)
+            .exists(f => prev.dvs.get(f) != cur.dvs.get(f))
+          if (removed.isEmpty && !dvChanged) out ++= cur.files.diff(prev.files)
           else if (!skipChangeCommits)
             throw new IllegalStateException(
               s"snapshot stream source: version $v of $path rewrites " +
-                s"${removed.size} file(s); streaming it would re-emit rows. " +
+                s"${removed.size} file(s)" +
+                (if (dvChanged) " and changes deletion vectors" else "") +
+                "; streaming it would re-emit or drop rows. " +
                 "Set skipChangeCommits = true to stream appends only.")
           prev = cur
         }

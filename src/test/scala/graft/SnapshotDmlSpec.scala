@@ -44,7 +44,10 @@ class SnapshotDmlSpec extends SparkSpec {
     val before = fileIdentity(dir)
     assert(before.size == 3)
 
-    val v = Snapshot.delete(spark, dir, col("id") >= 120 && col("id") < 130)
+    // dvMaxFraction = 0 pins the pure copy-on-write tiers; the DV tier
+    // has its own suite (SnapshotDvSpec)
+    val v = Snapshot.delete(spark, dir, col("id") >= 120 && col("id") < 130,
+      dvMaxFraction = 0.0)
     assert(v == 4L)
     assert(rows(Snapshot.read(spark, dir)) ==
       rows(fixture(0 until 300)).filterNot(r => r._1 >= 120 && r._1 < 130))

@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** Deletion vectors — the merge-on-read tier of row-level DELETE: a
+  * point delete records positions in a sidecar vector instead of
+  * rewriting the file (at 100 TB a GDPR-style 1-row delete must not
+  * rewrite a 1-GB file), readers anti-join the vector, compaction
+  * folds vectors back into plain files, and vacuum reclaims superseded
+  * vectors. Pins: zero data files rewritten on the DV tier, exact
+  * reads through every path (plain, predicate, SQL source, change
+  * feed, time travel), fold-away on compact, tier selection by matched
+  * fraction.
+  */
+class SnapshotDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-dv-$tag").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i.toLong * 10))
+      .toDF("id", "p", "v")
+
+  private def fileIdentity(dir: String): Map[String, (Long, Long)] = {
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.latestManifest(spark, dir).get.files.map { f =>
+      val st = fs.getFileStatus(new HPath(s"$dir/$f"))
+      f -> (st.getLen, st.getModificationTime)
+    }.toMap
+  }
+
+  test("a point delete rewrites ZERO data files and reads exactly") {
+    val dir = tmp("point")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+    Snapshot.append(spark, dir, fixture(1000 until 2000).repartition(1))
+    val before = fileIdentity(dir)
+
+    val v = Snapshot.delete(spark, dir, col("id") === 1500L)
+    assert(v == 3L)
+    // every data file byte-identical; exactly one vector, one position
+    assert(fileIdentity(dir) == before, "a DV delete must rewrite nothing")
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.dvs.size == 1 && m.dvs.values.head.rows == 1L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 2000)).filterNot(_._1 == 1500L))
+    // predicate reads and counts agree
+    assert(Snapshot.read(spark, dir).count() == 1999L)
+    assert(Snapshot.readWhere(spark, dir, col("id") >= 1490 && col("id") < 1510)
+      .count() == 19L)
+    // time travel: the pre-delete version still sees the row
+    assert(Snapshot.readVersion(spark, dir, 2).count() == 2000L)
+    // history reports live rows, vector subtracted
+    val h = Snapshot.history(spark, dir)
+      .select("version", "num_rows").as[(Long, Long)].collect().toMap
+    assert(h(2L) == 2000L && h(3L) == 1999L)
+  }
+
+  test("a second delete on a DV'd file supersedes the vector (old ∪ new)") {
+    val dir = tmp("merge")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+    Snapshot.delete(spark, dir, col("id") === 7L)
+    val ref1 = Snapshot.latestManifest(spark, dir).get.dvs.values.head
+    Snapshot.delete(spark, dir, col("id").isin(13L, 21L))
+    val m = Snapshot.latestManifest(spark, dir).get
+    val ref2 = m.dvs.values.head
+    assert(m.dvs.size == 1 && ref2.rows == 3L && ref2.file != ref1.file,
+      "replacement vector must carry old and new positions under a new file")
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 1000)).filterNot(r => Set(7L, 13L, 21L)(r._1)))
+    // both versions time-travel exactly
+    assert(Snapshot.readVersion(spark, dir, 2).count() == 999L)
+    assert(Snapshot.readVersion(spark, dir, 3).count() == 997L)
+  }
+
+  test("tier selection: fraction above the cap rewrites, whole files drop") {
+    val dir = tmp("tier")
+    Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))
+    Snapshot.append(spark, dir, fixture(100 until 200).repartition(1))
+    val before = fileIdentity(dir)
+    // 50% of file 1 matches → rewrite that file; file 2 untouched
+    Snapshot.delete(spark, dir, col("id") < 50)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.dvs.isEmpty, "bulk deletes must not take the DV tier")
+    val after = fileIdentity(dir)
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size == 1 && before(kept.head) == after(kept.head))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(50 until 200)))
+  }
+
+  test("update on a DV'd file folds its vector into the rewrite") {
+    val dir = tmp("upd")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+    Snapshot.delete(spark, dir, col("id") === 4L)
+    Snapshot.update(spark, dir, col("id") === 10L, Map("v" -> lit(-1L)))
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.dvs.isEmpty, "rewrite reads live rows; vector must fold away")
+    val expect = rows(fixture(0 until 1000)).filterNot(_._1 == 4L)
+      .map { case (id, p, v) => if (id == 10L) (id, p, -1L) else (id, p, v) }
+    assert(rows(Snapshot.read(spark, dir)) == expect)
+  }
+
+  test("compact folds vectors in and restores the native SQL scan") {
+    val dir = tmp("fold")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1), Seq("p"))
+    Snapshot.delete(spark, dir, col("id").isin(2L, 3L, 5L))
+    assert(Snapshot.latestManifest(spark, dir).get.dvs.nonEmpty)
+
+    // DV'd table through the SQL source: correct, via the fallback
+    val live = rows(fixture(0 until 1000)).filterNot(r => Set(2L, 3L, 5L)(r._1))
+    val viaSql = spark.read.format("graft.sources.SnapshotSource").load(dir)
+    assert(rows(viaSql) == live)
+    assert(viaSql.where(col("id") < 10).count() == 7L)
+    // metadata answers refuse while vectors are live
+    intercept[IllegalArgumentException] {
+      Snapshot.metadataAgg(spark, dir, Seq("v"))
+    }
+
+    // compact: single live file per partition would normally not mark,
+    // but DV'd files always fold
+    val packed = Snapshot.compact(spark, dir, minFiles = 99)
+    assert(packed.nonEmpty)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.dvs.isEmpty)
+    assert(rows(Snapshot.read(spark, dir)) == live)
+    // native scan back: plan is a parquet file scan with pushed filters
+    val plan = spark.read.format("graft.sources.SnapshotSource").load(dir)
+      .where(col("id") >= 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(id,10)]") &&
+      plan.contains("SnapshotFileIndex"), plan.take(800))
+    // and metadata answers work again
+    assert(Snapshot.metadataAgg(spark, dir, Seq("v")).select("n").as[Long].head() == 997L)
+  }
+
+  test("change feed emits DV deletes; vacuum reclaims superseded vectors") {
+    val dir = tmp("feed")
+    Snapshot.create(spark, dir, fixture(0 until 500).repartition(1))
+    val v1 = Snapshot.latestVersion(spark, dir).get
+    Snapshot.delete(spark, dir, col("id") === 123L)
+    val v2 = Snapshot.latestVersion(spark, dir).get
+    val changes = Snapshot.readChanges(spark, dir, v1, v2, net = true)
+    val dels = changes.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq
+    assert(dels == Seq(123L) && changes.count() == 1L,
+      "net change between the two versions is exactly the deleted row")
+
+    // supersede the vector, then fold it; vacuum past grace reclaims all
+    Snapshot.delete(spark, dir, col("id") === 124L)
+    Snapshot.compact(spark, dir, minFiles = 99)
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new HPath(dir, "_dv")).count(_.isDirectory) == 2)
+    Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(!fs.exists(new HPath(dir, "_dv")) ||
+      fs.listStatus(new HPath(dir, "_dv")).isEmpty,
+      "no retained manifest references a vector; all must reclaim")
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 500)).filterNot(r => Set(123L, 124L)(r._1)))
+  }
+
+  test("streaming source treats a DV commit as a change commit") {
+    val dir = tmp("stream")
+    Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))
+    Snapshot.delete(spark, dir, col("id") === 42L)
+    Snapshot.append(spark, dir, fixture(100 until 110).repartition(1))
+    val out = Files.createTempDirectory("graft-dv-stream-out").toString
+    // skipChangeCommits: the DV commit is skipped, the append streams
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", "1")
+      .option("skipChangeCommits", "true")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$out/data").select("id").as[Long].collect().toSet
+    assert(streamed == (100L until 110L).toSet)
+    // without the flag, the DV commit refuses
+    val out2 = Files.createTempDirectory("graft-dv-stream-out2").toString
+    val q2 = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out2/data").option("checkpointLocation", s"$out2/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(err.getMessage.contains("deletion vectors") ||
+      Option(err.getCause).exists(_.getMessage.contains("deletion vectors")))
+  }
+}
