@@ -43,12 +43,17 @@ import scala.jdk.CollectionConverters._
   * APPEND-family writers (`append`, `appendBatch`) are multi-writer
   * safe via optimistic concurrency — a version collision rebases the
   * commit onto the current manifest and retries, which is always
-  * semantics-preserving because appends commute. Read-modify-write
-  * writers (`overwrite`, `replacePartitions`, `mergeById`, `compact`)
-  * stay single-writer-per-table (the reference's Airflow DAG
-  * serializes them the same way) and REFUSE on conflict
-  * ([[CommitConflictException]]) rather than silently discard a
-  * concurrent commit.
+  * semantics-preserving because appends commute. FILE-PRECISE
+  * rewriters (`compact`, `delete`, `update`) also rebase, but only
+  * when every file they derived their output from is still live with
+  * an unchanged deletion vector in the winning manifest
+  * ([[commitRebasing]]) — so a compaction survives a concurrent
+  * hourly append with neither commit lost. Whole-table and
+  * partition-predicate writers (`overwrite`, `replacePartitions`,
+  * `mergeById`) REFUSE on conflict ([[CommitConflictException]])
+  * rather than silently discard a concurrent commit — their write
+  * set is defined by predicate, not by file, so a concurrent append
+  * into an affected partition cannot be proven disjoint.
   *
   * At 100 TB: manifests are O(#live files) metadata, commits are O(new
   * files) + one rename, and every routed writer below stays partition-
@@ -856,15 +861,14 @@ object Snapshot {
     val dvNew =
       if (dvTier.isEmpty) Map.empty[String, DvRef]
       else writeDv(spark, path, m, pred, dvTier)
-    val dropped = whole.keySet ++ rewrite.toSet
-    val kept = m.files.filterNot(dropped)
-    commitManifest(spark, path, m.copy(
-      version = m.version + 1,
-      files = kept ++ newFiles,
-      stats = m.stats.view.filterKeys(kept.toSet).toMap ++
-        (if (newFiles.isEmpty) Map.empty
-         else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols)),
-      dvs = (m.dvs -- dropped) ++ dvNew))
+    commitRebasing(spark, path, m,
+      drop = whole.keySet ++ rewrite.toSet,
+      touched = dvTier.keySet,
+      addFiles = newFiles,
+      addStats =
+        if (newFiles.isEmpty) Map.empty
+        else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
+      addDvs = dvNew)
   }
 
   /** Write REPLACEMENT deletion vectors for the `matched` files: the
@@ -1033,20 +1037,66 @@ object Snapshot {
   }
 
   /** Swap EXACTLY `drop` (live files) for `replacement`'s rewrite in
-    * one atomic commit — the file-precise core under [[compact]].
+    * one atomic commit — the file-precise core under [[compact]],
+    * [[update]] and [[delete]]'s rewrite tier.
     */
   private def replaceFiles(spark: SparkSession, path: String, replacement: DataFrame,
                            drop: Set[String]): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val newFiles = writeTxnFiles(replacement, path, m.partitionCols)
-    val kept = m.files.filterNot(drop)
-    commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles,
-      stats = m.stats.view.filterKeys(kept.toSet).toMap ++
-        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
-      // a replaced file's rewrite was read DV-applied, so its vector is
-      // FOLDED IN by construction; only surviving files keep theirs
-      dvs = m.dvs.view.filterKeys(kept.toSet).toMap))
+    commitRebasing(spark, path, m, drop, Set.empty, newFiles,
+      statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols), Map.empty)
+  }
+
+  /** OPTIMISTIC commit for the file-precise rewriters (compact, DML):
+    * drop `drop`, add `addFiles`/`addDvs`, REBASING onto whatever
+    * manifest is current when a concurrent commit wins the version —
+    * a compaction must not abort because an hourly append landed
+    * mid-rewrite. A rebase is semantics-preserving exactly when every
+    * file this writer derived its output from (`drop` ∪ `touched`) is
+    * still live with an UNCHANGED deletion vector in the new latest:
+    * the rewrite then still describes those files' rows, and the
+    * concurrent commit's files (appended, or other files' rewrites)
+    * carry over untouched. Anything else — a marked file compacted or
+    * DV'd by someone else — is a true write-write conflict and refuses
+    * ([[CommitConflictException]]), exactly as before. `addDvs` entries
+    * supersede their file's vector; a replaced file's vector is folded
+    * into its rewrite by construction, so only surviving files keep
+    * theirs. The rebased manifest keeps the LATEST schema and stream
+    * watermarks (a concurrent append may have evolved both; replaced
+    * files read under the wider schema with nulls, like any
+    * pre-evolution file).
+    */
+  private def commitRebasing(spark: SparkSession, path: String, base: Manifest,
+                             drop: Set[String], touched: Set[String],
+                             addFiles: Seq[String],
+                             addStats: Map[String, SnapshotStats.FileStats],
+                             addDvs: Map[String, DvRef]): Long = {
+    var attempt = 0
+    while (true) {
+      val m = if (attempt == 0) base else latestManifest(spark, path).getOrElse(base)
+      val derivedFrom = drop ++ touched
+      val missing = derivedFrom.diff(m.files.toSet)
+      val dvDrift = derivedFrom.filter(f => m.dvs.get(f) != base.dvs.get(f))
+      if (missing.nonEmpty || dvDrift.nonEmpty)
+        throw new CommitConflictException(
+          s"snapshot rewrite conflict at $path: a concurrent commit " +
+            (if (missing.nonEmpty) s"removed ${missing.take(3).mkString(", ")}"
+             else s"changed deletion vectors of ${dvDrift.take(3).mkString(", ")}") +
+            " — this rewrite was derived from stale rows")
+      val kept = m.files.filterNot(drop)
+      try {
+        return commitManifest(spark, path, m.copy(
+          version = m.version + 1,
+          files = kept ++ addFiles,
+          stats = m.stats.view.filterKeys(kept.toSet).toMap ++ addStats,
+          dvs = m.dvs.view.filterKeys(kept.toSet).toMap ++ addDvs))
+      } catch {
+        case _: CommitConflictException if attempt < 10 => attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Byte size of a live file — from the manifest's own stats when

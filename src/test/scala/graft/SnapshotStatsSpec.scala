@@ -534,6 +534,45 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).where(col("id") === 2000L).count() == 1L)
   }
 
+  test("compact rebases onto a concurrent append; a concurrent rewrite refuses") {
+    val dir = tmp("compact-race")
+    def batch(r: Range) = r.map(i => (i.toLong, i.toLong)).toDF("id", "w").repartition(1)
+    Snapshot.create(spark, dir, batch(0 until 100))
+    (1 to 3).foreach(k => Snapshot.append(spark, dir, batch(k * 100 until k * 100 + 100)))
+
+    // an hourly append lands between compact's staging and its rename:
+    // the compaction must rebase and commit with NEITHER lost
+    var injected = false
+    Snapshot.faultHook = stage => if (stage == "manifest-staged" && !injected) {
+      injected = true
+      Snapshot.append(spark, dir, Seq((9999L, 9L)).toDF("id", "w"))
+    }
+    try assert(Snapshot.compact(spark, dir, minFiles = 2).nonEmpty)
+    finally Snapshot.faultHook = _ => ()
+    assert(Snapshot.read(spark, dir).count() == 401L)
+    assert(Snapshot.read(spark, dir).where(col("id") === 9999L).count() == 1L)
+    // append won version 5; the rebased compact is version 6 and keeps
+    // the appended file live alongside the packed rewrite
+    assert(Snapshot.latestVersion(spark, dir).contains(6L))
+
+    // a concurrent REWRITE of a marked file is a true conflict: refuse
+    (4 to 5).foreach(k => Snapshot.append(spark, dir, batch(k * 100 until k * 100 + 100)))
+    val before = rows2(Snapshot.read(spark, dir))
+    var injected2 = false
+    Snapshot.faultHook = stage => if (stage == "manifest-staged" && !injected2) {
+      injected2 = true
+      Snapshot.delete(spark, dir, col("id") < 50, dvMaxFraction = 0.0)
+    }
+    try intercept[Snapshot.CommitConflictException] {
+      Snapshot.compact(spark, dir, minFiles = 2)
+    } finally Snapshot.faultHook = _ => ()
+    // the delete survived untouched; the compact landed nothing
+    assert(rows2(Snapshot.read(spark, dir)) == before.filterNot(_._1 < 50))
+  }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id", "w").as[(Long, Long)].collect().toSet
+
   test("latest-version reads are pointer-driven: zero log listings") {
     val dir = tmp("pointer")
     Snapshot.create(spark, dir, Seq((0L, "v0")).toDF("id", "v"))

@@ -366,4 +366,79 @@ class StreamingSpec extends SparkSpec {
     assert(FeedConsumer.drain(spark, src, dst, "mv1")(
       FeedConsumer.additiveRollup(Seq("k"), "v")).isEmpty)
   }
+
+  test("end to end: snapshot stream source -> event-time watermark -> exactly-once snapshot sink") {
+    // The three streaming layers closed on ONE fixture: the commit log
+    // is the SOURCE (each append = a micro-batch, no landing-dir
+    // convention), the rollup is watermarked on event time (through
+    // the normalizeTs seam — the fixture writes NTZ, the watermark
+    // needs TIMESTAMP), and the SINK is the exactly-once snapshot
+    // appendBatch whose (appId, batchId) watermark commits atomically
+    // with the data — crash-injected at the worst point (after the
+    // manifest commit, before the stream learns of it), so the
+    // redelivered batch must be recognized and skipped.
+    import graft.operators.Snapshot
+    val dir = Files.createTempDirectory("graft-e2e-stream").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val ckpt = s"$dir/ckpt"
+    def ev(rows: (String, Double)*) : org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("s", "value").select(
+        col("s").cast("timestamp_ntz").as("ts"),
+        lit("click").as("event_type"), col("value"))
+    Snapshot.create(spark, src,
+      ev(("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:40:00", 2.0),
+         ("2024-01-01 11:10:00", 4.0)))
+    Snapshot.create(spark, dst,
+      EventStream.hourlyRollup(ev().limit(0)).limit(0))
+
+    def run(): Unit = {
+      val q = EventStream.hourlyRollup(
+          spark.readStream.format("graft.sources.SnapshotSource").load(src),
+          watermark = "2 hours")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) Snapshot.appendBatch(spark, dst, b.toDF(), "e2e", id): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def state(): Set[(String, String, Long, Double)] =
+      Snapshot.read(spark, dst)
+        .as[(java.sql.Timestamp, String, Long, Double)].collect()
+        .map(t => (t._1.toString, t._2, t._3, t._4)).toSet
+
+    // bootstrap + a later append: windows stay open until a watermark
+    // passes them — nothing published yet
+    run()
+    Snapshot.append(spark, src, ev(("2024-01-01 12:20:00", 8.0)))
+    run()
+    assert(state().isEmpty, "no window is watermark-closed yet")
+
+    // sentinel commit advances the watermark past every real window;
+    // the v1-wrapped source runs exactly one data batch per tick (no
+    // trailing no-data batch), so the closed windows EMIT on the batch
+    // after it — a second sentinel drives that batch, and its publish
+    // hits a crash AFTER the manifest commit: the worst redelivery case
+    Snapshot.append(spark, src, ev(("2024-02-01 00:00:00", 0.0)))
+    run()
+    assert(state().isEmpty)
+    Snapshot.append(spark, src, ev(("2024-02-01 00:00:01", 0.0)))
+    var crashed = false
+    Snapshot.faultHook = stage => if (stage == "manifest-committed" && !crashed) {
+      crashed = true
+      throw new RuntimeException("injected crash after publish commit")
+    }
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    finally Snapshot.faultHook = _ => ()
+    val expect = Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 12:00:00.0", "click", 1L, 8.0))
+    assert(state() == expect, "the publish itself committed before the crash")
+
+    // redelivery: the same batch id replays; appendBatch must skip it
+    run()
+    assert(state() == expect, "redelivered batch must not double-publish")
+  }
 }
