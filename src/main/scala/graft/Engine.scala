@@ -35,17 +35,39 @@ object Engine {
 
 /** Resolves logical table names to DataFrames over `$dir/<name>.parquet`. */
 final case class Tables(spark: SparkSession, dir: String) {
-  def apply(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Read `name` and normalize its event-time column to session-TZ
-    * TimestampType whatever the ingest's physical encoding — see
-    * [[Tables.normalizeTs]]. `nanosAsLong` is set first so a
-    * TIMESTAMP(NANOS) file reads (as long) instead of erroring.
+  /** Read a table with PHYSICAL-ENCODING normalization: any column the
+    * parquet footer declares as TIMESTAMP(NANOS) — an encoding Spark's
+    * reader rejects natively and `nanosAsLong` surfaces as a bare
+    * long — comes back as a real timestamp (TIMESTAMP when the footer
+    * says isAdjustedToUTC, TIMESTAMP_NTZ otherwise; the values are
+    * µs-precision, so `div 1000` is exact). One footer is read per
+    * (dir, table), memoized — a fixture regeneration that flips a
+    * column's physical encoding (it happened: round 7's events.ts went
+    * NANOS → NTZ under the builder) can change NOTHING downstream of
+    * this seam.
     */
-  private def withEventTs(name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.normalizeTs(apply(name))
+  def apply(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val nanos = Tables.nanosCols(spark, path)
+    if (nanos.nonEmpty) spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    nanos.foldLeft(df) { case (d, (c, adjustedToUtc)) =>
+      if (adjustedToUtc)
+        d.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros(`$c` div 1000)"))
+      else
+        d.withColumn(c, org.apache.spark.sql.functions.expr(
+          s"cast(timestamp_micros(`$c` div 1000) as timestamp_ntz)"))
+    }
   }
+
+  /** [[apply]] plus [[Tables.normalizeTs]]: the event-time column is
+    * additionally canonicalized to session-TZ TimestampType (NTZ casts
+    * are value-exact under the engine's UTC session), so watermarks
+    * and time-window queries see ONE type whatever the ingest wrote.
+    */
+  private def withEventTs(name: String): DataFrame =
+    Tables.normalizeTs(apply(name))
 
   def lineitem: DataFrame   = apply("lineitem")
   def orders: DataFrame     = apply("orders")
@@ -62,6 +84,43 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   import org.apache.spark.sql.functions.{col, expr}
   import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Memoized per-path footer introspection: columns physically encoded
+    * as parquet TIMESTAMP(NANOS), with their isAdjustedToUTC flag. One
+    * footer read per table path, driver-side, ~ms.
+    */
+  private val nanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Boolean)]]()
+
+  private[graft] def nanosCols(spark: SparkSession, path: String): Seq[(String, Boolean)] =
+    nanosCache.computeIfAbsent(path, _ => {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isFile) Some(p)
+        else fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      file match {
+        case None => Nil
+        case Some(f) =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try {
+            reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq.flatMap { fld =>
+              Option(if (fld.isPrimitive) fld.asPrimitiveType().getLogicalTypeAnnotation else null)
+                .collect {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                      if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+                    fld.getName -> t.isAdjustedToUTC
+                }
+            }
+          } finally reader.close()
+      }
+    })
 
   /** Normalize an event-time column to TimestampType regardless of how the
     * producer encoded it. The reference never sees this problem — its

@@ -839,19 +839,8 @@ object Snapshot {
     // live rows = physical rows minus already-deleted positions — the
     // whole-file and fraction tiers must judge against what a reader
     // actually sees, or a second delete on a DV'd file mis-tiers
-    def liveRows(f: String): Option[Long] =
-      m.stats.get(f).map(_.rows - m.dvs.get(f).map(_.rows).getOrElse(0L))
-    val (whole, rest) = matched.partition { case (f, n) => liveRows(f).contains(n) }
-    // vectors identify a file by (basename, partition values) — unique
-    // for anything this writer produced; a hand-assembled table that
-    // still collides falls back to the always-correct rewrite tier
-    val collided = m.files
-      .groupBy(f => (f.substring(f.lastIndexOf('/') + 1), partitionValues(m.partitionCols, f)))
-      .filter(_._2.size > 1).values.flatten.toSet
-    val (dvTier, rewriteTier) = rest.partition { case (f, n) =>
-      dvMaxFraction > 0 && !collided(f) &&
-        liveRows(f).exists(lv => lv > 0 && n.toDouble / lv <= dvMaxFraction)
-    }
+    val (whole, rest) = matched.partition { case (f, n) => liveRowsOf(m, f).contains(n) }
+    val (dvTier, rewriteTier) = dvTierSplit(m, rest, dvMaxFraction)
     val rewrite = rewriteTier.keys.toSeq.sorted
     val newFiles =
       if (rewrite.isEmpty) Nil
@@ -869,6 +858,30 @@ object Snapshot {
         if (newFiles.isEmpty) Map.empty
         else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
       addDvs = dvNew)
+  }
+
+  /** Live rows of a file: physical rows minus already-deleted
+    * positions; None when the file has no row stats.
+    */
+  private def liveRowsOf(m: Manifest, f: String): Option[Long] =
+    m.stats.get(f).map(_.rows - m.dvs.get(f).map(_.rows).getOrElse(0L))
+
+  /** Split partial-match files into the DV tier vs the rewrite tier by
+    * matched fraction of LIVE rows. Vectors identify a file by
+    * (basename, partition values) — unique for anything this writer
+    * produced; a hand-assembled table that still collides falls back
+    * to the always-correct rewrite tier, as does a file without row
+    * stats (no denominator to judge the fraction by).
+    */
+  private def dvTierSplit(m: Manifest, matched: Map[String, Long], dvMaxFraction: Double)
+      : (Map[String, Long], Map[String, Long]) = {
+    val collided = m.files
+      .groupBy(f => (f.substring(f.lastIndexOf('/') + 1), partitionValues(m.partitionCols, f)))
+      .filter(_._2.size > 1).values.flatten.toSet
+    matched.partition { case (f, n) =>
+      dvMaxFraction > 0 && !collided(f) &&
+        liveRowsOf(m, f).exists(lv => lv > 0 && n.toDouble / lv <= dvMaxFraction)
+    }
   }
 
   /** Write REPLACEMENT deletion vectors for the `matched` files: the
@@ -909,14 +922,18 @@ object Snapshot {
 
   /** Row-level UPDATE by predicate: `set` maps column name → new-value
     * expression (evaluated against the old row, so `"c" -> col("c")+1`
-    * works). Same candidate pruning and zero-match skip as [[delete]];
-    * every file holding at least one matching row is rewritten with
-    * `set` applied to its matching rows only. Rows where `pred` is
-    * NULL are untouched (SQL UPDATE semantics). Returns the committed
-    * version (unchanged if nothing matched).
+    * works). Same candidate pruning and zero-match skip as [[delete]],
+    * and the same two write tiers: a file where more than
+    * `dvMaxFraction` of live rows match is rewritten with `set`
+    * applied to its matching rows; a POINT update instead records the
+    * matched positions in the file's deletion vector and APPENDS the
+    * updated rows as a new file — copy-on-write of the rows, not the
+    * file, so a 1-row rectification of a 1-GB file moves 1 row. Rows
+    * where `pred` is NULL are untouched (SQL UPDATE semantics).
+    * Returns the committed version (unchanged if nothing matched).
     */
   def update(spark: SparkSession, path: String, pred: Column,
-             set: Map[String, Column]): Long = {
+             set: Map[String, Column], dvMaxFraction: Double = 0.1): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -924,16 +941,39 @@ object Snapshot {
     require(bad.isEmpty, s"Snapshot.update: unknown column(s) ${bad.mkString(", ")}")
     require(set.keySet.intersect(m.partitionCols.toSet).isEmpty,
       "Snapshot.update: cannot update a partition column (delete + append instead)")
-    val rewrite = matchedPerFile(spark, path, m, pred).keys.toSeq.sorted
-    if (rewrite.isEmpty) return m.version
+    val matched = matchedPerFile(spark, path, m, pred)
+    if (matched.isEmpty) return m.version
+    val (dvTier, rewriteTier) = dvTierSplit(m, matched, dvMaxFraction)
     val hit = coalesce(pred, lit(false))
-    val updated = readFiles(spark, path, m, Some(rewrite)).select(
-      schema.fields.toSeq.map { f =>
-        set.get(f.name)
-          .map(v => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
-          .getOrElse(col(f.name))
-      }: _*)
-    replaceFiles(spark, path, updated, rewrite.toSet)
+    def applySet(onlyMatched: Boolean) = schema.fields.toSeq.map { f =>
+      set.get(f.name)
+        .map { v =>
+          if (onlyMatched) v.cast(f.dataType).as(f.name)
+          else when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        }
+        .getOrElse(col(f.name))
+    }
+    val rewrite = rewriteTier.keys.toSeq.sorted
+    val rewriteFiles =
+      if (rewrite.isEmpty) Nil
+      else writeTxnFiles(
+        readFiles(spark, path, m, Some(rewrite)).select(applySet(onlyMatched = false): _*),
+        path, m.partitionCols)
+    val (dvNew, updatedFiles) =
+      if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
+      else (
+        writeDv(spark, path, m, pred, dvTier),
+        writeTxnFiles(
+          readFiles(spark, path, m, Some(dvTier.keys.toSeq.sorted))
+            .where(hit).select(applySet(onlyMatched = true): _*),
+          path, m.partitionCols))
+    commitRebasing(spark, path, m,
+      drop = rewrite.toSet,
+      touched = dvTier.keySet,
+      addFiles = rewriteFiles ++ updatedFiles,
+      addStats = statsFor(spark, path, rewriteFiles ++ updatedFiles,
+        m.schemaDdl, m.partitionCols),
+      addDvs = dvNew)
   }
 
   /** Exact per-file match counts for `pred` over the stats-pruned

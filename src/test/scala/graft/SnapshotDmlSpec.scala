@@ -101,7 +101,8 @@ class SnapshotDmlSpec extends SparkSpec {
     val before = fileIdentity(dir)
 
     val v = Snapshot.update(spark, dir, col("id") < 10,
-      Map("v" -> (col("v") * 2), "p" -> concat(col("p"), lit("!"))))
+      Map("v" -> (col("v") * 2), "p" -> concat(col("p"), lit("!"))),
+      dvMaxFraction = 0.0) // pin the rewrite tier; DV update has its own suite
     assert(v == 3L)
     val expect = rows(fixture(0 until 200)).map {
       case (id, p, vv) if id < 10 => (id, p + "!", vv * 2)

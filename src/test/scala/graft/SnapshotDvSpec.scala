@@ -100,12 +100,48 @@ class SnapshotDvSpec extends SparkSpec {
     val dir = tmp("upd")
     Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
     Snapshot.delete(spark, dir, col("id") === 4L)
-    Snapshot.update(spark, dir, col("id") === 10L, Map("v" -> lit(-1L)))
+    Snapshot.update(spark, dir, col("id") === 10L, Map("v" -> lit(-1L)),
+      dvMaxFraction = 0.0)
     val m = Snapshot.latestManifest(spark, dir).get
     assert(m.dvs.isEmpty, "rewrite reads live rows; vector must fold away")
     val expect = rows(fixture(0 until 1000)).filterNot(_._1 == 4L)
       .map { case (id, p, v) => if (id == 10L) (id, p, -1L) else (id, p, v) }
     assert(rows(Snapshot.read(spark, dir)) == expect)
+  }
+
+  test("a point UPDATE takes the DV tier: vector + appended row, zero rewrites") {
+    val dir = tmp("dv-upd")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+    Snapshot.append(spark, dir, fixture(1000 until 2000).repartition(1))
+    val before = fileIdentity(dir)
+    val v = Snapshot.update(spark, dir, col("id") === 700L,
+      Map("v" -> (col("v") + 5L)))
+    assert(v == 3L)
+    val after = fileIdentity(dir)
+    // both original files byte-identical; ONE new small file appended
+    before.foreach { case (f, ident) =>
+      assert(after.get(f).contains(ident), s"$f was rewritten") }
+    assert(after.size == before.size + 1)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.dvs.size == 1 && m.dvs.values.head.rows == 1L)
+    val expect = rows(fixture(0 until 2000))
+      .map { case (id, p, vv) => if (id == 700L) (id, p, vv + 5L) else (id, p, vv) }
+    assert(rows(Snapshot.read(spark, dir)) == expect)
+    // updated-value queries see exactly one row 700, with the new value
+    assert(Snapshot.readWhere(spark, dir, col("id") === 700L)
+      .select("v").as[Long].collect().toSeq == Seq(7005L))
+    // time travel pre-update
+    assert(Snapshot.readVersion(spark, dir, 2)
+      .where(col("id") === 700L).select("v").as[Long].head() == 7000L)
+    // a later point DELETE of an UPDATED row must hit the appended
+    // copy, not resurrect the DV'd original
+    Snapshot.delete(spark, dir, col("id") === 700L)
+    assert(Snapshot.read(spark, dir).where(col("id") === 700L).count() == 0L)
+    assert(Snapshot.read(spark, dir).count() == 1999L)
+    // compact folds everything back to plain files
+    Snapshot.compact(spark, dir, minFiles = 99)
+    assert(Snapshot.latestManifest(spark, dir).get.dvs.isEmpty)
+    assert(Snapshot.read(spark, dir).count() == 1999L)
   }
 
   test("compact folds vectors in and restores the native SQL scan") {
