@@ -769,22 +769,7 @@ object Snapshot {
                 assertIdsLocal: Boolean = false): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    require(m.partitionCols == Seq(partitionCol),
-      s"snapshot table is partitioned by ${m.partitionCols}, not $partitionCol")
-    val pType = StructType.fromDDL(m.schemaDdl)(partitionCol).dataType
-    // typed membership: manifest value strings cast to the partition
-    // column's type, null-safely semi-joined against the updates' values
-    import spark.implicits._
-    val fileParts = m.files.map(f => partitionValues(m.partitionCols, f)(partitionCol))
-    val partDf = fileParts.distinct.toDF("__raw")
-      .withColumn("__val",
-        when(col("__raw") === NullPartition, lit(null).cast(pType))
-          .otherwise(col("__raw").cast(pType)))
-    val updParts = updates.select(col(partitionCol).cast(pType).as("__val")).distinct()
-    val affectedRaw = partDf.join(updParts, partDf("__val") <=> updParts("__val"), "left_semi")
-      .select("__raw").as[String].collect().toSet
-    val affectedFiles = m.files.filter(f =>
-      affectedRaw.contains(partitionValues(m.partitionCols, f)(partitionCol)))
+    val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, updates, partitionCol)
     if (assertIdsLocal) {
       val strays = readFiles(spark, path, m, Some(m.files.diff(affectedFiles)))
         .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
@@ -797,6 +782,105 @@ object Snapshot {
     val merged = Writers.mergeById(affected, updates, idCol)
     replacePartitions(spark, path, merged,
       dropOld = pv => affectedRaw.contains(pv(partitionCol)))
+  }
+
+  /** Partition restriction shared by the merge family: the partition
+    * value strings (and their live files) whose typed values appear in
+    * `source` — manifest value strings cast to the partition column's
+    * type, null-safely semi-joined against the source's values.
+    */
+  private def affectedPartitions(spark: SparkSession, m: Manifest,
+                                 source: DataFrame, partitionCol: String)
+      : (Set[String], Seq[String]) = {
+    require(m.partitionCols == Seq(partitionCol),
+      s"snapshot table is partitioned by ${m.partitionCols}, not $partitionCol")
+    val pType = StructType.fromDDL(m.schemaDdl)(partitionCol).dataType
+    import spark.implicits._
+    val fileParts = m.files.map(f => partitionValues(m.partitionCols, f)(partitionCol))
+    val partDf = fileParts.distinct.toDF("__raw")
+      .withColumn("__val",
+        when(col("__raw") === NullPartition, lit(null).cast(pType))
+          .otherwise(col("__raw").cast(pType)))
+    val srcParts = source.select(col(partitionCol).cast(pType).as("__val")).distinct()
+    val affectedRaw = partDf.join(srcParts, partDf("__val") <=> srcParts("__val"), "left_semi")
+      .select("__raw").as[String].collect().toSet
+    (affectedRaw, m.files.filter(f =>
+      affectedRaw.contains(partitionValues(m.partitionCols, f)(partitionCol))))
+  }
+
+  /** Generalized MERGE with explicit arms — the reference's literal
+    * maintenance statement (funnel_live.py:155-172: aliased target and
+    * source, `WHEN MATCHED THEN UPDATE SET col = s.col, …`,
+    * `WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)`), which
+    * [[mergeById]]'s whole-row replace cannot express. Arm semantics:
+    *
+    *  - `matchedSet = Some(set)`: matched target rows take each
+    *    assignment (expressions may reference BOTH sides through the
+    *    aliases; unlisted columns keep their old values);
+    *  - `matchedDelete = true`: matched target rows are dropped;
+    *  - neither: matched rows pass through unchanged;
+    *  - `insertCols = Some(cols)`: source rows matching no target id
+    *    insert with the given (target column → expression-over-source)
+    *    list; unlisted columns are null (SQL INSERT semantics).
+    *
+    * Same partition-restriction and id-embeds-partition contract as
+    * [[mergeById]]: only partitions present in the source are read and
+    * atomically swapped. Source ids must be unique (a duplicate would
+    * fan out the join) — refused, not deduped silently.
+    */
+  private[graft] def mergeArms(spark: SparkSession, path: String, source: DataFrame,
+                               targetAlias: String, sourceAlias: String, idCol: String,
+                               matchedSet: Option[Map[String, Column]],
+                               matchedDelete: Boolean,
+                               insertCols: Option[Seq[(String, Column)]]): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val pCol = m.partitionCols match {
+      case Seq(one) => one
+      case other => throw new IllegalArgumentException(
+        s"merge needs a single-column-partitioned table (got ${other.mkString(", ")})")
+    }
+    matchedSet.foreach { set =>
+      val bad = set.keySet.diff(schema.fieldNames.toSet)
+      require(bad.isEmpty, s"merge UPDATE SET: unknown column(s) ${bad.mkString(", ")}")
+      require(!set.contains(pCol),
+        s"merge UPDATE SET cannot reassign the partition column $pCol")
+    }
+    insertCols.foreach { cols =>
+      val bad = cols.map(_._1).diff(schema.fieldNames.toSeq)
+      require(bad.isEmpty, s"merge INSERT: unknown column(s) ${bad.mkString(", ")}")
+      val dup = cols.map(_._1).diff(cols.map(_._1).distinct)
+      require(dup.isEmpty, s"merge INSERT lists column(s) twice: ${dup.mkString(", ")}")
+    }
+    require(source.select(idCol).groupBy(idCol).count()
+        .where(col("count") > 1).limit(1).isEmpty,
+      s"merge source has duplicate $idCol values; a duplicate would fan out the join")
+    val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, source, pCol)
+    val t = readFiles(spark, path, m, Some(affectedFiles)).alias(targetAlias)
+    val s = source.alias(sourceAlias)
+    val joined = t.join(s, t(idCol) === s(idCol), "left")
+    val isMatched = s(idCol).isNotNull
+    val targetCols = schema.fields.toSeq.map { f =>
+      matchedSet.flatMap(_.get(f.name))
+        .map(v => when(isMatched, v.cast(f.dataType)).otherwise(t(f.name)).as(f.name))
+        .getOrElse(t(f.name).as(f.name))
+    }
+    val survivors =
+      (if (matchedDelete) joined.where(!isMatched) else joined).select(targetCols: _*)
+    val inserts = insertCols match {
+      case None => None
+      case Some(cols) =>
+        val byName = cols.toMap
+        Some(s.join(t, s(idCol) === t(idCol), "left_anti")
+          .select(schema.fields.toSeq.map { f =>
+            byName.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(lit(null).cast(f.dataType).as(f.name))
+          }: _*))
+    }
+    val replacement = inserts.fold(survivors)(survivors.unionByName(_))
+    replacePartitions(spark, path, replacement,
+      dropOld = pv => affectedRaw.contains(pv(pCol)))
   }
 
   // --------------------------------------------------- row-level DML

@@ -516,10 +516,19 @@ object LayoutPack extends QueryPack {
       .withColumn("o_totalprice",
         when(col("yr") === 1997, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
       .createOrReplaceTempView("q129_updates")
+    // the reference's aliased explicit-arm MERGE shape
+    // (funnel_live.py:155-172), verbatim modulo names
     Snapshot.sql(t.spark,
-      "MERGE INTO orders_s USING q129_updates " +
-        "ON orders_s.o_orderkey = q129_updates.o_orderkey " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *", reg)
+      """MERGE INTO orders_s t_final
+        |USING q129_updates t_update
+        |ON t_final.o_orderkey = t_update.o_orderkey
+        |WHEN MATCHED THEN
+        |UPDATE SET
+        |    o_totalprice = t_update.o_totalprice
+        |WHEN NOT MATCHED THEN
+        |INSERT (o_orderkey, o_orderpriority, o_totalprice, o_orderdate, yr)
+        |VALUES (o_orderkey, o_orderpriority, o_totalprice, o_orderdate, yr)
+        |""".stripMargin, reg)
     Snapshot.read(t.spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

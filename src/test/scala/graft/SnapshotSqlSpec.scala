@@ -82,6 +82,57 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, sqlDir)).contains((200L, "even", 42L)))
   }
 
+  test("the reference's aliased MERGE with explicit arms runs verbatim") {
+    // funnel_live.py:155-172, shape-for-shape: aliased target and
+    // source, an explicit UPDATE SET list (subset of columns — the
+    // rest must keep their old values), and INSERT (cols) VALUES
+    val dir = tmp("merge-arms")
+    Snapshot.create(spark, dir, fixture(0 until 100), Seq("p"))
+    Seq((4L, "even", 999L), (200L, "even", 42L), (5L, "odd", 777L))
+      .toDF("id", "p", "v").createOrReplaceTempView("arm_updates")
+    val v = Snapshot.sql(spark,
+      """MERGE INTO t t_final
+        |USING arm_updates t_update
+        |ON t_final.id = t_update.id
+        |WHEN MATCHED THEN
+        |UPDATE SET
+        |    v = t_update.v
+        |WHEN NOT MATCHED THEN
+        |INSERT (id, p, v)
+        |VALUES (id, p, v)
+        |""".stripMargin, Map("t" -> dir))
+    assert(v == 2L)
+    val expect = rows(fixture(0 until 100)).map {
+      case (4L, p, _) => (4L, p, 999L)
+      case (5L, p, _) => (5L, p, 777L)
+      case r => r
+    } + ((200L, "even", 42L))
+    assert(rows(Snapshot.read(spark, dir)) == expect)
+
+    // matched-DELETE arm; insert lists a SUBSET of columns (rest null)
+    Seq((6L, "even", 0L), (201L, "odd", 55L)).toDF("id", "p", "v")
+      .createOrReplaceTempView("arm_deletes")
+    Snapshot.sql(spark,
+      "MERGE INTO t USING arm_deletes s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED THEN INSERT (id, p) VALUES (s.id, s.p)",
+      Map("t" -> dir))
+    val read = Snapshot.read(spark, dir)
+    assert(read.where(col("id") === 6L).count() == 0L, "matched DELETE must drop the row")
+    assert(read.where(col("id") === 201L && col("v").isNull).count() == 1L,
+      "unlisted INSERT columns are null")
+
+    // a duplicate source id refuses rather than fanning out the join
+    Seq((7L, "odd", 1L), (7L, "odd", 2L)).toDF("id", "p", "v")
+      .createOrReplaceTempView("arm_dups")
+    val dup = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark,
+        "MERGE INTO t USING arm_dups s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v", Map("t" -> dir))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+  }
+
   test("refusals: unknown table, unknown SET column, foreign qualifier, subquery") {
     val dir = tmp("refuse")
     Snapshot.create(spark, dir, fixture(0 until 10))
@@ -120,12 +171,13 @@ class SnapshotSqlSpec extends SparkSpec {
     }
     assert(select.getMessage.contains("DELETE / UPDATE / MERGE"))
     fixture(0 until 1).createOrReplaceTempView("src")
+    // conditional arms are not supported — must refuse, not mis-apply
     val badMerge = intercept[IllegalArgumentException] {
       Snapshot.sql(spark,
         "MERGE INTO t USING src ON t.id = src.id " +
-          "WHEN MATCHED THEN DELETE", reg)
+          "WHEN MATCHED AND src.v > 1 THEN DELETE", reg)
     }
-    assert(badMerge.getMessage.contains("UPDATE SET *"))
+    assert(badMerge.getMessage.contains("unconditional"))
     val badOn = intercept[IllegalArgumentException] {
       Snapshot.sql(spark,
         "MERGE INTO t USING src ON t.id = src.v " +
