@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -244,10 +244,32 @@ object Dedup {
     */
   def canonicalize(ids: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "id_a", bCol: String = "id_b",
-                   maxIter: Int = 20): DataFrame = {
+                   maxIter: Int = 20, driverMaxEdges: Long = 1L << 21): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
+    // TIERED, like every size-dependent strategy in Spark (broadcast
+    // thresholds, AQE): the edge list is the pair graph, a vanishing
+    // fraction of the corpus by construction (near-dups are rare), and
+    // BELOW `driverMaxEdges` (~2M directed edges ≈ tens of MB) a driver
+    // union-find resolves components in one collect + milliseconds —
+    // against O(log d) distributed rounds of 3 jobs each, the loop's
+    // scheduling alone costs seconds. ABOVE the threshold the
+    // distributed pointer-jumping loop below is the scale path; the
+    // fixpoint (min label per component, type-exact ordering) is
+    // identical by construction, so the tier is invisible to results.
+    // The final labels→ids join is the same broadcast either way.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverMaxEdges) {
+      driverCanonicalize(edges, pairs.schema(aCol).dataType) match {
+        case Some(labelsDf) =>
+          edges.unpersist()
+          return ids.select(col(idCol).as("id"))
+            .join(labelsDf, Seq("id"), "left")
+            .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+        case None => () // unsupported id type: fall through to the loop
+      }
+    }
     // only edge-touched nodes need propagation — a vanishing fraction of
     // the corpus (near-dups are rare by construction); everything else
     // is its own canonical id and never enters the loop
@@ -300,6 +322,65 @@ object Dedup {
     ids.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+  }
+
+  /** Driver union-find over a collected edge list: the small-graph
+    * tier of [[canonicalize]]. Returns (id, canonical_id) for every
+    * edge-touched node with canonical = MIN id of the component under
+    * the SAME ordering Spark's `min` would use (natural for integral
+    * ids, UTF8String binary for strings — `String.compareTo`'s UTF-16
+    * order differs beyond the BMP, so strings compare through
+    * UTF8String). None when the id type has no such ordering here —
+    * the caller then runs the distributed loop, which needs no
+    * driver-side ordering at all.
+    */
+  private def driverCanonicalize(edges: DataFrame,
+                                 idType: org.apache.spark.sql.types.DataType)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val ord: Ordering[Any] = idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Ordering.by[Any, Long](v => v.asInstanceOf[Number].longValue())
+      case StringType =>
+        Ordering.comparatorToOrdering(
+          (a: Any, b: Any) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String])))
+      case _ => return None
+    }
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    val index = new java.util.HashMap[Any, Integer]()
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def ix(v: Any): Int = {
+      val e = index.get(v)
+      if (e != null) e.intValue()
+      else { index.put(v, values.size); values += v; parent += values.size - 1; values.size - 1 }
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (find(ix(r.get(0))), find(ix(r.get(1))))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    // min VALUE per component root (root index order ≠ value order)
+    val minOf = new java.util.HashMap[Int, Any]()
+    values.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(values(i), cur)) minOf.put(r, values(i))
+    }
+    val out: Seq[Row] = values.indices.map(i => Row(values(i), minOf.get(find(i))))
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("canonical_id", idType)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema))
   }
 
   /** Near-dup pairs at hamming distance <= maxHamming over 32-bit SimHash.
