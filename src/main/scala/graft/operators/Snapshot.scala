@@ -915,7 +915,28 @@ object Snapshot {
     * none if nothing matched — returns the current version unchanged).
     */
   def delete(spark: SparkSession, path: String, pred: Column,
-             dvMaxFraction: Double = 0.1): Long = {
+             dvMaxFraction: Double = 0.1): Long =
+    retryDml("delete")(deleteOnce(spark, path, pred, dvMaxFraction))
+
+  /** A DML STATEMENT is safely re-derivable: unlike compact (whose
+    * marked file set is an input), delete/update compute everything
+    * from the latest manifest, so when a concurrent rewrite makes this
+    * attempt's derivation stale ([[commitRebasing]] refuses), simply
+    * re-running the statement against the new latest is exactly what a
+    * warehouse would do — bounded retries, then surface the conflict.
+    */
+  private def retryDml(what: String)(body: => Long, attempts: Int = 3): Long = {
+    var last: CommitConflictException = null
+    (1 to attempts).foreach { _ =>
+      try return body
+      catch { case e: CommitConflictException => last = e }
+    }
+    throw new CommitConflictException(
+      s"snapshot $what: still conflicting after $attempts re-derivations: ${last.getMessage}")
+  }
+
+  private def deleteOnce(spark: SparkSession, path: String, pred: Column,
+                         dvMaxFraction: Double): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val matched = matchedPerFile(spark, path, m, pred)
@@ -1017,7 +1038,11 @@ object Snapshot {
     * Returns the committed version (unchanged if nothing matched).
     */
   def update(spark: SparkSession, path: String, pred: Column,
-             set: Map[String, Column], dvMaxFraction: Double = 0.1): Long = {
+             set: Map[String, Column], dvMaxFraction: Double = 0.1): Long =
+    retryDml("update")(updateOnce(spark, path, pred, set, dvMaxFraction))
+
+  private def updateOnce(spark: SparkSession, path: String, pred: Column,
+                         set: Map[String, Column], dvMaxFraction: Double): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)

@@ -144,6 +144,30 @@ class SnapshotDvSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 1999L)
   }
 
+  test("concurrent point deletes on the same file converge via statement retry") {
+    val dir = tmp("race")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+    // a second delete lands between this delete's staging and rename:
+    // the loser's derivation is stale (the file's vector changed), so
+    // the STATEMENT re-derives against the new latest and commits the
+    // union — neither delete lost, no rows double-deleted
+    var injected = false
+    Snapshot.faultHook = stage => if (stage == "manifest-staged" && !injected) {
+      injected = true
+      Snapshot.delete(spark, dir, col("id") === 11L)
+    }
+    try Snapshot.delete(spark, dir, col("id") === 22L)
+    finally Snapshot.faultHook = _ => ()
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 1000)).filterNot(r => Set(11L, 22L)(r._1)))
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.version == 3L && m.dvs.size == 1 && m.dvs.values.head.rows == 2L)
+    // the loser's first-attempt vector is an orphan; vacuum reclaims it
+    Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new HPath(dir, "_dv")).count(_.isDirectory) == 1)
+  }
+
   test("compact folds vectors in and restores the native SQL scan") {
     val dir = tmp("fold")
     Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1), Seq("p"))
