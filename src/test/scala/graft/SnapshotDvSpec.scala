@@ -225,6 +225,29 @@ class SnapshotDvSpec extends SparkSpec {
       rows(fixture(0 until 500)).filterNot(r => Set(123L, 124L)(r._1)))
   }
 
+  test("schema evolution over a DV'd table; the anti-join stays broadcast") {
+    val dir = tmp("evolve")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1), Seq("p"))
+    Snapshot.delete(spark, dir, col("id").isin(3L, 8L))
+    // evolve: the appended batch carries a new column; the DV'd
+    // pre-evolution files must read it as null AND keep their vector
+    Snapshot.append(spark, dir,
+      Seq((2000L, "even", 1L, "x")).toDF("id", "p", "v", "tag"),
+      mergeSchema = true)
+    val df = Snapshot.read(spark, dir)
+    assert(df.count() == 999L)
+    assert(df.where(col("id").isin(3L, 8L)).count() == 0L)
+    assert(df.where(col("id") === 2000L).select("tag").as[String].head() == "x")
+    assert(df.where(col("tag").isNull).count() == 998L)
+    // merge-on-read must never degrade to a shuffle join: the vector
+    // side is driver-small by the fraction cap, so the anti-join plans
+    // as a BroadcastHashJoin/BroadcastNestedLoopJoin LeftAnti
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "DV anti-join fell back to a sort-merge join:\n" + plan.take(800))
+  }
+
   test("streaming source treats a DV commit as a change commit") {
     val dir = tmp("stream")
     Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))
