@@ -101,10 +101,16 @@ object Tables {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
+      // ONE footer represents the table: parquet dirs with per-file
+      // encoding drift cannot be read by Spark at all (the merged
+      // schema conflicts long vs timestamp), so sampling is sound —
+      // picked deterministically (first by name) so behavior never
+      // depends on filesystem listing order
       val file =
         if (fs.getFileStatus(p).isFile) Some(p)
         else fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .sortBy(_.getName).headOption
       file match {
         case None => Nil
         case Some(f) =>

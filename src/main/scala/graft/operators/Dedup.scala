@@ -245,8 +245,12 @@ object Dedup {
   def canonicalize(ids: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "id_a", bCol: String = "id_b",
                    maxIter: Int = 20, driverMaxEdges: Long = 1L << 21): DataFrame = {
+    // null ids never meet an equi-join key, so they cannot link
+    // components in EITHER tier; dropped up front (the driver tier
+    // would otherwise have to order null, which Spark's min never does)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .persist()
     // TIERED, like every size-dependent strategy in Spark (broadcast
     // thresholds, AQE): the edge list is the pair graph, a vanishing

@@ -742,9 +742,22 @@ object Snapshot {
     * empty-re-extract deletes dynamic overwrite cannot express.
     */
   def replacePartitions(spark: SparkSession, path: String, replacement: DataFrame,
-                        dropOld: Map[String, String] => Boolean): Long = {
-    val m = latestManifest(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+                        dropOld: Map[String, String] => Boolean): Long =
+    replacePartitionsOn(spark, path,
+      latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path")),
+      replacement, dropOld)
+
+  /** [[replacePartitions]] against a CALLER-PINNED manifest: the merge
+    * family derives its replacement from the files of the manifest it
+    * read, so the commit must be versioned against THAT manifest — a
+    * commit landing in between then version-conflicts and refuses,
+    * instead of the replacement (derived without the newcomer's rows)
+    * silently discarding it.
+    */
+  private def replacePartitionsOn(spark: SparkSession, path: String, m: Manifest,
+                                  replacement: DataFrame,
+                                  dropOld: Map[String, String] => Boolean): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
     val newFiles = writeTxnFiles(replacement, path, m.partitionCols)
     val newParts = newFiles.map(partitionValues(m.partitionCols, _)).toSet
@@ -780,7 +793,7 @@ object Snapshot {
     }
     val affected = readFiles(spark, path, m, Some(affectedFiles))
     val merged = Writers.mergeById(affected, updates, idCol)
-    replacePartitions(spark, path, merged,
+    replacePartitionsOn(spark, path, m, merged,
       dropOld = pv => affectedRaw.contains(pv(partitionCol)))
   }
 
@@ -879,7 +892,7 @@ object Snapshot {
           }: _*))
     }
     val replacement = inserts.fold(survivors)(survivors.unionByName(_))
-    replacePartitions(spark, path, replacement,
+    replacePartitionsOn(spark, path, m, replacement,
       dropOld = pv => affectedRaw.contains(pv(pCol)))
   }
 
@@ -935,10 +948,28 @@ object Snapshot {
       s"snapshot $what: still conflicting after $attempts re-derivations: ${last.getMessage}")
   }
 
+  /** DML predicates are evaluated in SEVERAL independent jobs (tier
+    * counting, vector positions, rewrite remainders, appended updated
+    * rows) — a nondeterministic predicate would match different rows
+    * in each and silently lose or duplicate data, so it is refused up
+    * front (the standard lakehouse rule). Checked by analyzing the
+    * predicate against the table schema: driver-only, no job.
+    */
+  private def requireDeterministicPred(spark: SparkSession, m: Manifest,
+                                       what: String, pred: Column): Unit = {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL(m.schemaDdl))
+    val analyzed = empty.select(pred.as("__pred")).queryExecution.analyzed
+    require(analyzed.expressions.forall(e => e.find(!_.deterministic).isEmpty),
+      s"Snapshot.$what: the predicate is nondeterministic — it is evaluated " +
+        "in more than one job, so matches could diverge between them")
+  }
+
   private def deleteOnce(spark: SparkSession, path: String, pred: Column,
                          dvMaxFraction: Double): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    requireDeterministicPred(spark, m, "delete", pred)
     val matched = matchedPerFile(spark, path, m, pred)
     if (matched.isEmpty) return m.version
     // live rows = physical rows minus already-deleted positions — the
@@ -999,11 +1030,22 @@ object Snapshot {
     * extra job.
     */
   private def writeDv(spark: SparkSession, path: String, m: Manifest, pred: Column,
-                      matched: Map[String, Long]): Map[String, DvRef] = {
+                      matched: Map[String, Long]): Map[String, DvRef] =
+    writeDvFrom(spark, path, m,
+      readFilesMeta(spark, path, m, Some(matched.keys.toSeq.sorted), meta = true)
+        .where(coalesce(pred, lit(false))),
+      matched)
+
+  /** [[writeDv]] from an already-filtered matched-rows frame (with the
+    * meta columns) — lets [[update]]'s DV tier share one cached scan
+    * between the vector and the appended rows.
+    */
+  private def writeDvFrom(spark: SparkSession, path: String, m: Manifest,
+                          matchedRows: DataFrame,
+                          matched: Map[String, Long]): Map[String, DvRef] = {
     val files = matched.keys.toSeq.sorted
     val dvDirRel = s"_dv/dv-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
-    val fresh = readFilesMeta(spark, path, m, Some(files), meta = true)
-      .where(coalesce(pred, lit(false)))
+    val fresh = matchedRows
       .select(Seq(element_at(split(col(MetaFile), "/"), -1).as(DvFileCol),
         col(MetaPos).as(DvPosCol)) ++
         m.partitionCols.map(pc => col(pc).as(DvColPrefix + pc)): _*)
@@ -1050,6 +1092,7 @@ object Snapshot {
     require(bad.isEmpty, s"Snapshot.update: unknown column(s) ${bad.mkString(", ")}")
     require(set.keySet.intersect(m.partitionCols.toSet).isEmpty,
       "Snapshot.update: cannot update a partition column (delete + append instead)")
+    requireDeterministicPred(spark, m, "update", pred)
     val matched = matchedPerFile(spark, path, m, pred)
     if (matched.isEmpty) return m.version
     val (dvTier, rewriteTier) = dvTierSplit(m, matched, dvMaxFraction)
@@ -1070,12 +1113,19 @@ object Snapshot {
         path, m.partitionCols)
     val (dvNew, updatedFiles) =
       if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
-      else (
-        writeDv(spark, path, m, pred, dvTier),
-        writeTxnFiles(
-          readFiles(spark, path, m, Some(dvTier.keys.toSeq.sorted))
-            .where(hit).select(applySet(onlyMatched = true): _*),
-          path, m.partitionCols))
+      else {
+        // ONE scan of the DV-tier files feeds both outputs (the
+        // vector's positions and the appended updated rows) — the
+        // matched set is small by the fraction cap, so caching it
+        // costs nothing and halves the tier's file reads
+        val matchedRows = readFilesMeta(spark, path, m,
+          Some(dvTier.keys.toSeq.sorted), meta = true).where(hit).persist()
+        try (
+          writeDvFrom(spark, path, m, matchedRows, dvTier),
+          writeTxnFiles(matchedRows.select(applySet(onlyMatched = true): _*),
+            path, m.partitionCols))
+        finally matchedRows.unpersist()
+      }
     commitRebasing(spark, path, m,
       drop = rewrite.toSet,
       touched = dvTier.keySet,
@@ -1112,11 +1162,18 @@ object Snapshot {
     * paths are raw filesystem names.
     */
   private def fileKey(s: String): String = {
+    // decode to fixpoint, but STOP (keeping the last good form) when a
+    // decoded name is no longer a valid escape sequence — a raw hive
+    // name containing a bare '%' (e.g. the partition value "100%")
+    // reaches exactly that state one step before the decoder would throw
+    def tryDecode(v: String): Option[String] =
+      try Some(java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
+      catch { case _: IllegalArgumentException => None }
     var cur = new HPath(s).toUri.getPath
-    var dec = java.net.URLDecoder.decode(cur.replace("+", "%2B"), "UTF-8")
-    while (dec != cur) {
-      cur = dec
-      dec = java.net.URLDecoder.decode(cur.replace("+", "%2B"), "UTF-8")
+    var next = tryDecode(cur)
+    while (next.exists(_ != cur)) {
+      cur = next.get
+      next = tryDecode(cur)
     }
     cur
   }
@@ -1351,7 +1408,8 @@ object Snapshot {
     val vs = versions(spark, path)
     if (vs.isEmpty) return
     val (dead, kept) = vs.splitAt(math.max(0, vs.size - math.max(1, keepVersions)))
-    val live = kept.flatMap(v => manifest(spark, path, v).files).toSet
+    val keptManifests = kept.map(manifest(spark, path, _))
+    val live = keptManifests.flatMap(_.files).toSet
     val now = System.currentTimeMillis()
     val root = fs.makeQualified(new HPath(path)).toString
     fs.listStatus(new HPath(path)).filter(s => s.isDirectory && s.getPath.getName.startsWith("txn-"))
@@ -1370,7 +1428,7 @@ object Snapshot {
     // deletion-vector commit dirs referenced by NO retained manifest
     // (superseded vectors, folded-away vectors, a crashed delete's
     // orphans) reclaim like data files, past the same grace window
-    val liveDv = kept.flatMap(v => manifest(spark, path, v).dvs.values
+    val liveDv = keptManifests.flatMap(_.dvs.values
       .map(_.file.split('/').take(2).mkString("/"))).toSet
     val dvRoot = new HPath(path, "_dv")
     if (fs.exists(dvRoot))

@@ -57,6 +57,7 @@ object SnapshotSql {
         val (names, path) = resolveTable(rel, tables)
         val set = assignments.map {
           case Assignment(key: UnresolvedAttribute, value) =>
+            refuseSubqueries(value, "UPDATE SET values")
             singleName(key, names: _*) ->
               ColumnBridge.column(stripQualifier(value, names))
           case a => throw new IllegalArgumentException(
@@ -110,6 +111,7 @@ object SnapshotSql {
           case Seq(UpdateAction(None, assigns, _)) =>
             (Some(assigns.map {
               case Assignment(key: UnresolvedAttribute, value) =>
+                refuseSubqueries(value, "MERGE assignments")
                 singleName(key, tNames: _*) -> ColumnBridge.column(value)
               case a => throw new IllegalArgumentException(
                 s"Snapshot.sql MERGE: unsupported assignment target ${a.key.sql}")
@@ -124,6 +126,7 @@ object SnapshotSql {
           case Seq(InsertAction(None, assigns)) =>
             Some(assigns.map {
               case Assignment(key: UnresolvedAttribute, value) =>
+                refuseSubqueries(value, "MERGE insert values")
                 singleName(key, tNames: _*) -> ColumnBridge.column(value)
               case a => throw new IllegalArgumentException(
                 s"Snapshot.sql MERGE: unsupported insert target ${a.key.sql}")
@@ -185,14 +188,22 @@ object SnapshotSql {
     * against nothing inside the per-file match count.
     */
   private def predicate(cond: Expression, names: Seq[String]): Column = {
-    cond.foreach {
+    refuseSubqueries(cond, "DML predicates")
+    ColumnBridge.column(stripQualifier(cond, names))
+  }
+
+  /** Subqueries anywhere in a DML expression would resolve against the
+    * session catalog, not the `tables` registry — silently the wrong
+    * table when a name shadows, an opaque analysis error otherwise.
+    * Refused with the front end's own message instead.
+    */
+  private def refuseSubqueries(e: Expression, where: String): Unit =
+    e.foreach {
       case _: SubqueryExpression => throw new IllegalArgumentException(
-        "Snapshot.sql: subqueries are not supported in DML predicates; " +
+        s"Snapshot.sql: subqueries are not supported in $where; " +
           "materialize the subquery and use the Scala API instead")
       case _ => ()
     }
-    ColumnBridge.column(stripQualifier(cond, names))
-  }
 
   /** Drop the statement table's own qualifiers off attribute
     * references; any OTHER qualifier is a user error against a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule: recover parquet predicate pushdown through
   * the TIMESTAMP(NANOS)-as-long conversion.
@@ -34,8 +34,28 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class NanosTsPushdown(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** The raw long child of a micros(x div 1000) conversion. */
-  private def rawNanos(e: Expression): Option[Expression] = e match {
+  /** Under a UTC session, TIMESTAMP ↔ TIMESTAMP_NTZ casts preserve the
+    * underlying micros value exactly, so they are transparent to the
+    * bound algebra. Any other session TZ makes the cast a shift — then
+    * nothing unwraps and the rule simply never fires on those chains.
+    */
+  private def utcSession: Boolean =
+    spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+
+  private def stripTsCasts(e: Expression): Expression = e match {
+    case c: Cast if utcSession &&
+        (c.dataType == TimestampType || c.dataType == TimestampNTZType) &&
+        (c.child.dataType == TimestampType || c.child.dataType == TimestampNTZType) =>
+      stripTsCasts(c.child)
+    case other => other
+  }
+
+  /** The raw long child of a micros(x div 1000) conversion — including
+    * the NTZ-wrapped chains the encoding seam produces for UNADJUSTED
+    * TIMESTAMP(NANOS) files (`cast(cast(timestamp_micros(x div 1000)
+    * as timestamp_ntz) as timestamp)`).
+    */
+  private def rawNanos(e: Expression): Option[Expression] = stripTsCasts(e) match {
     case MicrosToTimestamp(d: IntegralDivide) => d.right match {
       case Literal(1000L, LongType) => Some(d.left)
       case _ => None
@@ -44,10 +64,12 @@ case class NanosTsPushdown(spark: SparkSession)
   }
 
   /** Post-epoch timestamp literals only (keeps the truncation algebra
-    * exact without reasoning about negative division).
+    * exact without reasoning about negative division). NTZ literals
+    * carry the same micros under the UTC session.
     */
   private def micros(e: Expression): Option[Long] = e match {
     case Literal(v: Long, TimestampType) if v > 0 => Some(v)
+    case Literal(v: Long, TimestampNTZType) if v > 0 && utcSession => Some(v)
     case _ => None
   }
 

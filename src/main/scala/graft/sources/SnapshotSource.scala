@@ -171,8 +171,13 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
     val vEnd = StreamBridge.offsetVersion(end)
     val mEnd = Snapshot.manifest(spark, path, vEnd)
     val vStart = start.map(StreamBridge.offsetVersion).orElse(startingVersion)
-    val files: Seq[String] = vStart match {
-      case None => mEnd.files // bootstrap: the whole table as of vEnd
+    // bootstrap reads the table STATE at vEnd (deletion vectors apply);
+    // the append walk emits each commit's rows AS COMMITTED — a vector
+    // added to an appended file by a later (skipped) change commit must
+    // NOT be applied, or the batch a lagging consumer reads would differ
+    // from the one a live consumer read
+    val (files: Seq[String], dvs: Map[String, Snapshot.DvRef]) = vStart match {
+      case None => (mEnd.files, mEnd.dvs) // bootstrap: the whole table as of vEnd
       case Some(v0) =>
         // per-commit walk, so rewrite detection has commit granularity
         var prev = Snapshot.manifest(spark, path, v0)
@@ -195,10 +200,11 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
                 "Set skipChangeCommits = true to stream appends only.")
           prev = cur
         }
-        out.result()
+        (out.result(), Map.empty[String, Snapshot.DvRef])
     }
     StreamBridge.streamingScan(spark,
-      SnapshotSource.relationFor(spark, path, mEnd.copy(files = files), Some(schema)))
+      SnapshotSource.relationFor(spark, path,
+        mEnd.copy(files = files, dvs = dvs), Some(schema)))
   }
 
   override def stop(): Unit = ()

@@ -24,7 +24,7 @@ class NanosPushdownSpec extends SparkSpec {
     * January 2024 (so the spec's window literals cut through the data),
     * stored as nanos.
     */
-  private lazy val nanosEvents: org.apache.spark.sql.DataFrame = {
+  private def writeNanosFixture(adjustedToUtc: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -35,7 +35,7 @@ class NanosPushdownSpec extends SparkSpec {
     dir.toFile.deleteOnExit()
     val schema = Types.buildMessage()
       .required(INT64).named("event_id")
-      .required(INT64).as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(adjustedToUtc, TimeUnit.NANOS)).named("ts")
       .required(INT64).named("user_id")
       .required(DOUBLE).named("value")
       .named("events")
@@ -56,6 +56,9 @@ class NanosPushdownSpec extends SparkSpec {
     w.close()
     Tables(spark, dir.toString).events
   }
+
+  private lazy val nanosEvents = writeNanosFixture(adjustedToUtc = true)
+  private lazy val ntzNanosEvents = writeNanosFixture(adjustedToUtc = false)
 
   private def withRule[T](f: => T): T = {
     spark.experimental.extraOptimizations =
@@ -103,6 +106,27 @@ class NanosPushdownSpec extends SparkSpec {
         val with_ = withRule(ev.where(cond).count())
         assert(with_ == without, s"op $op at $cut: $with_ != $without")
       }
+    }
+  }
+
+  test("UNADJUSTED NANOS (the pandas timestamp[ns] shape) also pushes raw bounds") {
+    // the seam surfaces these as cast(timestamp_micros(..) as ntz) and
+    // normalizeTs adds the TZ cast — the rule must see through the
+    // value-preserving cast chain (UTC session) or a years-deep table
+    // written by a pandas ingest scans every row group
+    val ev = ntzNanosEvents
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    withRule {
+      val ge = ev.where($"ts" >= cut)
+      assert(pushed(ge).contains("GreaterThanOrEqual(ts,1705276800000000000)"), pushed(ge))
+      val lt = ev.where($"ts" < cut)
+      assert(pushed(lt).contains("LessThan(ts,1705276800000000000)"), pushed(lt))
+    }
+    // and identical answers to the adjusted twin, rule on or off
+    Seq($"ts" >= cut, $"ts" < cut).foreach { cond =>
+      val plain = ntzNanosEvents.where(cond).count()
+      assert(plain == nanosEvents.where(cond).count())
+      assert(withRule(ntzNanosEvents.where(cond).count()) == plain)
     }
   }
 

@@ -153,6 +153,17 @@ class SnapshotSqlSpec extends SparkSpec {
       Snapshot.sql(spark, "DELETE FROM t WHERE id IN (SELECT id FROM t)", reg)
     }
     assert(subq.getMessage.contains("subqueries"))
+    // ... and in SET values, where one would resolve against the
+    // session catalog instead of the registry
+    val subqSet = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "UPDATE t SET v = (SELECT max(v) FROM t)", reg)
+    }
+    assert(subqSet.getMessage.contains("subqueries"))
+    // nondeterministic predicates are evaluated in several jobs: refuse
+    val nondet = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "DELETE FROM t WHERE rand() < 0.5", reg)
+    }
+    assert(nondet.getMessage.contains("nondeterministic"))
     val dupAssign = intercept[IllegalArgumentException] {
       Snapshot.sql(spark, "UPDATE t SET v = 1, v = 2", reg)
     }

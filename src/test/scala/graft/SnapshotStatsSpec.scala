@@ -534,6 +534,30 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).where(col("id") === 2000L).count() == 1L)
   }
 
+  test("a concurrent append during a merge refuses; the append survives intact") {
+    // the merge family derives its replacement from a pinned manifest
+    // and must commit against THAT version — a commit slipping in
+    // between version-conflicts and refuses, it is never silently
+    // overwritten by a replacement that was derived without its rows
+    val dir = tmp("merge-race")
+    Snapshot.create(spark, dir,
+      (0 until 50).map(i => (i.toLong, "a", i.toLong)).toDF("id", "p", "v"), Seq("p"))
+    var injected = false
+    Snapshot.faultHook = stage => if (stage == "data-files-written" && !injected) {
+      injected = true
+      Snapshot.append(spark, dir, Seq((500L, "a", 5L)).toDF("id", "p", "v"))
+    }
+    try intercept[Snapshot.CommitConflictException] {
+      Snapshot.mergeById(spark, dir,
+        Seq((1L, "a", 99L)).toDF("id", "p", "v"), "id", "p")
+    } finally Snapshot.faultHook = _ => ()
+    val after = Snapshot.read(spark, dir)
+    assert(after.count() == 51L, "the concurrent append must survive")
+    assert(after.where(col("id") === 500L).count() == 1L)
+    assert(after.where(col("id") === 1L).select("v").as[Long].head() == 1L,
+      "the refused merge must have landed nothing")
+  }
+
   test("compact rebases onto a concurrent append; a concurrent rewrite refuses") {
     val dir = tmp("compact-race")
     def batch(r: Range) = r.map(i => (i.toLong, i.toLong)).toDF("id", "w").repartition(1)
