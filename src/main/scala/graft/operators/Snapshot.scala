@@ -1352,12 +1352,27 @@ object Snapshot {
                   version: Option[Long] = None): DataFrame = {
     val m = version.map(manifest(spark, path, _)).orElse(latestManifest(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    if (cols.isEmpty) {
+      // count-only: EXACT even under deletion vectors, because vector
+      // sizes are manifest metadata (live rows = rows − dv.rows)
+      val missing = m.files.filterNot(m.stats.contains)
+      require(missing.isEmpty,
+        s"metadataAgg: files without stats (fall back to a scan): " +
+          missing.take(3).mkString(", "))
+      val n = m.files.map(f => m.stats(f).rows - m.dvs.get(f).map(_.rows).getOrElse(0L)).sum
+      return spark.createDataFrame(
+        java.util.List.of(Row(n)),
+        StructType(Seq(org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     // a deleted row may have been a file's min/max/null-count carrier;
-    // metadata answers over DV'd files would be wrong-but-fast, which
-    // this surface never permits — compact folds vectors in
+    // per-column metadata answers over DV'd files would be
+    // wrong-but-fast, which this surface never permits — compact folds
+    // vectors in
     require(m.dvs.isEmpty,
       s"metadataAgg: ${m.dvs.size} file(s) carry deletion vectors; " +
-        "compact the table to fold them in, or run a real scan")
+        "compact the table to fold them in, or run a real scan " +
+        "(count-only metadataAgg(path, Nil) stays exact under vectors)")
     SnapshotStats.metadataAgg(spark, m, cols)
   }
 

@@ -179,10 +179,13 @@ class SnapshotDvSpec extends SparkSpec {
     val viaSql = spark.read.format("graft.sources.SnapshotSource").load(dir)
     assert(rows(viaSql) == live)
     assert(viaSql.where(col("id") < 10).count() == 7L)
-    // metadata answers refuse while vectors are live
+    // per-column metadata answers refuse while vectors are live…
     intercept[IllegalArgumentException] {
       Snapshot.metadataAgg(spark, dir, Seq("v"))
     }
+    // …but count-only stays exact: vector sizes are manifest metadata
+    assert(Snapshot.metadataAgg(spark, dir, Nil)
+      .select("n").as[Long].head() == 997L)
 
     // compact: single live file per partition would normally not mark,
     // but DV'd files always fold
