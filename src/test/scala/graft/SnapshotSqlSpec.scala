@@ -133,6 +133,16 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(dup.getMessage.contains("duplicate"))
   }
 
+  test("aliased DELETE and UPDATE resolve the alias as a qualifier") {
+    val dir = tmp("alias")
+    Snapshot.create(spark, dir, fixture(0 until 40), Seq("p"))
+    Snapshot.sql(spark, "DELETE FROM t AS x WHERE x.id < 5", Map("t" -> dir))
+    Snapshot.sql(spark, "UPDATE t x SET x.v = x.v + 1 WHERE x.id = 7", Map("t" -> dir))
+    val expect = rows(fixture(0 until 40)).filterNot(_._1 < 5)
+      .map { case (id, p, v) => if (id == 7L) (id, p, v + 1) else (id, p, v) }
+    assert(rows(Snapshot.read(spark, dir)) == expect)
+  }
+
   test("refusals: unknown table, unknown SET column, foreign qualifier, subquery") {
     val dir = tmp("refuse")
     Snapshot.create(spark, dir, fixture(0 until 10))
