@@ -64,6 +64,28 @@ object Snapshot {
   val LogDirName = "_graft_log"
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Above this many TOTAL deletion-vector rows in the files a read
+    * touches, the merge-on-read anti-join plans as a SHUFFLED hash join
+    * instead of a broadcast: `broadcast()` is a hint Spark obeys, and a
+    * table that has accreted point deletes across many files can carry
+    * an unbounded sum of per-file-capped vectors — at 100 TB that is a
+    * driver/executor OOM, not a graceful fallback. The row count comes
+    * from the manifest ([[DvRef.rows]]), so the gate costs no job.
+    */
+  val DvBroadcastMaxRowsKey = "spark.graft.dv.broadcastMaxRows"
+  private val DvBroadcastMaxRowsDefault = 1000000L
+
+  /** A file whose deletion vector covers at least this fraction of its
+    * PHYSICAL rows is folded (rewritten without its deleted rows) by
+    * the next DML commit on the table — the maintenance trigger that
+    * stops repeated point deletes from accreting a table-wide read tax
+    * forever (each new delete is capped against LIVE rows, which
+    * shrink, so the physical fraction can grow without bound). Set to 0
+    * or >1 to disable; [[foldDvs]] runs the same fold on demand.
+    */
+  val DvFoldFractionKey = "spark.graft.dv.foldFraction"
+  private val DvFoldFractionDefault = 0.2
+
   /** Table version: the exact set of live data files (paths relative to
     * the table root), the partition columns, and the table schema (DDL)
     * so even an empty version reads with the right shape. `stats` maps
@@ -433,7 +455,16 @@ object Snapshot {
             selected(MetaPos) === dv(DvPosCol)) { (c, pc) =>
           c && (selected(pc) <=> dv(DvColPrefix + pc))
         }
-        selected.join(broadcast(dv), cond, "left_anti")
+        // size-gate the build side by the manifest's own vector row
+        // counts (no job): small vectors broadcast — one hash probe per
+        // row of only the DV'd files; an accreted mass past the gate
+        // takes a shuffled hash join, which scales with the cluster
+        // instead of with driver memory
+        val dvTotalRows = dvRefs.values.map(_.rows).sum
+        val gate = spark.conf.getOption(DvBroadcastMaxRowsKey)
+          .flatMap(_.toLongOption).getOrElse(DvBroadcastMaxRowsDefault)
+        val build = if (dvTotalRows <= gate) broadcast(dv) else dv.hint("shuffle_hash")
+        selected.join(build, cond, "left_anti")
       }
     if (meta) live else live.drop(MetaFile, MetaPos)
   }
@@ -695,6 +726,35 @@ object Snapshot {
       mNew => mNew.copy(streamBatch = mNew.streamBatch + (appId -> batchId)),
       guard = m => !m.streamBatch.get(appId).exists(_ >= batchId)).isDefined
 
+  /** Schema evolution WITHOUT data: append nullable columns to the
+    * table schema in a metadata-only commit (the SQL front end's
+    * `ALTER TABLE … ADD COLUMNS`; the data-ful form is
+    * `append(mergeSchema = true)`). Every existing file reads the new
+    * columns as null — the same pre-evolution contract as a merged
+    * append, so the two paths converge on one read-side rule. Adding a
+    * column commutes with appends: a version conflict rebases onto the
+    * winner's manifest and retries (re-checking for a name the winner
+    * may itself have added).
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val dupIn = cols.map(_.name.toLowerCase).diff(cols.map(_.name.toLowerCase).distinct)
+    require(dupIn.isEmpty, s"addColumns: column(s) listed twice: ${dupIn.mkString(", ")}")
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val table = StructType.fromDDL(m.schemaDdl)
+      val clash = cols.map(_.name).filter(n => table.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(clash.isEmpty, s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
+      val ddl = StructType(table.fields ++ cols.map(_.copy(nullable = true))).toDDL
+      try return commitManifest(spark, path, m.copy(version = m.version + 1, schemaDdl = ddl))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
   /** K4 full overwrite: new version = exactly the new txn's files. The
     * atomic replacement stagedSwap approximates — with no window where
     * the table is missing, because the old version stays live until the
@@ -866,6 +926,27 @@ object Snapshot {
       val dup = cols.map(_._1).diff(cols.map(_._1).distinct)
       require(dup.isEmpty, s"merge INSERT lists column(s) twice: ${dup.mkString(", ")}")
     }
+    // the source is evaluated by FOUR independent jobs (duplicate-id
+    // check, partition restriction, matched join, insert anti-join);
+    // flag-nondeterministic source plans are refused like DML
+    // predicates, and the rest is PERSISTED so a plan deterministic
+    // only per-materialization (an unordered LIMIT, a shuffled sample)
+    // still evaluates once — no rows lost or duplicated between arms
+    require(source.queryExecution.analyzed.find(
+        _.expressions.exists(e => e.find(!_.deterministic).isDefined)).isEmpty,
+      "merge source plan is nondeterministic — it is evaluated in several " +
+        "jobs; materialize it first (write it out, or drop the nondeterminism)")
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeArmsOn(spark, path, m, src, targetAlias, sourceAlias, idCol,
+      matchedSet, matchedDelete, insertCols, pCol, schema)
+    finally src.unpersist()
+  }
+
+  private def mergeArmsOn(spark: SparkSession, path: String, m: Manifest,
+                          source: DataFrame, targetAlias: String, sourceAlias: String,
+                          idCol: String, matchedSet: Option[Map[String, Column]],
+                          matchedDelete: Boolean, insertCols: Option[Seq[(String, Column)]],
+                          pCol: String, schema: StructType): Long = {
     require(source.select(idCol).groupBy(idCol).count()
         .where(col("count") > 1).limit(1).isEmpty,
       s"merge source has duplicate $idCol values; a duplicate would fan out the join")
@@ -906,6 +987,16 @@ object Snapshot {
     */
   def sql(spark: SparkSession, sqlText: String, tables: Map[String, String]): Long =
     SnapshotSql(spark, sqlText, tables)
+
+  /** Execute a SQL-text QUERY (SELECT, including CTEs, subqueries and
+    * time travel — `VERSION AS OF n` / `FOR SYSTEM_TIME AS OF ts`)
+    * with registered snapshot-table names resolved to native
+    * manifest-backed scans. Unregistered names still resolve against
+    * the session catalog (temp views). See [[SnapshotSql.query]].
+    */
+  def sqlQuery(spark: SparkSession, sqlText: String,
+               tables: Map[String, String]): DataFrame =
+    SnapshotSql.query(spark, sqlText, tables)
 
   /** Row-level DELETE by predicate, file-granular — the plain-SQL
     * `DELETE FROM t WHERE pred` the reference gets from BigQuery
@@ -948,28 +1039,56 @@ object Snapshot {
       s"snapshot $what: still conflicting after $attempts re-derivations: ${last.getMessage}")
   }
 
-  /** DML predicates are evaluated in SEVERAL independent jobs (tier
-    * counting, vector positions, rewrite remainders, appended updated
-    * rows) — a nondeterministic predicate would match different rows
-    * in each and silently lose or duplicate data, so it is refused up
-    * front (the standard lakehouse rule). Checked by analyzing the
-    * predicate against the table schema: driver-only, no job.
+  /** DML predicates and SET values are evaluated in SEVERAL independent
+    * jobs (tier counting, vector positions, rewrite remainders, appended
+    * updated rows) — anything that could evaluate differently between
+    * them would silently lose or duplicate data. Flag-nondeterministic
+    * expressions are refused up front (the standard lakehouse rule).
+    * CLOCK expressions (current_date / current_timestamp / now /
+    * localtimestamp) pass Catalyst's `deterministic` flag but re-pin
+    * the clock per query execution — a `DELETE … WHERE fecha <
+    * CURRENT_DATE()` could match more rows in the vector-position scan
+    * than the tier count saw, silently corrupting DvRef.rows — so they
+    * are FOLDED here to literals pinned ONCE on the driver: the
+    * reference's own maintenance shape keeps working, with one
+    * statement-wide clock. Driver-only analysis, no job.
     */
-  private def requireDeterministicPred(spark: SparkSession, m: Manifest,
-                                       what: String, pred: Column): Unit = {
+  private def pinDmlExpr(spark: SparkSession, m: Manifest,
+                         what: String, c: Column): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, CurrentDate, CurrentTimestamp, LocalTimestamp, Literal, Now}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType.fromDDL(m.schemaDdl))
-    val analyzed = empty.select(pred.as("__pred")).queryExecution.analyzed
-    require(analyzed.expressions.forall(e => e.find(!_.deterministic).isEmpty),
-      s"Snapshot.$what: the predicate is nondeterministic — it is evaluated " +
+    val analyzed = empty.select(c.as("__e")).queryExecution.analyzed
+      .expressions.head.children.head
+    require(analyzed.find(!_.deterministic).isEmpty,
+      s"Snapshot.$what: the expression is nondeterministic — it is evaluated " +
         "in more than one job, so matches could diverge between them")
+    val hasClock = analyzed.find {
+      case _: CurrentDate | _: CurrentTimestamp | _: Now | _: LocalTimestamp => true
+      case _ => false
+    }.isDefined
+    if (!hasClock) return c
+    val clock = spark.sql(
+      "SELECT current_date(), current_timestamp(), localtimestamp()").head()
+    val pinned = analyzed.transform {
+      case _: CurrentDate           => Literal.create(clock.get(0), DateType)
+      case _: CurrentTimestamp      => Literal.create(clock.get(1), TimestampType)
+      case _: Now                   => Literal.create(clock.get(1), TimestampType)
+      case _: LocalTimestamp        => Literal.create(clock.get(2), TimestampNTZType)
+      // un-resolve the probe's attributes so the rebuilt Column
+      // re-resolves against the real scan, not the probe's exprIds
+      case a: AttributeReference    => UnresolvedAttribute.quoted(a.name)
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(pinned)
   }
 
-  private def deleteOnce(spark: SparkSession, path: String, pred: Column,
+  private def deleteOnce(spark: SparkSession, path: String, pred0: Column,
                          dvMaxFraction: Double): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    requireDeterministicPred(spark, m, "delete", pred)
+    val pred = pinDmlExpr(spark, m, "delete", pred0)
     val matched = matchedPerFile(spark, path, m, pred)
     if (matched.isEmpty) return m.version
     // live rows = physical rows minus already-deleted positions — the
@@ -986,7 +1105,7 @@ object Snapshot {
     val dvNew =
       if (dvTier.isEmpty) Map.empty[String, DvRef]
       else writeDv(spark, path, m, pred, dvTier)
-    commitRebasing(spark, path, m,
+    val committed = commitRebasing(spark, path, m,
       drop = whole.keySet ++ rewrite.toSet,
       touched = dvTier.keySet,
       addFiles = newFiles,
@@ -994,6 +1113,7 @@ object Snapshot {
         if (newFiles.isEmpty) Map.empty
         else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
       addDvs = dvNew)
+    if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
   }
 
   /** Live rows of a file: physical rows minus already-deleted
@@ -1083,16 +1203,19 @@ object Snapshot {
              set: Map[String, Column], dvMaxFraction: Double = 0.1): Long =
     retryDml("update")(updateOnce(spark, path, pred, set, dvMaxFraction))
 
-  private def updateOnce(spark: SparkSession, path: String, pred: Column,
-                         set: Map[String, Column], dvMaxFraction: Double): Long = {
+  private def updateOnce(spark: SparkSession, path: String, pred0: Column,
+                         set0: Map[String, Column], dvMaxFraction: Double): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    val bad = set.keySet.diff(schema.fieldNames.toSet)
+    val bad = set0.keySet.diff(schema.fieldNames.toSet)
     require(bad.isEmpty, s"Snapshot.update: unknown column(s) ${bad.mkString(", ")}")
-    require(set.keySet.intersect(m.partitionCols.toSet).isEmpty,
+    require(set0.keySet.intersect(m.partitionCols.toSet).isEmpty,
       "Snapshot.update: cannot update a partition column (delete + append instead)")
-    requireDeterministicPred(spark, m, "update", pred)
+    val pred = pinDmlExpr(spark, m, "update", pred0)
+    // SET values are evaluated once per tier (two writeTxnFiles jobs);
+    // pin their clock too, so both tiers stamp the same instant
+    val set = set0.map { case (k, v) => k -> pinDmlExpr(spark, m, "update", v) }
     val matched = matchedPerFile(spark, path, m, pred)
     if (matched.isEmpty) return m.version
     val (dvTier, rewriteTier) = dvTierSplit(m, matched, dvMaxFraction)
@@ -1126,13 +1249,14 @@ object Snapshot {
             path, m.partitionCols))
         finally matchedRows.unpersist()
       }
-    commitRebasing(spark, path, m,
+    val committed = commitRebasing(spark, path, m,
       drop = rewrite.toSet,
       touched = dvTier.keySet,
       addFiles = rewriteFiles ++ updatedFiles,
       addStats = statsFor(spark, path, rewriteFiles ++ updatedFiles,
         m.schemaDdl, m.partitionCols),
       addDvs = dvNew)
+    if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
   }
 
   /** Exact per-file match counts for `pred` over the stats-pruned
@@ -1250,9 +1374,64 @@ object Snapshot {
                            drop: Set[String]): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    replaceFilesOn(spark, path, m, replacement, drop)
+  }
+
+  private def replaceFilesOn(spark: SparkSession, path: String, m: Manifest,
+                             replacement: DataFrame, drop: Set[String]): Long = {
     val newFiles = writeTxnFiles(replacement, path, m.partitionCols)
     commitRebasing(spark, path, m, drop, Set.empty, newFiles,
       statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols), Map.empty)
+  }
+
+  /** Fold deletion vectors WITHOUT a full compaction: rewrite exactly
+    * the DV'd files whose vector covers at least `minFileFraction` of
+    * their physical rows (0 folds every vector), minus their deleted
+    * rows — file-precise, so untouched files (and small-file layout)
+    * stay byte-identical, unlike [[compact]] which also bin-packs.
+    * A DV'd file without row stats folds unconditionally (no
+    * denominator to judge it by, and always-correct beats fast).
+    * Returns the folded files; commits nothing when none qualify.
+    */
+  def foldDvs(spark: SparkSession, path: String,
+              minFileFraction: Double = 0.0): Seq[String] = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val targets = m.dvs.keys.filter { f =>
+      m.stats.get(f) match {
+        case Some(st) if st.rows > 0 =>
+          m.dvs(f).rows.toDouble / st.rows >= minFileFraction
+        case _ => true
+      }
+    }.toSeq.sorted
+    if (targets.isEmpty) return Nil
+    // the read core applies the vectors, so the rewrite holds exactly
+    // the live rows and the new files carry no vector by construction
+    replaceFilesOn(spark, path, m, readFiles(spark, path, m, Some(targets)), targets.toSet)
+    targets
+  }
+
+  /** DML post-commit maintenance hook: when the version just committed
+    * carries any file whose vector passed the [[DvFoldFractionKey]]
+    * density threshold, fold those files now — the bounded-read-tax
+    * invariant (no file's scan ever pays more than the threshold's
+    * fraction as anti-join probes) that a warehouse's background
+    * maintenance would otherwise provide. Returns the latest version
+    * (the fold's, when one ran).
+    */
+  private def maybeFoldDense(spark: SparkSession, path: String, committed: Long): Long = {
+    val frac = spark.conf.getOption(DvFoldFractionKey)
+      .flatMap(_.toDoubleOption).getOrElse(DvFoldFractionDefault)
+    if (frac <= 0 || frac > 1) return committed
+    val m = manifest(spark, path, committed)
+    val dense = m.dvs.exists { case (f, dv) =>
+      m.stats.get(f).forall(st => st.rows <= 0 || dv.rows.toDouble / st.rows >= frac)
+    }
+    if (!dense) committed
+    else {
+      foldDvs(spark, path, frac)
+      latestVersion(spark, path).getOrElse(committed)
+    }
   }
 
   /** OPTIMISTIC commit for the file-precise rewriters (compact, DML):

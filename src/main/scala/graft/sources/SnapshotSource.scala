@@ -128,8 +128,13 @@ final class DvSnapshotRelation(spark: SparkSession, path: String,
   override val schema: StructType = tableSchema
   override def buildScan(requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val df = Snapshot.readManifestFiles(spark, path, m, m.files)
-    (if (requiredColumns.isEmpty) df
-     else df.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*)).rdd
+    if (requiredColumns.isEmpty) {
+      // count-style scan: project the narrowest column so the fallback
+      // never reads and converts the full row width, then emit the
+      // empty rows the contract asks for
+      val narrowest = schema.fields.minBy(_.dataType.defaultSize).name
+      df.select(narrowest).rdd.map(_ => org.apache.spark.sql.Row.empty)
+    } else df.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
   }
   override def toString: String = s"DvSnapshotRelation[$path v${m.version}]"
 }

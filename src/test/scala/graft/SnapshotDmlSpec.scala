@@ -168,6 +168,40 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(h == stamp)
   }
 
+  test("clock predicates pin ONE driver instant across all DML jobs") {
+    // current_date() passes Catalyst's deterministic flag but re-pins
+    // per query execution; DML evaluates its predicate in several jobs
+    // (tier count, vector positions, rewrites), so the clock is folded
+    // to a literal once on the driver — the reference's own
+    // `DELETE … WHERE fecha < CURRENT_DATE()` maintenance shape
+    val dir = tmp("clock")
+    val past = java.sql.Date.valueOf("2001-01-01")
+    val future = java.sql.Date.valueOf("2999-01-01")
+    val df = (0 until 1000)
+      .map(i => (i.toLong, if (i < 5) past else future, i.toLong))
+      .toDF("id", "d", "v")
+    Snapshot.create(spark, dir, df.repartition(1))
+    // 5/1000 matched → the DV tier, where a clock drifting between the
+    // count job and the vector job would desynchronize DvRef.rows from
+    // the vector's real positions
+    val v = Snapshot.delete(spark, dir, col("d") < current_date())
+    assert(v >= 2L)
+    val m = Snapshot.latestManifest(spark, dir).get
+    m.dvs.values.foreach(dv => assert(dv.rows == 5L))
+    // the metadata-exact live count the vector accounting underwrites
+    assert(Snapshot.metadataAgg(spark, dir, Nil)
+      .select("n").as[Long].head() == 995L)
+    assert(Snapshot.read(spark, dir).count() == 995L)
+    // UPDATE with a clock in the SET list pins the same way: every
+    // updated row carries the ONE driver-pinned date
+    Snapshot.update(spark, dir, col("id").between(10L, 12L),
+      Map("d" -> current_date()))
+    val stamped = Snapshot.read(spark, dir).where(col("id").between(10L, 12L))
+      .select("d").distinct()
+    assert(stamped.count() == 1L)
+    assert(stamped.as[java.sql.Date].head() != future)
+  }
+
   test("update cannot retype a column or touch a partition column") {
     val dir = tmp("guard")
     Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))

@@ -251,6 +251,72 @@ class SnapshotDvSpec extends SparkSpec {
       "DV anti-join fell back to a sort-merge join:\n" + plan.take(800))
   }
 
+  test("past the broadcast gate the DV anti-join plans shuffled, not broadcast") {
+    val dir = tmp("gate")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+    Snapshot.delete(spark, dir, col("id").isin(5L, 6L, 7L))
+    // the gate reads the manifest's DvRef.rows (3 here): below it the
+    // vector broadcasts; above it the anti-join must shuffle — a 100 TB
+    // table's accreted vectors have no per-table bound, and broadcast()
+    // is a hint Spark OBEYS, so past the gate it would OOM, not degrade
+    spark.conf.set(Snapshot.DvBroadcastMaxRowsKey, "2")
+    try {
+      val df = Snapshot.read(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), plan.take(600))
+      assert(!plan.contains("Broadcast"),
+        "gate must drop the broadcast hint:\n" + plan.take(800))
+      assert(rows(df) ==
+        rows(fixture(0 until 1000)).filterNot(r => Set(5L, 6L, 7L)(r._1)))
+    } finally spark.conf.unset(Snapshot.DvBroadcastMaxRowsKey)
+    // back under the gate: broadcast again
+    val plan2 = Snapshot.read(spark, dir).queryExecution.executedPlan.toString
+    assert(plan2.contains("Broadcast"), plan2.take(800))
+  }
+
+  test("accreted vectors past the density threshold auto-fold on the next DML") {
+    val dir = tmp("dense")
+    Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))
+    // each delete is capped against LIVE rows (10%), which shrink as
+    // the vector grows — the PHYSICAL fraction compounds: 8/100, then
+    // 16/100, and the third commit reaches 24/100 ≥ the 20% default,
+    // so the density trigger folds the file within the same statement
+    Snapshot.delete(spark, dir, col("id").between(0L, 7L))
+    Snapshot.delete(spark, dir, col("id").between(10L, 17L))
+    assert(Snapshot.latestManifest(spark, dir).get.dvs.values.map(_.rows).sum == 16L)
+    val v = Snapshot.delete(spark, dir, col("id").between(20L, 27L))
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.dvs.isEmpty, "density trigger must fold the dense file's vector")
+    assert(m.version == v, "the DML statement returns the fold's version")
+    val gone = (0L to 7L).toSet ++ (10L to 17L) ++ (20L to 27L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 100)).filterNot(r => gone(r._1)))
+    // the read tax is gone: native file scan, no anti-join
+    assert(!Snapshot.read(spark, dir).queryExecution.executedPlan.toString
+      .contains("LeftAnti"))
+  }
+
+  test("foldDvs rewrites only DV'd files; the rest stay byte-identical") {
+    val dir = tmp("foldapi")
+    Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+    Snapshot.append(spark, dir, fixture(1000 until 2000).repartition(1))
+    Snapshot.delete(spark, dir, col("id") === 3L)
+    val before = fileIdentity(dir)
+    val dvd = Snapshot.latestManifest(spark, dir).get.dvs.keySet
+    assert(dvd.size == 1)
+    val folded = Snapshot.foldDvs(spark, dir)
+    assert(folded.toSet == dvd)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.dvs.isEmpty)
+    val after = fileIdentity(dir)
+    before.filterNot(kv => dvd(kv._1)).foreach { case (f, ident) =>
+      assert(after.get(f).contains(ident), s"non-DV'd $f was rewritten") }
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 2000)).filterNot(_._1 == 3L))
+    // idempotent: nothing left to fold
+    assert(Snapshot.foldDvs(spark, dir).isEmpty)
+  }
+
   test("streaming source treats a DV commit as a change commit") {
     val dir = tmp("stream")
     Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))

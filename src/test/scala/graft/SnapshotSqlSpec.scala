@@ -206,4 +206,18 @@ class SnapshotSqlSpec extends SparkSpec {
     }
     assert(badOn.getMessage.contains("same id column"))
   }
+
+  test("a nondeterministic MERGE source refuses (evaluated in several jobs)") {
+    val dir = tmp("ndsrc")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    fixture(0 until 3).withColumn("v", (rand() * 100).cast("long"))
+      .createOrReplaceTempView("nd_src")
+    val err = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark,
+        "MERGE INTO t USING nd_src s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v", Map("t" -> dir))
+    }
+    assert(err.getMessage.contains("nondeterministic"))
+    assert(Snapshot.latestVersion(spark, dir).contains(1L))
+  }
 }
