@@ -22,6 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> ((s: SparkSession, dir: String) => q.build(Tables(s, dir)))).toMap
 
+  /** The defs themselves — Bench stages `setup` outside its timed
+    * window; `queries` (the driver's correctness surface) runs
+    * setup + build as one call.
+    */
+  def queryDefs: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** SQL-text materialization and DDL — the half of the reference's SQL
+  * surface beyond row-level DML: `QueryJobConfig(destination=…)` with
+  * WRITE_TRUNCATE is literally `CREATE OR REPLACE TABLE … AS SELECT`
+  * (liveod_editorial.py:282-359), appends into an existing destination
+  * are `INSERT INTO … SELECT`, and autodetect schema growth is
+  * `ALTER TABLE … ADD COLUMNS`. Also the SELECT query path with
+  * registered snapshot scans and time travel (`VERSION AS OF`,
+  * `FOR SYSTEM_TIME AS OF`).
+  */
+class SnapshotSqlDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-sqlddl-$tag").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i.toLong * 10))
+      .toDF("id", "p", "v")
+
+  test("CTAS creates a partitioned snapshot table from registered scans") {
+    val src = tmp("ctas-src"); val dest = tmp("ctas-dest")
+    Snapshot.create(spark, src, fixture(0 until 100), Seq("p"))
+    val reg = Map("src" -> src, "dest" -> dest)
+    val v = Snapshot.sql(spark,
+      "CREATE TABLE dest PARTITIONED BY (p) AS SELECT id, p, v FROM src WHERE id < 50",
+      reg)
+    assert(v == 1L)
+    val m = Snapshot.latestManifest(spark, dest).get
+    assert(m.partitionCols == Seq("p"))
+    assert(rows(Snapshot.read(spark, dest)) == rows(fixture(0 until 50)))
+    // plain CREATE refuses a second time; IF NOT EXISTS is a no-op
+    val dup = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "CREATE TABLE dest AS SELECT * FROM src", reg)
+    }
+    assert(dup.getMessage.contains("already exists"))
+    assert(Snapshot.sql(spark,
+      "CREATE TABLE IF NOT EXISTS dest AS SELECT * FROM src", reg) == 1L)
+    assert(Snapshot.read(spark, dest).count() == 50L)
+  }
+
+  test("CREATE OR REPLACE is the WRITE_TRUNCATE materialization, history kept") {
+    // the liveod_editorial.py:282-359 shape: a UNION ALL over sources
+    // materialized into a destination table, truncate semantics
+    val a = tmp("cor-a"); val b = tmp("cor-b"); val dest = tmp("cor-dest")
+    Snapshot.create(spark, a, fixture(0 until 10), Seq("p"))
+    Snapshot.create(spark, b, fixture(100 until 110), Seq("p"))
+    val reg = Map("ta" -> a, "tb" -> b, "dest" -> dest)
+    val sql =
+      """CREATE OR REPLACE TABLE dest AS
+        |SELECT id, p, v FROM ta WHERE p = 'even'
+        |UNION ALL
+        |SELECT id, p, v FROM tb WHERE p = 'odd'
+        |""".stripMargin
+    assert(Snapshot.sql(spark, sql, reg) == 1L)
+    val expect1 = rows(fixture(0 until 10)).filter(_._2 == "even") ++
+      rows(fixture(100 until 110)).filter(_._2 == "odd")
+    assert(rows(Snapshot.read(spark, dest)) == expect1)
+    // second run replaces atomically: version 2, version 1 still reads
+    Snapshot.append(spark, a, fixture(10 until 12))
+    assert(Snapshot.sql(spark, sql, reg) == 2L)
+    val expect2 = rows(fixture(0 until 12)).filter(_._2 == "even") ++
+      rows(fixture(100 until 110)).filter(_._2 == "odd")
+    assert(rows(Snapshot.read(spark, dest)) == expect2)
+    assert(rows(Snapshot.readVersion(spark, dest, 1)) == expect1)
+    // REPLACE of a missing table refuses; OR CREATE creates
+    val missing = tmp("cor-miss")
+    val norepl = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "REPLACE TABLE missing AS SELECT * FROM ta",
+        reg + ("missing" -> missing))
+    }
+    assert(norepl.getMessage.contains("no table"))
+  }
+
+  test("INSERT INTO appends positionally; a column list null-fills the rest") {
+    val dir = tmp("ins"); val src = tmp("ins-src")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    Snapshot.create(spark, src, fixture(100 until 105), Seq("p"))
+    val reg = Map("t" -> dir, "s" -> src)
+    assert(Snapshot.sql(spark, "INSERT INTO t SELECT id, p, v FROM s", reg) == 2L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 10)) ++ rows(fixture(100 until 105)))
+    // explicit column list: unlisted v inserts as null
+    Snapshot.sql(spark, "INSERT INTO t (id, p) SELECT id + 1000, p FROM s", reg)
+    assert(Snapshot.read(spark, dir).where(col("id") >= 1100 && col("v").isNull)
+      .count() == 5L)
+    // arity mismatch refuses, nothing committed
+    val v0 = Snapshot.latestVersion(spark, dir).get
+    val bad = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "INSERT INTO t (id, p) SELECT id FROM s", reg)
+    }
+    assert(bad.getMessage.contains("target list"))
+    assert(Snapshot.latestVersion(spark, dir).contains(v0))
+    // INSERT OVERWRITE is the truncate-and-load twin
+    Snapshot.sql(spark, "INSERT OVERWRITE t SELECT id, p, v FROM s", reg)
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(100 until 105)))
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only schema commit") {
+    val dir = tmp("addcol")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    val filesBefore = Snapshot.latestManifest(spark, dir).get.files
+    val reg = Map("t" -> dir)
+    val v = Snapshot.sql(spark, "ALTER TABLE t ADD COLUMNS (tag STRING, score BIGINT)", reg)
+    assert(v == 2L)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.files == filesBefore, "schema evolution must write no data files")
+    val df = Snapshot.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "p", "v", "tag", "score"))
+    assert(df.where(col("tag").isNull && col("score").isNull).count() == 10L)
+    // the evolved column is insertable from SQL text
+    fixture(100 until 101).withColumn("tag", lit("new")).withColumn("score", lit(7L))
+      .createOrReplaceTempView("addcol_src")
+    Snapshot.sql(spark, "INSERT INTO t SELECT id, p, v, tag, score FROM addcol_src", reg)
+    assert(Snapshot.read(spark, dir).where(col("tag") === "new").count() == 1L)
+    // duplicate and clashing names refuse
+    val clash = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "ALTER TABLE t ADD COLUMNS (TAG STRING)", reg)
+    }
+    assert(clash.getMessage.contains("already exist"))
+  }
+
+  test("SELECT with VERSION AS OF / FOR SYSTEM_TIME AS OF reads pinned versions") {
+    val dir = tmp("tt")
+    Snapshot.create(spark, dir, fixture(0 until 5), Seq("p"))
+    val t1 = System.currentTimeMillis() * 1000L
+    Thread.sleep(5)
+    Snapshot.append(spark, dir, fixture(5 until 10))
+    val reg = Map("t" -> dir)
+    assert(Snapshot.sqlQuery(spark,
+      "SELECT id, p, v FROM t VERSION AS OF 1", reg).count() == 5L)
+    assert(rows(Snapshot.sqlQuery(spark, "SELECT id, p, v FROM t", reg)) ==
+      rows(fixture(0 until 10)))
+    // SYSTEM_TIME pins the newest commit at-or-before the instant;
+    // the literal goes through parser-grade timestamp evaluation
+    val iso = java.time.Instant.ofEpochMilli(t1 / 1000L).toString
+    assert(Snapshot.sqlQuery(spark,
+      s"SELECT id, p, v FROM t FOR SYSTEM_TIME AS OF '$iso'", reg).count() == 5L)
+    // joins between a pinned and a live read of the SAME table work
+    val joined = Snapshot.sqlQuery(spark,
+      "SELECT cur.id FROM t cur LEFT ANTI JOIN (SELECT id FROM t VERSION AS OF 1) old " +
+        "ON cur.id = old.id", reg)
+    assert(joined.as[Long].collect().toSet == (5L until 10L).toSet)
+    // time travel over an UNREGISTERED name refuses in Spark's analyzer
+    intercept[Exception] {
+      Snapshot.sqlQuery(spark, "SELECT * FROM nope VERSION AS OF 1", reg).collect()
+    }
+  }
+
+  test("sqlQuery plans the native pruned scan, and mixes with temp views") {
+    val dir = tmp("scan")
+    Snapshot.create(spark, dir, fixture(0 until 100), Seq("p"))
+    val reg = Map("t" -> dir)
+    val df = Snapshot.sqlQuery(spark,
+      "SELECT id, v FROM t WHERE id >= 90", reg)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SnapshotFileIndex") &&
+      plan.contains("GreaterThanOrEqual(id,90)") && plan.contains("PushedFilters: ["),
+      plan.take(800))
+    fixture(0 until 3).createOrReplaceTempView("ddl_view")
+    val mixed = Snapshot.sqlQuery(spark,
+      "SELECT t.id FROM t JOIN ddl_view w ON t.id = w.id", reg)
+    assert(mixed.as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
+  test("CTAS refuses unknown targets and non-identity partitioning") {
+    val src = tmp("ref-src")
+    Snapshot.create(spark, src, fixture(0 until 5), Seq("p"))
+    val reg = Map("src" -> src)
+    val unknown = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "CREATE TABLE nowhere AS SELECT * FROM src", reg)
+    }
+    assert(unknown.getMessage.contains("unknown table 'nowhere'"))
+    val dest = tmp("ref-dest")
+    val bucket = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark,
+        "CREATE TABLE dest PARTITIONED BY (bucket(4, id)) AS SELECT * FROM src",
+        reg + ("dest" -> dest))
+    }
+    assert(bucket.getMessage.contains("identity"))
+  }
+}
