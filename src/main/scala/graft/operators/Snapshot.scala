@@ -144,6 +144,46 @@ object Snapshot {
   private def commitLock(path: String): Object =
     commitLocks.computeIfAbsent(path, _ => new Object)
 
+  /** The PUBLISH step of the commit protocol as an injectable seam: make
+    * `tmp` visible as `target` iff `target` does not already exist, and
+    * report whether THIS committer won the version. The contract is
+    * exactly a conditional put — the primitive every coordination
+    * substrate provides in its own dialect (HDFS rename-no-overwrite,
+    * object-store `If-None-Match` put, a lock service fronting a
+    * local filesystem whose rename overwrites). The engine turns a
+    * `false` into [[CommitConflictException]]; a thrown IOException is a
+    * genuine filesystem failure, not a lost race. Implementations must
+    * be atomic across PROCESSES on their substrate; everything above
+    * this seam (version derivation, staging, rebase, retry) is
+    * substrate-agnostic and tested through injected guards simulating
+    * each dialect ([[graft.SnapshotSpec]]).
+    */
+  trait CommitGuard {
+    def publish(fs: FileSystem, tablePath: String, tmp: HPath, target: HPath): Boolean
+  }
+
+  /** Default guard: exists + rename, serialized per table within the
+    * JVM. On HDFS-class filesystems the rename itself refuses to
+    * overwrite, so the exists check is only a fast-path courtesy and
+    * cross-process atomicity comes from the NameNode; on a local
+    * filesystem (whose rename overwrites) the JVM lock closes the
+    * window for same-process writers and cross-JVM local-FS writers
+    * remain the caller's coordination problem — the scale deployment
+    * (HDFS / object store with conditional create) is not.
+    */
+  object JvmLockedRenameGuard extends CommitGuard {
+    override def publish(fs: FileSystem, tablePath: String, tmp: HPath, target: HPath): Boolean =
+      commitLock(tablePath).synchronized {
+        if (fs.exists(target)) false
+        else if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"snapshot commit failed: could not rename into $target")
+        else true
+      }
+  }
+
+  /** Test-injectable publish seam. Never reassigned outside tests. */
+  @volatile private[graft] var commitGuard: CommitGuard = JvmLockedRenameGuard
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -598,18 +638,15 @@ object Snapshot {
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     finally out.close()
     faultHook("manifest-staged")
-    // the conflict check and the rename form one critical section (see
-    // [[commitLocks]]); the rename remains the commit point
-    commitLock(fs.makeQualified(new HPath(path)).toString).synchronized {
-      if (fs.exists(target)) {
-        fs.delete(tmp, true)
-        throw new CommitConflictException(
-          s"snapshot commit conflict: version ${m.version} already exists at $path")
-      }
-      if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, true)
-        throw new java.io.IOException(s"snapshot commit failed: could not rename into $target")
-      }
+    // publish through the conditional-put seam; making `target` exist is
+    // the commit point on every substrate
+    val won =
+      try commitGuard.publish(fs, fs.makeQualified(new HPath(path)).toString, tmp, target)
+      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    if (!won) {
+      fs.delete(tmp, true)
+      throw new CommitConflictException(
+        s"snapshot commit conflict: version ${m.version} already exists at $path")
     }
     faultHook("manifest-committed")
     // after the commit point: a crash here leaves the pointer one

@@ -177,4 +177,83 @@ class SnapshotSpec extends SparkSpec {
     val after = rows(Snapshot.read(spark, dir))
     assert(after == rows(Writers.mergeById(df, upd, "id")))
   }
+
+  test("cross-process commit race: exactly one of two racing committers wins, on both guard dialects") {
+    import java.util.concurrent.{CyclicBarrier, ConcurrentHashMap, Executors, Semaphore, TimeUnit}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+    // Two committers in separate "processes": neither sees the JVM
+    // commit lock — the injected guard is the ONLY coordination, and it
+    // holds a barrier open until BOTH have staged their manifest and
+    // entered the publish window (the exact race the default local-FS
+    // guard cannot close across JVMs). Two substrate dialects:
+    //
+    //  - conditional put (object-store If-None-Match / HDFS
+    //    rename-no-overwrite): the store itself picks one winner
+    //    atomically — here a shared putIfAbsent plays the store;
+    //  - overwrite-rename local FS fronted by a lock service: the
+    //    rename is blind, mutual exclusion comes from a one-lease
+    //    service (here a semaphore), and the exists probe under the
+    //    lease detects the earlier winner.
+    final class ConditionalPutGuard extends Snapshot.CommitGuard {
+      private val barrier = new CyclicBarrier(2)
+      private val placed = new ConcurrentHashMap[String, String]()
+      override def publish(fs: FileSystem, tablePath: String, tmp: HPath, target: HPath): Boolean = {
+        barrier.await(30, TimeUnit.SECONDS)
+        if (placed.putIfAbsent(target.toString, tmp.toString) != null) false
+        else { assert(fs.rename(tmp, target)); true }
+      }
+    }
+    final class LockServiceGuard extends Snapshot.CommitGuard {
+      private val barrier = new CyclicBarrier(2)
+      private val lease = new Semaphore(1)
+      override def publish(fs: FileSystem, tablePath: String, tmp: HPath, target: HPath): Boolean = {
+        barrier.await(30, TimeUnit.SECONDS)
+        lease.acquire()
+        try {
+          if (fs.exists(target)) false
+          else { assert(fs.rename(tmp, target)); true }
+        } finally lease.release()
+      }
+    }
+
+    for ((name, guard) <- Seq[(String, Snapshot.CommitGuard)](
+      "conditional-put" -> new ConditionalPutGuard,
+      "lock-service" -> new LockServiceGuard)) {
+      val dir = tmp(s"race-$name")
+      Snapshot.create(spark, dir, fixture(0 until 20, 1), Seq("p"))
+      Snapshot.commitGuard = guard
+      val outcomes =
+        try {
+          val pool = Executors.newFixedThreadPool(2)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          // both overwrites derive from v1 and target v2; both stage;
+          // the guard forces them into the publish window together
+          val fs = Seq(2L, 3L).map { tag =>
+            Future {
+              try Right(Snapshot.overwrite(spark, dir, fixture(0 until 20, tag)) -> tag)
+              catch { case e: Snapshot.CommitConflictException => Left(e) }
+            }
+          }
+          val r = Await.result(Future.sequence(fs), 300.seconds)
+          pool.shutdown()
+          r
+        } finally Snapshot.commitGuard = Snapshot.JvmLockedRenameGuard
+
+      val (losers, winners) = outcomes.partition(_.isLeft)
+      assert(winners.size == 1 && losers.size == 1, s"dialect $name: $outcomes")
+      val (v, winnerTag) = winners.head.toOption.get
+      assert(v == 2L, s"dialect $name")
+      // the surviving version is the winner's rows, COMPLETE — no torn
+      // manifest, no rows from the refused committer
+      assert(Snapshot.latestVersion(spark, dir).contains(2L), s"dialect $name")
+      assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 20, winnerTag)),
+        s"dialect $name")
+      // and the table still accepts the next commit normally
+      Snapshot.append(spark, dir, fixture(100 until 105, 9))
+      assert(Snapshot.latestVersion(spark, dir).contains(3L), s"dialect $name")
+    }
+  }
 }

@@ -303,6 +303,38 @@ class StreamingSpec extends SparkSpec {
       "startingVersion consumer must see only post-start appends")
   }
 
+  test("fresh stream bootstrap of a DV'd table excludes deletion-vectored rows") {
+    import graft.operators.Snapshot
+    import org.apache.spark.sql.functions.col
+    // A brand-new consumer (no checkpoint, no startingVersion) of a
+    // table carrying live deletion vectors: the bootstrap batch is the
+    // table STATE, so the row-based DvSnapshotRelation path feeds the
+    // streaming scan and vectored rows must NOT appear.
+    val dir = Files.createTempDirectory("graft-snapstream-dv").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val base = (0 until 40).map(i => (i.toLong, s"r$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "v", "p")
+      .repartition(1) // one ~20-row file per partition, so a point delete is under the DV tier split
+    Snapshot.create(spark, src, base, Seq("p"))
+    // point delete well under the DV tier split -> merge-on-read vector,
+    // no file rewrite
+    Snapshot.delete(spark, src, col("id").isin(3L, 8L))
+    val m = Snapshot.latestManifest(spark, src).get
+    assert(m.dvs.nonEmpty, "fixture must actually carry a live deletion vector")
+
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .load(src)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(got == (0 until 40).map(_.toLong).toSet -- Set(3L, 8L),
+      "bootstrap batch must apply deletion vectors")
+  }
+
   test("change-feed consumer: streaming drain is exactly-once and crash-convergent") {
     import graft.operators.Snapshot
     import graft.streaming.FeedConsumer
