@@ -44,11 +44,42 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object SnapshotSql {
 
+  // Maintenance verbs are the one place the session parser can't help:
+  // vanilla Spark SQL has no VACUUM / OPTIMIZE / DESCRIBE HISTORY
+  // grammar (they are lakehouse-dialect statements), so these three are
+  // matched textually — the shapes are single-identifier with at most
+  // one optional clause, which a regex covers without a grammar. The
+  // reference's K2/K3 maintenance loops (delete-and-replace windows,
+  // hourly merges) run forever; routing retention and compaction
+  // through the same SQL surface makes a ported script SQL end to end.
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+
+  private def maintenance(spark: SparkSession, sqlText: String,
+                          tables: Map[String, String]): Option[Long] = sqlText match {
+    case VacuumRe(ident, retain) =>
+      val path = pathOf(ident, tables)
+      Snapshot.vacuum(spark, path,
+        keepVersions = Option(retain).map(_.toInt).getOrElse(2))
+      Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
+    case OptimizeRe(ident, zorder) =>
+      val path = pathOf(ident, tables)
+      val zcols = Option(zorder).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      Snapshot.compact(spark, path, zorderBy = zcols)
+      Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
+    case _ => None
+  }
+
   /** Parse and execute one DML statement; returns the committed
     * version (unchanged if nothing matched).
     */
   def apply(spark: SparkSession, sqlText: String,
-            tables: Map[String, String]): Long =
+            tables: Map[String, String]): Long = maintenance(spark, sqlText, tables).getOrElse {
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
 
       case DeleteFromTable(rel, cond) =>
@@ -98,9 +129,11 @@ object SnapshotSql {
 
       case other => throw new IllegalArgumentException(
         "Snapshot.sql supports DELETE / UPDATE / MERGE / INSERT … SELECT / " +
-          "CREATE [OR REPLACE] TABLE … AS SELECT / ALTER TABLE … ADD COLUMNS " +
+          "CREATE [OR REPLACE] TABLE … AS SELECT / ALTER TABLE … ADD COLUMNS / " +
+          "VACUUM / OPTIMIZE " +
           s"statements, got ${other.nodeName} (for SELECT, use Snapshot.sqlQuery)")
     }
+  }
 
   /** Execute a SQL-text QUERY with registered snapshot names resolved
     * to native manifest-backed scans — including time travel
@@ -111,8 +144,12 @@ object SnapshotSql {
     * snapshot tables and temp views.
     */
   def query(spark: SparkSession, sqlText: String,
-            tables: Map[String, String]): DataFrame =
-    resolveQuery(spark, spark.sessionState.sqlParser.parsePlan(sqlText), tables)
+            tables: Map[String, String]): DataFrame = sqlText match {
+    case HistoryRe(ident) =>
+      Snapshot.history(spark, pathOf(ident, tables))
+    case _ =>
+      resolveQuery(spark, spark.sessionState.sqlParser.parsePlan(sqlText), tables)
+  }
 
   // --------------------------------------------- query-side resolution
 

@@ -189,4 +189,38 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     }
     assert(bucket.getMessage.contains("identity"))
   }
+
+  test("VACUUM / OPTIMIZE / DESCRIBE HISTORY route maintenance through SQL text") {
+    val dir = tmp("maint")
+    // three commits of deliberately small files so OPTIMIZE has work
+    Snapshot.create(spark, dir, fixture(0 until 40).repartition(4), Seq("p"))
+    Snapshot.append(spark, dir, fixture(100 until 140).repartition(4))
+    Snapshot.append(spark, dir, fixture(200 until 240).repartition(4))
+    val reg = Map("t" -> dir)
+    val want = rows(Snapshot.read(spark, dir))
+
+    // DESCRIBE HISTORY: one row per version, live row counts included
+    val hist = Snapshot.sqlQuery(spark, "DESCRIBE HISTORY t", reg)
+    assert(hist.select("version").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(hist.where(col("version") === 3).select("num_rows").as[Long].head() == 120L)
+
+    // OPTIMIZE (with a ZORDER clause): files pack, content identical
+    val filesBefore = Snapshot.latestManifest(spark, dir).get.files.size
+    val vOpt = Snapshot.sql(spark, "OPTIMIZE t ZORDER BY (id)", reg)
+    assert(vOpt == 4L)
+    val mOpt = Snapshot.latestManifest(spark, dir).get
+    assert(mOpt.files.size < filesBefore)
+    assert(rows(Snapshot.read(spark, dir)) == want)
+
+    // VACUUM RETAIN 1 VERSIONS: old manifests drop, latest still reads
+    Snapshot.sql(spark, "VACUUM t RETAIN 1 VERSIONS", reg)
+    assert(Snapshot.versions(spark, dir) == Seq(4L))
+    assert(rows(Snapshot.read(spark, dir)) == want)
+
+    // unknown table refuses with the registry message
+    val unknown = intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "VACUUM nope", reg)
+    }
+    assert(unknown.getMessage.contains("unknown table"))
+  }
 }
