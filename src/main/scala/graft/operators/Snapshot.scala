@@ -86,6 +86,19 @@ object Snapshot {
   val DvFoldFractionKey = "spark.graft.dv.foldFraction"
   private val DvFoldFractionDefault = 0.2
 
+  /** Commit-log checkpoint cadence: a FULL manifest (all files + stats)
+    * is written at v1 and then every N-th version; the commits between
+    * stage only their DELTA against the parent. Reads replay at most
+    * N-1 deltas over the nearest full form, so both commit cost and the
+    * tail of a read are O(changed files × N), never O(#files) — the
+    * difference between an hourly append to a million-file table
+    * rewriting kilobytes and rewriting hundreds of megabytes. Set to 1
+    * to write every manifest full (the pre-delta layout, still read
+    * compatibly).
+    */
+  val LogCheckpointIntervalKey = "spark.graft.log.checkpointInterval"
+  private val LogCheckpointIntervalDefault = 10
+
   /** Table version: the exact set of live data files (paths relative to
     * the table root), the partition columns, and the table schema (DDL)
     * so even an empty version reads with the right shape. `stats` maps
@@ -197,6 +210,14 @@ object Snapshot {
   private def manifestPath(path: String, v: Long): HPath =
     new HPath(s"$path/$LogDirName/" + f"v$v%08d.json")
 
+  /** Side-file a vacuum writes at the retention boundary so the oldest
+    * kept version stays reconstructible after the delta chain behind it
+    * is reclaimed. Readers prefer it when present; the version-listing
+    * regex never matches it, so it is invisible to everything else.
+    */
+  private def ckptPath(path: String, v: Long): HPath =
+    new HPath(s"$path/$LogDirName/" + f"v$v%08d.ckpt.json")
+
   private def lastPointerPath(path: String): HPath =
     new HPath(s"$path/$LogDirName/_last")
 
@@ -257,43 +278,55 @@ object Snapshot {
   def manifest(spark: SparkSession, path: String, version: Long): Manifest =
     manifestFrom(fsFor(spark, path), path, version)
 
+  private def parseStats(root: com.fasterxml.jackson.databind.JsonNode): Map[String, SnapshotStats.FileStats] =
+    if (!root.has("stats")) Map.empty
+    else root.get("stats").properties().asScala.map { e =>
+      val n = e.getValue
+      val cols = if (!n.has("cols")) Map.empty[String, SnapshotStats.ColStats]
+      else n.get("cols").properties().asScala.map { ce =>
+        val c = ce.getValue
+        ce.getKey -> SnapshotStats.ColStats(
+          if (c.has("mn")) Some(c.get("mn").asText()) else None,
+          if (c.has("mx")) Some(c.get("mx").asText()) else None,
+          if (c.has("nulls")) Some(c.get("nulls").asLong()) else None,
+          c.has("tr") && c.get("tr").asBoolean())
+      }.toMap
+      e.getKey -> SnapshotStats.FileStats(n.get("rows").asLong(), cols,
+        if (n.has("bytes")) n.get("bytes").asLong() else 0L)
+    }.toMap
+
+  private def parseDvs(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, DvRef] =
+    if (!root.has(field)) Map.empty
+    else root.get(field).properties().asScala.map { e =>
+      e.getKey -> DvRef(e.getValue.get("file").asText(), e.getValue.get("rows").asLong())
+    }.toMap
+
+  /** Load one version: the boundary CHECKPOINT if vacuum wrote one
+    * (the version's delta chain may have been reclaimed), else the
+    * version's own manifest — replayed over its parent chain when it
+    * is a delta. Chain length is bounded by the checkpoint cadence
+    * ([[LogCheckpointIntervalKey]]), so a read is O(interval) small
+    * JSON parses, never O(#versions).
+    */
   private def manifestFrom(fs: FileSystem, path: String, version: Long): Manifest = {
-    val in = fs.open(manifestPath(path, version))
+    val ck = ckptPath(path, version)
+    val p = if (fs.exists(ck)) ck else manifestPath(path, version)
+    val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = new ObjectMapper().readTree(bytes)
-    val stats: Map[String, SnapshotStats.FileStats] =
-      if (!root.has("stats")) Map.empty
-      else root.get("stats").properties().asScala.map { e =>
-        val n = e.getValue
-        val cols = if (!n.has("cols")) Map.empty[String, SnapshotStats.ColStats]
-        else n.get("cols").properties().asScala.map { ce =>
-          val c = ce.getValue
-          ce.getKey -> SnapshotStats.ColStats(
-            if (c.has("mn")) Some(c.get("mn").asText()) else None,
-            if (c.has("mx")) Some(c.get("mx").asText()) else None,
-            if (c.has("nulls")) Some(c.get("nulls").asLong()) else None,
-            c.has("tr") && c.get("tr").asBoolean())
-        }.toMap
-        e.getKey -> SnapshotStats.FileStats(n.get("rows").asLong(), cols,
-          if (n.has("bytes")) n.get("bytes").asLong() else 0L)
-      }.toMap
-    val streamBatch: Map[String, Long] =
-      if (!root.has("streamBatch")) Map.empty
-      else root.get("streamBatch").properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap
-    val dvs: Map[String, DvRef] =
-      if (!root.has("dvs")) Map.empty
-      else root.get("dvs").properties().asScala.map { e =>
-        e.getKey -> DvRef(e.getValue.get("file").asText(), e.getValue.get("rows").asLong())
-      }.toMap
+    if (root.has("base"))
+      return applyDelta(manifestFrom(fs, path, root.get("base").asLong()), root)
     Manifest(
       root.get("version").asLong(),
       root.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
       root.get("schemaDdl").asText(),
       root.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, streamBatch,
+      parseStats(root),
+      if (!root.has("streamBatch")) Map.empty
+      else root.get("streamBatch").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
       if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
-      dvs)
+      parseDvs(root, "dvs"))
   }
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -582,42 +615,13 @@ object Snapshot {
     }.sorted
   }
 
-  /** The atomic step: stage the manifest JSON under a temp name in the
-    * log dir, then a single rename to its version name. Readers list
-    * only `vNNNNNNNN.json` names, so the staged file is invisible and
-    * the rename is the commit point.
-    */
-  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Long = {
-    val fs = fsFor(spark, path)
-    val log = new HPath(path, LogDirName)
-    if (!fs.exists(log)) fs.mkdirs(log)
-    val target = manifestPath(path, m.version)
-    val mapper = new ObjectMapper()
-    val node = mapper.createObjectNode()
-    node.put("version", m.version)
-    // commit wall-clock, stamped HERE (never caller-supplied): per-table
-    // commits serialize on the version counter, so this is monotone up
-    // to OS clock steps — the basis for timestamp time travel
-    node.put("committedAt", System.currentTimeMillis() * 1000L)
-    node.put("schemaDdl", m.schemaDdl)
-    val pc = node.putArray("partitionCols"); m.partitionCols.foreach(pc.add)
-    val fl = node.putArray("files"); m.files.foreach(fl.add)
-    if (m.streamBatch.nonEmpty) {
-      val sb = node.putObject("streamBatch")
-      m.streamBatch.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
-    }
-    if (m.dvs.nonEmpty) {
-      require(m.dvs.keySet.subsetOf(m.files.toSet),
-        "manifest dvs reference non-live files: " +
-          m.dvs.keySet.diff(m.files.toSet).mkString(", "))
-      val dv = node.putObject("dvs")
-      m.dvs.toSeq.sortBy(_._1).foreach { case (f, r) =>
-        val n = dv.putObject(f); n.put("file", r.file); n.put("rows", r.rows)
-      }
-    }
-    if (m.stats.nonEmpty) {
+  // ------------------------------------------- manifest serialization
+
+  private def putStats(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                       stats: Map[String, SnapshotStats.FileStats]): Unit =
+    if (stats.nonEmpty) {
       val st = node.putObject("stats")
-      m.stats.toSeq.sortBy(_._1).foreach { case (f, fs) =>
+      stats.toSeq.sortBy(_._1).foreach { case (f, fs) =>
         val fn = st.putObject(f)
         fn.put("rows", fs.rows)
         if (fs.bytes > 0L) fn.put("bytes", fs.bytes)
@@ -632,6 +636,153 @@ object Snapshot {
           }
         }
       }
+    }
+
+  private def putDvs(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                     field: String, dvs: Map[String, DvRef]): Unit =
+    if (dvs.nonEmpty) {
+      val dv = node.putObject(field)
+      dvs.toSeq.sortBy(_._1).foreach { case (f, r) =>
+        val n = dv.putObject(f); n.put("file", r.file); n.put("rows", r.rows)
+      }
+    }
+
+  /** The complete (checkpoint) manifest form — every live file, its
+    * stats and vectors. Written at v1, every
+    * [[LogCheckpointIntervalKey]]-th commit, whenever the delta form
+    * fails its lossless self-check, and by vacuum at the retention
+    * boundary.
+    */
+  private def fullNode(mapper: ObjectMapper, m: Manifest,
+                       committedAtMicros: Long): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    node.put("committedAt", committedAtMicros)
+    node.put("schemaDdl", m.schemaDdl)
+    val pc = node.putArray("partitionCols"); m.partitionCols.foreach(pc.add)
+    val fl = node.putArray("files"); m.files.foreach(fl.add)
+    if (m.streamBatch.nonEmpty) {
+      val sb = node.putObject("streamBatch")
+      m.streamBatch.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
+    }
+    putDvs(node, "dvs", m.dvs)
+    putStats(node, m.stats)
+    node
+  }
+
+  /** The DELTA manifest form: only what this commit CHANGED against its
+    * parent — added/removed files (stats ride the adds), deletion-vector
+    * puts/drops, streamBatch puts, and the schema only when it evolved.
+    * An hourly append to a million-file table commits O(batch) bytes,
+    * not O(table): the full-manifest rewrite was the one remaining
+    * per-commit cost proportional to table size.
+    */
+  private def deltaNode(mapper: ObjectMapper, m: Manifest, parent: Manifest,
+                        committedAtMicros: Long): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    node.put("committedAt", committedAtMicros)
+    node.put("base", parent.version)
+    if (m.schemaDdl != parent.schemaDdl) node.put("schemaDdl", m.schemaDdl)
+    val parentFiles = parent.files.toSet
+    val fileSet = m.files.toSet
+    val adds = m.files.filterNot(parentFiles)
+    val removes = parent.files.filterNot(fileSet)
+    if (adds.nonEmpty) { val a = node.putArray("addFiles"); adds.foreach(a.add) }
+    if (removes.nonEmpty) { val r = node.putArray("removeFiles"); removes.foreach(r.add) }
+    // stats ride adds; a kept file whose stats CHANGED (shouldn't
+    // happen — files are immutable — but the self-check keeps us honest)
+    // also lands here
+    putStats(node, m.stats.filter { case (f, st) => parent.stats.get(f) != Some(st) })
+    putDvs(node, "dvsPut",
+      m.dvs.filter { case (f, r) => parent.dvs.get(f) != Some(r) })
+    val dvsDrop = parent.dvs.keySet.intersect(fileSet).diff(m.dvs.keySet)
+    if (dvsDrop.nonEmpty) { val d = node.putArray("dvsDrop"); dvsDrop.toSeq.sorted.foreach(d.add) }
+    val sbPut = m.streamBatch.filter { case (k, v) => parent.streamBatch.get(k) != Some(v) }
+    if (sbPut.nonEmpty) {
+      val sb = node.putObject("streamBatchPut")
+      sbPut.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
+    }
+    node
+  }
+
+  /** Reconstruct a manifest from its delta node applied over the parent.
+    * Files keep parent order with removals dropped and adds appended —
+    * order is not semantic (reads group by partition), but keeping it
+    * stable keeps plans and file listings deterministic.
+    */
+  private def applyDelta(parent: Manifest, root: com.fasterxml.jackson.databind.JsonNode): Manifest = {
+    val adds =
+      if (root.has("addFiles")) root.get("addFiles").elements().asScala.map(_.asText()).toSeq
+      else Seq.empty
+    val removes =
+      if (root.has("removeFiles")) root.get("removeFiles").elements().asScala.map(_.asText()).toSet
+      else Set.empty[String]
+    val files = parent.files.filterNot(removes) ++ adds
+    val stats = (parent.stats -- removes) ++ parseStats(root)
+    val dvsDrop =
+      if (root.has("dvsDrop")) root.get("dvsDrop").elements().asScala.map(_.asText()).toSet
+      else Set.empty[String]
+    val dvs = (parent.dvs -- removes -- dvsDrop) ++ parseDvs(root, "dvsPut")
+    val sbPut =
+      if (!root.has("streamBatchPut")) Map.empty[String, Long]
+      else root.get("streamBatchPut").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap
+    Manifest(
+      root.get("version").asLong(),
+      parent.partitionCols,
+      if (root.has("schemaDdl")) root.get("schemaDdl").asText() else parent.schemaDdl,
+      files, stats, parent.streamBatch ++ sbPut,
+      if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
+      dvs)
+  }
+
+  /** Logical equality modulo commit stamp and file ORDER — the delta
+    * self-check: a delta is only committed if replaying it over the
+    * parent reproduces exactly the manifest being committed.
+    */
+  private def sameLogical(a: Manifest, b: Manifest): Boolean =
+    a.version == b.version && a.partitionCols == b.partitionCols &&
+      a.schemaDdl == b.schemaDdl && a.files.toSet == b.files.toSet &&
+      a.files.size == b.files.size && a.stats == b.stats &&
+      a.streamBatch == b.streamBatch && a.dvs == b.dvs
+
+  /** The atomic step: stage the manifest JSON under a temp name in the
+    * log dir, then a single rename to its version name. Readers list
+    * only `vNNNNNNNN.json` names, so the staged file is invisible and
+    * the rename is the commit point.
+    *
+    * What gets staged is the DELTA form whenever a parent exists and
+    * the checkpoint cadence doesn't demand a full one — commit cost is
+    * O(what changed), not O(#files). Correctness never rests on the
+    * delta writer: every delta is replayed over the parent before
+    * staging, and any divergence falls back to the full form.
+    */
+  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Long = {
+    val fs = fsFor(spark, path)
+    val log = new HPath(path, LogDirName)
+    if (!fs.exists(log)) fs.mkdirs(log)
+    val target = manifestPath(path, m.version)
+    require(m.dvs.keySet.subsetOf(m.files.toSet),
+      "manifest dvs reference non-live files: " +
+        m.dvs.keySet.diff(m.files.toSet).mkString(", "))
+    val mapper = new ObjectMapper()
+    // commit wall-clock, stamped HERE (never caller-supplied): per-table
+    // commits serialize on the version counter, so this is monotone up
+    // to OS clock steps — the basis for timestamp time travel
+    val nowMicros = System.currentTimeMillis() * 1000L
+    val interval = math.max(1,
+      spark.conf.getOption(LogCheckpointIntervalKey)
+        .map(_.toInt).getOrElse(LogCheckpointIntervalDefault))
+    val parent =
+      if (m.version > 1 && interval > 1 && (m.version - 1) % interval != 0)
+        try Some(manifestFrom(fs, path, m.version - 1)) catch { case _: Exception => None }
+      else None
+    val node = parent match {
+      case Some(p) if p.partitionCols == m.partitionCols =>
+        val d = deltaNode(mapper, m, p, nowMicros)
+        if (sameLogical(applyDelta(p, d), m)) d else fullNode(mapper, m, nowMicros)
+      case _ => fullNode(mapper, m, nowMicros)
     }
     val tmp = new HPath(log, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -1668,7 +1819,29 @@ object Snapshot {
             now - d.getModificationTime > orphanGraceMs)
           fs.delete(d.getPath, true)
       }
-    dead.foreach(v => fs.delete(manifestPath(path, v), false))
+    // the oldest KEPT version must reconstruct without the chain being
+    // dropped: if it has no full form yet, stage+rename its checkpoint
+    // BEFORE any manifest deletion — a crash between the two leaves
+    // both forms present, which is merely redundant
+    if (dead.nonEmpty) {
+      val boundary = kept.head
+      val ck = ckptPath(path, boundary)
+      if (!fs.exists(ck)) {
+        val full = keptManifests.head
+        val mapper = new ObjectMapper()
+        val tmp = new HPath(new HPath(path, LogDirName),
+          s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsBytes(fullNode(mapper, full, full.committedAtMicros)))
+        finally out.close()
+        if (!fs.rename(tmp, ck)) { fs.delete(tmp, true) }
+      }
+    }
+    dead.foreach { v =>
+      fs.delete(manifestPath(path, v), false)
+      fs.delete(ckptPath(path, v), false)
+    }
     // a crashed writer can also strand a staged manifest (.tmp-*);
     // invisible to readers, but reclaim it past the grace window
     val log = new HPath(path, LogDirName)
