@@ -1186,6 +1186,16 @@ object Snapshot {
                tables: Map[String, String]): DataFrame =
     SnapshotSql.query(spark, sqlText, tables)
 
+  /** Execute a multi-statement SQL SCRIPT (statements separated by
+    * top-level `;`, string literals and comments respected) with at
+    * most one final SELECT whose result is returned — the
+    * multi-statement-query contract of the warehouse the reference
+    * targets. See [[SnapshotSql.script]].
+    */
+  def sqlScript(spark: SparkSession, sqlText: String,
+                tables: Map[String, String]): Option[DataFrame] =
+    SnapshotSql.script(spark, sqlText, tables)
+
   /** Row-level DELETE by predicate, file-granular — the plain-SQL
     * `DELETE FROM t WHERE pred` the reference gets from BigQuery
     * (consumo_detalle.py delete-and-replace windows), restated as the

@@ -151,6 +151,91 @@ object SnapshotSql {
       resolveQuery(spark, spark.sessionState.sqlParser.parsePlan(sqlText), tables)
   }
 
+  /** Execute a multi-statement SQL SCRIPT — the shape a reference job
+    * actually ships: a sequence of DML/DDL/maintenance statements with
+    * at most one final SELECT whose result is the script's result
+    * (exactly BigQuery's multi-statement-query contract the reference
+    * relies on). Statements run in order, each through the same
+    * routing as [[apply]]/[[query]]; a failure stops the script at
+    * that statement (everything before it is committed — statements
+    * are individually atomic, the script is not a transaction, which
+    * matches the warehouse the reference targets). A SELECT anywhere
+    * but last refuses: its result would be silently dropped, and a
+    * dropped result set is a ported-script bug, not a feature.
+    */
+  def script(spark: SparkSession, sqlText: String,
+             tables: Map[String, String]): Option[DataFrame] = {
+    val stmts = splitStatements(sqlText)
+    require(stmts.nonEmpty, "Snapshot.sqlScript: empty script")
+    var result: Option[DataFrame] = None
+    stmts.zipWithIndex.foreach { case (stmt, i) =>
+      if (isQueryStatement(spark, stmt)) {
+        require(i == stmts.size - 1,
+          s"Snapshot.sqlScript: SELECT must be the script's final statement " +
+            s"(statement ${i + 1} of ${stmts.size} is a query whose result would be dropped)")
+        result = Some(query(spark, stmt, tables))
+      } else apply(spark, stmt, tables)
+    }
+    result
+  }
+
+  /** Split on top-level semicolons only: quoted strings (single,
+    * double, backtick — with doubled-quote and backslash escapes), line
+    * comments and bracketed comments can all carry `;` without ending
+    * a statement. Empty statements (stray `;;`, trailing `;`) drop.
+    */
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var mode: Char = 'n' // n=normal, '\''/'"'/'`'=in-string, '-'=line comment, '*'=block comment
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val next = if (i + 1 < text.length) text.charAt(i + 1) else ' '
+      mode match {
+        case 'n' =>
+          c match {
+            case ';' => out += cur.toString; cur.clear()
+            case '\'' | '"' | '`' => mode = c; cur += c
+            case '-' if next == '-' => mode = '-'; cur += c += next; i += 1
+            case '/' if next == '*' => mode = '*'; cur += c += next; i += 1
+            case _ => cur += c
+          }
+        case '-' =>
+          cur += c; if (c == '\n') mode = 'n'
+        case '*' =>
+          cur += c
+          if (c == '*' && next == '/') { cur += next; i += 1; mode = 'n' }
+        case q =>
+          cur += c
+          if (c == '\\' && i + 1 < text.length) { cur += next; i += 1 } // escaped char
+          else if (c == q) {
+            if (next == q) { cur += next; i += 1 } // doubled quote stays in-string
+            else mode = 'n'
+          }
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** A statement is a QUERY (result-producing) when it parses to a
+    * plan that is none of the command nodes [[apply]] routes — plus the
+    * textual DESCRIBE HISTORY form.
+    */
+  private def isQueryStatement(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case HistoryRe(_) => true
+    case VacuumRe(_, _) | OptimizeRe(_, _) => false
+    case _ =>
+      spark.sessionState.sqlParser.parsePlan(stmt) match {
+        case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
+             _: InsertIntoStatement | _: CreateTableAsSelect |
+             _: ReplaceTableAsSelect | _: AddColumns => false
+        case _ => true
+      }
+  }
+
   // --------------------------------------------- query-side resolution
 
   /** Rewrite every registered table reference (including inside

@@ -704,6 +704,54 @@ object LayoutPack extends QueryPack {
         |""".stripMargin, Map("t" -> dir))
   }
 
+  val q132 = QueryDef.staged(
+    "q132_sql_script",
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM (
+           |  SELECT o_orderkey, o_orderpriority,
+           |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+           |         ELSE o_totalprice END AS o_totalprice
+           |  FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND NOT (o_orderpriority = '5-LOW'
+           |             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+           |)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): source snapshot + destination path
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q132").toString
+    val src = s"$root/src"; val dest = s"$root/dest"
+    Snapshot.create(t.spark, src,
+      t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"),
+      Seq("o_orderpriority"))
+    (src, dest)
+  } { (t, fixture: (String, String)) =>
+    // MEASURED: a whole reference-job shape as ONE script text —
+    // materialize, mutate (UPDATE + DELETE), and read back the final
+    // state as the script's result set (the multi-statement-query
+    // contract of the warehouse the reference targets). The oracle
+    // recomputes the destination from the raw table, so a statement
+    // lost, reordered, or double-applied fails the gate.
+    import graft.operators.Snapshot
+    val (src, dest) = fixture
+    Snapshot.sqlScript(t.spark,
+      """CREATE OR REPLACE TABLE dest AS
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate FROM src
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00';
+        |
+        |UPDATE dest SET o_totalprice = o_totalprice * 2
+        |WHERE o_orderpriority = '1-URGENT';
+        |
+        |DELETE FROM dest WHERE o_orderpriority = '5-LOW'
+        |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00';
+        |
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM dest GROUP BY o_orderpriority ORDER BY o_orderpriority;
+        |""".stripMargin, Map("src" -> src, "dest" -> dest)).get
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132)
 }

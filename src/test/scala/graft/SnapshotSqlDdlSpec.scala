@@ -223,4 +223,57 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     }
     assert(unknown.getMessage.contains("unknown table"))
   }
+
+  test("sqlScript runs a whole statement sequence; final SELECT is the result") {
+    val src = tmp("script-src"); val dest = tmp("script-dest")
+    Snapshot.create(spark, src, fixture(0 until 60), Seq("p"))
+    val reg = Map("src" -> src, "dest" -> dest)
+    val out = Snapshot.sqlScript(spark,
+      """-- materialize the evens; a ';' in this comment must not split
+        |CREATE OR REPLACE TABLE dest PARTITIONED BY (p) AS
+        |SELECT id, p, v FROM src WHERE p = 'even';
+        |
+        |INSERT INTO dest SELECT id, p, v FROM src WHERE p = 'odd' AND id < 10;
+        |DELETE FROM dest WHERE id = 0;
+        |UPDATE dest SET v = v + 1 WHERE id = 2;
+        |/* block comment; also unsplit */
+        |SELECT p, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |FROM dest GROUP BY p ORDER BY p;
+        |""".stripMargin, reg).get
+    val got = out.as[(String, Long, Long)].collect().toSeq
+    // evens 2..58 (0 deleted) + odds 1..9; v = 10*id except id=2 -> 21
+    val evens = (2 to 58 by 2).map(_.toLong)
+    val odds = (1 to 9 by 2).map(_.toLong)
+    assert(got == Seq(
+      ("even", evens.size.toLong, evens.map(_ * 10).sum + 1),
+      ("odd", odds.size.toLong, odds.map(_ * 10).sum)))
+
+    // a SELECT that is not last refuses (its result set would drop)
+    val mid = intercept[IllegalArgumentException] {
+      Snapshot.sqlScript(spark,
+        "SELECT * FROM src; DELETE FROM dest WHERE id = 4", reg)
+    }
+    assert(mid.getMessage.contains("final statement"))
+
+    // a script of pure statements returns None and still commits
+    assert(Snapshot.sqlScript(spark, "DELETE FROM dest WHERE id = 4;", reg).isEmpty)
+    assert(Snapshot.read(spark, dest).where(col("id") === 4).count() == 0)
+  }
+
+  test("splitStatements respects quotes, escapes and comments") {
+    import graft.operators.SnapshotSql.splitStatements
+    assert(splitStatements("a;b;;c;") == Seq("a", "b", "c"))
+    assert(splitStatements("SELECT ';' AS x; SELECT 2") ==
+      Seq("SELECT ';' AS x", "SELECT 2"))
+    assert(splitStatements("SELECT 'it''s; fine'; SELECT 2") ==
+      Seq("SELECT 'it''s; fine'", "SELECT 2"))
+    assert(splitStatements("SELECT \"a;b\" FROM t; DELETE FROM t") ==
+      Seq("SELECT \"a;b\" FROM t", "DELETE FROM t"))
+    assert(splitStatements("SELECT `odd;name` FROM t") ==
+      Seq("SELECT `odd;name` FROM t"))
+    assert(splitStatements("SELECT '\\';' AS x; SELECT 2") ==
+      Seq("SELECT '\\';' AS x", "SELECT 2"))
+    assert(splitStatements("-- c1; still comment\nSELECT 1; /* c2; */ SELECT 2") ==
+      Seq("-- c1; still comment\nSELECT 1", "/* c2; */ SELECT 2"))
+  }
 }
