@@ -267,6 +267,39 @@ object SnapshotSql {
             spark.read.format("graft.sources.SnapshotSource").load(p)
               .queryExecution.analyzed): LogicalPlan
         }.getOrElse(r)
+      // the change feed as a table-valued function — the standard CDC
+      // SQL surface: table_changes('t', from, to) (or just from, which
+      // reads through the latest version)
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase).mkString(".") == "table_changes" =>
+        def longArg(e: Expression, what: String): Long = e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+            l.value match {
+              case n: java.lang.Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"Snapshot.sql table_changes: $what must be an integer literal, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"Snapshot.sql table_changes: $what must be an integer literal, got ${other.sql}")
+        }
+        val (identE, fromE, toV) = tvf.functionArgs match {
+          case Seq(n, f) => (n, f, None)
+          case Seq(n, f, t) => (n, f, Some(longArg(t, "the end version")))
+          case _ => throw new IllegalArgumentException(
+            "Snapshot.sql: table_changes takes (table, fromVersion[, toVersion])")
+        }
+        val ident = identE match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+              if l.value.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] =>
+            l.value.toString
+          case other => throw new IllegalArgumentException(
+            s"Snapshot.sql table_changes: the table must be a string literal, got ${other.sql}")
+        }
+        val path = pathOf(ident, tables)
+        val from = longArg(fromE, "the start version")
+        val to = toV.getOrElse(Snapshot.latestVersion(spark, path).getOrElse(from))
+        SubqueryAlias(ident,
+          Snapshot.readChanges(spark, path, from, to).queryExecution.analyzed): LogicalPlan
     }
     PlanBridge.dataFrame(spark, rewritten)
   }

@@ -260,6 +260,36 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     assert(Snapshot.read(spark, dest).where(col("id") === 4).count() == 0)
   }
 
+  test("table_changes TVF serves the change feed from plain SQL") {
+    val dir = tmp("tvf")
+    Snapshot.create(spark, dir, fixture(0 until 40), Seq("p"))
+    // touch only the evens: merge doubles v for even ids < 10
+    graft.operators.Writers.mergeByIdWritePartitioned(spark, dir,
+      (0 until 10 by 2).map(i => (i.toLong, "even", i.toLong * 20)).toDF("id", "p", "v"),
+      "id", "p")
+    val reg = Map("t" -> dir)
+    val got = Snapshot.sqlQuery(spark,
+      """SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM table_changes('t', 1, 2) GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+      .as[(String, Long)].collect().toSeq
+    val want = Snapshot.readChanges(spark, dir, 1L, 2L)
+      .groupBy("_change_type").count()
+      .orderBy("_change_type").as[(String, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // two-arg form reads through the latest version
+    val got2 = Snapshot.sqlQuery(spark,
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM table_changes('t', 1)", reg)
+      .as[Long].head()
+    assert(got2 == want.map(_._2).sum)
+    // refusals: unknown table, non-literal version
+    assert(intercept[IllegalArgumentException] {
+      Snapshot.sqlQuery(spark, "SELECT * FROM table_changes('nope', 1, 2)", reg)
+    }.getMessage.contains("unknown table"))
+    assert(intercept[IllegalArgumentException] {
+      Snapshot.sqlQuery(spark, "SELECT * FROM table_changes('t', 1 + 1, 3)", reg)
+    }.getMessage.contains("integer literal"))
+  }
+
   test("splitStatements respects quotes, escapes and comments") {
     import graft.operators.SnapshotSql.splitStatements
     assert(splitStatements("a;b;;c;") == Seq("a", "b", "c"))
