@@ -127,12 +127,42 @@ object SnapshotSql {
           StructField(qc.colName, qc.dataType, nullable = true)
         })
 
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        val path = pathOf(childIdent(t.table), tables)
+        val m = Snapshot.latestManifest(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"not a snapshot table: $path"))
+        // an atomic overwrite to the empty set: schema and partition
+        // layout survive, time travel to pre-truncate versions still works
+        Snapshot.overwrite(spark, path,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(m.schemaDdl)))
+
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropTable =>
+        val ident = childIdent(d.child)
+        val path = pathOf(ident, tables)
+        val exists = Snapshot.latestVersion(spark, path).isDefined
+        if (!exists && !d.ifExists)
+          throw new IllegalArgumentException(s"Snapshot.sql DROP TABLE: no snapshot table at $path")
+        if (exists) {
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        }
+        0L
+
       case other => throw new IllegalArgumentException(
         "Snapshot.sql supports DELETE / UPDATE / MERGE / INSERT … SELECT / " +
           "CREATE [OR REPLACE] TABLE … AS SELECT / ALTER TABLE … ADD COLUMNS / " +
-          "VACUUM / OPTIMIZE " +
+          "TRUNCATE TABLE / DROP TABLE / VACUUM / OPTIMIZE " +
           s"statements, got ${other.nodeName} (for SELECT, use Snapshot.sqlQuery)")
     }
+  }
+
+  private def childIdent(child: LogicalPlan): String = child match {
+    case t: UnresolvedTable => t.multipartIdentifier.mkString(".")
+    case i: UnresolvedIdentifier => i.nameParts.mkString(".")
+    case other => throw new IllegalArgumentException(
+      s"Snapshot.sql: unsupported table reference ${other.nodeName}")
   }
 
   /** Execute a SQL-text QUERY with registered snapshot names resolved

@@ -260,6 +260,28 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     assert(Snapshot.read(spark, dest).where(col("id") === 4).count() == 0)
   }
 
+  test("TRUNCATE TABLE empties atomically with time travel intact; DROP TABLE removes") {
+    val dir = tmp("trunc")
+    Snapshot.create(spark, dir, fixture(0 until 30), Seq("p"))
+    val reg = Map("t" -> dir)
+    val v = Snapshot.sql(spark, "TRUNCATE TABLE t", reg)
+    assert(v == 2L)
+    val after = Snapshot.read(spark, dir)
+    assert(after.count() == 0 && after.columns.toSeq == Seq("id", "p", "v"))
+    assert(rows(Snapshot.readVersion(spark, dir, 1)) == rows(fixture(0 until 30)))
+    // refill works against the preserved schema + partitioning
+    Snapshot.sql(spark, "INSERT INTO t SELECT id, p, v FROM t VERSION AS OF 1", reg)
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 30)))
+
+    Snapshot.sql(spark, "DROP TABLE t", reg)
+    assert(Snapshot.latestVersion(spark, dir).isEmpty)
+    // IF EXISTS tolerates the gone table; bare DROP refuses
+    Snapshot.sql(spark, "DROP TABLE IF EXISTS t", reg)
+    assert(intercept[IllegalArgumentException] {
+      Snapshot.sql(spark, "DROP TABLE t", reg)
+    }.getMessage.contains("no snapshot table"))
+  }
+
   test("table_changes TVF serves the change feed from plain SQL") {
     val dir = tmp("tvf")
     Snapshot.create(spark, dir, fixture(0 until 40), Seq("p"))
