@@ -84,7 +84,15 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
     new SnapshotStreamSource(sqlContext.sparkSession, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       startingVersion = parameters.get("startingVersion").map(_.toLong),
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { raw =>
+        val n = raw.toInt
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $raw"); n
+      },
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map { raw =>
+        val n = raw.toLong
+        require(n > 0, s"maxBytesPerTrigger must be positive, got $raw"); n
+      })
   }
 }
 
@@ -139,6 +147,53 @@ final class DvSnapshotRelation(spark: SparkSession, path: String,
   override def toString: String = s"DvSnapshotRelation[$path v${m.version}]"
 }
 
+/** Chunked stream offset for rate-limited reads: "everything through
+  * version `version` has been emitted, EXCEPT the tail of that
+  * version's file list beyond `index`". `bootstrap = true` means
+  * version's list is the full TABLE STATE at `version` (the stream's
+  * pinned bootstrap snapshot, sorted); `false` means the files that
+  * commit APPENDED (sorted). A legacy whole-version offset (plain
+  * long JSON, what the unlimited path still writes) parses as
+  * `index = Done` — complete through that version — so a checkpoint
+  * taken before rate limiting was switched on resumes seamlessly.
+  *
+  * Not a case class: DSv1 offsets compare by JSON after a restart
+  * rehydrates them as [[SerializedOffset]], so equality must be
+  * JSON-based, not structural.
+  */
+private[sources] final class ChunkOffset(val version: Long, val index: Long,
+                                         val bootstrap: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json(): String =
+    if (index == ChunkOffset.Done && !bootstrap) version.toString // legacy-compatible
+    else s"""{"version":$version,"index":$index,"bootstrap":$bootstrap}"""
+  override def equals(other: Any): Boolean = other match {
+    case o: org.apache.spark.sql.execution.streaming.Offset => json() == o.json()
+    case _ => false
+  }
+  override def hashCode(): Int = json().hashCode
+  override def toString: String = json()
+}
+
+private[sources] object ChunkOffset {
+  /** Sentinel index: the whole version (however many files) is emitted. */
+  val Done: Long = Long.MaxValue
+
+  def apply(version: Long, index: Long, bootstrap: Boolean): ChunkOffset =
+    new ChunkOffset(version, index, bootstrap)
+
+  def parse(o: org.apache.spark.sql.execution.streaming.Offset): ChunkOffset = {
+    val t = o.json().trim
+    t.toLongOption match {
+      case Some(v) => ChunkOffset(v, Done, bootstrap = false)
+      case None =>
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+        ChunkOffset(root.get("version").asLong(), root.get("index").asLong(),
+          root.has("bootstrap") && root.get("bootstrap").asBoolean())
+    }
+  }
+}
+
 /** The commit log as a Structured Streaming SOURCE: offsets are table
   * VERSIONS, a micro-batch is the files APPENDED over an offset range —
   * `spark.readStream.format("graft.sources.SnapshotSource").load(path)`
@@ -156,7 +211,16 @@ final class DvSnapshotRelation(spark: SparkSession, path: String,
   *    (their appends included), the consumer declaring it only wants
   *    genuine appends;
   *  - `vacuum` must retain at least the reader's lag in versions, or
-  *    the source fails fast on the missing manifest.
+  *    the source fails fast on the missing manifest;
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` bound one
+  *    micro-batch's ADMISSION (at least one file per batch so progress
+  *    is guaranteed; bytes come from manifest stats — no filesystem
+  *    calls). Without them, the bootstrap of a 100 TB table arrives as
+  *    ONE batch — correct, but a cluster-sizing cliff; with them the
+  *    backlog drains in bounded, checkpointed chunks and a restart
+  *    resumes mid-version from the offset log. Offsets stay
+  *    deterministic because chunks slice SORTED file lists of
+  *    immutable manifests.
   *
   * Each batch plans through [[SnapshotSource.relationFor]] — the same
   * native parquet scan as the batch source, marked streaming.
@@ -164,48 +228,166 @@ final class DvSnapshotRelation(spark: SparkSession, path: String,
 final class SnapshotStreamSource(spark: SparkSession, path: String,
                                  override val schema: StructType,
                                  startingVersion: Option[Long],
-                                 skipChangeCommits: Boolean)
+                                 skipChangeCommits: Boolean,
+                                 maxFilesPerTrigger: Option[Int] = None,
+                                 maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.graftbridge.StreamBridge
 
-  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
-    Snapshot.latestVersion(spark, path).map(StreamBridge.longOffset)
+  private val rateLimited = maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  /** Last offset this source returned or served — the base the next
+    * admission window advances from. Spark's v1 recovery contract
+    * (re-run `getBatch` for the restored batch before the first
+    * `getOffset`) re-seeds it after a restart.
+    */
+  @volatile private var lastSeen: Option[ChunkOffset] = None
+
+  /** Per-version file lists (manifests are immutable, so memoizing is
+    * sound): `(v, true)` = full table state at v, `(v, false)` = files
+    * commit v appended. The append list of a REWRITE commit is empty
+    * under `skipChangeCommits`, refused otherwise.
+    */
+  private val lists = new java.util.concurrent.ConcurrentHashMap[(Long, Boolean), Seq[String]]()
+
+  private def fileList(v: Long, bootstrap: Boolean): Seq[String] =
+    lists.computeIfAbsent((v, bootstrap), { _ =>
+      if (bootstrap) Snapshot.manifest(spark, path, v).files.sorted
+      else {
+        val cur = Snapshot.manifest(spark, path, v)
+        val prev = Snapshot.manifest(spark, path, v - 1)
+        val removed = prev.files.diff(cur.files)
+        // a deletion-vector change removes ROWS without removing a
+        // file — every bit as much a rewrite for a consumer that
+        // assumed appends-only
+        val dvChanged = cur.files.intersect(prev.files)
+          .exists(f => prev.dvs.get(f) != cur.dvs.get(f))
+        if (removed.isEmpty && !dvChanged) cur.files.diff(prev.files).sorted
+        else if (skipChangeCommits) Seq.empty
+        else throw new IllegalStateException(
+          s"snapshot stream source: version $v of $path rewrites " +
+            s"${removed.size} file(s)" +
+            (if (dvChanged) " and changes deletion vectors" else "") +
+            "; streaming it would re-emit or drop rows. " +
+            "Set skipChangeCommits = true to stream appends only.")
+      }
+    })
+
+  /** A concrete emitted-count for an offset's index (Done → list size). */
+  private def norm(o: ChunkOffset): Long =
+    if (o.index == ChunkOffset.Done) fileList(o.version, o.bootstrap).size.toLong
+    else o.index
+
+  /** Raw (version, index) order — Done is MaxValue, so
+    * complete-through-v sorts after any chunk of v; never reads a list.
+    */
+  private def after(a: ChunkOffset, b: ChunkOffset): Boolean =
+    a.version > b.version || (a.version == b.version && a.index > b.index)
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    if (!rateLimited)
+      return Snapshot.latestVersion(spark, path).map(StreamBridge.longOffset)
+    Snapshot.latestVersion(spark, path).flatMap { vLatest =>
+      val base: ChunkOffset = lastSeen.getOrElse {
+        startingVersion match {
+          case Some(s) => ChunkOffset(s, ChunkOffset.Done, bootstrap = false)
+          case None    => ChunkOffset(vLatest, 0L, bootstrap = true) // pin the bootstrap snapshot
+        }
+      }
+      // walk forward from the base, admitting files until a cap trips;
+      // always at least one file, so a file larger than the byte cap
+      // still makes progress
+      var v = base.version
+      var boot = base.bootstrap
+      var idx = if (base.index == ChunkOffset.Done) {
+        // complete through v: start at the next version's append list
+        // (never materialize v's own list — v may be the log's first
+        // retained version, with no parent manifest to diff against)
+        v += 1; boot = false; 0L
+      } else base.index
+      val fileCap = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+      val byteCap = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      var files = 0L
+      var bytes = 0L
+      var out: Option[ChunkOffset] = None
+      while (out.isEmpty && v <= vLatest) {
+        val lst = fileList(v, boot)
+        val statsM = if (maxBytesPerTrigger.isDefined) Snapshot.manifest(spark, path, v).stats
+                     else Map.empty[String, graft.operators.SnapshotStats.FileStats]
+        while (out.isEmpty && idx < lst.size) {
+          val sz = statsM.get(lst(idx.toInt)).map(_.bytes).getOrElse(0L)
+          val wouldOverflow = files + 1 > fileCap || (files > 0 && bytes + sz > byteCap)
+          if (wouldOverflow) out = Some(ChunkOffset(v, idx, boot))
+          else { files += 1; bytes += sz; idx += 1 }
+        }
+        if (out.isEmpty) {
+          if (v == vLatest) out = Some(ChunkOffset(v, lst.size.toLong, boot))
+          else { v += 1; boot = false; idx = 0L }
+        }
+      }
+      // `out` is empty only when the base was already complete through
+      // vLatest (the walk started past it): nothing new. When nothing
+      // advanced, hand back the base object so offset JSON stays stable
+      // and no empty batch triggers. (version, index) compares raw —
+      // Done is MaxValue, so complete-through-v sorts after any chunk
+      // of v — and never materializes a file list.
+      val result = out match {
+        case Some(next) if after(next, base) => next
+        case _ if lastSeen.isEmpty => out.getOrElse(base)
+        case _ => base
+      }
+      lastSeen = Some(result)
+      Some(result)
+    }
+  }
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
                         end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
-    val vEnd = StreamBridge.offsetVersion(end)
-    val mEnd = Snapshot.manifest(spark, path, vEnd)
-    val vStart = start.map(StreamBridge.offsetVersion).orElse(startingVersion)
-    // bootstrap reads the table STATE at vEnd (deletion vectors apply);
-    // the append walk emits each commit's rows AS COMMITTED — a vector
-    // added to an appended file by a later (skipped) change commit must
-    // NOT be applied, or the batch a lagging consumer reads would differ
-    // from the one a live consumer read
-    val (files: Seq[String], dvs: Map[String, Snapshot.DvRef]) = vStart match {
-      case None => (mEnd.files, mEnd.dvs) // bootstrap: the whole table as of vEnd
-      case Some(v0) =>
-        // per-commit walk, so rewrite detection has commit granularity
-        var prev = Snapshot.manifest(spark, path, v0)
+    val endG = ChunkOffset.parse(end)
+    val mEnd = Snapshot.manifest(spark, path, endG.version)
+    // bootstrap chunks read the table STATE at the pinned bootstrap
+    // version (deletion vectors of THAT version apply); the append walk
+    // emits each commit's rows AS COMMITTED — a vector added to an
+    // appended file by a later (skipped) change commit must NOT be
+    // applied, or the batch a lagging consumer reads would differ from
+    // the one a live consumer read
+    val startG = start.map(ChunkOffset.parse)
+      .orElse(startingVersion.map(s => ChunkOffset(s, ChunkOffset.Done, bootstrap = false)))
+    val (files: Seq[String], dvs: Map[String, Snapshot.DvRef]) = startG match {
+      case None =>
+        // stream beginning, no startingVersion: the end offset IS the
+        // pinned bootstrap snapshot (possibly a first chunk of it)
+        val lst = fileList(endG.version, bootstrap = true)
+        val take = math.min(norm(ChunkOffset(endG.version, endG.index, bootstrap = true)), lst.size.toLong)
+        val fls = lst.take(take.toInt)
+        (fls, mEnd.dvs.view.filterKeys(fls.toSet).toMap)
+      case Some(s0) =>
+        var v = s0.version
+        var boot = s0.bootstrap
+        var idx = if (s0.index == ChunkOffset.Done) { v += 1; boot = false; 0L } else s0.index
         val out = Seq.newBuilder[String]
-        (v0 + 1 to vEnd).foreach { v =>
-          val cur = Snapshot.manifest(spark, path, v)
-          val removed = prev.files.diff(cur.files)
-          // a deletion-vector change removes ROWS without removing a
-          // file — every bit as much a rewrite for a consumer that
-          // assumed appends-only
-          val dvChanged = cur.files.intersect(prev.files)
-            .exists(f => prev.dvs.get(f) != cur.dvs.get(f))
-          if (removed.isEmpty && !dvChanged) out ++= cur.files.diff(prev.files)
-          else if (!skipChangeCommits)
-            throw new IllegalStateException(
-              s"snapshot stream source: version $v of $path rewrites " +
-                s"${removed.size} file(s)" +
-                (if (dvChanged) " and changes deletion vectors" else "") +
-                "; streaming it would re-emit or drop rows. " +
-                "Set skipChangeCommits = true to stream appends only.")
-          prev = cur
+        val dvb = Map.newBuilder[String, Snapshot.DvRef]
+        while (v < endG.version || (v == endG.version && idx < norm(ChunkOffset(endG.version, endG.index, boot)))) {
+          val lst = fileList(v, boot)
+          val hi = if (v == endG.version) math.min(norm(ChunkOffset(v, endG.index, boot)), lst.size.toLong)
+                   else lst.size.toLong
+          if (idx < hi) {
+            val slice = lst.slice(idx.toInt, hi.toInt)
+            out ++= slice
+            if (boot) // mid-bootstrap resume: that snapshot's vectors still apply
+              dvb ++= Snapshot.manifest(spark, path, v).dvs.view.filterKeys(slice.toSet).toMap
+          }
+          if (v == endG.version) idx = hi
+          else { v += 1; boot = false; idx = 0L }
         }
-        (out.result(), Map.empty[String, Snapshot.DvRef])
+        (out.result(), dvb.result())
+    }
+    if (rateLimited) {
+      // v1 recovery contract: this call may be replaying the last
+      // committed batch after a restart — seed the admission base.
+      // Raw (version, index) compare: Done is MaxValue, no list reads.
+      if (lastSeen.forall(c => after(endG, c)))
+        lastSeen = Some(endG)
     }
     StreamBridge.streamingScan(spark,
       SnapshotSource.relationFor(spark, path,
