@@ -115,7 +115,8 @@ object Snapshot {
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
                             streamBatch: Map[String, Long] = Map.empty,
                             committedAtMicros: Long = 0L,
-                            dvs: Map[String, DvRef] = Map.empty)
+                            dvs: Map[String, DvRef] = Map.empty,
+                            blooms: Map[String, BloomRef] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -126,6 +127,19 @@ object Snapshot {
     * are immutable like data files, so pinned readers never break.
     */
   final case class DvRef(file: String, rows: Long)
+
+  /** Bloom-filter sidecar for one data file: `file` is the
+    * table-relative path of a binary sidecar holding one bloom filter
+    * per column in `cols` ([[SnapshotBloom]] format). Point-lookup
+    * predicates (`c = v`, `c IN (...)`) on an indexed column can then
+    * skip files min/max stats cannot — the high-cardinality-unsorted
+    * case (ids scattered across every file) where range stats keep
+    * everything. Sidecars are immutable like data files; a file's
+    * bloom ref drops when the file leaves the live set and the sidecar
+    * reclaims on vacuum. A possible false positive only KEEPS a file —
+    * pruning stays an optimization by construction.
+    */
+  final case class BloomRef(file: String, cols: Seq[String])
 
   /** Test-only fault injection: SnapshotSpec points this at a throwing
     * hook to simulate a crash between any two steps of the commit
@@ -301,6 +315,13 @@ object Snapshot {
       e.getKey -> DvRef(e.getValue.get("file").asText(), e.getValue.get("rows").asLong())
     }.toMap
 
+  private def parseBlooms(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, BloomRef] =
+    if (!root.has(field)) Map.empty
+    else root.get(field).properties().asScala.map { e =>
+      e.getKey -> BloomRef(e.getValue.get("file").asText(),
+        e.getValue.get("cols").elements().asScala.map(_.asText()).toSeq)
+    }.toMap
+
   /** Load one version: the boundary CHECKPOINT if vacuum wrote one
     * (the version's delta chain may have been reclaimed), else the
     * version's own manifest — replayed over its parent chain when it
@@ -326,7 +347,8 @@ object Snapshot {
       else root.get("streamBatch").properties().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
       if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
-      parseDvs(root, "dvs"))
+      parseDvs(root, "dvs"),
+      parseBlooms(root, "blooms"))
   }
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -411,7 +433,7 @@ object Snapshot {
                 version: Option[Long] = None): DataFrame = {
     val m = version.map(manifest(spark, path, _)).orElse(latestManifest(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    readFiles(spark, path, m, Some(SnapshotStats.prune(spark, m, pred))).where(pred)
+    readFiles(spark, path, m, Some(SnapshotStats.prune(spark, m, pred, Some(path)))).where(pred)
   }
 
   /** Spec/diagnostic twin of [[readWhere]]: (files kept, files total)
@@ -421,7 +443,7 @@ object Snapshot {
                  version: Option[Long] = None): (Seq[String], Int) = {
     val m = version.map(manifest(spark, path, _)).orElse(latestManifest(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    (SnapshotStats.prune(spark, m, pred), m.files.size)
+    (SnapshotStats.prune(spark, m, pred, Some(path)), m.files.size)
   }
 
   /** Change feed between two committed versions, at file granularity:
@@ -647,6 +669,16 @@ object Snapshot {
       }
     }
 
+  private def putBlooms(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                        field: String, blooms: Map[String, BloomRef]): Unit =
+    if (blooms.nonEmpty) {
+      val bl = node.putObject(field)
+      blooms.toSeq.sortBy(_._1).foreach { case (f, r) =>
+        val n = bl.putObject(f); n.put("file", r.file)
+        val cs = n.putArray("cols"); r.cols.foreach(cs.add)
+      }
+    }
+
   /** The complete (checkpoint) manifest form — every live file, its
     * stats and vectors. Written at v1, every
     * [[LogCheckpointIntervalKey]]-th commit, whenever the delta form
@@ -666,6 +698,7 @@ object Snapshot {
       m.streamBatch.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
     }
     putDvs(node, "dvs", m.dvs)
+    putBlooms(node, "blooms", m.blooms)
     putStats(node, m.stats)
     node
   }
@@ -698,6 +731,10 @@ object Snapshot {
       m.dvs.filter { case (f, r) => parent.dvs.get(f) != Some(r) })
     val dvsDrop = parent.dvs.keySet.intersect(fileSet).diff(m.dvs.keySet)
     if (dvsDrop.nonEmpty) { val d = node.putArray("dvsDrop"); dvsDrop.toSeq.sorted.foreach(d.add) }
+    putBlooms(node, "bloomsPut",
+      m.blooms.filter { case (f, r) => parent.blooms.get(f) != Some(r) })
+    val bloomsDrop = parent.blooms.keySet.intersect(fileSet).diff(m.blooms.keySet)
+    if (bloomsDrop.nonEmpty) { val b = node.putArray("bloomsDrop"); bloomsDrop.toSeq.sorted.foreach(b.add) }
     val sbPut = m.streamBatch.filter { case (k, v) => parent.streamBatch.get(k) != Some(v) }
     if (sbPut.nonEmpty) {
       val sb = node.putObject("streamBatchPut")
@@ -724,6 +761,10 @@ object Snapshot {
       if (root.has("dvsDrop")) root.get("dvsDrop").elements().asScala.map(_.asText()).toSet
       else Set.empty[String]
     val dvs = (parent.dvs -- removes -- dvsDrop) ++ parseDvs(root, "dvsPut")
+    val bloomsDrop =
+      if (root.has("bloomsDrop")) root.get("bloomsDrop").elements().asScala.map(_.asText()).toSet
+      else Set.empty[String]
+    val blooms = (parent.blooms -- removes -- bloomsDrop) ++ parseBlooms(root, "bloomsPut")
     val sbPut =
       if (!root.has("streamBatchPut")) Map.empty[String, Long]
       else root.get("streamBatchPut").properties().asScala
@@ -734,7 +775,7 @@ object Snapshot {
       if (root.has("schemaDdl")) root.get("schemaDdl").asText() else parent.schemaDdl,
       files, stats, parent.streamBatch ++ sbPut,
       if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
-      dvs)
+      dvs, blooms)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -745,7 +786,7 @@ object Snapshot {
     a.version == b.version && a.partitionCols == b.partitionCols &&
       a.schemaDdl == b.schemaDdl && a.files.toSet == b.files.toSet &&
       a.files.size == b.files.size && a.stats == b.stats &&
-      a.streamBatch == b.streamBatch && a.dvs == b.dvs
+      a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -758,7 +799,12 @@ object Snapshot {
     * delta writer: every delta is replayed over the parent before
     * staging, and any divergence falls back to the full form.
     */
-  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Long = {
+  private def commitManifest(spark: SparkSession, path: String, m0: Manifest): Long = {
+    // bloom refs are per-file metadata a writer need not know exists:
+    // when a rewrite drops a file, its ref drops with it here, so every
+    // committed manifest's refs point at live files by construction
+    val m = if (m0.blooms.isEmpty) m0
+            else m0.copy(blooms = m0.blooms.view.filterKeys(m0.files.toSet).toMap)
     val fs = fsFor(spark, path)
     val log = new HPath(path, LogDirName)
     if (!fs.exists(log)) fs.mkdirs(log)
@@ -1464,7 +1510,7 @@ object Snapshot {
     */
   private def matchedPerFile(spark: SparkSession, path: String, m: Manifest,
                              pred: Column): Map[String, Long] = {
-    val candidates = SnapshotStats.prune(spark, m, pred)
+    val candidates = SnapshotStats.prune(spark, m, pred, Some(path))
     if (candidates.isEmpty) return Map.empty
     val counts = readFilesMeta(spark, path, m, Some(candidates), meta = true)
       .where(coalesce(pred, lit(false)))
@@ -1591,6 +1637,35 @@ object Snapshot {
     * denominator to judge it by, and always-correct beats fast).
     * Returns the folded files; commits nothing when none qualify.
     */
+  /** Build per-file bloom-filter sidecars over `cols` for every live
+    * file not already indexed on exactly that column set, and commit
+    * the refs ([[BloomRef]]; see [[SnapshotBloom]] for what blooms buy
+    * a point lookup). Idempotent and incremental: a second run after
+    * an append indexes only the new files — the maintenance-loop shape
+    * (like compact/zorder), so an hourly append job follows with an
+    * hourly index top-up. Commutes with concurrent appends: on a
+    * version conflict the refs re-derive against the new latest
+    * (filtered to still-live files) and retry. Returns the committed
+    * version (unchanged when nothing needed indexing).
+    */
+  def bloomIndex(spark: SparkSession, path: String, cols: Seq[String],
+                 fpp: Double = 0.01): Long = {
+    require(cols.nonEmpty, "bloomIndex: no columns given")
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val want = cols.sorted
+    val todo = m.files.filterNot(f => m.blooms.get(f).exists(_.cols.sorted == want))
+    if (todo.isEmpty) return m.version
+    val refs = SnapshotBloom.build(spark, path, m, todo, cols, fpp)
+    retryDml("bloomIndex") {
+      val cur = latestManifest(spark, path).get
+      val liveRefs = refs.view.filterKeys(cur.files.toSet).toMap
+      if (liveRefs.isEmpty) cur.version
+      else commitManifest(spark, path,
+        cur.copy(version = cur.version + 1, blooms = cur.blooms ++ liveRefs))
+    }
+  }
+
   def foldDvs(spark: SparkSession, path: String,
               minFileFraction: Double = 0.0): Seq[String] = {
     val m = latestManifest(spark, path).getOrElse(
@@ -1826,6 +1901,18 @@ object Snapshot {
     if (fs.exists(dvRoot))
       fs.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
         if (!liveDv.contains(s"_dv/${d.getPath.getName}") &&
+            now - d.getModificationTime > orphanGraceMs)
+          fs.delete(d.getPath, true)
+      }
+    // bloom sidecar commit dirs reclaim exactly like DV dirs: a dir
+    // referenced by no retained manifest (superseded index, refs
+    // dropped with their rewritten files) goes past the grace window
+    val liveBloom = keptManifests.flatMap(_.blooms.values
+      .map(_.file.split('/').take(2).mkString("/"))).toSet
+    val bloomRoot = new HPath(path, "_bloom")
+    if (fs.exists(bloomRoot))
+      fs.listStatus(bloomRoot).filter(_.isDirectory).foreach { d =>
+        if (!liveBloom.contains(s"_bloom/${d.getPath.getName}") &&
             now - d.getModificationTime > orphanGraceMs)
           fs.delete(d.getPath, true)
       }

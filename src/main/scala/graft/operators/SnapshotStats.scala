@@ -599,7 +599,8 @@ object SnapshotStats {
     * and can only weaken pruning.
     */
   def pruneByFilters(spark: SparkSession, m: Snapshot.Manifest,
-                     filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+                     filters: Array[org.apache.spark.sql.sources.Filter],
+                     tablePath: Option[String] = None): Seq[String] = {
     import org.apache.spark.sql.{sources => sf}
     def ln(v: Any): PredNode = LitNode(lit(v), v)
     def toPred(f: sf.Filter): PredNode = f match {
@@ -620,7 +621,7 @@ object SnapshotStats {
     }
     if (filters.isEmpty) m.files
     else pruneNode(spark, m,
-      filters.map(toPred).reduceLeft((l, r) => FnNode("and", Seq(l, r))))
+      filters.map(toPred).reduceLeft((l, r) => FnNode("and", Seq(l, r))), tablePath)
   }
 
   /** Files of `m` that might satisfy `pred` per manifest stats. Sound:
@@ -635,13 +636,49 @@ object SnapshotStats {
     */
   @volatile private[graft] var lastPrune: (Int, Int) = (0, 0)
 
-  def prune(spark: SparkSession, m: Snapshot.Manifest, pred: Column): Seq[String] =
-    pruneNode(spark, m, ColumnBridge.pred(pred))
+  def prune(spark: SparkSession, m: Snapshot.Manifest, pred: Column,
+            tablePath: Option[String] = None): Seq[String] =
+    pruneNode(spark, m, ColumnBridge.pred(pred), tablePath)
 
-  private def pruneNode(spark: SparkSession, m: Snapshot.Manifest, root: PredNode): Seq[String] = {
+  /** Point-lookup probes a bloom sidecar can answer: the top-level
+    * conjuncts of shape `c = v` / `c <=> v` (non-null) / `c IN
+    * (literals)`, as (column, OR-values). An OR branch contributes
+    * nothing (its conjuncts aren't global), which can only weaken
+    * bloom pruning — sound.
+    */
+  private def eqProbes(p: PredNode): Seq[(String, Seq[Any])] = {
+    def lits(vs: Seq[PredNode]): Option[Seq[Any]] = {
+      val raw = vs.collect { case LitNode(_, v) => v }
+      if (raw.size == vs.size) Some(raw.filter(_ != null)) else None
+    }
+    p match {
+      case FnNode("and", Seq(l, r)) => eqProbes(l) ++ eqProbes(r)
+      case FnNode("=" | "==" | "<=>" | "equal_null", Seq(AttrNode(a), v: LitNode)) if v.raw != null =>
+        Seq(a -> Seq(v.raw))
+      case FnNode("=" | "==" | "<=>" | "equal_null", Seq(v: LitNode, AttrNode(a))) if v.raw != null =>
+        Seq(a -> Seq(v.raw))
+      case FnNode("in", AttrNode(a) +: vs) =>
+        // null among the IN values matches nothing by itself — probe
+        // the non-null subset; all-null (or non-literal) probes nothing
+        lits(vs).filter(_.nonEmpty).map(a -> _).toSeq
+      case _ => Nil
+    }
+  }
+
+  private def pruneNode(spark: SparkSession, m: Snapshot.Manifest, root: PredNode,
+                        tablePath: Option[String] = None): Seq[String] = {
+    // bloom sidecars prune AFTER stats (fewer sidecar reads), but they
+    // do not NEED stats: a stats-free manifest still bloom-prunes
+    def bloomed(kept: Seq[String]): Seq[String] = tablePath match {
+      case Some(p) if m.blooms.nonEmpty && kept.nonEmpty =>
+        val probes = eqProbes(root)
+        if (probes.isEmpty) kept else SnapshotBloom.prune(spark, p, m, kept, probes)
+      case _ => kept
+    }
     if (m.files.isEmpty || m.stats.isEmpty) {
-      lastPrune = (m.files.size, m.files.size)
-      return m.files
+      val kept = bloomed(m.files)
+      lastPrune = (kept.size, m.files.size)
+      return kept
     }
     val schema = StructType.fromDDL(m.schemaDdl)
     // stat columns: referenced by the predicate, supported, present in schema
@@ -650,8 +687,9 @@ object SnapshotStats {
       .filter(f => referenced.contains(f.name) && supported(f.dataType))
       .map(_.name)
     if (statCols.isEmpty) {
-      lastPrune = (m.files.size, m.files.size)
-      return m.files
+      val kept = bloomed(m.files)
+      lastPrune = (kept.size, m.files.size)
+      return kept
     }
 
     val idx = statCols.zipWithIndex.toMap
@@ -689,8 +727,8 @@ object SnapshotStats {
     }
     // a zero-row file (an empty write's schema stub) can never match
     val nonEmpty = coalesce(col("__rw") > 0, lit(true))
-    val kept = statsDf.where(nonEmpty && coalesce(keep(root, refs), lit(true)))
-      .select("__file").collect().map(_.getString(0)).toSeq
+    val kept = bloomed(statsDf.where(nonEmpty && coalesce(keep(root, refs), lit(true)))
+      .select("__file").collect().map(_.getString(0)).toSeq)
     lastPrune = (kept.size, m.files.size)
     kept
   }

@@ -423,6 +423,41 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority", "yr")
   }
 
+  val q133 = QueryDef.staged(
+    "q133_bloom_index_lookup",
+    Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+           |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+           |FROM orders WHERE o_orderkey IN (7, 1033, 1402)
+           |ORDER BY o_orderkey""".stripMargin)) { t =>
+    // FIXTURE (untimed): the fact table lands as 8 hash-scattered files
+    // — every file's o_orderkey range spans the whole key space, the
+    // shape on which min/max stats prune NOTHING — then the bloom index
+    // builds as maintenance (like compact/zorder: protocol scaffolding,
+    // not the lookup under test).
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q133").toString + "/orders_s"
+    Snapshot.create(t.spark, dir,
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartition(8))
+    Snapshot.bloomIndex(t.spark, dir, Seq("o_orderkey"))
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the point lookup itself. The bloom sidecars prove which
+    // files can hold the probed ids, so the scan opens at most one file
+    // per id instead of all 8 — the needle-in-haystack read a MERGE's
+    // source matching does on every run at 100 TB (funnel_live.py's
+    // upsert by id). The prune is asserted, the rows oracle-checked.
+    val keys = Seq(7L, 1033L, 1402L)
+    val out = graft.operators.Snapshot.readWhere(t.spark, dir, col("o_orderkey").isin(keys: _*))
+      .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+    val (kept, total) = graft.operators.SnapshotStats.lastPrune
+    require(total == 8 && kept <= keys.size,
+      s"bloom index failed to prune the point lookup: kept $kept of $total")
+    out
+  }
+
   val q128 = QueryDef(
     "q128_row_level_dml",
     Some("""WITH survivors AS (
@@ -753,5 +788,5 @@ object LayoutPack extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133)
 }

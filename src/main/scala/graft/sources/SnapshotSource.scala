@@ -474,7 +474,7 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
     // untranslatable one just doesn't prune (Spark re-applies data
     // filters above the scan, so this can only be an optimization)
     val pushed = (partitionFilters ++ dataFilters).flatMap(ScanBridge.translate).toArray
-    val kept = SnapshotStats.pruneByFilters(spark, m, pushed)
+    val kept = SnapshotStats.pruneByFilters(spark, m, pushed, Some(tablePath))
     val byPart = kept.groupBy(f => Snapshot.partitionValues(m.partitionCols, f))
     // exact partition pruning — required, not an optimization: Spark
     // trusts the index and never re-evaluates partition filters
