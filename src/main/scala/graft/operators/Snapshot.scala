@@ -110,13 +110,26 @@ object Snapshot {
     * (merge-on-read; see [[delete]]). A file absent from `dvs` is fully
     * live.
     */
+  /** `colMap` is COLUMN MAPPING state (logical → physical name, only
+    * non-identity entries): data files always store a column under the
+    * PHYSICAL name it was born with, so a rename is a metadata-only
+    * commit that re-labels the logical schema — no file rewrite, which
+    * is the only honest rename on 100 TB of immutable parquet.
+    * `retired` lists physical names of DROPPED columns: a later ADD of
+    * the same logical name must mint a FRESH physical name, or old
+    * files would resurrect the dropped column's values into the new
+    * one. Partition columns never map (their name is baked into every
+    * directory path); [[renameColumn]]/[[dropColumn]] refuse them.
+    */
   final case class Manifest(version: Long, partitionCols: Seq[String],
                             schemaDdl: String, files: Seq[String],
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
                             streamBatch: Map[String, Long] = Map.empty,
                             committedAtMicros: Long = 0L,
                             dvs: Map[String, DvRef] = Map.empty,
-                            blooms: Map[String, BloomRef] = Map.empty)
+                            blooms: Map[String, BloomRef] = Map.empty,
+                            colMap: Map[String, String] = Map.empty,
+                            retired: Seq[String] = Nil)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -348,8 +361,18 @@ object Snapshot {
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
       if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
       parseDvs(root, "dvs"),
-      parseBlooms(root, "blooms"))
+      parseBlooms(root, "blooms"),
+      parseColMap(root, "colMap"),
+      parseStrings(root, "retiredCols"))
   }
+
+  private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
+    if (!root.has(field)) Map.empty
+    else root.get(field).properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  private def parseStrings(root: com.fasterxml.jackson.databind.JsonNode, field: String): Seq[String] =
+    if (!root.has(field)) Nil
+    else root.get(field).elements().asScala.map(_.asText()).toSeq
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
     latestVersion(spark, path).map(manifest(spark, path, _))
@@ -483,6 +506,27 @@ object Snapshot {
                                        only: Seq[String]): DataFrame =
     readFiles(spark, path, m, Some(only))
 
+  /** Physical (on-disk) name of a logical column — identity unless the
+    * column was renamed after its files were written.
+    */
+  private[graft] def physicalOf(m: Manifest, logical: String): String =
+    m.colMap.getOrElse(logical, logical)
+
+  /** The logical schema re-labeled with physical names — what the data
+    * files actually store, and therefore what footer statistics key on.
+    */
+  private[graft] def physicalSchema(m: Manifest): StructType =
+    StructType(StructType.fromDDL(m.schemaDdl).fields.map(f =>
+      f.copy(name = physicalOf(m, f.name))))
+
+  /** Rename a LOGICAL-named frame to physical column names for writing
+    * (extra columns — e.g. evolution's new fields — keep their name).
+    */
+  private def toPhysical(df: DataFrame, colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(colMap.getOrElse(c, c))): _*)
+
   /** Internal provenance columns for DML and deletion-vector plumbing:
     * the scanned file's full path and the row's PHYSICAL index within
     * it (Spark's parquet `_metadata` columns — exact and stable however
@@ -527,8 +571,12 @@ object Snapshot {
           .withColumn(MetaPos, col("_metadata.row_index"))
       else df
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // files store PHYSICAL names; the projection re-labels to the
+    // logical schema (identity unless a rename happened) — a Project
+    // over the scan, so pushdown and pruning are untouched
     val outCols = schema.fields.toSeq.map { f =>
-      if (unioned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      val phys = physicalOf(m, f.name)
+      if (unioned.columns.contains(phys)) col(phys).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     } ++ (if (needMeta) Seq(col(MetaFile), col(MetaPos)) else Nil)
     val selected = unioned.select(outCols: _*)
@@ -604,7 +652,11 @@ object Snapshot {
     * returns the new files' table-relative paths. Nothing is live until
     * a manifest referencing them commits.
     */
-  private def writeTxnFiles(df: DataFrame, path: String, partitionCols: Seq[String]): Seq[String] = {
+  private def writeTxnFiles(df0: DataFrame, path: String, partitionCols: Seq[String],
+                            colMap: Map[String, String] = Map.empty): Seq[String] = {
+    // files ALWAYS store physical names, whatever the logical schema
+    // says today — that uniformity is what makes rename metadata-only
+    val df = toPhysical(df0, colMap)
     val txn = s"txn-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     val dir = s"$path/$txn"
     // INT96 timestamps carry no footer statistics; pin the annotated
@@ -699,6 +751,13 @@ object Snapshot {
     }
     putDvs(node, "dvs", m.dvs)
     putBlooms(node, "blooms", m.blooms)
+    if (m.colMap.nonEmpty) {
+      val cm = node.putObject("colMap")
+      m.colMap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    if (m.retired.nonEmpty) {
+      val rt = node.putArray("retiredCols"); m.retired.foreach(rt.add)
+    }
     putStats(node, m.stats)
     node
   }
@@ -735,6 +794,16 @@ object Snapshot {
       m.blooms.filter { case (f, r) => parent.blooms.get(f) != Some(r) })
     val bloomsDrop = parent.blooms.keySet.intersect(fileSet).diff(m.blooms.keySet)
     if (bloomsDrop.nonEmpty) { val b = node.putArray("bloomsDrop"); bloomsDrop.toSeq.sorted.foreach(b.add) }
+    // column-mapping state replaces WHOLE on change (it is tiny and
+    // changes only on rename/drop DDL); an absent node means inherit,
+    // so a reset-to-empty writes an explicit empty node
+    if (m.colMap != parent.colMap) {
+      val cm = node.putObject("colMapSet")
+      m.colMap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    if (m.retired != parent.retired) {
+      val rt = node.putArray("retiredSet"); m.retired.foreach(rt.add)
+    }
     val sbPut = m.streamBatch.filter { case (k, v) => parent.streamBatch.get(k) != Some(v) }
     if (sbPut.nonEmpty) {
       val sb = node.putObject("streamBatchPut")
@@ -775,7 +844,9 @@ object Snapshot {
       if (root.has("schemaDdl")) root.get("schemaDdl").asText() else parent.schemaDdl,
       files, stats, parent.streamBatch ++ sbPut,
       if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
-      dvs, blooms)
+      dvs, blooms,
+      if (root.has("colMapSet")) parseColMap(root, "colMapSet") else parent.colMap,
+      if (root.has("retiredSet")) parseStrings(root, "retiredSet") else parent.retired)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -786,7 +857,8 @@ object Snapshot {
     a.version == b.version && a.partitionCols == b.partitionCols &&
       a.schemaDdl == b.schemaDdl && a.files.toSet == b.files.toSet &&
       a.files.size == b.files.size && a.stats == b.stats &&
-      a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms
+      a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms &&
+      a.colMap == b.colMap && a.retired == b.retired
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -861,9 +933,16 @@ object Snapshot {
 
   // --------------------------------------------------------- operations
 
+  /** Footer stats keyed by what the files actually store — PHYSICAL
+    * column names (`colMap` re-labels the logical DDL before the footer
+    * walk; the prune side translates its lookups the same way).
+    */
   private def statsFor(spark: SparkSession, path: String, files: Seq[String],
-                       schemaDdl: String, partitionCols: Seq[String]): Map[String, SnapshotStats.FileStats] =
-    SnapshotStats.collect(spark, path, files, StructType.fromDDL(schemaDdl), partitionCols)
+                       schemaDdl: String, partitionCols: Seq[String],
+                       colMap: Map[String, String] = Map.empty): Map[String, SnapshotStats.FileStats] =
+    SnapshotStats.collect(spark, path, files,
+      StructType(StructType.fromDDL(schemaDdl).fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name)))), partitionCols)
 
   /** Initialize a snapshot table (version 1) from `df`. */
   def create(spark: SparkSession, path: String, df: DataFrame,
@@ -914,6 +993,17 @@ object Snapshot {
         m.schemaDdl
       } else {
         require(missing.isEmpty, s"appended batch lacks table columns: ${missing.mkString(",")}")
+        // a data-ful evolved column writes under its OWN name, so that
+        // name must be free in the PHYSICAL namespace too: colliding
+        // with a live physical (a renamed-away name) would store two
+        // meanings under one parquet column; colliding with a retired
+        // physical would resurrect a dropped column's old values
+        val physUsed = table.fieldNames.map(n => m.colMap.getOrElse(n, n)).toSet ++ m.retired
+        val clash = newCols.map(_.name).filter(physUsed.contains)
+        require(clash.isEmpty,
+          s"append mergeSchema: column name(s) ${clash.mkString(", ")} collide with a " +
+            "renamed or dropped column's physical name; ALTER TABLE ... ADD COLUMNS " +
+            "first (it mints a fresh physical name), then append")
         // an evolved column is nullable BY CONSTRUCTION: every
         // pre-evolution file reads it as null, whatever the batch says
         StructType(table.fields ++ newCols.map(_.copy(nullable = true))).toDDL
@@ -923,10 +1013,10 @@ object Snapshot {
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     resolveDdl(m0) // fail fast before any data lands
     if (!guard(m0)) return None
-    val files = writeTxnFiles(df, path, m0.partitionCols)
+    val files = writeTxnFiles(df, path, m0.partitionCols, m0.colMap)
     // the batch's own schema covers exactly the new files' columns, so
     // stats are computed once and reused across commit retries
-    val newStats = statsFor(spark, path, files, df.schema.toDDL, m0.partitionCols)
+    val newStats = statsFor(spark, path, files, df.schema.toDDL, m0.partitionCols, m0.colMap)
     var attempt = 0
     while (true) {
       val m = if (attempt == 0) m0 else latestManifest(spark, path).getOrElse(m0)
@@ -982,8 +1072,128 @@ object Snapshot {
       val table = StructType.fromDDL(m.schemaDdl)
       val clash = cols.map(_.name).filter(n => table.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(clash.isEmpty, s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
+      // a re-added name whose physical slot is taken (renamed-away or
+      // dropped) mints a FRESH physical name, so old files can never
+      // leak their values into the new column
+      var physUsed = table.fieldNames.map(n => m.colMap.getOrElse(n, n)).toSet ++ m.retired
+      val mapAdds = cols.flatMap { f =>
+        val phys =
+          if (!physUsed.contains(f.name)) f.name
+          else Iterator.from(m.version.toInt + 1)
+            .map(i => s"${f.name}_$i").find(!physUsed.contains(_)).get
+        physUsed += phys
+        if (phys == f.name) None else Some(f.name -> phys)
+      }
       val ddl = StructType(table.fields ++ cols.map(_.copy(nullable = true))).toDDL
+      try return commitManifest(spark, path, m.copy(version = m.version + 1, schemaDdl = ddl,
+        colMap = m.colMap ++ mapAdds))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** METADATA-ONLY column rename: the logical schema re-labels, the
+    * files keep the column under its physical (birth) name, and the
+    * manifest's `colMap` carries the indirection — no data moves, which
+    * is the only honest rename on an immutable 100 TB table (the
+    * lakehouse "column mapping, name mode" contract). Partition columns
+    * refuse (their name is baked into every directory path). Stats and
+    * blooms key on the physical name, so pruning survives the rename
+    * unchanged. Commutes with appends via rebase-and-retry.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val table = StructType.fromDDL(m.schemaDdl)
+      require(table.fieldNames.contains(from), s"renameColumn: no column $from")
+      require(!m.partitionCols.contains(from),
+        s"renameColumn: $from is a partition column (its name is part of every file path)")
+      require(!table.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: column $to already exists")
+      val phys = physicalOf(m, from)
+      val ddl = StructType(table.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)).toDDL
+      // identity entries never persist: renaming b back to its physical
+      // name a drops the mapping instead of storing a -> a
+      val map = (m.colMap - from) ++ (if (phys == to) Map.empty else Map(to -> phys))
+      try return commitManifest(spark, path,
+        m.copy(version = m.version + 1, schemaDdl = ddl, colMap = map))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** Lossless widenings the read side absorbs without touching a file:
+    * every old file's values re-read exactly under the wider type (the
+    * engine read core casts, and Spark 4's parquet readers promote
+    * int32→int64 / float→double natively on the SQL-source path).
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType) => true
+    case _ => false
+  }
+
+  /** METADATA-ONLY type widening (`ALTER TABLE … ALTER COLUMN … TYPE`):
+    * the logical schema re-types, files stay as written — only
+    * strictly-lossless widenings are allowed (integral up-casts,
+    * float→double), everything else refuses: a narrowing or a
+    * cross-family cast would silently corrupt what old files answer.
+    * Manifest stats survive (their canonical integral/float encodings
+    * decode identically under the wider type), as do bloom sidecars
+    * (integrals hash pre-widened to long).
+    */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+                      to: org.apache.spark.sql.types.DataType): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val table = StructType.fromDDL(m.schemaDdl)
+      val f = table.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"widenColumnType: no column $name"))
+      if (f.dataType == to) return m.version
+      require(widens(f.dataType, to),
+        s"widenColumnType: ${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+          "lossless widening (only byte/short/int/long up-casts and float -> double)")
+      val ddl = StructType(table.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x)).toDDL
       try return commitManifest(spark, path, m.copy(version = m.version + 1, schemaDdl = ddl))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** METADATA-ONLY column drop: the field leaves the logical schema and
+    * its physical name RETIRES — readers never select it again (column
+    * pruning means the bytes are not even read), and a later ADD of the
+    * same logical name mints a fresh physical name so the dropped
+    * column's old values can never resurrect. Refuses partition columns
+    * and the last remaining column.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val table = StructType.fromDDL(m.schemaDdl)
+      require(table.fieldNames.contains(name), s"dropColumn: no column $name")
+      require(!m.partitionCols.contains(name),
+        s"dropColumn: $name is a partition column")
+      require(table.fields.length > 1, "dropColumn: cannot drop the last column")
+      val phys = physicalOf(m, name)
+      val ddl = StructType(table.fields.filterNot(_.name == name)).toDDL
+      try return commitManifest(spark, path,
+        m.copy(version = m.version + 1, schemaDdl = ddl,
+          colMap = m.colMap - name, retired = (m.retired :+ phys).distinct))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
@@ -1006,11 +1216,14 @@ object Snapshot {
     // streamBatch watermarks survive an overwrite: a foreachBatch
     // redelivery after a full rewrite must still be recognized as a
     // duplicate, or appendBatch's exactly-once contract breaks.
-    // dvs do not: no old file is live, so no vector applies.
+    // dvs do not: no old file is live, so no vector applies. Column
+    // mapping resets too — every live file is new and written under
+    // the current logical names, so physical == logical again (and no
+    // dropped column can resurrect: its files left the live set).
     commitManifest(spark, path, finish(
       m.copy(version = m.version + 1, schemaDdl = ddl, files = files,
         stats = statsFor(spark, path, files, ddl, m.partitionCols),
-        dvs = Map.empty)))
+        dvs = Map.empty, colMap = Map.empty, retired = Nil)))
   }
 
   /** Exactly-once micro-batch OVERWRITE — the full-rewrite twin of
@@ -1053,7 +1266,7 @@ object Snapshot {
                                   replacement: DataFrame,
                                   dropOld: Map[String, String] => Boolean): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
-    val newFiles = writeTxnFiles(replacement, path, m.partitionCols)
+    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap)
     val newParts = newFiles.map(partitionValues(m.partitionCols, _)).toSet
     val kept = m.files.filterNot { f =>
       val pv = partitionValues(m.partitionCols, f)
@@ -1061,7 +1274,7 @@ object Snapshot {
     }
     commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles,
       stats = m.stats.view.filterKeys(kept.toSet).toMap ++
-        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
+        statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
       dvs = m.dvs.view.filterKeys(kept.toSet).toMap))
   }
 
@@ -1345,7 +1558,7 @@ object Snapshot {
       if (rewrite.isEmpty) Nil
       else writeTxnFiles(
         readFiles(spark, path, m, Some(rewrite)).where(!coalesce(pred, lit(false))),
-        path, m.partitionCols)
+        path, m.partitionCols, m.colMap)
     val dvNew =
       if (dvTier.isEmpty) Map.empty[String, DvRef]
       else writeDv(spark, path, m, pred, dvTier)
@@ -1355,7 +1568,7 @@ object Snapshot {
       addFiles = newFiles,
       addStats =
         if (newFiles.isEmpty) Map.empty
-        else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols),
+        else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
       addDvs = dvNew)
     if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
   }
@@ -1477,7 +1690,7 @@ object Snapshot {
       if (rewrite.isEmpty) Nil
       else writeTxnFiles(
         readFiles(spark, path, m, Some(rewrite)).select(applySet(onlyMatched = false): _*),
-        path, m.partitionCols)
+        path, m.partitionCols, m.colMap)
     val (dvNew, updatedFiles) =
       if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
       else {
@@ -1490,7 +1703,7 @@ object Snapshot {
         try (
           writeDvFrom(spark, path, m, matchedRows, dvTier),
           writeTxnFiles(matchedRows.select(applySet(onlyMatched = true): _*),
-            path, m.partitionCols))
+            path, m.partitionCols, m.colMap))
         finally matchedRows.unpersist()
       }
     val committed = commitRebasing(spark, path, m,
@@ -1498,7 +1711,7 @@ object Snapshot {
       touched = dvTier.keySet,
       addFiles = rewriteFiles ++ updatedFiles,
       addStats = statsFor(spark, path, rewriteFiles ++ updatedFiles,
-        m.schemaDdl, m.partitionCols),
+        m.schemaDdl, m.partitionCols, m.colMap),
       addDvs = dvNew)
     if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
   }
@@ -1623,9 +1836,9 @@ object Snapshot {
 
   private def replaceFilesOn(spark: SparkSession, path: String, m: Manifest,
                              replacement: DataFrame, drop: Set[String]): Long = {
-    val newFiles = writeTxnFiles(replacement, path, m.partitionCols)
+    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap)
     commitRebasing(spark, path, m, drop, Set.empty, newFiles,
-      statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols), Map.empty)
+      statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap), Map.empty)
   }
 
   /** Fold deletion vectors WITHOUT a full compaction: rewrite exactly
@@ -1653,7 +1866,7 @@ object Snapshot {
     require(cols.nonEmpty, "bloomIndex: no columns given")
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val want = cols.sorted
+    val want = cols.map(physicalOf(m, _)).sorted // refs record physical names
     val todo = m.files.filterNot(f => m.blooms.get(f).exists(_.cols.sorted == want))
     if (todo.isEmpty) return m.version
     val refs = SnapshotBloom.build(spark, path, m, todo, cols, fpp)

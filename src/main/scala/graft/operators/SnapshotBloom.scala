@@ -102,12 +102,15 @@ object SnapshotBloom {
     val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootQ = fs.makeQualified(new HPath(path)).toString
     val types = cols.map(c => schema.fields.find(_.name == c).get.dataType)
+    // files store PHYSICAL names; sidecars key on them too, so a later
+    // logical rename leaves every existing bloom valid
+    val physCols = cols.map(c => m.colMap.getOrElse(c, c))
     // expected insertions from manifest row counts (a missing count
     // sizes for 1M — oversizing only costs sidecar bytes, never
     // correctness); fpp is per file, so probes across N files surface
     // ~N*fpp false keeps — still pruning almost everything
     val expected = files.map(f => f -> math.max(1L, m.stats.get(f).map(_.rows).getOrElse(1000000L))).toMap
-    val readSchema = StructType(cols.zip(types).map { case (c, t) => StructField(c, t) })
+    val readSchema = StructType(physCols.zip(types).map { case (c, t) => StructField(c, t) })
     val df = spark.read.schema(readSchema)
       .parquet(files.map(f => s"$path/$f"): _*)
       .withColumn("__file", col("_metadata.file_path"))
@@ -145,7 +148,7 @@ object SnapshotBloom {
           out.writeInt(nCols)
           var i = 0
           while (i < nCols) {
-            out.writeUTF(cols(i))
+            out.writeUTF(physCols(i))
             // length-prefixed frame: BloomFilter.readFrom buffers past
             // its own bytes, so each filter round-trips via its exact
             // byte count, never the raw stream position
@@ -161,7 +164,7 @@ object SnapshotBloom {
       }
     }.collect()
     written.map(rel =>
-      rel -> Snapshot.BloomRef(s"$dirRel/${sidecarName(rel)}", cols)).toMap
+      rel -> Snapshot.BloomRef(s"$dirRel/${sidecarName(rel)}", physCols)).toMap
   }
 
   private def readSidecar(fs: FileSystem, tablePath: String,
@@ -190,8 +193,10 @@ object SnapshotBloom {
     * O(#files) tiny reads with cluster parallelism, never a scan.
     */
   private[operators] def prune(spark: SparkSession, tablePath: String, m: Snapshot.Manifest,
-                               candidates: Seq[String], probes: Seq[(String, Seq[Any])],
+                               candidates: Seq[String], probes0: Seq[(String, Seq[Any])],
                                distributeAbove: Int = 64): Seq[String] = {
+    // predicates speak logical names; refs and sidecars key physical
+    val probes = probes0.map { case (c, vs) => m.colMap.getOrElse(c, c) -> vs }
     val probeCols = probes.map(_._1).toSet
     val applicable = candidates.filter(f =>
       m.blooms.get(f).exists(r => r.cols.exists(probeCols.contains)))

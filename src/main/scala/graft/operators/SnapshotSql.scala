@@ -127,6 +127,36 @@ object SnapshotSql {
           StructField(qc.colName, qc.dataType, nullable = true)
         })
 
+      case org.apache.spark.sql.catalyst.plans.logical.RenameColumn(t: UnresolvedTable, column, newName) =>
+        val path = pathOf(t.multipartIdentifier.mkString("."), tables)
+        val parts = fieldNameParts(column, "RENAME COLUMN")
+        Snapshot.renameColumn(spark, path, parts.head, newName)
+
+      case org.apache.spark.sql.catalyst.plans.logical.DropColumns(t: UnresolvedTable, colsToDrop, ifExists) =>
+        val path = pathOf(t.multipartIdentifier.mkString("."), tables)
+        val table = Snapshot.latestManifest(spark, path).map(m =>
+          StructType.fromDDL(m.schemaDdl).fieldNames.toSet).getOrElse(Set.empty[String])
+        var last = 0L
+        colsToDrop.map(fieldNameParts(_, "DROP COLUMN")).foreach { parts =>
+          if (table.contains(parts.head) || !ifExists)
+            last = Snapshot.dropColumn(spark, path, parts.head)
+        }
+        last
+
+      case org.apache.spark.sql.catalyst.plans.logical.AlterColumns(t: UnresolvedTable, specs) =>
+        val path = pathOf(t.multipartIdentifier.mkString("."), tables)
+        var last = 0L
+        specs.foreach { spec =>
+          require(spec.newNullability.isEmpty && spec.newComment.isEmpty &&
+            spec.newPosition.isEmpty && spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+            "Snapshot.sql ALTER COLUMN: only TYPE widening is supported")
+          val to = spec.newDataType.getOrElse(throw new IllegalArgumentException(
+            "Snapshot.sql ALTER COLUMN: no new TYPE given"))
+          last = Snapshot.widenColumnType(spark, path,
+            fieldNameParts(spec.column, "ALTER COLUMN").head, to)
+        }
+        last
+
       case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
         val path = pathOf(childIdent(t.table), tables)
         val m = Snapshot.latestManifest(spark, path).getOrElse(
@@ -153,9 +183,24 @@ object SnapshotSql {
       case other => throw new IllegalArgumentException(
         "Snapshot.sql supports DELETE / UPDATE / MERGE / INSERT … SELECT / " +
           "CREATE [OR REPLACE] TABLE … AS SELECT / ALTER TABLE … ADD COLUMNS / " +
-          "TRUNCATE TABLE / DROP TABLE / VACUUM / OPTIMIZE " +
+          "RENAME COLUMN / DROP COLUMN / TRUNCATE TABLE / DROP TABLE / VACUUM / OPTIMIZE " +
           s"statements, got ${other.nodeName} (for SELECT, use Snapshot.sqlQuery)")
     }
+  }
+
+  /** Top-level field name of an ALTER COLUMN target; nested paths
+    * refuse (this engine's tables are flat, like the reference's).
+    */
+  private def fieldNameParts(f: org.apache.spark.sql.catalyst.analysis.FieldName,
+                             what: String): Seq[String] = {
+    val parts = f match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName => u.name
+      case other => throw new IllegalArgumentException(
+        s"Snapshot.sql $what: unsupported column reference ${other.getClass.getSimpleName}")
+    }
+    require(parts.size == 1,
+      s"Snapshot.sql $what: nested field paths are not supported (${parts.mkString(".")})")
+    parts
   }
 
   private def childIdent(child: LogicalPlan): String = child match {
@@ -261,7 +306,12 @@ object SnapshotSql {
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
              _: InsertIntoStatement | _: CreateTableAsSelect |
-             _: ReplaceTableAsSelect | _: AddColumns => false
+             _: ReplaceTableAsSelect | _: AddColumns |
+             _: org.apache.spark.sql.catalyst.plans.logical.RenameColumn |
+             _: org.apache.spark.sql.catalyst.plans.logical.DropColumns |
+             _: org.apache.spark.sql.catalyst.plans.logical.AlterColumns |
+             _: org.apache.spark.sql.catalyst.plans.logical.TruncateTable |
+             _: org.apache.spark.sql.catalyst.plans.logical.DropTable => false
         case _ => true
       }
   }

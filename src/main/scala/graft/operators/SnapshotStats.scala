@@ -530,6 +530,8 @@ object SnapshotStats {
                                      cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "metadataAgg needs at least one column")
     val schema = StructType.fromDDL(m.schemaDdl)
+    // file stats key on PHYSICAL names; callers ask in logical names
+    def phys(c: String): String = m.colMap.getOrElse(c, c)
     val types = cols.map { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no such column: $c"))
@@ -539,13 +541,13 @@ object SnapshotStats {
     // string min/max fold is exact only over EXACT stored bounds:
     // refuse any file whose string stats were truncated at collection
     val truncated = m.files.filter(f =>
-      m.stats.get(f).exists(fs => cols.exists(c => fs.cols.get(c).exists(_.trunc))))
+      m.stats.get(f).exists(fs => cols.exists(c => fs.cols.get(phys(c)).exists(_.trunc))))
     require(truncated.isEmpty,
       s"metadataAgg: truncated string stats for ${cols.mkString(",")} " +
         s"(fall back to a scan): ${truncated.take(3).mkString(", ")}")
     val missing = m.files.filter { f =>
       !m.stats.get(f).exists(fs => cols.forall(c =>
-        fs.cols.get(c).exists(cs =>
+        fs.cols.get(phys(c)).exists(cs =>
           cs.nulls.isDefined && ((cs.mn.isDefined && cs.mx.isDefined) ||
             // an all-null file legitimately has no min/max
             cs.nulls.contains(fs.rows)))))
@@ -563,7 +565,7 @@ object SnapshotStats {
     val rows: Seq[Row] = m.files.map { f =>
       val fs = m.stats(f)
       Row.fromSeq(Long.box(fs.rows) +: cols.flatMap { c =>
-        val cs = fs.cols(c)
+        val cs = fs.cols(phys(c))
         Seq(cs.mn.orNull, cs.mx.orNull, Long.box(cs.nulls.get))
       })
     }
@@ -703,7 +705,7 @@ object SnapshotStats {
     val rows: Seq[Row] = m.files.map { f =>
       val fs = m.stats.get(f)
       val cells: Seq[Any] = statCols.flatMap { c =>
-        fs.flatMap(_.cols.get(c)) match {
+        fs.flatMap(_.cols.get(m.colMap.getOrElse(c, c))) match {
           case Some(cs) => Seq(cs.mn.orNull, cs.mx.orNull, cs.nulls.map(Long.box).orNull)
           case None     => Seq(null, null, null)
         }

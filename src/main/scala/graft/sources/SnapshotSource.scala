@@ -109,13 +109,18 @@ object SnapshotSource {
     * row-based — correct always, slower until the next compaction
     * folds the vectors in and this native path returns. That is the
     * intended lifecycle: DVs buy cheap point deletes between
-    * maintenance windows, not a permanent table state.
+    * maintenance windows, not a permanent table state. A version with
+    * ACTIVE COLUMN MAPPING (a renamed column whose files still store
+    * the old physical name) takes the same fallback for the same
+    * reason — the name-based native scan would read the wrong column —
+    * and the same remedy restores the native path: any full rewrite
+    * (overwrite/CTAS) re-labels the files and resets the map.
     */
   private[sources] def relationFor(spark: SparkSession, path: String,
                                    m: Snapshot.Manifest,
                                    schema: Option[StructType] = None): BaseRelation = {
     val tableSchema = schema.getOrElse(StructType.fromDDL(m.schemaDdl))
-    if (m.dvs.keySet.intersect(m.files.toSet).nonEmpty)
+    if (m.dvs.keySet.intersect(m.files.toSet).nonEmpty || m.colMap.nonEmpty)
       return new DvSnapshotRelation(spark, path, m, tableSchema)
     val index = new SnapshotFileIndex(spark, path, m, tableSchema)
     HadoopFsRelation(index, index.partitionSchema, tableSchema, None,
