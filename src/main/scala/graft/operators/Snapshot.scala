@@ -129,7 +129,8 @@ object Snapshot {
                             dvs: Map[String, DvRef] = Map.empty,
                             blooms: Map[String, BloomRef] = Map.empty,
                             colMap: Map[String, String] = Map.empty,
-                            retired: Seq[String] = Nil)
+                            retired: Seq[String] = Nil,
+                            constraints: Map[String, String] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -363,7 +364,8 @@ object Snapshot {
       parseDvs(root, "dvs"),
       parseBlooms(root, "blooms"),
       parseColMap(root, "colMap"),
-      parseStrings(root, "retiredCols"))
+      parseStrings(root, "retiredCols"),
+      parseColMap(root, "constraints"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -652,8 +654,28 @@ object Snapshot {
     * returns the new files' table-relative paths. Nothing is live until
     * a manifest referencing them commits.
     */
+  /** SQL CHECK semantics: a row violates only when the predicate is
+    * FALSE (NULL passes). One short-circuit job per constraint, only
+    * on constrained tables — a violating batch refuses BEFORE any file
+    * lands, so enforcement can never strand half a write.
+    */
+  private def checkConstraints(df: DataFrame, constraints: Map[String, String]): Unit =
+    constraints.toSeq.sortBy(_._1).foreach { case (n, p) =>
+      val bad =
+        try df.where(!coalesce(expr(p), lit(true))).limit(1).collect()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException => throw new IllegalArgumentException(
+            s"CHECK constraint $n ($p) does not resolve against the written schema " +
+              s"(${df.columns.mkString(", ")}); drop the constraint first", e)
+        }
+      require(bad.isEmpty,
+        s"CHECK constraint $n violated ($p); e.g. row ${bad.headOption.getOrElse("")}")
+    }
+
   private def writeTxnFiles(df0: DataFrame, path: String, partitionCols: Seq[String],
-                            colMap: Map[String, String] = Map.empty): Seq[String] = {
+                            colMap: Map[String, String] = Map.empty,
+                            constraints: Map[String, String] = Map.empty): Seq[String] = {
+    checkConstraints(df0, constraints)
     // files ALWAYS store physical names, whatever the logical schema
     // says today — that uniformity is what makes rename metadata-only
     val df = toPhysical(df0, colMap)
@@ -758,6 +780,10 @@ object Snapshot {
     if (m.retired.nonEmpty) {
       val rt = node.putArray("retiredCols"); m.retired.foreach(rt.add)
     }
+    if (m.constraints.nonEmpty) {
+      val cn = node.putObject("constraints")
+      m.constraints.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -804,6 +830,10 @@ object Snapshot {
     if (m.retired != parent.retired) {
       val rt = node.putArray("retiredSet"); m.retired.foreach(rt.add)
     }
+    if (m.constraints != parent.constraints) {
+      val cn = node.putObject("constraintsSet")
+      m.constraints.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
+    }
     val sbPut = m.streamBatch.filter { case (k, v) => parent.streamBatch.get(k) != Some(v) }
     if (sbPut.nonEmpty) {
       val sb = node.putObject("streamBatchPut")
@@ -846,7 +876,8 @@ object Snapshot {
       if (root.has("committedAt")) root.get("committedAt").asLong() else 0L,
       dvs, blooms,
       if (root.has("colMapSet")) parseColMap(root, "colMapSet") else parent.colMap,
-      if (root.has("retiredSet")) parseStrings(root, "retiredSet") else parent.retired)
+      if (root.has("retiredSet")) parseStrings(root, "retiredSet") else parent.retired,
+      if (root.has("constraintsSet")) parseColMap(root, "constraintsSet") else parent.constraints)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -858,7 +889,7 @@ object Snapshot {
       a.schemaDdl == b.schemaDdl && a.files.toSet == b.files.toSet &&
       a.files.size == b.files.size && a.stats == b.stats &&
       a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms &&
-      a.colMap == b.colMap && a.retired == b.retired
+      a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1013,7 +1044,7 @@ object Snapshot {
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     resolveDdl(m0) // fail fast before any data lands
     if (!guard(m0)) return None
-    val files = writeTxnFiles(df, path, m0.partitionCols, m0.colMap)
+    val files = writeTxnFiles(df, path, m0.partitionCols, m0.colMap, m0.constraints)
     // the batch's own schema covers exactly the new files' columns, so
     // stats are computed once and reused across commit retries
     val newStats = statsFor(spark, path, files, df.schema.toDDL, m0.partitionCols, m0.colMap)
@@ -1092,6 +1123,55 @@ object Snapshot {
     -1L // unreachable
   }
 
+  /** Top-level column names a constraint's predicate text references —
+    * the guard renames/drops consult before breaking the text.
+    */
+  private def constraintRefs(spark: SparkSession, text: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(text).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.nameParts.head
+    }.toSet
+
+  /** Add a CHECK constraint (SQL predicate text over logical column
+    * names). Existing data must already satisfy it — a constraint that
+    * grandfathers violations is a lie to every future reader — and
+    * every subsequent write (append, overwrite, replace, merge, the
+    * UPDATE tiers) refuses a violating batch BEFORE any file lands.
+    * NULL predicate values pass, FALSE violates: SQL CHECK semantics.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    predicateSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"addConstraint: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      require(!m.constraints.contains(name), s"addConstraint: constraint $name already exists")
+      checkConstraints(readFiles(spark, path, m), Map(name -> predicateSql))
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        constraints = m.constraints + (name -> predicateSql)))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+                     ifExists: Boolean = false): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      if (!m.constraints.contains(name)) {
+        require(ifExists, s"dropConstraint: no constraint $name")
+        return m.version
+      }
+      try return commitManifest(spark, path,
+        m.copy(version = m.version + 1, constraints = m.constraints - name))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
   /** METADATA-ONLY column rename: the logical schema re-labels, the
     * files keep the column under its physical (birth) name, and the
     * manifest's `colMap` carries the indirection — no data moves, which
@@ -1112,6 +1192,10 @@ object Snapshot {
         s"renameColumn: $from is a partition column (its name is part of every file path)")
       require(!table.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"renameColumn: column $to already exists")
+      val referencedBy = m.constraints.filter(c => constraintRefs(spark, c._2).contains(from))
+      require(referencedBy.isEmpty,
+        s"renameColumn: $from is referenced by CHECK constraint(s) " +
+          s"${referencedBy.keys.mkString(", ")}; drop them first")
       val phys = physicalOf(m, from)
       val ddl = StructType(table.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)).toDDL
@@ -1189,6 +1273,10 @@ object Snapshot {
       require(!m.partitionCols.contains(name),
         s"dropColumn: $name is a partition column")
       require(table.fields.length > 1, "dropColumn: cannot drop the last column")
+      val referencedBy = m.constraints.filter(c => constraintRefs(spark, c._2).contains(name))
+      require(referencedBy.isEmpty,
+        s"dropColumn: $name is referenced by CHECK constraint(s) " +
+          s"${referencedBy.keys.mkString(", ")}; drop them first")
       val phys = physicalOf(m, name)
       val ddl = StructType(table.fields.filterNot(_.name == name)).toDDL
       try return commitManifest(spark, path,
@@ -1212,7 +1300,7 @@ object Snapshot {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val ddl = df.schema.toDDL
-    val files = writeTxnFiles(df, path, m.partitionCols)
+    val files = writeTxnFiles(df, path, m.partitionCols, constraints = m.constraints)
     // streamBatch watermarks survive an overwrite: a foreachBatch
     // redelivery after a full rewrite must still be recognized as a
     // duplicate, or appendBatch's exactly-once contract breaks.
@@ -1266,7 +1354,7 @@ object Snapshot {
                                   replacement: DataFrame,
                                   dropOld: Map[String, String] => Boolean): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
-    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap)
+    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap, m.constraints)
     val newParts = newFiles.map(partitionValues(m.partitionCols, _)).toSet
     val kept = m.files.filterNot { f =>
       val pv = partitionValues(m.partitionCols, f)
@@ -1690,7 +1778,7 @@ object Snapshot {
       if (rewrite.isEmpty) Nil
       else writeTxnFiles(
         readFiles(spark, path, m, Some(rewrite)).select(applySet(onlyMatched = false): _*),
-        path, m.partitionCols, m.colMap)
+        path, m.partitionCols, m.colMap, m.constraints)
     val (dvNew, updatedFiles) =
       if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
       else {
@@ -1703,7 +1791,7 @@ object Snapshot {
         try (
           writeDvFrom(spark, path, m, matchedRows, dvTier),
           writeTxnFiles(matchedRows.select(applySet(onlyMatched = true): _*),
-            path, m.partitionCols, m.colMap))
+            path, m.partitionCols, m.colMap, m.constraints))
         finally matchedRows.unpersist()
       }
     val committed = commitRebasing(spark, path, m,

@@ -157,6 +157,27 @@ object SnapshotSql {
         }
         last
 
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        // the parser wraps the target as Filter(condition, relation) so
+        // vanilla analysis can validate existing rows; the table is the
+        // leaf relation
+        val ident = a.child.collectFirst {
+          case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+          case t: UnresolvedTable => t.multipartIdentifier.mkString(".")
+        }.getOrElse(throw new IllegalArgumentException(
+          "Snapshot.sql ADD CONSTRAINT: could not resolve the target table"))
+        val cc = a.checkConstraint
+        Snapshot.addConstraint(spark, pathOf(ident, tables), cc.name, cc.condition)
+
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+        throw new IllegalArgumentException(
+          "Snapshot.sql ADD CONSTRAINT: only CHECK constraints are supported")
+
+      case org.apache.spark.sql.catalyst.plans.logical.DropConstraint(t: UnresolvedTable, name, ifExists, cascade) =>
+        require(!cascade, "Snapshot.sql DROP CONSTRAINT: CASCADE is not supported")
+        Snapshot.dropConstraint(spark, pathOf(t.multipartIdentifier.mkString("."), tables),
+          name, ifExists)
+
       case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
         val path = pathOf(childIdent(t.table), tables)
         val m = Snapshot.latestManifest(spark, path).getOrElse(
@@ -310,6 +331,9 @@ object SnapshotSql {
              _: org.apache.spark.sql.catalyst.plans.logical.RenameColumn |
              _: org.apache.spark.sql.catalyst.plans.logical.DropColumns |
              _: org.apache.spark.sql.catalyst.plans.logical.AlterColumns |
+             _: org.apache.spark.sql.catalyst.plans.logical.AddConstraint |
+             _: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint |
+             _: org.apache.spark.sql.catalyst.plans.logical.DropConstraint |
              _: org.apache.spark.sql.catalyst.plans.logical.TruncateTable |
              _: org.apache.spark.sql.catalyst.plans.logical.DropTable => false
         case _ => true
