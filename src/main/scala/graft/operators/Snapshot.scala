@@ -1868,16 +1868,53 @@ object Snapshot {
     * the marked slice. Clustering changes layout only, never values.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
-              minFiles: Int = 4, zorderBy: Seq[String] = Nil): Seq[String] = {
+              minFiles: Int = 4, zorderBy: Seq[String] = Nil,
+              where: Option[Column] = None): Seq[String] = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val pCols = m.partitionCols
     val byPart = m.files.groupBy(f => partitionValues(pCols, f))
+    // `where` scopes maintenance to the partitions whose TYPED values
+    // satisfy it — on a 100 TB table the nightly OPTIMIZE touches
+    // yesterday's partition, never the whole history. Evaluated over a
+    // tiny local relation of distinct partition tuples, with Spark's
+    // own casts/comparisons; a predicate referencing a non-partition
+    // column fails analysis loudly rather than scanning data.
+    val keepPart: Map[String, String] => Boolean = where match {
+      case None => _ => true
+      case Some(pred) =>
+        require(pCols.nonEmpty, "compact WHERE needs a partitioned snapshot table")
+        val schema = StructType.fromDDL(m.schemaDdl)
+        val pFields = pCols.map(c => schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"partition column $c not in schema")))
+        val tuples = byPart.keys.toSeq
+        import scala.jdk.CollectionConverters._
+        // each tuple rides with its index, so the kept set maps back to
+        // the EXACT original string tuples — no re-canonicalization
+        val raw = spark.createDataFrame(
+          tuples.zipWithIndex.map { case (pv, i) => Row.fromSeq(i +: pCols.map(c =>
+            pv.get(c).filter(_ != NullPartition).orNull)) }.asJava,
+          StructType(org.apache.spark.sql.types.StructField("__idx",
+            org.apache.spark.sql.types.IntegerType) +:
+            pCols.map(c => org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType))))
+        val typed = raw.select(col("__idx") +:
+          pFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        val keptIdx =
+          try typed.where(coalesce(pred, lit(false)))
+            .select("__idx").collect().map(_.getInt(0)).toSet
+          catch {
+            case e: org.apache.spark.sql.AnalysisException => throw new IllegalArgumentException(
+              s"compact WHERE may only reference partition columns (${pCols.mkString(", ")})", e)
+          }
+        val keptTuples = keptIdx.map(tuples(_))
+        pv => keptTuples.contains(pv)
+    }
     // a partition holding any DV'd file is always marked: compaction is
     // how deletion vectors FOLD AWAY (the rewrite reads live rows, so
     // the new files carry no vector and the native scan path returns)
-    val marked = byPart.filter { case (_, fls) =>
-      fls.size >= minFiles || fls.exists(m.dvs.contains)
+    val marked = byPart.filter { case (pv, fls) =>
+      keepPart(pv) && (fls.size >= minFiles || fls.exists(m.dvs.contains))
     }
     if (marked.isEmpty) return Nil
     val markedFiles = marked.values.flatten.toSeq
@@ -2161,6 +2198,66 @@ object Snapshot {
         }.collect().toSeq.sortBy(_._1)
       }
     tuples.toDF("version", "committed_at_micros", "num_files", "num_rows", "schema_ddl")
+  }
+
+  /** RESTORE: make an earlier committed version the table's new LATEST
+    * as a metadata-only FORWARD commit — the standard lakehouse undo.
+    * History is append-only (the bad versions stay time-travelable,
+    * unlike a rollback that rewrites the log), restored data files and
+    * deletion vectors must still exist (a vacuum past the target
+    * refuses fast, with the missing paths), and streaming-sink
+    * watermarks KEEP the current high-water marks — an exactly-once
+    * consumer must still recognize an already-delivered batch after
+    * the restore. Bloom refs whose sidecars were vacuumed silently
+    * drop (they are an optimization); DVs are correctness and refuse.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val cur = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    if (version == cur.version) return cur.version
+    val target =
+      try manifest(spark, path, version)
+      catch {
+        case e: java.io.FileNotFoundException => throw new IllegalArgumentException(
+          s"restore to v$version: vacuum already reclaimed that version's manifest", e)
+      }
+    val fs = fsFor(spark, path)
+    val missingData = target.files.filterNot(f => fs.exists(new HPath(s"$path/$f")))
+    val missingDv = target.dvs.values.map(_.file)
+      .filterNot(d => fs.exists(new HPath(s"$path/$d"))).toSeq
+    require(missingData.isEmpty && missingDv.isEmpty,
+      s"restore to v$version: vacuum already reclaimed " +
+        s"${(missingData ++ missingDv).take(3).mkString(", ")} " +
+        s"(${missingData.size + missingDv.size} path(s)); that version is gone")
+    val blooms = target.blooms.filter { case (_, r) =>
+      fs.exists(new HPath(s"$path/${r.file}"))
+    }
+    commitManifest(spark, path, target.copy(version = cur.version + 1,
+      streamBatch = cur.streamBatch, blooms = blooms))
+  }
+
+  /** One-row table detail — the `DESCRIBE DETAIL` surface: current
+    * version and commit time, live file/row/byte totals (row counts
+    * are DV-exact: recorded rows minus vectored positions), partition
+    * layout, and the metadata state (deletion vectors, bloom index,
+    * column mapping, constraints) an operator needs before choosing a
+    * maintenance action. Pure manifest math — no data files open.
+    */
+  def describeDetail(spark: SparkSession, path: String): DataFrame = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val rows = m.files.flatMap(f => m.stats.get(f).map(_.rows)).sum -
+      m.dvs.values.map(_.rows).sum
+    val bytes = m.files.flatMap(f => m.stats.get(f).map(_.bytes)).sum
+    import spark.implicits._
+    Seq((m.version, m.committedAtMicros, m.files.size.toLong, rows, bytes,
+      m.partitionCols.mkString(","), m.dvs.size.toLong, m.dvs.values.map(_.rows).sum,
+      m.blooms.size.toLong,
+      m.colMap.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
+      m.constraints.toSeq.sorted.map { case (n, p) => s"$n: $p" }.mkString("; ")))
+      .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
+        "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
+        "num_bloom_files", "column_mapping", "constraints")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

@@ -55,9 +55,13 @@ object SnapshotSql {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)?(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*;?\s*""".r
 
   private def maintenance(spark: SparkSession, sqlText: String,
                           tables: Map[String, String]): Option[Long] = sqlText match {
@@ -66,12 +70,28 @@ object SnapshotSql {
       Snapshot.vacuum(spark, path,
         keepVersions = Option(retain).map(_.toInt).getOrElse(2))
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
-    case OptimizeRe(ident, zorder) =>
+    case OptimizeRe(ident, whereText, zorder) =>
       val path = pathOf(ident, tables)
       val zcols = Option(zorder).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      Snapshot.compact(spark, path, zorderBy = zcols)
+      val where = Option(whereText).map { t =>
+        refuseSubqueries(spark.sessionState.sqlParser.parseExpression(t), "OPTIMIZE WHERE")
+        org.apache.spark.sql.functions.expr(t)
+      }
+      Snapshot.compact(spark, path, zorderBy = zcols, where = where)
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
+    case RestoreRe(ident, kind, raw) =>
+      val path = pathOf(ident, tables)
+      val version = kind.toUpperCase match {
+        case "VERSION" => raw.trim.toLong
+        case _ =>
+          val micros = evalTimestampMicros(spark,
+            spark.sessionState.sqlParser.parseExpression(raw))
+          Snapshot.versionAtTimestamp(spark, path, micros).getOrElse(
+            throw new IllegalArgumentException(
+              s"Snapshot.sql RESTORE: no version of $ident committed at or before $raw"))
+      }
+      Some(Snapshot.restore(spark, path, version))
     case _ => None
   }
 
@@ -243,6 +263,8 @@ object SnapshotSql {
             tables: Map[String, String]): DataFrame = sqlText match {
     case HistoryRe(ident) =>
       Snapshot.history(spark, pathOf(ident, tables))
+    case DetailRe(ident) =>
+      Snapshot.describeDetail(spark, pathOf(ident, tables))
     case _ =>
       resolveQuery(spark, spark.sessionState.sqlParser.parsePlan(sqlText), tables)
   }
@@ -321,8 +343,8 @@ object SnapshotSql {
     * textual DESCRIBE HISTORY form.
     */
   private def isQueryStatement(spark: SparkSession, stmt: String): Boolean = stmt match {
-    case HistoryRe(_) => true
-    case VacuumRe(_, _) | OptimizeRe(_, _) => false
+    case HistoryRe(_) | DetailRe(_) => true
+    case VacuumRe(_, _) | OptimizeRe(_, _, _) | RestoreRe(_, _, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
