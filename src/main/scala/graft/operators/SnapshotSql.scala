@@ -130,6 +130,27 @@ object SnapshotSql {
         ctas(spark, identName(c.name), c.partitioning, c.query, tables,
           replaceExisting = false, orCreate = true, ignoreIfExists = c.ignoreIfExists)
 
+      case org.apache.spark.sql.catalyst.plans.logical.CreateTable(name, columns, partitioning, _, ignoreIfExists) =>
+        // plain DDL create: an EMPTY snapshot table with the declared
+        // schema and identity partitioning — the shape a ported script
+        // declares before its first INSERT
+        val ident = identName(name)
+        val path = pathOf(ident, tables)
+        val pCols = identityPartitionCols(partitioning, "CREATE TABLE")
+        val schema = StructType(columns.map { cd =>
+          require(cd.defaultValue.isEmpty,
+            s"Snapshot.sql CREATE TABLE: DEFAULT values are not supported (${cd.name})")
+          StructField(cd.name, cd.dataType, cd.nullable)
+        })
+        val exists = Snapshot.latestVersion(spark, path).isDefined
+        if (exists) {
+          if (ignoreIfExists) Snapshot.latestVersion(spark, path).get
+          else throw new IllegalArgumentException(
+            s"Snapshot.sql CREATE TABLE: table '$ident' already exists at $path")
+        } else Snapshot.create(spark, path,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          pCols)
+
       case r: ReplaceTableAsSelect =>
         ctas(spark, identName(r.name), r.partitioning, r.query, tables,
           replaceExisting = true, orCreate = r.orCreate, ignoreIfExists = false)
@@ -349,6 +370,7 @@ object SnapshotSql {
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
              _: InsertIntoStatement | _: CreateTableAsSelect |
+             _: org.apache.spark.sql.catalyst.plans.logical.CreateTable |
              _: ReplaceTableAsSelect | _: AddColumns |
              _: org.apache.spark.sql.catalyst.plans.logical.RenameColumn |
              _: org.apache.spark.sql.catalyst.plans.logical.DropColumns |
@@ -459,20 +481,7 @@ object SnapshotSql {
                    replaceExisting: Boolean, orCreate: Boolean,
                    ignoreIfExists: Boolean): Long = {
     val path = pathOf(ident, tables)
-    // the Scala case classes behind Transform are private[sql]; the
-    // public face is the Java interface — identity transforms are
-    // name "identity" with exactly one single-part column reference
-    val pCols = partitioning.map { t =>
-      t.references match {
-        case Array(ref) if t.name == "identity" => ref.fieldNames match {
-          case Array(one) => one
-          case other => throw new IllegalArgumentException(
-            s"Snapshot.sql CTAS: nested partition reference ${other.mkString(".")}")
-        }
-        case _ => throw new IllegalArgumentException(
-          s"Snapshot.sql CTAS: only identity PARTITIONED BY columns are supported, got $t")
-      }
-    }
+    val pCols = identityPartitionCols(partitioning, "CTAS")
     val exists = Snapshot.latestVersion(spark, path).isDefined
     lazy val df = resolveQuery(spark, query, tables)
     if (!replaceExisting) {
@@ -539,6 +548,23 @@ object SnapshotSql {
     if (i.overwrite) Snapshot.overwrite(spark, path, out)
     else Snapshot.append(spark, path, out)
   }
+
+  /** The Scala case classes behind Transform are private[sql]; the
+    * public face is the Java interface — identity transforms are
+    * name "identity" with exactly one single-part column reference.
+    */
+  private def identityPartitionCols(partitioning: Seq[Transform], what: String): Seq[String] =
+    partitioning.map { t =>
+      t.references match {
+        case Array(ref) if t.name == "identity" => ref.fieldNames match {
+          case Array(one) => one
+          case other => throw new IllegalArgumentException(
+            s"Snapshot.sql $what: nested partition reference ${other.mkString(".")}")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"Snapshot.sql $what: only identity PARTITIONED BY columns are supported, got $t")
+      }
+    }
 
   private def identName(name: LogicalPlan): String = name match {
     case u: UnresolvedIdentifier => u.nameParts.mkString(".")

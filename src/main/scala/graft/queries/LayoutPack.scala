@@ -500,6 +500,38 @@ object LayoutPack extends QueryPack {
       Map("orders_cm" -> dir))
   }
 
+  val q135 = QueryDef.staged(
+    "q135_restore_undo",
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the fact lands, a WRONG maintenance DELETE
+    // destroys a slice, and SQL-text RESTORE undoes it as a
+    // metadata-only forward commit — the lakehouse answer to the
+    // reference's recurring re-extract-after-bad-load pattern
+    // (delete-and-replace windows exist exactly because loads go
+    // wrong). The oracle recomputes from the raw table, so the gate
+    // fails if restore loses, duplicates or re-types anything.
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q135").toString + "/orders_s"
+    val reg = Map("orders_r" -> dir)
+    Snapshot.create(t.spark, dir,
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartition(4))
+    val good = Snapshot.latestManifest(t.spark, dir).get.version
+    Snapshot.sql(t.spark,
+      "DELETE FROM orders_r WHERE o_orderpriority = '1-URGENT'", reg)
+    Snapshot.sql(t.spark, s"RESTORE TABLE orders_r TO VERSION AS OF $good", reg)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the rollup over the restored table through plain SQL.
+    graft.operators.Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_r GROUP BY 1 ORDER BY 1""".stripMargin,
+      Map("orders_r" -> dir))
+  }
+
   val q128 = QueryDef(
     "q128_row_level_dml",
     Some("""WITH survivors AS (
@@ -830,5 +862,5 @@ object LayoutPack extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

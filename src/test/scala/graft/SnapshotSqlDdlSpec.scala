@@ -328,4 +328,31 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     assert(splitStatements("-- c1; still comment\nSELECT 1; /* c2; */ SELECT 2") ==
       Seq("-- c1; still comment\nSELECT 1", "/* c2; */ SELECT 2"))
   }
+
+  test("CREATE TABLE (column list) declares an empty table; INSERT VALUES fills it") {
+    val t = tmp("create")
+    val reg = Map("tnew" -> t)
+    Snapshot.sql(spark,
+      "CREATE TABLE tnew (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)", reg)
+    val m = Snapshot.latestManifest(spark, t).get
+    assert(m.partitionCols == Seq("p"))
+    assert(Snapshot.read(spark, t).columns.toSeq == Seq("id", "p", "v"))
+    assert(Snapshot.read(spark, t).count() == 0)
+    // literal VALUES ride the existing INSERT routing
+    Snapshot.sql(spark, "INSERT INTO tnew VALUES (1, 'even', 10), (2, 'odd', 20)", reg)
+    assert(rows(Snapshot.read(spark, t)) == Set((1L, "even", 10L), (2L, "odd", 20L)))
+    // IF NOT EXISTS is a no-op; a bare re-create refuses
+    Snapshot.sql(spark, "CREATE TABLE IF NOT EXISTS tnew (id BIGINT)", reg)
+    assert(Snapshot.read(spark, t).count() == 2)
+    intercept[IllegalArgumentException](
+      Snapshot.sql(spark, "CREATE TABLE tnew (id BIGINT)", reg))
+    // a whole declare-then-load script, the ported-job shape
+    val t2 = tmp("create2")
+    val out = Snapshot.sqlScript(spark,
+      """CREATE TABLE t2 (k BIGINT, w STRING);
+        |INSERT INTO t2 VALUES (7, 'x');
+        |INSERT INTO t2 VALUES (8, 'y');
+        |SELECT k, w FROM t2 ORDER BY k""".stripMargin, Map("t2" -> t2))
+    assert(out.get.as[(Long, String)].collect().toSeq == Seq(7L -> "x", 8L -> "y"))
+  }
 }
