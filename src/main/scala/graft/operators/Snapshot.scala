@@ -1053,6 +1053,12 @@ object Snapshot {
       val m = if (attempt == 0) m0 else latestManifest(spark, path).getOrElse(m0)
       if (!guard(m)) return None
       val ddl = resolveDdl(m)
+      // a rebase may land on a manifest whose CONSTRAINT set grew since
+      // the batch was validated (pre-write, against m0) — revalidate the
+      // new conjuncts before committing, or a concurrent ADD CONSTRAINT
+      // would admit unvalidated rows
+      val newConstraints = m.constraints.filter { case (k, p) => !m0.constraints.get(k).contains(p) }
+      if (newConstraints.nonEmpty) checkConstraints(df, newConstraints)
       try {
         return Some(commitManifest(spark, path, finish(m.copy(version = m.version + 1,
           schemaDdl = ddl, files = m.files ++ files, stats = m.stats ++ newStats))))
@@ -2081,6 +2087,15 @@ object Snapshot {
             (if (missing.nonEmpty) s"removed ${missing.take(3).mkString(", ")}"
              else s"changed deletion vectors of ${dvDrift.take(3).mkString(", ")}") +
             " — this rewrite was derived from stale rows")
+      // a CONSTRAINT added mid-rewrite is a write-write conflict too:
+      // this rewrite's rows were validated against the base's set, so
+      // rebasing past a new constraint would commit unvalidated rows
+      // (DML statements re-derive on this and revalidate; compaction's
+      // rows are unchanged but re-deriving is still the honest answer)
+      if (m.constraints != base.constraints)
+        throw new CommitConflictException(
+          s"snapshot rewrite conflict at $path: table constraints changed " +
+            "mid-rewrite; rows were validated against a stale constraint set")
       val kept = m.files.filterNot(drop)
       try {
         return commitManifest(spark, path, m.copy(
@@ -2246,9 +2261,15 @@ object Snapshot {
   def describeDetail(spark: SparkSession, path: String): DataFrame = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val rows = m.files.flatMap(f => m.stats.get(f).map(_.rows)).sum -
-      m.dvs.values.map(_.rows).sum
-    val bytes = m.files.flatMap(f => m.stats.get(f).map(_.bytes)).sum
+    // a file without recorded stats makes the totals unknowable —
+    // answer NULL, never a silent undercount
+    val complete = m.files.forall(m.stats.contains)
+    val rows: java.lang.Long =
+      if (!complete) null
+      else Long.box(m.files.map(m.stats(_).rows).sum - m.dvs.values.map(_.rows).sum)
+    val bytes: java.lang.Long =
+      if (!complete || m.files.exists(m.stats(_).bytes <= 0L)) null
+      else Long.box(m.files.map(m.stats(_).bytes).sum)
     import spark.implicits._
     Seq((m.version, m.committedAtMicros, m.files.size.toLong, rows, bytes,
       m.partitionCols.mkString(","), m.dvs.size.toLong, m.dvs.values.map(_.rows).sum,

@@ -336,13 +336,19 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       // and no empty batch triggers. (version, index) compares raw —
       // Done is MaxValue, so complete-through-v sorts after any chunk
       // of v — and never materializes a file list.
-      val result = out match {
-        case Some(next) if after(next, base) => next
-        case _ if lastSeen.isEmpty => out.getOrElse(base)
-        case _ => base
+      // a base past the latest committed version (startingVersion in
+      // the future) has nothing to emit and no manifest to pin — report
+      // no offset until a commit catches up
+      if (out.isEmpty && base.version > vLatest && lastSeen.isEmpty) None
+      else {
+        val result = out match {
+          case Some(next) if after(next, base) => next
+          case _ if lastSeen.isEmpty => out.getOrElse(base)
+          case _ => base
+        }
+        lastSeen = Some(result)
+        Some(result)
       }
-      lastSeen = Some(result)
-      Some(result)
     }
   }
 

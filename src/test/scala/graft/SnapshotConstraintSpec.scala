@@ -72,6 +72,58 @@ class SnapshotConstraintSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, t).get.constraints == Map("x_pos" -> "x > 0"))
   }
 
+  test("a constraint added mid-append revalidates on rebase; mid-rewrite it conflicts") {
+    val dir = Files.createTempDirectory("graft-constraint-race").toString
+    val t = s"$dir/t"
+    Snapshot.create(spark, t, Seq((1L, 10.0)).toDF("id", "x").repartition(1))
+    // inject a concurrent ADD CONSTRAINT after the append's txn files
+    // land but before its commit — the rebase must revalidate the batch
+    @volatile var fired = false
+    Snapshot.faultHook = { label =>
+      if (label == "data-files-written" && !fired) {
+        fired = true
+        Snapshot.addConstraint(spark, t, "x_pos", "x > 0")
+      }
+    }
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Snapshot.append(spark, t, Seq((2L, -2.0)).toDF("id", "x").repartition(1))
+      }
+      assert(ex.getMessage.contains("x_pos"),
+        s"rebase must revalidate against the new constraint, got: ${ex.getMessage}")
+    } finally Snapshot.faultHook = _ => ()
+    assert(Snapshot.read(spark, t).count() == 1, "violating batch must not be live")
+    // and a VALID batch under the same race lands fine
+    fired = false
+    Snapshot.dropConstraint(spark, t, "x_pos")
+    Snapshot.faultHook = { label =>
+      if (label == "data-files-written" && !fired) {
+        fired = true
+        Snapshot.addConstraint(spark, t, "x_pos2", "x > 0")
+      }
+    }
+    try Snapshot.append(spark, t, Seq((3L, 3.0)).toDF("id", "x").repartition(1))
+    finally Snapshot.faultHook = _ => ()
+    assert(Snapshot.read(spark, t).count() == 2)
+    // a file-precise rewrite (compact) derived before the constraint
+    // change refuses instead of committing rows validated against a
+    // stale set
+    Snapshot.append(spark, t, Seq((4L, 4.0)).toDF("id", "x").repartition(1))
+    Snapshot.append(spark, t, Seq((5L, 5.0)).toDF("id", "x").repartition(1))
+    fired = false
+    Snapshot.faultHook = { label =>
+      if (label == "data-files-written" && !fired) {
+        fired = true
+        Snapshot.addConstraint(spark, t, "x_cap", "x < 100")
+      }
+    }
+    try {
+      intercept[Snapshot.CommitConflictException] {
+        Snapshot.compact(spark, t, minFiles = 2)
+      }
+    } finally Snapshot.faultHook = _ => ()
+  }
+
   test("SQL front end: ADD/DROP CONSTRAINT CHECK; referenced-column DDL refuses") {
     val dir = Files.createTempDirectory("graft-constraint-sql").toString
     val t = s"$dir/t"
