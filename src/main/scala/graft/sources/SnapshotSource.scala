@@ -73,7 +73,12 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException("graft-snapshot needs a path"))
     val m = Snapshot.latestManifest(sqlContext.sparkSession, path)
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    (shortName(), schema.getOrElse(StructType.fromDDL(m.schemaDdl)))
+    val base = StructType.fromDDL(m.schemaDdl)
+    val out =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        StructType(base.fields ++ SnapshotCdfStreamSource.MetaFields)
+      else base
+    (shortName(), schema.getOrElse(out))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -81,8 +86,17 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path"))
-    new SnapshotStreamSource(sqlContext.sparkSession, path,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+    val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      require(!parameters.contains("skipChangeCommits"),
+        "readChangeFeed streams rewrites as row changes; skipChangeCommits does not apply")
+      new SnapshotCdfStreamSource(sqlContext.sparkSession, path, resolved,
+        startingVersion = parameters.get("startingVersion").map(_.toLong),
+        maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { raw =>
+          val n = raw.toInt
+          require(n > 0, s"maxFilesPerTrigger must be positive, got $raw"); n
+        })
+    } else new SnapshotStreamSource(sqlContext.sparkSession, path, resolved,
       startingVersion = parameters.get("startingVersion").map(_.toLong),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { raw =>
@@ -508,4 +522,147 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
   override lazy val sizeInBytes: Long =
     m.files.map(f => m.stats.get(f).map(_.bytes).filter(_ > 0L)
       .getOrElse(fs.getFileStatus(new HPath(qualifiedRoot, f)).getLen)).sum
+}
+
+/** The change feed as a Structured Streaming SOURCE
+  * (`readChangeFeed = true`): each micro-batch is the ROW-EXACT
+  * changes of a range of commits — inserts and deletes tagged in
+  * `_change_type`, stamped with `_commit_version` and
+  * `_commit_timestamp` — the CDC contract a downstream incremental
+  * consumer wants when the upstream table REWRITES (merges, DML,
+  * compaction): unlike the appends-only stream, a rewrite commit is
+  * data here, not an error. Per commit the feed is reconciled
+  * (`readChanges(net = true)`), so a compaction that moves rows
+  * without changing them emits NOTHING and a point delete emits
+  * exactly its rows. Offsets are whole versions; `maxFilesPerTrigger`
+  * bounds a batch's admission by the CHANGED-file count (always at
+  * least one commit, so progress is guaranteed). With no
+  * `startingVersion` the stream starts at the CURRENT latest version
+  * and emits only future changes.
+  *
+  * Batches materialize through a row-based relation (the change set
+  * is a reconciled union over the changed files only — incremental by
+  * construction, never the 100 TB of unchanged table).
+  */
+final class SnapshotCdfStreamSource(spark: SparkSession, path: String,
+                                    override val schema: StructType,
+                                    startingVersion: Option[Long],
+                                    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.graftbridge.StreamBridge
+
+  /** Base version: changes stream from the NEXT commit after this. */
+  @volatile private var lastSeen: Option[Long] = None
+
+  private def changedFiles(v: Long): Int = {
+    val cur = Snapshot.manifest(spark, path, v)
+    // the log's first version has no parent: everything is a change
+    SnapshotCdfStreamSource.parentOf(spark, path, v) match {
+      case None => cur.files.size
+      case Some(prev) =>
+        val dvChanged = cur.files.intersect(prev.files)
+          .count(f => prev.dvs.get(f) != cur.dvs.get(f))
+        cur.files.diff(prev.files).size + prev.files.diff(cur.files).size + dvChanged
+    }
+  }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    Snapshot.latestVersion(spark, path).map { vLatest =>
+      val base = lastSeen.getOrElse(startingVersion.getOrElse(vLatest))
+      val capped = maxFilesPerTrigger match {
+        case None => vLatest
+        case Some(cap) =>
+          var v = base
+          var files = 0L
+          while (v < vLatest && (files == 0L || files + changedFiles(v + 1) <= cap)) {
+            v += 1; files += changedFiles(v)
+          }
+          v
+      }
+      val next = math.max(base, capped)
+      lastSeen = Some(next)
+      StreamBridge.longOffset(next)
+    }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
+    val vEnd = StreamBridge.offsetVersion(end)
+    val vStart = start.map(StreamBridge.offsetVersion)
+      .orElse(startingVersion)
+      .getOrElse(vEnd) // stream beginning with no startingVersion: only the future
+    if (lastSeen.forall(_ < vEnd)) lastSeen = Some(vEnd) // v1 recovery re-seed
+    StreamBridge.streamingScan(spark,
+      new CdfBatchRelation(spark, path, vStart, vEnd, schema))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotCdfStreamSource[$path]"
+}
+
+object SnapshotCdfStreamSource {
+  val MetaFields: Array[org.apache.spark.sql.types.StructField] = Array(
+    org.apache.spark.sql.types.StructField("_change_type", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_timestamp", TimestampType, nullable = true))
+
+  /** The parent manifest of version v, or None when v is the log's
+    * FIRST version (a `startingVersion` of 0 streams the create commit
+    * itself — everything in it is an insert).
+    */
+  private[sources] def parentOf(spark: SparkSession, path: String,
+                                v: Long): Option[Snapshot.Manifest] =
+    try Some(Snapshot.manifest(spark, path, v - 1))
+    catch { case _: java.io.FileNotFoundException => None }
+}
+
+/** Row-based relation holding the reconciled changes of (vFrom, vTo]:
+  * one `readChanges(net = true)` per commit, stamped and unioned. The
+  * range is bounded by the source's admission cap, and each commit's
+  * reconciliation touches only its changed files.
+  */
+final class CdfBatchRelation(spark: SparkSession, path: String,
+                             vFrom: Long, vTo: Long, tableSchema: StructType)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = tableSchema
+
+  private def changes(): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    if (vFrom >= vTo) return empty
+    val perCommit = (vFrom + 1 to vTo).flatMap { v =>
+      val m = Snapshot.manifest(spark, path, v)
+      def stamped(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          if (m.committedAtMicros > 0L) timestamp_micros(lit(m.committedAtMicros))
+          else lit(null).cast(TimestampType))
+      SnapshotCdfStreamSource.parentOf(spark, path, v) match {
+        case None =>
+          // the log's first version: the whole create commit is inserts
+          Some(stamped(Snapshot.readManifestFiles(spark, path, m, m.files)
+            .withColumn("_change_type", lit("insert"))))
+        // a METADATA-ONLY commit (constraint, bloom index, rename,
+        // widening) moves no rows: emit nothing, and never trip
+        // readChanges' schema-stable-window requirement on it
+        case Some(prev) if m.files == prev.files && m.dvs == prev.dvs => None
+        case Some(_) =>
+          Some(stamped(Snapshot.readChanges(spark, path, v - 1, v, net = true)))
+      }
+    }
+    if (perCommit.isEmpty) empty
+    else perCommit.reduce(_ unionByName _)
+      .select(tableSchema.fields.map(f => org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
+  }
+
+  override def buildScan(requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val df = changes()
+    if (requiredColumns.isEmpty)
+      df.select("_commit_version").rdd.map(_ => org.apache.spark.sql.Row.empty)
+    else df.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
+  }
+
+  override def toString: String = s"CdfBatchRelation[$path v$vFrom..v$vTo]"
 }
