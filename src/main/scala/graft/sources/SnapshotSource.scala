@@ -143,18 +143,28 @@ object SnapshotSource {
 }
 
 /** Merge-on-read fallback relation for manifests with live deletion
-  * vectors: delegates to the snapshot read core (broadcast positional
-  * anti-join) and hands Spark the rows. Declares every filter
-  * unhandled, so Spark re-applies them above — pruning inside the core
-  * stays an optimization.
+  * vectors or active column mapping: delegates to the snapshot read
+  * core (broadcast positional anti-join; logical relabeling) and hands
+  * Spark the rows. Pushed filters drive MANIFEST pruning — stats,
+  * partition values and bloom sidecars cut the file list exactly as
+  * the native path's FileIndex would, so a point lookup on a DV'd
+  * table still opens only the files that can match — but every filter
+  * is declared UNHANDLED, so Spark re-applies them above and pruning
+  * stays an optimization by construction.
   */
 final class DvSnapshotRelation(spark: SparkSession, path: String,
                                m: Snapshot.Manifest, tableSchema: StructType)
-    extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = tableSchema
-  override def buildScan(requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-    val df = Snapshot.readManifestFiles(spark, path, m, m.files)
+  override def unhandledFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] =
+    filters // re-applied above: pruning below can only skip provably-unmatchable files
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val kept =
+      if (filters.isEmpty) m.files
+      else SnapshotStats.pruneByFilters(spark, m, filters, Some(path))
+    val df = Snapshot.readManifestFiles(spark, path, m, kept)
     if (requiredColumns.isEmpty) {
       // count-style scan: project the narrowest column so the fallback
       // never reads and converts the full row width, then emit the

@@ -73,6 +73,29 @@ class SnapshotBloomSpec extends SparkSpec {
       s"SQL scan should bloom-prune 4 -> 1, saw ${SnapshotStats.lastPrune}")
   }
 
+  test("the DV'd/mapped SQL fallback relation prunes by stats and blooms too") {
+    val dir = Files.createTempDirectory("graft-bloom-fallback").toString
+    val t = fixture(dir)
+    Snapshot.bloomIndex(spark, t, Seq("id"))
+    // a point delete below the fold threshold leaves a live DV, so the
+    // SQL source plans through the row-based fallback relation
+    Snapshot.append(spark, t,
+      (300L to 309L).map(i => i -> s"w$i").toDF("id", "w").repartition(1))
+    Snapshot.delete(spark, t, col("id") === 300L)
+    assert(Snapshot.latestManifest(spark, t).get.dvs.nonEmpty)
+    val df = spark.read.format("graft.sources.SnapshotSource").load(t)
+    df.createOrReplaceTempView("bloom_dv_t")
+    import spark.implicits._
+    val got = spark.sql("SELECT id, w FROM bloom_dv_t WHERE id = 103")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(103L -> "w103"))
+    val (kept, total) = graft.operators.SnapshotStats.lastPrune
+    assert(total == 5 && kept <= 2,
+      s"fallback scan must prune by bloom sidecars: kept $kept of $total")
+    // and the deleted row is gone through the same path
+    assert(spark.sql("SELECT * FROM bloom_dv_t WHERE id = 300").isEmpty)
+  }
+
   test("indexing is incremental over appends and idempotent when current") {
     val dir = Files.createTempDirectory("graft-bloom-incr").toString
     val t = fixture(dir)
