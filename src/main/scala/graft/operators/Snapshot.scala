@@ -130,7 +130,8 @@ object Snapshot {
                             blooms: Map[String, BloomRef] = Map.empty,
                             colMap: Map[String, String] = Map.empty,
                             retired: Seq[String] = Nil,
-                            constraints: Map[String, String] = Map.empty)
+                            constraints: Map[String, String] = Map.empty,
+                            generatedCols: Map[String, String] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -365,7 +366,8 @@ object Snapshot {
       parseBlooms(root, "blooms"),
       parseColMap(root, "colMap"),
       parseStrings(root, "retiredCols"),
-      parseColMap(root, "constraints"))
+      parseColMap(root, "constraints"),
+      parseColMap(root, "generatedCols"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -672,9 +674,22 @@ object Snapshot {
         s"CHECK constraint $n violated ($p); e.g. row ${bad.headOption.getOrElse("")}")
     }
 
-  private def writeTxnFiles(df0: DataFrame, path: String, partitionCols: Seq[String],
+  /** Apply GENERATED-column expressions, overwriting any caller-given
+    * values: the invariant (generated value ≡ generator over its row)
+    * holds by construction on every write path — an UPDATE of the
+    * source column re-derives its partition value for free, and no
+    * validation scan is ever needed.
+    */
+  private def withGenerated(df: DataFrame, generated: Map[String, String]): DataFrame =
+    generated.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, g)) =>
+      d.withColumn(c, expr(g))
+    }
+
+  private def writeTxnFiles(df1: DataFrame, path: String, partitionCols: Seq[String],
                             colMap: Map[String, String] = Map.empty,
-                            constraints: Map[String, String] = Map.empty): Seq[String] = {
+                            constraints: Map[String, String] = Map.empty,
+                            generated: Map[String, String] = Map.empty): Seq[String] = {
+    val df0 = withGenerated(df1, generated)
     checkConstraints(df0, constraints)
     // files ALWAYS store physical names, whatever the logical schema
     // says today — that uniformity is what makes rename metadata-only
@@ -784,6 +799,10 @@ object Snapshot {
       val cn = node.putObject("constraints")
       m.constraints.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
     }
+    if (m.generatedCols.nonEmpty) {
+      val gn = node.putObject("generatedCols")
+      m.generatedCols.toSeq.sortBy(_._1).foreach { case (n, g) => gn.put(n, g) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -834,6 +853,10 @@ object Snapshot {
       val cn = node.putObject("constraintsSet")
       m.constraints.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
     }
+    if (m.generatedCols != parent.generatedCols) {
+      val gn = node.putObject("generatedColsSet")
+      m.generatedCols.toSeq.sortBy(_._1).foreach { case (n, g) => gn.put(n, g) }
+    }
     val sbPut = m.streamBatch.filter { case (k, v) => parent.streamBatch.get(k) != Some(v) }
     if (sbPut.nonEmpty) {
       val sb = node.putObject("streamBatchPut")
@@ -877,7 +900,8 @@ object Snapshot {
       dvs, blooms,
       if (root.has("colMapSet")) parseColMap(root, "colMapSet") else parent.colMap,
       if (root.has("retiredSet")) parseStrings(root, "retiredSet") else parent.retired,
-      if (root.has("constraintsSet")) parseColMap(root, "constraintsSet") else parent.constraints)
+      if (root.has("constraintsSet")) parseColMap(root, "constraintsSet") else parent.constraints,
+      if (root.has("generatedColsSet")) parseColMap(root, "generatedColsSet") else parent.generatedCols)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -889,7 +913,8 @@ object Snapshot {
       a.schemaDdl == b.schemaDdl && a.files.toSet == b.files.toSet &&
       a.files.size == b.files.size && a.stats == b.stats &&
       a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms &&
-      a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints
+      a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints &&
+      a.generatedCols == b.generatedCols
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -975,14 +1000,24 @@ object Snapshot {
       StructType(StructType.fromDDL(schemaDdl).fields.map(f =>
         f.copy(name = colMap.getOrElse(f.name, f.name)))), partitionCols)
 
-  /** Initialize a snapshot table (version 1) from `df`. */
+  /** Initialize a snapshot table (version 1) from `df`. `generatedCols`
+    * maps a column name to a generator SQL expression over the row
+    * (the engine's partition-transform support — `PARTITIONED BY
+    * (days(ts))` becomes a visible generated DATE column the writers
+    * derive on every load, the reference's DAY-partitioned BigQuery
+    * landing-table shape); generated values are (re)computed on every
+    * write, so the invariant never depends on the caller.
+    */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             partitionCols: Seq[String] = Nil): Long = {
+             partitionCols: Seq[String] = Nil,
+             generatedCols: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
-    val ddl = df.schema.toDDL
-    val files = writeTxnFiles(df, path, partitionCols)
+    val full = withGenerated(df, generatedCols)
+    val ddl = full.schema.toDDL
+    val files = writeTxnFiles(full, path, partitionCols)
     commitManifest(spark, path, Manifest(1L, partitionCols, ddl, files,
-      statsFor(spark, path, files, ddl, partitionCols)))
+      statsFor(spark, path, files, ddl, partitionCols),
+      generatedCols = generatedCols))
   }
 
   /** K1 append: new version = old live set + the new txn's files.
@@ -1016,7 +1051,10 @@ object Snapshot {
     def resolveDdl(m: Manifest): String = {
       val table = StructType.fromDDL(m.schemaDdl)
       val newCols = df.schema.fields.filter(f => !table.fieldNames.contains(f.name))
+      // generated columns derive on write — a batch never has to
+      // (and usually should not) carry them
       val missing = table.fieldNames.filterNot(df.columns.contains)
+        .filterNot(m.generatedCols.contains)
       if (!mergeSchema) {
         require(newCols.isEmpty && missing.isEmpty,
           s"append schema mismatch (new: ${newCols.map(_.name).mkString(",")}; " +
@@ -1044,10 +1082,14 @@ object Snapshot {
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     resolveDdl(m0) // fail fast before any data lands
     if (!guard(m0)) return None
-    val files = writeTxnFiles(df, path, m0.partitionCols, m0.colMap, m0.constraints)
+    // derive generated columns BEFORE stats: the written files carry
+    // them, so their stats (and partition pseudo-stats) must too, or
+    // the new files would be unprunable on the partition column
+    val full = withGenerated(df, m0.generatedCols)
+    val files = writeTxnFiles(full, path, m0.partitionCols, m0.colMap, m0.constraints)
     // the batch's own schema covers exactly the new files' columns, so
     // stats are computed once and reused across commit retries
-    val newStats = statsFor(spark, path, files, df.schema.toDDL, m0.partitionCols, m0.colMap)
+    val newStats = statsFor(spark, path, files, full.schema.toDDL, m0.partitionCols, m0.colMap)
     var attempt = 0
     while (true) {
       val m = if (attempt == 0) m0 else latestManifest(spark, path).getOrElse(m0)
@@ -1202,6 +1244,10 @@ object Snapshot {
       require(referencedBy.isEmpty,
         s"renameColumn: $from is referenced by CHECK constraint(s) " +
           s"${referencedBy.keys.mkString(", ")}; drop them first")
+      val generatorOf = m.generatedCols.filter(g => constraintRefs(spark, g._2).contains(from))
+      require(generatorOf.isEmpty,
+        s"renameColumn: $from is the source of generated column(s) " +
+          s"${generatorOf.keys.mkString(", ")}")
       val phys = physicalOf(m, from)
       val ddl = StructType(table.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)).toDDL
@@ -1283,6 +1329,10 @@ object Snapshot {
       require(referencedBy.isEmpty,
         s"dropColumn: $name is referenced by CHECK constraint(s) " +
           s"${referencedBy.keys.mkString(", ")}; drop them first")
+      val generatorOf = m.generatedCols.filter(g => constraintRefs(spark, g._2).contains(name))
+      require(generatorOf.isEmpty,
+        s"dropColumn: $name is the source of generated column(s) " +
+          s"${generatorOf.keys.mkString(", ")}")
       val phys = physicalOf(m, name)
       val ddl = StructType(table.fields.filterNot(_.name == name)).toDDL
       try return commitManifest(spark, path,
@@ -1305,8 +1355,11 @@ object Snapshot {
                             finish: Manifest => Manifest): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val ddl = df.schema.toDDL
-    val files = writeTxnFiles(df, path, m.partitionCols, constraints = m.constraints)
+    // an overwrite keeps the table's generated partition columns: the
+    // replacement derives them like any other load
+    val full = withGenerated(df, m.generatedCols)
+    val ddl = full.schema.toDDL
+    val files = writeTxnFiles(full, path, m.partitionCols, constraints = m.constraints)
     // streamBatch watermarks survive an overwrite: a foreachBatch
     // redelivery after a full rewrite must still be recognized as a
     // duplicate, or appendBatch's exactly-once contract breaks.
@@ -1360,7 +1413,8 @@ object Snapshot {
                                   replacement: DataFrame,
                                   dropOld: Map[String, String] => Boolean): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
-    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap, m.constraints)
+    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap, m.constraints,
+      m.generatedCols)
     val newParts = newFiles.map(partitionValues(m.partitionCols, _)).toSet
     val kept = m.files.filterNot { f =>
       val pv = partitionValues(m.partitionCols, f)
@@ -1784,7 +1838,7 @@ object Snapshot {
       if (rewrite.isEmpty) Nil
       else writeTxnFiles(
         readFiles(spark, path, m, Some(rewrite)).select(applySet(onlyMatched = false): _*),
-        path, m.partitionCols, m.colMap, m.constraints)
+        path, m.partitionCols, m.colMap, m.constraints, m.generatedCols)
     val (dvNew, updatedFiles) =
       if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
       else {
@@ -1797,7 +1851,7 @@ object Snapshot {
         try (
           writeDvFrom(spark, path, m, matchedRows, dvTier),
           writeTxnFiles(matchedRows.select(applySet(onlyMatched = true): _*),
-            path, m.partitionCols, m.colMap, m.constraints))
+            path, m.partitionCols, m.colMap, m.constraints, m.generatedCols))
         finally matchedRows.unpersist()
       }
     val committed = commitRebasing(spark, path, m,

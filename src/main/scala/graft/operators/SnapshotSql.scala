@@ -136,12 +136,22 @@ object SnapshotSql {
         // declares before its first INSERT
         val ident = identName(name)
         val path = pathOf(ident, tables)
-        val pCols = identityPartitionCols(partitioning, "CREATE TABLE")
-        val schema = StructType(columns.map { cd =>
+        val (pCols, genCols) = partitionSpec(partitioning, "CREATE TABLE")
+        val declared = StructType(columns.map { cd =>
           require(cd.defaultValue.isEmpty,
             s"Snapshot.sql CREATE TABLE: DEFAULT values are not supported (${cd.name})")
           StructField(cd.name, cd.dataType, cd.nullable)
         })
+        // a transform's generated column joins the schema with the
+        // transform's own type (days/months/years → DATE, hours →
+        // TIMESTAMP)
+        val genFields = genCols.keys.toSeq.sorted
+          .filterNot(g => declared.fieldNames.contains(g)).map { g =>
+            StructField(g,
+              if (g.endsWith("_hour")) org.apache.spark.sql.types.TimestampType
+              else org.apache.spark.sql.types.DateType)
+          }
+        val schema = StructType(declared.fields ++ genFields)
         val exists = Snapshot.latestVersion(spark, path).isDefined
         if (exists) {
           if (ignoreIfExists) Snapshot.latestVersion(spark, path).get
@@ -149,7 +159,7 @@ object SnapshotSql {
             s"Snapshot.sql CREATE TABLE: table '$ident' already exists at $path")
         } else Snapshot.create(spark, path,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-          pCols)
+          pCols, genCols)
 
       case r: ReplaceTableAsSelect =>
         ctas(spark, identName(r.name), r.partitioning, r.query, tables,
@@ -481,7 +491,7 @@ object SnapshotSql {
                    replaceExisting: Boolean, orCreate: Boolean,
                    ignoreIfExists: Boolean): Long = {
     val path = pathOf(ident, tables)
-    val pCols = identityPartitionCols(partitioning, "CTAS")
+    val (pCols, genCols) = partitionSpec(partitioning, "CTAS")
     val exists = Snapshot.latestVersion(spark, path).isDefined
     lazy val df = resolveQuery(spark, query, tables)
     if (!replaceExisting) {
@@ -491,15 +501,17 @@ object SnapshotSql {
           s"Snapshot.sql: table '$ident' already exists at $path " +
             "(use CREATE OR REPLACE TABLE … AS SELECT)")
       }
-      Snapshot.create(spark, path, df, pCols)
+      Snapshot.create(spark, path, df, pCols, genCols)
     } else if (exists) {
       val m = Snapshot.latestManifest(spark, path).get
       require(pCols.isEmpty || pCols == m.partitionCols,
         s"Snapshot.sql: REPLACE cannot change partitioning of '$ident' " +
           s"(${m.partitionCols.mkString(", ")} -> ${pCols.mkString(", ")})")
+      require(genCols.isEmpty || genCols == m.generatedCols,
+        s"Snapshot.sql: REPLACE cannot change the partition transform of '$ident'")
       Snapshot.overwrite(spark, path, df)
     } else if (orCreate) {
-      Snapshot.create(spark, path, df, pCols)
+      Snapshot.create(spark, path, df, pCols, genCols)
     } else throw new IllegalArgumentException(
       s"Snapshot.sql: REPLACE TABLE '$ident': no table at $path " +
         "(use CREATE OR REPLACE)")
@@ -525,10 +537,14 @@ object SnapshotSql {
     val out =
       if (i.byName) df
       else {
-        // canonicalize the target list to the table's own column names
+        // canonicalize the target list to the table's own column names;
+        // with no explicit list, a query that omits exactly the
+        // GENERATED columns maps to the non-generated schema (the
+        // engine derives the rest on write)
         val canon =
           (if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
-           else schema.fieldNames.toSeq).map { n =>
+           else if (df.columns.length == schema.fields.length) schema.fieldNames.toSeq
+           else schema.fieldNames.toSeq.filterNot(m.generatedCols.contains)).map { n =>
             schema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
               throw new IllegalArgumentException(
                 s"Snapshot.sql INSERT: unknown column $n"))
@@ -550,21 +566,46 @@ object SnapshotSql {
   }
 
   /** The Scala case classes behind Transform are private[sql]; the
-    * public face is the Java interface — identity transforms are
-    * name "identity" with exactly one single-part column reference.
+    * public face is the Java interface. Identity transforms partition
+    * on the named column; the TIME transforms (`days/months/years/
+    * hours(ts)` — the reference's DAY/MONTH-partitioned BigQuery
+    * landing tables) become a VISIBLE generated column (`ts_day`, …)
+    * the writers derive on every load. Returns (partition columns in
+    * declared order, generated-column name → generator SQL).
     */
-  private def identityPartitionCols(partitioning: Seq[Transform], what: String): Seq[String] =
-    partitioning.map { t =>
-      t.references match {
-        case Array(ref) if t.name == "identity" => ref.fieldNames match {
+  private def partitionSpec(partitioning: Seq[Transform],
+                            what: String): (Seq[String], Map[String, String]) = {
+    val gen = Map.newBuilder[String, String]
+    val cols = partitioning.map { t =>
+      val src = t.references match {
+        case Array(ref) => ref.fieldNames match {
           case Array(one) => one
           case other => throw new IllegalArgumentException(
             s"Snapshot.sql $what: nested partition reference ${other.mkString(".")}")
         }
         case _ => throw new IllegalArgumentException(
-          s"Snapshot.sql $what: only identity PARTITIONED BY columns are supported, got $t")
+          s"Snapshot.sql $what: unsupported PARTITIONED BY transform $t")
+      }
+      t.name match {
+        case "identity" => src
+        case "days"   => gen += s"${src}_day" -> s"CAST(date_trunc('DAY', `$src`) AS DATE)"; s"${src}_day"
+        case "months" => gen += s"${src}_month" -> s"CAST(date_trunc('MONTH', `$src`) AS DATE)"; s"${src}_month"
+        case "years"  => gen += s"${src}_year" -> s"CAST(date_trunc('YEAR', `$src`) AS DATE)"; s"${src}_year"
+        case "hours"  => gen += s"${src}_hour" -> s"date_trunc('HOUR', `$src`)"; s"${src}_hour"
+        case other => throw new IllegalArgumentException(
+          s"Snapshot.sql $what: unsupported PARTITIONED BY transform $other($src) " +
+            "(identity, days, months, years, hours)")
       }
     }
+    (cols, gen.result())
+  }
+
+  private def identityPartitionCols(partitioning: Seq[Transform], what: String): Seq[String] = {
+    val (cols, gen) = partitionSpec(partitioning, what)
+    require(gen.isEmpty,
+      s"Snapshot.sql $what: only identity PARTITIONED BY columns are supported here")
+    cols
+  }
 
   private def identName(name: LogicalPlan): String = name match {
     case u: UnresolvedIdentifier => u.nameParts.mkString(".")

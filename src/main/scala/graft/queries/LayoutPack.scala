@@ -532,6 +532,41 @@ object LayoutPack extends QueryPack {
       Map("orders_r" -> dir))
   }
 
+  val q136 = QueryDef.staged(
+    "q136_partition_transform",
+    Some("""SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,3)) AS DECIMAL(38,3))) AS DOUBLE) AS total
+           |FROM events
+           |WHERE CAST(date_trunc('day', ts) AS DATE)
+           |  BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the event stream lands into a DAY-transform
+    // partitioned table (PARTITIONED BY (days(ts)) — the reference's
+    // DAY-partitioned BigQuery landing tables, consumo_detalle.py:
+    // 301-306): half at create, half appended WITHOUT the generated
+    // column — the engine derives ts_day on every write.
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q136").toString + "/events_s"
+    val base = t.events.select(col("event_id"), col("ts"), col("value"))
+    Snapshot.create(t.spark, dir, base.where(col("event_id") % 2 === 0),
+      Seq("ts_day"), Map("ts_day" -> "CAST(date_trunc('DAY', ts) AS DATE)"))
+    Snapshot.append(t.spark, dir, base.where(col("event_id") % 2 === 1))
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: a day-range rollup through plain SQL — the generated
+    // column is the predicate AND the grain, so partition pruning is
+    // EXACT (only the three matching day directories are even listed).
+    val out = graft.operators.Snapshot.sqlQuery(t.spark,
+      """SELECT CAST(ts_day AS STRING) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,3)) AS DECIMAL(38,3))) AS DOUBLE) AS total
+        |FROM events_s
+        |WHERE ts_day BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      Map("events_s" -> dir))
+    out
+  }
+
   val q128 = QueryDef(
     "q128_row_level_dml",
     Some("""WITH survivors AS (
@@ -862,5 +897,5 @@ object LayoutPack extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }
