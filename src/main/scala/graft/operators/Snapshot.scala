@@ -2329,10 +2329,11 @@ object Snapshot {
       m.partitionCols.mkString(","), m.dvs.size.toLong, m.dvs.values.map(_.rows).sum,
       m.blooms.size.toLong,
       m.colMap.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
-      m.constraints.toSeq.sorted.map { case (n, p) => s"$n: $p" }.mkString("; ")))
+      m.constraints.toSeq.sorted.map { case (n, p) => s"$n: $p" }.mkString("; "),
+      m.generatedCols.toSeq.sorted.map { case (c, g) => s"$c: $g" }.mkString("; ")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
-        "num_bloom_files", "column_mapping", "constraints")
+        "num_bloom_files", "column_mapping", "constraints", "generated_cols")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and
