@@ -132,6 +132,31 @@ class StreamRateLimitSpec extends SparkSpec {
     assert(sizes.forall(_ <= 1), s"upgraded stream ignored the cap: $sizes")
   }
 
+  test("Trigger.AvailableNow processes ONE capped chunk per run (bounded increments)") {
+    // the DSv1 AvailableNow wrapper captures getOffset once per run, so
+    // a rate-limited stream advances by exactly one admission window
+    // per tick — the bounded-nightly-increment pattern. Pinned so the
+    // behavior is a documented contract, not a surprise.
+    val dir = Files.createTempDirectory("graft-ratelimit-an").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Snapshot.create(spark, src, oneFile(1L -> "a"))
+    (2L to 4L).foreach(i => Snapshot.append(spark, src, oneFile(i -> s"v$i")))
+    def tick(): Int = {
+      val q = spark.readStream.format("graft.sources.SnapshotSource")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+      got(out).size
+    }
+    val sizes = (1 to 4).map(_ => tick())
+    assert(sizes == Seq(1, 2, 3, 4),
+      s"each AvailableNow run should admit exactly one file, saw $sizes")
+    assert(got(out).toSet ==
+      Set(1L -> "a", 2L -> "v2", 3L -> "v3", 4L -> "v4"))
+  }
+
   test("rate-limited stream still refuses a rewrite commit unless skipChangeCommits") {
     val dir = Files.createTempDirectory("graft-ratelimit-rewrite").toString
     val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
