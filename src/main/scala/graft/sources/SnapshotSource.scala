@@ -37,8 +37,50 @@ import graft.operators.{Snapshot, SnapshotStats}
   * manifest proves irrelevant.
   */
 class SnapshotSource extends RelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-snapshot"
+
+  /** The snapshot table as a streaming SINK: every micro-batch commits
+    * through [[Snapshot.appendBatch]] (Append mode) or
+    * [[Snapshot.overwriteBatch]] (Complete mode), so the batch data
+    * and its (appId, batchId) watermark land in ONE manifest — the
+    * exactly-once contract, without hand-writing a foreachBatch. The
+    * stream's identity defaults to its checkpoint location (one
+    * checkpoint = one logical stream); `appId` overrides. A missing
+    * table auto-creates EMPTY from the first batch's schema (with
+    * `writeStream.partitionBy`), so the first delivery is already
+    * watermarked — a redelivered batch 0 is recognized like any other.
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot sink needs a path"))
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-snapshot sink needs a checkpointLocation (or an explicit appId option)"))
+    val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    require(complete || outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink supports Append and Complete output modes, got $outputMode")
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+        val spark = data.sparkSession
+        // re-root the incremental plan (the standard DSv1 sink move:
+        // the incoming Dataset belongs to the streaming execution)
+        val batch = org.apache.spark.sql.graftbridge.StreamBridge.rebatch(data)
+        if (Snapshot.latestVersion(spark, path).isEmpty)
+          Snapshot.create(spark, path,
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              data.schema), partitionColumns)
+        if (complete) Snapshot.overwriteBatch(spark, path, batch, appId, batchId)
+        else Snapshot.appendBatch(spark, path, batch, appId, batchId, mergeSchema)
+      }
+      override def toString: String = s"SnapshotSink[$path]"
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

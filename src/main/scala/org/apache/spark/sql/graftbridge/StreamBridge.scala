@@ -27,6 +27,18 @@ object StreamBridge {
 
   def longOffset(v: Long): Offset = LongOffset(v)
 
+  /** Re-root a SINK's micro-batch onto a plain (non-streaming) plan:
+    * the Dataset handed to `Sink.addBatch` wraps the incremental
+    * execution — re-planning it (`.rdd`, a write) trips the
+    * streaming-source guard. `toRdd` reuses the ALREADY-PLANNED
+    * physical execution, so the batch computes once and writes like
+    * any batch frame (the same construction Delta's v1 sink uses).
+    */
+  def rebatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Offset → version, tolerant of the engine handing back a
     * [[SerializedOffset]] on restart.
     */
