@@ -1094,13 +1094,27 @@ object Snapshot {
     while (true) {
       val m = if (attempt == 0) m0 else latestManifest(spark, path).getOrElse(m0)
       if (!guard(m)) return None
+      // the txn files were written under m0's PHYSICAL names; a rebase
+      // target whose column mapping differs (a concurrent rename, or a
+      // drop + re-add minting a fresh physical slot) would register
+      // files whose bytes sit under names the new mapping no longer
+      // reads — silently-null columns for in-flight writers, which the
+      // retired-name resurrection guard only prevents on SEQUENTIAL
+      // histories. A mapping change mid-append is a true write-write
+      // conflict: refuse, the caller re-runs against the new mapping.
+      if (m.colMap != m0.colMap || m.retired != m0.retired)
+        throw new CommitConflictException(
+          s"snapshot append conflict at $path: column mapping changed " +
+            "mid-append; the batch's files were written under stale physical names")
       val ddl = resolveDdl(m)
       // a rebase may land on a manifest whose CONSTRAINT set grew since
       // the batch was validated (pre-write, against m0) — revalidate the
       // new conjuncts before committing, or a concurrent ADD CONSTRAINT
-      // would admit unvalidated rows
+      // would admit unvalidated rows. Validate the post-withGenerated
+      // frame: a new constraint may legitimately reference a GENERATED
+      // partition column, which `df` does not carry yet.
       val newConstraints = m.constraints.filter { case (k, p) => !m0.constraints.get(k).contains(p) }
-      if (newConstraints.nonEmpty) checkConstraints(df, newConstraints)
+      if (newConstraints.nonEmpty) checkConstraints(full, newConstraints)
       try {
         return Some(commitManifest(spark, path, finish(m.copy(version = m.version + 1,
           schemaDdl = ddl, files = m.files ++ files, stats = m.stats ++ newStats))))
@@ -2150,6 +2164,14 @@ object Snapshot {
         throw new CommitConflictException(
           s"snapshot rewrite conflict at $path: table constraints changed " +
             "mid-rewrite; rows were validated against a stale constraint set")
+      // likewise a COLUMN-MAPPING change mid-rewrite: the rewrite's
+      // files were written under the base's physical names, so rebasing
+      // past a concurrent rename/drop+re-add would commit files the new
+      // mapping reads wrongly (or not at all)
+      if (m.colMap != base.colMap || m.retired != base.retired)
+        throw new CommitConflictException(
+          s"snapshot rewrite conflict at $path: column mapping changed " +
+            "mid-rewrite; files were written under stale physical names")
       val kept = m.files.filterNot(drop)
       try {
         return commitManifest(spark, path, m.copy(

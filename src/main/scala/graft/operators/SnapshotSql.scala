@@ -185,12 +185,17 @@ object SnapshotSql {
 
       case org.apache.spark.sql.catalyst.plans.logical.DropColumns(t: UnresolvedTable, colsToDrop, ifExists) =>
         val path = pathOf(t.multipartIdentifier.mkString("."), tables)
-        val table = Snapshot.latestManifest(spark, path).map(m =>
+        // the existence set shrinks AS the loop drops: a repeated name
+        // under IF EXISTS (… DROP COLUMN IF EXISTS a, a) must see the
+        // first drop, not the pre-statement schema
+        var table = Snapshot.latestManifest(spark, path).map(m =>
           StructType.fromDDL(m.schemaDdl).fieldNames.toSet).getOrElse(Set.empty[String])
         var last = 0L
         colsToDrop.map(fieldNameParts(_, "DROP COLUMN")).foreach { parts =>
-          if (table.contains(parts.head) || !ifExists)
+          if (table.contains(parts.head) || !ifExists) {
             last = Snapshot.dropColumn(spark, path, parts.head)
+            table -= parts.head
+          }
         }
         last
 

@@ -72,9 +72,16 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
         // the incoming Dataset belongs to the streaming execution)
         val batch = org.apache.spark.sql.graftbridge.StreamBridge.rebatch(data)
         if (Snapshot.latestVersion(spark, path).isEmpty)
-          Snapshot.create(spark, path,
+          try Snapshot.create(spark, path,
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               data.schema), partitionColumns)
+          catch {
+            // two first-batch writers racing the auto-create: the loser
+            // falls through to the watermark-idempotent batch write
+            // against the winner's (empty, same-schema) table
+            case e: IllegalArgumentException
+                if Snapshot.latestVersion(spark, path).isDefined => ()
+          }
         if (complete) Snapshot.overwriteBatch(spark, path, batch, appId, batchId)
         else Snapshot.appendBatch(spark, path, batch, appId, batchId, mergeSchema)
       }
@@ -317,9 +324,19 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
   /** Per-version file lists (manifests are immutable, so memoizing is
     * sound): `(v, true)` = full table state at v, `(v, false)` = files
     * commit v appended. The append list of a REWRITE commit is empty
-    * under `skipChangeCommits`, refused otherwise.
+    * under `skipChangeCommits`, refused otherwise. Entries BELOW the
+    * served offset's version are evicted as the stream advances — a
+    * long-running stream must not retain one sorted file list per
+    * version forever.
     */
   private val lists = new java.util.concurrent.ConcurrentHashMap[(Long, Boolean), Seq[String]]()
+
+  /** Drop memoized lists no future batch can start from: everything
+    * strictly below `v` (a mid-version offset still replays from its
+    * own version's list; a restart builds a fresh source anyway).
+    */
+  private def evictBelow(v: Long): Unit =
+    lists.keySet.removeIf(k => k._1 < v)
 
   private def fileList(v: Long, bootstrap: Boolean): Seq[String] =
     lists.computeIfAbsent((v, bootstrap), { _ =>
@@ -413,6 +430,7 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
           case _ => base
         }
         lastSeen = Some(result)
+        evictBelow(result.version)
         Some(result)
       }
     }
@@ -463,8 +481,10 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       // v1 recovery contract: this call may be replaying the last
       // committed batch after a restart — seed the admission base.
       // Raw (version, index) compare: Done is MaxValue, no list reads.
-      if (lastSeen.forall(c => after(endG, c)))
+      if (lastSeen.forall(c => after(endG, c))) {
         lastSeen = Some(endG)
+        evictBelow(endG.version)
+      }
     }
     StreamBridge.streamingScan(spark,
       SnapshotSource.relationFor(spark, path,
@@ -606,17 +626,27 @@ final class SnapshotCdfStreamSource(spark: SparkSession, path: String,
   /** Base version: changes stream from the NEXT commit after this. */
   @volatile private var lastSeen: Option[Long] = None
 
-  private def changedFiles(v: Long): Int = {
-    val cur = Snapshot.manifest(spark, path, v)
-    // the log's first version has no parent: everything is a change
-    SnapshotCdfStreamSource.parentOf(spark, path, v) match {
-      case None => cur.files.size
-      case Some(prev) =>
-        val dvChanged = cur.files.intersect(prev.files)
-          .count(f => prev.dvs.get(f) != cur.dvs.get(f))
-        cur.files.diff(prev.files).size + prev.files.diff(cur.files).size + dvChanged
-    }
-  }
+  /** Memoized changed-file counts (manifests are immutable): the cap
+    * walk probes each version twice per trigger (look-ahead then
+    * accumulate) and re-probes the same range on every trigger while
+    * a backlog drains — without the memo that is two manifest loads
+    * per version per trigger. Served versions evict as the base
+    * advances, so a long-running stream holds O(lag) entries.
+    */
+  private val changedCache = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+
+  private def changedFiles(v: Long): Int =
+    changedCache.computeIfAbsent(v, { _ =>
+      val cur = Snapshot.manifest(spark, path, v)
+      // the log's first version has no parent: everything is a change
+      SnapshotCdfStreamSource.parentOf(spark, path, v) match {
+        case None => cur.files.size
+        case Some(prev) =>
+          val dvChanged = cur.files.intersect(prev.files)
+            .count(f => prev.dvs.get(f) != cur.dvs.get(f))
+          cur.files.diff(prev.files).size + prev.files.diff(cur.files).size + dvChanged
+      }
+    })
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     Snapshot.latestVersion(spark, path).map { vLatest =>
@@ -633,6 +663,7 @@ final class SnapshotCdfStreamSource(spark: SparkSession, path: String,
       }
       val next = math.max(base, capped)
       lastSeen = Some(next)
+      changedCache.keySet.removeIf(k => k <= next)
       StreamBridge.longOffset(next)
     }
 

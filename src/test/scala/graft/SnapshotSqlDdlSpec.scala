@@ -329,6 +329,19 @@ class SnapshotSqlDdlSpec extends SparkSpec {
       Seq("-- c1; still comment\nSELECT 1", "/* c2; */ SELECT 2"))
   }
 
+  test("DROP COLUMN IF EXISTS tolerates a repeated name (the set shrinks as it drops)") {
+    val t = tmp("dropdup")
+    val reg = Map("t" -> t)
+    Snapshot.create(spark, t, fixture(0 until 4))
+    // the second `a` must see the first drop, not the pre-statement
+    // schema — IF EXISTS means the statement succeeds either way
+    Snapshot.sql(spark, "ALTER TABLE t DROP COLUMN IF EXISTS v, v", reg)
+    assert(Snapshot.read(spark, t).columns.toSeq == Seq("id", "p"))
+    // without IF EXISTS a repeated name still refuses on the second drop
+    intercept[IllegalArgumentException](
+      Snapshot.sql(spark, "ALTER TABLE t DROP COLUMN p, p", reg))
+  }
+
   test("CREATE TABLE (column list) declares an empty table; INSERT VALUES fills it") {
     val t = tmp("create")
     val reg = Map("tnew" -> t)
