@@ -2364,13 +2364,36 @@ object Snapshot {
     * than `orphanGraceMs` — an in-flight writer's files are never
     * touched. After vacuum, reads pinned to dropped versions break;
     * callers declare that trade by calling this.
+    *
+    * `retainMicros` is the AGE-based retention production maintenance
+    * policies actually state ("retain 7 days"): every version whose
+    * manifest commit timestamp falls inside the horizon survives — on
+    * top of the newest `keepVersions`, never instead of them — so
+    * timestamp time travel and lagging stream readers keep everything
+    * younger than the horizon. The kept set is always a contiguous
+    * tail of the log (commit stamps are monotone under the
+    * single-committer-per-version protocol; an unstamped legacy
+    * manifest counts as outside the horizon).
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
-             orphanGraceMs: Long = 3600L * 1000): Unit = {
+             orphanGraceMs: Long = 3600L * 1000,
+             retainMicros: Option[Long] = None): Unit = {
     val fs = fsFor(spark, path)
     val vs = versions(spark, path)
     if (vs.isEmpty) return
-    val (dead, kept) = vs.splitAt(math.max(0, vs.size - math.max(1, keepVersions)))
+    val countCut = math.max(0, vs.size - math.max(1, keepVersions))
+    val cutIdx = retainMicros match {
+      case None => countCut
+      case Some(ret) =>
+        val horizon = System.currentTimeMillis() * 1000L - ret
+        val byAge = vs.indexWhere(v =>
+          manifest(spark, path, v).committedAtMicros >= horizon) match {
+          case -1 => vs.size - 1 // nothing inside the horizon: the latest survives
+          case i => i
+        }
+        math.min(byAge, countCut)
+    }
+    val (dead, kept) = vs.splitAt(cutIdx)
     val keptManifests = kept.map(manifest(spark, path, _))
     val live = keptManifests.flatMap(_.files).toSet
     val now = System.currentTimeMillis()

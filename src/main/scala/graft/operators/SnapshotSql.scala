@@ -53,7 +53,7 @@ object SnapshotSql {
   // hourly merges) run forever; routing retention and compaction
   // through the same SQL surface makes a ported script SQL end to end.
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS)\s*)?;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)?(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
   private val HistoryRe =
@@ -65,10 +65,20 @@ object SnapshotSql {
 
   private def maintenance(spark: SparkSession, sqlText: String,
                           tables: Map[String, String]): Option[Long] = sqlText match {
-    case VacuumRe(ident, retain) =>
+    case VacuumRe(ident, retain, unit) =>
       val path = pathOf(ident, tables)
-      Snapshot.vacuum(spark, path,
-        keepVersions = Option(retain).map(_.toInt).getOrElse(2))
+      Option(unit).map(_.toUpperCase) match {
+        case Some("VERSIONS") | None =>
+          Snapshot.vacuum(spark, path,
+            keepVersions = Option(retain).map(_.toInt).getOrElse(2))
+        case Some(timeUnit) =>
+          // age-based retention: the latest version always survives;
+          // everything younger than the horizon survives with it
+          val micros = retain.toLong *
+            (if (timeUnit == "DAYS") 86400L * 1000000L else 3600L * 1000000L)
+          Snapshot.vacuum(spark, path, keepVersions = 1,
+            retainMicros = Some(micros))
+      }
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
     case OptimizeRe(ident, whereText, zorder) =>
       val path = pathOf(ident, tables)
@@ -380,7 +390,7 @@ object SnapshotSql {
     */
   private def isQueryStatement(spark: SparkSession, stmt: String): Boolean = stmt match {
     case HistoryRe(_) | DetailRe(_) => true
-    case VacuumRe(_, _) | OptimizeRe(_, _, _) | RestoreRe(_, _, _) => false
+    case VacuumRe(_, _, _) | OptimizeRe(_, _, _) | RestoreRe(_, _, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

@@ -79,7 +79,7 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
             // two first-batch writers racing the auto-create: the loser
             // falls through to the watermark-idempotent batch write
             // against the winner's (empty, same-schema) table
-            case e: IllegalArgumentException
+            case _: IllegalArgumentException
                 if Snapshot.latestVersion(spark, path).isDefined => ()
           }
         if (complete) Snapshot.overwriteBatch(spark, path, batch, appId, batchId)

@@ -97,6 +97,44 @@ class SnapshotSpec extends SparkSpec {
     intercept[Exception] { rows(pinned) } // pinned files are gone — declared trade
   }
 
+  test("age-based vacuum: versions inside the horizon survive, older reclaim") {
+    val dir = tmp("agevac")
+    Snapshot.create(spark, dir, fixture(0 until 10, 1), Seq("p"))
+    Thread.sleep(60) // separate the commit stamps
+    Snapshot.append(spark, dir, fixture(10 until 20, 1))
+    Thread.sleep(60)
+    Snapshot.append(spark, dir, fixture(20 until 30, 1))
+    val stamps = Snapshot.versions(spark, dir)
+      .map(v => v -> Snapshot.manifest(spark, dir, v).committedAtMicros).toMap
+    assert(stamps.values.forall(_ > 0L))
+
+    // horizon straddling v2's stamp: v2 and v3 are younger, v1 older.
+    // keepVersions = 1, so only the horizon keeps v2 alive.
+    val now = System.currentTimeMillis() * 1000L
+    Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L,
+      retainMicros = Some(now - stamps(2L) + 1000L))
+    assert(Snapshot.versions(spark, dir) == Seq(2L, 3L))
+    // the boundary version fully reconstructs (checkpointed before the
+    // chain was dropped) and time travel inside the horizon still works
+    assert(rows(Snapshot.readVersion(spark, dir, 2L)) == rows(fixture(0 until 20, 1)))
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 30, 1)))
+
+    // a horizon covering nothing: the latest version always survives
+    Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L,
+      retainMicros = Some(0L))
+    assert(Snapshot.versions(spark, dir) == Seq(3L))
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 30, 1)))
+
+    // the SQL surface: RETAIN n DAYS (a wide horizon keeps everything)
+    val dir2 = tmp("agevac2")
+    Snapshot.create(spark, dir2, fixture(0 until 5, 1), Seq("p"))
+    Snapshot.append(spark, dir2, fixture(5 until 10, 1))
+    Snapshot.sql(spark, "VACUUM t RETAIN 7 DAYS", Map("t" -> dir2))
+    assert(Snapshot.versions(spark, dir2) == Seq(1L, 2L))
+    Snapshot.sql(spark, "VACUUM t RETAIN 0 HOURS", Map("t" -> dir2))
+    assert(Snapshot.versions(spark, dir2) == Seq(2L))
+  }
+
   test("routed writers equal their pure-dataflow twins on a snapshot table") {
     // K3 partitioned merge
     val dir = tmp("merge")
