@@ -1448,46 +1448,75 @@ object Snapshot {
     */
   def mergeById(spark: SparkSession, path: String, updates: DataFrame,
                 idCol: String, partitionCol: String,
-                assertIdsLocal: Boolean = false): Long = {
+                assertIdsLocal: Boolean = false): Long =
+    mergeByIdPartitioned(spark, path, updates, idCol, Seq(partitionCol), assertIdsLocal)
+
+  /** [[mergeById]] against a MULTI-column-partitioned table — the
+    * reference's K2 dual-window tables are (periodo, fecha)-partitioned
+    * (consumo_bloques.py's dual-grain destinations), and their
+    * snapshot-atomic merge restricts to the partition TUPLES present in
+    * the source: only files of affected tuples are read and swapped.
+    * Same id-embeds-partition contract, now over the whole tuple.
+    */
+  def mergeByIdPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                           idCol: String, partitionCols: Seq[String],
+                           assertIdsLocal: Boolean = false): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, updates, partitionCol)
+    val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, updates, partitionCols)
     if (assertIdsLocal) {
       val strays = readFiles(spark, path, m, Some(m.files.diff(affectedFiles)))
         .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
         .limit(5).collect()
       require(strays.isEmpty,
         s"Snapshot.mergeById: update ids exist in unaffected partitions " +
-          s"(id does not embed $partitionCol); e.g. ${strays.mkString(", ")}")
+          s"(id does not embed ${partitionCols.mkString("(", ", ", ")")}); " +
+          s"e.g. ${strays.mkString(", ")}")
     }
     val affected = readFiles(spark, path, m, Some(affectedFiles))
     val merged = Writers.mergeById(affected, updates, idCol)
-    replacePartitionsOn(spark, path, m, merged,
-      dropOld = pv => affectedRaw.contains(pv(partitionCol)))
+    replacePartitionsOn(spark, path, m, merged, dropOld = affectedRaw.contains)
   }
 
   /** Partition restriction shared by the merge family: the partition
-    * value strings (and their live files) whose typed values appear in
-    * `source` — manifest value strings cast to the partition column's
-    * type, null-safely semi-joined against the source's values.
+    * value-string TUPLES (and their live files) whose typed values
+    * appear in `source` — manifest value strings cast to each partition
+    * column's type, null-safely semi-joined against the source's
+    * distinct tuples. One job over tuple-count-sized data, never the
+    * table.
     */
   private def affectedPartitions(spark: SparkSession, m: Manifest,
-                                 source: DataFrame, partitionCol: String)
-      : (Set[String], Seq[String]) = {
-    require(m.partitionCols == Seq(partitionCol),
-      s"snapshot table is partitioned by ${m.partitionCols}, not $partitionCol")
-    val pType = StructType.fromDDL(m.schemaDdl)(partitionCol).dataType
-    import spark.implicits._
-    val fileParts = m.files.map(f => partitionValues(m.partitionCols, f)(partitionCol))
-    val partDf = fileParts.distinct.toDF("__raw")
-      .withColumn("__val",
-        when(col("__raw") === NullPartition, lit(null).cast(pType))
-          .otherwise(col("__raw").cast(pType)))
-    val srcParts = source.select(col(partitionCol).cast(pType).as("__val")).distinct()
-    val affectedRaw = partDf.join(srcParts, partDf("__val") <=> srcParts("__val"), "left_semi")
-      .select("__raw").as[String].collect().toSet
+                                 source: DataFrame, partitionCols: Seq[String])
+      : (Set[Map[String, String]], Seq[String]) = {
+    require(m.partitionCols == partitionCols,
+      s"snapshot table is partitioned by ${m.partitionCols}, not $partitionCols")
+    require(partitionCols.nonEmpty, "merge needs a partitioned snapshot table")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val pTypes = partitionCols.map(c => schema(c).dataType)
+    val rawCols = partitionCols.indices.map(i => s"__raw_$i")
+    val fileTuples = m.files.map(f => partitionValues(m.partitionCols, f)).distinct
+    val partDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        fileTuples.map(t => org.apache.spark.sql.Row.fromSeq(
+          partitionCols.map(c => t(c)))), 1),
+      StructType(rawCols.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType))))
+    val typed = partDf.select(partitionCols.indices.flatMap { i =>
+      Seq(col(rawCols(i)),
+        when(col(rawCols(i)) === NullPartition, lit(null).cast(pTypes(i)))
+          .otherwise(col(rawCols(i)).cast(pTypes(i))).as(s"__val_$i"))
+    }: _*)
+    val srcParts = source.select(partitionCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast(pTypes(i)).as(s"__src_$i")
+    }: _*).distinct()
+    val cond = partitionCols.indices.map(i => typed(s"__val_$i") <=> srcParts(s"__src_$i"))
+      .reduce(_ && _)
+    val affectedRaw = typed.join(srcParts, cond, "left_semi")
+      .select(rawCols.map(col): _*).collect()
+      .map(r => partitionCols.indices.map(i => partitionCols(i) -> r.getString(i)).toMap)
+      .toSet
     (affectedRaw, m.files.filter(f =>
-      affectedRaw.contains(partitionValues(m.partitionCols, f)(partitionCol))))
+      affectedRaw.contains(partitionValues(m.partitionCols, f))))
   }
 
   /** Generalized MERGE with explicit arms — the reference's literal
@@ -1518,16 +1547,14 @@ object Snapshot {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    val pCol = m.partitionCols match {
-      case Seq(one) => one
-      case other => throw new IllegalArgumentException(
-        s"merge needs a single-column-partitioned table (got ${other.mkString(", ")})")
-    }
+    val pCols = m.partitionCols
+    require(pCols.nonEmpty, "merge needs a partitioned snapshot table")
     matchedSet.foreach { set =>
       val bad = set.keySet.diff(schema.fieldNames.toSet)
       require(bad.isEmpty, s"merge UPDATE SET: unknown column(s) ${bad.mkString(", ")}")
-      require(!set.contains(pCol),
-        s"merge UPDATE SET cannot reassign the partition column $pCol")
+      val reassigned = pCols.filter(set.contains)
+      require(reassigned.isEmpty,
+        s"merge UPDATE SET cannot reassign partition column(s) ${reassigned.mkString(", ")}")
     }
     insertCols.foreach { cols =>
       val bad = cols.map(_._1).diff(schema.fieldNames.toSeq)
@@ -1547,7 +1574,7 @@ object Snapshot {
         "jobs; materialize it first (write it out, or drop the nondeterminism)")
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeArmsOn(spark, path, m, src, targetAlias, sourceAlias, idCol,
-      matchedSet, matchedDelete, insertCols, pCol, schema)
+      matchedSet, matchedDelete, insertCols, pCols, schema)
     finally src.unpersist()
   }
 
@@ -1555,11 +1582,11 @@ object Snapshot {
                           source: DataFrame, targetAlias: String, sourceAlias: String,
                           idCol: String, matchedSet: Option[Map[String, Column]],
                           matchedDelete: Boolean, insertCols: Option[Seq[(String, Column)]],
-                          pCol: String, schema: StructType): Long = {
+                          pCols: Seq[String], schema: StructType): Long = {
     require(source.select(idCol).groupBy(idCol).count()
         .where(col("count") > 1).limit(1).isEmpty,
       s"merge source has duplicate $idCol values; a duplicate would fan out the join")
-    val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, source, pCol)
+    val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, source, pCols)
     val t = readFiles(spark, path, m, Some(affectedFiles)).alias(targetAlias)
     val s = source.alias(sourceAlias)
     val joined = t.join(s, t(idCol) === s(idCol), "left")
@@ -1582,8 +1609,7 @@ object Snapshot {
           }: _*))
     }
     val replacement = inserts.fold(survivors)(survivors.unionByName(_))
-    replacePartitionsOn(spark, path, m, replacement,
-      dropOld = pv => affectedRaw.contains(pv(pCol)))
+    replacePartitionsOn(spark, path, m, replacement, dropOld = affectedRaw.contains)
   }
 
   // --------------------------------------------------- row-level DML

@@ -655,14 +655,12 @@ object SnapshotSql {
     }
 
     (m.matchedActions, m.notMatchedActions) match {
-      // star/star: whole-row replace — mergeById's exact semantics
+      // star/star: whole-row replace — mergeById's exact semantics,
+      // restricted to the partition TUPLES present in the source
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
         val mf = Snapshot.latestManifest(spark, path).getOrElse(
           throw new IllegalArgumentException(s"not a snapshot table: $path"))
-        require(mf.partitionCols.size == 1,
-          s"Snapshot.sql MERGE needs a single-column-partitioned table " +
-            s"(got ${mf.partitionCols.mkString(", ")}); use Snapshot.mergeById directly")
-        Snapshot.mergeById(spark, path, source, idCol, mf.partitionCols.head)
+        Snapshot.mergeByIdPartitioned(spark, path, source, idCol, mf.partitionCols)
 
       // explicit arms: the funnel_live.py:155-172 shape
       case (matched, notMatched) =>

@@ -896,6 +896,74 @@ object LayoutPack extends QueryPack {
         |""".stripMargin, Map("src" -> src, "dest" -> dest)).get
   }
 
+  val q137 = QueryDef.staged(
+    "q137_multicol_partition_merge",
+    // oracle: the destination's final state recomputed from the raw
+    // table — the replace-window dataflow (1996 rows tripled in place,
+    // 1997-H1 rows inserted into brand-new partition tuples)
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS periodo,
+           |    CAST(month(o_orderdate) AS INT) AS mes, o_orderpriority,
+           |    o_totalprice, o_orderdate
+           |  FROM orders
+           |), final AS (
+           |  SELECT o_orderkey, periodo, mes, o_orderpriority,
+           |    CASE WHEN periodo = 1996 THEN o_totalprice * 3
+           |         ELSE o_totalprice END AS o_totalprice
+           |  FROM src WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |  UNION ALL
+           |  SELECT o_orderkey, periodo, mes, o_orderpriority, o_totalprice
+           |  FROM src WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+           |)
+           |SELECT periodo, mes, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // FIXTURE (untimed): the reference's K2 dual-window destinations are
+    // (periodo, fecha)-partitioned (consumo_bloques.py); model the tuple
+    // as (periodo = year, mes = month) and land the pre-1997 base.
+    // Repartition on the tuple so each partition dir is written by one
+    // task — the layout a real landing job produces.
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q137").toString + "/t"
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val cutJul = lit("1997-07-01 00:00:00").cast("timestamp")
+    val src = t.orders.select(col("o_orderkey"),
+      year(col("o_orderdate")).as("periodo"), month(col("o_orderdate")).as("mes"),
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+    Snapshot.create(t.spark, dir,
+      src.where(col("o_orderdate") < cut97).drop("o_orderdate")
+        .repartition(col("periodo"), col("mes")),
+      Seq("periodo", "mes"))
+    // tonight's batch: 1996 rows re-stated at 3x (matched updates) plus
+    // 1997-H1 rows (inserts into partitions that do not exist yet)
+    src.where(col("periodo") === 1996 ||
+        (col("o_orderdate") >= cut97 && col("o_orderdate") < cutJul))
+      .withColumn("o_totalprice",
+        when(col("periodo") === 1996, col("o_totalprice") * 3)
+          .otherwise(col("o_totalprice")))
+      .drop("o_orderdate")
+      .createOrReplaceTempView("u_q137")
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the snapshot-atomic MERGE into the MULTI-column-
+    // partitioned table, as literal SQL text — the partition
+    // restriction must touch only the (periodo, mes) tuples present in
+    // the source (1996/1-12 + 1997/1-6), swap them in one commit, and
+    // leave 1992-1995 byte-identical. The oracle recomputes the final
+    // state from the raw table, so a tuple missed, doubled, or leaked
+    // across the restriction fails the gate.
+    import graft.operators.Snapshot
+    Snapshot.sql(t.spark,
+      """MERGE INTO t USING u_q137 u ON t.o_orderkey = u.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, Map("t" -> dir))
+    Snapshot.read(t.spark, dir)
+      .groupBy("periodo", "mes")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("periodo", "mes")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
 }
