@@ -1,0 +1,336 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.{Snapshot, SnapshotSql}
+
+/** A REAL Spark `TableCatalog` over snapshot tables, so the vanilla
+  * parser/analyzer resolve them BY NAME — `spark.sql("INSERT INTO
+  * graft.db.t …")`, CTAS, `SELECT … FROM graft.db.t VERSION AS OF 3`,
+  * DESCRIBE, SHOW TABLES, ALTER TABLE all work under stock spark-sql
+  * with zero registry plumbing. This is the difference between "a
+  * ported reference script is SQL text end to end" (the
+  * `tables: Map[name → path]` front end, [[SnapshotSql]]) and "a
+  * ported script runs under the session's own catalog", which is what
+  * a BigQuery user actually has: `dataset.table` names, no path maps.
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  * }}}
+  *
+  * Layout is warehouse-rooted: `graft.db.t` lives at
+  * `<warehouse>/db/t` (namespaces are directories, tables are
+  * snapshot-table roots — the manifest log IS the table metadata, so
+  * this catalog keeps no state of its own and needs no metastore; at
+  * 100 TB the listing cost of a catalog op is one directory, never
+  * the data). The warehouse location is re-read from the session conf
+  * on every call, so a long-lived session can be repointed without
+  * rebuilding the catalog instance.
+  *
+  * Reads: [[graft.plans.GraftCatalogRules]] rewrites the analyzed
+  * `DataSourceV2Relation` to the SAME native manifest-backed parquet
+  * scan the registered source plans (vectorized, stats-pruned, DV- and
+  * column-mapping-aware), preserving output attribute ids so the swap
+  * is invisible to resolution. Without the extension the table still
+  * reads through a V1 fallback scan — correct, row-based.
+  *
+  * Writes ride the V1 write fallback ([[GraftWriteBuilder]]):
+  * INSERT INTO → [[Snapshot.append]], INSERT OVERWRITE →
+  * [[Snapshot.overwrite]] / partition replace, dynamic partition
+  * overwrite → [[Snapshot.replacePartitions]]. CTAS/RTAS go through
+  * the STAGING protocol ([[StagedGraftTable]]) and commit atomically —
+  * REPLACE of an existing table is [[Snapshot.overwrite]], one
+  * history-preserving commit, never drop-then-recreate.
+  *
+  * Time travel: `loadTable(ident, version|timestamp)` pins the
+  * manifest, which is exactly `VERSION AS OF` / `TIMESTAMP AS OF`
+  * in SQL.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
+
+  private var catalogName: String = _
+  private var initOptions: Map[String, String] = Map.empty
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options.asScala.toMap
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Warehouse root — session conf first (re-read per call: a test or
+    * long-lived session may repoint it), the initialize-time option as
+    * the fallback.
+    */
+  private def warehouse: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .orElse(initOptions.get("warehouse"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"GraftCatalog '$catalogName' needs a warehouse: set " +
+          s"spark.sql.catalog.$catalogName.warehouse"))
+
+  private def fs: FileSystem =
+    new HPath(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def checkSegment(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && !s.contains("..") && !s.startsWith("_"),
+      s"GraftCatalog: illegal name segment '$s'")
+    s
+  }
+
+  /** `graft.db.t` → `<warehouse>/db/t`. */
+  private[graft] def pathFor(ident: Identifier): String =
+    ((ident.namespace.toSeq :+ ident.name()).map(checkSegment))
+      .mkString(warehouse + "/", "/", "")
+
+  private def nsPath(namespace: Array[String]): HPath =
+    new HPath((warehouse +: namespace.toSeq.map(checkSegment)).mkString("/"))
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => Snapshot.isSnapshotTable(spark, p.toString))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Snapshot.isSnapshotTable(spark, pathFor(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathFor(ident)
+    val m = Snapshot.latestManifest(spark, path).getOrElse(
+      throw new NoSuchTableException(ident))
+    GraftTable(fullName(ident), path, m)
+  }
+
+  /** `VERSION AS OF v` — the analyzer hands the version string through. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathFor(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog: VERSION AS OF must be an integer version, got '$version'"))
+    if (!Snapshot.isSnapshotTable(spark, path)) throw new NoSuchTableException(ident)
+    GraftTable(fullName(ident), path, Snapshot.manifest(spark, path, v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — epoch MICROS from the analyzer. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathFor(ident)
+    if (!Snapshot.isSnapshotTable(spark, path)) throw new NoSuchTableException(ident)
+    val v = Snapshot.versionAtTimestamp(spark, path, timestamp).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog: no version of ${fullName(ident)} committed at or before " +
+          s"timestamp $timestamp"))
+    GraftTable(fullName(ident), path, Snapshot.manifest(spark, path, v))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (name() +: ident.namespace.toSeq :+ ident.name()).mkString(".")
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val path = pathFor(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    GraftCatalog.validateProperties(properties)
+    val (pCols, genCols) = SnapshotSql.partitionSpec(partitions.toSeq, "CREATE TABLE")
+    val declared = StructType(columns.map { c =>
+      require(c.defaultValue() == null,
+        s"GraftCatalog: DEFAULT values are not supported (${c.name()})")
+      require(c.generationExpression() == null,
+        s"GraftCatalog: explicit GENERATED columns are not supported (${c.name()}); " +
+          "use PARTITIONED BY (days(ts), ...) transforms")
+      StructField(c.name(), c.dataType(), c.nullable())
+    })
+    // a TIME transform's generated column joins the schema with the
+    // transform's own type, exactly like the registry front end
+    val genFields = genCols.keys.toSeq.sorted
+      .filterNot(g => declared.fieldNames.contains(g)).map { g =>
+        StructField(g,
+          if (g.endsWith("_hour")) org.apache.spark.sql.types.TimestampType
+          else org.apache.spark.sql.types.DateType)
+      }
+    val schema = StructType(declared.fields ++ genFields)
+    Snapshot.create(spark, path,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      pCols, genCols)
+    loadTable(ident)
+  }
+
+  @deprecated("use the Column[] variant", "")
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTable(ident,
+      schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathFor(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"GraftCatalog $what: nested field paths are not supported " +
+          s"(${fieldNames.mkString(".")})")
+      fieldNames.head
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.position() == null,
+          s"GraftCatalog ADD COLUMNS: FIRST/AFTER positions are not supported")
+        require(add.defaultValue() == null,
+          s"GraftCatalog ADD COLUMNS: DEFAULT values are not supported")
+        Snapshot.addColumns(spark, path, Seq(StructField(
+          topLevel(add.fieldNames(), "ADD COLUMNS"), add.dataType(), nullable = true)))
+      case ren: TableChange.RenameColumn =>
+        Snapshot.renameColumn(spark, path,
+          topLevel(ren.fieldNames(), "RENAME COLUMN"), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        val col = topLevel(del.fieldNames(), "DROP COLUMN")
+        val exists = Snapshot.latestManifest(spark, path).exists(m =>
+          StructType.fromDDL(m.schemaDdl).fieldNames.contains(col))
+        if (exists || del.ifExists() == null || !del.ifExists())
+          Snapshot.dropColumn(spark, path, col)
+      case upd: TableChange.UpdateColumnType =>
+        Snapshot.widenColumnType(spark, path,
+          topLevel(upd.fieldNames(), "ALTER COLUMN"), upd.newDataType())
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathFor(ident)
+    if (!Snapshot.isSnapshotTable(spark, path)) false
+    else { fs.delete(new HPath(path), true); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    // `ALTER TABLE g.db.a RENAME TO g.db.b` hands the TO identifier
+    // through verbatim, catalog segment included — strip it
+    val newIdent =
+      if (newIdent0.namespace.headOption.contains(name()))
+        Identifier.of(newIdent0.namespace.tail, newIdent0.name())
+      else newIdent0
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = new HPath(pathFor(newIdent))
+    if (!fs.exists(to.getParent))
+      throw new NoSuchNamespaceException(name() +: newIdent.namespace.toSeq)
+    require(fs.rename(new HPath(pathFor(oldIdent)), to),
+      s"GraftCatalog: rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = () // nothing cached
+
+  // ------------------------------------------- staged CTAS / RTAS
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    GraftCatalog.validateProperties(properties)
+    stage(ident, columns, partitions, StagedGraftTable.Create)
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftCatalog.validateProperties(properties)
+    stage(ident, columns, partitions, StagedGraftTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable = {
+    GraftCatalog.validateProperties(properties)
+    stage(ident, columns, partitions, StagedGraftTable.CreateOrReplace)
+  }
+
+  private def stage(ident: Identifier, columns: Array[Column],
+                    partitions: Array[Transform],
+                    mode: StagedGraftTable.Mode): StagedTable = {
+    val (pCols, genCols) = SnapshotSql.partitionSpec(partitions.toSeq, "CTAS")
+    val schema = StructType(columns.map(c =>
+      StructField(c.name(), c.dataType(), c.nullable())))
+    new StagedGraftTable(fullName(ident), pathFor(ident), schema, pCols, genCols, mode)
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new HPath(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+      .map(Array(_))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.nonEmpty && fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException((name() +: namespace.toSeq).toArray)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("GraftCatalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) false
+    else {
+      if (!cascade && fs.listStatus(nsPath(namespace)).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          (name() +: namespace.toSeq).toArray)
+      fs.delete(nsPath(namespace), true)
+    }
+  }
+}
+
+private object GraftCatalog {
+  /** The catalog keeps no property store — the manifest is the table
+    * metadata. Anything beyond the analyzer's own bookkeeping props is
+    * refused loudly rather than silently dropped.
+    */
+  def validateProperties(properties: util.Map[String, String]): Unit = {
+    val user = properties.asScala.keys.filterNot(k =>
+      k == TableCatalog.PROP_OWNER || k == TableCatalog.PROP_COMMENT ||
+        k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_LOCATION ||
+        k == TableCatalog.PROP_EXTERNAL || k == TableCatalog.PROP_IS_MANAGED_LOCATION ||
+        k == TableCatalog.PROP_TABLE_TYPE || k.startsWith(TableCatalog.OPTION_PREFIX))
+    require(user.isEmpty,
+      s"GraftCatalog: table properties are not supported: ${user.mkString(", ")}")
+  }
+}

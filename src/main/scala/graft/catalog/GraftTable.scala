@@ -1,0 +1,305 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column => SColumn, DataFrame, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, BaseRelation, EqualNullSafe, EqualTo, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.{Snapshot, SnapshotStats}
+
+/** One snapshot table pinned at one manifest — the DSv2 `Table` the
+  * catalog hands the analyzer. Pinning at load time IS reader
+  * isolation: every scan of one query resolves the same version, and
+  * `loadTable(ident, version)` is time travel with no extra machinery.
+  *
+  * The fast read path is NOT here: [[graft.plans.GraftCatalogRules]]
+  * swaps the analyzed relation for the native manifest-backed parquet
+  * scan (vectorized, whole-stage codegen, stats/bloom pruning). The
+  * [[newScanBuilder]] below is the extension-less BACKSTOP — a V1
+  * row-based scan that still prunes files by pushed filters, so a
+  * session without the extensions reads correctly, just slower.
+  */
+final case class GraftTable(tableName: String, path: String, manifest: Snapshot.Manifest)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = StructType.fromDDL(manifest.schemaDdl)
+
+  override def partitioning(): Array[Transform] =
+    manifest.partitionCols.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map(
+      TableCatalog.PROP_LOCATION -> path,
+      TableCatalog.PROP_PROVIDER -> "graft-snapshot",
+      "version" -> manifest.version.toString).asJava
+
+  override def version(): String = manifest.version.toString
+
+  // no OVERWRITE_DYNAMIC: dynamic partition overwrite has no V1 write
+  // fallback in Spark (V2Writes only builds V1 writes for append and
+  // overwrite-by-expression), so advertising it would fail at exec.
+  // Static overwrite + the Scala replacePartitions API cover the shape.
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE)
+
+  // ------------------------------------------------- read (backstop)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftV1ScanBuilder(this)
+
+  // --------------------------------------------------------- writes
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this)
+
+  // ------------------------------------------------ DELETE FROM t
+
+  /** Filter-convertible DELETE through the standard DSv2 path — the
+    * same three-tier engine (stats-pruned, per-file match counts,
+    * deletion vectors) as the Scala API. The extension rule routes
+    * richer predicates; this handles stock sessions.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterColumns.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(FilterColumns.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshot.delete(org.apache.spark.sql.SparkSession.active, path, pred)
+  }
+
+  override def truncateTable(): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    Snapshot.overwrite(spark, path,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    true
+  }
+
+  override def toString: String = s"GraftTable($tableName v${manifest.version})"
+}
+
+/** Backstop scan: column-pruned, file-pruned by pushed filters, but
+  * row-based (every filter re-applied above by Spark — pruning stays
+  * an optimization by construction). The extension rule replaces the
+  * whole relation before this ever plans, so this path only runs in
+  * sessions without `graft.plans.GraftExtensions`.
+  */
+private final class GraftV1ScanBuilder(table: GraftTable)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(f: Array[Filter]): Array[Filter] = { filters = f; f }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val rel: BaseRelation with TableScan = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val spark = context.sparkSession
+          val m = table.manifest
+          val kept =
+            if (filters.isEmpty) m.files
+            else SnapshotStats.pruneByFilters(spark, m, filters, Some(table.path))
+          val df = Snapshot.readManifestFiles(spark, table.path, m, kept)
+          if (required.isEmpty)
+            df.select(df.columns.head).rdd.map(_ => org.apache.spark.sql.Row.empty)
+          else df.select(required.fieldNames.map(col).toSeq: _*).rdd
+        }
+      }
+      rel.asInstanceOf[T]
+    }
+  }
+}
+
+/** V1-write fallback: one builder, three modes, each one atomic
+  * manifest commit.
+  *
+  *  - append (`INSERT INTO`)                → [[Snapshot.append]]
+  *  - truncate / overwrite-all (`INSERT OVERWRITE`) → [[Snapshot.overwrite]]
+  *  - overwrite by partition filter
+  *    (`INSERT OVERWRITE … PARTITION (p=…)`) → [[Snapshot.replacePartitions]]
+  *    restricted to the named tuples
+  */
+private final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
+    with SupportsOverwrite {
+
+  private sealed trait Mode
+  private case object Append extends Mode
+  private case object Truncate extends Mode
+  private case class ByFilter(filters: Array[Filter]) extends Mode
+
+  private var mode: Mode = Append
+
+  override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode =
+      if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) Truncate
+      else ByFilter(filters)
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit = {
+        val spark = data.sparkSession
+        mode match {
+          case Append   => Snapshot.append(spark, table.path, data)
+          case Truncate => Snapshot.overwrite(spark, table.path, data)
+          case ByFilter(filters) =>
+            // static partition overwrite: every conjunct must pin a
+            // partition column to a literal; the affected tuples drop
+            // and the data lands in their place
+            val pinned = FilterColumns.partitionEqualities(filters, table.manifest)
+            Snapshot.replacePartitions(spark, table.path, data,
+              dropOld = pv => pinned.forall { case (c, v) => pv.get(c).contains(v) })
+        }
+      }
+    }
+  }
+}
+
+/** Staged table for ATOMIC CTAS / RTAS: the analyzer's staged-write
+  * protocol funnels the query result into [[insert]], which lands as
+  * ONE snapshot commit — create for CTAS, a history-preserving
+  * [[Snapshot.overwrite]] for REPLACE (never drop-then-recreate: a
+  * concurrent pinned reader keeps resolving its version, and time
+  * travel across the replace keeps working). `commitStagedChanges` is
+  * a no-op because the manifest commit IS the publication point; an
+  * abort before the write leaves nothing behind.
+  */
+private[catalog] final class StagedGraftTable(tableName: String, path: String,
+                                              declared: StructType,
+                                              pCols: Seq[String],
+                                              genCols: Map[String, String],
+                                              mode: StagedGraftTable.Mode)
+    extends StagedTable with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] =
+    pCols.map(Expressions.identity).toArray
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  // the staged-write protocol plans RTAS as overwrite-by-expression /
+  // truncate over the staged table; the MODE is already decided by
+  // which stage* call produced this table, so those verbs just return
+  // the builder
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
+      with SupportsOverwrite {
+    override def overwrite(filters: Array[Filter]): WriteBuilder = this
+    override def truncate(): WriteBuilder = this
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          val exists = Snapshot.latestVersion(spark, path).isDefined
+          mode match {
+            case StagedGraftTable.Create =>
+              require(!exists, s"snapshot table already exists: $path")
+              Snapshot.create(spark, path, data, pCols, genCols)
+            case StagedGraftTable.Replace | StagedGraftTable.CreateOrReplace =>
+              if (!exists) Snapshot.create(spark, path, data, pCols, genCols)
+              else {
+                val m = Snapshot.latestManifest(spark, path).get
+                require(pCols.isEmpty || pCols == m.partitionCols,
+                  s"REPLACE cannot change partitioning of $tableName " +
+                    s"(${m.partitionCols.mkString(", ")} -> ${pCols.mkString(", ")})")
+                require(genCols.isEmpty || genCols == m.generatedCols,
+                  s"REPLACE cannot change the partition transform of $tableName")
+                Snapshot.overwrite(spark, path, data)
+              }
+          }
+        }
+      }
+    }
+  }
+
+  override def commitStagedChanges(): Unit = () // the manifest commit published it
+  override def abortStagedChanges(): Unit = ()  // nothing staged outside the log
+}
+
+private[catalog] object StagedGraftTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
+/** DSv1 `Filter` → `Column` for the fallback DELETE path and the
+  * partition-pinning of static `INSERT OVERWRITE`. Only shapes with
+  * exact Column equivalents convert; anything else returns None and
+  * the caller refuses (never a silently weaker predicate).
+  */
+private[graft] object FilterColumns {
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[SColumn] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r)                => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r)                 => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c)                   => toColumn(c).map(!_)
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case _                        => None
+  }
+
+  /** Static-partition-overwrite filters: a conjunction of equalities
+    * over partition columns, mapped to the manifest's raw partition
+    * value strings. Anything else refuses.
+    */
+  def partitionEqualities(filters: Array[Filter],
+                          m: Snapshot.Manifest): Map[String, String] = {
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(flat).map {
+      case EqualTo(a, v) if m.partitionCols.contains(a) && v != null =>
+        a -> String.valueOf(v)
+      case EqualNullSafe(a, v) if m.partitionCols.contains(a) =>
+        a -> (if (v == null) Snapshot.NullPartition else String.valueOf(v))
+      case other => throw new IllegalArgumentException(
+        s"INSERT OVERWRITE by filter supports only partition-column equalities " +
+          s"(partitioned by ${m.partitionCols.mkString(", ")}), got $other")
+    }.toMap
+  }
+}

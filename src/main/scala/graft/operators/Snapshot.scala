@@ -1643,6 +1643,15 @@ object Snapshot {
                 tables: Map[String, String]): Option[DataFrame] =
     SnapshotSql.script(spark, sqlText, tables)
 
+  /** Registry-free script: statements resolve through the session's
+    * catalogs ([[graft.catalog.GraftCatalog]] names, the maintenance
+    * dialect parser, DML capture) — the form a ported script actually
+    * ships once its tables live in a catalog. See
+    * [[SnapshotSql.scriptSql]].
+    */
+  def sqlScript(spark: SparkSession, sqlText: String): Option[DataFrame] =
+    SnapshotSql.scriptSql(spark, sqlText)
+
   /** Row-level DELETE by predicate, file-granular — the plain-SQL
     * `DELETE FROM t WHERE pred` the reference gets from BigQuery
     * (consumo_detalle.py delete-and-replace windows), restated as the

@@ -343,6 +343,31 @@ object SnapshotSql {
     result
   }
 
+  /** Multi-statement script through the SESSION's own front end — the
+    * catalog-resolved twin of [[script]]: every statement (DDL, DML,
+    * maintenance verbs via the dialect parser, the final SELECT) is
+    * plain `spark.sql` text against [[graft.catalog.GraftCatalog]]
+    * names, no registry at all. Same contract: statements run in
+    * order, each individually atomic, at most one SELECT and only as
+    * the final statement (its result is the script's result).
+    */
+  def scriptSql(spark: SparkSession, sqlText: String): Option[DataFrame] = {
+    val stmts = splitStatements(sqlText)
+    require(stmts.nonEmpty, "Snapshot.sqlScript: empty script")
+    var result: Option[DataFrame] = None
+    stmts.zipWithIndex.foreach { case (stmt, i) =>
+      val isQuery = !spark.sessionState.sqlParser.parsePlan(stmt)
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
+      if (isQuery) {
+        require(i == stmts.size - 1,
+          s"Snapshot.sqlScript: SELECT must be the script's final statement " +
+            s"(statement ${i + 1} of ${stmts.size} is a query whose result would be dropped)")
+        result = Some(spark.sql(stmt))
+      } else spark.sql(stmt)
+    }
+    result
+  }
+
   /** Split on top-level semicolons only: quoted strings (single,
     * double, backtick — with doubled-quote and backslash escapes), line
     * comments and bracketed comments can all carry `;` without ending
@@ -588,7 +613,7 @@ object SnapshotSql {
     * the writers derive on every load. Returns (partition columns in
     * declared order, generated-column name → generator SQL).
     */
-  private def partitionSpec(partitioning: Seq[Transform],
+  private[graft] def partitionSpec(partitioning: Seq[Transform],
                             what: String): (Seq[String], Map[String, String]) = {
     val gen = Map.newBuilder[String, String]
     val cols = partitioning.map { t =>
@@ -755,7 +780,7 @@ object SnapshotSql {
     * table when a name shadows, an opaque analysis error otherwise.
     * Refused with the front end's own message instead.
     */
-  private def refuseSubqueries(e: Expression, where: String): Unit =
+  private[graft] def refuseSubqueries(e: Expression, where: String): Unit =
     e.foreach {
       case _: SubqueryExpression => throw new IllegalArgumentException(
         s"Snapshot.sql: subqueries are not supported in $where; " +

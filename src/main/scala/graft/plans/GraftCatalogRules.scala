@@ -1,0 +1,236 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+
+import graft.catalog.GraftTable
+import graft.operators.{Snapshot, SnapshotSql}
+import graft.sources.SnapshotSource
+
+/** Analyzer rules that make [[graft.catalog.GraftCatalog]] tables
+  * first-class under the VANILLA SQL front end.
+  *
+  * [[GraftNativeReads]] swaps every analyzed catalog read
+  * (`DataSourceV2Relation` over a [[GraftTable]]) for the SAME native
+  * manifest-backed parquet relation the registered source plans —
+  * vectorized scan, whole-stage codegen, manifest-stats/bloom/partition
+  * pruning, DV and column-mapping awareness — PRESERVING the relation's
+  * output attribute ids, so references already resolved against the v2
+  * relation keep resolving and the swap is invisible to the rest of
+  * analysis. A catalog read therefore costs exactly what the
+  * path-based read costs; the DSv2 layer is name resolution, not a
+  * second (slower) scan path.
+  *
+  * [[GraftDmlCapture]] routes `UPDATE` / `MERGE INTO` / rich `DELETE`
+  * statements over catalog tables to the SAME engine tiers as the
+  * Scala API and the registry front end ([[Snapshot.update]],
+  * [[Snapshot.mergeArms]], [[Snapshot.delete]]) — one code path, one
+  * set of semantics. Without this rule stock Spark would refuse
+  * UPDATE/MERGE outright (they require `SupportsRowLevelOperations`);
+  * with it the whole reference maintenance surface is plain
+  * `spark.sql(...)` text. The captured command executes eagerly like
+  * any SQL command.
+  */
+case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** The DML target, unwrapped through aliases: the v2 relation and
+    * the names it may be qualified by in predicates (table name parts
+    * and alias).
+    */
+  private def unwrapTarget(p: LogicalPlan): Option[(GraftTable, DataSourceV2Relation, Seq[String])] =
+    p match {
+      case SubqueryAlias(id, child) =>
+        unwrapTarget(child).map { case (t, r, names) => (t, r, names :+ id.name) }
+      case r @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _) =>
+        Some((t, r, Seq(t.tableName, t.tableName.split('.').last).distinct))
+      case _ => None
+    }
+
+  /** Resolved attribute refs → bare names, so the captured Column
+    * re-resolves against the engine's own scan of the same table.
+    */
+  private def nameify(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  private def column(e: Expression, what: String): Column = {
+    SnapshotSql.refuseSubqueries(e, what)
+    ColumnBridge.column(nameify(e))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+
+    case d @ DeleteFromTable(target, cond) if d.resolved =>
+      unwrapTarget(target) match {
+        case Some((t, _, _)) =>
+          val pred = column(cond, "DELETE predicates")
+          GraftDmlCommand(s"DELETE FROM ${t.tableName}",
+            sp => Snapshot.delete(sp, t.path, pred))
+        case None => d
+      }
+
+    case u @ UpdateTable(target, assignments, cond) if u.resolved =>
+      unwrapTarget(target) match {
+        case Some((t, _, _)) =>
+          // assignment alignment fills untouched columns with their own
+          // refs — drop those no-ops so the engine rewrites the minimum
+          val set = assignments.flatMap {
+            case Assignment(k: AttributeReference, v: AttributeReference)
+                if k.exprId == v.exprId => None
+            case Assignment(k: AttributeReference, v) =>
+              Some(k.name -> column(v, "UPDATE SET values"))
+            case a => throw new UnsupportedOperationException(
+              s"graft UPDATE: unsupported assignment target ${a.key.sql}")
+          }
+          val pred = cond.map(column(_, "UPDATE predicates")).getOrElse(lit(true))
+          GraftDmlCommand(s"UPDATE ${t.tableName}",
+            sp => Snapshot.update(sp, t.path, pred, set.toMap))
+        case None => u
+      }
+
+    case m @ MergeIntoTable(targetP, sourceP, cond, matched, notMatched,
+                            notMatchedBySource, withSchemaEvolution) if m.resolved =>
+      unwrapTarget(targetP) match {
+        case Some((t, targetRel, _)) =>
+          if (notMatchedBySource.nonEmpty) throw new UnsupportedOperationException(
+            "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+          if (withSchemaEvolution.asInstanceOf[Boolean]) throw new UnsupportedOperationException(
+            "graft MERGE: WITH SCHEMA EVOLUTION is not supported")
+          val tAttrs = targetRel.outputSet
+          val sAttrs = AttributeSet(sourceP.output)
+          val (tAlias, sAlias) = ("__graft_t", "__graft_s")
+          // re-qualify each side's refs so the captured Columns resolve
+          // against the engine's aliased merge join
+          def sided(e: Expression, what: String): Column = {
+            SnapshotSql.refuseSubqueries(e, what)
+            ColumnBridge.column(e.transform {
+              case a: AttributeReference if tAttrs.contains(a) =>
+                UnresolvedAttribute(Seq(tAlias, a.name))
+              case a: AttributeReference if sAttrs.contains(a) =>
+                UnresolvedAttribute(Seq(sAlias, a.name))
+            })
+          }
+          val idCol = cond match {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if a.name.equalsIgnoreCase(b.name) &&
+                  ((tAttrs.contains(a) && sAttrs.contains(b)) ||
+                   (tAttrs.contains(b) && sAttrs.contains(a))) => a.name
+            case other => throw new UnsupportedOperationException(
+              s"graft MERGE: ON must equate one id column across the two sides, " +
+                s"got ${other.sql}")
+          }
+          def refuseCondition(c: Option[Expression], arm: String): Unit =
+            c.foreach(_ => throw new UnsupportedOperationException(
+              s"graft MERGE: conditional $arm arms (WHEN ... AND <cond>) are not supported"))
+          // alignment expands `UPDATE SET * / INSERT *` to per-column
+          // source refs covering the whole schema — that is WHOLE-ROW
+          // replace, mergeById's exact semantics (and the one shape
+          // where reassigning the partition columns is sound, under the
+          // id-embeds-partition contract)
+          def wholeRow(assigns: Seq[Assignment]): Boolean =
+            assigns.nonEmpty && assigns.forall {
+              case Assignment(k: AttributeReference, v: AttributeReference) =>
+                k.name.equalsIgnoreCase(v.name) && sAttrs.contains(v)
+              case _ => false
+            } && assigns.size == targetRel.output.size
+          val wholeRowCmd: Option[LogicalPlan] = (matched, notMatched) match {
+            case (Seq(UpdateAction(None, mAssigns, _)), Seq(InsertAction(None, iAssigns)))
+                if wholeRow(mAssigns) && wholeRow(iAssigns) =>
+              val source = PlanBridge.dataFrame(session, sourceP)
+              Some(GraftDmlCommand(s"MERGE INTO ${t.tableName} (whole-row)",
+                sp => Snapshot.mergeByIdPartitioned(sp, t.path, source, idCol,
+                  t.manifest.partitionCols)))
+            case _ => None
+          }
+          wholeRowCmd.getOrElse {
+          val (matchedSet, matchedDelete) = matched match {
+            case Seq() => (None, false)
+            case Seq(UpdateAction(c, assigns, _)) =>
+              refuseCondition(c, "UPDATE")
+              (Some(assigns.map {
+                case Assignment(k: AttributeReference, v) =>
+                  k.name -> sided(v, "MERGE assignments")
+                case a => throw new UnsupportedOperationException(
+                  s"graft MERGE: unsupported assignment target ${a.key.sql}")
+              }.toMap), false)
+            case Seq(DeleteAction(c)) =>
+              refuseCondition(c, "DELETE")
+              (None, true)
+            case _ => throw new UnsupportedOperationException(
+              "graft MERGE: the matched arm must be exactly one unconditional " +
+                "UPDATE SET ... / UPDATE SET * / DELETE")
+          }
+          val insertCols = notMatched match {
+            case Seq() => None
+            case Seq(InsertAction(c, assigns)) =>
+              refuseCondition(c, "INSERT")
+              Some(assigns.map {
+                case Assignment(k: AttributeReference, v) =>
+                  k.name -> sided(v, "MERGE insert values")
+                case a => throw new UnsupportedOperationException(
+                  s"graft MERGE: unsupported insert target ${a.key.sql}")
+              })
+            case _ => throw new UnsupportedOperationException(
+              "graft MERGE: the not-matched arm must be exactly one unconditional INSERT")
+          }
+          val source = PlanBridge.dataFrame(session, sourceP)
+          GraftDmlCommand(s"MERGE INTO ${t.tableName}",
+            sp => Snapshot.mergeArms(sp, t.path, source, tAlias, sAlias, idCol,
+              matchedSet, matchedDelete, insertCols))
+          }
+        case None => m
+      }
+  }
+}
+
+/** See [[GraftDmlCapture]]'s scaladoc. Runs AFTER it in the extension
+  * order, so a DML statement's target is captured whole before the
+  * relation under it could be rewritten away.
+  */
+case class GraftNativeReads(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DML target leaves, by object identity: they must stay v2 until
+    // GraftDmlCapture lifts the whole statement (the fixed point runs
+    // both rules every iteration, capture first)
+    val dmlTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def mark(p: LogicalPlan): Unit = p match {
+      case SubqueryAlias(_, c) => mark(c)
+      case r: DataSourceV2Relation => dmlTargets.add(r); ()
+      case _ => ()
+    }
+    plan.foreach {
+      case d: DeleteFromTable => mark(d.table)
+      case u: UpdateTable => mark(u.table)
+      case mm: MergeIntoTable => mark(mm.targetTable)
+      case _ => ()
+    }
+    plan.transformUpWithSubqueries {
+      case v2 @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _)
+          if !dmlTargets.contains(v2) =>
+        // output attrs preserved: the swap is invisible to resolution
+        LogicalRelation(
+          SnapshotSource.relationFor(session, t.path, t.manifest),
+          v2.output, None, isStreaming = false, None)
+    }
+  }
+}
+
+/** A captured DML statement as an eagerly-executed command — the
+  * analyzer replaces the whole UPDATE/MERGE/DELETE node with this leaf
+  * and the engine call runs at execution, like any SQL command.
+  */
+case class GraftDmlCommand(desc: String,
+                           body: SparkSession => Long) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = { body(session); Seq.empty }
+  override def simpleString(maxFields: Int): String = s"GraftDmlCommand $desc"
+}

@@ -1,0 +1,275 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.catalog.GraftCatalog
+import graft.operators.Snapshot
+
+/** Dialect parser for the lakehouse MAINTENANCE verbs vanilla Spark
+  * SQL has no grammar for — `VACUUM`, `OPTIMIZE`, `DESCRIBE
+  * HISTORY/DETAIL`, `RESTORE` — resolved BY NAME through the session's
+  * catalogs, so a ported script's whole maintenance loop is
+  * `spark.sql(...)` text against [[graft.catalog.GraftCatalog]]
+  * tables (the standard extension-parser pattern every lakehouse SQL
+  * dialect uses). Everything else delegates verbatim to the session
+  * parser.
+  *
+  * The five shapes are fixed-form — one identifier plus keyword
+  * clauses — parsed by a tiny hand tokenizer (quoted identifiers and
+  * the free-text OPTIMIZE WHERE / RESTORE timestamp tails slice the
+  * original text, so any expression the session parser accepts works
+  * there).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** One token: WORD (bare identifier/keyword, upper-cased match key),
+    * punctuation, or a quoted identifier part. `pos`/`end` index the
+    * ORIGINAL text so free-text tails can slice it.
+    */
+  private final case class Tok(text: String, pos: Int, end: Int) {
+    def is(kw: String): Boolean = text.equalsIgnoreCase(kw)
+  }
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '`') {
+        val close = s.indexOf('`', i + 1)
+        require(close > 0, s"unclosed backquote at $i")
+        out += Tok(s.substring(i, close + 1), i, close + 1)
+        i = close + 1
+      } else if (c.isLetterOrDigit || c == '_') {
+        var j = i
+        while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        out += Tok(s.substring(i, j), i, j)
+        i = j
+      } else { out += Tok(c.toString, i, i + 1); i += 1 }
+    }
+    out.result()
+  }
+
+  /** A dotted identifier starting at token `i`; returns (parts, next). */
+  private def ident(toks: Vector[Tok], i: Int): (Seq[String], Int) = {
+    def part(t: Tok): String =
+      if (t.text.startsWith("`")) t.text.stripPrefix("`").stripSuffix("`") else t.text
+    var parts = Vector(part(toks(i)))
+    var j = i + 1
+    while (j + 1 < toks.length && toks(j).text == "." ) {
+      parts :+= part(toks(j + 1)); j += 2
+    }
+    (parts, j)
+  }
+
+  private def stripTrailingSemi(s: String): String = {
+    var t = s.trim
+    while (t.endsWith(";")) t = t.dropRight(1).trim
+    t
+  }
+
+  /** Try the five maintenance shapes; None → not ours. */
+  private[plans] def parseMaintenance(sqlText: String,
+                                      delegate: ParserInterface): Option[LogicalPlan] = {
+    val text = stripTrailingSemi(sqlText)
+    val toks = lex(text)
+    if (toks.isEmpty) return None
+    val head = toks(0)
+
+    if (head.is("VACUUM")) {
+      val (parts, i) = ident(toks, 1)
+      if (i == toks.length)
+        return Some(maintCmd(s"VACUUM ${parts.mkString(".")}") { (sp, path) =>
+          Snapshot.vacuum(sp, path); Nil
+        }(parts))
+      if (i + 2 < toks.length && toks(i).is("RETAIN")) {
+        val n = toks(i + 1).text.toLongOption.getOrElse(
+          throw new IllegalArgumentException(s"VACUUM RETAIN needs an integer, got ${toks(i + 1).text}"))
+        val unit = toks(i + 2)
+        require(i + 3 == toks.length, s"VACUUM: unexpected trailing text after ${unit.text}")
+        return Some(maintCmd(s"VACUUM ${parts.mkString(".")}") { (sp, path) =>
+          if (unit.is("VERSIONS")) Snapshot.vacuum(sp, path, keepVersions = n.toInt)
+          else if (unit.is("DAYS")) Snapshot.vacuum(sp, path, keepVersions = 1,
+            retainMicros = Some(n * 86400L * 1000000L))
+          else if (unit.is("HOURS")) Snapshot.vacuum(sp, path, keepVersions = 1,
+            retainMicros = Some(n * 3600L * 1000000L))
+          else throw new IllegalArgumentException(
+            s"VACUUM RETAIN unit must be VERSIONS, DAYS or HOURS, got ${unit.text}")
+          Nil
+        }(parts))
+      }
+      throw new IllegalArgumentException(s"cannot parse VACUUM statement: $text")
+    }
+
+    if (head.is("OPTIMIZE")) {
+      val (parts, i) = ident(toks, 1)
+      // [WHERE <raw>] [ZORDER BY (cols)] — WHERE's raw tail runs to
+      // ZORDER (or end); both clauses slice the original text
+      val zorderAt = toks.indexWhere(_.is("ZORDER"), i)
+      val whereText: Option[String] =
+        if (i < toks.length && toks(i).is("WHERE")) {
+          val endPos = if (zorderAt >= 0) toks(zorderAt).pos else text.length
+          Some(text.substring(toks(i).end, endPos).trim)
+        } else if (i != toks.length && zorderAt != i) {
+          throw new IllegalArgumentException(s"cannot parse OPTIMIZE statement: $text")
+        } else None
+      val zcols: Seq[String] =
+        if (zorderAt < 0) Nil
+        else {
+          require(zorderAt + 2 < toks.length && toks(zorderAt + 1).is("BY") &&
+            toks(zorderAt + 2).text == "(",
+            s"OPTIMIZE: expected ZORDER BY (col, ...) in: $text")
+          var j = zorderAt + 3
+          val cols = Seq.newBuilder[String]
+          while (j < toks.length && toks(j).text != ")") {
+            if (toks(j).text != ",") cols += ident(toks, j)._1.mkString(".")
+            j += 1
+          }
+          require(j < toks.length, s"OPTIMIZE: unclosed ZORDER BY column list in: $text")
+          require(j + 1 == toks.length, s"OPTIMIZE: unexpected trailing text in: $text")
+          cols.result()
+        }
+      val where = whereText.map { w =>
+        graft.operators.SnapshotSql.refuseSubqueries(
+          delegate.parseExpression(w), "OPTIMIZE WHERE")
+        org.apache.spark.sql.functions.expr(w)
+      }
+      return Some(maintCmd(s"OPTIMIZE ${parts.mkString(".")}") { (sp, path) =>
+        Snapshot.compact(sp, path, zorderBy = zcols, where = where); Nil
+      }(parts))
+    }
+
+    if (head.is("DESCRIBE") && toks.length > 1 &&
+        (toks(1).is("HISTORY") || toks(1).is("DETAIL"))) {
+      val detail = toks(1).is("DETAIL")
+      val (parts, i) = ident(toks, 2)
+      require(i == toks.length, s"cannot parse DESCRIBE statement: $text")
+      val schema =
+        if (detail) DetailSchema else HistorySchema
+      return Some(maintQuery(s"DESCRIBE ${toks(1).text} ${parts.mkString(".")}", schema) {
+        (sp, path) =>
+          val df = if (detail) Snapshot.describeDetail(sp, path) else Snapshot.history(sp, path)
+          df.collect().toSeq
+      }(parts))
+    }
+
+    if (head.is("RESTORE")) {
+      val at = if (toks.length > 1 && toks(1).is("TABLE")) 2 else 1
+      val (parts, i) = ident(toks, at)
+      require(i + 3 < toks.length && toks(i).is("TO") &&
+        (toks(i + 1).is("VERSION") || toks(i + 1).is("TIMESTAMP")) &&
+        toks(i + 2).is("AS") && toks(i + 3).is("OF"),
+        s"cannot parse RESTORE statement (RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF ...): $text")
+      val tail = text.substring(toks(i + 3).end).trim
+      require(tail.nonEmpty, s"RESTORE: missing version/timestamp in: $text")
+      val byVersion = toks(i + 1).is("VERSION")
+      return Some(maintCmd(s"RESTORE ${parts.mkString(".")}") { (sp, path) =>
+        val v =
+          if (byVersion) tail.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"RESTORE TO VERSION AS OF needs an integer version, got '$tail'"))
+          else {
+            val micros = evalTimestampMicros(sp, tail)
+            Snapshot.versionAtTimestamp(sp, path, micros).getOrElse(
+              throw new IllegalArgumentException(
+                s"RESTORE: no version committed at or before $tail"))
+          }
+        Snapshot.restore(sp, path, v); Nil
+      }(parts))
+    }
+
+    None
+  }
+
+  /** Timestamp expression → epoch micros, evaluated once on the driver
+    * (`SELECT <expr>::timestamp` — parser-grade literals and arithmetic
+    * for free).
+    */
+  private def evalTimestampMicros(spark: SparkSession, raw: String): Long = {
+    val ts = spark.sql(s"SELECT CAST($raw AS TIMESTAMP)").head().getAs[java.sql.Timestamp](0)
+    require(ts != null, s"RESTORE: timestamp expression evaluated to NULL: $raw")
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  }
+
+  private val HistorySchema = StructType.fromDDL(
+    "version BIGINT, committed_at_micros BIGINT, num_files INT, num_rows BIGINT, schema_ddl STRING")
+  private val DetailSchema = StructType.fromDDL(
+    "version BIGINT, committed_at_micros BIGINT, num_files BIGINT, num_rows BIGINT, " +
+      "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +
+      "deletion_vector_rows BIGINT, num_bloom_files BIGINT, column_mapping STRING, " +
+      "constraints STRING, generated_cols STRING")
+
+  private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
+      parts: Seq[String]): LogicalPlan =
+    GraftMaintenanceCommand(desc, parts, Nil, body)
+
+  private def maintQuery(desc: String, schema: StructType)(
+      body: (SparkSession, String) => Seq[Row])(parts: Seq[String]): LogicalPlan =
+    GraftMaintenanceCommand(desc, parts,
+      DataTypeUtils.toAttributes(schema), body)
+}
+
+/** One parsed maintenance statement: the identifier resolves through
+  * the session's catalog manager AT RUN TIME (current catalog rules
+  * apply, exactly like any other statement), must land in a
+  * [[GraftCatalog]], and the body runs against the resolved table
+  * path. DESCRIBE forms carry their result schema in `output`.
+  */
+case class GraftMaintenanceCommand(desc: String, nameParts: Seq[String],
+                                   override val output: Seq[Attribute],
+                                   body: (SparkSession, String) => Seq[Row])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cm = session.sessionState.catalogManager
+    val (catalog, ident) = nameParts match {
+      case Seq(single) =>
+        (cm.currentCatalog, cm.currentNamespace.toSeq :+ single)
+      case more if cm.isCatalogRegistered(more.head) =>
+        (cm.catalog(more.head), more.tail)
+      case more =>
+        (cm.currentCatalog, more)
+    }
+    val graftCat = catalog match {
+      case g: GraftCatalog => g
+      case other => throw new UnsupportedOperationException(
+        s"$desc: table must live in a graft catalog, but '${nameParts.mkString(".")}' " +
+          s"resolves into catalog '${other.name()}'")
+    }
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+      ident.init.toArray, ident.last)
+    val path = graftCat.pathFor(id)
+    require(Snapshot.isSnapshotTable(session, path),
+      s"$desc: no snapshot table at $path")
+    body(session, path)
+  }
+
+  override def simpleString(maxFields: Int): String = s"GraftMaintenanceCommand $desc"
+}

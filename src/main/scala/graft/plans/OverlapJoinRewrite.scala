@@ -135,6 +135,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectOptimizerRule(session => OverlapJoinRewrite(session))
     ext.injectOptimizerRule(session => NanosTsPushdown(session))
     ext.injectOptimizerRule(session => FuzzyJoinRewrite(session))
+    // GraftCatalog support: DML capture FIRST (it must lift a whole
+    // UPDATE/MERGE before the read rewrite touches its target), then
+    // the native-scan read rewrite, then the maintenance-verb dialect
+    ext.injectResolutionRule(session => GraftDmlCapture(session))
+    ext.injectResolutionRule(session => GraftNativeReads(session))
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction(fn("graft_dot")(e => DotProduct(e(0), e(1))))
     ext.injectFunction(fn("graft_simhash32")(e => SimHash32(e(0))))
     ext.injectFunction(fn("graft_minhash_sig")(e => MinhashSig(e(0), intArg(e(1)))))

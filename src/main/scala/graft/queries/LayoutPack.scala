@@ -772,42 +772,43 @@ object LayoutPack extends QueryPack {
            |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM mat GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
-    // FIXTURE (untimed): the registered source snapshot table and the
-    // destination path.
+    // FIXTURE (untimed): a CATALOG-resolved source table — the
+    // round-10 re-gate: names flow through graft.catalog.GraftCatalog
+    // and the vanilla analyzer, no registry map anywhere.
     import graft.operators.Snapshot
     val root = java.nio.file.Files.createTempDirectory("graft_q130").toString
-    val src = s"$root/src"; val dest = s"$root/dest"
-    Snapshot.create(t.spark, src,
+    t.spark.conf.set("spark.sql.catalog.g130", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g130.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g130.db")
+    Snapshot.create(t.spark, s"$root/db/src",
       t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"),
       Seq("o_orderpriority"))
-    (src, dest)
-  } { (t, fixture: (String, String)) =>
+  } { (t, _: Any) =>
     // MEASURED: the reference's QueryJobConfig(destination=…,
     // WRITE_TRUNCATE) materialization as literal SQL text
     // (liveod_editorial.py:282-359: a UNION ALL over branch SELECTs
     // into a destination table), then the incremental INSERT … SELECT
-    // half — both routed through Snapshot.sql into atomic manifest
-    // commits. The oracle recomputes the destination's final state
-    // from the raw table, so a branch lost in the rewrite, a double
-    // append, or positional-mapping drift fails the gate.
-    import graft.operators.Snapshot
-    val (src, dest) = fixture
-    val reg = Map("src" -> src, "dest" -> dest)
-    Snapshot.sql(t.spark,
-      """CREATE OR REPLACE TABLE dest AS
-        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM src
+    // half — both plain spark.sql against catalog names: CTAS rides
+    // the atomic staged-commit protocol, INSERT the V1-write append,
+    // and the SELECT side plans the native manifest scan. The oracle
+    // recomputes the destination's final state from the raw table, so
+    // a branch lost in the rewrite, a double append, or
+    // positional-mapping drift fails the gate.
+    t.spark.sql(
+      """CREATE OR REPLACE TABLE g130.db.dest AS
+        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM g130.db.src
         |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |UNION ALL
-        |SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice FROM src
+        |SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice FROM g130.db.src
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderpriority = '1-URGENT'
-        |""".stripMargin, reg)
-    Snapshot.sql(t.spark,
-      """INSERT INTO dest
-        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM src
+        |""".stripMargin)
+    t.spark.sql(
+      """INSERT INTO g130.db.dest
+        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM g130.db.src
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-        |""".stripMargin, reg)
-    graft.operators.Snapshot.read(t.spark, dest)
+        |""".stripMargin)
+    t.spark.table("g130.db.dest")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy("o_orderpriority")
@@ -820,10 +821,14 @@ object LayoutPack extends QueryPack {
            |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
     // FIXTURE (untimed): three commits of the orders table — v1 the
-    // pre-1996 base, then two appends — so version arithmetic has
-    // something to travel across.
+    // pre-1996 base, then two appends — under a CATALOG name, so
+    // version arithmetic has something to travel across.
     import graft.operators.Snapshot
-    val dir = java.nio.file.Files.createTempDirectory("graft_q131").toString + "/orders_s"
+    val root = java.nio.file.Files.createTempDirectory("graft_q131").toString
+    t.spark.conf.set("spark.sql.catalog.g131", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g131.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g131.db")
+    val dir = s"$root/db/orders_s"
     val base = t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
     val cut96 = lit("1996-01-01 00:00:00").cast("timestamp")
     val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
@@ -831,21 +836,23 @@ object LayoutPack extends QueryPack {
     Snapshot.append(t.spark, dir,
       base.where(col("o_orderdate") >= cut96 && col("o_orderdate") < cut97))
     Snapshot.append(t.spark, dir, base.where(col("o_orderdate") >= cut97))
-    dir
-  } { (t, dir: String) =>
+  } { (t, _: Any) =>
     // MEASURED: the incremental-diff-by-time-travel pattern from plain
-    // SQL text — current state anti-joined against `VERSION AS OF 1`
-    // (the pinned first commit) gives exactly the rows added since,
-    // without any change-feed bookkeeping. The oracle recomputes the
-    // same set from the raw table's date cut, so a version mis-pin or
-    // a row leaking across the travel boundary fails the gate.
-    graft.operators.Snapshot.sqlQuery(t.spark,
+    // SQL text through the VANILLA analyzer — current state anti-joined
+    // against `VERSION AS OF 1` (the pinned first commit, resolved by
+    // the catalog's loadTable(ident, version)) gives exactly the rows
+    // added since, without any change-feed bookkeeping. The oracle
+    // recomputes the same set from the raw table's date cut, so a
+    // version mis-pin or a row leaking across the travel boundary
+    // fails the gate.
+    t.spark.sql(
       """SELECT cur.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(cur.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM t cur LEFT ANTI JOIN (SELECT o_orderkey FROM t VERSION AS OF 1) old
+        |FROM g131.db.orders_s cur
+        |LEFT ANTI JOIN (SELECT o_orderkey FROM g131.db.orders_s VERSION AS OF 1) old
         |ON cur.o_orderkey = old.o_orderkey
         |GROUP BY cur.o_orderpriority ORDER BY cur.o_orderpriority
-        |""".stripMargin, Map("t" -> dir))
+        |""".stripMargin)
   }
 
   val q132 = QueryDef.staged(
@@ -862,38 +869,40 @@ object LayoutPack extends QueryPack {
            |             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
            |)
            |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
-    // FIXTURE (untimed): source snapshot + destination path
+    // FIXTURE (untimed): a catalog-resolved source table
     import graft.operators.Snapshot
     val root = java.nio.file.Files.createTempDirectory("graft_q132").toString
-    val src = s"$root/src"; val dest = s"$root/dest"
-    Snapshot.create(t.spark, src,
+    t.spark.conf.set("spark.sql.catalog.g132", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g132.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g132.db")
+    Snapshot.create(t.spark, s"$root/db/src",
       t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"),
       Seq("o_orderpriority"))
-    (src, dest)
-  } { (t, fixture: (String, String)) =>
+  } { (t, _: Any) =>
     // MEASURED: a whole reference-job shape as ONE script text —
     // materialize, mutate (UPDATE + DELETE), and read back the final
     // state as the script's result set (the multi-statement-query
-    // contract of the warehouse the reference targets). The oracle
-    // recomputes the destination from the raw table, so a statement
-    // lost, reordered, or double-applied fails the gate.
-    import graft.operators.Snapshot
-    val (src, dest) = fixture
-    Snapshot.sqlScript(t.spark,
-      """CREATE OR REPLACE TABLE dest AS
-        |SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate FROM src
+    // contract of the warehouse the reference targets) — every
+    // statement resolved by the session's own catalog: CTAS through
+    // the staged protocol, UPDATE/DELETE through the DML-capture
+    // rule, no registry map anywhere. The oracle recomputes the
+    // destination from the raw table, so a statement lost, reordered,
+    // or double-applied fails the gate.
+    graft.operators.Snapshot.sqlScript(t.spark,
+      """CREATE OR REPLACE TABLE g132.db.dest AS
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate FROM g132.db.src
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00';
         |
-        |UPDATE dest SET o_totalprice = o_totalprice * 2
+        |UPDATE g132.db.dest SET o_totalprice = o_totalprice * 2
         |WHERE o_orderpriority = '1-URGENT';
         |
-        |DELETE FROM dest WHERE o_orderpriority = '5-LOW'
+        |DELETE FROM g132.db.dest WHERE o_orderpriority = '5-LOW'
         |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00';
         |
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM dest GROUP BY o_orderpriority ORDER BY o_orderpriority;
-        |""".stripMargin, Map("src" -> src, "dest" -> dest)).get
+        |FROM g132.db.dest GROUP BY o_orderpriority ORDER BY o_orderpriority;
+        |""".stripMargin).get
   }
 
   val q137 = QueryDef.staged(

@@ -179,7 +179,7 @@ object SnapshotSource {
     * and the same remedy restores the native path: any full rewrite
     * (overwrite/CTAS) re-labels the files and resets the map.
     */
-  private[sources] def relationFor(spark: SparkSession, path: String,
+  private[graft] def relationFor(spark: SparkSession, path: String,
                                    m: Snapshot.Manifest,
                                    schema: Option[StructType] = None): BaseRelation = {
     val tableSchema = schema.getOrElse(StructType.fromDDL(m.schemaDdl))

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshot
+
+/** The DSv2 catalog: snapshot tables resolved BY NAME through the
+  * vanilla parser/analyzer — DDL, reads (native scan via the extension
+  * rule), writes, DML, time travel and the maintenance dialect, all as
+  * plain `spark.sql` text with zero registry plumbing.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-catalog-wh").toString
+    spark.conf.set("spark.sql.catalog.g", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    dir
+  }
+
+  private def sql(s: String): DataFrame = { warehouse; spark.sql(s) }
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range, tag: Long): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", tag * 1000 + i))
+      .toDF("id", "p", "v")
+
+  test("CREATE TABLE / INSERT / SELECT / SHOW / DESCRIBE resolve by name") {
+    sql("CREATE TABLE g.db.t1 (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    assert(Snapshot.isSnapshotTable(spark, s"$warehouse/db/t1"))
+    sql("INSERT INTO g.db.t1 VALUES (1, 'even', 10), (2, 'odd', 20)")
+    sql("INSERT INTO g.db.t1 SELECT 3, 'even', 30")
+    assert(rows(sql("SELECT id, p, v FROM g.db.t1")) ==
+      Set((1L, "even", 10L), (2L, "odd", 20L), (3L, "even", 30L)))
+    // SHOW TABLES and DESCRIBE flow through the catalog
+    assert(sql("SHOW TABLES IN g.db").select("tableName")
+      .as[String].collect().contains("t1"))
+    val desc = sql("DESCRIBE TABLE g.db.t1").select("col_name", "data_type")
+      .as[(String, String)].collect().toMap
+    assert(desc.get("id").contains("bigint") && desc.get("p").contains("string"))
+  }
+
+  test("reads plan the NATIVE manifest scan with pushdown, not a row fallback") {
+    sql("CREATE TABLE g.db.scan (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.scan SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 FROM range(100)")
+    val df = sql("SELECT id, v FROM g.db.scan WHERE p = 'even' AND v > 100")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("FileScan parquet"),
+      s"catalog read must plan the native vectorized parquet scan, got:\n$physical")
+    assert(physical.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,100)]") ||
+      physical.contains("GreaterThan(v,100)"),
+      s"data filter must reach the scan:\n$physical")
+    assert(df.count() == 44) // even ids 12..98
+    // partition pruning: only the p=even files are listed
+    val scanned = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("p=odd"))
+  }
+
+  test("CTAS, REPLACE TABLE AS SELECT and time travel are one history") {
+    sql("CREATE TABLE g.db.src (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    fixture(0 until 20, 1).createOrReplaceTempView("ctas_src")
+    sql("INSERT INTO g.db.src SELECT * FROM ctas_src")
+    sql("CREATE TABLE g.db.mat PARTITIONED BY (p) AS SELECT id, p, v FROM g.db.src WHERE id < 10")
+    assert(rows(sql("SELECT * FROM g.db.mat")) == rows(fixture(0 until 10, 1)))
+    // REPLACE is an atomic overwrite commit — history stays walkable
+    sql("CREATE OR REPLACE TABLE g.db.mat AS SELECT id, p, v FROM g.db.src WHERE id >= 10")
+    assert(rows(sql("SELECT * FROM g.db.mat")) == rows(fixture(10 until 20, 1)))
+    assert(rows(sql("SELECT * FROM g.db.mat VERSION AS OF 1")) == rows(fixture(0 until 10, 1)))
+    // CTAS against an existing table refuses; IF NOT EXISTS no-ops
+    intercept[Exception](sql("CREATE TABLE g.db.mat AS SELECT * FROM g.db.src"))
+    sql("CREATE TABLE IF NOT EXISTS g.db.mat AS SELECT * FROM g.db.src")
+    assert(rows(sql("SELECT * FROM g.db.mat")) == rows(fixture(10 until 20, 1)))
+  }
+
+  test("INSERT OVERWRITE: full truncate and static partition replace") {
+    sql("CREATE TABLE g.db.ow (id BIGINT, v BIGINT, p STRING) PARTITIONED BY (p)")
+    fixture(0 until 10, 1).createOrReplaceTempView("ow_base")
+    sql("INSERT INTO g.db.ow SELECT id, v, p FROM ow_base")
+    // full overwrite: the whole table is replaced in one commit
+    fixture(10 until 14, 2).createOrReplaceTempView("ow_next")
+    sql("INSERT OVERWRITE g.db.ow SELECT id, v, p FROM ow_next")
+    assert(rows(sql("SELECT id, p, v FROM g.db.ow")) == rows(fixture(10 until 14, 2)))
+    // static partition overwrite: only the named tuple is replaced
+    sql("INSERT OVERWRITE g.db.ow PARTITION (p = 'even') SELECT 100, 7")
+    val got = rows(sql("SELECT id, p, v FROM g.db.ow"))
+    assert(got == rows(fixture(10 until 14, 2)).filter(_._2 == "odd") + ((100L, "even", 7L)),
+      s"partition overwrite must keep untouched partitions, got $got")
+  }
+
+  test("DELETE / UPDATE / MERGE are plain SQL against catalog names") {
+    sql("CREATE TABLE g.db.dml (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    fixture(0 until 30, 1).createOrReplaceTempView("dml_base")
+    sql("INSERT INTO g.db.dml SELECT * FROM dml_base")
+
+    sql("DELETE FROM g.db.dml WHERE id >= 20 AND p = 'even'")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.dml").as[Long].head() == 25L)
+
+    sql("UPDATE g.db.dml SET v = v + 100000 WHERE p = 'odd' AND id < 4")
+    assert(sql("SELECT v FROM g.db.dml WHERE id = 1").as[Long].head() == 101001L)
+    assert(sql("SELECT v FROM g.db.dml WHERE id = 5").as[Long].head() == 1005L)
+
+    fixture(28 until 34, 9).createOrReplaceTempView("dml_updates")
+    sql("""MERGE INTO g.db.dml t USING dml_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // 29 odd survived the delete and matched; 28/30/32 (even, >= 20) were
+    // deleted, so they insert; 31/33 insert
+    assert(sql("SELECT v FROM g.db.dml WHERE id = 29").as[Long].head() == 9029L)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.dml").as[Long].head() == 30L)
+
+    // explicit arms with per-column assignments
+    sql("""MERGE INTO g.db.dml t USING dml_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET v = u.v + 7""".stripMargin)
+    assert(sql("SELECT v FROM g.db.dml WHERE id = 29").as[Long].head() == 9036L)
+  }
+
+  test("ALTER TABLE evolves schema through the catalog") {
+    sql("CREATE TABLE g.db.alt (id INT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.alt VALUES (1, 'even', 10)")
+    sql("ALTER TABLE g.db.alt ADD COLUMNS (w STRING)")
+    assert(sql("SELECT * FROM g.db.alt").columns.toSeq == Seq("id", "p", "v", "w"))
+    sql("ALTER TABLE g.db.alt RENAME COLUMN v TO vv")
+    assert(sql("SELECT vv FROM g.db.alt").as[Long].head() == 10L)
+    sql("ALTER TABLE g.db.alt DROP COLUMN w")
+    assert(sql("SELECT * FROM g.db.alt").columns.toSeq == Seq("id", "p", "vv"))
+    sql("ALTER TABLE g.db.alt ALTER COLUMN id TYPE BIGINT")
+    assert(sql("SELECT id FROM g.db.alt").schema.head.dataType.typeName == "long")
+  }
+
+  test("maintenance dialect: VACUUM / OPTIMIZE / DESCRIBE HISTORY / RESTORE by name") {
+    sql("CREATE TABLE g.db.mx (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    fixture(0 until 8, 1).createOrReplaceTempView("mx_base")
+    sql("INSERT INTO g.db.mx SELECT * FROM mx_base")
+    sql("INSERT INTO g.db.mx SELECT id + 100, p, v FROM mx_base")
+    val hist = sql("DESCRIBE HISTORY g.db.mx")
+    assert(hist.select("version").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L))
+    val detail = sql("DESCRIBE DETAIL g.db.mx")
+    assert(detail.select("num_rows").as[Long].head() == 16L)
+
+    sql("OPTIMIZE g.db.mx")
+    assert(rows(sql("SELECT id, p, v FROM g.db.mx")).size == 16)
+
+    sql("RESTORE TABLE g.db.mx TO VERSION AS OF 2")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.mx").as[Long].head() == 8L)
+
+    sql("VACUUM g.db.mx RETAIN 1 VERSIONS")
+    val path = s"$warehouse/db/mx"
+    assert(Snapshot.versions(spark, path).size == 1)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.mx").as[Long].head() == 8L)
+    // age-based retention parses and keeps everything younger than 7 days
+    sql("INSERT INTO g.db.mx SELECT * FROM mx_base")
+    sql("VACUUM g.db.mx RETAIN 7 DAYS")
+    assert(Snapshot.versions(spark, path).size == 2)
+  }
+
+  test("DROP TABLE, RENAME TABLE and namespace listing") {
+    sql("CREATE TABLE g.db.tmp1 (id BIGINT) ")
+    sql("INSERT INTO g.db.tmp1 VALUES (5)")
+    sql("ALTER TABLE g.db.tmp1 RENAME TO g.db.tmp2")
+    assert(sql("SELECT id FROM g.db.tmp2").as[Long].head() == 5L)
+    intercept[Exception](sql("SELECT * FROM g.db.tmp1"))
+    sql("DROP TABLE g.db.tmp2")
+    assert(!sql("SHOW TABLES IN g.db").select("tableName")
+      .as[String].collect().contains("tmp2"))
+    intercept[Exception](sql("DROP TABLE g.db.tmp2"))
+    sql("DROP TABLE IF EXISTS g.db.tmp2")
+    assert(sql("SHOW NAMESPACES IN g").select("namespace")
+      .as[String].collect().contains("db"))
+  }
+
+  test("generated partition transforms: PARTITIONED BY (days(ts)) through the catalog") {
+    sql("CREATE TABLE g.db.gen (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    val m = Snapshot.latestManifest(spark, s"$warehouse/db/gen").get
+    assert(m.partitionCols == Seq("ts_day") && m.generatedCols.contains("ts_day"))
+  }
+}

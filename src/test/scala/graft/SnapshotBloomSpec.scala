@@ -96,6 +96,55 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM bloom_dv_t WHERE id = 300").isEmpty)
   }
 
+  test("bloom pruning survives RENAME + type widen on the indexed column, both paths") {
+    val dir = Files.createTempDirectory("graft-bloom-colmap").toString
+    val t = s"$dir/t"
+    // INT ids (so the widen below is a real storage/probe-type change),
+    // four files with fully-overlapping ranges — only blooms can prune
+    Snapshot.create(spark, t,
+      Seq((1, "w1"), (101, "w101"), (201, "w201")).toDF("id", "w").repartition(1))
+    (2 to 4).foreach { k =>
+      Snapshot.append(spark, t,
+        Seq((k, s"w$k"), (k + 100, s"w${k + 100}"), (k + 200, s"w${k + 200}"))
+          .toDF("id", "w").repartition(1))
+    }
+    Snapshot.bloomIndex(spark, t, Seq("id"))
+    // metadata-only evolution AFTER indexing: sidecars key on the
+    // PHYSICAL name and hash integrals canonically as longs, so both
+    // must keep pruning
+    Snapshot.renameColumn(spark, t, "id", "doc_id")
+    Snapshot.widenColumnType(spark, t, "doc_id", org.apache.spark.sql.types.LongType)
+
+    // engine path: the new name + a LONG literal still prune 4 -> 1
+    val (kept, total) = Snapshot.pruneFiles(spark, t, col("doc_id") === 103L)
+    assert(total == 4 && kept.size == 1,
+      s"bloom must prune under the renamed+widened column: kept $kept of $total")
+    assert(Snapshot.readWhere(spark, t, col("doc_id") === 103L)
+      .as[(Long, String)].collect().toSeq == Seq(103L -> "w103"))
+    // an absent probe is still a provable miss — and still SOUND (the
+    // pre-widen bloom hashed ints as longs, so no real row is skipped)
+    val (keptAbsent, _) = Snapshot.pruneFiles(spark, t, col("doc_id") === 777L)
+    assert(keptAbsent.isEmpty && Snapshot.readWhere(spark, t, col("doc_id") === 777L).isEmpty)
+
+    // SQL path: active column mapping forces the row-based fallback
+    // relation — its pushed-filter pruning must consult the sidecars
+    // under the rename too
+    val df = spark.read.format("graft.sources.SnapshotSource").load(t)
+    df.createOrReplaceTempView("bloom_cm_t")
+    val got = spark.sql("SELECT doc_id, w FROM bloom_cm_t WHERE doc_id = 202")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(202L -> "w202"))
+    assert(SnapshotStats.lastPrune == ((1, 4)),
+      s"fallback scan must bloom-prune 4 -> 1 after the rename, saw ${SnapshotStats.lastPrune}")
+
+    // appends after the rename store the stable physical name;
+    // re-indexing covers the new file while old sidecars stay valid
+    Snapshot.append(spark, t, Seq(301L -> "w301").toDF("doc_id", "w").repartition(1))
+    Snapshot.bloomIndex(spark, t, Seq("doc_id"))
+    val (k2, t2) = Snapshot.pruneFiles(spark, t, col("doc_id") === 301L)
+    assert(t2 == 5 && k2.size == 1, s"post-rename append must index: kept $k2 of $t2")
+  }
+
   test("indexing is incremental over appends and idempotent when current") {
     val dir = Files.createTempDirectory("graft-bloom-incr").toString
     val t = fixture(dir)
