@@ -258,5 +258,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_topk_pairs",
       exprs => TopKPairs(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_detln",
+      exprs => DetLn(exprs(0)), "built-in")
   }
 }

@@ -32,15 +32,14 @@ object DetMath {
 
   /** Natural log of a DOUBLE column, x >= 1, arithmetic-only. */
   def detLn(x: Column): Column = {
-    val e = length(bin(floor(x).cast("long"))) - 1
-    val m = x / call_function("shiftleft", lit(1L), e).cast("double")
-    val eAdj = when(m >= 1.5, e + 1).otherwise(e).cast("double")
-    val m2 = when(m >= 1.5, m / 2.0).otherwise(m)
-    val z = (m2 - 1.0) / (m2 + 1.0)
-    val z2 = z * z
-    val series = lit(2.0) * z * (lit(1.0) + z2 * (lit(1.0 / 3.0) + z2 * (lit(1.0 / 5.0) +
-      z2 * (lit(1.0 / 7.0) + z2 * (lit(1.0 / 9.0) + z2 * (lit(1.0 / 11.0) + z2 * lit(1.0 / 13.0)))))))
-    eAdj * Ln2.toDouble + series
+    // the NATIVE expression (graft.expressions.DetLn): same op
+    // sequence in a few Java locals instead of a Column tree whose
+    // reused intermediates duplicate exponentially — several calls in
+    // one projection used to overflow Janino's method limit and drop
+    // the stage to interpreted mode (q100's six entropy terms)
+    graft.expressions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_detln", x.cast("double"))
   }
 
   /** The same computation as DuckDB SQL over a scalar expression `x`

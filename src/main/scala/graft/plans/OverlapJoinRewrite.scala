@@ -151,5 +151,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(fn("graft_lsh_bucket")(e => LshBucket(e(0), intArg(e(1)))))
     ext.injectFunction(fn("graft_bottomk")(e => BottomK(e(0), intArg(e(1)))))
     ext.injectFunction(fn("graft_topk_pairs")(e => TopKPairs(e(0), e(1), intArg(e(2)))))
+    ext.injectFunction(fn("graft_detln")(e => DetLn(e(0))))
   }
 }
