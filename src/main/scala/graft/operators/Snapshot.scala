@@ -1463,6 +1463,17 @@ object Snapshot {
                            assertIdsLocal: Boolean = false): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    require(m.partitionCols == partitionCols,
+      s"snapshot table is partitioned by ${m.partitionCols}, not $partitionCols")
+    if (partitionCols.isEmpty) {
+      // UNPARTITIONED tier: no restriction possible — the merge is a
+      // whole-table rewrite, committed against the pinned manifest so
+      // a concurrent commit conflicts instead of being discarded.
+      // (A table big enough for this to hurt should be partitioned;
+      // the tier exists so small dimension tables merge too.)
+      val merged = Writers.mergeById(readFiles(spark, path, m), updates, idCol)
+      return replaceWholeTableOn(spark, path, m, merged)
+    }
     val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, updates, partitionCols)
     if (assertIdsLocal) {
       val strays = readFiles(spark, path, m, Some(m.files.diff(affectedFiles)))
@@ -1476,6 +1487,22 @@ object Snapshot {
     val affected = readFiles(spark, path, m, Some(affectedFiles))
     val merged = Writers.mergeById(affected, updates, idCol)
     replacePartitionsOn(spark, path, m, merged, dropOld = affectedRaw.contains)
+  }
+
+  /** Whole-table replacement against a CALLER-PINNED manifest — the
+    * unpartitioned merge tier: every live file drops, the replacement
+    * lands constraint-checked with generated columns re-derived, and
+    * a concurrent commit is a conflict (commitRebasing's missing-file
+    * check fires on the pinned drop set), never a silent discard.
+    */
+  private def replaceWholeTableOn(spark: SparkSession, path: String, m: Manifest,
+                                  replacement: DataFrame): Long = {
+    val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap, m.constraints,
+      m.generatedCols)
+    commitRebasing(spark, path, m, drop = m.files.toSet, touched = Set.empty,
+      addFiles = newFiles,
+      addStats = statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),
+      addDvs = Map.empty)
   }
 
   /** Partition restriction shared by the merge family: the partition
@@ -1548,7 +1575,6 @@ object Snapshot {
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val pCols = m.partitionCols
-    require(pCols.nonEmpty, "merge needs a partitioned snapshot table")
     matchedSet.foreach { set =>
       val bad = set.keySet.diff(schema.fieldNames.toSet)
       require(bad.isEmpty, s"merge UPDATE SET: unknown column(s) ${bad.mkString(", ")}")
@@ -1586,7 +1612,11 @@ object Snapshot {
     require(source.select(idCol).groupBy(idCol).count()
         .where(col("count") > 1).limit(1).isEmpty,
       s"merge source has duplicate $idCol values; a duplicate would fan out the join")
-    val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, source, pCols)
+    // unpartitioned targets take the whole-table tier (no restriction
+    // possible); partitioned ones swap only the source's tuples
+    val (affectedRaw, affectedFiles) =
+      if (pCols.isEmpty) (Set.empty[Map[String, String]], m.files)
+      else affectedPartitions(spark, m, source, pCols)
     val t = readFiles(spark, path, m, Some(affectedFiles)).alias(targetAlias)
     val s = source.alias(sourceAlias)
     val joined = t.join(s, t(idCol) === s(idCol), "left")
@@ -1609,7 +1639,8 @@ object Snapshot {
           }: _*))
     }
     val replacement = inserts.fold(survivors)(survivors.unionByName(_))
-    replacePartitionsOn(spark, path, m, replacement, dropOld = affectedRaw.contains)
+    if (pCols.isEmpty) replaceWholeTableOn(spark, path, m, replacement)
+    else replacePartitionsOn(spark, path, m, replacement, dropOld = affectedRaw.contains)
   }
 
   // --------------------------------------------------- row-level DML

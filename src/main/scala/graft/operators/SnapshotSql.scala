@@ -496,8 +496,13 @@ object SnapshotSql {
         val path = pathOf(ident, tables)
         val from = longArg(fromE, "the start version")
         val to = toV.getOrElse(Snapshot.latestVersion(spark, path).getOrElse(from))
+        // versions from..to INCLUSIVE, per-commit reconciled rows
+        // stamped _change_type/_commit_version/_commit_timestamp — the
+        // standard CDC TVF contract, identical on the registry and
+        // catalog routes (and the streaming feed)
         SubqueryAlias(ident,
-          Snapshot.readChanges(spark, path, from, to).queryExecution.analyzed): LogicalPlan
+          graft.sources.SnapshotCdfStreamSource.batchFeed(spark, path, from, to)
+            .queryExecution.analyzed): LogicalPlan
     }
     PlanBridge.dataFrame(spark, rewritten)
   }

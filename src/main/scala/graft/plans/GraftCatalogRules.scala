@@ -221,7 +221,107 @@ case class GraftNativeReads(session: SparkSession) extends Rule[LogicalPlan] {
         LogicalRelation(
           SnapshotSource.relationFor(session, t.path, t.manifest),
           v2.output, None, isStreaming = false, None)
+
+      // `spark.readStream.table("g.db.t")`: GraftTable has no DSv2
+      // micro-batch scan, but the commit-log stream source IS the
+      // streaming read path — swap in the CLASSIC v1 streaming
+      // relation wired to it (the same node DataStreamReader builds
+      // for a v1 format), options (startingVersion,
+      // maxFilesPerTrigger, readChangeFeed, …) passed through. Base
+      // output attrs are preserved so references already bound keep
+      // resolving; the change feed appends its meta columns, which
+      // resolve on the next fixed-point iteration.
+      case s @ org.apache.spark.sql.catalyst.streaming.StreamingRelationV2(
+          _, _, t: GraftTable, options, output, _, _, _) =>
+        import scala.jdk.CollectionConverters._
+        val cdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
+        val metaAttrs =
+          if (cdf) graft.sources.SnapshotCdfStreamSource.MetaFields.toSeq.map(f =>
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(
+              f.name, f.dataType, f.nullable)())
+          else Nil
+        val fullOutput = output ++ metaAttrs
+        val ds = org.apache.spark.sql.execution.datasources.DataSource(
+          session, className = "graft.sources.SnapshotSource",
+          options = options.asScala.toMap ++ Map("path" -> t.path))
+        org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+          ds, "graft-snapshot", fullOutput)
     }
+  }
+}
+
+/** Catalog-qualified name resolution shared by the maintenance-verb
+  * parser and the `table_changes` TVF rewrite: the identifier resolves
+  * through the session's catalog manager exactly like any statement's
+  * (explicit catalog segment, else the current catalog + namespace)
+  * and must land in a [[GraftCatalog]].
+  */
+object GraftCatalogResolve {
+
+  /** Resolve name parts to a snapshot-table path IF they land in a
+    * GraftCatalog; None when another catalog owns the name.
+    */
+  def pathOf(session: SparkSession, nameParts: Seq[String]): Option[String] = {
+    val cm = session.sessionState.catalogManager
+    val (catalog, ident) = nameParts match {
+      case Seq(single) =>
+        (cm.currentCatalog, cm.currentNamespace.toSeq :+ single)
+      case more if cm.isCatalogRegistered(more.head) =>
+        (cm.catalog(more.head), more.tail)
+      case more =>
+        (cm.currentCatalog, more)
+    }
+    catalog match {
+      case g: graft.catalog.GraftCatalog =>
+        Some(g.pathFor(org.apache.spark.sql.connector.catalog.Identifier.of(
+          ident.init.toArray, ident.last)))
+      case _ => None
+    }
+  }
+
+  /** The `table_changes('t', from[, to])` TABLE FUNCTION builder —
+    * registered on the session (GraftFunctions.register /
+    * GraftExtensions), so the CDC SQL surface resolves
+    * catalog-qualified names through the standard analyzer. The
+    * registry front end ([[graft.operators.SnapshotSql.query]])
+    * rewrites its own registered names before analysis, so both
+    * addressing styles coexist.
+    */
+  def tableChanges(session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def longArg(e: Expression, what: String): Long = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.value match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be an integer literal, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer literal, got ${other.sql}")
+    }
+    val (identE, fromE, toE) = args match {
+      case Seq(n, f) => (n, f, None)
+      case Seq(n, f, t) => (n, f, Some(t))
+      case _ => throw new IllegalArgumentException(
+        "table_changes takes (table, fromVersion[, toVersion])")
+    }
+    val ident = identE match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.value.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] =>
+        l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: the table must be a string literal, got ${other.sql}")
+    }
+    val parts = session.sessionState.sqlParser.parseMultipartIdentifier(ident)
+    val path = pathOf(session, parts).getOrElse(throw new IllegalArgumentException(
+      s"table_changes: '$ident' does not resolve to a graft-catalog table"))
+    val from = longArg(fromE, "the start version")
+    val to = toE.map(longArg(_, "the end version"))
+      .getOrElse(Snapshot.latestVersion(session, path).getOrElse(from))
+    // versions from..to INCLUSIVE, per-commit reconciled and stamped —
+    // the standard CDC TVF contract, shared with the streaming feed
+    SubqueryAlias(parts.last,
+      graft.sources.SnapshotCdfStreamSource.batchFeed(session, path, from, to)
+        .queryExecution.analyzed)
   }
 }
 

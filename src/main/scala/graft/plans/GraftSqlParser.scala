@@ -248,24 +248,10 @@ case class GraftMaintenanceCommand(desc: String, nameParts: Seq[String],
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    val cm = session.sessionState.catalogManager
-    val (catalog, ident) = nameParts match {
-      case Seq(single) =>
-        (cm.currentCatalog, cm.currentNamespace.toSeq :+ single)
-      case more if cm.isCatalogRegistered(more.head) =>
-        (cm.catalog(more.head), more.tail)
-      case more =>
-        (cm.currentCatalog, more)
-    }
-    val graftCat = catalog match {
-      case g: GraftCatalog => g
-      case other => throw new UnsupportedOperationException(
-        s"$desc: table must live in a graft catalog, but '${nameParts.mkString(".")}' " +
-          s"resolves into catalog '${other.name()}'")
-    }
-    val id = org.apache.spark.sql.connector.catalog.Identifier.of(
-      ident.init.toArray, ident.last)
-    val path = graftCat.pathFor(id)
+    val path = GraftCatalogResolve.pathOf(session, nameParts).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$desc: table must live in a graft catalog " +
+          s"('${nameParts.mkString(".")}' resolves elsewhere)"))
     require(Snapshot.isSnapshotTable(session, path),
       s"$desc: no snapshot table at $path")
     body(session, path)

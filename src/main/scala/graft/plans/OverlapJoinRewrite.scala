@@ -152,5 +152,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(fn("graft_bottomk")(e => BottomK(e(0), intArg(e(1)))))
     ext.injectFunction(fn("graft_topk_pairs")(e => TopKPairs(e(0), e(1), intArg(e(2)))))
     ext.injectFunction(fn("graft_detln")(e => DetLn(e(0))))
+    // the CDC table-valued function, catalog-name-resolved
+    ext.injectTableFunction((new FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.plans", "table_changes"),
+      (exprs: Seq[Expression]) => GraftCatalogResolve.tableChanges(
+        org.apache.spark.sql.SparkSession.active, exprs)))
   }
 }

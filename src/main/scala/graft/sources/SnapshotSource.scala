@@ -689,6 +689,19 @@ object SnapshotCdfStreamSource {
     org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("_commit_timestamp", TimestampType, nullable = true))
 
+  /** The change feed of versions `fromVersion..toVersion` INCLUSIVE as
+    * one batch DataFrame — the `table_changes` TVF's body: per-commit
+    * net-reconciled rows stamped `_change_type` / `_commit_version` /
+    * `_commit_timestamp`, the same contract as the streaming feed.
+    */
+  def batchFeed(spark: SparkSession, path: String,
+                fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
+    val m = Snapshot.manifest(spark, path, toVersion)
+    val schema = StructType(StructType.fromDDL(m.schemaDdl).fields ++ MetaFields)
+    spark.baseRelationToDataFrame(
+      new CdfBatchRelation(spark, path, fromVersion - 1, toVersion, schema))
+  }
+
   /** The parent manifest of version v, or None when v is the log's
     * FIRST version (a `startingVersion` of 0 streams the create commit
     * itself — everything in it is an insert).

@@ -175,6 +175,69 @@ class GraftCatalogSpec extends SparkSpec {
       .as[String].collect().contains("db"))
   }
 
+  test("streaming reads resolve by name: readStream.table + change feed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-cat-stream").toString
+    sql("CREATE TABLE g.db.str (id BIGINT, v STRING)")
+    sql("INSERT INTO g.db.str VALUES (1, 'a'), (2, 'b')")
+    // appends-only stream by CATALOG NAME — the commit-log source
+    // through the analyzer's V1 fallback
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.table("g.db.str")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b"))
+    sql("INSERT INTO g.db.str VALUES (3, 'c')")
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // the change feed by name: meta columns ride the relation output
+    val out2 = s"$dir/out2"; val ckpt2 = s"$dir/ckpt2"
+    val q2 = spark.readStream.option("readChangeFeed", "true")
+      .option("startingVersion", "0").table("g.db.str")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .format("parquet").option("path", out2).start()
+    q2.awaitTermination()
+    val cdc = spark.read.parquet(out2)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(cdc == Set((1L, "insert", 2L), (2L, "insert", 2L), (3L, "insert", 3L)),
+      s"CDC by name must stamp every commit: $cdc")
+  }
+
+  test("table_changes() resolves catalog-qualified names in plain SQL") {
+    sql("CREATE TABLE g.db.tc (id BIGINT, v STRING)")
+    sql("INSERT INTO g.db.tc VALUES (1, 'a'), (2, 'b')")
+    sql("UPDATE g.db.tc SET v = 'B' WHERE id = 2")
+    val changes = sql(
+      "SELECT id, v, _change_type, _commit_version FROM table_changes('g.db.tc', 2) ORDER BY _commit_version, id, _change_type")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(changes == Seq((1L, "a", "insert", 2L), (2L, "b", "insert", 2L),
+      (2L, "b", "delete", 3L), (2L, "B", "insert", 3L)), s"got $changes")
+  }
+
+  test("MERGE into an UNPARTITIONED catalog table takes the whole-table tier") {
+    sql("CREATE TABLE g.db.dim (id BIGINT, v BIGINT)")
+    sql("INSERT INTO g.db.dim VALUES (1, 10), (2, 20), (3, 30)")
+    Seq((2L, 200L), (4L, 400L)).toDF("id", "v").createOrReplaceTempView("dim_updates")
+    sql("""MERGE INTO g.db.dim t USING dim_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT id, v FROM g.db.dim").as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L, 2L -> 200L, 3L -> 30L, 4L -> 400L))
+    // explicit arms on the same unpartitioned table
+    sql("""MERGE INTO g.db.dim t USING dim_updates u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET v = u.v + 1""".stripMargin)
+    assert(sql("SELECT v FROM g.db.dim WHERE id = 2").as[Long].head() == 201L)
+  }
+
   test("generated partition transforms: PARTITIONED BY (days(ts)) through the catalog") {
     sql("CREATE TABLE g.db.gen (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
     val m = Snapshot.latestManifest(spark, s"$warehouse/db/gen").get

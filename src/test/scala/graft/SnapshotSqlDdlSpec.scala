@@ -290,23 +290,28 @@ class SnapshotSqlDdlSpec extends SparkSpec {
       (0 until 10 by 2).map(i => (i.toLong, "even", i.toLong * 20)).toDF("id", "p", "v"),
       "id", "p")
     val reg = Map("t" -> dir)
+    // versions are INCLUSIVE and rows arrive per-commit reconciled and
+    // stamped — the standard CDC TVF contract (same as the streaming
+    // feed): version 2 alone is the merge's net changes
     val got = Snapshot.sqlQuery(spark,
       """SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM table_changes('t', 1, 2) GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+        |FROM table_changes('t', 2, 2) GROUP BY 1 ORDER BY 1""".stripMargin, reg)
       .as[(String, Long)].collect().toSeq
-    val want = Snapshot.readChanges(spark, dir, 1L, 2L)
+    val want = Snapshot.readChanges(spark, dir, 1L, 2L, net = true)
       .groupBy("_change_type").count()
       .orderBy("_change_type").as[(String, Long)].collect().toSeq
     assert(got == want && got.nonEmpty)
-    // two-arg form reads through the latest version
-    val got2 = Snapshot.sqlQuery(spark,
-      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM table_changes('t', 1)", reg)
-      .as[Long].head()
-    assert(got2 == want.map(_._2).sum)
+    // from-INCLUSIVE with no end: the create commit's inserts plus the
+    // merge's changes, each stamped with its own commit version
+    val byVersion = Snapshot.sqlQuery(spark,
+      """SELECT _commit_version, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM table_changes('t', 1) GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+      .as[(Long, Long)].collect().toSeq
+    assert(byVersion == Seq(1L -> 40L, 2L -> want.map(_._2).sum))
     // refusals: unknown table, non-literal version
     assert(intercept[IllegalArgumentException] {
       Snapshot.sqlQuery(spark, "SELECT * FROM table_changes('nope', 1, 2)", reg)
-    }.getMessage.contains("unknown table"))
+    }.getMessage.toLowerCase.contains("table"))
     assert(intercept[IllegalArgumentException] {
       Snapshot.sqlQuery(spark, "SELECT * FROM table_changes('t', 1 + 1, 3)", reg)
     }.getMessage.contains("integer literal"))
