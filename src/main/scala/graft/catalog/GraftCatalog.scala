@@ -120,6 +120,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     GraftTable(fullName(ident), path, m)
   }
 
+  /** INSERT targets HIDE generated partition columns from the declared
+    * schema: the engine derives them on every write (caller values are
+    * overridden by contract), so the natural ported-script statement —
+    * `INSERT INTO t SELECT id, ts` against a `days(ts)`-partitioned
+    * table — resolves positionally without the phantom column. UPDATE/
+    * DELETE/MERGE targets keep the full schema (their predicates
+    * filter on the generated partition column all the time).
+    */
+  override def loadTable(ident: Identifier,
+                         writePrivileges: util.Set[TableWritePrivilege]): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    if (writePrivileges.asScala.toSet == Set(TableWritePrivilege.INSERT) &&
+        t.manifest.generatedCols.nonEmpty)
+      t.copy(hideGenerated = true)
+    else t
+  }
+
   /** `VERSION AS OF v` — the analyzer hands the version string through. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathFor(ident)

@@ -28,12 +28,22 @@ import graft.operators.{Snapshot, SnapshotStats}
   * row-based scan that still prunes files by pushed filters, so a
   * session without the extensions reads correctly, just slower.
   */
-final case class GraftTable(tableName: String, path: String, manifest: Snapshot.Manifest)
+final case class GraftTable(tableName: String, path: String, manifest: Snapshot.Manifest,
+                            hideGenerated: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tableName
 
-  override lazy val schema: StructType = StructType.fromDDL(manifest.schemaDdl)
+  /** `hideGenerated` (INSERT-target loads only): generated partition
+    * columns drop out of the declared schema so positional INSERT
+    * resolution expects exactly the columns a batch actually carries —
+    * the write path re-derives them.
+    */
+  override lazy val schema: StructType = {
+    val full = StructType.fromDDL(manifest.schemaDdl)
+    if (!hideGenerated) full
+    else StructType(full.fields.filterNot(f => manifest.generatedCols.contains(f.name)))
+  }
 
   override def partitioning(): Array[Transform] =
     manifest.partitionCols.map(Expressions.identity).toArray

@@ -356,8 +356,12 @@ object SnapshotSql {
     require(stmts.nonEmpty, "Snapshot.sqlScript: empty script")
     var result: Option[DataFrame] = None
     stmts.zipWithIndex.foreach { case (stmt, i) =>
-      val isQuery = !spark.sessionState.sqlParser.parsePlan(stmt)
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
+      // a statement is a command if it parses to a Command node or to
+      // one of the ParsedStatement DML forms (InsertIntoStatement is
+      // NOT a Command pre-analysis)
+      val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
+      val isQuery = !parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
+        !parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]
       if (isQuery) {
         require(i == stmts.size - 1,
           s"Snapshot.sqlScript: SELECT must be the script's final statement " +

@@ -973,6 +973,77 @@ object LayoutPack extends QueryPack {
       .orderBy("periodo", "mes")
   }
 
+  val q138 = QueryDef.staged(
+    "q138_sql_incremental_mv",
+    // oracle: the rollup's final state recomputed from the raw table —
+    // base (<1997, with 2-HIGH doubled) plus the 1997-H1 inserts
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, o_orderpriority,
+           |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |              AND o_orderpriority = '2-HIGH'
+           |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+           |  FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+           |)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM src GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog registration + the source's base load
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q138").toString
+    t.spark.conf.set("spark.sql.catalog.g138", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g138.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g138.db")
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val raw = t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    raw.createOrReplaceTempView("orders_q138")
+    Snapshot.create(t.spark, s"$root/db/src",
+      raw.where(col("o_orderdate") < cut97), Seq("o_orderpriority"))
+  } { (t, _: Any) =>
+    // MEASURED: incremental materialized-view maintenance as PURE SQL
+    // text against catalog names — q119's delta algebra with zero
+    // Scala plumbing. Build the rollup once (CTAS, decimal-exact),
+    // commit two source changes (an append and an UPDATE), then fold
+    // ONLY their net changes into the rollup with one MERGE over the
+    // table_changes() feed: signed counts/sums per commit-stamped
+    // change row, matched groups adjust arithmetically, brand-new
+    // groups insert. The oracle recomputes the rollup from the raw
+    // table, so a delta dropped, double-applied, or signed wrong
+    // fails the gate. The rollup is UNPARTITIONED, gating the
+    // whole-table merge tier through the driver too.
+    graft.operators.Snapshot.sqlScript(t.spark,
+      """CREATE OR REPLACE TABLE g138.db.roll AS
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+        |FROM g138.db.src GROUP BY o_orderpriority;
+        |
+        |INSERT INTO g138.db.src
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate FROM orders_raw
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00';
+        |
+        |UPDATE g138.db.src SET o_totalprice = o_totalprice * 2
+        |WHERE o_orderpriority = '2-HIGH'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00';
+        |
+        |MERGE INTO g138.db.roll t USING (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS BIGINT) AS dn,
+        |    CAST(SUM(CASE WHEN _change_type = 'insert'
+        |                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                  ELSE -CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |         AS DECIMAL(28,2)) AS dtotal
+        |  FROM table_changes('g138.db.src', 2) GROUP BY o_orderpriority
+        |) u ON t.o_orderpriority = u.o_orderpriority
+        |WHEN MATCHED THEN UPDATE SET n = t.n + u.dn, total = t.total + u.dtotal
+        |WHEN NOT MATCHED THEN INSERT (o_orderpriority, n, total)
+        |  VALUES (u.o_orderpriority, u.dn, u.dtotal);
+        |
+        |SELECT o_orderpriority, n, CAST(total AS DOUBLE) AS total
+        |FROM g138.db.roll ORDER BY o_orderpriority;
+        |""".stripMargin.replace("orders_raw", "orders_q138")).get
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

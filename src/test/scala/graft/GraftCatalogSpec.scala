@@ -242,5 +242,16 @@ class GraftCatalogSpec extends SparkSpec {
     sql("CREATE TABLE g.db.gen (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
     val m = Snapshot.latestManifest(spark, s"$warehouse/db/gen").get
     assert(m.partitionCols == Seq("ts_day") && m.generatedCols.contains("ts_day"))
+    // INSERT omits the generated column — the write path derives it,
+    // and reads (incl. partition pruning) see it
+    sql("INSERT INTO g.db.gen VALUES (1, TIMESTAMP '2026-08-01 10:00:00')," +
+      " (2, TIMESTAMP '2026-08-02 11:00:00')")
+    assert(sql("SELECT id, CAST(ts_day AS STRING) AS d FROM g.db.gen ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "2026-08-01", 2L -> "2026-08-02"))
+    val pruned = sql("SELECT id FROM g.db.gen WHERE ts_day = DATE '2026-08-01'")
+    assert(pruned.as[Long].collect().toSeq == Seq(1L))
+    assert(!pruned.queryExecution.executedPlan.collectLeaves().head.toString
+      .contains("2026-08-02"), "generated partition pruning must skip the other day")
   }
 }
