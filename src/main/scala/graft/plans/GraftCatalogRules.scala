@@ -217,7 +217,11 @@ case class GraftNativeReads(session: SparkSession) extends Rule[LogicalPlan] {
     plan.transformUpWithSubqueries {
       case v2 @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _)
           if !dmlTargets.contains(v2) =>
-        // output attrs preserved: the swap is invisible to resolution
+        // t.manifest is the version loadTable pinned — the latest, or
+        // the time-travel target (Spark turns VERSION AS OF and the
+        // versionAsOf/timestampAsOf reader options into
+        // loadTable(ident, version|timestamp) itself). Output attrs
+        // preserved: the swap is invisible to resolution.
         LogicalRelation(
           SnapshotSource.relationFor(session, t.path, t.manifest),
           v2.output, None, isStreaming = false, None)

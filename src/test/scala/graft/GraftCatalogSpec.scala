@@ -175,6 +175,31 @@ class GraftCatalogSpec extends SparkSpec {
       .as[String].collect().contains("db"))
   }
 
+  test("reader options pin versions; USE makes names current; ZORDER by name") {
+    sql("CREATE TABLE g.db.vop (id BIGINT, v STRING)")
+    sql("INSERT INTO g.db.vop VALUES (1, 'a')")
+    sql("INSERT INTO g.db.vop VALUES (2, 'b')")
+    // option-based time travel: Spark turns the reader option into
+    // loadTable(ident, version), so the pinned manifest rides our
+    // native rewrite — including the pinned version's OWN schema
+    assert(spark.read.option("versionAsOf", "2").table("g.db.vop").count() == 1)
+    assert(spark.read.table("g.db.vop").count() == 2)
+    sql("ALTER TABLE g.db.vop ADD COLUMNS (w BIGINT)")
+    assert(spark.read.option("versionAsOf", "2").table("g.db.vop")
+      .columns.toSeq == Seq("id", "v"), "a pinned version keeps its own schema")
+    assert(spark.read.table("g.db.vop").columns.toSeq == Seq("id", "v", "w"))
+
+    // USE: unqualified names resolve via current catalog + namespace
+    val before = spark.catalog.currentCatalog()
+    try {
+      sql("USE g.db")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM vop").as[Long].head() == 2L)
+      spark.sql("OPTIMIZE vop ZORDER BY (id)")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM vop").as[Long].head() == 2L)
+      spark.sql("DESCRIBE HISTORY vop").collect() // maintenance verbs too
+    } finally spark.sql(s"USE $before.default") // restore for other tests
+  }
+
   test("streaming reads resolve by name: readStream.table + change feed") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft-cat-stream").toString
