@@ -55,8 +55,16 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-snapshot sink needs a path"))
+    // `table = g.db.t` resolves through the session's catalogs (the
+    // by-NAME form of the sink); `path` addresses storage directly
+    val path = parameters.get("table").map { name =>
+      val parts = sqlContext.sparkSession.sessionState.sqlParser
+        .parseMultipartIdentifier(name)
+      graft.plans.GraftCatalogResolve.pathOf(sqlContext.sparkSession, parts)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-snapshot sink: table '$name' does not resolve to a graft-catalog table"))
+    }.orElse(parameters.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-snapshot sink needs a path (or table) option"))
     val appId = parameters.get("appId")
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(throw new IllegalArgumentException(
