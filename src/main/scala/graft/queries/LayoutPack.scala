@@ -1044,6 +1044,64 @@ object LayoutPack extends QueryPack {
         |""".stripMargin.replace("orders_raw", "orders_q138")).get
   }
 
+  val q139 = QueryDef.staged(
+    "q139_catalog_stream_roundtrip",
+    // oracle: the downstream table's final state recomputed from the
+    // raw orders cut — both windows must land exactly once
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog + upstream base load + empty
+    // downstream + checkpoint root
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q139").toString
+    t.spark.conf.set("spark.sql.catalog.g139", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g139.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g139.db")
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val base = t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    Snapshot.create(t.spark, s"$root/db/up",
+      base.where(col("o_orderdate") < cut97), Seq("o_orderpriority"))
+    t.spark.sql(
+      """CREATE TABLE g139.db.down (o_orderkey BIGINT, o_orderpriority STRING,
+        |  o_totalprice DOUBLE, o_orderdate TIMESTAMP)
+        |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    root
+  } { (t, root: String) =>
+    // MEASURED: the whole streaming pipeline BY CATALOG NAME — the
+    // commit-log source behind readStream.table, the exactly-once
+    // snapshot sink behind option("table", ...), AvailableNow ticks as
+    // the reference's hourly cadence. Bootstrap drains, an upstream
+    // append streams incrementally, a replayed tick adds nothing, and
+    // the oracle recomputes the downstream from the raw table — a
+    // dropped batch, a double delivery, or a row leaking across the
+    // commit boundary fails the gate.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Snapshot
+    def pump(): Unit = {
+      val q = t.spark.readStream.table("g139.db.up")
+        .writeStream.format("graft-snapshot")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("table", "g139.db.down")
+        .start()
+      q.awaitTermination()
+    }
+    pump() // bootstrap: the pre-1997 base in one watermarked batch
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val cutJul = lit("1997-07-01 00:00:00").cast("timestamp")
+    Snapshot.append(t.spark, s"$root/db/up",
+      t.orders.where(col("o_orderdate") >= cut97 && col("o_orderdate") < cutJul)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"))
+    pump() // the append streams exactly once
+    pump() // nothing new: the replay must be a no-op
+    t.spark.table("g139.db.down")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
 }
