@@ -70,6 +70,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def name(): String = catalogName
 
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   /** Warehouse root — session conf first (re-read per call: a test or
@@ -227,6 +232,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case upd: TableChange.UpdateColumnType =>
         Snapshot.widenColumnType(spark, path,
           topLevel(upd.fieldNames(), "ALTER COLUMN"), upd.newDataType())
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case check: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            Snapshot.addConstraint(spark, path, check.name(), check.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: only CHECK constraints are supported, got ${other.name()}")
+        }
+      case drop: TableChange.DropConstraint =>
+        require(drop.mode() != TableChange.DropConstraint.Mode.CASCADE,
+          "GraftCatalog DROP CONSTRAINT: CASCADE is not supported")
+        Snapshot.dropConstraint(spark, path, drop.name(), drop.ifExists())
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported table change $other")
     }

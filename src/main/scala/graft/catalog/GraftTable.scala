@@ -56,6 +56,13 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
 
   override def version(): String = manifest.version.toString
 
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    manifest.constraints.toSeq.sortBy(_._1).map { case (n, p) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(p).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   // no OVERWRITE_DYNAMIC: dynamic partition overwrite has no V1 write
   // fallback in Spark (V2Writes only builds V1 writes for append and
   // overwrite-by-expression), so advertising it would fail at exec.

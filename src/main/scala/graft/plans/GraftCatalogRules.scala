@@ -212,6 +212,14 @@ case class GraftNativeReads(session: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => mark(d.table)
       case u: UpdateTable => mark(u.table)
       case mm: MergeIntoTable => mark(mm.targetTable)
+      // ADD CONSTRAINT resolution (ResolveSessionCatalog) reads the
+      // target's v2 identifier out of the validation Filter's relation
+      // — keep it v2 (the scan backstop serves the validation read)
+      case c: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        c.foreach {
+          case r: DataSourceV2Relation => dmlTargets.add(r); ()
+          case _ => ()
+        }
       case _ => ()
     }
     plan.transformUpWithSubqueries {

@@ -160,6 +160,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshot.versions(spark, path).size == 2)
   }
 
+  test("CHECK constraints flow through ALTER TABLE by name") {
+    sql("CREATE TABLE g.db.cons (id BIGINT, v BIGINT)")
+    sql("INSERT INTO g.db.cons VALUES (1, 10)")
+    sql("ALTER TABLE g.db.cons ADD CONSTRAINT pos CHECK (v > 0)")
+    // every write path enforces it before any file lands
+    val e = intercept[Exception](sql("INSERT INTO g.db.cons VALUES (2, -5)"))
+    assert(e.getMessage.contains("pos"), s"violation must name the constraint: ${e.getMessage}")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.cons").as[Long].head() == 1L)
+    // a constraint existing rows violate refuses at ADD time
+    intercept[Exception](sql("ALTER TABLE g.db.cons ADD CONSTRAINT big CHECK (v > 100)"))
+    sql("ALTER TABLE g.db.cons DROP CONSTRAINT pos")
+    sql("INSERT INTO g.db.cons VALUES (2, -5)")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.cons").as[Long].head() == 2L)
+  }
+
   test("DROP TABLE, RENAME TABLE and namespace listing") {
     sql("CREATE TABLE g.db.tmp1 (id BIGINT) ")
     sql("INSERT INTO g.db.tmp1 VALUES (5)")
