@@ -160,6 +160,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshot.versions(spark, path).size == 2)
   }
 
+  test("DataFrameWriterV2: writeTo(...).create/append/replace by name") {
+    warehouse
+    import org.apache.spark.sql.functions.days
+    val df = (1L to 6L).map(i => (i, java.sql.Timestamp.valueOf(s"2026-08-0$i 10:00:00")))
+      .toDF("id", "ts")
+    // create with a partition transform — the staged-commit protocol
+    df.writeTo("g.db.w2").partitionedBy(days(col("ts"))).create()
+    val m = Snapshot.latestManifest(spark, s"$warehouse/db/w2").get
+    assert(m.partitionCols == Seq("ts_day") && m.generatedCols.contains("ts_day"))
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.w2").as[Long].head() == 6L)
+    // append + createOrReplace ride the same writers
+    df.select(col("id") + 10, col("ts")).toDF("id", "ts").writeTo("g.db.w2").append()
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.w2").as[Long].head() == 12L)
+    df.writeTo("g.db.w2").createOrReplace()
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.w2").as[Long].head() == 6L)
+    // history survives the replace
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.w2 VERSION AS OF 2").as[Long].head() == 12L)
+  }
+
   test("CHECK constraints flow through ALTER TABLE by name") {
     sql("CREATE TABLE g.db.cons (id BIGINT, v BIGINT)")
     sql("INSERT INTO g.db.cons VALUES (1, 10)")
