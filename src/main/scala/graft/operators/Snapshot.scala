@@ -1490,19 +1490,21 @@ object Snapshot {
   }
 
   /** Whole-table replacement against a CALLER-PINNED manifest — the
-    * unpartitioned merge tier: every live file drops, the replacement
-    * lands constraint-checked with generated columns re-derived, and
-    * a concurrent commit is a conflict (commitRebasing's missing-file
-    * check fires on the pinned drop set), never a silent discard.
+    * unpartitioned merge tier: every live file drops and the
+    * replacement lands constraint-checked with generated columns
+    * re-derived, versioned against THAT manifest so ANY concurrent
+    * commit conflicts and refuses (the same contract as the
+    * partitioned merge's replacePartitionsOn — a rebase here would
+    * silently admit rows the merge never read, or duplicate ids a
+    * concurrent append landed).
     */
   private def replaceWholeTableOn(spark: SparkSession, path: String, m: Manifest,
                                   replacement: DataFrame): Long = {
     val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap, m.constraints,
       m.generatedCols)
-    commitRebasing(spark, path, m, drop = m.files.toSet, touched = Set.empty,
-      addFiles = newFiles,
-      addStats = statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),
-      addDvs = Map.empty)
+    commitManifest(spark, path, m.copy(version = m.version + 1, files = newFiles,
+      stats = statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),
+      dvs = Map.empty, blooms = Map.empty))
   }
 
   /** Partition restriction shared by the merge family: the partition
