@@ -39,12 +39,15 @@ class GraftCatalogSpec extends SparkSpec {
     sql("INSERT INTO g.db.t1 SELECT 3, 'even', 30")
     assert(rows(sql("SELECT id, p, v FROM g.db.t1")) ==
       Set((1L, "even", 10L), (2L, "odd", 20L), (3L, "even", 30L)))
-    // SHOW TABLES and DESCRIBE flow through the catalog
+    // SHOW TABLES / DESCRIBE / SHOW CREATE TABLE flow through the catalog
     assert(sql("SHOW TABLES IN g.db").select("tableName")
       .as[String].collect().contains("t1"))
     val desc = sql("DESCRIBE TABLE g.db.t1").select("col_name", "data_type")
       .as[(String, String)].collect().toMap
     assert(desc.get("id").contains("bigint") && desc.get("p").contains("string"))
+    val ddl = sql("SHOW CREATE TABLE g.db.t1").as[String].head()
+    assert(ddl.contains("USING graft-snapshot") && ddl.contains("PARTITIONED BY (p)"),
+      s"SHOW CREATE TABLE must round-trip the declaration: $ddl")
   }
 
   test("reads plan the NATIVE manifest scan with pushdown, not a row fallback") {
