@@ -229,8 +229,15 @@ object Snapshot {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A snapshot table EXISTS when at least one version ever COMMITTED —
+    * the log directory alone is not enough: a crashed first create
+    * leaves `_graft_log/.tmp-*` (and orphan txn files) behind, and a
+    * catalog that half-sees such a husk would refuse the rerun of the
+    * very CREATE that crashed while every read still fails.
+    */
   def isSnapshotTable(spark: SparkSession, path: String): Boolean =
-    fsFor(spark, path).exists(new HPath(path, LogDirName))
+    fsFor(spark, path).exists(new HPath(path, LogDirName)) &&
+      latestVersion(spark, path).isDefined
 
   // ---------------------------------------------------------------- log
 

@@ -68,6 +68,18 @@ object GraftSqlParser {
         require(close > 0, s"unclosed backquote at $i")
         out += Tok(s.substring(i, close + 1), i, close + 1)
         i = close + 1
+      } else if (c == '\'') {
+        // a string literal is ONE token (doubled-quote escapes stay
+        // inside), so a literal containing a keyword can never confuse
+        // clause slicing (… WHERE v = 'ZORDER' …)
+        var j = i + 1
+        while (j < s.length && !(s.charAt(j) == '\'' &&
+            (j + 1 >= s.length || s.charAt(j + 1) != '\''))) {
+          j += (if (s.charAt(j) == '\'') 2 else 1)
+        }
+        require(j < s.length, s"unclosed string literal at $i")
+        out += Tok(s.substring(i, j + 1), i, j + 1)
+        i = j + 1
       } else if (c.isLetterOrDigit || c == '_') {
         var j = i
         while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1

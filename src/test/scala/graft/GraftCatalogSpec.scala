@@ -149,6 +149,9 @@ class GraftCatalogSpec extends SparkSpec {
 
     sql("OPTIMIZE g.db.mx")
     assert(rows(sql("SELECT id, p, v FROM g.db.mx")).size == 16)
+    // a keyword inside a string literal must not confuse clause slicing
+    sql("OPTIMIZE g.db.mx WHERE p = 'ZORDER BY (zorder)'")
+    assert(rows(sql("SELECT id, p, v FROM g.db.mx")).size == 16)
 
     sql("RESTORE TABLE g.db.mx TO VERSION AS OF 2")
     assert(sql("SELECT COUNT(*) AS n FROM g.db.mx").as[Long].head() == 8L)
@@ -327,6 +330,27 @@ class GraftCatalogSpec extends SparkSpec {
     sql("""MERGE INTO g.db.dim t USING dim_updates u ON t.id = u.id
           |WHEN MATCHED THEN UPDATE SET v = u.v + 1""".stripMargin)
     assert(sql("SELECT v FROM g.db.dim WHERE id = 2").as[Long].head() == 201L)
+  }
+
+  test("a CTAS crashing mid-write leaves NO table; the rerun lands cleanly") {
+    warehouse
+    fixture(0 until 8, 1).createOrReplaceTempView("ctas_crash_src")
+    // crash AFTER the data files but BEFORE the manifest commit: the
+    // staged-CTAS publication point IS the manifest, so no version
+    // exists, the table does not resolve, and the orphaned txn files
+    // are vacuum fodder — exactly the snapshot-protocol contract,
+    // now reached through the catalog's staged-write path
+    Snapshot.faultHook = p =>
+      if (p == "manifest-staged") throw new RuntimeException("injected crash at manifest-staged")
+    try intercept[Exception](
+      sql("CREATE TABLE g.db.ctas_crash AS SELECT * FROM ctas_crash_src"))
+    finally Snapshot.faultHook = _ => ()
+    assert(!Snapshot.isSnapshotTable(spark, s"$warehouse/db/ctas_crash"),
+      "a crashed CTAS must not publish a table")
+    intercept[Exception](sql("SELECT * FROM g.db.ctas_crash"))
+    // the rerun (same statement) succeeds — nothing half-created blocks it
+    sql("CREATE TABLE g.db.ctas_crash AS SELECT * FROM ctas_crash_src")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.ctas_crash").as[Long].head() == 8L)
   }
 
   test("generated partition transforms: PARTITIONED BY (days(ts)) through the catalog") {
