@@ -246,12 +246,13 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
               if (!exists) Snapshot.create(spark, path, data, pCols, genCols)
               else {
                 val m = Snapshot.latestManifest(spark, path).get
-                require(pCols.isEmpty || pCols == m.partitionCols,
-                  s"REPLACE cannot change partitioning of $tableName " +
-                    s"(${m.partitionCols.mkString(", ")} -> ${pCols.mkString(", ")})")
-                require(genCols.isEmpty || genCols == m.generatedCols,
-                  s"REPLACE cannot change the partition transform of $tableName")
-                Snapshot.overwrite(spark, path, data)
+                // a REPLACE with no PARTITIONED BY keeps the existing
+                // layout; with one, the layout EVOLVES atomically
+                // (layout is per manifest — time travel keeps each
+                // version's own scheme)
+                if (pCols.isEmpty || (pCols == m.partitionCols && genCols == m.generatedCols))
+                  Snapshot.overwrite(spark, path, data)
+                else Snapshot.overwritePartitioned(spark, path, data, pCols, genCols)
               }
           }
         }

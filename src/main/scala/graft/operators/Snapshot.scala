@@ -1391,7 +1391,38 @@ object Snapshot {
     commitManifest(spark, path, finish(
       m.copy(version = m.version + 1, schemaDdl = ddl, files = files,
         stats = statsFor(spark, path, files, ddl, m.partitionCols),
-        dvs = Map.empty, colMap = Map.empty, retired = Nil)))
+        dvs = Map.empty, colMap = Map.empty, retired = Nil,
+        // bloom refs belong to the replaced files: keeping them would
+        // hold their sidecar dirs live in vacuum forever
+        blooms = Map.empty)))
+  }
+
+  /** Full rewrite that also CHANGES THE PARTITION LAYOUT — partition
+    * evolution as one atomic commit (`CREATE OR REPLACE … PARTITIONED
+    * BY (new)`): the replacement lands under the new directory scheme,
+    * the manifest's partitionCols/generatedCols swap with it, and
+    * because layout is PER MANIFEST, time travel and RESTORE across
+    * the boundary keep reading each version under its own scheme.
+    * Everything else follows [[overwrite]]'s contract (history kept,
+    * stream watermarks preserved, DVs/column mapping/bloom refs reset
+    * with the files they described).
+    */
+  def overwritePartitioned(spark: SparkSession, path: String, df: DataFrame,
+                           partitionCols: Seq[String],
+                           generatedCols: Map[String, String] = Map.empty): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val full = withGenerated(df, generatedCols)
+    val missing = partitionCols.filterNot(full.columns.contains)
+    require(missing.isEmpty,
+      s"overwritePartitioned: partition column(s) not in the data: ${missing.mkString(", ")}")
+    val ddl = full.schema.toDDL
+    val files = writeTxnFiles(full, path, partitionCols, constraints = m.constraints)
+    commitManifest(spark, path,
+      m.copy(version = m.version + 1, schemaDdl = ddl, files = files,
+        stats = statsFor(spark, path, files, ddl, partitionCols),
+        partitionCols = partitionCols, generatedCols = generatedCols,
+        dvs = Map.empty, colMap = Map.empty, retired = Nil, blooms = Map.empty))
   }
 
   /** Exactly-once micro-batch OVERWRITE — the full-rewrite twin of

@@ -553,12 +553,12 @@ object SnapshotSql {
       Snapshot.create(spark, path, df, pCols, genCols)
     } else if (exists) {
       val m = Snapshot.latestManifest(spark, path).get
-      require(pCols.isEmpty || pCols == m.partitionCols,
-        s"Snapshot.sql: REPLACE cannot change partitioning of '$ident' " +
-          s"(${m.partitionCols.mkString(", ")} -> ${pCols.mkString(", ")})")
-      require(genCols.isEmpty || genCols == m.generatedCols,
-        s"Snapshot.sql: REPLACE cannot change the partition transform of '$ident'")
-      Snapshot.overwrite(spark, path, df)
+      // no PARTITIONED BY keeps the existing layout; an explicit one
+      // EVOLVES it atomically (per-manifest layout, time travel keeps
+      // each version's own scheme)
+      if (pCols.isEmpty || (pCols == m.partitionCols && genCols == m.generatedCols))
+        Snapshot.overwrite(spark, path, df)
+      else Snapshot.overwritePartitioned(spark, path, df, pCols, genCols)
     } else if (orCreate) {
       Snapshot.create(spark, path, df, pCols, genCols)
     } else throw new IllegalArgumentException(

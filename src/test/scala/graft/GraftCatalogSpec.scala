@@ -332,6 +332,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT v FROM g.db.dim WHERE id = 2").as[Long].head() == 201L)
   }
 
+  test("partition evolution: CREATE OR REPLACE ... PARTITIONED BY (new) is atomic") {
+    sql("CREATE TABLE g.db.pe (id BIGINT, p STRING, q BIGINT) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.pe SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id % 3 FROM range(12)")
+    val path = s"$warehouse/db/pe"
+    assert(Snapshot.latestManifest(spark, path).get.partitionCols == Seq("p"))
+    // evolve the layout in one history-preserving commit
+    sql("CREATE OR REPLACE TABLE g.db.pe PARTITIONED BY (q) AS SELECT id, p, q FROM g.db.pe")
+    val m = Snapshot.latestManifest(spark, path).get
+    assert(m.partitionCols == Seq("q"),
+      s"layout must evolve with the replace, got ${m.partitionCols}")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.pe").as[Long].head() == 12L)
+    // pruning follows the NEW scheme; time travel keeps the OLD one
+    val pruned = sql("SELECT id FROM g.db.pe WHERE q = 1")
+    assert(!pruned.queryExecution.executedPlan.collectLeaves().head.toString.contains("q=2"))
+    assert(pruned.count() == 4)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.pe VERSION AS OF 2 WHERE p = 'even'")
+      .as[Long].head() == 6L)
+    // appends land under the new layout; merges restrict on new tuples
+    sql("INSERT INTO g.db.pe VALUES (100, 'odd', 1)")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.pe WHERE q = 1").as[Long].head() == 5L)
+    // a REPLACE without PARTITIONED BY keeps the evolved layout
+    sql("CREATE OR REPLACE TABLE g.db.pe AS SELECT id, p, q FROM g.db.pe WHERE id < 100")
+    assert(Snapshot.latestManifest(spark, path).get.partitionCols == Seq("q"))
+  }
+
   test("a CTAS crashing mid-write leaves NO table; the rerun lands cleanly") {
     warehouse
     fixture(0 until 8, 1).createOrReplaceTempView("ctas_crash_src")
