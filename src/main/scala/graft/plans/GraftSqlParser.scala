@@ -108,9 +108,24 @@ object GraftSqlParser {
     t
   }
 
+  /** Leading keyword without lexing — every statement in the session
+    * passes through this parser, so anything that is not a maintenance
+    * verb must delegate at the cost of one word scan, not a full lex.
+    */
+  private def firstWord(s: String): String = {
+    var i = 0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    val start = i
+    while (i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '_')) i += 1
+    s.substring(start, i).toUpperCase
+  }
+
+  private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE")
+
   /** Try the five maintenance shapes; None → not ours. */
   private[plans] def parseMaintenance(sqlText: String,
                                       delegate: ParserInterface): Option[LogicalPlan] = {
+    if (!Verbs.contains(firstWord(sqlText))) return None
     val text = stripTrailingSemi(sqlText)
     val toks = lex(text)
     if (toks.isEmpty) return None
