@@ -109,8 +109,16 @@ object Bench {
     // failed NOW reports its error and no timing.
     val codeStamp: Option[String] =
       try {
-        val dirty = new ProcessBuilder("git", "diff", "--quiet", "HEAD", "--", "src", "build.sbt")
-          .directory(new java.io.File(".")).start().waitFor() != 0
+        // `status --porcelain` (not `diff --quiet`): it also reports
+        // UNTRACKED files, so a brand-new not-yet-added source file —
+        // invisible to diff-against-HEAD — still marks the tree dirty
+        // and keeps stale timings from merging in
+        val st = new ProcessBuilder("git", "status", "--porcelain", "--", "src", "build.sbt")
+          .directory(new java.io.File(".")).start()
+        val dirty = {
+          val out = new String(st.getInputStream.readAllBytes(), "UTF-8")
+          st.waitFor() != 0 || out.trim.nonEmpty
+        }
         if (dirty) None
         else {
           val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()

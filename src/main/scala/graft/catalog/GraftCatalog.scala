@@ -129,15 +129,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * schema: the engine derives them on every write (caller values are
     * overridden by contract), so the natural ported-script statement —
     * `INSERT INTO t SELECT id, ts` against a `days(ts)`-partitioned
-    * table — resolves positionally without the phantom column. UPDATE/
-    * DELETE/MERGE targets keep the full schema (their predicates
-    * filter on the generated partition column all the time).
+    * table — resolves positionally without the phantom column.
+    * `INSERT OVERWRITE` requests {INSERT, DELETE} (it may drop rows),
+    * so that set hides too. UPDATE/DELETE targets keep the full schema
+    * (their predicates filter on the generated partition column all
+    * the time); so does any MERGE with an UPDATE arm. The one overlap
+    * — a MERGE whose arms are exactly DELETE + INSERT also requests
+    * {INSERT, DELETE} — loses sight of the generated column in its ON
+    * clause, which fails resolution LOUDLY (name its source column
+    * instead); silently failing every positional INSERT OVERWRITE
+    * would be the worse trade.
     */
   override def loadTable(ident: Identifier,
                          writePrivileges: util.Set[TableWritePrivilege]): Table = {
     val t = loadTable(ident).asInstanceOf[GraftTable]
-    if (writePrivileges.asScala.toSet == Set(TableWritePrivilege.INSERT) &&
-        t.manifest.generatedCols.nonEmpty)
+    val p = writePrivileges.asScala.toSet
+    val insertShaped = p == Set(TableWritePrivilege.INSERT) ||
+      p == Set(TableWritePrivilege.INSERT, TableWritePrivilege.DELETE)
+    if (insertShaped && t.manifest.generatedCols.nonEmpty)
       t.copy(hideGenerated = true)
     else t
   }
@@ -167,7 +176,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+                           properties: util.Map[String, String]): Table =
+    createConstrained(ident, columns, partitions, properties, Map.empty)
+
+  private def createConstrained(ident: Identifier, columns: Array[Column],
+                                partitions: Array[Transform],
+                                properties: util.Map[String, String],
+                                constraints: Map[String, String]): Table = {
     val path = pathFor(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     GraftCatalog.validateProperties(properties)
@@ -191,7 +206,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val schema = StructType(declared.fields ++ genFields)
     Snapshot.create(spark, path,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      pCols, genCols)
+      pCols, genCols, constraints)
     loadTable(ident)
   }
 
@@ -202,6 +217,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     createTable(ident,
       schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
       partitions, properties)
+
+  /** The overload `CreateTableExec` ACTUALLY calls (Spark 4.x packs
+    * columns + partitions + properties + CONSTRAINTS into a
+    * `TableInfo`). The interface default forwards everything except
+    * the constraints — overriding here is what makes
+    * `CREATE TABLE t (v INT, CONSTRAINT pos CHECK (v > 0))` land the
+    * constraint instead of silently dropping it. The constraints ride
+    * the FIRST commit ([[Snapshot.create]]'s `constraints`), so there
+    * is no version of the table, however brief, without them.
+    */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checks = info.constraints().toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name() -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: only CHECK constraints are supported, got ${other.name()}")
+    }
+    createConstrained(ident, info.columns(), info.partitions(), info.properties(),
+      checks.toMap)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathFor(ident)
@@ -257,9 +293,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
     // `ALTER TABLE g.db.a RENAME TO g.db.b` hands the TO identifier
-    // through verbatim, catalog segment included — strip it
+    // through verbatim, catalog segment included — strip it. Guard:
+    // when a NAMESPACE is itself named like the catalog (g.g.b), the
+    // literal namespace exists on disk and wins; only a head segment
+    // that does NOT name a real namespace is read as the catalog.
     val newIdent =
-      if (newIdent0.namespace.headOption.contains(name()))
+      if (newIdent0.namespace.headOption.contains(name()) &&
+          !namespaceExists(newIdent0.namespace))
         Identifier.of(newIdent0.namespace.tail, newIdent0.name())
       else newIdent0
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
@@ -296,6 +336,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
                                     properties: util.Map[String, String]): StagedTable = {
     GraftCatalog.validateProperties(properties)
     stage(ident, columns, partitions, StagedGraftTable.CreateOrReplace)
+  }
+
+  // TableInfo-overload twins: CTAS syntax cannot express constraints
+  // today, but if a future caller routes any, refuse LOUDLY rather
+  // than let the interface default drop them on the floor.
+  private def refuseStagedConstraints(
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Unit =
+    require(info.constraints().isEmpty,
+      "GraftCatalog: constraints on CTAS/RTAS are not supported; " +
+        "add them with ALTER TABLE ... ADD CONSTRAINT after the create")
+
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    refuseStagedConstraints(info)
+    stageCreate(ident, info.columns(), info.partitions(), info.properties())
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    refuseStagedConstraints(info)
+    stageReplace(ident, info.columns(), info.partitions(), info.properties())
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    refuseStagedConstraints(info)
+    stageCreateOrReplace(ident, info.columns(), info.partitions(), info.properties())
   }
 
   private def stage(ident: Identifier, columns: Array[Column],

@@ -31,16 +31,17 @@ object DetMath {
   val Ln2 = "0.6931471805599453"
 
   /** Natural log of a DOUBLE column, x >= 1, arithmetic-only. */
-  def detLn(x: Column): Column = {
+  def detLn(x: Column): Column =
     // the NATIVE expression (graft.expressions.DetLn): same op
     // sequence in a few Java locals instead of a Column tree whose
     // reused intermediates duplicate exponentially — several calls in
     // one projection used to overflow Janino's method limit and drop
-    // the stage to interpreted mode (q100's six entropy terms)
-    graft.expressions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
-    call_function("graft_detln", x.cast("double"))
-  }
+    // the stage to interpreted mode (q100's six entropy terms).
+    // Built as a direct expression tree (no registry, no session
+    // side effect), so the Column stays valid in ANY session, exactly
+    // like the arithmetic tree it replaced.
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .wrap(x.cast("double"))(graft.expressions.DetLn(_))
 
   /** The same computation as DuckDB SQL over a scalar expression `x`
     * (x >= 1). Emitted as a correlated scalar so the caller can inline

@@ -131,7 +131,8 @@ object Snapshot {
                             colMap: Map[String, String] = Map.empty,
                             retired: Seq[String] = Nil,
                             constraints: Map[String, String] = Map.empty,
-                            generatedCols: Map[String, String] = Map.empty)
+                            generatedCols: Map[String, String] = Map.empty,
+                            operation: String = "")
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -374,7 +375,8 @@ object Snapshot {
       parseColMap(root, "colMap"),
       parseStrings(root, "retiredCols"),
       parseColMap(root, "constraints"),
-      parseColMap(root, "generatedCols"))
+      parseColMap(root, "generatedCols"),
+      if (root.has("operation")) root.get("operation").asText() else "")
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -810,6 +812,7 @@ object Snapshot {
       val gn = node.putObject("generatedCols")
       m.generatedCols.toSeq.sortBy(_._1).foreach { case (n, g) => gn.put(n, g) }
     }
+    if (m.operation.nonEmpty) node.put("operation", m.operation)
     putStats(node, m.stats)
     node
   }
@@ -869,6 +872,8 @@ object Snapshot {
       val sb = node.putObject("streamBatchPut")
       sbPut.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
     }
+    // per-commit metadata, never inherited: each delta carries its own
+    if (m.operation.nonEmpty) node.put("operation", m.operation)
     node
   }
 
@@ -908,7 +913,10 @@ object Snapshot {
       if (root.has("colMapSet")) parseColMap(root, "colMapSet") else parent.colMap,
       if (root.has("retiredSet")) parseStrings(root, "retiredSet") else parent.retired,
       if (root.has("constraintsSet")) parseColMap(root, "constraintsSet") else parent.constraints,
-      if (root.has("generatedColsSet")) parseColMap(root, "generatedColsSet") else parent.generatedCols)
+      if (root.has("generatedColsSet")) parseColMap(root, "generatedColsSet") else parent.generatedCols,
+      // the DELTA's own label, never the parent's: operation is
+      // per-commit metadata
+      if (root.has("operation")) root.get("operation").asText() else "")
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -921,7 +929,7 @@ object Snapshot {
       a.files.size == b.files.size && a.stats == b.stats &&
       a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms &&
       a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints &&
-      a.generatedCols == b.generatedCols
+      a.generatedCols == b.generatedCols && a.operation == b.operation
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -987,13 +995,6 @@ object Snapshot {
     m.version
   }
 
-  private def nextManifest(spark: SparkSession, path: String,
-                           files: Seq[String], partitionCols: Seq[String],
-                           schemaDdl: String): Manifest = {
-    val v = latestVersion(spark, path).getOrElse(0L) + 1
-    Manifest(v, partitionCols, schemaDdl, files)
-  }
-
   // --------------------------------------------------------- operations
 
   /** Footer stats keyed by what the files actually store — PHYSICAL
@@ -1017,14 +1018,24 @@ object Snapshot {
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionCols: Seq[String] = Nil,
-             generatedCols: Map[String, String] = Map.empty): Long = {
+             generatedCols: Map[String, String] = Map.empty,
+             constraints: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
+    constraints.keys.foreach(n =>
+      require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
+        s"create: constraint name must be [A-Za-z0-9_]+, got '$n'"))
     val full = withGenerated(df, generatedCols)
+    // create-time constraints land IN the first commit (one atomic
+    // version — no window where the table exists unconstrained), after
+    // validating they resolve and hold on the initial data
+    if (constraints.nonEmpty) checkConstraints(full, constraints)
     val ddl = full.schema.toDDL
     val files = writeTxnFiles(full, path, partitionCols)
     commitManifest(spark, path, Manifest(1L, partitionCols, ddl, files,
       statsFor(spark, path, files, ddl, partitionCols),
-      generatedCols = generatedCols))
+      constraints = constraints,
+      generatedCols = generatedCols,
+      operation = "CREATE"))
   }
 
   /** K1 append: new version = old live set + the new txn's files.
@@ -1124,7 +1135,8 @@ object Snapshot {
       if (newConstraints.nonEmpty) checkConstraints(full, newConstraints)
       try {
         return Some(commitManifest(spark, path, finish(m.copy(version = m.version + 1,
-          schemaDdl = ddl, files = m.files ++ files, stats = m.stats ++ newStats))))
+          schemaDdl = ddl, files = m.files ++ files, stats = m.stats ++ newStats,
+          operation = "APPEND"))))
       } catch {
         case _: CommitConflictException if attempt < 10 => attempt += 1
       }
@@ -1185,7 +1197,8 @@ object Snapshot {
         if (phys == f.name) None else Some(f.name -> phys)
       }
       val ddl = StructType(table.fields ++ cols.map(_.copy(nullable = true))).toDDL
-      try return commitManifest(spark, path, m.copy(version = m.version + 1, schemaDdl = ddl,
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = "ADD COLUMNS", schemaDdl = ddl,
         colMap = m.colMap ++ mapAdds))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1218,6 +1231,7 @@ object Snapshot {
       require(!m.constraints.contains(name), s"addConstraint: constraint $name already exists")
       checkConstraints(readFiles(spark, path, m), Map(name -> predicateSql))
       try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = "ADD CONSTRAINT",
         constraints = m.constraints + (name -> predicateSql)))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1235,7 +1249,8 @@ object Snapshot {
         return m.version
       }
       try return commitManifest(spark, path,
-        m.copy(version = m.version + 1, constraints = m.constraints - name))
+        m.copy(version = m.version + 1, operation = "DROP CONSTRAINT",
+          constraints = m.constraints - name))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
@@ -1276,7 +1291,8 @@ object Snapshot {
       // name a drops the mapping instead of storing a -> a
       val map = (m.colMap - from) ++ (if (phys == to) Map.empty else Map(to -> phys))
       try return commitManifest(spark, path,
-        m.copy(version = m.version + 1, schemaDdl = ddl, colMap = map))
+        m.copy(version = m.version + 1, operation = "RENAME COLUMN",
+          schemaDdl = ddl, colMap = map))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
@@ -1323,7 +1339,8 @@ object Snapshot {
           "lossless widening (only byte/short/int/long up-casts and float -> double)")
       val ddl = StructType(table.fields.map(x =>
         if (x.name == name) x.copy(dataType = to) else x)).toDDL
-      try return commitManifest(spark, path, m.copy(version = m.version + 1, schemaDdl = ddl))
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = "WIDEN COLUMN", schemaDdl = ddl))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
@@ -1357,7 +1374,7 @@ object Snapshot {
       val phys = physicalOf(m, name)
       val ddl = StructType(table.fields.filterNot(_.name == name)).toDDL
       try return commitManifest(spark, path,
-        m.copy(version = m.version + 1, schemaDdl = ddl,
+        m.copy(version = m.version + 1, operation = "DROP COLUMN", schemaDdl = ddl,
           colMap = m.colMap - name, retired = (m.retired :+ phys).distinct))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1389,7 +1406,8 @@ object Snapshot {
     // the current logical names, so physical == logical again (and no
     // dropped column can resurrect: its files left the live set).
     commitManifest(spark, path, finish(
-      m.copy(version = m.version + 1, schemaDdl = ddl, files = files,
+      m.copy(version = m.version + 1, operation = "OVERWRITE",
+        schemaDdl = ddl, files = files,
         stats = statsFor(spark, path, files, ddl, m.partitionCols),
         dvs = Map.empty, colMap = Map.empty, retired = Nil,
         // bloom refs belong to the replaced files: keeping them would
@@ -1419,7 +1437,8 @@ object Snapshot {
     val ddl = full.schema.toDDL
     val files = writeTxnFiles(full, path, partitionCols, constraints = m.constraints)
     commitManifest(spark, path,
-      m.copy(version = m.version + 1, schemaDdl = ddl, files = files,
+      m.copy(version = m.version + 1, operation = "OVERWRITE",
+        schemaDdl = ddl, files = files,
         stats = statsFor(spark, path, files, ddl, partitionCols),
         partitionCols = partitionCols, generatedCols = generatedCols,
         dvs = Map.empty, colMap = Map.empty, retired = Nil, blooms = Map.empty))
@@ -1463,7 +1482,8 @@ object Snapshot {
     */
   private def replacePartitionsOn(spark: SparkSession, path: String, m: Manifest,
                                   replacement: DataFrame,
-                                  dropOld: Map[String, String] => Boolean): Long = {
+                                  dropOld: Map[String, String] => Boolean,
+                                  op: String = "REPLACE PARTITIONS"): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
     val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap, m.constraints,
       m.generatedCols)
@@ -1472,7 +1492,8 @@ object Snapshot {
       val pv = partitionValues(m.partitionCols, f)
       dropOld(pv) || newParts.contains(pv)
     }
-    commitManifest(spark, path, m.copy(version = m.version + 1, files = kept ++ newFiles,
+    commitManifest(spark, path, m.copy(version = m.version + 1, operation = op,
+      files = kept ++ newFiles,
       stats = m.stats.view.filterKeys(kept.toSet).toMap ++
         statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
       dvs = m.dvs.view.filterKeys(kept.toSet).toMap))
@@ -1524,7 +1545,8 @@ object Snapshot {
     }
     val affected = readFiles(spark, path, m, Some(affectedFiles))
     val merged = Writers.mergeById(affected, updates, idCol)
-    replacePartitionsOn(spark, path, m, merged, dropOld = affectedRaw.contains)
+    replacePartitionsOn(spark, path, m, merged, dropOld = affectedRaw.contains,
+      op = "MERGE")
   }
 
   /** Whole-table replacement against a CALLER-PINNED manifest — the
@@ -1537,10 +1559,12 @@ object Snapshot {
     * concurrent append landed).
     */
   private def replaceWholeTableOn(spark: SparkSession, path: String, m: Manifest,
-                                  replacement: DataFrame): Long = {
+                                  replacement: DataFrame,
+                                  op: String = "MERGE"): Long = {
     val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap, m.constraints,
       m.generatedCols)
-    commitManifest(spark, path, m.copy(version = m.version + 1, files = newFiles,
+    commitManifest(spark, path, m.copy(version = m.version + 1, operation = op,
+      files = newFiles,
       stats = statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),
       dvs = Map.empty, blooms = Map.empty))
   }
@@ -1680,7 +1704,8 @@ object Snapshot {
     }
     val replacement = inserts.fold(survivors)(survivors.unionByName(_))
     if (pCols.isEmpty) replaceWholeTableOn(spark, path, m, replacement)
-    else replacePartitionsOn(spark, path, m, replacement, dropOld = affectedRaw.contains)
+    else replacePartitionsOn(spark, path, m, replacement, dropOld = affectedRaw.contains,
+      op = "MERGE")
   }
 
   // --------------------------------------------------- row-level DML
@@ -1837,7 +1862,7 @@ object Snapshot {
       addStats =
         if (newFiles.isEmpty) Map.empty
         else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
-      addDvs = dvNew)
+      addDvs = dvNew, op = "DELETE")
     if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
   }
 
@@ -1980,7 +2005,7 @@ object Snapshot {
       addFiles = rewriteFiles ++ updatedFiles,
       addStats = statsFor(spark, path, rewriteFiles ++ updatedFiles,
         m.schemaDdl, m.partitionCols, m.colMap),
-      addDvs = dvNew)
+      addDvs = dvNew, op = "UPDATE")
     if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
   }
 
@@ -2143,7 +2168,8 @@ object Snapshot {
                              replacement: DataFrame, drop: Set[String]): Long = {
     val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap)
     commitRebasing(spark, path, m, drop, Set.empty, newFiles,
-      statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap), Map.empty)
+      statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap), Map.empty,
+      op = "OPTIMIZE")
   }
 
   /** Fold deletion vectors WITHOUT a full compaction: rewrite exactly
@@ -2180,7 +2206,8 @@ object Snapshot {
       val liveRefs = refs.view.filterKeys(cur.files.toSet).toMap
       if (liveRefs.isEmpty) cur.version
       else commitManifest(spark, path,
-        cur.copy(version = cur.version + 1, blooms = cur.blooms ++ liveRefs))
+        cur.copy(version = cur.version + 1, operation = "BLOOM INDEX",
+          blooms = cur.blooms ++ liveRefs))
     }
   }
 
@@ -2248,7 +2275,8 @@ object Snapshot {
                              drop: Set[String], touched: Set[String],
                              addFiles: Seq[String],
                              addStats: Map[String, SnapshotStats.FileStats],
-                             addDvs: Map[String, DvRef]): Long = {
+                             addDvs: Map[String, DvRef],
+                             op: String = ""): Long = {
     var attempt = 0
     while (true) {
       val m = if (attempt == 0) base else latestManifest(spark, path).getOrElse(base)
@@ -2282,6 +2310,7 @@ object Snapshot {
       try {
         return commitManifest(spark, path, m.copy(
           version = m.version + 1,
+          operation = op,
           files = kept ++ addFiles,
           stats = m.stats.view.filterKeys(kept.toSet).toMap ++ addStats,
           dvs = m.dvs.view.filterKeys(kept.toSet).toMap ++ addDvs))
@@ -2363,21 +2392,24 @@ object Snapshot {
     SnapshotStats.metadataAgg(spark, m, cols)
   }
 
-  /** Table history, one row per retained version: (version, numFiles,
-    * numRows, schema DDL) — numRows from the manifest's own per-file
-    * stats (no data read); -1 when a version predates stats. The
-    * observability surface of the commit log, driver-sized by
-    * construction (#versions rows).
+  /** Table history, one row per retained version: (version, commit
+    * micros, OPERATION, numFiles, numRows, schema DDL) — the audit
+    * trail every lakehouse job reads before a backfill ("what wrote
+    * v17?"). numRows from the manifest's own per-file stats (no data
+    * read); -1 when a version predates stats; operation '' for
+    * versions committed before labels existed. The observability
+    * surface of the commit log, driver-sized by construction
+    * (#versions rows).
     */
   def history(spark: SparkSession, path: String,
               distributeAbove: Int = 64): DataFrame = {
     import spark.implicits._
-    def row(m: Manifest): (Long, Long, Int, Long, String) = {
+    def row(m: Manifest): (Long, Long, String, Int, Long, String) = {
       val rows =
         if (m.files.forall(m.stats.contains))
           m.files.map(f => m.stats(f).rows - m.dvs.get(f).map(_.rows).getOrElse(0L)).sum
         else -1L
-      (m.version, m.committedAtMicros, m.files.size, rows, m.schemaDdl)
+      (m.version, m.committedAtMicros, m.operation, m.files.size, rows, m.schemaDdl)
     }
     val vs = versions(spark, path)
     val tuples =
@@ -2394,7 +2426,8 @@ object Snapshot {
           row(manifestFrom(new HPath(path).getFileSystem(conf), path, v))
         }.collect().toSeq.sortBy(_._1)
       }
-    tuples.toDF("version", "committed_at_micros", "num_files", "num_rows", "schema_ddl")
+    tuples.toDF("version", "committed_at_micros", "operation",
+      "num_files", "num_rows", "schema_ddl")
   }
 
   /** RESTORE: make an earlier committed version the table's new LATEST
@@ -2430,6 +2463,7 @@ object Snapshot {
       fs.exists(new HPath(s"$path/${r.file}"))
     }
     commitManifest(spark, path, target.copy(version = cur.version + 1,
+      operation = s"RESTORE v$version",
       streamBatch = cur.streamBatch, blooms = blooms))
   }
 

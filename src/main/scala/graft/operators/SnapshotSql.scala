@@ -362,10 +362,17 @@ object SnapshotSql {
       val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
       val isQuery = !parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
         !parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]
+      // a maintenance command WITH a result set (DESCRIBE HISTORY /
+      // DETAIL) closing the script returns its rows, matching the
+      // registry front end's contract; mid-script it just runs
+      val isOutputCmd = parsed.isInstanceOf[graft.plans.GraftMaintenanceCommand] &&
+        parsed.output.nonEmpty
       if (isQuery) {
         require(i == stmts.size - 1,
           s"Snapshot.sqlScript: SELECT must be the script's final statement " +
             s"(statement ${i + 1} of ${stmts.size} is a query whose result would be dropped)")
+        result = Some(spark.sql(stmt))
+      } else if (isOutputCmd && i == stmts.size - 1) {
         result = Some(spark.sql(stmt))
       } else spark.sql(stmt)
     }

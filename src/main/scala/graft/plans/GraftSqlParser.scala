@@ -117,7 +117,9 @@ object GraftSqlParser {
     while (i < s.length && s.charAt(i).isWhitespace) i += 1
     val start = i
     while (i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '_')) i += 1
-    s.substring(start, i).toUpperCase
+    // Locale.ROOT: under a Turkish default locale "optimize" would
+    // uppercase to OPTİMİZE and silently stop matching the verb set
+    s.substring(start, i).toUpperCase(java.util.Locale.ROOT)
   }
 
   private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE")
@@ -196,9 +198,17 @@ object GraftSqlParser {
 
     if (head.is("DESCRIBE") && toks.length > 1 &&
         (toks(1).is("HISTORY") || toks(1).is("DETAIL"))) {
+      // DESCRIBE is the ONE verb vanilla SQL also owns: a table named
+      // `history` makes `DESCRIBE history` (no identifier after) and
+      // `DESCRIBE history.orders` (trailing tokens) legitimate session
+      // statements. Anything that is not exactly `DESCRIBE
+      // HISTORY|DETAIL <ident>` therefore DELEGATES instead of
+      // throwing — the dialect must never eat a statement it cannot
+      // parse when the session parser has its own grammar for it.
+      if (toks.length <= 2) return None
       val detail = toks(1).is("DETAIL")
       val (parts, i) = ident(toks, 2)
-      require(i == toks.length, s"cannot parse DESCRIBE statement: $text")
+      if (i != toks.length) return None
       val schema =
         if (detail) DetailSchema else HistorySchema
       return Some(maintQuery(s"DESCRIBE ${toks(1).text} ${parts.mkString(".")}", schema) {
@@ -246,7 +256,8 @@ object GraftSqlParser {
   }
 
   private val HistorySchema = StructType.fromDDL(
-    "version BIGINT, committed_at_micros BIGINT, num_files INT, num_rows BIGINT, schema_ddl STRING")
+    "version BIGINT, committed_at_micros BIGINT, operation STRING, " +
+      "num_files INT, num_rows BIGINT, schema_ddl STRING")
   private val DetailSchema = StructType.fromDDL(
     "version BIGINT, committed_at_micros BIGINT, num_files BIGINT, num_rows BIGINT, " +
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +

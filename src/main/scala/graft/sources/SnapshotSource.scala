@@ -438,7 +438,13 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
           case _ => base
         }
         lastSeen = Some(result)
-        evictBelow(result.version)
+        // evict below the BASE, not the new end: the getBatch that
+        // follows this offer walks base.version..result.version and
+        // needs exactly the lists the cap walk just memoized — evicting
+        // at result.version here would force a fresh manifest read per
+        // spanned version in every backlog-draining trigger. getBatch
+        // evicts below its own end once the batch is served.
+        evictBelow(base.version)
         Some(result)
       }
     }

@@ -44,6 +44,18 @@ object ColumnBridge {
     */
   def column(e: ce.Expression): Column = ExpressionUtils.column(e)
 
+  /** Apply a Catalyst-expression constructor over a Column's own
+    * expression tree, yielding a plain Column — the way to surface a
+    * native expression (e.g. [[graft.expressions.DetLn]]) WITHOUT a
+    * function-registry round trip: the result is a pure tree that
+    * resolves in any session, needs no registration side effect, and
+    * can be built before any session exists (conversion of ordinary
+    * column nodes is session-free; only `expr("...")` inputs consult
+    * the active session's parser, as they always have).
+    */
+  def wrap(c: Column)(f: ce.Expression => ce.Expression): Column =
+    ExpressionUtils.column(f(ExpressionUtils.expression(c)))
+
   private def walk(n: ColumnNode): PredNode = n match {
     case f: UnresolvedFunction if !f.isDistinct && !f.isUserDefinedFunction =>
       FnNode(f.functionName, f.arguments.map(walk))

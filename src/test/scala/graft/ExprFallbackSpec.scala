@@ -26,6 +26,17 @@ class ExprFallbackSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
   }
 
+  test("detLn builds a pure expression tree: valid in a session that never registered it") {
+    // the Column must not depend on a temp-function registration side
+    // effect — a fresh session has an empty temp registry, so a
+    // registry-routed detLn would fail resolution there
+    val c = graft.functions.DetMath.detLn(lit(8.0))
+    val s2 = spark.newSession()
+    val got = s2.range(1).select(c.as("y")).collect().head.getDouble(0)
+    assert(math.abs(got - math.log(8.0)) < 1e-9,
+      s"detLn(8.0) in an unregistered session: got $got")
+  }
+
   test("codegen and interpreted eval paths produce identical values") {
     val factory = "spark.sql.codegen.factoryMode"
     val whole = "spark.sql.codegen.wholeStage"

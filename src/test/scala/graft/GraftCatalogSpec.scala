@@ -394,4 +394,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!pruned.queryExecution.executedPlan.collectLeaves().head.toString
       .contains("2026-08-02"), "generated partition pruning must skip the other day")
   }
+
+  test("CHECK constraints declared AT CREATE TIME are kept, not dropped") {
+    // CreateTableExec routes constraints through the TableInfo
+    // overload, whose interface default silently forwards everything
+    // EXCEPT the constraints — the catalog must override it
+    sql("CREATE TABLE g.db.consc (id BIGINT, v BIGINT, CONSTRAINT pos CHECK (v > 0))")
+    val m0 = Snapshot.latestManifest(spark, s"$warehouse/db/consc").get
+    assert(m0.constraints.get("pos").exists(_.contains("v")),
+      "the create-time constraint must land in the manifest")
+    assert(m0.version == 1L,
+      "constraints ride the create commit itself — one atomic version")
+    val e = intercept[Exception](sql("INSERT INTO g.db.consc VALUES (1, -5)"))
+    assert(e.getMessage.contains("pos"), s"violation must name the constraint: ${e.getMessage}")
+    sql("INSERT INTO g.db.consc VALUES (1, 5)")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.consc").as[Long].head() == 1L)
+  }
+
+  test("INSERT OVERWRITE omits the generated partition column, like INSERT") {
+    // overwrite requests {INSERT, DELETE} write privileges — the
+    // generated-column hiding must cover that shape or every
+    // positional overwrite fails on the phantom column
+    sql("CREATE TABLE g.db.genow (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    sql("INSERT INTO g.db.genow VALUES (1, TIMESTAMP '2026-08-01 10:00:00')")
+    sql("INSERT OVERWRITE g.db.genow VALUES (2, TIMESTAMP '2026-08-03 09:00:00')")
+    assert(sql("SELECT id, CAST(ts_day AS STRING) AS d FROM g.db.genow")
+      .as[(Long, String)].collect().toSeq == Seq(2L -> "2026-08-03"),
+      "overwrite must replace the table and re-derive the generated column")
+  }
+
+  test("DESCRIBE of tables named history/detail delegates to the session parser") {
+    sql("CREATE TABLE g.db.history (id BIGINT, note STRING)")
+    sql("CREATE NAMESPACE IF NOT EXISTS g.history")
+    sql("CREATE TABLE g.history.orders (oid BIGINT)")
+    val before = spark.catalog.currentCatalog()
+    try {
+      sql("USE g.db")
+      // `DESCRIBE history` = vanilla DESCRIBE of the table `history`,
+      // NOT a truncated maintenance statement — the dialect must
+      // delegate anything that is not exactly DESCRIBE HISTORY <ident>
+      val cols = spark.sql("DESCRIBE history").select("col_name")
+        .as[String].collect().toSet
+      assert(cols.contains("id") && cols.contains("note"))
+      spark.sql("USE g.history")
+      val cols2 = spark.sql("DESCRIBE history.orders").select("col_name")
+        .as[String].collect().toSet
+      assert(cols2.contains("oid"))
+      // and the genuine maintenance form still parses beside them
+      assert(spark.sql("DESCRIBE HISTORY g.db.history").count() >= 1L)
+    } finally spark.sql(s"USE $before.default")
+  }
+
+  test("sqlScript: a final DESCRIBE HISTORY returns its rows") {
+    sql("CREATE TABLE g.db.hist (id BIGINT)")
+    val out = Snapshot.sqlScript(spark,
+      """INSERT INTO g.db.hist VALUES (1);
+        |INSERT INTO g.db.hist VALUES (2);
+        |DESCRIBE HISTORY g.db.hist""".stripMargin)
+    assert(out.isDefined, "a script closing on DESCRIBE HISTORY must return the history")
+    assert(out.get.count() == 3L) // create + two inserts
+    assert(out.get.columns.contains("version"))
+  }
+
+  test("RENAME into a namespace named like the catalog itself") {
+    sql("CREATE NAMESPACE IF NOT EXISTS g.g")
+    sql("CREATE TABLE g.g.a (id BIGINT)")
+    sql("INSERT INTO g.g.a VALUES (7)")
+    sql("ALTER TABLE g.g.a RENAME TO g.g.b")
+    // the catalog-segment strip must not ALSO strip the real namespace
+    // `g` — the table stays inside it, never at the warehouse root
+    assert(Snapshot.isSnapshotTable(spark, s"$warehouse/g/b"),
+      "renamed table must live under its namespace directory")
+    assert(sql("SELECT id FROM g.g.b").as[Long].head() == 7L)
+  }
 }

@@ -35,6 +35,27 @@ class SnapshotDmlSpec extends SparkSpec {
     }.toMap
   }
 
+  test("history labels every version with its operation — the audit trail") {
+    val dir = tmp("oplabel")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    Snapshot.append(spark, dir, fixture(10 until 20))
+    Snapshot.delete(spark, dir, col("id") === 3L)
+    Snapshot.update(spark, dir, col("id") === 4L, Map("v" -> lit(999L)))
+    Snapshot.mergeByIdPartitioned(spark, dir, fixture(5 until 7), "id", Seq("p"))
+    Snapshot.compact(spark, dir)
+    Snapshot.restore(spark, dir, 2L)
+    val ops = Snapshot.history(spark, dir)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(ops(1L) == "CREATE" && ops(2L) == "APPEND" && ops(3L) == "DELETE" &&
+      ops(4L) == "UPDATE" && ops(5L) == "MERGE" && ops(6L) == "OPTIMIZE" &&
+      ops(7L) == "RESTORE v2", s"mislabeled history: $ops")
+    // labels survive the delta-log round trip AND land in DESCRIBE
+    // HISTORY through the SQL dialect (schema includes the column)
+    assert(Snapshot.history(spark, dir).columns.toSeq ==
+      Seq("version", "committed_at_micros", "operation",
+        "num_files", "num_rows", "schema_ddl"))
+  }
+
   test("delete rewrites only files that hold matching rows") {
     val dir = tmp("prune")
     // id-ranged files: ranges land in separate appends = separate files
