@@ -1866,6 +1866,76 @@ object Snapshot {
     if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
   }
 
+  /** Row-level DELETE of every row whose `keyCol` value appears in
+    * `keys` — the `DELETE … WHERE k IN (SELECT …)` shape, which a row
+    * predicate cannot express without collecting the subquery. The key
+    * set stays DISTRIBUTED end to end: per-file match counts come from
+    * one left-semi equi-join over the live scan, the same three tiers
+    * as [[delete]] apply (whole-file drop, deletion-vector positions,
+    * minimum rewrite via left-anti join), and nothing key-sized ever
+    * lands on the driver — at 100 TB the subquery result is a table,
+    * not a literal list. NULL keys are dropped up front (SQL IN
+    * semantics: NULL never matches).
+    */
+  def deleteMatching(spark: SparkSession, path: String, keyCol: String,
+                     keys: DataFrame, dvMaxFraction: Double = 0.1): Long =
+    retryDml("deleteMatching")(
+      deleteMatchingOnce(spark, path, keyCol, keys, dvMaxFraction))
+
+  private def deleteMatchingOnce(spark: SparkSession, path: String, keyCol: String,
+                                 keys0: DataFrame, dvMaxFraction: Double): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(keyCol),
+      s"Snapshot.deleteMatching: unknown column $keyCol")
+    require(keys0.columns.length == 1,
+      s"Snapshot.deleteMatching: the key set must have exactly one column, " +
+        s"got ${keys0.columns.mkString(", ")}")
+    val keyTmp = "__graft_in_key"
+    // the key set feeds up to three jobs (counts, rewrite, vectors) —
+    // persist it so the subquery computes once, like updateOnce's
+    // matched-row cache
+    val keys = keys0.select(col(keys0.columns.head)
+        .cast(schema(keyCol).dataType).as(keyTmp))
+      .where(col(keyTmp).isNotNull).distinct().persist()
+    try {
+      def hits(files: Option[Seq[String]]): DataFrame =
+        readFilesMeta(spark, path, m, files, meta = true)
+          .join(keys, col(keyCol) === col(keyTmp), "left_semi")
+      val counts = hits(None)
+        .groupBy(col(MetaFile).as("__file")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (counts.isEmpty) return m.version
+      val byKey = m.files.map(f => fileKey(s"$path/$f") -> f).toMap
+      val matched = counts.map { case (abs, n) =>
+        byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
+          s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
+      }.toMap
+      val (whole, rest) = matched.partition { case (f, n) => liveRowsOf(m, f).contains(n) }
+      val (dvTier, rewriteTier) = dvTierSplit(m, rest, dvMaxFraction)
+      val rewrite = rewriteTier.keys.toSeq.sorted
+      val newFiles =
+        if (rewrite.isEmpty) Nil
+        else writeTxnFiles(
+          readFiles(spark, path, m, Some(rewrite))
+            .join(keys, col(keyCol) === col(keyTmp), "left_anti"),
+          path, m.partitionCols, m.colMap)
+      val dvNew =
+        if (dvTier.isEmpty) Map.empty[String, DvRef]
+        else writeDvFrom(spark, path, m, hits(Some(dvTier.keys.toSeq.sorted)), dvTier)
+      val committed = commitRebasing(spark, path, m,
+        drop = whole.keySet ++ rewrite.toSet,
+        touched = dvTier.keySet,
+        addFiles = newFiles,
+        addStats =
+          if (newFiles.isEmpty) Map.empty
+          else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
+        addDvs = dvNew, op = "DELETE")
+      if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
+    } finally keys.unpersist()
+  }
+
   /** Live rows of a file: physical rows minus already-deleted
     * positions; None when the file has no row stats.
     */

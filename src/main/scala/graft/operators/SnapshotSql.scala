@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, InSubquery, ListQuery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions.{col, lit}
@@ -114,7 +114,21 @@ object SnapshotSql {
 
       case DeleteFromTable(rel, cond) =>
         val (names, path) = resolveTable(rel, tables)
-        Snapshot.delete(spark, path, predicate(cond, names))
+        cond match {
+          // `DELETE ... WHERE k IN (SELECT ...)`: the subquery resolves
+          // through the REGISTRY (like any front-end SELECT) and the
+          // delete routes through [[Snapshot.deleteMatching]] — one
+          // distributed equi-join, then the standard delete tiers,
+          // never a collected value list. Single bare-column
+          // uncorrelated shape only; anything else keeps the loud
+          // refusal in `predicate`.
+          case InSubquery(Seq(key: UnresolvedAttribute), l: ListQuery) =>
+            val keyName = singleName(key, names: _*)
+            Snapshot.deleteMatching(spark, path, keyName,
+              resolveQuery(spark, l.plan, tables))
+          case _ =>
+            Snapshot.delete(spark, path, predicate(cond, names))
+        }
 
       case UpdateTable(rel, assignments, cond) =>
         val (names, path) = resolveTable(rel, tables)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, InSubquery, ListQuery}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -71,9 +71,24 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(target, cond) if d.resolved =>
       unwrapTarget(target) match {
         case Some((t, _, _)) =>
-          val pred = column(cond, "DELETE predicates")
-          GraftDmlCommand(s"DELETE FROM ${t.tableName}",
-            sp => Snapshot.delete(sp, t.path, pred))
+          cond match {
+            // `DELETE FROM t WHERE k IN (SELECT ...)` — the BigQuery
+            // cleanup idiom. Routed through [[Snapshot.deleteMatching]]:
+            // one distributed equi-join against the subquery's result
+            // (never a collected value list — the subquery may be huge
+            // at 100 TB), then the standard delete tiers. Uncorrelated
+            // single-column shape only; anything else still refuses
+            // loudly below.
+            case InSubquery(Seq(a: AttributeReference), l: ListQuery)
+                if l.outerAttrs.isEmpty && l.plan.output.size == 1 =>
+              val src = PlanBridge.dataFrame(session, l.plan)
+              GraftDmlCommand(s"DELETE FROM ${t.tableName} (IN subquery)",
+                sp => Snapshot.deleteMatching(sp, t.path, a.name, src))
+            case _ =>
+              val pred = column(cond, "DELETE predicates")
+              GraftDmlCommand(s"DELETE FROM ${t.tableName}",
+                sp => Snapshot.delete(sp, t.path, pred))
+          }
         case None => d
       }
 

@@ -1102,6 +1102,98 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  val q140 = QueryDef.staged(
+    "q140_history_audit",
+    // oracle: every version's OPERATION label plus its metadata-exact
+    // live row count, recomputed from the raw table — a mislabeled
+    // commit, a phantom extra version (e.g. an unexpected DV fold), or
+    // a row count drifting from the data fails the gate
+    Some("""WITH c AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           |    CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS even,
+           |    CAST(COUNT(*) FILTER (WHERE o_orderkey % 100 >= 5) AS BIGINT) AS keep,
+           |    CAST(COUNT(*) FILTER (WHERE o_orderkey % 100 < 5 AND o_orderkey <= 100) AS BIGINT) AS back
+           |  FROM orders)
+           |SELECT CAST(version AS BIGINT) AS version, operation, num_rows FROM (
+           |  SELECT 1 AS version, 'CREATE' AS operation, even AS num_rows FROM c
+           |  UNION ALL SELECT 2, 'APPEND', total FROM c
+           |  UNION ALL SELECT 3, 'DELETE', keep FROM c
+           |  UNION ALL SELECT 4, 'OPTIMIZE', keep FROM c
+           |  UNION ALL SELECT 5, 'UPDATE', keep FROM c
+           |  UNION ALL SELECT 6, 'MERGE', keep + back FROM c
+           |  UNION ALL SELECT 7, 'RESTORE v2', total FROM c
+           |) ORDER BY version""".stripMargin)) { t =>
+    // FIXTURE (untimed): a realistic table lifetime — create, append,
+    // a bad-slice DELETE, the nightly OPTIMIZE (always fires: the
+    // delete leaves either deletion vectors or >= 4 files, both of
+    // which mark the partition), a re-statement UPDATE, a late-data
+    // MERGE upsert, and the RESTORE that undoes everything back to the
+    // full load. Exactly ONE commit per step by construction: the
+    // delete touches ~5% of each file (DV tier, below the 20% density
+    // fold), the update touches ~20% (rewrite tier, no vectors).
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q140").toString + "/t"
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    Snapshot.create(t.spark, dir,
+      base.where(col("o_orderkey") % 2 === 0).repartition(4))
+    Snapshot.append(t.spark, dir,
+      base.where(col("o_orderkey") % 2 === 1).repartition(4))
+    Snapshot.delete(t.spark, dir, col("o_orderkey") % 100 < 5)
+    Snapshot.compact(t.spark, dir)
+    Snapshot.update(t.spark, dir, col("o_orderpriority") === "2-HIGH",
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    Snapshot.mergeByIdPartitioned(t.spark, dir,
+      base.where(col("o_orderkey") <= 100), "o_orderkey", Nil)
+    Snapshot.restore(t.spark, dir, 2L)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the audit read itself — pure manifest metadata, one
+    // row per version, no data file opened. On a 100 TB table this is
+    // the query an operator runs before every backfill; it must stay
+    // O(#versions) JSON parses regardless of table size.
+    graft.operators.Snapshot.history(t.spark, dir)
+      .select(col("version"), col("operation"), col("num_rows"))
+      .orderBy("version")
+  }
+
+  val q141 = QueryDef.staged(
+    "q141_delete_in_subquery",
+    // oracle: the survivors recomputed from the raw table — a key
+    // deleted that the blocklist never named, or one kept that it did,
+    // shifts a group's count/sum and fails the gate
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the fact table plus a BLOCKLIST table whose
+    // key column is named differently — the reference's recurring
+    // quarantine shape (bad loads enumerated in a side table, then
+    // `DELETE ... WHERE key IN (SELECT ...)`).
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q141").toString
+    Snapshot.create(t.spark, s"$root/t",
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartition(4))
+    Snapshot.create(t.spark, s"$root/q",
+      t.orders.where(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("bad_key")).distinct())
+    root
+  } { (t, root: String) =>
+    // MEASURED: the literal SQL statement — the subquery resolves
+    // through the registry, the delete runs as ONE distributed
+    // equi-join feeding the standard tiers (drop / vector / rewrite),
+    // never a collected key list — then the survivors' rollup.
+    import graft.operators.Snapshot
+    val reg = Map("t" -> s"$root/t", "quarantine" -> s"$root/q")
+    Snapshot.sql(t.spark,
+      "DELETE FROM t WHERE o_orderkey IN (SELECT bad_key FROM quarantine)", reg)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -445,6 +445,19 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.sql(s"USE $before.default")
   }
 
+  test("DELETE WHERE id IN (SELECT ...) resolves both tables by name") {
+    sql("CREATE TABLE g.db.dsub (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.dsub SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 FROM range(50)")
+    sql("CREATE TABLE g.db.quarantine (bad BIGINT)")
+    sql("INSERT INTO g.db.quarantine VALUES (3), (3), (17), (999)")
+    sql("DELETE FROM g.db.dsub WHERE id IN (SELECT bad FROM g.db.quarantine)")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.dsub").as[Long].head() == 48L)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.dsub WHERE id IN (3, 17)")
+      .as[Long].head() == 0L)
+    // and the audit trail shows a DELETE commit
+    assert(Snapshot.latestManifest(spark, s"$warehouse/db/dsub").get.operation == "DELETE")
+  }
+
   test("sqlScript: a final DESCRIBE HISTORY returns its rows") {
     sql("CREATE TABLE g.db.hist (id BIGINT)")
     val out = Snapshot.sqlScript(spark,

@@ -56,6 +56,39 @@ class SnapshotDmlSpec extends SparkSpec {
         "num_files", "num_rows", "schema_ddl"))
   }
 
+  test("deleteMatching (IN-subquery delete) takes the same three tiers as delete") {
+    val dir = tmp("delmatch")
+    // three single-file appends, engineered one per tier
+    Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))   // all matched → drop
+    Snapshot.append(spark, dir, fixture(100 until 200).repartition(1)) // 5% matched → DV
+    Snapshot.append(spark, dir, fixture(200 until 300).repartition(1)) // 50% matched → rewrite
+    val before = fileIdentity(dir)
+    val keys = ((0L until 100L) ++ Seq(105L, 118L, 126L, 134L, 142L) ++
+      (200L until 250L)).toDF("k")
+    Snapshot.deleteMatching(spark, dir, "id", keys)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.operation == "DELETE")
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 300)).filterNot(r =>
+        r._1 < 100 || Set(105L, 118L, 126L, 134L, 142L)(r._1) ||
+          (r._1 >= 200 && r._1 < 250)))
+    val after = fileIdentity(dir)
+    // the fully-matched file dropped without a rewrite; the 5% file
+    // survives byte-identical under a deletion vector; the 50% file
+    // was rewritten
+    val dvd = m.dvs.keySet
+    assert(dvd.size == 1, s"exactly the 5%-matched file takes a vector, got $dvd")
+    assert(before.contains(dvd.head) && after(dvd.head) == before(dvd.head),
+      "the DV'd file must be byte-identical to its pre-delete self")
+    assert(after.size == 2, s"drop + DV'd + one rewritten file expected, got ${after.keySet}")
+    // NULL keys never match (SQL IN semantics) and a re-run is a no-op
+    val v = m.version
+    Snapshot.deleteMatching(spark, dir, "id",
+      Seq[java.lang.Long](null, 9999L).toDF("k"))
+    assert(Snapshot.latestManifest(spark, dir).get.version == v,
+      "a zero-match key set must not commit a version")
+  }
+
   test("delete rewrites only files that hold matching rows") {
     val dir = tmp("prune")
     // id-ranged files: ranges land in separate appends = separate files

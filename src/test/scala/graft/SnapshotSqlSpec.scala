@@ -39,6 +39,26 @@ class SnapshotSqlSpec extends SparkSpec {
       rows(fixture(0 until 200)).filterNot(r => r._1 >= 50 && r._1 <= 99 && r._2 == "even"))
   }
 
+  test("DELETE … WHERE id IN (SELECT …) joins the subquery through the delete tiers") {
+    val dir = tmp("del-insub"); val bad = tmp("del-insub-src")
+    Snapshot.create(spark, dir, fixture(0 until 200), Seq("p"))
+    // the blocklist lives in ANOTHER registered snapshot table, its
+    // column named differently — the join key renames to the target's
+    Snapshot.create(spark, bad,
+      Seq(3L, 7L, 7L, 11L, 999L).toDF("bad_id")) // dup + a miss: both must be harmless
+    Snapshot.sql(spark,
+      "DELETE FROM t WHERE id IN (SELECT bad_id FROM quarantine)",
+      Map("t" -> dir, "quarantine" -> bad))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 200)).filterNot(r => Set(3L, 7L, 11L)(r._1)))
+    // routed through the delete tiers: the commit is labeled DELETE
+    assert(Snapshot.latestManifest(spark, dir).get.operation == "DELETE")
+    // anything richer than the bare IN shape still refuses loudly
+    intercept[IllegalArgumentException](Snapshot.sql(spark,
+      "DELETE FROM t WHERE id IN (SELECT bad_id FROM quarantine) AND p = 'odd'",
+      Map("t" -> dir, "quarantine" -> bad)))
+  }
+
   test("UPDATE … SET … WHERE applies parser-grade expressions over old values") {
     val dir = tmp("upd")
     Snapshot.create(spark, dir, fixture(0 until 100), Seq("p"))
@@ -159,8 +179,11 @@ class SnapshotSqlSpec extends SparkSpec {
       Snapshot.sql(spark, "DELETE FROM t WHERE other.id = 1", reg)
     }
     assert(foreignQual.getMessage.contains("unknown qualifier 'other'"))
+    // bare `IN (SELECT ...)` is SUPPORTED now (deleteMatching); the
+    // refusal surface is anything richer — a scalar subquery compared
+    // with an operator other than IN
     val subq = intercept[IllegalArgumentException] {
-      Snapshot.sql(spark, "DELETE FROM t WHERE id IN (SELECT id FROM t)", reg)
+      Snapshot.sql(spark, "DELETE FROM t WHERE id = (SELECT max(id) FROM t)", reg)
     }
     assert(subq.getMessage.contains("subqueries"))
     // ... and in SET values, where one would resolve against the
