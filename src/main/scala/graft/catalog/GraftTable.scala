@@ -136,6 +136,16 @@ private final class GraftV1ScanBuilder(table: GraftTable)
       val rel: BaseRelation with TableScan = new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
+        // manifest-recorded bytes, so even the extension-less path
+        // sizes joins correctly (the default is "huge" — a small dim
+        // table would never broadcast); unknown files fall back to the
+        // conservative default
+        override def sizeInBytes: Long = {
+          val known = table.manifest.files
+            .flatMap(table.manifest.stats.get).map(_.bytes).filter(_ > 0L)
+          if (known.nonEmpty && known.size == table.manifest.files.size) known.sum
+          else super.sizeInBytes
+        }
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
           val spark = context.sparkSession
           val m = table.manifest

@@ -1882,27 +1882,51 @@ object Snapshot {
     retryDml("deleteMatching")(
       deleteMatchingOnce(spark, path, keyCol, keys, dvMaxFraction))
 
+  /** Column name the IN-key join binds the (single-column, distinct,
+    * null-free) key set under; chosen to never collide with user
+    * schemas, like the merge aliases.
+    */
+  private val InKeyCol = "__graft_in_key"
+
+  /** The key set of an IN-list DML, normalized: single column checked,
+    * cast to the target column's type, NULLs dropped (SQL IN: NULL
+    * never matches), distinct so joins cannot fan out. Callers persist
+    * it — it feeds several jobs.
+    */
+  private def inKeySet(keys0: DataFrame, schema: StructType, keyCol: String,
+                       what: String): DataFrame = {
+    require(schema.fieldNames.contains(keyCol), s"$what: unknown column $keyCol")
+    require(keys0.columns.length == 1,
+      s"$what: the key set must have exactly one column, " +
+        s"got ${keys0.columns.mkString(", ")}")
+    keys0.select(col(keys0.columns.head).cast(schema(keyCol).dataType).as(InKeyCol))
+      .where(col(InKeyCol).isNotNull).distinct()
+  }
+
+  /** Per-file matched counts of the IN-key join — [[matchedPerFile]]'s
+    * twin for a join "predicate": one left-semi equi-join over the
+    * live scan of `files` (all live files when None), keyed back to
+    * manifest entries.
+    */
+  private def inKeyMatches(spark: SparkSession, path: String, m: Manifest,
+                           keyCol: String, keys: DataFrame,
+                           files: Option[Seq[String]]): DataFrame =
+    readFilesMeta(spark, path, m, files, meta = true)
+      .join(keys, col(keyCol) === col(InKeyCol), "left_semi")
+
   private def deleteMatchingOnce(spark: SparkSession, path: String, keyCol: String,
                                  keys0: DataFrame, dvMaxFraction: Double): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    require(schema.fieldNames.contains(keyCol),
-      s"Snapshot.deleteMatching: unknown column $keyCol")
-    require(keys0.columns.length == 1,
-      s"Snapshot.deleteMatching: the key set must have exactly one column, " +
-        s"got ${keys0.columns.mkString(", ")}")
-    val keyTmp = "__graft_in_key"
+    val keyTmp = InKeyCol
     // the key set feeds up to three jobs (counts, rewrite, vectors) —
     // persist it so the subquery computes once, like updateOnce's
     // matched-row cache
-    val keys = keys0.select(col(keys0.columns.head)
-        .cast(schema(keyCol).dataType).as(keyTmp))
-      .where(col(keyTmp).isNotNull).distinct().persist()
+    val keys = inKeySet(keys0, schema, keyCol, "Snapshot.deleteMatching").persist()
     try {
       def hits(files: Option[Seq[String]]): DataFrame =
-        readFilesMeta(spark, path, m, files, meta = true)
-          .join(keys, col(keyCol) === col(keyTmp), "left_semi")
+        inKeyMatches(spark, path, m, keyCol, keys, files)
       val counts = hits(None)
         .groupBy(col(MetaFile).as("__file")).count()
         .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -1932,6 +1956,80 @@ object Snapshot {
           if (newFiles.isEmpty) Map.empty
           else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
         addDvs = dvNew, op = "DELETE")
+      if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
+    } finally keys.unpersist()
+  }
+
+  /** Row-level UPDATE of every row whose `keyCol` value appears in
+    * `keys` — `UPDATE … SET … WHERE k IN (SELECT …)`. Same distributed
+    * shape as [[deleteMatching]] (the key set never collects), same
+    * two write tiers as [[update]]: heavily-matched files rewrite in
+    * place (a left join marks the rows), lightly-matched files take a
+    * deletion vector plus an append of their updated rows.
+    */
+  def updateMatching(spark: SparkSession, path: String, keyCol: String,
+                     keys: DataFrame, set: Map[String, Column],
+                     dvMaxFraction: Double = 0.1): Long =
+    retryDml("updateMatching")(
+      updateMatchingOnce(spark, path, keyCol, keys, set, dvMaxFraction))
+
+  private def updateMatchingOnce(spark: SparkSession, path: String, keyCol: String,
+                                 keys0: DataFrame, set0: Map[String, Column],
+                                 dvMaxFraction: Double): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val bad = set0.keySet.diff(schema.fieldNames.toSet)
+    require(bad.isEmpty, s"Snapshot.updateMatching: unknown column(s) ${bad.mkString(", ")}")
+    require(set0.keySet.intersect(m.partitionCols.toSet).isEmpty,
+      "Snapshot.updateMatching: cannot update a partition column (delete + append instead)")
+    val set = set0.map { case (k, v) => k -> pinDmlExpr(spark, m, "update", v) }
+    val keys = inKeySet(keys0, schema, keyCol, "Snapshot.updateMatching").persist()
+    try {
+      val counts = inKeyMatches(spark, path, m, keyCol, keys, None)
+        .groupBy(col(MetaFile).as("__file")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (counts.isEmpty) return m.version
+      val byKey = m.files.map(f => fileKey(s"$path/$f") -> f).toMap
+      val matched = counts.map { case (abs, n) =>
+        byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
+          s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
+      }.toMap
+      val (dvTier, rewriteTier) = dvTierSplit(m, matched, dvMaxFraction)
+      def applySet(hit: Column, onlyMatched: Boolean) = schema.fields.toSeq.map { f =>
+        set.get(f.name)
+          .map { v =>
+            if (onlyMatched) v.cast(f.dataType).as(f.name)
+            else when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          }
+          .getOrElse(col(f.name).as(f.name))
+      }
+      val rewrite = rewriteTier.keys.toSeq.sorted
+      val rewriteFiles =
+        if (rewrite.isEmpty) Nil
+        else writeTxnFiles(
+          readFiles(spark, path, m, Some(rewrite))
+            .join(keys, col(keyCol) === col(InKeyCol), "left")
+            .select(applySet(col(InKeyCol).isNotNull, onlyMatched = false): _*),
+          path, m.partitionCols, m.colMap, m.constraints, m.generatedCols)
+      val (dvNew, updatedFiles) =
+        if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
+        else {
+          val matchedRows = inKeyMatches(spark, path, m, keyCol, keys,
+            Some(dvTier.keys.toSeq.sorted)).persist()
+          try (
+            writeDvFrom(spark, path, m, matchedRows, dvTier),
+            writeTxnFiles(matchedRows.select(applySet(lit(true), onlyMatched = true): _*),
+              path, m.partitionCols, m.colMap, m.constraints, m.generatedCols))
+          finally matchedRows.unpersist()
+        }
+      val committed = commitRebasing(spark, path, m,
+        drop = rewrite.toSet,
+        touched = dvTier.keySet,
+        addFiles = rewriteFiles ++ updatedFiles,
+        addStats = statsFor(spark, path, rewriteFiles ++ updatedFiles,
+          m.schemaDdl, m.partitionCols, m.colMap),
+        addDvs = dvNew, op = "UPDATE")
       if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
     } finally keys.unpersist()
   }
@@ -2587,10 +2685,11 @@ object Snapshot {
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
              orphanGraceMs: Long = 3600L * 1000,
-             retainMicros: Option[Long] = None): Unit = {
+             retainMicros: Option[Long] = None,
+             dryRun: Boolean = false): Seq[String] = {
     val fs = fsFor(spark, path)
     val vs = versions(spark, path)
-    if (vs.isEmpty) return
+    if (vs.isEmpty) return Nil
     val countCut = math.max(0, vs.size - math.max(1, keepVersions))
     val cutIdx = retainMicros match {
       case None => countCut
@@ -2608,18 +2707,27 @@ object Snapshot {
     val live = keptManifests.flatMap(_.files).toSet
     val now = System.currentTimeMillis()
     val root = fs.makeQualified(new HPath(path)).toString
+    // DRY RUN: record every path the real pass would delete, delete
+    // nothing, stage no checkpoint — the operator's pre-flight answer
+    // to "what will this reclaim?"
+    val reclaimed = Seq.newBuilder[String]
+    def rel(p: HPath): String = fs.makeQualified(p).toString.drop(root.length + 1)
+    def reap(p: HPath, recursive: Boolean): Unit = {
+      reclaimed += rel(p)
+      if (!dryRun) fs.delete(p, recursive)
+    }
     fs.listStatus(new HPath(path)).filter(s => s.isDirectory && s.getPath.getName.startsWith("txn-"))
       .foreach { txn =>
-        listParquetRecursive(fs, txn.getPath).foreach { f =>
-          val rel = fs.makeQualified(f).toString.drop(root.length + 1)
-          val st = fs.getFileStatus(f)
-          if (!live.contains(rel) && now - st.getModificationTime > orphanGraceMs)
-            fs.delete(f, false)
+        val files = listParquetRecursive(fs, txn.getPath)
+        val dead0 = files.filter { f =>
+          !live.contains(rel(f)) &&
+            now - fs.getFileStatus(f).getModificationTime > orphanGraceMs
         }
+        dead0.foreach(reap(_, recursive = false))
         // prune txn dirs (and partition dirs) emptied of data files
-        if (listParquetRecursive(fs, txn.getPath).isEmpty &&
+        if (files.size == dead0.size &&
             now - txn.getModificationTime > orphanGraceMs)
-          fs.delete(txn.getPath, true)
+          reap(txn.getPath, recursive = true)
       }
     // deletion-vector commit dirs referenced by NO retained manifest
     // (superseded vectors, folded-away vectors, a crashed delete's
@@ -2631,7 +2739,7 @@ object Snapshot {
       fs.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
         if (!liveDv.contains(s"_dv/${d.getPath.getName}") &&
             now - d.getModificationTime > orphanGraceMs)
-          fs.delete(d.getPath, true)
+          reap(d.getPath, recursive = true)
       }
     // bloom sidecar commit dirs reclaim exactly like DV dirs: a dir
     // referenced by no retained manifest (superseded index, refs
@@ -2643,13 +2751,13 @@ object Snapshot {
       fs.listStatus(bloomRoot).filter(_.isDirectory).foreach { d =>
         if (!liveBloom.contains(s"_bloom/${d.getPath.getName}") &&
             now - d.getModificationTime > orphanGraceMs)
-          fs.delete(d.getPath, true)
+          reap(d.getPath, recursive = true)
       }
     // the oldest KEPT version must reconstruct without the chain being
     // dropped: if it has no full form yet, stage+rename its checkpoint
     // BEFORE any manifest deletion — a crash between the two leaves
     // both forms present, which is merely redundant
-    if (dead.nonEmpty) {
+    if (dead.nonEmpty && !dryRun) {
       val boundary = kept.head
       val ck = ckptPath(path, boundary)
       if (!fs.exists(ck)) {
@@ -2665,8 +2773,8 @@ object Snapshot {
       }
     }
     dead.foreach { v =>
-      fs.delete(manifestPath(path, v), false)
-      fs.delete(ckptPath(path, v), false)
+      Seq(manifestPath(path, v), ckptPath(path, v))
+        .filter(fs.exists).foreach(reap(_, recursive = false))
     }
     // a crashed writer can also strand a staged manifest (.tmp-*);
     // invisible to readers, but reclaim it past the grace window
@@ -2674,6 +2782,7 @@ object Snapshot {
     fs.listStatus(log)
       .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-") &&
         now - s.getModificationTime > orphanGraceMs)
-      .foreach(s => fs.delete(s.getPath, false))
+      .foreach(s => reap(s.getPath, recursive = false))
+    reclaimed.result()
   }
 }

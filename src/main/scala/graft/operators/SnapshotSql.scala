@@ -143,8 +143,17 @@ object SnapshotSql {
         val dup = set.map(_._1).diff(set.map(_._1).distinct).distinct
         require(dup.isEmpty,
           s"Snapshot.sql: column(s) assigned twice: ${dup.mkString(", ")}")
-        Snapshot.update(spark, path,
-          cond.map(predicate(_, names)).getOrElse(lit(true)), set.toMap)
+        cond match {
+          // `UPDATE ... WHERE k IN (SELECT ...)` — deleteMatching's
+          // twin; the key set resolves through the registry and stays
+          // distributed
+          case Some(InSubquery(Seq(key: UnresolvedAttribute), l: ListQuery)) =>
+            Snapshot.updateMatching(spark, path, singleName(key, names: _*),
+              resolveQuery(spark, l.plan, tables), set.toMap)
+          case _ =>
+            Snapshot.update(spark, path,
+              cond.map(predicate(_, names)).getOrElse(lit(true)), set.toMap)
+        }
 
       case m: MergeIntoTable => merge(spark, m, tables)
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, InSubquery, ListQuery}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Exists, Expression, InSubquery, ListQuery, OuterReference}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -66,6 +66,35 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
     ColumnBridge.column(nameify(e))
   }
 
+  /** `EXISTS (SELECT … FROM s WHERE s.k = t.k)` with the equality as
+    * its ONLY correlation is `t.k IN (SELECT s.k FROM s)` in disguise —
+    * normalize it to (outer key attribute, single-column key plan) so
+    * the delete routes through the same distributed join. Any residual
+    * outer reference, a non-equality correlation, or an unexpected
+    * plan shape returns None and keeps the loud refusal.
+    */
+  private def existsAsInKeys(e: Exists): Option[(AttributeReference, LogicalPlan)] = {
+    val stripped = e.plan match {
+      case Project(_, Filter(cond, child)) => Some((cond, child))
+      case Filter(cond, child)             => Some((cond, child))
+      case _                               => None
+    }
+    stripped.flatMap { case (cond, child) =>
+      def clean(p: LogicalPlan): Boolean =
+        p.collect { case q => q.expressions }.flatten.forall(expr =>
+          expr.collectFirst { case _: OuterReference => () }.isEmpty)
+      cond match {
+        case EqualTo(OuterReference(a: AttributeReference), inner: Attribute)
+            if child.outputSet.contains(inner) && clean(child) =>
+          Some((a, Project(Seq(inner), child)))
+        case EqualTo(inner: Attribute, OuterReference(a: AttributeReference))
+            if child.outputSet.contains(inner) && clean(child) =>
+          Some((a, Project(Seq(inner), child)))
+        case _ => None
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
 
     case d @ DeleteFromTable(target, cond) if d.resolved =>
@@ -83,6 +112,13 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
                 if l.outerAttrs.isEmpty && l.plan.output.size == 1 =>
               val src = PlanBridge.dataFrame(session, l.plan)
               GraftDmlCommand(s"DELETE FROM ${t.tableName} (IN subquery)",
+                sp => Snapshot.deleteMatching(sp, t.path, a.name, src))
+            // equality-correlated EXISTS is the same statement spelled
+            // differently — normalize and take the same route
+            case e: Exists if e.joinCond.isEmpty && existsAsInKeys(e).isDefined =>
+              val (a, proj) = existsAsInKeys(e).get
+              val src = PlanBridge.dataFrame(session, proj)
+              GraftDmlCommand(s"DELETE FROM ${t.tableName} (EXISTS)",
                 sp => Snapshot.deleteMatching(sp, t.path, a.name, src))
             case _ =>
               val pred = column(cond, "DELETE predicates")
@@ -105,9 +141,18 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
             case a => throw new UnsupportedOperationException(
               s"graft UPDATE: unsupported assignment target ${a.key.sql}")
           }
-          val pred = cond.map(column(_, "UPDATE predicates")).getOrElse(lit(true))
-          GraftDmlCommand(s"UPDATE ${t.tableName}",
-            sp => Snapshot.update(sp, t.path, pred, set.toMap))
+          cond match {
+            // UPDATE ... WHERE k IN (SELECT ...): deleteMatching's twin
+            case Some(InSubquery(Seq(a: AttributeReference), l: ListQuery))
+                if l.outerAttrs.isEmpty && l.plan.output.size == 1 =>
+              val src = PlanBridge.dataFrame(session, l.plan)
+              GraftDmlCommand(s"UPDATE ${t.tableName} (IN subquery)",
+                sp => Snapshot.updateMatching(sp, t.path, a.name, src, set.toMap))
+            case _ =>
+              val pred = cond.map(column(_, "UPDATE predicates")).getOrElse(lit(true))
+              GraftDmlCommand(s"UPDATE ${t.tableName}",
+                sp => Snapshot.update(sp, t.path, pred, set.toMap))
+          }
         case None => u
       }
 

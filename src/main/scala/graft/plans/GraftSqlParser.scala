@@ -134,28 +134,41 @@ object GraftSqlParser {
     val head = toks(0)
 
     if (head.is("VACUUM")) {
-      val (parts, i) = ident(toks, 1)
-      if (i == toks.length)
-        return Some(maintCmd(s"VACUUM ${parts.mkString(".")}") { (sp, path) =>
-          Snapshot.vacuum(sp, path); Nil
-        }(parts))
-      if (i + 2 < toks.length && toks(i).is("RETAIN")) {
+      // VACUUM t [RETAIN n VERSIONS|DAYS|HOURS] [DRY RUN]
+      val (parts, i0) = ident(toks, 1)
+      var i = i0
+      var retain = Option.empty[(Long, Tok)]
+      if (i < toks.length && toks(i).is("RETAIN")) {
+        require(i + 2 < toks.length, s"VACUUM RETAIN needs <n> <unit> in: $text")
         val n = toks(i + 1).text.toLongOption.getOrElse(
           throw new IllegalArgumentException(s"VACUUM RETAIN needs an integer, got ${toks(i + 1).text}"))
-        val unit = toks(i + 2)
-        require(i + 3 == toks.length, s"VACUUM: unexpected trailing text after ${unit.text}")
-        return Some(maintCmd(s"VACUUM ${parts.mkString(".")}") { (sp, path) =>
-          if (unit.is("VERSIONS")) Snapshot.vacuum(sp, path, keepVersions = n.toInt)
+        retain = Some((n, toks(i + 2)))
+        i += 3
+      }
+      val dry = i + 1 < toks.length && toks(i).is("DRY") && toks(i + 1).is("RUN")
+      if (dry) i += 2
+      require(i == toks.length, s"cannot parse VACUUM statement: $text")
+      def run(sp: SparkSession, path: String): Seq[String] = retain match {
+        case None => Snapshot.vacuum(sp, path, dryRun = dry)
+        case Some((n, unit)) =>
+          if (unit.is("VERSIONS")) Snapshot.vacuum(sp, path, keepVersions = n.toInt, dryRun = dry)
           else if (unit.is("DAYS")) Snapshot.vacuum(sp, path, keepVersions = 1,
-            retainMicros = Some(n * 86400L * 1000000L))
+            retainMicros = Some(n * 86400L * 1000000L), dryRun = dry)
           else if (unit.is("HOURS")) Snapshot.vacuum(sp, path, keepVersions = 1,
-            retainMicros = Some(n * 3600L * 1000000L))
+            retainMicros = Some(n * 3600L * 1000000L), dryRun = dry)
           else throw new IllegalArgumentException(
             s"VACUUM RETAIN unit must be VERSIONS, DAYS or HOURS, got ${unit.text}")
-          Nil
-        }(parts))
       }
-      throw new IllegalArgumentException(s"cannot parse VACUUM statement: $text")
+      return Some(
+        if (dry)
+          // DRY RUN answers with the would-be reclaim list and mutates
+          // nothing — the pre-flight every destructive verb deserves
+          maintQuery(s"VACUUM ${parts.mkString(".")} DRY RUN", DryRunSchema) {
+            (sp, path) => run(sp, path).map(Row(_))
+          }(parts)
+        else maintCmd(s"VACUUM ${parts.mkString(".")}") { (sp, path) =>
+          run(sp, path); Nil
+        }(parts))
     }
 
     if (head.is("OPTIMIZE")) {
@@ -254,6 +267,8 @@ object GraftSqlParser {
     require(ts != null, s"RESTORE: timestamp expression evaluated to NULL: $raw")
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
   }
+
+  private val DryRunSchema = StructType.fromDDL("path STRING")
 
   private val HistorySchema = StructType.fromDDL(
     "version BIGINT, committed_at_micros BIGINT, operation STRING, " +

@@ -1194,6 +1194,40 @@ object LayoutPack extends QueryPack {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q142 = QueryDef.staged(
+    "q142_update_in_subquery",
+    // oracle: the re-stated values recomputed from the raw table —
+    // *2 is exact in binary, so double sums stay decimal-clean
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(CASE WHEN o_orderpriority = '5-LOW' AND o_orderkey % 7 = 0
+           |    THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the fact plus a key-list table naming the
+    // rows to re-state — the update twin of q141's blocklist.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q142").toString
+    Snapshot.create(t.spark, s"$root/t",
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartition(4))
+    Snapshot.create(t.spark, s"$root/k",
+      t.orders.where(col("o_orderpriority") === "5-LOW" && col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("restate_key")).distinct())
+    root
+  } { (t, root: String) =>
+    // MEASURED: `UPDATE ... WHERE k IN (SELECT ...)` as literal SQL —
+    // the distributed key-set join feeding update's two tiers — then
+    // the survivors' rollup.
+    import graft.operators.Snapshot
+    val reg = Map("t" -> s"$root/t", "restated" -> s"$root/k")
+    Snapshot.sql(t.spark,
+      "UPDATE t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey IN (SELECT restate_key FROM restated)", reg)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

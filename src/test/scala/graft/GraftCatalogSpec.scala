@@ -458,6 +458,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, s"$warehouse/db/dsub").get.operation == "DELETE")
   }
 
+  test("UPDATE ... IN (SELECT) and equality-correlated EXISTS delete by name") {
+    sql("CREATE TABLE g.db.usub (id BIGINT, v BIGINT)")
+    sql("INSERT INTO g.db.usub SELECT id, id * 10 FROM range(20)")
+    sql("CREATE TABLE g.db.ukeys (k BIGINT)")
+    sql("INSERT INTO g.db.ukeys VALUES (4), (9)")
+    sql("UPDATE g.db.usub SET v = v + 1000 WHERE id IN (SELECT k FROM g.db.ukeys)")
+    assert(sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM g.db.usub WHERE id IN (4, 9)")
+      .as[Long].head() == 40L + 90L + 2000L)
+    // EXISTS with the equality as its only correlation normalizes to
+    // the same distributed IN route
+    sql("DELETE FROM g.db.usub WHERE EXISTS (SELECT 1 FROM g.db.ukeys WHERE k = id)")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.usub").as[Long].head() == 18L)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.usub WHERE id IN (4, 9)")
+      .as[Long].head() == 0L)
+  }
+
+  test("VACUUM ... DRY RUN returns the reclaim plan and mutates nothing") {
+    sql("CREATE TABLE g.db.vdry (id BIGINT)")
+    sql("INSERT INTO g.db.vdry VALUES (1)")
+    sql("INSERT INTO g.db.vdry VALUES (2)")
+    val planned = spark.sql("VACUUM g.db.vdry RETAIN 1 VERSIONS DRY RUN")
+      .as[String].collect().toSeq
+    assert(planned.exists(_.contains("_graft_log")),
+      s"dead manifests must appear in the plan: $planned")
+    // nothing reclaimed: time travel to the oldest version still works
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.vdry VERSION AS OF 1").as[Long].head() == 0L)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.vdry").as[Long].head() == 2L)
+  }
+
   test("sqlScript: a final DESCRIBE HISTORY returns its rows") {
     sql("CREATE TABLE g.db.hist (id BIGINT)")
     val out = Snapshot.sqlScript(spark,

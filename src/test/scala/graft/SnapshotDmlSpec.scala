@@ -89,6 +89,45 @@ class SnapshotDmlSpec extends SparkSpec {
       "a zero-match key set must not commit a version")
   }
 
+  test("updateMatching updates exactly the keyed rows, tiered like update") {
+    val dir = tmp("updmatch")
+    Snapshot.create(spark, dir, fixture(0 until 100).repartition(1))   // 5% keyed → DV tier
+    Snapshot.append(spark, dir, fixture(100 until 200).repartition(1)) // 60% keyed → rewrite
+    val keys = (Seq(3L, 17L, 24L, 58L, 91L) ++ (100L until 160L)).toDF("k")
+    Snapshot.updateMatching(spark, dir, "id", keys,
+      Map("v" -> (col("v") + 100000L)))
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.operation == "UPDATE")
+    val keyed = (Seq(3L, 17L, 24L, 58L, 91L) ++ (100L until 160L)).toSet
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 200)).map {
+      case (id, p, v) => if (keyed(id)) (id, p, v + 100000L) else (id, p, v)
+    })
+    assert(m.dvs.size == 1,
+      s"the lightly-keyed file takes a vector + updated-row append, got ${m.dvs.keySet}")
+    // a zero-match key set commits nothing
+    val v = m.version
+    Snapshot.updateMatching(spark, dir, "id", Seq(99999L).toDF("k"),
+      Map("v" -> (col("v") + 1L)))
+    assert(Snapshot.latestManifest(spark, dir).get.version == v)
+  }
+
+  test("vacuum DRY RUN lists exactly what the real pass reclaims, touching nothing") {
+    val dir = tmp("dryrun")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    Snapshot.append(spark, dir, fixture(10 until 20))
+    Snapshot.compact(spark, dir, targetBytes = 1L << 30, minFiles = 2)
+    val planned = Snapshot.vacuum(spark, dir, keepVersions = 1,
+      orphanGraceMs = 0L, dryRun = true)
+    assert(planned.nonEmpty)
+    // nothing moved: every version still reads
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(rows(Snapshot.readVersion(spark, dir, 2L)) == rows(fixture(0 until 20)))
+    val actual = Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(actual.toSet == planned.toSet,
+      s"dry run must predict the real reclaim exactly:\n planned ${planned.sorted}\n actual ${actual.sorted}")
+    assert(Snapshot.versions(spark, dir) == Seq(3L))
+  }
+
   test("delete rewrites only files that hold matching rows") {
     val dir = tmp("prune")
     // id-ranged files: ranges land in separate appends = separate files

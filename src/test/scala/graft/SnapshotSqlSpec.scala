@@ -59,6 +59,19 @@ class SnapshotSqlSpec extends SparkSpec {
       Map("t" -> dir, "quarantine" -> bad)))
   }
 
+  test("UPDATE … WHERE id IN (SELECT …) updates through the registry subquery") {
+    val dir = tmp("upd-insub"); val keysDir = tmp("upd-insub-src")
+    Snapshot.create(spark, dir, fixture(0 until 100), Seq("p"))
+    Snapshot.create(spark, keysDir, Seq(5L, 6L, 7L).toDF("k"))
+    Snapshot.sql(spark,
+      "UPDATE t SET v = v + 1000 WHERE id IN (SELECT k FROM keys)",
+      Map("t" -> dir, "keys" -> keysDir))
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 100)).map {
+      case (id, p, v) => if (Set(5L, 6L, 7L)(id)) (id, p, v + 1000L) else (id, p, v)
+    })
+    assert(Snapshot.latestManifest(spark, dir).get.operation == "UPDATE")
+  }
+
   test("UPDATE … SET … WHERE applies parser-grade expressions over old values") {
     val dir = tmp("upd")
     Snapshot.create(spark, dir, fixture(0 until 100), Seq("p"))
