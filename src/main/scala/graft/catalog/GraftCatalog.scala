@@ -206,7 +206,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val schema = StructType(declared.fields ++ genFields)
     Snapshot.create(spark, path,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      pCols, genCols, constraints)
+      pCols, genCols, constraints,
+      keepNullability = true) // DDL-declared NOT NULL is real
     loadTable(ident)
   }
 
@@ -296,10 +297,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     // through verbatim, catalog segment included — strip it. Guard:
     // when a NAMESPACE is itself named like the catalog (g.g.b), the
     // literal namespace exists on disk and wins; only a head segment
-    // that does NOT name a real namespace is read as the catalog.
+    // that does NOT name a real namespace is read as the catalog. A
+    // directory that is a snapshot TABLE root is not a namespace — a
+    // table named like the catalog must not suppress the strip (the
+    // rename would land inside that table's directory).
+    val literalNs = namespaceExists(newIdent0.namespace) &&
+      !Snapshot.isSnapshotTable(spark, nsPath(newIdent0.namespace).toString)
     val newIdent =
-      if (newIdent0.namespace.headOption.contains(name()) &&
-          !namespaceExists(newIdent0.namespace))
+      if (newIdent0.namespace.headOption.contains(name()) && !literalNs)
         Identifier.of(newIdent0.namespace.tail, newIdent0.name())
       else newIdent0
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

@@ -694,6 +694,21 @@ object Snapshot {
       d.withColumn(c, expr(g))
     }
 
+  /** The write-time validation set: the user's CHECK constraints plus
+    * one implicit `IS NOT NULL` check per non-nullable field of the
+    * TARGET schema. The catalog's INSERT path enforces NOT NULL
+    * through Spark's own output resolution; this makes every other
+    * constructive write path (Scala-API append, merge, the update
+    * tiers, partition replaces) honor the same declaration instead of
+    * silently storing nulls. Tables without NOT NULL fields add
+    * nothing — zero extra cost on the common path.
+    */
+  private def withNotNullChecks(constraints: Map[String, String],
+                                schemaDdl: String): Map[String, String] =
+    constraints ++ StructType.fromDDL(schemaDdl).fields.toSeq
+      .filterNot(_.nullable).map(f =>
+        s"not_null_${f.name}" -> s"`${f.name}` IS NOT NULL")
+
   private def writeTxnFiles(df1: DataFrame, path: String, partitionCols: Seq[String],
                             colMap: Map[String, String] = Map.empty,
                             constraints: Map[String, String] = Map.empty,
@@ -1019,7 +1034,8 @@ object Snapshot {
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionCols: Seq[String] = Nil,
              generatedCols: Map[String, String] = Map.empty,
-             constraints: Map[String, String] = Map.empty): Long = {
+             constraints: Map[String, String] = Map.empty,
+             keepNullability: Boolean = false): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
     constraints.keys.foreach(n =>
       require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
@@ -1029,7 +1045,16 @@ object Snapshot {
     // version — no window where the table exists unconstrained), after
     // validating they resolve and hold on the initial data
     if (constraints.nonEmpty) checkConstraints(full, constraints)
-    val ddl = full.schema.toDDL
+    // NOT NULL in the stored schema means DECLARED, never inferred:
+    // Scala frames built from literals/ranges/tuples carry incidental
+    // nullable=false that the initial data satisfies but later writes
+    // (null-filling INSERT column lists, schema evolution) legitimately
+    // don't — and the engine ENFORCES the stored flags on every
+    // constructive write. Only the DDL routes (catalog CREATE TABLE,
+    // SQL column lists) pass keepNullability = true.
+    val ddl =
+      (if (keepNullability) full.schema
+       else StructType(full.schema.fields.map(_.copy(nullable = true)))).toDDL
     val files = writeTxnFiles(full, path, partitionCols)
     commitManifest(spark, path, Manifest(1L, partitionCols, ddl, files,
       statsFor(spark, path, files, ddl, partitionCols),
@@ -1104,7 +1129,8 @@ object Snapshot {
     // them, so their stats (and partition pseudo-stats) must too, or
     // the new files would be unprunable on the partition column
     val full = withGenerated(df, m0.generatedCols)
-    val files = writeTxnFiles(full, path, m0.partitionCols, m0.colMap, m0.constraints)
+    val files = writeTxnFiles(full, path, m0.partitionCols, m0.colMap,
+      withNotNullChecks(m0.constraints, m0.schemaDdl))
     // the batch's own schema covers exactly the new files' columns, so
     // stats are computed once and reused across commit retries
     val newStats = statsFor(spark, path, files, full.schema.toDDL, m0.partitionCols, m0.colMap)
@@ -1396,8 +1422,15 @@ object Snapshot {
     // an overwrite keeps the table's generated partition columns: the
     // replacement derives them like any other load
     val full = withGenerated(df, m.generatedCols)
-    val ddl = full.schema.toDDL
-    val files = writeTxnFiles(full, path, m.partitionCols, constraints = m.constraints)
+    // the replacement's schema takes over, but DECLARED nullability
+    // survives for columns that keep their name (inferred flags relax
+    // — see create); the kept declarations are enforced on the data
+    val prior = StructType.fromDDL(m.schemaDdl)
+    val ddl = StructType(full.schema.fields.map { f =>
+      f.copy(nullable = !prior.fields.find(_.name == f.name).exists(!_.nullable))
+    }).toDDL
+    val files = writeTxnFiles(full, path, m.partitionCols,
+      constraints = withNotNullChecks(m.constraints, ddl))
     // streamBatch watermarks survive an overwrite: a foreachBatch
     // redelivery after a full rewrite must still be recognized as a
     // duplicate, or appendBatch's exactly-once contract breaks.
@@ -1434,8 +1467,14 @@ object Snapshot {
     val missing = partitionCols.filterNot(full.columns.contains)
     require(missing.isEmpty,
       s"overwritePartitioned: partition column(s) not in the data: ${missing.mkString(", ")}")
-    val ddl = full.schema.toDDL
-    val files = writeTxnFiles(full, path, partitionCols, constraints = m.constraints)
+    // same nullability contract as overwriteWith: declared NOT NULL
+    // survives by name, inferred flags relax
+    val prior = StructType.fromDDL(m.schemaDdl)
+    val ddl = StructType(full.schema.fields.map { f =>
+      f.copy(nullable = !prior.fields.find(_.name == f.name).exists(!_.nullable))
+    }).toDDL
+    val files = writeTxnFiles(full, path, partitionCols,
+      constraints = withNotNullChecks(m.constraints, ddl))
     commitManifest(spark, path,
       m.copy(version = m.version + 1, operation = "OVERWRITE",
         schemaDdl = ddl, files = files,
@@ -1485,8 +1524,8 @@ object Snapshot {
                                   dropOld: Map[String, String] => Boolean,
                                   op: String = "REPLACE PARTITIONS"): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
-    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap, m.constraints,
-      m.generatedCols)
+    val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap,
+      withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
     val newParts = newFiles.map(partitionValues(m.partitionCols, _)).toSet
     val kept = m.files.filterNot { f =>
       val pv = partitionValues(m.partitionCols, f)
@@ -1561,8 +1600,8 @@ object Snapshot {
   private def replaceWholeTableOn(spark: SparkSession, path: String, m: Manifest,
                                   replacement: DataFrame,
                                   op: String = "MERGE"): Long = {
-    val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap, m.constraints,
-      m.generatedCols)
+    val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap,
+      withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
     commitManifest(spark, path, m.copy(version = m.version + 1, operation = op,
       files = newFiles,
       stats = statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),
@@ -1889,9 +1928,15 @@ object Snapshot {
   private val InKeyCol = "__graft_in_key"
 
   /** The key set of an IN-list DML, normalized: single column checked,
-    * cast to the target column's type, NULLs dropped (SQL IN: NULL
-    * never matches), distinct so joins cannot fan out. Callers persist
-    * it — it feeds several jobs.
+    * NULLs dropped (SQL IN: NULL never matches), distinct so joins
+    * cannot fan out. The key column keeps ITS OWN type — the equi-join
+    * conditions compare `keyCol === key` and the analyzer inserts SQL
+    * IN's widening coercion (casting keys DOWN to the target type
+    * would invert it: a BIGINT key wrapping into an INT target
+    * silently matches the wrong rows). Flag-nondeterministic key plans
+    * refuse like merge sources — the set feeds several jobs; callers
+    * persist the rest so per-materialization nondeterminism (unordered
+    * LIMIT, shuffled sample) still evaluates once.
     */
   private def inKeySet(keys0: DataFrame, schema: StructType, keyCol: String,
                        what: String): DataFrame = {
@@ -1899,8 +1944,26 @@ object Snapshot {
     require(keys0.columns.length == 1,
       s"$what: the key set must have exactly one column, " +
         s"got ${keys0.columns.mkString(", ")}")
-    keys0.select(col(keys0.columns.head).cast(schema(keyCol).dataType).as(InKeyCol))
+    require(keys0.queryExecution.analyzed.find(
+        _.expressions.exists(e => e.find(!_.deterministic).isDefined)).isEmpty,
+      s"$what: the key-set plan is nondeterministic — it is evaluated in " +
+        "several jobs; materialize it first (write it out, or drop the " +
+        "nondeterminism)")
+    keys0.select(col(keys0.columns.head).as(InKeyCol))
       .where(col(InKeyCol).isNotNull).distinct()
+  }
+
+  /** Absolute scanned-file counts → manifest-relative entries, shared
+    * by every per-file matcher ([[matchedPerFile]] and the IN-key
+    * twins) so the fileKey resolution quirks live in one place.
+    */
+  private def countsToManifest(path: String, m: Manifest,
+                               counts: Array[(String, Long)]): Map[String, Long] = {
+    val byKey = m.files.map(f => fileKey(s"$path/$f") -> f).toMap
+    counts.map { case (abs, n) =>
+      byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
+        s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
+    }.toMap
   }
 
   /** Per-file matched counts of the IN-key join — [[matchedPerFile]]'s
@@ -1931,11 +1994,7 @@ object Snapshot {
         .groupBy(col(MetaFile).as("__file")).count()
         .collect().map(r => (r.getString(0), r.getLong(1)))
       if (counts.isEmpty) return m.version
-      val byKey = m.files.map(f => fileKey(s"$path/$f") -> f).toMap
-      val matched = counts.map { case (abs, n) =>
-        byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
-          s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
-      }.toMap
+      val matched = countsToManifest(path, m, counts)
       val (whole, rest) = matched.partition { case (f, n) => liveRowsOf(m, f).contains(n) }
       val (dvTier, rewriteTier) = dvTierSplit(m, rest, dvMaxFraction)
       val rewrite = rewriteTier.keys.toSeq.sorted
@@ -1990,11 +2049,7 @@ object Snapshot {
         .groupBy(col(MetaFile).as("__file")).count()
         .collect().map(r => (r.getString(0), r.getLong(1)))
       if (counts.isEmpty) return m.version
-      val byKey = m.files.map(f => fileKey(s"$path/$f") -> f).toMap
-      val matched = counts.map { case (abs, n) =>
-        byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
-          s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
-      }.toMap
+      val matched = countsToManifest(path, m, counts)
       val (dvTier, rewriteTier) = dvTierSplit(m, matched, dvMaxFraction)
       def applySet(hit: Column, onlyMatched: Boolean) = schema.fields.toSeq.map { f =>
         set.get(f.name)
@@ -2011,7 +2066,8 @@ object Snapshot {
           readFiles(spark, path, m, Some(rewrite))
             .join(keys, col(keyCol) === col(InKeyCol), "left")
             .select(applySet(col(InKeyCol).isNotNull, onlyMatched = false): _*),
-          path, m.partitionCols, m.colMap, m.constraints, m.generatedCols)
+          path, m.partitionCols, m.colMap,
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
       val (dvNew, updatedFiles) =
         if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
         else {
@@ -2020,7 +2076,8 @@ object Snapshot {
           try (
             writeDvFrom(spark, path, m, matchedRows, dvTier),
             writeTxnFiles(matchedRows.select(applySet(lit(true), onlyMatched = true): _*),
-              path, m.partitionCols, m.colMap, m.constraints, m.generatedCols))
+              path, m.partitionCols, m.colMap,
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols))
           finally matchedRows.unpersist()
         }
       val committed = commitRebasing(spark, path, m,
@@ -2151,7 +2208,8 @@ object Snapshot {
       if (rewrite.isEmpty) Nil
       else writeTxnFiles(
         readFiles(spark, path, m, Some(rewrite)).select(applySet(onlyMatched = false): _*),
-        path, m.partitionCols, m.colMap, m.constraints, m.generatedCols)
+        path, m.partitionCols, m.colMap,
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
     val (dvNew, updatedFiles) =
       if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
       else {
@@ -2164,7 +2222,8 @@ object Snapshot {
         try (
           writeDvFrom(spark, path, m, matchedRows, dvTier),
           writeTxnFiles(matchedRows.select(applySet(onlyMatched = true): _*),
-            path, m.partitionCols, m.colMap, m.constraints, m.generatedCols))
+            path, m.partitionCols, m.colMap,
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols))
         finally matchedRows.unpersist()
       }
     val committed = commitRebasing(spark, path, m,
@@ -2190,11 +2249,7 @@ object Snapshot {
       .where(coalesce(pred, lit(false)))
       .groupBy(col(MetaFile).as("__file")).count()
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val byKey = candidates.map(f => fileKey(s"$path/$f") -> f).toMap
-    counts.map { case (abs, n) =>
-      byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
-        s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
-    }.toMap
+    countsToManifest(path, m, counts)
   }
 
   /** Canonical comparison key for a data-file path: scheme/authority

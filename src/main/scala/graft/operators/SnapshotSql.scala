@@ -192,7 +192,7 @@ object SnapshotSql {
             s"Snapshot.sql CREATE TABLE: table '$ident' already exists at $path")
         } else Snapshot.create(spark, path,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-          pCols, genCols)
+          pCols, genCols, keepNullability = true) // DDL-declared NOT NULL is real
 
       case r: ReplaceTableAsSelect =>
         ctas(spark, identName(r.name), r.partitioning, r.query, tables,

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Exists, Expression, InSubquery, ListQuery, OuterReference}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Exists, Expression, InSubquery, ListQuery, OuterReference}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -66,6 +66,23 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
     ColumnBridge.column(nameify(e))
   }
 
+  /** A bare column reference, seen through the widening Cast the
+    * analyzer inserts when IN coerces mismatched types (`int_col IN
+    * (SELECT bigint_col …)` arrives as `Cast(int_col) IN …`).
+    * Stripping it is sound: the IN-key join re-derives the same
+    * coercion from the raw column and key types.
+    */
+  private object BareAttr {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: Cast => c.child match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** `EXISTS (SELECT … FROM s WHERE s.k = t.k)` with the equality as
     * its ONLY correlation is `t.k IN (SELECT s.k FROM s)` in disguise —
     * normalize it to (outer key attribute, single-column key plan) so
@@ -108,18 +125,25 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
             // at 100 TB), then the standard delete tiers. Uncorrelated
             // single-column shape only; anything else still refuses
             // loudly below.
-            case InSubquery(Seq(a: AttributeReference), l: ListQuery)
+            case InSubquery(Seq(BareAttr(a)), l: ListQuery)
                 if l.outerAttrs.isEmpty && l.plan.output.size == 1 =>
               val src = PlanBridge.dataFrame(session, l.plan)
               GraftDmlCommand(s"DELETE FROM ${t.tableName} (IN subquery)",
                 sp => Snapshot.deleteMatching(sp, t.path, a.name, src))
             // equality-correlated EXISTS is the same statement spelled
-            // differently — normalize and take the same route
-            case e: Exists if e.joinCond.isEmpty && existsAsInKeys(e).isDefined =>
-              val (a, proj) = existsAsInKeys(e).get
-              val src = PlanBridge.dataFrame(session, proj)
-              GraftDmlCommand(s"DELETE FROM ${t.tableName} (EXISTS)",
-                sp => Snapshot.deleteMatching(sp, t.path, a.name, src))
+            // differently — normalize once and take the same route
+            case e: Exists if e.joinCond.isEmpty =>
+              existsAsInKeys(e) match {
+                case Some((a, proj)) =>
+                  val src = PlanBridge.dataFrame(session, proj)
+                  GraftDmlCommand(s"DELETE FROM ${t.tableName} (EXISTS)",
+                    sp => Snapshot.deleteMatching(sp, t.path, a.name, src))
+                case None =>
+                  // anything richer keeps the loud refusal
+                  val pred = column(cond, "DELETE predicates")
+                  GraftDmlCommand(s"DELETE FROM ${t.tableName}",
+                    sp => Snapshot.delete(sp, t.path, pred))
+              }
             case _ =>
               val pred = column(cond, "DELETE predicates")
               GraftDmlCommand(s"DELETE FROM ${t.tableName}",
@@ -143,7 +167,7 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
           }
           cond match {
             // UPDATE ... WHERE k IN (SELECT ...): deleteMatching's twin
-            case Some(InSubquery(Seq(a: AttributeReference), l: ListQuery))
+            case Some(InSubquery(Seq(BareAttr(a)), l: ListQuery))
                 if l.outerAttrs.isEmpty && l.plan.output.size == 1 =>
               val src = PlanBridge.dataFrame(session, l.plan)
               GraftDmlCommand(s"UPDATE ${t.tableName} (IN subquery)",

@@ -92,6 +92,8 @@ object GraftSqlParser {
 
   /** A dotted identifier starting at token `i`; returns (parts, next). */
   private def ident(toks: Vector[Tok], i: Int): (Seq[String], Int) = {
+    require(i < toks.length,
+      s"expected a table identifier, but the statement ended early")
     def part(t: Tok): String =
       if (t.text.startsWith("`")) t.text.stripPrefix("`").stripSuffix("`") else t.text
     var parts = Vector(part(toks(i)))

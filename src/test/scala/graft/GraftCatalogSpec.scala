@@ -456,6 +456,14 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 0L)
     // and the audit trail shows a DELETE commit
     assert(Snapshot.latestManifest(spark, s"$warehouse/db/dsub").get.operation == "DELETE")
+    // a type-widened key (INT target, BIGINT subquery — the analyzer
+    // wraps the column in IN's coercion Cast) takes the same route
+    sql("CREATE TABLE g.db.dw (id INT)")
+    sql("INSERT INTO g.db.dw VALUES (5), (6)")
+    sql("CREATE TABLE g.db.dwk (b BIGINT)")
+    sql("INSERT INTO g.db.dwk VALUES (4294967301), (6)") // 2^32+5 must NOT wrap to 5
+    sql("DELETE FROM g.db.dw WHERE id IN (SELECT b FROM g.db.dwk)")
+    assert(sql("SELECT id FROM g.db.dw").as[Int].collect().toSeq == Seq(5))
   }
 
   test("UPDATE ... IN (SELECT) and equality-correlated EXISTS delete by name") {

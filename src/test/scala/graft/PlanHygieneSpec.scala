@@ -188,7 +188,8 @@ class PlanHygieneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ExistingRDD"), s"SQL source must not plan an RDD scan:\n$plan")
     assert(plan.contains("FileScan parquet"), s"expected the native parquet scan:\n$plan")
-    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(id,100), LessThanOrEqual(id,180)]"),
+    assert(plan.contains("GreaterThanOrEqual(id,100)") &&
+      plan.contains("LessThanOrEqual(id,180)") && plan.contains("PushedFilters: ["),
       s"WHERE must reach the parquet scan:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString}")
     assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"),
       "projection must prune the read schema")

@@ -111,6 +111,59 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, dir).get.version == v)
   }
 
+  test("NOT NULL declarations are enforced on every constructive write path") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = tmp("notnull")
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    Snapshot.create(spark, dir, spark.createDataFrame(
+      spark.range(5).select(col("id"), (col("id") * 10).as("v")).rdd, declared),
+      keepNullability = true) // an explicitly DECLARED schema
+    assert(Snapshot.latestManifest(spark, dir).get.schemaDdl.contains("NOT NULL"))
+    // a DATA-inferred create relaxes incidental non-nullability: only
+    // declarations are enforced, never what the first batch happened
+    // to look like
+    val dir2 = tmp("notnull-inferred")
+    Snapshot.create(spark, dir2, spark.range(3).toDF("id"))
+    assert(!Snapshot.latestManifest(spark, dir2).get.schemaDdl.contains("NOT NULL"))
+    // an append smuggling a NULL into the declared-required column
+    // refuses BEFORE any file lands — same contract as catalog INSERT
+    val nulls = spark.range(1).select(
+      when(lit(false), lit(1L)).as("id"), lit(5L).as("v"))
+    val e = intercept[Exception](Snapshot.append(spark, dir, nulls))
+    assert(e.getMessage.contains("not_null_id"), e.getMessage)
+    assert(Snapshot.read(spark, dir).count() == 5)
+    // an UPDATE writing null into it refuses too, on both tiers' path
+    val e2 = intercept[Exception](Snapshot.update(spark, dir,
+      col("v") >= 0, Map("id" -> lit(null).cast("long"))))
+    assert(e2.getMessage.contains("not_null_id"), e2.getMessage)
+    assert(Snapshot.read(spark, dir).where(col("id").isNull).count() == 0)
+    // nulls in the NULLABLE column stay legal
+    Snapshot.append(spark, dir, spark.range(1).select(
+      lit(99L).as("id"), lit(null).cast("long").as("v")))
+    assert(Snapshot.read(spark, dir).count() == 6)
+  }
+
+  test("IN-key DML widens mismatched key types like SQL IN — never a downcast wrap") {
+    val dir = tmp("delwiden")
+    Snapshot.create(spark, dir, Seq((5, "a"), (6, "b")).toDF("id", "p")) // id: INT
+    // 2^32 + 5 == 5 after an int wrap — SQL IN widens instead, so a
+    // wider non-equal key must match NOTHING (and commit nothing)
+    val v0 = Snapshot.latestManifest(spark, dir).get.version
+    Snapshot.deleteMatching(spark, dir, "id", Seq(4294967301L).toDF("k"))
+    assert(Snapshot.latestManifest(spark, dir).get.version == v0)
+    assert(Snapshot.read(spark, dir).count() == 2)
+    Snapshot.deleteMatching(spark, dir, "id", Seq(6L).toDF("k")) // BIGINT key, INT target
+    assert(Snapshot.read(spark, dir).select("id").as[Int].collect().toSeq == Seq(5))
+    // a flag-nondeterministic key plan refuses — it feeds several jobs
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.deleteMatching(spark, dir, "id",
+        spark.range(10).select((rand() * 100).cast("long").as("k")))
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+  }
+
   test("vacuum DRY RUN lists exactly what the real pass reclaims, touching nothing") {
     val dir = tmp("dryrun")
     Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))

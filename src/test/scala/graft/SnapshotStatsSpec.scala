@@ -299,7 +299,8 @@ class SnapshotStatsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("ExistingRDD"), s"SQL source must not plan an RDD scan:\n$plan")
     assert(plan.contains("FileScan parquet"), s"expected a native parquet scan:\n$plan")
-    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(id,100), LessThanOrEqual(id,180)]"),
+    assert(plan.contains("GreaterThanOrEqual(id,100)") &&
+      plan.contains("LessThanOrEqual(id,180)") && plan.contains("PushedFilters: ["),
       s"filters must push into the parquet scan:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString}")
     assert(plan.contains("ColumnarToRow"), s"scan must be columnar:\n$plan")
     // column pruning reaches the reader: only the projected columns
