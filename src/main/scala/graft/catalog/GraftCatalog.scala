@@ -186,7 +186,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val path = pathFor(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     GraftCatalog.validateProperties(properties)
-    val (pCols, genCols) = SnapshotSql.partitionSpec(partitions.toSeq, "CREATE TABLE")
+    val (pTransforms, clusterBy) = SnapshotSql.splitClusterBy(partitions.toSeq, "CREATE TABLE")
+    val (pCols, genCols) = SnapshotSql.partitionSpec(pTransforms, "CREATE TABLE")
     val declared = StructType(columns.map { c =>
       require(c.defaultValue() == null,
         s"GraftCatalog: DEFAULT values are not supported (${c.name()})")
@@ -207,7 +208,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     Snapshot.create(spark, path,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       pCols, genCols, constraints,
-      keepNullability = true) // DDL-declared NOT NULL is real
+      keepNullability = true, // DDL-declared NOT NULL is real
+      clusterBy = clusterBy)
     loadTable(ident)
   }
 
@@ -280,6 +282,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         require(drop.mode() != TableChange.DropConstraint.Mode.CASCADE,
           "GraftCatalog DROP CONSTRAINT: CASCADE is not supported")
         Snapshot.dropConstraint(spark, path, drop.name(), drop.ifExists())
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE t CLUSTER BY (cols) / CLUSTER BY NONE — the
+        // layout policy the next OPTIMIZE applies
+        Snapshot.setClusterBy(spark, path,
+          cb.clusteringColumns().toSeq.map(r =>
+            topLevel(r.fieldNames(), "CLUSTER BY")))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported table change $other")
     }
@@ -373,10 +381,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   private def stage(ident: Identifier, columns: Array[Column],
                     partitions: Array[Transform],
                     mode: StagedGraftTable.Mode): StagedTable = {
-    val (pCols, genCols) = SnapshotSql.partitionSpec(partitions.toSeq, "CTAS")
+    val (pTransforms, clusterBy) = SnapshotSql.splitClusterBy(partitions.toSeq, "CTAS")
+    val (pCols, genCols) = SnapshotSql.partitionSpec(pTransforms, "CTAS")
     val schema = StructType(columns.map(c =>
       StructField(c.name(), c.dataType(), c.nullable())))
-    new StagedGraftTable(fullName(ident), pathFor(ident), schema, pCols, genCols, mode)
+    new StagedGraftTable(fullName(ident), pathFor(ident), schema, pCols, genCols, mode,
+      clusterBy)
   }
 
   // -------------------------------------------------------- namespaces

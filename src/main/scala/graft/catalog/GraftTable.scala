@@ -224,7 +224,8 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
                                               declared: StructType,
                                               pCols: Seq[String],
                                               genCols: Map[String, String],
-                                              mode: StagedGraftTable.Mode)
+                                              mode: StagedGraftTable.Mode,
+                                              clusterBy: Seq[String] = Nil)
     extends StagedTable with SupportsWrite {
 
   override def name(): String = tableName
@@ -251,9 +252,10 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
           mode match {
             case StagedGraftTable.Create =>
               require(!exists, s"snapshot table already exists: $path")
-              Snapshot.create(spark, path, data, pCols, genCols)
+              Snapshot.create(spark, path, data, pCols, genCols, clusterBy = clusterBy)
             case StagedGraftTable.Replace | StagedGraftTable.CreateOrReplace =>
-              if (!exists) Snapshot.create(spark, path, data, pCols, genCols)
+              if (!exists) Snapshot.create(spark, path, data, pCols, genCols,
+                clusterBy = clusterBy)
               else {
                 val m = Snapshot.latestManifest(spark, path).get
                 // a REPLACE with no PARTITIONED BY keeps the existing
@@ -263,6 +265,12 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
                 if (pCols.isEmpty || (pCols == m.partitionCols && genCols == m.generatedCols))
                   Snapshot.overwrite(spark, path, data)
                 else Snapshot.overwritePartitioned(spark, path, data, pCols, genCols)
+                // a re-declared CLUSTER BY on the REPLACE becomes the
+                // new layout policy (metadata commit; the overwrite
+                // itself already dropped stale keys)
+                if (clusterBy.nonEmpty &&
+                    Snapshot.latestManifest(spark, path).get.clusterBy != clusterBy)
+                  Snapshot.setClusterBy(spark, path, clusterBy)
               }
           }
         }

@@ -132,7 +132,8 @@ object Snapshot {
                             retired: Seq[String] = Nil,
                             constraints: Map[String, String] = Map.empty,
                             generatedCols: Map[String, String] = Map.empty,
-                            operation: String = "")
+                            operation: String = "",
+                            clusterBy: Seq[String] = Nil)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -376,7 +377,8 @@ object Snapshot {
       parseStrings(root, "retiredCols"),
       parseColMap(root, "constraints"),
       parseColMap(root, "generatedCols"),
-      if (root.has("operation")) root.get("operation").asText() else "")
+      if (root.has("operation")) root.get("operation").asText() else "",
+      parseStrings(root, "clusterBy"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -828,6 +830,9 @@ object Snapshot {
       m.generatedCols.toSeq.sortBy(_._1).foreach { case (n, g) => gn.put(n, g) }
     }
     if (m.operation.nonEmpty) node.put("operation", m.operation)
+    if (m.clusterBy.nonEmpty) {
+      val cb = node.putArray("clusterBy"); m.clusterBy.foreach(cb.add)
+    }
     putStats(node, m.stats)
     node
   }
@@ -889,6 +894,9 @@ object Snapshot {
     }
     // per-commit metadata, never inherited: each delta carries its own
     if (m.operation.nonEmpty) node.put("operation", m.operation)
+    if (m.clusterBy != parent.clusterBy) {
+      val cb = node.putArray("clusterBySet"); m.clusterBy.foreach(cb.add)
+    }
     node
   }
 
@@ -931,7 +939,9 @@ object Snapshot {
       if (root.has("generatedColsSet")) parseColMap(root, "generatedColsSet") else parent.generatedCols,
       // the DELTA's own label, never the parent's: operation is
       // per-commit metadata
-      if (root.has("operation")) root.get("operation").asText() else "")
+      if (root.has("operation")) root.get("operation").asText() else "",
+      if (root.has("clusterBySet")) parseStrings(root, "clusterBySet")
+      else parent.clusterBy)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -944,7 +954,8 @@ object Snapshot {
       a.files.size == b.files.size && a.stats == b.stats &&
       a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms &&
       a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints &&
-      a.generatedCols == b.generatedCols && a.operation == b.operation
+      a.generatedCols == b.generatedCols && a.operation == b.operation &&
+      a.clusterBy == b.clusterBy
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1035,7 +1046,8 @@ object Snapshot {
              partitionCols: Seq[String] = Nil,
              generatedCols: Map[String, String] = Map.empty,
              constraints: Map[String, String] = Map.empty,
-             keepNullability: Boolean = false): Long = {
+             keepNullability: Boolean = false,
+             clusterBy: Seq[String] = Nil): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
     constraints.keys.foreach(n =>
       require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
@@ -1055,12 +1067,41 @@ object Snapshot {
     val ddl =
       (if (keepNullability) full.schema
        else StructType(full.schema.fields.map(_.copy(nullable = true)))).toDDL
+    clusterBy.foreach(c => require(full.columns.contains(c),
+      s"create: CLUSTER BY column $c not in the schema"))
+    clusterBy.foreach(c => require(!partitionCols.contains(c),
+      s"create: $c is a partition column — it is already clustered by layout"))
     val files = writeTxnFiles(full, path, partitionCols)
     commitManifest(spark, path, Manifest(1L, partitionCols, ddl, files,
       statsFor(spark, path, files, ddl, partitionCols),
       constraints = constraints,
       generatedCols = generatedCols,
-      operation = "CREATE"))
+      operation = "CREATE",
+      clusterBy = clusterBy))
+  }
+
+  /** Declare (or clear, with Nil) the table's CLUSTERING columns:
+    * metadata-only — the layout changes when the next [[compact]]
+    * runs, which z-orders by these columns whenever the caller names
+    * none explicitly. The `OPTIMIZE t` a nightly job fires needs no
+    * per-table knowledge; the table itself carries its layout policy.
+    */
+  def setClusterBy(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val schema = StructType.fromDDL(m.schemaDdl)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"setClusterBy: column $c not in the schema"))
+      cols.foreach(c => require(!m.partitionCols.contains(c),
+        s"setClusterBy: $c is a partition column — it is already clustered by layout"))
+      if (m.clusterBy == cols) return m.version
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = "CLUSTER BY", clusterBy = cols))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
   }
 
   /** K1 append: new version = old live set + the new txn's files.
@@ -1318,6 +1359,7 @@ object Snapshot {
       val map = (m.colMap - from) ++ (if (phys == to) Map.empty else Map(to -> phys))
       try return commitManifest(spark, path,
         m.copy(version = m.version + 1, operation = "RENAME COLUMN",
+          clusterBy = m.clusterBy.map(c => if (c == from) to else c),
           schemaDdl = ddl, colMap = map))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1401,6 +1443,7 @@ object Snapshot {
       val ddl = StructType(table.fields.filterNot(_.name == name)).toDDL
       try return commitManifest(spark, path,
         m.copy(version = m.version + 1, operation = "DROP COLUMN", schemaDdl = ddl,
+          clusterBy = m.clusterBy.filterNot(_ == name),
           colMap = m.colMap - name, retired = (m.retired :+ phys).distinct))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1442,6 +1485,10 @@ object Snapshot {
       m.copy(version = m.version + 1, operation = "OVERWRITE",
         schemaDdl = ddl, files = files,
         stats = statsFor(spark, path, files, ddl, m.partitionCols),
+        // clustering keys survive an overwrite only while their
+        // columns do — a replaced schema must not strand a policy
+        // the next OPTIMIZE cannot resolve
+        clusterBy = m.clusterBy.filter(full.columns.contains),
         dvs = Map.empty, colMap = Map.empty, retired = Nil,
         // bloom refs belong to the replaced files: keeping them would
         // hold their sidecar dirs live in vacuum forever
@@ -1480,6 +1527,8 @@ object Snapshot {
         schemaDdl = ddl, files = files,
         stats = statsFor(spark, path, files, ddl, partitionCols),
         partitionCols = partitionCols, generatedCols = generatedCols,
+        clusterBy = m.clusterBy.filter(c =>
+          full.columns.contains(c) && !partitionCols.contains(c)),
         dvs = Map.empty, colMap = Map.empty, retired = Nil, blooms = Map.empty))
   }
 
@@ -2300,6 +2349,9 @@ object Snapshot {
               where: Option[Column] = None): Seq[String] = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    // the table's declared CLUSTER BY is the default layout policy; an
+    // explicit ZORDER BY on the statement still overrides it
+    val zorderCols = if (zorderBy.nonEmpty) zorderBy else m.clusterBy
     val pCols = m.partitionCols
     val byPart = m.files.groupBy(f => partitionValues(pCols, f))
     // `where` scopes maintenance to the partitions whose TYPED values
@@ -2351,19 +2403,19 @@ object Snapshot {
     val dataCols = slice.columns.filterNot(pCols.contains)
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     val packed =
-      if (zorderBy.isEmpty)
+      if (zorderCols.isEmpty)
         slice
           .withColumn("__salt", pmod(hash(dataCols.map(col).toSeq: _*).cast("long"), lit(nOut)))
           .repartition((pCols.map(col) :+ col("__salt")): _*)
           .drop("__salt")
       else {
-        val bounds = zBoundsFromStats(m, markedFiles, zorderBy).getOrElse {
-          val row = slice.select(zorderBy.flatMap(c =>
+        val bounds = zBoundsFromStats(m, markedFiles, zorderCols).getOrElse {
+          val row = slice.select(zorderCols.flatMap(c =>
             Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
-          zorderBy.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+          zorderCols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
         }
         slice
-          .withColumn("__z", Layout.zvalue(zorderBy.map(col), bounds, bits = 8))
+          .withColumn("__z", Layout.zvalue(zorderCols.map(col), bounds, bits = 8))
           .repartitionByRange(nOut.toInt, (pCols.map(col) :+ col("__z")): _*)
           .sortWithinPartitions((pCols.map(col) :+ col("__z")): _*)
           .drop("__z")
@@ -2715,10 +2767,12 @@ object Snapshot {
       m.blooms.size.toLong,
       m.colMap.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
       m.constraints.toSeq.sorted.map { case (n, p) => s"$n: $p" }.mkString("; "),
-      m.generatedCols.toSeq.sorted.map { case (c, g) => s"$c: $g" }.mkString("; ")))
+      m.generatedCols.toSeq.sorted.map { case (c, g) => s"$c: $g" }.mkString("; "),
+      m.clusterBy.mkString(",")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
-        "num_bloom_files", "column_mapping", "constraints", "generated_cols")
+        "num_bloom_files", "column_mapping", "constraints", "generated_cols",
+        "cluster_by")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

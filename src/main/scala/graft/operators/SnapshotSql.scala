@@ -169,7 +169,8 @@ object SnapshotSql {
         // declares before its first INSERT
         val ident = identName(name)
         val path = pathOf(ident, tables)
-        val (pCols, genCols) = partitionSpec(partitioning, "CREATE TABLE")
+        val (pTransforms, clusterBy) = splitClusterBy(partitioning, "CREATE TABLE")
+        val (pCols, genCols) = partitionSpec(pTransforms, "CREATE TABLE")
         val declared = StructType(columns.map { cd =>
           require(cd.defaultValue.isEmpty,
             s"Snapshot.sql CREATE TABLE: DEFAULT values are not supported (${cd.name})")
@@ -192,7 +193,8 @@ object SnapshotSql {
             s"Snapshot.sql CREATE TABLE: table '$ident' already exists at $path")
         } else Snapshot.create(spark, path,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-          pCols, genCols, keepNullability = true) // DDL-declared NOT NULL is real
+          pCols, genCols, keepNullability = true, // DDL-declared NOT NULL is real
+          clusterBy = clusterBy)
 
       case r: ReplaceTableAsSelect =>
         ctas(spark, identName(r.name), r.partitioning, r.query, tables,
@@ -570,7 +572,8 @@ object SnapshotSql {
                    replaceExisting: Boolean, orCreate: Boolean,
                    ignoreIfExists: Boolean): Long = {
     val path = pathOf(ident, tables)
-    val (pCols, genCols) = partitionSpec(partitioning, "CTAS")
+    val (pTransforms, clusterBy) = splitClusterBy(partitioning, "CTAS")
+    val (pCols, genCols) = partitionSpec(pTransforms, "CTAS")
     val exists = Snapshot.latestVersion(spark, path).isDefined
     lazy val df = resolveQuery(spark, query, tables)
     if (!replaceExisting) {
@@ -580,17 +583,23 @@ object SnapshotSql {
           s"Snapshot.sql: table '$ident' already exists at $path " +
             "(use CREATE OR REPLACE TABLE … AS SELECT)")
       }
-      Snapshot.create(spark, path, df, pCols, genCols)
+      Snapshot.create(spark, path, df, pCols, genCols, clusterBy = clusterBy)
     } else if (exists) {
       val m = Snapshot.latestManifest(spark, path).get
       // no PARTITIONED BY keeps the existing layout; an explicit one
       // EVOLVES it atomically (per-manifest layout, time travel keeps
       // each version's own scheme)
-      if (pCols.isEmpty || (pCols == m.partitionCols && genCols == m.generatedCols))
-        Snapshot.overwrite(spark, path, df)
-      else Snapshot.overwritePartitioned(spark, path, df, pCols, genCols)
+      val v =
+        if (pCols.isEmpty || (pCols == m.partitionCols && genCols == m.generatedCols))
+          Snapshot.overwrite(spark, path, df)
+        else Snapshot.overwritePartitioned(spark, path, df, pCols, genCols)
+      // a re-declared CLUSTER BY on the REPLACE becomes the new policy
+      if (clusterBy.nonEmpty &&
+          Snapshot.latestManifest(spark, path).get.clusterBy != clusterBy)
+        Snapshot.setClusterBy(spark, path, clusterBy)
+      else v
     } else if (orCreate) {
-      Snapshot.create(spark, path, df, pCols, genCols)
+      Snapshot.create(spark, path, df, pCols, genCols, clusterBy = clusterBy)
     } else throw new IllegalArgumentException(
       s"Snapshot.sql: REPLACE TABLE '$ident': no table at $path " +
         "(use CREATE OR REPLACE)")
@@ -652,6 +661,24 @@ object SnapshotSql {
     * the writers derive on every load. Returns (partition columns in
     * declared order, generated-column name → generator SQL).
     */
+  /** Split `CLUSTER BY` out of a transform list: Spark 4 delivers
+    * clustering as a `ClusterByTransform` riding the partitioning
+    * array. Returns (remaining transforms, clustering column names).
+    */
+  private[graft] def splitClusterBy(partitioning: Seq[Transform],
+                                    what: String): (Seq[Transform], Seq[String]) = {
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    val (cbs, rest) = partitioning.partition(_.isInstanceOf[ClusterByTransform])
+    val cols = cbs.flatMap { case cb: ClusterByTransform =>
+      cb.columnNames.map(r => r.fieldNames match {
+        case Array(one) => one
+        case other => throw new IllegalArgumentException(
+          s"Snapshot.sql $what: nested CLUSTER BY reference ${other.mkString(".")}")
+      })
+    }
+    (rest, cols)
+  }
+
   private[graft] def partitionSpec(partitioning: Seq[Transform],
                             what: String): (Seq[String], Map[String, String]) = {
     val gen = Map.newBuilder[String, String]

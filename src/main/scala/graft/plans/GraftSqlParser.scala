@@ -279,7 +279,7 @@ object GraftSqlParser {
     "version BIGINT, committed_at_micros BIGINT, num_files BIGINT, num_rows BIGINT, " +
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +
       "deletion_vector_rows BIGINT, num_bloom_files BIGINT, column_mapping STRING, " +
-      "constraints STRING, generated_cols STRING")
+      "constraints STRING, generated_cols STRING, cluster_by STRING")
 
   private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
       parts: Seq[String]): LogicalPlan =

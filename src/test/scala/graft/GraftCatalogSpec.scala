@@ -506,6 +506,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(out.get.columns.contains("version"))
   }
 
+  test("CLUSTER BY is the table's layout policy: plain OPTIMIZE z-orders by it") {
+    // declared at CREATE, carried in the manifest, applied by an
+    // OPTIMIZE that names no columns — the nightly job needs no
+    // per-table knowledge
+    sql("CREATE TABLE g.db.clus (id BIGINT, x BIGINT, y BIGINT) CLUSTER BY (x, y)")
+    val dir = s"$warehouse/db/clus"
+    assert(Snapshot.latestManifest(spark, dir).get.clusterBy == Seq("x", "y"))
+    assert(sql("DESCRIBE DETAIL g.db.clus").select("cluster_by").as[String].head() == "x,y")
+    // interleaved appends: every file covers the whole (x, y) space
+    (0 until 6).foreach { s =>
+      sql(s"INSERT INTO g.db.clus SELECT id + ${s * 500}, (id * 37 + $s * 131) % 1000, " +
+        s"(id * 91 + $s * 17) % 1000 FROM range(500)")
+    }
+    val box = col("x").between(100L, 200L) && col("y").between(100L, 200L)
+    val before = Snapshot.pruneFiles(spark, dir, box)
+    // (the CREATE's zero-row schema stub is always prunable)
+    assert(before._1.size >= before._2 - 1, "interleaved appends: nothing skippable")
+    // plain OPTIMIZE — no ZORDER BY — picks up the declared clustering
+    Snapshot.compact(spark, dir, targetBytes = 24L << 10, minFiles = 2)
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, box)
+    assert(total > 1 && kept.size < total,
+      s"declared clustering must make the box skippable: ${kept.size} of $total")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.clus").as[Long].head() == 3000L)
+    // ALTER re-points the policy; CLUSTER BY NONE clears it
+    sql("ALTER TABLE g.db.clus CLUSTER BY (id)")
+    assert(Snapshot.latestManifest(spark, dir).get.clusterBy == Seq("id"))
+    assert(Snapshot.latestManifest(spark, dir).get.operation == "CLUSTER BY")
+    sql("ALTER TABLE g.db.clus CLUSTER BY NONE")
+    assert(Snapshot.latestManifest(spark, dir).get.clusterBy.isEmpty)
+  }
+
   test("RENAME into a namespace named like the catalog itself") {
     sql("CREATE NAMESPACE IF NOT EXISTS g.g")
     sql("CREATE TABLE g.g.a (id BIGINT)")
