@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
                                 constraints: Map[String, String]): Table = {
     val path = pathFor(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    GraftCatalog.validateProperties(properties)
+    val userProps = GraftCatalog.userProperties(properties)
     val (pTransforms, clusterBy) = SnapshotSql.splitClusterBy(partitions.toSeq, "CREATE TABLE")
     val (pCols, genCols) = SnapshotSql.partitionSpec(pTransforms, "CREATE TABLE")
     val declared = StructType(columns.map { c =>
@@ -209,7 +209,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       pCols, genCols, constraints,
       keepNullability = true, // DDL-declared NOT NULL is real
-      clusterBy = clusterBy)
+      clusterBy = clusterBy,
+      properties = userProps)
     loadTable(ident)
   }
 
@@ -288,6 +289,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         Snapshot.setClusterBy(spark, path,
           cb.clusteringColumns().toSeq.map(r =>
             topLevel(r.fieldNames(), "CLUSTER BY")))
+      case set: TableChange.SetProperty =>
+        require(!GraftCatalog.ReservedProps.contains(set.property()),
+          s"GraftCatalog SET TBLPROPERTIES: '${set.property()}' is reserved")
+        Snapshot.setProperties(spark, path, Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        // UNSET of an absent key is a no-op inside setProperties —
+        // Spark's IF EXISTS semantics need nothing extra here
+        Snapshot.setProperties(spark, path, Map.empty, unset = Seq(rm.property()))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported table change $other")
     }
@@ -332,23 +341,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    GraftCatalog.validateProperties(properties)
-    stage(ident, columns, partitions, StagedGraftTable.Create)
+    stage(ident, columns, partitions, StagedGraftTable.Create,
+      GraftCatalog.userProperties(properties))
   }
 
   override def stageReplace(ident: Identifier, columns: Array[Column],
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftCatalog.validateProperties(properties)
-    stage(ident, columns, partitions, StagedGraftTable.Replace)
+    stage(ident, columns, partitions, StagedGraftTable.Replace,
+      GraftCatalog.userProperties(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable = {
-    GraftCatalog.validateProperties(properties)
-    stage(ident, columns, partitions, StagedGraftTable.CreateOrReplace)
+    stage(ident, columns, partitions, StagedGraftTable.CreateOrReplace,
+      GraftCatalog.userProperties(properties))
   }
 
   // TableInfo-overload twins: CTAS syntax cannot express constraints
@@ -380,13 +389,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   private def stage(ident: Identifier, columns: Array[Column],
                     partitions: Array[Transform],
-                    mode: StagedGraftTable.Mode): StagedTable = {
+                    mode: StagedGraftTable.Mode,
+                    properties: Map[String, String]): StagedTable = {
     val (pTransforms, clusterBy) = SnapshotSql.splitClusterBy(partitions.toSeq, "CTAS")
     val (pCols, genCols) = SnapshotSql.partitionSpec(pTransforms, "CTAS")
     val schema = StructType(columns.map(c =>
       StructField(c.name(), c.dataType(), c.nullable())))
     new StagedGraftTable(fullName(ident), pathFor(ident), schema, pCols, genCols, mode,
-      clusterBy)
+      clusterBy, properties)
   }
 
   // -------------------------------------------------------- namespaces
@@ -439,13 +449,26 @@ private object GraftCatalog {
     * metadata. Anything beyond the analyzer's own bookkeeping props is
     * refused loudly rather than silently dropped.
     */
+  /** Keys Spark itself stuffs into the property map (plus our own
+    * `version` surfaced by [[GraftTable.properties]]) — everything else
+    * is a USER property carried verbatim in the manifest.
+    */
+  private[catalog] val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE, "version")
+
+  /** The user-declared TBLPROPERTIES out of a create's property map —
+    * reserved/engine keys and write options stripped.
+    */
+  def userProperties(properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      ReservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
+    }
+
   def validateProperties(properties: util.Map[String, String]): Unit = {
-    val user = properties.asScala.keys.filterNot(k =>
-      k == TableCatalog.PROP_OWNER || k == TableCatalog.PROP_COMMENT ||
-        k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_LOCATION ||
-        k == TableCatalog.PROP_EXTERNAL || k == TableCatalog.PROP_IS_MANAGED_LOCATION ||
-        k == TableCatalog.PROP_TABLE_TYPE || k.startsWith(TableCatalog.OPTION_PREFIX))
+    val user = userProperties(properties)
     require(user.isEmpty,
-      s"GraftCatalog: table properties are not supported: ${user.mkString(", ")}")
+      s"GraftCatalog: table properties are not supported here: ${user.keys.mkString(", ")}")
   }
 }

@@ -5,6 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column => SColumn, DataFrame, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -30,7 +31,8 @@ import graft.operators.{Snapshot, SnapshotStats}
   */
 final case class GraftTable(tableName: String, path: String, manifest: Snapshot.Manifest,
                             hideGenerated: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsPartitionManagement {
 
   override def name(): String = tableName
 
@@ -49,10 +51,10 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
     manifest.partitionCols.map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] =
-    Map(
+    (manifest.properties ++ Map(
       TableCatalog.PROP_LOCATION -> path,
       TableCatalog.PROP_PROVIDER -> "graft-snapshot",
-      "version" -> manifest.version.toString).asJava
+      "version" -> manifest.version.toString)).asJava
 
   override def version(): String = manifest.version.toString
 
@@ -106,6 +108,123 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
     Snapshot.overwrite(spark, path,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     true
+  }
+
+  // ------------------------------- partitions (metadata-only listing)
+
+  /** Partition management straight off the manifest: `SHOW PARTITIONS`
+    * and `ALTER TABLE … DROP PARTITION` resolve through Spark's own v2
+    * exec nodes. Listing never touches data files (manifest paths +
+    * stats only — 100 TB-safe); dropping routes through the same
+    * three-tier DELETE engine as every other row-level delete.
+    * Partitions are implicit in the data, so create/replace refuse.
+    *
+    * A file wholly masked by a deletion vector still lists its
+    * partition until the next fold/compact rewrites it — the listing
+    * reflects physical layout, like the file-level stats it rides on.
+    */
+  override def partitionSchema(): StructType = {
+    val full = StructType.fromDDL(manifest.schemaDdl)
+    StructType(manifest.partitionCols.map(c => full(full.fieldIndex(c))))
+  }
+
+  /** Distinct live partition tuples as CATALYST values (UTF8String,
+    * Long, date-days …), decoded from the hive-escaped path segments
+    * with the same string→type cast Spark's own partition inference
+    * uses. Zero-row schema stubs are not partitions.
+    */
+  private def livePartitionTuples: Seq[Seq[Any]] = {
+    val ps = partitionSchema()
+    val tz = Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    manifest.files
+      .filter(f => manifest.stats.get(f).forall(_.rows > 0))
+      .map(f => Snapshot.partitionValues(manifest.partitionCols, f))
+      .filter(_.size == manifest.partitionCols.size)
+      .distinct
+      .map { vals =>
+        ps.fields.toSeq.map { fld =>
+          val raw = vals(fld.name)
+          if (raw == Snapshot.NullPartition) null
+          else org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+              org.apache.spark.sql.types.StringType),
+            fld.dataType, tz).eval(null)
+        }
+      }
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: InternalRow): Array[InternalRow] = {
+    val ps = partitionSchema()
+    require(names.length == ident.numFields,
+      s"listPartitionIdentifiers: ${names.length} names vs ${ident.numFields} values")
+    val idx = names.map(ps.fieldIndex)
+    livePartitionTuples.filter { t =>
+      names.indices.forall { i =>
+        java.util.Objects.equals(t(idx(i)), ident.get(i, ps.fields(idx(i)).dataType))
+      }
+    }.map(t => InternalRow.fromSeq(t)).toArray
+  }
+
+  /** The drop is a partition-scoped DELETE: stats-pruned to the named
+    * partition's files, whole-file drops where every row matches.
+    */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    if (!partitionExists(ident)) return false
+    val ps = partitionSchema()
+    val spark = org.apache.spark.sql.SparkSession.active
+    val pred = ps.fields.zipWithIndex.map { case (f, i) =>
+      val v = ident.get(i, f.dataType)
+      if (v == null) col(f.name).isNull
+      else col(f.name) === lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, f.dataType))
+    }.reduce(_ && _)
+    Snapshot.delete(spark, path, pred)
+    true
+  }
+
+  /** TRUNCATE PARTITION ≡ DROP PARTITION here: partitions exist exactly
+    * while live files reference them, so emptying one and dropping one
+    * are the same commit.
+    */
+  override def truncatePartition(ident: InternalRow): Boolean = dropPartition(ident)
+
+  override def createPartition(ident: InternalRow,
+                               properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "GraftTable: partitions are implicit in data files — INSERT creates them")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+                                        properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "GraftTable: partition metadata is derived from the manifest and cannot be set")
+
+  /** Physical rows/bytes of the partition's live files, from manifest
+    * stats alone (no job, no file listing).
+    */
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    val ps = partitionSchema()
+    val tz = Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val want: Seq[Any] = ps.fields.toSeq.zipWithIndex.map { case (f, i) => ident.get(i, f.dataType) }
+    var rows = 0L; var bytes = 0L
+    manifest.files.foreach { f =>
+      val vals = Snapshot.partitionValues(manifest.partitionCols, f)
+      if (vals.size == manifest.partitionCols.size) {
+        val tuple: Seq[Any] = ps.fields.toSeq.map { fld =>
+          val raw = vals(fld.name)
+          if (raw == Snapshot.NullPartition) null
+          else org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+              org.apache.spark.sql.types.StringType),
+            fld.dataType, tz).eval(null)
+        }
+        if (tuple.indices.forall(i => java.util.Objects.equals(tuple(i), want(i))))
+          manifest.stats.get(f).foreach { st => rows += st.rows; bytes += st.bytes }
+      }
+    }
+    Map("numRows" -> rows.toString, "sizeInBytes" -> bytes.toString).asJava
   }
 
   override def toString: String = s"GraftTable($tableName v${manifest.version})"
@@ -225,7 +344,8 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
                                               pCols: Seq[String],
                                               genCols: Map[String, String],
                                               mode: StagedGraftTable.Mode,
-                                              clusterBy: Seq[String] = Nil)
+                                              clusterBy: Seq[String] = Nil,
+                                              tblProperties: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
 
   override def name(): String = tableName
@@ -252,10 +372,11 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
           mode match {
             case StagedGraftTable.Create =>
               require(!exists, s"snapshot table already exists: $path")
-              Snapshot.create(spark, path, data, pCols, genCols, clusterBy = clusterBy)
+              Snapshot.create(spark, path, data, pCols, genCols, clusterBy = clusterBy,
+                properties = tblProperties)
             case StagedGraftTable.Replace | StagedGraftTable.CreateOrReplace =>
               if (!exists) Snapshot.create(spark, path, data, pCols, genCols,
-                clusterBy = clusterBy)
+                clusterBy = clusterBy, properties = tblProperties)
               else {
                 val m = Snapshot.latestManifest(spark, path).get
                 // a REPLACE with no PARTITIONED BY keeps the existing
@@ -271,6 +392,9 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
                 if (clusterBy.nonEmpty &&
                     Snapshot.latestManifest(spark, path).get.clusterBy != clusterBy)
                   Snapshot.setClusterBy(spark, path, clusterBy)
+                // re-declared TBLPROPERTIES on the REPLACE upsert in
+                if (tblProperties.nonEmpty)
+                  Snapshot.setProperties(spark, path, tblProperties)
               }
           }
         }

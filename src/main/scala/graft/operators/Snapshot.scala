@@ -133,7 +133,8 @@ object Snapshot {
                             constraints: Map[String, String] = Map.empty,
                             generatedCols: Map[String, String] = Map.empty,
                             operation: String = "",
-                            clusterBy: Seq[String] = Nil)
+                            clusterBy: Seq[String] = Nil,
+                            properties: Map[String, String] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -378,7 +379,8 @@ object Snapshot {
       parseColMap(root, "constraints"),
       parseColMap(root, "generatedCols"),
       if (root.has("operation")) root.get("operation").asText() else "",
-      parseStrings(root, "clusterBy"))
+      parseStrings(root, "clusterBy"),
+      parseColMap(root, "properties"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -833,6 +835,10 @@ object Snapshot {
     if (m.clusterBy.nonEmpty) {
       val cb = node.putArray("clusterBy"); m.clusterBy.foreach(cb.add)
     }
+    if (m.properties.nonEmpty) {
+      val pr = node.putObject("properties")
+      m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -897,6 +903,10 @@ object Snapshot {
     if (m.clusterBy != parent.clusterBy) {
       val cb = node.putArray("clusterBySet"); m.clusterBy.foreach(cb.add)
     }
+    if (m.properties != parent.properties) {
+      val pr = node.putObject("propertiesSet")
+      m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
+    }
     node
   }
 
@@ -941,7 +951,9 @@ object Snapshot {
       // per-commit metadata
       if (root.has("operation")) root.get("operation").asText() else "",
       if (root.has("clusterBySet")) parseStrings(root, "clusterBySet")
-      else parent.clusterBy)
+      else parent.clusterBy,
+      if (root.has("propertiesSet")) parseColMap(root, "propertiesSet")
+      else parent.properties)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -955,7 +967,7 @@ object Snapshot {
       a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms &&
       a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints &&
       a.generatedCols == b.generatedCols && a.operation == b.operation &&
-      a.clusterBy == b.clusterBy
+      a.clusterBy == b.clusterBy && a.properties == b.properties
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1047,7 +1059,8 @@ object Snapshot {
              generatedCols: Map[String, String] = Map.empty,
              constraints: Map[String, String] = Map.empty,
              keepNullability: Boolean = false,
-             clusterBy: Seq[String] = Nil): Long = {
+             clusterBy: Seq[String] = Nil,
+             properties: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
     constraints.keys.foreach(n =>
       require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
@@ -1077,8 +1090,37 @@ object Snapshot {
       constraints = constraints,
       generatedCols = generatedCols,
       operation = "CREATE",
-      clusterBy = clusterBy))
+      clusterBy = clusterBy,
+      properties = properties))
   }
+
+  /** Set (upsert) and/or unset table properties as one metadata commit.
+    * Properties are free-form key→value strings carried by the
+    * manifest; the engine itself reads the `graft.`-prefixed policy
+    * keys (vacuum retention, optimize target size) so maintenance verbs
+    * can run fleet-wide with no per-table arguments.
+    */
+  def setProperties(spark: SparkSession, path: String,
+                    set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    (set.keys ++ unset).foreach(k => require(k.nonEmpty && !k.exists(_.isWhitespace),
+      s"setProperties: bad property key '$k'"))
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val next = (m.properties -- unset) ++ set
+      if (next == m.properties) return m.version
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = if (set.nonEmpty) "SET TBLPROPERTIES" else "UNSET TBLPROPERTIES",
+        properties = next))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** An engine policy key, read from table properties: `graft.<name>`. */
+  private[graft] def policyProp(m: Manifest, name: String): Option[String] =
+    m.properties.get(s"graft.$name").map(_.trim).filter(_.nonEmpty)
 
   /** Declare (or clear, with Nil) the table's CLUSTERING columns:
     * metadata-only — the layout changes when the next [[compact]]
@@ -2768,11 +2810,12 @@ object Snapshot {
       m.colMap.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
       m.constraints.toSeq.sorted.map { case (n, p) => s"$n: $p" }.mkString("; "),
       m.generatedCols.toSeq.sorted.map { case (c, g) => s"$c: $g" }.mkString("; "),
-      m.clusterBy.mkString(",")))
+      m.clusterBy.mkString(","),
+      m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("; ")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
         "num_bloom_files", "column_mapping", "constraints", "generated_cols",
-        "cluster_by")
+        "cluster_by", "properties")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

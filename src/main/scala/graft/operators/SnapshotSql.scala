@@ -161,9 +161,10 @@ object SnapshotSql {
 
       case c: CreateTableAsSelect =>
         ctas(spark, identName(c.name), c.partitioning, c.query, tables,
-          replaceExisting = false, orCreate = true, ignoreIfExists = c.ignoreIfExists)
+          replaceExisting = false, orCreate = true, ignoreIfExists = c.ignoreIfExists,
+          properties = specProperties(c.tableSpec))
 
-      case org.apache.spark.sql.catalyst.plans.logical.CreateTable(name, columns, partitioning, _, ignoreIfExists) =>
+      case org.apache.spark.sql.catalyst.plans.logical.CreateTable(name, columns, partitioning, spec, ignoreIfExists) =>
         // plain DDL create: an EMPTY snapshot table with the declared
         // schema and identity partitioning — the shape a ported script
         // declares before its first INSERT
@@ -194,11 +195,12 @@ object SnapshotSql {
         } else Snapshot.create(spark, path,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
           pCols, genCols, keepNullability = true, // DDL-declared NOT NULL is real
-          clusterBy = clusterBy)
+          clusterBy = clusterBy, properties = specProperties(spec))
 
       case r: ReplaceTableAsSelect =>
         ctas(spark, identName(r.name), r.partitioning, r.query, tables,
-          replaceExisting = true, orCreate = r.orCreate, ignoreIfExists = false)
+          replaceExisting = true, orCreate = r.orCreate, ignoreIfExists = false,
+          properties = specProperties(r.tableSpec))
 
       case AddColumns(t: UnresolvedTable, colsToAdd) =>
         val ident = t.multipartIdentifier.mkString(".")
@@ -570,7 +572,8 @@ object SnapshotSql {
   private def ctas(spark: SparkSession, ident: String, partitioning: Seq[Transform],
                    query: LogicalPlan, tables: Map[String, String],
                    replaceExisting: Boolean, orCreate: Boolean,
-                   ignoreIfExists: Boolean): Long = {
+                   ignoreIfExists: Boolean,
+                   properties: Map[String, String] = Map.empty): Long = {
     val path = pathOf(ident, tables)
     val (pTransforms, clusterBy) = splitClusterBy(partitioning, "CTAS")
     val (pCols, genCols) = partitionSpec(pTransforms, "CTAS")
@@ -583,7 +586,8 @@ object SnapshotSql {
           s"Snapshot.sql: table '$ident' already exists at $path " +
             "(use CREATE OR REPLACE TABLE … AS SELECT)")
       }
-      Snapshot.create(spark, path, df, pCols, genCols, clusterBy = clusterBy)
+      Snapshot.create(spark, path, df, pCols, genCols, clusterBy = clusterBy,
+        properties = properties)
     } else if (exists) {
       val m = Snapshot.latestManifest(spark, path).get
       // no PARTITIONED BY keeps the existing layout; an explicit one
@@ -597,9 +601,12 @@ object SnapshotSql {
       if (clusterBy.nonEmpty &&
           Snapshot.latestManifest(spark, path).get.clusterBy != clusterBy)
         Snapshot.setClusterBy(spark, path, clusterBy)
-      else v
+      // re-declared TBLPROPERTIES on the REPLACE upsert in
+      if (properties.nonEmpty) Snapshot.setProperties(spark, path, properties)
+      Snapshot.latestVersion(spark, path).getOrElse(v)
     } else if (orCreate) {
-      Snapshot.create(spark, path, df, pCols, genCols, clusterBy = clusterBy)
+      Snapshot.create(spark, path, df, pCols, genCols, clusterBy = clusterBy,
+        properties = properties)
     } else throw new IllegalArgumentException(
       s"Snapshot.sql: REPLACE TABLE '$ident': no table at $path " +
         "(use CREATE OR REPLACE)")
@@ -661,6 +668,17 @@ object SnapshotSql {
     * the writers derive on every load. Returns (partition columns in
     * declared order, generated-column name → generator SQL).
     */
+  /** The user-declared TBLPROPERTIES off a parsed table spec (write
+    * OPTIONS and engine keys are not table properties).
+    */
+  private def specProperties(
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase): Map[String, String] =
+    spec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec => u.properties
+      case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec => t.properties
+      case _ => Map.empty
+    }
+
   /** Split `CLUSTER BY` out of a transform list: Spark 4 delivers
     * clustering as a `ClusterByTransform` riding the partitioning
     * array. Returns (remaining transforms, clustering column names).

@@ -151,7 +151,20 @@ object GraftSqlParser {
       if (dry) i += 2
       require(i == toks.length, s"cannot parse VACUUM statement: $text")
       def run(sp: SparkSession, path: String): Seq[String] = retain match {
-        case None => Snapshot.vacuum(sp, path, dryRun = dry)
+        case None =>
+          // a bare VACUUM consults the TABLE's own retention policy
+          // (graft.vacuum.retainVersions / retainDays properties), so
+          // one fleet-wide maintenance loop respects per-table rules;
+          // an explicit RETAIN clause always wins over the properties
+          val m = Snapshot.latestManifest(sp, path)
+          val keepV = m.flatMap(Snapshot.policyProp(_, "vacuum.retainVersions"))
+            .flatMap(_.toIntOption)
+          val keepDays = m.flatMap(Snapshot.policyProp(_, "vacuum.retainDays"))
+            .flatMap(_.toLongOption)
+          Snapshot.vacuum(sp, path,
+            keepVersions = keepV.getOrElse(if (keepDays.isDefined) 1 else 2),
+            retainMicros = keepDays.map(_ * 86400L * 1000000L),
+            dryRun = dry)
         case Some((n, unit)) =>
           if (unit.is("VERSIONS")) Snapshot.vacuum(sp, path, keepVersions = n.toInt, dryRun = dry)
           else if (unit.is("DAYS")) Snapshot.vacuum(sp, path, keepVersions = 1,
@@ -279,7 +292,7 @@ object GraftSqlParser {
     "version BIGINT, committed_at_micros BIGINT, num_files BIGINT, num_rows BIGINT, " +
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +
       "deletion_vector_rows BIGINT, num_bloom_files BIGINT, column_mapping STRING, " +
-      "constraints STRING, generated_cols STRING, cluster_by STRING")
+      "constraints STRING, generated_cols STRING, cluster_by STRING, properties STRING")
 
   private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
       parts: Seq[String]): LogicalPlan =

@@ -537,6 +537,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, dir).get.clusterBy.isEmpty)
   }
 
+  test("SHOW PARTITIONS and DROP PARTITION through DSv2 partition management") {
+    // listing is metadata-only (manifest paths + stats, no data scan);
+    // DROP PARTITION routes through the row-level DELETE engine
+    sql("CREATE TABLE g.db.parts (id BIGINT, p STRING, d DATE) PARTITIONED BY (p, d)")
+    sql("INSERT INTO g.db.parts VALUES " +
+      "(1, 'a', DATE'2024-01-01'), (2, 'a', DATE'2024-01-02'), " +
+      "(3, 'b', DATE'2024-01-01'), (4, NULL, DATE'2024-01-02')")
+    val parts = sql("SHOW PARTITIONS g.db.parts").as[String].collect().sorted
+    assert(parts.length == 4, parts.mkString("; "))
+    assert(parts.contains("p=a/d=2024-01-01") && parts.contains("p=b/d=2024-01-01"))
+    assert(parts.exists(s => s.startsWith("p=null") || s.contains("DEFAULT")),
+      s"null partition must list: ${parts.mkString("; ")}")
+    // a PARTITION spec filters server-side (typed compare, not strings)
+    val onlyA = sql("SHOW PARTITIONS g.db.parts PARTITION (p='a')").as[String].collect()
+    assert(onlyA.length == 2 && onlyA.forall(_.startsWith("p=a/")), onlyA.mkString("; "))
+    // DROP PARTITION deletes the rows as one snapshot commit
+    sql("ALTER TABLE g.db.parts DROP PARTITION (p='b', d='2024-01-01')")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.parts").as[Long].head() == 3L)
+    assert(sql("SHOW PARTITIONS g.db.parts").count() == 3L)
+    // IF EXISTS on a missing partition is a no-op, not an error
+    sql("ALTER TABLE g.db.parts DROP IF EXISTS PARTITION (p='zzz', d='2024-01-01')")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.parts").as[Long].head() == 3L)
+  }
+
+  test("TBLPROPERTIES: declared, altered, shown, and read as the vacuum policy") {
+    sql("CREATE TABLE g.db.props (id BIGINT) TBLPROPERTIES " +
+      "('team'='data', 'graft.vacuum.retainVersions'='3')")
+    val dir = s"$warehouse/db/props"
+    assert(Snapshot.latestManifest(spark, dir).get.properties ==
+      Map("team" -> "data", "graft.vacuum.retainVersions" -> "3"))
+    // SHOW TBLPROPERTIES reads loadTable().properties() — stock Spark
+    val shown = sql("SHOW TBLPROPERTIES g.db.props").as[(String, String)].collect().toMap
+    assert(shown.get("team").contains("data"), shown.toString)
+    // SET upserts, UNSET drops (absent-key UNSET is a no-op)
+    sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('team'='ml', 'tier'='gold')")
+    sql("ALTER TABLE g.db.props UNSET TBLPROPERTIES ('tier', 'never_was')")
+    val m1 = Snapshot.latestManifest(spark, dir).get
+    assert(m1.properties("team") == "ml" && !m1.properties.contains("tier"))
+    assert(m1.operation == "UNSET TBLPROPERTIES")
+    // properties are table metadata: they survive data overwrites
+    sql("INSERT INTO g.db.props VALUES (1)")
+    sql("INSERT OVERWRITE g.db.props VALUES (2)")
+    assert(Snapshot.latestManifest(spark, dir).get.properties("team") == "ml")
+    assert(sql("DESCRIBE DETAIL g.db.props").select("properties").as[String].head()
+      .contains("team=ml"))
+    // ≥6 versions exist; a BARE vacuum honours the table's own
+    // graft.vacuum.retainVersions=3 policy — no per-statement RETAIN
+    assert(sql("DESCRIBE HISTORY g.db.props").count() >= 6L)
+    sql("VACUUM g.db.props")
+    assert(sql("DESCRIBE HISTORY g.db.props").count() == 3L)
+    assert(sql("SELECT id FROM g.db.props").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("RENAME into a namespace named like the catalog itself") {
     sql("CREATE NAMESPACE IF NOT EXISTS g.g")
     sql("CREATE TABLE g.g.a (id BIGINT)")

@@ -49,6 +49,24 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     assert(Snapshot.read(spark, dest).count() == 50L)
   }
 
+  test("TBLPROPERTIES ride CREATE/CTAS through the registry route") {
+    val src = tmp("props-src"); val dest = tmp("props-dest"); val ddl = tmp("props-ddl")
+    Snapshot.create(spark, src, fixture(0 until 10), Seq("p"))
+    val reg = Map("src" -> src, "dest" -> dest, "ddl" -> ddl)
+    Snapshot.sql(spark,
+      "CREATE TABLE dest TBLPROPERTIES ('owner_team'='etl') AS SELECT * FROM src", reg)
+    assert(Snapshot.latestManifest(spark, dest).get.properties == Map("owner_team" -> "etl"))
+    // plain DDL create too, and a REPLACE upserts new declarations in
+    Snapshot.sql(spark,
+      "CREATE TABLE ddl (id BIGINT) TBLPROPERTIES ('graft.vacuum.retainDays'='7')", reg)
+    assert(Snapshot.latestManifest(spark, ddl).get
+      .properties("graft.vacuum.retainDays") == "7")
+    Snapshot.sql(spark,
+      "CREATE OR REPLACE TABLE dest TBLPROPERTIES ('tier'='gold') AS SELECT * FROM src", reg)
+    val m = Snapshot.latestManifest(spark, dest).get
+    assert(m.properties == Map("owner_team" -> "etl", "tier" -> "gold"))
+  }
+
   test("CREATE OR REPLACE is the WRITE_TRUNCATE materialization, history kept") {
     // the liveod_editorial.py:282-359 shape: a UNION ALL over sources
     // materialized into a destination table, truncate semantics
