@@ -134,7 +134,8 @@ object Snapshot {
                             generatedCols: Map[String, String] = Map.empty,
                             operation: String = "",
                             clusterBy: Seq[String] = Nil,
-                            properties: Map[String, String] = Map.empty)
+                            properties: Map[String, String] = Map.empty,
+                            externalRoots: Map[String, String] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -380,7 +381,8 @@ object Snapshot {
       parseColMap(root, "generatedCols"),
       if (root.has("operation")) root.get("operation").asText() else "",
       parseStrings(root, "clusterBy"),
-      parseColMap(root, "properties"))
+      parseColMap(root, "properties"),
+      parseColMap(root, "externalRoots"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -410,6 +412,29 @@ object Snapshot {
         else None
       }
     }.toMap
+  }
+
+  /** Resolve a manifest file entry to (root, root-relative path).
+    * Local entries resolve against the table root; `@alias/…` entries —
+    * the refs a SHALLOW CLONE records — resolve against the manifest's
+    * [[Manifest.externalRoots]] map. Everything that opens bytes
+    * (reads, DV/bloom sidecars, size probes) funnels through here;
+    * everything metadata-only (stats, partition values, pruning) keys
+    * on the entry STRING and never needs to care.
+    */
+  private[graft] def fileRootRel(path: String, m: Manifest, f: String): (String, String) =
+    if (f.startsWith("@")) {
+      val i = f.indexOf('/')
+      require(i > 1, s"bad external file ref: $f")
+      val alias = f.substring(1, i)
+      val root = m.externalRoots.getOrElse(alias, throw new IllegalStateException(
+        s"external file ref '$f' names unknown root alias '$alias'"))
+      (root, f.substring(i + 1))
+    } else (path, f)
+
+  /** Absolute (filesystem) path of a manifest file entry. */
+  private[graft] def fileAbs(path: String, m: Manifest, f: String): String = {
+    val (r, rel) = fileRootRel(path, m, f); s"$r/$rel"
   }
 
   // --------------------------------------------------------------- read
@@ -580,9 +605,15 @@ object Snapshot {
     // basePath), then a by-name union (missing = pre-evolution txns,
     // filled with null); cast to the table schema so partition-value
     // inference drift can never retype a column
-    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    val unioned = groups.map { case (txn, fls) =>
-      val df = spark.read.option("basePath", s"$path/$txn").parquet(fls.map(f => s"$path/$f"): _*)
+    // group key carries the RESOLVED root: a shallow clone mixes
+    // external (source-rooted) refs with its own post-clone txns, and
+    // partition inference needs each group's own basePath
+    val groups = files.groupBy { f =>
+      val (r, rel) = fileRootRel(path, m, f); (r, rel.takeWhile(_ != '/'))
+    }.toSeq.sortBy(_._1)
+    val unioned = groups.map { case ((root, txn), fls) =>
+      val df = spark.read.option("basePath", s"$root/$txn")
+        .parquet(fls.map(f => fileAbs(path, m, f)): _*)
       if (needMeta)
         df.withColumn(MetaFile, col("_metadata.file_path"))
           .withColumn(MetaPos, col("_metadata.row_index"))
@@ -643,13 +674,17 @@ object Snapshot {
   private def readDvRows(spark: SparkSession, path: String, m: Manifest,
                          refs: Seq[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
-    val groups = refs.distinct.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+    val groups = refs.distinct.groupBy { r =>
+      val (root, rel) = fileRootRel(path, m, r)
+      (root, rel.split('/').take(2).mkString("/"))
+    }.toSeq.sortBy(_._1)
     val sel = Seq(col(DvFileCol).cast("string").as(DvFileCol),
         col(DvPosCol).cast("long").as(DvPosCol)) ++
       m.partitionCols.map(pc =>
         col(DvColPrefix + pc).cast(schema(pc).dataType).as(DvColPrefix + pc))
-    groups.map { case (base, rs) =>
-      spark.read.option("basePath", s"$path/$base").parquet(rs.map(r => s"$path/$r"): _*)
+    groups.map { case ((root, base), rs) =>
+      spark.read.option("basePath", s"$root/$base")
+        .parquet(rs.map(r => fileAbs(path, m, r)): _*)
     }.reduce(_.unionByName(_)).select(sel: _*)
   }
 
@@ -839,6 +874,10 @@ object Snapshot {
       val pr = node.putObject("properties")
       m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
     }
+    if (m.externalRoots.nonEmpty) {
+      val er = node.putObject("externalRoots")
+      m.externalRoots.toSeq.sortBy(_._1).foreach { case (a, r) => er.put(a, r) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -907,6 +946,10 @@ object Snapshot {
       val pr = node.putObject("propertiesSet")
       m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
     }
+    if (m.externalRoots != parent.externalRoots) {
+      val er = node.putObject("externalRootsSet")
+      m.externalRoots.toSeq.sortBy(_._1).foreach { case (a, r) => er.put(a, r) }
+    }
     node
   }
 
@@ -953,7 +996,9 @@ object Snapshot {
       if (root.has("clusterBySet")) parseStrings(root, "clusterBySet")
       else parent.clusterBy,
       if (root.has("propertiesSet")) parseColMap(root, "propertiesSet")
-      else parent.properties)
+      else parent.properties,
+      if (root.has("externalRootsSet")) parseColMap(root, "externalRootsSet")
+      else parent.externalRoots)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -967,7 +1012,8 @@ object Snapshot {
       a.streamBatch == b.streamBatch && a.dvs == b.dvs && a.blooms == b.blooms &&
       a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints &&
       a.generatedCols == b.generatedCols && a.operation == b.operation &&
-      a.clusterBy == b.clusterBy && a.properties == b.properties
+      a.clusterBy == b.clusterBy && a.properties == b.properties &&
+      a.externalRoots == b.externalRoots
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -2050,7 +2096,7 @@ object Snapshot {
     */
   private def countsToManifest(path: String, m: Manifest,
                                counts: Array[(String, Long)]): Map[String, Long] = {
-    val byKey = m.files.map(f => fileKey(s"$path/$f") -> f).toMap
+    val byKey = m.files.map(f => fileKey(fileAbs(path, m, f)) -> f).toMap
     counts.map { case (abs, n) =>
       byKey.getOrElse(fileKey(abs), throw new IllegalStateException(
         s"Snapshot DML: scanned file $abs not resolvable to a manifest entry")) -> n
@@ -2349,7 +2395,7 @@ object Snapshot {
     * whose raw names already contain `%XX` escapes) while manifest
     * paths are raw filesystem names.
     */
-  private def fileKey(s: String): String = {
+  private[graft] def fileKey(s: String): String = {
     // decode to fixpoint, but STOP (keeping the last good form) when a
     // decoded name is no longer a valid escape sequence — a raw hive
     // name containing a bare '%' (e.g. the partition value "100%")
@@ -2644,7 +2690,7 @@ object Snapshot {
   private[graft] def fileBytes(spark: SparkSession, path: String, m: Manifest,
                                file: String): Long =
     m.stats.get(file).map(_.bytes).filter(_ > 0L).getOrElse(
-      fsFor(spark, path).getFileStatus(new HPath(s"$path/$file")).getLen)
+      fsFor(spark, path).getFileStatus(new HPath(fileAbs(path, m, file))).getLen)
 
   /** Per-column (min, max) doubles for `zCols` over `files`, computed
     * from the manifest's stats alone; None when any column/file lacks a
@@ -2769,19 +2815,77 @@ object Snapshot {
           s"restore to v$version: vacuum already reclaimed that version's manifest", e)
       }
     val fs = fsFor(spark, path)
-    val missingData = target.files.filterNot(f => fs.exists(new HPath(s"$path/$f")))
+    val missingData = target.files.filterNot(f =>
+      fs.exists(new HPath(fileAbs(path, target, f))))
     val missingDv = target.dvs.values.map(_.file)
-      .filterNot(d => fs.exists(new HPath(s"$path/$d"))).toSeq
+      .filterNot(d => fs.exists(new HPath(fileAbs(path, target, d)))).toSeq
     require(missingData.isEmpty && missingDv.isEmpty,
       s"restore to v$version: vacuum already reclaimed " +
         s"${(missingData ++ missingDv).take(3).mkString(", ")} " +
         s"(${missingData.size + missingDv.size} path(s)); that version is gone")
     val blooms = target.blooms.filter { case (_, r) =>
-      fs.exists(new HPath(s"$path/${r.file}"))
+      fs.exists(new HPath(fileAbs(path, target, r.file)))
     }
     commitManifest(spark, path, target.copy(version = cur.version + 1,
       operation = s"RESTORE v$version",
       streamBatch = cur.streamBatch, blooms = blooms))
+  }
+
+  /** SHALLOW CLONE: a zero-copy fork of `srcPath` (at `version`,
+    * default latest) into a NEW table at `dstPath`. The clone's first
+    * manifest references the source's live data files — plus its
+    * deletion vectors and bloom sidecars — as external `@alias/` refs
+    * resolved through [[Manifest.externalRoots]]; no data is read or
+    * copied, the commit is O(manifest) at any table size. From then on
+    * the tables diverge freely: the clone's own writes land under its
+    * root, DML rewrites/vectors only what it touches, OPTIMIZE
+    * progressively localizes external refs, and VACUUM on the clone
+    * sweeps only the clone's root — it can never reclaim source bytes.
+    * The one shallow-clone contract (inherent to the shape): vacuuming
+    * the SOURCE can reclaim files a clone still references; compact a
+    * clone local (bare OPTIMIZE) before retiring its source.
+    *
+    * Chained clones flatten: cloning a clone re-aliases the parent's
+    * external roots directly into the new manifest, so ref resolution
+    * never chases a chain.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
+                   version: Option[Long] = None): Long = {
+    require(latestVersion(spark, dstPath).isEmpty,
+      s"shallowClone: destination already exists: $dstPath")
+    val src = version match {
+      case Some(v) => manifest(spark, srcPath, v)
+      case None => latestManifest(spark, srcPath).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $srcPath"))
+    }
+    val qSrc = fsFor(spark, srcPath).makeQualified(new HPath(srcPath)).toString
+    require(fsFor(spark, dstPath).makeQualified(new HPath(dstPath)).toString != qSrc,
+      "shallowClone: source and destination are the same table")
+    // dense alias table: the source root itself plus any roots the
+    // source (itself a clone) already references
+    val roots = qSrc +: src.externalRoots.values.toSeq.distinct.filterNot(_ == qSrc)
+    val aliasOf: Map[String, String] =
+      roots.zipWithIndex.map { case (r, i) => r -> s"r$i" }.toMap
+    def remap(f: String): String = {
+      val (root, rel) = fileRootRel(qSrc, src, f)
+      s"@${aliasOf(root)}/$rel"
+    }
+    commitManifest(spark, dstPath, Manifest(
+      version = 1L,
+      partitionCols = src.partitionCols,
+      schemaDdl = src.schemaDdl,
+      files = src.files.map(remap),
+      stats = src.stats.map { case (f, st) => remap(f) -> st },
+      dvs = src.dvs.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+      blooms = src.blooms.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+      colMap = src.colMap,
+      retired = src.retired,
+      constraints = src.constraints,
+      generatedCols = src.generatedCols,
+      operation = s"CLONE v${src.version}",
+      clusterBy = src.clusterBy,
+      properties = src.properties,
+      externalRoots = aliasOf.map(_.swap)))
   }
 
   /** One-row table detail — the `DESCRIBE DETAIL` surface: current

@@ -111,8 +111,13 @@ object SnapshotBloom {
     // ~N*fpp false keeps — still pruning almost everything
     val expected = files.map(f => f -> math.max(1L, m.stats.get(f).map(_.rows).getOrElse(1000000L))).toMap
     val readSchema = StructType(physCols.zip(types).map { case (c, t) => StructField(c, t) })
+    // scanned absolute path → manifest entry (external `@alias/` refs
+    // of a shallow clone resolve to their source root, so prefix
+    // stripping against the table root alone cannot key them back)
+    val absToRel = files.map(f =>
+      Snapshot.fileKey(Snapshot.fileAbs(path, m, f)) -> f).toMap
     val df = spark.read.schema(readSchema)
-      .parquet(files.map(f => s"$path/$f"): _*)
+      .parquet(files.map(f => Snapshot.fileAbs(path, m, f)): _*)
       .withColumn("__file", col("_metadata.file_path"))
     val sconf = org.apache.spark.graftbridge.ConfBridge.serializable(
       spark.sparkContext.hadoopConfiguration)
@@ -123,7 +128,8 @@ object SnapshotBloom {
       val acc = scala.collection.mutable.HashMap.empty[String, Array[BloomFilter]]
       it.foreach { row =>
         val full = row.getString(nCols)
-        val rel = if (full.startsWith(rootQ + "/")) full.drop(rootQ.length + 1) else full
+        val rel = absToRel.getOrElse(Snapshot.fileKey(full),
+          if (full.startsWith(rootQ + "/")) full.drop(rootQ.length + 1) else full)
         val bfs = acc.getOrElseUpdate(rel,
           Array.fill(nCols)(BloomFilter.create(expected.getOrElse(rel, 1000000L), fpp)))
         var i = 0
@@ -167,11 +173,10 @@ object SnapshotBloom {
       rel -> Snapshot.BloomRef(s"$dirRel/${sidecarName(rel)}", physCols)).toMap
   }
 
-  private def readSidecar(fs: FileSystem, tablePath: String,
-                          relFile: String): Map[String, BloomFilter] = {
-    val in = new DataInputStream(fs.open(new HPath(s"$tablePath/$relFile")))
+  private def readSidecar(fs: FileSystem, absFile: String): Map[String, BloomFilter] = {
+    val in = new DataInputStream(fs.open(new HPath(absFile)))
     try {
-      require(in.readUTF() == Magic, s"not a graft bloom sidecar: $relFile")
+      require(in.readUTF() == Magic, s"not a graft bloom sidecar: $absFile")
       val n = in.readInt()
       (0 until n).map { _ =>
         val c = in.readUTF()
@@ -202,7 +207,7 @@ object SnapshotBloom {
       m.blooms.get(f).exists(r => r.cols.exists(probeCols.contains)))
     if (probes.isEmpty || applicable.isEmpty) return candidates
     def keeps(fs: FileSystem, sidecar: String): Boolean = {
-      val bfs = readSidecar(fs, tablePath, sidecar)
+      val bfs = readSidecar(fs, Snapshot.fileAbs(tablePath, m, sidecar))
       probes.forall { case (c, vs) =>
         bfs.get(c).forall(bf => vs.exists(v => mightContain(bf, v)))
       }

@@ -60,6 +60,8 @@ object SnapshotSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val DetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*;?\s*""".r
 
@@ -90,6 +92,11 @@ object SnapshotSql {
       }
       Snapshot.compact(spark, path, zorderBy = zcols, where = where)
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
+    case CloneRe(dst, src, ver) =>
+      // zero-copy fork: the clone manifest references the source's
+      // files as external refs — no data moves
+      Some(Snapshot.shallowClone(spark, pathOf(src, tables), pathOf(dst, tables),
+        Option(ver).map(_.toLong)))
     case RestoreRe(ident, kind, raw) =>
       val path = pathOf(ident, tables)
       val version = kind.toUpperCase match {

@@ -124,7 +124,7 @@ object GraftSqlParser {
     s.substring(start, i).toUpperCase(java.util.Locale.ROOT)
   }
 
-  private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE")
+  private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE", "CREATE")
 
   /** Try the five maintenance shapes; None → not ours. */
   private[plans] def parseMaintenance(sqlText: String,
@@ -244,6 +244,40 @@ object GraftSqlParser {
           val df = if (detail) Snapshot.describeDetail(sp, path) else Snapshot.history(sp, path)
           df.collect().toSeq
       }(parts))
+    }
+
+    if (head.is("CREATE")) {
+      // CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n] — the one
+      // CREATE form vanilla SQL does not own. Anything else beginning
+      // with CREATE delegates untouched (the session parser owns the
+      // whole CREATE grammar).
+      if (toks.length < 3 || !toks(1).is("TABLE")) return None
+      val (dstParts, i) = ident(toks, 2)
+      if (i + 1 >= toks.length || !toks(i).is("SHALLOW") || !toks(i + 1).is("CLONE"))
+        return None
+      val (srcParts, j) = ident(toks, i + 2)
+      var ver = Option.empty[Long]
+      var k = j
+      if (k < toks.length) {
+        require(k + 3 < toks.length && toks(k).is("VERSION") && toks(k + 1).is("AS") &&
+          toks(k + 2).is("OF"),
+          s"cannot parse SHALLOW CLONE statement (… [VERSION AS OF n]): $text")
+        ver = Some(toks(k + 3).text.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"SHALLOW CLONE: VERSION AS OF needs an integer, got '${toks(k + 3).text}'")))
+        k += 4
+      }
+      require(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
+      // nameParts = the SOURCE (the command's existence check applies
+      // to it); the destination resolves inside the body and must land
+      // in a graft catalog too
+      return Some(maintCmd(s"SHALLOW CLONE ${srcParts.mkString(".")}") { (sp, srcPath) =>
+        val dstPath = GraftCatalogResolve.pathOf(sp, dstParts).getOrElse(
+          throw new UnsupportedOperationException(
+            s"SHALLOW CLONE: destination '${dstParts.mkString(".")}' " +
+              "must live in a graft catalog"))
+        graft.operators.Snapshot.shallowClone(sp, srcPath, dstPath, ver); Nil
+      }(srcParts))
     }
 
     if (head.is("RESTORE")) {

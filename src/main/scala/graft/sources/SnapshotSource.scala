@@ -558,8 +558,16 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
       case other       => throw new IllegalArgumentException(s"unsupported partition type $other")
     }
 
+  /** Resolve a manifest entry to its filesystem path — external
+    * `@alias/` refs (shallow clones) resolve to their recorded source
+    * root, everything else under the table root.
+    */
+  private def absPath(rel: String): HPath =
+    if (rel.startsWith("@")) new HPath(Snapshot.fileAbs(tablePath, m, rel))
+    else new HPath(qualifiedRoot, rel)
+
   private def status(rel: String): FileStatus = {
-    val p = new HPath(qualifiedRoot, rel)
+    val p = absPath(rel)
     val len = m.stats.get(rel).map(_.bytes).filter(_ > 0L)
       .getOrElse(fs.getFileStatus(p).getLen)
     new FileStatus(len, false, 1, fs.getDefaultBlockSize(p), 0L, p)
@@ -601,13 +609,13 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
   }
 
   override def inputFiles: Array[String] =
-    m.files.map(f => new HPath(qualifiedRoot, f).toString).toArray
+    m.files.map(f => absPath(f).toString).toArray
 
   override def refresh(): Unit = () // pinned manifest: nothing to refresh
 
   override lazy val sizeInBytes: Long =
     m.files.map(f => m.stats.get(f).map(_.bytes).filter(_ > 0L)
-      .getOrElse(fs.getFileStatus(new HPath(qualifiedRoot, f)).getLen)).sum
+      .getOrElse(fs.getFileStatus(absPath(f)).getLen)).sum
 }
 
 /** The change feed as a Structured Streaming SOURCE

@@ -590,6 +590,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT id FROM g.db.props").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("SHALLOW CLONE through SQL: zero-copy fork, reads by name, diverges") {
+    sql("CREATE TABLE g.db.csrc (id BIGINT, p STRING) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.csrc SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END FROM range(1000)")
+    sql("INSERT INTO g.db.csrc SELECT id + 1000, 'e' FROM range(100)")
+    sql("CREATE TABLE g.db.cdst SHALLOW CLONE g.db.csrc")
+    // the SELECT resolves by name and rides the NATIVE pruned scan
+    // over the clone's external refs
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.cdst").as[Long].head() == 1100L)
+    val dstDir = s"$warehouse/db/cdst"
+    val fs = new org.apache.hadoop.fs.Path(dstDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dstDir), true)
+    var parquetBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) parquetBytes += f.getLen
+    }
+    assert(parquetBytes == 0L, "shallow clone must copy no data")
+    // metadata-only catalog surfaces work on the clone too
+    assert(sql("SHOW PARTITIONS g.db.cdst").count() == 2L)
+    // a version-pinned clone forks the PAST
+    sql("CREATE TABLE g.db.cdst1 SHALLOW CLONE g.db.csrc VERSION AS OF 2")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.cdst1").as[Long].head() == 1000L)
+    // divergence: writes to the clone never touch the source
+    sql("INSERT INTO g.db.cdst VALUES (9999, 'x')")
+    sql("DELETE FROM g.db.cdst WHERE id = 0")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.cdst").as[Long].head() == 1100L)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.csrc").as[Long].head() == 1100L)
+  }
+
   test("RENAME into a namespace named like the catalog itself") {
     sql("CREATE NAMESPACE IF NOT EXISTS g.g")
     sql("CREATE TABLE g.g.a (id BIGINT)")

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** SHALLOW CLONE — the zero-copy table fork. Pins: the clone commit
+  * copies NO data bytes (destination holds only a manifest log), reads
+  * agree exactly with the source (through deletion vectors and column
+  * mapping), the two tables diverge independently after the fork,
+  * version-pinned clones see the pinned content, OPTIMIZE localizes
+  * external refs so the clone can outlive its source, VACUUM on the
+  * clone never reclaims source bytes, and chained clones flatten their
+  * root table instead of chaining resolution.
+  */
+class SnapshotCloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-clone-$tag").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i.toLong * 10))
+      .toDF("id", "p", "v")
+
+  /** Parquet bytes living under a table root (manifest log excluded). */
+  private def dataBytes(dir: String): Long = {
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(dir))) return 0L
+    val it = fs.listFiles(new HPath(dir), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) n += f.getLen
+    }
+    n
+  }
+
+  test("clone copies no bytes, reads exactly, and the tables diverge") {
+    val src = tmp("src"); val dst = tmp("dst")
+    Snapshot.create(spark, src, fixture(0 until 1000).repartition(1), Seq("p"))
+    Snapshot.append(spark, src, fixture(1000 until 2000).repartition(1))
+    // a DV-tier point delete: the clone must inherit the vector, not
+    // the deleted rows
+    Snapshot.delete(spark, src, col("id").isin(3L, 7L, 1005L))
+    assert(Snapshot.latestManifest(spark, src).get.dvs.nonEmpty, "fixture must take the DV tier")
+    val expected = rows(Snapshot.read(spark, src))
+
+    Snapshot.shallowClone(spark, src, dst)
+    val m = Snapshot.latestManifest(spark, dst).get
+    assert(m.operation.startsWith("CLONE"))
+    assert(m.externalRoots.nonEmpty && m.files.forall(_.startsWith("@")))
+    assert(dataBytes(dst) == 0L, "a shallow clone must copy no data bytes")
+    assert(rows(Snapshot.read(spark, dst)) == expected)
+    // prune path sees cloned stats: a point predicate still skips
+    val (kept, total) = Snapshot.pruneFiles(spark, dst, col("p") === "even")
+    assert(kept.size < total)
+
+    // divergence: clone-side append + delete leave the source alone …
+    Snapshot.append(spark, dst, fixture(5000 until 5100).repartition(1))
+    Snapshot.delete(spark, dst, col("id") === 0L)
+    assert(rows(Snapshot.read(spark, src)) == expected)
+    // … and source-side DML leaves the clone alone
+    Snapshot.delete(spark, src, col("id") === 42L)
+    assert(rows(Snapshot.read(spark, dst)) ==
+      expected - ((0L, "even", 0L)) ++ rows(fixture(5000 until 5100)))
+  }
+
+  test("version-pinned clone forks history; OPTIMIZE localizes; vacuum is root-scoped") {
+    val src = tmp("vsrc"); val dst = tmp("vdst")
+    Snapshot.create(spark, src, fixture(0 until 500).repartition(1), Seq("p"))
+    val v1 = Snapshot.latestVersion(spark, src).get
+    Snapshot.append(spark, src, fixture(500 until 1000).repartition(1))
+    Snapshot.shallowClone(spark, src, dst, version = Some(v1))
+    assert(rows(Snapshot.read(spark, dst)) == rows(fixture(0 until 500)))
+
+    // OPTIMIZE rewrites external refs into clone-local files
+    Snapshot.compact(spark, dst, targetBytes = 1L << 30, minFiles = 1)
+    val m = Snapshot.latestManifest(spark, dst).get
+    assert(m.files.nonEmpty && m.files.forall(!_.startsWith("@")),
+      s"compact must localize: ${m.files.take(3).mkString(", ")}")
+    assert(dataBytes(dst) > 0L)
+    assert(rows(Snapshot.read(spark, dst)) == rows(fixture(0 until 500)))
+
+    // vacuum the clone to its latest only: source bytes must survive
+    val srcBytesBefore = dataBytes(src)
+    Snapshot.vacuum(spark, dst, keepVersions = 1, orphanGraceMs = 0L)
+    assert(dataBytes(src) == srcBytesBefore, "clone vacuum must never touch source bytes")
+    assert(rows(Snapshot.read(spark, dst)) == rows(fixture(0 until 500)))
+    assert(rows(Snapshot.read(spark, src)) == rows(fixture(0 until 1000)))
+  }
+
+  test("a clone of a clone flattens to direct roots") {
+    val a = tmp("a"); val b = tmp("b"); val c = tmp("c")
+    Snapshot.create(spark, a, fixture(0 until 300).repartition(1), Seq("p"))
+    Snapshot.shallowClone(spark, a, b)
+    // b writes one local txn of its own, so c must reference TWO roots
+    Snapshot.append(spark, b, fixture(300 until 400).repartition(1))
+    Snapshot.shallowClone(spark, b, c)
+    val m = Snapshot.latestManifest(spark, c).get
+    assert(m.externalRoots.size == 2, m.externalRoots.toString)
+    // flattened: no alias value may itself be an @ref, and resolution
+    // reads exactly
+    assert(m.externalRoots.values.forall(!_.startsWith("@")))
+    assert(rows(Snapshot.read(spark, c)) == rows(fixture(0 until 400)))
+  }
+
+  test("clone carries schema metadata: rename + constraints + clustering") {
+    val src = tmp("msrc"); val dst = tmp("mdst")
+    Snapshot.create(spark, src, fixture(0 until 200).repartition(1), Seq("p"),
+      clusterBy = Seq("id"))
+    Snapshot.addConstraint(spark, src, "id_pos", "id >= 0")
+    Snapshot.renameColumn(spark, src, "v", "val")
+    Snapshot.shallowClone(spark, src, dst)
+    val m = Snapshot.latestManifest(spark, dst).get
+    assert(m.colMap == Map("val" -> "v") && m.constraints.contains("id_pos") &&
+      m.clusterBy == Seq("id"))
+    // the col-mapped read path resolves the physical name through the
+    // external ref
+    assert(Snapshot.read(spark, dst).select(sum(col("val"))).as[Long].head() ==
+      (0 until 200).map(_ * 10L).sum)
+    // and the clone's own constraint still enforces
+    val bad = intercept[Exception] {
+      Snapshot.append(spark, dst, Seq((-9999L, "odd", 5L)).toDF("id", "p", "val"))
+    }
+    assert(bad.getMessage.toLowerCase.contains("constraint") ||
+      bad.getMessage.contains("id_pos"))
+  }
+}

@@ -67,6 +67,15 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     assert(m.properties == Map("owner_team" -> "etl", "tier" -> "gold"))
   }
 
+  test("SHALLOW CLONE through the registry route") {
+    val src = tmp("clone-src"); val dst = tmp("clone-dst")
+    Snapshot.create(spark, src, fixture(0 until 100), Seq("p"))
+    val reg = Map("src" -> src, "dst" -> dst)
+    Snapshot.sql(spark, "CREATE TABLE dst SHALLOW CLONE src", reg)
+    assert(rows(Snapshot.read(spark, dst)) == rows(fixture(0 until 100)))
+    assert(Snapshot.latestManifest(spark, dst).get.files.forall(_.startsWith("@")))
+  }
+
   test("CREATE OR REPLACE is the WRITE_TRUNCATE materialization, history kept") {
     // the liveod_editorial.py:282-359 shape: a UNION ALL over sources
     // materialized into a destination table, truncate semantics
