@@ -1228,6 +1228,54 @@ object LayoutPack extends QueryPack {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q143 = QueryDef.staged(
+    "q143_shallow_clone",
+    // oracle: BOTH sides recomputed from the raw table — the clone
+    // sees the source's pre-clone state minus its own delete, the
+    // source must NOT see the clone's delete; a clone that copied
+    // stale data, missed the inherited deletion vectors, or leaked
+    // its DML back into the source shifts a branch and fails the gate
+    Some("""SELECT side, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM (
+           |  SELECT 'clone' AS side, o_orderpriority, o_totalprice FROM orders
+           |    WHERE NOT (o_orderkey % 100 < 3) AND NOT (o_orderpriority = '1-URGENT')
+           |  UNION ALL
+           |  SELECT 'source', o_orderpriority, o_totalprice FROM orders
+           |    WHERE NOT (o_orderkey % 100 < 3)
+           |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // FIXTURE (untimed): a table with history — create, append, and a
+    // small DELETE that takes the deletion-vector tier, so the clone
+    // must inherit live VECTORS, not just files.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q143").toString
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    Snapshot.create(t.spark, s"$root/src",
+      base.where(col("o_orderkey") % 2 === 0).repartition(2))
+    Snapshot.append(t.spark, s"$root/src",
+      base.where(col("o_orderkey") % 2 === 1).repartition(2))
+    Snapshot.delete(t.spark, s"$root/src", col("o_orderkey") % 100 < 3)
+    root
+  } { (t, root: String) =>
+    // MEASURED: the CLONE statement itself — O(manifest), zero data
+    // bytes moved regardless of table size — then divergence: a
+    // clone-side DELETE that must never leak into the source, and the
+    // two-sided rollup read through the native scans (the clone's over
+    // external refs). On 100 TB this is the instant dev/test fork.
+    import graft.operators.Snapshot
+    val reg = Map("src" -> s"$root/src", "fork" -> s"$root/fork")
+    Snapshot.sql(t.spark, "CREATE TABLE fork SHALLOW CLONE src", reg)
+    Snapshot.sql(t.spark, "DELETE FROM fork WHERE o_orderpriority = '1-URGENT'", reg)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT side, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'clone' AS side, o_orderpriority, o_totalprice FROM fork
+        |  UNION ALL
+        |  SELECT 'source', o_orderpriority, o_totalprice FROM src
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
 }
