@@ -2432,7 +2432,7 @@ object Snapshot {
     * a z column with no usable stats falls back to one min/max job over
     * the marked slice. Clustering changes layout only, never values.
     */
-  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 0L,
               minFiles: Int = 4, zorderBy: Seq[String] = Nil,
               where: Option[Column] = None): Seq[String] = {
     val m = latestManifest(spark, path).getOrElse(
@@ -2440,6 +2440,12 @@ object Snapshot {
     // the table's declared CLUSTER BY is the default layout policy; an
     // explicit ZORDER BY on the statement still overrides it
     val zorderCols = if (zorderBy.nonEmpty) zorderBy else m.clusterBy
+    // target size likewise: caller's explicit value > the table's own
+    // graft.optimize.targetBytes property > 128 MiB
+    val targetBytesEff =
+      if (targetBytes > 0L) targetBytes
+      else policyProp(m, "optimize.targetBytes").flatMap(_.toLongOption)
+        .filter(_ > 0L).getOrElse(128L << 20)
     val pCols = m.partitionCols
     val byPart = m.files.groupBy(f => partitionValues(pCols, f))
     // `where` scopes maintenance to the partitions whose TYPED values
@@ -2489,12 +2495,17 @@ object Snapshot {
     val bytes = markedFiles.map(fileBytes(spark, path, m, _)).sum
     val slice = readFiles(spark, path, m, Some(markedFiles))
     val dataCols = slice.columns.filterNot(pCols.contains)
-    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val nOut = math.max(1L, (bytes + targetBytesEff - 1) / targetBytesEff)
+    // EXPLICIT task count: without it AQE coalesces the repartition to
+    // its advisory size and the declared target is silently ignored.
+    // One task per (marked partition × salt) combo, capped — hash
+    // collisions make packing approximate, same as any salt scheme.
+    val nTasks = math.min(math.max(1L, marked.size.toLong) * nOut, 1L << 15).toInt
     val packed =
       if (zorderCols.isEmpty)
         slice
           .withColumn("__salt", pmod(hash(dataCols.map(col).toSeq: _*).cast("long"), lit(nOut)))
-          .repartition((pCols.map(col) :+ col("__salt")): _*)
+          .repartition(nTasks, (pCols.map(col) :+ col("__salt")): _*)
           .drop("__salt")
       else {
         val bounds = zBoundsFromStats(m, markedFiles, zorderCols).getOrElse {

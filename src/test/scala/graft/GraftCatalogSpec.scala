@@ -621,6 +621,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) AS n FROM g.db.csrc").as[Long].head() == 1100L)
   }
 
+  test("OPTIMIZE honours the table's graft.optimize.targetBytes property") {
+    sql("CREATE TABLE g.db.otb (id BIGINT) TBLPROPERTIES " +
+      "('graft.optimize.targetBytes'='4096')")
+    // xxhash64 values defeat parquet's delta/RLE encodings, so the
+    // four input files carry real bytes for the size-based packing
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO g.db.otb SELECT xxhash64(id + ${i * 2000}) FROM range(2000)"))
+    val dir = s"$warehouse/db/otb"
+    // a bare OPTIMIZE (no explicit size) packs to the TABLE's declared
+    // 4 KiB target — several output files, where the 128 MiB default
+    // would fold everything into one
+    sql("OPTIMIZE g.db.otb")
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.files.count(f => m.stats.get(f).forall(_.rows > 0)) > 1,
+      s"4 KiB policy target must yield several files, got ${m.files.size}")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.otb").as[Long].head() == 8000L)
+  }
+
   test("RENAME into a namespace named like the catalog itself") {
     sql("CREATE NAMESPACE IF NOT EXISTS g.g")
     sql("CREATE TABLE g.g.a (id BIGINT)")
