@@ -2842,6 +2842,50 @@ object Snapshot {
       streamBatch = cur.streamBatch, blooms = blooms))
   }
 
+  /** In-place conversion: register an EXISTING (optionally
+    * hive-partitioned) parquet directory as a snapshot table WITHOUT
+    * moving or rewriting a byte — the onboarding move for a 100 TB
+    * landing that must not be copied. Files enter the manifest as
+    * external `@imp0/` refs rooted at the directory's PARENT, so the
+    * directory name itself plays the txn-segment role every resolution
+    * path already expects (partition segments parse, basePath lands on
+    * the directory, vacuum's txn-scoped sweep can never touch the
+    * imported bytes). `path` may BE `dataDir` (the log nests inside,
+    * Delta-style in-place convert) or a separate location (catalog
+    * table over external data). Footer stats are collected at import
+    * (distributed above the usual threshold), so pruning works from
+    * the first query; subsequent DML/OPTIMIZE/vacuum behave exactly as
+    * on a native table, progressively localizing rewritten files.
+    */
+  def importParquet(spark: SparkSession, dataDir: String, path: String,
+                    partitionCols: Seq[String] = Nil): Long = {
+    require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
+    val fs = fsFor(spark, dataDir)
+    val qDir = fs.makeQualified(new HPath(dataDir))
+    require(fs.exists(qDir), s"importParquet: no such directory: $dataDir")
+    require(qDir.getParent != null, s"importParquet: cannot import a filesystem root")
+    val parent = qDir.getParent.toString
+    val dirName = qDir.getName
+    // schema exactly as spark.read infers it (partition columns typed
+    // by directory inference); the read path casts to this schema, so
+    // inference drift can never retype a column later
+    val df = spark.read.parquet(qDir.toString)
+    partitionCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"importParquet: partition column $c not found (inferred: " +
+        s"${df.schema.fieldNames.mkString(", ")})"))
+    val rels = listParquetRecursive(fs, qDir).map { p =>
+      s"$dirName/${fs.makeQualified(p).toString.stripPrefix(qDir.toString + "/")}"
+    }.sorted
+    require(rels.nonEmpty, s"importParquet: no parquet files under $dataDir")
+    val alias = "imp0"
+    val stats = SnapshotStats.collect(spark, parent, rels, df.schema, partitionCols)
+    commitManifest(spark, path, Manifest(1L, partitionCols, df.schema.toDDL,
+      rels.map(r => s"@$alias/$r"),
+      stats.map { case (r, st) => s"@$alias/$r" -> st },
+      operation = "IMPORT",
+      externalRoots = Map(alias -> parent)))
+  }
+
   /** SHALLOW CLONE: a zero-copy fork of `srcPath` (at `version`,
     * default latest) into a NEW table at `dstPath`. The clone's first
     * manifest references the source's live data files — plus its

@@ -60,6 +60,8 @@ object SnapshotSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val DetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val ImportRe =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+FROM\s+PARQUET\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
   private val RestoreRe =
@@ -92,6 +94,10 @@ object SnapshotSql {
       }
       Snapshot.compact(spark, path, zorderBy = zcols, where = where)
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
+    case ImportRe(dst, dir, pcols) =>
+      // in-place parquet import: zero bytes moved, footer stats only
+      Some(Snapshot.importParquet(spark, dir, pathOf(dst, tables),
+        Option(pcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case CloneRe(dst, src, ver) =>
       // zero-copy fork: the clone manifest references the source's
       // files as external refs — no data moves

@@ -253,6 +253,31 @@ object GraftSqlParser {
       // whole CREATE grammar).
       if (toks.length < 3 || !toks(1).is("TABLE")) return None
       val (dstParts, i) = ident(toks, 2)
+      // CREATE TABLE t FROM PARQUET '<dir>' [PARTITIONED BY (cols)] —
+      // in-place import of an existing parquet directory, no rewrite
+      if (i + 2 < toks.length && toks(i).is("FROM") && toks(i + 1).is("PARQUET") &&
+          toks(i + 2).text.startsWith("'")) {
+        val dir = toks(i + 2).text.stripPrefix("'").stripSuffix("'").replace("''", "'")
+        var pCols = Seq.empty[String]
+        var k = i + 3
+        if (k < toks.length) {
+          require(k + 2 < toks.length && toks(k).is("PARTITIONED") && toks(k + 1).is("BY") &&
+            toks(k + 2).text == "(",
+            s"cannot parse FROM PARQUET import (… [PARTITIONED BY (col, …)]): $text")
+          var j = k + 3
+          val cols = Seq.newBuilder[String]
+          while (j < toks.length && toks(j).text != ")") {
+            if (toks(j).text != ",") cols += ident(toks, j)._1.mkString(".")
+            j += 1
+          }
+          require(j < toks.length, s"FROM PARQUET: unclosed PARTITIONED BY list in: $text")
+          require(j + 1 == toks.length, s"FROM PARQUET: unexpected trailing text in: $text")
+          pCols = cols.result(); k = j + 1
+        }
+        return Some(maintCmdNew(s"IMPORT PARQUET ${dstParts.mkString(".")}") { (sp, dstPath) =>
+          graft.operators.Snapshot.importParquet(sp, dir, dstPath, pCols); Nil
+        }(dstParts))
+      }
       if (i + 1 >= toks.length || !toks(i).is("SHALLOW") || !toks(i + 1).is("CLONE"))
         return None
       val (srcParts, j) = ident(toks, i + 2)
@@ -332,6 +357,11 @@ object GraftSqlParser {
       parts: Seq[String]): LogicalPlan =
     GraftMaintenanceCommand(desc, parts, Nil, body)
 
+  /** A maintenance command whose target need NOT exist yet (imports). */
+  private def maintCmdNew(desc: String)(body: (SparkSession, String) => Seq[Row])(
+      parts: Seq[String]): LogicalPlan =
+    GraftMaintenanceCommand(desc, parts, Nil, body, mustExist = false)
+
   private def maintQuery(desc: String, schema: StructType)(
       body: (SparkSession, String) => Seq[Row])(parts: Seq[String]): LogicalPlan =
     GraftMaintenanceCommand(desc, parts,
@@ -346,7 +376,8 @@ object GraftSqlParser {
   */
 case class GraftMaintenanceCommand(desc: String, nameParts: Seq[String],
                                    override val output: Seq[Attribute],
-                                   body: (SparkSession, String) => Seq[Row])
+                                   body: (SparkSession, String) => Seq[Row],
+                                   mustExist: Boolean = true)
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -354,7 +385,7 @@ case class GraftMaintenanceCommand(desc: String, nameParts: Seq[String],
       throw new UnsupportedOperationException(
         s"$desc: table must live in a graft catalog " +
           s"('${nameParts.mkString(".")}' resolves elsewhere)"))
-    require(Snapshot.isSnapshotTable(session, path),
+    if (mustExist) require(Snapshot.isSnapshotTable(session, path),
       s"$desc: no snapshot table at $path")
     body(session, path)
   }

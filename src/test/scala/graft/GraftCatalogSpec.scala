@@ -639,6 +639,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) AS n FROM g.db.otb").as[Long].head() == 8000L)
   }
 
+  test("CREATE TABLE ... FROM PARQUET imports an existing dir by name") {
+    val dir = Files.createTempDirectory("graft-cat-import").toString + "/landing"
+    fixture(0 until 200, 1).write.partitionBy("p").parquet(dir)
+    sql(s"CREATE TABLE g.db.imp FROM PARQUET '$dir' PARTITIONED BY (p)")
+    assert(rows(sql("SELECT id, p, v FROM g.db.imp")) == rows(fixture(0 until 200, 1)))
+    assert(sql("SHOW PARTITIONS g.db.imp").count() == 2L)
+    // the catalog table root holds only the log; data stayed in place
+    val m = Snapshot.latestManifest(spark, s"$warehouse/db/imp").get
+    assert(m.operation == "IMPORT" && m.files.forall(_.startsWith("@")))
+    sql("DELETE FROM g.db.imp WHERE id = 7")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.imp").as[Long].head() == 199L)
+  }
+
   test("RENAME into a namespace named like the catalog itself") {
     sql("CREATE NAMESPACE IF NOT EXISTS g.g")
     sql("CREATE TABLE g.g.a (id BIGINT)")

@@ -110,6 +110,71 @@ class SnapshotCloneSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, c)) == rows(fixture(0 until 400)))
   }
 
+  test("a clone is instantly streamable: bootstrap reads external refs") {
+    // the 100 TB use: fork prod, point a streaming job at the fork —
+    // the rate-limited bootstrap chunks the clone's (external) file
+    // list without any copy step first
+    val src = tmp("ssrc"); val dst = tmp("sdst")
+    val out = Files.createTempDirectory("graft-clone-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-clone-stream-ckpt").toString
+    Snapshot.create(spark, src, fixture(0 until 400).repartition(2), Seq("p"))
+    Snapshot.append(spark, src, fixture(400 until 600).repartition(2))
+    Snapshot.shallowClone(spark, src, dst)
+    val q = spark.readStream.format("graft.sources.SnapshotSource").load(dst)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(spark.read.parquet(out)) == rows(fixture(0 until 600)))
+  }
+
+  test("importParquet converts a plain parquet dir in place: zero rewrite") {
+    // the onboarding move: an existing hive-partitioned landing becomes
+    // a snapshot table without copying a byte — files enter as external
+    // refs rooted at the dir's parent, so the dir name plays the
+    // txn-segment role and every resolution path just works
+    val dir = Files.createTempDirectory("graft-import").toString + "/landing"
+    fixture(0 until 1000).write.partitionBy("p").parquet(dir)
+    val before = dataBytes(dir)
+    Snapshot.importParquet(spark, dir, dir, Seq("p"))
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.operation == "IMPORT" && m.files.forall(_.startsWith("@imp0/")))
+    assert(dataBytes(dir) == before, "import must not write data bytes")
+    assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 1000)))
+    // footer stats landed at import: pruning works from query one
+    val (kept, total) = Snapshot.pruneFiles(spark, dir, col("p") === "even")
+    assert(kept.size < total)
+    // the converted table is a FULL table: append, DV delete, compact
+    Snapshot.append(spark, dir, fixture(1000 until 1100).repartition(1))
+    Snapshot.delete(spark, dir, col("id").isin(1L, 1001L))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 1100)).filterNot(r => r._1 == 1L || r._1 == 1001L))
+    Snapshot.compact(spark, dir, targetBytes = 1L << 30, minFiles = 1)
+    val m2 = Snapshot.latestManifest(spark, dir).get
+    assert(m2.files.forall(!_.startsWith("@")), "compact must localize imported refs")
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 1100)).filterNot(r => r._1 == 1L || r._1 == 1001L))
+    // vacuum now reclaims nothing it shouldn't: original bytes live
+    // OUTSIDE txn dirs and the sweep is txn-scoped by construction
+    Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      rows(fixture(0 until 1100)).filterNot(r => r._1 == 1L || r._1 == 1001L))
+  }
+
+  test("importParquet into a separate table root (external data location)") {
+    val data = Files.createTempDirectory("graft-import-ext").toString + "/files"
+    val table = tmp("imp-table")
+    fixture(0 until 300).write.parquet(data) // unpartitioned
+    Snapshot.importParquet(spark, data, table)
+    assert(dataBytes(table) == 0L)
+    assert(rows(Snapshot.read(spark, table)) == rows(fixture(0 until 300)))
+    // a shallow clone OF an imported table flattens to the data root
+    val fork = tmp("imp-fork")
+    Snapshot.shallowClone(spark, table, fork)
+    assert(rows(Snapshot.read(spark, fork)) == rows(fixture(0 until 300)))
+  }
+
   test("clone carries schema metadata: rename + constraints + clustering") {
     val src = tmp("msrc"); val dst = tmp("mdst")
     Snapshot.create(spark, src, fixture(0 until 200).repartition(1), Seq("p"),

@@ -67,6 +67,16 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     assert(m.properties == Map("owner_team" -> "etl", "tier" -> "gold"))
   }
 
+  test("FROM PARQUET import through the registry route") {
+    val data = java.nio.file.Files.createTempDirectory("graft-reg-import").toString + "/d"
+    val table = tmp("imp-reg")
+    fixture(0 until 60).write.partitionBy("p").parquet(data)
+    val reg = Map("t" -> table)
+    Snapshot.sql(spark, s"CREATE TABLE t FROM PARQUET '$data' PARTITIONED BY (p)", reg)
+    assert(rows(Snapshot.read(spark, table)) == rows(fixture(0 until 60)))
+    assert(Snapshot.latestManifest(spark, table).get.partitionCols == Seq("p"))
+  }
+
   test("SHALLOW CLONE through the registry route") {
     val src = tmp("clone-src"); val dst = tmp("clone-dst")
     Snapshot.create(spark, src, fixture(0 until 100), Seq("p"))
