@@ -1276,6 +1276,39 @@ object LayoutPack extends QueryPack {
         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, reg)
   }
 
+  val q144 = QueryDef.staged(
+    "q144_import_in_place",
+    // oracle: the rollup recomputed from the raw table, restricted the
+    // same way the post-import DELETE restricts — an import that
+    // missed files, double-counted a partition dir, or mis-parsed
+    // hive partition values shifts a group and fails the gate
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE NOT (o_orderkey % 10 = 0)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): a PLAIN hive-partitioned parquet landing —
+    // written by stock spark.write, no snapshot machinery — the shape
+    // a 100 TB warehouse already has on disk.
+    val root = java.nio.file.Files.createTempDirectory("graft_q144").toString
+    t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.partitionBy("o_orderpriority").parquet(s"$root/landing")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the in-place conversion — footer stats only, zero data
+    // bytes moved — then immediate DML (the converted table IS a full
+    // table) and the first rollup through the native scan over the
+    // imported (external) refs.
+    import graft.operators.Snapshot
+    Snapshot.importParquet(t.spark, s"$root/landing", s"$root/landing",
+      Seq("o_orderpriority"))
+    Snapshot.delete(t.spark, s"$root/landing", col("o_orderkey") % 10 === 0)
+    val reg = Map("t" -> s"$root/landing")
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
 }
