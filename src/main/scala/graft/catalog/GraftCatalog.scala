@@ -289,17 +289,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         Snapshot.setClusterBy(spark, path,
           cb.clusteringColumns().toSeq.map(r =>
             topLevel(r.fieldNames(), "CLUSTER BY")))
-      case set: TableChange.SetProperty =>
-        require(!GraftCatalog.ReservedProps.contains(set.property()),
-          s"GraftCatalog SET TBLPROPERTIES: '${set.property()}' is reserved")
-        Snapshot.setProperties(spark, path, Map(set.property() -> set.value()))
-      case rm: TableChange.RemoveProperty =>
-        // UNSET of an absent key is a no-op inside setProperties —
-        // Spark's IF EXISTS semantics need nothing extra here
-        Snapshot.setProperties(spark, path, Map.empty, unset = Seq(rm.property()))
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        () // batched below: one atomic commit per ALTER statement
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported table change $other")
     }
+    // Spark delivers one TableChange PER KEY; commit the statement's
+    // whole property delta as ONE manifest version, so a concurrent
+    // reader never observes a half-applied SET TBLPROPERTIES
+    val setProps = changes.collect { case sp: TableChange.SetProperty =>
+      require(!GraftCatalog.ReservedProps.contains(sp.property()),
+        s"GraftCatalog SET TBLPROPERTIES: '${sp.property()}' is reserved")
+      require(!sp.property().startsWith(TableCatalog.OPTION_PREFIX),
+        s"GraftCatalog SET TBLPROPERTIES: '${sp.property()}' is a write option, " +
+          "not a table property")
+      sp.property() -> sp.value()
+    }.toMap
+    val unsetProps = changes.collect { case rm: TableChange.RemoveProperty => rm.property() }
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      Snapshot.setProperties(spark, path, setProps, unset = unsetProps)
     loadTable(ident)
   }
 
@@ -458,13 +466,20 @@ private object GraftCatalog {
     TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
     TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE, "version")
 
-  /** The user-declared TBLPROPERTIES out of a create's property map —
-    * reserved/engine keys and write options stripped.
+  /** The user-declared TBLPROPERTIES out of a create's property map.
+    * Keys Spark itself injects (owner/provider/location/…) and write
+    * options are stripped — the engine cannot tell them from
+    * user-typed ones. `version` IS distinguishable (Spark never
+    * injects it at create) and collides with the surfaced manifest
+    * version, so it refuses loudly rather than silently dropping.
     */
-  def userProperties(properties: util.Map[String, String]): Map[String, String] =
+  def userProperties(properties: util.Map[String, String]): Map[String, String] = {
+    require(!properties.containsKey("version"),
+      "GraftCatalog: table property 'version' is reserved (the manifest version)")
     properties.asScala.toMap.filterNot { case (k, _) =>
       ReservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
     }
+  }
 
   def validateProperties(properties: util.Map[String, String]): Unit = {
     val user = userProperties(properties)

@@ -128,30 +128,34 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
     StructType(manifest.partitionCols.map(c => full(full.fieldIndex(c))))
   }
 
-  /** Distinct live partition tuples as CATALYST values (UTF8String,
-    * Long, date-days …), decoded from the hive-escaped path segments
-    * with the same string→type cast Spark's own partition inference
-    * uses. Zero-row schema stubs are not partitions.
+  /** One hive path-segment tuple → CATALYST values (UTF8String, Long,
+    * date-days …), via the same string→type cast Spark's own partition
+    * inference uses — the single decode both partition surfaces share.
+    */
+  private def decodeTuple(ps: StructType, vals: Map[String, String]): Seq[Any] = {
+    val tz = Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    ps.fields.toSeq.map { fld =>
+      val raw = vals(fld.name)
+      if (raw == Snapshot.NullPartition) null
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType),
+        fld.dataType, tz).eval(null)
+    }
+  }
+
+  /** Distinct live partition tuples. Zero-row schema stubs are not
+    * partitions.
     */
   private def livePartitionTuples: Seq[Seq[Any]] = {
     val ps = partitionSchema()
-    val tz = Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     manifest.files
       .filter(f => manifest.stats.get(f).forall(_.rows > 0))
       .map(f => Snapshot.partitionValues(manifest.partitionCols, f))
       .filter(_.size == manifest.partitionCols.size)
       .distinct
-      .map { vals =>
-        ps.fields.toSeq.map { fld =>
-          val raw = vals(fld.name)
-          if (raw == Snapshot.NullPartition) null
-          else org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
-              org.apache.spark.sql.types.StringType),
-            fld.dataType, tz).eval(null)
-        }
-      }
+      .map(decodeTuple(ps, _))
   }
 
   override def listPartitionIdentifiers(names: Array[String],
@@ -205,21 +209,12 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
     */
   override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
     val ps = partitionSchema()
-    val tz = Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val want: Seq[Any] = ps.fields.toSeq.zipWithIndex.map { case (f, i) => ident.get(i, f.dataType) }
     var rows = 0L; var bytes = 0L
     manifest.files.foreach { f =>
       val vals = Snapshot.partitionValues(manifest.partitionCols, f)
       if (vals.size == manifest.partitionCols.size) {
-        val tuple: Seq[Any] = ps.fields.toSeq.map { fld =>
-          val raw = vals(fld.name)
-          if (raw == Snapshot.NullPartition) null
-          else org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
-              org.apache.spark.sql.types.StringType),
-            fld.dataType, tz).eval(null)
-        }
+        val tuple = decodeTuple(ps, vals)
         if (tuple.indices.forall(i => java.util.Objects.equals(tuple(i), want(i))))
           manifest.stats.get(f).foreach { st => rows += st.rows; bytes += st.bytes }
       }
@@ -379,6 +374,10 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
                 clusterBy = clusterBy, properties = tblProperties)
               else {
                 val m = Snapshot.latestManifest(spark, path).get
+                // declared policies must resolve against the
+                // REPLACEMENT schema BEFORE any commit
+                clusterBy.foreach(c => require(data.columns.contains(c),
+                  s"REPLACE: CLUSTER BY column $c not in the query schema"))
                 // a REPLACE with no PARTITIONED BY keeps the existing
                 // layout; with one, the layout EVOLVES atomically
                 // (layout is per manifest — time travel keeps each
@@ -392,9 +391,11 @@ private[catalog] final class StagedGraftTable(tableName: String, path: String,
                 if (clusterBy.nonEmpty &&
                     Snapshot.latestManifest(spark, path).get.clusterBy != clusterBy)
                   Snapshot.setClusterBy(spark, path, clusterBy)
-                // re-declared TBLPROPERTIES on the REPLACE upsert in
+                // REPLACE REDEFINES: a declared property set replaces
+                // the old one whole; declaring none keeps it
                 if (tblProperties.nonEmpty)
-                  Snapshot.setProperties(spark, path, tblProperties)
+                  Snapshot.setProperties(spark, path, tblProperties,
+                    unset = (m.properties.keySet -- tblProperties.keySet).toSeq.sorted)
               }
           }
         }

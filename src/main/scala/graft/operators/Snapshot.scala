@@ -1168,6 +1168,32 @@ object Snapshot {
   private[graft] def policyProp(m: Manifest, name: String): Option[String] =
     m.properties.get(s"graft.$name").map(_.trim).filter(_.nonEmpty)
 
+  /** A NUMERIC policy key — unparseable values throw at maintenance
+    * time rather than silently reverting to a default (a typo'd
+    * retention that silently falls back reclaims history the operator
+    * configured to keep; loud beats gone).
+    */
+  private[graft] def policyLong(m: Manifest, name: String): Option[Long] =
+    policyProp(m, name).map(v => v.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"table property graft.$name must be an integer, got '$v'")))
+
+  /** Bare-VACUUM entry honouring the TABLE's own retention policy
+    * (graft.vacuum.retainVersions / retainDays properties) — the one
+    * body both SQL routes call, so fleet-wide maintenance respects
+    * per-table rules everywhere. Explicit RETAIN clauses bypass this.
+    */
+  def vacuumPolicy(spark: SparkSession, path: String,
+                   dryRun: Boolean = false): Seq[String] = {
+    val m = latestManifest(spark, path)
+    val keepV = m.flatMap(policyLong(_, "vacuum.retainVersions")).map(_.toInt)
+    val keepDays = m.flatMap(policyLong(_, "vacuum.retainDays"))
+    vacuum(spark, path,
+      keepVersions = keepV.getOrElse(if (keepDays.isDefined) 1 else 2),
+      retainMicros = keepDays.map(_ * 86400L * 1000000L),
+      dryRun = dryRun)
+  }
+
   /** Declare (or clear, with Nil) the table's CLUSTERING columns:
     * metadata-only — the layout changes when the next [[compact]]
     * runs, which z-orders by these columns whenever the caller names
@@ -2444,8 +2470,7 @@ object Snapshot {
     // graft.optimize.targetBytes property > 128 MiB
     val targetBytesEff =
       if (targetBytes > 0L) targetBytes
-      else policyProp(m, "optimize.targetBytes").flatMap(_.toLongOption)
-        .filter(_ > 0L).getOrElse(128L << 20)
+      else policyLong(m, "optimize.targetBytes").filter(_ > 0L).getOrElse(128L << 20)
     val pCols = m.partitionCols
     val byPart = m.files.groupBy(f => partitionValues(pCols, f))
     // `where` scopes maintenance to the partitions whose TYPED values
@@ -2864,6 +2889,9 @@ object Snapshot {
     val qDir = fs.makeQualified(new HPath(dataDir))
     require(fs.exists(qDir), s"importParquet: no such directory: $dataDir")
     require(qDir.getParent != null, s"importParquet: cannot import a filesystem root")
+    require(fs.getUri == fsFor(spark, path).getUri,
+      s"importParquet: data directory and table root must share one filesystem " +
+        s"(${fs.getUri} vs ${fsFor(spark, path).getUri})")
     val parent = qDir.getParent.toString
     val dirName = qDir.getName
     // schema exactly as spark.read infers it (partition columns typed
@@ -2916,6 +2944,18 @@ object Snapshot {
     val qSrc = fsFor(spark, srcPath).makeQualified(new HPath(srcPath)).toString
     require(fsFor(spark, dstPath).makeQualified(new HPath(dstPath)).toString != qSrc,
       "shallowClone: source and destination are the same table")
+    // external refs are opened with the CLONE's filesystem — a source
+    // on another scheme/authority would fail every later read with
+    // Hadoop's "Wrong FS"; refuse at fork time instead
+    val dstFsUri = fsFor(spark, dstPath).getUri
+    def sameFs(root: String): Boolean = {
+      val u = new HPath(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).getUri
+      u == dstFsUri
+    }
+    require(sameFs(srcPath) && src.externalRoots.values.forall(sameFs),
+      s"shallowClone: source and destination must share one filesystem " +
+        s"(destination is $dstFsUri) — deep-copy across filesystems instead")
     // dense alias table: the source root itself plus any roots the
     // source (itself a clone) already references
     val roots = qSrc +: src.externalRoots.values.toSeq.distinct.filterNot(_ == qSrc)

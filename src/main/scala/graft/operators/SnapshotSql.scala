@@ -72,9 +72,12 @@ object SnapshotSql {
     case VacuumRe(ident, retain, unit) =>
       val path = pathOf(ident, tables)
       Option(unit).map(_.toUpperCase) match {
-        case Some("VERSIONS") | None =>
-          Snapshot.vacuum(spark, path,
-            keepVersions = Option(retain).map(_.toInt).getOrElse(2))
+        case None =>
+          // bare VACUUM: the table's own retention policy, same shared
+          // body the catalog dialect calls
+          Snapshot.vacuumPolicy(spark, path)
+        case Some("VERSIONS") =>
+          Snapshot.vacuum(spark, path, keepVersions = retain.toInt)
         case Some(timeUnit) =>
           // age-based retention: the latest version always survives;
           // everything younger than the horizon survives with it
@@ -603,6 +606,11 @@ object SnapshotSql {
         properties = properties)
     } else if (exists) {
       val m = Snapshot.latestManifest(spark, path).get
+      // validate the declared policies against the REPLACEMENT schema
+      // BEFORE any commit — a bad CLUSTER BY must fail the statement
+      // whole, never leave the table replaced with a stale policy
+      clusterBy.foreach(c => require(df.columns.contains(c),
+        s"Snapshot.sql REPLACE: CLUSTER BY column $c not in the query schema"))
       // no PARTITIONED BY keeps the existing layout; an explicit one
       // EVOLVES it atomically (per-manifest layout, time travel keeps
       // each version's own scheme)
@@ -614,8 +622,13 @@ object SnapshotSql {
       if (clusterBy.nonEmpty &&
           Snapshot.latestManifest(spark, path).get.clusterBy != clusterBy)
         Snapshot.setClusterBy(spark, path, clusterBy)
-      // re-declared TBLPROPERTIES on the REPLACE upsert in
-      if (properties.nonEmpty) Snapshot.setProperties(spark, path, properties)
+      // REPLACE REDEFINES the table: a declared TBLPROPERTIES set
+      // replaces the old one whole (standard lakehouse REPLACE
+      // semantics — stale policy keys must not silently outlive the
+      // redefinition); declaring none keeps the existing set
+      if (properties.nonEmpty)
+        Snapshot.setProperties(spark, path, properties,
+          unset = (m.properties.keySet -- properties.keySet).toSeq.sorted)
       Snapshot.latestVersion(spark, path).getOrElse(v)
     } else if (orCreate) {
       Snapshot.create(spark, path, df, pCols, genCols, clusterBy = clusterBy,

@@ -126,10 +126,95 @@ object GraftSqlParser {
 
   private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE", "CREATE")
 
-  /** Try the five maintenance shapes; None → not ours. */
+  // the two CREATE forms the dialect owns — a CREATE without these
+  // word pairs is vanilla Spark's and must never even be lexed (the
+  // session grammar allows comments and quoting shapes the dialect
+  // lexer does not)
+  private val CreateHint =
+    java.util.regex.Pattern.compile(
+      "(?is).*\\b(SHALLOW\\s+CLONE|FROM\\s+PARQUET)\\b.*")
+
+  /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` and
+    * `CREATE TABLE t FROM PARQUET '<dir>' [PARTITIONED BY (cols)]` —
+    * the CREATE forms vanilla SQL does not own. Returns None for any
+    * other CREATE shape. A recognised prefix with a malformed tail
+    * throws IllegalStateException so the refusal stays LOUD (the
+    * caller only swallows IllegalArgumentException, the lexer's
+    * cannot-tokenize signal).
+    */
+  private def parseCreateDialect(text: String): Option[LogicalPlan] = {
+    val toks = lex(text)
+    if (toks.isEmpty) return None
+    def loud(cond: Boolean, msg: => String): Unit =
+      if (!cond) throw new IllegalStateException(msg)
+    if (toks.length < 3 || !toks(0).is("CREATE") || !toks(1).is("TABLE")) return None
+    val (dstParts, i) = ident(toks, 2)
+    // CREATE TABLE t FROM PARQUET '<dir>' [PARTITIONED BY (cols)] —
+    // in-place import of an existing parquet directory, no rewrite
+    if (i + 2 < toks.length && toks(i).is("FROM") && toks(i + 1).is("PARQUET") &&
+        toks(i + 2).text.startsWith("'")) {
+      val dir = toks(i + 2).text.stripPrefix("'").stripSuffix("'").replace("''", "'")
+      var pCols = Seq.empty[String]
+      var k = i + 3
+      if (k < toks.length) {
+        loud(k + 2 < toks.length && toks(k).is("PARTITIONED") && toks(k + 1).is("BY") &&
+          toks(k + 2).text == "(",
+          s"cannot parse FROM PARQUET import (… [PARTITIONED BY (col, …)]): $text")
+        var j = k + 3
+        val cols = Seq.newBuilder[String]
+        while (j < toks.length && toks(j).text != ")") {
+          if (toks(j).text != ",") cols += ident(toks, j)._1.mkString(".")
+          j += 1
+        }
+        loud(j < toks.length, s"FROM PARQUET: unclosed PARTITIONED BY list in: $text")
+        loud(j + 1 == toks.length, s"FROM PARQUET: unexpected trailing text in: $text")
+        pCols = cols.result(); k = j + 1
+      }
+      return Some(maintCmdNew(s"IMPORT PARQUET ${dstParts.mkString(".")}") { (sp, dstPath) =>
+        graft.operators.Snapshot.importParquet(sp, dir, dstPath, pCols); Nil
+      }(dstParts))
+    }
+    if (i + 1 >= toks.length || !toks(i).is("SHALLOW") || !toks(i + 1).is("CLONE"))
+      return None
+    val (srcParts, j) = ident(toks, i + 2)
+    var ver = Option.empty[Long]
+    var k = j
+    if (k < toks.length) {
+      loud(k + 3 < toks.length && toks(k).is("VERSION") && toks(k + 1).is("AS") &&
+        toks(k + 2).is("OF"),
+        s"cannot parse SHALLOW CLONE statement (… [VERSION AS OF n]): $text")
+      ver = Some(toks(k + 3).text.toLongOption.getOrElse(
+        throw new IllegalStateException(
+          s"SHALLOW CLONE: VERSION AS OF needs an integer, got '${toks(k + 3).text}'")))
+      k += 4
+    }
+    loud(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
+    // nameParts = the SOURCE (the command's existence check applies
+    // to it); the destination resolves inside the body and must land
+    // in a graft catalog too
+    Some(maintCmd(s"SHALLOW CLONE ${srcParts.mkString(".")}") { (sp, srcPath) =>
+      val dstPath = GraftCatalogResolve.pathOf(sp, dstParts).getOrElse(
+        throw new UnsupportedOperationException(
+          s"SHALLOW CLONE: destination '${dstParts.mkString(".")}' " +
+            "must live in a graft catalog"))
+      graft.operators.Snapshot.shallowClone(sp, srcPath, dstPath, ver); Nil
+    }(srcParts))
+  }
+
+  /** Try the maintenance shapes; None → not ours. */
   private[plans] def parseMaintenance(sqlText: String,
                                       delegate: ParserInterface): Option[LogicalPlan] = {
     if (!Verbs.contains(firstWord(sqlText))) return None
+    if (firstWord(sqlText) == "CREATE") {
+      if (!CreateHint.matcher(sqlText).matches()) return None
+      // hint words inside a string literal of an otherwise-vanilla
+      // CREATE: if OUR lexer cannot even tokenize the text, the
+      // statement belongs to the session grammar — delegate, never
+      // crash it (shape mismatches below still delegate; a matched
+      // CLONE/IMPORT prefix with a malformed tail still refuses loudly)
+      return try parseCreateDialect(stripTrailingSemi(sqlText))
+      catch { case _: IllegalArgumentException => None }
+    }
     val text = stripTrailingSemi(sqlText)
     val toks = lex(text)
     if (toks.isEmpty) return None
@@ -153,18 +238,9 @@ object GraftSqlParser {
       def run(sp: SparkSession, path: String): Seq[String] = retain match {
         case None =>
           // a bare VACUUM consults the TABLE's own retention policy
-          // (graft.vacuum.retainVersions / retainDays properties), so
-          // one fleet-wide maintenance loop respects per-table rules;
-          // an explicit RETAIN clause always wins over the properties
-          val m = Snapshot.latestManifest(sp, path)
-          val keepV = m.flatMap(Snapshot.policyProp(_, "vacuum.retainVersions"))
-            .flatMap(_.toIntOption)
-          val keepDays = m.flatMap(Snapshot.policyProp(_, "vacuum.retainDays"))
-            .flatMap(_.toLongOption)
-          Snapshot.vacuum(sp, path,
-            keepVersions = keepV.getOrElse(if (keepDays.isDefined) 1 else 2),
-            retainMicros = keepDays.map(_ * 86400L * 1000000L),
-            dryRun = dry)
+          // through the shared body both SQL routes call; an explicit
+          // RETAIN clause always wins over the properties
+          Snapshot.vacuumPolicy(sp, path, dryRun = dry)
         case Some((n, unit)) =>
           if (unit.is("VERSIONS")) Snapshot.vacuum(sp, path, keepVersions = n.toInt, dryRun = dry)
           else if (unit.is("DAYS")) Snapshot.vacuum(sp, path, keepVersions = 1,
@@ -244,65 +320,6 @@ object GraftSqlParser {
           val df = if (detail) Snapshot.describeDetail(sp, path) else Snapshot.history(sp, path)
           df.collect().toSeq
       }(parts))
-    }
-
-    if (head.is("CREATE")) {
-      // CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n] — the one
-      // CREATE form vanilla SQL does not own. Anything else beginning
-      // with CREATE delegates untouched (the session parser owns the
-      // whole CREATE grammar).
-      if (toks.length < 3 || !toks(1).is("TABLE")) return None
-      val (dstParts, i) = ident(toks, 2)
-      // CREATE TABLE t FROM PARQUET '<dir>' [PARTITIONED BY (cols)] —
-      // in-place import of an existing parquet directory, no rewrite
-      if (i + 2 < toks.length && toks(i).is("FROM") && toks(i + 1).is("PARQUET") &&
-          toks(i + 2).text.startsWith("'")) {
-        val dir = toks(i + 2).text.stripPrefix("'").stripSuffix("'").replace("''", "'")
-        var pCols = Seq.empty[String]
-        var k = i + 3
-        if (k < toks.length) {
-          require(k + 2 < toks.length && toks(k).is("PARTITIONED") && toks(k + 1).is("BY") &&
-            toks(k + 2).text == "(",
-            s"cannot parse FROM PARQUET import (… [PARTITIONED BY (col, …)]): $text")
-          var j = k + 3
-          val cols = Seq.newBuilder[String]
-          while (j < toks.length && toks(j).text != ")") {
-            if (toks(j).text != ",") cols += ident(toks, j)._1.mkString(".")
-            j += 1
-          }
-          require(j < toks.length, s"FROM PARQUET: unclosed PARTITIONED BY list in: $text")
-          require(j + 1 == toks.length, s"FROM PARQUET: unexpected trailing text in: $text")
-          pCols = cols.result(); k = j + 1
-        }
-        return Some(maintCmdNew(s"IMPORT PARQUET ${dstParts.mkString(".")}") { (sp, dstPath) =>
-          graft.operators.Snapshot.importParquet(sp, dir, dstPath, pCols); Nil
-        }(dstParts))
-      }
-      if (i + 1 >= toks.length || !toks(i).is("SHALLOW") || !toks(i + 1).is("CLONE"))
-        return None
-      val (srcParts, j) = ident(toks, i + 2)
-      var ver = Option.empty[Long]
-      var k = j
-      if (k < toks.length) {
-        require(k + 3 < toks.length && toks(k).is("VERSION") && toks(k + 1).is("AS") &&
-          toks(k + 2).is("OF"),
-          s"cannot parse SHALLOW CLONE statement (… [VERSION AS OF n]): $text")
-        ver = Some(toks(k + 3).text.toLongOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"SHALLOW CLONE: VERSION AS OF needs an integer, got '${toks(k + 3).text}'")))
-        k += 4
-      }
-      require(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
-      // nameParts = the SOURCE (the command's existence check applies
-      // to it); the destination resolves inside the body and must land
-      // in a graft catalog too
-      return Some(maintCmd(s"SHALLOW CLONE ${srcParts.mkString(".")}") { (sp, srcPath) =>
-        val dstPath = GraftCatalogResolve.pathOf(sp, dstParts).getOrElse(
-          throw new UnsupportedOperationException(
-            s"SHALLOW CLONE: destination '${dstParts.mkString(".")}' " +
-              "must live in a graft catalog"))
-        graft.operators.Snapshot.shallowClone(sp, srcPath, dstPath, ver); Nil
-      }(srcParts))
     }
 
     if (head.is("RESTORE")) {

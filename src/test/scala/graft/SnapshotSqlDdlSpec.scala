@@ -63,8 +63,12 @@ class SnapshotSqlDdlSpec extends SparkSpec {
       .properties("graft.vacuum.retainDays") == "7")
     Snapshot.sql(spark,
       "CREATE OR REPLACE TABLE dest TBLPROPERTIES ('tier'='gold') AS SELECT * FROM src", reg)
+    // REPLACE REDEFINES: the declared set replaces the old one whole
     val m = Snapshot.latestManifest(spark, dest).get
-    assert(m.properties == Map("owner_team" -> "etl", "tier" -> "gold"))
+    assert(m.properties == Map("tier" -> "gold"))
+    // … while a REPLACE that declares NO properties keeps the set
+    Snapshot.sql(spark, "CREATE OR REPLACE TABLE dest AS SELECT * FROM src", reg)
+    assert(Snapshot.latestManifest(spark, dest).get.properties == Map("tier" -> "gold"))
   }
 
   test("FROM PARQUET import through the registry route") {
