@@ -175,6 +175,38 @@ class SnapshotCloneSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, fork)) == rows(fixture(0 until 300)))
   }
 
+  test("a clone of a bloom-indexed table prunes through external sidecars") {
+    val src = tmp("bsrc"); val dst = tmp("bdst")
+    // four files whose id ranges all overlap — min/max can't prune, so
+    // any skipping below must come from the (cloned) bloom sidecars
+    Snapshot.create(spark, src,
+      Seq((1L, "w1"), (101L, "w101"), (201L, "w201")).toDF("id", "w").repartition(1))
+    (2 to 4).foreach { k =>
+      Snapshot.append(spark, src,
+        Seq((k.toLong, s"w$k"), (k + 100L, s"w${k + 100}"), (k + 200L, s"w${k + 200}"))
+          .toDF("id", "w").repartition(1))
+    }
+    Snapshot.bloomIndex(spark, src, Seq("id"))
+    Snapshot.shallowClone(spark, src, dst)
+    val m = Snapshot.latestManifest(spark, dst).get
+    assert(m.blooms.nonEmpty && m.blooms.values.forall(_.file.startsWith("@")),
+      s"clone must carry the sidecar refs externally: ${m.blooms.values.take(2)}")
+    // bloom false positives legitimately KEEP extra files — assert
+    // real skipping happened, never an exact count
+    val (kept, total) = Snapshot.pruneFiles(spark, dst, col("id") === 103L)
+    assert(total == 4 && kept.size < total,
+      s"cloned bloom must still prune: kept ${kept.size} of $total")
+    assert(Snapshot.readWhere(spark, dst, col("id") === 103L)
+      .select("w").as[String].collect().toSeq == Seq("w103"))
+    // and building a FRESH index on the clone (external data files)
+    // writes sidecars under the CLONE's root
+    Snapshot.append(spark, dst, Seq((777L, "w777")).toDF("id", "w").repartition(1))
+    Snapshot.bloomIndex(spark, dst, Seq("id"))
+    val m2 = Snapshot.latestManifest(spark, dst).get
+    assert(m2.blooms.size == 5)
+    assert(Snapshot.readWhere(spark, dst, col("id") === 777L).count() == 1L)
+  }
+
   test("clone carries schema metadata: rename + constraints + clustering") {
     val src = tmp("msrc"); val dst = tmp("mdst")
     Snapshot.create(spark, src, fixture(0 until 200).repartition(1), Seq("p"),
