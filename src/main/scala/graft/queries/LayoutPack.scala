@@ -1309,6 +1309,45 @@ object LayoutPack extends QueryPack {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q145 = QueryDef.staged(
+    "q145_cluster_by_policy",
+    // oracle: the box rollup recomputed from the raw table — a
+    // z-order that loses/duplicates rows, or clustering keys that
+    // drift from the declared columns, shifts a group and fails
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           |FROM lineitem
+           |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 5 AND 60
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): a table DECLARED `CLUSTER BY (l_partkey,
+    // l_suppkey)` at create, then interleaved appends — every file
+    // covers the whole key space, so nothing is skippable until the
+    // declared layout policy is applied.
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q145").toString + "/t"
+    val base = t.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_returnflag"), col("l_quantity"))
+    Snapshot.create(t.spark, dir, base.where(col("l_orderkey") % 4 === 0).repartition(2),
+      clusterBy = Seq("l_partkey", "l_suppkey"))
+    (1 to 3).foreach(k => Snapshot.append(t.spark, dir,
+      base.where(col("l_orderkey") % 4 === k).repartition(2)))
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the nightly maintenance shape — a BARE OPTIMIZE with
+    // no per-statement knowledge z-orders by the table's own declared
+    // keys — then the box-predicate rollup the layout exists for. On
+    // 100 TB the fleet loop is `OPTIMIZE t` for every table; the
+    // table itself carries what that means.
+    import graft.operators.Snapshot
+    Snapshot.compact(t.spark, dir)
+    Snapshot.read(t.spark, dir)
+      .where(col("l_partkey").between(100, 400) && col("l_suppkey").between(5, 60))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145)
 }
