@@ -2515,7 +2515,7 @@ object Snapshot {
     val marked = byPart.filter { case (pv, fls) =>
       keepPart(pv) && (fls.size >= minFiles || fls.exists(m.dvs.contains))
     }
-    if (marked.isEmpty) return Nil
+    if (marked.isEmpty) { policyBloomRefresh(spark, path, m); return Nil }
     val markedFiles = marked.values.flatten.toSeq
     val bytes = markedFiles.map(fileBytes(spark, path, m, _)).sum
     val slice = readFiles(spark, path, m, Some(markedFiles))
@@ -2545,12 +2545,30 @@ object Snapshot {
           .drop("__z")
       }
     replaceFiles(spark, path, packed, markedFiles.toSet)
+    latestManifest(spark, path).foreach(policyBloomRefresh(spark, path, _))
     marked.keys.toSeq.map { pv =>
       if (pCols.isEmpty) ""
       else if (pCols.size == 1) pv(pCols.head)
       else pCols.map(c => s"$c=${pv(c)}").mkString("/")
     }.sorted
   }
+
+  /** The bloom leg of the nightly loop: when the table declares
+    * `graft.bloom.columns`, OPTIMIZE also (re)builds sidecars for any
+    * live file lacking them — [[bloomIndex]] is incremental, so this
+    * costs one pass over exactly the new/rewritten files and nothing
+    * when the index is current. Together with CLUSTER BY,
+    * graft.optimize.targetBytes and the vacuum retention properties,
+    * a fleet maintenance job needs ONE statement per table.
+    */
+  private def policyBloomRefresh(spark: SparkSession, path: String, m: Manifest): Unit =
+    policyProp(m, "bloom.columns").foreach { spec =>
+      val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val schema = StructType.fromDDL(m.schemaDdl)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"table property graft.bloom.columns names unknown column $c"))
+      if (cols.nonEmpty) bloomIndex(spark, path, cols)
+    }
 
   /** Swap EXACTLY `drop` (live files) for `replacement`'s rewrite in
     * one atomic commit — the file-precise core under [[compact]],

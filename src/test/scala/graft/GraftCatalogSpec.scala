@@ -672,6 +672,31 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](sql("CREATE TABLE g.db.vz (id INT) TBLPROPERTIES ('version'='9')"))
   }
 
+  test("OPTIMIZE maintains the bloom index when graft.bloom.columns is declared") {
+    sql("CREATE TABLE g.db.blm (id BIGINT, w STRING) TBLPROPERTIES " +
+      "('graft.bloom.columns'='id')")
+    // overlapping id ranges in every file: min/max can't prune
+    (0 until 4).foreach(k =>
+      sql(s"INSERT INTO g.db.blm SELECT id * 4 + $k, CONCAT('w', id * 4 + $k) " +
+        "FROM range(500)"))
+    val dir = s"$warehouse/db/blm"
+    assert(Snapshot.latestManifest(spark, dir).get.blooms.isEmpty)
+    // the nightly statement — no per-table knowledge — builds sidecars
+    sql("OPTIMIZE g.db.blm")
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.blooms.nonEmpty, "policy bloom refresh must have indexed the files")
+    assert(m.files.filter(f => m.stats.get(f).forall(_.rows > 0))
+      .forall(m.blooms.contains))
+    assert(sql("SELECT w FROM g.db.blm WHERE id = 1337").as[String].head() == "w1337")
+    // a later append + OPTIMIZE refreshes ONLY the new files
+    sql("INSERT INTO g.db.blm VALUES (99999, 'tail')")
+    sql("OPTIMIZE g.db.blm")
+    val m2 = Snapshot.latestManifest(spark, dir).get
+    assert(m2.files.filter(f => m2.stats.get(f).forall(_.rows > 0))
+      .forall(m2.blooms.contains))
+    assert(sql("SELECT w FROM g.db.blm WHERE id = 99999").as[String].head() == "tail")
+  }
+
   test("RENAME into a namespace named like the catalog itself") {
     sql("CREATE NAMESPACE IF NOT EXISTS g.g")
     sql("CREATE TABLE g.g.a (id BIGINT)")
