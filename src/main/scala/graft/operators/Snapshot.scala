@@ -3028,11 +3028,15 @@ object Snapshot {
       m.constraints.toSeq.sorted.map { case (n, p) => s"$n: $p" }.mkString("; "),
       m.generatedCols.toSeq.sorted.map { case (c, g) => s"$c: $g" }.mkString("; "),
       m.clusterBy.mkString(","),
-      m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("; ")))
+      m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("; "),
+      // external state: an operator retiring a clone/import source
+      // needs "is this table self-contained?" before every vacuum
+      m.files.count(_.startsWith("@")).toLong,
+      m.externalRoots.toSeq.sorted.map { case (a, r) => s"$a=$r" }.mkString("; ")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
         "num_bloom_files", "column_mapping", "constraints", "generated_cols",
-        "cluster_by", "properties")
+        "cluster_by", "properties", "num_external_files", "external_roots")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

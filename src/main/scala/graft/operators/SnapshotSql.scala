@@ -55,7 +55,7 @@ object SnapshotSql {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS)\s*)?;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)?(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(FULL\s*)?(?:WHERE\s+(.+?)\s*)?(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val DetailRe =
@@ -87,7 +87,7 @@ object SnapshotSql {
             retainMicros = Some(micros))
       }
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
-    case OptimizeRe(ident, whereText, zorder) =>
+    case OptimizeRe(ident, full, whereText, zorder) =>
       val path = pathOf(ident, tables)
       val zcols = Option(zorder).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -95,7 +95,8 @@ object SnapshotSql {
         refuseSubqueries(spark.sessionState.sqlParser.parseExpression(t), "OPTIMIZE WHERE")
         org.apache.spark.sql.functions.expr(t)
       }
-      Snapshot.compact(spark, path, zorderBy = zcols, where = where)
+      Snapshot.compact(spark, path, minFiles = if (full != null) 1 else 4,
+        zorderBy = zcols, where = where)
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
     case ImportRe(dst, dir, pcols) =>
       // in-place parquet import: zero bytes moved, footer stats only

@@ -263,7 +263,12 @@ object GraftSqlParser {
     }
 
     if (head.is("OPTIMIZE")) {
-      val (parts, i) = ident(toks, 1)
+      val (parts, i0) = ident(toks, 1)
+      // OPTIMIZE t FULL — every partition marks regardless of file
+      // count: the "localize this clone/import completely before its
+      // source retires" statement
+      val full = i0 < toks.length && toks(i0).is("FULL")
+      val i = if (full) i0 + 1 else i0
       // [WHERE <raw>] [ZORDER BY (cols)] — WHERE's raw tail runs to
       // ZORDER (or end); both clauses slice the original text
       val zorderAt = toks.indexWhere(_.is("ZORDER"), i)
@@ -296,7 +301,8 @@ object GraftSqlParser {
         org.apache.spark.sql.functions.expr(w)
       }
       return Some(maintCmd(s"OPTIMIZE ${parts.mkString(".")}") { (sp, path) =>
-        Snapshot.compact(sp, path, zorderBy = zcols, where = where); Nil
+        Snapshot.compact(sp, path, minFiles = if (full) 1 else 4,
+          zorderBy = zcols, where = where); Nil
       }(parts))
     }
 
@@ -368,7 +374,8 @@ object GraftSqlParser {
     "version BIGINT, committed_at_micros BIGINT, num_files BIGINT, num_rows BIGINT, " +
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +
       "deletion_vector_rows BIGINT, num_bloom_files BIGINT, column_mapping STRING, " +
-      "constraints STRING, generated_cols STRING, cluster_by STRING, properties STRING")
+      "constraints STRING, generated_cols STRING, cluster_by STRING, properties STRING, " +
+      "num_external_files BIGINT, external_roots STRING")
 
   private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
       parts: Seq[String]): LogicalPlan =

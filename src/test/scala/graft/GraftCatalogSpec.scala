@@ -697,6 +697,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT w FROM g.db.blm WHERE id = 99999").as[String].head() == "tail")
   }
 
+  test("OPTIMIZE FULL localizes a clone so its source can retire") {
+    sql("CREATE TABLE g.db.fsrc (id BIGINT, w STRING)")
+    sql("INSERT INTO g.db.fsrc SELECT /*+ REPARTITION(1) */ id, CONCAT('w', id) " +
+      "FROM range(500)")
+    sql("CREATE TABLE g.db.ffork SHALLOW CLONE g.db.fsrc")
+    val dir = s"$warehouse/db/ffork"
+    // below the compaction threshold: a bare OPTIMIZE leaves the
+    // external refs in place …
+    sql("OPTIMIZE g.db.ffork")
+    assert(Snapshot.latestManifest(spark, dir).get.files.exists(_.startsWith("@")))
+    val detail = sql("DESCRIBE DETAIL g.db.ffork")
+    assert(detail.select("num_external_files").as[Long].head() > 0L)
+    assert(detail.select("external_roots").as[String].head().nonEmpty)
+    // … OPTIMIZE FULL marks every partition regardless of file count:
+    // the localize-before-retiring-the-source statement
+    sql("OPTIMIZE g.db.ffork FULL")
+    val m = Snapshot.latestManifest(spark, dir).get
+    assert(m.files.nonEmpty && m.files.forall(!_.startsWith("@")),
+      s"FULL must localize everything: ${m.files.take(3)}")
+    assert(sql("DESCRIBE DETAIL g.db.ffork")
+      .select("num_external_files").as[Long].head() == 0L)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.ffork").as[Long].head() == 500L)
+  }
+
   test("RENAME into a namespace named like the catalog itself") {
     sql("CREATE NAMESPACE IF NOT EXISTS g.g")
     sql("CREATE TABLE g.g.a (id BIGINT)")
