@@ -1130,6 +1130,14 @@ object Snapshot {
       s"create: CLUSTER BY column $c not in the schema"))
     clusterBy.foreach(c => require(!partitionCols.contains(c),
       s"create: $c is a partition column — it is already clustered by layout"))
+    // engine-read policy properties validate at declaration time
+    locally {
+      val probe = Manifest(0L, partitionCols, ddl, Nil, properties = properties)
+      bloomPolicyCols(probe).foreach(_ => ())
+      policyLong(probe, "vacuum.retainVersions")
+      policyLong(probe, "vacuum.retainDays")
+      policyLong(probe, "optimize.targetBytes")
+    }
     val files = writeTxnFiles(full, path, partitionCols)
     commitManifest(spark, path, Manifest(1L, partitionCols, ddl, files,
       statsFor(spark, path, files, ddl, partitionCols),
@@ -1155,6 +1163,12 @@ object Snapshot {
       val m = latestManifest(spark, path).getOrElse(
         throw new IllegalArgumentException(s"not a snapshot table: $path"))
       val next = (m.properties -- unset) ++ set
+      // engine-read policy keys validate where they are SET, not first
+      // at the nightly OPTIMIZE that consumes them
+      bloomPolicyCols(m.copy(properties = next)).foreach(_ => ())
+      policyLong(m.copy(properties = next), "vacuum.retainVersions")
+      policyLong(m.copy(properties = next), "vacuum.retainDays")
+      policyLong(m.copy(properties = next), "optimize.targetBytes")
       if (next == m.properties) return m.version
       try return commitManifest(spark, path, m.copy(version = m.version + 1,
         operation = if (set.nonEmpty) "SET TBLPROPERTIES" else "UNSET TBLPROPERTIES",
@@ -1474,6 +1488,7 @@ object Snapshot {
       try return commitManifest(spark, path,
         m.copy(version = m.version + 1, operation = "RENAME COLUMN",
           clusterBy = m.clusterBy.map(c => if (c == from) to else c),
+          properties = renameInBloomPolicy(m.properties, from, to),
           schemaDdl = ddl, colMap = map))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1558,6 +1573,7 @@ object Snapshot {
       try return commitManifest(spark, path,
         m.copy(version = m.version + 1, operation = "DROP COLUMN", schemaDdl = ddl,
           clusterBy = m.clusterBy.filterNot(_ == name),
+          properties = dropFromBloomPolicy(m.properties, name),
           colMap = m.colMap - name, retired = (m.retired :+ phys).distinct))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -2459,10 +2475,16 @@ object Snapshot {
     * the marked slice. Clustering changes layout only, never values.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 0L,
-              minFiles: Int = 4, zorderBy: Seq[String] = Nil,
+              minFiles: Int = 0, zorderBy: Seq[String] = Nil,
               where: Option[Column] = None): Seq[String] = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    // 0 = the library default (4): SQL routes pass the sentinel so the
+    // default lives in exactly one place
+    val minFilesEff = if (minFiles > 0) minFiles else 4
+    // a malformed bloom policy must fail the statement BEFORE any
+    // commit, same as every other pre-commit validation
+    bloomPolicyCols(m).foreach(_ => ())
     // the table's declared CLUSTER BY is the default layout policy; an
     // explicit ZORDER BY on the statement still overrides it
     val zorderCols = if (zorderBy.nonEmpty) zorderBy else m.clusterBy
@@ -2513,7 +2535,7 @@ object Snapshot {
     // how deletion vectors FOLD AWAY (the rewrite reads live rows, so
     // the new files carry no vector and the native scan path returns)
     val marked = byPart.filter { case (pv, fls) =>
-      keepPart(pv) && (fls.size >= minFiles || fls.exists(m.dvs.contains))
+      keepPart(pv) && (fls.size >= minFilesEff || fls.exists(m.dvs.contains))
     }
     if (marked.isEmpty) { policyBloomRefresh(spark, path, m); return Nil }
     val markedFiles = marked.values.flatten.toSeq
@@ -2553,6 +2575,40 @@ object Snapshot {
     }.sorted
   }
 
+  /** Parse-and-validate `graft.bloom.columns` against the manifest's
+    * schema. LOUD on a content-free spec or an unknown column (the
+    * policy contract: a typo must never silently disable the index).
+    * Column names are case-sensitive, like every other manifest name.
+    */
+  private[graft] def bloomPolicyCols(m: Manifest): Option[Seq[String]] =
+    policyProp(m, "bloom.columns").map { spec =>
+      val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty,
+        s"table property graft.bloom.columns names no columns: '$spec'")
+      val schema = StructType.fromDDL(m.schemaDdl)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"table property graft.bloom.columns names unknown column $c"))
+      cols
+    }
+
+  /** Policy keys name LOGICAL columns, so DDL that renames or drops a
+    * column rewrites them coherently — exactly like clusterBy.
+    */
+  private def renameInBloomPolicy(props: Map[String, String],
+                                  from: String, to: String): Map[String, String] =
+    props.get("graft.bloom.columns").fold(props) { spec =>
+      props + ("graft.bloom.columns" -> spec.split(",").map(_.trim)
+        .filter(_.nonEmpty).map(c => if (c == from) to else c).mkString(","))
+    }
+
+  private def dropFromBloomPolicy(props: Map[String, String],
+                                  name: String): Map[String, String] =
+    props.get("graft.bloom.columns").fold(props) { spec =>
+      val left = spec.split(",").map(_.trim).filter(_.nonEmpty).filterNot(_ == name)
+      if (left.isEmpty) props - "graft.bloom.columns"
+      else props + ("graft.bloom.columns" -> left.mkString(","))
+    }
+
   /** The bloom leg of the nightly loop: when the table declares
     * `graft.bloom.columns`, OPTIMIZE also (re)builds sidecars for any
     * live file lacking them — [[bloomIndex]] is incremental, so this
@@ -2562,13 +2618,7 @@ object Snapshot {
     * a fleet maintenance job needs ONE statement per table.
     */
   private def policyBloomRefresh(spark: SparkSession, path: String, m: Manifest): Unit =
-    policyProp(m, "bloom.columns").foreach { spec =>
-      val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val schema = StructType.fromDDL(m.schemaDdl)
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"table property graft.bloom.columns names unknown column $c"))
-      if (cols.nonEmpty) bloomIndex(spark, path, cols)
-    }
+    bloomPolicyCols(m).foreach(cols => bloomIndex(spark, path, cols))
 
   /** Swap EXACTLY `drop` (live files) for `replacement`'s rewrite in
     * one atomic commit — the file-precise core under [[compact]],
@@ -3029,10 +3079,20 @@ object Snapshot {
       m.generatedCols.toSeq.sorted.map { case (c, g) => s"$c: $g" }.mkString("; "),
       m.clusterBy.mkString(","),
       m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("; "),
-      // external state: an operator retiring a clone/import source
-      // needs "is this table self-contained?" before every vacuum
+      // external state: num_external_files is the LATEST manifest's
+      // count; external_roots lists roots referenced by ANY retained
+      // manifest — time travel and RESTORE keep old versions readable,
+      // so a source is retire-safe only when THIS is empty (OPTIMIZE
+      // FULL localizes the latest; a VACUUM that drops the pre-FULL
+      // manifests severs the rest)
       m.files.count(_.startsWith("@")).toLong,
-      m.externalRoots.toSeq.sorted.map { case (a, r) => s"$a=$r" }.mkString("; ")))
+      versions(spark, path).flatMap { v =>
+        val mv = manifest(spark, path, v)
+        (mv.files ++ mv.dvs.values.map(_.file) ++ mv.blooms.values.map(_.file))
+          .filter(_.startsWith("@"))
+          .map(f => f.substring(1, f.indexOf('/'))).distinct
+          .flatMap(mv.externalRoots.get)
+      }.distinct.sorted.mkString("; ")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
         "num_bloom_files", "column_mapping", "constraints", "generated_cols",

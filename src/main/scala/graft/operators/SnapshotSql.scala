@@ -95,7 +95,7 @@ object SnapshotSql {
         refuseSubqueries(spark.sessionState.sqlParser.parseExpression(t), "OPTIMIZE WHERE")
         org.apache.spark.sql.functions.expr(t)
       }
-      Snapshot.compact(spark, path, minFiles = if (full != null) 1 else 4,
+      Snapshot.compact(spark, path, minFiles = if (full != null) 1 else 0,
         zorderBy = zcols, where = where)
       Some(Snapshot.latestVersion(spark, path).getOrElse(0L))
     case ImportRe(dst, dir, pcols) =>
@@ -470,7 +470,8 @@ object SnapshotSql {
     */
   private def isQueryStatement(spark: SparkSession, stmt: String): Boolean = stmt match {
     case HistoryRe(_) | DetailRe(_) => true
-    case VacuumRe(_, _, _) | OptimizeRe(_, _, _) | RestoreRe(_, _, _) => false
+    case VacuumRe(_, _, _) | OptimizeRe(_, _, _, _) | RestoreRe(_, _, _) |
+         CloneRe(_, _, _) | ImportRe(_, _, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

@@ -301,7 +301,7 @@ object GraftSqlParser {
         org.apache.spark.sql.functions.expr(w)
       }
       return Some(maintCmd(s"OPTIMIZE ${parts.mkString(".")}") { (sp, path) =>
-        Snapshot.compact(sp, path, minFiles = if (full) 1 else 4,
+        Snapshot.compact(sp, path, minFiles = if (full) 1 else 0,
           zorderBy = zcols, where = where); Nil
       }(parts))
     }

@@ -716,8 +716,17 @@ class GraftCatalogSpec extends SparkSpec {
     val m = Snapshot.latestManifest(spark, dir).get
     assert(m.files.nonEmpty && m.files.forall(!_.startsWith("@")),
       s"FULL must localize everything: ${m.files.take(3)}")
+    val d2 = sql("DESCRIBE DETAIL g.db.ffork")
+    assert(d2.select("num_external_files").as[Long].head() == 0L)
+    // honesty: RETAINED manifests still reference the source (time
+    // travel to pre-FULL versions reads source files) — external_roots
+    // stays non-empty until a vacuum drops those versions
+    assert(d2.select("external_roots").as[String].head().nonEmpty,
+      "retained pre-FULL versions still depend on the source")
+    sql("VACUUM g.db.ffork RETAIN 1 VERSIONS")
     assert(sql("DESCRIBE DETAIL g.db.ffork")
-      .select("num_external_files").as[Long].head() == 0L)
+      .select("external_roots").as[String].head().isEmpty,
+      "after the vacuum severs old versions the table is self-contained")
     assert(sql("SELECT COUNT(*) AS n FROM g.db.ffork").as[Long].head() == 500L)
   }
 
