@@ -21,7 +21,10 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
     "TIMESTAMP", "AS", "OF", "TABLE", "vacuum", "describe", "history",
     "detail", "t", "g", "db", ".", ",", "(", ")", ";", "=", "`q`",
     "'x'", "'it''s'", "7", "1996", "DAYS", "HOURS", "VERSIONS", "v",
-    "`", "'", "%")
+    "`", "'", "%",
+    // round-10 CREATE dialect forms + FULL
+    "CREATE", "SHALLOW", "CLONE", "FROM", "PARQUET", "PARTITIONED", "FULL",
+    "create", "shallow", "clone", "'/tmp/x'")
 
   private val statement: Gen[String] =
     Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
@@ -40,6 +43,7 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
         // the dialect's own refusals, and the session parser's for the
         // free-text OPTIMIZE WHERE / RESTORE tails it delegates
         case _: IllegalArgumentException => refused += 1
+        case _: IllegalStateException => refused += 1 // CREATE-dialect loud refusal
         case _: org.apache.spark.sql.AnalysisException => refused += 1
         case e: Throwable =>
           fail(s"parseMaintenance crashed on <$text>: ${e.getClass.getName}: ${e.getMessage}")
@@ -61,11 +65,21 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
       "DESCRIBE HISTORY g.db.t",
       "DESCRIBE DETAIL t",
       "RESTORE TABLE t TO VERSION AS OF 3",
-      "RESTORE t TO TIMESTAMP AS OF '2026-01-01 00:00:00'")
+      "RESTORE t TO TIMESTAMP AS OF '2026-01-01 00:00:00'",
+      "OPTIMIZE g.db.t FULL",
+      "CREATE TABLE g.db.a SHALLOW CLONE g.db.b",
+      "CREATE TABLE a SHALLOW CLONE b VERSION AS OF 4",
+      "CREATE TABLE t FROM PARQUET '/tmp/x'",
+      "CREATE TABLE t FROM PARQUET '/tmp/x' PARTITIONED BY (p, q)")
     good.foreach(s => assert(GraftSqlParser.parseMaintenance(s, delegate).isDefined,
       s"must parse as maintenance: $s"))
     // and vanilla statements starting with a shared verb delegate
-    Seq("DESCRIBE history", "DESCRIBE history.orders", "DESCRIBE TABLE t")
+    Seq("DESCRIBE history", "DESCRIBE history.orders", "DESCRIBE TABLE t",
+      // vanilla CREATE delegates even with dialect hint words in
+      // literals or comments the dialect lexer cannot tokenize
+      "CREATE TABLE t (id INT)",
+      "CREATE TABLE t AS SELECT 'shallow clone from parquet' AS s",
+      "CREATE TABLE t (id INT) -- don't shallow clone this")
       .foreach(s => assert(GraftSqlParser.parseMaintenance(s, delegate).isEmpty,
         s"must delegate to the session parser: $s"))
   }
