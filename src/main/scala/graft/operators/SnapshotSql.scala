@@ -780,6 +780,11 @@ object SnapshotSql {
     val (sNames, source) = resolveSource(spark, m.sourceTable, tables)
     require(m.notMatchedBySourceActions.isEmpty,
       "Snapshot.sql MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+    // refuse LOUDLY (like the catalog route) rather than silently run
+    // the merge without evolving — a dropped flag is a silent wrong
+    require(!m.withSchemaEvolution,
+      "Snapshot.sql MERGE: WITH SCHEMA EVOLUTION is not supported — " +
+        "ALTER TABLE ... ADD COLUMNS first, then merge")
     val idCol = m.mergeCondition match {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         val all = tNames ++ sNames
