@@ -780,11 +780,20 @@ object SnapshotSql {
     val (sNames, source) = resolveSource(spark, m.sourceTable, tables)
     require(m.notMatchedBySourceActions.isEmpty,
       "Snapshot.sql MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-    // refuse LOUDLY (like the catalog route) rather than silently run
-    // the merge without evolving — a dropped flag is a silent wrong
-    require(!m.withSchemaEvolution,
-      "Snapshot.sql MERGE: WITH SCHEMA EVOLUTION is not supported — " +
-        "ALTER TABLE ... ADD COLUMNS first, then merge")
+    // WITH SCHEMA EVOLUTION: source columns the target lacks become a
+    // metadata-only ADD COLUMNS commit before the merge — the standard
+    // lakehouse evolving-upsert, and on this engine exactly the ALTER a
+    // user would otherwise write by hand (pre-evolution files read the
+    // new columns as null; nothing rewrites)
+    if (m.withSchemaEvolution) {
+      val mf = Snapshot.latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val have = StructType.fromDDL(mf.schemaDdl).fieldNames.toSet
+      val extra = source.schema.fields.filterNot(f => have.contains(f.name))
+      if (extra.nonEmpty) Snapshot.addColumns(spark, path,
+        extra.map(f => org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, nullable = true)).toSeq)
+    }
     val idCol = m.mergeCondition match {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         val all = tNames ++ sNames

@@ -187,7 +187,9 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
           if (notMatchedBySource.nonEmpty) throw new UnsupportedOperationException(
             "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
           if (withSchemaEvolution.asInstanceOf[Boolean]) throw new UnsupportedOperationException(
-            "graft MERGE: WITH SCHEMA EVOLUTION is not supported")
+            "graft MERGE: WITH SCHEMA EVOLUTION is not supported by name — " +
+              "ALTER TABLE ... ADD COLUMNS first, then merge (the registry " +
+              "route, Snapshot.sql, evolves automatically)")
           val tAttrs = targetRel.outputSet
           val sAttrs = AttributeSet(sourceP.output)
           val (tAlias, sAlias) = ("__graft_t", "__graft_s")

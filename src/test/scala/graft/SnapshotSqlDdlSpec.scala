@@ -81,6 +81,29 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, table).get.partitionCols == Seq("p"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target, then upserts") {
+    val dir = tmp("mse"); val src = tmp("mse-src")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    // source carries an EXTRA column w the target lacks
+    Snapshot.create(spark, src,
+      (8 until 14).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd",
+        i.toLong * 10 + 5, s"w$i")).toDF("id", "p", "v", "w"))
+    val reg = Map("t" -> dir, "s" -> src)
+    Snapshot.sql(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, reg)
+    val out = Snapshot.read(spark, dir)
+    assert(out.columns.toSeq == Seq("id", "p", "v", "w"))
+    assert(out.count() == 14L)
+    // matched rows took the source values incl. the new column …
+    assert(out.where(col("id") === 9L).select("v", "w")
+      .as[(Long, String)].head() == ((95L, "w9")))
+    // … untouched pre-evolution rows read the new column as null
+    assert(out.where(col("id") === 3L).select("w").as[String].head() == null)
+    assert(out.where(col("id") === 13L).select("w").as[String].head() == "w13")
+  }
+
   test("SHALLOW CLONE through the registry route") {
     val src = tmp("clone-src"); val dst = tmp("clone-dst")
     Snapshot.create(spark, src, fixture(0 until 100), Seq("p"))
