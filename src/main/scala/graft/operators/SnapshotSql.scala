@@ -63,7 +63,7 @@ object SnapshotSql {
   private val ImportRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+FROM\s+PARQUET\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*)?;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*;?\s*""".r
 
@@ -102,11 +102,21 @@ object SnapshotSql {
       // in-place parquet import: zero bytes moved, footer stats only
       Some(Snapshot.importParquet(spark, dir, pathOf(dst, tables),
         Option(pcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
-    case CloneRe(dst, src, ver) =>
+    case CloneRe(dst, src, ver, ts) =>
       // zero-copy fork: the clone manifest references the source's
       // files as external refs — no data moves
-      Some(Snapshot.shallowClone(spark, pathOf(src, tables), pathOf(dst, tables),
-        Option(ver).map(_.toLong)))
+      val srcPath = pathOf(src, tables)
+      val pinned = (Option(ver), Option(ts)) match {
+        case (Some(v), _) => Some(v.toLong)
+        case (None, Some(raw)) =>
+          val micros = evalTimestampMicros(spark,
+            spark.sessionState.sqlParser.parseExpression(raw))
+          Some(Snapshot.versionAtTimestamp(spark, srcPath, micros).getOrElse(
+            throw new IllegalArgumentException(
+              s"Snapshot.sql SHALLOW CLONE: no version of $src at or before $raw")))
+        case _ => None
+      }
+      Some(Snapshot.shallowClone(spark, srcPath, pathOf(dst, tables), pinned))
     case RestoreRe(ident, kind, raw) =>
       val path = pathOf(ident, tables)
       val version = kind.toUpperCase match {
@@ -471,7 +481,7 @@ object SnapshotSql {
   private def isQueryStatement(spark: SparkSession, stmt: String): Boolean = stmt match {
     case HistoryRe(_) | DetailRe(_) => true
     case VacuumRe(_, _, _) | OptimizeRe(_, _, _, _) | RestoreRe(_, _, _) |
-         CloneRe(_, _, _) | ImportRe(_, _, _) => false
+         CloneRe(_, _, _, _) | ImportRe(_, _, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

@@ -178,17 +178,26 @@ object GraftSqlParser {
       return None
     val (srcParts, j) = ident(toks, i + 2)
     var ver = Option.empty[Long]
+    var tsRaw = Option.empty[String]
     var k = j
     if (k < toks.length) {
-      loud(k + 3 < toks.length && toks(k).is("VERSION") && toks(k + 1).is("AS") &&
-        toks(k + 2).is("OF"),
-        s"cannot parse SHALLOW CLONE statement (… [VERSION AS OF n]): $text")
-      ver = Some(toks(k + 3).text.toLongOption.getOrElse(
-        throw new IllegalStateException(
-          s"SHALLOW CLONE: VERSION AS OF needs an integer, got '${toks(k + 3).text}'")))
-      k += 4
+      loud(k + 3 < toks.length && toks(k + 1).is("AS") && toks(k + 2).is("OF") &&
+        (toks(k).is("VERSION") || toks(k).is("TIMESTAMP")),
+        s"cannot parse SHALLOW CLONE statement (… [VERSION|TIMESTAMP AS OF …]): $text")
+      if (toks(k).is("VERSION")) {
+        ver = Some(toks(k + 3).text.toLongOption.getOrElse(
+          throw new IllegalStateException(
+            s"SHALLOW CLONE: VERSION AS OF needs an integer, got '${toks(k + 3).text}'")))
+        k += 4
+        loud(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
+      } else {
+        // TIMESTAMP AS OF takes the free-text tail — any timestamp
+        // expression the session evaluates (same as RESTORE)
+        val raw = text.substring(toks(k + 2).end).trim
+        loud(raw.nonEmpty, s"SHALLOW CLONE: missing timestamp in: $text")
+        tsRaw = Some(raw); k = toks.length
+      }
     }
-    loud(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
     // nameParts = the SOURCE (the command's existence check applies
     // to it); the destination resolves inside the body and must land
     // in a graft catalog too
@@ -197,7 +206,15 @@ object GraftSqlParser {
         throw new UnsupportedOperationException(
           s"SHALLOW CLONE: destination '${dstParts.mkString(".")}' " +
             "must live in a graft catalog"))
-      graft.operators.Snapshot.shallowClone(sp, srcPath, dstPath, ver); Nil
+      val pinned = tsRaw match {
+        case None => ver
+        case Some(raw) =>
+          val micros = evalTimestampMicros(sp, raw)
+          Some(Snapshot.versionAtTimestamp(sp, srcPath, micros).getOrElse(
+            throw new IllegalArgumentException(
+              s"SHALLOW CLONE: no version committed at or before $raw")))
+      }
+      graft.operators.Snapshot.shallowClone(sp, srcPath, dstPath, pinned); Nil
     }(srcParts))
   }
 

@@ -615,6 +615,12 @@ class GraftCatalogSpec extends SparkSpec {
     // a version-pinned clone forks the PAST
     sql("CREATE TABLE g.db.cdst1 SHALLOW CLONE g.db.csrc VERSION AS OF 2")
     assert(sql("SELECT COUNT(*) AS n FROM g.db.cdst1").as[Long].head() == 1000L)
+    // and TIMESTAMP AS OF pins by commit time (same free-text tail as
+    // RESTORE — any timestamp expression the session evaluates)
+    val v2micros = Snapshot.manifest(spark, s"$warehouse/db/csrc", 2L).committedAtMicros
+    sql("CREATE TABLE g.db.cdst2 SHALLOW CLONE g.db.csrc " +
+      s"TIMESTAMP AS OF timestamp_micros(${v2micros}L)")
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.cdst2").as[Long].head() == 1000L)
     // divergence: writes to the clone never touch the source
     sql("INSERT INTO g.db.cdst VALUES (9999, 'x')")
     sql("DELETE FROM g.db.cdst WHERE id = 0")

@@ -105,12 +105,19 @@ class SnapshotSqlDdlSpec extends SparkSpec {
   }
 
   test("SHALLOW CLONE through the registry route") {
-    val src = tmp("clone-src"); val dst = tmp("clone-dst")
+    val src = tmp("clone-src"); val dst = tmp("clone-dst"); val dts = tmp("clone-dts")
     Snapshot.create(spark, src, fixture(0 until 100), Seq("p"))
-    val reg = Map("src" -> src, "dst" -> dst)
+    val reg = Map("src" -> src, "dst" -> dst, "dts" -> dts)
     Snapshot.sql(spark, "CREATE TABLE dst SHALLOW CLONE src", reg)
     assert(rows(Snapshot.read(spark, dst)) == rows(fixture(0 until 100)))
     assert(Snapshot.latestManifest(spark, dst).get.files.forall(_.startsWith("@")))
+    // TIMESTAMP AS OF pins the fork to the version live at that time
+    val v1micros = Snapshot.latestManifest(spark, src).get.committedAtMicros
+    Snapshot.append(spark, src, fixture(100 until 120))
+    Snapshot.sql(spark,
+      s"CREATE TABLE dts SHALLOW CLONE src TIMESTAMP AS OF timestamp_micros(${v1micros}L)",
+      reg)
+    assert(rows(Snapshot.read(spark, dts)) == rows(fixture(0 until 100)))
   }
 
   test("CREATE OR REPLACE is the WRITE_TRUNCATE materialization, history kept") {
