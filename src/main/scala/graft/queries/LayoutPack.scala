@@ -1348,6 +1348,49 @@ object LayoutPack extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  val q146 = QueryDef.staged(
+    "q146_merge_schema_evolution",
+    // oracle: the post-merge table recomputed from the raw rows — the
+    // flag column exists exactly for the source's keys, every key
+    // appears once, prices are untouched; a merge that dropped the
+    // evolution (flag all-null), duplicated keys, or leaked the widen
+    // into the wrong rows fails
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  CAST(COUNT(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey <= 200
+           |    THEN 1 END) AS BIGINT) AS flagged
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the target holds 2/3 of the fact; the late
+    // feed carries the rest PLUS an overlap, and a column the target
+    // has never seen — the evolving-upsert shape every landing
+    // pipeline eventually hits.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q146").toString
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    Snapshot.create(t.spark, s"$root/t",
+      base.where(col("o_orderkey") % 3 =!= 0).repartition(4))
+    Snapshot.create(t.spark, s"$root/s",
+      base.where(col("o_orderkey") % 3 === 0 || col("o_orderkey") <= 200)
+        .withColumn("ingest_tag", lit("late")))
+    root
+  } { (t, root: String) =>
+    // MEASURED: the literal evolving MERGE — one metadata-only ADD
+    // COLUMNS (no file rewritten; pre-evolution rows read the new
+    // column as null), then the standard partition-restricted upsert —
+    // and the rollup proving both sides landed.
+    import graft.operators.Snapshot
+    val reg = Map("t" -> s"$root/t", "s" -> s"$root/s")
+    Snapshot.sql(t.spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, reg)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(COUNT(ingest_tag) AS BIGINT) AS flagged
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
 }
