@@ -526,8 +526,8 @@ object SnapshotStats {
     * folded from per-file stats. Requires usable stats (min/max/nulls)
     * for every requested column in every live file.
     */
-  private[operators] def metadataAgg(spark: SparkSession, m: Snapshot.Manifest,
-                                     cols: Seq[String]): DataFrame = {
+  private[graft] def metadataAgg(spark: SparkSession, m: Snapshot.Manifest,
+                                 cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "metadataAgg needs at least one column")
     val schema = StructType.fromDDL(m.schemaDdl)
     // file stats key on PHYSICAL names; callers ask in logical names

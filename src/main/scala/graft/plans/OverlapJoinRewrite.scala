@@ -135,6 +135,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectOptimizerRule(session => OverlapJoinRewrite(session))
     ext.injectOptimizerRule(session => NanosTsPushdown(session))
     ext.injectOptimizerRule(session => FuzzyJoinRewrite(session))
+    ext.injectOptimizerRule(session => MetadataAggRewrite(session))
     // GraftCatalog support: DML capture FIRST (it must lift a whole
     // UPDATE/MERGE before the read rewrite touches its target), then
     // the native-scan read rewrite, then the maintenance-verb dialect

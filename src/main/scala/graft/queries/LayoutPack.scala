@@ -1391,6 +1391,51 @@ object LayoutPack extends QueryPack {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q147 = QueryDef.staged(
+    "q147_metadata_only_agg",
+    // oracle: the same whole-table aggregate over the raw rows — a
+    // stats fold that missed a commit, double-counted a file, or
+    // decoded a bound wrong shifts a value and fails the gate
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(MIN(o_orderkey) AS BIGINT) AS mn_key,
+           |  CAST(MAX(o_orderkey) AS BIGINT) AS mx_key,
+           |  MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status,
+           |  CAST(MIN(o_totalprice) AS DOUBLE) AS mn_price,
+           |  CAST(MAX(o_totalprice) AS DOUBLE) AS mx_price
+           |FROM orders""".stripMargin)) { t =>
+    // FIXTURE (untimed): the fact landed as three commits — the table
+    // state the reference's incremental DAGs probe before every
+    // extract ("how far did the last load get? how many rows?").
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q147").toString + "/t"
+    val base = t.orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Snapshot.create(t.spark, dir, base.where(col("o_orderkey") % 3 === 0).repartition(2))
+    Snapshot.append(t.spark, dir, base.where(col("o_orderkey") % 3 === 1).repartition(2))
+    Snapshot.append(t.spark, dir, base.where(col("o_orderkey") % 3 === 2).repartition(2))
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the watermark probe as plain SQL — and it must plan
+    // METADATA-ONLY (a one-row local relation, zero data files
+    // opened): the require keeps the bench number honest, because on
+    // 100 TB this query IS the difference between sub-second and a
+    // full scan.
+    import graft.operators.Snapshot
+    val df = Snapshot.sqlQuery(t.spark,
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS mn_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS mx_key,
+        |  MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status,
+        |  CAST(MIN(o_totalprice) AS DOUBLE) AS mn_price,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS mx_price
+        |FROM t""".stripMargin, Map("t" -> dir))
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    require(scans.isEmpty,
+      s"q147 must answer from the manifest, found scan(s): $scans")
+    df
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }

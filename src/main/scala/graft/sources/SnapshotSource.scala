@@ -212,6 +212,10 @@ object SnapshotSource {
 final class DvSnapshotRelation(spark: SparkSession, path: String,
                                m: Snapshot.Manifest, tableSchema: StructType)
     extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+  /** The pinned version ([[graft.plans.MetadataAggRewrite]]'s count(*)
+    * fast path stays exact here: live rows = stats.rows − dv.rows).
+    */
+  private[graft] def pinnedManifest: Snapshot.Manifest = m
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = tableSchema
   override def unhandledFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] =
@@ -518,6 +522,11 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
 final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
                               m: Snapshot.Manifest, tableSchema: StructType)
     extends FileIndex {
+
+  /** The exact version this scan reads ([[graft.plans.MetadataAggRewrite]]
+    * folds whole-table aggregates from its file stats).
+    */
+  private[graft] def pinnedManifest: Snapshot.Manifest = m
 
   override val partitionSchema: StructType =
     StructType(m.partitionCols.map(c => tableSchema.fields.find(_.name == c).getOrElse(
