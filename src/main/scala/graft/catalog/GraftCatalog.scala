@@ -151,12 +151,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     else t
   }
 
-  /** `VERSION AS OF v` — the analyzer hands the version string through. */
+  /** `VERSION AS OF v` — the analyzer hands the version string through.
+    * An integer is a version number; anything else resolves as a TAG
+    * name ([[Snapshot.resolveVersionSpec]]), so `VERSION AS OF 'run1'`
+    * reads the pinned dataset by name.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathFor(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"GraftCatalog: VERSION AS OF must be an integer version, got '$version'"))
     if (!Snapshot.isSnapshotTable(spark, path)) throw new NoSuchTableException(ident)
+    val v = Snapshot.resolveVersionSpec(spark, path, version)
     GraftTable(fullName(ident), path, Snapshot.manifest(spark, path, v))
   }
 

@@ -135,7 +135,8 @@ object Snapshot {
                             operation: String = "",
                             clusterBy: Seq[String] = Nil,
                             properties: Map[String, String] = Map.empty,
-                            externalRoots: Map[String, String] = Map.empty)
+                            externalRoots: Map[String, String] = Map.empty,
+                            tags: Map[String, Long] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -382,12 +383,17 @@ object Snapshot {
       if (root.has("operation")) root.get("operation").asText() else "",
       parseStrings(root, "clusterBy"),
       parseColMap(root, "properties"),
-      parseColMap(root, "externalRoots"))
+      parseColMap(root, "externalRoots"),
+      parseLongMap(root, "tags"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
     if (!root.has(field)) Map.empty
     else root.get(field).properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  private def parseLongMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, Long] =
+    if (!root.has(field)) Map.empty
+    else root.get(field).properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
 
   private def parseStrings(root: com.fasterxml.jackson.databind.JsonNode, field: String): Seq[String] =
     if (!root.has(field)) Nil
@@ -878,6 +884,10 @@ object Snapshot {
       val er = node.putObject("externalRoots")
       m.externalRoots.toSeq.sortBy(_._1).foreach { case (a, r) => er.put(a, r) }
     }
+    if (m.tags.nonEmpty) {
+      val tg = node.putObject("tags")
+      m.tags.toSeq.sortBy(_._1).foreach { case (n, v) => tg.put(n, v) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -950,6 +960,13 @@ object Snapshot {
       val er = node.putObject("externalRootsSet")
       m.externalRoots.toSeq.sortBy(_._1).foreach { case (a, r) => er.put(a, r) }
     }
+    // tag state replaces WHOLE on change (tiny, changes only on
+    // CREATE/DROP TAG); absent node means inherit, so a reset-to-empty
+    // writes an explicit empty node
+    if (m.tags != parent.tags) {
+      val tg = node.putObject("tagsSet")
+      m.tags.toSeq.sortBy(_._1).foreach { case (n, v) => tg.put(n, v) }
+    }
     node
   }
 
@@ -998,7 +1015,8 @@ object Snapshot {
       if (root.has("propertiesSet")) parseColMap(root, "propertiesSet")
       else parent.properties,
       if (root.has("externalRootsSet")) parseColMap(root, "externalRootsSet")
-      else parent.externalRoots)
+      else parent.externalRoots,
+      if (root.has("tagsSet")) parseLongMap(root, "tagsSet") else parent.tags)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -1013,7 +1031,7 @@ object Snapshot {
       a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints &&
       a.generatedCols == b.generatedCols && a.operation == b.operation &&
       a.clusterBy == b.clusterBy && a.properties == b.properties &&
-      a.externalRoots == b.externalRoots
+      a.externalRoots == b.externalRoots && a.tags == b.tags
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1176,6 +1194,100 @@ object Snapshot {
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
+  }
+
+  /** Valid tag name: identifier-shaped (letters, digits, `_`, `-`,
+    * `.`), NOT all digits — an all-digit tag would be indistinguishable
+    * from a version number everywhere `VERSION AS OF` accepts either.
+    */
+  private val TagNameRe = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
+
+  /** CREATE TAG: a NAMED, immutable pointer to a table version — the
+    * reproducibility pin of a training-data pipeline ("the corpus run
+    * 2026-08 trained on") that survives any amount of later churn.
+    * Semantics:
+    *
+    *  - resolvable everywhere a version is: `VERSION AS OF 'name'`
+    *    (catalog route and registry route), RESTORE, SHALLOW CLONE,
+    *    `table_changes` — one funnel, [[resolveVersionSpec]];
+    *  - VACUUM-PROTECTED: a tagged version (its manifest, data files,
+    *    deletion vectors, blooms) survives every retention rule until
+    *    the tag is dropped — vacuum keeps tagged versions as retained
+    *    islands and stages a checkpoint for any island whose delta
+    *    chain would lose a link (see [[vacuum]]);
+    *  - atomic + concurrency-safe: the tag map rides the manifest, so
+    *    creating a tag is one metadata commit arbitrated by the same
+    *    optimistic protocol as every write (retry on conflict).
+    *
+    * `version` defaults to the LATEST version at commit time. Refuses a
+    * duplicate name unless `replace`; refuses a version that no longer
+    * reconstructs (already vacuumed) or does not exist yet.
+    */
+  def createTag(spark: SparkSession, path: String, name: String,
+                version: Option[Long] = None, replace: Boolean = false): Long = {
+    require(TagNameRe.matches(name),
+      s"createTag: tag name must be identifier-shaped and not a number, got '$name'")
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val target = version.getOrElse(m.version)
+      require(target <= m.version, s"createTag: version $target does not exist yet " +
+        s"(latest is ${m.version})")
+      if (!replace) m.tags.get(name).foreach(v => throw new IllegalArgumentException(
+        s"createTag: tag '$name' already exists (-> v$v); use replace/OR REPLACE"))
+      // the tagged version must still reconstruct — a tag to an
+      // already-reclaimed version would be a dangling pin
+      if (target != m.version)
+        try manifest(spark, path, target)
+        catch {
+          case e: java.io.FileNotFoundException => throw new IllegalArgumentException(
+            s"createTag: vacuum already reclaimed v$target; that version is gone", e)
+        }
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = s"CREATE TAG $name v$target", tags = m.tags + (name -> target)))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** DROP TAG: releases the pin — the version becomes reclaimable by
+    * the next vacuum like any other. Unknown name refuses unless
+    * `ifExists`.
+    */
+  def dropTag(spark: SparkSession, path: String, name: String,
+              ifExists: Boolean = false): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      if (!m.tags.contains(name)) {
+        require(ifExists, s"dropTag: no such tag '$name' " +
+          s"(have: ${m.tags.keys.toSeq.sorted.mkString(", ")})")
+        return m.version
+      }
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = s"DROP TAG $name", tags = m.tags - name))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** The one version-spec funnel: an all-digit spec is a version
+    * number; anything else is a tag name resolved through the LATEST
+    * manifest's tag map. Every `VERSION AS OF` surface routes here, so
+    * tags work wherever versions do.
+    */
+  def resolveVersionSpec(spark: SparkSession, path: String, spec: String): Long = {
+    val s = spec.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+    s.toLongOption.getOrElse {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      m.tags.getOrElse(s, throw new IllegalArgumentException(
+        s"no such tag '$s' on $path " +
+          s"(have: ${m.tags.keys.toSeq.sorted.mkString(", ")})"))
+    }
   }
 
   /** An engine policy key, read from table properties: `graft.<name>`. */
@@ -1698,10 +1810,11 @@ object Snapshot {
     * instead of the replacement (derived without the newcomer's rows)
     * silently discarding it.
     */
-  private def replacePartitionsOn(spark: SparkSession, path: String, m: Manifest,
-                                  replacement: DataFrame,
-                                  dropOld: Map[String, String] => Boolean,
-                                  op: String = "REPLACE PARTITIONS"): Long = {
+  private[graft] def replacePartitionsOn(spark: SparkSession, path: String, m: Manifest,
+                                         replacement: DataFrame,
+                                         dropOld: Map[String, String] => Boolean,
+                                         op: String = "REPLACE PARTITIONS",
+                                         finish: Manifest => Manifest = identity): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
     val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap,
       withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
@@ -1710,11 +1823,11 @@ object Snapshot {
       val pv = partitionValues(m.partitionCols, f)
       dropOld(pv) || newParts.contains(pv)
     }
-    commitManifest(spark, path, m.copy(version = m.version + 1, operation = op,
+    commitManifest(spark, path, finish(m.copy(version = m.version + 1, operation = op,
       files = kept ++ newFiles,
       stats = m.stats.view.filterKeys(kept.toSet).toMap ++
         statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
-      dvs = m.dvs.view.filterKeys(kept.toSet).toMap))
+      dvs = m.dvs.view.filterKeys(kept.toSet).toMap)))
   }
 
   /** K3 partition-restricted MERGE-by-id, snapshot form. Unlike the raw
@@ -1776,16 +1889,27 @@ object Snapshot {
     * silently admit rows the merge never read, or duplicate ids a
     * concurrent append landed).
     */
-  private def replaceWholeTableOn(spark: SparkSession, path: String, m: Manifest,
-                                  replacement: DataFrame,
-                                  op: String = "MERGE"): Long = {
+  private[graft] def replaceWholeTableOn(spark: SparkSession, path: String, m: Manifest,
+                                         replacement: DataFrame,
+                                         op: String = "MERGE",
+                                         finish: Manifest => Manifest = identity): Long = {
     val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap,
       withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
-    commitManifest(spark, path, m.copy(version = m.version + 1, operation = op,
+    commitManifest(spark, path, finish(m.copy(version = m.version + 1, operation = op,
       files = newFiles,
       stats = statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),
-      dvs = Map.empty, blooms = Map.empty))
+      dvs = Map.empty, blooms = Map.empty)))
   }
+
+  /** Metadata-only commit against a CALLER-PINNED manifest: no file
+    * change, just whatever `finish` sets (e.g. a consumer watermark for
+    * a window that carried no data changes). Versioned against THAT
+    * manifest, so a concurrent commit conflicts instead of being
+    * silently overwritten.
+    */
+  private[graft] def commitMetaOn(spark: SparkSession, path: String, m: Manifest,
+                                  op: String)(finish: Manifest => Manifest): Long =
+    commitManifest(spark, path, finish(m.copy(version = m.version + 1, operation = op)))
 
   /** Partition restriction shared by the merge family: the partition
     * value-string TUPLES (and their live files) whose typed values
@@ -1794,8 +1918,8 @@ object Snapshot {
     * distinct tuples. One job over tuple-count-sized data, never the
     * table.
     */
-  private def affectedPartitions(spark: SparkSession, m: Manifest,
-                                 source: DataFrame, partitionCols: Seq[String])
+  private[graft] def affectedPartitions(spark: SparkSession, m: Manifest,
+                                        source: DataFrame, partitionCols: Seq[String])
       : (Set[Map[String, String]], Seq[String]) = {
     require(m.partitionCols == partitionCols,
       s"snapshot table is partitioned by ${m.partitionCols}, not $partitionCols")
@@ -2932,7 +3056,10 @@ object Snapshot {
     }
     commitManifest(spark, path, target.copy(version = cur.version + 1,
       operation = s"RESTORE v$version",
-      streamBatch = cur.streamBatch, blooms = blooms))
+      // consumer watermarks and TAGS are table-level refs, not part of
+      // the restored state: a restore must not resurrect the target
+      // version's tag map (tags created since would silently vanish)
+      streamBatch = cur.streamBatch, tags = cur.tags, blooms = blooms))
   }
 
   /** In-place conversion: register an EXISTING (optionally
@@ -3092,11 +3219,12 @@ object Snapshot {
           .filter(_.startsWith("@"))
           .map(f => f.substring(1, f.indexOf('/'))).distinct
           .flatMap(mv.externalRoots.get)
-      }.distinct.sorted.mkString("; ")))
+      }.distinct.sorted.mkString("; "),
+      m.tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n=v$v" }.mkString("; ")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
         "num_bloom_files", "column_mapping", "constraints", "generated_cols",
-        "cluster_by", "properties", "num_external_files", "external_roots")
+        "cluster_by", "properties", "num_external_files", "external_roots", "tags")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and
@@ -3135,7 +3263,14 @@ object Snapshot {
         }
         math.min(byAge, countCut)
     }
-    val (dead, kept) = vs.splitAt(cutIdx)
+    // TAGGED versions are retained ISLANDS: a tag is a durability pin
+    // (the reproducible-dataset contract of createTag), so no retention
+    // rule — count or age — may reclaim a tagged version until its tag
+    // is dropped. The tag map lives on the LATEST manifest.
+    val tagged = manifest(spark, path, vs.last).tags.values.toSet
+    val (cutDead, keptSuffix) = vs.splitAt(cutIdx)
+    val (taggedIslands, dead) = cutDead.partition(tagged)
+    val kept = taggedIslands ++ keptSuffix // both ascending, islands first
     val keptManifests = kept.map(manifest(spark, path, _))
     val live = keptManifests.flatMap(_.files).toSet
     val now = System.currentTimeMillis()
@@ -3186,23 +3321,40 @@ object Snapshot {
             now - d.getModificationTime > orphanGraceMs)
           reap(d.getPath, recursive = true)
       }
-    // the oldest KEPT version must reconstruct without the chain being
-    // dropped: if it has no full form yet, stage+rename its checkpoint
-    // BEFORE any manifest deletion — a crash between the two leaves
-    // both forms present, which is merely redundant
+    // every KEPT version must reconstruct without the chain being
+    // dropped: a delta needs its base, recursively, down to a full
+    // form. Kept versions whose whole chain is kept are safe; any kept
+    // version whose chain would cross a DEAD version (the oldest of the
+    // retained suffix, and each TAGGED ISLAND stranded between dead
+    // versions) gets a full checkpoint staged+renamed BEFORE any
+    // manifest deletion — a crash between the two leaves both forms
+    // present, which is merely redundant. Processing ascending keeps
+    // the invariant "every already-processed kept version is safe", so
+    // one base hop decides each version.
     if (dead.nonEmpty && !dryRun) {
-      val boundary = kept.head
-      val ck = ckptPath(path, boundary)
-      if (!fs.exists(ck)) {
-        val full = keptManifests.head
-        val mapper = new ObjectMapper()
-        val tmp = new HPath(new HPath(path, LogDirName),
-          s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = fs.create(tmp, false)
-        try out.write(mapper.writerWithDefaultPrettyPrinter()
-          .writeValueAsBytes(fullNode(mapper, full, full.committedAtMicros)))
-        finally out.close()
-        if (!fs.rename(tmp, ck)) { fs.delete(tmp, true) }
+      val mapper = new ObjectMapper()
+      val keptSet = kept.toSet
+      def baseOf(v: Long): Option[Long] = {
+        val in = fs.open(manifestPath(path, v))
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        val root = mapper.readTree(bytes)
+        if (root.has("base")) Some(root.get("base").asLong()) else None
+      }
+      kept.zip(keptManifests).foreach { case (v, full) =>
+        val ck = ckptPath(path, v)
+        val safe = fs.exists(ck) || (baseOf(v) match {
+          case None => true // full manifest form: self-contained
+          case Some(b) => keptSet.contains(b) // kept base, already made safe
+        })
+        if (!safe) {
+          val tmp = new HPath(new HPath(path, LogDirName),
+            s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          val out = fs.create(tmp, false)
+          try out.write(mapper.writerWithDefaultPrettyPrinter()
+            .writeValueAsBytes(fullNode(mapper, full, full.committedAtMicros)))
+          finally out.close()
+          if (!fs.rename(tmp, ck)) { fs.delete(tmp, true) }
+        }
       }
     }
     dead.foreach { v =>

@@ -63,9 +63,16 @@ object SnapshotSql {
   private val ImportRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+FROM\s+PARQUET\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*)?;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+('?[\w.\-]+'?)\s*|TIMESTAMP\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*)?;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*;?\s*""".r
+  private val CreateTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+('?[\w.\-]+'?)\s*(?:AS\s+OF\s+VERSION\s+('?[\w.\-]+'?)\s*)?;?\s*""".r
+  private val DropTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?('?[\w.\-]+'?)\s*;?\s*""".r
+
+  private def unquoteTag(s: String): String =
+    s.stripPrefix("'").stripSuffix("'")
 
   private def maintenance(spark: SparkSession, sqlText: String,
                           tables: Map[String, String]): Option[Long] = sqlText match {
@@ -107,7 +114,7 @@ object SnapshotSql {
       // files as external refs — no data moves
       val srcPath = pathOf(src, tables)
       val pinned = (Option(ver), Option(ts)) match {
-        case (Some(v), _) => Some(v.toLong)
+        case (Some(v), _) => Some(Snapshot.resolveVersionSpec(spark, srcPath, v))
         case (None, Some(raw)) =>
           val micros = evalTimestampMicros(spark,
             spark.sessionState.sqlParser.parseExpression(raw))
@@ -120,7 +127,7 @@ object SnapshotSql {
     case RestoreRe(ident, kind, raw) =>
       val path = pathOf(ident, tables)
       val version = kind.toUpperCase match {
-        case "VERSION" => raw.trim.toLong
+        case "VERSION" => Snapshot.resolveVersionSpec(spark, path, raw)
         case _ =>
           val micros = evalTimestampMicros(spark,
             spark.sessionState.sqlParser.parseExpression(raw))
@@ -129,6 +136,14 @@ object SnapshotSql {
               s"Snapshot.sql RESTORE: no version of $ident committed at or before $raw"))
       }
       Some(Snapshot.restore(spark, path, version))
+    case CreateTagRe(ident, replace, name, verSpec) =>
+      val path = pathOf(ident, tables)
+      Some(Snapshot.createTag(spark, path, unquoteTag(name),
+        Option(verSpec).map(v => Snapshot.resolveVersionSpec(spark, path, v)),
+        replace != null))
+    case DropTagRe(ident, ifExists, name) =>
+      val path = pathOf(ident, tables)
+      Some(Snapshot.dropTag(spark, path, unquoteTag(name), ifExists != null))
     case _ => None
   }
 
@@ -481,7 +496,8 @@ object SnapshotSql {
   private def isQueryStatement(spark: SparkSession, stmt: String): Boolean = stmt match {
     case HistoryRe(_) | DetailRe(_) => true
     case VacuumRe(_, _, _) | OptimizeRe(_, _, _, _) | RestoreRe(_, _, _) |
-         CloneRe(_, _, _, _) | ImportRe(_, _, _) => false
+         CloneRe(_, _, _, _) | ImportRe(_, _, _) |
+         CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

@@ -529,69 +529,143 @@ object SnapshotStats {
   private[graft] def metadataAgg(spark: SparkSession, m: Snapshot.Manifest,
                                  cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "metadataAgg needs at least one column")
+    metadataAggBy(spark, m, cols, Nil)
+  }
+
+  /** Generalized metadata fold: exact aggregates from per-file manifest
+    * metadata, optionally GROUPED by (a subset of) the partition
+    * columns — `SELECT fecha, count(*), max(ts) FROM t GROUP BY fecha`
+    * without opening a single data file.
+    *
+    * Two metadata sources, with different exactness envelopes:
+    *
+    *  - DATA columns answer from file stats (min/max/nulls reduced from
+    *    parquet footers at commit): exact only on a DELETION-VECTOR-FREE
+    *    version (a deleted row may have carried a bound) — callers must
+    *    guard; truncated / missing / undecodable stats refuse here.
+    *  - PARTITION columns answer from the files' partition values
+    *    weighted by LIVE rows (`stats.rows − dv.rows`): exact even
+    *    under vectors — a file whose rows are all deleted contributes
+    *    nothing, exactly like the scan.
+    *
+    * Output: one row per surviving group (grouping values under
+    * `__g_<i>` in `groupCols` order; groups whose live-row sum is 0 are
+    * dropped — SQL produces no group for no rows), or a single global
+    * row when `groupCols` is empty. Aggregate columns: `n` (live rows),
+    * then `min_<c>` / `max_<c>` / `cnt_<c>` per requested column.
+    */
+  private[graft] def metadataAggBy(spark: SparkSession, m: Snapshot.Manifest,
+                                   cols: Seq[String],
+                                   groupCols: Seq[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
+    val partSet = m.partitionCols.toSet
+    groupCols.foreach(c => require(partSet.contains(c),
+      s"metadataAggBy: grouping column $c is not a partition column"))
+    val (partCols, dataCols) = cols.partition(partSet.contains)
     // file stats key on PHYSICAL names; callers ask in logical names
     def phys(c: String): String = m.colMap.getOrElse(c, c)
-    val types = cols.map { c =>
+    val types = (cols ++ groupCols).distinct.map { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no such column: $c"))
-      require(supported(f.dataType), s"no stats support for ${f.dataType} column $c")
       c -> f.dataType
     }.toMap
+    dataCols.foreach(c => require(supported(types(c)),
+      s"no stats support for ${types(c)} column $c"))
+    // live-row counts come from stats.rows: every file must have stats
+    val statless = m.files.filterNot(m.stats.contains)
+    require(statless.isEmpty,
+      s"metadataAggBy: files without stats (fall back to a scan): " +
+        statless.take(3).mkString(", "))
     // string min/max fold is exact only over EXACT stored bounds:
     // refuse any file whose string stats were truncated at collection
     val truncated = m.files.filter(f =>
-      m.stats.get(f).exists(fs => cols.exists(c => fs.cols.get(phys(c)).exists(_.trunc))))
+      m.stats.get(f).exists(fs => dataCols.exists(c => fs.cols.get(phys(c)).exists(_.trunc))))
     require(truncated.isEmpty,
-      s"metadataAgg: truncated string stats for ${cols.mkString(",")} " +
+      s"metadataAgg: truncated string stats for ${dataCols.mkString(",")} " +
         s"(fall back to a scan): ${truncated.take(3).mkString(", ")}")
     val missing = m.files.filter { f =>
-      !m.stats.get(f).exists(fs => cols.forall(c =>
+      !m.stats.get(f).exists(fs => dataCols.forall(c =>
         fs.cols.get(phys(c)).exists(cs =>
           cs.nulls.isDefined && ((cs.mn.isDefined && cs.mx.isDefined) ||
             // an all-null file legitimately has no min/max
             cs.nulls.contains(fs.rows)))))
     }
     require(missing.isEmpty,
-      s"metadataAgg: files without usable stats for ${cols.mkString(",")} " +
+      s"metadataAgg: files without usable stats for ${dataCols.mkString(",")} " +
         s"(fall back to a scan): ${missing.take(3).mkString(", ")}...")
-    val idx = cols.zipWithIndex.toMap
+    val idx = dataCols.zipWithIndex.toMap
+    val pcols = (groupCols ++ partCols).distinct
+    val pidx = pcols.zipWithIndex.toMap
     val rawSchema = StructType(
-      StructField("__rw", LongType) +:
-        cols.flatMap(c => Seq(
+      pcols.map(c => StructField(s"__praw_${pidx(c)}", StringType)) ++
+        Seq(StructField("__rw", LongType), StructField("__dv", LongType)) ++
+        dataCols.flatMap(c => Seq(
           StructField(s"__mn_${idx(c)}", StringType),
           StructField(s"__mx_${idx(c)}", StringType),
           StructField(s"__nl_${idx(c)}", LongType))))
     val rows: Seq[Row] = m.files.map { f =>
       val fs = m.stats(f)
-      Row.fromSeq(Long.box(fs.rows) +: cols.flatMap { c =>
-        val cs = fs.cols(phys(c))
-        Seq(cs.mn.orNull, cs.mx.orNull, Long.box(cs.nulls.get))
-      })
+      val pv = Snapshot.partitionValues(m.partitionCols, f)
+      Row.fromSeq(
+        pcols.map(c => pv.getOrElse(c, Snapshot.NullPartition)) ++
+          Seq(Long.box(fs.rows),
+            Long.box(m.dvs.get(f).map(_.rows).getOrElse(0L))) ++
+          dataCols.flatMap { c =>
+            val cs = fs.cols(phys(c))
+            Seq(cs.mn.orNull, cs.mx.orNull, Long.box(cs.nulls.get))
+          })
     }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, rawSchema)
-    // defense in depth: a recorded stat whose decode comes back NULL
-    // (corrupt/out-of-range encoding) would silently drop its file from
-    // the min/max fold — refuse instead, same contract as missing stats
-    val undecodable = cols.flatMap { c =>
+    // typed partition values — hive value strings cast to the declared
+    // type (the same contract the merge family's partition restriction
+    // uses); the null sentinel maps to a real null group/value
+    def typedPart(c: String): Column = {
+      val raw = col(s"__praw_${pidx(c)}")
+      when(raw === Snapshot.NullPartition || raw.isNull,
+        lit(null).cast(types(c))).otherwise(raw.cast(types(c)))
+    }
+    // defense in depth: a recorded stat (or partition value) whose
+    // decode comes back NULL (corrupt/out-of-range encoding) would
+    // silently warp the fold — refuse instead, same contract as
+    // missing stats
+    val undecodable = (dataCols.flatMap { c =>
       val i = idx(c)
       Seq(col(s"__mn_$i").isNotNull && decode(types(c), col(s"__mn_$i")).isNull,
           col(s"__mx_$i").isNotNull && decode(types(c), col(s"__mx_$i")).isNull)
-    }.reduce(_ || _)
+    } ++ pcols.map { c =>
+      col(s"__praw_${pidx(c)}") =!= Snapshot.NullPartition && typedPart(c).isNull
+    }).reduceOption(_ || _).getOrElse(lit(false))
     require(df.where(undecodable).isEmpty,
       s"metadataAgg: undecodable stats for ${cols.mkString(",")} (fall back to a scan)")
+    val live = col("__rw") - col("__dv")
     // coalesce the counting aggregates so an EMPTY table answers 0, not
     // null (min/max stay null — standard SQL semantics over no rows)
-    df.agg(
-      coalesce(sum(col("__rw")), lit(0L)).as("n"),
-      cols.flatMap { c =>
+    val nAgg = coalesce(sum(live), lit(0L)).as("n")
+    val aggs: Seq[Column] =
+      dataCols.flatMap { c =>
         val i = idx(c)
         Seq(
           min(decode(types(c), col(s"__mn_$i"))).as(s"min_$c"),
           max(decode(types(c), col(s"__mx_$i"))).as(s"max_$c"),
           coalesce(sum(col("__rw")) - sum(col(s"__nl_$i")), lit(0L)).as(s"cnt_$c"))
-      }: _*)
+      } ++
+      partCols.flatMap { c =>
+        // live-weighted: a fully-deleted file's value never surfaces
+        Seq(
+          min(when(live > 0, typedPart(c))).as(s"min_$c"),
+          max(when(live > 0, typedPart(c))).as(s"max_$c"),
+          coalesce(sum(when(typedPart(c).isNotNull, live).otherwise(0L)), lit(0L))
+            .as(s"cnt_$c"))
+      }
+    if (groupCols.isEmpty) df.agg(nAgg, aggs: _*)
+    else df
+      .groupBy(groupCols.zipWithIndex.map { case (c, i) =>
+        typedPart(c).as(s"__g_$i") }: _*)
+      .agg(nAgg, aggs: _*)
+      // a group whose every row is vector-deleted does not exist to a
+      // scan — it must not exist to the fold either
+      .where(col("n") > 0)
   }
 
   /** [[prune]] driven by Catalyst's pushed-down `sources.Filter`s (the

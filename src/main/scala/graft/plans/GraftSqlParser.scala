@@ -124,7 +124,7 @@ object GraftSqlParser {
     s.substring(start, i).toUpperCase(java.util.Locale.ROOT)
   }
 
-  private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE", "CREATE")
+  private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE", "CREATE", "ALTER")
 
   // the two CREATE forms the dialect owns — a CREATE without these
   // word pairs is vanilla Spark's and must never even be lexed (the
@@ -133,6 +133,78 @@ object GraftSqlParser {
   private val CreateHint =
     java.util.regex.Pattern.compile(
       "(?is).*\\b(SHALLOW\\s+CLONE|FROM\\s+PARQUET)\\b.*")
+
+  // the two ALTER forms the dialect owns (vanilla ALTER TABLE has no
+  // TAG grammar) — same pre-screen discipline as CREATE: anything
+  // without these word pairs delegates unlexed
+  private val AlterHint =
+    java.util.regex.Pattern.compile(
+      "(?is).*\\b(CREATE\\s+(OR\\s+REPLACE\\s+)?TAG|DROP\\s+TAG)\\b.*")
+
+  /** `ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION v]` and
+    * `ALTER TABLE t DROP TAG [IF EXISTS] name` — named version pins
+    * (vacuum-protected; see [[Snapshot.createTag]]). Returns None for
+    * any other ALTER shape; a recognised TAG prefix with a malformed
+    * tail throws IllegalStateException so the refusal stays loud.
+    */
+  private def parseAlterDialect(text: String): Option[LogicalPlan] = {
+    val toks = lex(text)
+    def loud(cond: Boolean, msg: => String): Unit =
+      if (!cond) throw new IllegalStateException(msg)
+    if (toks.length < 3 || !toks(0).is("ALTER") || !toks(1).is("TABLE")) return None
+    val (parts, i) = ident(toks, 2)
+    if (i >= toks.length) return None
+    // a tag name spans tokens: the lexer splits `run-2026.08` at the
+    // punctuation, so consume word(-|.)word… greedily; quoted forms
+    // (`backtick`, 'string') are one token already
+    def tagIdent(at: Int): (String, Int) = {
+      val t = toks(at)
+      if (t.text.startsWith("`")) (t.text.stripPrefix("`").stripSuffix("`"), at + 1)
+      else if (t.text.startsWith("'")) (t.text.stripPrefix("'").stripSuffix("'"), at + 1)
+      else {
+        val sb = new StringBuilder(t.text)
+        var j = at + 1
+        while (j + 1 < toks.length && (toks(j).text == "-" || toks(j).text == ".") &&
+            toks(j + 1).text.headOption.exists(c => c.isLetterOrDigit || c == '_')) {
+          sb ++= toks(j).text ++= toks(j + 1).text
+          j += 2
+        }
+        (sb.toString, j)
+      }
+    }
+    if (toks(i).is("CREATE")) {
+      val replace = i + 2 < toks.length && toks(i + 1).is("OR") && toks(i + 2).is("REPLACE")
+      val at = if (replace) i + 3 else i + 1
+      if (at >= toks.length || !toks(at).is("TAG")) return None
+      loud(at + 1 < toks.length, s"CREATE TAG: missing tag name in: $text")
+      val (name, afterName) = tagIdent(at + 1)
+      var verSpec = Option.empty[String]
+      var k = afterName
+      if (k < toks.length) {
+        loud(k + 3 < toks.length && toks(k).is("AS") && toks(k + 1).is("OF") &&
+          toks(k + 2).is("VERSION"),
+          s"cannot parse CREATE TAG statement (… [AS OF VERSION v]): $text")
+        val (spec, afterSpec) = tagIdent(k + 3)
+        verSpec = Some(spec)
+        k = afterSpec
+        loud(k == toks.length, s"CREATE TAG: unexpected trailing text in: $text")
+      }
+      Some(maintCmd(s"CREATE TAG ${parts.mkString(".")}") { (sp, path) =>
+        Snapshot.createTag(sp, path, name,
+          verSpec.map(Snapshot.resolveVersionSpec(sp, path, _)), replace); Nil
+      }(parts))
+    } else if (toks(i).is("DROP")) {
+      if (i + 1 >= toks.length || !toks(i + 1).is("TAG")) return None
+      val ifExists = i + 3 < toks.length && toks(i + 2).is("IF") && toks(i + 3).is("EXISTS")
+      val at = if (ifExists) i + 4 else i + 2
+      loud(at < toks.length, s"DROP TAG: missing tag name in: $text")
+      val (name, afterName) = tagIdent(at)
+      loud(afterName == toks.length, s"DROP TAG: unexpected trailing text in: $text")
+      Some(maintCmd(s"DROP TAG ${parts.mkString(".")}") { (sp, path) =>
+        Snapshot.dropTag(sp, path, name, ifExists); Nil
+      }(parts))
+    } else None
+  }
 
   /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` and
     * `CREATE TABLE t FROM PARQUET '<dir>' [PARTITIONED BY (cols)]` —
@@ -177,7 +249,9 @@ object GraftSqlParser {
     if (i + 1 >= toks.length || !toks(i).is("SHALLOW") || !toks(i + 1).is("CLONE"))
       return None
     val (srcParts, j) = ident(toks, i + 2)
-    var ver = Option.empty[Long]
+    // an integer version or a tag name (resolved against the source at
+    // run time — the body has the path, the parser does not)
+    var verSpec = Option.empty[String]
     var tsRaw = Option.empty[String]
     var k = j
     if (k < toks.length) {
@@ -185,9 +259,7 @@ object GraftSqlParser {
         (toks(k).is("VERSION") || toks(k).is("TIMESTAMP")),
         s"cannot parse SHALLOW CLONE statement (… [VERSION|TIMESTAMP AS OF …]): $text")
       if (toks(k).is("VERSION")) {
-        ver = Some(toks(k + 3).text.toLongOption.getOrElse(
-          throw new IllegalStateException(
-            s"SHALLOW CLONE: VERSION AS OF needs an integer, got '${toks(k + 3).text}'")))
+        verSpec = Some(toks(k + 3).text)
         k += 4
         loud(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
       } else {
@@ -207,7 +279,7 @@ object GraftSqlParser {
           s"SHALLOW CLONE: destination '${dstParts.mkString(".")}' " +
             "must live in a graft catalog"))
       val pinned = tsRaw match {
-        case None => ver
+        case None => verSpec.map(Snapshot.resolveVersionSpec(sp, srcPath, _))
         case Some(raw) =>
           val micros = evalTimestampMicros(sp, raw)
           Some(Snapshot.versionAtTimestamp(sp, srcPath, micros).getOrElse(
@@ -230,6 +302,13 @@ object GraftSqlParser {
       // crash it (shape mismatches below still delegate; a matched
       // CLONE/IMPORT prefix with a malformed tail still refuses loudly)
       return try parseCreateDialect(stripTrailingSemi(sqlText))
+      catch { case _: IllegalArgumentException => None }
+    }
+    if (firstWord(sqlText) == "ALTER") {
+      if (!AlterHint.matcher(sqlText).matches()) return None
+      // same delegation discipline as CREATE: hint words inside string
+      // literals of a vanilla ALTER must reach the session grammar
+      return try parseAlterDialect(stripTrailingSemi(sqlText))
       catch { case _: IllegalArgumentException => None }
     }
     val text = stripTrailingSemi(sqlText)
@@ -357,8 +436,8 @@ object GraftSqlParser {
       val byVersion = toks(i + 1).is("VERSION")
       return Some(maintCmd(s"RESTORE ${parts.mkString(".")}") { (sp, path) =>
         val v =
-          if (byVersion) tail.toLongOption.getOrElse(throw new IllegalArgumentException(
-            s"RESTORE TO VERSION AS OF needs an integer version, got '$tail'"))
+          // integer version or tag name — one funnel
+          if (byVersion) Snapshot.resolveVersionSpec(sp, path, tail)
           else {
             val micros = evalTimestampMicros(sp, tail)
             Snapshot.versionAtTimestamp(sp, path, micros).getOrElse(
@@ -392,7 +471,7 @@ object GraftSqlParser {
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +
       "deletion_vector_rows BIGINT, num_bloom_files BIGINT, column_mapping STRING, " +
       "constraints STRING, generated_cols STRING, cluster_by STRING, properties STRING, " +
-      "num_external_files BIGINT, external_roots STRING")
+      "num_external_files BIGINT, external_roots STRING, tags STRING")
 
   private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
       parts: Seq[String]): LogicalPlan =

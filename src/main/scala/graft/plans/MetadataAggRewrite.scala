@@ -29,10 +29,15 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   * The rewrite fires only when the answer is PROVABLY the same row
   * the scan would return:
   *
-  *  - whole-table aggregate: empty grouping, and the child is the
-  *    bare snapshot relation (possibly under a column-pruning
-  *    Project) — any Filter, join or generator in between disables
-  *    the rewrite;
+  *  - whole-table aggregate (empty grouping) or grouping by BARE
+  *    PARTITION-COLUMN attributes (`GROUP BY fecha`, `SELECT DISTINCT
+  *    periodo` — partition values and per-file live-row counts are
+  *    manifest metadata, so per-group folds stay exact; groups whose
+  *    rows are all vector-deleted are dropped, and group counts above
+  *    `spark.graft.metaAgg.maxGroups` refuse rather than inline a huge
+  *    literal relation), and the child is the bare snapshot relation
+  *    (possibly under a column-pruning Project) — any Filter, join or
+  *    generator in between disables the rewrite;
   *  - every output expression is `count(<non-null literal>)`
   *    (count(*)), `count(col)`, `min(col)`, `max(col)` — no
   *    DISTINCT, no FILTER clause — or a plain literal;
@@ -41,12 +46,15 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    must decode — [[SnapshotStats.metadataAgg]] REFUSES otherwise
   *    and the plan stays a real scan: wrong-but-fast is never an
   *    option;
-  *  - per-column aggregates additionally require a vector-free
+  *  - aggregates over DATA columns additionally require a vector-free
   *    version (a deleted row may have been a file's min/max/null
-  *    carrier). Pure `count(*)` stays exact even under deletion
-  *    vectors — live rows = `stats.rows − dv.rows`, both manifest
-  *    metadata — and under active column mapping, so it also serves
-  *    the merge-on-read fallback relation.
+  *    carrier). `count(*)` and aggregates over PARTITION columns stay
+  *    exact even under deletion vectors — live rows = `stats.rows −
+  *    dv.rows` and partition values are both manifest metadata — and
+  *    under active column mapping, so they also serve the
+  *    merge-on-read fallback relation. `min(fecha)`/`max(fecha)` on a
+  *    date-PARTITIONED fact — THE watermark probe of every
+  *    incremental DAG — answers from partition values, live-weighted.
   *
   * The aggregate folds driver-side from O(#files) manifest entries;
   * the whole Aggregate subtree is replaced by a one-row
@@ -56,13 +64,23 @@ case class MetadataAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   import MetadataAggRewrite._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUpWithSubqueries {
-    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+    case agg @ Aggregate(groups, aggExprs, child, _) if aggExprs.nonEmpty =>
       val rewritten =
         for {
           rel <- unwrap(child)
           m <- snapshotManifest(rel)
-          cells <- classifyAll(aggExprs)
-          local <- answer(agg.output, cells, m)
+          // grouping (if any) must be bare partition-column attributes:
+          // partition values are manifest metadata, so the groups — and
+          // per-group folds — stay exact
+          gAttrs <- groups.foldLeft(Option(Vector.empty[AttributeReference])) {
+            case (acc, a: AttributeReference) if m.partitionCols.contains(a.name) =>
+              acc.map(_ :+ a)
+            case _ => None
+          }
+          groupCols = gAttrs.map(_.name).distinct
+          groupIdx = gAttrs.map(a => a.exprId -> groupCols.indexOf(a.name)).toMap
+          cells <- classifyAll(aggExprs, groupIdx)
+          local <- answer(agg.output, cells, groupCols, m)
         } yield local
       rewritten.getOrElse(agg)
   }
@@ -93,17 +111,17 @@ case class MetadataAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def classifyAll(es: Seq[NamedExpression]): Option[Seq[Cell]] = {
-    val cells = es.map(classify)
+  private def classifyAll(es: Seq[NamedExpression],
+                          groupIdx: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int]): Option[Seq[Cell]] = {
+    val cells = es.map {
+      case Alias(child, _) => classifyExpr(child, groupIdx)
+      case ne => classifyExpr(ne, groupIdx)
+    }
     if (cells.forall(_.isDefined)) Some(cells.flatten) else None
   }
 
-  private def classify(ne: NamedExpression): Option[Cell] = ne match {
-    case Alias(child, _) => classifyExpr(child)
-    case _ => classifyExpr(ne)
-  }
-
-  private def classifyExpr(e: Expression): Option[Cell] = e match {
+  private def classifyExpr(e: Expression,
+                           groupIdx: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int]): Option[Cell] = e match {
     case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
       ae.aggregateFunction match {
         // count(*) / count(1): every argument a non-null constant
@@ -114,14 +132,26 @@ case class MetadataAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case Max(a: AttributeReference) => Some(MaxOf(a.name, a.dataType))
         case _ => None
       }
+    // a projected grouping column (only partition attrs reach here)
+    case a: AttributeReference if groupIdx.contains(a.exprId) =>
+      Some(GroupRef(groupIdx(a.exprId), a.dataType))
     // `CAST(max(c) AS date)` etc — ubiquitous in ported SQL; the cast
     // folds over the computed value at rewrite time
-    case c: Cast => classifyExpr(c.child).map(CastCell(_, c))
+    case c: Cast => classifyExpr(c.child, groupIdx).map(CastCell(_, c))
     case l: Literal => Some(Passthrough(l.value))
     case _ => None
   }
 
+  /** Hard cap on rewritten group counts: a grouped fold materializes
+    * one LocalRelation row per partition group, and an over-partitioned
+    * table could otherwise inline an enormous literal relation into
+    * the plan. Past the cap the plan stays a real scan.
+    */
+  private def maxGroups: Int =
+    session.conf.getOption("spark.graft.metaAgg.maxGroups").map(_.toInt).getOrElse(10000)
+
   private def answer(output: Seq[Attribute], cells: Seq[Cell],
+                     groupCols: Seq[String],
                      m: Snapshot.Manifest): Option[LogicalPlan] = {
     // every live file must carry stats — an imported file without a
     // recorded row count makes even count(*) unanswerable
@@ -134,20 +164,29 @@ case class MetadataAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => Nil
     }
     val cols = cells.flatMap(colsOf).distinct
-    if (cols.isEmpty) {
+    val dataCols = cols.filterNot(m.partitionCols.contains)
+    if (cols.isEmpty && groupCols.isEmpty) {
+      // global count(*): no job at all — rows and vector sizes are
+      // already in memory
       val n = m.files.iterator
         .map(f => m.stats(f).rows - m.dvs.get(f).map(_.rows).getOrElse(0L)).sum
-      build(output, cells, n, Map.empty, Map.empty, Map.empty)
+      build(output, cells, Seq(Left(n)))
     } else {
-      val live = m.files.toSet
-      if (m.dvs.keysIterator.exists(live)) return None
+      // data-column bounds are not exact under deletion vectors (a
+      // deleted row may carry a file's min/max/null-count); partition
+      // values and live counts are
+      if (dataCols.nonEmpty) {
+        val live = m.files.toSet
+        if (m.dvs.keysIterator.exists(live)) return None
+      }
+      if (groupCols.nonEmpty) {
+        val tuples = m.files.map(f =>
+          groupCols.map(Snapshot.partitionValues(m.partitionCols, f).get)).distinct
+        if (tuples.size > maxGroups) return None
+      }
       try {
-        val row = SnapshotStats.metadataAgg(session, m, cols).collect()(0)
-        val n = row.getLong(row.fieldIndex("n"))
-        val mins = cols.map(c => c -> row.get(row.fieldIndex(s"min_$c"))).toMap
-        val maxs = cols.map(c => c -> row.get(row.fieldIndex(s"max_$c"))).toMap
-        val cnts = cols.map(c => c -> row.getLong(row.fieldIndex(s"cnt_$c"))).toMap
-        build(output, cells, n, mins, maxs, cnts)
+        val rows = SnapshotStats.metadataAggBy(session, m, cols, groupCols).collect()
+        build(output, cells, rows.toSeq.map(Right(_)))
       } catch {
         // unusable / truncated / undecodable stats: the engine refused
         // — fall back to the real scan (never wrong-but-fast)
@@ -156,27 +195,29 @@ case class MetadataAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def build(output: Seq[Attribute], cells: Seq[Cell], n: Long,
-                    mins: Map[String, Any], maxs: Map[String, Any],
-                    cnts: Map[String, Long]): Option[LogicalPlan] = {
+  /** One InternalRow per engine row (or the jobless global count on the
+    * Left). A cast evaluates over the already-folded inner value.
+    */
+  private def build(output: Seq[Attribute], cells: Seq[Cell],
+                    rows: Seq[Either[Long, org.apache.spark.sql.Row]]): Option[LogicalPlan] = {
     try {
-      // internal (Catalyst) value of one cell; a cast evaluates over
-      // the already-folded inner value
-      def eval(cell: Cell): Any = cell match {
-        case RowCount => n
-        case NonNullCount(c) => cnts(c)
-        case MinOf(c, dt) =>
-          CatalystTypeConverters.createToCatalystConverter(dt)(mins(c))
-        case MaxOf(c, dt) =>
-          CatalystTypeConverters.createToCatalystConverter(dt)(maxs(c))
+      def eval(cell: Cell, row: Either[Long, org.apache.spark.sql.Row]): Any = cell match {
+        case RowCount => row.fold(identity, r => r.getLong(r.fieldIndex("n")))
+        case NonNullCount(c) =>
+          row.toOption.map(r => r.getLong(r.fieldIndex(s"cnt_$c"))).get
+        case MinOf(c, dt) => row.toOption.map(r =>
+          CatalystTypeConverters.createToCatalystConverter(dt)(r.get(r.fieldIndex(s"min_$c")))).get
+        case MaxOf(c, dt) => row.toOption.map(r =>
+          CatalystTypeConverters.createToCatalystConverter(dt)(r.get(r.fieldIndex(s"max_$c")))).get
+        case GroupRef(i, dt) => row.toOption.map(r =>
+          CatalystTypeConverters.createToCatalystConverter(dt)(r.get(r.fieldIndex(s"__g_$i")))).get
         case Passthrough(v) => v
         case CastCell(inner, cast) =>
-          cast.withNewChildren(Seq(Literal(eval(inner), cast.child.dataType)))
+          cast.withNewChildren(Seq(Literal(eval(inner, row), cast.child.dataType)))
             .eval(InternalRow.empty)
       }
-      val values = cells.map(eval)
-      Some(LocalRelation(output, Seq(InternalRow.fromSeq(values)),
-        isStreaming = false, None))
+      val data = rows.map(r => InternalRow.fromSeq(cells.map(eval(_, r))))
+      Some(LocalRelation(output, data, isStreaming = false, None))
     } catch { case NonFatal(_) => None }
   }
 }
@@ -189,4 +230,5 @@ private object MetadataAggRewrite {
   final case class MaxOf(col: String, dt: org.apache.spark.sql.types.DataType) extends Cell
   final case class Passthrough(value: Any) extends Cell
   final case class CastCell(inner: Cell, cast: Cast) extends Cell
+  final case class GroupRef(idx: Int, dt: org.apache.spark.sql.types.DataType) extends Cell
 }

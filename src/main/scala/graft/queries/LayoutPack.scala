@@ -1436,6 +1436,133 @@ object LayoutPack extends QueryPack {
     df
   }
 
+  val q148 = QueryDef.staged(
+    "q148_metadata_grouped_rollup",
+    // oracle: the per-partition rollup recomputed from the raw rows —
+    // a fold that mis-assigns a file to a partition, forgets a
+    // vector's rows, or decodes a partition value wrong shifts a
+    // group and fails
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MIN(o_orderkey) AS BIGINT) AS mn_key,
+           |  CAST(MAX(o_totalprice) AS DOUBLE) AS mx_price
+           |FROM orders WHERE NOT (o_orderkey % 11 = 0 AND o_orderpriority = '5-LOW')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): a priority-partitioned landing plus a point
+    // delete small enough to land as a deletion vector on 5-LOW —
+    // the steady state of a fact table between maintenance windows.
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_q148").toString + "/t"
+    Snapshot.create(t.spark, dir,
+      t.orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(2),
+      partitionCols = Seq("o_orderpriority"))
+    Snapshot.delete(t.spark, dir,
+      col("o_orderkey") % 11 === 0 && col("o_orderpriority") === "5-LOW",
+      dvMaxFraction = 0.5)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the per-partition health rollup as plain SQL. The
+    // grouping is the partition column, so count(*) folds from the
+    // manifest (live = rows − dv.rows) — but min/max touch DATA
+    // columns on a VECTORED version, where a metadata answer could be
+    // wrong, so the plan must be a REAL scan: this gate pins the
+    // refusal boundary as much as the fold. (MetadataAggRewriteSpec
+    // pins the vector-free fold plan shape.)
+    import graft.operators.Snapshot
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS mn_key,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS mx_price
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, Map("t" -> dir))
+  }
+
+  val q149 = QueryDef.staged(
+    "q149_cdc_replicate",
+    // oracle: the replica's rollup recomputed from the raw rows with
+    // the same churn applied in SQL — a replication that missed a
+    // delete, dropped an update, or applied a change to the wrong
+    // partition shifts a group and fails
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+           |    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE NOT (o_orderkey % 5 = 0)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): source fact + bootstrapped replica, then a
+    // churn window on the source — updates, deletes — the replica has
+    // not seen yet.
+    import graft.operators.Snapshot
+    import graft.streaming.FeedConsumer
+    val root = java.nio.file.Files.createTempDirectory("graft_q149").toString
+    val base = t.orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    Snapshot.create(t.spark, s"$root/src", base.repartition(2),
+      partitionCols = Seq("o_orderpriority"))
+    Snapshot.create(t.spark, s"$root/dst", base.limit(0),
+      partitionCols = Seq("o_orderpriority"))
+    FeedConsumer.replicate(t.spark, s"$root/src", s"$root/dst", "rep")
+    val upd = base.where(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    Snapshot.mergeById(t.spark, s"$root/src", upd, "o_orderkey", "o_orderpriority")
+    Snapshot.delete(t.spark, s"$root/src", col("o_orderkey") % 5 === 0)
+    root
+  } { (t, root: String) =>
+    // MEASURED: the incremental drain — the change feed of the churn
+    // window applied to the replica as a partition-restricted swap
+    // with the watermark in the same commit — then the replica's
+    // health rollup. On 100 TB this window is the nightly
+    // bronze→silver step: work bounded by the changed files, twice.
+    import graft.operators.Snapshot
+    import graft.streaming.FeedConsumer
+    FeedConsumer.replicate(t.spark, s"$root/src", s"$root/dst", "rep")
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, Map("t" -> s"$root/dst"))
+  }
+
+  val q150 = QueryDef.staged(
+    "q150_tagged_version_pin",
+    // oracle: the TAGGED state recomputed from the raw rows — the tag
+    // was created before any churn, so it pins the original base; a
+    // tag that resolved to the wrong version, a vacuum that reclaimed
+    // a tagged file, or an island checkpoint that dropped a delta
+    // field all shift the rollup and fail
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): a catalog table tagged at its base state, then
+    // heavy churn — deletes, an overwrite, a compaction — followed by a
+    // VACUUM whose retention would reclaim everything but the latest.
+    // The tagged version survives as a retained island (its delta chain
+    // checkpointed at reclaim time); every untagged old version is gone.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q150").toString
+    t.spark.conf.set("spark.sql.catalog.g150", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g150.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g150.db")
+    Snapshot.create(t.spark, s"$root/db/t",
+      t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"))
+    t.spark.sql("ALTER TABLE g150.db.t CREATE TAG base_corpus")
+    t.spark.sql("DELETE FROM g150.db.t WHERE o_orderkey % 3 = 0")
+    t.spark.sql(
+      """INSERT OVERWRITE g150.db.t
+        |SELECT o_orderkey, o_orderpriority, o_totalprice * 0.5 FROM g150.db.t
+        |WHERE o_orderkey % 2 = 0""".stripMargin)
+    Snapshot.compact(t.spark, s"$root/db/t", minFiles = 1)
+    Snapshot.vacuum(t.spark, s"$root/db/t", keepVersions = 1, orphanGraceMs = 0L)
+  } { (t, _: Any) =>
+    // MEASURED: the reproducible-dataset read — `VERSION AS OF 'tag'`
+    // by name through the vanilla analyzer, post-vacuum. On 100 TB
+    // this is "re-run the eval on exactly the corpus the model trained
+    // on, months later": the pin must cost a manifest read, not a
+    // table copy.
+    t.spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g150.db.t VERSION AS OF 'base_corpus'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

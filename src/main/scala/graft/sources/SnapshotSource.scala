@@ -106,7 +106,10 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
     // relation, one version, repeatable scans
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "graft-snapshot: versionAsOf and timestampAsOf are mutually exclusive")
-    val m = parameters.get("versionAsOf").map(_.toLong)
+    // versionAsOf: an integer version, or a TAG name resolved through
+    // the latest manifest's tag map — the one funnel both SQL routes'
+    // VERSION AS OF reach
+    val m = parameters.get("versionAsOf").map(Snapshot.resolveVersionSpec(spark, path, _))
       .orElse(parameters.get("timestampAsOf").map { raw =>
         // epoch micros, or an ISO-8601 instant like 2026-08-13T10:00:00Z
         val micros = raw.toLongOption.getOrElse(

@@ -90,4 +90,92 @@ object FeedConsumer {
     src.select(keys.map(col): _*).limit(0)
       .withColumn("n", lit(0L))
       .withColumn("total", lit(0).cast("decimal(28,2)"))
+
+  /** Row-level REPLICATION: advance a downstream REPLICA of `srcPath`
+    * (same grain, same rows) to the source's latest version by applying
+    * its change feed — the bronze→silver step of every medallion
+    * pipeline, and the snapshot-native generalization of the
+    * reference's delete-window-and-reload cadence (consumo_detalle.py
+    * deletes a date window and re-extracts it; here the downstream
+    * applies exactly the rows that changed).
+    *
+    * [[Snapshot.readChanges]] with `net = true` over the window
+    * (vFrom → vNow) is a STATE DIFF — inserts = rows the source gained,
+    * deletes = rows it lost, as multisets — so application needs no
+    * keys and no ordering fold: `replica − deletes + inserts` IS the
+    * source's latest state, given the replica held the vFrom state
+    * (which the watermark guarantees). At 100 TB the work is bounded by
+    * the CHANGE, twice over: the feed reads only changed files, and the
+    * rewrite touches only the partitions those changes live in (the
+    * slice is `exceptAll`-diffed per affected partition; untouched
+    * partitions keep their files byte-identical). `keyCols`, when the
+    * table has a row identity, replaces the multiset diff with a
+    * cheaper key anti-join (updates then need not match old rows
+    * byte-exactly).
+    *
+    * Exactly-once, same contract as [[drain]]: the watermark
+    * (`consumerId` → source version) commits ATOMICALLY with the
+    * applied rows against the pinned downstream manifest — a crash
+    * before the commit leaves the old watermark (rerun re-applies the
+    * same window onto the same state), a concurrent downstream commit
+    * version-conflicts and refuses, a redelivery no-ops. A window with
+    * data changes in NO downstream partition (or a pure compaction
+    * window, which nets to zero changes) commits the watermark alone.
+    * A schema change inside the window refuses (readChanges requires a
+    * schema-stable window): re-sync with a fresh bootstrap instead.
+    *
+    * Bootstrap (no watermark yet): full copy of the source's latest
+    * version through the same atomic commit. Returns
+    * Some(fromVersion → toVersion) when the replica advanced, None when
+    * already up to date.
+    */
+  def replicate(spark: SparkSession, srcPath: String, dstPath: String,
+                consumerId: String, keyCols: Seq[String] = Nil): Option[(Long, Long)] = {
+    val vNow = Snapshot.latestVersion(spark, srcPath).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $srcPath"))
+    val dstM = Snapshot.latestManifest(spark, dstPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"replica must be a snapshot table (create it first): $dstPath"))
+    val vFrom = dstM.streamBatch.get(consumerId)
+    if (vFrom.exists(_ >= vNow)) return None
+    val stamp = (m: Snapshot.Manifest) =>
+      m.copy(streamBatch = m.streamBatch + (consumerId -> vNow))
+    vFrom match {
+      case None =>
+        // bootstrap: the latest source state wholesale, watermark in
+        // the same commit
+        val full = Snapshot.readVersion(spark, srcPath, vNow)
+        if (dstM.partitionCols.isEmpty)
+          Snapshot.replaceWholeTableOn(spark, dstPath, dstM, full,
+            op = "REPLICATE", finish = stamp)
+        else
+          Snapshot.replacePartitionsOn(spark, dstPath, dstM, full,
+            dropOld = _ => true, op = "REPLICATE", finish = stamp)
+      case Some(v) =>
+        val feed = Snapshot.readChanges(spark, srcPath, v, vNow, net = true)
+        val ins = feed.where(col("_change_type") === "insert").drop("_change_type")
+        val del = feed.where(col("_change_type") === "delete").drop("_change_type")
+        def applied(slice: DataFrame): DataFrame =
+          if (keyCols.nonEmpty)
+            slice.join(feed.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+              .unionByName(ins)
+          else slice.exceptAll(del).unionByName(ins)
+        if (dstM.partitionCols.isEmpty)
+          Snapshot.replaceWholeTableOn(spark, dstPath, dstM,
+            applied(Snapshot.read(spark, dstPath)), op = "REPLICATE", finish = stamp)
+        else {
+          val (affected, affectedFiles) =
+            Snapshot.affectedPartitions(spark, dstM, feed, dstM.partitionCols)
+          if (affected.isEmpty)
+            // compaction-only / out-of-scope window: watermark alone
+            Snapshot.commitMetaOn(spark, dstPath, dstM, "REPLICATE")(stamp)
+          else {
+            val slice = Snapshot.readManifestFiles(spark, dstPath, dstM, affectedFiles)
+            Snapshot.replacePartitionsOn(spark, dstPath, dstM, applied(slice),
+              dropOld = affected.contains, op = "REPLICATE", finish = stamp)
+          }
+        }
+    }
+    Some(vFrom.getOrElse(0L) -> vNow)
+  }
 }

@@ -81,7 +81,7 @@ class MetadataAggRewriteSpec extends SparkSpec {
     assert(r.getLong(0) == 50L && r.getLong(1) == 70L, s"got $r")
   }
 
-  test("no rewrite under a filter, grouping, or DISTINCT — and answers still correct") {
+  test("no rewrite under a filter, non-partition grouping, or DISTINCT — and answers still correct") {
     val t = sf()
     val dir = freshDir("guards")
     Snapshot.create(spark, dir, t.orders.select(col("o_orderkey"), col("o_orderstatus")))
@@ -168,6 +168,105 @@ class MetadataAggRewriteSpec extends SparkSpec {
     assert(agg.collect()(0) == Snapshot.read(spark, dir).agg(
       max(col("o_orderdate")).cast("date"), min(col("o_orderkey")).cast("int"),
       count(lit(1)).cast("double")).collect()(0))
+  }
+
+  test("partition-grouped rollup folds from partition values + per-file stats") {
+    val t = sf()
+    val dir = freshDir("grouped")
+    Snapshot.create(spark, dir,
+      t.orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(3),
+      partitionCols = Seq("o_orderpriority"))
+    val agg = nativeDf(dir).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+    assert(metadataOnly(agg), s"grouped fold must fire:\n${agg.queryExecution.optimizedPlan}")
+    val got = agg.orderBy("o_orderpriority").collect().toSeq
+    val want = Snapshot.read(spark, dir).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == want, s"grouped fold mismatch:\n$got\n$want")
+  }
+
+  test("SELECT DISTINCT partition_col answers from the manifest; grouped counts stay live-exact under DVs") {
+    val t = sf()
+    val dir = freshDir("distinct")
+    Snapshot.create(spark, dir,
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(1),
+      partitionCols = Seq("o_orderpriority"))
+    val d0 = nativeDf(dir).select(col("o_orderpriority")).distinct()
+    assert(metadataOnly(d0), s"DISTINCT must fold:\n${d0.queryExecution.optimizedPlan}")
+    assert(d0.collect().map(_.getString(0)).sorted.toSeq ==
+      Snapshot.read(spark, dir).select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+
+    // a sub-threshold point delete lands as a deletion vector; the
+    // grouped count(*) must subtract exactly the vectored rows
+    val before = Snapshot.read(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT").count()
+    Snapshot.delete(spark, dir,
+      col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 37 === 0,
+      dvMaxFraction = 0.5)
+    val m = Snapshot.latestManifest(spark, dir).get
+    assume(m.dvs.nonEmpty, "fixture must land in the DV tier")
+    val g = nativeDf(dir).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(metadataOnly(g), "grouped count(*) stays exact under vectors")
+    val urg = g.collect().find(_.getString(0) == "1-URGENT").get.getLong(1)
+    val scan = Snapshot.read(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT").count()
+    assert(urg == scan && urg < before, s"live count $urg != scan $scan (before $before)")
+  }
+
+  test("min/max of a partition column: the watermark probe steps down when a partition drops") {
+    val t = sf()
+    val dir = freshDir("wm")
+    Snapshot.create(spark, dir,
+      t.orders.select(col("o_orderkey"), col("o_orderpriority")).repartition(1),
+      partitionCols = Seq("o_orderpriority"))
+    val wm = nativeDf(dir).agg(max(col("o_orderpriority")).as("hi"),
+      min(col("o_orderpriority")).as("lo"), count(col("o_orderpriority")).as("c"))
+    assert(metadataOnly(wm), s"partition min/max must fold:\n${wm.queryExecution.optimizedPlan}")
+    assert(wm.collect()(0) == Snapshot.read(spark, dir).agg(
+      max(col("o_orderpriority")), min(col("o_orderpriority")),
+      count(col("o_orderpriority"))).collect()(0))
+
+    // deleting the whole top partition drops its files (full-match
+    // tier, no rewrite): the folded max must step down with it
+    Snapshot.delete(spark, dir, col("o_orderpriority") === "5-LOW")
+    val wm2 = nativeDf(dir).agg(max(col("o_orderpriority")).as("hi"))
+    assert(metadataOnly(wm2))
+    assert(wm2.collect()(0).getString(0) == "4-NOT SPECIFIED",
+      "max must skip the deleted partition")
+  }
+
+  test("catalog route: grouped fold fires on a by-name spark.sql query") {
+    val wh = Files.createTempDirectory("graft-metaagg-cat").toString
+    spark.conf.set("spark.sql.catalog.gmeta", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmeta.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.db")
+    spark.sql("CREATE TABLE gmeta.db.t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gmeta.db.t VALUES (1,'a'),(2,'a'),(3,'b')")
+    val df = spark.sql("SELECT p, count(*) AS n, max(id) AS mx FROM gmeta.db.t GROUP BY p")
+    assert(metadataOnly(df), s"catalog-name fold must fire:\n${df.queryExecution.optimizedPlan}")
+    assert(df.orderBy("p").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 2L), ("b", 1L, 3L)))
+  }
+
+  test("grouped fold refuses past the group cap") {
+    val t = sf()
+    val dir = freshDir("cap")
+    Snapshot.create(spark, dir,
+      t.orders.select(col("o_orderkey"), col("o_orderpriority")).repartition(1),
+      partitionCols = Seq("o_orderpriority"))
+    spark.conf.set("spark.graft.metaAgg.maxGroups", "2")
+    try {
+      val agg = nativeDf(dir).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(!metadataOnly(agg), "5 groups > cap 2 must fall back to the scan")
+      assert(agg.count() == 5)
+    } finally spark.conf.unset("spark.graft.metaAgg.maxGroups")
   }
 
   test("empty table: count answers 0, min/max answer null, no scan") {

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshot
+
+/** Named TAGS: immutable, vacuum-protected version pins
+  * ([[Snapshot.createTag]]) — the reproducible-dataset contract. A tag
+  * resolves wherever a version does (`VERSION AS OF 'name'` on both
+  * SQL routes, RESTORE, SHALLOW CLONE), and the tagged version's whole
+  * state (manifest chain, data files, deletion vectors) survives every
+  * vacuum retention rule until the tag is dropped.
+  */
+class TagSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-tag-wh").toString
+    spark.conf.set("spark.sql.catalog.gt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gt.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db")
+    dir
+  }
+
+  private def sql(s: String): DataFrame = { warehouse; spark.sql(s) }
+
+  private def mkTable(name: String): String = {
+    val path = s"$warehouse/db/$name"
+    sql(s"CREATE TABLE gt.db.$name (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    sql(s"INSERT INTO gt.db.$name SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id FROM range(100)")
+    path
+  }
+
+  test("create, resolve through both routes, replace, drop") {
+    val path = mkTable("t1")
+    val v = Snapshot.latestVersion(spark, path).get
+    Snapshot.createTag(spark, path, "run-2026.08", Some(v))
+    // churn past the tag
+    sql("INSERT INTO gt.db.t1 VALUES (1000, 'even', -1)")
+    sql("DELETE FROM gt.db.t1 WHERE id % 10 = 0")
+
+    // catalog route: VERSION AS OF 'tag' through the vanilla analyzer
+    assert(sql("SELECT count(*) AS n FROM gt.db.t1 VERSION AS OF 'run-2026.08'")
+      .as[Long].head() == 100L)
+    // option route (and with it the registry route's time travel)
+    val byOpt = spark.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", "run-2026.08").load(path)
+    assert(byOpt.count() == 100L)
+    // integer specs still resolve as plain versions
+    assert(Snapshot.resolveVersionSpec(spark, path, s"$v") == v)
+
+    // duplicate refuses; OR REPLACE re-points
+    intercept[IllegalArgumentException] {
+      Snapshot.createTag(spark, path, "run-2026.08")
+    }
+    val v2 = Snapshot.latestVersion(spark, path).get
+    sql("ALTER TABLE gt.db.t1 CREATE OR REPLACE TAG `run-2026.08` AS OF VERSION " + v2)
+    assert(Snapshot.resolveVersionSpec(spark, path, "run-2026.08") == v2)
+
+    // DESCRIBE DETAIL surfaces the map; DROP TAG removes it
+    assert(sql("DESCRIBE DETAIL gt.db.t1").select("tags").as[String].head()
+      .contains(s"run-2026.08=v$v2"))
+    sql("ALTER TABLE gt.db.t1 DROP TAG `run-2026.08`")
+    intercept[IllegalArgumentException] {
+      Snapshot.resolveVersionSpec(spark, path, "run-2026.08")
+    }
+    // unknown drop refuses without IF EXISTS, no-ops with it
+    intercept[Exception] { sql("ALTER TABLE gt.db.t1 DROP TAG nope") }
+    sql("ALTER TABLE gt.db.t1 DROP TAG IF EXISTS nope")
+  }
+
+  test("validation: numeric names, future versions, reclaimed versions refuse") {
+    val path = mkTable("t2")
+    intercept[IllegalArgumentException] { Snapshot.createTag(spark, path, "123") }
+    intercept[IllegalArgumentException] { Snapshot.createTag(spark, path, "x y") }
+    intercept[IllegalArgumentException] {
+      Snapshot.createTag(spark, path, "future", Some(999L))
+    }
+    // a version vacuum already reclaimed cannot be pinned after the fact
+    sql("INSERT INTO gt.db.t2 VALUES (200, 'even', 200)")
+    sql("INSERT INTO gt.db.t2 VALUES (201, 'odd', 201)")
+    Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    intercept[IllegalArgumentException] {
+      Snapshot.createTag(spark, path, "gone", Some(1L))
+    }
+  }
+
+  test("a tagged version survives vacuum as an island and reads back exactly") {
+    val path = mkTable("t3")
+    val taggedRows = Snapshot.read(spark, path).select("id", "p", "v")
+      .as[(Long, String, Long)].collect().toSet
+    sql("ALTER TABLE gt.db.t3 CREATE TAG pinned")
+    val pinnedV = Snapshot.latestVersion(spark, path).get // tag commit itself
+    val taggedV = Snapshot.resolveVersionSpec(spark, path, "pinned")
+    // heavy churn: overwrite every partition twice, DV-delete, compact —
+    // the tagged version's files all leave the live set
+    (1 to 2).foreach { i =>
+      sql(s"INSERT OVERWRITE gt.db.t3 SELECT id + ${i * 1000}, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id FROM range(50)")
+    }
+    sql("DELETE FROM gt.db.t3 WHERE id % 7 = 0")
+    Snapshot.compact(spark, path, minFiles = 1)
+
+    // retention that would reclaim everything but the latest
+    Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    // untagged history is gone...
+    intercept[Exception] { Snapshot.readVersion(spark, path, pinnedV).collect() }
+    // ...but the tagged version still reads back bit-exactly, through
+    // its island checkpoint (its delta chain crossed reclaimed versions)
+    val back = sql("SELECT id, p, v FROM gt.db.t3 VERSION AS OF 'pinned'")
+      .as[(Long, String, Long)].collect().toSet
+    assert(back == taggedRows, "tagged version must survive vacuum bit-exactly")
+    val m = Snapshot.manifest(spark, path, taggedV)
+    assert(m.version == taggedV)
+
+    // DROP TAG releases the pin: the next vacuum reclaims the island
+    sql("ALTER TABLE gt.db.t3 DROP TAG pinned")
+    Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    intercept[Exception] { Snapshot.readVersion(spark, path, taggedV).collect() }
+    // the latest version still reads (no collateral damage)
+    assert(Snapshot.read(spark, path).count() > 0)
+  }
+
+  test("a tagged version's deletion vectors survive vacuum with it") {
+    val path = s"$warehouse/db/t4"
+    // one big file so a point delete takes the DV tier
+    Snapshot.create(spark, path,
+      spark.range(2000).select(col("id"), lit("a").as("p"), col("id").as("v"))
+        .repartition(1), partitionCols = Seq("p"))
+    Snapshot.delete(spark, path, col("id") === 5L, dvMaxFraction = 0.5)
+    val mDv = Snapshot.latestManifest(spark, path).get
+    assert(mDv.dvs.nonEmpty, "fixture: the delete must land as a deletion vector")
+    Snapshot.createTag(spark, path, "dvpin")
+    // churn: full overwrite drops the DV'd file from the live set
+    Snapshot.overwrite(spark, path,
+      spark.range(10).select(col("id"), lit("a").as("p"), col("id").as("v")))
+    Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", "dvpin").load(path)
+    assert(back.count() == 1999L, "tagged DV'd state must read back post-vacuum")
+    assert(!back.select("id").as[Long].collect().contains(5L))
+  }
+
+  test("RESTORE and SHALLOW CLONE accept tags; restore preserves the tag map; a clone drops it") {
+    val path = mkTable("t5")
+    sql("ALTER TABLE gt.db.t5 CREATE TAG before-churn")
+    val want = Snapshot.read(spark, path).select("id").as[Long].collect().toSet
+    sql("DELETE FROM gt.db.t5 WHERE id < 50")
+    sql("RESTORE TABLE gt.db.t5 TO VERSION AS OF 'before-churn'")
+    assert(Snapshot.read(spark, path).select("id").as[Long].collect().toSet == want)
+    // the restore commit carries the CURRENT tag map, not the target's
+    assert(Snapshot.latestManifest(spark, path).get.tags.contains("before-churn"))
+
+    sql("CREATE TABLE gt.db.t5c SHALLOW CLONE gt.db.t5 VERSION AS OF 'before-churn'")
+    val clone = Snapshot.latestManifest(spark, s"$warehouse/db/t5c").get
+    assert(clone.tags.isEmpty, "a clone's history starts fresh: source tags must not carry")
+    assert(Snapshot.read(spark, s"$warehouse/db/t5c").count() == want.size.toLong)
+  }
+
+  test("registry route: tag DDL and resolution as SQL text") {
+    val root = Files.createTempDirectory("graft-tag-reg").toString
+    val path = s"$root/t"
+    Snapshot.create(spark, path,
+      spark.range(20).select(col("id"), (col("id") % 4).as("p")),
+      partitionCols = Seq("p"))
+    val t = Map("t" -> path)
+    Snapshot.sql(spark, "ALTER TABLE t CREATE TAG reg1", t)
+    Snapshot.sql(spark, "INSERT INTO t VALUES (100, 0)", t)
+    assert(Snapshot.sqlQuery(spark,
+      "SELECT count(*) AS n FROM t VERSION AS OF 'reg1'", t).as[Long].head() == 20L)
+    Snapshot.sql(spark, "ALTER TABLE t DROP TAG IF EXISTS reg1", t)
+    assert(Snapshot.latestManifest(spark, path).get.tags.isEmpty)
+  }
+}
