@@ -1236,6 +1236,14 @@ object Snapshot {
         s"(latest is ${m.version})")
       if (!replace) m.tags.get(name).foreach(v => throw new IllegalArgumentException(
         s"createTag: tag '$name' already exists (-> v$v); use replace/OR REPLACE"))
+      // below the published VACUUM FLOOR only already-tagged versions
+      // are reliably retained — an untagged one may be mid-deletion by
+      // a concurrent vacuum (which commits the floor BEFORE deleting,
+      // so this check and that commit arbitrate the race)
+      val floor = policyLong(m, "vacuum.floor").getOrElse(0L)
+      require(target >= floor || m.tags.values.exists(_ == target),
+        s"createTag: v$target is below the vacuum floor v$floor and not otherwise " +
+          "tagged — it may already be reclaimed; pin a retained version instead")
       // the tagged version must still reconstruct — a tag to an
       // already-reclaimed version would be a dangling pin
       if (target != m.version)
@@ -3036,6 +3044,14 @@ object Snapshot {
     val cur = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     if (version == cur.version) return cur.version
+    // same arbitration as createTag: below the vacuum floor only tagged
+    // versions are reliably intact — an untagged one may be mid-reclaim
+    // by a concurrent vacuum, and a restore built on half-deleted state
+    // would commit dangling file refs
+    val floor = policyLong(cur, "vacuum.floor").getOrElse(0L)
+    require(version >= floor || cur.tags.values.exists(_ == version),
+      s"restore to v$version: below the vacuum floor v$floor and not tagged — " +
+        "that version is reclaimable; restore to a retained or tagged version")
     val target =
       try manifest(spark, path, version)
       catch {
@@ -3267,10 +3283,47 @@ object Snapshot {
     // (the reproducible-dataset contract of createTag), so no retention
     // rule — count or age — may reclaim a tagged version until its tag
     // is dropped. The tag map lives on the LATEST manifest.
-    val tagged = manifest(spark, path, vs.last).tags.values.toSet
-    val (cutDead, keptSuffix) = vs.splitAt(cutIdx)
-    val (taggedIslands, dead) = cutDead.partition(tagged)
-    val kept = taggedIslands ++ keptSuffix // both ascending, islands first
+    def splitByTags(tagged: Set[Long]): (Seq[Long], Seq[Long]) = {
+      val (cutDead, keptSuffix) = vs.splitAt(cutIdx)
+      val (taggedIslands, dead) = cutDead.partition(tagged)
+      (taggedIslands ++ keptSuffix, dead) // both ascending, islands first
+    }
+    var (kept, dead) = splitByTags(manifest(spark, path, vs.last).tags.values.toSet)
+    // before deleting ANYTHING, publish the reclaim FLOOR through the
+    // optimistic commit protocol: a CREATE TAG racing this vacuum either
+    // commits first (this commit conflicts -> re-read the tag map and
+    // recompute the split, so the new pin is honoured) or commits after
+    // (createTag sees the floor and refuses to pin below it). Without
+    // the arbitration a tag could land on a version mid-deletion and
+    // dangle forever.
+    if (dead.nonEmpty && !dryRun) {
+      var attempts = 0
+      var committed = false
+      while (!committed && dead.nonEmpty) {
+        val latest = latestManifest(spark, path).getOrElse(return Nil)
+        val s = splitByTags(latest.tags.values.toSet)
+        kept = s._1; dead = s._2
+        if (dead.nonEmpty) {
+          // the floor is the CONTIGUOUS suffix's head — dead versions
+          // can sit between tagged islands, so "oldest kept" would lie:
+          // below the floor only TAGGED versions are reliably retained,
+          // which is exactly the rule createTag enforces
+          val floor = vs(cutIdx)
+          try {
+            commitManifest(spark, path, latest.copy(version = latest.version + 1,
+              operation = s"VACUUM floor v$floor",
+              properties = latest.properties + ("graft.vacuum.floor" -> floor.toString)))
+            committed = true
+          } catch {
+            case _: CommitConflictException =>
+              attempts += 1
+              require(attempts <= 10, "vacuum: could not publish the reclaim floor " +
+                "after 10 attempts (heavy concurrent commit traffic); retry later")
+          }
+        }
+      }
+      if (dead.isEmpty) return Nil // concurrent tags pinned everything
+    }
     val keptManifests = kept.map(manifest(spark, path, _))
     val live = keptManifests.flatMap(_.files).toSet
     val now = System.currentTimeMillis()

@@ -104,6 +104,27 @@ object GraftSqlParser {
     (parts, j)
   }
 
+  /** A tag/version spec spans tokens: the lexer splits `run-2026.08`
+    * at the punctuation, so consume word(-|.)word… greedily; quoted
+    * forms (`backtick`, 'string') are one token already. Returns
+    * (name, next token index).
+    */
+  private def tagIdent(toks: Vector[Tok], at: Int): (String, Int) = {
+    val t = toks(at)
+    if (t.text.startsWith("`")) (t.text.stripPrefix("`").stripSuffix("`"), at + 1)
+    else if (t.text.startsWith("'")) (t.text.stripPrefix("'").stripSuffix("'"), at + 1)
+    else {
+      val sb = new StringBuilder(t.text)
+      var j = at + 1
+      while (j + 1 < toks.length && (toks(j).text == "-" || toks(j).text == ".") &&
+          toks(j + 1).text.headOption.exists(c => c.isLetterOrDigit || c == '_')) {
+        sb ++= toks(j).text ++= toks(j + 1).text
+        j += 2
+      }
+      (sb.toString, j)
+    }
+  }
+
   private def stripTrailingSemi(s: String): String = {
     var t = s.trim
     while (t.endsWith(";")) t = t.dropRight(1).trim
@@ -154,24 +175,7 @@ object GraftSqlParser {
     if (toks.length < 3 || !toks(0).is("ALTER") || !toks(1).is("TABLE")) return None
     val (parts, i) = ident(toks, 2)
     if (i >= toks.length) return None
-    // a tag name spans tokens: the lexer splits `run-2026.08` at the
-    // punctuation, so consume word(-|.)word… greedily; quoted forms
-    // (`backtick`, 'string') are one token already
-    def tagIdent(at: Int): (String, Int) = {
-      val t = toks(at)
-      if (t.text.startsWith("`")) (t.text.stripPrefix("`").stripSuffix("`"), at + 1)
-      else if (t.text.startsWith("'")) (t.text.stripPrefix("'").stripSuffix("'"), at + 1)
-      else {
-        val sb = new StringBuilder(t.text)
-        var j = at + 1
-        while (j + 1 < toks.length && (toks(j).text == "-" || toks(j).text == ".") &&
-            toks(j + 1).text.headOption.exists(c => c.isLetterOrDigit || c == '_')) {
-          sb ++= toks(j).text ++= toks(j + 1).text
-          j += 2
-        }
-        (sb.toString, j)
-      }
-    }
+    def tagIdent(at: Int): (String, Int) = GraftSqlParser.tagIdent(toks, at)
     if (toks(i).is("CREATE")) {
       val replace = i + 2 < toks.length && toks(i + 1).is("OR") && toks(i + 2).is("REPLACE")
       val at = if (replace) i + 3 else i + 1
@@ -259,8 +263,9 @@ object GraftSqlParser {
         (toks(k).is("VERSION") || toks(k).is("TIMESTAMP")),
         s"cannot parse SHALLOW CLONE statement (… [VERSION|TIMESTAMP AS OF …]): $text")
       if (toks(k).is("VERSION")) {
-        verSpec = Some(toks(k + 3).text)
-        k += 4
+        val (spec, afterSpec) = tagIdent(toks, k + 3)
+        verSpec = Some(spec)
+        k = afterSpec
         loud(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
       } else {
         // TIMESTAMP AS OF takes the free-text tail — any timestamp

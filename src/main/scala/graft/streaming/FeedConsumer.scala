@@ -152,29 +152,44 @@ object FeedConsumer {
           Snapshot.replacePartitionsOn(spark, dstPath, dstM, full,
             dropOld = _ => true, op = "REPLICATE", finish = stamp)
       case Some(v) =>
-        val feed = Snapshot.readChanges(spark, srcPath, v, vNow, net = true)
-        val ins = feed.where(col("_change_type") === "insert").drop("_change_type")
-        val del = feed.where(col("_change_type") === "delete").drop("_change_type")
-        def applied(slice: DataFrame): DataFrame =
-          if (keyCols.nonEmpty)
-            slice.join(feed.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-              .unionByName(ins)
-          else slice.exceptAll(del).unionByName(ins)
-        if (dstM.partitionCols.isEmpty)
-          Snapshot.replaceWholeTableOn(spark, dstPath, dstM,
-            applied(Snapshot.read(spark, dstPath)), op = "REPLICATE", finish = stamp)
-        else {
-          val (affected, affectedFiles) =
-            Snapshot.affectedPartitions(spark, dstM, feed, dstM.partitionCols)
-          if (affected.isEmpty)
-            // compaction-only / out-of-scope window: watermark alone
+        // the net feed is consumed several times (inserts, deletes, key
+        // set, partition restriction) and is itself a double exceptAll
+        // over the window's changed files — persist so the change is
+        // read ONCE, not once per consumer
+        val feed = Snapshot.readChanges(spark, srcPath, v, vNow, net = true).persist()
+        try {
+          val ins = feed.where(col("_change_type") === "insert").drop("_change_type")
+          val del = feed.where(col("_change_type") === "delete").drop("_change_type")
+          def applied(slice: DataFrame): DataFrame =
+            if (keyCols.nonEmpty)
+              slice.join(feed.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+                .unionByName(ins)
+            else slice.exceptAll(del).unionByName(ins)
+          if (feed.isEmpty)
+            // compaction-only / net-empty window: watermark alone
             Snapshot.commitMetaOn(spark, dstPath, dstM, "REPLICATE")(stamp)
+          else if (dstM.partitionCols.isEmpty)
+            // read the PINNED manifest, not "latest at call time": the
+            // diff must apply to exactly the state the watermark vouches
+            // for (the commit's version check backstops, but the pinned
+            // read is the contract)
+            Snapshot.replaceWholeTableOn(spark, dstPath, dstM,
+              applied(Snapshot.readManifestFiles(spark, dstPath, dstM, dstM.files)),
+              op = "REPLICATE", finish = stamp)
           else {
+            // `affected` = feed partitions the replica ALREADY HAS (their
+            // files are diffed and rewritten). A non-empty feed whose
+            // partitions are all NEW to the replica — the nightly
+            // append of a fresh date partition — has an empty affected
+            // set but must still apply: the inserts ride `applied` as
+            // brand-new partition files, dropping nothing.
+            val (affected, affectedFiles) =
+              Snapshot.affectedPartitions(spark, dstM, feed, dstM.partitionCols)
             val slice = Snapshot.readManifestFiles(spark, dstPath, dstM, affectedFiles)
             Snapshot.replacePartitionsOn(spark, dstPath, dstM, applied(slice),
               dropOld = affected.contains, op = "REPLICATE", finish = stamp)
           }
-        }
+        } finally feed.unpersist()
     }
     Some(vFrom.getOrElse(0L) -> vNow)
   }

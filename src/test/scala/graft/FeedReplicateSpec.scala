@@ -68,6 +68,35 @@ class FeedReplicateSpec extends SparkSpec {
     assert(FeedConsumer.replicate(spark, src, dst, "rep").isEmpty)
   }
 
+  test("a window whose partitions are all NEW to the replica still applies") {
+    // the nightly fresh-date append: the replica has no files in the
+    // incoming partition, so the partition restriction is empty — the
+    // window must still apply the inserts (regression: an empty
+    // affected set used to be mistaken for a no-data window and only
+    // the watermark committed, silently losing the partition forever)
+    val root = Files.createTempDirectory("graft-replicate-newpart").toString
+    val base = sf().orders
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    Snapshot.create(spark, s"$root/src",
+      base.where(col("o_orderpriority") =!= "5-LOW").repartition(2),
+      partitionCols = Seq("o_orderpriority"))
+    Snapshot.create(spark, s"$root/dst", base.limit(0),
+      partitionCols = Seq("o_orderpriority"))
+    assert(FeedConsumer.replicate(spark, s"$root/src", s"$root/dst", "rep").isDefined)
+    val before = filesByPartition(s"$root/dst")
+
+    // the churn window touches ONLY a partition the replica lacks
+    Snapshot.append(spark, s"$root/src", base.where(col("o_orderpriority") === "5-LOW"))
+    assert(FeedConsumer.replicate(spark, s"$root/src", s"$root/dst", "rep").isDefined)
+    assert(same(Snapshot.read(spark, s"$root/dst"), Snapshot.read(spark, s"$root/src")),
+      "a new-partition window must apply, not be mistaken for a no-op")
+    val after = filesByPartition(s"$root/dst")
+    before.keys.foreach { p =>
+      assert(after(p) == before(p), s"pre-existing partition $p must keep its files")
+    }
+    assert(after.contains("5-LOW"), "the new partition must exist downstream")
+  }
+
   test("a compaction-only window commits the watermark alone") {
     val (src, dst, _) = fixture("compact")
     assert(FeedConsumer.replicate(spark, src, dst, "rep").isDefined)

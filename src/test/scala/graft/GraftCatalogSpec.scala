@@ -158,12 +158,13 @@ class GraftCatalogSpec extends SparkSpec {
 
     sql("VACUUM g.db.mx RETAIN 1 VERSIONS")
     val path = s"$warehouse/db/mx"
-    assert(Snapshot.versions(spark, path).size == 1)
+    // the survivor plus the floor commit (published before deletion)
+    assert(Snapshot.versions(spark, path).size == 2)
     assert(sql("SELECT COUNT(*) AS n FROM g.db.mx").as[Long].head() == 8L)
     // age-based retention parses and keeps everything younger than 7 days
     sql("INSERT INTO g.db.mx SELECT * FROM mx_base")
     sql("VACUUM g.db.mx RETAIN 7 DAYS")
-    assert(Snapshot.versions(spark, path).size == 2)
+    assert(Snapshot.versions(spark, path).size == 3)
   }
 
   test("DataFrameWriterV2: writeTo(...).create/append/replace by name") {
@@ -587,7 +588,8 @@ class GraftCatalogSpec extends SparkSpec {
     // no per-statement RETAIN
     assert(sql("DESCRIBE HISTORY g.db.props").count() >= 5L)
     sql("VACUUM g.db.props")
-    assert(sql("DESCRIBE HISTORY g.db.props").count() == 3L)
+    // retainVersions=3 plus the floor commit
+    assert(sql("DESCRIBE HISTORY g.db.props").count() == 4L)
     assert(sql("SELECT id FROM g.db.props").as[Long].collect().toSeq == Seq(2L))
   }
 

@@ -97,7 +97,8 @@ class SnapshotDeltaLogSpec extends SparkSpec {
     }
     // keep 3: boundary v6 is a delta whose parents v1..v5 will drop
     Snapshot.vacuum(spark, dir, keepVersions = 3, orphanGraceMs = 0L)
-    assert(Snapshot.versions(spark, dir) == Seq(6L, 7L, 8L))
+    // v9 = the floor commit a reclaiming vacuum publishes before deleting
+    assert(Snapshot.versions(spark, dir) == Seq(6L, 7L, 8L, 9L))
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new HPath(s"$dir/_graft_log/v00000006.ckpt.json")),
       "vacuum must checkpoint the oldest kept version")

@@ -178,7 +178,7 @@ class SnapshotDmlSpec extends SparkSpec {
     val actual = Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
     assert(actual.toSet == planned.toSet,
       s"dry run must predict the real reclaim exactly:\n planned ${planned.sorted}\n actual ${actual.sorted}")
-    assert(Snapshot.versions(spark, dir) == Seq(3L))
+    assert(Snapshot.versions(spark, dir) == Seq(3L, 4L)) // v4 = the floor commit
   }
 
   test("delete rewrites only files that hold matching rows") {

@@ -92,7 +92,9 @@ class SnapshotSpec extends SparkSpec {
 
     // vacuum with zero grace: only the latest version's files survive
     Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
-    assert(Snapshot.versions(spark, dir) == Seq(m.version))
+    // a reclaiming vacuum commits its FLOOR first (tag/vacuum race
+    // arbitration), so one metadata version follows the survivor
+    assert(Snapshot.versions(spark, dir) == Seq(m.version, m.version + 1))
     assert(rows(Snapshot.read(spark, dir)) == expect)
     intercept[Exception] { rows(pinned) } // pinned files are gone — declared trade
   }
@@ -113,7 +115,7 @@ class SnapshotSpec extends SparkSpec {
     val now = System.currentTimeMillis() * 1000L
     Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L,
       retainMicros = Some(now - stamps(2L) + 1000L))
-    assert(Snapshot.versions(spark, dir) == Seq(2L, 3L))
+    assert(Snapshot.versions(spark, dir) == Seq(2L, 3L, 4L)) // v4 = the floor commit
     // the boundary version fully reconstructs (checkpointed before the
     // chain was dropped) and time travel inside the horizon still works
     assert(rows(Snapshot.readVersion(spark, dir, 2L)) == rows(fixture(0 until 20, 1)))
@@ -122,7 +124,7 @@ class SnapshotSpec extends SparkSpec {
     // a horizon covering nothing: the latest version always survives
     Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L,
       retainMicros = Some(0L))
-    assert(Snapshot.versions(spark, dir) == Seq(3L))
+    assert(Snapshot.versions(spark, dir) == Seq(4L, 5L))
     assert(rows(Snapshot.read(spark, dir)) == rows(fixture(0 until 30, 1)))
 
     // the SQL surface: RETAIN n DAYS (a wide horizon keeps everything)
@@ -132,7 +134,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.sql(spark, "VACUUM t RETAIN 7 DAYS", Map("t" -> dir2))
     assert(Snapshot.versions(spark, dir2) == Seq(1L, 2L))
     Snapshot.sql(spark, "VACUUM t RETAIN 0 HOURS", Map("t" -> dir2))
-    assert(Snapshot.versions(spark, dir2) == Seq(2L))
+    assert(Snapshot.versions(spark, dir2) == Seq(2L, 3L))
   }
 
   test("merge into a multi-column-partitioned table touches only affected tuples") {

@@ -285,7 +285,7 @@ class SnapshotSqlDdlSpec extends SparkSpec {
 
     // VACUUM RETAIN 1 VERSIONS: old manifests drop, latest still reads
     Snapshot.sql(spark, "VACUUM t RETAIN 1 VERSIONS", reg)
-    assert(Snapshot.versions(spark, dir) == Seq(4L))
+    assert(Snapshot.versions(spark, dir) == Seq(4L, 5L)) // v5 = the floor commit
     assert(rows(Snapshot.read(spark, dir)) == want)
 
     // unknown table refuses with the registry message

@@ -426,7 +426,8 @@ class SnapshotStatsSpec extends SparkSpec {
     java.nio.file.Files.write(new java.io.File(log, ".tmp-dead").toPath, "{}".getBytes)
     Snapshot.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
     assert(!new java.io.File(log, ".tmp-dead").exists)
-    assert(Snapshot.history(spark, dir).count() == 1)
+    // the survivor plus the floor commit the reclaiming vacuum publishes
+    assert(Snapshot.history(spark, dir).count() == 2)
   }
 
   test("startsWith with supplementary chars prunes soundly (codepoint prefix)") {

@@ -123,6 +123,32 @@ class TagSpec extends SparkSpec {
     assert(Snapshot.read(spark, path).count() > 0)
   }
 
+  test("vacuum publishes a floor; createTag and restore refuse below it") {
+    val path = mkTable("t6")
+    sql("INSERT INTO gt.db.t6 VALUES (300, 'even', 300)")
+    sql("INSERT INTO gt.db.t6 VALUES (301, 'odd', 301)")
+    sql("ALTER TABLE gt.db.t6 CREATE TAG island AS OF VERSION 2")
+    val reclaimed = Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    assert(reclaimed.nonEmpty, "fixture: the vacuum must reclaim something")
+    val m = Snapshot.latestManifest(spark, path).get
+    val floor = m.properties("graft.vacuum.floor").toLong
+    assert(floor > 2L, s"floor must sit above the reclaimed range, got $floor")
+    assert(m.operation.startsWith("VACUUM floor"),
+      "the floor must be committed through the protocol BEFORE deletion")
+    // an untagged version below the floor may be mid-reclaim by a
+    // concurrent vacuum: pinning or restoring it must refuse loudly...
+    intercept[IllegalArgumentException] {
+      Snapshot.createTag(spark, path, "late-pin", Some(1L))
+    }
+    intercept[IllegalArgumentException] { Snapshot.restore(spark, path, 1L) }
+    // ...but the ALREADY-TAGGED island below the floor stays pinnable
+    // (it is retained) and restorable
+    Snapshot.createTag(spark, path, "island-alias", Some(2L))
+    Snapshot.restore(spark, path, 2L)
+    // v2 is the base 100-row insert (v1 = the empty CREATE)
+    assert(Snapshot.read(spark, path).count() == 100L)
+  }
+
   test("a tagged version's deletion vectors survive vacuum with it") {
     val path = s"$warehouse/db/t4"
     // one big file so a point delete takes the DV tier
