@@ -136,7 +136,8 @@ object Snapshot {
                             clusterBy: Seq[String] = Nil,
                             properties: Map[String, String] = Map.empty,
                             externalRoots: Map[String, String] = Map.empty,
-                            tags: Map[String, Long] = Map.empty)
+                            tags: Map[String, Long] = Map.empty,
+                            colNdv: Map[String, Long] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -384,7 +385,8 @@ object Snapshot {
       parseStrings(root, "clusterBy"),
       parseColMap(root, "properties"),
       parseColMap(root, "externalRoots"),
-      parseLongMap(root, "tags"))
+      parseLongMap(root, "tags"),
+      parseLongMap(root, "colNdv"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -888,6 +890,10 @@ object Snapshot {
       val tg = node.putObject("tags")
       m.tags.toSeq.sortBy(_._1).foreach { case (n, v) => tg.put(n, v) }
     }
+    if (m.colNdv.nonEmpty) {
+      val nd = node.putObject("colNdv")
+      m.colNdv.toSeq.sortBy(_._1).foreach { case (c, n) => nd.put(c, n) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -967,6 +973,10 @@ object Snapshot {
       val tg = node.putObject("tagsSet")
       m.tags.toSeq.sortBy(_._1).foreach { case (n, v) => tg.put(n, v) }
     }
+    if (m.colNdv != parent.colNdv) {
+      val nd = node.putObject("colNdvSet")
+      m.colNdv.toSeq.sortBy(_._1).foreach { case (c, n) => nd.put(c, n) }
+    }
     node
   }
 
@@ -1016,7 +1026,8 @@ object Snapshot {
       else parent.properties,
       if (root.has("externalRootsSet")) parseColMap(root, "externalRootsSet")
       else parent.externalRoots,
-      if (root.has("tagsSet")) parseLongMap(root, "tagsSet") else parent.tags)
+      if (root.has("tagsSet")) parseLongMap(root, "tagsSet") else parent.tags,
+      if (root.has("colNdvSet")) parseLongMap(root, "colNdvSet") else parent.colNdv)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -1031,7 +1042,8 @@ object Snapshot {
       a.colMap == b.colMap && a.retired == b.retired && a.constraints == b.constraints &&
       a.generatedCols == b.generatedCols && a.operation == b.operation &&
       a.clusterBy == b.clusterBy && a.properties == b.properties &&
-      a.externalRoots == b.externalRoots && a.tags == b.tags
+      a.externalRoots == b.externalRoots && a.tags == b.tags &&
+      a.colNdv == b.colNdv
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1296,6 +1308,62 @@ object Snapshot {
         s"no such tag '$s' on $path " +
           s"(have: ${m.tags.keys.toSeq.sorted.mkString(", ")})"))
     }
+  }
+
+  /** ANALYZE TABLE: per-column DISTINCT-COUNT estimates committed into
+    * the manifest — the cardinality input Catalyst's cost-based
+    * optimizer needs for join reordering and build-side choice, which
+    * row counts and byte sizes (already metadata-exact on every
+    * manifest) cannot supply alone. One pass over the table computes
+    * HLL++ sketch estimates (`approx_count_distinct`) for the requested
+    * columns — or every atomic-typed column — in a SINGLE aggregate
+    * job: at 100 TB this is one scan, not one per column. Estimates are
+    * PLANNER input only (never used to answer a query), so approximate
+    * is the correct trade: an exact distinct per column would shuffle
+    * the table once per column for a number whose consumer tolerates
+    * ±5%. NDVs ride subsequent commits unchanged (the standard
+    * stats-staleness contract every warehouse has) until the next
+    * ANALYZE; RENAME/DROP COLUMN carry/drop them; a shallow clone
+    * inherits them (same rows). [[graft.catalog.GraftTable]] surfaces
+    * them — plus the always-exact row count — as catalog statistics on
+    * the native scan, so `spark.sql.cbo.enabled` plans see real
+    * cardinalities.
+    */
+  def analyze(spark: SparkSession, path: String, cols: Seq[String] = Nil): Long = {
+    val m0 = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val schema = StructType.fromDDL(m0.schemaDdl)
+    val atomic = schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }).map(_.name).toSeq
+    val targets = if (cols.isEmpty) atomic else {
+      cols.foreach(c => require(schema.fieldNames.contains(c), s"analyze: no column $c"))
+      cols.foreach(c => require(atomic.contains(c),
+        s"analyze: column $c is not an atomic type (no NDV support)"))
+      cols
+    }
+    require(targets.nonEmpty, "analyze: no atomic columns to analyze")
+    val row = read(spark, path)
+      .agg(approx_count_distinct(col(targets.head)).as(targets.head),
+        targets.tail.map(c => approx_count_distinct(col(c)).as(c)): _*)
+      .head()
+    val measured = targets.map(c => c -> row.getAs[Long](c)).toMap
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).get
+      // keys that survived concurrent DDL only (a racing DROP/RENAME
+      // wins over the measurement)
+      val live = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = s"ANALYZE ${targets.size} column(s)",
+        colNdv = (m.colNdv ++ measured).view.filterKeys(live).toMap))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
   }
 
   /** An engine policy key, read from table properties: `graft.<name>`. */
@@ -1609,6 +1677,7 @@ object Snapshot {
         m.copy(version = m.version + 1, operation = "RENAME COLUMN",
           clusterBy = m.clusterBy.map(c => if (c == from) to else c),
           properties = renameInBloomPolicy(m.properties, from, to),
+          colNdv = m.colNdv.map { case (c, n) => (if (c == from) to else c) -> n },
           schemaDdl = ddl, colMap = map))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1694,6 +1763,7 @@ object Snapshot {
         m.copy(version = m.version + 1, operation = "DROP COLUMN", schemaDdl = ddl,
           clusterBy = m.clusterBy.filterNot(_ == name),
           properties = dropFromBloomPolicy(m.properties, name),
+          colNdv = m.colNdv - name,
           colMap = m.colMap - name, retired = (m.retired :+ phys).distinct))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -3191,6 +3261,7 @@ object Snapshot {
       operation = s"CLONE v${src.version}",
       clusterBy = src.clusterBy,
       properties = src.properties,
+      colNdv = src.colNdv, // same rows, same distinctness
       externalRoots = aliasOf.map(_.swap)))
   }
 
@@ -3236,11 +3307,13 @@ object Snapshot {
           .map(f => f.substring(1, f.indexOf('/'))).distinct
           .flatMap(mv.externalRoots.get)
       }.distinct.sorted.mkString("; "),
-      m.tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n=v$v" }.mkString("; ")))
+      m.tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n=v$v" }.mkString("; "),
+      m.colNdv.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }.mkString("; ")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
         "num_bloom_files", "column_mapping", "constraints", "generated_cols",
-        "cluster_by", "properties", "num_external_files", "external_roots", "tags")
+        "cluster_by", "properties", "num_external_files", "external_roots", "tags",
+        "column_ndv")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and

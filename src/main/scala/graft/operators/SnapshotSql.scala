@@ -70,6 +70,8 @@ object SnapshotSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+('?[\w.\-]+'?)\s*(?:AS\s+OF\s+VERSION\s+('?[\w.\-]+'?)\s*)?;?\s*""".r
   private val DropTagRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?('?[\w.\-]+'?)\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s*(NOSCAN|FOR\s+ALL\s+COLUMNS|FOR\s+COLUMNS\s+([\w\s,]+?))?\s*;?\s*""".r
 
   private def unquoteTag(s: String): String =
     s.stripPrefix("'").stripSuffix("'")
@@ -144,6 +146,19 @@ object SnapshotSql {
     case DropTagRe(ident, ifExists, name) =>
       val path = pathOf(ident, tables)
       Some(Snapshot.dropTag(spark, path, unquoteTag(name), ifExists != null))
+    case AnalyzeRe(ident, clause, colsRaw) =>
+      // COMPUTE STATISTICS [NOSCAN]: table rows/bytes are already
+      // metadata-exact — verify the table, commit nothing. FOR [ALL]
+      // COLUMNS: the one-pass NDV job for the cost-based optimizer.
+      val path = pathOf(ident, tables)
+      Option(clause).map(_.trim.toUpperCase.replaceAll("\\s+", " ")) match {
+        case None | Some("NOSCAN") =>
+          Some(Snapshot.latestVersion(spark, path).getOrElse(
+            throw new IllegalArgumentException(s"not a snapshot table: $path")))
+        case Some("FOR ALL COLUMNS") => Some(Snapshot.analyze(spark, path))
+        case Some(_) => Some(Snapshot.analyze(spark, path,
+          colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      }
     case _ => None
   }
 
@@ -497,7 +512,7 @@ object SnapshotSql {
     case HistoryRe(_) | DetailRe(_) => true
     case VacuumRe(_, _, _) | OptimizeRe(_, _, _, _) | RestoreRe(_, _, _) |
          CloneRe(_, _, _, _) | ImportRe(_, _, _) |
-         CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) => false
+         CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) | AnalyzeRe(_, _, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

@@ -315,10 +315,17 @@ case class GraftNativeReads(session: SparkSession) extends Rule[LogicalPlan] {
         // the time-travel target (Spark turns VERSION AS OF and the
         // versionAsOf/timestampAsOf reader options into
         // loadTable(ident, version|timestamp) itself). Output attrs
-        // preserved: the swap is invisible to resolution.
+        // preserved: the swap is invisible to resolution. The attached
+        // catalog-table STATISTICS feed Catalyst's cost-based optimizer
+        // real numbers — exact live row counts from the manifest, NDVs
+        // from the last ANALYZE — so with spark.sql.cbo.enabled a join
+        // over catalog tables reorders on true cardinalities. Planner
+        // input only: with CBO off, sizing falls back to the same byte
+        // totals the relation already reports, so default plans are
+        // unchanged.
         LogicalRelation(
           SnapshotSource.relationFor(session, t.path, t.manifest),
-          v2.output, None, isStreaming = false, None)
+          v2.output, GraftNativeReads.cboCatalogTable(t), isStreaming = false, None)
 
       // `spark.readStream.table("g.db.t")`: GraftTable has no DSv2
       // micro-batch scan, but the commit-log stream source IS the
@@ -345,6 +352,71 @@ case class GraftNativeReads(session: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
           ds, "graft-snapshot", fullOutput)
     }
+  }
+}
+
+/** Routes `ANALYZE TABLE` over catalog tables to [[Snapshot.analyze]]
+  * (stock Spark refuses the statement for v2 tables). Semantics honour
+  * the vanilla statement's split: `COMPUTE STATISTICS [NOSCAN]` asks
+  * for table-level size/rows — already metadata-EXACT on every
+  * manifest, so it verifies the table and commits nothing — while
+  * `FOR [ALL] COLUMNS` runs the one-pass NDV job and commits the
+  * estimates for the cost-based optimizer.
+  */
+case class GraftAnalyzeCapture(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.ResolvedTable
+
+  private def nameParts(r: ResolvedTable): Seq[String] =
+    (r.catalog.name() +: r.identifier.namespace().toSeq) :+ r.identifier.name()
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case AnalyzeTable(r: ResolvedTable, partitionSpec, _) if r.table.isInstanceOf[GraftTable] =>
+      require(partitionSpec.isEmpty,
+        "ANALYZE TABLE … PARTITION: snapshot statistics are table-scoped " +
+          "(per-partition rows/bytes are already exact in the manifest)")
+      GraftMaintenanceCommand(s"ANALYZE ${nameParts(r).mkString(".")}",
+        nameParts(r), Nil, (_, _) => Nil) // rows/size already manifest-exact
+    case AnalyzeColumn(r: ResolvedTable, columnNames, allColumns)
+        if r.table.isInstanceOf[GraftTable] =>
+      val cols = if (allColumns) Nil else columnNames.getOrElse(Nil)
+      GraftMaintenanceCommand(s"ANALYZE ${nameParts(r).mkString(".")} FOR COLUMNS",
+        nameParts(r), Nil, (sp, path) => { Snapshot.analyze(sp, path, cols); Nil })
+  }
+}
+
+object GraftNativeReads {
+
+  /** Catalog statistics for the native-scan swap, all metadata-priced:
+    * exact live rows (`stats.rows − dv.rows`) and byte totals from the
+    * pinned manifest, per-column distinct counts from the last
+    * `ANALYZE` ([[Snapshot.analyze]]). None when any file lacks stats —
+    * better no numbers than wrong ones, and the relation's own
+    * sizeInBytes still sizes the plan.
+    */
+  private[plans] def cboCatalogTable(
+      t: GraftTable): Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    import org.apache.spark.sql.catalyst.catalog._
+    val m = t.manifest
+    if (!m.files.forall(m.stats.contains)) return None
+    val bytes = m.files.map(m.stats(_).bytes).sum
+    if (bytes <= 0L) return None
+    val rows = m.files.map(f => m.stats(f).rows - m.dvs.get(f).map(_.rows).getOrElse(0L)).sum
+    val schema = t.schema
+    val fieldSet = schema.fieldNames.toSet
+    val colStats = m.colNdv.collect { case (c, ndv) if fieldSet.contains(c) =>
+      c -> CatalogColumnStat(distinctCount = Some(BigInt(ndv)))
+    }
+    val parts = t.tableName.split('.')
+    Some(CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        if (parts.length > 1) Some(parts(parts.length - 2)) else None,
+        if (parts.length > 2) Some(parts(parts.length - 3)) else None),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = schema,
+      provider = Some("graft-snapshot"),
+      stats = Some(CatalogStatistics(BigInt(bytes), Some(BigInt(rows)), colStats))))
   }
 }
 

@@ -476,7 +476,7 @@ object GraftSqlParser {
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +
       "deletion_vector_rows BIGINT, num_bloom_files BIGINT, column_mapping STRING, " +
       "constraints STRING, generated_cols STRING, cluster_by STRING, properties STRING, " +
-      "num_external_files BIGINT, external_roots STRING, tags STRING")
+      "num_external_files BIGINT, external_roots STRING, tags STRING, column_ndv STRING")
 
   private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
       parts: Seq[String]): LogicalPlan =

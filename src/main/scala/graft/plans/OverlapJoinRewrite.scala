@@ -141,6 +141,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // the native-scan read rewrite, then the maintenance-verb dialect
     ext.injectResolutionRule(session => GraftDmlCapture(session))
     ext.injectResolutionRule(session => GraftNativeReads(session))
+    ext.injectResolutionRule(session => GraftAnalyzeCapture(session))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction(fn("graft_dot")(e => DotProduct(e(0), e(1))))
     ext.injectFunction(fn("graft_simhash32")(e => SimHash32(e(0))))

@@ -1563,6 +1563,58 @@ object LayoutPack extends QueryPack {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  val q151 = QueryDef.staged(
+    "q151_cbo_analyzed_join",
+    // oracle: the same three-way join recomputed by DuckDB — the gate
+    // is that COST-BASED planning over analyzed statistics changes the
+    // PLAN, never the ANSWER (reordering that dropped a join side,
+    // stats that leaked into results, or a broadcast decision that
+    // duplicated rows all shift the rollup and fail)
+    Some("""SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |WHERE o.o_orderkey % 3 <> 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the star schema as catalog tables, churned
+    // (the delete makes live counts diverge from raw file counts),
+    // then ANALYZE — the nightly stats pass of a real warehouse.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q151").toString
+    t.spark.conf.set("spark.sql.catalog.g151", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g151.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g151.db")
+    Snapshot.create(t.spark, s"$root/db/orders",
+      t.orders.select("o_orderkey", "o_custkey", "o_totalprice"))
+    Snapshot.create(t.spark, s"$root/db/customer",
+      t.customer.select("c_custkey", "c_nationkey"))
+    Snapshot.create(t.spark, s"$root/db/nation",
+      t.nation.select("n_nationkey", "n_name"))
+    t.spark.sql("DELETE FROM g151.db.orders WHERE o_orderkey % 3 = 0")
+    Seq("orders", "customer", "nation").foreach(tn =>
+      t.spark.sql(s"ANALYZE TABLE g151.db.$tn COMPUTE STATISTICS FOR ALL COLUMNS"))
+    root
+  } { (t, root: String) =>
+    // MEASURED: the join under spark.sql.cbo.enabled, in its OWN
+    // session so the flag never leaks into other queries' plans. The
+    // planner sees exact live row counts (the delete's survivors, not
+    // the raw files) and analyzed NDVs; at 100 TB this is what turns a
+    // 5-way star join from "hope the default order is right" into a
+    // costed decision. Answer must equal the stats-blind oracle.
+    val s2 = t.spark.newSession()
+    s2.conf.set("spark.sql.catalog.g151", "graft.catalog.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.g151.warehouse", root)
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.sql(
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g151.db.orders o JOIN g151.db.customer c ON o.o_custkey = c.c_custkey
+        |JOIN g151.db.nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }
