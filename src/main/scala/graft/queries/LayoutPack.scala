@@ -1483,13 +1483,17 @@ object LayoutPack extends QueryPack {
     // delete, dropped an update, or applied a change to the wrong
     // partition shifts a group and fails
     Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           |  CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
-           |    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
-           |FROM orders WHERE NOT (o_orderkey % 5 = 0)
+           |  CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+           |    THEN o_totalprice + 10.0 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE NOT (o_orderpriority = '5-LOW' AND o_orderkey % 5 = 0)
            |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
     // FIXTURE (untimed): source fact + bootstrapped replica, then a
-    // churn window on the source — updates, deletes — the replica has
-    // not seen yet.
+    // churn window on the source the replica has not seen — updates
+    // confined to 1-URGENT, deletes to 5-LOW, so three of the five
+    // partitions stay untouched: the realistic nightly shape, and the
+    // one where change-bounded replication actually pays (a churn
+    // touching every partition degenerates to a full rewrite no matter
+    // how the change is applied).
     import graft.operators.Snapshot
     import graft.streaming.FeedConsumer
     val root = java.nio.file.Files.createTempDirectory("graft_q149").toString
@@ -1499,10 +1503,11 @@ object LayoutPack extends QueryPack {
     Snapshot.create(t.spark, s"$root/dst", base.limit(0),
       partitionCols = Seq("o_orderpriority"))
     FeedConsumer.replicate(t.spark, s"$root/src", s"$root/dst", "rep")
-    val upd = base.where(col("o_orderkey") % 7 === 0)
+    val upd = base.where(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 7 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 10.0)
     Snapshot.mergeById(t.spark, s"$root/src", upd, "o_orderkey", "o_orderpriority")
-    Snapshot.delete(t.spark, s"$root/src", col("o_orderkey") % 5 === 0)
+    Snapshot.delete(t.spark, s"$root/src",
+      col("o_orderpriority") === "5-LOW" && col("o_orderkey") % 5 === 0)
     root
   } { (t, root: String) =>
     // MEASURED: the incremental drain — the change feed of the churn
