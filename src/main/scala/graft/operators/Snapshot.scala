@@ -3396,6 +3396,7 @@ object Snapshot {
         }
       }
       if (dead.isEmpty) return Nil // concurrent tags pinned everything
+      faultHook("vacuum-floor-committed") // injection seam: the race window
     }
     val keptManifests = kept.map(manifest(spark, path, _))
     val live = keptManifests.flatMap(_.files).toSet

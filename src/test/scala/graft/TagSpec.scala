@@ -149,6 +149,48 @@ class TagSpec extends SparkSpec {
     assert(Snapshot.read(spark, path).count() == 100L)
   }
 
+  test("a tag racing the floor commit wins the version: vacuum retries and retains the island") {
+    val path = mkTable("t7")
+    sql("INSERT INTO gt.db.t7 VALUES (400, 'even', 400)") // v3
+    // inject at the floor commit's staging point: a createTag pinning
+    // v2 commits FIRST (wins the version), the floor publish conflicts,
+    // and vacuum's retry must re-read the tag map and spare v2
+    var fired = false
+    Snapshot.faultHook = {
+      case "manifest-staged" if !fired =>
+        fired = true
+        Snapshot.createTag(spark, path, "sniped", Some(2L))
+      case _ => ()
+    }
+    try Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    finally Snapshot.faultHook = _ => ()
+    assert(fired, "fixture: the injection must have run")
+    assert(Snapshot.resolveVersionSpec(spark, path, "sniped") == 2L)
+    assert(Snapshot.readVersion(spark, path, 2L).count() == 100L,
+      "the raced tag's version must survive the vacuum that was mid-flight")
+    // untagged v1 was still reclaimed
+    intercept[Exception] { Snapshot.readVersion(spark, path, 1L).collect() }
+  }
+
+  test("a tag attempted inside the deletion window refuses instead of dangling") {
+    val path = mkTable("t8")
+    sql("INSERT INTO gt.db.t8 VALUES (500, 'even', 500)") // v3
+    // inject AFTER the floor commit, BEFORE any deletion: the createTag
+    // must see the floor and refuse — never pin a version mid-reclaim
+    var refused = false
+    Snapshot.faultHook = {
+      case "vacuum-floor-committed" =>
+        try Snapshot.createTag(spark, path, "late-pin", Some(2L))
+        catch { case e: IllegalArgumentException =>
+          refused = e.getMessage.contains("vacuum floor") }
+      case _ => ()
+    }
+    try Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    finally Snapshot.faultHook = _ => ()
+    assert(refused, "createTag inside the deletion window must refuse on the floor")
+    assert(!Snapshot.latestManifest(spark, path).get.tags.contains("late-pin"))
+  }
+
   test("a tagged version's deletion vectors survive vacuum with it") {
     val path = s"$warehouse/db/t4"
     // one big file so a point delete takes the DV tier
