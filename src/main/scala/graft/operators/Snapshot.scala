@@ -759,12 +759,29 @@ object Snapshot {
   private def writeTxnFiles(df1: DataFrame, path: String, partitionCols: Seq[String],
                             colMap: Map[String, String] = Map.empty,
                             constraints: Map[String, String] = Map.empty,
-                            generated: Map[String, String] = Map.empty): Seq[String] = {
+                            generated: Map[String, String] = Map.empty,
+                            sortBy: Seq[String] = Nil,
+                            sortRange: Boolean = false): Seq[String] = {
     val df0 = withGenerated(df1, generated)
     checkConstraints(df0, constraints)
+    // write-time clustering (`graft.write.sorted` policy over the
+    // declared CLUSTER BY keys): files carry tight min/max from their
+    // FIRST write, so point/range predicates prune without waiting for
+    // a maintenance OPTIMIZE. `local` is a task-local sort (zero
+    // shuffle — ranges tighten within each task); `range` adds a range
+    // exchange for globally disjoint files (one shuffle per write,
+    // bought exactly where an hourly landing feeds minute-level reads)
+    val dfSorted =
+      if (sortBy.isEmpty) df0
+      else {
+        val keys = (partitionCols.filterNot(sortBy.contains) ++ sortBy)
+          .filter(df0.columns.contains).map(col)
+        val base = if (sortRange && keys.nonEmpty) df0.repartitionByRange(keys: _*) else df0
+        if (keys.isEmpty) df0 else base.sortWithinPartitions(keys: _*)
+      }
     // files ALWAYS store physical names, whatever the logical schema
     // says today — that uniformity is what makes rename metadata-only
-    val df = toPhysical(df0, colMap)
+    val df = toPhysical(dfSorted, colMap)
     val txn = s"txn-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     val dir = s"$path/$txn"
     // INT96 timestamps carry no footer statistics; pin the annotated
@@ -1162,13 +1179,17 @@ object Snapshot {
       s"create: $c is a partition column — it is already clustered by layout"))
     // engine-read policy properties validate at declaration time
     locally {
-      val probe = Manifest(0L, partitionCols, ddl, Nil, properties = properties)
+      val probe = Manifest(0L, partitionCols, ddl, Nil, properties = properties,
+        clusterBy = clusterBy)
       bloomPolicyCols(probe).foreach(_ => ())
       policyLong(probe, "vacuum.retainVersions")
       policyLong(probe, "vacuum.retainDays")
       policyLong(probe, "optimize.targetBytes")
+      writeSortSpecOf(clusterBy, properties)
     }
-    val files = writeTxnFiles(full, path, partitionCols)
+    val (sortBy0, sortRange0) = writeSortSpecOf(clusterBy, properties)
+    val files = writeTxnFiles(full, path, partitionCols,
+      sortBy = sortBy0, sortRange = sortRange0)
     commitManifest(spark, path, Manifest(1L, partitionCols, ddl, files,
       statsFor(spark, path, files, ddl, partitionCols),
       constraints = constraints,
@@ -1199,6 +1220,7 @@ object Snapshot {
       policyLong(m.copy(properties = next), "vacuum.retainVersions")
       policyLong(m.copy(properties = next), "vacuum.retainDays")
       policyLong(m.copy(properties = next), "optimize.targetBytes")
+      writeSortSpecOf(m.clusterBy, next)
       if (next == m.properties) return m.version
       try return commitManifest(spark, path, m.copy(version = m.version + 1,
         operation = if (set.nonEmpty) "SET TBLPROPERTIES" else "UNSET TBLPROPERTIES",
@@ -1366,6 +1388,28 @@ object Snapshot {
     -1L // unreachable
   }
 
+  /** `graft.write.sorted` policy → (sort keys, range-partition?).
+    * `none` (default): writes land as the caller shaped them. `local`:
+    * task-local sort by the declared CLUSTER BY keys — zero shuffle,
+    * per-file ranges tighten within each task. `range`: a range
+    * exchange first, so concurrent files carry globally DISJOINT key
+    * ranges — pruning-perfect from the first write, one shuffle per
+    * write. With no CLUSTER BY declared the policy is a validated
+    * no-op until keys are declared.
+    */
+  private[graft] def writeSortSpecOf(clusterBy: Seq[String],
+                                     properties: Map[String, String]): (Seq[String], Boolean) =
+    properties.get("graft.write.sorted").map(_.trim.toLowerCase) match {
+      case None | Some("none") | Some("") => (Nil, false)
+      case Some("local") => (clusterBy, false)
+      case Some("range") => (clusterBy, true)
+      case Some(other) => throw new IllegalArgumentException(
+        s"table property graft.write.sorted must be none|local|range, got '$other'")
+    }
+
+  private[graft] def writeSortSpec(m: Manifest): (Seq[String], Boolean) =
+    writeSortSpecOf(m.clusterBy, m.properties)
+
   /** An engine policy key, read from table properties: `graft.<name>`. */
   private[graft] def policyProp(m: Manifest, name: String): Option[String] =
     m.properties.get(s"graft.$name").map(_.trim).filter(_.nonEmpty)
@@ -1486,8 +1530,10 @@ object Snapshot {
     // them, so their stats (and partition pseudo-stats) must too, or
     // the new files would be unprunable on the partition column
     val full = withGenerated(df, m0.generatedCols)
+    val (sortBy0, sortRange0) = writeSortSpec(m0)
     val files = writeTxnFiles(full, path, m0.partitionCols, m0.colMap,
-      withNotNullChecks(m0.constraints, m0.schemaDdl))
+      withNotNullChecks(m0.constraints, m0.schemaDdl),
+      sortBy = sortBy0, sortRange = sortRange0)
     // the batch's own schema covers exactly the new files' columns, so
     // stats are computed once and reused across commit retries
     val newStats = statsFor(spark, path, files, full.schema.toDDL, m0.partitionCols, m0.colMap)
@@ -1792,8 +1838,10 @@ object Snapshot {
     val ddl = StructType(full.schema.fields.map { f =>
       f.copy(nullable = !prior.fields.find(_.name == f.name).exists(!_.nullable))
     }).toDDL
+    val (sortBy1, sortRange1) = writeSortSpec(m)
     val files = writeTxnFiles(full, path, m.partitionCols,
-      constraints = withNotNullChecks(m.constraints, ddl))
+      constraints = withNotNullChecks(m.constraints, ddl),
+      sortBy = sortBy1, sortRange = sortRange1)
     // streamBatch watermarks survive an overwrite: a foreachBatch
     // redelivery after a full rewrite must still be recognized as a
     // duplicate, or appendBatch's exactly-once contract breaks.
@@ -1840,8 +1888,10 @@ object Snapshot {
     val ddl = StructType(full.schema.fields.map { f =>
       f.copy(nullable = !prior.fields.find(_.name == f.name).exists(!_.nullable))
     }).toDDL
+    val (sortBy2, sortRange2) = writeSortSpec(m)
     val files = writeTxnFiles(full, path, partitionCols,
-      constraints = withNotNullChecks(m.constraints, ddl))
+      constraints = withNotNullChecks(m.constraints, ddl),
+      sortBy = sortBy2, sortRange = sortRange2)
     commitManifest(spark, path,
       m.copy(version = m.version + 1, operation = "OVERWRITE",
         schemaDdl = ddl, files = files,
@@ -1894,8 +1944,10 @@ object Snapshot {
                                          op: String = "REPLACE PARTITIONS",
                                          finish: Manifest => Manifest = identity): Long = {
     require(m.partitionCols.nonEmpty, "replacePartitions needs a partitioned snapshot table")
+    val (sortBy3, sortRange3) = writeSortSpec(m)
     val newFiles = writeTxnFiles(replacement, path, m.partitionCols, m.colMap,
-      withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
+      withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols,
+      sortBy = sortBy3, sortRange = sortRange3)
     val newParts = newFiles.map(partitionValues(m.partitionCols, _)).toSet
     val kept = m.files.filterNot { f =>
       val pv = partitionValues(m.partitionCols, f)
@@ -1971,8 +2023,10 @@ object Snapshot {
                                          replacement: DataFrame,
                                          op: String = "MERGE",
                                          finish: Manifest => Manifest = identity): Long = {
+    val (sortBy4, sortRange4) = writeSortSpec(m)
     val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap,
-      withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
+      withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols,
+      sortBy = sortBy4, sortRange = sortRange4)
     commitManifest(spark, path, finish(m.copy(version = m.version + 1, operation = op,
       files = newFiles,
       stats = statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),

@@ -1620,6 +1620,49 @@ object LayoutPack extends QueryPack {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  val q152 = QueryDef.staged(
+    "q152_write_clustered_scan",
+    // oracle: the narrow-range rollup recomputed from the raw rows — a
+    // write-time sort that lost, duplicated or mis-bucketed rows during
+    // the range exchange shifts the aggregate and fails
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+           |  CAST(MAX(o_orderkey) AS BIGINT) AS mx,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE o_orderkey BETWEEN 100000 AND 110000""".stripMargin)) { t =>
+    // FIXTURE (untimed): the landing declared `CLUSTER BY (o_orderkey)`
+    // with the `graft.write.sorted = range` policy, loaded from a fully
+    // SCRAMBLED insert — the worst-case arrival order. The policy's
+    // range exchange makes the landed files carry disjoint key ranges
+    // from this first write, no OPTIMIZE in between.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q152").toString
+    t.spark.conf.set("spark.sql.catalog.g152", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g152.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g152.db")
+    Snapshot.create(t.spark, s"$root/db/t",
+      t.orders.select(col("o_orderkey"), col("o_totalprice")).limit(0),
+      clusterBy = Seq("o_orderkey"),
+      properties = Map("graft.write.sorted" -> "range"))
+    t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(xxhash64(col("o_orderkey"))) // worst-case arrival order
+      .createOrReplaceTempView("g152_src")
+    t.spark.sql("INSERT INTO g152.db.t SELECT o_orderkey, o_totalprice FROM g152_src")
+    root
+  } { (t, _: Any) =>
+    // MEASURED: a narrow key-range probe over the write-clustered
+    // landing — at 100 TB the manifest prunes to the handful of files
+    // whose disjoint ranges straddle the window; the same query over an
+    // unsorted landing reads everything (WriteSortSpec pins the prune
+    // counts; this gate pins the answer through the SQL route).
+    t.spark.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS mx,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g152.db.t WHERE o_orderkey BETWEEN 100000 AND 110000""".stripMargin)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
 }
