@@ -776,6 +776,13 @@ object Snapshot {
       else {
         val keys = (partitionCols.filterNot(sortBy.contains) ++ sortBy)
           .filter(df0.columns.contains).map(col)
+        // the range exchange deliberately carries NO explicit count:
+        // AQE (on by default) coalesces the post-exchange partitions to
+        // its advisory size, so a 10k-row hourly batch lands as one
+        // right-sized file, not spark.sql.shuffle.partitions tiny ones
+        // — and an explicit count derived from df0.rdd would trigger an
+        // eager sampling job per write. Sessions running AQE-off should
+        // size spark.sql.shuffle.partitions to their batch volume.
         val base = if (sortRange && keys.nonEmpty) df0.repartitionByRange(keys: _*) else df0
         if (keys.isEmpty) df0 else base.sortWithinPartitions(keys: _*)
       }
@@ -1185,7 +1192,6 @@ object Snapshot {
       policyLong(probe, "vacuum.retainVersions")
       policyLong(probe, "vacuum.retainDays")
       policyLong(probe, "optimize.targetBytes")
-      writeSortSpecOf(clusterBy, properties)
     }
     val (sortBy0, sortRange0) = writeSortSpecOf(clusterBy, properties)
     val files = writeTxnFiles(full, path, partitionCols,
@@ -1362,11 +1368,14 @@ object Snapshot {
            org.apache.spark.sql.types.BinaryType => false
       case _ => true
     }).map(_.name).toSeq
-    val targets = if (cols.isEmpty) atomic else {
-      cols.foreach(c => require(schema.fieldNames.contains(c), s"analyze: no column $c"))
-      cols.foreach(c => require(atomic.contains(c),
-        s"analyze: column $c is not an atomic type (no NDV support)"))
-      cols
+    val targets = if (cols.isEmpty) atomic else cols.map { c =>
+      // resolve case-insensitively, like every other statement's
+      // column references (Spark's default resolver)
+      val canon = schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"analyze: no column $c"))
+      require(atomic.contains(canon),
+        s"analyze: column $canon is not an atomic type (no NDV support)")
+      canon
     }
     require(targets.nonEmpty, "analyze: no atomic columns to analyze")
     val row = read(spark, path)
@@ -2325,7 +2334,8 @@ object Snapshot {
       if (rewrite.isEmpty) Nil
       else writeTxnFiles(
         readFiles(spark, path, m, Some(rewrite)).where(!coalesce(pred, lit(false))),
-        path, m.partitionCols, m.colMap)
+        path, m.partitionCols, m.colMap,
+        sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2)
     val dvNew =
       if (dvTier.isEmpty) Map.empty[String, DvRef]
       else writeDv(spark, path, m, pred, dvTier)
@@ -2438,7 +2448,8 @@ object Snapshot {
         else writeTxnFiles(
           readFiles(spark, path, m, Some(rewrite))
             .join(keys, col(keyCol) === col(keyTmp), "left_anti"),
-          path, m.partitionCols, m.colMap)
+          path, m.partitionCols, m.colMap,
+          sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2)
       val dvNew =
         if (dvTier.isEmpty) Map.empty[String, DvRef]
         else writeDvFrom(spark, path, m, hits(Some(dvTier.keys.toSeq.sorted)), dvTier)
@@ -2502,7 +2513,8 @@ object Snapshot {
             .join(keys, col(keyCol) === col(InKeyCol), "left")
             .select(applySet(col(InKeyCol).isNotNull, onlyMatched = false): _*),
           path, m.partitionCols, m.colMap,
-            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols,
+          sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2)
       val (dvNew, updatedFiles) =
         if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
         else {
@@ -2512,7 +2524,8 @@ object Snapshot {
             writeDvFrom(spark, path, m, matchedRows, dvTier),
             writeTxnFiles(matchedRows.select(applySet(lit(true), onlyMatched = true): _*),
               path, m.partitionCols, m.colMap,
-            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols))
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols,
+              sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2))
           finally matchedRows.unpersist()
         }
       val committed = commitRebasing(spark, path, m,
@@ -2644,7 +2657,8 @@ object Snapshot {
       else writeTxnFiles(
         readFiles(spark, path, m, Some(rewrite)).select(applySet(onlyMatched = false): _*),
         path, m.partitionCols, m.colMap,
-            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols)
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols,
+        sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2)
     val (dvNew, updatedFiles) =
       if (dvTier.isEmpty) (Map.empty[String, DvRef], Nil)
       else {
@@ -2658,7 +2672,8 @@ object Snapshot {
           writeDvFrom(spark, path, m, matchedRows, dvTier),
           writeTxnFiles(matchedRows.select(applySet(onlyMatched = true): _*),
             path, m.partitionCols, m.colMap,
-            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols))
+            withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols,
+            sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2))
         finally matchedRows.unpersist()
       }
     val committed = commitRebasing(spark, path, m,

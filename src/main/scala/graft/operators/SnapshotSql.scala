@@ -156,8 +156,13 @@ object SnapshotSql {
           Some(Snapshot.latestVersion(spark, path).getOrElse(
             throw new IllegalArgumentException(s"not a snapshot table: $path")))
         case Some("FOR ALL COLUMNS") => Some(Snapshot.analyze(spark, path))
-        case Some(_) => Some(Snapshot.analyze(spark, path,
-          colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        case Some(_) =>
+          val cols = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          // a list that trims to empty must be a parse error, never a
+          // silent analyze-everything (a full-scan surprise at 100 TB)
+          require(cols.nonEmpty,
+            s"ANALYZE … FOR COLUMNS: no column names in '$colsRaw'")
+          Some(Snapshot.analyze(spark, path, cols))
       }
     case _ => None
   }

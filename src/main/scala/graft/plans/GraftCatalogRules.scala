@@ -323,9 +323,23 @@ case class GraftNativeReads(session: SparkSession) extends Rule[LogicalPlan] {
         // input only: with CBO off, sizing falls back to the same byte
         // totals the relation already reports, so default plans are
         // unchanged.
-        LogicalRelation(
-          SnapshotSource.relationFor(session, t.path, t.manifest),
-          v2.output, GraftNativeReads.cboCatalogTable(t), isStreaming = false, None)
+        locally {
+          val rel = SnapshotSource.relationFor(session, t.path, t.manifest)
+          // stats attach when they cannot change a CBO-OFF plan: on the
+          // native file relation the catalog byte total equals the
+          // relation's own sizeInBytes, so default planning is
+          // byte-identical. The merge-on-read fallback (DV'd /
+          // column-mapped versions) reports the conservative default
+          // size — attaching real (smaller) bytes there would flip
+          // broadcast decisions with CBO off, so it only gets stats
+          // when the operator has opted into cost-based planning.
+          val ct =
+            if (rel.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                || session.sessionState.conf.cboEnabled)
+              GraftNativeReads.cboCatalogTable(t)
+            else None
+          LogicalRelation(rel, v2.output, ct, isStreaming = false, None)
+        }
 
       // `spark.readStream.table("g.db.t")`: GraftTable has no DSv2
       // micro-batch scan, but the commit-log stream source IS the

@@ -73,6 +73,25 @@ class WriteSortSpec extends SparkSpec {
       (0L until 4000L).map(i => i -> i % 100).toSet)
   }
 
+  test("DML rewrites keep the clustering: a delete's survivor files still prune") {
+    val t = Files.createTempDirectory("graft-wsort-dml").toString + "/t"
+    withSplit(500) {
+      Snapshot.create(spark, t, scrambled(4000),
+        clusterBy = Seq("id"), properties = Map("graft.write.sorted" -> "range"))
+      // a rewrite-tier delete (well above the DV fraction cap): the
+      // survivors of every touched file must land SORTED again, or
+      // routine DML erodes the disjoint-range invariant until the next
+      // OPTIMIZE — the window the policy exists to close
+      Snapshot.delete(spark, t, col("id") % 2 === 0L, dvMaxFraction = 0.01)
+    }
+    val total = Snapshot.latestManifest(spark, t).get.files.size
+    assert(total >= 4, s"fixture: expected several files post-delete, got $total")
+    val (kept, _) = Snapshot.pruneFiles(spark, t, col("id") === 1235L)
+    assert(kept.size == 1,
+      s"post-DML files must stay range-clustered: pruned to ${kept.size} of $total")
+    assert(Snapshot.read(spark, t).count() == 2000L)
+  }
+
   test("policy validates where it is set; no CLUSTER BY means a validated no-op") {
     val t = Files.createTempDirectory("graft-wsort-val").toString + "/t"
     intercept[IllegalArgumentException] {
