@@ -485,6 +485,27 @@ object Snapshot {
     if (best < 0) None else Some(vs(best))
   }
 
+  /** The first version committed AT OR AFTER `tsMicros` — the streaming
+    * twin of [[versionAtTimestamp]] (a stream's `startingTimestamp`
+    * means "changes from this moment on", where time travel means "the
+    * state as of this moment"). None when every version is older.
+    */
+  def versionAtOrAfter(spark: SparkSession, path: String, tsMicros: Long): Option[Long] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return None
+    val fs = fsFor(spark, path)
+    var lo = 0
+    var hi = vs.size - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (manifestFrom(fs, path, vs(mid)).committedAtMicros >= tsMicros) {
+        best = mid; hi = mid - 1
+      } else lo = mid + 1
+    }
+    if (best < 0) None else Some(vs(best))
+  }
+
   /** Time travel by wall clock: the table as of `tsMicros`. */
   def readTimestampAsOf(spark: SparkSession, path: String, tsMicros: Long): DataFrame =
     readVersion(spark, path, versionAtTimestamp(spark, path, tsMicros).getOrElse(

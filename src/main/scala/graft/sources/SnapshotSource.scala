@@ -147,17 +147,36 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path"))
     val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    // startingTimestamp: the time-based twin of startingVersion —
+    // "changes from this moment on", resolved to the FIRST version
+    // committed at or after it (time travel's at-or-BEFORE would
+    // replay a commit older than the asked-for moment)
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "graft-snapshot: startingVersion and startingTimestamp are mutually exclusive")
+    def startingVersionOf: Option[Long] =
+      parameters.get("startingVersion").map(_.toLong)
+        .orElse(parameters.get("startingTimestamp").map { raw =>
+          val micros = raw.toLongOption.getOrElse(
+            java.time.Instant.parse(raw).toEpochMilli * 1000L)
+          // startingVersion is an EXCLUSIVE base ("changes after this"),
+          // so the first version at-or-after the moment streams when
+          // the base sits one below it
+          Snapshot.versionAtOrAfter(sqlContext.sparkSession, path, micros).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-snapshot: no version of $path committed at or after $raw")) - 1L
+        })
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
       require(!parameters.contains("skipChangeCommits"),
         "readChangeFeed streams rewrites as row changes; skipChangeCommits does not apply")
       new SnapshotCdfStreamSource(sqlContext.sparkSession, path, resolved,
-        startingVersion = parameters.get("startingVersion").map(_.toLong),
+        startingVersion = startingVersionOf,
         maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { raw =>
           val n = raw.toInt
           require(n > 0, s"maxFilesPerTrigger must be positive, got $raw"); n
         })
     } else new SnapshotStreamSource(sqlContext.sparkSession, path, resolved,
-      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      startingVersion = startingVersionOf,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { raw =>
         val n = raw.toInt

@@ -125,4 +125,40 @@ class StreamCdfSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: all(x.getCause))
     assert(all(ex).exists(m => m != null && m.contains("skipChangeCommits")))
   }
+
+  test("startingTimestamp resolves to the first version at or after the moment") {
+    val dir = Files.createTempDirectory("graft-cdf-ts").toString
+    val src = s"$dir/src"
+    Snapshot.create(spark, src, Seq(1L -> "a").toDF("id", "v")) // v1
+    Thread.sleep(60) // separate the commit stamps
+    Snapshot.append(spark, src, Seq(2L -> "b").toDF("id", "v")) // v2
+    val cut = Snapshot.latestManifest(spark, src).get.committedAtMicros
+    Thread.sleep(60)
+    Snapshot.append(spark, src, Seq(3L -> "c").toDF("id", "v")) // v3
+
+    // from v2's own stamp: v2 and v3 stream, v1 does not (the
+    // time-travel at-or-BEFORE rule would wrongly replay v1)
+    drain(src, s"$dir/out1", s"$dir/c1", Map("startingTimestamp" -> cut.toString))
+    assert(got(s"$dir/out1").map(t => (t._1, t._4)).toSet == Set(2L -> 2L, 3L -> 3L))
+
+    // the plain (non-CDF) source takes the same option
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingTimestamp", cut.toString).load(src)
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/c2")
+      .format("parquet").option("path", s"$dir/out2").start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/out2").select("id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+
+    // both specs at once refuse; a future-only timestamp refuses loudly
+    intercept[Exception] {
+      drain(src, s"$dir/out3", s"$dir/c3",
+        Map("startingTimestamp" -> cut.toString, "startingVersion" -> "0"))
+    }
+    intercept[Exception] {
+      drain(src, s"$dir/out4", s"$dir/c4",
+        Map("startingTimestamp" -> (cut + 3600L * 1000000L).toString))
+    }
+  }
 }
