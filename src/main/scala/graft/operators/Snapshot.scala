@@ -3163,30 +3163,56 @@ object Snapshot {
   def history(spark: SparkSession, path: String,
               distributeAbove: Int = 64): DataFrame = {
     import spark.implicits._
-    def row(m: Manifest): (Long, Long, String, Int, Long, String) = {
+    // per-commit CHANGE metrics (the operationMetrics every warehouse
+    // operator reads before trusting a pipeline): file and physical-row
+    // deltas vs the previous RETAINED version, with deletion-vector
+    // GROWTH on kept files counted as rows removed — so an append shows
+    // (n, 0), a DV point delete (0, k), a compaction (m, m) with a zero
+    // net, and the numbers come from manifest arithmetic alone
+    def row(m: Manifest, parent: Option[Manifest])
+        : (Long, Long, String, Int, Long, Int, Int, Long, Long, String) = {
       val rows =
         if (m.files.forall(m.stats.contains))
           m.files.map(f => m.stats(f).rows - m.dvs.get(f).map(_.rows).getOrElse(0L)).sum
         else -1L
-      (m.version, m.committedAtMicros, m.operation, m.files.size, rows, m.schemaDdl)
+      def dvRows(x: Manifest, f: String): Long = x.dvs.get(f).map(_.rows).getOrElse(0L)
+      val pf = parent.map(_.files.toSet).getOrElse(Set.empty)
+      val mf = m.files.toSet
+      val added = m.files.filterNot(pf)
+      val removed = parent.map(_.files.filterNot(mf)).getOrElse(Nil)
+      val rowsAdded = added.flatMap(m.stats.get).map(_.rows).sum
+      val rowsRemoved = parent.map { p =>
+        removed.flatMap(p.stats.get).map(_.rows).sum +
+          mf.intersect(pf).iterator.map(f => math.max(0L, dvRows(m, f) - dvRows(p, f))).sum
+      }.getOrElse(0L)
+      (m.version, m.committedAtMicros, m.operation, m.files.size, rows,
+        added.size, removed.size, rowsAdded, rowsRemoved, m.schemaDdl)
     }
     val vs = versions(spark, path)
+    // the diff base is the previous RETAINED version (vacuum can leave
+    // tagged islands with reclaimed neighbours); the oldest retained
+    // version baselines as all-added
+    val pairs = vs.zip(None +: vs.init.map(Option(_)))
     val tuples =
       if (vs.size <= distributeAbove)
-        vs.map(v => row(manifest(spark, path, v)))
+        pairs.map { case (v, pv) =>
+          row(manifest(spark, path, v), pv.map(manifest(spark, path, _)))
+        }
       else {
         // a long-lived table accumulates thousands of manifests; read
         // them in ONE Spark job instead of a serial driver loop
         val sconf = org.apache.spark.graftbridge.ConfBridge.serializable(
           spark.sparkContext.hadoopConfiguration)
         val slices = math.max(1, math.min(vs.size / 16, 256))
-        spark.sparkContext.parallelize(vs, slices).map { v =>
+        spark.sparkContext.parallelize(pairs, slices).map { case (v, pv) =>
           val conf = org.apache.spark.graftbridge.ConfBridge.value(sconf)
-          row(manifestFrom(new HPath(path).getFileSystem(conf), path, v))
+          val fs = new HPath(path).getFileSystem(conf)
+          row(manifestFrom(fs, path, v), pv.map(manifestFrom(fs, path, _)))
         }.collect().toSeq.sortBy(_._1)
       }
     tuples.toDF("version", "committed_at_micros", "operation",
-      "num_files", "num_rows", "schema_ddl")
+      "num_files", "num_rows", "files_added", "files_removed",
+      "rows_added", "rows_removed", "schema_ddl")
   }
 
   /** RESTORE: make an earlier committed version the table's new LATEST

@@ -470,7 +470,8 @@ object GraftSqlParser {
 
   private val HistorySchema = StructType.fromDDL(
     "version BIGINT, committed_at_micros BIGINT, operation STRING, " +
-      "num_files INT, num_rows BIGINT, schema_ddl STRING")
+      "num_files INT, num_rows BIGINT, files_added INT, files_removed INT, " +
+      "rows_added BIGINT, rows_removed BIGINT, schema_ddl STRING")
   private val DetailSchema = StructType.fromDDL(
     "version BIGINT, committed_at_micros BIGINT, num_files BIGINT, num_rows BIGINT, " +
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +

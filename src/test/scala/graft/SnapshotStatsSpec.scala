@@ -417,10 +417,23 @@ class SnapshotStatsSpec extends SparkSpec {
     val dir = tmp("history")
     Snapshot.create(spark, dir, (0 until 100).map(i => (i.toLong, i.toString)).toDF("id", "s"))
     Snapshot.append(spark, dir, (100 until 130).map(i => (i.toLong, i.toString)).toDF("id", "s"))
-    Snapshot.overwrite(spark, dir, (0 until 7).map(i => (i.toLong, i.toString)).toDF("id", "s"))
+    Snapshot.overwrite(spark, dir,
+      (0 until 7).map(i => (i.toLong, i.toString)).toDF("id", "s").repartition(1))
     val h = Snapshot.history(spark, dir)
       .select("version", "num_rows").as[(Long, Long)].collect().toMap
     assert(h == Map(1L -> 100L, 2L -> 130L, 3L -> 7L))
+    // per-commit change metrics from manifest arithmetic: the create
+    // baselines all-added, the append adds without removing, the
+    // overwrite swaps everything; a DV point delete shows rows_removed
+    // with zero files added
+    Snapshot.delete(spark, dir, col("id") === 3L, dvMaxFraction = 0.5)
+    val hm = Snapshot.history(spark, dir)
+      .select("version", "files_added", "files_removed", "rows_added", "rows_removed")
+      .as[(Long, Int, Int, Long, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    assert(hm(1L)._3 == 100L && hm(1L)._2 == 0, s"create metrics: ${hm(1L)}")
+    assert(hm(2L)._3 == 30L && hm(2L)._2 == 0, s"append metrics: ${hm(2L)}")
+    assert(hm(3L)._3 == 7L && hm(3L)._4 == 130L, s"overwrite metrics: ${hm(3L)}")
+    assert(hm(4L) == ((0, 0, 0L, 1L)), s"DV delete metrics: ${hm(4L)}")
     // a stale staged manifest is reclaimed by vacuum, not surfaced
     val log = new java.io.File(s"$dir/${Snapshot.LogDirName}")
     java.nio.file.Files.write(new java.io.File(log, ".tmp-dead").toPath, "{}".getBytes)
