@@ -53,7 +53,8 @@ class SnapshotDmlSpec extends SparkSpec {
     // HISTORY through the SQL dialect (schema includes the column)
     assert(Snapshot.history(spark, dir).columns.toSeq ==
       Seq("version", "committed_at_micros", "operation",
-        "num_files", "num_rows", "schema_ddl"))
+        "num_files", "num_rows", "files_added", "files_removed",
+        "rows_added", "rows_removed", "schema_ddl"))
   }
 
   test("deleteMatching (IN-subquery delete) takes the same three tiers as delete") {
