@@ -131,6 +131,24 @@ object FeedConsumer {
     */
   def replicate(spark: SparkSession, srcPath: String, dstPath: String,
                 consumerId: String, keyCols: Seq[String] = Nil): Option[(Long, Long)] = {
+    // a replicate window is RE-DERIVABLE (everything derives from the
+    // latest replica manifest and the pinned source version), so a
+    // concurrent replica commit — another consumer's drain, a property
+    // change — re-runs the window against the new state instead of
+    // surfacing the raw conflict; same contract as the DML retry
+    var attempt = 0
+    while (true) {
+      try return replicateOnce(spark, srcPath, dstPath, consumerId, keyCols)
+      catch {
+        case _: graft.operators.Snapshot.CommitConflictException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    None // unreachable
+  }
+
+  private def replicateOnce(spark: SparkSession, srcPath: String, dstPath: String,
+                            consumerId: String, keyCols: Seq[String]): Option[(Long, Long)] = {
     val vNow = Snapshot.latestVersion(spark, srcPath).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $srcPath"))
     val dstM = Snapshot.latestManifest(spark, dstPath).getOrElse(

@@ -115,6 +115,33 @@ class FeedReplicateSpec extends SparkSpec {
     assert(FeedConsumer.replicate(spark, src, dst, "rep").isEmpty)
   }
 
+  test("a concurrent replica commit mid-window: replicate retries and converges") {
+    val (src, dst, base) = fixture("race")
+    assert(FeedConsumer.replicate(spark, src, dst, "rep").isDefined)
+    Snapshot.delete(spark, src, col("o_orderkey") % 9 === 0)
+    // inject at the replicate commit's staging point: an unrelated
+    // replica commit (a property change) wins the version, the
+    // replicate publish conflicts, and the retry must re-derive the
+    // window against the new replica state instead of surfacing the
+    // conflict
+    var fired = false
+    Snapshot.faultHook = {
+      case "manifest-staged" if !fired =>
+        fired = true
+        Snapshot.setProperties(spark, dst, Map("team" -> "ml"))
+      case _ => ()
+    }
+    try assert(FeedConsumer.replicate(spark, src, dst, "rep").isDefined)
+    finally Snapshot.faultHook = _ => ()
+    assert(fired, "fixture: the injection must have run")
+    assert(same(Snapshot.read(spark, dst), Snapshot.read(spark, src)),
+      "the retried window must converge on the source state")
+    val m = Snapshot.latestManifest(spark, dst).get
+    assert(m.properties.get("team").contains("ml"),
+      "the racing commit must survive the retry")
+    assert(m.streamBatch("rep") == Snapshot.latestVersion(spark, src).get)
+  }
+
   test("keyed application converges identically") {
     val (src, dst, base) = fixture("keyed")
     assert(FeedConsumer.replicate(spark, src, dst, "rep", keyCols = Seq("o_orderkey")).isDefined)
