@@ -3180,9 +3180,16 @@ object Snapshot {
       val mf = m.files.toSet
       val added = m.files.filterNot(pf)
       val removed = parent.map(_.files.filterNot(mf)).getOrElse(Nil)
-      val rowsAdded = added.flatMap(m.stats.get).map(_.rows).sum
+      // -1 = unknown, the same sentinel num_rows uses: a partial sum
+      // over stat-less files would read as "added nothing"
+      val rowsAdded =
+        if (added.forall(m.stats.contains)) added.map(m.stats(_).rows).sum else -1L
+      // removed files count their LIVE rows at the parent (physical
+      // minus that version's vector) — a compaction of a DV'd file is
+      // (m, m) net-zero, and DV'd rows are never counted removed twice
       val rowsRemoved = parent.map { p =>
-        removed.flatMap(p.stats.get).map(_.rows).sum +
+        if (!removed.forall(p.stats.contains)) -1L
+        else removed.map(f => p.stats(f).rows - dvRows(p, f)).sum +
           mf.intersect(pf).iterator.map(f => math.max(0L, dvRows(m, f) - dvRows(p, f))).sum
       }.getOrElse(0L)
       (m.version, m.committedAtMicros, m.operation, m.files.size, rows,
@@ -3191,23 +3198,37 @@ object Snapshot {
     val vs = versions(spark, path)
     // the diff base is the previous RETAINED version (vacuum can leave
     // tagged islands with reclaimed neighbours); the oldest retained
-    // version baselines as all-added
-    val pairs = vs.zip(None +: vs.init.map(Option(_)))
+    // version baselines as all-added. Each manifest loads ONCE — it
+    // serves as itself and as its successor's diff base.
     val tuples =
-      if (vs.size <= distributeAbove)
-        pairs.map { case (v, pv) =>
-          row(manifest(spark, path, v), pv.map(manifest(spark, path, _)))
-        }
-      else {
+      if (vs.size <= distributeAbove) {
+        val ms = vs.map(manifest(spark, path, _))
+        ms.zip(None +: ms.init.map(Option(_))).map((row _).tupled)
+      } else {
         // a long-lived table accumulates thousands of manifests; read
-        // them in ONE Spark job instead of a serial driver loop
+        // them in ONE Spark job instead of a serial driver loop. Each
+        // slice is a CONTIGUOUS version range (parallelize preserves
+        // order), so a running parent costs one extra load per slice,
+        // not one per version.
         val sconf = org.apache.spark.graftbridge.ConfBridge.serializable(
           spark.sparkContext.hadoopConfiguration)
         val slices = math.max(1, math.min(vs.size / 16, 256))
-        spark.sparkContext.parallelize(pairs, slices).map { case (v, pv) =>
+        val pairs = vs.zip(None +: vs.init.map(Option(_)))
+        spark.sparkContext.parallelize(pairs, slices).mapPartitions { it =>
           val conf = org.apache.spark.graftbridge.ConfBridge.value(sconf)
           val fs = new HPath(path).getFileSystem(conf)
-          row(manifestFrom(fs, path, v), pv.map(manifestFrom(fs, path, _)))
+          var prev: Option[(Long, Manifest)] = None
+          it.map { case (v, pv) =>
+            val m = manifestFrom(fs, path, v)
+            val parent = pv.map { p =>
+              prev match {
+                case Some((pvHeld, held)) if pvHeld == p => held
+                case _ => manifestFrom(fs, path, p)
+              }
+            }
+            prev = Some((v, m))
+            row(m, parent)
+          }
         }.collect().toSeq.sortBy(_._1)
       }
     tuples.toDF("version", "committed_at_micros", "operation",

@@ -377,21 +377,38 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       if (bootstrap) Snapshot.manifest(spark, path, v).files.sorted
       else {
         val cur = Snapshot.manifest(spark, path, v)
-        val prev = Snapshot.manifest(spark, path, v - 1)
-        val removed = prev.files.diff(cur.files)
-        // a deletion-vector change removes ROWS without removing a
-        // file — every bit as much a rewrite for a consumer that
-        // assumed appends-only
-        val dvChanged = cur.files.intersect(prev.files)
-          .exists(f => prev.dvs.get(f) != cur.dvs.get(f))
-        if (removed.isEmpty && !dvChanged) cur.files.diff(prev.files).sorted
-        else if (skipChangeCommits) Seq.empty
-        else throw new IllegalStateException(
-          s"snapshot stream source: version $v of $path rewrites " +
-            s"${removed.size} file(s)" +
-            (if (dvChanged) " and changes deletion vectors" else "") +
-            "; streaming it would re-emit or drop rows. " +
-            "Set skipChangeCommits = true to stream appends only.")
+        // the log's FIRST (or first-RETAINED, after vacuum) version has
+        // no parent to diff against: its whole state is the "append".
+        // That is only sound when no deletion vectors apply — emitting
+        // a vectored file as plain appends would re-emit deleted rows —
+        // so a vectored genesis refuses with the bootstrap pointer.
+        val prevOpt =
+          try Some(Snapshot.manifest(spark, path, v - 1))
+          catch { case _: java.io.FileNotFoundException => None }
+        prevOpt match {
+          case None =>
+            if (cur.dvs.nonEmpty) throw new IllegalStateException(
+              s"snapshot stream source: version $v of $path is the first " +
+                "retained version and carries deletion vectors; start the " +
+                "stream without startingVersion/startingTimestamp (bootstrap) " +
+                "or from a retained version with a parent")
+            cur.files.sorted
+          case Some(prev) =>
+            val removed = prev.files.diff(cur.files)
+            // a deletion-vector change removes ROWS without removing a
+            // file — every bit as much a rewrite for a consumer that
+            // assumed appends-only
+            val dvChanged = cur.files.intersect(prev.files)
+              .exists(f => prev.dvs.get(f) != cur.dvs.get(f))
+            if (removed.isEmpty && !dvChanged) cur.files.diff(prev.files).sorted
+            else if (skipChangeCommits) Seq.empty
+            else throw new IllegalStateException(
+              s"snapshot stream source: version $v of $path rewrites " +
+                s"${removed.size} file(s)" +
+                (if (dvChanged) " and changes deletion vectors" else "") +
+                "; streaming it would re-emit or drop rows. " +
+                "Set skipChangeCommits = true to stream appends only.")
+        }
       }
     })
 

@@ -140,7 +140,8 @@ object FeedConsumer {
     while (true) {
       try return replicateOnce(spark, srcPath, dstPath, consumerId, keyCols)
       catch {
-        case _: graft.operators.Snapshot.CommitConflictException if attempt < 3 =>
+        // 3 total attempts — the same bound as Snapshot.retryDml
+        case _: graft.operators.Snapshot.CommitConflictException if attempt < 2 =>
           attempt += 1
       }
     }

@@ -160,5 +160,17 @@ class StreamCdfSpec extends SparkSpec {
       drain(src, s"$dir/out4", s"$dir/c4",
         Map("startingTimestamp" -> (cut + 3600L * 1000000L).toString))
     }
+
+    // a timestamp AT OR BEFORE the first retained commit: the genesis
+    // version has no parent to diff against — its whole state streams
+    // as the first batch (the plain source, the harder route)
+    val q2 = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingTimestamp", "0").load(src)
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/c5")
+      .format("parquet").option("path", s"$dir/out5").start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$dir/out5").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L), "a genesis-covering timestamp must stream every version")
   }
 }
