@@ -112,12 +112,21 @@ object Bench {
         // `status --porcelain` (not `diff --quiet`): it also reports
         // UNTRACKED files, so a brand-new not-yet-added source file —
         // invisible to diff-against-HEAD — still marks the tree dirty
-        // and keeps stale timings from merging in
+        // and keeps stale timings from merging in. The pathspec pins
+        // the check to CODE: the round driver drops its own untracked
+        // artifacts (BENCH_r*.json, CORRECTNESS_r*.json, bench
+        // summaries) at the repo root between runs, and counting those
+        // as dirty silently disabled merging on exactly the final
+        // driver run the round publishes — belt-and-braces, any status
+        // line naming a driver artifact is ignored too
         val st = new ProcessBuilder("git", "status", "--porcelain", "--", "src", "build.sbt")
           .directory(new java.io.File(".")).start()
+        val driverArtifact = java.util.regex.Pattern.compile(
+          """(BENCH_r\d+\.json|CORRECTNESS_r\d+\.json|bench_summary[^/]*\.json|VERDICT\.md|ADVICE\.md)$""")
         val dirty = {
           val out = new String(st.getInputStream.readAllBytes(), "UTF-8")
-          st.waitFor() != 0 || out.trim.nonEmpty
+          st.waitFor() != 0 || out.linesIterator.map(_.trim).filter(_.nonEmpty)
+            .exists(l => !driverArtifact.matcher(l).find())
         }
         if (dirty) None
         else {
@@ -153,8 +162,17 @@ object Bench {
     val errs = merged.collect { case (name, _, Some(m)) => s""""${esc(name)}":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = r3(merged.map(_._2).sum)
+    // BOTH totals, labeled: `value` is the merged best-of (per-query
+    // minima across same-commit runs — the contention-damped figure the
+    // gate reads), `current_run_total` is THIS invocation alone, and
+    // `merged_from_prior` counts queries whose best came from an
+    // earlier run — so a consumer can never mistake the ratcheted
+    // figure for a single-run measurement (or vice versa)
+    val currentTotal = r3(results.map(_._2).sum)
+    val mergedCount = results.count { case (n, s, e) =>
+      e.isEmpty && prior.get(n).exists(_ < s) }
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","current_run_total":$currentTotal,"merged_from_prior":$mergedCount,"errors":$errs,"queries":$qs,"sf":"${esc(sfDir)}"}"""
     println(summary)
     // also persist the summary: the driver's stdout tail capture is
     // char-capped and has truncated past runs' per-query records. One

@@ -309,6 +309,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       sp.property() -> sp.value()
     }.toMap
     val unsetProps = changes.collect { case rm: TableChange.RemoveProperty => rm.property() }
+    // the vacuum floor is the createTag/restore vacuum-race guard —
+    // engine state riding the property map; a user SET could disarm or
+    // corrupt it, so by-name writes refuse loudly (Snapshot.setProperties
+    // additionally preserves it against any unset sweep)
+    (setProps.keys ++ unsetProps).find(_ == Snapshot.VacuumFloorProp).foreach(k =>
+      throw new IllegalArgumentException(
+        s"GraftCatalog SET/UNSET TBLPROPERTIES: '$k' is engine-managed " +
+          "(committed by vacuum)"))
     if (setProps.nonEmpty || unsetProps.nonEmpty)
       Snapshot.setProperties(spark, path, setProps, unset = unsetProps)
     loadTable(ident)

@@ -69,13 +69,23 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
   // fallback in Spark (V2Writes only builds V1 writes for append and
   // overwrite-by-expression), so advertising it would fail at exec.
   // Static overwrite + the Scala replacePartitions API cover the shape.
+  //
+  // AUTOMATIC_SCHEMA_EVOLUTION arms `MERGE … WITH SCHEMA EVOLUTION` on
+  // the catalog route: the analyzer's own rule
+  // (ResolveMergeIntoSchemaEvolution) computes the source-minus-target
+  // column set and routes it through [[GraftCatalog.alterTable]] —
+  // i.e. [[Snapshot.addColumns]], the SAME metadata-only commit the
+  // registry front end makes (SnapshotSql.merge), so both routes
+  // evolve identically: no file rewritten, pre-evolution files read
+  // the new columns as null.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // ------------------------------------------------- read (backstop)
 

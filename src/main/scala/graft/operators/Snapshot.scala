@@ -775,7 +775,17 @@ object Snapshot {
                                 schemaDdl: String): Map[String, String] =
     constraints ++ StructType.fromDDL(schemaDdl).fields.toSeq
       .filterNot(_.nullable).map(f =>
-        s"not_null_${f.name}" -> s"`${f.name}` IS NOT NULL")
+        // the implicit keys live in a RESERVED namespace (user
+        // constraint names refuse the __graft_ prefix at create /
+        // addConstraint time), so a user CHECK literally named
+        // not_null_<col> can never be silently overwritten here
+        s"${ReservedConstraintPrefix}not_null_${f.name}" -> s"`${f.name}` IS NOT NULL")
+
+  /** Constraint-name namespace reserved for engine-generated checks;
+    * user names refuse it so the merge in [[withNotNullChecks]] can
+    * never drop a user predicate.
+    */
+  private[graft] val ReservedConstraintPrefix = "__graft_"
 
   private def writeTxnFiles(df1: DataFrame, path: String, partitionCols: Seq[String],
                             colMap: Map[String, String] = Map.empty,
@@ -1183,9 +1193,12 @@ object Snapshot {
              clusterBy: Seq[String] = Nil,
              properties: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
-    constraints.keys.foreach(n =>
+    constraints.keys.foreach { n =>
       require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
-        s"create: constraint name must be [A-Za-z0-9_]+, got '$n'"))
+        s"create: constraint name must be [A-Za-z0-9_]+, got '$n'")
+      require(!n.startsWith(ReservedConstraintPrefix),
+        s"create: constraint name '$n' uses the reserved $ReservedConstraintPrefix prefix")
+    }
     val full = withGenerated(df, generatedCols)
     // create-time constraints land IN the first commit (one atomic
     // version — no window where the table exists unconstrained), after
@@ -1206,6 +1219,8 @@ object Snapshot {
     clusterBy.foreach(c => require(!partitionCols.contains(c),
       s"create: $c is a partition column — it is already clustered by layout"))
     // engine-read policy properties validate at declaration time
+    require(!properties.contains(VacuumFloorProp),
+      s"create: '$VacuumFloorProp' is engine-managed (committed by vacuum)")
     locally {
       val probe = Manifest(0L, partitionCols, ddl, Nil, properties = properties,
         clusterBy = clusterBy)
@@ -1236,11 +1251,20 @@ object Snapshot {
                     set: Map[String, String], unset: Seq[String] = Nil): Long = {
     (set.keys ++ unset).foreach(k => require(k.nonEmpty && !k.exists(_.isWhitespace),
       s"setProperties: bad property key '$k'"))
+    // the vacuum floor is ENGINE state (the createTag/restore
+    // vacuum-race guard, committed by vacuum itself) riding the
+    // property map — a user SET could disarm or corrupt it, so it
+    // refuses; an unset (explicit, or the implicit REPLACE-sweep that
+    // clears undeclared keys) silently carries the current value
+    // through instead of dropping the guard
+    require(!set.contains(VacuumFloorProp),
+      s"setProperties: '$VacuumFloorProp' is engine-managed (committed by vacuum)")
     var attempt = 0
     while (true) {
       val m = latestManifest(spark, path).getOrElse(
         throw new IllegalArgumentException(s"not a snapshot table: $path"))
-      val next = (m.properties -- unset) ++ set
+      val next = (m.properties -- unset) ++ set ++
+        m.properties.view.filterKeys(_ == VacuumFloorProp).toMap
       // engine-read policy keys validate where they are SET, not first
       // at the nightly OPTIMIZE that consumes them
       bloomPolicyCols(m.copy(properties = next)).foreach(_ => ())
@@ -1256,6 +1280,14 @@ object Snapshot {
     }
     -1L // unreachable
   }
+
+  /** The vacuum-race guard ([[vacuum]] commits it before deleting;
+    * [[createTag]]/[[restore]] arbitrate against it) — engine-managed:
+    * user property writes refuse it and [[restore]] carries the
+    * CURRENT value forward instead of resurrecting the target
+    * version's stale floor.
+    */
+  private[graft] val VacuumFloorProp = "graft.vacuum.floor"
 
   /** Valid tag name: identifier-shaped (letters, digits, `_`, `-`,
     * `.`), NOT all digits — an all-digit tag would be indistinguishable
@@ -1683,6 +1715,9 @@ object Snapshot {
                     predicateSql: String): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"addConstraint: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!name.startsWith(ReservedConstraintPrefix),
+      s"addConstraint: constraint name '$name' uses the reserved " +
+        s"$ReservedConstraintPrefix prefix")
     var attempt = 0
     while (true) {
       val m = latestManifest(spark, path).getOrElse(
@@ -3281,8 +3316,13 @@ object Snapshot {
       operation = s"RESTORE v$version",
       // consumer watermarks and TAGS are table-level refs, not part of
       // the restored state: a restore must not resurrect the target
-      // version's tag map (tags created since would silently vanish)
-      streamBatch = cur.streamBatch, tags = cur.tags, blooms = blooms))
+      // version's tag map (tags created since would silently vanish).
+      // Likewise the vacuum FLOOR: the target's stale (lower) floor
+      // would re-arm createTag/restore against versions a later vacuum
+      // already reclaimed — the CURRENT floor carries through.
+      streamBatch = cur.streamBatch, tags = cur.tags, blooms = blooms,
+      properties = target.properties -- Seq(VacuumFloorProp) ++
+        cur.properties.view.filterKeys(_ == VacuumFloorProp).toMap))
   }
 
   /** In-place conversion: register an EXISTING (optionally

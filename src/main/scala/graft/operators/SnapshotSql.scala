@@ -853,11 +853,17 @@ object SnapshotSql {
 
     (m.matchedActions, m.notMatchedActions) match {
       // star/star: whole-row replace — mergeById's exact semantics,
-      // restricted to the partition TUPLES present in the source
+      // restricted to the partition TUPLES present in the source.
+      // assertIdsLocal: SQL users have not opted into the Scala API's
+      // id-embeds-partition contract — a source row whose partition
+      // tuple moved would otherwise duplicate its id silently; the
+      // probe (one id-column semi-join over unaffected partitions)
+      // refuses loudly instead.
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
         val mf = Snapshot.latestManifest(spark, path).getOrElse(
           throw new IllegalArgumentException(s"not a snapshot table: $path"))
-        Snapshot.mergeByIdPartitioned(spark, path, source, idCol, mf.partitionCols)
+        Snapshot.mergeByIdPartitioned(spark, path, source, idCol, mf.partitionCols,
+          assertIdsLocal = true)
 
       // explicit arms: the funnel_live.py:155-172 shape
       case (matched, notMatched) =>

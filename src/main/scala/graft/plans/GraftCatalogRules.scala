@@ -69,14 +69,18 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
   /** A bare column reference, seen through the widening Cast the
     * analyzer inserts when IN coerces mismatched types (`int_col IN
     * (SELECT bigint_col …)` arrives as `Cast(int_col) IN …`).
-    * Stripping it is sound: the IN-key join re-derives the same
-    * coercion from the raw column and key types.
+    * Stripping it is sound ONLY for that analyzer-inserted shape — an
+    * up-cast (`Cast.canUpCast`), which the IN-key join re-derives from
+    * the raw column and key types. A USER-written narrowing or
+    * cross-type cast (`CAST(k AS INT) IN (SELECT …)`) changes which
+    * rows match, so it must NOT strip: it falls through to the generic
+    * predicate path, which refuses subqueries loudly.
     */
   private object BareAttr {
     def unapply(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference => Some(a)
       case c: Cast => c.child match {
-        case a: AttributeReference => Some(a)
+        case a: AttributeReference if Cast.canUpCast(a.dataType, c.dataType) => Some(a)
         case _ => None
       }
       case _ => None
@@ -186,10 +190,14 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
         case Some((t, targetRel, _)) =>
           if (notMatchedBySource.nonEmpty) throw new UnsupportedOperationException(
             "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-          if (withSchemaEvolution.asInstanceOf[Boolean]) throw new UnsupportedOperationException(
-            "graft MERGE: WITH SCHEMA EVOLUTION is not supported by name — " +
-              "ALTER TABLE ... ADD COLUMNS first, then merge (the registry " +
-              "route, Snapshot.sql, evolves automatically)")
+          // WITH SCHEMA EVOLUTION needs no handling here: GraftTable
+          // advertises AUTOMATIC_SCHEMA_EVOLUTION, so by the time this
+          // statement is `resolved` the analyzer's own rule has already
+          // routed the source-minus-target columns through
+          // GraftCatalog.alterTable (→ Snapshot.addColumns, one
+          // metadata-only commit) and reloaded the target relation —
+          // the capture below sees the EVOLVED schema, identical to the
+          // registry route's behavior (SnapshotSql.merge).
           val tAttrs = targetRel.outputSet
           val sAttrs = AttributeSet(sourceP.output)
           val (tAlias, sAlias) = ("__graft_t", "__graft_s")
@@ -231,9 +239,16 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
             case (Seq(UpdateAction(None, mAssigns, _)), Seq(InsertAction(None, iAssigns)))
                 if wholeRow(mAssigns) && wholeRow(iAssigns) =>
               val source = PlanBridge.dataFrame(session, sourceP)
+              // assertIdsLocal: SQL users have NOT opted into the
+              // id-embeds-partition contract the Scala API documents —
+              // a source row whose partition tuple moved would insert
+              // into the new partition while the old row survives
+              // (silent id duplication). The probe is one id-column
+              // semi-join over the unaffected partitions; refuse loudly
+              // when a stray id turns up.
               Some(GraftDmlCommand(s"MERGE INTO ${t.tableName} (whole-row)",
                 sp => Snapshot.mergeByIdPartitioned(sp, t.path, source, idCol,
-                  t.manifest.partitionCols)))
+                  t.manifest.partitionCols, assertIdsLocal = true)))
             case _ => None
           }
           wholeRowCmd.getOrElse {

@@ -467,6 +467,101 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT id FROM g.db.dw").as[Int].collect().toSeq == Seq(5))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION evolves a catalog table by name") {
+    sql("CREATE TABLE g.db.sev (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.sev VALUES (1, 'odd', 10), (2, 'even', 20), (4, 'even', 40)")
+    // the source carries a column the target has never seen — the
+    // autodetect-load + MERGE maintenance combo, as one statement
+    Seq((2L, "even", 99L, "late"), (3L, "odd", 30L, "late"))
+      .toDF("id", "p", "v", "tag").createOrReplaceTempView("sev_src")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO g.db.sev t USING sev_src u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the evolution is a metadata-only ADD COLUMNS commit: the evolved
+    // column reads across PRE-EVOLUTION files as null, the merged rows
+    // carry the source values
+    assert(sql("SELECT id, p, v, tag FROM g.db.sev")
+      .as[(Long, String, Long, Option[String])].collect().toSet ==
+      Set((1L, "odd", 10L, None), (2L, "even", 99L, Some("late")),
+        (3L, "odd", 30L, Some("late")), (4L, "even", 40L, None)))
+    val m = Snapshot.latestManifest(spark, s"$warehouse/db/sev").get
+    assert(m.operation == "MERGE")
+    // ...and the commit before the merge was the evolution, no rewrite
+    val evo = Snapshot.manifest(spark, s"$warehouse/db/sev", m.version - 1)
+    assert(evo.operation == "ADD COLUMNS", evo.operation)
+  }
+
+  test("schema evolution racing a concurrent append: both commits survive") {
+    sql("CREATE TABLE g.db.sevrace (id BIGINT, v BIGINT)")
+    sql("INSERT INTO g.db.sevrace VALUES (1, 10)")
+    Seq((2L, 20L, "x")).toDF("id", "v", "tag").createOrReplaceTempView("sevrace_src")
+    // inject at the evolution commit's staging point: an append lands
+    // FIRST (wins the version), the ADD COLUMNS publish conflicts, and
+    // addColumns' rebase-and-retry must carry BOTH — the appended row
+    // and the evolved column
+    var fired = false
+    Snapshot.faultHook = {
+      case "manifest-staged" if !fired =>
+        fired = true
+        Snapshot.append(spark, s"$warehouse/db/sevrace",
+          Seq((7L, 70L)).toDF("id", "v"))
+      case _ => ()
+    }
+    try sql("""MERGE WITH SCHEMA EVOLUTION INTO g.db.sevrace t USING sevrace_src u ON t.id = u.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally Snapshot.faultHook = _ => ()
+    assert(fired, "fixture: the race hook must have fired")
+    assert(sql("SELECT id, v, tag FROM g.db.sevrace")
+      .as[(Long, Long, Option[String])].collect().toSet ==
+      Set((1L, 10L, None), (2L, 20L, Some("x")), (7L, 70L, None)))
+  }
+
+  test("a USER-written narrowing cast on the IN key refuses instead of joining raw") {
+    // `CAST(id AS INT) IN (SELECT …)` is NOT the analyzer's widening
+    // coercion — a BIGINT that wraps under the narrow cast matches
+    // different rows than the raw column, so silently stripping it
+    // would delete the wrong rows. It must fall through to the generic
+    // predicate path, whose subquery refusal is loud.
+    sql("CREATE TABLE g.db.ncast (id BIGINT, v BIGINT)")
+    sql("INSERT INTO g.db.ncast VALUES (5, 50), (4294967301, 51)") // 2^32+5 narrows to 5
+    sql("CREATE TABLE g.db.ncastk (k INT)")
+    sql("INSERT INTO g.db.ncastk VALUES (5)")
+    val e = intercept[Exception](
+      sql("DELETE FROM g.db.ncast WHERE CAST(id AS INT) IN (SELECT k FROM g.db.ncastk)"))
+    assert(e.getMessage.contains("subquer"), e.getMessage)
+    assert(sql("SELECT COUNT(*) AS n FROM g.db.ncast").as[Long].head() == 2L,
+      "the refused statement must not have deleted anything")
+  }
+
+  test("SQL MERGE refuses a source row whose partition tuple moved") {
+    // the whole-row SQL route has NOT opted into the Scala API's
+    // id-embeds-partition contract: a source row re-homing id=2 from
+    // 'even' to 'odd' would insert the new row while the old one
+    // survives in its unaffected partition — silent id duplication.
+    // The route probes unaffected partitions for the source ids and
+    // refuses loudly.
+    sql("CREATE TABLE g.db.mvt (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.mvt VALUES (1, 'odd', 10), (2, 'even', 20), (4, 'even', 40)")
+    Seq((2L, "odd", 99L)).toDF("id", "p", "v").createOrReplaceTempView("mvt_moved")
+    val e = intercept[Exception](
+      sql("""MERGE INTO g.db.mvt t USING mvt_moved u ON t.id = u.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("unaffected partitions"), e.getMessage)
+    // no half-applied state: the target is untouched
+    assert(rows(sql("SELECT id, p, v FROM g.db.mvt")) ==
+      Set((1L, "odd", 10L), (2L, "even", 20L), (4L, "even", 40L)))
+    // the same statement with the tuple at home still merges
+    Seq((2L, "even", 99L), (5L, "odd", 50L)).toDF("id", "p", "v")
+      .createOrReplaceTempView("mvt_home")
+    sql("""MERGE INTO g.db.mvt t USING mvt_home u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(sql("SELECT id, p, v FROM g.db.mvt")) ==
+      Set((1L, "odd", 10L), (2L, "even", 99L), (4L, "even", 40L), (5L, "odd", 50L)))
+  }
+
   test("UPDATE ... IN (SELECT) and equality-correlated EXISTS delete by name") {
     sql("CREATE TABLE g.db.usub (id BIGINT, v BIGINT)")
     sql("INSERT INTO g.db.usub SELECT id, id * 10 FROM range(20)")

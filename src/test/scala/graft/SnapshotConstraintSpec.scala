@@ -150,4 +150,32 @@ class SnapshotConstraintSpec extends SparkSpec {
       Snapshot.sql(spark, "ALTER TABLE tc DROP CONSTRAINT nope", reg))
     Snapshot.sql(spark, "ALTER TABLE tc DROP CONSTRAINT IF EXISTS nope", reg)
   }
+
+  test("a user CHECK named not_null_<col> is not shadowed by the implicit NOT NULL") {
+    // the implicit IS NOT NULL checks for non-nullable fields merge
+    // into the validation set under a RESERVED key prefix — a user
+    // constraint literally named not_null_id must keep its own
+    // predicate on every write
+    val dir = Files.createTempDirectory("graft-constraint-nn").toString
+    val t = s"$dir/t"
+    Snapshot.create(spark, t,
+      spark.range(3).select(col("id"), (col("id") * 10).as("v")),
+      constraints = Map("not_null_id" -> "id > -100"),
+      keepNullability = true) // id from range() is non-nullable: both checks active
+    // a batch violating the USER predicate (but not null) refuses with
+    // the user's constraint named — before the fix the implicit check
+    // silently replaced it and this batch landed
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.append(spark, t,
+        spark.range(1).select((col("id") - 500).as("id"), col("id").as("v")))
+    }
+    assert(e.getMessage.contains("not_null_id") && e.getMessage.contains("id > -100"),
+      e.getMessage)
+    // engine-reserved names refuse at declaration time on both routes
+    intercept[IllegalArgumentException](
+      Snapshot.addConstraint(spark, t, "__graft_not_null_v", "v > 0"))
+    intercept[IllegalArgumentException](
+      Snapshot.create(spark, s"$dir/t2", spark.range(1).toDF("id"),
+        constraints = Map("__graft_x" -> "id > 0")))
+  }
 }

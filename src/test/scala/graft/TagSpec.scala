@@ -227,6 +227,44 @@ class TagSpec extends SparkSpec {
     assert(Snapshot.read(spark, s"$warehouse/db/t5c").count() == want.size.toLong)
   }
 
+  test("the vacuum floor is engine-managed: SET/UNSET refuse; restore carries it forward") {
+    val path = mkTable("t9")
+    sql("INSERT INTO gt.db.t9 VALUES (400, 'even', 400)")
+    sql("INSERT INTO gt.db.t9 VALUES (401, 'odd', 401)")
+    // target: a pre-vacuum version that stays retained (inside the keep
+    // window) — its own property map predates the floor commit, so a
+    // restore that resurrected it verbatim would DISARM the guard
+    val target = Snapshot.latestVersion(spark, path).get
+    Snapshot.vacuum(spark, path, keepVersions = 2, orphanGraceMs = 0L)
+    val floor = Snapshot.latestManifest(spark, path).get.properties("graft.vacuum.floor")
+    // by-name writes refuse loudly on BOTH mutation surfaces
+    val e1 = intercept[Exception](
+      sql("ALTER TABLE gt.db.t9 SET TBLPROPERTIES ('graft.vacuum.floor' = '0')"))
+    assert(e1.getMessage.contains("engine-managed"), e1.getMessage)
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE gt.db.t9 UNSET TBLPROPERTIES ('graft.vacuum.floor')"))
+    assert(e2.getMessage.contains("engine-managed"), e2.getMessage)
+    intercept[Exception](Snapshot.setProperties(spark, path,
+      Map("graft.vacuum.floor" -> "0")))
+    // an unset SWEEP (the CTAS-REPLACE property redefinition) silently
+    // preserves the guard instead of disarming it
+    Snapshot.setProperties(spark, path, Map("owner.team" -> "corp"),
+      unset = Seq("graft.vacuum.floor"))
+    assert(Snapshot.latestManifest(spark, path).get
+      .properties("graft.vacuum.floor") == floor,
+      "an unset sweep must not drop the floor")
+    // restore to the pre-vacuum-floor version must carry the CURRENT
+    // floor, not resurrect the target's stale (absent) one — otherwise
+    // the next createTag would trust a disarmed guard
+    assert(Snapshot.manifest(spark, path, target)
+      .properties.get("graft.vacuum.floor").isEmpty,
+      "fixture: the restore target must predate the floor commit")
+    Snapshot.restore(spark, path, target)
+    assert(Snapshot.latestManifest(spark, path).get
+      .properties("graft.vacuum.floor") == floor,
+      "restore must carry the current floor through")
+  }
+
   test("registry route: tag DDL and resolution as SQL text") {
     val root = Files.createTempDirectory("graft-tag-reg").toString
     val path = s"$root/t"
