@@ -1663,6 +1663,51 @@ object LayoutPack extends QueryPack {
         |FROM g152.db.t WHERE o_orderkey BETWEEN 100000 AND 110000""".stripMargin)
   }
 
+  val q153 = QueryDef.staged(
+    "q153_catalog_merge_evolution",
+    // oracle: the post-merge table recomputed from the raw rows — the
+    // q146 contract re-gated on the CATALOG route: the evolved column
+    // exists exactly for the source's keys, every key appears once,
+    // prices untouched; a merge that dropped the evolution (flag
+    // all-null), duplicated keys, or rewrote pre-evolution files fails
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  CAST(COUNT(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey <= 200
+           |    THEN 1 END) AS BIGINT) AS flagged
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): target and late feed as CATALOG tables — the
+    // reference's autodetect-load + MERGE maintenance combo
+    // (funnel_live.py:106-174 against audio_digital.py:350-style
+    // evolving feeds) ported onto dataset.table names, zero registry.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q153").toString
+    t.spark.conf.set("spark.sql.catalog.g153", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g153.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g153.db")
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    Snapshot.create(t.spark, s"$root/db/t",
+      base.where(col("o_orderkey") % 3 =!= 0).repartition(4))
+    Snapshot.create(t.spark, s"$root/db/s",
+      base.where(col("o_orderkey") % 3 === 0 || col("o_orderkey") <= 200)
+        .withColumn("ingest_tag", lit("late")))
+  } { (t, _: Any) =>
+    // MEASURED: one statement through the vanilla parser/analyzer —
+    // the analyzer's AUTOMATIC_SCHEMA_EVOLUTION rule lands the new
+    // column as a metadata-only ADD COLUMNS commit (no file
+    // rewritten; pre-evolution rows read it as null), then the
+    // whole-row upsert, then the rollup proving both sides landed.
+    t.spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO g153.db.t t USING g153.db.s s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    t.spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(COUNT(ingest_tag) AS BIGINT) AS flagged
+        |FROM g153.db.t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
 }
