@@ -73,7 +73,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -192,13 +193,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val (pTransforms, clusterBy) = SnapshotSql.splitClusterBy(partitions.toSeq, "CREATE TABLE")
     val (pCols, genCols) = SnapshotSql.partitionSpec(pTransforms, "CREATE TABLE")
     val declared = StructType(columns.map { c =>
-      require(c.defaultValue() == null,
-        s"GraftCatalog: DEFAULT values are not supported (${c.name()})")
       require(c.generationExpression() == null,
         s"GraftCatalog: explicit GENERATED columns are not supported (${c.name()}); " +
           "use PARTITIONED BY (days(ts), ...) transforms")
       StructField(c.name(), c.dataType(), c.nullable())
     })
+    // CREATE-time DEFAULTs: write defaults only (every file written
+    // from here on carries the column physically)
+    val defaults = columns.collect {
+      case c if c.defaultValue() != null => c.name() -> c.defaultValue().getSql
+    }.toMap
     // a TIME transform's generated column joins the schema with the
     // transform's own type, exactly like the registry front end
     val genFields = genCols.keys.toSeq.sorted
@@ -213,7 +217,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       pCols, genCols, constraints,
       keepNullability = true, // DDL-declared NOT NULL is real
       clusterBy = clusterBy,
-      properties = userProps)
+      properties = userProps,
+      defaults = defaults)
     loadTable(ident)
   }
 
@@ -259,10 +264,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case add: TableChange.AddColumn =>
         require(add.position() == null,
           s"GraftCatalog ADD COLUMNS: FIRST/AFTER positions are not supported")
-        require(add.defaultValue() == null,
-          s"GraftCatalog ADD COLUMNS: DEFAULT values are not supported")
-        Snapshot.addColumns(spark, path, Seq(StructField(
-          topLevel(add.fieldNames(), "ADD COLUMNS"), add.dataType(), nullable = true)))
+        val name = topLevel(add.fieldNames(), "ADD COLUMNS")
+        // ADD COLUMN … DEFAULT v: the default is both the write default
+        // and the frozen existence default every pre-evolution row
+        // reads — metadata only, no file rewritten
+        val defaults = Option(add.defaultValue())
+          .map(d => Map(name -> d.getSql)).getOrElse(Map.empty)
+        Snapshot.addColumns(spark, path,
+          Seq(StructField(name, add.dataType(), nullable = true)), defaults)
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        // SET DEFAULT expr / DROP DEFAULT (delivered as an empty sql):
+        // write default only — history never reinterprets
+        val sql = Option(upd.newCurrentDefault()).map(_.getSql).getOrElse("")
+        Snapshot.setColumnDefault(spark, path,
+          topLevel(upd.fieldNames(), "ALTER COLUMN"),
+          if (sql == null || sql.trim.isEmpty) None else Some(sql))
       case ren: TableChange.RenameColumn =>
         Snapshot.renameColumn(spark, path,
           topLevel(ren.fieldNames(), "RENAME COLUMN"), ren.newName())

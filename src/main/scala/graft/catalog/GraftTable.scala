@@ -42,7 +42,12 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
     * the write path re-derives them.
     */
   override lazy val schema: StructType = {
-    val full = StructType.fromDDL(manifest.schemaDdl)
+    // DEFAULT metadata rides the declared schema: CURRENT_DEFAULT is
+    // what lets the vanilla analyzer fill column-list INSERTs, and
+    // EXISTS_DEFAULT flows through the native-scan swap (which
+    // preserves these attributes) into the parquet readers' backfill
+    val full = Snapshot.withDefaultMetadata(
+      StructType.fromDDL(manifest.schemaDdl), manifest)
     if (!hideGenerated) full
     else StructType(full.fields.filterNot(f => manifest.generatedCols.contains(f.name)))
   }

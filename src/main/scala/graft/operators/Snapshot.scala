@@ -121,6 +121,19 @@ object Snapshot {
     * one. Partition columns never map (their name is baked into every
     * directory path); [[renameColumn]]/[[dropColumn]] refuse them.
     */
+  /** `colDefault` maps a column to its CURRENT DEFAULT expression SQL:
+    * writes that omit the column (SQL INSERT column lists, MERGE
+    * INSERT arms) fill it instead of null — BigQuery's constant-filled
+    * wide load schemas (consumo_bloques_hora.py:132) as a declaration.
+    * `colExistsDefault` maps a column added by `ADD COLUMN … DEFAULT`
+    * to the LITERAL its pre-evolution rows read (the value the default
+    * folded to AT ADD TIME, frozen forever — the Iceberg/Spark
+    * "existence default" contract): files that physically lack the
+    * column surface the literal instead of null, with zero rewrite;
+    * files written after the add carry the column physically, so their
+    * genuine nulls stay null. SET/DROP DEFAULT later changes only
+    * `colDefault` — history never reinterprets.
+    */
   final case class Manifest(version: Long, partitionCols: Seq[String],
                             schemaDdl: String, files: Seq[String],
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
@@ -137,7 +150,9 @@ object Snapshot {
                             properties: Map[String, String] = Map.empty,
                             externalRoots: Map[String, String] = Map.empty,
                             tags: Map[String, Long] = Map.empty,
-                            colNdv: Map[String, Long] = Map.empty)
+                            colNdv: Map[String, Long] = Map.empty,
+                            colDefault: Map[String, String] = Map.empty,
+                            colExistsDefault: Map[String, String] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -386,7 +401,9 @@ object Snapshot {
       parseColMap(root, "properties"),
       parseColMap(root, "externalRoots"),
       parseLongMap(root, "tags"),
-      parseLongMap(root, "colNdv"))
+      parseLongMap(root, "colNdv"),
+      parseColMap(root, "colDefault"),
+      parseColMap(root, "colExistsDefault"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -583,6 +600,42 @@ object Snapshot {
   private[graft] def physicalOf(m: Manifest, logical: String): String =
     m.colMap.getOrElse(logical, logical)
 
+  /** The table schema with DEFAULT metadata attached — the standard
+    * Spark field-metadata contract both sides of the engine consume:
+    * CURRENT_DEFAULT lets the vanilla analyzer fill column-list INSERTs
+    * against catalog tables, EXISTS_DEFAULT makes the parquet readers
+    * (vectorized and row converters alike) surface the frozen literal
+    * for files that physically predate the column — per FILE, so
+    * post-evolution nulls stay null. No defaults → the schema unchanged.
+    */
+  /** Strip field METADATA before rendering a schema to manifest DDL:
+    * caller frames can carry metadata (our own DEFAULT keys when the
+    * data was read from a defaults-carrying table or produced by the
+    * analyzer's INSERT resolution, comments, …) and Spark 4's
+    * `toDDL` renders some of it as clauses `fromDDL` cannot parse
+    * back. The manifest's DDL is names + types + nullability, nothing
+    * else; defaults live in their own manifest maps.
+    */
+  private def cleanFields(schema: StructType): Array[org.apache.spark.sql.types.StructField] =
+    schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty))
+
+  private[graft] def withDefaultMetadata(schema: StructType, m: Manifest): StructType =
+    if (m.colDefault.isEmpty && m.colExistsDefault.isEmpty) schema
+    else {
+      import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      StructType(schema.fields.map { f =>
+        if (!m.colDefault.contains(f.name) && !m.colExistsDefault.contains(f.name)) f
+        else {
+          val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          m.colDefault.get(f.name).foreach(d =>
+            b.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, d))
+          m.colExistsDefault.get(f.name).foreach(d =>
+            b.putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, d))
+          f.copy(metadata = b.build())
+        }
+      })
+    }
+
   /** The logical schema re-labeled with physical names — what the data
     * files actually store, and therefore what footer statistics key on.
     */
@@ -641,8 +694,16 @@ object Snapshot {
       val (r, rel) = fileRootRel(path, m, f); (r, rel.takeWhile(_ != '/'))
     }.toSeq.sortBy(_._1)
     val unioned = groups.map { case ((root, txn), fls) =>
-      val df = spark.read.option("basePath", s"$root/$txn")
+      val df0 = spark.read.option("basePath", s"$root/$txn")
         .parquet(fls.map(f => fileAbs(path, m, f)): _*)
+      // existence defaults fill PER GROUP, before the by-name union —
+      // after the union a group that lacks the column is
+      // indistinguishable from one whose rows are genuinely null
+      val df = m.colExistsDefault.foldLeft(df0) { case (d, (c, litSql)) =>
+        val phys = physicalOf(m, c)
+        if (d.columns.contains(phys)) d
+        else d.withColumn(phys, expr(litSql).cast(schema(c).dataType))
+      }
       if (needMeta)
         df.withColumn(MetaFile, col("_metadata.file_path"))
           .withColumn(MetaPos, col("_metadata.row_index"))
@@ -949,6 +1010,14 @@ object Snapshot {
       val nd = node.putObject("colNdv")
       m.colNdv.toSeq.sortBy(_._1).foreach { case (c, n) => nd.put(c, n) }
     }
+    if (m.colDefault.nonEmpty) {
+      val cd = node.putObject("colDefault")
+      m.colDefault.toSeq.sortBy(_._1).foreach { case (c, d) => cd.put(c, d) }
+    }
+    if (m.colExistsDefault.nonEmpty) {
+      val ce = node.putObject("colExistsDefault")
+      m.colExistsDefault.toSeq.sortBy(_._1).foreach { case (c, d) => ce.put(c, d) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -1032,6 +1101,14 @@ object Snapshot {
       val nd = node.putObject("colNdvSet")
       m.colNdv.toSeq.sortBy(_._1).foreach { case (c, n) => nd.put(c, n) }
     }
+    if (m.colDefault != parent.colDefault) {
+      val cd = node.putObject("colDefaultSet")
+      m.colDefault.toSeq.sortBy(_._1).foreach { case (c, d) => cd.put(c, d) }
+    }
+    if (m.colExistsDefault != parent.colExistsDefault) {
+      val ce = node.putObject("colExistsDefaultSet")
+      m.colExistsDefault.toSeq.sortBy(_._1).foreach { case (c, d) => ce.put(c, d) }
+    }
     node
   }
 
@@ -1082,7 +1159,10 @@ object Snapshot {
       if (root.has("externalRootsSet")) parseColMap(root, "externalRootsSet")
       else parent.externalRoots,
       if (root.has("tagsSet")) parseLongMap(root, "tagsSet") else parent.tags,
-      if (root.has("colNdvSet")) parseLongMap(root, "colNdvSet") else parent.colNdv)
+      if (root.has("colNdvSet")) parseLongMap(root, "colNdvSet") else parent.colNdv,
+      if (root.has("colDefaultSet")) parseColMap(root, "colDefaultSet") else parent.colDefault,
+      if (root.has("colExistsDefaultSet")) parseColMap(root, "colExistsDefaultSet")
+      else parent.colExistsDefault)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -1098,7 +1178,8 @@ object Snapshot {
       a.generatedCols == b.generatedCols && a.operation == b.operation &&
       a.clusterBy == b.clusterBy && a.properties == b.properties &&
       a.externalRoots == b.externalRoots && a.tags == b.tags &&
-      a.colNdv == b.colNdv
+      a.colNdv == b.colNdv && a.colDefault == b.colDefault &&
+      a.colExistsDefault == b.colExistsDefault
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1191,7 +1272,8 @@ object Snapshot {
              constraints: Map[String, String] = Map.empty,
              keepNullability: Boolean = false,
              clusterBy: Seq[String] = Nil,
-             properties: Map[String, String] = Map.empty): Long = {
+             properties: Map[String, String] = Map.empty,
+             defaults: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, path).isEmpty, s"snapshot table already exists: $path")
     constraints.keys.foreach { n =>
       require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
@@ -1212,8 +1294,8 @@ object Snapshot {
     // constructive write. Only the DDL routes (catalog CREATE TABLE,
     // SQL column lists) pass keepNullability = true.
     val ddl =
-      (if (keepNullability) full.schema
-       else StructType(full.schema.fields.map(_.copy(nullable = true)))).toDDL
+      (if (keepNullability) StructType(cleanFields(full.schema))
+       else StructType(cleanFields(full.schema).map(_.copy(nullable = true)))).toDDL
     clusterBy.foreach(c => require(full.columns.contains(c),
       s"create: CLUSTER BY column $c not in the schema"))
     clusterBy.foreach(c => require(!partitionCols.contains(c),
@@ -1229,6 +1311,17 @@ object Snapshot {
       policyLong(probe, "vacuum.retainDays")
       policyLong(probe, "optimize.targetBytes")
     }
+    // CREATE-time defaults are write defaults only: every file written
+    // from here on physically carries the column, so no existence
+    // default is ever needed for them
+    val schemaAtCreate = StructType.fromDDL(ddl)
+    val normDefaults = defaults.map { case (c, sql) =>
+      val canon = schemaAtCreate.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"create: DEFAULT for unknown column $c"))
+      require(!generatedCols.contains(canon),
+        s"create: DEFAULT on generated column $canon (its value is derived)")
+      canon -> validateDefault(spark, canon, schemaAtCreate(canon).dataType, sql)._1
+    }
     val (sortBy0, sortRange0) = writeSortSpecOf(clusterBy, properties)
     val files = writeTxnFiles(full, path, partitionCols,
       sortBy = sortBy0, sortRange = sortRange0)
@@ -1238,7 +1331,8 @@ object Snapshot {
       generatedCols = generatedCols,
       operation = "CREATE",
       clusterBy = clusterBy,
-      properties = properties))
+      properties = properties,
+      colDefault = normDefaults))
   }
 
   /** Set (upsert) and/or unset table properties as one metadata commit.
@@ -1581,7 +1675,7 @@ object Snapshot {
             "first (it mints a fresh physical name), then append")
         // an evolved column is nullable BY CONSTRUCTION: every
         // pre-evolution file reads it as null, whatever the batch says
-        StructType(table.fields ++ newCols.map(_.copy(nullable = true))).toDDL
+        StructType(table.fields ++ cleanFields(StructType(newCols)).map(_.copy(nullable = true))).toDDL
       }
     }
     val m0 = latestManifest(spark, path).getOrElse(
@@ -1598,7 +1692,7 @@ object Snapshot {
       sortBy = sortBy0, sortRange = sortRange0)
     // the batch's own schema covers exactly the new files' columns, so
     // stats are computed once and reused across commit retries
-    val newStats = statsFor(spark, path, files, full.schema.toDDL, m0.partitionCols, m0.colMap)
+    val newStats = statsFor(spark, path, files, StructType(cleanFields(full.schema)).toDDL, m0.partitionCols, m0.colMap)
     var attempt = 0
     while (true) {
       val m = if (attempt == 0) m0 else latestManifest(spark, path).getOrElse(m0)
@@ -1664,10 +1758,20 @@ object Snapshot {
     * may itself have added).
     */
   def addColumns(spark: SparkSession, path: String,
-                 cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+                 cols: Seq[org.apache.spark.sql.types.StructField],
+                 defaults: Map[String, String] = Map.empty): Long = {
     require(cols.nonEmpty, "addColumns: no columns given")
     val dupIn = cols.map(_.name.toLowerCase).diff(cols.map(_.name.toLowerCase).distinct)
     require(dupIn.isEmpty, s"addColumns: column(s) listed twice: ${dupIn.mkString(", ")}")
+    defaults.keys.foreach(d => require(cols.exists(_.name == d),
+      s"addColumns: DEFAULT for a column not being added: $d"))
+    // a DEFAULT on an ADDED column is both the write default AND the
+    // value every PRE-EVOLUTION row reads — folded to a literal ONCE,
+    // here, so later SET DEFAULT can never reinterpret history
+    val folded = defaults.map { case (c, sql) =>
+      val dt = cols.find(_.name == c).get.dataType
+      c -> validateDefault(spark, c, dt, sql)
+    }
     var attempt = 0
     while (true) {
       val m = latestManifest(spark, path).getOrElse(
@@ -1687,10 +1791,69 @@ object Snapshot {
         physUsed += phys
         if (phys == f.name) None else Some(f.name -> phys)
       }
-      val ddl = StructType(table.fields ++ cols.map(_.copy(nullable = true))).toDDL
+      val ddl = StructType(table.fields ++ cleanFields(StructType(cols)).map(_.copy(nullable = true))).toDDL
       try return commitManifest(spark, path, m.copy(version = m.version + 1,
         operation = "ADD COLUMNS", schemaDdl = ddl,
-        colMap = m.colMap ++ mapAdds))
+        colMap = m.colMap ++ mapAdds,
+        colDefault = m.colDefault ++ folded.view.mapValues(_._1).toMap,
+        colExistsDefault = m.colExistsDefault ++ folded.view.mapValues(_._2).toMap))
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** Validate a DEFAULT expression and fold it: must parse, reference
+    * no columns, carry no subquery, be deterministic, and cast to the
+    * column's type. Returns (normalized current-default SQL, the folded
+    * value as a literal SQL string) — the literal is what existence
+    * defaults freeze and what both engines re-evaluate identically.
+    */
+  private def validateDefault(spark: SparkSession, col: String,
+                              dt: org.apache.spark.sql.types.DataType,
+                              sql: String): (String, String) = {
+    SnapshotSql.refuseSubqueries(
+      spark.sessionState.sqlParser.parseExpression(sql), s"DEFAULT for $col")
+    val probe =
+      try spark.range(1).select(lit(1).as("__graft_probe"))
+        .select(expr(sql).cast(dt).as("d"))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"DEFAULT for $col must be a constant expression, got '$sql'", e) }
+    require(probe.queryExecution.analyzed.expressions
+        .forall(_.find(!_.deterministic).isEmpty),
+      s"DEFAULT for $col must be deterministic, got '$sql'")
+    val value = probe.head().get(0)
+    val literal = org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt).sql
+    (sql.trim, literal)
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT`:
+    * changes the WRITE default only — what a column-list INSERT or
+    * MERGE INSERT arm fills when the column is omitted. The existence
+    * default (what pre-evolution files read) is frozen at ADD COLUMN
+    * time by design and never touched here.
+    */
+  def setColumnDefault(spark: SparkSession, path: String, col: String,
+                       default: Option[String]): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val canon = schema.fieldNames.find(_.equalsIgnoreCase(col)).getOrElse(
+        throw new IllegalArgumentException(s"setColumnDefault: no column $col"))
+      require(!m.generatedCols.contains(canon),
+        s"setColumnDefault: $canon is a generated column (its value is derived)")
+      val next = default match {
+        case Some(sql) =>
+          m.colDefault + (canon -> validateDefault(spark, canon,
+            schema(canon).dataType, sql)._1)
+        case None => m.colDefault - canon
+      }
+      if (next == m.colDefault) return m.version
+      try return commitManifest(spark, path, m.copy(version = m.version + 1,
+        operation = if (default.isDefined) s"SET DEFAULT $canon" else s"DROP DEFAULT $canon",
+        colDefault = next))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
@@ -1789,6 +1952,9 @@ object Snapshot {
           clusterBy = m.clusterBy.map(c => if (c == from) to else c),
           properties = renameInBloomPolicy(m.properties, from, to),
           colNdv = m.colNdv.map { case (c, n) => (if (c == from) to else c) -> n },
+          colDefault = m.colDefault.map { case (c, d) => (if (c == from) to else c) -> d },
+          colExistsDefault = m.colExistsDefault.map { case (c, d) =>
+            (if (c == from) to else c) -> d },
           schemaDdl = ddl, colMap = map))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1875,6 +2041,8 @@ object Snapshot {
           clusterBy = m.clusterBy.filterNot(_ == name),
           properties = dropFromBloomPolicy(m.properties, name),
           colNdv = m.colNdv - name,
+          colDefault = m.colDefault - name,
+          colExistsDefault = m.colExistsDefault - name,
           colMap = m.colMap - name, retired = (m.retired :+ phys).distinct))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
@@ -1900,7 +2068,7 @@ object Snapshot {
     // survives for columns that keep their name (inferred flags relax
     // — see create); the kept declarations are enforced on the data
     val prior = StructType.fromDDL(m.schemaDdl)
-    val ddl = StructType(full.schema.fields.map { f =>
+    val ddl = StructType(cleanFields(full.schema).map { f =>
       f.copy(nullable = !prior.fields.find(_.name == f.name).exists(!_.nullable))
     }).toDDL
     val (sortBy1, sortRange1) = writeSortSpec(m)
@@ -1950,7 +2118,7 @@ object Snapshot {
     // same nullability contract as overwriteWith: declared NOT NULL
     // survives by name, inferred flags relax
     val prior = StructType.fromDDL(m.schemaDdl)
-    val ddl = StructType(full.schema.fields.map { f =>
+    val ddl = StructType(cleanFields(full.schema).map { f =>
       f.copy(nullable = !prior.fields.find(_.name == f.name).exists(!_.nullable))
     }).toDDL
     val (sortBy2, sortRange2) = writeSortSpec(m)
@@ -2235,9 +2403,13 @@ object Snapshot {
       case None => None
       case Some(cols) =>
         val byName = cols.toMap
+        // SQL INSERT semantics: unlisted columns take their declared
+        // DEFAULT when one exists, else null
         Some(s.join(t, s(idCol) === t(idCol), "left_anti")
           .select(schema.fields.toSeq.map { f =>
             byName.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .orElse(m.colDefault.get(f.name).map(d =>
+                expr(d).cast(f.dataType).as(f.name)))
               .getOrElse(lit(null).cast(f.dataType).as(f.name))
           }: _*))
     }
@@ -3365,7 +3537,7 @@ object Snapshot {
     require(rels.nonEmpty, s"importParquet: no parquet files under $dataDir")
     val alias = "imp0"
     val stats = SnapshotStats.collect(spark, parent, rels, df.schema, partitionCols)
-    commitManifest(spark, path, Manifest(1L, partitionCols, df.schema.toDDL,
+    commitManifest(spark, path, Manifest(1L, partitionCols, StructType(cleanFields(df.schema)).toDDL,
       rels.map(r => s"@$alias/$r"),
       stats.map { case (r, st) => s"@$alias/$r" -> st },
       operation = "IMPORT",
@@ -3439,7 +3611,106 @@ object Snapshot {
       clusterBy = src.clusterBy,
       properties = src.properties,
       colNdv = src.colNdv, // same rows, same distinctness
+      colDefault = src.colDefault,
+      colExistsDefault = src.colExistsDefault, // same files predate the same adds
       externalRoots = aliasOf.map(_.swap)))
+  }
+
+  /** DEEP CLONE: MATERIALIZE `srcPath` at `version` (default latest)
+    * into a new table at `dstPath` — every referenced data file,
+    * deletion vector and bloom sidecar is byte-copied (one distributed
+    * copy job, no decode/re-encode) and the first manifest references
+    * only LOCAL paths. This is the escape hatch that makes a pinned
+    * version durable against the source's lifecycle: a SHALLOW clone
+    * (and a tag) dies when a source vacuum reclaims the files it
+    * references; a deep clone owns its bytes. Byte-copy (vs rewrite)
+    * keeps footer stats, vectors and bloom refs valid verbatim — the
+    * clone prunes exactly like the source did, with zero recompute.
+    *
+    * At 100 TB the copy is the cost and it is embarrassingly parallel:
+    * one task per file, no shuffle, no driver data path. Consumer
+    * watermarks and tags do not carry (the clone's history starts
+    * fresh), matching [[shallowClone]].
+    */
+  def deepClone(spark: SparkSession, srcPath: String, dstPath: String,
+                version: Option[Long] = None): Long = {
+    require(latestVersion(spark, dstPath).isEmpty,
+      s"deepClone: destination already exists: $dstPath")
+    val src = version match {
+      case Some(v) => manifest(spark, srcPath, v)
+      case None => latestManifest(spark, srcPath).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $srcPath"))
+    }
+    val qSrc = fsFor(spark, srcPath).makeQualified(new HPath(srcPath)).toString
+    val qDst = fsFor(spark, dstPath).makeQualified(new HPath(dstPath)).toString
+    require(qDst != qSrc, "deepClone: source and destination are the same table")
+    val entries = (src.files ++ src.dvs.values.map(_.file) ++
+      src.blooms.values.map(_.file)).distinct
+    // destination layout mirrors the source's RELATIVE shape: the first
+    // segment plays the txn-dir role (or `_dv/<commit>` / `_bloom/
+    // <commit>` for sidecars), so reads, partition parsing and vacuum
+    // sweeps work on the clone unchanged. A clone can draw the same
+    // base-dir name from two different roots (a clone of clones); the
+    // later group gets a uniquified name — safe, the segment is opaque.
+    def baseOf(rel: String): String = {
+      val segs = rel.split('/')
+      if (segs.head == "_dv" || segs.head == "_bloom") segs.take(2).mkString("/")
+      else segs.head
+    }
+    val groupKeys = entries.map { f =>
+      val (r, rel) = fileRootRel(srcPath, src, f); (r, baseOf(rel))
+    }.distinct.sorted
+    val used = scala.collection.mutable.Set.empty[String]
+    val baseMap: Map[(String, String), String] = groupKeys.map { case k @ (_, base) =>
+      val cut = base.lastIndexOf('/') + 1
+      val (pre, name) = (base.take(cut), base.drop(cut))
+      val cand =
+        if (!used.contains(base)) base
+        else Iterator.from(1).map(i => s"${pre}dc$i-$name").find(!used.contains(_)).get
+      used += cand
+      k -> cand
+    }.toMap
+    def remap(f: String): String = {
+      val (r, rel) = fileRootRel(srcPath, src, f)
+      val base = baseOf(rel)
+      baseMap((r, base)) + rel.drop(base.length)
+    }
+    val pairs = entries.map { f =>
+      val (r, rel) = fileRootRel(srcPath, src, f)
+      (s"$r/$rel", s"$qDst/${remap(f)}")
+    }
+    if (pairs.nonEmpty) {
+      val conf = org.apache.spark.graftbridge.ConfBridge.serializable(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.min(pairs.size, math.max(1, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(pairs, slices).foreach { case (s0, d0) =>
+        val c = conf.value
+        val sp = new HPath(s0)
+        val dp = new HPath(d0)
+        val ok = org.apache.hadoop.fs.FileUtil.copy(
+          sp.getFileSystem(c), sp, dp.getFileSystem(c), dp,
+          false /*deleteSource*/, true /*overwrite*/, c)
+        if (!ok) throw new java.io.IOException(s"deepClone: copy failed: $s0 -> $d0")
+      }
+    }
+    commitManifest(spark, dstPath, Manifest(
+      version = 1L,
+      partitionCols = src.partitionCols,
+      schemaDdl = src.schemaDdl,
+      files = src.files.map(remap),
+      stats = src.stats.map { case (f, st) => remap(f) -> st }, // same bytes, same stats
+      dvs = src.dvs.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+      blooms = src.blooms.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+      colMap = src.colMap,
+      retired = src.retired,
+      constraints = src.constraints,
+      generatedCols = src.generatedCols,
+      operation = s"DEEP CLONE v${src.version}",
+      clusterBy = src.clusterBy,
+      properties = src.properties,
+      colNdv = src.colNdv,
+      colDefault = src.colDefault,
+      colExistsDefault = src.colExistsDefault))
   }
 
   /** One-row table detail — the `DESCRIBE DETAIL` surface: current

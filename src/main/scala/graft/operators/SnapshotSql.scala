@@ -63,7 +63,7 @@ object SnapshotSql {
   private val ImportRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+FROM\s+PARQUET\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+('?[\w.\-]+'?)\s*|TIMESTAMP\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*)?;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+('?[\w.\-]+'?)\s*|TIMESTAMP\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*)?;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\S+(?:\s+\S+)*?)\s*;?\s*""".r
   private val CreateTagRe =
@@ -111,9 +111,11 @@ object SnapshotSql {
       // in-place parquet import: zero bytes moved, footer stats only
       Some(Snapshot.importParquet(spark, dir, pathOf(dst, tables),
         Option(pcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
-    case CloneRe(dst, src, ver, ts) =>
-      // zero-copy fork: the clone manifest references the source's
-      // files as external refs — no data moves
+    case CloneRe(dst, kind, src, ver, ts) =>
+      // SHALLOW: zero-copy fork (the clone manifest references the
+      // source's files as external refs — no data moves). DEEP:
+      // materialize the pinned version (distributed byte-copy, local
+      // refs — durable against source vacuum).
       val srcPath = pathOf(src, tables)
       val pinned = (Option(ver), Option(ts)) match {
         case (Some(v), _) => Some(Snapshot.resolveVersionSpec(spark, srcPath, v))
@@ -122,10 +124,12 @@ object SnapshotSql {
             spark.sessionState.sqlParser.parseExpression(raw))
           Some(Snapshot.versionAtTimestamp(spark, srcPath, micros).getOrElse(
             throw new IllegalArgumentException(
-              s"Snapshot.sql SHALLOW CLONE: no version of $src at or before $raw")))
+              s"Snapshot.sql CLONE: no version of $src at or before $raw")))
         case _ => None
       }
-      Some(Snapshot.shallowClone(spark, srcPath, pathOf(dst, tables), pinned))
+      if (kind.equalsIgnoreCase("DEEP"))
+        Some(Snapshot.deepClone(spark, srcPath, pathOf(dst, tables), pinned))
+      else Some(Snapshot.shallowClone(spark, srcPath, pathOf(dst, tables), pinned))
     case RestoreRe(ident, kind, raw) =>
       val path = pathOf(ident, tables)
       val version = kind.toUpperCase match {
@@ -234,11 +238,12 @@ object SnapshotSql {
         val path = pathOf(ident, tables)
         val (pTransforms, clusterBy) = splitClusterBy(partitioning, "CREATE TABLE")
         val (pCols, genCols) = partitionSpec(pTransforms, "CREATE TABLE")
-        val declared = StructType(columns.map { cd =>
-          require(cd.defaultValue.isEmpty,
-            s"Snapshot.sql CREATE TABLE: DEFAULT values are not supported (${cd.name})")
-          StructField(cd.name, cd.dataType, cd.nullable)
-        })
+        val declared = StructType(columns.map(cd =>
+          StructField(cd.name, cd.dataType, cd.nullable)))
+        // CREATE-time DEFAULTs: write defaults (column-list INSERTs
+        // fill them; files all carry the column physically)
+        val colDefaults = columns.flatMap(cd =>
+          cd.defaultValue.map(d => cd.name -> d.originalSQL)).toMap
         // a transform's generated column joins the schema with the
         // transform's own type (days/months/years → DATE, hours →
         // TIMESTAMP)
@@ -257,7 +262,8 @@ object SnapshotSql {
         } else Snapshot.create(spark, path,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
           pCols, genCols, keepNullability = true, // DDL-declared NOT NULL is real
-          clusterBy = clusterBy, properties = specProperties(spec))
+          clusterBy = clusterBy, properties = specProperties(spec),
+          defaults = colDefaults)
 
       case r: ReplaceTableAsSelect =>
         ctas(spark, identName(r.name), r.partitioning, r.query, tables,
@@ -267,15 +273,17 @@ object SnapshotSql {
       case AddColumns(t: UnresolvedTable, colsToAdd) =>
         val ident = t.multipartIdentifier.mkString(".")
         val path = pathOf(ident, tables)
+        // ADD COLUMN … DEFAULT v: write default + frozen existence
+        // default (pre-evolution rows read v) — metadata-only commit
+        val addDefaults = colsToAdd.flatMap(qc =>
+          qc.default.map(d => qc.colName -> d.originalSQL)).toMap
         Snapshot.addColumns(spark, path, colsToAdd.map { qc =>
           require(qc.path.isEmpty,
             s"Snapshot.sql ADD COLUMNS: nested field paths are not supported (${qc.colName})")
           require(qc.position.isEmpty,
             s"Snapshot.sql ADD COLUMNS: FIRST/AFTER positions are not supported (${qc.colName})")
-          require(qc.default.isEmpty,
-            s"Snapshot.sql ADD COLUMNS: DEFAULT values are not supported (${qc.colName})")
           StructField(qc.colName, qc.dataType, nullable = true)
-        })
+        }, addDefaults)
 
       case org.apache.spark.sql.catalyst.plans.logical.RenameColumn(t: UnresolvedTable, column, newName) =>
         val path = pathOf(t.multipartIdentifier.mkString("."), tables)
@@ -303,12 +311,19 @@ object SnapshotSql {
         var last = 0L
         specs.foreach { spec =>
           require(spec.newNullability.isEmpty && spec.newComment.isEmpty &&
-            spec.newPosition.isEmpty && spec.newDefaultExpression.isEmpty && !spec.dropDefault,
-            "Snapshot.sql ALTER COLUMN: only TYPE widening is supported")
-          val to = spec.newDataType.getOrElse(throw new IllegalArgumentException(
-            "Snapshot.sql ALTER COLUMN: no new TYPE given"))
-          last = Snapshot.widenColumnType(spark, path,
-            fieldNameParts(spec.column, "ALTER COLUMN").head, to)
+            spec.newPosition.isEmpty,
+            "Snapshot.sql ALTER COLUMN: only TYPE widening and SET/DROP DEFAULT are supported")
+          val colName = fieldNameParts(spec.column, "ALTER COLUMN").head
+          (spec.newDataType, spec.newDefaultExpression, spec.dropDefault) match {
+            case (Some(to), None, false) =>
+              last = Snapshot.widenColumnType(spark, path, colName, to)
+            case (None, Some(d), false) =>
+              last = Snapshot.setColumnDefault(spark, path, colName, Some(d.originalSQL))
+            case (None, None, true) =>
+              last = Snapshot.setColumnDefault(spark, path, colName, None)
+            case _ => throw new IllegalArgumentException(
+              "Snapshot.sql ALTER COLUMN: give exactly one of TYPE, SET DEFAULT, DROP DEFAULT")
+          }
         }
         last
 
@@ -516,7 +531,7 @@ object SnapshotSql {
   private def isQueryStatement(spark: SparkSession, stmt: String): Boolean = stmt match {
     case HistoryRe(_) | DetailRe(_) => true
     case VacuumRe(_, _, _) | OptimizeRe(_, _, _, _) | RestoreRe(_, _, _) |
-         CloneRe(_, _, _, _) | ImportRe(_, _, _) |
+         CloneRe(_, _, _, _, _) | ImportRe(_, _, _) |
          CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) | AnalyzeRe(_, _, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
@@ -725,9 +740,13 @@ object SnapshotSql {
           s"Snapshot.sql INSERT: the query produces ${df.columns.length} column(s) " +
             s"but the target list has ${canon.length}")
         val renamed = df.toDF(canon: _*)
+        // SQL INSERT semantics: unlisted columns take their declared
+        // DEFAULT when one exists, else null
         renamed.select(schema.fields.toSeq.map { f =>
           if (canon.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          else m.colDefault.get(f.name)
+            .map(d => org.apache.spark.sql.functions.expr(d).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
         }: _*)
       }
     if (i.overwrite) Snapshot.overwrite(spark, path, out)

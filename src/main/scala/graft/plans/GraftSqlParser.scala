@@ -153,7 +153,7 @@ object GraftSqlParser {
   // lexer does not)
   private val CreateHint =
     java.util.regex.Pattern.compile(
-      "(?is).*\\b(SHALLOW\\s+CLONE|FROM\\s+PARQUET)\\b.*")
+      "(?is).*\\b((SHALLOW|DEEP)\\s+CLONE|FROM\\s+PARQUET)\\b.*")
 
   // the two ALTER forms the dialect owns (vanilla ALTER TABLE has no
   // TAG grammar) — same pre-screen discipline as CREATE: anything
@@ -250,38 +250,41 @@ object GraftSqlParser {
         graft.operators.Snapshot.importParquet(sp, dir, dstPath, pCols); Nil
       }(dstParts))
     }
-    if (i + 1 >= toks.length || !toks(i).is("SHALLOW") || !toks(i + 1).is("CLONE"))
+    if (i + 1 >= toks.length || !(toks(i).is("SHALLOW") || toks(i).is("DEEP")) ||
+        !toks(i + 1).is("CLONE"))
       return None
+    val deep = toks(i).is("DEEP")
     val (srcParts, j) = ident(toks, i + 2)
     // an integer version or a tag name (resolved against the source at
     // run time — the body has the path, the parser does not)
     var verSpec = Option.empty[String]
     var tsRaw = Option.empty[String]
     var k = j
+    val kindWord = if (deep) "DEEP" else "SHALLOW"
     if (k < toks.length) {
       loud(k + 3 < toks.length && toks(k + 1).is("AS") && toks(k + 2).is("OF") &&
         (toks(k).is("VERSION") || toks(k).is("TIMESTAMP")),
-        s"cannot parse SHALLOW CLONE statement (… [VERSION|TIMESTAMP AS OF …]): $text")
+        s"cannot parse $kindWord CLONE statement (… [VERSION|TIMESTAMP AS OF …]): $text")
       if (toks(k).is("VERSION")) {
         val (spec, afterSpec) = tagIdent(toks, k + 3)
         verSpec = Some(spec)
         k = afterSpec
-        loud(k == toks.length, s"cannot parse SHALLOW CLONE statement: $text")
+        loud(k == toks.length, s"cannot parse $kindWord CLONE statement: $text")
       } else {
         // TIMESTAMP AS OF takes the free-text tail — any timestamp
         // expression the session evaluates (same as RESTORE)
         val raw = text.substring(toks(k + 2).end).trim
-        loud(raw.nonEmpty, s"SHALLOW CLONE: missing timestamp in: $text")
+        loud(raw.nonEmpty, s"$kindWord CLONE: missing timestamp in: $text")
         tsRaw = Some(raw); k = toks.length
       }
     }
     // nameParts = the SOURCE (the command's existence check applies
     // to it); the destination resolves inside the body and must land
     // in a graft catalog too
-    Some(maintCmd(s"SHALLOW CLONE ${srcParts.mkString(".")}") { (sp, srcPath) =>
+    Some(maintCmd(s"$kindWord CLONE ${srcParts.mkString(".")}") { (sp, srcPath) =>
       val dstPath = GraftCatalogResolve.pathOf(sp, dstParts).getOrElse(
         throw new UnsupportedOperationException(
-          s"SHALLOW CLONE: destination '${dstParts.mkString(".")}' " +
+          s"$kindWord CLONE: destination '${dstParts.mkString(".")}' " +
             "must live in a graft catalog"))
       val pinned = tsRaw match {
         case None => verSpec.map(Snapshot.resolveVersionSpec(sp, srcPath, _))
@@ -289,9 +292,11 @@ object GraftSqlParser {
           val micros = evalTimestampMicros(sp, raw)
           Some(Snapshot.versionAtTimestamp(sp, srcPath, micros).getOrElse(
             throw new IllegalArgumentException(
-              s"SHALLOW CLONE: no version committed at or before $raw")))
+              s"$kindWord CLONE: no version committed at or before $raw")))
       }
-      graft.operators.Snapshot.shallowClone(sp, srcPath, dstPath, pinned); Nil
+      if (deep) graft.operators.Snapshot.deepClone(sp, srcPath, dstPath, pinned)
+      else graft.operators.Snapshot.shallowClone(sp, srcPath, dstPath, pinned)
+      Nil
     }(srcParts))
   }
 

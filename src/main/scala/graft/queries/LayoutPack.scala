@@ -1708,6 +1708,106 @@ object LayoutPack extends QueryPack {
         |FROM g153.db.t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  val q154 = QueryDef.staged(
+    "q154_default_columns",
+    // oracle: the final table recomputed from the raw rows — the
+    // life of a DEFAULT: column-list INSERT fills 'landed'; ADD COLUMN
+    // DEFAULT 'seed' backfills every pre-evolution row (metadata only);
+    // SET DEFAULT 'merged' changes only what the MERGE's insert arm
+    // fills afterwards; matched rows take the updated price. A fill
+    // that leaked null, a backfill that rewrote the frozen literal, or
+    // an update applied to the wrong arm shifts a group and fails.
+    Some("""SELECT o_orderpriority,
+           |  CASE WHEN o_orderkey % 3 = 0 THEN 'merged' ELSE 'seed' END AS batch_tag,
+           |  'landed' AS status,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) +
+           |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey <= 200
+           |      THEN CAST(10 AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+           |    AS DOUBLE) AS total
+           |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)) { t =>
+    // FIXTURE (untimed): an empty default-carrying CATALOG table plus
+    // the raw source — the reference's constant-filled wide load
+    // schemas (consumo_bloques_hora.py:132 STRING(NULL)-style columns)
+    // as declarations the engine fills.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q154").toString
+    t.spark.conf.set("spark.sql.catalog.g154", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g154.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g154.db")
+    t.spark.sql(
+      """CREATE TABLE g154.db.t (o_orderkey BIGINT, o_orderpriority STRING,
+        |o_totalprice DECIMAL(18,2), status STRING DEFAULT 'landed')""".stripMargin)
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")))
+  } { (t, _: Any) =>
+    // MEASURED: load (default fills the unlisted column) → evolve with
+    // a backfilling default → re-point the write default → evolving
+    // MERGE whose insert arm fills the NEW default while pre-evolution
+    // rows keep the FROZEN one — then the rollup over all three.
+    t.spark.sql(
+      """INSERT INTO g154.db.t (o_orderkey, o_orderpriority, o_totalprice)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM g154.db.src
+        |WHERE o_orderkey % 3 <> 0""".stripMargin)
+    t.spark.sql("ALTER TABLE g154.db.t ADD COLUMNS (batch_tag STRING DEFAULT 'seed')")
+    t.spark.sql("ALTER TABLE g154.db.t ALTER COLUMN batch_tag SET DEFAULT 'merged'")
+    t.spark.sql(
+      """MERGE INTO g154.db.t t
+        |USING (SELECT * FROM g154.db.src
+        |       WHERE o_orderkey % 3 = 0 OR o_orderkey <= 200) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 10
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+        |  VALUES (s.o_orderkey, s.o_orderpriority, s.o_totalprice)""".stripMargin)
+    t.spark.sql(
+      """SELECT o_orderpriority, batch_tag, status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+        |FROM g154.db.t GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val q155 = QueryDef.staged(
+    "q155_deep_clone_durable",
+    // oracle: the PINNED pre-churn state recomputed from the raw rows —
+    // the deep clone must still serve it after the source's history
+    // (including every file the pin referenced) is vacuumed away, which
+    // is exactly where a shallow clone or tag dies. A clone that missed
+    // a file, dropped the deletion vector, or read post-churn state
+    // shifts a group and fails.
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE o_orderkey % 7 <> 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): fact + a point delete (deletion vector) + a
+    // tag — the reproducible-corpus pin a training run records.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q155").toString
+    val reg = Map("s" -> s"$root/s", "d" -> s"$root/d")
+    Snapshot.create(t.spark, s"$root/s",
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartition(4),
+      partitionCols = Seq("o_orderpriority"))
+    Snapshot.delete(t.spark, s"$root/s", col("o_orderkey") % 7 === 0)
+    Snapshot.sql(t.spark, "ALTER TABLE s CREATE TAG corpus_pin", reg)
+    root
+  } { (t, root: String) =>
+    // MEASURED: materialize the pin (distributed byte-copy, local
+    // refs), churn + vacuum the source past it, and answer FROM THE
+    // CLONE — the "make a tag durable" escape hatch, end to end. At
+    // 100 TB the copy is one no-shuffle job over the pinned file set.
+    import graft.operators.Snapshot
+    val reg = Map("s" -> s"$root/s", "d" -> s"$root/d")
+    Snapshot.sql(t.spark, "CREATE TABLE d DEEP CLONE s VERSION AS OF 'corpus_pin'", reg)
+    Snapshot.sql(t.spark,
+      "INSERT OVERWRITE s SELECT o_orderkey, o_orderpriority, o_totalprice FROM s WHERE o_orderkey < 0", reg)
+    Snapshot.sql(t.spark, "ALTER TABLE s DROP TAG corpus_pin", reg)
+    Snapshot.vacuum(t.spark, s"$root/s", keepVersions = 1, orphanGraceMs = 0L)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
 }

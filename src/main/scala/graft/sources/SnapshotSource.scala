@@ -212,7 +212,13 @@ object SnapshotSource {
   private[graft] def relationFor(spark: SparkSession, path: String,
                                    m: Snapshot.Manifest,
                                    schema: Option[StructType] = None): BaseRelation = {
-    val tableSchema = schema.getOrElse(StructType.fromDDL(m.schemaDdl))
+    // DEFAULT metadata rides the data schema: EXISTS_DEFAULT is how the
+    // native parquet readers surface an added-with-default column for
+    // files that physically predate it (per file — post-evolution nulls
+    // stay null); the merge-on-read fallback fills per txn group inside
+    // the read core instead
+    val tableSchema = Snapshot.withDefaultMetadata(
+      schema.getOrElse(StructType.fromDDL(m.schemaDdl)), m)
     if (m.dvs.keySet.intersect(m.files.toSet).nonEmpty || m.colMap.nonEmpty)
       return new DvSnapshotRelation(spark, path, m, tableSchema)
     val index = new SnapshotFileIndex(spark, path, m, tableSchema)

@@ -228,4 +228,65 @@ class SnapshotCloneSpec extends SparkSpec {
     assert(bad.getMessage.toLowerCase.contains("constraint") ||
       bad.getMessage.contains("id_pos"))
   }
+
+  test("DEEP CLONE materializes a pinned version and survives source vacuum") {
+    val src = tmp("deep-src")
+    Snapshot.create(spark, src, fixture(0 until 40), partitionCols = Seq("p"))
+    // a deletion vector + a pinned version: the deep clone must carry
+    // the DV semantics (reads minus deleted rows) and the pin
+    Snapshot.delete(spark, src, col("id") % 5 === 0 && col("p") === "even",
+      dvMaxFraction = 0.9)
+    val pinned = Snapshot.latestVersion(spark, src).get
+    val want = rows(Snapshot.read(spark, src))
+    // churn past the pin
+    Snapshot.overwrite(spark, src, fixture(100 until 110))
+
+    val shallow = tmp("deep-shallow")
+    val deep = tmp("deep-deep")
+    Snapshot.shallowClone(spark, src, shallow, Some(pinned))
+    Snapshot.deepClone(spark, src, deep, Some(pinned))
+    assert(rows(Snapshot.read(spark, deep)) == want)
+    // local refs only: nothing in the deep clone's manifest points out
+    val dm = Snapshot.latestManifest(spark, deep).get
+    assert(dm.externalRoots.isEmpty &&
+      (dm.files ++ dm.dvs.values.map(_.file)).forall(!_.startsWith("@")),
+      s"deep clone must hold local refs, got ${dm.files.take(3)}")
+    // byte-copy carries stats verbatim: pruning works without recompute
+    assert(dm.stats.nonEmpty && dm.files.forall(dm.stats.contains))
+    val (kept, total) = Snapshot.pruneFiles(spark, deep, col("p") === "even")
+    assert(kept.size < total, "partition pruning must work on the deep clone")
+
+    // the source vacuums its pre-overwrite history away: the SHALLOW
+    // clone's refs dangle (the documented shallow contract)...
+    Snapshot.vacuum(spark, src, keepVersions = 1, orphanGraceMs = 0L)
+    intercept[Exception] { Snapshot.read(spark, shallow).collect() }
+    // ...the DEEP clone owns its bytes and still reads exactly
+    assert(rows(Snapshot.read(spark, deep)) == want)
+    // and diverges freely
+    Snapshot.append(spark, deep, fixture(200 until 202))
+    assert(Snapshot.read(spark, deep).count() == want.size + 2L)
+  }
+
+  test("DEEP CLONE as SQL text on both front ends") {
+    // registry route
+    val root = Files.createTempDirectory("graft-clone-deepsql").toString
+    val t = Map("s" -> s"$root/s", "d" -> s"$root/d")
+    Snapshot.create(spark, s"$root/s", fixture(0 until 12), partitionCols = Seq("p"))
+    Snapshot.sql(spark, "ALTER TABLE s CREATE TAG pin", t)
+    Snapshot.sql(spark, "INSERT INTO s VALUES (500, 'even', 0)", t)
+    Snapshot.sql(spark, "CREATE TABLE d DEEP CLONE s VERSION AS OF 'pin'", t)
+    assert(rows(Snapshot.read(spark, s"$root/d")) == rows(fixture(0 until 12)))
+    // catalog route (dialect parser)
+    val wh = Files.createTempDirectory("graft-clone-deepwh").toString
+    spark.conf.set("spark.sql.catalog.gdc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdc.db")
+    spark.sql("CREATE TABLE gdc.db.src (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gdc.db.src VALUES (1, 'even', 10), (2, 'odd', 20)")
+    spark.sql("CREATE TABLE gdc.db.dst DEEP CLONE gdc.db.src")
+    assert(spark.sql("SELECT id, p, v FROM gdc.db.dst")
+      .as[(Long, String, Long)].collect().toSet == Set((1L, "even", 10L), (2L, "odd", 20L)))
+    val dm = Snapshot.latestManifest(spark, s"$wh/db/dst").get
+    assert(dm.externalRoots.isEmpty)
+  }
 }
