@@ -152,7 +152,8 @@ object Snapshot {
                             tags: Map[String, Long] = Map.empty,
                             colNdv: Map[String, Long] = Map.empty,
                             colDefault: Map[String, String] = Map.empty,
-                            colExistsDefault: Map[String, String] = Map.empty)
+                            colExistsDefault: Map[String, String] = Map.empty,
+                            branches: Map[String, Long] = Map.empty)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -403,7 +404,8 @@ object Snapshot {
       parseLongMap(root, "tags"),
       parseLongMap(root, "colNdv"),
       parseColMap(root, "colDefault"),
-      parseColMap(root, "colExistsDefault"))
+      parseColMap(root, "colExistsDefault"),
+      parseLongMap(root, "branches"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -1018,6 +1020,10 @@ object Snapshot {
       val ce = node.putObject("colExistsDefault")
       m.colExistsDefault.toSeq.sortBy(_._1).foreach { case (c, d) => ce.put(c, d) }
     }
+    if (m.branches.nonEmpty) {
+      val br = node.putObject("branches")
+      m.branches.toSeq.sortBy(_._1).foreach { case (n, v) => br.put(n, v) }
+    }
     putStats(node, m.stats)
     node
   }
@@ -1109,6 +1115,10 @@ object Snapshot {
       val ce = node.putObject("colExistsDefaultSet")
       m.colExistsDefault.toSeq.sortBy(_._1).foreach { case (c, d) => ce.put(c, d) }
     }
+    if (m.branches != parent.branches) {
+      val br = node.putObject("branchesSet")
+      m.branches.toSeq.sortBy(_._1).foreach { case (n, v) => br.put(n, v) }
+    }
     node
   }
 
@@ -1162,7 +1172,8 @@ object Snapshot {
       if (root.has("colNdvSet")) parseLongMap(root, "colNdvSet") else parent.colNdv,
       if (root.has("colDefaultSet")) parseColMap(root, "colDefaultSet") else parent.colDefault,
       if (root.has("colExistsDefaultSet")) parseColMap(root, "colExistsDefaultSet")
-      else parent.colExistsDefault)
+      else parent.colExistsDefault,
+      if (root.has("branchesSet")) parseLongMap(root, "branchesSet") else parent.branches)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -1179,7 +1190,7 @@ object Snapshot {
       a.clusterBy == b.clusterBy && a.properties == b.properties &&
       a.externalRoots == b.externalRoots && a.tags == b.tags &&
       a.colNdv == b.colNdv && a.colDefault == b.colDefault &&
-      a.colExistsDefault == b.colExistsDefault
+      a.colExistsDefault == b.colExistsDefault && a.branches == b.branches
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1444,6 +1455,209 @@ object Snapshot {
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
+  }
+
+  // ------------------------------------------------------------ branches
+
+  /** Root of a named branch's own snapshot table: nested under the
+    * parent so it shares the parent's filesystem/permissions, inside a
+    * `_`-prefixed dir so partition discovery, the catalog's namespace
+    * listing and the vacuum txn sweep all ignore it.
+    */
+  def branchPath(path: String, name: String): String = s"$path/_branch/$name"
+
+  /** CREATE BRANCH: a named WRITABLE fork — the staging workflow a
+    * corpus team runs before promoting a nightly build. Two commits:
+    *
+    *  1. the branch RECORD on the parent (name → base version), which
+    *     makes the base a vacuum-retained island exactly like a tag —
+    *     committed FIRST, so the fork can never be built on files a
+    *     concurrent vacuum is reclaiming (same floor arbitration as
+    *     createTag);
+    *  2. a zero-copy SHALLOW CLONE of the base into [[branchPath]] —
+    *     the branch IS a snapshot table, so every writer, DML
+    *     statement, OPTIMIZE and stream source works against it
+    *     unchanged, and its writes land under its own root.
+    *
+    * Reads/writes address the branch by its path (or a registry entry
+    * pointing at it); `ALTER TABLE t MERGE BRANCH name` fast-forwards
+    * the parent to the branch head ([[mergeBranch]]).
+    */
+  def createBranch(spark: SparkSession, path: String, name: String): Long = {
+    require(TagNameRe.matches(name),
+      s"createBranch: branch name must be identifier-shaped and not a number, got '$name'")
+    require(latestVersion(spark, branchPath(path, name)).isEmpty,
+      s"createBranch: branch '$name' already has a table at ${branchPath(path, name)}")
+    var base = -1L
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      require(!m.branches.contains(name),
+        s"createBranch: branch '$name' already exists (base v${m.branches(name)})")
+      require(!m.tags.contains(name),
+        s"createBranch: '$name' is already a tag name on this table")
+      base = m.version
+      try {
+        commitManifest(spark, path, m.copy(version = m.version + 1,
+          operation = s"CREATE BRANCH $name v$base",
+          branches = m.branches + (name -> base)))
+        done = true
+      } catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    shallowClone(spark, path, branchPath(path, name), Some(base))
+  }
+
+  /** DROP BRANCH: delete the fork's table and release the base-version
+    * pin. Divergent branch commits are discarded (that is what dropping
+    * an unmerged branch means); the record removal and the dir delete
+    * are ordered so a crash between them leaves only a pinned base —
+    * re-running the drop completes it.
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String,
+                 ifExists: Boolean = false): Long = {
+    var attempt = 0
+    while (true) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      if (!m.branches.contains(name)) {
+        require(ifExists, s"dropBranch: no such branch '$name' " +
+          s"(have: ${m.branches.keys.toSeq.sorted.mkString(", ")})")
+        // a crashed earlier drop may have left the dir — finish the job
+        fsFor(spark, path).delete(new HPath(branchPath(path, name)), true)
+        return m.version
+      }
+      try {
+        val v = commitManifest(spark, path, m.copy(version = m.version + 1,
+          operation = s"DROP BRANCH $name", branches = m.branches - name))
+        fsFor(spark, path).delete(new HPath(branchPath(path, name)), true)
+        return v
+      }
+      catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** MERGE BRANCH (fast-forward): make the branch head the parent's
+    * next version. Sound only when the parent's CONTENT has not moved
+    * since the branch point — a diverged parent refuses loudly (the
+    * caller rebases by re-branching, or drops); metadata-only parent
+    * commits (tags, ANALYZE, properties, other branch records) do not
+    * block, content is what matters.
+    *
+    * Mechanics: the branch's OWN data/DV/bloom commit dirs are RENAMED
+    * into the parent root (O(#dirs) metadata moves, no bytes copied —
+    * same filesystem by construction), refs the branch inherited from
+    * the parent collapse back to plain local refs, and one commit on
+    * the parent publishes the branch head's exact state (schema, DVs,
+    * constraints, defaults, clustering all carried). Parent history
+    * stays intact — the merge is a forward commit like any other, and
+    * time travel across it works. The branch record drops in the same
+    * commit; the emptied branch table is deleted after.
+    */
+  def mergeBranch(spark: SparkSession, path: String, name: String): Long = {
+    val fs = fsFor(spark, path)
+    val qMain = fs.makeQualified(new HPath(path)).toString
+    val bPath = branchPath(path, name)
+    val qBranch = fsFor(spark, bPath).makeQualified(new HPath(bPath)).toString
+    val bh = latestManifest(spark, bPath).getOrElse(
+      throw new IllegalArgumentException(s"mergeBranch: no branch table at $bPath"))
+    // fast-forward PRE-CHECK against the current parent BEFORE anything
+    // moves: a refusal must leave the branch fully intact (the commit
+    // loop re-validates after the moves — a parent that diverges inside
+    // the window still refuses, and the moved dirs are unreferenced
+    // orphans the vacuum sweep reclaims)
+    ffCheck(spark, path, name,
+      latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path")))
+    // move the branch's LOCAL commit dirs under the parent root ONCE —
+    // idempotent against the commit retry below (already-moved dirs are
+    // found under the parent). Collisions are impossible by
+    // construction (txn/_dv/_bloom dir names carry fresh UUIDs) but
+    // refuse loudly rather than overwrite if one ever happens.
+    val localEntries = (bh.files ++ bh.dvs.values.map(_.file) ++
+      bh.blooms.values.map(_.file)).filterNot(_.startsWith("@")).distinct
+    def baseOf(rel: String): String = {
+      val segs = rel.split('/')
+      if (segs.head == "_dv" || segs.head == "_bloom") segs.take(2).mkString("/")
+      else segs.head
+    }
+    localEntries.map(baseOf).distinct.sorted.foreach { dir =>
+      val from = new HPath(s"$qBranch/$dir")
+      val to = new HPath(s"$qMain/$dir")
+      if (fs.exists(from)) {
+        require(!fs.exists(to),
+          s"mergeBranch: parent already has a dir named $dir — refusing to overwrite")
+        if (!fs.exists(to.getParent)) fs.mkdirs(to.getParent)
+        require(fs.rename(from, to), s"mergeBranch: rename $from -> $to failed")
+      } else require(fs.exists(to),
+        s"mergeBranch: branch dir $dir found under neither root")
+    }
+    // external refs: ones pointing back at the parent collapse to plain
+    // local refs; any OTHER root (the parent was itself a clone) stays
+    // external under a fresh dense alias table
+    val foreignRoots = (bh.files ++ bh.dvs.values.map(_.file) ++ bh.blooms.values.map(_.file))
+      .filter(_.startsWith("@"))
+      .map(f => fileRootRel(bPath, bh, f)._1)
+      .distinct.filterNot(r => r == qMain || r == qBranch).sorted
+    val aliasOf = foreignRoots.zipWithIndex.map { case (r, i) => r -> s"r$i" }.toMap
+    def remap(f: String): String = {
+      if (!f.startsWith("@")) return f // branch-local: same rel, now under the parent
+      val (root, rel) = fileRootRel(bPath, bh, f)
+      if (root == qMain || root == qBranch) rel
+      else s"@${aliasOf(root)}/$rel"
+    }
+    var attempt = 0
+    while (true) {
+      val main = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      ffCheck(spark, path, name, main)
+      try {
+        val v = commitManifest(spark, path, Manifest(
+          version = main.version + 1,
+          partitionCols = bh.partitionCols,
+          schemaDdl = bh.schemaDdl,
+          files = bh.files.map(remap),
+          stats = bh.stats.map { case (f, st) => remap(f) -> st },
+          streamBatch = main.streamBatch, // parent consumers keep their marks
+          dvs = bh.dvs.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+          blooms = bh.blooms.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+          colMap = bh.colMap,
+          retired = bh.retired,
+          constraints = bh.constraints,
+          generatedCols = bh.generatedCols,
+          operation = s"MERGE BRANCH $name",
+          clusterBy = bh.clusterBy,
+          properties = bh.properties -- Seq(VacuumFloorProp) ++
+            main.properties.view.filterKeys(_ == VacuumFloorProp).toMap,
+          externalRoots = aliasOf.map(_.swap),
+          tags = main.tags,                  // parent refs, not branch state
+          colNdv = bh.colNdv,
+          colDefault = bh.colDefault,
+          colExistsDefault = bh.colExistsDefault,
+          branches = main.branches - name))  // the record retires with the merge
+        fs.delete(new HPath(bPath), true)
+        return v
+      } catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** Fast-forward precondition on CONTENT: the parent's live state must
+    * still be the branch point's (metadata-only commits — tags, other
+    * branch records, ANALYZE, properties — do not block).
+    */
+  private def ffCheck(spark: SparkSession, path: String, name: String,
+                      main: Manifest): Unit = {
+    val base = main.branches.getOrElse(name, throw new IllegalArgumentException(
+      s"mergeBranch: no such branch '$name' " +
+        s"(have: ${main.branches.keys.toSeq.sorted.mkString(", ")})"))
+    val baseM = manifest(spark, path, base)
+    require(main.files.toSet == baseM.files.toSet && main.dvs == baseM.dvs &&
+      main.schemaDdl == baseM.schemaDdl && main.colMap == baseM.colMap,
+      s"mergeBranch: the parent diverged since the branch point v$base " +
+        "(content changed); re-branch from the current head and replay, or drop")
   }
 
   /** DROP TAG: releases the pin — the version becomes reclaimable by
@@ -3492,7 +3706,8 @@ object Snapshot {
       // Likewise the vacuum FLOOR: the target's stale (lower) floor
       // would re-arm createTag/restore against versions a later vacuum
       // already reclaimed — the CURRENT floor carries through.
-      streamBatch = cur.streamBatch, tags = cur.tags, blooms = blooms,
+      streamBatch = cur.streamBatch, tags = cur.tags, branches = cur.branches,
+      blooms = blooms,
       properties = target.properties -- Seq(VacuumFloorProp) ++
         cur.properties.view.filterKeys(_ == VacuumFloorProp).toMap))
   }
@@ -3609,7 +3824,9 @@ object Snapshot {
       generatedCols = src.generatedCols,
       operation = s"CLONE v${src.version}",
       clusterBy = src.clusterBy,
-      properties = src.properties,
+      // the source's vacuum FLOOR is about the SOURCE's reclaimed log;
+      // the clone's fresh log has reclaimed nothing
+      properties = src.properties -- Seq(VacuumFloorProp),
       colNdv = src.colNdv, // same rows, same distinctness
       colDefault = src.colDefault,
       colExistsDefault = src.colExistsDefault, // same files predate the same adds
@@ -3707,7 +3924,8 @@ object Snapshot {
       generatedCols = src.generatedCols,
       operation = s"DEEP CLONE v${src.version}",
       clusterBy = src.clusterBy,
-      properties = src.properties,
+      properties = src.properties -- Seq(VacuumFloorProp), // fresh log, no floor
+
       colNdv = src.colNdv,
       colDefault = src.colDefault,
       colExistsDefault = src.colExistsDefault))
@@ -3756,12 +3974,13 @@ object Snapshot {
           .flatMap(mv.externalRoots.get)
       }.distinct.sorted.mkString("; "),
       m.tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n=v$v" }.mkString("; "),
-      m.colNdv.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }.mkString("; ")))
+      m.colNdv.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }.mkString("; "),
+      m.branches.toSeq.sortBy(_._1).map { case (n, v) => s"$n@v$v" }.mkString("; ")))
       .toDF("version", "committed_at_micros", "num_files", "num_rows", "size_bytes",
         "partition_cols", "num_deletion_vectors", "deletion_vector_rows",
         "num_bloom_files", "column_mapping", "constraints", "generated_cols",
         "cluster_by", "properties", "num_external_files", "external_roots", "tags",
-        "column_ndv")
+        "column_ndv", "branches")
   }
 
   /** Reclaim space: drop all but the newest `keepVersions` manifests and
@@ -3803,13 +4022,17 @@ object Snapshot {
     // TAGGED versions are retained ISLANDS: a tag is a durability pin
     // (the reproducible-dataset contract of createTag), so no retention
     // rule — count or age — may reclaim a tagged version until its tag
-    // is dropped. The tag map lives on the LATEST manifest.
+    // is dropped. The tag map lives on the LATEST manifest. BRANCH BASE
+    // versions pin the same way: a live branch's shallow fork references
+    // exactly its base version's files, so the base stays an island
+    // until the branch merges or drops.
+    def pins(m: Manifest): Set[Long] = m.tags.values.toSet ++ m.branches.values.toSet
     def splitByTags(tagged: Set[Long]): (Seq[Long], Seq[Long]) = {
       val (cutDead, keptSuffix) = vs.splitAt(cutIdx)
       val (taggedIslands, dead) = cutDead.partition(tagged)
       (taggedIslands ++ keptSuffix, dead) // both ascending, islands first
     }
-    var (kept, dead) = splitByTags(manifest(spark, path, vs.last).tags.values.toSet)
+    var (kept, dead) = splitByTags(pins(manifest(spark, path, vs.last)))
     // before deleting ANYTHING, publish the reclaim FLOOR through the
     // optimistic commit protocol: a CREATE TAG racing this vacuum either
     // commits first (this commit conflicts -> re-read the tag map and
@@ -3822,7 +4045,7 @@ object Snapshot {
       var committed = false
       while (!committed && dead.nonEmpty) {
         val latest = latestManifest(spark, path).getOrElse(return Nil)
-        val s = splitByTags(latest.tags.values.toSet)
+        val s = splitByTags(pins(latest))
         kept = s._1; dead = s._2
         if (dead.nonEmpty) {
           // the floor is the CONTIGUOUS suffix's head — dead versions

@@ -70,6 +70,12 @@ object SnapshotSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+('?[\w.\-]+'?)\s*(?:AS\s+OF\s+VERSION\s+('?[\w.\-]+'?)\s*)?;?\s*""".r
   private val DropTagRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?('?[\w.\-]+'?)\s*;?\s*""".r
+  private val CreateBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+('?[\w.\-]+'?)\s*;?\s*""".r
+  private val DropBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+(IF\s+EXISTS\s+)?('?[\w.\-]+'?)\s*;?\s*""".r
+  private val MergeBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+MERGE\s+BRANCH\s+('?[\w.\-]+'?)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s*(NOSCAN|FOR\s+ALL\s+COLUMNS|FOR\s+COLUMNS\s+([\w\s,]+?))?\s*;?\s*""".r
 
@@ -150,6 +156,17 @@ object SnapshotSql {
     case DropTagRe(ident, ifExists, name) =>
       val path = pathOf(ident, tables)
       Some(Snapshot.dropTag(spark, path, unquoteTag(name), ifExists != null))
+    case CreateBranchRe(ident, name) =>
+      // writable fork: the branch is its own snapshot table at
+      // Snapshot.branchPath — register that path to read/write it
+      Some(Snapshot.createBranch(spark, pathOf(ident, tables), unquoteTag(name)))
+    case DropBranchRe(ident, ifExists, name) =>
+      Some(Snapshot.dropBranch(spark, pathOf(ident, tables), unquoteTag(name),
+        ifExists != null))
+    case MergeBranchRe(ident, name) =>
+      // fast-forward the parent to the branch head (refuses loudly on a
+      // diverged parent); the branch retires in the same commit
+      Some(Snapshot.mergeBranch(spark, pathOf(ident, tables), unquoteTag(name)))
     case AnalyzeRe(ident, clause, colsRaw) =>
       // COMPUTE STATISTICS [NOSCAN]: table rows/bytes are already
       // metadata-exact — verify the table, commit nothing. FOR [ALL]
@@ -532,7 +549,8 @@ object SnapshotSql {
     case HistoryRe(_) | DetailRe(_) => true
     case VacuumRe(_, _, _) | OptimizeRe(_, _, _, _) | RestoreRe(_, _, _) |
          CloneRe(_, _, _, _, _) | ImportRe(_, _, _) |
-         CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) | AnalyzeRe(_, _, _) => false
+         CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) | AnalyzeRe(_, _, _) |
+         CreateBranchRe(_, _) | DropBranchRe(_, _, _) | MergeBranchRe(_, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

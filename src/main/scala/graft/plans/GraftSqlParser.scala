@@ -160,7 +160,8 @@ object GraftSqlParser {
   // without these word pairs delegates unlexed
   private val AlterHint =
     java.util.regex.Pattern.compile(
-      "(?is).*\\b(CREATE\\s+(OR\\s+REPLACE\\s+)?TAG|DROP\\s+TAG)\\b.*")
+      "(?is).*\\b(CREATE\\s+(OR\\s+REPLACE\\s+)?TAG|DROP\\s+TAG|" +
+        "CREATE\\s+BRANCH|DROP\\s+BRANCH|MERGE\\s+BRANCH)\\b.*")
 
   /** `ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION v]` and
     * `ALTER TABLE t DROP TAG [IF EXISTS] name` — named version pins
@@ -179,6 +180,15 @@ object GraftSqlParser {
     if (toks(i).is("CREATE")) {
       val replace = i + 2 < toks.length && toks(i + 1).is("OR") && toks(i + 2).is("REPLACE")
       val at = if (replace) i + 3 else i + 1
+      // `ALTER TABLE t CREATE BRANCH name` — the writable fork
+      if (!replace && at < toks.length && toks(at).is("BRANCH")) {
+        loud(at + 1 < toks.length, s"CREATE BRANCH: missing branch name in: $text")
+        val (name, afterName) = tagIdent(at + 1)
+        loud(afterName == toks.length, s"CREATE BRANCH: unexpected trailing text in: $text")
+        return Some(maintCmd(s"CREATE BRANCH ${parts.mkString(".")}") { (sp, path) =>
+          Snapshot.createBranch(sp, path, name); Nil
+        }(parts))
+      }
       if (at >= toks.length || !toks(at).is("TAG")) return None
       loud(at + 1 < toks.length, s"CREATE TAG: missing tag name in: $text")
       val (name, afterName) = tagIdent(at + 1)
@@ -198,14 +208,29 @@ object GraftSqlParser {
           verSpec.map(Snapshot.resolveVersionSpec(sp, path, _)), replace); Nil
       }(parts))
     } else if (toks(i).is("DROP")) {
-      if (i + 1 >= toks.length || !toks(i + 1).is("TAG")) return None
+      if (i + 1 >= toks.length || !(toks(i + 1).is("TAG") || toks(i + 1).is("BRANCH")))
+        return None
+      val isBranch = toks(i + 1).is("BRANCH")
+      val word = if (isBranch) "BRANCH" else "TAG"
       val ifExists = i + 3 < toks.length && toks(i + 2).is("IF") && toks(i + 3).is("EXISTS")
       val at = if (ifExists) i + 4 else i + 2
-      loud(at < toks.length, s"DROP TAG: missing tag name in: $text")
+      loud(at < toks.length, s"DROP $word: missing $word name in: $text")
       val (name, afterName) = tagIdent(at)
-      loud(afterName == toks.length, s"DROP TAG: unexpected trailing text in: $text")
-      Some(maintCmd(s"DROP TAG ${parts.mkString(".")}") { (sp, path) =>
-        Snapshot.dropTag(sp, path, name, ifExists); Nil
+      loud(afterName == toks.length, s"DROP $word: unexpected trailing text in: $text")
+      Some(maintCmd(s"DROP $word ${parts.mkString(".")}") { (sp, path) =>
+        if (isBranch) Snapshot.dropBranch(sp, path, name, ifExists)
+        else Snapshot.dropTag(sp, path, name, ifExists)
+        Nil
+      }(parts))
+    } else if (toks(i).is("MERGE")) {
+      // `ALTER TABLE t MERGE BRANCH name` — fast-forward the parent to
+      // the branch head; refuses loudly when the parent diverged
+      if (i + 1 >= toks.length || !toks(i + 1).is("BRANCH")) return None
+      loud(i + 2 < toks.length, s"MERGE BRANCH: missing branch name in: $text")
+      val (name, afterName) = tagIdent(i + 2)
+      loud(afterName == toks.length, s"MERGE BRANCH: unexpected trailing text in: $text")
+      Some(maintCmd(s"MERGE BRANCH ${parts.mkString(".")}") { (sp, path) =>
+        Snapshot.mergeBranch(sp, path, name); Nil
       }(parts))
     } else None
   }
@@ -482,7 +507,8 @@ object GraftSqlParser {
       "size_bytes BIGINT, partition_cols STRING, num_deletion_vectors BIGINT, " +
       "deletion_vector_rows BIGINT, num_bloom_files BIGINT, column_mapping STRING, " +
       "constraints STRING, generated_cols STRING, cluster_by STRING, properties STRING, " +
-      "num_external_files BIGINT, external_roots STRING, tags STRING, column_ndv STRING")
+      "num_external_files BIGINT, external_roots STRING, tags STRING, column_ndv STRING, " +
+      "branches STRING")
 
   private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
       parts: Seq[String]): LogicalPlan =

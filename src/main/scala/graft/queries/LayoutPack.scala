@@ -1808,6 +1808,59 @@ object LayoutPack extends QueryPack {
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q156 = QueryDef.staged(
+    "q156_writable_branch",
+    // oracle: the promoted state recomputed from the raw rows — the
+    // staging workflow end to end: fork, stage a delete + an update on
+    // the branch, vacuum the parent (the branch base must hold as a
+    // retention island), fast-forward the branch back, answer from the
+    // parent. A merge that lost a branch commit, leaked parent churn,
+    // or a vacuum that reclaimed the base shifts a group (or throws)
+    // and fails.
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) +
+           |    CASE WHEN o_orderpriority = '1-URGENT'
+           |      THEN CAST(5 AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+           |    AS DOUBLE) AS total
+           |FROM orders WHERE o_orderkey % 7 <> 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the production fact a nightly build stages
+    // against.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q156").toString
+    Snapshot.create(t.spark, s"$root/t",
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")).repartition(4),
+      partitionCols = Seq("o_orderpriority"))
+    root
+  } { (t, root: String) =>
+    // MEASURED: branch → stage DML on the fork (the parent sees
+    // nothing) → vacuum the parent with the base pinned as an island →
+    // fast-forward promote → read the parent. At 100 TB the fork is
+    // O(manifest), branch DML is partition-restricted like any other,
+    // and the merge is O(#branch commit dirs) renames — no data moves
+    // at any step.
+    import graft.operators.Snapshot
+    val reg = Map("t" -> s"$root/t",
+      "t_staging" -> Snapshot.branchPath(s"$root/t", "staging"))
+    Snapshot.sql(t.spark, "ALTER TABLE t CREATE BRANCH staging", reg)
+    Snapshot.sql(t.spark, "DELETE FROM t_staging WHERE o_orderkey % 7 = 0", reg)
+    Snapshot.sql(t.spark,
+      "UPDATE t_staging SET o_totalprice = o_totalprice + 5 WHERE o_orderpriority = '1-URGENT'",
+      reg)
+    // parent churn that a vacuum then reclaims — all METADATA-side
+    // (tags), so the fast-forward stays legal while the vacuum still
+    // has versions to drop
+    Snapshot.sql(t.spark, "ALTER TABLE t CREATE TAG pre_promote", reg)
+    Snapshot.sql(t.spark, "ALTER TABLE t DROP TAG pre_promote", reg)
+    Snapshot.vacuum(t.spark, s"$root/t", keepVersions = 1, orphanGraceMs = 0L)
+    Snapshot.sql(t.spark, "ALTER TABLE t MERGE BRANCH staging", reg)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156)
 }

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshot
+
+/** Writable BRANCHES: named forks on the tag/version machinery —
+  * `CREATE BRANCH dev` is a branch record on the parent (base pinned
+  * against vacuum like a tag) plus a zero-copy shallow fork that is a
+  * full snapshot table; writes land under the branch root; `MERGE
+  * BRANCH dev` fast-forwards the parent to the branch head with the
+  * parent's history intact, refusing loudly when the parent diverged.
+  * The staging workflow a corpus team runs before promoting a nightly
+  * build.
+  */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-branch-$tag").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  private def fixture(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i.toLong * 10))
+      .toDF("id", "p", "v")
+
+  test("branch, diverge, fast-forward merge back — parent history intact") {
+    val path = tmp("ff")
+    Snapshot.create(spark, path, fixture(0 until 20), partitionCols = Seq("p"))
+    val preBranch = Snapshot.latestVersion(spark, path).get
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    // the fork is zero-copy and reads the branch point exactly
+    assert(rows(Snapshot.read(spark, bPath)) == rows(fixture(0 until 20)))
+    // the branch takes real writes — append AND row-level DML
+    Snapshot.append(spark, bPath, fixture(100 until 104))
+    Snapshot.delete(spark, bPath, col("id") === 3)
+    Snapshot.update(spark, bPath, col("id") === 2, Map("v" -> lit(999L)))
+    val want = (rows(fixture(0 until 20)) ++ rows(fixture(100 until 104)))
+      .filterNot(_._1 == 3L).map { case (i, p, v) => if (i == 2L) (i, p, 999L) else (i, p, v) }
+    assert(rows(Snapshot.read(spark, bPath)) == want)
+    // the PARENT saw none of it
+    assert(rows(Snapshot.read(spark, path)) == rows(fixture(0 until 20)))
+    // metadata-only parent commits do not block a fast-forward
+    Snapshot.createTag(spark, path, "mid-branch")
+    val merged = Snapshot.mergeBranch(spark, path, "dev")
+    assert(rows(Snapshot.read(spark, path)) == want)
+    // history intact: the pre-branch version still reads, the merge is
+    // a forward commit
+    assert(rows(Snapshot.readVersion(spark, path, preBranch)) == rows(fixture(0 until 20)))
+    val m = Snapshot.latestManifest(spark, path).get
+    assert(m.version == merged && m.operation == "MERGE BRANCH dev")
+    assert(m.branches.isEmpty, "the record retires with the merge")
+    assert(m.tags.contains("mid-branch"), "parent tags survive the merge")
+    // local refs only — the branch's files were MOVED, not re-aliased
+    assert((m.files ++ m.dvs.values.map(_.file)).forall(!_.startsWith("@")),
+      s"merge must land local refs, got ${m.files.filter(_.startsWith("@")).take(3)}")
+    // the branch table is gone
+    assert(Snapshot.latestVersion(spark, bPath).isEmpty)
+    // and the merged state keeps working as a table (compaction, reads)
+    Snapshot.compact(spark, path, minFiles = 1)
+    assert(rows(Snapshot.read(spark, path)) == want)
+  }
+
+  test("a diverged parent refuses the merge; the branch survives the refusal") {
+    val path = tmp("diverge")
+    Snapshot.create(spark, path, fixture(0 until 10), partitionCols = Seq("p"))
+    Snapshot.createBranch(spark, path, "dev")
+    Snapshot.append(spark, Snapshot.branchPath(path, "dev"), fixture(50 until 52))
+    // CONTENT moves on the parent after the branch point
+    Snapshot.append(spark, path, fixture(90 until 92))
+    val e = intercept[IllegalArgumentException](Snapshot.mergeBranch(spark, path, "dev"))
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // nothing half-merged: parent still has its own state, branch its own
+    assert(Snapshot.read(spark, path).count() == 12)
+    assert(Snapshot.read(spark, Snapshot.branchPath(path, "dev")).count() == 12)
+    // drop discards the unmerged fork and releases the pin
+    Snapshot.dropBranch(spark, path, "dev")
+    assert(Snapshot.latestManifest(spark, path).get.branches.isEmpty)
+    assert(Snapshot.latestVersion(spark, Snapshot.branchPath(path, "dev")).isEmpty)
+  }
+
+  test("vacuum retains a branch base as an island until the branch drops") {
+    val path = tmp("vacuum")
+    Snapshot.create(spark, path, fixture(0 until 30), partitionCols = Seq("p"))
+    Snapshot.createBranch(spark, path, "hold")
+    val bPath = Snapshot.branchPath(path, "hold")
+    // heavy churn on the parent: every pre-branch file leaves the live set
+    Snapshot.overwrite(spark, path, fixture(200 until 210))
+    Snapshot.overwrite(spark, path, fixture(300 until 310))
+    Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    // the branch still reads its base exactly — the base was an island
+    assert(rows(Snapshot.read(spark, bPath)) == rows(fixture(0 until 30)))
+    // dropping the branch releases the pin; the next vacuum reclaims
+    Snapshot.dropBranch(spark, path, "hold")
+    Snapshot.vacuum(spark, path, keepVersions = 1, orphanGraceMs = 0L)
+    assert(rows(Snapshot.read(spark, path)) == rows(fixture(300 until 310)))
+  }
+
+  test("branch verbs as SQL text on both front ends") {
+    // registry route
+    val root = Files.createTempDirectory("graft-branch-sql").toString
+    val path = s"$root/t"
+    Snapshot.create(spark, path, fixture(0 until 8), partitionCols = Seq("p"))
+    val reg = Map("t" -> path, "t_dev" -> Snapshot.branchPath(path, "dev"))
+    Snapshot.sql(spark, "ALTER TABLE t CREATE BRANCH dev", reg)
+    Snapshot.sql(spark, "INSERT INTO t_dev VALUES (100, 'even', 1000)", reg)
+    assert(Snapshot.sqlQuery(spark, "SELECT count(*) AS n FROM t_dev", reg)
+      .as[Long].head() == 9L)
+    assert(Snapshot.sqlQuery(spark, "SELECT count(*) AS n FROM t", reg)
+      .as[Long].head() == 8L)
+    Snapshot.sql(spark, "ALTER TABLE t MERGE BRANCH dev", reg)
+    assert(Snapshot.sqlQuery(spark, "SELECT count(*) AS n FROM t", reg)
+      .as[Long].head() == 9L)
+    intercept[Exception](Snapshot.sql(spark, "ALTER TABLE t DROP BRANCH dev", reg))
+    Snapshot.sql(spark, "ALTER TABLE t DROP BRANCH IF EXISTS dev", reg)
+
+    // catalog route (dialect parser) + DESCRIBE DETAIL surfacing
+    val wh = Files.createTempDirectory("graft-branch-wh").toString
+    spark.conf.set("spark.sql.catalog.gb", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("CREATE TABLE gb.db.t (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gb.db.t VALUES (1, 'even', 10)")
+    spark.sql("ALTER TABLE gb.db.t CREATE BRANCH nightly")
+    val detail = spark.sql("DESCRIBE DETAIL gb.db.t").select("branches").as[String].head()
+    assert(detail.startsWith("nightly@v"), detail)
+    Snapshot.append(spark, Snapshot.branchPath(s"$wh/db/t", "nightly"),
+      Seq((2L, "odd", 20L)).toDF("id", "p", "v"))
+    spark.sql("ALTER TABLE gb.db.t MERGE BRANCH nightly")
+    assert(spark.sql("SELECT count(*) AS n FROM gb.db.t").as[Long].head() == 2L)
+    spark.sql("ALTER TABLE gb.db.t CREATE BRANCH dead")
+    spark.sql("ALTER TABLE gb.db.t DROP BRANCH dead")
+    assert(Snapshot.latestManifest(spark, s"$wh/db/t").get.branches.isEmpty)
+  }
+}
