@@ -153,7 +153,18 @@ object Snapshot {
                             colNdv: Map[String, Long] = Map.empty,
                             colDefault: Map[String, String] = Map.empty,
                             colExistsDefault: Map[String, String] = Map.empty,
-                            branches: Map[String, Long] = Map.empty)
+                            branches: Map[String, Long] = Map.empty,
+                            colHist: Map[String, ColHist] = Map.empty)
+
+  /** Equi-height histogram for one column, committed by [[analyze]]
+    * when `spark.sql.statistics.histogram.enabled` is on: `height` is
+    * rows-per-bin at analyze time, each bin an (lo, hi] value range
+    * with its distinct-count estimate. Planner input only (range
+    * selectivity for the cost-based optimizer) — never used to answer
+    * a query.
+    */
+  final case class ColHist(height: Double, bins: Seq[HistBin])
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
 
   /** Deletion vector for one data file: `file` is the table-relative
     * path of a parquet directory holding the deleted PHYSICAL row
@@ -405,7 +416,8 @@ object Snapshot {
       parseLongMap(root, "colNdv"),
       parseColMap(root, "colDefault"),
       parseColMap(root, "colExistsDefault"),
-      parseLongMap(root, "branches"))
+      parseLongMap(root, "branches"),
+      parseColHist(root, "colHist"))
   }
 
   private def parseColMap(root: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, String] =
@@ -419,6 +431,32 @@ object Snapshot {
   private def parseStrings(root: com.fasterxml.jackson.databind.JsonNode, field: String): Seq[String] =
     if (!root.has(field)) Nil
     else root.get(field).elements().asScala.map(_.asText()).toSeq
+
+  private def putColHist(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                         field: String, hist: Map[String, ColHist],
+                         explicitEmpty: Boolean = false): Unit =
+    if (hist.nonEmpty || explicitEmpty) {
+      val h = node.putObject(field)
+      hist.toSeq.sortBy(_._1).foreach { case (c, ch) =>
+        val n = h.putObject(c)
+        n.put("h", ch.height)
+        val bs = n.putArray("bins")
+        ch.bins.foreach { b =>
+          val a = bs.addArray(); a.add(b.lo); a.add(b.hi); a.add(b.ndv)
+        }
+      }
+    }
+
+  private def parseColHist(root: com.fasterxml.jackson.databind.JsonNode,
+                           field: String): Map[String, ColHist] =
+    if (!root.has(field)) Map.empty
+    else root.get(field).properties().asScala.map { e =>
+      val n = e.getValue
+      val bins = n.get("bins").elements().asScala.map { b =>
+        HistBin(b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asLong())
+      }.toSeq
+      e.getKey -> ColHist(n.get("h").asDouble(), bins)
+    }.toMap
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
     latestVersion(spark, path).map(manifest(spark, path, _))
@@ -1024,6 +1062,7 @@ object Snapshot {
       val br = node.putObject("branches")
       m.branches.toSeq.sortBy(_._1).foreach { case (n, v) => br.put(n, v) }
     }
+    putColHist(node, "colHist", m.colHist)
     putStats(node, m.stats)
     node
   }
@@ -1119,6 +1158,8 @@ object Snapshot {
       val br = node.putObject("branchesSet")
       m.branches.toSeq.sortBy(_._1).foreach { case (n, v) => br.put(n, v) }
     }
+    if (m.colHist != parent.colHist) putColHist(node, "colHistSet", m.colHist,
+      explicitEmpty = true)
     node
   }
 
@@ -1173,7 +1214,8 @@ object Snapshot {
       if (root.has("colDefaultSet")) parseColMap(root, "colDefaultSet") else parent.colDefault,
       if (root.has("colExistsDefaultSet")) parseColMap(root, "colExistsDefaultSet")
       else parent.colExistsDefault,
-      if (root.has("branchesSet")) parseLongMap(root, "branchesSet") else parent.branches)
+      if (root.has("branchesSet")) parseLongMap(root, "branchesSet") else parent.branches,
+      if (root.has("colHistSet")) parseColHist(root, "colHistSet") else parent.colHist)
   }
 
   /** Logical equality modulo commit stamp and file ORDER — the delta
@@ -1190,7 +1232,8 @@ object Snapshot {
       a.clusterBy == b.clusterBy && a.properties == b.properties &&
       a.externalRoots == b.externalRoots && a.tags == b.tags &&
       a.colNdv == b.colNdv && a.colDefault == b.colDefault &&
-      a.colExistsDefault == b.colExistsDefault && a.branches == b.branches
+      a.colExistsDefault == b.colExistsDefault && a.branches == b.branches &&
+      a.colHist == b.colHist
 
   /** The atomic step: stage the manifest JSON under a temp name in the
     * log dir, then a single rename to its version name. Readers list
@@ -1634,6 +1677,7 @@ object Snapshot {
           externalRoots = aliasOf.map(_.swap),
           tags = main.tags,                  // parent refs, not branch state
           colNdv = bh.colNdv,
+          colHist = bh.colHist,
           colDefault = bh.colDefault,
           colExistsDefault = bh.colExistsDefault,
           branches = main.branches - name))  // the record retires with the merge
@@ -1739,11 +1783,61 @@ object Snapshot {
       canon
     }
     require(targets.nonEmpty, "analyze: no atomic columns to analyze")
-    val row = read(spark, path)
-      .agg(approx_count_distinct(col(targets.head)).as(targets.head),
-        targets.tail.map(c => approx_count_distinct(col(c)).as(c)): _*)
-      .head()
-    val measured = targets.map(c => c -> row.getAs[Long](c)).toMap
+    // EQUI-HEIGHT HISTOGRAMS ride the same statement under the vanilla
+    // conf contract (spark.sql.statistics.histogram.enabled / .numBins):
+    // numeric columns get percentile bounds IN the same single-scan
+    // aggregate as the NDVs, then ONE more job computes per-bin
+    // distinct counts for all histogram columns together (explode to
+    // (col, bin, value), group — rows×histCols, an explicit maintenance
+    // cost, never on a query path). Histograms give the cost-based
+    // optimizer real RANGE selectivity on skewed columns, which
+    // NDV+uniformity cannot.
+    val histEnabled = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+      .exists(_.toBoolean)
+    val numBins = math.max(2, spark.conf.getOption("spark.sql.statistics.histogram.numBins")
+      .map(_.toInt).getOrElse(254))
+    val histTargets =
+      if (!histEnabled) Nil
+      else targets.filter(c =>
+        schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).sorted
+    val percentiles = (0 to numBins).map(_.toDouble / numBins)
+    val aggs = targets.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c")) ++
+      histTargets.flatMap(c => Seq(
+        count(col(c)).as(s"__n_$c"), // non-null rows: the height basis
+        percentile_approx(col(c).cast("double"),
+          array(percentiles.map(lit): _*), lit(10000)).as(s"__pct_$c")))
+    val row = read(spark, path).agg(aggs.head, aggs.tail: _*).head()
+    val measured = targets.map(c => c -> row.getAs[Long](s"__ndv_$c")).toMap
+    val boundsOf = histTargets.flatMap { c =>
+      Option(row.getAs[scala.collection.Seq[Double]](s"__pct_$c")) // null = all-null column
+        .map(b => c -> (b.toSeq, row.getAs[Long](s"__n_$c")))
+    }
+    val hists: Map[String, ColHist] =
+      if (boundsOf.isEmpty) Map.empty
+      else {
+        val structs = boundsOf.zipWithIndex.map { case ((c, (bounds, _)), i) =>
+          val internal = bounds.slice(1, bounds.size - 1)
+          // bin index = #internal bounds strictly below the value —
+          // (lo, hi] bins with ties landing low, matching the bounds'
+          // percentile semantics
+          val binIdx =
+            if (internal.isEmpty) lit(0)
+            else size(filter(array(internal.map(lit): _*),
+              x => x < col(c).cast("double")))
+          struct(lit(i).as("ci"), binIdx.as("bi"), col(c).cast("double").as("v"))
+        }
+        val binNdv = read(spark, path)
+          .select(explode(array(structs: _*)).as("e"))
+          .where(col("e.v").isNotNull)
+          .groupBy(col("e.ci"), col("e.bi"))
+          .agg(approx_count_distinct(col("e.v")).as("ndv"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        boundsOf.zipWithIndex.map { case ((c, (bounds, nonNull)), i) =>
+          val bins = (0 until numBins).map(j => HistBin(bounds(j), bounds(j + 1),
+            binNdv.getOrElse((i, j), 0L)))
+          c -> ColHist(nonNull.toDouble / numBins, bins)
+        }.toMap
+      }
     var attempt = 0
     while (true) {
       val m = latestManifest(spark, path).get
@@ -1751,8 +1845,10 @@ object Snapshot {
       // wins over the measurement)
       val live = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
       try return commitManifest(spark, path, m.copy(version = m.version + 1,
-        operation = s"ANALYZE ${targets.size} column(s)",
-        colNdv = (m.colNdv ++ measured).view.filterKeys(live).toMap))
+        operation = s"ANALYZE ${targets.size} column(s)" +
+          (if (hists.nonEmpty) s", ${hists.size} histogram(s)" else ""),
+        colNdv = (m.colNdv ++ measured).view.filterKeys(live).toMap,
+        colHist = (m.colHist ++ hists).view.filterKeys(live).toMap))
       catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
@@ -2166,6 +2262,7 @@ object Snapshot {
           clusterBy = m.clusterBy.map(c => if (c == from) to else c),
           properties = renameInBloomPolicy(m.properties, from, to),
           colNdv = m.colNdv.map { case (c, n) => (if (c == from) to else c) -> n },
+          colHist = m.colHist.map { case (c, h) => (if (c == from) to else c) -> h },
           colDefault = m.colDefault.map { case (c, d) => (if (c == from) to else c) -> d },
           colExistsDefault = m.colExistsDefault.map { case (c, d) =>
             (if (c == from) to else c) -> d },
@@ -2255,6 +2352,7 @@ object Snapshot {
           clusterBy = m.clusterBy.filterNot(_ == name),
           properties = dropFromBloomPolicy(m.properties, name),
           colNdv = m.colNdv - name,
+          colHist = m.colHist - name,
           colDefault = m.colDefault - name,
           colExistsDefault = m.colExistsDefault - name,
           colMap = m.colMap - name, retired = (m.retired :+ phys).distinct))
@@ -3828,6 +3926,7 @@ object Snapshot {
       // the clone's fresh log has reclaimed nothing
       properties = src.properties -- Seq(VacuumFloorProp),
       colNdv = src.colNdv, // same rows, same distinctness
+      colHist = src.colHist,
       colDefault = src.colDefault,
       colExistsDefault = src.colExistsDefault, // same files predate the same adds
       externalRoots = aliasOf.map(_.swap)))
@@ -3927,6 +4026,7 @@ object Snapshot {
       properties = src.properties -- Seq(VacuumFloorProp), // fresh log, no floor
 
       colNdv = src.colNdv,
+      colHist = src.colHist,
       colDefault = src.colDefault,
       colExistsDefault = src.colExistsDefault))
   }

@@ -432,8 +432,28 @@ object GraftNativeReads {
     val rows = m.files.map(f => m.stats(f).rows - m.dvs.get(f).map(_.rows).getOrElse(0L)).sum
     val schema = t.schema
     val fieldSet = schema.fieldNames.toSet
+    // histogram endpoints are the TRUE min/max (percentiles 0 and 1),
+    // rendered in the column type's external-string form so
+    // CatalogColumnStat round-trips them; the histogram itself gives
+    // FilterEstimation real range selectivity on skewed columns
+    def extString(c: String, v: Double): Option[String] = schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        Some(v.toLong.toString)
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+        Some(v.toString)
+      case _ => None
+    }
     val colStats = m.colNdv.collect { case (c, ndv) if fieldSet.contains(c) =>
-      c -> CatalogColumnStat(distinctCount = Some(BigInt(ndv)))
+      val hist = m.colHist.get(c).map(h =>
+        org.apache.spark.sql.catalyst.plans.logical.Histogram(h.height,
+          h.bins.map(b => org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+            b.lo, b.hi, b.ndv)).toArray))
+      c -> CatalogColumnStat(
+        distinctCount = Some(BigInt(ndv)),
+        min = hist.flatMap(h => h.bins.headOption.flatMap(b => extString(c, b.lo))),
+        max = hist.flatMap(h => h.bins.lastOption.flatMap(b => extString(c, b.hi))),
+        histogram = hist)
     }
     val parts = t.tableName.split('.')
     Some(CatalogTable(

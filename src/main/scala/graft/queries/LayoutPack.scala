@@ -1861,6 +1861,67 @@ object LayoutPack extends QueryPack {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q157 = QueryDef.staged(
+    "q157_cbo_histogram_join",
+    // oracle: the joined rollup recomputed by DuckDB — the gate is the
+    // q151 contract one input deeper: HISTOGRAM-backed range
+    // selectivity changes the PLAN (the skewed fact's sparse tail is
+    // known to be tiny, so it broadcasts — asserted in the measured
+    // body), never the ANSWER. NDV + min/max uniformity alone calls
+    // this same filter half the table.
+    Some("""SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |WHERE o.o_orderkey % 100 = 0 AND o.o_orderkey >= 3000
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): a fact whose `sk` column is 99% zeros with a
+    // sparse high tail (the classic skewed-measure shape), a dim, and
+    // the histogram-enabled ANALYZE — one extra per-bin-NDV job beside
+    // the NDV pass, maintenance-priced.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q157").toString
+    t.spark.conf.set("spark.sql.catalog.g157", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g157.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g157.db")
+    Snapshot.create(t.spark, s"$root/db/fact",
+      t.orders.select(col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 0, col("o_orderkey")).otherwise(0L).as("sk"),
+        col("o_custkey"), col("o_totalprice")))
+    Snapshot.create(t.spark, s"$root/db/dim",
+      t.customer.select("c_custkey", "c_mktsegment"))
+    val s0 = t.spark.newSession()
+    s0.conf.set("spark.sql.catalog.g157", "graft.catalog.GraftCatalog")
+    s0.conf.set("spark.sql.catalog.g157.warehouse", root)
+    s0.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    s0.conf.set("spark.sql.statistics.histogram.numBins", "100")
+    s0.sql("ANALYZE TABLE g157.db.fact COMPUTE STATISTICS FOR ALL COLUMNS")
+    s0.sql("ANALYZE TABLE g157.db.dim COMPUTE STATISTICS FOR ALL COLUMNS")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the range-probe join under CBO in its own session. The
+    // require pins what the histogram buys: the filtered fact is
+    // KNOWN-tiny, so it broadcasts under a threshold its uniformity
+    // estimate (~half the fact) dwarfs — on a 1000-executor cluster
+    // this is a shuffle of the whole dim avoided. Answer must equal
+    // the stats-blind oracle.
+    val s2 = t.spark.newSession()
+    s2.conf.set("spark.sql.catalog.g157", "graft.catalog.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.g157.warehouse", root)
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    val df = s2.sql(
+      """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g157.db.fact o JOIN g157.db.dim c ON o.o_custkey = c.c_custkey
+        |WHERE o.sk >= 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    require(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "q157: the histogram's range selectivity must plan the filtered fact " +
+        s"broadcast-side:\n${df.queryExecution.executedPlan}")
+    df
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
 }

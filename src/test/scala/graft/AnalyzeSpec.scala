@@ -69,6 +69,83 @@ class AnalyzeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("histograms: equi-height bins under the vanilla conf, math pinned") {
+    val root = Files.createTempDirectory("graft-analyze-hist").toString
+    val path = s"$root/t"
+    // 1000 rows: 900 zeros + 100 spread over [1, 100] — the skew shape
+    // NDV+uniformity mis-estimates and a histogram nails
+    Snapshot.create(spark, path,
+      spark.range(1000).select(col("id"),
+        when(col("id") < 900, 0L).otherwise(col("id") - 899).as("sk"),
+        concat(lit("s"), col("id")).as("s")))
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    spark.conf.set("spark.sql.statistics.histogram.numBins", "10")
+    try Snapshot.analyze(spark, path, Seq("sk", "s"))
+    finally {
+      spark.conf.unset("spark.sql.statistics.histogram.enabled")
+      spark.conf.unset("spark.sql.statistics.histogram.numBins")
+    }
+    val m = Snapshot.latestManifest(spark, path).get
+    // numeric columns get histograms; strings get NDVs only
+    assert(m.colHist.keySet == Set("sk") && m.colNdv.keySet == Set("sk", "s"))
+    val h = m.colHist("sk")
+    assert(h.bins.size == 10 && h.height == 100.0, s"height ${h.height}")
+    // percentile endpoints are the true min/max
+    assert(h.bins.head.lo == 0.0 && h.bins.last.hi == 100.0, h.bins.toString)
+    // 90% zeros: the first NINE bins collapse onto the zero value
+    // (lo = hi = 0, ndv <= 1); the last bin carries the spread
+    assert(h.bins.take(8).forall(b => b.lo == 0.0 && b.hi == 0.0 && b.ndv <= 1L),
+      h.bins.toString)
+    assert(h.bins.last.ndv >= 80L, s"tail-bin ndv ${h.bins.last.ndv}")
+    // bins follow rename/drop like NDVs
+    Snapshot.renameColumn(spark, path, "sk", "sk2")
+    assert(Snapshot.latestManifest(spark, path).get.colHist.keySet == Set("sk2"))
+    Snapshot.dropColumn(spark, path, "sk2")
+    assert(Snapshot.latestManifest(spark, path).get.colHist.isEmpty)
+  }
+
+  test("a histogram flips a skewed range-join's build side; the answer is identical") {
+    val wh = warehouse
+    sql("CREATE TABLE ga.db.skf (id BIGINT, sk BIGINT, v BIGINT)")
+    // 4000 rows: 3960 at sk=0, 40 spread over (0, 1000000] — a range
+    // probe into the sparse tail holds ~1% of rows; min/max uniformity
+    // says ~half
+    sql("""INSERT INTO ga.db.skf SELECT id,
+          |CASE WHEN id % 100 = 0 THEN (id % 40 + 1) * 25000 ELSE 0 END, id
+          |FROM range(4000)""".stripMargin)
+    sql("CREATE TABLE ga.db.skd (id BIGINT, w BIGINT)")
+    sql("INSERT INTO ga.db.skd SELECT id, id * 2 FROM range(4000)")
+    def planOf(histogram: Boolean): (String, Set[(Long, Long)]) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.ga", "graft.catalog.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.ga.warehouse", wh)
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // the threshold sits BETWEEN the two estimates of the filtered
+      // fact: uniformity (~thousands of rows) stays above it, the
+      // histogram's (~tens of rows) drops below it
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (8 * 1024).toString)
+      if (histogram) {
+        s2.conf.set("spark.sql.statistics.histogram.enabled", "true")
+        s2.conf.set("spark.sql.statistics.histogram.numBins", "50")
+      }
+      s2.sql("ANALYZE TABLE ga.db.skf COMPUTE STATISTICS FOR ALL COLUMNS")
+      s2.sql("ANALYZE TABLE ga.db.skd COMPUTE STATISTICS FOR ALL COLUMNS")
+      val df = s2.sql(
+        """SELECT f.id, d.w FROM ga.db.skf f JOIN ga.db.skd d ON f.id = d.id
+          |WHERE f.sk BETWEEN 500000 AND 1000000""".stripMargin)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val (without, a1) = planOf(histogram = false)
+    val (withH, a2) = planOf(histogram = true)
+    assert(a1 == a2 && a1.size == 20, s"answers must agree, got ${a1.size}/${a2.size}")
+    assert(!without.contains("BroadcastHashJoin"),
+      s"without histograms the filtered fact must look too big to broadcast:\n$without")
+    assert(withH.contains("BroadcastHashJoin"),
+      s"with histograms the range selectivity must flip the join to broadcast:\n$withH")
+  }
+
   test("NDVs follow RENAME and DROP COLUMN; registry route as SQL text") {
     val root = Files.createTempDirectory("graft-analyze-reg").toString
     val path = s"$root/t"
