@@ -154,14 +154,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   /** `VERSION AS OF v` — the analyzer hands the version string through.
     * An integer is a version number; anything else resolves as a TAG
-    * name ([[Snapshot.resolveVersionSpec]]), so `VERSION AS OF 'run1'`
-    * reads the pinned dataset by name.
+    * name or a BRANCH head ([[Snapshot.resolveReadSpec]]), so
+    * `VERSION AS OF 'run1'` reads a pinned dataset and
+    * `VERSION AS OF 'dev'` reads a writable branch, both by name.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathFor(ident)
     if (!Snapshot.isSnapshotTable(spark, path)) throw new NoSuchTableException(ident)
-    val v = Snapshot.resolveVersionSpec(spark, path, version)
-    GraftTable(fullName(ident), path, Snapshot.manifest(spark, path, v))
+    val (readPath, m) = Snapshot.resolveReadSpec(spark, path, version)
+    GraftTable(fullName(ident), readPath, m)
   }
 
   /** `TIMESTAMP AS OF ts` — epoch MICROS from the analyzer. */

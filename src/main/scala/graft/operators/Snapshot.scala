@@ -1743,6 +1743,30 @@ object Snapshot {
     }
   }
 
+  /** Resolve a READ-side `VERSION AS OF` spec to the (table path,
+    * pinned manifest) it reads: an integer or TAG resolves within this
+    * table's own log; a BRANCH name resolves to the branch table's
+    * HEAD — so `SELECT … FROM t VERSION AS OF 'dev'` is how both SQL
+    * front ends read a branch. Tags shadow branches on a name clash
+    * (createBranch refuses clashing names, so one can only arise from
+    * a tag created after the branch — the immutable pin wins).
+    */
+  def resolveReadSpec(spark: SparkSession, path: String, spec: String): (String, Manifest) = {
+    val s = spec.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+    if (s.toLongOption.isEmpty) {
+      val m = latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"not a snapshot table: $path"))
+      if (!m.tags.contains(s) && m.branches.contains(s)) {
+        val bp = branchPath(path, s)
+        return (bp, latestManifest(spark, bp).getOrElse(
+          throw new IllegalStateException(
+            s"branch '$s' is recorded but its table at $bp is missing")))
+      }
+    }
+    (path, manifest(spark, path, resolveVersionSpec(spark, path, spec)))
+  }
+
   /** ANALYZE TABLE: per-column DISTINCT-COUNT estimates committed into
     * the manifest — the cardinality input Catalyst's cost-based
     * optimizer needs for join reordering and build-side choice, which

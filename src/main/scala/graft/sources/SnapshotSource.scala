@@ -106,22 +106,23 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
     // relation, one version, repeatable scans
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "graft-snapshot: versionAsOf and timestampAsOf are mutually exclusive")
-    // versionAsOf: an integer version, or a TAG name resolved through
-    // the latest manifest's tag map — the one funnel both SQL routes'
-    // VERSION AS OF reach
-    val m = parameters.get("versionAsOf").map(Snapshot.resolveVersionSpec(spark, path, _))
+    // versionAsOf: an integer version, a TAG name, or a BRANCH name
+    // (which reads the branch table's head) — the one read funnel both
+    // SQL routes' VERSION AS OF reach
+    val (readPath, m) = parameters.get("versionAsOf")
+      .map(Snapshot.resolveReadSpec(spark, path, _))
       .orElse(parameters.get("timestampAsOf").map { raw =>
         // epoch micros, or an ISO-8601 instant like 2026-08-13T10:00:00Z
         val micros = raw.toLongOption.getOrElse(
           java.time.Instant.parse(raw).toEpochMilli * 1000L)
-        Snapshot.versionAtTimestamp(spark, path, micros).getOrElse(
+        val v = Snapshot.versionAtTimestamp(spark, path, micros).getOrElse(
           throw new IllegalArgumentException(
             s"no version of $path committed at or before $raw"))
+        (path, Snapshot.manifest(spark, path, v))
       })
-      .map(Snapshot.manifest(spark, path, _))
-      .orElse(Snapshot.latestManifest(spark, path))
+      .orElse(Snapshot.latestManifest(spark, path).map((path, _)))
       .getOrElse(throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    SnapshotSource.relationFor(spark, path, m)
+    SnapshotSource.relationFor(spark, readPath, m)
   }
 
   // ---- streaming: the commit log as a Structured Streaming source ----

@@ -138,4 +138,35 @@ class BranchSpec extends SparkSpec {
     spark.sql("ALTER TABLE gb.db.t DROP BRANCH dead")
     assert(Snapshot.latestManifest(spark, s"$wh/db/t").get.branches.isEmpty)
   }
+
+  test("VERSION AS OF 'branch' reads the branch head on both routes") {
+    val path = tmp("read")
+    Snapshot.create(spark, path, fixture(0 until 5), partitionCols = Seq("p"))
+    Snapshot.createBranch(spark, path, "dev")
+    Snapshot.append(spark, Snapshot.branchPath(path, "dev"), fixture(50 until 53))
+    // registry route
+    val reg = Map("t" -> path)
+    assert(Snapshot.sqlQuery(spark,
+      "SELECT count(*) AS n FROM t VERSION AS OF 'dev'", reg).as[Long].head() == 8L)
+    assert(Snapshot.sqlQuery(spark, "SELECT count(*) AS n FROM t", reg)
+      .as[Long].head() == 5L)
+    // a TAG with the same resolution funnel still resolves as a tag
+    Snapshot.createTag(spark, path, "pin")
+    assert(Snapshot.sqlQuery(spark,
+      "SELECT count(*) AS n FROM t VERSION AS OF 'pin'", reg).as[Long].head() == 5L)
+
+    // catalog route
+    val wh = Files.createTempDirectory("graft-branch-read-wh").toString
+    spark.conf.set("spark.sql.catalog.gbr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbr.db")
+    spark.sql("CREATE TABLE gbr.db.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gbr.db.t VALUES (1, 10)")
+    spark.sql("ALTER TABLE gbr.db.t CREATE BRANCH exp")
+    Snapshot.append(spark, Snapshot.branchPath(s"$wh/db/t", "exp"),
+      Seq((2L, 20L), (3L, 30L)).toDF("id", "v"))
+    assert(spark.sql("SELECT count(*) AS n FROM gbr.db.t VERSION AS OF 'exp'")
+      .as[Long].head() == 3L)
+    assert(spark.sql("SELECT count(*) AS n FROM gbr.db.t").as[Long].head() == 1L)
+  }
 }
