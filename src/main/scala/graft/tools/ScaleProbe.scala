@@ -47,10 +47,19 @@ object ScaleProbe {
     val ek = maxOf(events, "event_id"); val uk = maxOf(events, "user_id")
     val dk = maxOf(documents, "doc_id"); val vk = maxOf(embeddings, "vec_id")
 
-    val vowels = "aeiou"
+    // full-period alphabet (10 letters, one rotation per copy): a
+    // shorter cycle would hand copies i and i+cycle IDENTICAL text —
+    // exact twins that square the near-dup pair counts and probe a
+    // different workload
+    val letters = "aeiousrtln"
     def rot(s: String, i: Int): String = {
       val k = i % s.length; s.drop(k) + s.take(k)
     }
+    // entity names must also be copy-distinct at EDIT DISTANCE > 1 (a
+    // 1-char copy tag would leave cross-copy names one substitution
+    // apart — fuzzy joins would then match 10 copies of every
+    // neighbor, an artifact): a doubled-letter prefix costs 2 edits
+    def nameTag(i: Int): String = { val c = ('a' + i % 26).toChar; s"$c${c}_" }
 
     def scaled(df: DataFrame, shifts: Map[String, Long],
                extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
@@ -65,14 +74,17 @@ object ScaleProbe {
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     write(scaled(orders, Map("o_orderkey" -> ok, "o_custkey" -> ck)), "orders", 16)
-    write(scaled(customer, Map("c_custkey" -> ck)), "customer", 4)
-    write(scaled(part, Map("p_partkey" -> pk)), "part", 4)
-    write(scaled(supplier, Map("s_suppkey" -> sk)), "supplier", 2)
+    write(scaled(customer, Map("c_custkey" -> ck), (d, i) =>
+      d.withColumn("c_name", concat(lit(nameTag(i)), col("c_name")))), "customer", 4)
+    write(scaled(part, Map("p_partkey" -> pk), (d, i) =>
+      d.withColumn("p_name", concat(lit(nameTag(i)), col("p_name")))), "part", 4)
+    write(scaled(supplier, Map("s_suppkey" -> sk), (d, i) =>
+      d.withColumn("s_name", concat(lit(nameTag(i)), col("s_name")))), "supplier", 2)
     write(scaled(lineitem,
       Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk)), "lineitem", 32)
     write(scaled(events, Map("event_id" -> ek, "user_id" -> uk)), "events", 16)
     write(scaled(documents, Map("doc_id" -> dk), (d, i) =>
-      d.withColumn("text", translate(col("text"), vowels, rot(vowels, i)))), "documents", 16)
+      d.withColumn("text", translate(col("text"), letters, rot(letters, i)))), "documents", 16)
     write(scaled(embeddings, Map("vec_id" -> vk), (d, i) => {
       val dim = 16 // rotate within the leading window; cheap, direction-changing
       val r = i % dim
