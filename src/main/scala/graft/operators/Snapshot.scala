@@ -2673,26 +2673,70 @@ object Snapshot {
     * atomically swapped. Source ids must be unique (a duplicate would
     * fan out the join) — refused, not deduped silently.
     */
+  /** One WHEN arm of a generalized MERGE: `cond` is the arm's AND
+    * condition (None = unconditional), `set` the UPDATE assignments
+    * (None = DELETE). Insert arms are [[InsertArm]].
+    */
+  final case class WhenArm(cond: Option[Column], set: Option[Map[String, Column]])
+  final case class InsertArm(cond: Option[Column], cols: Seq[(String, Column)])
+
+  /** Back-compat single-arm entry: the original one-unconditional-arm
+    * shape, now a thin wrapper over [[mergeArmsMulti]].
+    */
   private[graft] def mergeArms(spark: SparkSession, path: String, source: DataFrame,
                                targetAlias: String, sourceAlias: String, idCol: String,
                                matchedSet: Option[Map[String, Column]],
                                matchedDelete: Boolean,
-                               insertCols: Option[Seq[(String, Column)]]): Long = {
+                               insertCols: Option[Seq[(String, Column)]]): Long =
+    mergeArmsMulti(spark, path, source, targetAlias, sourceAlias, idCol,
+      matched =
+        if (matchedDelete) Seq(WhenArm(None, None))
+        else matchedSet.map(set => WhenArm(None, Some(set))).toSeq,
+      notMatched = insertCols.map(InsertArm(None, _)).toSeq,
+      bySource = Nil)
+
+  /** Generalized MERGE: the FULL standard arm surface —
+    *
+    *  - `matched`: `WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE`,
+    *    any number, evaluated IN ORDER — the first arm whose condition
+    *    holds applies (none hold: the row passes unchanged);
+    *  - `notMatched`: `WHEN NOT MATCHED [AND cond] THEN INSERT ...`,
+    *    same first-match-wins ordering over source-only rows;
+    *  - `bySource`: `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    *    UPDATE/DELETE` over target rows with NO source match — the
+    *    sync shape ("delete/flag whatever the feed no longer carries").
+    *
+    * Conditions may reference both aliases in `matched` arms, the
+    * target alias in `bySource` arms, the source alias in `notMatched`
+    * arms (standard SQL scoping — out-of-scope columns are null there
+    * and a null condition does not fire, per WHEN semantics).
+    *
+    * Partition restriction: WITHOUT `bySource` arms only the source's
+    * partition tuples are read and swapped (the [[mergeById]]
+    * contract). A `bySource` arm is a statement about EVERY target
+    * row, so the merge reads the whole table and swaps every partition
+    * — the inherent cost of the shape, paid only when asked for.
+    */
+  private[graft] def mergeArmsMulti(spark: SparkSession, path: String, source: DataFrame,
+                                    targetAlias: String, sourceAlias: String, idCol: String,
+                                    matched: Seq[WhenArm],
+                                    notMatched: Seq[InsertArm],
+                                    bySource: Seq[WhenArm]): Long = {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val pCols = m.partitionCols
-    matchedSet.foreach { set =>
+    (matched ++ bySource).flatMap(_.set).foreach { set =>
       val bad = set.keySet.diff(schema.fieldNames.toSet)
       require(bad.isEmpty, s"merge UPDATE SET: unknown column(s) ${bad.mkString(", ")}")
       val reassigned = pCols.filter(set.contains)
       require(reassigned.isEmpty,
         s"merge UPDATE SET cannot reassign partition column(s) ${reassigned.mkString(", ")}")
     }
-    insertCols.foreach { cols =>
-      val bad = cols.map(_._1).diff(schema.fieldNames.toSeq)
+    notMatched.foreach { arm =>
+      val bad = arm.cols.map(_._1).diff(schema.fieldNames.toSeq)
       require(bad.isEmpty, s"merge INSERT: unknown column(s) ${bad.mkString(", ")}")
-      val dup = cols.map(_._1).diff(cols.map(_._1).distinct)
+      val dup = arm.cols.map(_._1).diff(arm.cols.map(_._1).distinct)
       require(dup.isEmpty, s"merge INSERT lists column(s) twice: ${dup.mkString(", ")}")
     }
     // the source is evaluated by FOUR independent jobs (duplicate-id
@@ -2707,52 +2751,86 @@ object Snapshot {
         "jobs; materialize it first (write it out, or drop the nondeterminism)")
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeArmsOn(spark, path, m, src, targetAlias, sourceAlias, idCol,
-      matchedSet, matchedDelete, insertCols, pCols, schema)
+      matched, notMatched, bySource, pCols, schema)
     finally src.unpersist()
   }
 
   private def mergeArmsOn(spark: SparkSession, path: String, m: Manifest,
                           source: DataFrame, targetAlias: String, sourceAlias: String,
-                          idCol: String, matchedSet: Option[Map[String, Column]],
-                          matchedDelete: Boolean, insertCols: Option[Seq[(String, Column)]],
+                          idCol: String, matched: Seq[WhenArm],
+                          notMatched: Seq[InsertArm], bySource: Seq[WhenArm],
                           pCols: Seq[String], schema: StructType): Long = {
     require(source.select(idCol).groupBy(idCol).count()
         .where(col("count") > 1).limit(1).isEmpty,
       s"merge source has duplicate $idCol values; a duplicate would fan out the join")
-    // unpartitioned targets take the whole-table tier (no restriction
-    // possible); partitioned ones swap only the source's tuples
+    // unpartitioned targets take the whole-table tier; partitioned ones
+    // swap only the source's tuples — UNLESS a BY SOURCE arm speaks
+    // about every target row, which pulls the whole table into scope
+    val restrict = bySource.isEmpty && pCols.nonEmpty
     val (affectedRaw, affectedFiles) =
-      if (pCols.isEmpty) (Set.empty[Map[String, String]], m.files)
-      else affectedPartitions(spark, m, source, pCols)
+      if (restrict) affectedPartitions(spark, m, source, pCols)
+      else (Set.empty[Map[String, String]], m.files)
     val t = readFiles(spark, path, m, Some(affectedFiles)).alias(targetAlias)
     val s = source.alias(sourceAlias)
     val joined = t.join(s, t(idCol) === s(idCol), "left")
     val isMatched = s(idCol).isNotNull
+    // first-applicable-arm index per row side: a when(...).otherwise
+    // chain evaluates in declaration order — exactly the standard's
+    // first-match-wins arm semantics; a NULL condition does not fire
+    def armIdx(arms: Seq[WhenArm], base: Column): Column =
+      arms.zipWithIndex.reverse.foldLeft(lit(-1): Column) { case (els, (arm, i)) =>
+        when(base && coalesce(arm.cond.getOrElse(lit(true)), lit(false)), lit(i))
+          .otherwise(els)
+      }
+    val mIdx = armIdx(matched, isMatched)
+    val bIdx = armIdx(bySource, !isMatched)
+    val mDeletes = matched.zipWithIndex.collect { case (WhenArm(_, None), i) => i }
+    val bDeletes = bySource.zipWithIndex.collect { case (WhenArm(_, None), i) => i }
+    val keep =
+      (if (mDeletes.isEmpty) lit(true) else !mIdx.isin(mDeletes: _*)) &&
+        (if (bDeletes.isEmpty) lit(true) else !bIdx.isin(bDeletes: _*))
     val targetCols = schema.fields.toSeq.map { f =>
-      matchedSet.flatMap(_.get(f.name))
-        .map(v => when(isMatched, v.cast(f.dataType)).otherwise(t(f.name)).as(f.name))
-        .getOrElse(t(f.name).as(f.name))
+      val chains =
+        matched.zipWithIndex.collect {
+          case (WhenArm(_, Some(set)), i) if set.contains(f.name) =>
+            (mIdx === i) -> set(f.name).cast(f.dataType)
+        } ++ bySource.zipWithIndex.collect {
+          case (WhenArm(_, Some(set)), i) if set.contains(f.name) =>
+            (bIdx === i) -> set(f.name).cast(f.dataType)
+        }
+      chains.foldRight(t(f.name): Column) { case ((c, v), els) =>
+        when(c, v).otherwise(els)
+      }.as(f.name)
     }
-    val survivors =
-      (if (matchedDelete) joined.where(!isMatched) else joined).select(targetCols: _*)
-    val inserts = insertCols match {
-      case None => None
-      case Some(cols) =>
-        val byName = cols.toMap
-        // SQL INSERT semantics: unlisted columns take their declared
-        // DEFAULT when one exists, else null
-        Some(s.join(t, s(idCol) === t(idCol), "left_anti")
-          .select(schema.fields.toSeq.map { f =>
-            byName.get(f.name).map(_.cast(f.dataType).as(f.name))
-              .orElse(m.colDefault.get(f.name).map(d =>
-                expr(d).cast(f.dataType).as(f.name)))
-              .getOrElse(lit(null).cast(f.dataType).as(f.name))
-          }: _*))
-    }
+    val survivors = joined.where(keep).select(targetCols: _*)
+    val inserts =
+      if (notMatched.isEmpty) None
+      else {
+        val sOnly = s.join(t, s(idCol) === t(idCol), "left_anti")
+        val iIdx = notMatched.zipWithIndex.reverse.foldLeft(lit(-1): Column) {
+          case (els, (arm, i)) =>
+            when(coalesce(arm.cond.getOrElse(lit(true)), lit(false)), lit(i)).otherwise(els)
+        }
+        // SQL INSERT semantics per arm: unlisted columns take their
+        // declared DEFAULT when one exists, else null
+        val cols = schema.fields.toSeq.map { f =>
+          val fallback = m.colDefault.get(f.name)
+            .map(d => expr(d).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType))
+          notMatched.zipWithIndex.collect {
+            case (arm, i) if arm.cols.exists(_._1 == f.name) =>
+              (iIdx === i) -> arm.cols.find(_._1 == f.name).get._2.cast(f.dataType)
+          }.foldRight(fallback) { case ((c, v), els) => when(c, v).otherwise(els) }
+            .as(f.name)
+        }
+        Some(sOnly.where(iIdx >= 0).select(cols: _*))
+      }
     val replacement = inserts.fold(survivors)(survivors.unionByName(_))
     if (pCols.isEmpty) replaceWholeTableOn(spark, path, m, replacement)
-    else replacePartitionsOn(spark, path, m, replacement, dropOld = affectedRaw.contains,
-      op = "MERGE")
+    else if (restrict)
+      replacePartitionsOn(spark, path, m, replacement, dropOld = affectedRaw.contains,
+        op = "MERGE")
+    else replacePartitionsOn(spark, path, m, replacement, dropOld = _ => true, op = "MERGE")
   }
 
   // --------------------------------------------------- row-level DML

@@ -861,8 +861,6 @@ object SnapshotSql {
                     tables: Map[String, String]): Long = {
     val (tNames, path) = resolveTable(m.targetTable, tables)
     val (sNames, source) = resolveSource(spark, m.sourceTable, tables)
-    require(m.notMatchedBySourceActions.isEmpty,
-      "Snapshot.sql MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
     // WITH SCHEMA EVOLUTION: source columns the target lacks become a
     // metadata-only ADD COLUMNS commit before the merge — the standard
     // lakehouse evolving-upsert, and on this engine exactly the ALTER a
@@ -888,7 +886,7 @@ object SnapshotSql {
         s"Snapshot.sql MERGE: ON must be target.<id> = source.<id>, got ${other.sql}")
     }
 
-    (m.matchedActions, m.notMatchedActions) match {
+    (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
       // star/star: whole-row replace — mergeById's exact semantics,
       // restricted to the partition TUPLES present in the source.
       // assertIdsLocal: SQL users have not opted into the Scala API's
@@ -896,47 +894,60 @@ object SnapshotSql {
       // tuple moved would otherwise duplicate its id silently; the
       // probe (one id-column semi-join over unaffected partitions)
       // refuses loudly instead.
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
         val mf = Snapshot.latestManifest(spark, path).getOrElse(
           throw new IllegalArgumentException(s"not a snapshot table: $path"))
         Snapshot.mergeByIdPartitioned(spark, path, source, idCol, mf.partitionCols,
           assertIdsLocal = true)
 
-      // explicit arms: the funnel_live.py:155-172 shape
-      case (matched, notMatched) =>
-        val (matchedSet, matchedDelete) = matched match {
-          case Seq() => (None, false)
-          case Seq(UpdateAction(None, assigns, _)) =>
-            (Some(assigns.map {
-              case Assignment(key: UnresolvedAttribute, value) =>
-                refuseSubqueries(value, "MERGE assignments")
-                singleName(key, tNames: _*) -> ColumnBridge.column(value)
-              case a => throw new IllegalArgumentException(
-                s"Snapshot.sql MERGE: unsupported assignment target ${a.key.sql}")
-            }.toMap), false)
-          case Seq(DeleteAction(None)) => (None, true)
-          case _ => throw new IllegalArgumentException(
-            "Snapshot.sql MERGE: the matched arm must be exactly one unconditional " +
-              "UPDATE SET …, UPDATE SET *, or DELETE")
+      // explicit arms, any number, each optionally conditional, plus
+      // WHEN NOT MATCHED BY SOURCE — the full standard surface
+      // (funnel_live.py:155-172 is the one-unconditional-arm special
+      // case); first-match-wins ordering handled by the engine
+      case (matched, notMatched, bySource) =>
+        val mf = Snapshot.latestManifest(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"not a snapshot table: $path"))
+        val targetCols = StructType.fromDDL(mf.schemaDdl).fieldNames.toSeq
+        def cond(c: Option[Expression], what: String): Option[Column] = c.map { e =>
+          refuseSubqueries(e, what)
+          ColumnBridge.column(e)
         }
-        val insertCols = notMatched match {
-          case Seq() => None
-          case Seq(InsertAction(None, assigns)) =>
-            Some(assigns.map {
-              case Assignment(key: UnresolvedAttribute, value) =>
-                refuseSubqueries(value, "MERGE insert values")
-                singleName(key, tNames: _*) -> ColumnBridge.column(value)
-              case a => throw new IllegalArgumentException(
-                s"Snapshot.sql MERGE: unsupported insert target ${a.key.sql}")
-            })
-          case _ => throw new IllegalArgumentException(
-            "Snapshot.sql MERGE: the not-matched arm must be exactly one unconditional " +
-              "INSERT (cols) VALUES (exprs) — or INSERT * paired with UPDATE SET *")
+        def assigns(as: Seq[Assignment], what: String): Map[String, Column] = as.map {
+          case Assignment(key: UnresolvedAttribute, value) =>
+            refuseSubqueries(value, what)
+            singleName(key, (tNames ++ sNames): _*) -> ColumnBridge.column(value)
+          case a => throw new IllegalArgumentException(
+            s"Snapshot.sql MERGE: unsupported assignment target ${a.key.sql}")
+        }.toMap
+        // SET * / INSERT * expand to the TARGET schema, each column
+        // taken from the source by name (standard star semantics)
+        def starMap: Map[String, Column] =
+          targetCols.map(c => c -> col(s"${sNames.last}.$c")).toMap
+        def whenArm(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
+                    side: String): Snapshot.WhenArm = a match {
+          case UpdateAction(c, as, _) =>
+            Snapshot.WhenArm(cond(c, s"$side conditions"),
+              Some(assigns(as, "MERGE assignments")))
+          case UpdateStarAction(c) =>
+            Snapshot.WhenArm(cond(c, s"$side conditions"), Some(starMap))
+          case DeleteAction(c) => Snapshot.WhenArm(cond(c, s"$side conditions"), None)
+          case other => throw new IllegalArgumentException(
+            s"Snapshot.sql MERGE: unsupported $side action ${other.getClass.getSimpleName}")
         }
-        Snapshot.mergeArms(spark, path, source,
+        val insertArms = notMatched.map {
+          case InsertAction(c, as) =>
+            Snapshot.InsertArm(cond(c, "INSERT conditions"),
+              assigns(as, "MERGE insert values").toSeq)
+          case InsertStarAction(c) =>
+            Snapshot.InsertArm(cond(c, "INSERT conditions"), starMap.toSeq)
+          case other => throw new IllegalArgumentException(
+            s"Snapshot.sql MERGE: unsupported not-matched action ${other.getClass.getSimpleName}")
+        }
+        Snapshot.mergeArmsMulti(spark, path, source,
           targetAlias = tNames.last, sourceAlias = sNames.last, idCol = idCol,
-          matchedSet = matchedSet, matchedDelete = matchedDelete,
-          insertCols = insertCols)
+          matched = matched.map(whenArm(_, "MATCHED")),
+          notMatched = insertArms,
+          bySource = bySource.map(whenArm(_, "NOT MATCHED BY SOURCE")))
     }
   }
 

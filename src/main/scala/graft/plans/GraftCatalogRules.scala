@@ -188,8 +188,6 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
                             notMatchedBySource, withSchemaEvolution) if m.resolved =>
       unwrapTarget(targetP) match {
         case Some((t, targetRel, _)) =>
-          if (notMatchedBySource.nonEmpty) throw new UnsupportedOperationException(
-            "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
           // WITH SCHEMA EVOLUTION needs no handling here: GraftTable
           // advertises AUTOMATIC_SCHEMA_EVOLUTION, so by the time this
           // statement is `resolved` the analyzer's own rule has already
@@ -221,9 +219,6 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
               s"graft MERGE: ON must equate one id column across the two sides, " +
                 s"got ${other.sql}")
           }
-          def refuseCondition(c: Option[Expression], arm: String): Unit =
-            c.foreach(_ => throw new UnsupportedOperationException(
-              s"graft MERGE: conditional $arm arms (WHEN ... AND <cond>) are not supported"))
           // alignment expands `UPDATE SET * / INSERT *` to per-column
           // source refs covering the whole schema — that is WHOLE-ROW
           // replace, mergeById's exact semantics (and the one shape
@@ -235,57 +230,56 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
                 k.name.equalsIgnoreCase(v.name) && sAttrs.contains(v)
               case _ => false
             } && assigns.size == targetRel.output.size
-          val wholeRowCmd: Option[LogicalPlan] = (matched, notMatched) match {
-            case (Seq(UpdateAction(None, mAssigns, _)), Seq(InsertAction(None, iAssigns)))
-                if wholeRow(mAssigns) && wholeRow(iAssigns) =>
-              val source = PlanBridge.dataFrame(session, sourceP)
-              // assertIdsLocal: SQL users have NOT opted into the
-              // id-embeds-partition contract the Scala API documents —
-              // a source row whose partition tuple moved would insert
-              // into the new partition while the old row survives
-              // (silent id duplication). The probe is one id-column
-              // semi-join over the unaffected partitions; refuse loudly
-              // when a stray id turns up.
-              Some(GraftDmlCommand(s"MERGE INTO ${t.tableName} (whole-row)",
-                sp => Snapshot.mergeByIdPartitioned(sp, t.path, source, idCol,
-                  t.manifest.partitionCols, assertIdsLocal = true)))
-            case _ => None
-          }
+          val wholeRowCmd: Option[LogicalPlan] =
+            (matched, notMatched, notMatchedBySource) match {
+              case (Seq(UpdateAction(None, mAssigns, _)), Seq(InsertAction(None, iAssigns)),
+                    Seq())
+                  if wholeRow(mAssigns) && wholeRow(iAssigns) =>
+                val source = PlanBridge.dataFrame(session, sourceP)
+                // assertIdsLocal: SQL users have NOT opted into the
+                // id-embeds-partition contract the Scala API documents —
+                // a source row whose partition tuple moved would insert
+                // into the new partition while the old row survives
+                // (silent id duplication). The probe is one id-column
+                // semi-join over the unaffected partitions; refuse loudly
+                // when a stray id turns up.
+                Some(GraftDmlCommand(s"MERGE INTO ${t.tableName} (whole-row)",
+                  sp => Snapshot.mergeByIdPartitioned(sp, t.path, source, idCol,
+                    t.manifest.partitionCols, assertIdsLocal = true)))
+              case _ => None
+            }
           wholeRowCmd.getOrElse {
-          val (matchedSet, matchedDelete) = matched match {
-            case Seq() => (None, false)
-            case Seq(UpdateAction(c, assigns, _)) =>
-              refuseCondition(c, "UPDATE")
-              (Some(assigns.map {
-                case Assignment(k: AttributeReference, v) =>
-                  k.name -> sided(v, "MERGE assignments")
-                case a => throw new UnsupportedOperationException(
-                  s"graft MERGE: unsupported assignment target ${a.key.sql}")
-              }.toMap), false)
-            case Seq(DeleteAction(c)) =>
-              refuseCondition(c, "DELETE")
-              (None, true)
-            case _ => throw new UnsupportedOperationException(
-              "graft MERGE: the matched arm must be exactly one unconditional " +
-                "UPDATE SET ... / UPDATE SET * / DELETE")
+          // the FULL standard arm surface — any number of arms per
+          // clause, each optionally conditional, plus WHEN NOT MATCHED
+          // BY SOURCE; first-match-wins ordering handled by the engine
+          def setOf(assigns: Seq[Assignment]): Map[String, Column] = assigns.map {
+            case Assignment(k: AttributeReference, v) =>
+              k.name -> sided(v, "MERGE assignments")
+            case a => throw new UnsupportedOperationException(
+              s"graft MERGE: unsupported assignment target ${a.key.sql}")
+          }.toMap
+          def whenArm(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+              : Snapshot.WhenArm = a match {
+            case UpdateAction(c, assigns, _) =>
+              Snapshot.WhenArm(c.map(sided(_, "MERGE conditions")), Some(setOf(assigns)))
+            case DeleteAction(c) =>
+              Snapshot.WhenArm(c.map(sided(_, "MERGE conditions")), None)
+            case other => throw new UnsupportedOperationException(
+              s"graft MERGE: unsupported action ${other.getClass.getSimpleName}")
           }
-          val insertCols = notMatched match {
-            case Seq() => None
-            case Seq(InsertAction(c, assigns)) =>
-              refuseCondition(c, "INSERT")
-              Some(assigns.map {
-                case Assignment(k: AttributeReference, v) =>
-                  k.name -> sided(v, "MERGE insert values")
-                case a => throw new UnsupportedOperationException(
-                  s"graft MERGE: unsupported insert target ${a.key.sql}")
-              })
-            case _ => throw new UnsupportedOperationException(
-              "graft MERGE: the not-matched arm must be exactly one unconditional INSERT")
+          val insertArms = notMatched.map {
+            case InsertAction(c, assigns) =>
+              Snapshot.InsertArm(c.map(sided(_, "MERGE conditions")),
+                setOf(assigns).toSeq)
+            case other => throw new UnsupportedOperationException(
+              s"graft MERGE: unsupported not-matched action ${other.getClass.getSimpleName}")
           }
           val source = PlanBridge.dataFrame(session, sourceP)
           GraftDmlCommand(s"MERGE INTO ${t.tableName}",
-            sp => Snapshot.mergeArms(sp, t.path, source, tAlias, sAlias, idCol,
-              matchedSet, matchedDelete, insertCols))
+            sp => Snapshot.mergeArmsMulti(sp, t.path, source, tAlias, sAlias, idCol,
+              matched = matched.map(whenArm),
+              notMatched = insertArms,
+              bySource = notMatchedBySource.map(whenArm)))
           }
         case None => m
       }

@@ -1922,6 +1922,57 @@ object LayoutPack extends QueryPack {
     df
   }
 
+  val q158 = QueryDef.staged(
+    "q158_merge_sync_by_source",
+    // oracle: the mirrored state recomputed from the raw rows — the
+    // FULL standard MERGE surface in one statement: matched rows take
+    // the feed's price, feed-only rows insert, stale rows (absent from
+    // the feed) DELETE when low-priority and flag (negate) otherwise,
+    // with first-match-wins arm ordering. An arm mis-ordered, a stale
+    // row that survived the sync, or a condition applied to the wrong
+    // side shifts a group and fails.
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0
+           |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(7 AS DECIMAL(18,2))
+           |      ELSE -CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE o_orderkey % 3 = 0
+           |   OR (o_orderkey % 5 <> 0 AND o_orderpriority <> '5-LOW')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the mirror table holds yesterday's state
+    // (keys % 5 <> 0); today's feed carries exactly keys % 3 = 0 —
+    // overlap updates, feed-only inserts, the rest is stale.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q158").toString
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    Snapshot.create(t.spark, s"$root/t",
+      base.where(col("o_orderkey") % 5 =!= 0).repartition(4),
+      partitionCols = Seq("o_orderpriority"))
+    Snapshot.create(t.spark, s"$root/s", base.where(col("o_orderkey") % 3 === 0))
+    root
+  } { (t, root: String) =>
+    // MEASURED: one statement mirrors the feed — the WHEN NOT MATCHED
+    // BY SOURCE arms pull the whole table into scope by construction
+    // (they speak about every target row), which is the inherent cost
+    // of a sync; the restricted fast path still serves every merge
+    // without them.
+    import graft.operators.Snapshot
+    val reg = Map("t" -> s"$root/t", "s" -> s"$root/s")
+    Snapshot.sql(t.spark,
+      """MERGE INTO t USING s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 7
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+        |  VALUES (s.o_orderkey, s.o_orderpriority, s.o_totalprice + 7)
+        |WHEN NOT MATCHED BY SOURCE AND t.o_orderpriority = '5-LOW' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_totalprice = -t.o_totalprice""".stripMargin,
+      reg)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }

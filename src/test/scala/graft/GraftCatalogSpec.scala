@@ -467,6 +467,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT id FROM g.db.dw").as[Int].collect().toSeq == Seq(5))
   }
 
+  test("MERGE by name: conditional arms and NOT MATCHED BY SOURCE") {
+    sql("CREATE TABLE g.db.marm (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    sql("INSERT INTO g.db.marm VALUES (1, 'odd', 10), (2, 'even', 20), (3, 'odd', 30), (4, 'even', 40)")
+    Seq((1L, "odd", 500L), (2L, "even", 5L), (9L, "odd", 90L), (8L, "even", 80L))
+      .toDF("id", "p", "v").createOrReplaceTempView("marm_src")
+    sql("""MERGE INTO g.db.marm t USING marm_src u ON t.id = u.id
+          |WHEN MATCHED AND u.v > 100 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = u.v + t.v
+          |WHEN NOT MATCHED AND u.id > 8 THEN INSERT (id, p, v) VALUES (u.id, u.p, -u.v)
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v * 10""".stripMargin)
+    // 1 deleted (u.v > 100); 2 updated to 25; 9 inserts negated; 8
+    // inserts verbatim; 3 deleted by source-absence; 4 scaled 10x
+    assert(rows(sql("SELECT id, p, v FROM g.db.marm")) ==
+      Set((2L, "even", 25L), (9L, "odd", -90L), (8L, "even", 80L), (4L, "even", 400L)))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION evolves a catalog table by name") {
     sql("CREATE TABLE g.db.sev (id BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
     sql("INSERT INTO g.db.sev VALUES (1, 'odd', 10), (2, 'even', 20), (4, 'even', 40)")

@@ -228,19 +228,58 @@ class SnapshotSqlSpec extends SparkSpec {
     }
     assert(select.getMessage.contains("DELETE / UPDATE / MERGE"))
     fixture(0 until 1).createOrReplaceTempView("src")
-    // conditional arms are not supported — must refuse, not mis-apply
-    val badMerge = intercept[IllegalArgumentException] {
-      Snapshot.sql(spark,
-        "MERGE INTO t USING src ON t.id = src.id " +
-          "WHEN MATCHED AND src.v > 1 THEN DELETE", reg)
-    }
-    assert(badMerge.getMessage.contains("unconditional"))
     val badOn = intercept[IllegalArgumentException] {
       Snapshot.sql(spark,
         "MERGE INTO t USING src ON t.id = src.v " +
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *", reg)
     }
     assert(badOn.getMessage.contains("same id column"))
+  }
+
+  test("MERGE with conditional arms: first-match-wins ordering, per arm") {
+    val dir = tmp("condarms")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    // matched ids 0..9; source carries 0..12 with v = id*100
+    (0 until 13).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i.toLong * 100))
+      .toDF("id", "p", "v").createOrReplaceTempView("arms_src")
+    Snapshot.sql(spark,
+      """MERGE INTO t USING arms_src s ON t.id = s.id
+        |WHEN MATCHED AND s.v >= 800 THEN DELETE
+        |WHEN MATCHED AND t.v < 30 THEN UPDATE SET v = s.v + 1
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED AND s.id >= 12 THEN INSERT (id, p, v) VALUES (s.id, s.p, -1)
+        |WHEN NOT MATCHED THEN INSERT (id, p, v) VALUES (s.id, s.p, s.v)""".stripMargin,
+      Map("t" -> dir))
+    // 8, 9 deleted (s.v >= 800); 0..2 (t.v < 30) -> s.v + 1; 3..7 -> s.v;
+    // 12 inserts with -1 (first insert arm); 10, 11 insert with s.v
+    val got = rows(Snapshot.read(spark, dir))
+    val want = Set[(Long, String, Long)](
+      (0L, "even", 1L), (1L, "odd", 101L), (2L, "even", 201L),
+      (3L, "odd", 300L), (4L, "even", 400L), (5L, "odd", 500L),
+      (6L, "even", 600L), (7L, "odd", 700L),
+      (10L, "even", 1000L), (11L, "odd", 1100L), (12L, "even", -1L))
+    assert(got == want, s"got $got")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the sync shape, whole-table scoped") {
+    val dir = tmp("bysource")
+    Snapshot.create(spark, dir, fixture(0 until 10), Seq("p"))
+    // the feed carries only ids 0..3 and 100: everything else is stale
+    (Seq(0L, 1L, 2L, 3L, 100L)).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 7))
+      .toDF("id", "p", "v").createOrReplaceTempView("sync_src")
+    Snapshot.sql(spark,
+      """MERGE INTO t USING sync_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, p, v) VALUES (s.id, s.p, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -t.v""".stripMargin,
+      Map("t" -> dir))
+    val got = rows(Snapshot.read(spark, dir))
+    val want = Set[(Long, String, Long)](
+      (0L, "even", 0L), (1L, "odd", 7L), (2L, "even", 14L), (3L, "odd", 21L),
+      (100L, "even", 700L), // inserted
+      (4L, "even", -40L), (5L, "odd", -50L), (6L, "even", -60L), (7L, "odd", -70L))
+    assert(got == want, s"got $got") // 8, 9 deleted by the conditional arm
   }
 
   test("a nondeterministic MERGE source refuses (evaluated in several jobs)") {
