@@ -2565,9 +2565,23 @@ object Snapshot {
     }
     val (affectedRaw, affectedFiles) = affectedPartitions(spark, m, updates, partitionCols)
     if (assertIdsLocal) {
-      val strays = readFiles(spark, path, m, Some(m.files.diff(affectedFiles)))
-        .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
-        .limit(5).collect()
+      // the moved-id probe scans only unaffected files whose manifest
+      // id-range OVERLAPS the batch's ids — on a table whose ids are
+      // time-or-range clustered (the common landing shape) the probe
+      // prices like a point lookup, not a table scan; stats-less files
+      // are kept (pruning stays an optimization)
+      val unaffected = m.files.diff(affectedFiles)
+      val bounds = updates.agg(min(col(idCol)), max(col(idCol))).head()
+      val candidates =
+        if (unaffected.isEmpty || bounds.isNullAt(0)) Seq.empty[String]
+        else SnapshotStats.prune(spark, m.copy(files = unaffected),
+          col(idCol) >= lit(bounds.get(0)) && col(idCol) <= lit(bounds.get(1)),
+          Some(path))
+      val strays =
+        if (candidates.isEmpty) Array.empty[Row]
+        else readFiles(spark, path, m, Some(candidates))
+          .join(updates.select(idCol).distinct(), Seq(idCol), "left_semi")
+          .limit(5).collect()
       require(strays.isEmpty,
         s"Snapshot.mergeById: update ids exist in unaffected partitions " +
           s"(id does not embed ${partitionCols.mkString("(", ", ", ")")}); " +
