@@ -2702,7 +2702,7 @@ object Snapshot {
                                matchedSet: Option[Map[String, Column]],
                                matchedDelete: Boolean,
                                insertCols: Option[Seq[(String, Column)]]): Long =
-    mergeArmsMulti(spark, path, source, targetAlias, sourceAlias, idCol,
+    mergeArmsMulti(spark, path, source, targetAlias, sourceAlias, Seq(idCol),
       matched =
         if (matchedDelete) Seq(WhenArm(None, None))
         else matchedSet.map(set => WhenArm(None, Some(set))).toSeq,
@@ -2732,10 +2732,12 @@ object Snapshot {
     * — the inherent cost of the shape, paid only when asked for.
     */
   private[graft] def mergeArmsMulti(spark: SparkSession, path: String, source: DataFrame,
-                                    targetAlias: String, sourceAlias: String, idCol: String,
+                                    targetAlias: String, sourceAlias: String,
+                                    idCols: Seq[String],
                                     matched: Seq[WhenArm],
                                     notMatched: Seq[InsertArm],
                                     bySource: Seq[WhenArm]): Long = {
+    require(idCols.nonEmpty, "merge: no key column")
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -2764,19 +2766,20 @@ object Snapshot {
       "merge source plan is nondeterministic — it is evaluated in several " +
         "jobs; materialize it first (write it out, or drop the nondeterminism)")
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeArmsOn(spark, path, m, src, targetAlias, sourceAlias, idCol,
+    try mergeArmsOn(spark, path, m, src, targetAlias, sourceAlias, idCols,
       matched, notMatched, bySource, pCols, schema)
     finally src.unpersist()
   }
 
   private def mergeArmsOn(spark: SparkSession, path: String, m: Manifest,
                           source: DataFrame, targetAlias: String, sourceAlias: String,
-                          idCol: String, matched: Seq[WhenArm],
+                          idCols: Seq[String], matched: Seq[WhenArm],
                           notMatched: Seq[InsertArm], bySource: Seq[WhenArm],
                           pCols: Seq[String], schema: StructType): Long = {
-    require(source.select(idCol).groupBy(idCol).count()
+    require(source.select(idCols.map(col): _*).groupBy(idCols.map(col): _*).count()
         .where(col("count") > 1).limit(1).isEmpty,
-      s"merge source has duplicate $idCol values; a duplicate would fan out the join")
+      s"merge source has duplicate ${idCols.mkString("(", ", ", ")")} values; " +
+        "a duplicate would fan out the join")
     // unpartitioned targets take the whole-table tier; partitioned ones
     // swap only the source's tuples — UNLESS a BY SOURCE arm speaks
     // about every target row, which pulls the whole table into scope
@@ -2786,8 +2789,11 @@ object Snapshot {
       else (Set.empty[Map[String, String]], m.files)
     val t = readFiles(spark, path, m, Some(affectedFiles)).alias(targetAlias)
     val s = source.alias(sourceAlias)
-    val joined = t.join(s, t(idCol) === s(idCol), "left")
-    val isMatched = s(idCol).isNotNull
+    // composite keys join on EQUALITY per column (not null-safe: a
+    // null key matches nothing, standard MERGE ON semantics)
+    val onCond = idCols.map(c => t(c) === s(c)).reduce(_ && _)
+    val joined = t.join(s, onCond, "left")
+    val isMatched = s(idCols.head).isNotNull
     // first-applicable-arm index per row side: a when(...).otherwise
     // chain evaluates in declaration order — exactly the standard's
     // first-match-wins arm semantics; a NULL condition does not fire
@@ -2820,7 +2826,7 @@ object Snapshot {
     val inserts =
       if (notMatched.isEmpty) None
       else {
-        val sOnly = s.join(t, s(idCol) === t(idCol), "left_anti")
+        val sOnly = s.join(t, idCols.map(c => s(c) === t(c)).reduce(_ && _), "left_anti")
         val iIdx = notMatched.zipWithIndex.reverse.foldLeft(lit(-1): Column) {
           case (els, (arm, i)) =>
             when(coalesce(arm.cond.getOrElse(lit(true)), lit(false)), lit(i)).otherwise(els)

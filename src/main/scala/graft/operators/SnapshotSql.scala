@@ -875,16 +875,23 @@ object SnapshotSql {
         extra.map(f => org.apache.spark.sql.types.StructField(
           f.name, f.dataType, nullable = true)).toSeq)
     }
-    val idCol = m.mergeCondition match {
+    // ON is a CONJUNCTION of same-named column equalities — one column
+    // (the id-upsert shape) or several (a composite natural key like
+    // (orderkey, linenumber)); anything richer refuses loudly
+    def keyCols(e: Expression): Seq[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => keyCols(l) ++ keyCols(r)
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         val all = tNames ++ sNames
         val (an, bn) = (singleName(a, all: _*), singleName(b, all: _*))
         require(an.equalsIgnoreCase(bn),
-          s"Snapshot.sql MERGE: ON must equate the same id column, got $an = $bn")
-        an
+          s"Snapshot.sql MERGE: ON must equate the same column across the sides, got $an = $bn")
+        Seq(an)
       case other => throw new IllegalArgumentException(
-        s"Snapshot.sql MERGE: ON must be target.<id> = source.<id>, got ${other.sql}")
+        s"Snapshot.sql MERGE: ON must be a conjunction of target.<k> = source.<k> " +
+          s"equalities, got ${other.sql}")
     }
+    val idCols = keyCols(m.mergeCondition)
+    val idCol = idCols.head
 
     (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
       // star/star: whole-row replace — mergeById's exact semantics,
@@ -894,7 +901,8 @@ object SnapshotSql {
       // tuple moved would otherwise duplicate its id silently; the
       // probe (one id-column semi-join over unaffected partitions)
       // refuses loudly instead.
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq())
+          if idCols.size == 1 =>
         val mf = Snapshot.latestManifest(spark, path).getOrElse(
           throw new IllegalArgumentException(s"not a snapshot table: $path"))
         Snapshot.mergeByIdPartitioned(spark, path, source, idCol, mf.partitionCols,
@@ -944,8 +952,12 @@ object SnapshotSql {
             s"Snapshot.sql MERGE: unsupported not-matched action ${other.getClass.getSimpleName}")
         }
         Snapshot.mergeArmsMulti(spark, path, source,
-          targetAlias = tNames.last, sourceAlias = sNames.last, idCol = idCol,
-          matched = matched.map(whenArm(_, "MATCHED")),
+          targetAlias = tNames.last, sourceAlias = sNames.last, idCols = idCols,
+          matched = matched.map { a =>
+            // star/star with a composite ON (or extra arms) routes here:
+            // whenArm expands SET * itself
+            whenArm(a, "MATCHED")
+          },
           notMatched = insertArms,
           bySource = bySource.map(whenArm(_, "NOT MATCHED BY SOURCE")))
     }

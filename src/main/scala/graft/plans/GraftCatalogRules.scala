@@ -210,15 +210,21 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
                 UnresolvedAttribute(Seq(sAlias, a.name))
             })
           }
-          val idCol = cond match {
+          // ON is a CONJUNCTION of same-named column equalities — one
+          // (the id-upsert shape) or several (a composite natural key)
+          def keyCols(e: Expression): Seq[String] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              keyCols(l) ++ keyCols(r)
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if a.name.equalsIgnoreCase(b.name) &&
                   ((tAttrs.contains(a) && sAttrs.contains(b)) ||
-                   (tAttrs.contains(b) && sAttrs.contains(a))) => a.name
+                   (tAttrs.contains(b) && sAttrs.contains(a))) => Seq(a.name)
             case other => throw new UnsupportedOperationException(
-              s"graft MERGE: ON must equate one id column across the two sides, " +
-                s"got ${other.sql}")
+              s"graft MERGE: ON must be a conjunction of same-named column " +
+                s"equalities across the two sides, got ${other.sql}")
           }
+          val idCols = keyCols(cond)
+          val idCol = idCols.head
           // alignment expands `UPDATE SET * / INSERT *` to per-column
           // source refs covering the whole schema — that is WHOLE-ROW
           // replace, mergeById's exact semantics (and the one shape
@@ -234,7 +240,7 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
             (matched, notMatched, notMatchedBySource) match {
               case (Seq(UpdateAction(None, mAssigns, _)), Seq(InsertAction(None, iAssigns)),
                     Seq())
-                  if wholeRow(mAssigns) && wholeRow(iAssigns) =>
+                  if idCols.size == 1 && wholeRow(mAssigns) && wholeRow(iAssigns) =>
                 val source = PlanBridge.dataFrame(session, sourceP)
                 // assertIdsLocal: SQL users have NOT opted into the
                 // id-embeds-partition contract the Scala API documents —
@@ -276,7 +282,7 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
           }
           val source = PlanBridge.dataFrame(session, sourceP)
           GraftDmlCommand(s"MERGE INTO ${t.tableName}",
-            sp => Snapshot.mergeArmsMulti(sp, t.path, source, tAlias, sAlias, idCol,
+            sp => Snapshot.mergeArmsMulti(sp, t.path, source, tAlias, sAlias, idCols,
               matched = matched.map(whenArm),
               notMatched = insertArms,
               bySource = notMatchedBySource.map(whenArm)))

@@ -1973,6 +1973,60 @@ object LayoutPack extends QueryPack {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q159 = QueryDef.staged(
+    "q159_composite_key_merge",
+    // oracle: the post-merge fact recomputed from the raw rows — the
+    // upsert keyed by lineitem's NATURAL composite key (orderkey,
+    // linenumber): a merge that joined on one key column alone would
+    // fan out (orderkey repeats per line) or collapse lines, shifting
+    // the rollup
+    Some("""WITH src AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    MAX(l_returnflag) AS l_returnflag,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS l_quantity
+           |  FROM lineitem GROUP BY 1, 2
+           |)
+           |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN l_orderkey % 4 = 0 AND l_linenumber <= 3
+           |      THEN l_quantity + CAST(1000 AS DECIMAL(18,2)) ELSE l_quantity END)
+           |    AS DOUBLE) AS qty
+           |FROM src GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the line-item fact keyed by its NATURAL
+    // composite key (orderkey, linenumber) — the shape single-id
+    // merges cannot express without synthesizing a surrogate. The raw
+    // synthetic lines repeat per key, so the keyed fact is the
+    // per-key rollup.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q159").toString
+    val base = t.lineitem
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("l_returnflag")).as("l_returnflag"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("l_quantity"))
+    Snapshot.create(t.spark, s"$root/t", base.repartition(4),
+      partitionCols = Seq("l_returnflag"))
+    Snapshot.create(t.spark, s"$root/s",
+      base.where(col("l_orderkey") % 4 === 0 && col("l_linenumber") <= 3)
+        .withColumn("l_quantity", col("l_quantity") + 1000))
+    root
+  } { (t, root: String) =>
+    // MEASURED: the composite-key upsert — ON joins BOTH key columns,
+    // so sibling lines of the same order stay distinct rows — then the
+    // rollup proving exactly the keyed lines took the update.
+    import graft.operators.Snapshot
+    val reg = Map("t" -> s"$root/t", "s" -> s"$root/s")
+    Snapshot.sql(t.spark,
+      """MERGE INTO t USING s
+        |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        |WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity
+        |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber, l_returnflag, l_quantity)
+        |  VALUES (s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_quantity)""".stripMargin,
+      reg)
+    Snapshot.sqlQuery(t.spark,
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }

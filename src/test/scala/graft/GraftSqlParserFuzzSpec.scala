@@ -69,6 +69,11 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
       "OPTIMIZE g.db.t FULL",
       "CREATE TABLE g.db.a SHALLOW CLONE g.db.b",
       "CREATE TABLE a SHALLOW CLONE b VERSION AS OF 4",
+      "CREATE TABLE g.db.a DEEP CLONE g.db.b",
+      "CREATE TABLE a DEEP CLONE b VERSION AS OF 'pin'",
+      "ALTER TABLE g.db.t CREATE BRANCH dev",
+      "ALTER TABLE t DROP BRANCH IF EXISTS dev",
+      "ALTER TABLE t MERGE BRANCH nightly-2026.08",
       "CREATE TABLE t FROM PARQUET '/tmp/x'",
       "CREATE TABLE t FROM PARQUET '/tmp/x' PARTITIONED BY (p, q)")
     good.foreach(s => assert(GraftSqlParser.parseMaintenance(s, delegate).isDefined,
@@ -79,7 +84,10 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
       // literals or comments the dialect lexer cannot tokenize
       "CREATE TABLE t (id INT)",
       "CREATE TABLE t AS SELECT 'shallow clone from parquet' AS s",
-      "CREATE TABLE t (id INT) -- don't shallow clone this")
+      "CREATE TABLE t (id INT) -- don't shallow clone this",
+      // vanilla ALTERs with branch-ish identifiers delegate too
+      "ALTER TABLE t ADD COLUMNS (merge_branch INT)",
+      "ALTER TABLE t RENAME COLUMN a TO create_branch")
       .foreach(s => assert(GraftSqlParser.parseMaintenance(s, delegate).isEmpty,
         s"must delegate to the session parser: $s"))
   }

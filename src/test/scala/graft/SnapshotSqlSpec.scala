@@ -233,7 +233,7 @@ class SnapshotSqlSpec extends SparkSpec {
         "MERGE INTO t USING src ON t.id = src.v " +
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *", reg)
     }
-    assert(badOn.getMessage.contains("same id column"))
+    assert(badOn.getMessage.contains("same column"))
   }
 
   test("MERGE with conditional arms: first-match-wins ordering, per arm") {
@@ -259,6 +259,32 @@ class SnapshotSqlSpec extends SparkSpec {
       (6L, "even", 600L), (7L, "odd", 700L),
       (10L, "even", 1000L), (11L, "odd", 1100L), (12L, "even", -1L))
     assert(got == want, s"got $got")
+  }
+
+  test("MERGE ON a composite key joins all key columns") {
+    val dir = tmp("compkey")
+    // natural key = (id, seq): same id with different seq are DIFFERENT rows
+    Seq((1L, 1, "a", 10L), (1L, 2, "a", 20L), (2L, 1, "b", 30L))
+      .toDF("id", "seq", "p", "v").createOrReplaceTempView("ck_base")
+    Snapshot.create(spark, dir, spark.table("ck_base"), Seq("p"))
+    Seq((1L, 2, "a", 99L), (2L, 2, "b", 42L))
+      .toDF("id", "seq", "p", "v").createOrReplaceTempView("ck_src")
+    Snapshot.sql(spark,
+      """MERGE INTO t USING ck_src s ON t.id = s.id AND t.seq = s.seq
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, seq, p, v) VALUES (s.id, s.seq, s.p, s.v)""".stripMargin,
+      Map("t" -> dir))
+    // only (1,2) matched; (1,1) untouched; (2,2) inserted
+    assert(Snapshot.read(spark, dir).select("id", "seq", "v")
+      .as[(Long, Int, Long)].collect().toSet ==
+      Set((1L, 1, 10L), (1L, 2, 99L), (2L, 1, 30L), (2L, 2, 42L)))
+    // duplicate composite keys in the source still refuse
+    Seq((1L, 1, "a", 1L), (1L, 1, "a", 2L)).toDF("id", "seq", "p", "v")
+      .createOrReplaceTempView("ck_dup")
+    val e = intercept[IllegalArgumentException](Snapshot.sql(spark,
+      """MERGE INTO t USING ck_dup s ON t.id = s.id AND t.seq = s.seq
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin, Map("t" -> dir)))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: the sync shape, whole-table scoped") {
