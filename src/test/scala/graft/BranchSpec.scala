@@ -139,6 +139,66 @@ class BranchSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, s"$wh/db/t").get.branches.isEmpty)
   }
 
+  test("branch over a vectored, column-mapped, constrained table round-trips whole") {
+    val path = tmp("meta")
+    Snapshot.create(spark, path, fixture(0 until 30), partitionCols = Seq("p"))
+    // table state with every metadata dimension active: a deletion
+    // vector, a renamed column (active mapping), a CHECK constraint
+    Snapshot.delete(spark, path, col("id") === 4, dvMaxFraction = 0.9)
+    Snapshot.renameColumn(spark, path, "v", "val")
+    Snapshot.addConstraint(spark, path, "val_nonneg", "val >= 0")
+    val preBranch = Snapshot.read(spark, path)
+      .select("id", "p", "val").as[(Long, String, Long)].collect().toSet
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    // branch sees the same state THROUGH the vector and the mapping
+    assert(Snapshot.read(spark, bPath).select("id", "p", "val")
+      .as[(Long, String, Long)].collect().toSet == preBranch)
+    // the branch enforces the inherited constraint
+    intercept[IllegalArgumentException](Snapshot.append(spark, bPath,
+      Seq((99L, "odd", -1L)).toDF("id", "p", "val")))
+    // branch-side DML: a DV delete + an update on the RENAMED column
+    Snapshot.delete(spark, bPath, col("id") === 6, dvMaxFraction = 0.9)
+    Snapshot.update(spark, bPath, col("id") === 7, Map("val" -> lit(777L)))
+    val want = preBranch.filterNot(_._1 == 6L)
+      .map { case (i, p, v) => if (i == 7L) (i, p, 777L) else (i, p, v) }
+    Snapshot.mergeBranch(spark, path, "dev")
+    // the merged parent carries the branch's DVs, mapping, constraint
+    assert(Snapshot.read(spark, path).select("id", "p", "val")
+      .as[(Long, String, Long)].collect().toSet == want)
+    val m = Snapshot.latestManifest(spark, path).get
+    assert(m.constraints.contains("val_nonneg") && m.colMap.nonEmpty)
+    intercept[IllegalArgumentException](Snapshot.append(spark, path,
+      Seq((99L, "odd", -1L)).toDF("id", "p", "val")))
+    // and maintenance on the merged parent still works (folds DVs in)
+    Snapshot.compact(spark, path, minFiles = 1)
+    assert(Snapshot.read(spark, path).select("id", "p", "val")
+      .as[(Long, String, Long)].collect().toSet == want)
+  }
+
+  test("the change feed across a MERGE BRANCH carries exactly the branch's net changes") {
+    val path = tmp("cdf")
+    Snapshot.create(spark, path, fixture(0 until 12), partitionCols = Seq("p"))
+    val vPre = Snapshot.latestVersion(spark, path).get
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    Snapshot.delete(spark, bPath, col("id") === 3)
+    Snapshot.append(spark, bPath, fixture(50 until 52))
+    Snapshot.mergeBranch(spark, path, "dev")
+    val vPost = Snapshot.latestVersion(spark, path).get
+    // unchanged parent files keep their rel paths through the merge, so
+    // the reconciled feed is the branch's TRUE row deltas — a nightly
+    // consumer of the parent sees a staged promotion as an ordinary
+    // incremental window, never a full-table rewrite
+    val feed = Snapshot.readChanges(spark, path, vPre, vPost, net = true)
+    val ins = feed.where(col("_change_type") === "insert")
+      .select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+    val del = feed.where(col("_change_type") === "delete")
+      .select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+    assert(ins == rows(fixture(50 until 52)), s"inserts: $ins")
+    assert(del == Set((3L, "odd", 30L)), s"deletes: $del")
+  }
+
   test("VERSION AS OF 'branch' reads the branch head on both routes") {
     val path = tmp("read")
     Snapshot.create(spark, path, fixture(0 until 5), partitionCols = Seq("p"))

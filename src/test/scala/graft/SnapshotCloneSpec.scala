@@ -267,6 +267,26 @@ class SnapshotCloneSpec extends SparkSpec {
     assert(Snapshot.read(spark, deep).count() == want.size + 2L)
   }
 
+  test("DEEP CLONE of a SHALLOW clone collapses external roots and outlives both sources") {
+    val a = tmp("deep-chain-a")
+    Snapshot.create(spark, a, fixture(0 until 24), partitionCols = Seq("p"))
+    val b = tmp("deep-chain-b")
+    Snapshot.shallowClone(spark, a, b) // b: all refs external into a
+    Snapshot.append(spark, b, fixture(100 until 106)) // plus b-local files
+    val want = rows(Snapshot.read(spark, b))
+    val c = tmp("deep-chain-c")
+    Snapshot.deepClone(spark, b, c)
+    val cm = Snapshot.latestManifest(spark, c).get
+    assert(cm.externalRoots.isEmpty && cm.files.forall(!_.startsWith("@")),
+      s"chained deep clone must own every byte, got ${cm.files.filter(_.startsWith("@")).take(3)}")
+    // retire BOTH upstream tables entirely
+    Snapshot.overwrite(spark, a, fixture(0 until 1))
+    Snapshot.vacuum(spark, a, keepVersions = 1, orphanGraceMs = 0L)
+    Snapshot.overwrite(spark, b, fixture(0 until 1))
+    Snapshot.vacuum(spark, b, keepVersions = 1, orphanGraceMs = 0L)
+    assert(rows(Snapshot.read(spark, c)) == want)
+  }
+
   test("DEEP CLONE as SQL text on both front ends") {
     // registry route
     val root = Files.createTempDirectory("graft-clone-deepsql").toString
