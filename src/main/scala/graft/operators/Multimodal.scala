@@ -6,15 +6,19 @@ import org.apache.spark.sql.types._
 import graft.functions.TextFns
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
-  * `binary` columns with a typed metadata struct, plus batch "decode"
+  * `binary` columns with a typed metadata struct, plus batch decode
   * over mapPartitions.
   *
-  * The decode internals are STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake features from
-  * the bytes. Everything Spark-side — schema, partitioning, the
-  * per-partition batch loop, the feature struct — is real; swapping the
-  * stub for an actual codec is a one-function change inside
-  * `decodePartition`.
+  * Two format families run FOR REAL: WAV (RIFF/PCM16) and BMP (24-bit
+  * uncompressed) are pure byte arithmetic, so [[encodeWavPcm16]] /
+  * [[decodeWavPcm16]] / [[encodeBmp24]] / [[decodeBmp24]] implement the
+  * actual containers end to end and [[decodeWavPartition]] /
+  * [[decodeBmpPartition]] run them through the distributed codec seam
+  * (oracle-gated: q160/q161 recompute the decoded features from the
+  * source rows). COMPRESSED formats (jpeg/png/mp3/…) need codec
+  * libraries this environment lacks — their decode bodies stay
+  * deterministic STUBS (`decodeBytesStub`) behind the same plumbing;
+  * swapping one in is a one-function change inside `decodePartition`.
   */
 object Multimodal {
 
@@ -114,6 +118,194 @@ object Multimodal {
       val stride = (bytes.length + maxBytes - 1) / maxBytes
       Array.tabulate((bytes.length + stride - 1) / stride)(i => bytes(i * stride))
     }
+  }
+
+  // ------------------------------------------------------ REAL codecs
+  //
+  // WAV (RIFF/PCM16 mono) and BMP (24-bit uncompressed) are pure byte
+  // arithmetic — no codec library needed — so these two formats run the
+  // decode seam FOR REAL end to end: header walk, chunk/row parsing,
+  // feature extraction, all distributed through the same mapPartitions
+  // plumbing the stubbed formats document. Compressed formats (jpeg,
+  // mp3, …) stay stubbed until a codec-backed environment exists.
+
+  /** Encode mono PCM16 samples as a RIFF/WAVE byte payload. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)  // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload: walks the chunk list (whatever order,
+    * skipping unknown chunks like LIST/fact), validates PCM16 mono, and
+    * returns (sampleRate, samples). Malformed input refuses loudly.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 44 && ascii(4) == "RIFF", "not a RIFF payload")
+    buf.getInt // declared riff length (trust the real chunk walk instead)
+    require(ascii(4) == "WAVE", "not a WAVE payload")
+    var sampleRate = -1
+    var data: Array[Short] = null
+    while (buf.remaining() >= 8) {
+      val id = ascii(4)
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(), s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          val fmtEnd = buf.position() + len
+          require(buf.getShort == 1, "not PCM audio")
+          require(buf.getShort == 1, "not mono audio")
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          require(buf.getShort == 16, "not 16-bit samples")
+          buf.position(fmtEnd)
+        case "data" =>
+          data = Array.fill(len / 2)(buf.getShort)
+          if (len % 2 == 1) buf.get // odd chunks pad one byte
+        case _ =>
+          buf.position(buf.position() + len + (len & 1)) // skip + pad
+      }
+    }
+    require(sampleRate > 0 && data != null, "WAVE payload missing fmt/data chunks")
+    (sampleRate, data)
+  }
+
+  /** Encode a 24-bit uncompressed BMP from top-down row-major RGB bytes
+    * (`rgb(i)` for i in [0, w*h*3): R,G,B per pixel). The file stores
+    * rows BOTTOM-UP in BGR with 4-byte row padding, per the format.
+    */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val rowLen = (w * 3 + 3) & ~3
+    val imgLen = rowLen * h
+    val buf = java.nio.ByteBuffer.allocate(54 + imgLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgLen)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(imgLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        buf.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR
+        x += 1
+      }
+      var pad = rowLen - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24-bit uncompressed BMP back to (width, height, top-down
+    * row-major RGB bytes). Refuses compressed or non-24bpp payloads.
+    */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && buf.get() == 'B'.toByte && buf.get() == 'M'.toByte,
+      "not a BMP payload")
+    buf.getInt; buf.getInt
+    val dataOff = buf.getInt
+    require(buf.getInt >= 40, "not a BITMAPINFOHEADER BMP")
+    val w = buf.getInt
+    val hRaw = buf.getInt
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(buf.getShort == 1, "bad BMP plane count")
+    require(buf.getShort == 24, "not a 24-bit BMP")
+    require(buf.getInt == 0, "compressed BMPs are not supported")
+    val rowLen = (w * 3 + 3) & ~3
+    require(dataOff + rowLen.toLong * h <= bytes.length, "truncated BMP pixel data")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + rowLen * (if (bottomUp) h - 1 - y else y)
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val d = (y * w + x) * 3
+        rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1); rgb(d + 2) = bytes(s) // BGR → RGB
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** REAL batch decode of WAV payloads through the mapPartitions codec
+    * seam: per row, parse the RIFF container and emit
+    * (sample_rate, n_samples, sum of squared samples) — the integer
+    * features downstream audio-quality gates key on (energy, length),
+    * engine-exact so an oracle can recompute them from the source rows.
+    */
+  def decodeWavPartition(df: DataFrame, mediaCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_sq", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, samples) = decodeWavPcm16(r.getAs[Array[Byte]](mediaIdx))
+        var sumSq = 0L
+        var i = 0
+        while (i < samples.length) { val s = samples(i).toLong; sumSq += s * s; i += 1 }
+        Row(r.get(idIdx), rate.toLong, samples.length.toLong, sumSq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL batch decode of BMP payloads: per row, parse the container
+    * and emit (width, height, per-channel byte sums) — the integer
+    * features an image-dedup/quality pass keys on.
+    */
+  def decodeBmpPartition(df: DataFrame, mediaCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = decodeBmp24(r.getAs[Array[Byte]](mediaIdx))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < rgb.length) {
+          sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+          i += 3
+        }
+        Row(r.get(idIdx), w.toLong, h.toLong, sr, sg, sb)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Frame sampling: every `stride`-th window of `frameLen` bytes.

@@ -458,5 +458,80 @@ object EnrichPack extends QueryPack {
       .orderBy("user_id", "session_start")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110, q114)
+  val q160 = QueryDef.staged(
+    "q160_wav_decode",
+    // oracle: the decoded audio features recomputed from the SOURCE
+    // rows — the gate that makes the codec REAL: per-user PCM16 WAV
+    // blobs are byte-built by the engine's own RIFF encoder, then the
+    // distributed decoder must recover the exact sample stream (count
+    // and integer energy) through header walk, chunk parse and
+    // little-endian sample decode. One flipped byte anywhere fails.
+    Some("""SELECT user_id, CAST(16000 AS BIGINT) AS sample_rate,
+           |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+           |  CAST(SUM(CAST((event_id % 30000) - 15000 AS BIGINT) *
+           |           CAST((event_id % 30000) - 15000 AS BIGINT)) AS BIGINT) AS sum_sq
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): land one WAV per user — samples derived from
+    // the user's event stream (integer-exact, so the oracle can
+    // recompute them), byte-encoded by the real RIFF writer.
+    import t.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q160").toString + "/blobs"
+    t.events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (u, it) =>
+        val samples = it.map(_._2).toArray.sorted
+          .map(e => ((e % 30000) - 15000).toShort)
+        (u, Multimodal.encodeWavPcm16(16000, samples))
+      }.toDF("user_id", "media")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the REAL distributed decode — mapPartitions codec seam,
+    // actual RIFF/PCM16 parsing per row — then the per-user feature
+    // table. At 100 TB this is the audio-quality/length gate of a
+    // speech-corpus pipeline: one pass, no shuffle until the final sort.
+    Multimodal.decodeWavPartition(t.spark.read.parquet(dir), "media", "user_id")
+      .orderBy("user_id")
+  }
+
+  val q161 = QueryDef.staged(
+    "q161_bmp_decode",
+    // oracle: the decoded image features recomputed from first
+    // principles — per-doc 24-bit BMPs with deterministic pixels are
+    // byte-built by the engine's own encoder (bottom-up BGR rows,
+    // 4-byte padding), and the distributed decoder must recover exact
+    // dimensions and per-channel sums through the container round trip.
+    Some("""WITH px AS (
+           |  SELECT d.doc_id, (d.doc_id % 9 + 8) AS w, (d.doc_id % 7 + 8) AS h, r.range AS i
+           |  FROM documents d, range(0, 672) r
+           |  WHERE r.range < (d.doc_id % 9 + 8) * (d.doc_id % 7 + 8) * 3
+           |)
+           |SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+           |  CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+           |  CAST(SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
+           |  CAST(SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_b
+           |FROM px GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): one BMP per document, pixels a pure integer
+    // function of doc_id so the oracle enumerates them in SQL.
+    import t.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q161").toString + "/blobs"
+    t.documents.select(col("doc_id").cast("long")).as[Long]
+      .map { d =>
+        val w = (d % 9 + 8).toInt
+        val h = (d % 7 + 8).toInt
+        val rgb = Array.tabulate(w * h * 3)(i => ((d * 31 + i) % 256).toByte)
+        (d, Multimodal.encodeBmp24(w, h, rgb))
+      }.toDF("doc_id", "media")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the REAL distributed BMP decode (row padding, BGR
+    // order, bottom-up flip all exercised) → per-image feature table,
+    // the image-dedup/quality front of a vision-corpus pipeline.
+    Multimodal.decodeBmpPartition(t.spark.read.parquet(dir), "media", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110, q114, q160, q161)
 }
