@@ -308,6 +308,56 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL image resize for the uncompressed format: decode the BMP,
+    * nearest-neighbor sample down so the longer edge is at most
+    * `maxEdge`, re-encode. Upscaling never happens (<= maxEdge returns
+    * the payload unchanged) — the thumbnail/normalize pass of a
+    * vision-corpus pipeline, end to end through the real container.
+    */
+  def resizeBmp24(bytes: Array[Byte], maxEdge: Int): Array[Byte] = {
+    val (w, h, rgb) = decodeBmp24(bytes)
+    if (math.max(w, h) <= maxEdge) return bytes
+    val scale = math.max(w, h).toDouble / maxEdge
+    val nw = math.max(1, math.round(w / scale).toInt)
+    val nh = math.max(1, math.round(h / scale).toInt)
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      val sy = math.min(h - 1, (y * scale).toInt)
+      var x = 0
+      while (x < nw) {
+        val sx = math.min(w - 1, (x * scale).toInt)
+        val s = (sy * w + sx) * 3
+        val d = (y * nw + x) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp24(nw, nh, out)
+  }
+
+  /** Batch REAL resize over the same mapPartitions seam: BMP payloads
+    * come back re-encoded at thumbnail size with fresh metadata.
+    */
+  def resizeBmpPartition(df: DataFrame, mediaCol: String, idCol: String,
+                         maxEdge: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("media_resized", BinaryType),
+      StructField("meta_resized", MetaSchema)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val out = resizeBmp24(r.getAs[Array[Byte]](mediaIdx), maxEdge)
+        Row(r.get(idIdx), out, Row("bmp", out.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling: every `stride`-th window of `frameLen` bytes.
     * Expressed on the string side (binary slicing is engine-specific);
     * emits (frame_no, frame) rows. Payloads shorter than one frame yield

@@ -81,6 +81,32 @@ class MultimodalCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeBmp24(good.dropRight(10)))
   }
 
+  test("REAL BMP resize: nearest-neighbor thumbnail through the container") {
+    val (w, h) = (16, 10)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 13 + 5) % 256).toByte)
+    val bytes = Multimodal.encodeBmp24(w, h, rgb)
+    val small = Multimodal.resizeBmp24(bytes, maxEdge = 8)
+    val (nw, nh, out) = Multimodal.decodeBmp24(small)
+    assert(nw == 8 && nh == 5, s"got ${nw}x$nh")
+    // every thumbnail pixel is an exact source pixel at the scaled pos
+    val scale = 16.0 / 8
+    for (y <- 0 until nh; x <- 0 until nw; c <- 0 until 3) {
+      val s = ((math.min(h - 1, (y * scale).toInt) * w +
+        math.min(w - 1, (x * scale).toInt)) * 3 + c)
+      assert(out((y * nw + x) * 3 + c) == rgb(s), s"pixel ($x,$y,$c)")
+    }
+    // already-small payloads return unchanged (no upscale, no rewrite)
+    assert(Multimodal.resizeBmp24(small, maxEdge = 8).eq(small) ||
+      Multimodal.resizeBmp24(small, maxEdge = 8).sameElements(small))
+    // distributed: the seam emits re-encoded payloads + metadata
+    import spark.implicits._
+    val df = Seq((1L, bytes)).toDF("id", "media")
+    val row = Multimodal.resizeBmpPartition(df, "media", "id", 8).head()
+    val (rw, rh, _) = Multimodal.decodeBmp24(row.getAs[Array[Byte]]("media_resized"))
+    assert(rw == 8 && rh == 5)
+    assert(row.getStruct(2).getString(0) == "bmp")
+  }
+
   test("distributed decode recovers per-row features exactly") {
     val rows = (0L until 40L).map { i =>
       val samples = Array.tabulate(10 + i.toInt)(k => (k * 3 - i.toInt).toShort)
