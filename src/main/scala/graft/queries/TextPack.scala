@@ -372,6 +372,47 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  val q162 = QueryDef(
+    "q162_linear_quality_classifier",
+    // oracle: the same hashed-linear score recomputed token by token —
+    // the fasttext/CCNet-style quality classifier applied at corpus
+    // scale: each token hashes into a 4096-bucket weight table (weights
+    // a fixed integer function of the bucket, standing in for trained
+    // parameters shipped as a broadcast array), the document score is
+    // the INTEGER weight sum (order-free, engine-exact), and the gate
+    // keeps positive-scoring docs. A hash off by one bucket, a token
+    // split drift, or a lossy sum shifts a group and fails.
+    Some(s"""WITH scored AS (
+            |  SELECT source, lang,
+            |    CAST(COALESCE(list_sum(
+            |      [((${hash32Sql("'qw:' || t")} % 4096) * 2654435761) % 1021 - 510
+            |       for t in $toksSql]), 0) AS BIGINT) AS score
+            |  FROM documents)
+            |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            |  CAST(SUM(score) AS BIGINT) AS total_score
+            |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // Hashed linear scorer as PURE Column expressions (no UDF): one
+    // md5-derived bucket per token, an affine integer weight per
+    // bucket, an integer fold — whole-stage-codegen'd end to end. At
+    // 100 TB this is one scan, no shuffle before the final rollup; a
+    // trained model swaps the affine weight for element_at(broadcast
+    // weight array, bucket) with the same plan shape.
+    val toks = TextFns.tokens(col("text"))
+    val score = coalesce(
+      aggregate(
+        transform(toks, tok =>
+          (TextFns.hash32(concat(lit("qw:"), tok)) % 4096L) * 2654435761L % 1021L - 510L),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L)).as("score")
+    t.documents.select(col("source"), score)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("total_score"))
+      .orderBy("source")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q22, q23, q24, q25, q26, q63, q65, q91, q97, q104, q124)
+    Seq(q22, q23, q24, q25, q26, q63, q65, q91, q97, q104, q124, q162)
 }
