@@ -15,10 +15,14 @@ import graft.functions.TextFns
   * actual containers end to end and [[decodeWavPartition]] /
   * [[decodeBmpPartition]] run them through the distributed codec seam
   * (oracle-gated: q160/q161 recompute the decoded features from the
-  * source rows). COMPRESSED formats (jpeg/png/mp3/…) need codec
-  * libraries this environment lacks — their decode bodies stay
-  * deterministic STUBS (`decodeBytesStub`) behind the same plumbing;
-  * swapping one in is a one-function change inside `decodePartition`.
+  * source rows). COMPRESSED image formats (jpeg/png/gif) run for real
+  * too, via the JDK's own `javax.imageio` ([[encodeImage]] /
+  * [[decodeImage]] / [[decodeImagePartition]]; q163/q164) — PNG
+  * losslessly (feature sums oracle-gate bitwise), JPEG with exact
+  * dimensions and spec-pinned pixel determinism. Only formats the JDK
+  * ships no codec for (mp3/video) keep deterministic STUBS
+  * (`decodeBytesStub`) behind the same plumbing; swapping a real codec
+  * in is a one-function change inside `decodePartition`.
   */
 object Multimodal {
 
@@ -126,8 +130,10 @@ object Multimodal {
   // arithmetic — no codec library needed — so these two formats run the
   // decode seam FOR REAL end to end: header walk, chunk/row parsing,
   // feature extraction, all distributed through the same mapPartitions
-  // plumbing the stubbed formats document. Compressed formats (jpeg,
-  // mp3, …) stay stubbed until a codec-backed environment exists.
+  // plumbing the stubbed formats document. Compressed IMAGE formats
+  // (jpeg/png/gif) run for real too via the JDK's javax.imageio (see
+  // the JDK-backed section below); only formats the JDK ships no codec
+  // for (mp3, video) stay stubbed.
 
   /** Encode mono PCM16 samples as a RIFF/WAVE byte payload. */
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -177,9 +183,14 @@ object Multimodal {
           buf.position(fmtEnd)
         case "data" =>
           data = Array.fill(len / 2)(buf.getShort)
-          if (len % 2 == 1) buf.get // odd chunks pad one byte
+          // An odd-length data chunk leaves one orphan data byte (not a
+          // whole PCM16 sample) AND, per RIFF, a pad byte after the chunk
+          // — skip both so a following chunk parses aligned, mirroring
+          // the `len + (len & 1)` arithmetic of the generic skip branch.
+          if (len % 2 == 1) buf.position(math.min(buf.limit(), buf.position() + 2))
         case _ =>
-          buf.position(buf.position() + len + (len & 1)) // skip + pad
+          // clamp: a final odd chunk may legally omit its pad byte at EOF
+          buf.position(math.min(buf.limit(), buf.position() + len + (len & 1)))
       }
     }
     require(sampleRate > 0 && data != null, "WAVE payload missing fmt/data chunks")
@@ -353,6 +364,112 @@ object Multimodal {
       rows.map { r =>
         val out = resizeBmp24(r.getAs[Array[Byte]](mediaIdx), maxEdge)
         Row(r.get(idIdx), out, Row("bmp", out.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ------------------------------------------- JDK-backed image codecs
+  //
+  // JPEG / PNG / GIF / BMP decode via `javax.imageio.ImageIO` — part of
+  // the JDK itself, headless, zero external dependency — so the
+  // COMPRESSED image formats run the decode seam for real too. PNG is
+  // lossless: encode → decode recovers the exact pixels, so feature
+  // sums oracle-gate bitwise. JPEG is lossy: dimensions and container
+  // walk are exact (oracle-gated); pixel values are decoder-defined, so
+  // their stability is pinned by spec (same bytes → same pixels),
+  // never by the cross-engine oracle. MP3/video remain documented
+  // stubs — the JDK ships no audio/video codecs.
+
+  /** One-time JVM codec setup: ImageIO's default stream cache spills
+    * every decode through a temp FILE — a per-row disk round-trip that
+    * would dominate at scale. Memory-cache instead (payloads are
+    * row-sized by construction).
+    */
+  private lazy val imageIoReady: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode top-down row-major RGB bytes via the JDK's own writer.
+    * `format` is an ImageIO format name ("png", "jpg", "gif", "bmp").
+    */
+  def encodeImage(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    imageIoReady
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) |
+          (rgb(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload (PNG/JPEG/GIF/BMP) back to
+    * (width, height, top-down row-major RGB bytes). Wrong magic bytes
+    * and truncated streams refuse loudly — a corpus decode stage must
+    * surface corrupt rows, not fold them into features.
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    imageIoReady
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"corrupt image payload: ${e.getMessage}", e) }
+    require(img != null, "not a decodable image payload (unknown magic bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        rgb(p) = ((px >> 16) & 0xff).toByte
+        rgb(p + 1) = ((px >> 8) & 0xff).toByte
+        rgb(p + 2) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** REAL batch decode of compressed image payloads through the same
+    * mapPartitions codec seam as WAV/BMP: per row, ImageIO-decode and
+    * emit (width, height, per-channel byte sums). One pass, no shuffle;
+    * the reader is JVM-wide, so per-partition setup is the one-time
+    * [[imageIoReady]] cache pin.
+    */
+  def decodeImagePartition(df: DataFrame, mediaCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = decodeImage(r.getAs[Array[Byte]](mediaIdx))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < rgb.length) {
+          sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+          i += 3
+        }
+        Row(r.get(idIdx), w.toLong, h.toLong, sr, sg, sb)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -159,11 +159,17 @@ object Snapshot {
   /** Equi-height histogram for one column, committed by [[analyze]]
     * when `spark.sql.statistics.histogram.enabled` is on: `height` is
     * rows-per-bin at analyze time, each bin an (lo, hi] value range
-    * with its distinct-count estimate. Planner input only (range
-    * selectivity for the cost-based optimizer) — never used to answer
-    * a query.
+    * with its distinct-count estimate. `exactMin`/`exactMax` carry the
+    * TRUE endpoints in the column's native external-string form,
+    * computed by min/max in the same analyze aggregate — the bin
+    * endpoints round-trip through percentile doubles and lose integer
+    * precision beyond 2^53, so they must not be the source of a BIGINT
+    * column's catalog min/max. Planner input only (range selectivity
+    * for the cost-based optimizer) — never used to answer a query.
     */
-  final case class ColHist(height: Double, bins: Seq[HistBin])
+  final case class ColHist(height: Double, bins: Seq[HistBin],
+                           exactMin: Option[String] = None,
+                           exactMax: Option[String] = None)
   final case class HistBin(lo: Double, hi: Double, ndv: Long)
 
   /** Deletion vector for one data file: `file` is the table-relative
@@ -440,6 +446,8 @@ object Snapshot {
       hist.toSeq.sortBy(_._1).foreach { case (c, ch) =>
         val n = h.putObject(c)
         n.put("h", ch.height)
+        ch.exactMin.foreach(n.put("min", _))
+        ch.exactMax.foreach(n.put("max", _))
         val bs = n.putArray("bins")
         ch.bins.foreach { b =>
           val a = bs.addArray(); a.add(b.lo); a.add(b.hi); a.add(b.ndv)
@@ -455,7 +463,9 @@ object Snapshot {
       val bins = n.get("bins").elements().asScala.map { b =>
         HistBin(b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asLong())
       }.toSeq
-      e.getKey -> ColHist(n.get("h").asDouble(), bins)
+      e.getKey -> ColHist(n.get("h").asDouble(), bins,
+        if (n.has("min")) Some(n.get("min").asText()) else None,
+        if (n.has("max")) Some(n.get("max").asText()) else None)
     }.toMap
 
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -1593,11 +1603,34 @@ object Snapshot {
     * into the parent root (O(#dirs) metadata moves, no bytes copied —
     * same filesystem by construction), refs the branch inherited from
     * the parent collapse back to plain local refs, and one commit on
-    * the parent publishes the branch head's exact state (schema, DVs,
-    * constraints, defaults, clustering all carried). Parent history
+    * the parent publishes the branch head's state. Parent history
     * stays intact — the merge is a forward commit like any other, and
     * time travel across it works. The branch record drops in the same
     * commit; the emptied branch table is deleted after.
+    *
+    * Two safety rails on the move window (moves happen BEFORE the
+    * commit, so there is a window where moved dirs sit unreferenced
+    * under the parent):
+    *
+    *  - every moved file/dir gets its mtime bumped to NOW, so a
+    *    concurrent parent vacuum's orphan sweep (which spares anything
+    *    younger than `orphanGraceMs`) treats them exactly like any
+    *    other writer's freshly written files — without the bump a
+    *    rename preserves the branch-time mtimes and old branch files
+    *    could be reclaimed inside the window;
+    *  - if the commit loop REFUSES after the moves (the parent diverged
+    *    inside the window, or metadata conflicts), the moved dirs are
+    *    renamed BACK before the error propagates, so a refusal always
+    *    leaves the branch table fully readable.
+    *
+    * Parent METADATA-ONLY commits since the branch point (constraints,
+    * properties, defaults, generated columns, CLUSTER BY, ANALYZE
+    * stats) do not block the fast-forward — and they are not lost:
+    * each facet is three-way merged (base vs parent vs branch). A key
+    * changed on only one side carries through; the same key changed
+    * DIFFERENTLY on both sides refuses loudly (resolve on the branch,
+    * re-merge). ANALYZE stats are advisory, so they take branch-wins
+    * instead of refusing.
     */
   def mergeBranch(spark: SparkSession, path: String, name: String): Long = {
     val fs = fsFor(spark, path)
@@ -1607,13 +1640,11 @@ object Snapshot {
     val bh = latestManifest(spark, bPath).getOrElse(
       throw new IllegalArgumentException(s"mergeBranch: no branch table at $bPath"))
     // fast-forward PRE-CHECK against the current parent BEFORE anything
-    // moves: a refusal must leave the branch fully intact (the commit
-    // loop re-validates after the moves — a parent that diverges inside
-    // the window still refuses, and the moved dirs are unreferenced
-    // orphans the vacuum sweep reclaims)
-    ffCheck(spark, path, name,
-      latestManifest(spark, path).getOrElse(
-        throw new IllegalArgumentException(s"not a snapshot table: $path")))
+    // moves: a refusal here (the common case — a genuinely diverged
+    // parent) touches nothing
+    val main0 = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    ffCheck(spark, path, name, main0)
     // move the branch's LOCAL commit dirs under the parent root ONCE —
     // idempotent against the commit retry below (already-moved dirs are
     // found under the parent). Collisions are impossible by
@@ -1626,6 +1657,13 @@ object Snapshot {
       if (segs.head == "_dv" || segs.head == "_bloom") segs.take(2).mkString("/")
       else segs.head
     }
+    // grace-window parity: make every moved path look FRESHLY WRITTEN
+    // (best-effort — a filesystem without setTimes keeps rename-time
+    // mtimes, the pre-fix behavior)
+    def freshen(p: HPath): Unit =
+      try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case _: UnsupportedOperationException => }
+    val movedDirs = Seq.newBuilder[String]
     localEntries.map(baseOf).distinct.sorted.foreach { dir =>
       val from = new HPath(s"$qBranch/$dir")
       val to = new HPath(s"$qMain/$dir")
@@ -1634,9 +1672,16 @@ object Snapshot {
           s"mergeBranch: parent already has a dir named $dir — refusing to overwrite")
         if (!fs.exists(to.getParent)) fs.mkdirs(to.getParent)
         require(fs.rename(from, to), s"mergeBranch: rename $from -> $to failed")
+        movedDirs += dir
+        freshen(to)
       } else require(fs.exists(to),
         s"mergeBranch: branch dir $dir found under neither root")
     }
+    // the orphan sweep keys on individual DATA FILE mtimes inside txn
+    // dirs (DV/bloom sweeps key on the commit dir, already freshened)
+    localEntries.filterNot(r => r.startsWith("_dv/") || r.startsWith("_bloom/"))
+      .foreach(r => freshen(new HPath(s"$qMain/$r")))
+    faultHook("merge-branch-moved") // injection seam: the move→commit window
     // external refs: ones pointing back at the parent collapse to plain
     // local refs; any OTHER root (the parent was itself a clone) stays
     // external under a fresh dense alias table
@@ -1652,48 +1697,114 @@ object Snapshot {
       else s"@${aliasOf(root)}/$rel"
     }
     var attempt = 0
-    while (true) {
-      val main = latestManifest(spark, path).getOrElse(
-        throw new IllegalArgumentException(s"not a snapshot table: $path"))
-      ffCheck(spark, path, name, main)
-      try {
-        val v = commitManifest(spark, path, Manifest(
-          version = main.version + 1,
-          partitionCols = bh.partitionCols,
-          schemaDdl = bh.schemaDdl,
-          files = bh.files.map(remap),
-          stats = bh.stats.map { case (f, st) => remap(f) -> st },
-          streamBatch = main.streamBatch, // parent consumers keep their marks
-          dvs = bh.dvs.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
-          blooms = bh.blooms.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
-          colMap = bh.colMap,
-          retired = bh.retired,
-          constraints = bh.constraints,
-          generatedCols = bh.generatedCols,
-          operation = s"MERGE BRANCH $name",
-          clusterBy = bh.clusterBy,
-          properties = bh.properties -- Seq(VacuumFloorProp) ++
-            main.properties.view.filterKeys(_ == VacuumFloorProp).toMap,
-          externalRoots = aliasOf.map(_.swap),
-          tags = main.tags,                  // parent refs, not branch state
-          colNdv = bh.colNdv,
-          colHist = bh.colHist,
-          colDefault = bh.colDefault,
-          colExistsDefault = bh.colExistsDefault,
-          branches = main.branches - name))  // the record retires with the merge
-        fs.delete(new HPath(bPath), true)
-        return v
-      } catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    try {
+      while (true) {
+        val main = latestManifest(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"not a snapshot table: $path"))
+        val baseM = ffCheck(spark, path, name, main)
+        // three-way METADATA merge: a parent facet changed since the
+        // branch point must not silently vanish under the branch head's
+        // wholesale state (see Scaladoc); VacuumFloorProp stays engine-
+        // managed — the parent's current floor always wins
+        val props = mergeMeta("table property", baseM.properties -- Seq(VacuumFloorProp),
+          main.properties -- Seq(VacuumFloorProp), bh.properties -- Seq(VacuumFloorProp)) ++
+          main.properties.view.filterKeys(_ == VacuumFloorProp).toMap
+        val cons = mergeMeta("CHECK constraint", baseM.constraints,
+          main.constraints, bh.constraints)
+        val gens = mergeMeta("generated column", baseM.generatedCols,
+          main.generatedCols, bh.generatedCols)
+        val defs = mergeMeta("column DEFAULT", baseM.colDefault,
+          main.colDefault, bh.colDefault)
+        val exDefs = mergeMeta("column existence default", baseM.colExistsDefault,
+          main.colExistsDefault, bh.colExistsDefault)
+        val cluster =
+          if (main.clusterBy == baseM.clusterBy) bh.clusterBy
+          else if (bh.clusterBy == baseM.clusterBy) main.clusterBy
+          else if (main.clusterBy == bh.clusterBy) bh.clusterBy
+          else throw new IllegalArgumentException(
+            "mergeBranch: CLUSTER BY changed on both the parent and the branch " +
+              s"since the branch point (parent=${main.clusterBy.mkString(",")}, " +
+              s"branch=${bh.clusterBy.mkString(",")}); resolve on the branch first")
+        // ANALYZE stats are advisory planner input — branch wins on a
+        // both-sides change, parent-side-only updates carry through
+        val ndv = mergeMeta("", baseM.colNdv, main.colNdv, bh.colNdv, adviseOnly = true)
+        val hist = mergeMeta("", baseM.colHist, main.colHist, bh.colHist, adviseOnly = true)
+        try {
+          val v = commitManifest(spark, path, Manifest(
+            version = main.version + 1,
+            partitionCols = bh.partitionCols,
+            schemaDdl = bh.schemaDdl,
+            files = bh.files.map(remap),
+            stats = bh.stats.map { case (f, st) => remap(f) -> st },
+            streamBatch = main.streamBatch, // parent consumers keep their marks
+            dvs = bh.dvs.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+            blooms = bh.blooms.map { case (f, r) => remap(f) -> r.copy(file = remap(r.file)) },
+            colMap = bh.colMap,
+            retired = bh.retired,
+            constraints = cons,
+            generatedCols = gens,
+            operation = s"MERGE BRANCH $name",
+            clusterBy = cluster,
+            properties = props,
+            externalRoots = aliasOf.map(_.swap),
+            tags = main.tags,                  // parent refs, not branch state
+            colNdv = ndv,
+            colHist = hist,
+            colDefault = defs,
+            colExistsDefault = exDefs,
+            branches = main.branches - name))  // the record retires with the merge
+          fs.delete(new HPath(bPath), true)
+          return v
+        } catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+      }
+      -1L // unreachable
+    } catch {
+      case e: Throwable =>
+        // a refusal AFTER the moves (in-window parent divergence,
+        // metadata conflict, commit-retry exhaustion) must leave the
+        // branch fully intact: undo the moves before propagating
+        movedDirs.result().foreach { dir =>
+          val from = new HPath(s"$qMain/$dir")
+          val back = new HPath(s"$qBranch/$dir")
+          if (fs.exists(from) && !fs.exists(back)) {
+            if (!fs.exists(back.getParent)) fs.mkdirs(back.getParent)
+            fs.rename(from, back)
+          }
+        }
+        throw e
     }
-    -1L // unreachable
+  }
+
+  /** Three-way metadata merge for [[mergeBranch]]: per key, a side that
+    * changed the value since the branch point wins over one that did
+    * not; both sides changed differently → refuse (or branch-wins when
+    * `adviseOnly`, for advisory stats). Deletions count as changes.
+    */
+  private def mergeMeta[V](facet: String, base: Map[String, V],
+                           parent: Map[String, V], branch: Map[String, V],
+                           adviseOnly: Boolean = false): Map[String, V] = {
+    (base.keySet ++ parent.keySet ++ branch.keySet).iterator.flatMap { k =>
+      val b = base.get(k); val p = parent.get(k); val br = branch.get(k)
+      val chosen =
+        if (p == b) br                       // parent untouched: branch state stands
+        else if (br == b || p == br) p       // branch untouched (or same change): parent's
+        else if (adviseOnly) br
+        else throw new IllegalArgumentException(
+          s"mergeBranch: $facet '$k' changed on BOTH the parent and the branch " +
+            s"since the branch point (parent=${p.getOrElse("<dropped>")}, " +
+            s"branch=${br.getOrElse("<dropped>")}); resolve on the branch and re-merge")
+      chosen.map(k -> _)
+    }.toMap
   }
 
   /** Fast-forward precondition on CONTENT: the parent's live state must
     * still be the branch point's (metadata-only commits — tags, other
-    * branch records, ANALYZE, properties — do not block).
+    * branch records, ANALYZE, properties — do not block; their deltas
+    * are three-way merged by the caller). Returns the BASE manifest so
+    * the caller can compute those deltas without a second read.
     */
   private def ffCheck(spark: SparkSession, path: String, name: String,
-                      main: Manifest): Unit = {
+                      main: Manifest): Manifest = {
     val base = main.branches.getOrElse(name, throw new IllegalArgumentException(
       s"mergeBranch: no such branch '$name' " +
         s"(have: ${main.branches.keys.toSeq.sorted.mkString(", ")})"))
@@ -1702,6 +1813,7 @@ object Snapshot {
       main.schemaDdl == baseM.schemaDdl && main.colMap == baseM.colMap,
       s"mergeBranch: the parent diverged since the branch point v$base " +
         "(content changed); re-branch from the current head and replay, or drop")
+    baseM
   }
 
   /** DROP TAG: releases the pin — the version becomes reclaimable by
@@ -1829,7 +1941,11 @@ object Snapshot {
       histTargets.flatMap(c => Seq(
         count(col(c)).as(s"__n_$c"), // non-null rows: the height basis
         percentile_approx(col(c).cast("double"),
-          array(percentiles.map(lit): _*), lit(10000)).as(s"__pct_$c")))
+          array(percentiles.map(lit): _*), lit(10000)).as(s"__pct_$c"),
+        // exact endpoints in the NATIVE type, stringified before any
+        // double round-trip — a BIGINT beyond 2^53 must survive intact
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
     val row = read(spark, path).agg(aggs.head, aggs.tail: _*).head()
     val measured = targets.map(c => c -> row.getAs[Long](s"__ndv_$c")).toMap
     val boundsOf = histTargets.flatMap { c =>
@@ -1859,7 +1975,9 @@ object Snapshot {
         boundsOf.zipWithIndex.map { case ((c, (bounds, nonNull)), i) =>
           val bins = (0 until numBins).map(j => HistBin(bounds(j), bounds(j + 1),
             binNdv.getOrElse((i, j), 0L)))
-          c -> ColHist(nonNull.toDouble / numBins, bins)
+          c -> ColHist(nonNull.toDouble / numBins, bins,
+            Option(row.getAs[String](s"__min_$c")),
+            Option(row.getAs[String](s"__max_$c")))
         }.toMap
       }
     var attempt = 0

@@ -449,10 +449,16 @@ object GraftNativeReads {
         org.apache.spark.sql.catalyst.plans.logical.Histogram(h.height,
           h.bins.map(b => org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
             b.lo, b.hi, b.ndv)).toArray))
+      // prefer the analyze-time EXACT endpoints (native-type strings —
+      // immune to the 2^53 double round-trip); percentile bin endpoints
+      // are only the fallback for pre-exact-endpoint manifests
+      val exact = m.colHist.get(c)
       c -> CatalogColumnStat(
         distinctCount = Some(BigInt(ndv)),
-        min = hist.flatMap(h => h.bins.headOption.flatMap(b => extString(c, b.lo))),
-        max = hist.flatMap(h => h.bins.lastOption.flatMap(b => extString(c, b.hi))),
+        min = exact.flatMap(_.exactMin)
+          .orElse(hist.flatMap(h => h.bins.headOption.flatMap(b => extString(c, b.lo)))),
+        max = exact.flatMap(_.exactMax)
+          .orElse(hist.flatMap(h => h.bins.lastOption.flatMap(b => extString(c, b.hi)))),
         histogram = hist)
     }
     val parts = t.tableName.split('.')

@@ -104,6 +104,35 @@ class AnalyzeSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, path).get.colHist.isEmpty)
   }
 
+  test("BIGINT endpoints beyond 2^53 survive ANALYZE exactly (no double round-trip)") {
+    val root = Files.createTempDirectory("graft-analyze-big").toString
+    val path = s"$root/t"
+    // endpoints that a double CANNOT represent: 2^60 ± odd offsets —
+    // percentile bins round-trip through doubles and land on the
+    // nearest representable value, so only the exact min/max aggregate
+    // can give the CBO the true endpoints
+    val lo = -(1L << 60) - 1L
+    val hi = (1L << 60) + 3L
+    Snapshot.create(spark, path,
+      spark.range(100).select(col("id"),
+        when(col("id") === 0, lo).when(col("id") === 99, hi)
+          .otherwise(col("id")).as("big")))
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    spark.conf.set("spark.sql.statistics.histogram.numBins", "4")
+    try Snapshot.analyze(spark, path, Seq("big"))
+    finally {
+      spark.conf.unset("spark.sql.statistics.histogram.enabled")
+      spark.conf.unset("spark.sql.statistics.histogram.numBins")
+    }
+    val h = Snapshot.latestManifest(spark, path).get.colHist("big")
+    assert(h.exactMin.contains(lo.toString) && h.exactMax.contains(hi.toString),
+      s"exact endpoints: ${h.exactMin}/${h.exactMax}")
+    // and the doubles in the bins really are lossy here — the exact
+    // fields are not redundant
+    assert(h.bins.head.lo.toLong != lo || h.bins.last.hi.toLong != hi,
+      "test premise: the double endpoints must be unable to carry these values")
+  }
+
   test("a histogram flips a skewed range-join's build side; the answer is identical") {
     val wh = warehouse
     sql("CREATE TABLE ga.db.skf (id BIGINT, sk BIGINT, v BIGINT)")

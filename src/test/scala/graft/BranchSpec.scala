@@ -229,4 +229,109 @@ class BranchSpec extends SparkSpec {
       .as[Long].head() == 3L)
     assert(spark.sql("SELECT count(*) AS n FROM gbr.db.t").as[Long].head() == 1L)
   }
+
+  test("a concurrent parent vacuum inside the merge window cannot reclaim moved branch files") {
+    val path = tmp("vacuum-window")
+    Snapshot.create(spark, path, fixture(0 until 10), partitionCols = Seq("p"))
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    Snapshot.append(spark, bPath, fixture(50 until 55))
+    // age every branch file past the vacuum grace window — rename
+    // preserves mtimes, so without the merge-time freshening the moved
+    // dirs would sit under the parent looking like hour-old orphans
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(bPath)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    // inject a parent vacuum EXACTLY in the move→commit window; its
+    // live-set snapshot predates the merge commit, so only the grace
+    // window protects the moved files
+    var fired = false
+    Snapshot.faultHook = stage => if (stage == "merge-branch-moved" && !fired) {
+      fired = true
+      Snapshot.vacuum(spark, path, keepVersions = 10, orphanGraceMs = 3600 * 1000L)
+    }
+    try Snapshot.mergeBranch(spark, path, "dev")
+    finally Snapshot.faultHook = _ => ()
+    assert(fired, "the injected vacuum must have run inside the window")
+    // every branch row survived the in-window sweep
+    assert(rows(Snapshot.read(spark, path)) ==
+      rows(fixture(0 until 10)) ++ rows(fixture(50 until 55)))
+  }
+
+  test("an in-window parent divergence refuses AND leaves the branch fully readable") {
+    val path = tmp("window-refusal")
+    Snapshot.create(spark, path, fixture(0 until 10), partitionCols = Seq("p"))
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    Snapshot.append(spark, bPath, fixture(50 until 55))
+    // parent CONTENT moves between the pre-check and the commit: the
+    // merge must refuse, and the refusal must move the dirs back
+    var fired = false
+    Snapshot.faultHook = stage => if (stage == "merge-branch-moved" && !fired) {
+      fired = true
+      Snapshot.append(spark, path, fixture(90 until 92))
+    }
+    val e = try intercept[IllegalArgumentException](Snapshot.mergeBranch(spark, path, "dev"))
+    finally Snapshot.faultHook = _ => ()
+    assert(fired && e.getMessage.contains("diverged"), e.getMessage)
+    // the branch is fully intact and READABLE after the refusal (the
+    // moved dirs were renamed back, not left stranded under the parent)
+    assert(rows(Snapshot.read(spark, bPath)) ==
+      rows(fixture(0 until 10)) ++ rows(fixture(50 until 55)))
+    assert(rows(Snapshot.read(spark, path)) ==
+      rows(fixture(0 until 10)) ++ rows(fixture(90 until 92)))
+    // and the refusal is recoverable: re-branch-free retry path — drop
+    // and the parent's state stands
+    Snapshot.dropBranch(spark, path, "dev")
+    assert(Snapshot.latestManifest(spark, path).get.branches.isEmpty)
+  }
+
+  test("parent metadata-only commits since the branch point survive the merge") {
+    val path = tmp("meta-merge")
+    Snapshot.create(spark, path, fixture(0 until 10), partitionCols = Seq("p"))
+    Snapshot.setProperties(spark, path, Map("team.owner" -> "corpus"))
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    Snapshot.append(spark, bPath, fixture(50 until 52))
+    // metadata-only commits on the PARENT after the branch point
+    Snapshot.addConstraint(spark, path, "v_nonneg", "v >= 0")
+    Snapshot.setProperties(spark, path, Map("retention.days" -> "30"))
+    // and a branch-side property change on a DIFFERENT key
+    Snapshot.setProperties(spark, bPath, Map("build.note" -> "nightly-42"))
+    Snapshot.mergeBranch(spark, path, "dev")
+    val m = Snapshot.latestManifest(spark, path).get
+    assert(m.constraints.get("v_nonneg").contains("v >= 0"),
+      "parent's post-branch CHECK constraint must survive the merge")
+    assert(m.properties.get("retention.days").contains("30"),
+      "parent's post-branch property must survive the merge")
+    assert(m.properties.get("build.note").contains("nightly-42"),
+      "branch-side property must survive too")
+    assert(m.properties.get("team.owner").contains("corpus"))
+    // the carried-through constraint ENFORCES on the merged table
+    intercept[IllegalArgumentException](Snapshot.append(spark, path,
+      Seq((99L, "odd", -1L)).toDF("id", "p", "v")))
+  }
+
+  test("the same metadata key changed differently on both sides refuses loudly") {
+    val path = tmp("meta-conflict")
+    Snapshot.create(spark, path, fixture(0 until 6), partitionCols = Seq("p"))
+    Snapshot.setProperties(spark, path, Map("quality.bar" -> "baseline"))
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    Snapshot.append(spark, bPath, fixture(50 until 52))
+    Snapshot.setProperties(spark, path, Map("quality.bar" -> "strict"))
+    Snapshot.setProperties(spark, bPath, Map("quality.bar" -> "lenient"))
+    val e = intercept[IllegalArgumentException](Snapshot.mergeBranch(spark, path, "dev"))
+    assert(e.getMessage.contains("quality.bar") && e.getMessage.contains("BOTH"),
+      e.getMessage)
+    // the refusal left both sides readable (dirs moved back)
+    assert(Snapshot.read(spark, bPath).count() == 8)
+    assert(Snapshot.read(spark, path).count() == 6)
+    // resolving ON THE BRANCH (adopting the parent's value) unblocks
+    Snapshot.setProperties(spark, bPath, Map("quality.bar" -> "strict"))
+    Snapshot.mergeBranch(spark, path, "dev")
+    assert(Snapshot.latestManifest(spark, path).get
+      .properties.get("quality.bar").contains("strict"))
+  }
 }
