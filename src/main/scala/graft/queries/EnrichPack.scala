@@ -533,5 +533,78 @@ object EnrichPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110, q114, q160, q161)
+  val q163 = QueryDef.staged(
+    "q163_png_decode",
+    // oracle: PNG is LOSSLESS, so the decoded pixel features recompute
+    // from first principles exactly — per-doc PNGs with deterministic
+    // pixels are encoded by the JDK's own ImageIO writer, and the
+    // distributed ImageIO decode must recover exact dimensions and
+    // per-channel sums through the real zlib/filter round trip. One
+    // wrong pixel anywhere fails the hash.
+    Some("""WITH px AS (
+           |  SELECT d.doc_id, (d.doc_id % 11 + 6) AS w, (d.doc_id % 5 + 6) AS h, r.range AS i
+           |  FROM documents d, range(0, 510) r
+           |  WHERE r.range < (d.doc_id % 11 + 6) * (d.doc_id % 5 + 6) * 3
+           |)
+           |SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+           |  CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 17 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+           |  CAST(SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 17 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
+           |  CAST(SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 17 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_b
+           |FROM px GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): one PNG per document, pixels a pure integer
+    // function of doc_id so the oracle enumerates them in SQL.
+    import t.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q163").toString + "/blobs"
+    t.documents.select(col("doc_id").cast("long")).as[Long]
+      .map { d =>
+        val w = (d % 11 + 6).toInt
+        val h = (d % 5 + 6).toInt
+        val rgb = Array.tabulate(w * h * 3)(i => ((d * 17 + i) % 256).toByte)
+        (d, Multimodal.encodeImage("png", w, h, rgb))
+      }.toDF("doc_id", "media")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: the REAL distributed compressed-image decode — the
+    // JDK's ImageIO through the mapPartitions codec seam — then the
+    // per-image feature table. At 100 TB this is the image-dedup /
+    // quality front of a vision-corpus pipeline over its dominant
+    // storage format: one pass, no shuffle until the final sort.
+    Multimodal.decodeImagePartition(t.spark.read.parquet(dir), "media", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q164 = QueryDef.staged(
+    "q164_jpeg_decode",
+    // oracle: JPEG is LOSSY, so the cross-engine gate is what the
+    // format defines exactly — the decoded DIMENSIONS, which prove the
+    // real container walk (SOI/SOF parsing through the JDK decoder) on
+    // every row. Pixel determinism (same bytes → same pixels, decode →
+    // re-encode → decode stability) is pinned by MultimodalCodecSpec,
+    // where one JVM's decoder output can be compared against itself.
+    Some("""SELECT doc_id,
+           |  CAST(doc_id % 8 + 16 AS BIGINT) AS width,
+           |  CAST(doc_id % 6 + 16 AS BIGINT) AS height
+           |FROM documents ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): one JPEG per document via the JDK encoder.
+    import t.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q164").toString + "/blobs"
+    t.documents.select(col("doc_id").cast("long")).as[Long]
+      .map { d =>
+        val w = (d % 8 + 16).toInt
+        val h = (d % 6 + 16).toInt
+        val rgb = Array.tabulate(w * h * 3)(i => ((d * 13 + i * 7) % 256).toByte)
+        (d, Multimodal.encodeImage("jpg", w, h, rgb))
+      }.toDF("doc_id", "media")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: real distributed JPEG decode (huffman + DCT through
+    // ImageIO), projected to the format-exact columns.
+    Multimodal.decodeImagePartition(t.spark.read.parquet(dir), "media", "doc_id")
+      .select(col("doc_id"), col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110, q114, q160, q161, q163, q164)
 }

@@ -34,6 +34,26 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(rate == 8000 && back.sameElements(Array[Short](5, -5, 7)))
   }
 
+  test("WAV odd-length DATA chunk: orphan byte + pad both skipped, later chunks align") {
+    // hand-build: data FIRST with an odd length (3 → one sample, one
+    // orphan data byte, one RIFF pad byte), then the fmt chunk — a
+    // decoder that forgets either trailing byte misaligns and never
+    // finds fmt
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 + 24)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("data".getBytes("US-ASCII")).putInt(3)
+      .putShort(42).put(9.toByte)  // one sample + orphan data byte
+      .put(0.toByte)               // RIFF pad byte for the odd chunk
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+    val payload = buf.array() ++ new Array[Byte](8) // reach the 44-byte floor
+    val (rate, back) = Multimodal.decodeWavPcm16(payload)
+    assert(rate == 16000 && back.sameElements(Array[Short](42)),
+      s"rate=$rate samples=${back.toSeq}")
+  }
+
   test("WAV refusals: stereo, 8-bit, truncated, non-RIFF") {
     val good = Multimodal.encodeWavPcm16(8000, Array[Short](1, 2, 3))
     intercept[IllegalArgumentException](
@@ -105,6 +125,66 @@ class MultimodalCodecSpec extends SparkSpec {
     val (rw, rh, _) = Multimodal.decodeBmp24(row.getAs[Array[Byte]]("media_resized"))
     assert(rw == 8 && rh == 5)
     assert(row.getStruct(2).getString(0) == "bmp")
+  }
+
+  test("PNG via the JDK codec round-trips pixels exactly (lossless)") {
+    val (w, h) = (13, 7)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 29 + 3) % 256).toByte)
+    val bytes = Multimodal.encodeImage("png", w, h, rgb)
+    // real PNG magic
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+    val (bw, bh, back) = Multimodal.decodeImage(bytes)
+    assert(bw == w && bh == h && back.sameElements(rgb))
+    // 1x1 edge
+    val one = Multimodal.encodeImage("png", 1, 1, Array[Byte](10, 20, 30))
+    assert(Multimodal.decodeImage(one)._3.sameElements(Array[Byte](10, 20, 30)))
+  }
+
+  test("JPEG via the JDK codec: exact dimensions, deterministic decode, stable re-encode") {
+    val (w, h) = (24, 18)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 7 + 11) % 256).toByte)
+    val bytes = Multimodal.encodeImage("jpg", w, h, rgb)
+    // real JFIF magic
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    val (bw, bh, px1) = Multimodal.decodeImage(bytes)
+    assert(bw == w && bh == h)
+    // lossy but DETERMINISTIC: the same bytes decode to the same pixels
+    val (_, _, px2) = Multimodal.decodeImage(bytes)
+    assert(px1.sameElements(px2))
+    // and the decode→re-encode→decode loop is stable in shape
+    val re = Multimodal.encodeImage("jpg", bw, bh, px1)
+    val (rw, rh, _) = Multimodal.decodeImage(re)
+    assert(rw == w && rh == h)
+  }
+
+  test("image refusals: unknown magic and truncated compressed streams refuse loudly") {
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImage("definitely not an image payload".getBytes))
+    val png = Multimodal.encodeImage("png", 9, 9, Array.fill(9 * 9 * 3)(7.toByte))
+    intercept[IllegalArgumentException](Multimodal.decodeImage(png.take(20)))
+    val jpg = Multimodal.encodeImage("jpg", 16, 16, Array.fill(16 * 16 * 3)(7.toByte))
+    intercept[IllegalArgumentException](Multimodal.decodeImage(jpg.take(jpg.length / 3)))
+  }
+
+  test("distributed compressed-image decode recovers per-row features exactly") {
+    val rows = (0L until 30L).map { i =>
+      val w = (i % 9 + 4).toInt
+      val h = (i % 4 + 4).toInt
+      val rgb = Array.tabulate(w * h * 3)(k => ((i * 41 + k) % 256).toByte)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (k <- rgb.indices by 3) {
+        sr += rgb(k) & 0xff; sg += rgb(k + 1) & 0xff; sb += rgb(k + 2) & 0xff
+      }
+      (i, Multimodal.encodeImage("png", w, h, rgb), w.toLong, h.toLong, sr, sg, sb)
+    }
+    val df = rows.map(r => (r._1, r._2)).toDF("id", "media").repartition(5)
+    val got = Multimodal.decodeImagePartition(df, "media", "id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    rows.foreach { case (i, _, w, h, sr, sg, sb) =>
+      assert(got(i) == ((w, h, sr, sg, sb)), s"row $i")
+    }
   }
 
   test("distributed decode recovers per-row features exactly") {
