@@ -70,10 +70,15 @@ final case class GraftTable(tableName: String, path: String, manifest: Snapshot.
         : org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 
-  // no OVERWRITE_DYNAMIC: dynamic partition overwrite has no V1 write
-  // fallback in Spark (V2Writes only builds V1 writes for append and
-  // overwrite-by-expression), so advertising it would fail at exec.
-  // Static overwrite + the Scala replacePartitions API cover the shape.
+  // no OVERWRITE_DYNAMIC capability: dynamic partition overwrite has no
+  // V1 write fallback in Spark (V2Writes only builds V1 writes for
+  // append and overwrite-by-expression), so advertising it would fail
+  // at exec in a stock session. The statement still WORKS under the
+  // engine extensions: GraftDmlCapture lifts the analyzed
+  // OverwritePartitionsDynamic plan into Snapshot.replacePartitions
+  // (one atomic commit, untouched partitions byte-identical) before
+  // the capability check runs. Stock sessions keep static overwrite +
+  // the Scala replacePartitions API, refusing dynamic mode loudly.
   //
   // AUTOMATIC_SCHEMA_EVOLUTION arms `MERGE … WITH SCHEMA EVOLUTION` on
   // the catalog route: the analyzer's own rule

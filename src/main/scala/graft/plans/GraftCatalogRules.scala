@@ -156,6 +156,27 @@ case class GraftDmlCapture(session: SparkSession) extends Rule[LogicalPlan] {
         case None => d
       }
 
+    // `INSERT OVERWRITE t SELECT …` under partitionOverwriteMode=dynamic:
+    // the analyzer plans OverwritePartitionsDynamic, for which Spark's
+    // V2Writes has NO V1 fallback — so the statement is captured whole
+    // (like UPDATE/MERGE) and routed to [[Snapshot.replacePartitions]]
+    // with `dropOld = never`: exactly the dynamic contract — replace
+    // precisely the partitions the query writes, byte-identical
+    // untouched partitions, one atomic commit. The query is already
+    // output-resolved (columns aligned to the table schema, static
+    // PARTITION values folded in as literal projections by
+    // ResolveInsertInto), and generated partition columns re-derive
+    // inside the write path like every other writer.
+    case o @ OverwritePartitionsDynamic(target, query, _, _, _)
+        if o.table.resolved && query.resolved && o.outputResolved =>
+      unwrapTarget(target) match {
+        case Some((t, _, _)) =>
+          val df = PlanBridge.dataFrame(session, query)
+          GraftDmlCommand(s"INSERT OVERWRITE ${t.tableName} (dynamic partitions)",
+            sp => Snapshot.replacePartitions(sp, t.path, df, dropOld = _ => false))
+        case None => o
+      }
+
     case u @ UpdateTable(target, assignments, cond) if u.resolved =>
       unwrapTarget(target) match {
         case Some((t, _, _)) =>

@@ -2027,6 +2027,67 @@ object LayoutPack extends QueryPack {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin, reg)
   }
 
+  val q165 = QueryDef.staged(
+    "q165_dynamic_overwrite",
+    // oracle: the table's final state recomputed from raw orders — the
+    // K2 delete-and-replace idiom as CATALOG SQL under
+    // partitionOverwriteMode=dynamic: partitions the query writes get
+    // replaced (with doubled totals, proving the NEW data landed),
+    // every other partition keeps its seeded rows. A lost partition, a
+    // full-table truncate, or an append-instead-of-replace all fail.
+    Some("""WITH final AS (
+           |  SELECT o_orderpriority, o_totalprice FROM orders
+           |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |    AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           |  UNION ALL
+           |  SELECT o_orderpriority, o_totalprice * 2 AS o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): a catalog warehouse with the source table and
+    // a partitioned destination seeded with EVERY priority's pre-1997
+    // rows — the state the dynamic overwrite must partially replace.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q165").toString
+    t.spark.conf.set("spark.sql.catalog.g165", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g165.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g165.db")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    Snapshot.create(t.spark, s"$root/db/dest",
+      t.orders.where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      partitionCols = Seq("o_orderpriority"))
+  } { (t, _: Any) =>
+    // MEASURED: the reference's delete-window-and-reload
+    // (consumo_bloques_hora delete→load) as ONE statement of catalog
+    // SQL — vanilla INSERT OVERWRITE under dynamic mode, captured from
+    // the analyzed OverwritePartitionsDynamic plan into the atomic
+    // replacePartitions commit. Untouched partitions are not rewritten
+    // (their files carry over byte-identical; DynamicOverwriteSpec
+    // pins that), so at 100 TB the cost is the written partitions,
+    // never the table.
+    val prev = t.spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    t.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try t.spark.sql(
+      """INSERT OVERWRITE g165.db.dest
+        |SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderpriority
+        |FROM g165.db.src
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin)
+    finally prev match {
+      case Some(v) => t.spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => t.spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    t.spark.table("g165.db.dest")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165)
 }
