@@ -1417,12 +1417,15 @@ object Snapshot {
     // through instead of dropping the guard
     require(!set.contains(VacuumFloorProp),
       s"setProperties: '$VacuumFloorProp' is engine-managed (committed by vacuum)")
+    require(!set.contains(BranchBaseProp),
+      s"setProperties: '$BranchBaseProp' is engine-managed (committed by REBASE BRANCH)")
     var attempt = 0
     while (true) {
       val m = latestManifest(spark, path).getOrElse(
         throw new IllegalArgumentException(s"not a snapshot table: $path"))
       val next = (m.properties -- unset) ++ set ++
-        m.properties.view.filterKeys(_ == VacuumFloorProp).toMap
+        m.properties.view.filterKeys(k =>
+          k == VacuumFloorProp || k == BranchBaseProp).toMap
       // engine-read policy keys validate where they are SET, not first
       // at the nightly OPTIMIZE that consumes them
       bloomPolicyCols(m.copy(properties = next)).foreach(_ => ())
@@ -1446,6 +1449,14 @@ object Snapshot {
     * version's stale floor.
     */
   private[graft] val VacuumFloorProp = "graft.vacuum.floor"
+
+  /** Branch-table property recording the branch's CURRENT base version
+    * on the parent — written by [[rebaseBranch]], preferred over the
+    * parent's branch record by the merge/rebase base resolution, so a
+    * crash between the rebase's branch commit and its record commit
+    * heals on re-run. Engine-managed: user property writes refuse it.
+    */
+  private[graft] val BranchBaseProp = "graft.branch.base"
 
   /** Valid tag name: identifier-shaped (letters, digits, `_`, `-`,
     * `.`), NOT all digits — an all-digit tag would be indistinguishable
@@ -1644,7 +1655,7 @@ object Snapshot {
     // parent) touches nothing
     val main0 = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    ffCheck(spark, path, name, main0)
+    ffCheck(spark, path, name, main0, bh)
     // move the branch's LOCAL commit dirs under the parent root ONCE —
     // idempotent against the commit retry below (already-moved dirs are
     // found under the parent). Collisions are impossible by
@@ -1701,13 +1712,14 @@ object Snapshot {
       while (true) {
         val main = latestManifest(spark, path).getOrElse(
           throw new IllegalArgumentException(s"not a snapshot table: $path"))
-        val baseM = ffCheck(spark, path, name, main)
+        val baseM = ffCheck(spark, path, name, main, bh)
         // three-way METADATA merge: a parent facet changed since the
         // branch point must not silently vanish under the branch head's
         // wholesale state (see Scaladoc); VacuumFloorProp stays engine-
         // managed — the parent's current floor always wins
-        val props = mergeMeta("table property", baseM.properties -- Seq(VacuumFloorProp),
-          main.properties -- Seq(VacuumFloorProp), bh.properties -- Seq(VacuumFloorProp)) ++
+        val dropProps = Seq(VacuumFloorProp, BranchBaseProp)
+        val props = mergeMeta("table property", baseM.properties -- dropProps,
+          main.properties -- dropProps, bh.properties -- dropProps) ++
           main.properties.view.filterKeys(_ == VacuumFloorProp).toMap
         val cons = mergeMeta("CHECK constraint", baseM.constraints,
           main.constraints, bh.constraints)
@@ -1747,7 +1759,9 @@ object Snapshot {
             clusterBy = cluster,
             properties = props,
             externalRoots = aliasOf.map(_.swap),
-            tags = main.tags,                  // parent refs, not branch state
+            // parent refs, not branch state; a crashed REBASE's helper
+            // pin retires with the merge
+            tags = main.tags - s"__rebase_$name",
             colNdv = ndv,
             colHist = hist,
             colDefault = defs,
@@ -1797,6 +1811,206 @@ object Snapshot {
     }.toMap
   }
 
+  /** REBASE BRANCH: replay the branch's NET file-level deltas since its
+    * branch point onto the parent's CURRENT head — the diverged-parent
+    * half of the staging workflow ([[mergeBranch]] is fast-forward-only
+    * and refuses a moved parent). After a successful rebase the branch
+    * reads as `parent head ± branch deltas` and a MERGE BRANCH
+    * fast-forwards cleanly.
+    *
+    * Pure metadata: no row is read or copied. The branch's deltas are
+    * computed from canonical (root, relative-path) file identities —
+    * files the branch ADDED carry over as-is; files it REWROTE or
+    * DELETED (incl. deletion-vector changes) drop the parent's copy;
+    * everything else re-points at the parent head's files. A file
+    * touched on BOTH sides since the branch point is a TRUE conflict
+    * and refuses loudly (re-branch and replay is the resolution), as
+    * does a schema/CLUSTER BY/metadata key changed differently on both
+    * sides ([[mergeMeta]] semantics, shared with the merge).
+    *
+    * Crash-safety: the parent head is first pinned with a helper tag
+    * (`__rebase_<name>`, arbitrated against concurrent vacuums by the
+    * createTag floor protocol), then the branch commits its rebased
+    * manifest carrying [[BranchBaseProp]] = the new base, then the
+    * parent's branch record moves to the new base and the helper tag
+    * drops. A crash between any two steps leaves both tables readable,
+    * and re-running REBASE (or running MERGE, which prefers
+    * [[BranchBaseProp]] and retires the helper tag) completes the job.
+    */
+  def rebaseBranch(spark: SparkSession, path: String, name: String): Long = {
+    val fs = fsFor(spark, path)
+    val qMain = fs.makeQualified(new HPath(path)).toString
+    val bPath = branchPath(path, name)
+    val qBranch = fsFor(spark, bPath).makeQualified(new HPath(bPath)).toString
+    val bh = latestManifest(spark, bPath).getOrElse(
+      throw new IllegalArgumentException(s"rebaseBranch: no branch table at $bPath"))
+    val main = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $path"))
+    val recorded = main.branches.getOrElse(name, throw new IllegalArgumentException(
+      s"rebaseBranch: no such branch '$name' " +
+        s"(have: ${main.branches.keys.toSeq.sorted.mkString(", ")})"))
+    val baseV = bh.properties.get(BranchBaseProp).map(_.toLong).getOrElse(recorded)
+    val baseM = manifest(spark, path, baseV)
+
+    // canonical (absolute root, root-relative path) identity for every
+    // entry, so base/parent/branch manifests compare across local vs
+    // `@alias/…` ref spellings
+    def keys(root: String, m: Manifest): Seq[(String, String)] =
+      m.files.map(fileRootRel(root, m, _))
+    def dvsOf(root: String, m: Manifest): Map[(String, String), (String, String, Long)] =
+      m.dvs.map { case (f, r) =>
+        val (dr, drel) = fileRootRel(root, m, r.file)
+        fileRootRel(root, m, f) -> ((dr, drel, r.rows))
+      }
+    def bloomsOf(root: String, m: Manifest)
+        : Map[(String, String), ((String, String), Seq[String])] =
+      m.blooms.map { case (f, r) =>
+        fileRootRel(root, m, f) -> ((fileRootRel(root, m, r.file), r.cols))
+      }
+    def statsOf(root: String, m: Manifest): Map[(String, String), SnapshotStats.FileStats] =
+      m.stats.map { case (f, st) => fileRootRel(root, m, f) -> st }
+
+    val baseFiles = keys(qMain, baseM).toSet
+    val mainKeys = keys(qMain, main)
+    val mainFiles = mainKeys.toSet
+    val bhKeys = keys(qBranch, bh)
+    val bhFiles = bhKeys.toSet
+    val baseDvs = dvsOf(qMain, baseM)
+    val mainDvs = dvsOf(qMain, main)
+    val bhDvs = dvsOf(qBranch, bh)
+
+    val branchRemoved = baseFiles -- bhFiles
+    val branchAdded = bhKeys.filterNot(baseFiles)
+    val parentRemoved = baseFiles -- mainFiles
+    def branchTouched(f: (String, String)): Boolean =
+      branchRemoved(f) || bhDvs.get(f) != baseDvs.get(f)
+    def parentTouched(f: (String, String)): Boolean =
+      parentRemoved(f) || mainDvs.get(f) != baseDvs.get(f)
+    val conflicts = baseFiles.filter(f => branchTouched(f) && parentTouched(f))
+    require(conflicts.isEmpty,
+      s"rebaseBranch: TRUE conflict — ${conflicts.size} file(s) rewritten/deleted on " +
+        s"BOTH the parent and the branch since the branch point v$baseV (e.g. " +
+        conflicts.take(3).map(_._2).mkString(", ") +
+        "); re-branch from the current head and replay")
+
+    // the schema family travels COUPLED (column mapping and retirements
+    // move with the DDL): one side changed since the base → that side's
+    // state; both changed differently → refuse. Branch files written
+    // under the base schema stay readable under a parent-evolved one
+    // through the normal machinery (new columns read null/existence
+    // default; renames remap via colMap's physical names).
+    def schemaOf(m: Manifest) = (m.schemaDdl, m.colMap, m.retired, m.partitionCols)
+    val schemaPick: Manifest =
+      if (schemaOf(main) == schemaOf(baseM)) bh
+      else if (schemaOf(bh) == schemaOf(baseM) || schemaOf(bh) == schemaOf(main)) main
+      else throw new IllegalArgumentException(
+        "rebaseBranch: the schema changed on BOTH the parent and the branch since " +
+          s"the branch point v$baseV; resolve on the branch and re-rebase")
+
+    val cons = mergeMeta("CHECK constraint", baseM.constraints,
+      main.constraints, bh.constraints)
+    val gens = mergeMeta("generated column", baseM.generatedCols,
+      main.generatedCols, bh.generatedCols)
+    val defs = mergeMeta("column DEFAULT", baseM.colDefault,
+      main.colDefault, bh.colDefault)
+    val exDefs = mergeMeta("column existence default", baseM.colExistsDefault,
+      main.colExistsDefault, bh.colExistsDefault)
+    val dropProps = Seq(VacuumFloorProp, BranchBaseProp)
+    val props = mergeMeta("table property", baseM.properties -- dropProps,
+      main.properties -- dropProps, bh.properties -- dropProps) ++
+      bh.properties.view.filterKeys(_ == VacuumFloorProp).toMap +
+      (BranchBaseProp -> main.version.toString)
+    val cluster =
+      if (main.clusterBy == baseM.clusterBy) bh.clusterBy
+      else if (bh.clusterBy == baseM.clusterBy || bh.clusterBy == main.clusterBy)
+        main.clusterBy
+      else throw new IllegalArgumentException(
+        "rebaseBranch: CLUSTER BY changed on both the parent and the branch since " +
+          "the branch point; resolve on the branch and re-rebase")
+    val ndv = mergeMeta("", baseM.colNdv, main.colNdv, bh.colNdv, adviseOnly = true)
+    val hist = mergeMeta("", baseM.colHist, main.colHist, bh.colHist, adviseOnly = true)
+
+    // pin the parent head as a vacuum island BEFORE the branch
+    // references its files (createTag arbitrates against a concurrent
+    // vacuum's published floor); the record commit below makes the pin
+    // durable, then the helper retires
+    createTag(spark, path, s"__rebase_$name", Some(main.version), replace = true)
+
+    // the rebased file set: the parent head's live files minus what the
+    // branch rewrote/deleted, plus the branch's own files
+    // (a branch DV-change keeps the file and swaps the vector below)
+    val newKeys = mainKeys.filterNot(branchRemoved) ++ branchAdded
+    val branchSourced = bhFiles
+    def dvPick(k: (String, String)): Option[(String, String, Long)] =
+      if (baseFiles(k) && bhDvs.get(k) != baseDvs.get(k)) bhDvs.get(k) // branch's view
+      else if (!mainFiles.contains(k)) bhDvs.get(k)                    // branch-added file
+      else mainDvs.get(k)
+    val mainBloomsC = bloomsOf(qMain, main)
+    val bhBloomsC = bloomsOf(qBranch, bh)
+    def bloomPick(k: (String, String)): Option[((String, String), Seq[String])] =
+      if (branchSourced.contains(k) && bhBloomsC.contains(k)) bhBloomsC.get(k)
+      else mainBloomsC.get(k).orElse(bhBloomsC.get(k))
+    val mainStats = statsOf(qMain, main)
+    val bhStats = statsOf(qBranch, bh)
+    val dvSel = newKeys.flatMap(k => dvPick(k).map(k -> _)).toMap
+    val bloomSel = newKeys.flatMap(k => bloomPick(k).map(k -> _)).toMap
+    // fresh dense alias table over every non-branch root the rebased
+    // manifest references (the parent, plus roots the parent itself
+    // references as a clone)
+    val extRoots = (newKeys.map(_._1) ++ dvSel.values.map(_._1) ++
+      bloomSel.values.map(_._1._1)).distinct.filterNot(_ == qBranch).sorted
+    val aliasOf = extRoots.zipWithIndex.map { case (r, i) => r -> s"r$i" }.toMap
+    def render(k: (String, String)): String =
+      if (k._1 == qBranch) k._2 else s"@${aliasOf(k._1)}/${k._2}"
+
+    commitManifest(spark, bPath, Manifest(
+      version = bh.version + 1,
+      partitionCols = schemaPick.partitionCols,
+      schemaDdl = schemaPick.schemaDdl,
+      files = newKeys.map(render),
+      stats = newKeys.flatMap(k =>
+        mainStats.get(k).orElse(bhStats.get(k)).map(render(k) -> _)).toMap,
+      streamBatch = bh.streamBatch, // the branch's own consumers keep their marks
+      dvs = dvSel.map { case (k, (dr, drel, rows)) =>
+        render(k) -> DvRef(render((dr, drel)), rows) },
+      blooms = bloomSel.map { case (k, (bk, cols)) =>
+        render(k) -> BloomRef(render(bk), cols) },
+      colMap = schemaPick.colMap,
+      retired = schemaPick.retired,
+      constraints = cons,
+      generatedCols = gens,
+      operation = s"REBASE BRANCH onto v${main.version}",
+      clusterBy = cluster,
+      properties = props,
+      externalRoots = aliasOf.map(_.swap),
+      tags = bh.tags,
+      colNdv = ndv,
+      colHist = hist,
+      colDefault = defs,
+      colExistsDefault = exDefs,
+      branches = bh.branches))
+
+    faultHook("rebase-branch-committed") // injection seam: record handover window
+
+    // durable pin handover: the parent's branch record moves to the new
+    // base, then the helper tag retires
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val cur = latestManifest(spark, path).get
+      require(cur.branches.contains(name),
+        s"rebaseBranch: branch '$name' was dropped concurrently")
+      try {
+        commitManifest(spark, path, cur.copy(version = cur.version + 1,
+          operation = s"REBASE BRANCH $name v${main.version}",
+          branches = cur.branches + (name -> main.version)))
+        done = true
+      } catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
+    }
+    dropTag(spark, path, s"__rebase_$name", ifExists = true)
+    main.version
+  }
+
   /** Fast-forward precondition on CONTENT: the parent's live state must
     * still be the branch point's (metadata-only commits — tags, other
     * branch records, ANALYZE, properties — do not block; their deltas
@@ -1804,10 +2018,14 @@ object Snapshot {
     * the caller can compute those deltas without a second read.
     */
   private def ffCheck(spark: SparkSession, path: String, name: String,
-                      main: Manifest): Manifest = {
-    val base = main.branches.getOrElse(name, throw new IllegalArgumentException(
+                      main: Manifest, bh: Manifest): Manifest = {
+    val recorded = main.branches.getOrElse(name, throw new IllegalArgumentException(
       s"mergeBranch: no such branch '$name' " +
         s"(have: ${main.branches.keys.toSeq.sorted.mkString(", ")})"))
+    // a REBASE moves the branch's true base forward and records it on
+    // the BRANCH (BranchBaseProp) before the parent record catches up —
+    // prefer it, so a crash between the rebase's two commits heals
+    val base = bh.properties.get(BranchBaseProp).map(_.toLong).getOrElse(recorded)
     val baseM = manifest(spark, path, base)
     require(main.files.toSet == baseM.files.toSet && main.dvs == baseM.dvs &&
       main.schemaDdl == baseM.schemaDdl && main.colMap == baseM.colMap,

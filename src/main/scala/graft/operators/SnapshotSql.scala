@@ -76,6 +76,8 @@ object SnapshotSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+(IF\s+EXISTS\s+)?('?[\w.\-]+'?)\s*;?\s*""".r
   private val MergeBranchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+MERGE\s+BRANCH\s+('?[\w.\-]+'?)\s*;?\s*""".r
+  private val RebaseBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+REBASE\s+BRANCH\s+('?[\w.\-]+'?)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s*(NOSCAN|FOR\s+ALL\s+COLUMNS|FOR\s+COLUMNS\s+([\w\s,]+?))?\s*;?\s*""".r
 
@@ -167,6 +169,10 @@ object SnapshotSql {
       // fast-forward the parent to the branch head (refuses loudly on a
       // diverged parent); the branch retires in the same commit
       Some(Snapshot.mergeBranch(spark, pathOf(ident, tables), unquoteTag(name)))
+    case RebaseBranchRe(ident, name) =>
+      // replay the branch's deltas onto the parent's moved head — the
+      // recovery verb a diverged-parent merge refusal points at
+      Some(Snapshot.rebaseBranch(spark, pathOf(ident, tables), unquoteTag(name)))
     case AnalyzeRe(ident, clause, colsRaw) =>
       // COMPUTE STATISTICS [NOSCAN]: table rows/bytes are already
       // metadata-exact — verify the table, commit nothing. FOR [ALL]
@@ -550,7 +556,8 @@ object SnapshotSql {
     case VacuumRe(_, _, _) | OptimizeRe(_, _, _, _) | RestoreRe(_, _, _) |
          CloneRe(_, _, _, _, _) | ImportRe(_, _, _) |
          CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) | AnalyzeRe(_, _, _) |
-         CreateBranchRe(_, _) | DropBranchRe(_, _, _) | MergeBranchRe(_, _) => false
+         CreateBranchRe(_, _) | DropBranchRe(_, _, _) | MergeBranchRe(_, _) |
+         RebaseBranchRe(_, _) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

@@ -161,7 +161,7 @@ object GraftSqlParser {
   private val AlterHint =
     java.util.regex.Pattern.compile(
       "(?is).*\\b(CREATE\\s+(OR\\s+REPLACE\\s+)?TAG|DROP\\s+TAG|" +
-        "CREATE\\s+BRANCH|DROP\\s+BRANCH|MERGE\\s+BRANCH)\\b.*")
+        "CREATE\\s+BRANCH|DROP\\s+BRANCH|MERGE\\s+BRANCH|REBASE\\s+BRANCH)\\b.*")
 
   /** `ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION v]` and
     * `ALTER TABLE t DROP TAG [IF EXISTS] name` — named version pins
@@ -231,6 +231,16 @@ object GraftSqlParser {
       loud(afterName == toks.length, s"MERGE BRANCH: unexpected trailing text in: $text")
       Some(maintCmd(s"MERGE BRANCH ${parts.mkString(".")}") { (sp, path) =>
         Snapshot.mergeBranch(sp, path, name); Nil
+      }(parts))
+    } else if (toks(i).is("REBASE")) {
+      // `ALTER TABLE t REBASE BRANCH name` — replay the branch's deltas
+      // onto the parent's moved head (the diverged-parent recovery)
+      if (i + 1 >= toks.length || !toks(i + 1).is("BRANCH")) return None
+      loud(i + 2 < toks.length, s"REBASE BRANCH: missing branch name in: $text")
+      val (name, afterName) = tagIdent(i + 2)
+      loud(afterName == toks.length, s"REBASE BRANCH: unexpected trailing text in: $text")
+      Some(maintCmd(s"REBASE BRANCH ${parts.mkString(".")}") { (sp, path) =>
+        Snapshot.rebaseBranch(sp, path, name); Nil
       }(parts))
     } else None
   }

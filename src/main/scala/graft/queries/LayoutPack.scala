@@ -2088,6 +2088,57 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  val q166 = QueryDef.staged(
+    "q166_rebase_branch",
+    // oracle: the promoted table's final state from raw orders — a
+    // staging branch deleted a priority band and loaded a new month
+    // while the PARENT took its own load (divergence), then
+    // REBASE BRANCH replayed the branch's deltas onto the moved head
+    // and MERGE BRANCH fast-forwarded. Both sides' rows must coexist:
+    // a lost parent load, a resurrected deleted band, or a dropped
+    // branch month all fail the hash.
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE NOT (o_orderpriority = '3-MEDIUM'
+           |           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): parent with pre-1997 rows; branch deletes the
+    // 3-MEDIUM band then loads 1997; parent diverges with its own
+    // 1998+ load. The state every nightly-staging team ends up in.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q166").toString
+    val path = s"$root/t"
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cut98 = lit("1998-01-01").cast("timestamp")
+    Snapshot.create(t.spark, path,
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*),
+      partitionCols = Seq("o_orderpriority"))
+    Snapshot.createBranch(t.spark, path, "staging")
+    val bPath = Snapshot.branchPath(path, "staging")
+    Snapshot.delete(t.spark, bPath, col("o_orderpriority") === "3-MEDIUM")
+    Snapshot.append(t.spark, bPath,
+      t.orders.where(col("o_orderdate") >= cut97 && col("o_orderdate") < cut98)
+        .select(cols.map(col): _*))
+    Snapshot.append(t.spark, path,
+      t.orders.where(col("o_orderdate") >= cut98).select(cols.map(col): _*))
+    path
+  } { (t, path: String) =>
+    // MEASURED: the rebase + fast-forward promotion as SQL text — pure
+    // metadata on both sides (file-level delta replay, O(#files)
+    // set arithmetic, zero rows copied: the 100 TB promotion cost is
+    // manifest-sized) — then the rollup over the promoted table.
+    import graft.operators.Snapshot
+    val reg = Map("t" -> path)
+    Snapshot.sql(t.spark, "ALTER TABLE t REBASE BRANCH staging", reg)
+    Snapshot.sql(t.spark, "ALTER TABLE t MERGE BRANCH staging", reg)
+    Snapshot.read(t.spark, path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166)
 }
