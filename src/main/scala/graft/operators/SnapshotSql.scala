@@ -76,6 +76,10 @@ object SnapshotSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+(IF\s+EXISTS\s+)?('?[\w.\-]+'?)\s*;?\s*""".r
   private val MergeBranchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+MERGE\s+BRANCH\s+('?[\w.\-]+'?)\s*;?\s*""".r
+  private val CreateMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val RebaseBranchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+REBASE\s+BRANCH\s+('?[\w.\-]+'?)\s*;?\s*""".r
   private val AnalyzeRe =
@@ -169,6 +173,18 @@ object SnapshotSql {
       // fast-forward the parent to the branch head (refuses loudly on a
       // diverged parent); the branch retires in the same commit
       Some(Snapshot.mergeBranch(spark, pathOf(ident, tables), unquoteTag(name)))
+    case CreateMvRe(ident, query) =>
+      // first-class MV: the defining SQL and the source watermark live
+      // in the view's own manifest; source names resolve through the
+      // SAME registry map as every other statement
+      Some(MatView.create(spark, pathOf(ident, tables), query,
+        parts => pathOf(parts.mkString("."), tables)))
+    case RefreshMvRe(ident) =>
+      // incremental when the shape allows (additive rollup over the
+      // change feed), full pinned recompute otherwise
+      MatView.refresh(spark, pathOf(ident, tables),
+        parts => pathOf(parts.mkString("."), tables))
+      Some(Snapshot.latestVersion(spark, pathOf(ident, tables)).get)
     case RebaseBranchRe(ident, name) =>
       // replay the branch's deltas onto the parent's moved head — the
       // recovery verb a diverged-parent merge refusal points at
@@ -557,7 +573,7 @@ object SnapshotSql {
          CloneRe(_, _, _, _, _) | ImportRe(_, _, _) |
          CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) | AnalyzeRe(_, _, _) |
          CreateBranchRe(_, _) | DropBranchRe(_, _, _) | MergeBranchRe(_, _) |
-         RebaseBranchRe(_, _) => false
+         RebaseBranchRe(_, _) | CreateMvRe(_, _) | RefreshMvRe(_) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

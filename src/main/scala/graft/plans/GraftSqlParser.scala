@@ -145,7 +145,7 @@ object GraftSqlParser {
     s.substring(start, i).toUpperCase(java.util.Locale.ROOT)
   }
 
-  private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE", "CREATE", "ALTER")
+  private val Verbs = Set("VACUUM", "OPTIMIZE", "DESCRIBE", "RESTORE", "CREATE", "ALTER", "REFRESH")
 
   // the two CREATE forms the dialect owns — a CREATE without these
   // word pairs is vanilla Spark's and must never even be lexed (the
@@ -153,7 +153,7 @@ object GraftSqlParser {
   // lexer does not)
   private val CreateHint =
     java.util.regex.Pattern.compile(
-      "(?is).*\\b((SHALLOW|DEEP)\\s+CLONE|FROM\\s+PARQUET)\\b.*")
+      "(?is).*\\b((SHALLOW|DEEP)\\s+CLONE|FROM\\s+PARQUET|MATERIALIZED\\s+VIEW)\\b.*")
 
   // the two ALTER forms the dialect owns (vanilla ALTER TABLE has no
   // TAG grammar) — same pre-screen discipline as CREATE: anything
@@ -258,6 +258,22 @@ object GraftSqlParser {
     if (toks.isEmpty) return None
     def loud(cond: Boolean, msg: => String): Unit =
       if (!cond) throw new IllegalStateException(msg)
+    // CREATE MATERIALIZED VIEW mv AS <query> — a first-class object:
+    // the defining SQL and the source watermark live in the view's own
+    // manifest; REFRESH advances it (incrementally where the shape
+    // allows). The free-text query slices the ORIGINAL text after AS.
+    if (toks.length >= 3 && toks(0).is("CREATE") && toks(1).is("MATERIALIZED") &&
+        toks(2).is("VIEW")) {
+      val (dstParts, j) = ident(toks, 3)
+      loud(j < toks.length && toks(j).is("AS"),
+        s"CREATE MATERIALIZED VIEW needs AS <query>: $text")
+      val query = text.substring(toks(j).end).trim
+      loud(query.nonEmpty, s"CREATE MATERIALIZED VIEW: empty defining query in: $text")
+      return Some(maintCmdNew(s"CREATE MATERIALIZED VIEW ${dstParts.mkString(".")}") {
+        (sp, path) =>
+          graft.operators.MatView.create(sp, path, query, catalogSourcePath(sp)); Nil
+      }(dstParts))
+    }
     if (toks.length < 3 || !toks(0).is("CREATE") || !toks(1).is("TABLE")) return None
     val (dstParts, i) = ident(toks, 2)
     // CREATE TABLE t FROM PARQUET '<dir>' [PARTITIONED BY (cols)] —
@@ -355,6 +371,21 @@ object GraftSqlParser {
       // literals of a vanilla ALTER must reach the session grammar
       return try parseAlterDialect(stripTrailingSemi(sqlText))
       catch { case _: IllegalArgumentException => None }
+    }
+    if (firstWord(sqlText) == "REFRESH") {
+      // the dialect owns only REFRESH MATERIALIZED VIEW; vanilla
+      // REFRESH TABLE/FUNCTION delegates untouched
+      val text0 = stripTrailingSemi(sqlText)
+      val toks0 = try lex(text0) catch { case _: IllegalArgumentException => return None }
+      if (toks0.length < 4 || !toks0(1).is("MATERIALIZED") || !toks0(2).is("VIEW"))
+        return None
+      val (parts, after) = ident(toks0, 3)
+      if (after != toks0.length) throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW: unexpected trailing text in: $text0")
+      return Some(maintCmd(s"REFRESH MATERIALIZED VIEW ${parts.mkString(".")}") {
+        (sp, path) =>
+          graft.operators.MatView.refresh(sp, path, catalogSourcePath(sp)); Nil
+      }(parts))
     }
     val text = stripTrailingSemi(sqlText)
     val toks = lex(text)
@@ -519,6 +550,15 @@ object GraftSqlParser {
       "constraints STRING, generated_cols STRING, cluster_by STRING, properties STRING, " +
       "num_external_files BIGINT, external_roots STRING, tags STRING, column_ndv STRING, " +
       "branches STRING")
+
+  /** A materialized view's SOURCE table name (from its defining SQL)
+    * resolved to a snapshot path through the session catalogs — the
+    * catalog-route counterpart of the registry map.
+    */
+  private def catalogSourcePath(sp: SparkSession): Seq[String] => String =
+    src => GraftCatalogResolve.pathOf(sp, src).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view source '${src.mkString(".")}' must live in a graft catalog"))
 
   private def maintCmd(desc: String)(body: (SparkSession, String) => Seq[Row])(
       parts: Seq[String]): LogicalPlan =

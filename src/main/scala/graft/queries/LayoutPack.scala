@@ -2139,6 +2139,66 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  val q167 = QueryDef.staged(
+    "q167_materialized_view",
+    // oracle: the MV's final state recomputed from raw orders — a
+    // DECLARED materialized view (defining SQL + watermark in its own
+    // manifest) refreshed TWICE across source churn (an append + a
+    // delete, then another append), each refresh an incremental
+    // change-feed fold. A double-folded window, a lost delete, or a
+    // stale watermark all fail the hash.
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE o_totalprice >= 1000
+           |  AND NOT (o_orderpriority = '5-LOW'
+           |           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): source with pre-1997 rows, the MV declared
+    // over it, then the first churn window (a month load + a cleanup
+    // delete) waiting to be refreshed in.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q167").toString
+    val srcPath = s"$root/src"
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cut98 = lit("1998-01-01").cast("timestamp")
+    Snapshot.create(t.spark, srcPath,
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    val reg = Map("src" -> srcPath, "mv" -> s"$root/mv")
+    Snapshot.sql(t.spark,
+      """CREATE MATERIALIZED VIEW mv AS
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM src WHERE o_totalprice >= 1000
+        |GROUP BY o_orderpriority""".stripMargin, reg)
+    Snapshot.append(t.spark, srcPath,
+      t.orders.where(col("o_orderdate") >= cut97 && col("o_orderdate") < cut98)
+        .select(cols.map(col): _*))
+    Snapshot.delete(t.spark, srcPath,
+      col("o_orderpriority") === "5-LOW" &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    (root, reg)
+  } { (t, st: (String, Map[String, String])) =>
+    // MEASURED: refresh → churn → refresh, each refresh reading ONLY
+    // the window's net change feed (O(changed files); the unchanged
+    // bulk is never rescanned — at 100 TB the refresh cost is the
+    // day's change, not the table), then the view itself. The second
+    // churn lands between the refreshes to prove watermark arithmetic.
+    import graft.operators.Snapshot
+    val (root, reg) = st
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    Snapshot.append(t.spark, s"$root/src",
+      t.orders.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    Snapshot.read(t.spark, s"$root/mv")
+      .select(col("o_orderpriority"), col("n"),
+        col("total").cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167)
 }
