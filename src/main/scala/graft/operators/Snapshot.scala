@@ -281,9 +281,112 @@ object Snapshot {
   // ---------------------------------------------------------------- log
 
   private val ManifestName = """v(\d{8})\.json""".r
+  private val GrpManifestName = """v(\d{8})\.json\.grp""".r
 
   private def manifestPath(path: String, v: Long): HPath =
     new HPath(s"$path/$LogDirName/" + f"v$v%08d.json")
+
+  /** A commit-group STAGED manifest: occupies version slot `v` but is
+    * INVISIBLE to every reader (the listing/probe paths match only
+    * `.json`) until its group's marker commits, at which point any
+    * reader or writer that encounters it rolls it forward — one atomic
+    * rename to the plain name ([[resolveGroupSlot]]).
+    */
+  private def grpManifestPath(path: String, v: Long): HPath =
+    new HPath(s"$path/$LogDirName/" + f"v$v%08d.json.grp")
+
+  /** When set (by [[graft.operators.CommitGroup]]), [[commitManifest]]
+    * STAGES into the group instead of publishing: the manifest lands at
+    * the `.json.grp` name carrying the group's marker path, and only
+    * the marker commit makes it (and every sibling table's staged
+    * manifest) visible — the multi-table atomic publish a DAG tick
+    * needs. Driver-thread state: every manifest commit runs on the
+    * caller's thread.
+    */
+  private[operators] val groupMarker = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  /** How long a PENDING (markerless) staged group manifest may hold its
+    * version slot before a concurrent writer may abort the group.
+    * Staging is seconds of metadata work; the default is generous.
+    */
+  private def groupGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.group.pendingGraceMs").map(_.toLong)
+      .getOrElse(10L * 60 * 1000)
+
+  /** Read a group marker's state: None = pending (no marker file),
+    * Some(true) = committed, Some(false) = aborted.
+    */
+  private[operators] def groupState(fs: FileSystem, marker: String): Option[Boolean] = {
+    val p = new HPath(marker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim finally in.close()
+      Some(s == "commit")
+    }
+  }
+
+  /** Write a group marker ONCE through the commit guard (same
+    * conditional-put discipline as every manifest): returns the
+    * group's FINAL state — the winner's content decides.
+    */
+  private[operators] def publishGroupMarker(spark: SparkSession, marker: String,
+                                            state: String): Boolean = {
+    val fs = fsFor(spark, marker)
+    val dir = new HPath(marker).getParent
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(state.getBytes("UTF-8")) finally out.close()
+    val won =
+      try commitGuard.publish(fs, dir.toString, tmp, new HPath(marker))
+      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    if (!won) fs.delete(tmp, true)
+    groupState(fs, marker).contains(true)
+  }
+
+  /** Resolve one table's staged group manifest at version slot `v`, if
+    * any: committed → roll FORWARD (rename to the plain name — the
+    * all-or-nothing read contract: once the marker exists, every table
+    * of the group reads new on its next touch); aborted → delete
+    * (frees the slot); pending → leave it alone unless it outlived the
+    * grace window, in which case the group is presumed crashed and
+    * this caller arbitrates an ABORT through the marker guard (a slow
+    * coordinator that loses this race sees the abort and reports
+    * failure — never a half-published group).
+    */
+  private def resolveGroupSlot(spark: SparkSession, fs: FileSystem, path: String,
+                               v: Long): Unit = {
+    val grp = grpManifestPath(path, v)
+    val st = try {
+      if (!fs.exists(grp)) return
+      val in = fs.open(grp)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val root = new ObjectMapper().readTree(bytes)
+      if (!root.has("group")) { fs.delete(grp, false); return } // malformed husk
+      val marker = root.get("group").asText()
+      groupState(fs, marker) match {
+        case None =>
+          val age = System.currentTimeMillis() - fs.getFileStatus(grp).getModificationTime
+          if (age <= groupGraceMs(spark)) None // in-flight: leave pending
+          else Some(publishGroupMarker(spark, marker, "abort")) // arbitrate
+        case s => s
+      }
+    } catch { case _: java.io.FileNotFoundException => return } // raced: resolved
+    st match {
+      case Some(true) =>
+        // roll forward: the plain name is the visibility flip; a loser
+        // of this rename finds the target already present — same thing
+        if (!fs.rename(grp, manifestPath(path, v)) &&
+            !fs.exists(manifestPath(path, v)))
+          throw new java.io.IOException(s"commit-group roll-forward failed for $grp")
+      case Some(false) => fs.delete(grp, false) // aborted: free the slot
+      case None => () // pending within grace
+    }
+  }
 
   /** Side-file a vacuum writes at the retention boundary so the oldest
     * kept version stays reconstructible after the delta chain behind it
@@ -309,9 +412,19 @@ object Snapshot {
     if (!fs.exists(log)) Seq.empty
     else {
       listHook(path)
-      fs.listStatus(log).toSeq.map(_.getPath.getName).collect {
-        case ManifestName(n) => n.toLong
-      }.sorted
+      val names = fs.listStatus(log).toSeq.map(_.getPath.getName)
+      // staged commit-group manifests resolve BEFORE the answer: a
+      // committed group rolls forward here (and becomes a plain
+      // version), pending/aborted stays invisible
+      val staged = names.collect { case GrpManifestName(n) => n.toLong }
+      if (staged.isEmpty)
+        names.collect { case ManifestName(n) => n.toLong }.sorted
+      else {
+        staged.foreach(v => resolveGroupSlot(spark, fs, path, v))
+        fs.listStatus(log).toSeq.map(_.getPath.getName).collect {
+          case ManifestName(n) => n.toLong
+        }.sorted
+      }
     }
   }
 
@@ -338,7 +451,14 @@ object Snapshot {
     hinted match {
       case Some(v) if fs.exists(manifestPath(path, v)) =>
         var cur = v
-        while (fs.exists(manifestPath(path, cur + 1))) cur += 1
+        var advanced = true
+        while (advanced) {
+          // a COMMITTED group's staged manifest rolls forward on first
+          // touch, so the probe sees it as a plain version — readers
+          // observe the whole group's flip, never a mixed tick
+          resolveGroupSlot(spark, fs, path, cur + 1)
+          if (fs.exists(manifestPath(path, cur + 1))) cur += 1 else advanced = false
+        }
         Some(cur)
       case _ => versions(spark, path).lastOption
     }
@@ -1287,16 +1407,42 @@ object Snapshot {
         if (sameLogical(applyDelta(p, d), m)) d else fullNode(mapper, m, nowMicros)
       case _ => fullNode(mapper, m, nowMicros)
     }
+    // a staged commit-group manifest may hold this slot: committed →
+    // it rolls forward and this commit conflicts; aborted/expired → the
+    // slot frees; in-flight → conflict (the retry loop re-derives)
+    resolveGroupSlot(spark, fs, path, m.version)
+    val marker = groupMarker.get()
+    marker.foreach { mk =>
+      node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("group", mk)
+    }
+    val realTarget = marker match {
+      case Some(_) =>
+        if (fs.exists(grpManifestPath(path, m.version)))
+          throw new CommitConflictException(
+            s"snapshot commit conflict: version ${m.version} is held by a staged " +
+              s"commit group at $path")
+        grpManifestPath(path, m.version)
+      case None => target
+    }
     val tmp = new HPath(log, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     finally out.close()
     faultHook("manifest-staged")
     // publish through the conditional-put seam; making `target` exist is
-    // the commit point on every substrate
+    // the commit point on every substrate (for a group STAGE the rename
+    // is only the stage point — the group MARKER is the commit point)
     val won =
-      try commitGuard.publish(fs, fs.makeQualified(new HPath(path)).toString, tmp, target)
-      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+      try {
+        // the slot is ONE slot under two spellings: a plain commit must
+        // not land while a staged group holds it, and a group stage
+        // must not land once the plain name committed
+        val other =
+          if (marker.isEmpty) grpManifestPath(path, m.version)
+          else manifestPath(path, m.version)
+        if (fs.exists(other)) false
+        else commitGuard.publish(fs, fs.makeQualified(new HPath(path)).toString, tmp, realTarget)
+      } catch { case e: Throwable => fs.delete(tmp, true); throw e }
     if (!won) {
       fs.delete(tmp, true)
       throw new CommitConflictException(
@@ -1304,8 +1450,9 @@ object Snapshot {
     }
     faultHook("manifest-committed")
     // after the commit point: a crash here leaves the pointer one
-    // behind, which the read path's forward probe absorbs
-    writeLastPointer(fs, path, m.version)
+    // behind, which the read path's forward probe absorbs. A group
+    // STAGE is not a commit — the pointer moves at roll-forward time.
+    if (marker.isEmpty) writeLastPointer(fs, path, m.version)
     m.version
   }
 
@@ -4724,6 +4871,13 @@ object Snapshot {
       .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-") &&
         now - s.getModificationTime > orphanGraceMs)
       .foreach(s => reap(s.getPath, recursive = false))
+    // staged commit-group manifests resolve on the same sweep: a
+    // committed group rolls forward, an aborted/expired one frees its
+    // slot (resolveGroupSlot applies the group's own grace window)
+    if (!dryRun)
+      fs.listStatus(log).map(_.getPath.getName)
+        .collect { case GrpManifestName(n) => n.toLong }
+        .foreach(v => resolveGroupSlot(spark, fs, path, v))
     reclaimed.result()
   }
 }

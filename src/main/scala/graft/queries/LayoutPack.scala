@@ -2199,6 +2199,71 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  val q168 = QueryDef.staged(
+    "q168_commit_group",
+    // oracle: a consistent TWO-TABLE read recomputed from raw orders —
+    // the hourly DAG tick publishes a per-priority revenue rollup AND
+    // a per-priority order-count table in ONE commit group, twice
+    // (base tick, then the 1997+ tick). The final read joins the two
+    // tables; because every tick is all-or-nothing, the join's n and
+    // total always describe the SAME set of orders — a mixed tick
+    // (one table's window ahead of the other) breaks the invariant
+    // the oracle encodes.
+    Some("""SELECT o_orderpriority,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  CAST(COUNT(CASE WHEN o_totalprice >= 100000 THEN 1 END) AS BIGINT) AS n_big
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): both destination tables with the pre-1997
+    // tick already published (itself through a group).
+    import graft.operators.{CommitGroup, Snapshot}
+    import graft.operators.CommitGroup.GroupWrite
+    val root = java.nio.file.Files.createTempDirectory("graft_q168").toString
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    def sums(w: org.apache.spark.sql.Column) = t.orders.where(w)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").as("total"))
+    def bigs(w: org.apache.spark.sql.Column) = t.orders.where(w)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(when(col("o_totalprice") >= 100000, 1)).as("n_big"))
+    Snapshot.create(t.spark, s"$root/rev",
+      sums(col("o_orderdate") < cut97).withColumn("tick", lit(1)))
+    Snapshot.create(t.spark, s"$root/big",
+      bigs(col("o_orderdate") < cut97).withColumn("tick", lit(1)))
+    root
+  } { (t, root: String) =>
+    // MEASURED: the second tick — BOTH tables appended through ONE
+    // commit group (two staged manifests, one marker flip; at 100 TB
+    // the atomicity costs two metadata renames + one marker put, not
+    // a lock over the data) — then the consistent two-table join.
+    import graft.operators.{CommitGroup, Snapshot}
+    import graft.operators.CommitGroup.GroupWrite
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    CommitGroup.publish(t.spark, root, Seq(
+      GroupWrite(s"$root/rev", sp => Snapshot.append(sp, s"$root/rev",
+        t.orders.where(col("o_orderdate") >= cut97)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").as("total"))
+          .withColumn("tick", lit(2)))),
+      GroupWrite(s"$root/big", sp => Snapshot.append(sp, s"$root/big",
+        t.orders.where(col("o_orderdate") >= cut97)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(when(col("o_totalprice") >= 100000, 1)).as("n_big"))
+          .withColumn("tick", lit(2))))))
+    val rev = Snapshot.read(t.spark, s"$root/rev")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"), sum(col("total")).cast("decimal(28,2)").as("total"))
+    val big = Snapshot.read(t.spark, s"$root/big")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_big")).as("n_big"))
+    rev.join(big, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"),
+        col("total").cast("double").as("total"), col("n_big"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168)
 }

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CommitGroup, Snapshot}
+import graft.operators.CommitGroup.GroupWrite
+
+/** Multi-table atomic publish: a commit group stages every table's
+  * manifest invisibly, then ONE marker commit flips the whole tick —
+  * readers resolve all-old before the marker and all-new after it,
+  * never a mixed tick, whatever instant the coordinator dies at.
+  */
+class CommitGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-group-$tag").toString
+
+  private def n(path: String): Long = Snapshot.read(spark, path).count()
+
+  test("a two-table tick publishes atomically; both advance exactly one version") {
+    val root = tmp("basic")
+    val (t1, t2) = (s"$root/t1", s"$root/t2")
+    Snapshot.create(spark, t1, Seq((1L, 10L)).toDF("id", "v"))
+    Snapshot.create(spark, t2, Seq((1L, "a")).toDF("id", "s"))
+    val v1 = Snapshot.latestVersion(spark, t1).get
+    val v2 = Snapshot.latestVersion(spark, t2).get
+    CommitGroup.publish(spark, root, Seq(
+      GroupWrite(t1, sp => Snapshot.append(sp, t1, Seq((2L, 20L)).toDF("id", "v"))),
+      GroupWrite(t2, sp => Snapshot.overwrite(sp, t2,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "s")))))
+    assert(n(t1) == 2 && n(t2) == 2)
+    assert(Snapshot.latestVersion(spark, t1).get == v1 + 1)
+    assert(Snapshot.latestVersion(spark, t2).get == v2 + 1)
+    // the published manifests read like any other commit (history, ops)
+    assert(Snapshot.latestManifest(spark, t1).get.operation.nonEmpty)
+    // normal writes keep working after the group
+    Snapshot.append(spark, t1, Seq((3L, 30L)).toDF("id", "v"))
+    assert(n(t1) == 3)
+  }
+
+  test("a crash BEFORE the marker publishes NOTHING; the slot frees after grace") {
+    val root = tmp("pre-marker")
+    val (t1, t2) = (s"$root/t1", s"$root/t2")
+    Snapshot.create(spark, t1, Seq((1L, 10L)).toDF("id", "v"))
+    Snapshot.create(spark, t2, Seq((1L, 10L)).toDF("id", "v"))
+    // hard coordinator death AFTER both stages, BEFORE the marker (the
+    // seam sits outside the abort-on-stage-failure catch, so no abort
+    // marker is written — exactly a process kill)
+    Snapshot.faultHook = stage =>
+      if (stage == "group-staged") throw new RuntimeException("killed")
+    val e = try intercept[RuntimeException](CommitGroup.publish(spark, root, Seq(
+      GroupWrite(t1, sp => Snapshot.append(sp, t1, Seq((2L, 20L)).toDF("id", "v"))),
+      GroupWrite(t2, sp => Snapshot.append(sp, t2, Seq((2L, 20L)).toDF("id", "v"))))))
+    finally Snapshot.faultHook = _ => ()
+    assert(e.getMessage == "killed")
+    // ALL-OLD: neither table shows the tick
+    assert(n(t1) == 1 && n(t2) == 1)
+    // within the grace window the staged slots hold: a writer conflicts
+    spark.conf.set("spark.graft.group.pendingGraceMs", Long.MaxValue.toString)
+    try intercept[Snapshot.CommitConflictException](
+      Snapshot.append(spark, t1, Seq((9L, 90L)).toDF("id", "v")))
+    finally spark.conf.unset("spark.graft.group.pendingGraceMs")
+    // past the grace window the first writer ABORTS the crashed group
+    // and proceeds; the tick's rows never appear
+    spark.conf.set("spark.graft.group.pendingGraceMs", "0")
+    try {
+      Snapshot.append(spark, t1, Seq((3L, 30L)).toDF("id", "v"))
+      Snapshot.append(spark, t2, Seq((3L, 30L)).toDF("id", "v"))
+    } finally spark.conf.unset("spark.graft.group.pendingGraceMs")
+    assert(Snapshot.read(spark, t1).select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(Snapshot.read(spark, t2).select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("a crash AFTER the marker publishes EVERYTHING: readers roll the tick forward lazily") {
+    val root = tmp("post-marker")
+    val (t1, t2) = (s"$root/t1", s"$root/t2")
+    Snapshot.create(spark, t1, Seq((1L, 10L)).toDF("id", "v"))
+    Snapshot.create(spark, t2, Seq((1L, 10L)).toDF("id", "v"))
+    Snapshot.faultHook = stage =>
+      if (stage == "group-marker-committed") throw new RuntimeException("killed")
+    val e = try intercept[RuntimeException](CommitGroup.publish(spark, root, Seq(
+      GroupWrite(t1, sp => Snapshot.append(sp, t1, Seq((2L, 20L)).toDF("id", "v"))),
+      GroupWrite(t2, sp => Snapshot.append(sp, t2, Seq((2L, 20L)).toDF("id", "v"))))))
+    finally Snapshot.faultHook = _ => ()
+    assert(e.getMessage == "killed")
+    // ALL-NEW: the marker is the commit point; no coordinator needed
+    // for visibility — plain reads resolve the staged slots
+    assert(n(t2) == 2, "second table must read NEW without any coordinator help")
+    assert(n(t1) == 2)
+    // and history is ordinary afterwards
+    assert(Snapshot.latestManifest(spark, t1).get.version == 2)
+    Snapshot.append(spark, t2, Seq((3L, 30L)).toDF("id", "v"))
+    assert(n(t2) == 3)
+  }
+
+  test("a stage failure aborts the group eagerly; staged siblings vanish at once") {
+    val root = tmp("stage-fail")
+    val (t1, t2) = (s"$root/t1", s"$root/t2")
+    Snapshot.create(spark, t1, Seq((1L, 10L)).toDF("id", "v"))
+    Snapshot.create(spark, t2, Seq((1L, 5L)).toDF("id", "v"))
+    Snapshot.addConstraint(spark, t2, "v_pos", "v >= 0") // second write will refuse
+    intercept[Exception](CommitGroup.publish(spark, root, Seq(
+      GroupWrite(t1, sp => Snapshot.append(sp, t1, Seq((2L, 20L)).toDF("id", "v"))),
+      GroupWrite(t2, sp => Snapshot.append(sp, t2, Seq((2L, -20L)).toDF("id", "v"))))))
+    // nothing published, and t1's staged slot was aborted EAGERLY —
+    // the very next write takes the slot with no grace wait
+    assert(n(t1) == 1 && Snapshot.read(spark, t2).count() == 1)
+    Snapshot.append(spark, t1, Seq((3L, 30L)).toDF("id", "v"))
+    assert(Snapshot.read(spark, t1).select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("vacuum resolves stranded staged slots on its sweep") {
+    val root = tmp("vacuum")
+    val t1 = s"$root/t1"
+    Snapshot.create(spark, t1, Seq((1L, 10L)).toDF("id", "v"))
+    Snapshot.faultHook = stage =>
+      if (stage == "group-staged") throw new RuntimeException("killed")
+    try intercept[RuntimeException](CommitGroup.publish(spark, root, Seq(
+      GroupWrite(t1, sp => Snapshot.append(sp, t1, Seq((2L, 20L)).toDF("id", "v"))))))
+    finally Snapshot.faultHook = _ => ()
+    spark.conf.set("spark.graft.group.pendingGraceMs", "0")
+    try Snapshot.vacuum(spark, t1, keepVersions = 10, orphanGraceMs = Long.MaxValue / 2)
+    finally spark.conf.unset("spark.graft.group.pendingGraceMs")
+    // the stranded slot is gone: the next writer lands immediately even
+    // under an infinite grace window
+    spark.conf.set("spark.graft.group.pendingGraceMs", Long.MaxValue.toString)
+    try Snapshot.append(spark, t1, Seq((3L, 30L)).toDF("id", "v"))
+    finally spark.conf.unset("spark.graft.group.pendingGraceMs")
+    assert(Snapshot.read(spark, t1).select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+}
