@@ -26,9 +26,20 @@ object Dedup {
     * content (SURVEY.md §2.2 K3).
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keyed = df.withColumn("__key", md5(col(textCol)))
-    val canon = keyed.groupBy("__key").agg(min(col(idCol)).as(idCol))
-    keyed.join(canon, Seq("__key", idCol)).drop("__key")
+    // ONE scan, ONE full-row exchange, ONE sort: rank rows inside each
+    // content-hash partition and keep the min-id winner. The previous
+    // groupBy + join-back formulation read (and computed) the upstream
+    // TWICE and shuffled the full text a second time for the join; a
+    // min_by(struct) aggregate was tried and measured SLOWER (complex
+    // agg state falls off whole-stage codegen into SortAggregate,
+    // copying every row's struct) — the window rank keeps the rows
+    // unboxed through codegen.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__key")).orderBy(col(idCol))
+    df.withColumn("__key", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__key", "__rn")
   }
 
   /** All pairs (a.id < b.id) with shingle-set Jaccard >= minJaccard,
