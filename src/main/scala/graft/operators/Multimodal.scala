@@ -475,6 +475,120 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** One 256-level grayscale palette, shared by the GIF frames below:
+    * an EXPLICIT IndexColorModel makes the round trip exact by
+    * construction (the writer stores our palette verbatim instead of
+    * quantizing an adaptive one).
+    */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode an ANIMATED GIF: one grayscale byte array per frame (all
+    * frames `w`×`h`, values 0-255), written through the JDK's own GIF
+    * sequence writer — a real multi-frame container for the
+    * frame-sampling path (the closest thing to video the JDK decodes).
+    */
+  def encodeGifFrames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    imageIoReady
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      s"every frame must carry ${w * h} gray bytes")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      // interlace OFF, explicitly: the JDK writer's default sequence
+      // metadata flags interlace in a way small frames decode scrambled
+      // (rows land in pass order); progressive mode IS the interlace
+      // knob on the GIF plugin
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      frames.foreach { gray =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        System.arraycopy(gray, 0,
+          img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData,
+          0, gray.length)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a GIF payload back to (width, height,
+    * grayscale bytes). Refuses non-GIF payloads loudly; truncated
+    * streams surface as corrupt on the frame read.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    imageIoReady
+    require(bytes.length > 6 && bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte, "not a GIF payload")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n =
+        try reader.getNumImages(true)
+        catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"corrupt GIF payload: ${e.getMessage}", e) }
+      (0 until n).map { i =>
+        val img =
+          try reader.read(i)
+          catch { case e: java.io.IOException =>
+            throw new IllegalArgumentException(s"corrupt GIF frame $i: ${e.getMessage}", e) }
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = (img.getRGB(x, y) & 0xff).toByte // r=g=b by construction
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, gray)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** REAL distributed frame sampling over a multi-frame container:
+    * decode each row's GIF, keep every `stride`-th frame, emit
+    * (id, frame_no, width, height, sum_gray) — the video
+    * frame-extraction shape of a multimodal pipeline, one pass through
+    * the same mapPartitions codec seam, fan-out = kept frames only.
+    */
+  def sampleGifFrames(df: DataFrame, mediaCol: String, idCol: String,
+                      stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_no", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_gray", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeGifFrames(r.getAs[Array[Byte]](mediaIdx)).zipWithIndex
+          .collect { case ((w, h, gray), f) if f % stride == 0 =>
+            var s = 0L
+            var i = 0
+            while (i < gray.length) { s += gray(i) & 0xff; i += 1 }
+            Row(r.get(idIdx), f.toLong, w.toLong, h.toLong, s)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling: every `stride`-th window of `frameLen` bytes.
     * Expressed on the string side (binary slicing is engine-specific);
     * emits (frame_no, frame) rows. Payloads shorter than one frame yield

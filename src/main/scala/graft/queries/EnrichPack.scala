@@ -606,5 +606,52 @@ object EnrichPack extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110, q114, q160, q161, q163, q164)
+  val q169 = QueryDef.staged(
+    "q169_gif_frame_sample",
+    // oracle: frame features recomputed from first principles — one
+    // ANIMATED GIF per document (a real multi-frame container, the
+    // JDK's closest thing to video), frames' grayscale pixels a pure
+    // integer function of (doc_id, frame, pixel); the distributed
+    // sampler must decode the LZW/palette stream, keep every 2nd
+    // frame, and recover exact per-frame pixel sums. One wrong pixel
+    // or a mis-indexed frame fails the hash.
+    Some("""WITH fr AS (
+           |  SELECT d.doc_id, (d.doc_id % 6 + 4) AS w, (d.doc_id % 5 + 4) AS h,
+           |         f.range AS frame_no
+           |  FROM documents d, range(0, 5) f(range)
+           |  WHERE f.range < (d.doc_id % 3 + 2) AND f.range % 2 = 0
+           |), px AS (
+           |  SELECT doc_id, frame_no, w, h, i.range AS i
+           |  FROM fr, range(0, 72) i(range)
+           |  WHERE i.range < w * h
+           |)
+           |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+           |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+           |  CAST(SUM((doc_id * 7 + frame_no * 13 + i) % 256) AS BIGINT) AS sum_gray
+           |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // FIXTURE (untimed): one animated GIF per document, 2-4 frames,
+    // grayscale pixels enumerable in SQL.
+    import t.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169").toString + "/blobs"
+    t.documents.select(col("doc_id").cast("long")).as[Long]
+      .map { d =>
+        val w = (d % 6 + 4).toInt
+        val h = (d % 5 + 4).toInt
+        val frames = (0 until (d % 3 + 2).toInt).map(f =>
+          Array.tabulate(w * h)(i => ((d * 7 + f * 13 + i) % 256).toByte))
+        (d, Multimodal.encodeGifFrames(w, h, frames))
+      }.toDF("doc_id", "media")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  } { (t, dir: String) =>
+    // MEASURED: REAL distributed frame sampling — per row the full GIF
+    // decode through the mapPartitions codec seam, keeping every 2nd
+    // frame. At 100 TB this is the frame-extraction front of a video
+    // corpus pipeline: one pass, fan-out bounded by kept frames, no
+    // shuffle until the final sort.
+    Multimodal.sampleGifFrames(t.spark.read.parquet(dir), "media", "doc_id", stride = 2)
+      .orderBy("doc_id", "frame_no")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q90, q93, q98, q110, q114, q160, q161, q163, q164, q169)
 }

@@ -187,6 +187,33 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF via the JDK codec: exact multi-frame round-trip and stride sampling") {
+    val (w, h) = (7, 5)
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h)(i => ((f * 13 + i * 3) % 256).toByte))
+    val gif = Multimodal.encodeGifFrames(w, h, frames)
+    assert(gif(0) == 'G'.toByte && gif(1) == 'I'.toByte && gif(2) == 'F'.toByte)
+    val back = Multimodal.decodeGifFrames(gif)
+    assert(back.size == 5)
+    back.zip(frames).foreach { case ((bw, bh, gray), want) =>
+      assert(bw == w && bh == h && gray.sameElements(want))
+    }
+    // refusals
+    intercept[IllegalArgumentException](
+      Multimodal.decodeGifFrames("not a gif".getBytes))
+    intercept[IllegalArgumentException](Multimodal.decodeGifFrames(gif.take(30)))
+    // distributed stride sampling keeps frames 0, 2, 4 with exact sums
+    import spark.implicits._
+    val df = Seq((1L, gif)).toDF("id", "media")
+    val got = Multimodal.sampleGifFrames(df, "media", "id", stride = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(0L, 2L, 4L))
+    got.foreach { case (_, f, gw, gh, s) =>
+      assert(gw == w && gh == h &&
+        s == frames(f.toInt).map(_ & 0xff).sum.toLong, s"frame $f")
+    }
+  }
+
   test("distributed decode recovers per-row features exactly") {
     val rows = (0L until 40L).map { i =>
       val samples = Array.tabulate(10 + i.toInt)(k => (k * 3 - i.toInt).toShort)
