@@ -12,20 +12,22 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import graft.catalog.GraftCatalog
 import graft.operators.Snapshot
 
-/** Dialect parser for the lakehouse MAINTENANCE verbs vanilla Spark
-  * SQL has no grammar for — `VACUUM`, `OPTIMIZE`, `DESCRIBE
-  * HISTORY/DETAIL`, `RESTORE` — resolved BY NAME through the session's
-  * catalogs, so a ported script's whole maintenance loop is
-  * `spark.sql(...)` text against [[graft.catalog.GraftCatalog]]
+/** Dialect parser for the lakehouse verbs vanilla Spark SQL has no
+  * grammar for — `VACUUM`, `OPTIMIZE`, `DESCRIBE HISTORY/DETAIL`,
+  * `RESTORE`, tag/branch `ALTER` forms (incl. `MERGE BRANCH` /
+  * `REBASE BRANCH`), `SHALLOW/DEEP CLONE`, `FROM PARQUET` imports,
+  * and `CREATE/REFRESH MATERIALIZED VIEW` — resolved BY NAME through
+  * the session's catalogs, so a ported script's whole maintenance loop
+  * is `spark.sql(...)` text against [[graft.catalog.GraftCatalog]]
   * tables (the standard extension-parser pattern every lakehouse SQL
   * dialect uses). Everything else delegates verbatim to the session
   * parser.
   *
-  * The five shapes are fixed-form — one identifier plus keyword
-  * clauses — parsed by a tiny hand tokenizer (quoted identifiers and
-  * the free-text OPTIMIZE WHERE / RESTORE timestamp tails slice the
-  * original text, so any expression the session parser accepts works
-  * there).
+  * The shapes are fixed-form — one identifier plus keyword clauses —
+  * parsed by a tiny hand tokenizer (quoted identifiers and the
+  * free-text OPTIMIZE WHERE / RESTORE timestamp / MV defining-query
+  * tails slice the original text, so any expression the session
+  * parser accepts works there).
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
