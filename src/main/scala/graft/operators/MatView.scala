@@ -102,7 +102,15 @@ object MatView {
     if (vFrom.exists(_ >= vNow)) return None
     val stamp = (m: Snapshot.Manifest) =>
       m.copy(streamBatch = m.streamBatch + (ConsumerId -> vNow))
-    val incremental = vFrom.flatMap(v => rollupShape(plan).map(v -> _))
+    // the incremental path needs a READABLE, SCHEMA-STABLE window:
+    // a source schema change inside it (readChanges refuses those) or
+    // a vacuum that reclaimed the watermark version both demote this
+    // refresh to the always-correct full pinned recompute
+    def windowOk(v: Long): Boolean =
+      try Snapshot.manifest(spark, srcPath, v).schemaDdl ==
+        Snapshot.manifest(spark, srcPath, vNow).schemaDdl
+      catch { case _: java.io.FileNotFoundException => false }
+    val incremental = vFrom.filter(windowOk).flatMap(v => rollupShape(plan).map(v -> _))
     incremental match {
       case Some((v, shape)) =>
         // O(change): the net feed over the window, folded as signed

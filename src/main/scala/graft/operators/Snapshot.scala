@@ -451,13 +451,17 @@ object Snapshot {
     hinted match {
       case Some(v) if fs.exists(manifestPath(path, v)) =>
         var cur = v
-        var advanced = true
-        while (advanced) {
+        var done = false
+        while (!done) {
+          while (fs.exists(manifestPath(path, cur + 1))) cur += 1
           // a COMMITTED group's staged manifest rolls forward on first
-          // touch, so the probe sees it as a plain version — readers
-          // observe the whole group's flip, never a mixed tick
+          // touch, so readers observe the whole tick's flip, never a
+          // mixed one. Checked only at the probe's TAIL — plain
+          // versions never exist above an unresolved group slot
+          // (commitManifest refuses the slot while a stage holds it),
+          // so the no-group common path pays exactly ONE extra exists.
           resolveGroupSlot(spark, fs, path, cur + 1)
-          if (fs.exists(manifestPath(path, cur + 1))) cur += 1 else advanced = false
+          if (fs.exists(manifestPath(path, cur + 1))) cur += 1 else done = true
         }
         Some(cur)
       case _ => versions(spark, path).lastOption

@@ -142,6 +142,37 @@ class MatViewSpec extends SparkSpec {
       Snapshot.latestVersion(spark, srcPath).get, "watermark still advances")
   }
 
+  test("a source schema change inside the window demotes the refresh to a full recompute") {
+    val root = Files.createTempDirectory("graft-mv-evolve").toString
+    val srcPath = s"$root/src"
+    Snapshot.create(spark, srcPath,
+      (0L until 50L).map(i => (i, s"k${i % 3}", i)).toDF("id", "k", "v"))
+    val reg = Map("src" -> srcPath, "mv" -> s"$root/mv")
+    Snapshot.sql(spark,
+      """CREATE MATERIALIZED VIEW mv AS
+        |SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM src GROUP BY k""".stripMargin, reg)
+    // churn + a schema evolution inside the same window
+    Snapshot.append(spark, srcPath, Seq((100L, "k0", 7L)).toDF("id", "k", "v"))
+    Snapshot.addColumns(spark, srcPath,
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    val m = Snapshot.latestManifest(spark, s"$root/mv").get
+    assert(m.operation.contains("(full recompute)"),
+      s"schema-changed window must take the full path, got '${m.operation}'")
+    assert(rollup(Snapshot.read(spark, s"$root/mv")).map(r => (r._1, r._2)) ==
+      Set(("k0", 18L), ("k1", 17L), ("k2", 16L)))
+    // the NEXT window (schema stable again) goes back to incremental
+    Snapshot.append(spark, srcPath,
+      Seq((101L, "k1", 9L, "x")).toDF("id", "k", "v", "note"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(Snapshot.latestManifest(spark, s"$root/mv").get
+      .operation.contains("(incremental)"))
+    assert(rollup(Snapshot.read(spark, s"$root/mv")).map(r => (r._1, r._2)) ==
+      Set(("k0", 18L), ("k1", 18L), ("k2", 16L)))
+  }
+
   test("multi-source defining SQL refuses at CREATE, loudly") {
     val root = Files.createTempDirectory("graft-mv-multi").toString
     Snapshot.create(spark, s"$root/a", Seq((1L, 2L)).toDF("x", "y"))
