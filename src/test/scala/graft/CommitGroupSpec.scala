@@ -112,6 +112,34 @@ class CommitGroupSpec extends SparkSpec {
     assert(Snapshot.read(spark, t1).select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("catalog-route SQL writes participate in a commit group") {
+    val wh = tmp("catalog")
+    spark.conf.set("spark.sql.catalog.gcg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcg.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcg.db")
+    spark.sql("CREATE TABLE gcg.db.t1 (id BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gcg.db.t2 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcg.db.t1 VALUES (1, 10)")
+    spark.sql("INSERT INTO gcg.db.t2 VALUES (1, 10)")
+    // the tick: plain spark.sql DML against catalog names, grouped —
+    // commits stage on the driver thread through the one manifest
+    // funnel, so ANY writer family can ride a group
+    CommitGroup.publish(spark, wh, Seq(
+      GroupWrite(s"$wh/db/t1", sp => { sp.sql("INSERT INTO gcg.db.t1 VALUES (2, 20)"); () }),
+      GroupWrite(s"$wh/db/t2", sp => { sp.sql("UPDATE gcg.db.t2 SET v = 99 WHERE id = 1"); () })))
+    assert(spark.sql("SELECT count(*) AS n FROM gcg.db.t1").as[Long].head() == 2L)
+    assert(spark.sql("SELECT v FROM gcg.db.t2 WHERE id = 1").as[Long].head() == 99L)
+    // and a killed grouped SQL tick stays invisible on BOTH tables
+    Snapshot.faultHook = stage =>
+      if (stage == "group-staged") throw new RuntimeException("killed")
+    try intercept[RuntimeException](CommitGroup.publish(spark, wh, Seq(
+      GroupWrite(s"$wh/db/t1", sp => { sp.sql("INSERT INTO gcg.db.t1 VALUES (3, 30)"); () }),
+      GroupWrite(s"$wh/db/t2", sp => { sp.sql("UPDATE gcg.db.t2 SET v = 7 WHERE id = 1"); () }))))
+    finally Snapshot.faultHook = _ => ()
+    assert(spark.sql("SELECT count(*) AS n FROM gcg.db.t1").as[Long].head() == 2L)
+    assert(spark.sql("SELECT v FROM gcg.db.t2 WHERE id = 1").as[Long].head() == 99L)
+  }
+
   test("vacuum resolves stranded staged slots on its sweep") {
     val root = tmp("vacuum")
     val t1 = s"$root/t1"
