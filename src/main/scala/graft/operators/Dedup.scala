@@ -42,6 +42,49 @@ object Dedup {
       .drop("__key", "__rn")
   }
 
+  /** SUB-DOCUMENT (chunk-level) exact dedup — the C4/CCNet move that
+    * document-level dedup cannot make: boilerplate repeated INSIDE
+    * otherwise-distinct documents (license headers, navigation
+    * blocks, quoted passages) survives whole-doc hashing but drowns a
+    * training mix. Documents split into fixed `chunkTokens`-token
+    * windows (pure column ops — `slice` over the token array, no
+    * explode-and-reassemble ordering hazards); each distinct chunk
+    * text keeps its FIRST occurrence corpus-wide (smallest
+    * (id, chunk_no)) and drops the rest.
+    *
+    * Output: one row per chunk — (id, chunk_no, chunk, n_tokens,
+    * keep) — so callers can both rebuild cleaned documents (filter
+    * keep, re-aggregate by position) and audit what was dropped.
+    *
+    * Scale shape: one scan, one light shuffle of (chunk-hash,
+    * id, chunk_no) for the keeper choice, one join back on the
+    * 128-bit hash — never the chunk text twice; at 100 TB the hot
+    * boilerplate chunks are exactly the high-frequency groups, and
+    * the min aggregate partial-combines them map-side.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val toks = split(col(textCol), " ")
+    val nChunks = (size(toks) + chunkTokens - 1).divide(chunkTokens).cast("int")
+    val chunks = df.select(
+      col(idCol).as("id"),
+      explode(transform(sequence(lit(0), nChunks - 1), i => struct(
+        i.cast("long").as("chunk_no"),
+        concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))).as("chunk")
+      ))).as("c"))
+      .select(col("id"), col("c.chunk_no"), col("c.chunk"),
+        size(split(col("c.chunk"), " ")).as("n_tokens"),
+        md5(col("c.chunk")).as("__h"))
+    // keeper per distinct chunk text: lexicographically smallest
+    // (id, chunk_no) — deterministic across engines and partitionings
+    val keeper = chunks.groupBy("__h")
+      .agg(min(struct(col("id"), col("chunk_no"))).as("__keep"))
+    chunks.join(keeper, "__h")
+      .select(col("id"), col("chunk_no"), col("chunk"), col("n_tokens"),
+        (col("__keep") === struct(col("id"), col("chunk_no"))).as("keep"))
+  }
+
   /** All pairs (a.id < b.id) with shingle-set Jaccard >= minJaccard,
     * via an inverted index: explode distinct shingles, equi-join on the
     * shingle, count co-occurrences = |A∩B|, recover the union from

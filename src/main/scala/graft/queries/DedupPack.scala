@@ -374,6 +374,42 @@ object DedupPack extends QueryPack {
       .orderBy("id")
   }
 
+  val q170 = QueryDef(
+    "q170_chunk_dedup",
+    // oracle: the sub-document dedup recomputed from first principles —
+    // 10-token chunk windows, each distinct chunk text keeping its
+    // first corpus-wide occurrence (smallest (doc_id, chunk_no));
+    // per-doc totals of chunks/kept-chunks/kept-tokens. max tokens per
+    // doc is 100 → chunk_no < 16, so doc_id*16+chunk_no is the
+    // lexicographic keeper key in integer form.
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |ch AS (
+           |  SELECT doc_id, i.range AS chunk_no,
+           |    array_to_string(ts[CAST(i.range*10+1 AS BIGINT):CAST(i.range*10+10 AS BIGINT)], ' ') AS chunk
+           |  FROM tok, range(0, 16) i(range)
+           |  WHERE i.range * 10 < len(ts)
+           |),
+           |kp AS (SELECT md5(chunk) AS h, min(doc_id * 16 + chunk_no) AS kk FROM ch GROUP BY 1)
+           |SELECT c.doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(CASE WHEN c.doc_id*16 + c.chunk_no = k.kk THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           |  CAST(SUM(CASE WHEN c.doc_id*16 + c.chunk_no = k.kk
+           |           THEN len(string_split(c.chunk, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
+           |FROM ch c JOIN kp k ON md5(c.chunk) = k.h
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // SUB-DOCUMENT exact dedup (the C4/CCNet boilerplate pass): fixed
+    // 10-token windows, first corpus-wide occurrence wins, per-doc
+    // survival stats — the granularity document-level dedup (q26)
+    // cannot reach. One scan; the keeper choice shuffles only
+    // (hash, id, chunk_no); see operators.Dedup.chunkDedup.
+    Dedup.chunkDedup(t.documents, "doc_id", "text", chunkTokens = 10)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(col("keep"), col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123)
+    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123, q170)
 }

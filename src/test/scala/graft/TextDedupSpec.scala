@@ -42,6 +42,36 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("chunkDedup: first corpus-wide occurrence wins, boundaries exact, short docs whole") {
+    // doc 1: 5 tokens (one short chunk); doc 2 repeats doc 1's chunk
+    // INSIDE a longer doc at a chunk boundary; doc 3 repeats its own
+    // first chunk as its second
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b c x y z"),                    // chunk0 = "a b c x y z"... (6 tokens, one chunk at k=3? no)
+      (3L, "p q r p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 3)
+      .select("id", "chunk_no", "chunk", "n_tokens", "keep")
+      .as[(Long, Long, String, Int, Boolean)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (1L, 0L, "a b c"),
+      (2L, 0L, "a b c"), (2L, 1L, "x y z"),
+      (3L, 0L, "p q r"), (3L, 1L, "p q r")))
+    // keepers: doc1 chunk0 beats doc2 chunk0 (same text, smaller id);
+    // doc3's self-repeat keeps only the first occurrence
+    assert(out.map(r => (r._1, r._2) -> ((r._4, r._5))).toMap == Map(
+      (1L, 0L) -> ((3, true)),
+      (2L, 0L) -> ((3, false)), (2L, 1L) -> ((3, true)),
+      (3L, 0L) -> ((3, true)), (3L, 1L) -> ((3, false))))
+    // a trailing short chunk carries its true token count
+    val short = Dedup.chunkDedup(Seq((9L, "one two three four")).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 3)
+      .select("chunk_no", "n_tokens").as[(Long, Int)].collect().sortBy(_._1)
+    assert(short.toSeq == Seq((0L, 3), (1L, 1)))
+  }
+
   test("jaccardPairs finds near-identical docs and scores them correctly") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
