@@ -24,7 +24,10 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
     "`", "'", "%",
     // round-10 CREATE dialect forms + FULL
     "CREATE", "SHALLOW", "CLONE", "FROM", "PARQUET", "PARTITIONED", "FULL",
-    "create", "shallow", "clone", "'/tmp/x'")
+    "create", "shallow", "clone", "'/tmp/x'",
+    // round-12 verbs: rebase, materialized views
+    "REBASE", "BRANCH", "MERGE", "MATERIALIZED", "VIEW", "REFRESH",
+    "SELECT", "GROUP", "COUNT", "SUM", "*", "refresh", "materialized")
 
   private val statement: Gen[String] =
     Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
@@ -75,7 +78,13 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
       "ALTER TABLE t DROP BRANCH IF EXISTS dev",
       "ALTER TABLE t MERGE BRANCH nightly-2026.08",
       "CREATE TABLE t FROM PARQUET '/tmp/x'",
-      "CREATE TABLE t FROM PARQUET '/tmp/x' PARTITIONED BY (p, q)")
+      "CREATE TABLE t FROM PARQUET '/tmp/x' PARTITIONED BY (p, q)",
+      "ALTER TABLE g.db.t REBASE BRANCH dev",
+      "ALTER TABLE t REBASE BRANCH nightly-2026.08",
+      "CREATE MATERIALIZED VIEW g.db.mv AS SELECT k, COUNT(*) AS n FROM g.db.src GROUP BY k",
+      "CREATE MATERIALIZED VIEW mv AS SELECT 1 AS one",
+      "REFRESH MATERIALIZED VIEW g.db.mv",
+      "REFRESH MATERIALIZED VIEW mv")
     good.foreach(s => assert(GraftSqlParser.parseMaintenance(s, delegate).isDefined,
       s"must parse as maintenance: $s"))
     // and vanilla statements starting with a shared verb delegate
@@ -87,7 +96,11 @@ class GraftSqlParserFuzzSpec extends SparkSpec {
       "CREATE TABLE t (id INT) -- don't shallow clone this",
       // vanilla ALTERs with branch-ish identifiers delegate too
       "ALTER TABLE t ADD COLUMNS (merge_branch INT)",
-      "ALTER TABLE t RENAME COLUMN a TO create_branch")
+      "ALTER TABLE t RENAME COLUMN a TO create_branch",
+      // vanilla REFRESH forms delegate; MV hint words in literals too
+      "REFRESH TABLE t",
+      "REFRESH FUNCTION f",
+      "CREATE TABLE t AS SELECT 'materialized view' AS s")
       .foreach(s => assert(GraftSqlParser.parseMaintenance(s, delegate).isEmpty,
         s"must delegate to the session parser: $s"))
   }
