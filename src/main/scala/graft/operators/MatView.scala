@@ -63,6 +63,7 @@ object MatView {
     */
   def create(spark: SparkSession, mvPath: String, sqlText: String,
              resolvePath: Seq[String] => String): Long = {
+    Snapshot.requireNotInGroup("CREATE MATERIALIZED VIEW") // two commits
     require(Snapshot.latestVersion(spark, mvPath).isEmpty,
       s"materialized view already exists: $mvPath")
     val plan = spark.sessionState.sqlParser.parsePlan(sqlText)

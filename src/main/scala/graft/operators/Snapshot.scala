@@ -1698,7 +1698,20 @@ object Snapshot {
     * pointing at it); `ALTER TABLE t MERGE BRANCH name` fast-forwards
     * the parent to the branch head ([[mergeBranch]]).
     */
+  /** Operations that make MULTIPLE commits or read back their own
+    * commit cannot run inside a commit group (a staged commit is
+    * invisible to its own follow-up reads) — refuse loudly instead of
+    * wedging half-staged. Plain writers (append/overwrite/replace/DML,
+    * single-commit maintenance) group fine.
+    */
+  private[operators] def requireNotInGroup(op: String): Unit =
+    require(groupMarker.get().isEmpty,
+      s"$op cannot run inside a commit group: it commits more than once " +
+        "(or reads back its own commit), and staged commits are invisible " +
+        "until the group's marker - run it outside the group")
+
   def createBranch(spark: SparkSession, path: String, name: String): Long = {
+    requireNotInGroup("createBranch")
     require(TagNameRe.matches(name),
       s"createBranch: branch name must be identifier-shaped and not a number, got '$name'")
     require(latestVersion(spark, branchPath(path, name)).isEmpty,
@@ -1732,6 +1745,7 @@ object Snapshot {
     */
   def dropBranch(spark: SparkSession, path: String, name: String,
                  ifExists: Boolean = false): Long = {
+    requireNotInGroup("dropBranch")
     var attempt = 0
     while (true) {
       val m = latestManifest(spark, path).getOrElse(
@@ -1795,6 +1809,7 @@ object Snapshot {
     * instead of refusing.
     */
   def mergeBranch(spark: SparkSession, path: String, name: String): Long = {
+    requireNotInGroup("mergeBranch")
     val fs = fsFor(spark, path)
     val qMain = fs.makeQualified(new HPath(path)).toString
     val bPath = branchPath(path, name)
@@ -1989,6 +2004,7 @@ object Snapshot {
     * [[BranchBaseProp]] and retires the helper tag) completes the job.
     */
   def rebaseBranch(spark: SparkSession, path: String, name: String): Long = {
+    requireNotInGroup("rebaseBranch")
     val fs = fsFor(spark, path)
     val qMain = fs.makeQualified(new HPath(path)).toString
     val bPath = branchPath(path, name)
@@ -4713,6 +4729,7 @@ object Snapshot {
              orphanGraceMs: Long = 3600L * 1000,
              retainMicros: Option[Long] = None,
              dryRun: Boolean = false): Seq[String] = {
+    requireNotInGroup("vacuum")
     val fs = fsFor(spark, path)
     val vs = versions(spark, path)
     if (vs.isEmpty) return Nil

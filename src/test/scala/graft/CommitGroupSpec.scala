@@ -140,6 +140,30 @@ class CommitGroupSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM gcg.db.t2 WHERE id = 1").as[Long].head() == 99L)
   }
 
+  test("multi-commit maintenance refuses inside a group instead of wedging half-staged") {
+    val root = tmp("guard")
+    val t1 = s"$root/t1"
+    Snapshot.create(spark, t1, Seq((1L, 10L)).toDF("id", "v"))
+    // each of these commits more than once (or reads back its own
+    // commit) — inside a group their follow-up reads would not see
+    // their own staged commits, so they refuse up front
+    def refused(w: org.apache.spark.sql.SparkSession => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](
+        CommitGroup.publish(spark, root, Seq(GroupWrite(t1, w))))
+      assert(e.getMessage.contains("commit group"), e.getMessage)
+      // the failed group aborted eagerly: a plain write proceeds at once
+      Snapshot.append(spark, t1, Seq((99L, 1L)).toDF("id", "v"))
+    }
+    refused(sp => Snapshot.createBranch(sp, t1, "dev"))
+    refused(sp => Snapshot.vacuum(sp, t1, keepVersions = 1))
+    refused(sp => graft.operators.MatView.create(sp, s"$root/mv",
+      "SELECT v, COUNT(*) AS n FROM t GROUP BY v", _ => t1))
+    // single-commit writers (append, overwrite, DML, compact) still group
+    CommitGroup.publish(spark, root, Seq(
+      GroupWrite(t1, sp => { Snapshot.compact(sp, t1, minFiles = 1); () })))
+    assert(Snapshot.latestManifest(spark, t1).get.operation.nonEmpty)
+  }
+
   test("vacuum resolves stranded staged slots on its sweep") {
     val root = tmp("vacuum")
     val t1 = s"$root/t1"
