@@ -173,6 +173,47 @@ class MatViewSpec extends SparkSpec {
       Set(("k0", 18L), ("k1", 18L), ("k2", 16L)))
   }
 
+  test("an MV over an MV refreshes through the chain, each tier incremental") {
+    val root = Files.createTempDirectory("graft-mv-chain").toString
+    val srcPath = s"$root/src"
+    Snapshot.create(spark, srcPath,
+      (0L until 200L).map(i => (i, s"k${i % 10}", s"g${i % 3}", i % 20))
+        .toDF("id", "k", "g", "v"))
+    val reg = Map("src" -> srcPath, "mv1" -> s"$root/mv1", "mv2" -> s"$root/mv2")
+    // tier 1: fine-grained rollup; tier 2: coarser rollup OVER tier 1
+    Snapshot.sql(spark,
+      """CREATE MATERIALIZED VIEW mv1 AS
+        |SELECT k, g, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM src GROUP BY k, g""".stripMargin, reg)
+    Snapshot.sql(spark,
+      """CREATE MATERIALIZED VIEW mv2 AS
+        |SELECT g, COUNT(*) AS n, SUM(CAST(total AS DECIMAL(18,2))) AS total
+        |FROM mv1 GROUP BY g""".stripMargin, reg)
+    def mv2(): Set[(String, Long, java.math.BigDecimal)] =
+      Snapshot.read(spark, s"$root/mv2").select(col("g"), col("n"), col("total"))
+        .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    def recompute(): Set[(String, Long, java.math.BigDecimal)] =
+      Snapshot.read(spark, s"$root/mv1").groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("total").cast("decimal(18,2)")).cast("decimal(28,2)").as("total"))
+        .select(col("g"), col("n"), col("total"))
+        .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    assert(mv2() == recompute())
+    // churn the base, refresh the chain in dependency order
+    Snapshot.append(spark, srcPath,
+      (1000L until 1050L).map(i => (i, s"k${i % 10}", s"g${i % 3}", 19L))
+        .toDF("id", "k", "g", "v"))
+    Snapshot.delete(spark, srcPath, col("id") < 30)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv1", reg)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv2", reg)
+    assert(mv2() == recompute(), "tier 2 must track tier 1 through the feed")
+    assert(Snapshot.latestManifest(spark, s"$root/mv1").get
+      .operation.contains("(incremental)"))
+    assert(Snapshot.latestManifest(spark, s"$root/mv2").get
+      .operation.contains("(incremental)"),
+      "tier 2 over a rewritten tier 1 still folds the NET row diff")
+  }
+
   test("multi-source defining SQL refuses at CREATE, loudly") {
     val root = Files.createTempDirectory("graft-mv-multi").toString
     Snapshot.create(spark, s"$root/a", Seq((1L, 2L)).toDF("x", "y"))
