@@ -255,7 +255,20 @@ object Snapshot {
   object JvmLockedRenameGuard extends CommitGuard {
     override def publish(fs: FileSystem, tablePath: String, tmp: HPath, target: HPath): Boolean =
       commitLock(tablePath).synchronized {
-        if (fs.exists(target)) false
+        // a version slot has TWO spellings — the plain manifest and a
+        // commit group's staged `.grp` twin — and they must serialize
+        // as one slot: the caller's pre-check closes the common case,
+        // this in-lock check closes the same-JVM race. A cross-process
+        // guard implementation should treat the pair the same way (the
+        // caveat below applies to it exactly as to plain commits).
+        val name = target.getName
+        val twin =
+          if (name.endsWith(".json.grp"))
+            Some(new HPath(target.getParent, name.stripSuffix(".grp")))
+          else if (name.endsWith(".json"))
+            Some(new HPath(target.getParent, s"$name.grp"))
+          else None
+        if (fs.exists(target) || twin.exists(fs.exists)) false
         else if (!fs.rename(tmp, target))
           throw new java.io.IOException(s"snapshot commit failed: could not rename into $target")
         else true
@@ -361,28 +374,44 @@ object Snapshot {
   private def resolveGroupSlot(spark: SparkSession, fs: FileSystem, path: String,
                                v: Long): Unit = {
     val grp = grpManifestPath(path, v)
-    val st = try {
+    val (st, marker) = try {
       if (!fs.exists(grp)) return
       val in = fs.open(grp)
       val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
       val root = new ObjectMapper().readTree(bytes)
       if (!root.has("group")) { fs.delete(grp, false); return } // malformed husk
-      val marker = root.get("group").asText()
-      groupState(fs, marker) match {
+      val mk = root.get("group").asText()
+      val state = groupState(fs, mk) match {
         case None =>
           val age = System.currentTimeMillis() - fs.getFileStatus(grp).getModificationTime
           if (age <= groupGraceMs(spark)) None // in-flight: leave pending
-          else Some(publishGroupMarker(spark, marker, "abort")) // arbitrate
+          else Some(publishGroupMarker(spark, mk, "abort")) // arbitrate
         case s => s
       }
+      (state, mk)
     } catch { case _: java.io.FileNotFoundException => return } // raced: resolved
     st match {
       case Some(true) =>
-        // roll forward: the plain name is the visibility flip; a loser
-        // of this rename finds the target already present — same thing
-        if (!fs.rename(grp, manifestPath(path, v)) &&
-            !fs.exists(manifestPath(path, v)))
-          throw new java.io.IOException(s"commit-group roll-forward failed for $grp")
+        // roll forward: the plain name is the visibility flip
+        if (!fs.rename(grp, manifestPath(path, v))) {
+          val target = manifestPath(path, v)
+          if (!fs.exists(target))
+            throw new java.io.IOException(s"commit-group roll-forward failed for $grp")
+          // target occupied: either a CONCURRENT RESOLVER won the same
+          // rename (benign — the group's content is the target) or, on
+          // a substrate without cross-name commit serialization, a
+          // plain commit stole the slot from a committed group — that
+          // is a torn tick and must be LOUD, not silently mixed
+          val in = fs.open(target)
+          val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          val root = new ObjectMapper().readTree(bytes)
+          if (!(root.has("group") && root.get("group").asText() == marker))
+            throw new IllegalStateException(
+              s"commit-group collision at $target: a plain commit occupies the slot " +
+                s"a COMMITTED group staged ($grp) — the substrate's commit guard does " +
+                "not serialize the two spellings; resolve manually before proceeding")
+          if (fs.exists(grp)) fs.delete(grp, false) // benign duplicate copy
+        }
       case Some(false) => fs.delete(grp, false) // aborted: free the slot
       case None => () // pending within grace
     }
@@ -1440,7 +1469,13 @@ object Snapshot {
       try {
         // the slot is ONE slot under two spellings: a plain commit must
         // not land while a staged group holds it, and a group stage
-        // must not land once the plain name committed
+        // must not land once the plain name committed. The cross-name
+        // check runs under the SAME per-table lock the default guard
+        // renames under (reentrant for it), so within a JVM the two
+        // spellings serialize; a substrate whose guard coordinates
+        // across processes on single names keeps the same residual
+        // window local-FS plain commits already have (see
+        // JvmLockedRenameGuard's caveat).
         val other =
           if (marker.isEmpty) grpManifestPath(path, m.version)
           else manifestPath(path, m.version)
