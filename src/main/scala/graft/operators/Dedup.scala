@@ -34,8 +34,16 @@ object Dedup {
     // agg state falls off whole-stage codegen into SortAggregate,
     // copying every row's struct) — the window rank keeps the rows
     // unboxed through codegen.
+    // tiebreaker: rows sharing (hash, id) order on a full-row
+    // fingerprint, so the keeper is deterministic across runs/retries
+    // even when idCol is not unique per text (row_number alone would
+    // pick an arbitrary tied row per execution). xxhash64 over every
+    // column stays inside whole-stage codegen — only rows already tied
+    // on (hash, id) can depend on it, so a 64-bit collision between
+    // DISTINCT tied rows (astronomically rare) is the only residue.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__key")).orderBy(col(idCol))
+      .partitionBy(col("__key"))
+      .orderBy(col(idCol), xxhash64(df.columns.map(col): _*))
     df.withColumn("__key", md5(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

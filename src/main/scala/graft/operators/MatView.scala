@@ -229,6 +229,11 @@ object MatView {
         case _ => return None // unaliased aggs would break the oracle anyway
       }
       if (!cols.exists(_._2 == CountStar)) return None // liveness column required
+      // every GROUP BY key must be SELECTed: otherwise the MV state
+      // lacks the key column and foldDeltas' join on __cur.<key> would
+      // fail at REFRESH time (an un-refreshable view) instead of
+      // demoting here to the always-correct full recompute
+      if (!keys.forall(k => cols.exists(c => c._1 == k && c._2 == KeyCol))) return None
       Some(Shape(keys, cols, pred))
     case _ => None
   }

@@ -392,27 +392,42 @@ object Snapshot {
     } catch { case _: java.io.FileNotFoundException => return } // raced: resolved
     st match {
       case Some(true) =>
-        // roll forward: the plain name is the visibility flip
-        if (!fs.rename(grp, manifestPath(path, v))) {
-          val target = manifestPath(path, v)
-          if (!fs.exists(target))
-            throw new java.io.IOException(s"commit-group roll-forward failed for $grp")
-          // target occupied: either a CONCURRENT RESOLVER won the same
-          // rename (benign — the group's content is the target) or, on
-          // a substrate without cross-name commit serialization, a
-          // plain commit stole the slot from a committed group — that
-          // is a torn tick and must be LOUD, not silently mixed
-          val in = fs.open(target)
-          val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-          val root = new ObjectMapper().readTree(bytes)
-          if (!(root.has("group") && root.get("group").asText() == marker))
-            throw new IllegalStateException(
-              s"commit-group collision at $target: a plain commit occupies the slot " +
-                s"a COMMITTED group staged ($grp) — the substrate's commit guard does " +
-                "not serialize the two spellings; resolve manually before proceeding")
-          if (fs.exists(grp)) fs.delete(grp, false) // benign duplicate copy
+        // roll forward: the plain name is the visibility flip. Runs
+        // under the SAME per-table lock the default guard's exists+twin
+        // checks take (commitManifest passes the qualified root as the
+        // lock key) — on a local FS whose rename OVERWRITES, a resolver
+        // flipping `.grp` → plain in the window between a plain
+        // committer's exists checks and its rename would otherwise be
+        // silently clobbered (the loud collision check below only fires
+        // when the resolver's rename LOSES, not when it wins and is
+        // then overwritten).
+        commitLock(fs.makeQualified(new HPath(path)).toString).synchronized {
+          if (!fs.rename(grp, manifestPath(path, v))) {
+            val target = manifestPath(path, v)
+            if (!fs.exists(target))
+              throw new java.io.IOException(s"commit-group roll-forward failed for $grp")
+            // target occupied: either a CONCURRENT RESOLVER won the same
+            // rename (benign — the group's content is the target) or, on
+            // a substrate without cross-name commit serialization, a
+            // plain commit stole the slot from a committed group — that
+            // is a torn tick and must be LOUD, not silently mixed
+            val in = fs.open(target)
+            val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+            val root = new ObjectMapper().readTree(bytes)
+            if (!(root.has("group") && root.get("group").asText() == marker))
+              throw new IllegalStateException(
+                s"commit-group collision at $target: a plain commit occupies the slot " +
+                  s"a COMMITTED group staged ($grp) — the substrate's commit guard does " +
+                  "not serialize the two spellings; resolve manually before proceeding")
+            if (fs.exists(grp)) fs.delete(grp, false) // benign duplicate copy
+          }
         }
-      case Some(false) => fs.delete(grp, false) // aborted: free the slot
+      case Some(false) =>
+        // aborted: free the slot — same lock, so the guard's twin check
+        // and this delete serialize as one slot transition
+        commitLock(fs.makeQualified(new HPath(path)).toString).synchronized {
+          fs.delete(grp, false)
+        }
       case None => () // pending within grace
     }
   }
@@ -1909,6 +1924,12 @@ object Snapshot {
       else s"@${aliasOf(root)}/$rel"
     }
     var attempt = 0
+    // flips the instant the parent manifest COMMITS: from then on the
+    // moved dirs belong to the parent table and the catch-all below
+    // must NOT rename them back (a post-commit failure — e.g. the
+    // branch-dir delete throwing — would otherwise strand the committed
+    // parent with file refs that just moved out from under it)
+    var committed = false
     try {
       while (true) {
         val main = latestManifest(spark, path).getOrElse(
@@ -1968,6 +1989,8 @@ object Snapshot {
             colDefault = defs,
             colExistsDefault = exDefs,
             branches = main.branches - name))  // the record retires with the merge
+          committed = true
+          faultHook("merge-branch-committed") // injection seam: commit→cleanup window
           fs.delete(new HPath(bPath), true)
           return v
         } catch { case _: CommitConflictException if attempt < 10 => attempt += 1 }
@@ -1977,8 +2000,13 @@ object Snapshot {
       case e: Throwable =>
         // a refusal AFTER the moves (in-window parent divergence,
         // metadata conflict, commit-retry exhaustion) must leave the
-        // branch fully intact: undo the moves before propagating
-        movedDirs.result().foreach { dir =>
+        // branch fully intact: undo the moves before propagating. A
+        // failure AFTER the commit landed (the branch-dir delete
+        // throwing) must NOT undo — the committed parent manifest
+        // already references the moved dirs; the leftover branch husk
+        // is harmless (its record retired with the merge) and a rerun
+        // of the delete cleans it.
+        if (!committed) movedDirs.result().foreach { dir =>
           val from = new HPath(s"$qMain/$dir")
           val back = new HPath(s"$qBranch/$dir")
           if (fs.exists(from) && !fs.exists(back)) {

@@ -334,4 +334,31 @@ class BranchSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, path).get
       .properties.get("quality.bar").contains("strict"))
   }
+
+  test("a failure AFTER the merge commit must not rename the moved dirs back") {
+    val path = tmp("post-commit-fail")
+    Snapshot.create(spark, path, fixture(0 until 10), partitionCols = Seq("p"))
+    Snapshot.createBranch(spark, path, "dev")
+    val bPath = Snapshot.branchPath(path, "dev")
+    Snapshot.append(spark, bPath, fixture(50 until 55))
+    // inject a crash in the commit→cleanup window (stands in for the
+    // branch-dir delete throwing): the parent manifest has ALREADY
+    // committed referencing the moved dirs under the parent root, so
+    // the catch-all undo renaming them back would strand a committed
+    // table with unreadable file refs
+    var fired = false
+    Snapshot.faultHook = stage => if (stage == "merge-branch-committed" && !fired) {
+      fired = true
+      throw new RuntimeException("injected post-commit failure")
+    }
+    val e = try intercept[RuntimeException](Snapshot.mergeBranch(spark, path, "dev"))
+    finally Snapshot.faultHook = _ => ()
+    assert(fired && e.getMessage.contains("injected"), e.getMessage)
+    // the COMMITTED parent stays fully readable — branch rows included
+    assert(rows(Snapshot.read(spark, path)) ==
+      rows(fixture(0 until 10)) ++ rows(fixture(50 until 55)))
+    // the branch record retired with the commit; the leftover branch
+    // husk (the delete never ran) is invisible to the parent
+    assert(Snapshot.latestManifest(spark, path).get.branches.isEmpty)
+  }
 }

@@ -183,4 +183,40 @@ class CommitGroupSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.group.pendingGraceMs")
     assert(Snapshot.read(spark, t1).select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
+
+  test("a reader's roll-forward racing a plain commit never loses the committed group") {
+    // the local-FS hazard: rename OVERWRITES, so a resolver flipping a
+    // committed `.grp` to the plain name in the window between a plain
+    // committer's exists checks and its rename would be silently
+    // clobbered — a torn tick. Both now hold the same per-table lock;
+    // this hammers the window and asserts no group row is ever lost.
+    val root = tmp("race")
+    val t1 = s"$root/t1"
+    Snapshot.create(spark, t1, Seq((0L, 0L)).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 8).foreach { i =>
+        // stage a committed-but-unresolved group (crash after marker)
+        Snapshot.faultHook = stage =>
+          if (stage == "group-marker-committed") throw new RuntimeException("killed")
+        try intercept[RuntimeException](CommitGroup.publish(spark, root, Seq(
+          GroupWrite(t1, sp => Snapshot.append(sp, t1,
+            Seq((1000L + i, 1L)).toDF("id", "v"))))))
+        finally Snapshot.faultHook = _ => ()
+        // race: a reader resolving the staged slot vs a plain append
+        val read = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = Snapshot.read(spark, t1).count()
+        })
+        val write = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = Snapshot.append(spark, t1,
+            Seq((2000L + i, 2L)).toDF("id", "v"))
+        })
+        read.get(); write.get()
+        val ids = Snapshot.read(spark, t1).select("id")
+          .as[Long].collect().toSet
+        assert(ids.contains(1000L + i), s"round $i: group row lost — torn tick")
+        assert(ids.contains(2000L + i), s"round $i: plain append lost")
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -214,6 +214,26 @@ class MatViewSpec extends SparkSpec {
       "tier 2 over a rewritten tier 1 still folds the NET row diff")
   }
 
+  test("a GROUP BY key missing from the SELECT list demotes to full recompute") {
+    val root = Files.createTempDirectory("graft-mv-nokey").toString
+    val srcPath = s"$root/src"
+    Snapshot.create(spark, srcPath,
+      (0L until 60L).map(i => (i, s"k${i % 4}", i)).toDF("id", "k", "v"))
+    val reg = Map("src" -> srcPath, "mv" -> s"$root/mv")
+    // the MV state has no `k` column, so the incremental fold's join on
+    // the key is impossible — the shape test must refuse it UP FRONT
+    // (full recompute), not fail at refresh time
+    Snapshot.sql(spark,
+      "CREATE MATERIALIZED VIEW mv AS SELECT COUNT(*) AS n FROM src GROUP BY k", reg)
+    Snapshot.append(spark, srcPath, Seq((100L, "k0", 7L)).toDF("id", "k", "v"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    val m = Snapshot.latestManifest(spark, s"$root/mv").get
+    assert(m.operation.contains("(full recompute)"),
+      s"keyless-SELECT rollup must take the full path, got '${m.operation}'")
+    assert(Snapshot.read(spark, s"$root/mv").select("n")
+      .as[Long].collect().sorted.toSeq == Seq(15L, 15L, 15L, 16L))
+  }
+
   test("multi-source defining SQL refuses at CREATE, loudly") {
     val root = Files.createTempDirectory("graft-mv-multi").toString
     Snapshot.create(spark, s"$root/a", Seq((1L, 2L)).toDF("x", "y"))

@@ -42,6 +42,21 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("exact dedup is deterministic when (text, id) ties differ in other columns") {
+    // two rows share (text, doc_id) but carry different payloads: the
+    // keeper must be the SAME row across runs and partitionings (the
+    // full-row fingerprint tiebreak), never an arbitrary tied row
+    val rows = Seq((1L, "same", "alpha"), (1L, "same", "beta"),
+      (1L, "same", "gamma"), (2L, "other", "x"))
+    def run(parts: Int): Set[(Long, String, String)] =
+      Dedup.exact(rows.toDF("doc_id", "text", "payload").repartition(parts),
+        "text", "doc_id")
+        .as[(Long, String, String)].collect().toSet
+    val a = run(1)
+    assert(a == run(7) && a == run(32), "keeper must not depend on partitioning")
+    assert(a.count(_._2 == "same") == 1 && a.contains((2L, "other", "x")))
+  }
+
   test("chunkDedup: first corpus-wide occurrence wins, boundaries exact, short docs whole") {
     // doc 1: 5 tokens (one short chunk); doc 2 repeats doc 1's chunk
     // INSIDE a longer doc at a chunk boundary; doc 3 repeats its own
