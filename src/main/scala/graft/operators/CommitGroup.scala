@@ -49,10 +49,13 @@ object CommitGroup {
     require(writes.nonEmpty, "commit group: no writes")
     require(writes.map(_.path).distinct.size == writes.size,
       "commit group: one write per table (stage both changes in one write instead)")
-    val id = java.util.UUID.randomUUID().toString.take(12)
+    // time-prefixed marker names give `latest` a lexical "newest
+    // committed tick" order without reading every marker's mtime
+    val id = f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(12)}"
     val marker = s"$groupDir/_graft_groups/$id.final"
     require(Snapshot.groupMarker.get().isEmpty, "commit groups do not nest")
     Snapshot.groupMarker.set(Some(marker))
+    Snapshot.groupStagedMembers.get().clear()
     try {
       try writes.foreach(w => w.write(spark))
       catch {
@@ -68,8 +71,12 @@ object CommitGroup {
           throw e
       }
       Snapshot.faultHook("group-staged") // injection seam: pre-marker crash window
-      // THE commit point: one conditional put flips every table
-      val committed = Snapshot.publishGroupMarker(spark, marker, "commit")
+      // THE commit point: one conditional put flips every table. The
+      // marker carries the tick's (table → version) map, so consumers
+      // can later pin a CONSISTENT multi-table read to this tick
+      // (`VERSION AS OF 'tick:<marker>'`, [[readAt]]).
+      val committed = Snapshot.publishGroupMarker(spark, marker,
+        commitContent(Snapshot.groupStagedMembers.get().toList))
       if (!committed) throw new Snapshot.CommitConflictException(
         s"commit group $id was aborted by a concurrent arbiter " +
           "(staging outlived the pending grace window); nothing published")
@@ -79,6 +86,82 @@ object CommitGroup {
       Snapshot.groupMarker.set(None)
       writes.foreach(w => Snapshot.latestVersion(spark, w.path))
       marker
-    } finally Snapshot.groupMarker.set(None)
+    } finally {
+      Snapshot.groupMarker.set(None)
+      Snapshot.groupStagedMembers.get().clear()
+    }
+  }
+
+  private def commitContent(members: List[(String, Long)]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("state", "commit")
+    val ms = node.putObject("members")
+    members.foreach { case (p, v) => ms.put(p, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  // --------------------------------------------------- tick-pinned reads
+
+  /** The committed tick's member map: qualified table root → the
+    * version this group published for it. Refuses a pending or aborted
+    * marker loudly — a consumer must never silently read a mixed "now".
+    */
+  def members(spark: SparkSession, marker: String): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(marker)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(marker)
+    require(fs.exists(p), s"no such commit-group marker: $marker")
+    val in = fs.open(p)
+    val s = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim finally in.close()
+    require(s.startsWith("{"),
+      if (s == "commit") s"marker $marker records no member map (pre-tick format)"
+      else s"commit group at $marker did not commit (state: $s)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    require(root.get("state").asText() == "commit",
+      s"commit group at $marker did not commit (state: ${root.get("state").asText()})")
+    import scala.jdk.CollectionConverters._
+    root.get("members").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** This table's version at the given tick. The table must be a tick
+    * member — a tick pins what it PUBLISHED; resolving a non-member
+    * through it would silently mix ticks, the exact bug this exists to
+    * prevent. Triggers the lazy roll-forward first, so a reader landing
+    * between the marker and the coordinator's eager resolution still
+    * finds the plain manifest.
+    */
+  def versionAt(spark: SparkSession, marker: String, path: String): Long = {
+    val m = members(spark, marker)
+    val qual = Snapshot.qualifiedRoot(spark, path)
+    val v = m.getOrElse(qual, throw new IllegalArgumentException(
+      s"$qual is not a member of tick $marker " +
+        s"(members: ${m.keys.toSeq.sorted.mkString(", ")})"))
+    Snapshot.latestVersion(spark, path) // resolves any still-staged slot
+    v
+  }
+
+  /** Read one member table PINNED at the tick — `readAt` for every
+    * member table of one marker is the consistent multi-table read.
+    */
+  def readAt(spark: SparkSession, marker: String, path: String): org.apache.spark.sql.DataFrame =
+    Snapshot.readVersion(spark, path, versionAt(spark, marker, path))
+
+  /** The NEWEST committed group under `groupDir` — "give me a
+    * consistent now" for consumers that don't carry a marker. Lexical
+    * order over the time-prefixed marker names; pending/aborted
+    * markers are skipped.
+    */
+  def latest(spark: SparkSession, groupDir: String): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$groupDir/_graft_groups")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".final"))
+      .sortBy(_.getName).reverseIterator
+      .map(_.toString)
+      .find(mk => Snapshot.groupState(fs, mk).contains(true))
   }
 }

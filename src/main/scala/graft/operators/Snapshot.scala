@@ -320,6 +320,22 @@ object Snapshot {
     override def initialValue(): Option[String] = None
   }
 
+  /** Members staged by THIS thread's in-flight commit group: (qualified
+    * table root, staged version). [[graft.operators.CommitGroup]]
+    * serializes the list into the committed marker, so tick readers
+    * can pin EVERY member table's version through one marker — the
+    * cross-table consistent-read half of the tick contract.
+    */
+  private[operators] val groupStagedMembers =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[(String, Long)]] {
+      override def initialValue() = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    }
+
+  /** The one funnel for a table's identity string (external refs, commit
+    * locks, tick membership all key on it). */
+  private[operators] def qualifiedRoot(spark: SparkSession, path: String): String =
+    fsFor(spark, path).makeQualified(new HPath(path)).toString
+
   /** How long a PENDING (markerless) staged group manifest may hold its
     * version slot before a concurrent writer may abort the group.
     * Staging is seconds of metadata work; the default is generous.
@@ -338,7 +354,14 @@ object Snapshot {
       val in = fs.open(p)
       val s = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim finally in.close()
-      Some(s == "commit")
+      // two content forms: the bare legacy word, and the JSON envelope
+      // carrying the tick's member map ({"state":"commit","members":…})
+      if (s.startsWith("{"))
+        Some(scala.util.Try {
+          val r = new ObjectMapper().readTree(s)
+          r.has("state") && r.get("state").asText() == "commit"
+        }.getOrElse(false))
+      else Some(s == "commit")
     }
   }
 
@@ -1503,6 +1526,10 @@ object Snapshot {
         s"snapshot commit conflict: version ${m.version} already exists at $path")
     }
     faultHook("manifest-committed")
+    // a group STAGE records its membership so the coordinator's marker
+    // can carry the tick's (table → version) map for pinned reads
+    marker.foreach(_ => groupStagedMembers.get() +=
+      (fs.makeQualified(new HPath(path)).toString -> m.version))
     // after the commit point: a crash here leaves the pointer one
     // behind, which the read path's forward probe absorbs. A group
     // STAGE is not a commit — the pointer moves at roll-forward time.
@@ -2287,14 +2314,25 @@ object Snapshot {
   }
 
   /** The one version-spec funnel: an all-digit spec is a version
-    * number; anything else is a tag name resolved through the LATEST
-    * manifest's tag map. Every `VERSION AS OF` surface routes here, so
-    * tags work wherever versions do.
+    * number; a `tick:<marker>` spec resolves this table's version
+    * through the named commit-group marker (and `tick-latest:<dir>`
+    * through the NEWEST committed group under `<dir>/_graft_groups`) —
+    * the group-pinned consistent read, `SELECT … FROM t VERSION AS OF
+    * 'tick:…'` on both SQL front ends; anything else is a tag name
+    * resolved through the LATEST manifest's tag map. Tags work
+    * wherever versions do.
     */
   def resolveVersionSpec(spark: SparkSession, path: String, spec: String): Long = {
     val s = spec.trim.stripPrefix("'").stripSuffix("'")
       .stripPrefix("\"").stripSuffix("\"")
-    s.toLongOption.getOrElse {
+    if (s.startsWith("tick:"))
+      CommitGroup.versionAt(spark, s.stripPrefix("tick:"), path)
+    else if (s.startsWith("tick-latest:")) {
+      val dir = s.stripPrefix("tick-latest:")
+      val mk = CommitGroup.latest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed commit group under $dir"))
+      CommitGroup.versionAt(spark, mk, path)
+    } else s.toLongOption.getOrElse {
       val m = latestManifest(spark, path).getOrElse(
         throw new IllegalArgumentException(s"not a snapshot table: $path"))
       m.tags.getOrElse(s, throw new IllegalArgumentException(

@@ -2264,6 +2264,72 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** GROUP-PINNED CONSISTENT READ — the consumer half of the tick
+    * contract. q168 made a tick's WRITES atomic; a consumer that reads
+    * table A, then table B a moment later, could still straddle two
+    * ticks (the reference's consumer shape: one hourly run chains four
+    * pipelines whose outputs get joined downstream —
+    * descarga_hora.py:24-60, indicadores_cia.py:160-165). Here BOTH
+    * tables resolve through ONE tick marker (`VERSION AS OF
+    * 'tick:<marker>'` / CommitGroup.readAt), and a NEW tick
+    * deliberately flips BETWEEN the consumer's two reads: without the
+    * pin the join would mix tick-1 revenue with tick-2 counts and fail
+    * the oracle. Scale shape: the pin is one marker read (a tiny JSON)
+    * + per-table manifest loads — O(1) metadata, never data.
+    */
+  val q171 = QueryDef.staged(
+    "q171_tick_pinned_read",
+    // oracle: the tick-1 window (pre-1997) recomputed from raw orders —
+    // exactly what a NON-mixed two-table read at the tick-1 marker sees
+    Some("""SELECT o_orderpriority,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  CAST(COUNT(CASE WHEN o_totalprice >= 100000 THEN 1 END) AS BIGINT) AS n_big
+           |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): both destinations created, then tick 1 (the
+    // pre-1997 window) published through ONE commit group — its marker
+    // is the consumer's pin.
+    import graft.operators.{CommitGroup, Snapshot}
+    import graft.operators.CommitGroup.GroupWrite
+    val root = java.nio.file.Files.createTempDirectory("graft_q171").toString
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    def rev(w: org.apache.spark.sql.Column) = t.orders.where(w)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").as("total"))
+    def big(w: org.apache.spark.sql.Column) = t.orders.where(w)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(when(col("o_totalprice") >= 100000, 1)).as("n_big"))
+    Snapshot.create(t.spark, s"$root/rev", rev(lit(false)))
+    Snapshot.create(t.spark, s"$root/big", big(lit(false)))
+    val mk1 = CommitGroup.publish(t.spark, root, Seq(
+      GroupWrite(s"$root/rev",
+        sp => Snapshot.overwrite(sp, s"$root/rev", rev(col("o_orderdate") < cut97))),
+      GroupWrite(s"$root/big",
+        sp => Snapshot.overwrite(sp, s"$root/big", big(col("o_orderdate") < cut97)))))
+    (root, mk1, rev(lit(true)), big(lit(true)))
+  } { (t, st: (String, String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =>
+    // MEASURED: pin table 1 at the tick → a NEW tick flips → table 2
+    // still resolves through the SAME marker. The join's n/total/n_big
+    // must all describe the tick-1 window; an unpinned second read
+    // would see tick 2 and break the oracle.
+    import graft.operators.{CommitGroup, Snapshot}
+    import graft.operators.CommitGroup.GroupWrite
+    val (root, mk1, revAll, bigAll) = st
+    val revPinned = CommitGroup.readAt(t.spark, mk1, s"$root/rev")
+    CommitGroup.publish(t.spark, root, Seq( // the mid-read tick flip
+      GroupWrite(s"$root/rev", sp => Snapshot.overwrite(sp, s"$root/rev", revAll)),
+      GroupWrite(s"$root/big", sp => Snapshot.overwrite(sp, s"$root/big", bigAll))))
+    val bigPinned = Snapshot.sqlQuery(t.spark,
+      s"SELECT * FROM big VERSION AS OF 'tick:$mk1' big",
+      Map("big" -> s"$root/big"))
+    revPinned.join(bigPinned, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"),
+        col("total").cast("double").as("total"), col("n_big"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171)
 }

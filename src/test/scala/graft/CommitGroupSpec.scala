@@ -184,6 +184,81 @@ class CommitGroupSpec extends SparkSpec {
     assert(Snapshot.read(spark, t1).select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("tick-pinned reads resolve every member through one marker; non-members refuse") {
+    val root = tmp("tick-read")
+    val (a, b, c) = (s"$root/a", s"$root/b", s"$root/c")
+    Snapshot.create(spark, a, Seq((1L, 0L)).toDF("id", "tick"))
+    Snapshot.create(spark, b, Seq((1L, 0L)).toDF("id", "tick"))
+    Snapshot.create(spark, c, Seq((1L, 0L)).toDF("id", "tick"))
+    def tickWrite(t: String, i: Long) = GroupWrite(t,
+      sp => Snapshot.overwrite(sp, t, Seq((1L, i)).toDF("id", "tick")))
+    val mk1 = CommitGroup.publish(spark, root, Seq(tickWrite(a, 1), tickWrite(b, 1)))
+    val mk2 = CommitGroup.publish(spark, root, Seq(tickWrite(a, 2), tickWrite(b, 2)))
+    // newest committed tick (latest returns the qualified form)
+    assert(CommitGroup.latest(spark, root).exists(_.endsWith(mk2)))
+    // readAt pins BOTH members to the older tick even though HEAD moved
+    assert(CommitGroup.readAt(spark, mk1, a).select("tick").as[Long].head() == 1L)
+    assert(CommitGroup.readAt(spark, mk1, b).select("tick").as[Long].head() == 1L)
+    // the SQL spelling rides the one version-spec funnel on the
+    // registry route: a two-table join pinned to one tick
+    val reg = Map("ta" -> a, "tb" -> b)
+    val joined = Snapshot.sqlQuery(spark,
+      s"""SELECT ta.tick AS at, tb.tick AS bt
+         |FROM ta VERSION AS OF 'tick:$mk1' ta
+         |JOIN tb VERSION AS OF 'tick:$mk1' tb ON ta.id = tb.id""".stripMargin, reg)
+    assert(joined.as[(Long, Long)].head() == ((1L, 1L)))
+    // tick-latest resolves through the NEWEST committed marker
+    assert(Snapshot.sqlQuery(spark,
+      s"SELECT tick FROM ta VERSION AS OF 'tick-latest:$root' ta", reg)
+      .as[Long].head() == 2L)
+    // a table the tick never wrote refuses loudly — resolving it
+    // through this marker would silently mix ticks
+    val e = intercept[IllegalArgumentException](CommitGroup.readAt(spark, mk1, c))
+    assert(e.getMessage.contains("not a member"), e.getMessage)
+  }
+
+  test("a mid-read tick flip mixes unpinned sequential reads; the pinned read never mixes") {
+    val root = tmp("tick-flip")
+    val (a, b) = (s"$root/a", s"$root/b")
+    Snapshot.create(spark, a, Seq((1L, 0L)).toDF("id", "tick"))
+    Snapshot.create(spark, b, Seq((1L, 0L)).toDF("id", "tick"))
+    def tick(i: Long) = Seq(
+      GroupWrite(a, sp => Snapshot.overwrite(sp, a, Seq((1L, i)).toDF("id", "tick"))),
+      GroupWrite(b, sp => Snapshot.overwrite(sp, b, Seq((1L, i)).toDF("id", "tick"))))
+    CommitGroup.publish(spark, root, tick(1))
+    // the consumer shape: read A, then B — with a tick landing BETWEEN
+    // the two reads (deterministic interleave, no sleeps)
+    val unpinnedA = Snapshot.read(spark, a).select("tick").as[Long].head()
+    val mkPin = CommitGroup.latest(spark, root).get
+    val pinnedA = CommitGroup.readAt(spark, mkPin, a).select("tick").as[Long].head()
+    CommitGroup.publish(spark, root, tick(2)) // the flip
+    val unpinnedB = Snapshot.read(spark, b).select("tick").as[Long].head()
+    val pinnedB = CommitGroup.readAt(spark, mkPin, b).select("tick").as[Long].head()
+    // the hazard is REAL: unpinned sequential reads straddle the ticks
+    assert(unpinnedA == 1L && unpinnedB == 2L, "expected the unpinned mix")
+    // the pinned read never mixes, whatever lands between its reads
+    assert(pinnedA == 1L && pinnedB == 1L)
+  }
+
+  test("tick reads survive a coordinator crash before roll-forward") {
+    val root = tmp("tick-crash")
+    val (a, b) = (s"$root/a", s"$root/b")
+    Snapshot.create(spark, a, Seq((1L, 0L)).toDF("id", "tick"))
+    Snapshot.create(spark, b, Seq((1L, 0L)).toDF("id", "tick"))
+    Snapshot.faultHook = stage =>
+      if (stage == "group-marker-committed") throw new RuntimeException("killed")
+    try intercept[RuntimeException](CommitGroup.publish(spark, root, Seq(
+      GroupWrite(a, sp => Snapshot.overwrite(sp, a, Seq((1L, 1L)).toDF("id", "tick"))),
+      GroupWrite(b, sp => Snapshot.overwrite(sp, b, Seq((1L, 1L)).toDF("id", "tick"))))))
+    finally Snapshot.faultHook = _ => ()
+    // the marker landed, so the tick IS committed: a consumer that
+    // finds it must read both members at the new versions even though
+    // nothing rolled the staged slots forward yet
+    val mk = CommitGroup.latest(spark, root).get
+    assert(CommitGroup.readAt(spark, mk, a).select("tick").as[Long].head() == 1L)
+    assert(CommitGroup.readAt(spark, mk, b).select("tick").as[Long].head() == 1L)
+  }
+
   test("a reader's roll-forward racing a plain commit never loses the committed group") {
     // the local-FS hazard: rename OVERWRITES, so a resolver flipping a
     // committed `.grp` to the plain name in the window between a plain
