@@ -3,42 +3,59 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 
 /** MATERIALIZED VIEWS as first-class objects: a snapshot table that
-  * carries its own DEFINING SQL and a SOURCE WATERMARK in its manifest
-  * properties, refreshed on demand — the declared form of the
+  * carries its own DEFINING SQL and per-source WATERMARKS in its
+  * manifest properties, refreshed on demand — the declared form of the
   * hand-built incremental rollups (q119/q138) and of the reference's
   * "recompute the destination table every tick" QueryJobConfig
   * materializations (audio_digital.py:350, liveod_editorial.py:282).
   *
   *  - `CREATE MATERIALIZED VIEW mv AS SELECT …` ([[create]]): executes
-  *    the defining query against the source PINNED at one version (no
-  *    torn reads under concurrent source commits), lands the result as
-  *    a snapshot table whose properties carry the SQL text, the source
-  *    table name, and the watermark (`streamBatch` keyed by
-  *    [[ConsumerId]], exactly like every feed consumer).
+  *    the defining query with EVERY source table PINNED at one version
+  *    (no torn reads under concurrent source commits), lands the result
+  *    as a snapshot table whose properties carry the SQL text and the
+  *    per-source watermarks (`streamBatch` keyed by [[ConsumerId]],
+  *    exactly like every feed consumer).
   *  - `REFRESH MATERIALIZED VIEW mv` ([[refresh]]): advances the MV to
-  *    the source's current version. When the defining query is an
-  *    ADDITIVE ROLLUP (`SELECT keys…, COUNT(*) …, SUM(expr)… FROM src
-  *    [WHERE pred] GROUP BY keys`), the refresh is INCREMENTAL: it
-  *    reads only the net change feed for the window
+  *    the sources' current versions. When the defining query is a
+  *    ROLLUP (`SELECT keys…, COUNT(*) …, SUM/MIN/MAX(expr)… FROM src
+  *    [JOIN dim ON …]* [WHERE pred] GROUP BY keys`) and exactly ONE
+  *    source changed in the window, the refresh is INCREMENTAL: it
+  *    reads only that source's net change feed
   *    ([[Snapshot.readChanges]], O(changed files) — the unchanged
-  *    100 TB is never touched), folds signed per-group deltas into the
-  *    current state, and drops groups whose row count reaches zero —
-  *    bitwise-identical to a full recompute when the SUM state is
-  *    exact (decimal/integer; the one caveat is a group whose value
-  *    column is ENTIRELY null across history: the fold stores NULL by
-  *    delta-null tracking, which matches recompute except when deletes
-  *    empty the non-null subset exactly — use exact types and non-null
-  *    measures for bitwise parity). Any other defining shape (joins,
-  *    distinct counts, windows) falls back to a FULL PINNED recompute —
-  *    always correct, cost declared.
+  *    100 TB is never touched), replays the defining query's
+  *    join/filter tree over the feed with every OTHER source pinned at
+  *    its watermark (Δ(fact ⋈ dim) = Δfact ⋈ dim when dim is
+  *    unchanged — and by symmetry, a dim-only window folds Δdim ⋈
+  *    fact), folds signed per-group deltas into the current state, and
+  *    drops groups whose row count reaches zero — bitwise-identical to
+  *    a full recompute when the SUM state is exact (decimal/integer;
+  *    the one caveat is a group whose value column is ENTIRELY null
+  *    across history: the fold stores NULL by delta-null tracking,
+  *    which matches recompute except when deletes empty the non-null
+  *    subset exactly — use exact types and non-null measures for
+  *    bitwise parity).
+  *
+  *    MIN/MAX columns fold with a DELETE-TRIGGERED per-group tier:
+  *    inserts fold as least/greatest against the current extremum; a
+  *    delete at-or-beyond the folded extremum re-derives ONLY that
+  *    group from the (pinned, new-version) source — O(affected groups)
+  *    aggregation, never a whole-table rewrite of the rollup. AVG
+  *    derives from SUM + COUNT at read time (an AVG column itself is
+  *    not additively foldable bitwise — declare the sums).
+  *
+  *    Any other shape (multi-source windows where BOTH sides changed,
+  *    outer joins, distinct counts, windows, a self-join of the changed
+  *    source) falls back to a FULL PINNED recompute — always correct,
+  *    cost declared in the commit's operation string.
   *
   * Exactly-once, the [[graft.streaming.FeedConsumer]] contract: state
-  * and watermark publish in ONE commit versioned against the manifest
+  * and watermarks publish in ONE commit versioned against the manifest
   * the refresh read — a crash before the commit leaves the old
   * watermark (the rerun re-folds the same window onto the same pinned
   * state), a redelivered refresh no-ops, a concurrent MV commit
@@ -53,13 +70,13 @@ object MatView {
   /** Is this snapshot table a materialized view? */
   def isMatView(m: Snapshot.Manifest): Boolean = m.properties.contains(SqlProp)
 
-  /** CREATE MATERIALIZED VIEW: run `sqlText` against its single source
-    * table pinned at the source's current version, land the result as
-    * a new snapshot table at `mvPath` carrying the defining SQL and
-    * the watermark. `resolvePath` maps the source's (possibly
-    * qualified) name in the SQL to its snapshot path — the catalog
-    * route resolves through the session catalogs, the registry route
-    * through its table map.
+  /** CREATE MATERIALIZED VIEW: run `sqlText` with every source table
+    * pinned at its current version, land the result as a new snapshot
+    * table at `mvPath` carrying the defining SQL and the per-source
+    * watermarks. `resolvePath` maps a source's (possibly qualified)
+    * name in the SQL to its snapshot path — the catalog route resolves
+    * through the session catalogs, the registry route through its
+    * table map.
     */
   def create(spark: SparkSession, mvPath: String, sqlText: String,
              resolvePath: Seq[String] => String): Long = {
@@ -67,24 +84,29 @@ object MatView {
     require(Snapshot.latestVersion(spark, mvPath).isEmpty,
       s"materialized view already exists: $mvPath")
     val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
-    val srcParts = sourceRelation(plan, sqlText)
-    val srcPath = resolvePath(srcParts)
-    val vSrc = Snapshot.latestVersion(spark, srcPath).getOrElse(
+    val srcs = sourceRelations(plan, sqlText)
+    val paths = srcs.map(resolvePath)
+    val vs = paths.map(p => Snapshot.latestVersion(spark, p).getOrElse(
       throw new IllegalArgumentException(
-        s"materialized view source is not a snapshot table: $srcPath"))
-    val result = pinnedResult(spark, plan, srcParts, srcPath, vSrc)
+        s"materialized view source is not a snapshot table: $p")))
+    val reads = srcs.indices.map(i => srcKey(srcs(i)) ->
+      Snapshot.readVersion(spark, paths(i), vs(i)).queryExecution.logical).toMap
+    val result = PlanBridge.dataFrame(spark, substituted(plan, reads))
     Snapshot.create(spark, mvPath, result,
-      properties = Map(SqlProp -> sqlText, SourceProp -> srcParts.mkString(".")))
-    // watermark rides a follow-up metadata commit on the fresh table
+      properties = Map(SqlProp -> sqlText,
+        SourceProp -> srcs.map(_.mkString(".")).mkString(",")))
+    // watermarks ride a follow-up metadata commit on the fresh table
     // (create() owns version 1); both commits precede any reader
     val m = Snapshot.latestManifest(spark, mvPath).get
-    Snapshot.commitMetaOn(spark, mvPath, m, s"MATERIALIZE v$vSrc")(mm =>
-      mm.copy(streamBatch = mm.streamBatch + (ConsumerId -> vSrc)))
+    Snapshot.commitMetaOn(spark, mvPath, m,
+      s"MATERIALIZE ${vs.mkString("v", ",v", "")}")(mm =>
+      mm.copy(streamBatch = mm.streamBatch ++ wmEntries(srcs, vs)))
   }
 
-  /** REFRESH MATERIALIZED VIEW: advance to the source's latest version
-    * — incrementally for additive-rollup shapes, by full pinned
-    * recompute otherwise. Returns Some(from → to) when the view
+  /** REFRESH MATERIALIZED VIEW: advance to the sources' latest versions
+    * — incrementally for rollup shapes with a single-source change
+    * window, by full pinned recompute otherwise. Returns
+    * Some(from → to) of the first source's watermark when the view
     * advanced, None when already current.
     */
   def refresh(spark: SparkSession, mvPath: String,
@@ -94,110 +116,164 @@ object MatView {
     val sqlText = mvM.properties.getOrElse(SqlProp, throw new IllegalArgumentException(
       s"not a materialized view (no $SqlProp property): $mvPath"))
     val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
-    val srcParts = sourceRelation(plan, sqlText)
-    val srcPath = resolvePath(srcParts)
-    val vNow = Snapshot.latestVersion(spark, srcPath).getOrElse(
+    val srcs = sourceRelations(plan, sqlText)
+    val paths = srcs.map(resolvePath)
+    val vNows = paths.map(p => Snapshot.latestVersion(spark, p).getOrElse(
       throw new IllegalArgumentException(
-        s"materialized view source is not a snapshot table: $srcPath"))
-    val vFrom = mvM.streamBatch.get(ConsumerId)
-    if (vFrom.exists(_ >= vNow)) return None
+        s"materialized view source is not a snapshot table: $p")))
+    val vFroms = srcs.indices.map(i => mvM.streamBatch.get(wmKey(srcs, i)))
+    val changed = srcs.indices.filterNot(i => vFroms(i).exists(_ >= vNows(i)))
+    if (changed.isEmpty) return None
     val stamp = (m: Snapshot.Manifest) =>
-      m.copy(streamBatch = m.streamBatch + (ConsumerId -> vNow))
-    // the incremental path needs a READABLE, SCHEMA-STABLE window:
-    // a source schema change inside it (readChanges refuses those) or
-    // a vacuum that reclaimed the watermark version both demote this
-    // refresh to the always-correct full pinned recompute
-    def windowOk(v: Long): Boolean =
-      try Snapshot.manifest(spark, srcPath, v).schemaDdl ==
-        Snapshot.manifest(spark, srcPath, vNow).schemaDdl
+      m.copy(streamBatch = m.streamBatch ++ wmEntries(srcs, vNows))
+    val opTail = vNows.mkString("v", ",v", "")
+    // the incremental path needs ONE changed source, occurring ONCE in
+    // the plan (Δ(A⋈A) ≠ ΔA⋈A), with a READABLE, SCHEMA-STABLE window:
+    // a schema change inside it (readChanges refuses those) or a
+    // vacuum that reclaimed the watermark version both demote this
+    // refresh to the always-correct full pinned recompute — as does a
+    // window where a JOINED side churned too (the dim-churn demotion).
+    def windowOk(i: Int): Boolean = vFroms(i).exists { v =>
+      try Snapshot.manifest(spark, paths(i), v).schemaDdl ==
+        Snapshot.manifest(spark, paths(i), vNows(i)).schemaDdl
       catch { case _: java.io.FileNotFoundException => false }
-    val incremental = vFrom.filter(windowOk).flatMap(v => rollupShape(plan).map(v -> _))
-    incremental match {
-      case Some((v, shape)) =>
-        // O(change): the net feed over the window, folded as signed
-        // per-group deltas into the PINNED current state
-        val feed = Snapshot.readChanges(spark, srcPath, v, vNow, net = true)
-        val filtered = shape.pred.map(p => feed.where(ColumnBridge.column(p)))
-          .getOrElse(feed)
-        val current = Snapshot.readManifestFiles(spark, mvPath, mvM, mvM.files)
-        val next = foldDeltas(current, filtered, shape)
-        if (filtered.isEmpty)
-          Snapshot.commitMetaOn(spark, mvPath, mvM,
-            s"REFRESH MATERIALIZED VIEW v$vNow (no-op window)")(stamp)
-        else
-          Snapshot.replaceWholeTableOn(spark, mvPath, mvM, next,
-            op = s"REFRESH MATERIALIZED VIEW v$vNow (incremental)", finish = stamp)
-      case None =>
-        val result = pinnedResult(spark, plan, srcParts, srcPath, vNow)
-        Snapshot.replaceWholeTableOn(spark, mvPath, mvM, result,
-          op = s"REFRESH MATERIALIZED VIEW v$vNow (full recompute)", finish = stamp)
     }
-    Some(vFrom.getOrElse(0L) -> vNow)
+    val incremental =
+      if (changed.size == 1 && windowOk(changed.head) &&
+          occurrences(plan, srcKey(srcs(changed.head))) == 1)
+        rollupShape(plan).map(changed.head -> _)
+      else None
+    incremental match {
+      case Some((ci, shape)) =>
+        // O(change): the net feed over the changed source's window,
+        // replayed through the defining join/filter tree with every
+        // other source pinned at its (unchanged) watermark, folded as
+        // signed per-group deltas into the PINNED current state
+        val feed = Snapshot.readChanges(spark, paths(ci), vFroms(ci).get, vNows(ci),
+          net = true)
+        def readsWith(changedPlan: LogicalPlan): Map[String, LogicalPlan] =
+          srcs.indices.map { i =>
+            srcKey(srcs(i)) -> (if (i == ci) changedPlan
+            else Snapshot.readVersion(spark, paths(i), vFroms(i).get)
+              .queryExecution.logical)
+          }.toMap
+        val deltaRows = PlanBridge.dataFrame(spark,
+          substituted(shape.child, readsWith(feed.queryExecution.logical)))
+        // the per-group MIN/MAX recompute tier reads the NEW state of
+        // the changed source (others unchanged) — lazily built, only
+        // executed for groups a delete actually dented
+        lazy val childAtNew = PlanBridge.dataFrame(spark,
+          substituted(shape.child, readsWith(
+            Snapshot.readVersion(spark, paths(ci), vNows(ci)).queryExecution.logical)))
+        val current = Snapshot.readManifestFiles(spark, mvPath, mvM, mvM.files)
+        if (deltaRows.isEmpty)
+          Snapshot.commitMetaOn(spark, mvPath, mvM,
+            s"REFRESH MATERIALIZED VIEW $opTail (no-op window)")(stamp)
+        else {
+          val next = foldDeltas(current, deltaRows, shape, childAtNew)
+          Snapshot.replaceWholeTableOn(spark, mvPath, mvM, next,
+            op = s"REFRESH MATERIALIZED VIEW $opTail (incremental)", finish = stamp)
+        }
+      case None =>
+        val reads = srcs.indices.map(i => srcKey(srcs(i)) ->
+          Snapshot.readVersion(spark, paths(i), vNows(i)).queryExecution.logical).toMap
+        val result = PlanBridge.dataFrame(spark, substituted(plan, reads))
+        Snapshot.replaceWholeTableOn(spark, mvPath, mvM, result,
+          op = s"REFRESH MATERIALIZED VIEW $opTail (full recompute)", finish = stamp)
+    }
+    Some(vFroms.head.getOrElse(0L) -> vNows.head)
   }
 
   // ----------------------------------------------------------- internals
 
-  /** The single source relation the defining SQL reads (every
-    * occurrence must name the same table — self-joins of one source
-    * are fine, multi-table queries refresh as full recomputes only if
-    * we could watermark them all, so v1 refuses them at CREATE).
+  private def srcKey(parts: Seq[String]): String =
+    parts.map(_.toLowerCase).mkString(".")
+
+  /** Per-source watermark keys: the FIRST source keeps the plain
+    * [[ConsumerId]] (single-source views look exactly as they always
+    * did); the rest key `__graft_mv@<name>`.
     */
-  private def sourceRelation(plan: LogicalPlan, sqlText: String): Seq[String] = {
+  private def wmKey(srcs: Seq[Seq[String]], i: Int): String =
+    if (i == 0) ConsumerId else s"$ConsumerId@${srcKey(srcs(i))}"
+
+  private def wmEntries(srcs: Seq[Seq[String]], vs: Seq[Long]): Map[String, Long] =
+    srcs.indices.map(i => wmKey(srcs, i) -> vs(i)).toMap
+
+  /** The DISTINCT source relations the defining SQL reads, in first-
+    * appearance order (the first is the view's primary watermark).
+    */
+  private def sourceRelations(plan: LogicalPlan, sqlText: String): Seq[Seq[String]] = {
     val rels = plan.collect { case r: UnresolvedRelation => r.multipartIdentifier }
     require(rels.nonEmpty, s"materialized view query reads no table: $sqlText")
-    val distinct = rels.map(_.map(_.toLowerCase)).distinct
-    require(distinct.size == 1,
-      "materialized view over MULTIPLE source tables is not supported " +
-        s"(found: ${distinct.map(_.mkString(".")).mkString(", ")}) — " +
-        "materialize the single-table core and join at read time")
-    rels.head
-  }
-
-  /** Execute the defining plan with every source occurrence substituted
-    * by a read PINNED at `version` — no torn reads: the result and the
-    * watermark name exactly the same source state even under concurrent
-    * source commits.
-    */
-  private def pinnedResult(spark: SparkSession, plan: LogicalPlan,
-                           srcParts: Seq[String], srcPath: String,
-                           version: Long): DataFrame = {
-    val pinned = Snapshot.readVersion(spark, srcPath, version)
-      .queryExecution.logical
-    val key = srcParts.map(_.toLowerCase)
-    val swapped = plan.transformUp {
-      case r: UnresolvedRelation if r.multipartIdentifier.map(_.toLowerCase) == key =>
-        SubqueryAlias(srcParts.last, pinned)
+    rels.foldLeft(Vector.empty[Seq[String]]) { (acc, r) =>
+      if (acc.exists(a => srcKey(a) == srcKey(r))) acc else acc :+ r
     }
-    PlanBridge.dataFrame(spark, swapped)
   }
 
-  /** The additive-rollup shape the incremental path handles:
-    * `SELECT keys…, aggs… FROM src [WHERE pred] GROUP BY keys` where
-    * every agg is COUNT(*) or SUM(deterministic expr), at least one
-    * COUNT(*) present (it carries group liveness — a group whose count
-    * reaches zero drops, exactly like the recompute).
+  private def occurrences(plan: LogicalPlan, key: String): Int =
+    plan.collect {
+      case r: UnresolvedRelation if srcKey(r.multipartIdentifier) == key => r
+    }.size
+
+  /** Substitute every source occurrence whose key has a replacement —
+    * the one pinning funnel for create, recompute, and the delta
+    * replay (where the changed source becomes the change feed).
     */
-  private final case class Shape(keys: Seq[String],
+  private def substituted(plan: LogicalPlan,
+                          reads: Map[String, LogicalPlan]): LogicalPlan =
+    plan.transformUp {
+      case r: UnresolvedRelation =>
+        reads.get(srcKey(r.multipartIdentifier))
+          .map(p => SubqueryAlias(r.multipartIdentifier.last, p): LogicalPlan)
+          .getOrElse(r)
+    }
+
+  /** The rollup shape the incremental path handles:
+    * `SELECT keys…, aggs… FROM <inner-join/filter tree over relations>
+    * GROUP BY keys` where every agg is COUNT(*), SUM, MIN or MAX of a
+    * deterministic expression, at least one COUNT(*) present (it
+    * carries group liveness — a group whose count reaches zero drops,
+    * exactly like the recompute), and every GROUP BY key is SELECTed.
+    */
+  /** `keys` pairs the SELECTed state name with the child column it
+    * groups on (`c_mktsegment AS seg` → ("seg", "c_mktsegment")) —
+    * the MV state speaks the alias, the delta replay speaks the
+    * source column.
+    */
+  private final case class Shape(keys: Seq[(String, String)],
                                  cols: Seq[(String, AggCol)],
-                                 pred: Option[Expression])
+                                 child: LogicalPlan)
   private sealed trait AggCol
-  private case object KeyCol extends AggCol
+  private final case class KeyOf(childCol: String) extends AggCol
   private case object CountStar extends AggCol
   private final case class SumOf(e: Expression) extends AggCol
+  private final case class MinOf(e: Expression) extends AggCol
+  private final case class MaxOf(e: Expression) extends AggCol
+
+  /** Inner-join/filter trees over base relations delta-distribute
+    * (Δ over one side replays with the others fixed); anything else —
+    * outer joins, subqueries, nondeterminism — does not, so it takes
+    * the full-recompute path.
+    */
+  private def okChild(p: LogicalPlan): Boolean = p match {
+    case _: UnresolvedRelation => true
+    case SubqueryAlias(_, c) => okChild(c)
+    case Filter(cond, c) =>
+      cond.deterministic && !cond.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) && okChild(c)
+    case Join(l, r, Inner, cond, _) =>
+      cond.forall(c => c.deterministic && !c.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION)) &&
+        okChild(l) && okChild(r)
+    case _ => false
+  }
 
   private def rollupShape(plan: LogicalPlan): Option[Shape] = plan match {
     case Aggregate(groupingExprs, aggExprs, child, _) =>
+      if (!okChild(child)) return None
       val keys = groupingExprs.map {
         case a: UnresolvedAttribute if a.nameParts.size == 1 => a.nameParts.head
         case _ => return None // ordinals, expressions: full recompute
-      }
-      val pred = child match {
-        case _: UnresolvedRelation => None
-        case Filter(p, _: UnresolvedRelation) =>
-          if (!p.deterministic || p.containsPattern(
-            org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION)) return None
-          Some(p)
-        case _ => return None
       }
       def aggOf(e: Expression): Option[AggCol] = e match {
         case f: UnresolvedFunction
@@ -208,11 +284,16 @@ object MatView {
             case _ => None // count(col) skips nulls: full recompute
           }
         case f: UnresolvedFunction
-            if f.nameParts.map(_.toLowerCase) == Seq("sum") && !f.isDistinct =>
+            if Seq(Seq("sum"), Seq("min"), Seq("max"))
+              .contains(f.nameParts.map(_.toLowerCase)) && !f.isDistinct =>
           f.arguments match {
             case Seq(arg) if arg.deterministic &&
               arg.collectFirst { case g: UnresolvedFunction => g }.isEmpty =>
-              Some(SumOf(arg))
+              f.nameParts.map(_.toLowerCase) match {
+                case Seq("sum") => Some(SumOf(arg))
+                case Seq("min") => Some(MinOf(arg))
+                case _ => Some(MaxOf(arg))
+              }
             case _ => None
           }
         case _ => None
@@ -220,7 +301,10 @@ object MatView {
       val cols = aggExprs.map {
         case a: UnresolvedAttribute
             if a.nameParts.size == 1 && keys.contains(a.nameParts.head) =>
-          a.nameParts.head -> (KeyCol: AggCol)
+          a.nameParts.head -> (KeyOf(a.nameParts.head): AggCol)
+        case Alias(a: UnresolvedAttribute, name)
+            if a.nameParts.size == 1 && keys.contains(a.nameParts.head) =>
+          name -> (KeyOf(a.nameParts.head): AggCol)
         case Alias(child, name) =>
           aggOf(child) match {
             case Some(c) => name -> c
@@ -229,33 +313,60 @@ object MatView {
         case _ => return None // unaliased aggs would break the oracle anyway
       }
       if (!cols.exists(_._2 == CountStar)) return None // liveness column required
-      // every GROUP BY key must be SELECTed: otherwise the MV state
-      // lacks the key column and foldDeltas' join on __cur.<key> would
-      // fail at REFRESH time (an un-refreshable view) instead of
-      // demoting here to the always-correct full recompute
-      if (!keys.forall(k => cols.exists(c => c._1 == k && c._2 == KeyCol))) return None
-      Some(Shape(keys, cols, pred))
+      // every GROUP BY key must be SELECTed (bare or aliased): otherwise
+      // the MV state lacks the key column and foldDeltas' join on
+      // __cur.<key> would fail at REFRESH time (an un-refreshable view)
+      // instead of demoting here to the always-correct full recompute
+      if (!keys.forall(k => cols.exists(_._2 == KeyOf(k)))) return None
+      val keyPairs = cols.collect { case (n, KeyOf(cc)) => n -> cc }
+      Some(Shape(keyPairs, cols, child))
     case _ => None
   }
 
   /** Fold the signed feed deltas into the current state. Null-safe on
     * group keys (GROUP BY treats nulls as one group, so must the join).
+    * `feed` is the defining query's child tree replayed over the net
+    * change feed — its rows carry `_change_type`.
+    *
+    * COUNT/SUM fold arithmetically. MIN/MAX fold inserts as
+    * least/greatest; a delete at-or-beyond the folded extremum marks
+    * the group for re-derivation from `childAtNew` (the defining
+    * query's child at the NEW source version) — conservative (a delete
+    * EQUAL to the extremum recomputes even when a twin row still holds
+    * it) but exact, and O(affected groups): the rest of the state is
+    * never touched and the recompute aggregates only semi-joined rows.
     */
-  private def foldDeltas(current: DataFrame, feed: DataFrame, shape: Shape): DataFrame = {
+  private def foldDeltas(current: DataFrame, feed: DataFrame, shape: Shape,
+                         childAtNew: => DataFrame): DataFrame = {
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val aggs = shape.cols.collect {
-      case (name, CountStar) => sum(sign).as(s"__d_$name")
+    val isIns = col("_change_type") === "insert"
+    val aggs = shape.cols.flatMap {
+      case (name, CountStar) => Seq(sum(sign).as(s"__d_$name"))
       case (name, SumOf(e)) =>
-        sum(ColumnBridge.column(e) * sign).as(s"__d_$name")
+        Seq(sum(ColumnBridge.column(e) * sign).as(s"__d_$name"))
+      case (name, MinOf(e)) => Seq(
+        min(when(isIns, ColumnBridge.column(e))).as(s"__ins_$name"),
+        min(when(!isIns, ColumnBridge.column(e))).as(s"__del_$name"))
+      case (name, MaxOf(e)) => Seq(
+        max(when(isIns, ColumnBridge.column(e))).as(s"__ins_$name"),
+        max(when(!isIns, ColumnBridge.column(e))).as(s"__del_$name"))
+      case _ => Seq.empty
     }
-    val delta = feed.groupBy(shape.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val delta0 = feed.groupBy(shape.keys.map(k => col(k._2)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // the delta speaks CHILD column names on its keys; the state speaks
+    // the SELECT aliases — rename at the seam so the fold join and all
+    // output columns live in state-name space
+    val delta = delta0.select(
+      shape.keys.map { case (sn, cc) => col(cc).as(sn) } ++
+        delta0.columns.filterNot(shape.keys.map(_._2).contains).map(col): _*)
     val cur = current.alias("__cur")
     val dlt = delta.alias("__dlt")
-    val on = shape.keys.map(k => col(s"__cur.$k") <=> col(s"__dlt.$k"))
+    val on = shape.keys.map { case (sn, _) => col(s"__cur.$sn") <=> col(s"__dlt.$sn") }
       .reduce(_ && _)
     val curSchema = current.schema
     def outCol(name: String, c: AggCol): Column = c match {
-      case KeyCol => coalesce(col(s"__cur.$name"), col(s"__dlt.$name")).as(name)
+      case KeyOf(_) => coalesce(col(s"__cur.$name"), col(s"__dlt.$name")).as(name)
       case CountStar =>
         (coalesce(col(s"__cur.$name"), lit(0L)) +
           coalesce(col(s"__d_$name"), lit(0L)))
@@ -268,10 +379,62 @@ object MatView {
           .otherwise((coalesce(col(s"__cur.$name"), lit(0)) +
             coalesce(col(s"__d_$name"), lit(0)))
             .cast(curSchema(name).dataType)).as(name)
+      case MinOf(_) =>
+        least(col(s"__cur.$name"), col(s"__ins_$name"))
+          .cast(curSchema(name).dataType).as(name)
+      case MaxOf(_) =>
+        greatest(col(s"__cur.$name"), col(s"__ins_$name"))
+          .cast(curSchema(name).dataType).as(name)
+    }
+    // a group needs re-derivation when a delete reaches the folded
+    // extremum. The comparison is NULL when the window deleted nothing
+    // from the group (or the state is all-null) — coalesce to false or
+    // three-valued logic would drop the row from BOTH branches below.
+    val recFlags = shape.cols.collect {
+      case (name, MinOf(_)) => coalesce(
+        col(s"__del_$name") <= least(col(s"__cur.$name"), col(s"__ins_$name")),
+        lit(false))
+      case (name, MaxOf(_)) => coalesce(
+        col(s"__del_$name") >= greatest(col(s"__cur.$name"), col(s"__ins_$name")),
+        lit(false))
     }
     val liveness = shape.cols.collectFirst { case (n, CountStar) => n }.get
-    cur.join(dlt, on, "full_outer")
-      .select(shape.cols.map { case (n, c) => outCol(n, c) }: _*)
+    val folded = cur.join(dlt, on, "full_outer")
+      .select(shape.cols.map { case (n, c) => outCol(n, c) } :+
+        recFlags.reduceOption(_ || _).getOrElse(lit(false)).as("__rec"): _*)
       .where(col(liveness) > 0)
+    if (recFlags.isEmpty) return folded.drop("__rec")
+    val keep = folded.where(!col("__rec")).drop("__rec")
+    val affected = folded.where(col("__rec"))
+      .select(shape.keys.map { case (sn, _) => col(sn) }: _*)
+    // state-sized decision (the MV rollup, not the source): skip the
+    // recompute branch entirely when no delete dented an extremum
+    if (affected.isEmpty) return keep
+    // re-derive ONLY the affected groups: semi-join the defining
+    // query's child at the new source version against the (broadcast-
+    // tiny) affected key set, then the original aggregation — bitwise
+    // the recompute's result for exactly those groups
+    val src = childAtNew.alias("__src")
+    val aff = affected.alias("__aff")
+    val semiOn = shape.keys.map { case (sn, cc) =>
+      col(s"__src.$cc") <=> col(s"__aff.$sn")
+    }.reduce(_ && _)
+    val reAggs = shape.cols.collect {
+      case (name, CountStar) => count(lit(1)).cast(curSchema(name).dataType).as(name)
+      case (name, SumOf(e)) =>
+        sum(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
+      case (name, MinOf(e)) =>
+        min(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
+      case (name, MaxOf(e)) =>
+        max(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
+    }
+    val rederived = src.join(broadcast(aff), semiOn, "left_semi")
+      .groupBy(shape.keys.map(k => col(k._2)): _*)
+      .agg(reAggs.head, reAggs.tail: _*)
+      .select(shape.cols.map {
+        case (n, KeyOf(cc)) => col(cc).as(n)
+        case (n, _) => col(n)
+      }: _*)
+    keep.unionByName(rederived)
   }
 }

@@ -2330,6 +2330,120 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** INCREMENTAL MV OVER A JOIN — the reference's heaviest
+    * materialization shape: a users dim joined to the fact before
+    * aggregation (consumo_bloques_hora.py:102-245). The MV declares
+    * `fact ⋈ dim → rollup`; a fact-only churn window refreshes by the
+    * delta rule ΔMV = Γ(Δfact ⋈ dim) folded into state — the dim and
+    * the unchanged fact bulk are read as O(dim) + O(change feed),
+    * never O(fact). MatViewSpec pins the dim-churn and both-changed
+    * demotion behavior; here the oracle pins bitwise parity with a
+    * from-scratch recompute after TWO incremental windows.
+    */
+  val q172 = QueryDef.staged(
+    "q172_join_mv",
+    // oracle: the final MV state recomputed from raw orders ⋈ customer
+    Some("""SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |WHERE o.o_totalprice >= 1000
+           |  AND NOT (o.o_orderpriority = '5-LOW'
+           |           AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): fact (pre-1997 orders) + customer dim as
+    // snapshot tables, the join MV declared over them, and the first
+    // churn window (a year's load + a cleanup delete) staged.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q172").toString
+    val factP = s"$root/fact"
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cut98 = lit("1998-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    Snapshot.create(t.spark, factP,
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    Snapshot.create(t.spark, s"$root/dim",
+      t.customer.select(col("c_custkey"), col("c_mktsegment")))
+    val reg = Map("fact" -> factP, "dim" -> s"$root/dim", "mv" -> s"$root/mv")
+    Snapshot.sql(t.spark,
+      """CREATE MATERIALIZED VIEW mv AS
+        |SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM fact JOIN dim ON fact.o_custkey = dim.c_custkey
+        |WHERE o_totalprice >= 1000
+        |GROUP BY c_mktsegment""".stripMargin, reg)
+    Snapshot.append(t.spark, factP,
+      t.orders.where(col("o_orderdate") >= cut97 && col("o_orderdate") < cut98)
+        .select(cols.map(col): _*))
+    Snapshot.delete(t.spark, factP,
+      col("o_orderpriority") === "5-LOW" &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    (root, reg)
+  } { (t, st: (String, Map[String, String])) =>
+    // MEASURED: refresh (Δfact ⋈ dim fold) → another fact load →
+    // refresh again — each refresh reads the window's net change feed
+    // plus the broadcast-sized dim, never the fact bulk — then the view.
+    import graft.operators.Snapshot
+    val (root, reg) = st
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    Snapshot.append(t.spark, s"$root/fact",
+      t.orders.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    Snapshot.read(t.spark, s"$root/mv")
+      .select(col("seg"), col("n"), col("total").cast("double").as("total"))
+      .orderBy("seg")
+  }
+
+  /** MIN/MAX INCREMENTAL MV TIER — additive folds cover COUNT/SUM;
+    * MIN/MAX needs the delete-triggered per-group re-derivation (a
+    * delete that removes a group's extremum re-aggregates ONLY that
+    * group from the source — O(affected groups), not O(table); a
+    * window whose deletes never reach an extremum folds with no
+    * re-derivation at all). The churn here kills one priority's top
+    * price band, so exactly that group re-derives.
+    */
+  val q173 = QueryDef.staged(
+    "q173_minmax_mv",
+    // oracle: the final MV state recomputed from raw orders minus the
+    // deleted band
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice >= 300000)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): the source snapshot + the MIN/MAX rollup MV.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q173").toString
+    val srcP = s"$root/src"
+    Snapshot.create(t.spark, srcP,
+      t.orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")))
+    val reg = Map("src" -> srcP, "mv" -> s"$root/mv")
+    Snapshot.sql(t.spark,
+      """CREATE MATERIALIZED VIEW mv AS
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM src GROUP BY o_orderpriority""".stripMargin, reg)
+    (root, reg)
+  } { (t, st: (String, Map[String, String])) =>
+    // MEASURED: the extremum-killing delete (one priority's top band)
+    // + the incremental refresh that re-derives exactly that group,
+    // then the view. MatViewSpec pins that this window stays on the
+    // incremental path.
+    import graft.operators.Snapshot
+    val (root, reg) = st
+    Snapshot.delete(t.spark, s"$root/src",
+      col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 300000)
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    Snapshot.read(t.spark, s"$root/mv")
+      .select(col("o_orderpriority"), col("n"), col("lo"), col("hi"),
+        col("total").cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173)
 }

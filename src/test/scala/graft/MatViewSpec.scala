@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{MatView, Snapshot}
@@ -234,13 +234,138 @@ class MatViewSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(15L, 15L, 15L, 16L))
   }
 
-  test("multi-source defining SQL refuses at CREATE, loudly") {
-    val root = Files.createTempDirectory("graft-mv-multi").toString
-    Snapshot.create(spark, s"$root/a", Seq((1L, 2L)).toDF("x", "y"))
-    Snapshot.create(spark, s"$root/b", Seq((1L, 3L)).toDF("x", "z"))
-    val reg = Map("a" -> s"$root/a", "b" -> s"$root/b", "mv" -> s"$root/mv")
-    val e = intercept[IllegalArgumentException](Snapshot.sql(spark,
-      "CREATE MATERIALIZED VIEW mv AS SELECT a.x FROM a JOIN b ON a.x = b.x", reg))
-    assert(e.getMessage.contains("MULTIPLE source tables"), e.getMessage)
+  test("a fact-join-dim rollup MV refreshes incrementally on fact-only windows") {
+    val root = Files.createTempDirectory("graft-mv-join").toString
+    val (factP, dimP, mvP) = (s"$root/fact", s"$root/dim", s"$root/mv")
+    Snapshot.create(spark, factP,
+      (0L until 200L).map(i => (i, i % 8, i % 40)).toDF("id", "dk", "v"))
+    Snapshot.create(spark, dimP,
+      (0L until 8L).map(d => (d, s"g${d % 3}")).toDF("dk", "grp"))
+    val reg = Map("fact" -> factP, "dim" -> dimP, "mv" -> mvP)
+    val defining =
+      """SELECT grp, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM fact JOIN dim ON fact.dk = dim.dk
+        |WHERE v >= 3 GROUP BY grp""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    def recompute(): Set[(String, Long, java.math.BigDecimal)] =
+      rollup(Snapshot.sqlQuery(spark, defining, reg)
+        .withColumnRenamed("grp", "k"))
+    def state(): Set[(String, Long, java.math.BigDecimal)] =
+      rollup(Snapshot.read(spark, mvP).withColumnRenamed("grp", "k"))
+    assert(state() == recompute(), "initial state")
+    // fact-only churn window: an append + a delete — the dim is
+    // unchanged, so Δ(fact ⋈ dim) = Δfact ⋈ dim and the refresh folds
+    Snapshot.append(spark, factP,
+      (1000L until 1030L).map(i => (i, i % 8, 39L)).toDF("id", "dk", "v"))
+    Snapshot.delete(spark, factP, col("id") < 25)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "fact churn refresh")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      Snapshot.latestManifest(spark, mvP).get.operation)
+    // a dim-ONLY churn window folds by the symmetric delta rule
+    // (Δdim ⋈ fact — an update is delete+insert rows through the net
+    // feed); demotion is reserved for windows where BOTH sides moved
+    Snapshot.update(spark, dimP, col("dk") === 3L, Map("grp" -> lit("g9")))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "dim churn refresh")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      Snapshot.latestManifest(spark, mvP).get.operation)
+    // and the NEXT fact-only window is incremental again
+    Snapshot.append(spark, factP, Seq((2000L, 3L, 17L)).toDF("id", "dk", "v"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "post-demotion fact window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"))
+  }
+
+  test("an ALIASED group key (k AS seg) still qualifies for the incremental path") {
+    val root = Files.createTempDirectory("graft-mv-aliaskey").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    Snapshot.create(spark, srcP,
+      (0L until 80L).map(i => (i, s"k${i % 5}", i % 9)).toDF("id", "k", "v"))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      """SELECT k AS seg, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM src GROUP BY k""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    Snapshot.append(spark, srcP, Seq((900L, "k1", 8L)).toDF("id", "k", "v"))
+    Snapshot.delete(spark, srcP, col("id") < 10)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      Snapshot.latestManifest(spark, mvP).get.operation)
+    assert(rollup(Snapshot.read(spark, mvP).withColumnRenamed("seg", "k")) ==
+      rollup(Snapshot.sqlQuery(spark, defining, reg).withColumnRenamed("seg", "k")))
+  }
+
+  test("a dim-only window folds too (delta symmetry), both sides changed demotes") {
+    val root = Files.createTempDirectory("graft-mv-dimwin").toString
+    val (factP, dimP, mvP) = (s"$root/fact", s"$root/dim", s"$root/mv")
+    Snapshot.create(spark, factP,
+      (0L until 100L).map(i => (i, i % 10, i % 7)).toDF("id", "dk", "v"))
+    Snapshot.create(spark, dimP,
+      (0L until 6L).map(d => (d, s"g${d % 2}")).toDF("dk", "grp"))
+    val reg = Map("fact" -> factP, "dim" -> dimP, "mv" -> mvP)
+    val defining =
+      """SELECT grp, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM fact JOIN dim ON fact.dk = dim.dk GROUP BY grp""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    def recompute() = rollup(Snapshot.sqlQuery(spark, defining, reg)
+      .withColumnRenamed("grp", "k"))
+    def state() = rollup(Snapshot.read(spark, mvP).withColumnRenamed("grp", "k"))
+    // dim-only window: new dim rows bring previously-unjoined fact
+    // rows into the view — Δdim ⋈ fact, the symmetric fold
+    Snapshot.append(spark, dimP, Seq((6L, "g0"), (7L, "g1")).toDF("dk", "grp"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "dim-only window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      Snapshot.latestManifest(spark, mvP).get.operation)
+    // BOTH sides changed in one window: no single-source delta — demote
+    Snapshot.append(spark, factP, Seq((500L, 6L, 3L)).toDF("id", "dk", "v"))
+    Snapshot.append(spark, dimP, Seq((8L, "g0")).toDF("dk", "grp"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "both-changed window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(full recompute)"))
+  }
+
+  test("MIN/MAX tier: extremum-killing deletes re-derive only the dented groups") {
+    val root = Files.createTempDirectory("graft-mv-minmax").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    Snapshot.create(spark, srcP,
+      (0L until 120L).map(i => (i, s"k${i % 4}", i)).toDF("id", "k", "v"))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      """SELECT k, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi,
+        |SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM src GROUP BY k""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    def recompute(): Set[Row] =
+      Snapshot.sqlQuery(spark, defining, reg).collect().toSet
+    def state(): Set[Row] = Snapshot.read(spark, mvP)
+      .select("k", "n", "lo", "hi", "total").collect().toSet
+    assert(state() == recompute(), "initial")
+    // window 1: inserts that extend extrema + a delete that does NOT
+    // touch any extremum — pure fold, no re-derivation needed
+    Snapshot.append(spark, srcP,
+      Seq((500L, "k0", 500L), (501L, "k1", -5L)).toDF("id", "k", "v"))
+    Snapshot.delete(spark, srcP, col("id") === 50L) // v=50, k2's mid-range
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "fold window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"))
+    // window 2: kill k3's MAX (v=119 at id=119) and k0's MIN (v=0 at
+    // id=0) — the refresh stays incremental and re-derives exactly
+    // those groups from the source
+    Snapshot.delete(spark, srcP, col("id") === 119L || col("id") === 0L)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "extremum-killing deletes")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      "the MIN/MAX tier must NOT demote to full recompute")
+    // window 3: a delete EQUAL to a shared extremum where a twin row
+    // still holds the value (conservative trigger, exact result)
+    Snapshot.append(spark, srcP,
+      Seq((600L, "k1", -5L), (601L, "k1", -5L)).toDF("id", "k", "v"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    Snapshot.delete(spark, srcP, col("id") === 501L) // one of the three -5s
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "shared-extremum delete")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"))
   }
 }
