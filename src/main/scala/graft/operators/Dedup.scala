@@ -86,6 +86,62 @@ object Dedup {
         md5(col("c.chunk")).as("__h"))
     // keeper per distinct chunk text: lexicographically smallest
     // (id, chunk_no) — deterministic across engines and partitionings
+    keeperOverChunks(chunks)
+  }
+
+  /** CONTENT-DEFINED (rolling-hash) chunking + dedup — the CDC move
+    * fixed windows cannot make: [[chunkDedup]]'s 10-token windows miss
+    * boilerplate at SHIFTED offsets (a banner inserted mid-document
+    * shifts every later window boundary, so an identical passage
+    * chunks differently in each document). Here a chunk boundary falls
+    * BETWEEN two adjacent tokens whenever the hash of that token
+    * 2-gram ≡ 0 (mod `divisor`) — a boundary decision that depends
+    * only on LOCAL content, so an identical passage re-chunks
+    * identically wherever it sits, and its interior chunks dedup
+    * across documents regardless of offset. Expected chunk length ≈
+    * `divisor` tokens; no minimum/maximum is imposed (bounds would
+    * reintroduce offset dependence).
+    *
+    * Same plan shape as [[chunkDedup]]: boundaries and slices are pure
+    * column ops over the token array (one scan, no explode-reassemble
+    * ordering hazards); the keeper choice shuffles only (128-bit hash,
+    * id, chunk_no); the hot boilerplate chunks partial-combine
+    * map-side. The 2-gram hash is [[TextFns.hash32]] (md5-prefix), so
+    * an external engine reproduces the exact boundaries.
+    */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                    divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // boundary AFTER 1-based token position b (1 <= b < n) when the
+    // (tok[b], tok[b+1]) 2-gram hashes to 0 mod divisor
+    val bpos = when(n > 1,
+      filter(sequence(lit(1), n - 1), b =>
+        pmod(TextFns.hash32(concat_ws(" ",
+          element_at(toks, b), element_at(toks, b + 1))), lit(divisor)) === 0))
+      .otherwise(array().cast("array<int>"))
+    // cut offsets frame the chunks: chunk j covers tokens
+    // (cuts[j], cuts[j+1]] in 1-based positions
+    val cuts = concat(array(lit(0)), bpos, array(n))
+    val chunks = df.select(
+      col(idCol).as("id"),
+      explode(transform(sequence(lit(0), size(cuts) - 2), j => struct(
+        j.cast("long").as("chunk_no"),
+        concat_ws(" ", slice(toks, element_at(cuts, j + 1) + 1,
+          element_at(cuts, j + 2) - element_at(cuts, j + 1))).as("chunk")
+      ))).as("c"))
+      .select(col("id"), col("c.chunk_no"), col("c.chunk"),
+        size(split(col("c.chunk"), " ")).as("n_tokens"),
+        md5(col("c.chunk")).as("__h"))
+    keeperOverChunks(chunks)
+  }
+
+  /** Shared keeper election for chunk-level dedup: first corpus-wide
+    * occurrence (smallest (id, chunk_no)) of each distinct chunk text
+    * wins; only (hash, id, chunk_no) shuffles.
+    */
+  private def keeperOverChunks(chunks: DataFrame): DataFrame = {
     val keeper = chunks.groupBy("__h")
       .agg(min(struct(col("id"), col("chunk_no"))).as("__keep"))
     chunks.join(keeper, "__h")

@@ -410,6 +410,50 @@ object DedupPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  val q174 = QueryDef(
+    "q174_cdc_chunk_dedup",
+    // oracle: content-defined chunking recomputed from first
+    // principles — a boundary falls between adjacent tokens whenever
+    // hash32 of the 2-gram ≡ 0 (mod 16); each distinct chunk keeps its
+    // first corpus-wide occurrence (smallest (doc_id, chunk_no);
+    // chunk_no < 128 since docs have ≤ 100 tokens, so doc_id*128 +
+    // chunk_no is the lexicographic keeper key in integer form).
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |cut AS (
+           |  SELECT doc_id, ts,
+           |    [CAST(0 AS BIGINT)] ||
+           |    [CAST(b AS BIGINT) for b in range(1, len(ts))
+           |       if CAST('0x' || substr(md5(ts[b] || ' ' || ts[b+1]), 1, 8) AS BIGINT) % 16 = 0] ||
+           |    [CAST(len(ts) AS BIGINT)] AS cuts
+           |  FROM tok
+           |),
+           |ch AS (
+           |  SELECT doc_id, i.j AS chunk_no,
+           |    array_to_string(ts[CAST(cuts[CAST(i.j+1 AS BIGINT)]+1 AS BIGINT):CAST(cuts[CAST(i.j+2 AS BIGINT)] AS BIGINT)], ' ') AS chunk
+           |  FROM cut, range(0, 128) i(j)
+           |  WHERE i.j < len(cuts) - 1
+           |),
+           |kp AS (SELECT md5(chunk) AS h, min(doc_id * 128 + chunk_no) AS kk FROM ch GROUP BY 1)
+           |SELECT c.doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(CASE WHEN c.doc_id*128 + c.chunk_no = k.kk THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           |  CAST(SUM(CASE WHEN c.doc_id*128 + c.chunk_no = k.kk
+           |           THEN len(string_split(c.chunk, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
+           |FROM ch c JOIN kp k ON md5(c.chunk) = k.h
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // CONTENT-DEFINED chunk dedup: boundaries from local 2-gram hashes
+    // (≡ 0 mod 16 → ~16-token chunks), so an identical passage chunks
+    // identically at ANY offset — the boilerplate q170's fixed windows
+    // miss when a banner shifts it. Same one-scan, light-shuffle plan
+    // as q170; see operators.Dedup.cdcChunkDedup.
+    Dedup.cdcChunkDedup(t.documents, "doc_id", "text", divisor = 16)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(col("keep"), col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123, q170)
+    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123, q170, q174)
 }

@@ -87,6 +87,35 @@ class TextDedupSpec extends SparkSpec {
     assert(short.toSeq == Seq((0L, 3), (1L, 1)))
   }
 
+  test("cdcChunkDedup catches an offset-shifted passage that fixed windows provably miss") {
+    // doc 1 is a 40-token passage P; doc 2 carries a 3-token banner
+    // BEFORE the same P. Fixed 10-token windows: P's windows in doc 2
+    // start 3 tokens later, so (all tokens being position-distinct) NO
+    // window text repeats across docs. Content-defined boundaries
+    // depend only on adjacent-token 2-grams, so P's interior
+    // boundaries are identical in both docs and its interior chunks
+    // dedup across them.
+    val p = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, p), (2L, s"ban0 ban1 ban2 $p")).toDF("doc_id", "text")
+    def crossDocDups(out: org.apache.spark.sql.DataFrame): Long =
+      out.where(!col("keep")).join(
+        out.where(col("keep")).select(col("chunk"), col("id").as("keep_id")), "chunk")
+        .where(col("id") =!= col("keep_id")).count()
+    val fixed = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
+    assert(crossDocDups(fixed) == 0,
+      "fixed windows must miss the shifted passage (the failure mode under test)")
+    val cdc = Dedup.cdcChunkDedup(docs, "doc_id", "text", divisor = 4)
+    assert(crossDocDups(cdc) > 0,
+      "content-defined boundaries must catch the shifted passage's interior chunks")
+    // rebuild invariant: per doc, chunks re-concatenate to the text
+    val rebuilt = cdc.groupBy("id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_no"), col("chunk"))))
+        .getField("chunk")).as("re"))
+      .join(docs, col("id") === col("doc_id"))
+    assert(rebuilt.where(col("re") =!= col("text")).isEmpty,
+      "CDC chunks must partition the document exactly")
+  }
+
   test("jaccardPairs finds near-identical docs and scores them correctly") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
