@@ -260,5 +260,7 @@ object GraftFunctions {
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_detln",
       exprs => DetLn(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_tokens",
+      exprs => BpeTokens(exprs(0)), "built-in")
   }
 }

@@ -423,5 +423,48 @@ object CorpusPack extends QueryPack {
       .orderBy("source", "rnk")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76, q81, q83)
+  val q177 = QueryDef(
+    "q177_bpe_packing",
+    // q75's concatenate-and-slice packing, denominated in REAL (greedy
+    // BPE) tokenizer tokens — the unit context windows are sized in.
+    // The recursive-CTE tokenizer replay comes from TrainPack.bpeCte.
+    Some(s"""${TrainPack.bpeCte},
+            |toks AS (
+            |  SELECT d.doc_id, d.source, b.n_bpe AS n_tokens
+            |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+            |), cum AS (
+            |  SELECT doc_id, source, n_tokens,
+            |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+            |  FROM toks
+            |), placed AS (
+            |  SELECT source, n_tokens,
+            |    cum_before // 512 AS pack_id,
+            |    (cum_before + n_tokens - 1) // 512 != cum_before // 512 AS straddles
+            |  FROM cum
+            |)
+            |SELECT source, CAST(pack_id AS BIGINT) AS pack_id, COUNT(*) AS docs,
+            |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+            |       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+            |FROM placed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { t =>
+    // Same single-window-per-source prefix-sum plan as q75; only the
+    // token unit changes — one native codegen'd BPE expression inside
+    // the scan, no UDF, no per-word explode.
+    graft.expressions.GraftFunctions.register(t.spark)
+    val toks = t.documents.select(col("doc_id"), col("source"),
+      size(call_function("graft_bpe_tokens", col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        expr("cum_before div 512").as("pack_id"),
+        (expr("(cum_before + n_tokens - 1) div 512") =!= expr("cum_before div 512")).as("straddles"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+        sum(when(col("straddles"), 1).otherwise(0)).as("n_straddle"))
+      .orderBy("source", "pack_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76, q81, q83, q177)
 }

@@ -263,5 +263,96 @@ object TrainPack extends QueryPack {
       .orderBy("mes")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86)
+  /** Greedy-BPE per-doc token counts as a DuckDB CTE chain ending in
+    * `bpe(doc_id, n_bpe)` — the recursive CTE replays exactly the
+    * merges [[graft.expressions.Bpe.Merges]] pins: per word, rank every
+    * adjacent symbol pair via list_position into the merge list, merge
+    * the leftmost lowest-rank pair, recurse until none ranks; the
+    * fixpoint row per word is the one with minimal symbol count (each
+    * step shrinks the list by exactly one).
+    */
+  private[queries] val bpeCte: String = {
+    val mp = graft.expressions.Bpe.mergesSqlList
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, i.n AS wn, ws[CAST(i.n AS BIGINT)] AS w
+       |      FROM tok, range(1, 101) i(n) WHERE i.n <= len(ws)),
+       |init AS (SELECT doc_id, wn,
+       |           [substr(w, CAST(j AS BIGINT), 1) for j in range(1, len(w)+1)] AS syms
+       |         FROM w),
+       |r AS (
+       |  SELECT doc_id, wn, syms FROM init
+       |  UNION ALL
+  SELECT doc_id, wn,
+    list_concat(list_concat(
+      syms[1:CAST(bi-1 AS BIGINT)],
+      [syms[CAST(bi AS BIGINT)] || syms[CAST(bi+1 AS BIGINT)]]),
+      syms[CAST(bi+2 AS BIGINT):])
+  FROM (
+       |    SELECT doc_id, wn, syms,
+       |      list_position(rks, list_min(list_filter(rks, x -> x IS NOT NULL))) AS bi
+       |    FROM (
+       |      SELECT doc_id, wn, syms,
+       |        [nullif(list_position($mp,
+       |           syms[CAST(i AS BIGINT)] || ' ' || syms[CAST(i+1 AS BIGINT)]), 0)
+       |         for i in range(1, len(syms))] AS rks
+       |      FROM r) ranked
+       |    WHERE len(list_filter(rks, x -> x IS NOT NULL)) > 0) best
+       |),
+       |fixpt AS (SELECT doc_id, wn, MIN(len(syms)) AS m FROM r GROUP BY 1, 2),
+       |bpe AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bpe FROM fixpt GROUP BY 1)""".stripMargin
+  }
+
+  val q175 = QueryDef(
+    "q175_bpe_token_count",
+    // oracle: the recursive-CTE replay of the SAME pinned greedy
+    // merges — any divergence in pair ranking, leftmost choice, or
+    // termination shows as a count mismatch on some doc.
+    Some(s"""$bpeCte
+            |SELECT d.doc_id,
+            |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws,
+            |  b.n_bpe
+            |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+            |ORDER BY d.doc_id""".stripMargin)) { t =>
+    // REAL subword token counting: whitespace counts under-charge long
+    // words; budgets/packing are denominated in tokenizer tokens. One
+    // native codegen'd expression per row (graft_bpe_tokens), no UDF,
+    // no per-word explode — the merge loop runs inside the scan.
+    graft.expressions.GraftFunctions.register(t.spark)
+    t.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws"),
+      size(call_function("graft_bpe_tokens", col("text"))).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  val q176 = QueryDef(
+    "q176_bpe_budget_cap",
+    // q47's per-source token budget, denominated in BPE tokens — the
+    // unit a training mix is actually capped in.
+    Some(s"""$bpeCte,
+            |toks AS (
+            |  SELECT d.doc_id, d.source, b.n_bpe AS n_tokens
+            |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+            |), ranked AS (
+            |  SELECT doc_id, source, n_tokens,
+            |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            |  FROM toks
+            |)
+            |SELECT source, COUNT(*) AS docs_kept, CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+            |FROM ranked WHERE cum_tokens <= 2000
+            |GROUP BY source ORDER BY source""".stripMargin)) { t =>
+    graft.expressions.GraftFunctions.register(t.spark)
+    val toks = t.documents.select(col("doc_id"), col("source"),
+      size(call_function("graft_bpe_tokens", col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 2000)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86, q175, q176)
 }
