@@ -184,6 +184,21 @@ object MatView {
     Some(vFroms.head.getOrElse(0L) -> vNows.head)
   }
 
+  /** Auto-route support ([[graft.plans.MvAutoRoute]]): the CURRENT MV
+    * version, its defining SQL, and each source's (name parts,
+    * recorded watermark). None when the table is not an MV.
+    */
+  private[graft] def routeInfo(spark: SparkSession, mvPath: String):
+      Option[(Long, String, Seq[(Seq[String], Option[Long])])] =
+    Snapshot.latestManifest(spark, mvPath).flatMap { m =>
+      m.properties.get(SqlProp).map { sqlText =>
+        val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+        val srcs = sourceRelations(plan, sqlText)
+        (m.version, sqlText,
+          srcs.indices.map(i => srcs(i) -> m.streamBatch.get(wmKey(srcs, i))))
+      }
+    }
+
   // ----------------------------------------------------------- internals
 
   private def srcKey(parts: Seq[String]): String =

@@ -333,7 +333,7 @@ object Snapshot {
 
   /** The one funnel for a table's identity string (external refs, commit
     * locks, tick membership all key on it). */
-  private[operators] def qualifiedRoot(spark: SparkSession, path: String): String =
+  private[graft] def qualifiedRoot(spark: SparkSession, path: String): String =
     fsFor(spark, path).makeQualified(new HPath(path)).toString
 
   /** How long a PENDING (markerless) staged group manifest may hold its

@@ -142,6 +142,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectResolutionRule(session => GraftDmlCapture(session))
     ext.injectResolutionRule(session => GraftNativeReads(session))
     ext.injectResolutionRule(session => GraftAnalyzeCapture(session))
+    // MV auto-routing runs POST-HOC: the plan is fully resolved and the
+    // native-read swaps are done, so the matcher sees final leaves
+    ext.injectPostHocResolutionRule(session => MvAutoRoute(session))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction(fn("graft_dot")(e => DotProduct(e(0), e(1))))
     ext.injectFunction(fn("graft_simhash32")(e => SimHash32(e(0))))

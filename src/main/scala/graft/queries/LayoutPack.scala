@@ -2444,6 +2444,71 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** MV AUTO-ROUTING — the BigQuery behavior the reference leans on
+    * implicitly: a query whose rollup matches a FRESH materialized
+    * view answers from the MV's state, not the fact table
+    * (plans.MvAutoRoute). The build asserts the plan pin (the MV scan
+    * replaced the fact scan) and the oracle pins hash-identity with a
+    * from-raw recompute — wrong-but-routed fails both ways. At 100 TB
+    * the routed plan reads the rollup (KBs), not the fact table.
+    */
+  val q178 = QueryDef.staged(
+    "q178_mv_autoroute",
+    // oracle: the defining rollup recomputed from raw orders with the
+    // post-churn window — what BOTH routes must return
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE o_totalprice >= 1000
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog warehouse, fact table (pre-1997 at
+    // create), the MV, then a churn window + REFRESH so the watermark
+    // is a real mid-history version, not 1.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q178").toString
+    t.spark.conf.set("spark.sql.catalog.g178", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g178.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g178.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    val defining =
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM g178.db.src WHERE o_totalprice >= 1000
+        |GROUP BY o_orderpriority""".stripMargin
+    t.spark.sql(s"CREATE MATERIALIZED VIEW g178.db.mv AS $defining")
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g178.db.mv")
+    (root, defining)
+  } { (t, st: (String, String)) =>
+    // MEASURED: the routed query — the matcher, the freshness gate,
+    // and the MV scan itself. The plan pin rides the build: if the
+    // optimizer left the fact scan in place, the query throws.
+    val (root, defining) = st
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(defining)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv"),
+        s"q178: expected the MV scan to replace the fact scan, got $scans")
+      routed.select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178)
 }

@@ -245,6 +245,9 @@ final class DvSnapshotRelation(spark: SparkSession, path: String,
     * fast path stays exact here: live rows = stats.rows − dv.rows).
     */
   private[graft] def pinnedManifest: Snapshot.Manifest = m
+
+  /** The table root this scan reads ([[graft.plans.MvAutoRoute]]). */
+  private[graft] def pinnedPath: String = path
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = tableSchema
   override def unhandledFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] =
@@ -573,6 +576,11 @@ final class SnapshotFileIndex(spark: SparkSession, tablePath: String,
     * folds whole-table aggregates from its file stats).
     */
   private[graft] def pinnedManifest: Snapshot.Manifest = m
+
+  /** The table root this scan reads ([[graft.plans.MvAutoRoute]] keys
+    * its source-identity match on it).
+    */
+  private[graft] def pinnedPath: String = tablePath
 
   override val partitionSchema: StructType =
     StructType(m.partitionCols.map(c => tableSchema.fields.find(_.name == c).getOrElse(

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.operators.Snapshot
+import graft.sources.SnapshotFileIndex
+
+/** MV auto-routing: a query whose rollup exactly matches a FRESH
+  * materialized view answers from the MV scan; anything stale,
+  * differently shaped, or differently aliased stays on the fact table.
+  */
+class MvRouteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = Files.createTempDirectory("graft-mv-route").toString
+
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case i: SnapshotFileIndex => Seq(i.pinnedPath)
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty[String]
+      }
+    }.flatten.toSet
+
+  private def rollup(df: DataFrame): Set[(String, Long, java.math.BigDecimal)] =
+    df.select("k", "n", "total")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+
+  test("a matching rollup routes onto the MV; stale/mismatched queries do not") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    val srcPath = s"$wh/db/src"
+    val mvPath = s"$wh/db/mv"
+    Snapshot.create(spark, srcPath,
+      (0L until 300L).map(i => (i, s"k${i % 6}", i % 40)).toDF("id", "k", "v"))
+    val defining =
+      """SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmr.db.src WHERE v >= 5 GROUP BY k""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW gmr.db.mv AS $defining")
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the same rollup text routes: the optimized plan scans the MV,
+      // not the fact table — and the result is hash-identical to the
+      // unrouted recompute
+      val routed = spark.sql(defining)
+      assert(scanPaths(routed) == Set(mvPath),
+        s"expected the MV scan only, got ${scanPaths(routed)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(defining)
+      assert(scanPaths(direct) == Set(srcPath), "unrouted control must scan the fact")
+      assert(rollup(routed) == rollup(direct), "both routes must agree bitwise")
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+
+      // a DIFFERENT query shape must NOT route (no containment tier):
+      // changed predicate, changed alias, coarser grouping
+      val otherPred = spark.sql(
+        "SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total " +
+          "FROM gmr.db.src WHERE v >= 6 GROUP BY k")
+      assert(scanPaths(otherPred) == Set(srcPath))
+      val otherAlias = spark.sql(
+        "SELECT k, COUNT(*) AS cnt, SUM(CAST(v AS DECIMAL(18,2))) AS total " +
+          "FROM gmr.db.src WHERE v >= 5 GROUP BY k")
+      assert(scanPaths(otherAlias) == Set(srcPath))
+      val global = spark.sql(
+        "SELECT COUNT(*) AS n FROM gmr.db.src WHERE v >= 5")
+      assert(rollup(routed).toSeq.map(_._2).sum ==
+        global.as[Long].head(), "sanity: unrouted global count still works")
+
+      // STALENESS: a source commit moves the version past the MV
+      // watermark — the query silently falls back to the fact table
+      // and sees the new rows
+      Snapshot.append(spark, srcPath, Seq((900L, "k0", 39L)).toDF("id", "k", "v"))
+      val stale = spark.sql(defining)
+      assert(scanPaths(stale) == Set(srcPath), "stale MV must not serve")
+      assert(rollup(stale) != rollup(routed), "fact route must see the new row")
+      // REFRESH re-arms the route at the new watermark
+      spark.sql("REFRESH MATERIALIZED VIEW gmr.db.mv")
+      val rerouted = spark.sql(defining)
+      assert(scanPaths(rerouted) == Set(mvPath), "refreshed MV must serve again")
+      assert(rollup(rerouted) == rollup(stale), "rerouted result tracks the fact")
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
+  test("time travel pinned AT the watermark routes; other versions do not") {
+    val srcPath = s"$wh/db/src2"
+    val mvPath = s"$wh/db/mv2"
+    Snapshot.create(spark, srcPath,
+      (0L until 100L).map(i => (i, s"k${i % 3}", i % 7)).toDF("id", "k", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv2 AS
+        |SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmr.db.src2 GROUP BY k""".stripMargin)
+    val wmVersion = Snapshot.latestVersion(spark, srcPath).get
+    Snapshot.append(spark, srcPath, Seq((500L, "k1", 3L)).toDF("id", "k", "v"))
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the freshness gate keys on the LEAF'S PINNED VERSION, so a
+      // time-traveled read AT the watermark still serves from the MV
+      // even though the source moved on
+      val pinned = spark.sql(
+        s"""SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+           |FROM gmr.db.src2 VERSION AS OF $wmVersion GROUP BY k""".stripMargin)
+      assert(scanPaths(pinned) == Set(mvPath), "watermark-pinned read routes")
+      val latest = spark.sql(
+        """SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+          |FROM gmr.db.src2 GROUP BY k""".stripMargin)
+      assert(scanPaths(latest) == Set(srcPath), "latest read is past the watermark")
+      assert(rollup(latest) != rollup(pinned))
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+}
