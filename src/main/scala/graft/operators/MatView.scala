@@ -24,15 +24,16 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   *  - `REFRESH MATERIALIZED VIEW mv` ([[refresh]]): advances the MV to
   *    the sources' current versions. When the defining query is a
   *    ROLLUP (`SELECT keys…, COUNT(*) …, SUM/MIN/MAX(expr)… FROM src
-  *    [JOIN dim ON …]* [WHERE pred] GROUP BY keys`) and exactly ONE
-  *    source changed in the window, the refresh is INCREMENTAL: it
-  *    reads only that source's net change feed
+  *    [JOIN dim ON …]* [WHERE pred] GROUP BY keys`), the refresh is
+  *    INCREMENTAL: it reads only the changed sources' net change feeds
   *    ([[Snapshot.readChanges]], O(changed files) — the unchanged
   *    100 TB is never touched), replays the defining query's
-  *    join/filter tree over the feed with every OTHER source pinned at
-  *    its watermark (Δ(fact ⋈ dim) = Δfact ⋈ dim when dim is
-  *    unchanged — and by symmetry, a dim-only window folds Δdim ⋈
-  *    fact), folds signed per-group deltas into the current state, and
+  *    join/filter tree once per changed source by the TELESCOPING
+  *    delta rule (Δ(A ⋈ B) = ΔA ⋈ B_old + A_new ⋈ ΔB, generalized to
+  *    n changed sources — each replay feeds one change window with
+  *    earlier changed sources at their new versions and everything
+  *    else at its watermark), folds signed per-group deltas into the
+  *    current state, and
   *    drops groups whose row count reaches zero — bitwise-identical to
   *    a full recompute when the SUM state is exact (decimal/integer;
   *    the one caveat is a group whose value column is ENTIRELY null
@@ -49,9 +50,9 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   *    derives from SUM + COUNT at read time (an AVG column itself is
   *    not additively foldable bitwise — declare the sums).
   *
-  *    Any other shape (multi-source windows where BOTH sides changed,
-  *    outer joins, distinct counts, windows, a self-join of the changed
-  *    source) falls back to a FULL PINNED recompute — always correct,
+  *    Any other shape (outer joins, distinct counts, windows, a
+  *    self-join of a changed source, a schema-unstable or vacuumed
+  *    window) falls back to a FULL PINNED recompute — always correct,
   *    cost declared in the commit's operation string.
   *
   * Exactly-once, the [[graft.streaming.FeedConsumer]] contract: state
@@ -127,53 +128,67 @@ object MatView {
     val stamp = (m: Snapshot.Manifest) =>
       m.copy(streamBatch = m.streamBatch ++ wmEntries(srcs, vNows))
     val opTail = vNows.mkString("v", ",v", "")
-    // the incremental path needs ONE changed source, occurring ONCE in
-    // the plan (Δ(A⋈A) ≠ ΔA⋈A), with a READABLE, SCHEMA-STABLE window:
+    // the incremental path needs every CHANGED source to occur ONCE in
+    // the plan (Δ(A⋈A) ≠ ΔA⋈A) with a READABLE, SCHEMA-STABLE window:
     // a schema change inside it (readChanges refuses those) or a
     // vacuum that reclaimed the watermark version both demote this
-    // refresh to the always-correct full pinned recompute — as does a
-    // window where a JOINED side churned too (the dim-churn demotion).
+    // refresh to the always-correct full pinned recompute. Windows
+    // where SEVERAL sources churned fold by the telescoping delta rule
+    // (see incrementalRefresh).
     def windowOk(i: Int): Boolean = vFroms(i).exists { v =>
       try Snapshot.manifest(spark, paths(i), v).schemaDdl ==
         Snapshot.manifest(spark, paths(i), vNows(i)).schemaDdl
       catch { case _: java.io.FileNotFoundException => false }
     }
     val incremental =
-      if (changed.size == 1 && windowOk(changed.head) &&
-          occurrences(plan, srcKey(srcs(changed.head))) == 1)
-        rollupShape(plan).map(changed.head -> _)
+      if (changed.forall(i => windowOk(i) &&
+          occurrences(plan, srcKey(srcs(i))) == 1))
+        rollupShape(plan)
       else None
+    // O(change), any number of changed sources — the TELESCOPING delta
+    // rule: Q(new…) − Q(old…) = Σ_k replay_k, where replay_k feeds
+    // changed source k's net change window through the defining
+    // join/filter tree with every EARLIER changed source pinned at its
+    // NEW version and every LATER changed (and every unchanged) source
+    // pinned at its OLD watermark — Δ(A⋈B) = ΔA ⋈ B_old + A_new ⋈ ΔB,
+    // generalized to n sources. Each replay carries exactly ONE feed,
+    // so a feed never joins a feed, and each term is an exact query
+    // diff at fixed neighbor versions. The signed per-group deltas of
+    // all replays fold together into the PINNED current state.
+    def incrementalRefresh(shape: Shape): Unit = {
+      def readAt(i: Int, v: Long): LogicalPlan =
+        Snapshot.readVersion(spark, paths(i), v).queryExecution.logical
+      def replayReads(k: Int): Map[String, LogicalPlan] =
+        srcs.indices.map { i =>
+          val pos = changed.indexOf(i)
+          srcKey(srcs(i)) -> (
+            if (pos == k) Snapshot.readChanges(spark, paths(i),
+              vFroms(i).get, vNows(i), net = true).queryExecution.logical
+            else if (pos >= 0 && pos < k) readAt(i, vNows(i))
+            else readAt(i, vFroms(i).get))
+        }.toMap
+      val replays = changed.indices.map(k =>
+        PlanBridge.dataFrame(spark, substituted(shape.child, replayReads(k))))
+      // the per-group MIN/MAX recompute tier reads the NEW state of
+      // every changed source (others at their watermark) — lazily
+      // built, only executed for groups a delete actually dented
+      lazy val childAtNew = PlanBridge.dataFrame(spark,
+        substituted(shape.child, srcs.indices.map { i =>
+          srcKey(srcs(i)) -> (if (changed.contains(i)) readAt(i, vNows(i))
+          else readAt(i, vFroms(i).get))
+        }.toMap))
+      val current = Snapshot.readManifestFiles(spark, mvPath, mvM, mvM.files)
+      if (replays.forall(_.isEmpty))
+        Snapshot.commitMetaOn(spark, mvPath, mvM,
+          s"REFRESH MATERIALIZED VIEW $opTail (no-op window)")(stamp)
+      else {
+        val next = foldDeltas(current, replays, shape, childAtNew)
+        Snapshot.replaceWholeTableOn(spark, mvPath, mvM, next,
+          op = s"REFRESH MATERIALIZED VIEW $opTail (incremental)", finish = stamp)
+      }
+    }
     incremental match {
-      case Some((ci, shape)) =>
-        // O(change): the net feed over the changed source's window,
-        // replayed through the defining join/filter tree with every
-        // other source pinned at its (unchanged) watermark, folded as
-        // signed per-group deltas into the PINNED current state
-        val feed = Snapshot.readChanges(spark, paths(ci), vFroms(ci).get, vNows(ci),
-          net = true)
-        def readsWith(changedPlan: LogicalPlan): Map[String, LogicalPlan] =
-          srcs.indices.map { i =>
-            srcKey(srcs(i)) -> (if (i == ci) changedPlan
-            else Snapshot.readVersion(spark, paths(i), vFroms(i).get)
-              .queryExecution.logical)
-          }.toMap
-        val deltaRows = PlanBridge.dataFrame(spark,
-          substituted(shape.child, readsWith(feed.queryExecution.logical)))
-        // the per-group MIN/MAX recompute tier reads the NEW state of
-        // the changed source (others unchanged) — lazily built, only
-        // executed for groups a delete actually dented
-        lazy val childAtNew = PlanBridge.dataFrame(spark,
-          substituted(shape.child, readsWith(
-            Snapshot.readVersion(spark, paths(ci), vNows(ci)).queryExecution.logical)))
-        val current = Snapshot.readManifestFiles(spark, mvPath, mvM, mvM.files)
-        if (deltaRows.isEmpty)
-          Snapshot.commitMetaOn(spark, mvPath, mvM,
-            s"REFRESH MATERIALIZED VIEW $opTail (no-op window)")(stamp)
-        else {
-          val next = foldDeltas(current, deltaRows, shape, childAtNew)
-          Snapshot.replaceWholeTableOn(spark, mvPath, mvM, next,
-            op = s"REFRESH MATERIALIZED VIEW $opTail (incremental)", finish = stamp)
-        }
+      case Some(shape) => incrementalRefresh(shape)
       case None =>
         val reads = srcs.indices.map(i => srcKey(srcs(i)) ->
           Snapshot.readVersion(spark, paths(i), vNows(i)).queryExecution.logical).toMap
@@ -340,18 +355,26 @@ object MatView {
 
   /** Fold the signed feed deltas into the current state. Null-safe on
     * group keys (GROUP BY treats nulls as one group, so must the join).
-    * `feed` is the defining query's child tree replayed over the net
-    * change feed — its rows carry `_change_type`.
+    * Each element of `feeds` is the defining query's child tree
+    * replayed over ONE changed source's net change feed (the
+    * telescoping terms) — its rows carry `_change_type`.
+    *
+    * Each replay is grouped into its per-group delta FIRST and the
+    * grouped deltas merged (SUM of sums/counts, MIN/MAX of the
+    * insert/delete extrema): the merge columns are all synthesized
+    * names, so a child tree with duplicate raw column names (fact.dk ⋈
+    * dim.dk — the archetypal join shape) never meets a by-name union.
     *
     * COUNT/SUM fold arithmetically. MIN/MAX fold inserts as
     * least/greatest; a delete at-or-beyond the folded extremum marks
     * the group for re-derivation from `childAtNew` (the defining
-    * query's child at the NEW source version) — conservative (a delete
-    * EQUAL to the extremum recomputes even when a twin row still holds
-    * it) but exact, and O(affected groups): the rest of the state is
-    * never touched and the recompute aggregates only semi-joined rows.
+    * query's child with every changed source at its NEW version) —
+    * conservative (a delete EQUAL to the extremum recomputes even when
+    * a twin row still holds it) but exact, and O(affected groups): the
+    * rest of the state is never touched and the recompute aggregates
+    * only semi-joined rows.
     */
-  private def foldDeltas(current: DataFrame, feed: DataFrame, shape: Shape,
+  private def foldDeltas(current: DataFrame, feeds: Seq[DataFrame], shape: Shape,
                          childAtNew: => DataFrame): DataFrame = {
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val isIns = col("_change_type") === "insert"
@@ -367,8 +390,26 @@ object MatView {
         max(when(!isIns, ColumnBridge.column(e))).as(s"__del_$name"))
       case _ => Seq.empty
     }
-    val delta0 = feed.groupBy(shape.keys.map(k => col(k._2)): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val perFeed = feeds.map(_.groupBy(shape.keys.map(k => col(k._2)): _*)
+      .agg(aggs.head, aggs.tail: _*))
+    val delta0 =
+      if (perFeed.size == 1) perFeed.head
+      else {
+        val merge = shape.cols.flatMap {
+          case (name, CountStar | SumOf(_)) =>
+            Seq(sum(col(s"__d_$name")).as(s"__d_$name"))
+          case (name, MinOf(_)) =>
+            Seq(min(col(s"__ins_$name")).as(s"__ins_$name"),
+              min(col(s"__del_$name")).as(s"__del_$name"))
+          case (name, MaxOf(_)) =>
+            Seq(max(col(s"__ins_$name")).as(s"__ins_$name"),
+              max(col(s"__del_$name")).as(s"__del_$name"))
+          case _ => Seq.empty
+        }
+        perFeed.reduce(_ unionByName _)
+          .groupBy(shape.keys.map(k => col(k._2)): _*)
+          .agg(merge.head, merge.tail: _*)
+      }
     // the delta speaks CHILD column names on its keys; the state speaks
     // the SELECT aliases — rename at the seam so the fold join and all
     // output columns live in state-name space

@@ -296,7 +296,7 @@ class MatViewSpec extends SparkSpec {
       rollup(Snapshot.sqlQuery(spark, defining, reg).withColumnRenamed("seg", "k")))
   }
 
-  test("a dim-only window folds too (delta symmetry), both sides changed demotes") {
+  test("dim-only and both-sides-changed windows fold incrementally (telescoping)") {
     val root = Files.createTempDirectory("graft-mv-dimwin").toString
     val (factP, dimP, mvP) = (s"$root/fact", s"$root/dim", s"$root/mv")
     Snapshot.create(spark, factP,
@@ -318,12 +318,65 @@ class MatViewSpec extends SparkSpec {
     assert(state() == recompute(), "dim-only window")
     assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
       Snapshot.latestManifest(spark, mvP).get.operation)
-    // BOTH sides changed in one window: no single-source delta — demote
-    Snapshot.append(spark, factP, Seq((500L, 6L, 3L)).toDF("id", "dk", "v"))
+    // BOTH sides changed in one window: the telescoping delta rule
+    // (Δfact ⋈ dim_old + fact_new ⋈ Δdim). The fixture plants every
+    // cross-feed interaction the rule must count exactly once: a fact
+    // insert joining a dim key that ONLY exists via this window's dim
+    // insert (visible solely through the fact_new ⋈ Δdim term), a fact
+    // delete under a dim row that was UPDATED in the same window
+    // (delete+insert through the dim feed against the new fact), and a
+    // plain fact insert onto an unchanged dim key.
+    Snapshot.append(spark, factP,
+      Seq((500L, 8L, 3L), (501L, 0L, 9L)).toDF("id", "dk", "v"))
+    Snapshot.delete(spark, factP, col("id") === 11L)
     Snapshot.append(spark, dimP, Seq((8L, "g0")).toDF("dk", "grp"))
+    Snapshot.update(spark, dimP, col("dk") === 1L, Map("grp" -> lit("g0")))
     Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
     assert(state() == recompute(), "both-changed window")
-    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(full recompute)"))
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      Snapshot.latestManifest(spark, mvP).get.operation)
+    // a THREE-source window (two dims + the fact, all churned) still
+    // telescopes: replay order pins earlier-changed sources at NEW
+    val dim2P = s"$root/dim2"
+    Snapshot.create(spark, dim2P,
+      (0L until 7L).map(v => (v, s"b${v % 3}")).toDF("v", "band"))
+    val reg3 = reg + ("dim2" -> dim2P) + ("mv3" -> s"$root/mv3")
+    val def3 =
+      """SELECT grp, band, COUNT(*) AS n, SUM(CAST(id AS DECIMAL(18,2))) AS ids
+        |FROM fact JOIN dim ON fact.dk = dim.dk JOIN dim2 ON fact.v = dim2.v
+        |GROUP BY grp, band""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv3 AS $def3", reg3)
+    Snapshot.append(spark, factP, Seq((600L, 2L, 6L)).toDF("id", "dk", "v"))
+    Snapshot.append(spark, dimP, Seq((9L, "g1")).toDF("dk", "grp"))
+    Snapshot.delete(spark, dim2P, col("v") === 5L)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv3", reg3)
+    def dump3(df: DataFrame) = df.select("grp", "band", "n", "ids")
+      .orderBy("grp", "band").collect().toSeq
+    assert(dump3(Snapshot.read(spark, s"$root/mv3")) ==
+      dump3(Snapshot.sqlQuery(spark, def3, reg3)), "three-source window")
+    assert(Snapshot.latestManifest(spark, s"$root/mv3").get
+      .operation.contains("(incremental)"))
+    // the archetypal collision shape — BOTH sides carry `dk`, both
+    // churning in one window — folds too: replays group into their
+    // per-group deltas (all synthesized column names) BEFORE merging,
+    // so duplicate raw names never meet a by-name union
+    val dimcP = s"$root/dimc"
+    Snapshot.create(spark, dimcP,
+      (0L until 10L).map(d => (d, d % 2)).toDF("dk", "parity"))
+    val regc = reg + ("dimc" -> dimcP) + ("mvc" -> s"$root/mvc")
+    val defc =
+      """SELECT parity, COUNT(*) AS n
+        |FROM fact JOIN dimc ON fact.dk = dimc.dk GROUP BY parity""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mvc AS $defc", regc)
+    Snapshot.append(spark, factP, Seq((700L, 3L, 2L)).toDF("id", "dk", "v"))
+    Snapshot.append(spark, dimcP, Seq((11L, 1L)).toDF("dk", "parity"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mvc", regc)
+    def dumpc(df: DataFrame) =
+      df.select("parity", "n").orderBy("parity").collect().toSeq
+    assert(dumpc(Snapshot.read(spark, s"$root/mvc")) ==
+      dumpc(Snapshot.sqlQuery(spark, defc, regc)), "name-collision window")
+    assert(Snapshot.latestManifest(spark, s"$root/mvc").get
+      .operation.contains("(incremental)"))
   }
 
   test("MIN/MAX tier: extremum-killing deletes re-derive only the dented groups") {
