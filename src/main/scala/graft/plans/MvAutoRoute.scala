@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, ExprId, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -25,15 +26,27 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   * MV paths (comma-separated). Unset, the rule is a single conf lookup
   * — zero cost to everyone else.
   *
-  * Match tier (exact, conservative): the analyzed query subtree must
-  * equal the MV's analyzed defining plan — same inner-join/filter tree
-  * over the same source tables, same grouping, same aggregate
-  * expressions, same output aliases — compared structurally with
-  * attribute identity taken by lower-cased name and all plan-local ids
-  * (attribute exprIds, alias ids, aggregate resultIds) normalized
-  * away. No containment reasoning: a query the MV could serve via
-  * further rollup stays on the fact table — wrong-but-routed is never
-  * an option.
+  * Two match tiers, both conservative:
+  *
+  *  - EXACT: the analyzed query subtree equals the MV's analyzed
+  *    defining plan — same inner-join/filter tree over the same source
+  *    tables, same grouping, same aggregate expressions, same output
+  *    aliases — compared structurally with attribute identity taken by
+  *    lower-cased name and all plan-local ids (attribute exprIds,
+  *    alias ids, aggregate resultIds) normalized away. The swap is the
+  *    bare MV scan.
+  *  - ROLLUP CONTAINMENT ([[routeRollup]]): the query's CHILD tree
+  *    equals the defining child tree (same joins, same filters, same
+  *    freshness gate) but it groups by a SUBSET of the MV's keys with
+  *    aggregates derivable from the MV state — COUNT(*) → SUM(count
+  *    column), SUM(e) → SUM(sum column), MIN/MAX(e) → MIN/MAX of the
+  *    matching state column, grouping keys passed through (the
+  *    standard rollup-compensation rewrite; the MV's COUNT(*) is never
+  *    zero per group, so re-summing counts is exact). The swap is a
+  *    compensating Aggregate OVER the MV scan — still metadata-sized
+  *    next to the fact table. Anything else (DISTINCT aggregates,
+  *    FILTER clauses, AVG, predicates not in the defining tree) stays
+  *    on the fact table — wrong-but-routed is never an option.
   *
   * Freshness gate, exact by construction: every source LEAF in the
   * query is pinned at one version (snapshot reader isolation); the
@@ -54,8 +67,9 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     plan.transformUpWithSubqueries {
       case agg: Aggregate if agg.resolved =>
         entries.iterator
-          .filter(e => same(agg, e.defining, e.watermarks))
-          .map(e => replace(e, agg))
+          .map(e =>
+            if (same(agg, e.defining, e.watermarks)) replace(e, agg)
+            else routeRollup(e, agg))
           .collectFirst { case Some(p) => p }
           .getOrElse(agg)
     }
@@ -145,6 +159,107 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => false
     }
+  }
+
+  /** ROLLUP-CONTAINMENT tier: `agg` groups by a subset of the MV's
+    * keys over the SAME child tree (joins+filters+freshness all equal
+    * via [[same]]) and every output is derivable from the MV state —
+    * swap in a compensating Aggregate over the MV scan. Returns None
+    * whenever any output is not provably derivable.
+    */
+  private def routeRollup(e: Entry, agg: Aggregate): Option[LogicalPlan] = {
+    val defn = strip(e.defining) match {
+      case d: Aggregate => d
+      case _ => return None
+    }
+    if (!same(agg.child, defn.child, e.watermarks)) return None
+    // classify the MV state columns: key columns by normalized
+    // grouping expression; SUM/MIN/MAX columns by normalized argument;
+    // the COUNT(*) column
+    val gmNorm = defn.groupingExpressions.map(norm)
+    var keyCol = Map.empty[Expression, String]
+    var sumCol = Map.empty[Expression, String]
+    var minCol = Map.empty[Expression, String]
+    var maxCol = Map.empty[Expression, String]
+    var cntCol = Option.empty[String]
+    def isCountStar(c: Count): Boolean = c.children match {
+      case Seq(Literal(v, _)) => v != null
+      case _ => false
+    }
+    defn.aggregateExpressions.foreach { ne =>
+      val (nm, ex) = ne match {
+        case al: Alias => (al.name, al.child)
+        case a => (a.name, a: Expression)
+      }
+      ex match {
+        case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+          ae.aggregateFunction match {
+            case c: Count if isCountStar(c) => cntCol = cntCol.orElse(Some(nm))
+            case s: Sum => sumCol += norm(s.child) -> nm
+            case m: Min => minCol += norm(m.child) -> nm
+            case m: Max => maxCol += norm(m.child) -> nm
+            case _ => // unusable state column; queries needing it refuse
+          }
+        case other if gmNorm.contains(norm(other)) =>
+          keyCol += norm(other) -> nm
+        case _ =>
+      }
+    }
+    // every query grouping key must be an exposed MV key column
+    val gqNorm = agg.groupingExpressions.map(norm)
+    if (!gqNorm.forall(keyCol.contains)) return None
+    // each query output: a key passthrough or a derivable re-aggregate
+    val outs: Seq[Either[String, Column]] =
+      agg.aggregateExpressions.map { ne =>
+        val ex = ne match { case al: Alias => al.child; case a => a: Expression }
+        ex match {
+          case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+            ae.aggregateFunction match {
+              // COALESCE covers the global-rollup-over-empty-MV edge
+              // (COUNT over zero rows is 0, SUM over zero rows is null)
+              case c: Count if isCountStar(c) && cntCol.isDefined =>
+                Right(F.coalesce(F.sum(F.col(cntCol.get)), F.lit(0L)))
+              case s: Sum if sumCol.contains(norm(s.child)) =>
+                Right(F.sum(F.col(sumCol(norm(s.child)))))
+              case m: Min if minCol.contains(norm(m.child)) =>
+                Right(F.min(F.col(minCol(norm(m.child)))))
+              case m: Max if maxCol.contains(norm(m.child)) =>
+                Right(F.max(F.col(maxCol(norm(m.child)))))
+              case _ => return None
+            }
+          case other if gqNorm.contains(norm(other)) =>
+            Left(keyCol(norm(other)))
+          case _ => return None
+        }
+      }
+    if (!outs.exists(_.isRight)) return None // bare-keys distinct: not worth it
+    val keyNames = gqNorm.map(keyCol).distinct
+    val aggCols = outs.zipWithIndex.collect { case (Right(c), i) => c.as(s"__r_$i") }
+    val routedPlan =
+      try {
+        inRoute.set(true)
+        val mvDf = session.read.format("graft.sources.SnapshotSource").load(e.mvPath)
+        // the MV must still be at the version the entry described
+        if (!leafInfo(strip(mvDf.queryExecution.analyzed)).exists(_._2 == e.mvVersion))
+          return None
+        val grouped =
+          if (keyNames.isEmpty) mvDf.groupBy().agg(aggCols.head, aggCols.tail: _*)
+          else mvDf.groupBy(keyNames.map(F.col): _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(outs.zipWithIndex.map {
+          case (Left(n), _) => F.col(n)
+          case (Right(_), i) => F.col(s"__r_$i")
+        }: _*).queryExecution.analyzed
+      } catch { case _: Exception => return None }
+      finally inRoute.set(false)
+    if (routedPlan.output.size != agg.output.size) return None
+    // bind to the replaced Aggregate's names/types/exprIds — the swap
+    // is invisible to everything above (SUM-of-sums may widen, e.g.
+    // decimal precision: cast back to the query's exact type)
+    Some(Project(agg.output.zip(routedPlan.output).map { case (o, m) =>
+      val value = if (m.dataType == o.dataType) m
+        else Cast(m, o.dataType, Option(session.sessionState.conf.sessionLocalTimeZone))
+      Alias(value, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, routedPlan))
   }
 
   /** The MV scan, re-labeled to the replaced Aggregate's output

@@ -58,20 +58,27 @@ class MvRouteSpec extends SparkSpec {
       assert(rollup(routed) == rollup(direct), "both routes must agree bitwise")
       spark.conf.set("spark.graft.mv.autoRoute", mvPath)
 
-      // a DIFFERENT query shape must NOT route (no containment tier):
-      // changed predicate, changed alias, coarser grouping
+      // a DIFFERENT predicate must NOT route (the child trees differ)
       val otherPred = spark.sql(
         "SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total " +
           "FROM gmr.db.src WHERE v >= 6 GROUP BY k")
       assert(scanPaths(otherPred) == Set(srcPath))
+      // a different ALIAS routes through the CONTAINMENT tier (names
+      // don't change values; outputs bind by position/exprId)
       val otherAlias = spark.sql(
         "SELECT k, COUNT(*) AS cnt, SUM(CAST(v AS DECIMAL(18,2))) AS total " +
           "FROM gmr.db.src WHERE v >= 5 GROUP BY k")
-      assert(scanPaths(otherAlias) == Set(srcPath))
+      assert(scanPaths(otherAlias) == Set(mvPath), "alias variant routes via containment")
+      // the GLOBAL rollup (no GROUP BY) re-aggregates the MV state
       val global = spark.sql(
         "SELECT COUNT(*) AS n FROM gmr.db.src WHERE v >= 5")
+      assert(scanPaths(global) == Set(mvPath), "global rollup routes via containment")
       assert(rollup(routed).toSeq.map(_._2).sum ==
-        global.as[Long].head(), "sanity: unrouted global count still works")
+        global.as[Long].head(), "global count == sum of per-key counts")
+      // a DISTINCT aggregate is NOT derivable from the state — no route
+      val distinctAgg = spark.sql(
+        "SELECT k, COUNT(DISTINCT v) AS n FROM gmr.db.src WHERE v >= 5 GROUP BY k")
+      assert(scanPaths(distinctAgg) == Set(srcPath), "DISTINCT must not route")
 
       // STALENESS: a source commit moves the version past the MV
       // watermark — the query silently falls back to the fact table
@@ -85,6 +92,47 @@ class MvRouteSpec extends SparkSpec {
       val rerouted = spark.sql(defining)
       assert(scanPaths(rerouted) == Set(mvPath), "refreshed MV must serve again")
       assert(rollup(rerouted) == rollup(stale), "rerouted result tracks the fact")
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
+  test("rollup containment: coarser GROUP BY re-aggregates the MV state") {
+    val srcPath = s"$wh/db/src3"
+    val mvPath = s"$wh/db/mv3"
+    Snapshot.create(spark, srcPath,
+      (0L until 400L).map(i => (i, s"k${i % 5}", s"b${i % 3}", i % 50))
+        .toDF("id", "k", "b", "v"))
+    val defining =
+      """SELECT k, b, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM gmr.db.src3 WHERE v >= 2 GROUP BY k, b""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW gmr.db.mv3 AS $defining")
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // group by a SUBSET of the MV keys, outputs reordered + renamed:
+      // COUNT(*) → SUM(n), SUM → SUM(total), MIN/MAX → MIN(lo)/MAX(hi)
+      val coarse = spark.sql(
+        """SELECT MAX(v) AS mx, k, SUM(CAST(v AS DECIMAL(18,2))) AS s,
+          |  COUNT(*) AS c, MIN(v) AS mn
+          |FROM gmr.db.src3 WHERE v >= 2 GROUP BY k""".stripMargin)
+      assert(scanPaths(coarse) == Set(mvPath), s"coarse rollup routes: ${scanPaths(coarse)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(
+        """SELECT MAX(v) AS mx, k, SUM(CAST(v AS DECIMAL(18,2))) AS s,
+          |  COUNT(*) AS c, MIN(v) AS mn
+          |FROM gmr.db.src3 WHERE v >= 2 GROUP BY k""".stripMargin)
+      assert(scanPaths(direct) == Set(srcPath))
+      def dump(df: DataFrame) = df.orderBy("k").collect().toSeq
+      assert(dump(coarse) == dump(direct), "containment route agrees bitwise")
+      assert(coarse.schema == direct.schema, "routed schema is the query's schema")
+      // grouping by a NON-key of the MV must not route
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      val byId = spark.sql(
+        "SELECT id, COUNT(*) AS c FROM gmr.db.src3 WHERE v >= 2 GROUP BY id")
+      assert(scanPaths(byId) == Set(srcPath), "non-key grouping stays on the fact")
+      // an aggregate the state can't derive (AVG) must not route
+      val avg = spark.sql(
+        "SELECT k, AVG(v) AS a FROM gmr.db.src3 WHERE v >= 2 GROUP BY k")
+      assert(scanPaths(avg) == Set(srcPath), "AVG must not route")
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
