@@ -137,6 +137,39 @@ object Dedup {
     keeperOverChunks(chunks)
   }
 
+  /** NEAR-duplicate passages — the FUZZY tier of sub-document dedup,
+    * composing [[cdcChunkDedup]] (content-defined chunks, so an edited
+    * passage still chunks identically around the edit) with
+    * [[minhashLshPairs]] over the CHUNK corpus: exact-duplicate chunks
+    * are screened out first (their pairs are trivially Jaccard 1 and
+    * at 100 TB boilerplate would dominate the LSH buckets), tiny
+    * chunks below `minTokens` are dropped (their shingle sets are too
+    * small to carry signal), and the surviving chunks band on MinHash
+    * signatures — candidates are O(collisions), never chunk-pairs.
+    *
+    * Chunk identity rides ONE long (`doc * maxChunksPerDoc +
+    * chunk_no`) through the pair machinery and is unpacked on output:
+    * (doc_a, chunk_a, doc_b, chunk_b, jaccard), id_a < id_b order.
+    * Callers must ensure documents chunk below `maxChunksPerDoc`
+    * (expected chunks ≈ tokens/divisor).
+    */
+  def cdcChunkNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           divisor: Int = 16, minTokens: Int = 5,
+                           k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                           minJaccard: Double = 0.5,
+                           maxChunksPerDoc: Int = 128): DataFrame = {
+    val survivors = cdcChunkDedup(df, idCol, textCol, divisor)
+      .where(col("keep") && col("n_tokens") >= minTokens)
+      .select((col("id") * maxChunksPerDoc + col("chunk_no")).as("cid"),
+        col("chunk"))
+    def doc(c: Column) = floor(c / maxChunksPerDoc).cast("long")
+    def no(c: Column) = pmod(c, lit(maxChunksPerDoc.toLong)).cast("long")
+    minhashLshPairs(survivors, "cid", "chunk", k, bands, rowsPerBand, minJaccard)
+      .select(doc(col("id_a")).as("doc_a"), no(col("id_a")).as("chunk_a"),
+        doc(col("id_b")).as("doc_b"), no(col("id_b")).as("chunk_b"),
+        col("jaccard"))
+  }
+
   /** Shared keeper election for chunk-level dedup: first corpus-wide
     * occurrence (smallest (id, chunk_no)) of each distinct chunk text
     * wins; only (hash, id, chunk_no) shuffles.

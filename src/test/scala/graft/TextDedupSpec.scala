@@ -116,6 +116,32 @@ class TextDedupSpec extends SparkSpec {
       "CDC chunks must partition the document exactly")
   }
 
+  test("cdcChunkNearDupPairs catches an EDITED shifted passage exact chunk dedup misses") {
+    // doc 1 is a 40-token passage P; doc 2 carries a banner before P
+    // with ONE interior token edited. The exact tier (cdcChunkDedup)
+    // dedups P's unedited interior chunks across the docs, but the
+    // chunk containing the edit survives in BOTH docs as distinct
+    // text — only the fuzzy tier can pair it. bands=16 × rows=1 makes
+    // the LSH catch probability 1-(1-J)^16 (fixture-deterministic).
+    val p = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val edited = p.replace("tok20", "EDITED")
+    val docs = Seq((1L, p), (2L, s"ban0 ban1 ban2 $edited"),
+      (3L, (100 until 140).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.cdcChunkNearDupPairs(docs, "doc_id", "text",
+      divisor = 16, minTokens = 4, k = 3, bands = 16, rowsPerBand = 1,
+      minJaccard = 0.5).collect()
+    // invariants: verified threshold, unpacked ids ordered, no self-pairs
+    assert(pairs.forall(r => r.getDouble(4) >= 0.5 && r.getDouble(4) <= 1.0))
+    assert(pairs.forall(r =>
+      r.getLong(0) * 128 + r.getLong(1) < r.getLong(2) * 128 + r.getLong(3)))
+    // the edited chunk pairs doc 1 against doc 2 at jaccard < 1
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L &&
+      r.getDouble(4) < 1.0),
+      s"expected a (1,2) near-dup chunk pair, got ${pairs.mkString("; ")}")
+    // the unrelated doc 3 pairs with nothing
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(2) == 3L))
+  }
+
   test("jaccardPairs finds near-identical docs and scores them correctly") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
