@@ -16,10 +16,13 @@ object DedupPack extends QueryPack {
 
   private[queries] val toksSql = "string_split(text, ' ')"
   private[queries] def hash32Sql(s: String) = s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
-  private[queries] val shingles3Sql =
-    s"""list_distinct(CASE WHEN len($toksSql) >= 3
-       | THEN [array_to_string($toksSql[i:i+2], ' ') for i in range(1, len($toksSql) - 1)]
-       | ELSE [text] END)""".stripMargin
+  private[queries] def shingles3SqlOf(c: String) = {
+    val ts = s"string_split($c, ' ')"
+    s"""list_distinct(CASE WHEN len($ts) >= 3
+       | THEN [array_to_string($ts[i:i+2], ' ') for i in range(1, len($ts) - 1)]
+       | ELSE [$c] END)""".stripMargin
+  }
+  private[queries] val shingles3Sql = shingles3SqlOf("text")
 
   val q27 = QueryDef(
     "q27_jaccard_pairs",
@@ -454,6 +457,67 @@ object DedupPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  val q181 = QueryDef(
+    "q181_chunk_neardup",
+    // oracle: CDC chunking + keeper (q174's CTEs), survivors (kept,
+    // >= 5 tokens) re-identified as doc*128+chunk_no, then the q28
+    // MinHash(16)/LSH(4x4) machinery over the CHUNK text, verified at
+    // Jaccard >= 0.5
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |cut AS (
+            |  SELECT doc_id, ts,
+            |    [CAST(0 AS BIGINT)] ||
+            |    [CAST(b AS BIGINT) for b in range(1, len(ts))
+            |       if CAST('0x' || substr(md5(ts[b] || ' ' || ts[b+1]), 1, 8) AS BIGINT) % 16 = 0] ||
+            |    [CAST(len(ts) AS BIGINT)] AS cuts
+            |  FROM tok
+            |),
+            |ch AS (
+            |  SELECT doc_id, i.j AS chunk_no,
+            |    array_to_string(ts[CAST(cuts[CAST(i.j+1 AS BIGINT)]+1 AS BIGINT):CAST(cuts[CAST(i.j+2 AS BIGINT)] AS BIGINT)], ' ') AS chunk
+            |  FROM cut, range(0, 128) i(j)
+            |  WHERE i.j < len(cuts) - 1
+            |),
+            |kp AS (SELECT md5(chunk) AS h, min(doc_id * 128 + chunk_no) AS kk FROM ch GROUP BY 1),
+            |surv AS (
+            |  SELECT c.doc_id * 128 + c.chunk_no AS cid, c.chunk
+            |  FROM ch c JOIN kp k ON md5(c.chunk) = k.h
+            |  WHERE c.doc_id * 128 + c.chunk_no = k.kk
+            |    AND len(string_split(c.chunk, ' ')) >= 5
+            |),
+            |sh AS (SELECT cid, ${shingles3SqlOf("chunk")} AS shingles FROM surv),
+            |sig AS (SELECT cid, shingles,
+            |  ${(0 until Bands * Rows).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+            |  FROM sh),
+            |banded AS (
+            |  ${(0 until Bands).map(b =>
+                 s"SELECT cid, shingles, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+                 .mkString(" UNION ALL ")}
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b,
+            |    a.shingles AS sa, b.shingles AS sb
+            |  FROM banded a JOIN banded b
+            |    ON a.band = b.band AND a.key = b.key AND a.cid < b.cid
+            |)
+            |SELECT CAST(id_a // 128 AS BIGINT) AS doc_a, CAST(id_a % 128 AS BIGINT) AS chunk_a,
+            |  CAST(id_b // 128 AS BIGINT) AS doc_b, CAST(id_b % 128 AS BIGINT) AS chunk_b,
+            |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jaccard
+            |FROM cand
+            |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) >= 0.5
+            |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin)) { t =>
+    // NEAR-duplicate passages (the fuzzy tier q174's exact chunk dedup
+    // cannot reach — an edited banner, a reflowed paragraph): content-
+    // defined chunks, exact-dup screening, then MinHash+LSH banding
+    // over the surviving chunk corpus with candidates verified at
+    // Jaccard >= 0.5. One chunk scan; candidates are O(band
+    // collisions), never chunk-pairs. See Dedup.cdcChunkNearDupPairs.
+    Dedup.cdcChunkNearDupPairs(t.documents, "doc_id", "text", divisor = 16,
+        minTokens = 5, k = 3, bands = Bands, rowsPerBand = Rows,
+        minJaccard = 0.5)
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123, q170, q174)
+    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123, q170, q174, q181)
 }

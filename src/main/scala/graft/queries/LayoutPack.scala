@@ -2336,9 +2336,10 @@ object LayoutPack extends QueryPack {
     * `fact ⋈ dim → rollup`; a fact-only churn window refreshes by the
     * delta rule ΔMV = Γ(Δfact ⋈ dim) folded into state — the dim and
     * the unchanged fact bulk are read as O(dim) + O(change feed),
-    * never O(fact). MatViewSpec pins the dim-churn and both-changed
-    * demotion behavior; here the oracle pins bitwise parity with a
-    * from-scratch recompute after TWO incremental windows.
+    * never O(fact). MatViewSpec pins the dim-churn fold and the
+    * both-sides-changed telescoping; here the oracle pins bitwise
+    * parity with a from-scratch recompute after TWO incremental
+    * windows.
     */
   val q172 = QueryDef.staged(
     "q172_join_mv",
@@ -2444,6 +2445,69 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** MULTI-SOURCE INCREMENTAL MV — BOTH the fact and the dim churn in
+    * one window and the refresh still folds, by the telescoping delta
+    * rule (Δfact ⋈ dim_old + fact_new ⋈ Δdim; MatView.refresh): the
+    * fact load, a top-band cleanup delete (which kills group maxima —
+    * exercising the per-group MIN/MAX re-derivation against the
+    * multi-source childAtNew) and a dim backfill that brings
+    * previously-unjoined fact rows into the view, all in one REFRESH.
+    * The build REQUIRES the commit landed "(incremental)" — a silent
+    * demotion to full recompute fails the query, not just the clock.
+    * At 100 TB each refresh reads the two change windows, never the
+    * fact bulk.
+    */
+  val q179 = QueryDef.staged(
+    "q179_multisource_mv",
+    // oracle: the final MV state recomputed from raw orders ⋈ customer
+    // minus the deleted top band
+    Some("""SELECT c.c_nationkey AS nat, CAST(COUNT(*) AS BIGINT) AS n,
+           |  MAX(o.o_totalprice) AS hi,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |WHERE NOT (o.o_totalprice >= 400000)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): fact = pre-1997 orders, dim = HALF the
+    // customers (evens), the join MV over them, then the both-sides
+    // churn window staged.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q179").toString
+    val factP = s"$root/fact"; val dimP = s"$root/dim"
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    Snapshot.create(t.spark, factP,
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    Snapshot.create(t.spark, dimP,
+      t.customer.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_nationkey")))
+    val reg = Map("fact" -> factP, "dim" -> dimP, "mv" -> s"$root/mv")
+    Snapshot.sql(t.spark,
+      """CREATE MATERIALIZED VIEW mv AS
+        |SELECT c_nationkey AS nat, COUNT(*) AS n, MAX(o_totalprice) AS hi,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM fact JOIN dim ON fact.o_custkey = dim.c_custkey
+        |GROUP BY c_nationkey""".stripMargin, reg)
+    Snapshot.append(t.spark, factP,
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    Snapshot.delete(t.spark, factP, col("o_totalprice") >= 400000)
+    Snapshot.append(t.spark, dimP,
+      t.customer.where(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey"), col("c_nationkey")))
+    (root, reg)
+  } { (t, st: (String, Map[String, String])) =>
+    // MEASURED: ONE refresh folding both change windows + the view read.
+    import graft.operators.Snapshot
+    val (root, reg) = st
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    val op = Snapshot.latestManifest(t.spark, s"$root/mv").get.operation
+    require(op.contains("(incremental)"),
+      s"q179: expected a telescoped incremental refresh, got: $op")
+    Snapshot.read(t.spark, s"$root/mv")
+      .select(col("nat"), col("n"), col("hi"),
+        col("total").cast("double").as("total"))
+      .orderBy("nat")
+  }
+
   /** MV AUTO-ROUTING — the BigQuery behavior the reference leans on
     * implicitly: a query whose rollup matches a FRESH materialized
     * view answers from the MV's state, not the fact table
@@ -2509,6 +2573,71 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  /** ROLLUP-CONTAINMENT AUTO-ROUTING — the query groups by a SUBSET of
+    * the MV's keys (o_orderstatus, dropping o_orderpriority), so the
+    * exact tier can't fire; the containment tier answers it by
+    * RE-AGGREGATING the MV state (COUNT(*) → SUM(n), SUM → SUM(total),
+    * MAX → MAX(hi)) — the BigQuery smart-tuning behavior. The build
+    * requires the plan pin (only the MV is scanned); the oracle pins
+    * hash-identity with the from-raw rollup. At 100 TB the routed plan
+    * aggregates the rollup's few hundred rows, not the fact table.
+    */
+  val q180 = QueryDef.staged(
+    "q180_mv_rollup_route",
+    // oracle: the coarser rollup recomputed from raw orders
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  MAX(o_totalprice) AS hi,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, two-key MV, churn + REFRESH so
+    // the watermark is a mid-history version.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q180").toString
+    t.spark.conf.set("spark.sql.catalog.g180", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g180.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g180.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+      "o_orderpriority")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g180.db.mv AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  MAX(o_totalprice) AS hi,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM g180.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g180.db.mv")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the containment-routed coarser rollup + the plan pin.
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS hi,
+          |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+          |FROM g180.db.src GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv"),
+        s"q180: expected the containment route onto the MV, got $scans")
+      routed.select(col("o_orderstatus"), col("n"), col("hi"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180)
 }
