@@ -64,19 +64,24 @@ object Dedup {
     * keep) — so callers can both rebuild cleaned documents (filter
     * keep, re-aggregate by position) and audit what was dropped.
     *
-    * Scale shape: one scan, one light shuffle of (chunk-hash,
-    * id, chunk_no) for the keeper choice, one join back on the
-    * 128-bit hash — never the chunk text twice; at 100 TB the hot
-    * boilerplate chunks are exactly the high-frequency groups, and
-    * the min aggregate partial-combines them map-side.
+    * Scale shape: ONE scan of the chunk pipeline, one exchange on the
+    * 128-bit chunk hash, one sort — the keeper is a window rank, so
+    * the expensive chunk construction never evaluates twice; at 100 TB
+    * the hot boilerplate chunks are exactly the high-frequency hash
+    * groups and rank within them in one pass.
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, "chunkTokens must be >= 1")
-    val toks = split(col(textCol), " ")
+    // stage the token array: the window lambda below slices it once
+    // per chunk, and lambda bodies re-evaluate free expressions per
+    // element — an inlined split() would cost O(chunks × tokens)
+    val toked = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("__toks"))
+    val toks = col("__toks")
     val nChunks = (size(toks) + chunkTokens - 1).divide(chunkTokens).cast("int")
-    val chunks = df.select(
-      col(idCol).as("id"),
+    val chunks = toked.select(
+      col("id"),
       explode(transform(sequence(lit(0), nChunks - 1), i => struct(
         i.cast("long").as("chunk_no"),
         concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))).as("chunk")
@@ -103,16 +108,26 @@ object Dedup {
     * reintroduce offset dependence).
     *
     * Same plan shape as [[chunkDedup]]: boundaries and slices are pure
-    * column ops over the token array (one scan, no explode-reassemble
-    * ordering hazards); the keeper choice shuffles only (128-bit hash,
-    * id, chunk_no); the hot boilerplate chunks partial-combine
-    * map-side. The 2-gram hash is [[TextFns.hash32]] (md5-prefix), so
-    * an external engine reproduces the exact boundaries.
+    * column ops over the STAGED token array (one scan, no
+    * explode-reassemble ordering hazards), keeper by one window rank
+    * over the chunk hash. The 2-gram hash is [[TextFns.hash32]]
+    * (md5-prefix), so an external engine reproduces the exact
+    * boundaries.
     */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
                     divisor: Int = 16): DataFrame = {
     require(divisor >= 2, "divisor must be >= 2")
-    val toks = split(col(textCol), " ")
+    // STAGE each expensive producer as a materialized column BEFORE
+    // any lambda references it: lambda bodies re-evaluate their free
+    // expressions per element (no subexpression elimination inside
+    // higher-order functions), so an inlined split() under the
+    // boundary filter costs O(tokens²) per document and an inlined
+    // cuts array O(tokens × chunks) — measured 70× at sf0.1 before
+    // staging. Multiple references to expensive producers also keep
+    // CollapseProject from merging the projections back together.
+    val toked = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("__toks"))
+    val toks = col("__toks")
     val n = size(toks)
     // boundary AFTER 1-based token position b (1 <= b < n) when the
     // (tok[b], tok[b+1]) 2-gram hashes to 0 mod divisor
@@ -121,11 +136,13 @@ object Dedup {
         pmod(TextFns.hash32(concat_ws(" ",
           element_at(toks, b), element_at(toks, b + 1))), lit(divisor)) === 0))
       .otherwise(array().cast("array<int>"))
+    val staged = toked.select(col("id"), toks,
+      concat(array(lit(0)), bpos, array(n)).as("__cuts"))
+    val cuts = col("__cuts")
     // cut offsets frame the chunks: chunk j covers tokens
     // (cuts[j], cuts[j+1]] in 1-based positions
-    val cuts = concat(array(lit(0)), bpos, array(n))
-    val chunks = df.select(
-      col(idCol).as("id"),
+    val chunks = staged.select(
+      col("id"),
       explode(transform(sequence(lit(0), size(cuts) - 2), j => struct(
         j.cast("long").as("chunk_no"),
         concat_ws(" ", slice(toks, element_at(cuts, j + 1) + 1,
@@ -158,10 +175,16 @@ object Dedup {
                            k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                            minJaccard: Double = 0.5,
                            maxChunksPerDoc: Int = 128): DataFrame = {
+    // materialize the surviving chunk corpus ONCE: downstream it is
+    // read twice (band keys + shingle verification), each on top of
+    // the two-scan keeper election — inlined, the chunk pipeline would
+    // re-run four times (at 100 TB the chunk table would be a
+    // persisted intermediate anyway)
     val survivors = cdcChunkDedup(df, idCol, textCol, divisor)
       .where(col("keep") && col("n_tokens") >= minTokens)
       .select((col("id") * maxChunksPerDoc + col("chunk_no")).as("cid"),
         col("chunk"))
+      .localCheckpoint()
     def doc(c: Column) = floor(c / maxChunksPerDoc).cast("long")
     def no(c: Column) = pmod(c, lit(maxChunksPerDoc.toLong)).cast("long")
     minhashLshPairs(survivors, "cid", "chunk", k, bands, rowsPerBand, minJaccard)
@@ -172,14 +195,19 @@ object Dedup {
 
   /** Shared keeper election for chunk-level dedup: first corpus-wide
     * occurrence (smallest (id, chunk_no)) of each distinct chunk text
-    * wins; only (hash, id, chunk_no) shuffles.
+    * wins. ONE window rank over the 128-bit hash — one scan of the
+    * chunk pipeline (the expensive part), one exchange, one sort; the
+    * earlier groupBy+join-back shape evaluated the whole chunk
+    * pipeline twice and shuffled it a second time for the join (the
+    * same trade measured on Dedup.exact: the window wins).
     */
   private def keeperOverChunks(chunks: DataFrame): DataFrame = {
-    val keeper = chunks.groupBy("__h")
-      .agg(min(struct(col("id"), col("chunk_no"))).as("__keep"))
-    chunks.join(keeper, "__h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("id"), col("chunk_no"))
+    chunks
+      .withColumn("keep", row_number().over(w) === 1)
       .select(col("id"), col("chunk_no"), col("chunk"), col("n_tokens"),
-        (col("__keep") === struct(col("id"), col("chunk_no"))).as("keep"))
+        col("keep"))
   }
 
   /** All pairs (a.id < b.id) with shingle-set Jaccard >= minJaccard,

@@ -403,8 +403,8 @@ object DedupPack extends QueryPack {
     // SUB-DOCUMENT exact dedup (the C4/CCNet boilerplate pass): fixed
     // 10-token windows, first corpus-wide occurrence wins, per-doc
     // survival stats — the granularity document-level dedup (q26)
-    // cannot reach. One scan; the keeper choice shuffles only
-    // (hash, id, chunk_no); see operators.Dedup.chunkDedup.
+    // cannot reach. One scan, keeper by one window rank over the
+    // chunk hash; see operators.Dedup.chunkDedup.
     Dedup.chunkDedup(t.documents, "doc_id", "text", chunkTokens = 10)
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
