@@ -136,6 +136,44 @@ class MvRouteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  test("containment routes across a JOIN MV: coarser rollup over fact ⋈ dim") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    val factPath = s"$wh/db/factj"
+    val dimPath = s"$wh/db/dimj"
+    val mvPath = s"$wh/db/mvj"
+    Snapshot.create(spark, factPath,
+      (0L until 300L).map(i => (i, i % 12, i % 30)).toDF("id", "dk", "v"))
+    Snapshot.create(spark, dimPath,
+      (0L until 12L).map(d => (d, s"g${d % 4}", s"r${d % 2}")).toDF("dk", "grp", "reg"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mvj AS
+        |SELECT grp, reg, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmr.db.factj JOIN gmr.db.dimj ON factj.dk = dimj.dk
+        |WHERE v >= 1 GROUP BY grp, reg""".stripMargin)
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      val q =
+        """SELECT grp, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+          |FROM gmr.db.factj JOIN gmr.db.dimj ON factj.dk = dimj.dk
+          |WHERE v >= 1 GROUP BY grp""".stripMargin
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mvPath),
+        s"coarser join rollup routes onto the join MV: ${scanPaths(routed)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q)
+      assert(scanPaths(direct) == Set(factPath, dimPath))
+      assert(rollup(routed.withColumnRenamed("grp", "k")) ==
+        rollup(direct.withColumnRenamed("grp", "k")))
+      // a fact commit stales BOTH: the join query falls back whole
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      Snapshot.append(spark, factPath, Seq((900L, 3L, 7L)).toDF("id", "dk", "v"))
+      val stale = spark.sql(q)
+      assert(scanPaths(stale) == Set(factPath, dimPath), "stale join MV must not serve")
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   test("time travel pinned AT the watermark routes; other versions do not") {
     val srcPath = s"$wh/db/src2"
     val mvPath = s"$wh/db/mv2"
