@@ -466,5 +466,60 @@ object CorpusPack extends QueryPack {
       .orderBy("source", "pack_id")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76, q81, q83, q177)
+  /** TEMPERATURE-BALANCED mixture sampling — the standard multi-domain
+    * LLM recipe (sample domain i with probability ∝ n_i^α, α < 1, so
+    * small domains are up-weighted relative to their share): unlike
+    * q72's FIXED per-stratum rates, the rates here are DERIVED from
+    * corpus statistics in the same query. α = 1/2 keeps every engine
+    * bitwise-identical: sqrt is IEEE-correctly-rounded everywhere, and
+    * the weight is floored into integer space immediately
+    * (w = ⌊√n·1000⌋), so the rate arithmetic — basis points
+    * r = min(10000, ⌊10⁷·w / (Σw·n)⌋) for a 1000-doc budget — is
+    * integer end-to-end. Membership is the stable per-doc hash against
+    * r, so the sample is rerunnable and partition-independent. One
+    * fact scan + a broadcast of the domain-cardinality rate table.
+    */
+  val q182 = QueryDef(
+    "q182_temperature_mixture",
+    Some(s"""WITH s AS (
+            |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+            |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+            |  FROM documents GROUP BY 1
+            |), r AS (
+            |  SELECT source, docs, w,
+            |    least(CAST(10000 AS BIGINT),
+            |          (10000000 * w) // (SUM(w) OVER () * docs)) AS rate_bp
+            |  FROM s
+            |), k AS (
+            |  SELECT d.source,
+            |    CASE WHEN ${hash32Sql("'tmix:' || CAST(d.doc_id AS VARCHAR)")} % 10000
+            |              < r.rate_bp THEN 1 ELSE 0 END AS kept
+            |  FROM documents d JOIN r ON d.source = r.source
+            |)
+            |SELECT r.source, r.docs, CAST(r.rate_bp AS DOUBLE) / 10000.0 AS target_rate,
+            |  CAST(SUM(k.kept) AS BIGINT) AS sampled,
+            |  CAST(SUM(k.kept) AS DOUBLE) / r.docs AS achieved_rate
+            |FROM k JOIN r ON k.source = r.source
+            |GROUP BY 1, 2, r.rate_bp ORDER BY 1""".stripMargin)) { t =>
+    val stats = t.documents.groupBy("source")
+      .agg(count(lit(1)).as("docs"))
+      .withColumn("w", floor(sqrt(col("docs").cast("double")) * 1000).cast("long"))
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          expr("(10000000 * w) DIV ((SUM(w) OVER ()) * docs)")))
+    val kept = when(
+      TextFns.hash32(concat(lit("tmix:"), col("doc_id").cast("string"))) % 10000
+        < col("rate_bp"), 1L).otherwise(0L)
+    t.documents
+      .join(broadcast(stats), "source")
+      .select(col("source"), col("docs"), col("rate_bp"), kept.as("kept"))
+      .groupBy(col("source"), col("docs"),
+        (col("rate_bp").cast("double") / 10000.0).as("target_rate"))
+      .agg(sum(col("kept")).as("sampled"))
+      .withColumn("achieved_rate", col("sampled").cast("double") / col("docs"))
+      .select("source", "docs", "target_rate", "sampled", "achieved_rate")
+      .orderBy("source")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q75, q76, q81, q83, q177, q182)
 }

@@ -354,5 +354,69 @@ object TrainPack extends QueryPack {
       .orderBy("source")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86, q175, q176)
+  /** The DuckDB replay of BPE TRAINING, generated per round: pair
+    * counts over the round k-1 state, deterministic argmax (count
+    * desc, pair asc), then a recursive leftmost-merge until the pair
+    * is absent (repeated-leftmost ≡ the trainer's left-to-right sweep:
+    * a merge only creates LONGER symbols, so it can never form a new
+    * occurrence of the same pair to its left). State is incremental
+    * on BOTH sides — see operators.BpeTrain for why greedy re-apply
+    * from scratch is NOT an equivalent oracle.
+    */
+  private def bpeTrainSql(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         |  SELECT pr, SUM(cnt) AS c FROM (
+         |    SELECT cnt, unnest([syms[CAST(i AS BIGINT)] || ' ' || syms[CAST(i+1 AS BIGINT)]
+         |                        for i in range(1, len(syms))]) AS pr
+         |    FROM $prev) GROUP BY 1
+         |),
+         |m$k AS (SELECT pr FROM p$k ORDER BY c DESC, pr ASC LIMIT 1),
+         |r$k AS (
+         |  SELECT wid, cnt, syms FROM $prev
+         |  UNION ALL
+         |  SELECT wid, cnt,
+         |    list_concat(list_concat(syms[1:CAST(bi-1 AS BIGINT)],
+         |      [syms[CAST(bi AS BIGINT)] || syms[CAST(bi+1 AS BIGINT)]]),
+         |      syms[CAST(bi+2 AS BIGINT):]) AS syms
+         |  FROM (
+         |    SELECT wid, cnt, syms,
+         |      [CAST(i AS BIGINT) for i in range(1, len(syms))
+         |         if syms[i] || ' ' || syms[i+1] = pr][1] AS bi
+         |    FROM r$k, m$k) x
+         |  WHERE bi IS NOT NULL
+         |),
+         |s$k AS (
+         |  SELECT wid, cnt, syms FROM r$k
+         |  QUALIFY row_number() OVER (PARTITION BY wid ORDER BY len(syms)) = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wt AS (SELECT w AS wid, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM w0 WHERE w <> '' GROUP BY 1),
+       |s0 AS (SELECT wid, cnt,
+       |         [substr(wid, CAST(j AS BIGINT), 1) for j in range(1, len(wid)+1)] AS syms
+       |       FROM wt),
+       |$rounds
+       |SELECT * FROM (
+       |  ${(1 to n).map(k =>
+            s"SELECT CAST($k AS BIGINT) AS rank, (SELECT pr FROM m$k) AS pair")
+            .mkString(" UNION ALL ")}
+       |) ORDER BY rank""".stripMargin
+  }
+
+  val q183 = QueryDef(
+    "q183_bpe_train",
+    Some(bpeTrainSql(8))) { t =>
+    // TOKENIZER TRAINING at corpus scale — learning the merge table
+    // the pinned-table apply (q175-q177) consumes. One corpus-wide
+    // aggregation builds the word-TYPE frequency table; each of the 8
+    // rounds is one vocabulary-sized aggregation plus a 1-row argmax,
+    // never a corpus pass. See operators.BpeTrain.
+    graft.operators.BpeTrain.train(t.documents, "text", 8).orderBy("rank")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86, q175, q176, q183)
 }
