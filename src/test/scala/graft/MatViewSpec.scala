@@ -379,6 +379,63 @@ class MatViewSpec extends SparkSpec {
       .operation.contains("(incremental)"))
   }
 
+  test("a streaming feed drives continuous incremental MV maintenance") {
+    // the reference's hourly tick as a CONTINUOUS loop: a snapshot-
+    // source stream feeds the fact table per micro-batch and refreshes
+    // the MV in the same foreachBatch — every refresh must stay on the
+    // incremental path, survive a crash between the fact append and
+    // the refresh, and track a from-scratch recompute bitwise.
+    val root = Files.createTempDirectory("graft-mv-stream").toString
+    val (inP, factP, mvP) = (s"$root/in", s"$root/fact", s"$root/mv")
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "k", "v")
+    Snapshot.create(spark, inP, rows((0L, "k0", 1L)))
+    Snapshot.create(spark, factP, rows((0L, "k0", 1L)))
+    val reg = Map("fact" -> factP, "mv" -> mvP)
+    val defining =
+      "SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total FROM fact GROUP BY k"
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    val mvBase = Snapshot.latestVersion(spark, mvP).get
+    def tick(): Unit = {
+      val q = spark.readStream.format("graft.sources.SnapshotSource").load(inP)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            Snapshot.appendBatch(spark, factP, b.toDF(), "mv-feed", id)
+            Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg): Unit
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    tick() // bootstrap batch (the seed row, duplicated into fact: n=2 for k0)
+    Snapshot.append(spark, inP, rows((1L, "k1", 2L), (2L, "k0", 3L)))
+    tick()
+    // crash AFTER the fact append but BEFORE the refresh commits: the
+    // redelivered batch must not double-append, and the refresh that
+    // reruns folds the same window onto the same pinned state
+    Snapshot.append(spark, inP, rows((3L, "k1", 5L)))
+    var crashed = false
+    Snapshot.faultHook = stage =>
+      if (stage == "manifest-staged" && !crashed &&
+          Thread.currentThread.getStackTrace.exists(_.getClassName.contains("MatView"))) {
+        crashed = true
+        throw new RuntimeException("injected crash before the refresh commit")
+      }
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] { tick() }
+    finally Snapshot.faultHook = _ => ()
+    tick() // redelivery: appendBatch no-ops, refresh catches up
+    assert(rollup(Snapshot.read(spark, mvP)) ==
+      rollup(Snapshot.sqlQuery(spark, defining, reg)), "state tracks recompute")
+    // EVERY post-create MV commit stayed on the incremental path
+    val ops = Snapshot.versions(spark, mvP).filter(_ > mvBase)
+      .map(v => Snapshot.manifest(spark, mvP, v).operation)
+    assert(ops.nonEmpty && ops.forall(_.contains("REFRESH MATERIALIZED VIEW")), ops.toString)
+    assert(ops.forall(o => o.contains("(incremental)") || o.contains("no-op window")),
+      s"a streaming refresh demoted: $ops")
+  }
+
   test("MIN/MAX tier: extremum-killing deletes re-derive only the dented groups") {
     val root = Files.createTempDirectory("graft-mv-minmax").toString
     val (srcP, mvP) = (s"$root/src", s"$root/mv")
