@@ -518,6 +518,85 @@ object DedupPack extends QueryPack {
       .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
   }
 
+  val q184 = QueryDef(
+    "q184_passage_clean",
+    // oracle: the full passage-cleaning pipeline replayed — CDC chunks
+    // + keeper (q174), near-dup pairs over survivors (q181), then the
+    // REBUILD: keep a chunk iff it is its text's first corpus-wide
+    // occurrence AND not the larger side of a near-dup pair; documents
+    // reassemble from their kept chunks in order
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |cut AS (
+            |  SELECT doc_id, ts,
+            |    [CAST(0 AS BIGINT)] ||
+            |    [CAST(b AS BIGINT) for b in range(1, len(ts))
+            |       if CAST('0x' || substr(md5(ts[b] || ' ' || ts[b+1]), 1, 8) AS BIGINT) % 16 = 0] ||
+            |    [CAST(len(ts) AS BIGINT)] AS cuts
+            |  FROM tok
+            |),
+            |ch AS (
+            |  SELECT doc_id, i.j AS chunk_no,
+            |    array_to_string(ts[CAST(cuts[CAST(i.j+1 AS BIGINT)]+1 AS BIGINT):CAST(cuts[CAST(i.j+2 AS BIGINT)] AS BIGINT)], ' ') AS chunk
+            |  FROM cut, range(0, 128) i(j)
+            |  WHERE i.j < len(cuts) - 1
+            |),
+            |kp AS (SELECT md5(chunk) AS h, min(doc_id * 128 + chunk_no) AS kk FROM ch GROUP BY 1),
+            |chk AS (
+            |  SELECT c.doc_id, c.chunk_no, c.chunk, c.doc_id * 128 + c.chunk_no AS cid,
+            |    (c.doc_id * 128 + c.chunk_no = k.kk) AS keep
+            |  FROM ch c JOIN kp k ON md5(c.chunk) = k.h
+            |),
+            |surv AS (
+            |  SELECT cid, chunk FROM chk
+            |  WHERE keep AND len(string_split(chunk, ' ')) >= 5
+            |),
+            |sh AS (SELECT cid, ${shingles3SqlOf("chunk")} AS shingles FROM surv),
+            |sig AS (SELECT cid, shingles,
+            |  ${(0 until Bands * Rows).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+            |  FROM sh),
+            |banded AS (
+            |  ${(0 until Bands).map(b =>
+                 s"SELECT cid, shingles, $b AS band, ${bandKeySql(b)} AS key FROM sig")
+                 .mkString(" UNION ALL ")}
+            |),
+            |drops AS (
+            |  SELECT DISTINCT b.cid
+            |  FROM banded a JOIN banded b
+            |    ON a.band = b.band AND a.key = b.key AND a.cid < b.cid
+            |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+            |)
+            |SELECT doc_id,
+            |  string_agg(chunk, ' ' ORDER BY chunk_no) AS cleaned,
+            |  CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS kept_tokens
+            |FROM chk
+            |WHERE keep AND cid NOT IN (SELECT cid FROM drops)
+            |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // END-TO-END passage cleaning — the C4-style rebuild: exact-dup
+    // chunks keep their first corpus-wide occurrence (q174), fuzzy
+    // near-dups drop the LATER side of each verified pair (q181), and
+    // documents reassemble from the surviving chunks in order. Tiny
+    // chunks below the near-dup minTokens remain (they were never
+    // candidates). At 100 TB both decision streams are chunk-hash /
+    // band-collision shuffles; the rebuild is one groupBy over kept
+    // chunks.
+    val chunks = Dedup.cdcChunkDedup(t.documents, "doc_id", "text", divisor = 16)
+    val drops = Dedup.cdcChunkNearDupPairs(t.documents, "doc_id", "text",
+        divisor = 16, minTokens = 5, k = 3, bands = Bands, rowsPerBand = Rows,
+        minJaccard = 0.5)
+      .select((col("doc_b") * 128 + col("chunk_b")).as("__cid")).distinct()
+    chunks.where(col("keep"))
+      .withColumn("__cid", col("id") * 128 + col("chunk_no"))
+      .join(drops, Seq("__cid"), "left_anti")
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("chunk_no"), col("chunk"))))
+            .getField("chunk")).as("cleaned"),
+        sum(col("n_tokens").cast("long")).as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123, q170, q174, q181)
+    Seq(q27, q28, q29, q44, q57, q94, q95, q101, q109, q123, q170, q174, q181, q184)
 }
