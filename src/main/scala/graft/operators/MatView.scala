@@ -178,11 +178,18 @@ object MatView {
           else readAt(i, vFroms(i).get))
         }.toMap))
       val current = Snapshot.readManifestFiles(spark, mvPath, mvM, mvM.files)
-      if (replays.forall(_.isEmpty))
+      // evaluate the replays EXACTLY ONCE: the grouped delta is
+      // state-group-sized, so it checkpoints cheaply, and both the
+      // no-op probe and the fold read the materialized copy — without
+      // this the replay trees (the expensive part: change feeds joined
+      // through the defining tree) would run once for the emptiness
+      // check and again for the fold
+      val delta0 = groupedDelta(replays, shape).localCheckpoint()
+      if (delta0.isEmpty)
         Snapshot.commitMetaOn(spark, mvPath, mvM,
           s"REFRESH MATERIALIZED VIEW $opTail (no-op window)")(stamp)
       else {
-        val next = foldDeltas(current, replays, shape, childAtNew)
+        val next = foldDeltas(current, delta0, shape, childAtNew)
         Snapshot.replaceWholeTableOn(spark, mvPath, mvM, next,
           op = s"REFRESH MATERIALIZED VIEW $opTail (incremental)", finish = stamp)
       }
@@ -353,29 +360,18 @@ object MatView {
     case _ => None
   }
 
-  /** Fold the signed feed deltas into the current state. Null-safe on
-    * group keys (GROUP BY treats nulls as one group, so must the join).
-    * Each element of `feeds` is the defining query's child tree
-    * replayed over ONE changed source's net change feed (the
-    * telescoping terms) — its rows carry `_change_type`.
+  /** The per-group signed delta of a refresh window. Each element of
+    * `feeds` is the defining query's child tree replayed over ONE
+    * changed source's net change feed (the telescoping terms) — its
+    * rows carry `_change_type`.
     *
     * Each replay is grouped into its per-group delta FIRST and the
     * grouped deltas merged (SUM of sums/counts, MIN/MAX of the
     * insert/delete extrema): the merge columns are all synthesized
     * names, so a child tree with duplicate raw column names (fact.dk ⋈
     * dim.dk — the archetypal join shape) never meets a by-name union.
-    *
-    * COUNT/SUM fold arithmetically. MIN/MAX fold inserts as
-    * least/greatest; a delete at-or-beyond the folded extremum marks
-    * the group for re-derivation from `childAtNew` (the defining
-    * query's child with every changed source at its NEW version) —
-    * conservative (a delete EQUAL to the extremum recomputes even when
-    * a twin row still holds it) but exact, and O(affected groups): the
-    * rest of the state is never touched and the recompute aggregates
-    * only semi-joined rows.
     */
-  private def foldDeltas(current: DataFrame, feeds: Seq[DataFrame], shape: Shape,
-                         childAtNew: => DataFrame): DataFrame = {
+  private def groupedDelta(feeds: Seq[DataFrame], shape: Shape): DataFrame = {
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val isIns = col("_change_type") === "insert"
     val aggs = shape.cols.flatMap {
@@ -392,24 +388,40 @@ object MatView {
     }
     val perFeed = feeds.map(_.groupBy(shape.keys.map(k => col(k._2)): _*)
       .agg(aggs.head, aggs.tail: _*))
-    val delta0 =
-      if (perFeed.size == 1) perFeed.head
-      else {
-        val merge = shape.cols.flatMap {
-          case (name, CountStar | SumOf(_)) =>
-            Seq(sum(col(s"__d_$name")).as(s"__d_$name"))
-          case (name, MinOf(_)) =>
-            Seq(min(col(s"__ins_$name")).as(s"__ins_$name"),
-              min(col(s"__del_$name")).as(s"__del_$name"))
-          case (name, MaxOf(_)) =>
-            Seq(max(col(s"__ins_$name")).as(s"__ins_$name"),
-              max(col(s"__del_$name")).as(s"__del_$name"))
-          case _ => Seq.empty
-        }
-        perFeed.reduce(_ unionByName _)
-          .groupBy(shape.keys.map(k => col(k._2)): _*)
-          .agg(merge.head, merge.tail: _*)
+    if (perFeed.size == 1) perFeed.head
+    else {
+      val merge = shape.cols.flatMap {
+        case (name, CountStar | SumOf(_)) =>
+          Seq(sum(col(s"__d_$name")).as(s"__d_$name"))
+        case (name, MinOf(_)) =>
+          Seq(min(col(s"__ins_$name")).as(s"__ins_$name"),
+            min(col(s"__del_$name")).as(s"__del_$name"))
+        case (name, MaxOf(_)) =>
+          Seq(max(col(s"__ins_$name")).as(s"__ins_$name"),
+            max(col(s"__del_$name")).as(s"__del_$name"))
+        case _ => Seq.empty
       }
+      perFeed.reduce(_ unionByName _)
+        .groupBy(shape.keys.map(k => col(k._2)): _*)
+        .agg(merge.head, merge.tail: _*)
+    }
+  }
+
+  /** Fold a [[groupedDelta]] into the current state. Null-safe on
+    * group keys (GROUP BY treats nulls as one group, so must the
+    * join).
+    *
+    * COUNT/SUM fold arithmetically. MIN/MAX fold inserts as
+    * least/greatest; a delete at-or-beyond the folded extremum marks
+    * the group for re-derivation from `childAtNew` (the defining
+    * query's child with every changed source at its NEW version) —
+    * conservative (a delete EQUAL to the extremum recomputes even when
+    * a twin row still holds it) but exact, and O(affected groups): the
+    * rest of the state is never touched and the recompute aggregates
+    * only semi-joined rows.
+    */
+  private def foldDeltas(current: DataFrame, delta0: DataFrame, shape: Shape,
+                         childAtNew: => DataFrame): DataFrame = {
     // the delta speaks CHILD column names on its keys; the state speaks
     // the SELECT aliases — rename at the seam so the fold join and all
     // output columns live in state-name space
