@@ -174,7 +174,8 @@ object Dedup {
                            divisor: Int = 16, minTokens: Int = 5,
                            k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                            minJaccard: Double = 0.5,
-                           maxChunksPerDoc: Int = 128): DataFrame = {
+                           maxChunksPerDoc: Int = 128,
+                           maxBucket: Long = Long.MaxValue): DataFrame = {
     // materialize the surviving chunk corpus ONCE: downstream it is
     // read twice (band keys + shingle verification), each on top of
     // the two-scan keeper election — inlined, the chunk pipeline would
@@ -187,7 +188,8 @@ object Dedup {
       .localCheckpoint()
     def doc(c: Column) = floor(c / maxChunksPerDoc).cast("long")
     def no(c: Column) = pmod(c, lit(maxChunksPerDoc.toLong)).cast("long")
-    minhashLshPairs(survivors, "cid", "chunk", k, bands, rowsPerBand, minJaccard)
+    minhashLshPairs(survivors, "cid", "chunk", k, bands, rowsPerBand, minJaccard,
+        maxBucket)
       .select(doc(col("id_a")).as("doc_a"), no(col("id_a")).as("chunk_a"),
         doc(col("id_b")).as("doc_b"), no(col("id_b")).as("chunk_b"),
         col("jaccard"))
@@ -354,11 +356,29 @@ object Dedup {
     * (bands × rowsPerBand = signature length), then verified with exact
     * Jaccard >= minJaccard over the shingle sets. Output matches a naive
     * all-pairs Jaccard join restricted to LSH-reachable pairs.
+    *
+    * `maxBucket` is the SKEW VALVE for 100 TB corpora: a band bucket
+    * holding d members contributes d² candidate rows, so one hot
+    * bucket (boilerplate that survives exact dedup with trivial
+    * variations) can dominate the whole self-join. Capping the bucket
+    * size drops ONLY those buckets, making recall a floor (a dropped
+    * pair may still meet in one of its other bands — and a truly hot
+    * bucket's members pair at Jaccard ≈ 1 through any of them).
+    * Default ∞ keeps the operator exhaustive over LSH-reachable pairs.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-                      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+                      bands: Int, rowsPerBand: Int, minJaccard: Double,
+                      maxBucket: Long = Long.MaxValue): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val banded = bandedKeys(df, idCol, textCol, k, bands, rowsPerBand)
+    val banded0 = bandedKeys(df, idCol, textCol, k, bands, rowsPerBand)
+    val banded =
+      if (maxBucket == Long.MaxValue) banded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bk.band"), col("bk.key"))
+        banded0.withColumn("__bs", count(lit(1)).over(w))
+          .where(col("__bs") <= maxBucket).drop("__bs")
+      }
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key") &&

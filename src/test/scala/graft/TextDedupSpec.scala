@@ -142,6 +142,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(2) == 3L))
   }
 
+  test("minhashLshPairs maxBucket valve drops only the hot bucket's candidates") {
+    // 6 identical docs form a 6-member bucket in EVERY band (the
+    // boilerplate-skew shape); a 2-member planted pair stays under any
+    // reasonable cap. Identical texts make every LSH catch
+    // deterministic.
+    val hot = (1L to 6L).map(i => (i, "same same same text here okay fine"))
+    val planted = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"))
+    val docs = (hot ++ planted).toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, bands = 4,
+        rowsPerBand = 4, minJaccard = 0.9, maxBucket = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val open = pairs(Long.MaxValue)
+    assert(open.count(p => p._1 <= 6 && p._2 <= 6) == 15, s"15 hot pairs: $open")
+    assert(open.contains((10L, 11L)))
+    val capped = pairs(5L)
+    assert(capped == Set((10L, 11L)),
+      s"the cap must drop exactly the hot bucket's pairs: $capped")
+  }
+
   test("jaccardPairs finds near-identical docs and scores them correctly") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
