@@ -34,7 +34,17 @@ object BpeTrain {
   /** Learn `nMerges` merges; returns the table as (rank, pair) rows,
     * rank 1-based in learning order, pair = "left right".
     */
-  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    trainState(df, textCol, nMerges)._1
+
+  /** [[train]], also returning the final tokenized VOCABULARY state
+    * (w, cnt, syms) — the word-type table with each type's learned
+    * subword split, ready to join corpus words against (token
+    * accounting, packing, budget queries under the LEARNED tokenizer
+    * without re-running the merge loop per row).
+    */
+  def trainState(df: DataFrame, textCol: String,
+                 nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
@@ -42,7 +52,7 @@ object BpeTrain {
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
+      .select(col("w"), col("cnt"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
       .localCheckpoint()
@@ -75,9 +85,10 @@ object BpeTrain {
             concat(slice(acc, lit(1), size(acc) - 1),
               array(concat(element_at(acc, -1), s))))
             .otherwise(concat(acc, array(s))))
-        vocab = vocab.select(col("cnt"), merged.as("syms")).localCheckpoint()
+        vocab = vocab.select(col("w"), col("cnt"), merged.as("syms"))
+          .localCheckpoint()
       }
     }
-    spark.createDataset(out.toSeq).toDF("rank", "pair")
+    (spark.createDataset(out.toSeq).toDF("rank", "pair"), vocab)
   }
 }

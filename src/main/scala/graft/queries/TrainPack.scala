@@ -363,7 +363,7 @@ object TrainPack extends QueryPack {
     * on BOTH sides — see operators.BpeTrain for why greedy re-apply
     * from scratch is NOT an equivalent oracle.
     */
-  private def bpeTrainSql(n: Int): String = {
+  private def bpeTrainCtes(n: Int): String = {
     val rounds = (1 to n).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS (
@@ -399,13 +399,16 @@ object TrainPack extends QueryPack {
        |s0 AS (SELECT wid, cnt,
        |         [substr(wid, CAST(j AS BIGINT), 1) for j in range(1, len(wid)+1)] AS syms
        |       FROM wt),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainSql(n: Int): String =
+    s"""${bpeTrainCtes(n)}
        |SELECT * FROM (
        |  ${(1 to n).map(k =>
             s"SELECT CAST($k AS BIGINT) AS rank, (SELECT pr FROM m$k) AS pair")
             .mkString(" UNION ALL ")}
        |) ORDER BY rank""".stripMargin
-  }
 
   val q183 = QueryDef(
     "q183_bpe_train",
@@ -418,5 +421,35 @@ object TrainPack extends QueryPack {
     graft.operators.BpeTrain.train(t.documents, "text", 8).orderBy("rank")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86, q175, q176, q183)
+  val q185 = QueryDef(
+    "q185_learned_token_count",
+    // oracle: the final vocabulary state s8 of the training replay
+    // carries each word type's learned split — corpus accounting is
+    // one join of exploded words against it
+    Some(s"""${bpeTrainCtes(8)}
+            |SELECT d.source,
+            |  CAST(COUNT(*) AS BIGINT) AS n_words,
+            |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+            |FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) d
+            |JOIN s8 s ON d.w = s.wid
+            |WHERE d.w <> ''
+            |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // TRAIN → ACCOUNT end-to-end: per-source corpus token counts under
+    // the tokenizer LEARNED from this corpus (q183's merges). The
+    // trainer's final vocabulary state already carries each word
+    // type's subword split, so accounting is one word-level join —
+    // the merge loop never runs per document row. At 100 TB: one
+    // corpus pass to words, one vocabulary-sized join (AQE broadcasts
+    // it when it fits).
+    val (_, vocab) = graft.operators.BpeTrain.trainState(t.documents, "text", 8)
+    t.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(vocab.select(col("w"), size(col("syms")).cast("long").as("n_sub")), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86, q175, q176, q183, q185)
 }
