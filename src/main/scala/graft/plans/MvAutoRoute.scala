@@ -42,11 +42,16 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    column), SUM(e) → SUM(sum column), MIN/MAX(e) → MIN/MAX of the
   *    matching state column, grouping keys passed through (the
   *    standard rollup-compensation rewrite; the MV's COUNT(*) is never
-  *    zero per group, so re-summing counts is exact). The swap is a
-  *    compensating Aggregate OVER the MV scan — still metadata-sized
-  *    next to the fact table. Anything else (DISTINCT aggregates,
-  *    FILTER clauses, AVG, predicates not in the defining tree) stays
-  *    on the fact table — wrong-but-routed is never an option.
+  *    zero per group, so re-summing counts is exact). Top-level filter
+  *    conjuncts referencing ONLY the MV's bare-column grouping keys
+  *    are peeled and re-applied to the MV STATE (every fact row of a
+  *    state group shares its key values, so key predicates commute
+  *    with the rollup exactly); the residue must still equal the
+  *    defining tree. The swap is a compensating Filter+Aggregate OVER
+  *    the MV scan — still metadata-sized next to the fact table.
+  *    Anything else (DISTINCT aggregates, FILTER clauses, AVG,
+  *    non-key predicates not in the defining tree) stays on the fact
+  *    table — wrong-but-routed is never an option.
   *
   * Freshness gate, exact by construction: every source LEAF in the
   * query is pinned at one version (snapshot reader isolation); the
@@ -172,7 +177,35 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
       case d: Aggregate => d
       case _ => return None
     }
-    if (!same(agg.child, defn.child, e.watermarks)) return None
+    // KEY-PREDICATE COMPENSATION: conjuncts of the query's top filter
+    // that reference ONLY the MV's bare-column grouping keys can be
+    // peeled off and re-applied to the MV STATE instead (every fact
+    // row of a state group shares its key values, so the filter
+    // commutes with the rollup exactly). The residue must still equal
+    // the defining child tree.
+    val (keyPred, childQ) = strip(agg.child) match {
+      case Filter(cond, rest) =>
+        import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference}
+        def conjuncts(x: Expression): Seq[Expression] = x match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val conjs = conjuncts(cond)
+        def keyOnly(c: Expression): Boolean =
+          c.deterministic && !c.containsPattern(
+            org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) &&
+            c.references.nonEmpty && c.collectFirst {
+              case a: AttributeReference
+                  if !defn.groupingExpressions.exists(g => norm(g) == norm(a)) => a
+            }.isEmpty
+        val (peel, residue) = conjs.partition(keyOnly)
+        if (peel.isEmpty) (Nil, agg.child)
+        else (peel,
+          residue.reduceOption(And).map(r => Filter(r, rest): LogicalPlan)
+            .getOrElse(rest))
+      case _ => (Nil, agg.child)
+    }
+    if (!same(childQ, defn.child, e.watermarks)) return None
     // classify the MV state columns: key columns by normalized
     // grouping expression; SUM/MIN/MAX columns by normalized argument;
     // the COUNT(*) column
@@ -235,13 +268,30 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     if (!outs.exists(_.isRight)) return None // bare-keys distinct: not worth it
     val keyNames = gqNorm.map(keyCol).distinct
     val aggCols = outs.zipWithIndex.collect { case (Right(c), i) => c.as(s"__r_$i") }
+    // every attribute of a peeled key predicate must be EXPOSED as a
+    // state column, or the compensation cannot be expressed
+    val statePred: Option[Column] =
+      if (keyPred.isEmpty) None
+      else {
+        val translated = keyPred.map(_.transformUp {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            keyCol.get(norm(a)) match {
+              case Some(n) =>
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
+              case None => return None
+            }
+        })
+        Some(translated.map(org.apache.spark.sql.graftbridge.ColumnBridge.column)
+          .reduce(_ && _))
+      }
     val routedPlan =
       try {
         inRoute.set(true)
-        val mvDf = session.read.format("graft.sources.SnapshotSource").load(e.mvPath)
+        val mvDf0 = session.read.format("graft.sources.SnapshotSource").load(e.mvPath)
         // the MV must still be at the version the entry described
-        if (!leafInfo(strip(mvDf.queryExecution.analyzed)).exists(_._2 == e.mvVersion))
+        if (!leafInfo(strip(mvDf0.queryExecution.analyzed)).exists(_._2 == e.mvVersion))
           return None
+        val mvDf = statePred.map(mvDf0.where).getOrElse(mvDf0)
         val grouped =
           if (keyNames.isEmpty) mvDf.groupBy().agg(aggCols.head, aggCols.tail: _*)
           else mvDf.groupBy(keyNames.map(F.col): _*).agg(aggCols.head, aggCols.tail: _*)

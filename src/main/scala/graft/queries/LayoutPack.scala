@@ -2638,6 +2638,71 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  /** KEY-PREDICATE COMPENSATION ROUTING — a filter on MV grouping-key
+    * columns commutes with the rollup (every fact row of a state group
+    * shares its key values), so the query routes as Filter + re-rollup
+    * OVER the MV state; the non-key residue must equal the defining
+    * tree exactly. The plan pin rides the build. At 100 TB the routed
+    * plan filters the rollup's few hundred rows instead of scanning
+    * the fact table.
+    */
+  val q186 = QueryDef.staged(
+    "q186_mv_filter_route",
+    // oracle: the filtered coarser rollup recomputed from raw orders
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the two-key MV, churn + REFRESH.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q186").toString
+    t.spark.conf.set("spark.sql.catalog.g186", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g186.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g186.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+      "o_orderpriority")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g186.db.mv AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM g186.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g186.db.mv")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the key-filtered, coarser rollup + the plan pin.
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+          |FROM g186.db.src
+          |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv"),
+        s"q186: expected the key-filtered route onto the MV, got $scans")
+      routed.select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186)
 }

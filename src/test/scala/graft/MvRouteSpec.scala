@@ -136,6 +136,53 @@ class MvRouteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  test("key predicates peel onto the MV state; non-key predicates refuse") {
+    val srcPath = s"$wh/db/src4"
+    val mvPath = s"$wh/db/mv4"
+    Snapshot.create(spark, srcPath,
+      (0L until 300L).map(i => (i, s"k${i % 4}", s"b${i % 3}", i % 20))
+        .toDF("id", "k", "b", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv4 AS
+        |SELECT k, b, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmr.db.src4 WHERE v >= 3 GROUP BY k, b""".stripMargin)
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the k-filter commutes with the rollup: it peels onto the MV
+      // state; the residue (v >= 3) matches the defining tree
+      val q = """SELECT b, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+                |FROM gmr.db.src4 WHERE v >= 3 AND k IN ('k1', 'k2')
+                |GROUP BY b""".stripMargin
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mvPath), s"key filter routes: ${scanPaths(routed)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q)
+      assert(scanPaths(direct) == Set(srcPath))
+      assert(rollup(routed.withColumnRenamed("b", "k")) ==
+        rollup(direct.withColumnRenamed("b", "k")), "peeled route agrees bitwise")
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // a predicate on a NON-key column cannot commute — no route
+      val nonKey = spark.sql(
+        """SELECT b, COUNT(*) AS n FROM gmr.db.src4
+          |WHERE v >= 3 AND id < 100 GROUP BY b""".stripMargin)
+      assert(scanPaths(nonKey) == Set(srcPath), "non-key predicate must not route")
+      // a key predicate with a DIFFERENT residue cannot route either
+      val wrongResidue = spark.sql(
+        """SELECT b, COUNT(*) AS n FROM gmr.db.src4
+          |WHERE v >= 4 AND k = 'k1' GROUP BY b""".stripMargin)
+      assert(scanPaths(wrongResidue) == Set(srcPath), "changed residue must not route")
+      // a key-only filter over a no-residue rollup: filter + global agg
+      val global = spark.sql(
+        "SELECT COUNT(*) AS n FROM gmr.db.src4 WHERE v >= 3 AND k = 'k0'")
+      assert(scanPaths(global) == Set(mvPath), "key-filtered global rollup routes")
+      val globalDirect = {
+        spark.conf.unset("spark.graft.mv.autoRoute")
+        spark.sql("SELECT COUNT(*) AS n FROM gmr.db.src4 WHERE v >= 3 AND k = 'k0'")
+      }
+      assert(global.as[Long].head() == globalDirect.as[Long].head())
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   test("containment routes across a JOIN MV: coarser rollup over fact ⋈ dim") {
     spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
