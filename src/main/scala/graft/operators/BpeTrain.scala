@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * deterministic across engines and partitionings), and merges its
   * occurrences left-to-right non-overlapping in every word type.
   *
+  * Tie-break ordering caveat: Spark's string ORDER BY and DuckDB's
+  * both compare UTF-8 bytes, so the cross-engine determinism claim is
+  * exact for any input. A JVM-side reference that compares with
+  * `String.compareTo` (UTF-16 code units) orders SUPPLEMENTARY-PLANE
+  * characters differently (surrogates sort below some BMP chars that
+  * UTF-8 orders first) — compare tie keys as UTF-8 byte sequences (or
+  * stay BMP-only) when adding reference implementations.
+  *
   * Scale shape: per round, ONE aggregation over the checkpointed
   * word-type table plus a 1-row argmax collect — the driver holds only
   * the merge table itself (nMerges rows). The merge application is a

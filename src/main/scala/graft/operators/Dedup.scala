@@ -167,8 +167,13 @@ object Dedup {
     * Chunk identity rides ONE long (`doc * maxChunksPerDoc +
     * chunk_no`) through the pair machinery and is unpacked on output:
     * (doc_a, chunk_a, doc_b, chunk_b, jaccard), id_a < id_b order.
-    * Callers must ensure documents chunk below `maxChunksPerDoc`
-    * (expected chunks ≈ tokens/divisor).
+    * The packing is GUARDED at runtime: a document with >=
+    * maxChunksPerDoc chunks, a negative id, or an id large enough to
+    * overflow the long FAILS LOUDLY (raise_error inside the cid
+    * projection — no extra pass) instead of silently colliding cids
+    * across documents, which would make the downstream anti-join drop
+    * innocent chunks of OTHER docs. Expected chunks ≈ tokens/divisor;
+    * size maxChunksPerDoc for the corpus's longest document.
     */
   def cdcChunkNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                            divisor: Int = 16, minTokens: Int = 5,
@@ -181,10 +186,17 @@ object Dedup {
     // the two-scan keeper election — inlined, the chunk pipeline would
     // re-run four times (at 100 TB the chunk table would be a
     // persisted intermediate anyway)
+    val packOk = col("chunk_no") < maxChunksPerDoc.toLong &&
+      col("id") >= 0L && col("id") <= lit(Long.MaxValue / maxChunksPerDoc - 1)
+    val cid = when(packOk, col("id") * maxChunksPerDoc + col("chunk_no"))
+      .otherwise(raise_error(concat(
+        lit(s"cdcChunkNearDupPairs: chunk identity overflow " +
+          s"(maxChunksPerDoc=$maxChunksPerDoc): doc "),
+        col("id").cast("string"), lit(" chunk "),
+        col("chunk_no").cast("string"))).cast("long"))
     val survivors = cdcChunkDedup(df, idCol, textCol, divisor)
       .where(col("keep") && col("n_tokens") >= minTokens)
-      .select((col("id") * maxChunksPerDoc + col("chunk_no")).as("cid"),
-        col("chunk"))
+      .select(cid.as("cid"), col("chunk"))
       .localCheckpoint()
     def doc(c: Column) = floor(c / maxChunksPerDoc).cast("long")
     def no(c: Column) = pmod(c, lit(maxChunksPerDoc.toLong)).cast("long")

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, ExprId, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,8 +32,11 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    defining plan — same inner-join/filter tree over the same source
   *    tables, same grouping, same aggregate expressions, same output
   *    aliases — compared structurally with attribute identity taken by
-  *    lower-cased name and all plan-local ids (attribute exprIds,
-  *    alias ids, aggregate resultIds) normalized away. The swap is the
+  *    (SOURCE LEAF lineage, lower-cased name) and all plan-local ids
+  *    (attribute exprIds, alias ids, aggregate resultIds) normalized
+  *    away. Leaf lineage matters: a join exposing the same column name
+  *    on both sides (fact.v, dim.v) must never let a predicate on one
+  *    side match a defining predicate on the other. The swap is the
   *    bare MV scan.
   *  - ROLLUP CONTAINMENT ([[routeRollup]]): the query's CHILD tree
   *    equals the defining child tree (same joins, same filters, same
@@ -42,16 +45,23 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    column), SUM(e) → SUM(sum column), MIN/MAX(e) → MIN/MAX of the
   *    matching state column, grouping keys passed through (the
   *    standard rollup-compensation rewrite; the MV's COUNT(*) is never
-  *    zero per group, so re-summing counts is exact). Top-level filter
+  *    zero per group, so re-summing counts is exact), COUNT(e) →
+  *    SUM(matching non-null-count column), and AVG(e) over a DECIMAL
+  *    argument → SUM(sum column) / SUM(count column) when the MV
+  *    exposes BOTH for the same argument (the routed division replays
+  *    Average's own evaluate chain, so parity is bitwise; floating-
+  *    point AVG refuses — Spark's own double sum buffer is partition-
+  *    order-dependent, so bitwise parity is not even well-defined for
+  *    the direct plan). Top-level filter
   *    conjuncts referencing ONLY the MV's bare-column grouping keys
   *    are peeled and re-applied to the MV STATE (every fact row of a
   *    state group shares its key values, so key predicates commute
   *    with the rollup exactly); the residue must still equal the
   *    defining tree. The swap is a compensating Filter+Aggregate OVER
   *    the MV scan — still metadata-sized next to the fact table.
-  *    Anything else (DISTINCT aggregates, FILTER clauses, AVG,
-  *    non-key predicates not in the defining tree) stays on the fact
-  *    table — wrong-but-routed is never an option.
+  *    Anything else (DISTINCT aggregates, FILTER clauses, floating
+  *    AVG, non-key predicates not in the defining tree) stays on the
+  *    fact table — wrong-but-routed is never an option.
   *
   * Freshness gate, exact by construction: every source LEAF in the
   * query is pinned at one version (snapshot reader isolation); the
@@ -71,10 +81,12 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     if (entries.isEmpty) return plan
     plan.transformUpWithSubqueries {
       case agg: Aggregate if agg.resolved =>
+        val qLeaves = leafMap(agg)
         entries.iterator
           .map(e =>
-            if (same(agg, e.defining, e.watermarks)) replace(e, agg)
-            else routeRollup(e, agg))
+            if (same(agg, e.defining, e.watermarks, qLeaves, e.leaves))
+              replace(e, agg)
+            else routeRollup(e, agg, qLeaves))
           .collectFirst { case Some(p) => p }
           .getOrElse(agg)
     }
@@ -99,7 +111,8 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
             } catch { case _: Exception => null }
             finally inRoute.set(false)
           if (analyzed == null) None
-          else Some(Entry(mvPath, ver, resolved.flatten.toMap, analyzed))
+          else Some(Entry(mvPath, ver, resolved.flatten.toMap, analyzed,
+            leafMap(analyzed)))
         }
       })
     }
@@ -127,22 +140,52 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Expression identity across two independently-analyzed plans over
-    * the same tables: attribute references compare by lower-cased NAME
-    * (their exprIds are plan-local and AttributeReference.equals
-    * includes them); AggregateExpression resultIds and alias ids/case
-    * are normalized away. Both sides resolve the same table schemas, so
-    * name identity is exactly as strong as the SQL text's.
+  /** LEAF LINEAGE: every attribute a source relation outputs, mapped
+    * to a stable cross-plan identity `<qualified table root>#<k>`
+    * where k is the leaf's occurrence index among same-path leaves in
+    * pre-order (self-joins keep their sides apart; two structurally
+    * matching plans visit corresponding leaves in the same order).
+    * Attributes NOT produced by a leaf (mid-tree aliases, subquery
+    * projections) are absent — [[norm]] gives them a plan-local
+    * identity, so any cross-plan comparison involving one REFUSES.
     */
-  private def norm(e: Expression): Expression = e.transformUp {
+  private type Leaves = Map[ExprId, String]
+
+  private def leafMap(p: LogicalPlan): Leaves = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val m = scala.collection.mutable.Map.empty[ExprId, String]
+    p.foreach { n =>
+      leafInfo(n).foreach { case (path, _) =>
+        val k = counts.getOrElse(path, 0)
+        counts(path) = k + 1
+        n.output.foreach(a => m.getOrElseUpdate(a.exprId, s"$path#$k"))
+      }
+    }
+    m.toMap
+  }
+
+  /** Expression identity across two independently-analyzed plans over
+    * the same tables: attribute references compare by (SOURCE LEAF,
+    * lower-cased name) — name alone is not identity when a join
+    * exposes the same column name on both sides (a filter on `dim.v`
+    * must never match a defining filter on `fact.v`); their exprIds
+    * are plan-local and AttributeReference.equals includes them.
+    * AggregateExpression resultIds and alias ids/case are normalized
+    * away. An attribute with no leaf lineage keeps a plan-local
+    * identity (its exprId), which can never equal the other plan's —
+    * ambiguity refuses the route.
+    */
+  private def norm(e: Expression, lv: Leaves): Expression = e.transformUp {
     case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(ar.name.toLowerCase))
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+        Seq(lv.getOrElse(ar.exprId, s"?${ar.exprId.id}@${ar.exprId.jvmId}"),
+          ar.name.toLowerCase))
     case ae: AggregateExpression => ae.copy(resultId = ExprId(0))
     case al: Alias => Alias(al.child, al.name.toLowerCase)(exprId = ExprId(0))
   }
 
-  private def same(a0: LogicalPlan, b0: LogicalPlan,
-                   wm: Map[String, Long]): Boolean = {
+  private def same(a0: LogicalPlan, b0: LogicalPlan, wm: Map[String, Long],
+                   la: Leaves, lb: Leaves): Boolean = {
     val (a, b) = (strip(a0), strip(b0))
     (leafInfo(a), leafInfo(b)) match {
       case (Some((pa, va)), Some((pb, _))) =>
@@ -151,15 +194,16 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
         pa == pb && wm.get(pa).contains(va)
       case (None, None) => (a, b) match {
         case (Filter(c1, x), Filter(c2, y)) =>
-          norm(c1) == norm(c2) && same(x, y, wm)
+          norm(c1, la) == norm(c2, lb) && same(x, y, wm, la, lb)
         case (Join(l1, r1, t1, c1, _), Join(l2, r2, t2, c2, _)) =>
-          t1 == t2 && c1.map(norm) == c2.map(norm) &&
-            same(l1, l2, wm) && same(r1, r2, wm)
+          t1 == t2 && c1.map(norm(_, la)) == c2.map(norm(_, lb)) &&
+            same(l1, l2, wm, la, lb) && same(r1, r2, wm, la, lb)
         case (Aggregate(g1, a1, x, _), Aggregate(g2, a2, y, _)) =>
-          g1.map(norm) == g2.map(norm) && a1.map(norm) == a2.map(norm) &&
-            same(x, y, wm)
+          g1.map(norm(_, la)) == g2.map(norm(_, lb)) &&
+            a1.map(norm(_, la)) == a2.map(norm(_, lb)) &&
+            same(x, y, wm, la, lb)
         case (Project(p1, x), Project(p2, y)) =>
-          p1.map(norm) == p2.map(norm) && same(x, y, wm)
+          p1.map(norm(_, la)) == p2.map(norm(_, lb)) && same(x, y, wm, la, lb)
         case _ => false
       }
       case _ => false
@@ -172,11 +216,17 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     * swap in a compensating Aggregate over the MV scan. Returns None
     * whenever any output is not provably derivable.
     */
-  private def routeRollup(e: Entry, agg: Aggregate): Option[LogicalPlan] = {
+  private def routeRollup(e: Entry, agg: Aggregate,
+                          qLeaves: Leaves): Option[LogicalPlan] = {
     val defn = strip(e.defining) match {
       case d: Aggregate => d
       case _ => return None
     }
+    // cross-plan expression identity: query-side attrs carry the query
+    // plan's leaf lineage, defining-side attrs the entry's — names
+    // collide across join sides, leaves do not
+    def normQ(x: Expression): Expression = norm(x, qLeaves)
+    def normD(x: Expression): Expression = norm(x, e.leaves)
     // KEY-PREDICATE COMPENSATION: conjuncts of the query's top filter
     // that reference ONLY the MV's bare-column grouping keys can be
     // peeled off and re-applied to the MV STATE instead (every fact
@@ -196,7 +246,7 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) &&
             c.references.nonEmpty && c.collectFirst {
               case a: AttributeReference
-                  if !defn.groupingExpressions.exists(g => norm(g) == norm(a)) => a
+                  if !defn.groupingExpressions.exists(g => normD(g) == normQ(a)) => a
             }.isEmpty
         val (peel, residue) = conjs.partition(keyOnly)
         if (peel.isEmpty) (Nil, agg.child)
@@ -205,15 +255,16 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
             .getOrElse(rest))
       case _ => (Nil, agg.child)
     }
-    if (!same(childQ, defn.child, e.watermarks)) return None
+    if (!same(childQ, defn.child, e.watermarks, qLeaves, e.leaves)) return None
     // classify the MV state columns: key columns by normalized
     // grouping expression; SUM/MIN/MAX columns by normalized argument;
     // the COUNT(*) column
-    val gmNorm = defn.groupingExpressions.map(norm)
+    val gmNorm = defn.groupingExpressions.map(normD)
     var keyCol = Map.empty[Expression, String]
     var sumCol = Map.empty[Expression, String]
     var minCol = Map.empty[Expression, String]
     var maxCol = Map.empty[Expression, String]
+    var cntColOf = Map.empty[Expression, String] // COUNT(x): non-null count
     var cntCol = Option.empty[String]
     def isCountStar(c: Count): Boolean = c.children match {
       case Seq(Literal(v, _)) => v != null
@@ -228,18 +279,20 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
         case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
           ae.aggregateFunction match {
             case c: Count if isCountStar(c) => cntCol = cntCol.orElse(Some(nm))
-            case s: Sum => sumCol += norm(s.child) -> nm
-            case m: Min => minCol += norm(m.child) -> nm
-            case m: Max => maxCol += norm(m.child) -> nm
+            case c: Count if c.children.size == 1 =>
+              cntColOf += normD(c.children.head) -> nm
+            case s: Sum => sumCol += normD(s.child) -> nm
+            case m: Min => minCol += normD(m.child) -> nm
+            case m: Max => maxCol += normD(m.child) -> nm
             case _ => // unusable state column; queries needing it refuse
           }
-        case other if gmNorm.contains(norm(other)) =>
-          keyCol += norm(other) -> nm
+        case other if gmNorm.contains(normD(other)) =>
+          keyCol += normD(other) -> nm
         case _ =>
       }
     }
     // every query grouping key must be an exposed MV key column
-    val gqNorm = agg.groupingExpressions.map(norm)
+    val gqNorm = agg.groupingExpressions.map(normQ)
     if (!gqNorm.forall(keyCol.contains)) return None
     // each query output: a key passthrough or a derivable re-aggregate
     val outs: Seq[Either[String, Column]] =
@@ -252,16 +305,41 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
               // (COUNT over zero rows is 0, SUM over zero rows is null)
               case c: Count if isCountStar(c) && cntCol.isDefined =>
                 Right(F.coalesce(F.sum(F.col(cntCol.get)), F.lit(0L)))
-              case s: Sum if sumCol.contains(norm(s.child)) =>
-                Right(F.sum(F.col(sumCol(norm(s.child)))))
-              case m: Min if minCol.contains(norm(m.child)) =>
-                Right(F.min(F.col(minCol(norm(m.child)))))
-              case m: Max if maxCol.contains(norm(m.child)) =>
-                Right(F.max(F.col(maxCol(norm(m.child)))))
+              case c: Count if c.children.size == 1 &&
+                  cntColOf.contains(normQ(c.children.head)) =>
+                Right(F.coalesce(
+                  F.sum(F.col(cntColOf(normQ(c.children.head)))), F.lit(0L)))
+              case s: Sum if sumCol.contains(normQ(s.child)) =>
+                Right(F.sum(F.col(sumCol(normQ(s.child)))))
+              case m: Min if minCol.contains(normQ(m.child)) =>
+                Right(F.min(F.col(minCol(normQ(m.child)))))
+              case m: Max if maxCol.contains(normQ(m.child)) =>
+                Right(F.max(F.col(maxCol(normQ(m.child)))))
+              // AVG(x) = SUM(sum state) / SUM(non-null-count state) —
+              // exact when the sums are DECIMAL (the routed division
+              // replays Average's own evaluate chain bitwise: exact
+              // decimal sum buffers, then the same Divide + final cast
+              // the binding Project applies). Floating-point AVG
+              // REFUSES: Spark's own double sum buffer is partition-
+              // order-dependent, so bitwise parity between the routed
+              // reassociation and the direct plan cannot be guaranteed.
+              case a: Average if sumCol.contains(normQ(a.child)) &&
+                  cntColOf.contains(normQ(a.child)) =>
+                a.child.dataType match {
+                  case dt: org.apache.spark.sql.types.DecimalType =>
+                    val sumT = org.apache.spark.sql.types.DecimalType(
+                      math.min(dt.precision + 10,
+                        org.apache.spark.sql.types.DecimalType.MAX_PRECISION),
+                      dt.scale)
+                    Right(F.sum(F.col(sumCol(normQ(a.child)))).cast(sumT) /
+                      F.sum(F.col(cntColOf(normQ(a.child))))
+                        .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+                  case _ => return None
+                }
               case _ => return None
             }
-          case other if gqNorm.contains(norm(other)) =>
-            Left(keyCol(norm(other)))
+          case other if gqNorm.contains(normQ(other)) =>
+            Left(keyCol(normQ(other)))
           case _ => return None
         }
       }
@@ -275,7 +353,7 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
       else {
         val translated = keyPred.map(_.transformUp {
           case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-            keyCol.get(norm(a)) match {
+            keyCol.get(normQ(a)) match {
               case Some(n) =>
                 org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
               case None => return None
@@ -347,7 +425,8 @@ object MvAutoRoute {
 
   private final case class Entry(mvPath: String, mvVersion: Long,
                                  watermarks: Map[String, Long],
-                                 defining: LogicalPlan)
+                                 defining: LogicalPlan,
+                                 leaves: Map[ExprId, String])
 
   /** Entries keyed by (qualified MV root, MV version): a REFRESH bumps
     * the version and naturally invalidates; stale keys are harmless

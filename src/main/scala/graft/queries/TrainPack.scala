@@ -403,12 +403,15 @@ object TrainPack extends QueryPack {
   }
 
   private def bpeTrainSql(n: Int): String =
+    // pair IS NULL marks a round past pair exhaustion (the scalar
+    // subquery over an empty m_k): the trainer STOPS there and returns
+    // fewer rows, so the oracle must drop those rounds to match
     s"""${bpeTrainCtes(n)}
        |SELECT * FROM (
        |  ${(1 to n).map(k =>
             s"SELECT CAST($k AS BIGINT) AS rank, (SELECT pr FROM m$k) AS pair")
             .mkString(" UNION ALL ")}
-       |) ORDER BY rank""".stripMargin
+       |) WHERE pair IS NOT NULL ORDER BY rank""".stripMargin
 
   val q183 = QueryDef(
     "q183_bpe_train",

@@ -11,7 +11,17 @@ import graft.operators.BpeTrain
 class BpeTrainSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Independent reference trainer: naive maps and vectors. */
+  /** Independent reference trainer: naive maps and vectors.
+    *
+    * Tie-break caveat: this reference breaks count ties with Java
+    * String ordering (UTF-16 code units) while Spark's orderBy and
+    * DuckDB compare UTF-8 bytes — the orders differ only for
+    * SUPPLEMENTARY-PLANE characters (surrogate code units sort below
+    * U+E000..U+FFFF, UTF-8 bytes sort them above). The fixtures here
+    * and the synthetic corpus are ASCII, where all three orders agree;
+    * a non-BMP corpus would need this reference to compare
+    * `getBytes(UTF_8)` lexicographically instead.
+    */
   private def reference(texts: Seq[String], nMerges: Int): Seq[(Long, String)] = {
     var vocab: Map[Vector[String], Long] = texts
       .flatMap(_.split(" ").filter(_.nonEmpty))
