@@ -48,6 +48,41 @@ case class BpeTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[BpeTokens]] with the merge table passed IN instead of pinned —
+  * the train→apply closure: `BpeTrain.train` learns the table (one
+  * corpus pass + vocabulary-sized rounds), the caller collects it
+  * (vocab-sized, nMerges rows) and tokenizes the corpus under the
+  * LEARNED tokenizer with the same greedy lowest-rank/leftmost apply.
+  * Same static body for eval and codegen (the rank map rides the
+  * generated class as a referenced object) — bit-identical paths,
+  * no UDF.
+  */
+case class BpeTokensWith(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens_with"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_tokens_with needs a STRING argument, got ${child.dataType.simpleString}")
+
+  @transient private lazy val rankMap: java.util.HashMap[String, Integer] =
+    BpeFns.rankOf(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeFns.tokensWith(input.asInstanceOf[UTF8String], rankMap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("bpeRanks", rankMap, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.BpeFns.tokensWith($c, $mapRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokensWith =
+    copy(child = newChild)
+}
+
 object Bpe {
   /** The pinned merge table, rank = position (1-based). Entries are
     * "left right" symbol pairs; later entries may merge symbols built
@@ -66,14 +101,21 @@ object Bpe {
 }
 
 object BpeFns {
-  private val rank: java.util.HashMap[String, Integer] = {
+  private val rank: java.util.HashMap[String, Integer] = rankOf(Bpe.Merges)
+
+  /** "left right" pairs in learning order → rank lookup (1-based). */
+  def rankOf(merges: Seq[String]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    Bpe.Merges.zipWithIndex.foreach { case (p, i) => m.put(p, i + 1) }
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, i + 1) }
     m
   }
 
   /** Static entry shared by eval and codegen — bit-identical paths. */
-  def tokens(text: UTF8String): ArrayData = {
+  def tokens(text: UTF8String): ArrayData = tokensWith(text, rank)
+
+  /** [[tokens]] under an arbitrary merge table. */
+  def tokensWith(text: UTF8String,
+                 rank: java.util.HashMap[String, Integer]): ArrayData = {
     val words = text.toString.split(" ", -1)
     val out = new java.util.ArrayList[UTF8String]()
     var wi = 0

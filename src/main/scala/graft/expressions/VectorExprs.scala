@@ -262,5 +262,12 @@ object GraftFunctions {
       exprs => DetLn(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_tokens",
       exprs => BpeTokens(exprs(0)), "built-in")
+    // merge table as a foldable array<string> literal (the learned
+    // table, vocab-sized) — evaluated once at plan build
+    reg.createOrReplaceTempFunction("graft_bpe_tokens_with",
+      exprs => BpeTokensWith(exprs(0),
+        exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq), "built-in")
   }
 }

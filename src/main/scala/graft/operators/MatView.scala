@@ -42,6 +42,20 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   *    subset exactly — use exact types and non-null measures for
   *    bitwise parity).
   *
+  *    COUNT(col) folds exactly like COUNT(*) gated on the argument
+  *    being non-null. COUNT(DISTINCT col) folds through a CO-MAINTAINED
+  *    DISTINCT-STATE side table ([[sidePath]]): one row per (group
+  *    keys, distinct non-null value) with its occurrence count, folded
+  *    from the same net change feeds; the view column derives as the
+  *    side table's per-group row count — a delete that removes a
+  *    group's LAST occurrence of a value drops the state row and the
+  *    count follows, O(change) per refresh with no fact rescan. Side
+  *    commits land BEFORE the view commit (each versioned, each
+  *    stamped with the source watermarks), so a crash between them
+  *    leaves the view watermark old: the rerun sees the side already
+  *    current, skips its fold, and re-folds only the view —
+  *    exactly-once per table.
+  *
   *    MIN/MAX columns fold with a DELETE-TRIGGERED per-group tier:
   *    inserts fold as least/greatest against the current extremum; a
   *    delete at-or-beyond the folded extremum re-derives ONLY that
@@ -66,7 +80,18 @@ object MatView {
 
   private[graft] val SqlProp = "graft.mv.sql"
   private[graft] val SourceProp = "graft.mv.source"
+  private[graft] val SideProp = "graft.mv.sideOf"
   private[graft] val ConsumerId = "__graft_mv"
+
+  /** The co-maintained DISTINCT-STATE side table for a COUNT(DISTINCT
+    * x) column: one row per (group keys, distinct non-null value of x)
+    * with its occurrence count, folded from the same net change feeds
+    * as the view — the MV column derives as the side table's per-group
+    * row count, O(change) per refresh instead of a fact-table rescan.
+    * A sibling snapshot table, marked [[SideProp]] → the owning MV.
+    */
+  private[graft] def sidePath(mvPath: String, stateCol: String): String =
+    s"${mvPath}__dset_${stateCol.toLowerCase}"
 
   /** Is this snapshot table a materialized view? */
   def isMatView(m: Snapshot.Manifest): Boolean = m.properties.contains(SqlProp)
@@ -99,9 +124,28 @@ object MatView {
     // watermarks ride a follow-up metadata commit on the fresh table
     // (create() owns version 1); both commits precede any reader
     val m = Snapshot.latestManifest(spark, mvPath).get
-    Snapshot.commitMetaOn(spark, mvPath, m,
+    val ret = Snapshot.commitMetaOn(spark, mvPath, m,
       s"MATERIALIZE ${vs.mkString("v", ",v", "")}")(mm =>
       mm.copy(streamBatch = mm.streamBatch ++ wmEntries(srcs, vs)))
+    // COUNT(DISTINCT) columns of a rollup-shaped view co-create their
+    // distinct-state side tables from the SAME pinned reads. A crash
+    // before a side lands leaves it missing — the first REFRESH heals
+    // by full recompute (sideOk demotes) and recreates it.
+    rollupShape(plan).filter(_.distinctCols.nonEmpty).foreach { sh =>
+      val childDf = PlanBridge.dataFrame(spark, substituted(sh.child, reads))
+      sh.distinctCols.foreach { case (n, e) =>
+        val sp = sidePath(mvPath, n)
+        require(Snapshot.latestVersion(spark, sp).isEmpty,
+          s"distinct-state side table already exists: $sp")
+        Snapshot.create(spark, sp, sideState(childDf, sh, e),
+          properties = Map(SideProp -> mvPath))
+        val sm = Snapshot.latestManifest(spark, sp).get
+        Snapshot.commitMetaOn(spark, sp, sm,
+          s"MATERIALIZE DISTINCT STATE ${vs.mkString("v", ",v", "")}")(mm =>
+          mm.copy(streamBatch = mm.streamBatch ++ wmEntries(srcs, vs)))
+      }
+    }
+    ret
   }
 
   /** REFRESH MATERIALIZED VIEW: advance to the sources' latest versions
@@ -135,15 +179,29 @@ object MatView {
     // refresh to the always-correct full pinned recompute. Windows
     // where SEVERAL sources churned fold by the telescoping delta rule
     // (see incrementalRefresh).
-    def windowOk(i: Int): Boolean = vFroms(i).exists { v =>
+    def windowOkFrom(i: Int, v: Long): Boolean =
       try Snapshot.manifest(spark, paths(i), v).schemaDdl ==
         Snapshot.manifest(spark, paths(i), vNows(i)).schemaDdl
       catch { case _: java.io.FileNotFoundException => false }
+    def windowOk(i: Int): Boolean = vFroms(i).exists(windowOkFrom(i, _))
+    val shape0 = rollupShape(plan)
+    // the distinct tier additionally needs every side table HEALTHY:
+    // present, carrying a watermark per source, each side window
+    // readable (side watermarks can sit AHEAD of the view's after a
+    // crash between the side and view commits — the rerun skips the
+    // current side and re-folds only the view, exactly-once per table)
+    def sideOk(sh: Shape): Boolean = sh.distinctCols.forall { case (n, _) =>
+      Snapshot.latestManifest(spark, sidePath(mvPath, n)).exists { sm =>
+        srcs.indices.forall { i =>
+          sm.streamBatch.get(wmKey(srcs, i)).exists(sv =>
+            sv == vNows(i) || (sv < vNows(i) && windowOkFrom(i, sv)))
+        }
+      }
     }
     val incremental =
       if (changed.forall(i => windowOk(i) &&
           occurrences(plan, srcKey(srcs(i))) == 1))
-        rollupShape(plan)
+        shape0.filter(sh => sh.distinctCols.isEmpty || sideOk(sh))
       else None
     // O(change), any number of changed sources — the TELESCOPING delta
     // rule: Q(new…) − Q(old…) = Σ_k replay_k, where replay_k feeds
@@ -158,17 +216,47 @@ object MatView {
     def incrementalRefresh(shape: Shape): Unit = {
       def readAt(i: Int, v: Long): LogicalPlan =
         Snapshot.readVersion(spark, paths(i), v).queryExecution.logical
-      def replayReads(k: Int): Map[String, LogicalPlan] =
-        srcs.indices.map { i =>
-          val pos = changed.indexOf(i)
-          srcKey(srcs(i)) -> (
-            if (pos == k) Snapshot.readChanges(spark, paths(i),
-              vFroms(i).get, vNows(i), net = true).queryExecution.logical
-            else if (pos >= 0 && pos < k) readAt(i, vNows(i))
-            else readAt(i, vFroms(i).get))
-        }.toMap
-      val replays = changed.indices.map(k =>
-        PlanBridge.dataFrame(spark, substituted(shape.child, replayReads(k))))
+      // telescoping replays, parameterized by each source's from-
+      // version and the changed set — the view and each side table
+      // fold from their OWN watermark windows (they can differ after a
+      // crash between the side and view commits)
+      def replaysFor(froms: Int => Long, chg: Seq[Int]): Seq[DataFrame] = {
+        def replayReads(k: Int): Map[String, LogicalPlan] =
+          srcs.indices.map { i =>
+            val pos = chg.indexOf(i)
+            srcKey(srcs(i)) -> (
+              if (pos == k) Snapshot.readChanges(spark, paths(i),
+                froms(i), vNows(i), net = true).queryExecution.logical
+              else if (pos >= 0 && pos < k) readAt(i, vNows(i))
+              else readAt(i, froms(i)))
+          }.toMap
+        chg.indices.map(k =>
+          PlanBridge.dataFrame(spark, substituted(shape.child, replayReads(k))))
+      }
+      // DISTINCT STATE first: fold each side table's (keys, value)
+      // counts over ITS window and commit — all side commits land
+      // BEFORE the view commit, so a crash anywhere leaves the view
+      // watermark old and the rerun re-folds only what didn't commit
+      shape.distinctCols.foreach { case (n, e) =>
+        val sp = sidePath(mvPath, n)
+        val sm = Snapshot.latestManifest(spark, sp).get
+        val sFroms = srcs.indices.map(i => sm.streamBatch(wmKey(srcs, i)))
+        val sChanged = srcs.indices.filterNot(i => sFroms(i) >= vNows(i))
+        if (sChanged.nonEmpty) {
+          val sDelta = sideDelta(
+            replaysFor(sFroms(_), sChanged), shape, e).localCheckpoint()
+          if (sDelta.isEmpty)
+            Snapshot.commitMetaOn(spark, sp, sm,
+              s"REFRESH DISTINCT STATE $opTail (no-op window)")(stamp)
+          else
+            Snapshot.replaceWholeTableOn(spark, sp, sm,
+              foldSide(Snapshot.readManifestFiles(spark, sp, sm, sm.files),
+                sDelta, shape),
+              op = s"REFRESH DISTINCT STATE $opTail (incremental)",
+              finish = stamp)
+        }
+      }
+      val replays = replaysFor(vFroms(_).get, changed)
       // the per-group MIN/MAX recompute tier reads the NEW state of
       // every changed source (others at their watermark) — lazily
       // built, only executed for groups a delete actually dented
@@ -189,7 +277,15 @@ object MatView {
         Snapshot.commitMetaOn(spark, mvPath, mvM,
           s"REFRESH MATERIALIZED VIEW $opTail (no-op window)")(stamp)
       else {
-        val next = foldDeltas(current, delta0, shape, childAtNew)
+        val folded = foldDeltas(current, delta0, shape, childAtNew)
+        // COUNT(DISTINCT) columns derive from the just-committed side
+        // states: per-group row counts of a state-sized table — never
+        // a fact pass
+        val curSchema = org.apache.spark.sql.types.StructType.fromDDL(mvM.schemaDdl)
+        val next = shape.distinctCols.foldLeft(folded) { case (acc, (n, _)) =>
+          patchDistinct(acc, Snapshot.read(spark, sidePath(mvPath, n)),
+            n, shape, curSchema(n).dataType)
+        }
         Snapshot.replaceWholeTableOn(spark, mvPath, mvM, next,
           op = s"REFRESH MATERIALIZED VIEW $opTail (incremental)", finish = stamp)
       }
@@ -200,6 +296,32 @@ object MatView {
         val reads = srcs.indices.map(i => srcKey(srcs(i)) ->
           Snapshot.readVersion(spark, paths(i), vNows(i)).queryExecution.logical).toMap
         val result = PlanBridge.dataFrame(spark, substituted(plan, reads))
+        // a rollup view with COUNT(DISTINCT) columns rebuilds its side
+        // tables from the SAME pinned reads (healing a missing or
+        // window-broken side), committed BEFORE the view so a crash
+        // leaves the view watermark old and the rerun heals again
+        shape0.filter(_.distinctCols.nonEmpty).foreach { sh =>
+          val childDf = PlanBridge.dataFrame(spark, substituted(sh.child, reads))
+          sh.distinctCols.foreach { case (n, e) =>
+            val sp = sidePath(mvPath, n)
+            val current = Snapshot.latestManifest(spark, sp)
+            val sideCurrent = current.exists(sm => srcs.indices.forall(i =>
+              sm.streamBatch.get(wmKey(srcs, i)).exists(_ >= vNows(i))))
+            if (!sideCurrent) current match {
+              case Some(sm) =>
+                Snapshot.replaceWholeTableOn(spark, sp, sm,
+                  sideState(childDf, sh, e),
+                  op = s"REFRESH DISTINCT STATE $opTail (full recompute)",
+                  finish = stamp)
+              case None =>
+                Snapshot.create(spark, sp, sideState(childDf, sh, e),
+                  properties = Map(SideProp -> mvPath))
+                val sm = Snapshot.latestManifest(spark, sp).get
+                Snapshot.commitMetaOn(spark, sp, sm,
+                  s"MATERIALIZE DISTINCT STATE $opTail")(stamp)
+            }
+          }
+        }
         Snapshot.replaceWholeTableOn(spark, mvPath, mvM, result,
           op = s"REFRESH MATERIALIZED VIEW $opTail (full recompute)", finish = stamp)
     }
@@ -279,13 +401,18 @@ object MatView {
     */
   private final case class Shape(keys: Seq[(String, String)],
                                  cols: Seq[(String, AggCol)],
-                                 child: LogicalPlan)
+                                 child: LogicalPlan) {
+    def distinctCols: Seq[(String, Expression)] =
+      cols.collect { case (n, DistinctOf(e)) => n -> e }
+  }
   private sealed trait AggCol
   private final case class KeyOf(childCol: String) extends AggCol
   private case object CountStar extends AggCol
+  private final case class CountOf(e: Expression) extends AggCol
   private final case class SumOf(e: Expression) extends AggCol
   private final case class MinOf(e: Expression) extends AggCol
   private final case class MaxOf(e: Expression) extends AggCol
+  private final case class DistinctOf(e: Expression) extends AggCol
 
   /** Inner-join/filter trees over base relations delta-distribute
     * (Δ over one side replays with the others fixed); anything else —
@@ -308,17 +435,27 @@ object MatView {
   private def rollupShape(plan: LogicalPlan): Option[Shape] = plan match {
     case Aggregate(groupingExprs, aggExprs, child, _) =>
       if (!okChild(child)) return None
+      // a GLOBAL rollup (no GROUP BY) has no key columns for the fold
+      // join / side tables to key on — full recompute (always correct;
+      // a one-row view costs nothing to recompute anyway)
+      if (groupingExprs.isEmpty) return None
       val keys = groupingExprs.map {
         case a: UnresolvedAttribute if a.nameParts.size == 1 => a.nameParts.head
         case _ => return None // ordinals, expressions: full recompute
       }
       def aggOf(e: Expression): Option[AggCol] = e match {
         case f: UnresolvedFunction
-            if f.nameParts.map(_.toLowerCase) == Seq("count") && !f.isDistinct =>
+            if f.nameParts.map(_.toLowerCase) == Seq("count") =>
           f.arguments match {
-            case Seq(Literal(1, _)) => Some(CountStar)
-            case Seq(_: UnresolvedStar) => Some(CountStar)
-            case _ => None // count(col) skips nulls: full recompute
+            case Seq(Literal(1, _)) if !f.isDistinct => Some(CountStar)
+            case Seq(_: UnresolvedStar) if !f.isDistinct => Some(CountStar)
+            case Seq(arg) if arg.deterministic &&
+                arg.collectFirst { case g: UnresolvedFunction => g }.isEmpty =>
+              // COUNT(col) folds like COUNT(*) gated on non-null;
+              // COUNT(DISTINCT col) folds through the co-maintained
+              // (keys, value) distinct-state side table
+              if (f.isDistinct) Some(DistinctOf(arg)) else Some(CountOf(arg))
+            case _ => None // multi-arg distinct etc.: full recompute
           }
         case f: UnresolvedFunction
             if Seq(Seq("sum"), Seq("min"), Seq("max"))
@@ -360,6 +497,80 @@ object MatView {
     case _ => None
   }
 
+  /** The distinct-state table body: one row per (group keys under their
+    * STATE names, non-null value of `e` as `__v`) with its occurrence
+    * count `__vcnt`. NULLs are excluded up front — COUNT(DISTINCT x)
+    * ignores them, so they must never hold a state row alive.
+    */
+  private def sideState(childDf: DataFrame, shape: Shape,
+                        e: Expression): DataFrame =
+    childDf.where(ColumnBridge.column(e).isNotNull)
+      .groupBy(shape.keys.map { case (sn, cc) => col(cc).as(sn) } :+
+        ColumnBridge.column(e).as("__v"): _*)
+      .agg(count(lit(1)).as("__vcnt"))
+
+  /** The signed per-(keys, value) delta of a distinct column's refresh
+    * window — the side-table analogue of [[groupedDelta]]: each replay
+    * groups to (child key cols, value) with a signed occurrence count,
+    * replays merge on the same synthesized name.
+    */
+  private def sideDelta(feeds: Seq[DataFrame], shape: Shape,
+                        e: Expression): DataFrame = {
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val keyCols = shape.keys.map(k => col(k._2))
+    val perFeed = feeds.map(_.where(ColumnBridge.column(e).isNotNull)
+      .groupBy(keyCols :+ ColumnBridge.column(e).as("__v"): _*)
+      .agg(sum(sign).as("__dc")))
+    if (perFeed.size == 1) perFeed.head
+    else perFeed.reduce(_ unionByName _)
+      .groupBy(keyCols :+ col("__v"): _*)
+      .agg(sum(col("__dc")).as("__dc"))
+  }
+
+  /** Fold a [[sideDelta]] into the current side state: null-safe join
+    * on (keys, value), counts add, rows whose count reaches zero drop
+    * (their value no longer exists in the group — exactly what makes
+    * the derived COUNT(DISTINCT) track deletes of a group's LAST
+    * occurrence of a value).
+    */
+  private def foldSide(cur: DataFrame, delta0: DataFrame,
+                       shape: Shape): DataFrame = {
+    val delta = delta0.select(
+      shape.keys.map { case (sn, cc) => col(cc).as(sn) } ++
+        Seq(col("__v"), col("__dc")): _*)
+    val c = cur.alias("__cur")
+    val d = delta.alias("__dlt")
+    val keyNames = shape.keys.map(_._1) :+ "__v"
+    val on = keyNames.map(k => col(s"__cur.$k") <=> col(s"__dlt.$k"))
+      .reduce(_ && _)
+    c.join(d, on, "full_outer")
+      .select(keyNames.map(k =>
+        coalesce(col(s"__cur.$k"), col(s"__dlt.$k")).as(k)) :+
+        (coalesce(col("__cur.__vcnt"), lit(0L)) +
+          coalesce(col("__dlt.__dc"), lit(0L))).as("__vcnt"): _*)
+      .where(col("__vcnt") > 0)
+  }
+
+  /** Overwrite one COUNT(DISTINCT) column of the folded view with the
+    * side table's per-group row count (0 for live groups whose values
+    * are all null). State-sized join, column order preserved.
+    */
+  private def patchDistinct(mv: DataFrame, side: DataFrame, name: String,
+                            shape: Shape,
+                            dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val agg = side.groupBy(shape.keys.map(k => col(k._1)): _*)
+      .agg(count(lit(1)).cast(dt).as(s"__pd_$name"))
+    val a = mv.alias("__mv")
+    val b = agg.alias("__sd")
+    val on = shape.keys.map(_._1)
+      .map(k => col(s"__mv.$k") <=> col(s"__sd.$k")).reduce(_ && _)
+    a.join(b, on, "left").select(shape.cols.map {
+      case (n2, _) if n2 == name =>
+        coalesce(col(s"__pd_$name"), lit(0L).cast(dt)).as(n2)
+      case (n2, _) => col(s"__mv.$n2")
+    }: _*)
+  }
+
   /** The per-group signed delta of a refresh window. Each element of
     * `feeds` is the defining query's child tree replayed over ONE
     * changed source's net change feed (the telescoping terms) — its
@@ -376,6 +587,9 @@ object MatView {
     val isIns = col("_change_type") === "insert"
     val aggs = shape.cols.flatMap {
       case (name, CountStar) => Seq(sum(sign).as(s"__d_$name"))
+      case (name, CountOf(e)) => Seq(
+        sum(when(ColumnBridge.column(e).isNotNull, sign).otherwise(0L))
+          .as(s"__d_$name"))
       case (name, SumOf(e)) =>
         Seq(sum(ColumnBridge.column(e) * sign).as(s"__d_$name"))
       case (name, MinOf(e)) => Seq(
@@ -391,7 +605,7 @@ object MatView {
     if (perFeed.size == 1) perFeed.head
     else {
       val merge = shape.cols.flatMap {
-        case (name, CountStar | SumOf(_)) =>
+        case (name, CountStar | CountOf(_) | SumOf(_)) =>
           Seq(sum(col(s"__d_$name")).as(s"__d_$name"))
         case (name, MinOf(_)) =>
           Seq(min(col(s"__ins_$name")).as(s"__ins_$name"),
@@ -435,10 +649,15 @@ object MatView {
     val curSchema = current.schema
     def outCol(name: String, c: AggCol): Column = c match {
       case KeyOf(_) => coalesce(col(s"__cur.$name"), col(s"__dlt.$name")).as(name)
-      case CountStar =>
+      case CountStar | CountOf(_) =>
         (coalesce(col(s"__cur.$name"), lit(0L)) +
           coalesce(col(s"__d_$name"), lit(0L)))
           .cast(curSchema(name).dataType).as(name)
+      // distinct counts are PATCHED from the folded side table after
+      // this fold (see refresh) — pass the stale value through; a
+      // brand-new group passes null, the patch overwrites both
+      case DistinctOf(_) =>
+        col(s"__cur.$name").cast(curSchema(name).dataType).as(name)
       case SumOf(_) =>
         // delta-null tracking: both sides null stays null (an all-null
         // group), anything else folds arithmetically
@@ -489,12 +708,17 @@ object MatView {
     }.reduce(_ && _)
     val reAggs = shape.cols.collect {
       case (name, CountStar) => count(lit(1)).cast(curSchema(name).dataType).as(name)
+      case (name, CountOf(e)) =>
+        count(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
       case (name, SumOf(e)) =>
         sum(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
       case (name, MinOf(e)) =>
         min(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
       case (name, MaxOf(e)) =>
         max(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
+      case (name, DistinctOf(e)) =>
+        count_distinct(ColumnBridge.column(e))
+          .cast(curSchema(name).dataType).as(name)
     }
     val rederived = src.join(broadcast(aff), semiOn, "left_semi")
       .groupBy(shape.keys.map(k => col(k._2)): _*)

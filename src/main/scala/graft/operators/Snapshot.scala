@@ -1602,6 +1602,7 @@ object Snapshot {
       policyLong(probe, "vacuum.retainVersions")
       policyLong(probe, "vacuum.retainDays")
       policyLong(probe, "optimize.targetBytes")
+      policyLong(probe, "mv.refreshEvery")
     }
     // CREATE-time defaults are write defaults only: every file written
     // from here on physically carries the column, so no existence
@@ -1660,6 +1661,7 @@ object Snapshot {
       policyLong(m.copy(properties = next), "vacuum.retainVersions")
       policyLong(m.copy(properties = next), "vacuum.retainDays")
       policyLong(m.copy(properties = next), "optimize.targetBytes")
+      policyLong(m.copy(properties = next), "mv.refreshEvery")
       writeSortSpecOf(m.clusterBy, next)
       if (next == m.properties) return m.version
       try return commitManifest(spark, path, m.copy(version = m.version + 1,

@@ -80,6 +80,10 @@ object SnapshotSql {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  private val AlterMvRefreshRe =
+    """(?is)\s*ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+SET\s+REFRESH\s+EVERY\s+(\d+)\s+TICKS\s*;?\s*""".r
+  private val AlterMvUnsetRe =
+    """(?is)\s*ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+UNSET\s+REFRESH\s*;?\s*""".r
   private val RebaseBranchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+REBASE\s+BRANCH\s+('?[\w.\-]+'?)\s*;?\s*""".r
   private val AnalyzeRe =
@@ -179,6 +183,20 @@ object SnapshotSql {
       // SAME registry map as every other statement
       Some(MatView.create(spark, pathOf(ident, tables), query,
         parts => pathOf(parts.mkString("."), tables)))
+    case AlterMvRefreshRe(ident, n) =>
+      // declared maintenance policy: graft.mv.refreshEvery rides the
+      // table properties like graft.vacuum.* — the fleet tick
+      // (pipelines.Maintenance) reads it, no per-table knowledge
+      val path = pathOf(ident, tables)
+      require(Snapshot.latestManifest(spark, path).exists(MatView.isMatView),
+        s"ALTER MATERIALIZED VIEW: not a materialized view: $ident")
+      Some(Snapshot.setProperties(spark, path, Map("graft.mv.refreshEvery" -> n)))
+    case AlterMvUnsetRe(ident) =>
+      val path = pathOf(ident, tables)
+      require(Snapshot.latestManifest(spark, path).exists(MatView.isMatView),
+        s"ALTER MATERIALIZED VIEW: not a materialized view: $ident")
+      Some(Snapshot.setProperties(spark, path, Map.empty,
+        unset = Seq("graft.mv.refreshEvery")))
     case RefreshMvRe(ident) =>
       // incremental when the shape allows (additive rollup over the
       // change feed), full pinned recompute otherwise
@@ -573,7 +591,8 @@ object SnapshotSql {
          CloneRe(_, _, _, _, _) | ImportRe(_, _, _) |
          CreateTagRe(_, _, _, _) | DropTagRe(_, _, _) | AnalyzeRe(_, _, _) |
          CreateBranchRe(_, _) | DropBranchRe(_, _, _) | MergeBranchRe(_, _) |
-         RebaseBranchRe(_, _) | CreateMvRe(_, _) | RefreshMvRe(_) => false
+         RebaseBranchRe(_, _) | CreateMvRe(_, _) | RefreshMvRe(_) |
+         AlterMvRefreshRe(_, _) | AlterMvUnsetRe(_) => false
     case _ =>
       spark.sessionState.sqlParser.parsePlan(stmt) match {
         case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |

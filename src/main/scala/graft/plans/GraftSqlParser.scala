@@ -163,7 +163,8 @@ object GraftSqlParser {
   private val AlterHint =
     java.util.regex.Pattern.compile(
       "(?is).*\\b(CREATE\\s+(OR\\s+REPLACE\\s+)?TAG|DROP\\s+TAG|" +
-        "CREATE\\s+BRANCH|DROP\\s+BRANCH|MERGE\\s+BRANCH|REBASE\\s+BRANCH)\\b.*")
+        "CREATE\\s+BRANCH|DROP\\s+BRANCH|MERGE\\s+BRANCH|REBASE\\s+BRANCH|" +
+        "MATERIALIZED\\s+VIEW)\\b.*")
 
   /** `ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION v]` and
     * `ALTER TABLE t DROP TAG [IF EXISTS] name` — named version pins
@@ -175,6 +176,47 @@ object GraftSqlParser {
     val toks = lex(text)
     def loud(cond: Boolean, msg: => String): Unit =
       if (!cond) throw new IllegalStateException(msg)
+    // ALTER MATERIALIZED VIEW mv SET REFRESH EVERY n TICKS — records
+    // the view's maintenance policy as the `graft.mv.refreshEvery`
+    // table property (like graft.vacuum.* / graft.optimize.*), honored
+    // by the fleet maintenance loop (pipelines.Maintenance).
+    // ALTER MATERIALIZED VIEW mv UNSET REFRESH clears it.
+    if (toks.length >= 4 && toks(0).is("ALTER") && toks(1).is("MATERIALIZED") &&
+        toks(2).is("VIEW")) {
+      val (parts, j) = ident(toks, 3)
+      def requireMv(sp: org.apache.spark.sql.SparkSession, path: String): Unit =
+        loud(graft.operators.Snapshot.latestManifest(sp, path)
+          .exists(graft.operators.MatView.isMatView),
+          s"ALTER MATERIALIZED VIEW: not a materialized view: ${parts.mkString(".")}")
+      if (j + 4 < toks.length && toks(j).is("SET") && toks(j + 1).is("REFRESH") &&
+          toks(j + 2).is("EVERY")) {
+        val n = toks(j + 3).text
+        loud(n.forall(_.isDigit) && n.toLong > 0,
+          s"ALTER MATERIALIZED VIEW … SET REFRESH EVERY needs a positive integer: $text")
+        loud(j + 5 == toks.length && toks(j + 4).is("TICKS"),
+          s"cannot parse ALTER MATERIALIZED VIEW (… SET REFRESH EVERY <n> TICKS): $text")
+        return Some(maintCmd(s"ALTER MATERIALIZED VIEW ${parts.mkString(".")} " +
+            s"SET REFRESH EVERY $n TICKS") { (sp, path) =>
+          requireMv(sp, path)
+          graft.operators.Snapshot.setProperties(sp, path,
+            Map("graft.mv.refreshEvery" -> n))
+          Nil
+        }(parts))
+      }
+      if (j + 1 < toks.length && toks(j).is("UNSET") && toks(j + 1).is("REFRESH")) {
+        loud(j + 2 == toks.length,
+          s"cannot parse ALTER MATERIALIZED VIEW (… UNSET REFRESH): $text")
+        return Some(maintCmd(s"ALTER MATERIALIZED VIEW ${parts.mkString(".")} " +
+            "UNSET REFRESH") { (sp, path) =>
+          requireMv(sp, path)
+          graft.operators.Snapshot.setProperties(sp, path, Map.empty,
+            unset = Seq("graft.mv.refreshEvery"))
+          Nil
+        }(parts))
+      }
+      throw new IllegalStateException(
+        s"cannot parse ALTER MATERIALIZED VIEW (SET REFRESH EVERY <n> TICKS | UNSET REFRESH): $text")
+    }
     if (toks.length < 3 || !toks(0).is("ALTER") || !toks(1).is("TABLE")) return None
     val (parts, i) = ident(toks, 2)
     if (i >= toks.length) return None

@@ -22,9 +22,14 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   * between a metadata-sized scan of the rollup and a full pass over
   * the fact table the MV already paid for.
   *
-  * Opt-in per session: `spark.graft.mv.autoRoute` names the candidate
-  * MV paths (comma-separated). Unset, the rule is a single conf lookup
-  * — zero cost to everyone else.
+  * Opt-in per session: `spark.graft.mv.autoRoute` names candidate MV
+  * paths (comma-separated), and/or `spark.graft.mv.autoRouteNamespace`
+  * names a graft-catalog namespace whose materialized views are ALL
+  * candidates (catalog-scoped discovery — one bounded listing, the
+  * automatic behavior BigQuery users expect). When several candidates
+  * match one query, the smallest state (exact manifest row counts)
+  * wins. Unset, the rule is two conf lookups — zero cost to everyone
+  * else.
   *
   * Two match tiers, both conservative:
   *
@@ -75,20 +80,52 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val conf = session.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
-    if (conf.isEmpty || inRoute.get() || !plan.resolved) return plan
-    val entries = conf.get.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      .flatMap(p => entryFor(session, p))
+    val nsConf = session.conf.getOption(NsConfKey).map(_.trim).filter(_.nonEmpty)
+    if ((conf.isEmpty && nsConf.isEmpty) || inRoute.get() || !plan.resolved)
+      return plan
+    // namespace listing is metadata-sized but not free — skip it (and
+    // the explicit-path entry builds) for plans with nothing to route
+    if (!plan.exists(_.isInstanceOf[Aggregate])) return plan
+    val listed = conf.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val discovered = nsConf.toSeq.flatMap(namespaceCandidates)
+    val paths = (listed ++ discovered).distinct
+    val entries = paths.flatMap(p => entryFor(session, p))
     if (entries.isEmpty) return plan
     plan.transformUpWithSubqueries {
       case agg: Aggregate if agg.resolved =>
         val qLeaves = leafMap(agg)
-        entries.iterator
-          .map(e =>
-            if (same(agg, e.defining, e.watermarks, qLeaves, e.leaves))
-              replace(e, agg)
-            else routeRollup(e, agg, qLeaves))
-          .collectFirst { case Some(p) => p }
-          .getOrElse(agg)
+        // ALL candidates that can answer; on several, the SMALLEST
+        // state wins (manifest row counts are exact — the point of the
+        // route is reading the least state). Stale or mismatched
+        // candidates never reach this list.
+        val routed = entries.flatMap { e =>
+          val p = if (same(agg, e.defining, e.watermarks, qLeaves, e.leaves))
+            replace(e, agg)
+          else routeRollup(e, agg, qLeaves)
+          p.map(e.stateRows -> _)
+        }
+        if (routed.isEmpty) agg else routed.minBy(_._1)._2
+    }
+  }
+
+  /** All FRESH-or-stale materialized views in a graft-catalog
+    * namespace (`<catalog>.<ns…>`): one directory listing plus one
+    * latest-manifest read per table — metadata-sized. Non-MV tables
+    * (including distinct-state side tables) are skipped; staleness is
+    * the matcher's job, not discovery's.
+    */
+  private def namespaceCandidates(ns: String): Seq[String] = {
+    val parts = ns.split('.').map(_.trim).filter(_.nonEmpty).toSeq
+    if (parts.size < 2) return Nil
+    val cm = session.sessionState.catalogManager
+    if (!cm.isCatalogRegistered(parts.head)) return Nil
+    cm.catalog(parts.head) match {
+      case g: graft.catalog.GraftCatalog =>
+        try g.listTables(parts.tail.toArray).toSeq
+          .map(id => g.pathFor(id)).sorted
+          .filter(p => Snapshot.latestManifest(session, p).exists(MatView.isMatView))
+        catch { case _: Exception => Nil }
+      case _ => Nil
     }
   }
 
@@ -112,10 +149,23 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
             finally inRoute.set(false)
           if (analyzed == null) None
           else Some(Entry(mvPath, ver, resolved.flatten.toMap, analyzed,
-            leafMap(analyzed)))
+            leafMap(analyzed), stateRowsOf(mvPath, ver)))
         }
       })
     }
+
+  /** The MV's state size in rows from its own manifest file stats —
+    * exact and metadata-priced; files without stats push the candidate
+    * to the back of the selection order rather than guessing.
+    */
+  private def stateRowsOf(mvPath: String, ver: Long): Long =
+    try {
+      val m = Snapshot.manifest(session, mvPath, ver)
+      val rows = m.files.map(f => m.stats.get(f).map(_.rows))
+      if (rows.isEmpty) 0L
+      else if (rows.exists(_.isEmpty)) Long.MaxValue
+      else rows.flatten.sum
+    } catch { case _: Exception => Long.MaxValue }
 
   /** (qualified table root, pinned version) when the node is a snapshot
     * scan leaf — both the native relation and the DV/column-mapping
@@ -416,6 +466,15 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
 object MvAutoRoute {
   val ConfKey = "spark.graft.mv.autoRoute"
 
+  /** Catalog-scoped discovery: `spark.graft.mv.autoRouteNamespace =
+    * <catalog>.<namespace>` considers EVERY materialized view in that
+    * namespace a route candidate (one bounded directory listing), the
+    * BigQuery-shaped behavior — no hand-listed paths. Composes with
+    * [[ConfKey]]; on several matching candidates the smallest state
+    * (by manifest row counts) is scanned.
+    */
+  val NsConfKey = "spark.graft.mv.autoRouteNamespace"
+
   /** Re-entrancy guard: analyzing the defining SQL (or the MV scan)
     * inside the rule runs the analyzer, which runs this rule.
     */
@@ -426,7 +485,8 @@ object MvAutoRoute {
   private final case class Entry(mvPath: String, mvVersion: Long,
                                  watermarks: Map[String, Long],
                                  defining: LogicalPlan,
-                                 leaves: Map[ExprId, String])
+                                 leaves: Map[ExprId, String],
+                                 stateRows: Long)
 
   /** Entries keyed by (qualified MV root, MV version): a REFRESH bumps
     * the version and naturally invalidates; stale keys are harmless

@@ -2703,6 +2703,148 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  /** COUNT(DISTINCT) INCREMENTAL MV TIER — the reference's defining
+    * metric family is exact per-rollup distinct device/user counts
+    * (consumo_registrados.py:160 count(distinct device_id);
+    * audio_digital.py:391); an MV declaring one now refreshes
+    * O(change) through a co-maintained (keys, value) DISTINCT-STATE
+    * side table folded from the same net change feed — the MV column
+    * is the side table's per-group row count. The churn here appends a
+    * window AND deletes one (status, priority) band entirely — the
+    * group's LAST occurrences of that priority value and the last
+    * orders of many custkeys — so both distinct columns must move
+    * DOWN, which no additive fold can do without the state. The build
+    * REQUIRES the commit landed "(incremental)". At 100 TB the refresh
+    * reads the change window and rewrites rollup-sized state; the fact
+    * bulk is never rescanned.
+    */
+  val q187 = QueryDef.staged(
+    "q187_distinct_mv",
+    // oracle: the final MV state recomputed from raw orders with the
+    // same churn applied
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS np,
+           |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '5-LOW')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): source snapshot (pre-1997) + the distinct MV;
+    // the side tables land with the create.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q187").toString
+    val srcP = s"$root/src"
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    Snapshot.create(t.spark, srcP,
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    val reg = Map("src" -> srcP, "mv" -> s"$root/mv")
+    Snapshot.sql(t.spark,
+      """CREATE MATERIALIZED VIEW mv AS
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(DISTINCT o_orderpriority) AS np,
+        |  COUNT(DISTINCT o_custkey) AS nc,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM src GROUP BY o_orderstatus""".stripMargin, reg)
+    (root, reg, cols)
+  } { (t, st: (String, Map[String, String], Seq[String])) =>
+    // MEASURED: the append window + the band delete (removes last
+    // occurrences of a priority within a status) + the incremental
+    // refresh folding both through the distinct-state side tables.
+    import graft.operators.Snapshot
+    val (root, reg, cols) = st
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    Snapshot.append(t.spark, s"$root/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    Snapshot.delete(t.spark, s"$root/src",
+      col("o_orderstatus") === "F" && col("o_orderpriority") === "5-LOW")
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    val op = Snapshot.latestManifest(t.spark, s"$root/mv").get.operation
+    require(op.contains("(incremental)"),
+      s"q187: the distinct tier must stay incremental, got: $op")
+    Snapshot.read(t.spark, s"$root/mv")
+      .select(col("o_orderstatus"), col("n"), col("np"), col("nc"),
+        col("total").cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** CATALOG-SCOPED MV ROUTE DISCOVERY + SMALLEST-STATE SELECTION —
+    * `spark.graft.mv.autoRouteNamespace` replaces the hand-listed
+    * candidate conf: EVERY materialized view in the namespace is a
+    * candidate (one bounded directory listing), the BigQuery behavior
+    * a 50-MV warehouse actually needs. Three candidates here: a
+    * 2-key FINE rollup (routes via containment), a 1-key COARSE rollup
+    * (exact match, ~5 rows), and a STALE copy of the coarse rollup
+    * (created before a churn window, never refreshed — the freshness
+    * gate must skip it silently). The build REQUIRES the plan scanned
+    * exactly the fresh coarse MV — the smallest state among the
+    * matches. At 100 TB this is the difference between aggregating a
+    * few-hundred-row fine rollup and reading 5 rows.
+    */
+  val q188 = QueryDef.staged(
+    "q188_mv_route_discovery",
+    // oracle: the coarse rollup recomputed from raw orders
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, a STALE coarse MV (pre-churn),
+    // then churn + the fresh fine and coarse MVs refreshed past it.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q188").toString
+    t.spark.conf.set("spark.sql.catalog.g188", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g188.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g188.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+      "o_orderpriority")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    def coarseSql(mv: String) =
+      s"""CREATE MATERIALIZED VIEW g188.db.$mv AS
+         |SELECT o_orderstatus, COUNT(*) AS n,
+         |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         |FROM g188.db.src GROUP BY o_orderstatus""".stripMargin
+    t.spark.sql(coarseSql("mv_stale"))
+    t.spark.sql(coarseSql("mv_coarse"))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g188.db.mv_fine AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM g188.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g188.db.mv_coarse")
+    t.spark.sql("REFRESH MATERIALIZED VIEW g188.db.mv_fine")
+    root
+  } { (t, root: String) =>
+    // MEASURED: discovery (namespace listing), the matcher over all
+    // three candidates, smallest-state selection, and the routed scan.
+    t.spark.conf.set("spark.graft.mv.autoRouteNamespace", "g188.db")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+          |FROM g188.db.src GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv_coarse"),
+        s"q188: expected the fresh SMALLEST candidate (mv_coarse), got $scans")
+      routed.select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRouteNamespace")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188)
 }

@@ -454,5 +454,67 @@ object TrainPack extends QueryPack {
       .orderBy("source")
   }
 
-  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86, q175, q176, q183, q185)
+  /** TRAIN → APPLY CLOSURE — q183 learns the merge table, q175-q177
+    * apply a PINNED one; this closes the loop: the corpus is tokenized
+    * under the tokenizer LEARNED from it, end to end. The engine
+    * trains (one corpus pass + vocab-sized rounds), collects the
+    * nMerges-row table (the one declared vocab-sized collect), and
+    * applies it through the native graft_bpe_tokens_with expression —
+    * greedy lowest-rank/leftmost, inside whole-stage codegen. The
+    * oracle replays BOTH stages in one recursive-CTE chain: the 8
+    * training rounds rebuild the merge list from first principles,
+    * then the greedy apply replays under that list — any divergence in
+    * learning order OR application shows as a per-doc count mismatch.
+    * NOTE the two stages are intentionally DIFFERENT algorithms:
+    * training state is incremental (see BpeTrain), application is
+    * greedy — tokenizing with a learned table is greedy by definition.
+    */
+  val q189 = QueryDef(
+    "q189_bpe_train_apply",
+    Some(s"""${bpeTrainCtes(8)},
+            |mraw AS (SELECT [${(1 to 8).map(k => s"(SELECT pr FROM m$k)").mkString(", ")}] AS mp0),
+            |mlist AS (SELECT list_filter(mp0, x -> x IS NOT NULL) AS mp FROM mraw),
+            |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |w AS (SELECT doc_id, i.n AS wn, ws[CAST(i.n AS BIGINT)] AS w
+            |      FROM tok, range(1, 101) i(n) WHERE i.n <= len(ws)),
+            |init AS (SELECT doc_id, wn,
+            |           [substr(w, CAST(j AS BIGINT), 1) for j in range(1, len(w)+1)] AS syms
+            |         FROM w),
+            |r AS (
+            |  SELECT doc_id, wn, syms FROM init
+            |  UNION ALL
+            |  SELECT doc_id, wn,
+            |    list_concat(list_concat(
+            |      syms[1:CAST(bi-1 AS BIGINT)],
+            |      [syms[CAST(bi AS BIGINT)] || syms[CAST(bi+1 AS BIGINT)]]),
+            |      syms[CAST(bi+2 AS BIGINT):])
+            |  FROM (
+            |    SELECT doc_id, wn, syms,
+            |      list_position(rks, list_min(list_filter(rks, x -> x IS NOT NULL))) AS bi
+            |    FROM (
+            |      SELECT doc_id, wn, syms,
+            |        [nullif(list_position(mp,
+            |           syms[CAST(i AS BIGINT)] || ' ' || syms[CAST(i+1 AS BIGINT)]), 0)
+            |         for i in range(1, len(syms))] AS rks
+            |      FROM r, mlist) ranked
+            |    WHERE len(list_filter(rks, x -> x IS NOT NULL)) > 0) best
+            |),
+            |fixpt AS (SELECT doc_id, wn, MIN(len(syms)) AS m FROM r GROUP BY 1, 2),
+            |bpe AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bpe FROM fixpt GROUP BY 1)
+            |SELECT d.doc_id,
+            |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws,
+            |  b.n_bpe
+            |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+            |ORDER BY d.doc_id""".stripMargin)) { t =>
+    graft.expressions.GraftFunctions.register(t.spark)
+    val merges = graft.operators.BpeTrain.train(t.documents, "text", 8)
+      .orderBy("rank").collect().map(_.getString(1))
+    t.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws"),
+      size(call_function("graft_bpe_tokens_with", col("text"), lit(merges)))
+        .cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q61, q86, q175, q176, q183, q185, q189)
 }

@@ -77,6 +77,39 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.map(_._1) == (1L to got.size).toSeq)
   }
 
+  test("vocab-state accounting agrees with the greedy-apply expression path") {
+    // q185 counts corpus tokens by joining words against the trainer's
+    // FINAL VOCABULARY STATE (incremental splits); q189 applies the
+    // learned table with the greedy expression. On a training corpus
+    // the two can differ in principle (greedy re-apply can merge an
+    // earlier-ranked pair a later merge makes adjacent — the BpeTrain
+    // scaladoc case); this pins that BOTH paths are internally
+    // consistent and agree on the real corpus, so a divergence after a
+    // trainer/expression change is a regression, not noise.
+    import graft.expressions.BpeTokensWith
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = sf().documents.limit(200).select("doc_id", "text")
+    val (merges, vocab) = BpeTrain.trainState(docs, "text", 8)
+    val table = merges.orderBy("rank").as[(Long, String)].collect().map(_._2).toSeq
+    // path 1: q185's word-level join against the vocab state
+    val viaVocab = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(vocab.select(col("w"), size(col("syms")).cast("long").as("n_sub")), "w")
+      .groupBy("doc_id").agg(sum("n_sub").as("n"))
+    // path 2: q189's greedy native expression under the same table
+    val expr = ColumnBridge.wrap(col("text"))(e => BpeTokensWith(e, table))
+    val viaExpr = docs.select(col("doc_id"), size(expr).cast("long").as("n"))
+    val joined = viaVocab.alias("a").join(viaExpr.alias("b"), "doc_id")
+      .select(col("doc_id"), col("a.n").as("nv"), col("b.n").as("ne"))
+      .collect()
+    assert(joined.nonEmpty)
+    val diff = joined.filter(r => r.getLong(1) != r.getLong(2))
+    assert(diff.isEmpty,
+      s"vocab-state vs greedy-apply token counts diverge on ${diff.length} docs: " +
+        diff.take(3).mkString(", "))
+  }
+
   test("distributed training matches the reference on the real corpus") {
     val docs = sf().documents.limit(120).select("text")
     val texts = docs.as[String].collect().toSeq

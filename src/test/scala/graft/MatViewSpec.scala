@@ -478,4 +478,123 @@ class MatViewSpec extends SparkSpec {
     assert(state() == recompute(), "shared-extremum delete")
     assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"))
   }
+
+  test("COUNT(DISTINCT) tier: the side table folds value churn incrementally") {
+    val root = Files.createTempDirectory("graft-mv-distinct").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    // v churns within a small value domain so distinct counts move both
+    // ways; w is NULLABLE so COUNT(DISTINCT w) must ignore nulls
+    Snapshot.create(spark, srcP,
+      (0L until 120L).map(i => (i, s"k${i % 4}", s"v${i % 9}",
+        if (i % 5 == 0) None else Some(s"w${i % 3}")))
+        .toDF("id", "k", "v", "w"))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      """SELECT k, COUNT(*) AS n, COUNT(DISTINCT v) AS nv,
+        |COUNT(DISTINCT w) AS nw, COUNT(w) AS cw
+        |FROM src GROUP BY k""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    def recompute(): Set[Row] =
+      Snapshot.sqlQuery(spark, defining, reg).collect().toSet
+    def state(): Set[Row] = Snapshot.read(spark, mvP)
+      .select("k", "n", "nv", "nw", "cw").collect().toSet
+    assert(state() == recompute(), "initial")
+    // the side tables exist, marked with their owning view
+    for (c <- Seq("nv", "nw")) {
+      val sm = Snapshot.latestManifest(spark, MatView.sidePath(mvP, c))
+      assert(sm.exists(_.properties.get(MatView.SideProp).contains(mvP)),
+        s"missing distinct-state side table for $c")
+    }
+    // window 1: inserts that ADD new values to some groups and
+    // duplicate existing values in others (count moves only for new)
+    Snapshot.append(spark, srcP,
+      Seq((500L, "k0", "v0", Some("w0")), (501L, "k0", "vNEW", Some("w1")),
+        (502L, "k1", "v1", None), (503L, "k2", "vX", Some("wX")))
+        .toDF("id", "k", "v", "w"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "insert window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      "distinct tier must stay incremental")
+    // window 2: delete a group's LAST occurrence of a value (id=502
+    // was k1's only v1? no — delete ALL k3 rows with v='v3': ids where
+    // i%4==3 && i%9==3 → i ∈ {3, 39, 75, 111}): nv drops by one for k3
+    Snapshot.delete(spark, srcP, col("k") === "k3" && col("v") === "v3")
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "last-occurrence delete window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"))
+    // window 3: delete one of several duplicates — count must NOT move
+    Snapshot.delete(spark, srcP, col("id") === 500L) // k0 keeps other v0s
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "duplicate-delete window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"))
+    // window 4: updates that MOVE values between groups (delete+insert
+    // through the change feed) + a whole group emptied
+    Snapshot.update(spark, srcP, col("id") % 10 === 7, Map("v" -> lit("vMOVED")))
+    Snapshot.delete(spark, srcP, col("k") === "k2")
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "update + group-drop window")
+    assert(!state().exists(_.getString(0) == "k2"), "emptied group drops")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"))
+  }
+
+  test("COUNT(DISTINCT) tier: a crash between side and view commits heals exactly-once") {
+    val root = Files.createTempDirectory("graft-mv-distinct-crash").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    Snapshot.create(spark, srcP,
+      (0L until 60L).map(i => (i, s"k${i % 3}", s"v${i % 7}")).toDF("id", "k", "v"))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      "SELECT k, COUNT(*) AS n, COUNT(DISTINCT v) AS nv FROM src GROUP BY k"
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    Snapshot.append(spark, srcP,
+      Seq((500L, "k0", "vA"), (501L, "k1", "v1")).toDF("id", "k", "v"))
+    // kill the refresh AFTER the side table committed (its manifest
+    // lands first) and BEFORE the view's own manifest stages — the
+    // side watermark is ahead, the view watermark is behind
+    var staged = 0
+    Snapshot.faultHook = stage => if (stage == "manifest-staged") {
+      staged += 1
+      if (staged == 2) throw new RuntimeException("injected crash")
+    }
+    val e = try intercept[RuntimeException](
+      Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg))
+    finally Snapshot.faultHook = _ => ()
+    assert(e.getMessage == "injected crash")
+    val sideWm = Snapshot.latestManifest(spark, MatView.sidePath(mvP, "nv")).get
+      .streamBatch(MatView.ConsumerId)
+    val viewWm = Snapshot.latestManifest(spark, mvP).get
+      .streamBatch(MatView.ConsumerId)
+    assert(sideWm > viewWm, "crash left the side ahead of the view")
+    // the rerun folds ONLY the view window (the side is current),
+    // exactly-once: the result is bitwise the recompute
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(Snapshot.read(spark, mvP).select("k", "n", "nv").collect().toSet ==
+      Snapshot.sqlQuery(spark, defining, reg).collect().toSet)
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      "the healing rerun must not demote to full recompute")
+    // and a redelivered refresh no-ops
+    val v = Snapshot.latestVersion(spark, mvP).get
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(Snapshot.latestVersion(spark, mvP).get == v)
+  }
+
+  test("multi-argument COUNT(DISTINCT a, b) demotes to full recompute") {
+    val root = Files.createTempDirectory("graft-mv-distinct-demote").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    Snapshot.create(spark, srcP,
+      (0L until 40L).map(i => (i, s"k${i % 3}", s"v${i % 5}", i % 4))
+        .toDF("id", "k", "v", "w"))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      "SELECT k, COUNT(*) AS n, COUNT(DISTINCT v, w) AS nvw FROM src GROUP BY k"
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    assert(Snapshot.latestVersion(spark, MatView.sidePath(mvP, "nvw")).isEmpty,
+      "no side table for a shape the distinct tier does not cover")
+    Snapshot.append(spark, srcP, Seq((500L, "k0", "vZ", 9L)).toDF("id", "k", "v", "w"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(full recompute)"),
+      "multi-arg distinct is outside the tier and must demote")
+    assert(Snapshot.read(spark, mvP).select("k", "n", "nvw").collect().toSet ==
+      Snapshot.sqlQuery(spark, defining, reg).collect().toSet)
+  }
 }
