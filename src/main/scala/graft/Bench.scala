@@ -25,6 +25,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // box contention is the #1 source of phantom regressions (same-code
+    // runs span 2x on a loaded box): record the 1-min load average at
+    // both ends so every summary carries its own noise evidence
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -171,8 +178,9 @@ object Bench {
     val currentTotal = r3(results.map(_._2).sum)
     val mergedCount = results.count { case (n, s, e) =>
       e.isEmpty && prior.get(n).exists(_ < s) }
+    val loadEnd = loadAvg
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","current_run_total":$currentTotal,"merged_from_prior":$mergedCount,"errors":$errs,"queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","current_run_total":$currentTotal,"merged_from_prior":$mergedCount,"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"errors":$errs,"queries":$qs,"sf":"${esc(sfDir)}"}"""
     println(summary)
     // also persist the summary: the driver's stdout tail capture is
     // char-capped and has truncated past runs' per-query records. One
@@ -199,6 +207,11 @@ object Bench {
           s"""{"stamp":"${esc(cs)}","metric":"total","value":${r3(union.map(_._2).sum)},"unit":"sec","errors":$errs,"queries":$unionQs,"sf":"${esc(sfDir)}"}"""
         java.nio.file.Files.write(bestPath, (bestLine + "\n").getBytes("UTF-8"))
       }
+      // last line of the tail: the artifact's own pointer to the full
+      // per-query record (the driver's tail capture has truncated the
+      // long JSON line before — the PATH always survives)
+      println(s"[bench] summary: $perRun (best-of: $bestPath, " +
+        s"load ${r3(loadStart)} -> ${r3(loadEnd)})")
     } catch { case e: Exception => System.err.println(s"[bench] summary write failed: $e") }
     spark.stop()
     // a run with any per-query error must not look like a clean rc=0 run

@@ -233,6 +233,17 @@ object MatView {
         chg.indices.map(k =>
           PlanBridge.dataFrame(spark, substituted(shape.child, replayReads(k))))
       }
+      // evaluate each telescoping replay ONCE: the side folds and the
+      // view fold all consume the same feeds, and the feed (readChanges
+      // reconstructing net per-commit changes through the defining
+      // tree) is the expensive part — materialize per feed instead of
+      // re-running it once per consumer. Change-window-sized, the same
+      // budget the fold itself reads. A view with NO distinct columns
+      // has exactly one consumer — skip the materialization there.
+      lazy val replays = {
+        val r = replaysFor(vFroms(_).get, changed)
+        if (shape.distinctCols.isEmpty) r else r.map(_.localCheckpoint())
+      }
       // DISTINCT STATE first: fold each side table's (keys, value)
       // counts over ITS window and commit — all side commits land
       // BEFORE the view commit, so a crash anywhere leaves the view
@@ -243,8 +254,13 @@ object MatView {
         val sFroms = srcs.indices.map(i => sm.streamBatch(wmKey(srcs, i)))
         val sChanged = srcs.indices.filterNot(i => sFroms(i) >= vNows(i))
         if (sChanged.nonEmpty) {
-          val sDelta = sideDelta(
-            replaysFor(sFroms(_), sChanged), shape, e).localCheckpoint()
+          // the common case shares the view's materialized feeds; a
+          // side healing from its OWN window (post-crash divergence)
+          // replays that window separately
+          val sameWindow = sChanged == changed &&
+            sChanged.forall(i => vFroms(i).contains(sFroms(i)))
+          val feeds = if (sameWindow) replays else replaysFor(sFroms(_), sChanged)
+          val sDelta = sideDelta(feeds, shape, e).localCheckpoint()
           if (sDelta.isEmpty)
             Snapshot.commitMetaOn(spark, sp, sm,
               s"REFRESH DISTINCT STATE $opTail (no-op window)")(stamp)
@@ -256,7 +272,6 @@ object MatView {
               finish = stamp)
         }
       }
-      val replays = replaysFor(vFroms(_).get, changed)
       // the per-group MIN/MAX recompute tier reads the NEW state of
       // every changed source (others at their watermark) — lazily
       // built, only executed for groups a delete actually dented
@@ -342,6 +357,28 @@ object MatView {
           srcs.indices.map(i => srcs(i) -> m.streamBatch.get(wmKey(srcs, i))))
       }
     }
+
+  /** Auto-route support for the DISTINCT containment tier: the side
+    * table backing COUNT(DISTINCT) state column `stateCol`, IF it is
+    * exactly in sync with the view (same watermark per source — a side
+    * that ran ahead across a crash window reflects newer data than the
+    * view's watermark and MUST NOT serve queries pinned at it).
+    * Returns (side path, side version).
+    */
+  private[graft] def sideRouteInfo(spark: SparkSession, mvPath: String,
+                                   stateCol: String): Option[(String, Long)] = {
+    val mvM = Snapshot.latestManifest(spark, mvPath).getOrElse(return None)
+    val sqlText = mvM.properties.getOrElse(SqlProp, return None)
+    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    val srcs = sourceRelations(plan, sqlText)
+    val sp = sidePath(mvPath, stateCol)
+    Snapshot.latestManifest(spark, sp).filter { sm =>
+      sm.properties.get(SideProp).exists(p =>
+        Snapshot.qualifiedRoot(spark, p) == Snapshot.qualifiedRoot(spark, mvPath)) &&
+        srcs.indices.forall(i => sm.streamBatch.get(wmKey(srcs, i)).isDefined &&
+          sm.streamBatch.get(wmKey(srcs, i)) == mvM.streamBatch.get(wmKey(srcs, i)))
+    }.map(sm => sp -> sm.version)
+  }
 
   // ----------------------------------------------------------- internals
 

