@@ -2914,6 +2914,76 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  /** AVG CONTAINMENT ROUTING — the reference publishes avg_minutes on
+    * every rollup (audio_digital.py:262, funnel_emisor.py:160-164); a
+    * coarser AVG is NOT averageable from per-group averages, but it IS
+    * exactly derivable as SUM(sum state)/SUM(count state) when the MV
+    * exposes both for the same DECIMAL argument — the routed division
+    * replays Spark's own Average evaluate chain (exact decimal sums,
+    * the same Divide + cast), so parity is bitwise. The oracle
+    * reproduces the decimal HALF_UP rounding from exact integer cents
+    * (DuckDB's decimal division returns DOUBLE, which would drift).
+    * The build REQUIRES the plan scanned only the MV. At 100 TB the
+    * routed plan reads the rollup, not the fact table.
+    */
+  val q191 = QueryDef.staged(
+    "q191_avg_route",
+    // oracle: Spark's AVG(DECIMAL(18,2)) = HALF_UP(exact quotient, 6dp)
+    // reproduced in exact integer arithmetic: cents → scale-6 units
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST((2 * CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) * 10000
+           |        + COUNT(o_totalprice))
+           |       // (2 * COUNT(o_totalprice)) AS DOUBLE) / 1000000.0 AS avg_price
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the 2-key MV carrying SUM and
+    // COUNT of the SAME decimal argument, churn + REFRESH.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q191").toString
+    t.spark.conf.set("spark.sql.catalog.g191", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g191.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g191.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+      "o_orderpriority")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g191.db.mv AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  COUNT(CAST(o_totalprice AS DECIMAL(18,2))) AS cnt_p,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_p
+        |FROM g191.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g191.db.mv")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the avg_minutes-shaped coarser rollup + the plan pin.
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS avg_price
+          |FROM g191.db.src GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv"),
+        s"q191: expected the AVG derivation onto the MV, got $scans")
+      routed.select(col("o_orderstatus"), col("n"),
+          col("avg_price").cast("double").as("avg_price"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191)
 }
