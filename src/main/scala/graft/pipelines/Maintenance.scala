@@ -69,4 +69,31 @@ object Maintenance {
            resume: Boolean = true): Map[String, Runner.Outcome] =
     Runner.run(spark, stages(spark, tables, tick, resolvePath),
       s"$flagDir/tick_$tick", resume)
+
+  /** [[tick]] over EVERY table in a graft-catalog namespace
+    * (`<catalog>.<ns…>`) — the zero-configuration fleet form: one
+    * bounded directory listing discovers the tables, each table's own
+    * policy properties decide what (if anything) runs, and MV source
+    * names resolve through the session catalogs. A table created
+    * tomorrow is maintained tomorrow night with no job change.
+    */
+  def tickNamespace(spark: SparkSession, namespace: String, tick: Long,
+                    flagDir: String,
+                    resume: Boolean = true): Map[String, Runner.Outcome] = {
+    val parts = namespace.split('.').map(_.trim).filter(_.nonEmpty).toSeq
+    require(parts.size >= 2, s"namespace must be <catalog>.<ns…>: $namespace")
+    val cm = spark.sessionState.catalogManager
+    require(cm.isCatalogRegistered(parts.head), s"unknown catalog: ${parts.head}")
+    val tables = cm.catalog(parts.head) match {
+      case g: graft.catalog.GraftCatalog =>
+        g.listTables(parts.tail.toArray).toSeq
+          .map(id => id.name() -> g.pathFor(id)).sortBy(_._1)
+      case other => throw new IllegalArgumentException(
+        s"not a graft catalog: ${parts.head} (${other.getClass.getSimpleName})")
+    }
+    this.tick(spark, tables, tick, flagDir,
+      graft.plans.GraftCatalogResolve.pathOf(spark, _).getOrElse(
+        throw new IllegalArgumentException("MV source outside the graft catalogs")),
+      resume)
+  }
 }

@@ -106,6 +106,53 @@ class MaintenanceSpec extends SparkSpec {
       spark.sql("ALTER MATERIALIZED VIEW gmn.db.mv SET REFRESH EVERY x TICKS"))
   }
 
+  test("a namespace tick discovers tables and maintains them by their own policy") {
+    val wh = Files.createTempDirectory("graft-maint-ns").toString
+    spark.conf.set("spark.sql.catalog.gmt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.db")
+    Snapshot.create(spark, s"$wh/db/src",
+      (0L until 60L).map(i => (i, s"k${i % 3}", i % 9)).toDF("id", "k", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmt.db.mv AS
+        |SELECT k, COUNT(*) AS n FROM gmt.db.src GROUP BY k""".stripMargin)
+    spark.sql("ALTER MATERIALIZED VIEW gmt.db.mv SET REFRESH EVERY 1 TICKS")
+    // a table with NO policy is listed but nothing runs for it
+    Snapshot.create(spark, s"$wh/db/plain",
+      (0L until 10L).map(i => (i, i)).toDF("id", "v"))
+    Snapshot.append(spark, s"$wh/db/src", Seq((500L, "k0", 1L)).toDF("id", "k", "v"))
+    val out = Maintenance.tickNamespace(spark, "gmt.db", 1L, s"$wh/flags")
+    assert(out.keySet == Set("maintain_src", "maintain_mv", "maintain_plain"),
+      out.toString)
+    assert(out.values.forall(_.ok))
+    // the MV refreshed: it tracks the churned source
+    assert(Snapshot.read(spark, s"$wh/db/mv").as[(String, Long)].collect().toSet ==
+      spark.sql("SELECT k, COUNT(*) AS n FROM gmt.db.src GROUP BY k")
+        .as[(String, Long)].collect().toSet)
+    // the no-policy table is untouched (no new version)
+    assert(Snapshot.latestVersion(spark, s"$wh/db/plain").contains(1L))
+  }
+
+  test("a GLOBAL rollup MV (no GROUP BY) refreshes by full recompute, correctly") {
+    val root = Files.createTempDirectory("graft-mv-global").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    Snapshot.create(spark, srcP,
+      (0L until 50L).map(i => (i, i % 7)).toDF("id", "v"))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      "SELECT COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total FROM src"
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    Snapshot.append(spark, srcP, Seq((500L, 3L), (501L, 6L)).toDF("id", "v"))
+    Snapshot.delete(spark, srcP, col("id") < 5)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    // no grouping keys = nothing for the fold join / side tables to
+    // key on — the refresh demotes (one-row view, recompute is free)
+    assert(Snapshot.latestManifest(spark, mvP).get.operation
+      .contains("(full recompute)"))
+    assert(Snapshot.read(spark, mvP).collect().toSeq ==
+      Snapshot.sqlQuery(spark, defining, reg).collect().toSeq)
+  }
+
   test("one tick covers refresh + optimize + vacuum from per-table policy") {
     val root = Files.createTempDirectory("graft-maint-full").toString
     val (srcP, mvP, flagD) = (s"$root/src", s"$root/mv", s"$root/flags")
