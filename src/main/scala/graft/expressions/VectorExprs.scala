@@ -263,11 +263,27 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bpe_tokens",
       exprs => BpeTokens(exprs(0)), "built-in")
     // merge table as a foldable array<string> literal (the learned
-    // table, vocab-sized) — evaluated once at plan build
+    // table, vocab-sized) — evaluated once at plan build. Guarded: a
+    // column reference or NULL as the merge table would otherwise die
+    // with an opaque analyzer exception deep in eval.
     reg.createOrReplaceTempFunction("graft_bpe_tokens_with",
-      exprs => BpeTokensWith(exprs(0),
-        exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq), "built-in")
+      exprs => {
+        require(exprs.length == 2,
+          "graft_bpe_tokens_with(text, merges) takes exactly 2 arguments")
+        val m = exprs(1)
+        require(m.foldable && (m.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }), "graft_bpe_tokens_with: the merge table (2nd argument) must " +
+          "be a foldable array<string> literal, not a column reference")
+        val v = m.eval(null)
+        require(v != null,
+          "graft_bpe_tokens_with: the merge table (2nd argument) must not be NULL")
+        BpeTokensWith(exprs(0),
+          v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq)
+      }, "built-in")
   }
 }

@@ -121,6 +121,8 @@ object MatView {
     Snapshot.create(spark, mvPath, result,
       properties = Map(SqlProp -> sqlText,
         SourceProp -> srcs.map(_.mkString(".")).mkString(",")))
+    // a fresh view must be discoverable by the very next routed query
+    graft.plans.MvAutoRoute.invalidateDiscovery()
     // watermarks ride a follow-up metadata commit on the fresh table
     // (create() owns version 1); both commits precede any reader
     val m = Snapshot.latestManifest(spark, mvPath).get
@@ -431,25 +433,63 @@ object MatView {
     * carries group liveness — a group whose count reaches zero drops,
     * exactly like the recompute), and every GROUP BY key is SELECTed.
     */
-  /** `keys` pairs the SELECTed state name with the child column it
-    * groups on (`c_mktsegment AS seg` → ("seg", "c_mktsegment")) —
-    * the MV state speaks the alias, the delta replay speaks the
-    * source column.
+  /** `keys` pairs the SELECTed state name with the EXPRESSION it
+    * groups on — a bare source column (`c_mktsegment AS seg`) or a
+    * deterministic scalar expression of source columns
+    * (`date_trunc('day', ts) AS dia`, the reference's landing-rollup
+    * grain). The MV state speaks the alias; the delta replays speak
+    * the expression, always under synthesized `__gk_<i>` names so
+    * duplicate raw column names (fact.dk ⋈ dim.dk) never collide.
     */
-  private final case class Shape(keys: Seq[(String, String)],
+  private final case class Shape(keys: Seq[(String, Expression)],
                                  cols: Seq[(String, AggCol)],
                                  child: LogicalPlan) {
     def distinctCols: Seq[(String, Expression)] =
       cols.collect { case (n, DistinctOf(e)) => n -> e }
   }
   private sealed trait AggCol
-  private final case class KeyOf(childCol: String) extends AggCol
+  private final case class KeyOf(keyExpr: Expression) extends AggCol
   private case object CountStar extends AggCol
   private final case class CountOf(e: Expression) extends AggCol
   private final case class SumOf(e: Expression) extends AggCol
   private final case class MinOf(e: Expression) extends AggCol
   private final case class MaxOf(e: Expression) extends AggCol
   private final case class DistinctOf(e: Expression) extends AggCol
+
+  /** Scalar SQL functions admissible inside an expression-valued
+    * grouping key: known-deterministic at PARSE time. An unresolved
+    * function cannot answer `deterministic` truthfully (rand() parses
+    * to a childless UnresolvedFunction that claims determinism), so
+    * the incremental tier admits only names from this list; anything
+    * else demotes to the always-correct full pinned recompute.
+    */
+  private val DetScalarFns: Set[String] = Set(
+    "date_trunc", "trunc", "year", "quarter", "month", "day", "dayofmonth",
+    "hour", "minute", "second", "weekofyear", "dayofweek", "dayofyear",
+    "last_day", "to_date", "date_format", "date_add", "date_sub",
+    "add_months", "datediff", "months_between", "unix_date",
+    "substr", "substring", "concat", "concat_ws", "upper", "lower", "lpad",
+    "rpad", "trim", "ltrim", "rtrim", "left", "right", "split_part",
+    "translate", "replace", "regexp_replace", "regexp_extract", "length",
+    "format_number", "elt", "instr",
+    "abs", "floor", "ceil", "ceiling", "round", "mod", "pmod",
+    "greatest", "least", "sign", "conv",
+    "coalesce", "nvl", "nullif", "if", "ifnull",
+    "md5", "sha1", "sha2", "crc32", "hash", "xxhash64")
+
+  /** Admissible key expression: every function call whitelisted
+    * deterministic, no DISTINCT/FILTER, no stars, no subqueries.
+    */
+  private def keyExprOk(e: Expression): Boolean =
+    !e.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) &&
+      !e.exists {
+        case f: UnresolvedFunction =>
+          f.isDistinct || f.filter.nonEmpty ||
+            !DetScalarFns(f.nameParts.map(_.toLowerCase).mkString("."))
+        case _: UnresolvedStar => true
+        case _ => false
+      }
 
   /** Inner-join/filter trees over base relations delta-distribute
     * (Δ over one side replays with the others fixed); anything else —
@@ -476,9 +516,16 @@ object MatView {
       // join / side tables to key on — full recompute (always correct;
       // a one-row view costs nothing to recompute anyway)
       if (groupingExprs.isEmpty) return None
-      val keys = groupingExprs.map {
-        case a: UnresolvedAttribute if a.nameParts.size == 1 => a.nameParts.head
-        case _ => return None // ordinals, expressions: full recompute
+      // grouping keys: attributes or admissible DETERMINISTIC scalar
+      // expressions of source columns (`GROUP BY date_trunc('day',
+      // ts)` — the reference's landing-rollup grain). Ordinals and
+      // attribute-free expressions demote (an ordinal's meaning is
+      // resolution-time; a constant key is degenerate).
+      groupingExprs.foreach {
+        case _: UnresolvedAttribute => ()
+        case e if keyExprOk(e) &&
+            e.exists(_.isInstanceOf[UnresolvedAttribute]) => ()
+        case _ => return None
       }
       def aggOf(e: Expression): Option[AggCol] = e match {
         case f: UnresolvedFunction
@@ -510,12 +557,10 @@ object MatView {
         case _ => None
       }
       val cols = aggExprs.map {
-        case a: UnresolvedAttribute
-            if a.nameParts.size == 1 && keys.contains(a.nameParts.head) =>
-          a.nameParts.head -> (KeyOf(a.nameParts.head): AggCol)
-        case Alias(a: UnresolvedAttribute, name)
-            if a.nameParts.size == 1 && keys.contains(a.nameParts.head) =>
-          name -> (KeyOf(a.nameParts.head): AggCol)
+        case a: UnresolvedAttribute if groupingExprs.contains(a) =>
+          a.nameParts.last -> (KeyOf(a): AggCol)
+        case Alias(k, name) if groupingExprs.contains(k) =>
+          name -> (KeyOf(k): AggCol)
         case Alias(child, name) =>
           aggOf(child) match {
             case Some(c) => name -> c
@@ -528,8 +573,8 @@ object MatView {
       // the MV state lacks the key column and foldDeltas' join on
       // __cur.<key> would fail at REFRESH time (an un-refreshable view)
       // instead of demoting here to the always-correct full recompute
-      if (!keys.forall(k => cols.exists(_._2 == KeyOf(k)))) return None
-      val keyPairs = cols.collect { case (n, KeyOf(cc)) => n -> cc }
+      if (!groupingExprs.forall(g => cols.exists(_._2 == KeyOf(g)))) return None
+      val keyPairs = cols.collect { case (n, KeyOf(e)) => n -> e }
       Some(Shape(keyPairs, cols, child))
     case _ => None
   }
@@ -542,7 +587,8 @@ object MatView {
   private def sideState(childDf: DataFrame, shape: Shape,
                         e: Expression): DataFrame =
     childDf.where(ColumnBridge.column(e).isNotNull)
-      .groupBy(shape.keys.map { case (sn, cc) => col(cc).as(sn) } :+
+      .groupBy(shape.keys.map { case (sn, ke) =>
+        ColumnBridge.column(ke).as(sn) } :+
         ColumnBridge.column(e).as("__v"): _*)
       .agg(count(lit(1)).as("__vcnt"))
 
@@ -554,13 +600,15 @@ object MatView {
   private def sideDelta(feeds: Seq[DataFrame], shape: Shape,
                         e: Expression): DataFrame = {
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val keyCols = shape.keys.map(k => col(k._2))
+    val keyCols = shape.keys.zipWithIndex.map { case ((_, ke), i) =>
+      ColumnBridge.column(ke).as(s"__gk_$i") }
+    val mergeKeys = shape.keys.indices.map(i => col(s"__gk_$i"))
     val perFeed = feeds.map(_.where(ColumnBridge.column(e).isNotNull)
       .groupBy(keyCols :+ ColumnBridge.column(e).as("__v"): _*)
       .agg(sum(sign).as("__dc")))
     if (perFeed.size == 1) perFeed.head
     else perFeed.reduce(_ unionByName _)
-      .groupBy(keyCols :+ col("__v"): _*)
+      .groupBy(mergeKeys :+ col("__v"): _*)
       .agg(sum(col("__dc")).as("__dc"))
   }
 
@@ -573,7 +621,8 @@ object MatView {
   private def foldSide(cur: DataFrame, delta0: DataFrame,
                        shape: Shape): DataFrame = {
     val delta = delta0.select(
-      shape.keys.map { case (sn, cc) => col(cc).as(sn) } ++
+      shape.keys.zipWithIndex.map { case ((sn, _), i) =>
+        col(s"__gk_$i").as(sn) } ++
         Seq(col("__v"), col("__dc")): _*)
     val c = cur.alias("__cur")
     val d = delta.alias("__dlt")
@@ -637,7 +686,9 @@ object MatView {
         max(when(!isIns, ColumnBridge.column(e))).as(s"__del_$name"))
       case _ => Seq.empty
     }
-    val perFeed = feeds.map(_.groupBy(shape.keys.map(k => col(k._2)): _*)
+    val keyCols = shape.keys.zipWithIndex.map { case ((_, ke), i) =>
+      ColumnBridge.column(ke).as(s"__gk_$i") }
+    val perFeed = feeds.map(_.groupBy(keyCols: _*)
       .agg(aggs.head, aggs.tail: _*))
     if (perFeed.size == 1) perFeed.head
     else {
@@ -653,7 +704,7 @@ object MatView {
         case _ => Seq.empty
       }
       perFeed.reduce(_ unionByName _)
-        .groupBy(shape.keys.map(k => col(k._2)): _*)
+        .groupBy(shape.keys.indices.map(i => col(s"__gk_$i")): _*)
         .agg(merge.head, merge.tail: _*)
     }
   }
@@ -673,12 +724,13 @@ object MatView {
     */
   private def foldDeltas(current: DataFrame, delta0: DataFrame, shape: Shape,
                          childAtNew: => DataFrame): DataFrame = {
-    // the delta speaks CHILD column names on its keys; the state speaks
-    // the SELECT aliases — rename at the seam so the fold join and all
-    // output columns live in state-name space
+    // the delta speaks synthesized `__gk_<i>` names on its keys; the
+    // state speaks the SELECT aliases — rename at the seam so the fold
+    // join and all output columns live in state-name space
     val delta = delta0.select(
-      shape.keys.map { case (sn, cc) => col(cc).as(sn) } ++
-        delta0.columns.filterNot(shape.keys.map(_._2).contains).map(col): _*)
+      shape.keys.zipWithIndex.map { case ((sn, _), i) =>
+        col(s"__gk_$i").as(sn) } ++
+        delta0.columns.filterNot(_.startsWith("__gk_")).map(col): _*)
     val cur = current.alias("__cur")
     val dlt = delta.alias("__dlt")
     val on = shape.keys.map { case (sn, _) => col(s"__cur.$sn") <=> col(s"__dlt.$sn") }
@@ -737,11 +789,15 @@ object MatView {
     // re-derive ONLY the affected groups: semi-join the defining
     // query's child at the new source version against the (broadcast-
     // tiny) affected key set, then the original aggregation — bitwise
-    // the recompute's result for exactly those groups
-    val src = childAtNew.alias("__src")
+    // the recompute's result for exactly those groups. The key
+    // expressions are projected as `__gk_<i>` columns first so
+    // expression keys (and duplicate raw names) join/group cleanly.
+    val gkCols = shape.keys.zipWithIndex.map { case ((_, ke), i) =>
+      ColumnBridge.column(ke).as(s"__gk_$i") }
+    val src = childAtNew.select(col("*") +: gkCols: _*).alias("__src")
     val aff = affected.alias("__aff")
-    val semiOn = shape.keys.map { case (sn, cc) =>
-      col(s"__src.$cc") <=> col(s"__aff.$sn")
+    val semiOn = shape.keys.zipWithIndex.map { case ((sn, _), i) =>
+      col(s"__src.__gk_$i") <=> col(s"__aff.$sn")
     }.reduce(_ && _)
     val reAggs = shape.cols.collect {
       case (name, CountStar) => count(lit(1)).cast(curSchema(name).dataType).as(name)
@@ -758,10 +814,11 @@ object MatView {
           .cast(curSchema(name).dataType).as(name)
     }
     val rederived = src.join(broadcast(aff), semiOn, "left_semi")
-      .groupBy(shape.keys.map(k => col(k._2)): _*)
+      .groupBy(shape.keys.indices.map(i => col(s"__gk_$i")): _*)
       .agg(reAggs.head, reAggs.tail: _*)
       .select(shape.cols.map {
-        case (n, KeyOf(cc)) => col(cc).as(n)
+        case (n, KeyOf(_)) =>
+          col(s"__gk_${shape.keys.indexWhere(_._1 == n)}").as(n)
         case (n, _) => col(n)
       }: _*)
     keep.unionByName(rederived)

@@ -191,7 +191,10 @@ object GraftSqlParser {
       if (j + 4 < toks.length && toks(j).is("SET") && toks(j + 1).is("REFRESH") &&
           toks(j + 2).is("EVERY")) {
         val n = toks(j + 3).text
-        loud(n.forall(_.isDigit) && n.toLong > 0,
+        // Try: an all-digit string beyond Long range must hit this
+        // message, not a raw NumberFormatException
+        loud(n.nonEmpty && n.forall(_.isDigit) &&
+            scala.util.Try(n.toLong).toOption.exists(_ > 0),
           s"ALTER MATERIALIZED VIEW … SET REFRESH EVERY needs a positive integer: $text")
         loud(j + 5 == toks.length && toks(j + 4).is("TICKS"),
           s"cannot parse ALTER MATERIALIZED VIEW (… SET REFRESH EVERY <n> TICKS): $text")

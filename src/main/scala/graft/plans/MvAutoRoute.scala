@@ -45,8 +45,13 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    bare MV scan.
   *  - ROLLUP CONTAINMENT ([[routeRollup]]): the query's CHILD tree
   *    equals the defining child tree (same joins, same filters, same
-  *    freshness gate) but it groups by a SUBSET of the MV's keys with
-  *    aggregates derivable from the MV state — COUNT(*) → SUM(count
+  *    freshness gate) but it groups by a SUBSET of the MV's keys — or,
+  *    the TIME-HIERARCHY tier, by DETERMINISTIC scalar expressions of
+  *    them (`date_trunc('month', day_key)`, `year(day_key)`, bucket
+  *    maps): every fact row of a fine group shares its key values, so
+  *    any deterministic function of them is constant per group and
+  *    commutes with the rollup exactly — with aggregates derivable
+  *    from the MV state — COUNT(*) → SUM(count
   *    column), SUM(e) → SUM(sum column), MIN/MAX(e) → MIN/MAX of the
   *    matching state column, grouping keys passed through (the
   *    standard rollup-compensation rewrite; the MV's COUNT(*) is never
@@ -64,8 +69,13 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    with the rollup exactly); the residue must still equal the
   *    defining tree. The swap is a compensating Filter+Aggregate OVER
   *    the MV scan — still metadata-sized next to the fact table.
-  *    COUNT(DISTINCT x) derives too, when the view co-maintains the
-  *    matching distinct-state side table ([[MatView.sidePath]]) and
+  *    COUNT(DISTINCT f(keys)) over a KEY-PURE argument derives from
+  *    the view state alone — the distinct fact values are exactly the
+  *    distinct values over the member fine groups — no side table
+  *    needed (covers MVs created before the distinct-state tier).
+  *    COUNT(DISTINCT x) over a non-key argument derives when the view
+  *    co-maintains the matching distinct-state side table
+  *    ([[MatView.sidePath]]) and
   *    the side is EXACTLY in sync with the view: the coarse count is
   *    `count_distinct(__v)` over the side's member fine groups —
   *    state-sized, exact (the side holds every live (fine keys, value)
@@ -90,8 +100,12 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     if ((conf.isEmpty && nsConf.isEmpty) || inRoute.get() || !plan.resolved)
       return plan
     // namespace listing is metadata-sized but not free — skip it (and
-    // the explicit-path entry builds) for plans with nothing to route
-    if (!plan.exists(_.isInstanceOf[Aggregate])) return plan
+    // the explicit-path entry builds) for plans with nothing to route.
+    // A node carrying subquery expressions may hide an Aggregate inside
+    // them (WHERE x > (SELECT avg(v) …)) — transformUpWithSubqueries
+    // covers those, so the early exit must not skip them.
+    if (!plan.exists(n => n.isInstanceOf[Aggregate] || n.subqueries.nonEmpty))
+      return plan
     val listed = conf.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val discovered = nsConf.toSeq.flatMap(namespaceCandidates)
     val paths = (listed ++ discovered).distinct
@@ -119,20 +133,36 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     * latest-manifest read per table — metadata-sized. Non-MV tables
     * (including distinct-state side tables) are skipped; staleness is
     * the matcher's job, not discovery's.
+    *
+    * Cached per namespace with a short TTL, because the analyzer
+    * invokes this rule for EVERY aggregate-bearing query (and can fire
+    * it more than once in its fixed-point batch) — without the cache a
+    * large namespace pays repeated listing + manifest I/O per query.
+    * [[MatView.create]] invalidates the cache ([[invalidateDiscovery]])
+    * so a freshly created view is discoverable immediately; a dropped
+    * view's stale path fails entryFor harmlessly until the TTL expires.
     */
   private def namespaceCandidates(ns: String): Seq[String] = {
+    val now = System.nanoTime()
+    val hit = discoveryCache.get(ns)
+    if (hit != null && now - hit._1 < DiscoveryTtlNanos) return hit._2
     val parts = ns.split('.').map(_.trim).filter(_.nonEmpty).toSeq
-    if (parts.size < 2) return Nil
-    val cm = session.sessionState.catalogManager
-    if (!cm.isCatalogRegistered(parts.head)) return Nil
-    cm.catalog(parts.head) match {
-      case g: graft.catalog.GraftCatalog =>
-        try g.listTables(parts.tail.toArray).toSeq
-          .map(id => g.pathFor(id)).sorted
-          .filter(p => Snapshot.latestManifest(session, p).exists(MatView.isMatView))
-        catch { case _: Exception => Nil }
-      case _ => Nil
-    }
+    val listed: Seq[String] =
+      if (parts.size < 2) Nil
+      else {
+        val cm = session.sessionState.catalogManager
+        if (!cm.isCatalogRegistered(parts.head)) Nil
+        else cm.catalog(parts.head) match {
+          case g: graft.catalog.GraftCatalog =>
+            try g.listTables(parts.tail.toArray).toSeq
+              .map(id => g.pathFor(id)).sorted
+              .filter(p => Snapshot.latestManifest(session, p).exists(MatView.isMatView))
+            catch { case _: Exception => Nil }
+          case _ => Nil
+        }
+      }
+    discoveryCache.put(ns, (now, listed))
+    listed
   }
 
   private def qr(path: String): String = Snapshot.qualifiedRoot(session, path)
@@ -374,20 +404,69 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
         case _ =>
       }
     }
-    // every query grouping key must be an exposed MV key column
+    // every query grouping expression must be DERIVABLE from the MV's
+    // exposed key columns: a bare key (state column passthrough) or —
+    // the TIME-HIERARCHY tier — a deterministic scalar expression
+    // whose every key-subtree maps to a state column (GROUP BY
+    // date_trunc('month', day_key) over a day-keyed MV, the
+    // reference's hora → diario → mensual rollup family,
+    // consumo_usuarios.py:278-291). Exact by the same argument as the
+    // key-predicate peel: every fact row of a fine group shares its
+    // key values, so ANY deterministic function of them is constant
+    // per group and commutes with the rollup. Expressions referencing
+    // a non-key attribute, nondeterministic ones, and subqueries
+    // refuse.
     val gqNorm = agg.groupingExpressions.map(normQ)
-    if (!gqNorm.forall(keyCol.contains)) return None
-    // each query output: a key passthrough, a re-aggregate over the MV
-    // state, or a COUNT(DISTINCT) re-counted from the distinct-state
-    // side table (still state-sized — the whole point)
+    def translateKey(g: Expression): Option[Expression] = {
+      if (!g.deterministic || g.containsPattern(
+          org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
+        return None
+      val t = g.transformDown {
+        case e if keyCol.contains(normQ(e)) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(keyCol(normQ(e))))
+      }
+      if (t.exists(x =>
+        x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] ||
+        x.isInstanceOf[AggregateExpression])) None
+      else Some(t)
+    }
+    val gTrans: Seq[Expression] =
+      agg.groupingExpressions.map(g => translateKey(g).getOrElse(return None))
+    // the routed grouping columns carry synthesized names (`__gk_<i>`,
+    // one per query grouping expression) — expression keys have no
+    // state-column name of their own, and the reserved prefix can
+    // never collide with MV state columns
+    val gkCols: Seq[Column] = gTrans.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(t).as(s"__gk_$i")
+    }
+    val gkNames = gTrans.indices.map(i => s"__gk_$i")
+    // each query output: an expression of the query's own grouping
+    // expressions (passthrough over the routed grouping columns), a
+    // re-aggregate over the MV state, or a COUNT(DISTINCT) derived
+    // from key state / the distinct-state side table (still
+    // state-sized — the whole point)
     val outs: Seq[Out] =
       agg.aggregateExpressions.map { ne =>
         val ex = ne match { case al: Alias => al.child; case a => a: Expression }
         ex match {
           case ae: AggregateExpression if ae.filter.isEmpty && ae.isDistinct =>
             ae.aggregateFunction match {
-              // COUNT(DISTINCT x) over a SUBSET of the MV keys = number
-              // of distinct __v values across the member fine groups in
+              // COUNT(DISTINCT f(keys)) where the argument is key-pure:
+              // the distinct values over the facts are exactly the
+              // distinct values over the member fine groups (f of the
+              // key is constant per group) — derivable from the view
+              // state ALONE, no side table needed (covers MVs created
+              // before the distinct-state tier existed). count_distinct
+              // skips NULL state values exactly as the direct plan
+              // skips NULL fact values.
+              case c: Count if c.children.size == 1 &&
+                  translateKey(c.children.head).isDefined =>
+                AggOut(F.count_distinct(
+                  org.apache.spark.sql.graftbridge.ColumnBridge.column(
+                    translateKey(c.children.head).get)))
+              // COUNT(DISTINCT x) over a non-key argument = number of
+              // distinct __v values across the member fine groups in
               // the side table — exact, because the side holds EVERY
               // live (fine keys, value) pair; the key-predicate peel
               // applies unchanged (side rows carry all key columns)
@@ -436,12 +515,24 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
                 }
               case _ => return None
             }
-          case other if gqNorm.contains(normQ(other)) =>
-            KeyOut(keyCol(normQ(other)))
+          case other if other.deterministic && !other.containsPattern(
+              org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) =>
+            // non-aggregate output: analysis guarantees it is an
+            // expression of the query's grouping expressions — rewrite
+            // each grouping subtree to its routed `__gk_<i>` column;
+            // any leftover attribute or aggregate refuses
+            val t = other.transformDown {
+              case x if gqNorm.contains(normQ(x)) =>
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+                  Seq(s"__gk_${gqNorm.indexOf(normQ(x))}"))
+            }
+            if (t.exists(x =>
+              x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] ||
+              x.isInstanceOf[AggregateExpression])) return None
+            ExprOut(org.apache.spark.sql.graftbridge.ColumnBridge.column(t))
           case _ => return None
         }
       }
-    val keyNames = gqNorm.map(keyCol).distinct
     val aggCols = outs.zipWithIndex.collect { case (AggOut(c), i) => c.as(s"__r_$i") }
     val dOuts = outs.zipWithIndex.collect { case (DOut(p, v), i) => (p, v, i) }
     if (aggCols.isEmpty && dOuts.isEmpty) return None // bare keys: not worth it
@@ -469,14 +560,15 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
         if (!leafInfo(strip(mvDf0.queryExecution.analyzed)).exists(_._2 == e.mvVersion))
           return None
         val mvDf = statePred.map(mvDf0.where).getOrElse(mvDf0)
-        // the base grouped MV state carries the keys and the additive
-        // re-aggregates; with none, a placeholder keeps one row per
-        // group (dropped by the final select)
+        // the base grouped MV state carries the routed grouping
+        // columns and the additive re-aggregates; with none, a
+        // placeholder keeps one row per group (dropped by the final
+        // select)
         val baseAggs =
           if (aggCols.nonEmpty) aggCols else Seq(F.count(F.lit(1)).as("__r_base"))
         val grouped =
-          if (keyNames.isEmpty) mvDf.groupBy().agg(baseAggs.head, baseAggs.tail: _*)
-          else mvDf.groupBy(keyNames.map(F.col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+          if (gkCols.isEmpty) mvDf.groupBy().agg(baseAggs.head, baseAggs.tail: _*)
+          else mvDf.groupBy(gkCols: _*).agg(baseAggs.head, baseAggs.tail: _*)
         // each COUNT(DISTINCT) output re-counts from ITS side table
         // (pinned at the entry's recorded version — a moved side
         // refuses), left-joined back on the coarse keys: a group whose
@@ -486,15 +578,17 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
           if (!leafInfo(strip(sDf0.queryExecution.analyzed)).exists(_._2 == v))
             return None
           val sDf = statePred.map(sDf0.where).getOrElse(sDf0)
-          if (keyNames.isEmpty)
+          if (gkCols.isEmpty)
             acc.crossJoin(
               sDf.groupBy().agg(F.count_distinct(F.col("__v")).as(s"__r_$i")))
           else {
-            val sAgg = sDf.groupBy(keyNames.map(F.col): _*)
+            // the side carries the same fine-key state columns, so the
+            // SAME routed grouping expressions apply to it
+            val sAgg = sDf.groupBy(gkCols: _*)
               .agg(F.count_distinct(F.col("__v")).as(s"__r_$i"))
             val a = acc.alias("__a")
             val b = sAgg.alias(s"__s$i")
-            val on = keyNames.map(k => F.col(s"__a.$k") <=> F.col(s"__s$i.$k"))
+            val on = gkNames.map(k => F.col(s"__a.$k") <=> F.col(s"__s$i.$k"))
               .reduce(_ && _)
             a.join(b, on, "left").select(
               acc.columns.map(c => F.col(s"__a.$c")) :+
@@ -502,7 +596,7 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
           }
         }
         withD.select(outs.zipWithIndex.map {
-          case (KeyOut(n), _) => F.col(n)
+          case (ExprOut(c), i) => c.as(s"__o_$i")
           case (_, i) => F.col(s"__r_$i")
         }: _*).queryExecution.analyzed
       } catch { case _: Exception => return None }
@@ -562,8 +656,10 @@ object MvAutoRoute {
 
   /** One routed output of the containment tier. */
   private sealed trait Out
-  /** A grouping key passed through from the MV state column. */
-  private final case class KeyOut(state: String) extends Out
+  /** An expression of the query's grouping expressions, rewritten over
+    * the routed `__gk_<i>` grouping columns.
+    */
+  private final case class ExprOut(c: Column) extends Out
   /** A re-aggregate over the MV state. */
   private final case class AggOut(c: Column) extends Out
   /** A COUNT(DISTINCT) re-counted from a distinct-state side table
@@ -584,4 +680,18 @@ object MvAutoRoute {
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Entry]]()
+
+  /** Namespace discovery cache: ns → (stamp, MV paths). Refreshing a
+    * listed view does not change the path set, so only CREATE needs to
+    * invalidate; the TTL backstops everything else (drops, out-of-
+    * session creates).
+    */
+  private val DiscoveryTtlNanos = 30L * 1000 * 1000 * 1000
+  private val discoveryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+
+  /** Called by [[graft.operators.MatView.create]]: a new view must be
+    * discoverable by the very next query.
+    */
+  private[graft] def invalidateDiscovery(): Unit = discoveryCache.clear()
 }

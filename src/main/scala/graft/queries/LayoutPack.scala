@@ -2984,6 +2984,198 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  /** TIME-HIERARCHY CONTAINMENT ROUTING — the reference's defining
+    * rollup pattern is the periodo hierarchy: hora → diario → mensual
+    * recomputed per grain from the same detail
+    * (consumo_usuarios.py:278-291, audio_digital.py:307,
+    * consumo_bloques_hora.py:110-113 dicc_fechas grains). A monthly
+    * query over a DAY-keyed MV groups by `date_trunc('month',
+    * day_key)` — an EXPRESSION of the MV key, not a bare subset.
+    * Exact because every fact row of a fine group shares its key
+    * value, so any deterministic function of it commutes with the
+    * rollup (the key-predicate-peel argument). The query also carries
+    * a key-pure WHERE (peeled onto the state) to pin composition. The
+    * build REQUIRES the plan scanned only the MV. At 100 TB the
+    * monthly rollup reads a day-grain rollup (MBs), never the fact
+    * table.
+    */
+  val q192 = QueryDef.staged(
+    "q192_time_hierarchy_route",
+    // oracle: the monthly rollup recomputed from raw orders
+    Some("""SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mes,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, day-grain fact, the day-keyed MV,
+    // churn + REFRESH so the watermark sits mid-history.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q192").toString
+    t.spark.conf.set("spark.sql.catalog.g192", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g192.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g192.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val src = t.orders.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderdate").cast("date").as("o_day"))
+    Snapshot.create(t.spark, s"$root/db/src", src.where(col("o_orderdate") < cut97))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g192.db.mv AS
+        |SELECT o_day, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM g192.db.src GROUP BY o_day""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src", src.where(col("o_orderdate") >= cut97))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g192.db.mv")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the monthly rollup over the day-keyed MV + the plan pin.
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT CAST(date_trunc('month', o_day) AS DATE) AS mes,
+          |  COUNT(*) AS n,
+          |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+          |FROM g192.db.src
+          |WHERE o_day >= DATE '1995-01-01'
+          |GROUP BY date_trunc('month', o_day)""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv"),
+        s"q192: expected the time-hierarchy route onto the day-keyed MV, got $scans")
+      routed.select(col("mes"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("mes")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
+  /** EXPRESSION-KEYED MV INCREMENTAL REFRESH — the most natural
+    * landing rollup in the reference is keyed by a GRAIN EXPRESSION
+    * of the event time (`date_trunc('day', ts)`; hora/diario/mensual,
+    * consumo_bloques_hora.py:110-113, audio_digital.py:307). Round 14
+    * refused expression keys outright, silently losing incremental
+    * refresh for exactly that shape. Now an aliased deterministic
+    * scalar expression IS a key: the telescoping delta replays compute
+    * it per feed under synthesized `__gk_<i>` names, the fold joins on
+    * the alias, and the MIN/MAX delete tier re-derives dented groups
+    * through the same expression. The build REQUIRES the refresh
+    * commit landed "(incremental)" — a silent demotion to full
+    * recompute fails the build. At 100 TB the refresh reads the
+    * change window, never the fact table.
+    */
+  val q193 = QueryDef.staged(
+    "q193_expr_keyed_mv",
+    // oracle: the day-grain rollup recomputed from the post-churn fact
+    Some("""SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS dia,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           |FROM orders WHERE NOT (o_orderkey % 100 < 5)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog + the pre-churn fact + the
+    // expression-keyed MV.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q193").toString
+    t.spark.conf.set("spark.sql.catalog.g193", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g193.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g193.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g193.db.mv AS
+        |SELECT date_trunc('day', o_orderdate) AS dia, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM g193.db.src GROUP BY date_trunc('day', o_orderdate)""".stripMargin)
+    root
+  } { (t, root: String) =>
+    // MEASURED: a churn window (append + a delete that dents MIN/MAX
+    // extrema) + the INCREMENTAL refresh through the expression key.
+    import graft.operators.Snapshot
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))
+    Snapshot.delete(t.spark, s"$root/db/src", col("o_orderkey") % 100 < 5)
+    t.spark.sql("REFRESH MATERIALIZED VIEW g193.db.mv")
+    val op = Snapshot.latestManifest(t.spark, s"$root/db/mv").get.operation
+    require(op.contains("(incremental)"),
+      s"q193: the expression-keyed refresh must stay incremental, got: $op")
+    Snapshot.read(t.spark, s"$root/db/mv")
+      .select(col("dia").cast("date").as("dia"), col("n"),
+        col("total").cast("double").as("total"), col("lo"), col("hi"))
+      .orderBy("dia")
+  }
+
+  /** COUNT(DISTINCT key) WITHOUT A SIDE TABLE — when the distinct
+    * argument IS an MV grouping key, the coarse distinct count is the
+    * number of distinct key values among the member fine groups —
+    * derivable from the view state ALONE (count_distinct over the
+    * state key column). Covers MVs created before the distinct-state
+    * tier existed: this view declares NO distinct column and owns no
+    * side table. The build REQUIRES the plan scanned only the MV. At
+    * 100 TB the distinct count reads the rollup, never the detail.
+    */
+  val q195 = QueryDef.staged(
+    "q195_distinct_key_route",
+    // oracle: the coarse rollup with its key-distinct recomputed raw
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS np
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the 2-key MV with NO distinct
+    // column, churn + REFRESH.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q195").toString
+    t.spark.conf.set("spark.sql.catalog.g195", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g195.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g195.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g195.db.mv AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM g195.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    t.spark.sql("REFRESH MATERIALIZED VIEW g195.db.mv")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the keyless distinct route + the plan pin.
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  COUNT(DISTINCT o_orderpriority) AS np
+          |FROM g195.db.src GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv"),
+        s"q195: expected the key-distinct derivation onto the MV alone, got $scans")
+      routed.select(col("o_orderstatus"), col("n"), col("np"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q195)
 }

@@ -597,4 +597,77 @@ class MatViewSpec extends SparkSpec {
     assert(Snapshot.read(spark, mvP).select("k", "n", "nvw").collect().toSet ==
       Snapshot.sqlQuery(spark, defining, reg).collect().toSet)
   }
+
+  test("expression-keyed MVs refresh incrementally; inadmissible keys demote") {
+    val root = Files.createTempDirectory("graft-mv-exprkey").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    // ts spans several days; u carries repeated values whose LAST
+    // occurrence can be deleted (the distinct side must track it
+    // through the expression keys); v feeds MIN/MAX extrema
+    def rows(r: Range) = r.map { i =>
+      (i.toLong, s"2024-03-${"%02d".format(1 + i % 9)} 0${i % 8}:15:00",
+        s"k${i % 3}", s"u${i % 11}", (i % 50).toLong)
+    }.toDF("id", "tss", "k", "u", "v")
+      .selectExpr("id", "CAST(tss AS TIMESTAMP) AS ts", "k", "u", "v")
+    Snapshot.create(spark, srcP, rows(0 until 300))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    // TWO expression keys (time grain + case-fold) composed with every
+    // fold tier at once: COUNT(*), SUM, MIN/MAX (delete-dent
+    // re-derivation through the expression), COUNT(DISTINCT) (side
+    // table keyed by the expression aliases)
+    val defining =
+      """SELECT date_trunc('day', ts) AS dia, upper(k) AS ku, COUNT(*) AS n,
+        |  SUM(CAST(v AS DECIMAL(18,2))) AS total, MIN(v) AS lo, MAX(v) AS hi,
+        |  COUNT(DISTINCT u) AS nu
+        |FROM src GROUP BY date_trunc('day', ts), upper(k)""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    def dump(df: DataFrame) =
+      df.select("dia", "ku", "n", "total", "lo", "hi", "nu")
+        .orderBy("dia", "ku").collect().toSeq
+    assert(dump(Snapshot.read(spark, mvP)) ==
+      dump(Snapshot.sqlQuery(spark, defining, reg)), "initial state")
+    assert(Snapshot.latestVersion(spark,
+      MatView.sidePath(mvP, "nu")).isDefined, "expression-keyed side exists")
+
+    // churn 1: inserts into existing and brand-new day groups
+    Snapshot.append(spark, srcP, rows(1000 until 1060)
+      .withColumn("ts", expr("ts + INTERVAL 20 DAYS")))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(dump(Snapshot.read(spark, mvP)) ==
+      dump(Snapshot.sqlQuery(spark, defining, reg)), "insert window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation
+      .contains("(incremental)"), "insert window stays incremental")
+
+    // churn 2: deletes that dent MAX extrema AND remove last
+    // occurrences of distinct values in some (dia, ku) groups
+    Snapshot.delete(spark, srcP, col("v") >= 45 || col("u") === "u7")
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(dump(Snapshot.read(spark, mvP)) ==
+      dump(Snapshot.sqlQuery(spark, defining, reg)), "delete window")
+    assert(Snapshot.latestManifest(spark, mvP).get.operation
+      .contains("(incremental)"), "delete window stays incremental")
+
+    // REFUSALS, each demoting to the always-correct full recompute:
+    // a function OUTSIDE the deterministic whitelist (rand parses to a
+    // childless UnresolvedFunction that would CLAIM determinism)
+    val mvR = s"$root/mvr"
+    Snapshot.sql(spark,
+      """CREATE MATERIALIZED VIEW mvr AS
+        |SELECT CAST(floor(rand(7) * 0 + v % 3) AS BIGINT) AS b, COUNT(*) AS n
+        |FROM src GROUP BY CAST(floor(rand(7) * 0 + v % 3) AS BIGINT)""".stripMargin,
+      reg + ("mvr" -> mvR))
+    Snapshot.append(spark, srcP, rows(2000 until 2005))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mvr", reg + ("mvr" -> mvR))
+    assert(Snapshot.latestManifest(spark, mvR).get.operation
+      .contains("(full recompute)"), "non-whitelisted function demotes")
+    // an ordinal grouping key demotes (resolution-time meaning)
+    val mvO = s"$root/mvo"
+    Snapshot.sql(spark,
+      "CREATE MATERIALIZED VIEW mvo AS SELECT k, COUNT(*) AS n FROM src GROUP BY 1",
+      reg + ("mvo" -> mvO))
+    Snapshot.append(spark, srcP, rows(3000 until 3005))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mvo", reg + ("mvo" -> mvO))
+    assert(Snapshot.latestManifest(spark, mvO).get.operation
+      .contains("(full recompute)"), "ordinal grouping demotes")
+  }
 }

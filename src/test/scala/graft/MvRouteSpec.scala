@@ -442,9 +442,21 @@ class MvRouteSpec extends SparkSpec {
           |WHERE k IN ('k1', 'k2') GROUP BY b""".stripMargin)
           .orderBy("b").collect().toSeq)
       spark.conf.set("spark.graft.mv.autoRoute", mvPath)
-      // a DIFFERENT distinct argument must refuse (no matching side)
-      val otherArg = spark.sql(
+      // COUNT(DISTINCT <key>) derives from the view state ALONE — b is
+      // an MV grouping key, so no side table is touched (round 15)
+      val keyArg = spark.sql(
         "SELECT k, COUNT(DISTINCT b) AS nb FROM gmr.db.src6 GROUP BY k")
+      assert(scanPaths(keyArg) == Set(mvPath),
+        s"key-distinct derives from the state alone: ${scanPaths(keyArg)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(keyArg.orderBy("k").collect().toSeq == spark.sql(
+        "SELECT k, COUNT(DISTINCT b) AS nb FROM gmr.db.src6 GROUP BY k")
+        .orderBy("k").collect().toSeq, "key-distinct is exact")
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // a distinct argument that is neither a key nor side-backed
+      // must refuse
+      val otherArg = spark.sql(
+        "SELECT k, COUNT(DISTINCT id) AS ni FROM gmr.db.src6 GROUP BY k")
       assert(scanPaths(otherArg) == Set(srcPath), "unmatched distinct arg refuses")
       // STALENESS: source churn past the watermark falls back whole
       Snapshot.append(spark, srcPath,
@@ -486,6 +498,73 @@ class MvRouteSpec extends SparkSpec {
           |FROM gmr.db.src2 GROUP BY k""".stripMargin)
       assert(scanPaths(latest) == Set(srcPath), "latest read is past the watermark")
       assert(rollup(latest) != rollup(pinned))
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
+  test("time hierarchy: expressions of MV keys route; non-key-pure refuse") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    val srcPath = s"$wh/db/src9"
+    val mvPath = s"$wh/db/mv9"
+    // a day-grain fact spanning several months; `k` is NOT an MV key
+    Snapshot.create(spark, srcPath,
+      (0L until 400L).map(i => (i, (i % 90).toInt, s"k${i % 5}", i % 50))
+        .toDF("id", "doff", "k", "v")
+        .selectExpr("id", "date_add(DATE '1995-01-01', doff) AS d", "k", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv9 AS
+        |SELECT d, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmr.db.src9 GROUP BY d""".stripMargin)
+    def agree(q: String): Unit = {
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q).collect().toSeq
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mvPath), s"must route: $q -> ${scanPaths(routed)}")
+      assert(routed.collect().toSeq == direct, s"routed must agree bitwise: $q")
+    }
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the reference's hora → diario → mensual family: a monthly (and
+      // a yearly) rollup over the day-keyed MV routes, bitwise
+      agree("""SELECT CAST(date_trunc('month', d) AS DATE) AS mes,
+              |  COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+              |FROM gmr.db.src9 GROUP BY date_trunc('month', d)
+              |ORDER BY mes""".stripMargin)
+      agree("""SELECT year(d) AS y, COUNT(*) AS n
+              |FROM gmr.db.src9 GROUP BY year(d) ORDER BY y""".stripMargin)
+      // an output EXPRESSION over the grouping expression rides along
+      agree("""SELECT year(d) * 100 + month(d) AS ym, COUNT(*) AS n
+              |FROM gmr.db.src9 GROUP BY year(d), month(d)
+              |ORDER BY ym""".stripMargin)
+      // a key-pure predicate peels; the hierarchy grouping still routes
+      agree("""SELECT CAST(date_trunc('month', d) AS DATE) AS mes, COUNT(*) AS n
+              |FROM gmr.db.src9 WHERE d >= DATE '1995-02-01'
+              |GROUP BY date_trunc('month', d) ORDER BY mes""".stripMargin)
+      // COUNT(DISTINCT key) and COUNT(DISTINCT f(key)) derive from the
+      // view state ALONE — this MV owns no side table at all
+      agree("""SELECT CAST(date_trunc('month', d) AS DATE) AS mes,
+              |  COUNT(DISTINCT d) AS nd, COUNT(*) AS n
+              |FROM gmr.db.src9 GROUP BY date_trunc('month', d)
+              |ORDER BY mes""".stripMargin)
+      agree("""SELECT COUNT(DISTINCT date_trunc('month', d)) AS nm
+              |FROM gmr.db.src9""".stripMargin)
+      // NON-KEY-PURE: an expression mixing a key with a non-key
+      // attribute must refuse
+      val mixed = spark.sql(
+        """SELECT concat(CAST(year(d) AS STRING), k) AS yk, COUNT(*) AS n
+          |FROM gmr.db.src9 GROUP BY concat(CAST(year(d) AS STRING), k)""".stripMargin)
+      assert(scanPaths(mixed) == Set(srcPath), "non-key-pure expression refuses")
+      // ...as must a bare non-key grouping next to a key expression
+      val nonKey = spark.sql(
+        """SELECT year(d) AS y, k, COUNT(*) AS n
+          |FROM gmr.db.src9 GROUP BY year(d), k""".stripMargin)
+      assert(scanPaths(nonKey) == Set(srcPath), "non-key grouping refuses")
+      // ...and a DISTINCT over a non-key (no side table here)
+      val distNonKey = spark.sql(
+        "SELECT year(d) AS y, COUNT(DISTINCT v) AS nv FROM gmr.db.src9 GROUP BY year(d)")
+      assert(scanPaths(distNonKey) == Set(srcPath), "non-key distinct refuses")
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
 }
