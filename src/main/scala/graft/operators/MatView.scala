@@ -60,9 +60,17 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   *    inserts fold as least/greatest against the current extremum; a
   *    delete at-or-beyond the folded extremum re-derives ONLY that
   *    group from the (pinned, new-version) source — O(affected groups)
-  *    aggregation, never a whole-table rewrite of the rollup. AVG
-  *    derives from SUM + COUNT at read time (an AVG column itself is
-  *    not additively foldable bitwise — declare the sums).
+  *    aggregation, never a whole-table rewrite of the rollup.
+  *
+  *    AVG columns AUTO-EXPAND into internal SUM+COUNT state: one
+  *    co-maintained `<mv>__avgs` side table ([[avgSidePath]]) carries
+  *    (keys, liveness, `__s_<col>`, `__c_<col>`), folds from the same
+  *    net change feeds (it IS a plain COUNT/SUM rollup), and the view
+  *    column derives by replaying Average's own evaluate chain
+  *    ([[avgDerive]]) — bitwise for DECIMAL and integral arguments;
+  *    floating-point AVG demotes to full recompute (a double sum is
+  *    partition-order dependent, so fold-vs-recompute parity is not
+  *    even well-defined).
   *
   *    Any other shape (outer joins, distinct counts, windows, a
   *    self-join of a changed source, a schema-unstable or vacuumed
@@ -92,6 +100,84 @@ object MatView {
     */
   private[graft] def sidePath(mvPath: String, stateCol: String): String =
     s"${mvPath}__dset_${stateCol.toLowerCase}"
+
+  /** The co-maintained AVG-STATE side table: ONE sibling table per MV
+    * (`<mv>__avgs`) holding the auto-expanded SUM+COUNT state behind
+    * every AVG column — (group keys, `__n` liveness, `__s_<col>`,
+    * `__c_<col>` per avg column). Folded from the same net change
+    * feeds as the view (its shape IS a plain COUNT/SUM rollup, so it
+    * rides the identical fold); the view's avg columns derive from it
+    * on every refresh by replaying Average's own evaluate chain.
+    */
+  private[graft] def avgSidePath(mvPath: String): String = s"${mvPath}__avgs"
+
+  /** The avg expansion is incremental only for EXACT-typed arguments
+    * (decimal or integral sums fold bitwise); floating-point sums are
+    * partition-order dependent, so parity with a recompute is not even
+    * well-defined — those views demote to full recompute.
+    */
+  private def exactAvg(childDf: DataFrame, sh: Shape): Boolean =
+    sh.avgCols.forall { case (_, e) =>
+      childDf.select(ColumnBridge.column(e)).schema.head.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    }
+
+  /** Replay Average's evaluate chain over folded SUM/COUNT state: the
+    * sum state already carries Average's own buffer type (SUM over
+    * DECIMAL(p,s) = DECIMAL(p+10,s)), so decimal division + the final
+    * cast is bitwise the direct plan's avg; integral sums divide as
+    * exact doubles. A zero count yields NULL (avg over empty/all-null)
+    * — guarded with `when` so ANSI division never sees a zero.
+    */
+  private[graft] def avgDerive(sumC: Column, cntC: Column,
+                               sumDt: org.apache.spark.sql.types.DataType,
+                               outDt: org.apache.spark.sql.types.DataType): Column =
+    sumDt match {
+      case _: org.apache.spark.sql.types.DecimalType =>
+        when(cntC > 0, (sumC /
+          cntC.cast(org.apache.spark.sql.types.DecimalType(20, 0))).cast(outDt))
+      case _ =>
+        when(cntC > 0, (sumC.cast("double") / cntC.cast("double")).cast(outDt))
+    }
+
+  /** The avg side table body: one row per live group with the
+    * liveness count and each avg column's sum/non-null-count state.
+    */
+  private def avgSideState(childDf: DataFrame, shape: Shape): DataFrame = {
+    val ash = shape.avgShape
+    val aggs = ash.cols.collect {
+      case (n, CountStar) => count(lit(1)).as(n)
+      case (n, SumOf(e)) => sum(ColumnBridge.column(e)).as(n)
+      case (n, CountOf(e)) => count(ColumnBridge.column(e)).as(n)
+    }
+    childDf.groupBy(ash.keys.map { case (sn, ke) =>
+        ColumnBridge.column(ke).as(sn) }: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Overwrite the view's AVG columns from the avg side state —
+    * state-sized join on the group keys, column order preserved.
+    */
+  private def patchAvg(mv: DataFrame, side: DataFrame, shape: Shape,
+                       curSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val sideSchema = side.schema
+    val a = mv.alias("__mv")
+    val b = side.alias("__as")
+    val on = shape.keys.map(_._1)
+      .map(k => col(s"__mv.$k") <=> col(s"__as.$k")).reduce(_ && _)
+    a.join(b, on, "left").select(shape.cols.map {
+      case (n, AvgOf(_)) =>
+        avgDerive(col(s"__as.__s_$n"), col(s"__as.__c_$n"),
+          sideSchema(s"__s_$n").dataType, curSchema(n).dataType).as(n)
+      case (n, _) => col(s"__mv.$n")
+    }: _*)
+  }
 
   /** Is this snapshot table a materialized view? */
   def isMatView(m: Snapshot.Manifest): Boolean = m.properties.contains(SqlProp)
@@ -133,7 +219,8 @@ object MatView {
     // distinct-state side tables from the SAME pinned reads. A crash
     // before a side lands leaves it missing — the first REFRESH heals
     // by full recompute (sideOk demotes) and recreates it.
-    rollupShape(plan).filter(_.distinctCols.nonEmpty).foreach { sh =>
+    val shapeC = rollupShape(plan)
+    shapeC.filter(_.distinctCols.nonEmpty).foreach { sh =>
       val childDf = PlanBridge.dataFrame(spark, substituted(sh.child, reads))
       sh.distinctCols.foreach { case (n, e) =>
         val sp = sidePath(mvPath, n)
@@ -144,6 +231,23 @@ object MatView {
         val sm = Snapshot.latestManifest(spark, sp).get
         Snapshot.commitMetaOn(spark, sp, sm,
           s"MATERIALIZE DISTINCT STATE ${vs.mkString("v", ",v", "")}")(mm =>
+          mm.copy(streamBatch = mm.streamBatch ++ wmEntries(srcs, vs)))
+      }
+    }
+    // AVG columns of a rollup-shaped view with exact-typed arguments
+    // co-create the ONE avg-state side table — same pinned reads, same
+    // crash-healing contract
+    shapeC.filter(_.avgCols.nonEmpty).foreach { sh =>
+      val childDf = PlanBridge.dataFrame(spark, substituted(sh.child, reads))
+      if (exactAvg(childDf, sh)) {
+        val sp = avgSidePath(mvPath)
+        require(Snapshot.latestVersion(spark, sp).isEmpty,
+          s"avg-state side table already exists: $sp")
+        Snapshot.create(spark, sp, avgSideState(childDf, sh),
+          properties = Map(SideProp -> mvPath))
+        val sm = Snapshot.latestManifest(spark, sp).get
+        Snapshot.commitMetaOn(spark, sp, sm,
+          s"MATERIALIZE AVG STATE ${vs.mkString("v", ",v", "")}")(mm =>
           mm.copy(streamBatch = mm.streamBatch ++ wmEntries(srcs, vs)))
       }
     }
@@ -200,10 +304,26 @@ object MatView {
         }
       }
     }
+    // ...the AVG tier likewise needs its (one) side table healthy AND
+    // exact-typed arguments (decimal/integral sums fold bitwise;
+    // floating sums have no well-defined recompute parity)
+    def avgSideOk(sh: Shape): Boolean =
+      Snapshot.latestManifest(spark, avgSidePath(mvPath)).exists { sm =>
+        srcs.indices.forall { i =>
+          sm.streamBatch.get(wmKey(srcs, i)).exists(sv =>
+            sv == vNows(i) || (sv < vNows(i) && windowOkFrom(i, sv)))
+        }
+      }
+    def avgTypesExact(sh: Shape): Boolean = {
+      val reads = srcs.indices.map(i => srcKey(srcs(i)) ->
+        Snapshot.readVersion(spark, paths(i), vNows(i)).queryExecution.logical).toMap
+      exactAvg(PlanBridge.dataFrame(spark, substituted(sh.child, reads)), sh)
+    }
     val incremental =
       if (changed.forall(i => windowOk(i) &&
           occurrences(plan, srcKey(srcs(i))) == 1))
-        shape0.filter(sh => sh.distinctCols.isEmpty || sideOk(sh))
+        shape0.filter(sh => (sh.distinctCols.isEmpty || sideOk(sh)) &&
+          (sh.avgCols.isEmpty || (avgTypesExact(sh) && avgSideOk(sh))))
       else None
     // O(change), any number of changed sources — the TELESCOPING delta
     // rule: Q(new…) − Q(old…) = Σ_k replay_k, where replay_k feeds
@@ -244,7 +364,8 @@ object MatView {
       // has exactly one consumer — skip the materialization there.
       lazy val replays = {
         val r = replaysFor(vFroms(_).get, changed)
-        if (shape.distinctCols.isEmpty) r else r.map(_.localCheckpoint())
+        if (shape.distinctCols.isEmpty && shape.avgCols.isEmpty) r
+        else r.map(_.localCheckpoint())
       }
       // DISTINCT STATE first: fold each side table's (keys, value)
       // counts over ITS window and commit — all side commits land
@@ -282,6 +403,32 @@ object MatView {
           srcKey(srcs(i)) -> (if (changed.contains(i)) readAt(i, vNows(i))
           else readAt(i, vFroms(i).get))
         }.toMap))
+      // AVG STATE next: the one avg side table folds through the SAME
+      // machinery as the view (its shape is a plain COUNT/SUM rollup
+      // over the same child) — committed BEFORE the view, exactly like
+      // the distinct sides, with the identical crash-divergence story
+      if (shape.avgCols.nonEmpty) {
+        val ash = shape.avgShape
+        val sp = avgSidePath(mvPath)
+        val sm = Snapshot.latestManifest(spark, sp).get
+        val sFroms = srcs.indices.map(i => sm.streamBatch(wmKey(srcs, i)))
+        val sChanged = srcs.indices.filterNot(i => sFroms(i) >= vNows(i))
+        if (sChanged.nonEmpty) {
+          val sameWindow = sChanged == changed &&
+            sChanged.forall(i => vFroms(i).contains(sFroms(i)))
+          val feeds = if (sameWindow) replays else replaysFor(sFroms(_), sChanged)
+          val aDelta = groupedDelta(feeds, ash).localCheckpoint()
+          if (aDelta.isEmpty)
+            Snapshot.commitMetaOn(spark, sp, sm,
+              s"REFRESH AVG STATE $opTail (no-op window)")(stamp)
+          else
+            Snapshot.replaceWholeTableOn(spark, sp, sm,
+              foldDeltas(Snapshot.readManifestFiles(spark, sp, sm, sm.files),
+                aDelta, ash, childAtNew),
+              op = s"REFRESH AVG STATE $opTail (incremental)",
+              finish = stamp)
+        }
+      }
       val current = Snapshot.readManifestFiles(spark, mvPath, mvM, mvM.files)
       // evaluate the replays EXACTLY ONCE: the grouped delta is
       // state-group-sized, so it checkpoints cheaply, and both the
@@ -299,10 +446,15 @@ object MatView {
         // states: per-group row counts of a state-sized table — never
         // a fact pass
         val curSchema = org.apache.spark.sql.types.StructType.fromDDL(mvM.schemaDdl)
-        val next = shape.distinctCols.foldLeft(folded) { case (acc, (n, _)) =>
+        val next0 = shape.distinctCols.foldLeft(folded) { case (acc, (n, _)) =>
           patchDistinct(acc, Snapshot.read(spark, sidePath(mvPath, n)),
             n, shape, curSchema(n).dataType)
         }
+        // AVG columns derive from the just-committed avg side state —
+        // one state-sized join for all of them
+        val next = if (shape.avgCols.isEmpty) next0
+          else patchAvg(next0, Snapshot.read(spark, avgSidePath(mvPath)),
+            shape, curSchema)
         Snapshot.replaceWholeTableOn(spark, mvPath, mvM, next,
           op = s"REFRESH MATERIALIZED VIEW $opTail (incremental)", finish = stamp)
       }
@@ -336,6 +488,30 @@ object MatView {
                 val sm = Snapshot.latestManifest(spark, sp).get
                 Snapshot.commitMetaOn(spark, sp, sm,
                   s"MATERIALIZE DISTINCT STATE $opTail")(stamp)
+            }
+          }
+        }
+        // ...and the avg side heals the same way (exact-typed args
+        // only — a floating-AVG view never owns one)
+        shape0.filter(_.avgCols.nonEmpty).foreach { sh =>
+          val childDf = PlanBridge.dataFrame(spark, substituted(sh.child, reads))
+          if (exactAvg(childDf, sh)) {
+            val sp = avgSidePath(mvPath)
+            val current = Snapshot.latestManifest(spark, sp)
+            val sideCurrent = current.exists(sm => srcs.indices.forall(i =>
+              sm.streamBatch.get(wmKey(srcs, i)).exists(_ >= vNows(i))))
+            if (!sideCurrent) current match {
+              case Some(sm) =>
+                Snapshot.replaceWholeTableOn(spark, sp, sm,
+                  avgSideState(childDf, sh),
+                  op = s"REFRESH AVG STATE $opTail (full recompute)",
+                  finish = stamp)
+              case None =>
+                Snapshot.create(spark, sp, avgSideState(childDf, sh),
+                  properties = Map(SideProp -> mvPath))
+                val sm = Snapshot.latestManifest(spark, sp).get
+                Snapshot.commitMetaOn(spark, sp, sm,
+                  s"MATERIALIZE AVG STATE $opTail")(stamp)
             }
           }
         }
@@ -374,6 +550,26 @@ object MatView {
     val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
     val srcs = sourceRelations(plan, sqlText)
     val sp = sidePath(mvPath, stateCol)
+    Snapshot.latestManifest(spark, sp).filter { sm =>
+      sm.properties.get(SideProp).exists(p =>
+        Snapshot.qualifiedRoot(spark, p) == Snapshot.qualifiedRoot(spark, mvPath)) &&
+        srcs.indices.forall(i => sm.streamBatch.get(wmKey(srcs, i)).isDefined &&
+          sm.streamBatch.get(wmKey(srcs, i)) == mvM.streamBatch.get(wmKey(srcs, i)))
+    }.map(sm => sp -> sm.version)
+  }
+
+  /** Auto-route support for the AVG containment tier over an
+    * AVG-declaring view: the avg-state side table, IF exactly in sync
+    * with the view (same watermark per source — the [[sideRouteInfo]]
+    * contract). Returns (side path, side version).
+    */
+  private[graft] def avgRouteInfo(spark: SparkSession,
+                                  mvPath: String): Option[(String, Long)] = {
+    val mvM = Snapshot.latestManifest(spark, mvPath).getOrElse(return None)
+    val sqlText = mvM.properties.getOrElse(SqlProp, return None)
+    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    val srcs = sourceRelations(plan, sqlText)
+    val sp = avgSidePath(mvPath)
     Snapshot.latestManifest(spark, sp).filter { sm =>
       sm.properties.get(SideProp).exists(p =>
         Snapshot.qualifiedRoot(spark, p) == Snapshot.qualifiedRoot(spark, mvPath)) &&
@@ -446,6 +642,20 @@ object MatView {
                                  child: LogicalPlan) {
     def distinctCols: Seq[(String, Expression)] =
       cols.collect { case (n, DistinctOf(e)) => n -> e }
+    def avgCols: Seq[(String, Expression)] =
+      cols.collect { case (n, AvgOf(e)) => n -> e }
+    /** The avg side table's own rollup shape: same keys and child,
+      * state columns `__n` (liveness) + per avg column `__s_<name>`
+      * (sum) and `__c_<name>` (non-null count) — so the side folds
+      * through the very machinery that folds the view.
+      */
+    def avgShape: Shape = Shape(keys,
+      keys.map { case (sn, ke) => sn -> (KeyOf(ke): AggCol) } ++
+        (("__n" -> (CountStar: AggCol)) +: avgCols.flatMap { case (n, e) =>
+          Seq(s"__s_$n" -> (SumOf(e): AggCol),
+            s"__c_$n" -> (CountOf(e): AggCol))
+        }),
+      child)
   }
   private sealed trait AggCol
   private final case class KeyOf(keyExpr: Expression) extends AggCol
@@ -455,6 +665,7 @@ object MatView {
   private final case class MinOf(e: Expression) extends AggCol
   private final case class MaxOf(e: Expression) extends AggCol
   private final case class DistinctOf(e: Expression) extends AggCol
+  private final case class AvgOf(e: Expression) extends AggCol
 
   /** Scalar SQL functions admissible inside an expression-valued
     * grouping key: known-deterministic at PARSE time. An unresolved
@@ -527,9 +738,13 @@ object MatView {
             e.exists(_.isInstanceOf[UnresolvedAttribute]) => ()
         case _ => return None
       }
+      // a FILTER (WHERE …) clause is invisible to the delta fold —
+      // folding the unfiltered argument would silently diverge, so
+      // every arm requires filter.isEmpty (demoting to full recompute)
       def aggOf(e: Expression): Option[AggCol] = e match {
         case f: UnresolvedFunction
-            if f.nameParts.map(_.toLowerCase) == Seq("count") =>
+            if f.nameParts.map(_.toLowerCase) == Seq("count") &&
+              f.filter.isEmpty =>
           f.arguments match {
             case Seq(Literal(1, _)) if !f.isDistinct => Some(CountStar)
             case Seq(_: UnresolvedStar) if !f.isDistinct => Some(CountStar)
@@ -543,7 +758,8 @@ object MatView {
           }
         case f: UnresolvedFunction
             if Seq(Seq("sum"), Seq("min"), Seq("max"))
-              .contains(f.nameParts.map(_.toLowerCase)) && !f.isDistinct =>
+              .contains(f.nameParts.map(_.toLowerCase)) && !f.isDistinct &&
+              f.filter.isEmpty =>
           f.arguments match {
             case Seq(arg) if arg.deterministic &&
               arg.collectFirst { case g: UnresolvedFunction => g }.isEmpty =>
@@ -552,6 +768,23 @@ object MatView {
                 case Seq("min") => Some(MinOf(arg))
                 case _ => Some(MaxOf(arg))
               }
+            case _ => None
+          }
+        // AVG(x) auto-expands into internal SUM+COUNT state — one
+        // co-maintained `<mv>__avgs` side table carries (keys, __n,
+        // __s_<col>, __c_<col>); the view's avg column derives from
+        // them on every refresh by replaying Average's own evaluate
+        // chain (funnel_emisor.py:160-164 publishes avg_minutes on
+        // every rollup — porting it verbatim must not lose
+        // incrementality)
+        case f: UnresolvedFunction
+            if Seq(Seq("avg"), Seq("mean"))
+              .contains(f.nameParts.map(_.toLowerCase)) && !f.isDistinct &&
+              f.filter.isEmpty =>
+          f.arguments match {
+            case Seq(arg) if arg.deterministic &&
+              arg.collectFirst { case g: UnresolvedFunction => g }.isEmpty =>
+              Some(AvgOf(arg))
             case _ => None
           }
         case _ => None
@@ -742,10 +975,11 @@ object MatView {
         (coalesce(col(s"__cur.$name"), lit(0L)) +
           coalesce(col(s"__d_$name"), lit(0L)))
           .cast(curSchema(name).dataType).as(name)
-      // distinct counts are PATCHED from the folded side table after
-      // this fold (see refresh) — pass the stale value through; a
-      // brand-new group passes null, the patch overwrites both
-      case DistinctOf(_) =>
+      // distinct counts and avg columns are PATCHED from their folded
+      // side tables after this fold (see refresh) — pass the stale
+      // value through; a brand-new group passes null, the patch
+      // overwrites both
+      case DistinctOf(_) | AvgOf(_) =>
         col(s"__cur.$name").cast(curSchema(name).dataType).as(name)
       case SumOf(_) =>
         // delta-null tracking: both sides null stays null (an all-null
@@ -812,6 +1046,8 @@ object MatView {
       case (name, DistinctOf(e)) =>
         count_distinct(ColumnBridge.column(e))
           .cast(curSchema(name).dataType).as(name)
+      case (name, AvgOf(e)) =>
+        avg(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
     }
     val rederived = src.join(broadcast(aff), semiOn, "left_semi")
       .groupBy(shape.keys.indices.map(i => col(s"__gk_$i")): _*)

@@ -210,8 +210,35 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
               }.toMap
               case _ => Map.empty
             }
+            // AVG columns the view auto-expanded into the `<mv>__avgs`
+            // side: normalized argument → (side path, side version,
+            // state column stem) — only when the side is EXACTLY in
+            // sync with the view
+            val astate: Map[Expression, (String, Long, String)] =
+              strip(analyzed) match {
+                case ag: Aggregate => MatView.avgRouteInfo(session, mvPath) match {
+                  case Some((sp, sv)) => ag.aggregateExpressions.flatMap { ne =>
+                    val (nm, ex) = ne match {
+                      case al: Alias => (al.name, al.child)
+                      case a => (a.name, a: Expression)
+                    }
+                    ex match {
+                      case ae: AggregateExpression
+                          if !ae.isDistinct && ae.filter.isEmpty =>
+                        ae.aggregateFunction match {
+                          case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average =>
+                            Some(norm(a.child, leaves) -> ((sp, sv, nm)))
+                          case _ => None
+                        }
+                      case _ => None
+                    }
+                  }.toMap
+                  case None => Map.empty
+                }
+                case _ => Map.empty
+              }
             Some(Entry(mvPath, ver, resolved.flatten.toMap, analyzed,
-              leaves, stateRowsOf(mvPath, ver), dstate))
+              leaves, stateRowsOf(mvPath, ver), dstate, astate))
           }
         }
       })
@@ -441,6 +468,28 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
       org.apache.spark.sql.graftbridge.ColumnBridge.column(t).as(s"__gk_$i")
     }
     val gkNames = gTrans.indices.map(i => s"__gk_$i")
+    // Average's evaluate chain replayed over re-summed state: exact
+    // decimal buffers (the same Divide + cast) for decimal args, exact
+    // long sums → one double division for integral args; floating args
+    // refuse on principle. The when-guard returns NULL for an all-null
+    // coarse group instead of an ANSI divide-by-zero.
+    def avgChain(a: Average, sumC: Column, cntC: Column): Option[Column] = {
+      val cnt = F.sum(cntC)
+      a.child.dataType match {
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          val sumT = org.apache.spark.sql.types.DecimalType(
+            math.min(dt.precision + 10,
+              org.apache.spark.sql.types.DecimalType.MAX_PRECISION), dt.scale)
+          Some(F.when(cnt > 0, F.sum(sumC).cast(sumT) /
+            cnt.cast(org.apache.spark.sql.types.DecimalType(20, 0))))
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          Some(F.when(cnt > 0, F.sum(sumC).cast("double") / cnt.cast("double")))
+        case _ => None
+      }
+    }
     // each query output: an expression of the query's own grouping
     // expressions (passthrough over the routed grouping columns), a
     // re-aggregate over the MV state, or a COUNT(DISTINCT) derived
@@ -496,22 +545,26 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
               // exact when the sums are DECIMAL (the routed division
               // replays Average's own evaluate chain bitwise: exact
               // decimal sum buffers, then the same Divide + final cast
-              // the binding Project applies). Floating-point AVG
+              // the binding Project applies) or INTEGRAL (exact long
+              // sums, one double division). Floating-point AVG
               // REFUSES: Spark's own double sum buffer is partition-
               // order-dependent, so bitwise parity between the routed
               // reassociation and the direct plan cannot be guaranteed.
               case a: Average if sumCol.contains(normQ(a.child)) &&
                   cntColOf.contains(normQ(a.child)) =>
-                a.child.dataType match {
-                  case dt: org.apache.spark.sql.types.DecimalType =>
-                    val sumT = org.apache.spark.sql.types.DecimalType(
-                      math.min(dt.precision + 10,
-                        org.apache.spark.sql.types.DecimalType.MAX_PRECISION),
-                      dt.scale)
-                    AggOut(F.sum(F.col(sumCol(normQ(a.child)))).cast(sumT) /
-                      F.sum(F.col(cntColOf(normQ(a.child))))
-                        .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
-                  case _ => return None
+                avgChain(a, F.col(sumCol(normQ(a.child))),
+                  F.col(cntColOf(normQ(a.child)))) match {
+                  case Some(c) => AggOut(c)
+                  case None => return None
+                }
+              // ...or from the `<mv>__avgs` side state the view
+              // auto-expanded its own AVG column into (the view
+              // exposes only the avg; the sums live in the side)
+              case a: Average if e.astate.contains(normQ(a.child)) =>
+                val (p, v, stem) = e.astate(normQ(a.child))
+                avgChain(a, F.col(s"__s_$stem"), F.col(s"__c_$stem")) match {
+                  case Some(c) => AOut(p, v, c)
+                  case None => return None
                 }
               case _ => return None
             }
@@ -534,8 +587,15 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
         }
       }
     val aggCols = outs.zipWithIndex.collect { case (AggOut(c), i) => c.as(s"__r_$i") }
-    val dOuts = outs.zipWithIndex.collect { case (DOut(p, v), i) => (p, v, i) }
-    if (aggCols.isEmpty && dOuts.isEmpty) return None // bare keys: not worth it
+    // outputs re-aggregated from a SIDE table (distinct-state /
+    // avg-state): (path, pinned version, the per-coarse-group
+    // aggregate, the default for groups with no side rows)
+    val sOuts = outs.zipWithIndex.collect {
+      case (DOut(p, v), i) =>
+        (p, v, F.count_distinct(F.col("__v")), Some(F.lit(0L)), i)
+      case (AOut(p, v, c), i) => (p, v, c, None, i)
+    }
+    if (aggCols.isEmpty && sOuts.isEmpty) return None // bare keys: not worth it
     // every attribute of a peeled key predicate must be EXPOSED as a
     // state column, or the compensation cannot be expressed
     val statePred: Option[Column] =
@@ -569,30 +629,30 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
         val grouped =
           if (gkCols.isEmpty) mvDf.groupBy().agg(baseAggs.head, baseAggs.tail: _*)
           else mvDf.groupBy(gkCols: _*).agg(baseAggs.head, baseAggs.tail: _*)
-        // each COUNT(DISTINCT) output re-counts from ITS side table
+        // each side-backed output re-aggregates from ITS side table
         // (pinned at the entry's recorded version — a moved side
-        // refuses), left-joined back on the coarse keys: a group whose
-        // values are all null has no side rows and counts 0
-        val withD = dOuts.foldLeft(grouped) { case (acc, (p, v, i)) =>
+        // refuses), left-joined back on the coarse keys. A distinct
+        // count defaults to 0 for groups whose values are all null (no
+        // side rows); an avg side always covers every live group.
+        val withD = sOuts.foldLeft(grouped) { case (acc, (p, v, aggC, dflt, i)) =>
           val sDf0 = session.read.format("graft.sources.SnapshotSource").load(p)
           if (!leafInfo(strip(sDf0.queryExecution.analyzed)).exists(_._2 == v))
             return None
           val sDf = statePred.map(sDf0.where).getOrElse(sDf0)
           if (gkCols.isEmpty)
-            acc.crossJoin(
-              sDf.groupBy().agg(F.count_distinct(F.col("__v")).as(s"__r_$i")))
+            acc.crossJoin(sDf.groupBy().agg(aggC.as(s"__r_$i")))
           else {
             // the side carries the same fine-key state columns, so the
             // SAME routed grouping expressions apply to it
-            val sAgg = sDf.groupBy(gkCols: _*)
-              .agg(F.count_distinct(F.col("__v")).as(s"__r_$i"))
+            val sAgg = sDf.groupBy(gkCols: _*).agg(aggC.as(s"__r_$i"))
             val a = acc.alias("__a")
             val b = sAgg.alias(s"__s$i")
             val on = gkNames.map(k => F.col(s"__a.$k") <=> F.col(s"__s$i.$k"))
               .reduce(_ && _)
             a.join(b, on, "left").select(
               acc.columns.map(c => F.col(s"__a.$c")) :+
-                F.coalesce(F.col(s"__s$i.__r_$i"), F.lit(0L)).as(s"__r_$i"): _*)
+                dflt.map(d => F.coalesce(F.col(s"__s$i.__r_$i"), d))
+                  .getOrElse(F.col(s"__s$i.__r_$i")).as(s"__r_$i"): _*)
           }
         }
         withD.select(outs.zipWithIndex.map {
@@ -666,13 +726,19 @@ object MvAutoRoute {
     * (pinned at the recorded version).
     */
   private final case class DOut(path: String, version: Long) extends Out
+  /** An AVG re-derived from the `<mv>__avgs` side state (pinned at
+    * the recorded version): the ready-made SUM/SUM replay chain.
+    */
+  private final case class AOut(path: String, version: Long,
+                                agg: Column) extends Out
 
   private final case class Entry(mvPath: String, mvVersion: Long,
                                  watermarks: Map[String, Long],
                                  defining: LogicalPlan,
                                  leaves: Map[ExprId, String],
                                  stateRows: Long,
-                                 dstate: Map[Expression, (String, Long)])
+                                 dstate: Map[Expression, (String, Long)],
+                                 astate: Map[Expression, (String, Long, String)])
 
   /** Entries keyed by (qualified MV root, MV version): a REFRESH bumps
     * the version and naturally invalidates; stale keys are harmless

@@ -3116,6 +3116,85 @@ object LayoutPack extends QueryPack {
       .orderBy("dia")
   }
 
+  /** AVG AUTO-EXPANSION — the reference publishes avg_minutes on every
+    * rollup (funnel_emisor.py:160-164, audio_digital.py:262-263); a
+    * view porting those queries verbatim declares AVG in its defining
+    * SQL. The AVG column now auto-expands into a co-maintained
+    * `<mv>__avgs` side table (keys, liveness, sum, count — folded from
+    * the same net change feeds), the view column derives by replaying
+    * Average's own evaluate chain, and the refresh stays INCREMENTAL
+    * (required by the build). The same side then serves the
+    * CONTAINMENT ROUTE: a coarser AVG re-sums the side state — the
+    * plan pin REQUIRES exactly {MV, avg side} scanned. At 100 TB both
+    * the refresh and the route read state, never the fact table.
+    */
+  val q194 = QueryDef.staged(
+    "q194_avg_mv",
+    // oracle: Spark's AVG(DECIMAL(18,2)) = HALF_UP(exact quotient, 6dp)
+    // reproduced in exact integer arithmetic over the post-churn fact
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST((2 * CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) * 10000
+           |        + COUNT(o_totalprice))
+           |       // (2 * COUNT(o_totalprice)) AS DOUBLE) / 1000000.0 AS avg_price
+           |FROM orders WHERE NOT (o_orderkey % 10 = 7)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the AVG-declaring 2-key MV
+    // (avg side co-created).
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q194").toString
+    t.spark.conf.set("spark.sql.catalog.g194", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g194.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g194.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+      "o_orderpriority")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g194.db.mv AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS avg_price
+        |FROM g194.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    root
+  } { (t, root: String) =>
+    // MEASURED: churn (append + delete) + the incremental refresh of
+    // view AND avg side, then the routed coarser AVG + the plan pin.
+    import graft.operators.Snapshot
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+          "o_orderpriority").map(col): _*))
+    Snapshot.delete(t.spark, s"$root/db/src", col("o_orderkey") % 10 === 7)
+    t.spark.sql("REFRESH MATERIALIZED VIEW g194.db.mv")
+    val op = Snapshot.latestManifest(t.spark, s"$root/db/mv").get.operation
+    require(op.contains("(incremental)"),
+      s"q194: the AVG-declaring refresh must stay incremental, got: $op")
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS avg_price
+          |FROM g194.db.src GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      val side = graft.operators.MatView.avgSidePath(s"$root/db/mv")
+      require(scans == Set(s"$root/db/mv", side),
+        s"q194: expected the MV + avg-side route, got $scans")
+      routed.select(col("o_orderstatus"), col("n"),
+          col("avg_price").cast("double").as("avg_price"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   /** COUNT(DISTINCT key) WITHOUT A SIDE TABLE — when the distinct
     * argument IS an MV grouping key, the coarse distinct count is the
     * number of distinct key values among the member fine groups —
@@ -3177,5 +3256,5 @@ object LayoutPack extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q195)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q194, q195)
 }

@@ -598,6 +598,123 @@ class MatViewSpec extends SparkSpec {
       Snapshot.sqlQuery(spark, defining, reg).collect().toSet)
   }
 
+  test("AVG auto-expands into sum/count side state and refreshes incrementally") {
+    val root = Files.createTempDirectory("graft-mv-avg").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    // v is nullable (COUNT(v) < COUNT(*)); w integral exercises the
+    // long-sum → double-division replay
+    def rows(r: Range) = r.map { i =>
+      (i.toLong, s"k${i % 4}", if (i % 5 == 0) None else Some(i.toLong % 60),
+        (i % 7).toLong)
+    }.toDF("id", "k", "v", "w")
+    Snapshot.create(spark, srcP, rows(0 until 200))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      """SELECT k, COUNT(*) AS n, AVG(CAST(v AS DECIMAL(18,2))) AS avg_v,
+        |  AVG(w) AS avg_w
+        |FROM src GROUP BY k""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    def state() = Snapshot.read(spark, mvP)
+      .select("k", "n", "avg_v", "avg_w").orderBy("k").collect().toSeq
+    def recompute() = Snapshot.sqlQuery(spark, defining, reg)
+      .select("k", "n", "avg_v", "avg_w").orderBy("k").collect().toSeq
+    assert(state() == recompute(), "initial state")
+    assert(Snapshot.latestVersion(spark, MatView.avgSidePath(mvP)).isDefined,
+      "the avg side table is co-created")
+    def opIs(tag: String): Unit = {
+      val op = Snapshot.latestManifest(spark, mvP).get.operation
+      assert(op.contains(tag), s"expected $tag, got $op")
+    }
+    // insert window including a brand-new group
+    Snapshot.append(spark, srcP,
+      rows(1000 until 1040).withColumn("k", lit("kNEW")))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "insert window")
+    opIs("(incremental)")
+    // delete window: value churn + a whole group emptied
+    Snapshot.delete(spark, srcP, col("v") >= 55 || col("k") === "k2")
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "delete window")
+    assert(!state().exists(_.getString(0) == "k2"), "emptied group drops")
+    opIs("(incremental)")
+    // a group whose v becomes ALL NULL: avg_v must go NULL while the
+    // group stays alive via COUNT(*)
+    Snapshot.delete(spark, srcP, col("k") === "k1" && col("v").isNotNull)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "all-null-group window")
+    assert(state().exists(r => r.getString(0) == "k1" && r.isNullAt(2)),
+      "all-null group derives a NULL avg")
+    opIs("(incremental)")
+
+    // floating-point AVG demotes to full recompute and owns no side
+    // (double sums are partition-order dependent — no bitwise fold)
+    val mvF = s"$root/mvf"
+    val regF = reg + ("mvf" -> mvF)
+    val defF = "SELECT k, COUNT(*) AS n, AVG(CAST(v AS DOUBLE)) AS av " +
+      "FROM src GROUP BY k"
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mvf AS $defF", regF)
+    assert(Snapshot.latestVersion(spark, MatView.avgSidePath(mvF)).isEmpty,
+      "no avg side for a floating argument")
+    Snapshot.append(spark, srcP, rows(2000 until 2005))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mvf", regF)
+    assert(Snapshot.latestManifest(spark, mvF).get.operation
+      .contains("(full recompute)"), "floating AVG demotes")
+    assert(Snapshot.read(spark, mvF).select("k", "n", "av").collect().toSet ==
+      Snapshot.sqlQuery(spark, defF, regF).collect().toSet)
+
+    // a FILTER clause is invisible to the delta fold — it must demote
+    // (folding the unfiltered argument would silently diverge)
+    val mvFl = s"$root/mvfl"
+    val regFl = reg + ("mvfl" -> mvFl)
+    val defFl = "SELECT k, COUNT(*) AS n, " +
+      "SUM(CAST(v AS DECIMAL(18,2))) FILTER (WHERE v > 10) AS sv " +
+      "FROM src GROUP BY k"
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mvfl AS $defFl", regFl)
+    Snapshot.append(spark, srcP, rows(3000 until 3005))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mvfl", regFl)
+    assert(Snapshot.latestManifest(spark, mvFl).get.operation
+      .contains("(full recompute)"), "FILTER-carrying aggregate demotes")
+    assert(Snapshot.read(spark, mvFl).select("k", "n", "sv").collect().toSet ==
+      Snapshot.sqlQuery(spark, defFl, regFl).collect().toSet)
+  }
+
+  test("AVG tier: a crash between the avg side and view commits heals exactly-once") {
+    val root = Files.createTempDirectory("graft-mv-avg-crash").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    Snapshot.create(spark, srcP,
+      (0L until 60L).map(i => (i, s"k${i % 3}", i % 9)).toDF("id", "k", "v"))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      "SELECT k, COUNT(*) AS n, AVG(CAST(v AS DECIMAL(18,2))) AS av FROM src GROUP BY k"
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    Snapshot.append(spark, srcP, Seq((500L, "k0", 8L), (501L, "k1", 2L))
+      .toDF("id", "k", "v"))
+    // kill AFTER the avg side committed, BEFORE the view stages
+    var staged = 0
+    Snapshot.faultHook = stage => if (stage == "manifest-staged") {
+      staged += 1
+      if (staged == 2) throw new RuntimeException("injected crash")
+    }
+    val e = try intercept[RuntimeException](
+      Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg))
+    finally Snapshot.faultHook = _ => ()
+    assert(e.getMessage == "injected crash")
+    val sideWm = Snapshot.latestManifest(spark, MatView.avgSidePath(mvP)).get
+      .streamBatch(MatView.ConsumerId)
+    val viewWm = Snapshot.latestManifest(spark, mvP).get
+      .streamBatch(MatView.ConsumerId)
+    assert(sideWm > viewWm, "crash left the avg side ahead of the view")
+    // the rerun skips the current side and re-folds only the view
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(Snapshot.read(spark, mvP).select("k", "n", "av").collect().toSet ==
+      Snapshot.sqlQuery(spark, defining, reg).collect().toSet)
+    assert(Snapshot.latestManifest(spark, mvP).get.operation.contains("(incremental)"),
+      "the healing rerun must not demote to full recompute")
+    val v = Snapshot.latestVersion(spark, mvP).get
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(Snapshot.latestVersion(spark, mvP).get == v)
+  }
+
   test("expression-keyed MVs refresh incrementally; inadmissible keys demote") {
     val root = Files.createTempDirectory("graft-mv-exprkey").toString
     val (srcP, mvP) = (s"$root/src", s"$root/mv")

@@ -501,6 +501,66 @@ class MvRouteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  test("a coarser AVG routes through the auto-expanded avg side state") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    val srcPath = s"$wh/db/src10"
+    val mvPath = s"$wh/db/mv10"
+    // v nullable: COUNT state per group differs from n, so a wrong
+    // COUNT(*)-based derivation would show as a value mismatch
+    Snapshot.create(spark, srcPath,
+      (0L until 400L).map(i => (i, s"k${i % 4}", s"b${i % 3}",
+        if (i % 6 == 0) None else Some(i % 70)))
+        .toDF("id", "k", "b", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv10 AS
+        |SELECT k, b, COUNT(*) AS n, AVG(CAST(v AS DECIMAL(18,2))) AS av,
+        |  AVG(v) AS avl
+        |FROM gmr.db.src10 GROUP BY k, b""".stripMargin)
+    val sidePath = graft.operators.MatView.avgSidePath(mvPath)
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the view exposes only avg columns — the coarser AVG re-sums
+      // the side's sum/count state (decimal AND integral arguments)
+      val q = """SELECT k, COUNT(*) AS n, AVG(CAST(v AS DECIMAL(18,2))) AS av,
+                |  AVG(v) AS avl
+                |FROM gmr.db.src10 GROUP BY k""".stripMargin
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mvPath, sidePath),
+        s"coarser AVG routes through MV + avg side: ${scanPaths(routed)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q)
+      assert(scanPaths(direct) == Set(srcPath))
+      assert(routed.orderBy("k").collect().toSeq ==
+        direct.orderBy("k").collect().toSeq, "avg containment is exact")
+      assert(routed.schema == direct.schema, "routed schema is the query's")
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the GLOBAL avg derives too
+      val globalQ =
+        "SELECT AVG(CAST(v AS DECIMAL(18,2))) AS av FROM gmr.db.src10"
+      val global = spark.sql(globalQ)
+      assert(scanPaths(global) == Set(mvPath, sidePath), "global avg routes")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(global.collect().toSeq == spark.sql(globalQ).collect().toSeq)
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // a FLOATING avg argument refuses on principle
+      val dbl = spark.sql(
+        "SELECT k, AVG(CAST(v AS DOUBLE)) AS ad FROM gmr.db.src10 GROUP BY k")
+      assert(scanPaths(dbl) == Set(srcPath), "floating AVG refuses")
+      // STALENESS falls back whole; REFRESH re-arms (side in sync)
+      Snapshot.append(spark, srcPath,
+        Seq((900L, "k0", "b0", Some(33L))).toDF("id", "k", "b", "v"))
+      assert(scanPaths(spark.sql(q)) == Set(srcPath), "stale view must not serve")
+      spark.sql("REFRESH MATERIALIZED VIEW gmr.db.mv10")
+      val rearmed = spark.sql(q)
+      assert(scanPaths(rearmed) == Set(mvPath, sidePath), "refresh re-arms")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(rearmed.orderBy("k").collect().toSeq ==
+        spark.sql(q).orderBy("k").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   test("time hierarchy: expressions of MV keys route; non-key-pure refuse") {
     spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
