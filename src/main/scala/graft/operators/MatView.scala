@@ -193,6 +193,8 @@ object MatView {
   def create(spark: SparkSession, mvPath: String, sqlText: String,
              resolvePath: Seq[String] => String): Long = {
     Snapshot.requireNotInGroup("CREATE MATERIALIZED VIEW") // two commits
+    // defining SQL may call graft_* sketch functions (graft_bottomk)
+    graft.expressions.GraftFunctions.register(spark)
     require(Snapshot.latestVersion(spark, mvPath).isEmpty,
       s"materialized view already exists: $mvPath")
     val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
@@ -262,6 +264,9 @@ object MatView {
     */
   def refresh(spark: SparkSession, mvPath: String,
               resolvePath: Seq[String] => String): Option[(Long, Long)] = {
+    // the refresh session may differ from the creating one — the
+    // defining SQL (and the KMV fold) need the graft_* registrations
+    graft.expressions.GraftFunctions.register(spark)
     val mvM = Snapshot.latestManifest(spark, mvPath).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $mvPath"))
     val sqlText = mvM.properties.getOrElse(SqlProp, throw new IllegalArgumentException(
@@ -666,6 +671,7 @@ object MatView {
   private final case class MaxOf(e: Expression) extends AggCol
   private final case class DistinctOf(e: Expression) extends AggCol
   private final case class AvgOf(e: Expression) extends AggCol
+  private final case class KmvOf(e: Expression, k: Int) extends AggCol
 
   /** Scalar SQL functions admissible inside an expression-valued
     * grouping key: known-deterministic at PARSE time. An unresolved
@@ -785,6 +791,23 @@ object MatView {
             case Seq(arg) if arg.deterministic &&
               arg.collectFirst { case g: UnresolvedFunction => g }.isEmpty =>
               Some(AvgOf(arg))
+            case _ => None
+          }
+        // graft_bottomk(hash, k) — the KMV distinct sketch as BOUNDED
+        // MV state (the 100 TB relief valve for exact distinct: the
+        // side table is O(distinct pairs), the sketch is k longs per
+        // group). Inserts fold by the classic KMV merge (bottom-k of a
+        // union); deletes take a delete-triggered re-derive tier (see
+        // foldDeltas). The hash argument rides the same deterministic
+        // whitelist as key expressions (md5/conv/substring chains).
+        case f: UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("graft_bottomk") &&
+              !f.isDistinct && f.filter.isEmpty =>
+          f.arguments match {
+            case Seq(arg, Literal(k: Int, _))
+                if k > 0 && keyExprOk(arg) &&
+                  arg.exists(_.isInstanceOf[UnresolvedAttribute]) =>
+              Some(KmvOf(arg, k))
             case _ => None
           }
         case _ => None
@@ -917,6 +940,13 @@ object MatView {
       case (name, MaxOf(e)) => Seq(
         max(when(isIns, ColumnBridge.column(e))).as(s"__ins_$name"),
         max(when(!isIns, ColumnBridge.column(e))).as(s"__del_$name"))
+      // KMV: the window's inserted hashes as their own bottom-k sketch
+      // (mergeable into the state), plus the SMALLEST deleted hash —
+      // the only statistic the dent test needs
+      case (name, KmvOf(e, k)) => Seq(
+        call_function("graft_bottomk",
+          when(isIns, ColumnBridge.column(e)), lit(k)).as(s"__ins_$name"),
+        min(when(!isIns, ColumnBridge.column(e))).as(s"__delmin_$name"))
       case _ => Seq.empty
     }
     val keyCols = shape.keys.zipWithIndex.map { case ((_, ke), i) =>
@@ -934,6 +964,11 @@ object MatView {
         case (name, MaxOf(_)) =>
           Seq(max(col(s"__ins_$name")).as(s"__ins_$name"),
             max(col(s"__del_$name")).as(s"__del_$name"))
+        case (name, KmvOf(_, k)) => Seq(
+          slice(array_sort(array_distinct(
+            flatten(collect_list(col(s"__ins_$name"))))), 1, k)
+            .as(s"__ins_$name"),
+          min(col(s"__delmin_$name")).as(s"__delmin_$name"))
         case _ => Seq.empty
       }
       perFeed.reduce(_ unionByName _)
@@ -995,6 +1030,16 @@ object MatView {
       case MaxOf(_) =>
         greatest(col(s"__cur.$name"), col(s"__ins_$name"))
           .cast(curSchema(name).dataType).as(name)
+      // KMV insert merge: bottom-k of the union of the current sketch
+      // and the window's insert sketch — the classic KMV merge
+      // identity bottomk(bottomk(A) ∪ bottomk(B)) = bottomk(A ∪ B).
+      // Deletes are handled by the dent test below.
+      case KmvOf(_, k) =>
+        val empty = array().cast("array<bigint>")
+        slice(array_sort(array_union(
+          coalesce(col(s"__cur.$name"), empty),
+          coalesce(col(s"__ins_$name"), empty))), 1, k)
+          .cast(curSchema(name).dataType).as(name)
     }
     // a group needs re-derivation when a delete reaches the folded
     // extremum. The comparison is NULL when the window deleted nothing
@@ -1007,6 +1052,17 @@ object MatView {
       case (name, MaxOf(_)) => coalesce(
         col(s"__del_$name") >= greatest(col(s"__cur.$name"), col(s"__ins_$name")),
         lit(false))
+      // a KMV group dents when a deleted hash could be INSIDE the
+      // sketch: the sketch holds the whole distinct set (size < k), or
+      // the smallest deleted hash is at or under the kth statistic.
+      // A deleted hash above the kth was never in the sketch and can
+      // only move further out (inserts only lower the threshold).
+      // Conservative (the value may survive via other rows) but exact.
+      case (name, KmvOf(_, k)) =>
+        val cur = col(s"__cur.$name")
+        val dm = col(s"__delmin_$name")
+        coalesce(when(dm.isNotNull,
+          size(cur) < k || dm <= element_at(cur, size(cur))), lit(false))
     }
     val liveness = shape.cols.collectFirst { case (n, CountStar) => n }.get
     val folded = cur.join(dlt, on, "full_outer")
@@ -1048,6 +1104,9 @@ object MatView {
           .cast(curSchema(name).dataType).as(name)
       case (name, AvgOf(e)) =>
         avg(ColumnBridge.column(e)).cast(curSchema(name).dataType).as(name)
+      case (name, KmvOf(e, k)) =>
+        call_function("graft_bottomk", ColumnBridge.column(e), lit(k))
+          .cast(curSchema(name).dataType).as(name)
     }
     val rederived = src.join(broadcast(aff), semiOn, "left_semi")
       .groupBy(shape.keys.indices.map(i => col(s"__gk_$i")): _*)

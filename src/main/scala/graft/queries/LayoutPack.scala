@@ -3255,6 +3255,72 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  /** KMV SKETCH-STATE MV — the bounded-state relief valve for distinct
+    * counting at 100 TB: the exact distinct-state side table is
+    * O(distinct (keys, value) pairs); a `graft_bottomk` sketch column
+    * is k longs per group, folds inserts by the classic KMV merge
+    * (bottom-k of a union — proven merge == recompute bitwise by
+    * q49/q86's estimator machinery), and re-derives only groups a
+    * delete actually dented (smallest deleted hash at/under the kth
+    * statistic). The build REQUIRES the refresh landed
+    * "(incremental)"; the oracle replays the same KMV algorithm
+    * (row_number over md5-derived 32-bit hashes) over the post-churn
+    * fact, so the engine's sketch estimate hash-matches exactly.
+    */
+  val q196 = QueryDef.staged(
+    "q196_kmv_mv",
+    // oracle: bottom-16 hashed customers per status, KMV estimator
+    Some("""WITH h AS (
+           |  SELECT DISTINCT o_orderstatus,
+           |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+           |  FROM orders WHERE o_custkey IS NOT NULL AND NOT (o_orderkey % 10 = 3)
+           |), r AS (
+           |  SELECT o_orderstatus, hv,
+           |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn
+           |  FROM h
+           |)
+           |SELECT o_orderstatus, min(hv) AS h_min, max(hv) AS h_k,
+           |  (CAST(count(*) - 1 AS DOUBLE) * 4294967296.0) / max(hv) AS est_users
+           |FROM r WHERE rn <= 16
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the sketch-state MV.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q196").toString
+    t.spark.conf.set("spark.sql.catalog.g196", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g196.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g196.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g196.db.mv AS
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  graft_bottomk(CAST(CONV(SUBSTRING(MD5(CAST(o_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT), 16) AS uk
+        |FROM g196.db.src GROUP BY o_orderstatus""".stripMargin)
+    root
+  } { (t, root: String) =>
+    // MEASURED: churn (append + ~10% delete) + the incremental sketch
+    // fold, then the estimator over the folded state.
+    import graft.operators.Snapshot
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+          .map(col): _*))
+    Snapshot.delete(t.spark, s"$root/db/src", col("o_orderkey") % 10 === 3)
+    t.spark.sql("REFRESH MATERIALIZED VIEW g196.db.mv")
+    val op = Snapshot.latestManifest(t.spark, s"$root/db/mv").get.operation
+    require(op.contains("(incremental)"),
+      s"q196: the sketch fold must stay incremental, got: $op")
+    Snapshot.read(t.spark, s"$root/db/mv")
+      .select(col("o_orderstatus"),
+        element_at(col("uk"), 1).as("h_min"),
+        element_at(col("uk"), size(col("uk"))).as("h_k"),
+        (((size(col("uk")) - 1).cast("double")) * 4294967296.0 /
+          element_at(col("uk"), size(col("uk")))).as("est_users"))
+      .orderBy("o_orderstatus")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q194, q195)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196)
 }

@@ -715,6 +715,50 @@ class MatViewSpec extends SparkSpec {
     assert(Snapshot.latestVersion(spark, mvP).get == v)
   }
 
+  test("KMV sketch-state MV folds inserts and re-derives delete-dented groups") {
+    val root = Files.createTempDirectory("graft-mv-kmv").toString
+    val (srcP, mvP) = (s"$root/src", s"$root/mv")
+    // ~37 distinct users per group, k=8: the sketch is a strict subset
+    // and the kth statistic is live
+    def rows(r: Range, tag: String = "u") =
+      r.map(i => (i.toLong, s"k${i % 3}", s"$tag${i % 37}")).toDF("id", "k", "u")
+    Snapshot.create(spark, srcP, rows(0 until 300))
+    val reg = Map("src" -> srcP, "mv" -> mvP)
+    val defining =
+      """SELECT k, COUNT(*) AS n,
+        |  graft_bottomk(CAST(CONV(SUBSTRING(MD5(CAST(u AS STRING)), 1, 8), 16, 10) AS BIGINT), 8) AS uk
+        |FROM src GROUP BY k""".stripMargin
+    Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+    def dump(df: DataFrame) = df.select("k", "n", "uk").orderBy("k")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    def state() = dump(Snapshot.read(spark, mvP))
+    def recompute() = dump(Snapshot.sqlQuery(spark, defining, reg))
+    assert(state() == recompute(), "initial sketch state")
+    def opIs(tag: String): Unit = {
+      val op = Snapshot.latestManifest(spark, mvP).get.operation
+      assert(op.contains(tag), s"expected $tag, got $op")
+    }
+    // insert window: duplicates of existing users + brand-new users
+    // whose hashes can displace sketch entries — merge == recompute
+    Snapshot.append(spark, srcP, rows(1000 until 1080, tag = "w"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "insert merge window")
+    opIs("(incremental)")
+    // delete window: some users removed ENTIRELY (their hashes must
+    // leave the sketch), others keep occurrences via duplicates
+    Snapshot.delete(spark, srcP,
+      col("u").isin("u0", "u3", "u17", "w5", "w20") || col("id") === 7L)
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "delete-dent window")
+    opIs("(incremental)")
+    // mixed window: inserts + deletes together
+    Snapshot.append(spark, srcP, rows(2000 until 2030, tag = "z"))
+    Snapshot.delete(spark, srcP, col("u").isin("z5", "u11"))
+    Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+    assert(state() == recompute(), "mixed window")
+    opIs("(incremental)")
+  }
+
   test("expression-keyed MVs refresh incrementally; inadmissible keys demote") {
     val root = Files.createTempDirectory("graft-mv-exprkey").toString
     val (srcP, mvP) = (s"$root/src", s"$root/mv")
