@@ -367,35 +367,6 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     // collide across join sides, leaves do not
     def normQ(x: Expression): Expression = norm(x, qLeaves)
     def normD(x: Expression): Expression = norm(x, e.leaves)
-    // KEY-PREDICATE COMPENSATION: conjuncts of the query's top filter
-    // that reference ONLY the MV's bare-column grouping keys can be
-    // peeled off and re-applied to the MV STATE instead (every fact
-    // row of a state group shares its key values, so the filter
-    // commutes with the rollup exactly). The residue must still equal
-    // the defining child tree.
-    val (keyPred, childQ) = strip(agg.child) match {
-      case Filter(cond, rest) =>
-        import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference}
-        def conjuncts(x: Expression): Seq[Expression] = x match {
-          case And(l, r) => conjuncts(l) ++ conjuncts(r)
-          case other => Seq(other)
-        }
-        val conjs = conjuncts(cond)
-        def keyOnly(c: Expression): Boolean =
-          c.deterministic && !c.containsPattern(
-            org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) &&
-            c.references.nonEmpty && c.collectFirst {
-              case a: AttributeReference
-                  if !defn.groupingExpressions.exists(g => normD(g) == normQ(a)) => a
-            }.isEmpty
-        val (peel, residue) = conjs.partition(keyOnly)
-        if (peel.isEmpty) (Nil, agg.child)
-        else (peel,
-          residue.reduceOption(And).map(r => Filter(r, rest): LogicalPlan)
-            .getOrElse(rest))
-      case _ => (Nil, agg.child)
-    }
-    if (!same(childQ, defn.child, e.watermarks, qLeaves, e.leaves)) return None
     // classify the MV state columns: key columns by normalized
     // grouping expression; SUM/MIN/MAX columns by normalized argument;
     // the COUNT(*) column
@@ -448,10 +419,35 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
       if (!g.deterministic || g.containsPattern(
           org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
         return None
+      import org.apache.spark.sql.catalyst.expressions.{TruncDate, TruncTimestamp}
+      import org.apache.spark.sql.types.StringType
       val t = g.transformDown {
-        case e if keyCol.contains(normQ(e)) =>
+        case x if keyCol.contains(normQ(x)) =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-            Seq(keyCol(normQ(e))))
+            Seq(keyCol(normQ(x))))
+        // GRAIN NESTING: date_trunc('month', ts) over an MV keyed by
+        // date_trunc('day', ts) rewrites to date_trunc('month',
+        // day_key) — truncating an already-truncated value to a
+        // COARSER nesting grain is the identity composition
+        // (month∘day = month). ISO weeks only nest over sub-day
+        // grains, and nothing coarser nests over week (a week spans
+        // month/year boundaries).
+        case x @ TruncTimestamp(Literal(fg, StringType), childE, tz) =>
+          keyCol.collectFirst {
+            case (TruncTimestamp(Literal(fk, StringType), kc, _), nm)
+                if kc == normQ(childE) && grainNests(fg.toString, fk.toString) =>
+              TruncTimestamp(Literal.create(fg.toString, StringType),
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(nm)),
+                tz): Expression
+          }.getOrElse(x)
+        case x @ TruncDate(childE, Literal(fg, StringType)) =>
+          keyCol.collectFirst {
+            case (TruncDate(kc, Literal(fk, StringType)), nm)
+                if kc == normQ(childE) && grainNests(fg.toString, fk.toString) =>
+              TruncDate(
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(nm)),
+                Literal.create(fg.toString, StringType)): Expression
+          }.getOrElse(x)
       }
       if (t.exists(x =>
         x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] ||
@@ -460,6 +456,34 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val gTrans: Seq[Expression] =
       agg.groupingExpressions.map(g => translateKey(g).getOrElse(return None))
+    // KEY-PREDICATE COMPENSATION: conjuncts of the query's top filter
+    // that are themselves key-derivable expressions (bare keys,
+    // expressions of keys, nested grains) peel off and re-apply to the
+    // MV STATE instead — every fact row of a state group shares its
+    // key values, so any deterministic function of them commutes with
+    // the rollup exactly. The residue must still equal the defining
+    // child tree.
+    val (peelPred, childQ): (Option[Column], LogicalPlan) =
+      strip(agg.child) match {
+        case Filter(cond, rest) =>
+          import org.apache.spark.sql.catalyst.expressions.And
+          def conjuncts(x: Expression): Seq[Expression] = x match {
+            case And(l, r) => conjuncts(l) ++ conjuncts(r)
+            case other => Seq(other)
+          }
+          val conjs = conjuncts(cond)
+          val (peel, residue) = conjs.partition(c =>
+            c.references.nonEmpty && translateKey(c).isDefined)
+          if (peel.isEmpty) (None, agg.child)
+          else (Some(peel
+            .map(c => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              translateKey(c).get))
+            .reduce(_ && _)),
+            residue.reduceOption(And).map(r => Filter(r, rest): LogicalPlan)
+              .getOrElse(rest))
+        case _ => (None, agg.child)
+      }
+    if (!same(childQ, defn.child, e.watermarks, qLeaves, e.leaves)) return None
     // the routed grouping columns carry synthesized names (`__gk_<i>`,
     // one per query grouping expression) — expression keys have no
     // state-column name of their own, and the reserved prefix can
@@ -596,22 +620,8 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
       case (AOut(p, v, c), i) => (p, v, c, None, i)
     }
     if (aggCols.isEmpty && sOuts.isEmpty) return None // bare keys: not worth it
-    // every attribute of a peeled key predicate must be EXPOSED as a
-    // state column, or the compensation cannot be expressed
-    val statePred: Option[Column] =
-      if (keyPred.isEmpty) None
-      else {
-        val translated = keyPred.map(_.transformUp {
-          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-            keyCol.get(normQ(a)) match {
-              case Some(n) =>
-                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
-              case None => return None
-            }
-        })
-        Some(translated.map(org.apache.spark.sql.graftbridge.ColumnBridge.column)
-          .reduce(_ && _))
-      }
+    // the peeled predicate is already translated onto state columns
+    val statePred: Option[Column] = peelPred
     val routedPlan =
       try {
         inRoute.set(true)
@@ -712,6 +722,33 @@ object MvAutoRoute {
     */
   private[plans] val inRoute = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
+  }
+
+  /** Truncation-grain nesting order for the grain rewrite:
+    * `trunc(coarse, trunc(fine, ts)) == trunc(coarse, ts)` holds
+    * exactly when the coarse grain nests over the fine one. ISO weeks
+    * nest only over sub-day grains, and nothing coarser nests over
+    * week (a week spans month and year boundaries).
+    */
+  private def grainRank(s: String): Option[Int] = s match {
+    case "microsecond" => Some(-2)
+    case "millisecond" => Some(-1)
+    case "second" => Some(0)
+    case "minute" => Some(1)
+    case "hour" => Some(2)
+    case "day" | "dd" => Some(3)
+    case "month" | "mon" | "mm" => Some(4)
+    case "quarter" => Some(5)
+    case "year" | "yyyy" | "yy" => Some(6)
+    case _ => None
+  }
+
+  private def grainNests(g0: String, k0: String): Boolean = {
+    val (g, k) = (g0.toLowerCase, k0.toLowerCase)
+    if (g == "week") grainRank(k).exists(_ <= 3)
+    else if (k == "week") false
+    else (for (rg <- grainRank(g); rk <- grainRank(k)) yield rg >= rk)
+      .getOrElse(false)
   }
 
   /** One routed output of the containment tier. */

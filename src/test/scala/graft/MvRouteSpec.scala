@@ -561,6 +561,76 @@ class MvRouteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  test("grain nesting: a monthly query routes onto a day-EXPRESSION-keyed MV") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    val srcPath = s"$wh/db/src11"
+    Snapshot.create(spark, srcPath,
+      (0L until 500L).map(i =>
+        (i, s"2024-${"%02d".format(1 + (i % 5).toInt)}-${"%02d".format(1 + (i % 27).toInt)} 0${i % 8}:10:00",
+          i % 40))
+        .toDF("id", "tss", "v")
+        .selectExpr("id", "CAST(tss AS TIMESTAMP) AS ts", "v"))
+    // the reference's hora → diario → mensual family over ONE raw
+    // timestamp: the MV is keyed by the day-grain EXPRESSION
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv11 AS
+        |SELECT date_trunc('day', ts) AS dia, COUNT(*) AS n,
+        |  SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmr.db.src11 GROUP BY date_trunc('day', ts)""".stripMargin)
+    // ...and a month-keyed sibling for the direction refusal
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmr.db.mv12 AS
+        |SELECT date_trunc('month', ts) AS mes, COUNT(*) AS n
+        |FROM gmr.db.src11 GROUP BY date_trunc('month', ts)""".stripMargin)
+    val mv11 = s"$wh/db/mv11"
+    val mv12 = s"$wh/db/mv12"
+    def agree(q: String): Unit = {
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q).collect().toSeq
+      spark.conf.set("spark.graft.mv.autoRoute", mv11)
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mv11), s"must route: $q -> ${scanPaths(routed)}")
+      assert(routed.collect().toSeq == direct, s"routed must agree bitwise: $q")
+    }
+    try {
+      // month-over-day and week-over-day nest (trunc∘trunc identity)
+      agree("""SELECT CAST(date_trunc('month', ts) AS DATE) AS mes,
+              |  COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+              |FROM gmr.db.src11 GROUP BY date_trunc('month', ts)
+              |ORDER BY mes""".stripMargin)
+      agree("""SELECT CAST(date_trunc('week', ts) AS DATE) AS sem, COUNT(*) AS n
+              |FROM gmr.db.src11 GROUP BY date_trunc('week', ts)
+              |ORDER BY sem""".stripMargin)
+      // a nested-grain PREDICATE peels onto the state
+      agree("""SELECT CAST(date_trunc('month', ts) AS DATE) AS mes, COUNT(*) AS n
+              |FROM gmr.db.src11
+              |WHERE date_trunc('month', ts) >= TIMESTAMP '2024-03-01 00:00:00'
+              |GROUP BY date_trunc('month', ts) ORDER BY mes""".stripMargin)
+      // DIRECTION: a day query over the MONTH-keyed MV must refuse
+      // (finer grains are not derivable from coarser state)
+      spark.conf.set("spark.graft.mv.autoRoute", mv12)
+      val finer = spark.sql(
+        """SELECT date_trunc('day', ts) AS dia, COUNT(*) AS n
+          |FROM gmr.db.src11 GROUP BY date_trunc('day', ts)""".stripMargin)
+      assert(scanPaths(finer) == Set(srcPath), "finer grain refuses")
+      // ...and week-over-month must refuse (weeks cross month bounds)
+      val wk = spark.sql(
+        """SELECT date_trunc('week', ts) AS sem, COUNT(*) AS n
+          |FROM gmr.db.src11 GROUP BY date_trunc('week', ts)""".stripMargin)
+      assert(scanPaths(wk) == Set(srcPath), "week over month refuses")
+      // on BOTH candidates, the month query picks the smaller (month)
+      // state, not the day state
+      spark.conf.set("spark.graft.mv.autoRoute", s"$mv11,$mv12")
+      val both = spark.sql(
+        """SELECT date_trunc('month', ts) AS mes, COUNT(*) AS n
+          |FROM gmr.db.src11 GROUP BY date_trunc('month', ts)""".stripMargin)
+      assert(scanPaths(both) == Set(mv12),
+        s"smallest-state candidate wins: ${scanPaths(both)}")
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   test("time hierarchy: expressions of MV keys route; non-key-pure refuse") {
     spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
