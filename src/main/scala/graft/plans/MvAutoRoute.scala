@@ -448,6 +448,32 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
                 org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(nm)),
                 Literal.create(fg.toString, StringType)): Expression
           }.getOrElse(x)
+        // FIELD EXTRACTION over a truncation key: year(ts) is exact
+        // over a date_trunc('day', ts) key because day-truncation
+        // preserves the year (generally: extract E survives a trunc
+        // to grain g iff g preserves E's field — see extractSurvives;
+        // ISO weeks break every date field except weekofyear). The
+        // analyzer wraps timestamp extracts in a Cast-to-date, so the
+        // match looks through it; re-analysis of the rebuilt tree
+        // re-applies the coercion over the key column.
+        case x: Expression if x.children.size == 1 &&
+            extractFieldOf(x).isDefined =>
+          val inner = x.children.head match {
+            case Cast(c, org.apache.spark.sql.types.DateType, _, _) => c
+            case other => other
+          }
+          keyCol.collectFirst {
+            case (TruncTimestamp(Literal(fk, StringType), kc, _), nm)
+                if kc == normQ(inner) &&
+                  extractSurvives(extractFieldOf(x).get, fk.toString) =>
+              x.withNewChildren(Seq(
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(nm))))
+            case (TruncDate(kc, Literal(fk, StringType)), nm)
+                if kc == normQ(inner) &&
+                  extractSurvives(extractFieldOf(x).get, fk.toString) =>
+              x.withNewChildren(Seq(
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(nm))))
+          }.getOrElse(x)
       }
       if (t.exists(x =>
         x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] ||
@@ -741,6 +767,52 @@ object MvAutoRoute {
     case "quarter" => Some(5)
     case "year" | "yyyy" | "yy" => Some(6)
     case _ => None
+  }
+
+  /** The date/time field an extraction expression reads, or None for
+    * non-extraction nodes.
+    */
+  private def extractFieldOf(x: Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    x match {
+      case _: Year => Some("year")
+      case _: Quarter => Some("quarter")
+      case _: Month => Some("month")
+      case _: DayOfMonth => Some("dayofmonth")
+      case _: DayOfWeek => Some("dayofweek")
+      case _: WeekDay => Some("weekday")
+      case _: DayOfYear => Some("dayofyear")
+      case _: WeekOfYear => Some("weekofyear")
+      case _: Hour => Some("hour")
+      case _: Minute => Some("minute")
+      case _: Second => Some("second")
+      case _ => None
+    }
+  }
+
+  /** Does truncating to grain `k` preserve extraction field `f`?
+    * year/quarter/month survive any trunc at-or-above their own
+    * boundary chain; day fields need day-or-finer; time fields need
+    * their own grain or finer. ISO week-truncation moves the date
+    * across month/year bounds, so ONLY weekofyear survives it.
+    */
+  private def extractSurvives(f: String, k0: String): Boolean = {
+    val k = k0.toLowerCase
+    if (k == "week") f == "weekofyear"
+    else grainRank(k) match {
+      case None => false
+      case Some(rk) => f match {
+        case "year" => rk <= 6
+        case "quarter" => rk <= 5
+        case "month" => rk <= 4
+        case "dayofmonth" | "dayofweek" | "weekday" | "dayofyear" |
+             "weekofyear" => rk <= 3
+        case "hour" => rk <= 2
+        case "minute" => rk <= 1
+        case "second" => rk <= 0
+        case _ => false
+      }
+    }
   }
 
   private def grainNests(g0: String, k0: String): Boolean = {

@@ -453,6 +453,18 @@ class MvRouteSpec extends SparkSpec {
         "SELECT k, COUNT(DISTINCT b) AS nb FROM gmr.db.src6 GROUP BY k")
         .orderBy("k").collect().toSeq, "key-distinct is exact")
       spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the side-backed distinct composes with EXPRESSION grouping:
+      // the side re-counts under the same translated grouping columns
+      val exprD = spark.sql(
+        "SELECT upper(k) AS ku, COUNT(DISTINCT v) AS nv " +
+          "FROM gmr.db.src6 GROUP BY upper(k)")
+      assert(scanPaths(exprD) == Set(mvPath, sidePath),
+        s"expression grouping composes with the side: ${scanPaths(exprD)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(exprD.orderBy("ku").collect().toSeq == spark.sql(
+        "SELECT upper(k) AS ku, COUNT(DISTINCT v) AS nv " +
+          "FROM gmr.db.src6 GROUP BY upper(k)").orderBy("ku").collect().toSeq)
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
       // a distinct argument that is neither a key nor side-backed
       // must refuse
       val otherArg = spark.sql(
@@ -608,6 +620,20 @@ class MvRouteSpec extends SparkSpec {
               |FROM gmr.db.src11
               |WHERE date_trunc('month', ts) >= TIMESTAMP '2024-03-01 00:00:00'
               |GROUP BY date_trunc('month', ts) ORDER BY mes""".stripMargin)
+      // FIELD EXTRACTION over the trunc key: year/month survive the
+      // day grain (day-truncation preserves both date fields)
+      agree("""SELECT year(ts) AS y, month(ts) AS m, COUNT(*) AS n
+              |FROM gmr.db.src11 GROUP BY year(ts), month(ts)
+              |ORDER BY y, m""".stripMargin)
+      // ...and an extraction PREDICATE peels through the same rewrite
+      agree("""SELECT year(ts) AS y, COUNT(*) AS n
+              |FROM gmr.db.src11 WHERE month(ts) >= 3
+              |GROUP BY year(ts) ORDER BY y""".stripMargin)
+      // hour(ts) does NOT survive a day key (truncation zeroes it)
+      val hr = spark.sql(
+        """SELECT hour(ts) AS h, COUNT(*) AS n
+          |FROM gmr.db.src11 GROUP BY hour(ts)""".stripMargin)
+      assert(scanPaths(hr) == Set(srcPath), "hour over day key refuses")
       // DIRECTION: a day query over the MONTH-keyed MV must refuse
       // (finer grains are not derivable from coarser state)
       spark.conf.set("spark.graft.mv.autoRoute", mv12)
