@@ -585,8 +585,18 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
                   cntColOf.contains(normQ(c.children.head)) =>
                 AggOut(F.coalesce(
                   F.sum(F.col(cntColOf(normQ(c.children.head)))), F.lit(0L)))
+              // ...or from the avg side's non-null-count state
+              case c: Count if c.children.size == 1 &&
+                  e.astate.contains(normQ(c.children.head)) =>
+                val (p, v, stem) = e.astate(normQ(c.children.head))
+                AOut(p, v, F.coalesce(F.sum(F.col(s"__c_$stem")), F.lit(0L)))
               case s: Sum if sumCol.contains(normQ(s.child)) =>
                 AggOut(F.sum(F.col(sumCol(normQ(s.child)))))
+              // ...or from the avg side's sum state when the view
+              // declares only AVG of the same argument
+              case s: Sum if e.astate.contains(normQ(s.child)) =>
+                val (p, v, stem) = e.astate(normQ(s.child))
+                AOut(p, v, F.sum(F.col(s"__s_$stem")))
               case m: Min if minCol.contains(normQ(m.child)) =>
                 AggOut(F.min(F.col(minCol(normQ(m.child)))))
               case m: Max if maxCol.contains(normQ(m.child)) =>

@@ -556,6 +556,19 @@ class MvRouteSpec extends SparkSpec {
       spark.conf.unset("spark.graft.mv.autoRoute")
       assert(global.collect().toSeq == spark.sql(globalQ).collect().toSeq)
       spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // SUM and COUNT of the avg argument derive from the same side
+      // state even though the view itself exposes only averages
+      val sc = spark.sql(
+        """SELECT k, SUM(CAST(v AS DECIMAL(18,2))) AS sv, COUNT(v) AS cv
+          |FROM gmr.db.src10 GROUP BY k""".stripMargin)
+      assert(scanPaths(sc) == Set(mvPath, sidePath),
+        s"SUM/COUNT derive from the avg side: ${scanPaths(sc)}")
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      assert(sc.orderBy("k").collect().toSeq == spark.sql(
+        """SELECT k, SUM(CAST(v AS DECIMAL(18,2))) AS sv, COUNT(v) AS cv
+          |FROM gmr.db.src10 GROUP BY k""".stripMargin)
+        .orderBy("k").collect().toSeq, "side-derived SUM/COUNT exact")
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
       // a FLOATING avg argument refuses on principle
       val dbl = spark.sql(
         "SELECT k, AVG(CAST(v AS DOUBLE)) AS ad FROM gmr.db.src10 GROUP BY k")
