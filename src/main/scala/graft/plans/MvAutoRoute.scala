@@ -79,7 +79,14 @@ import graft.sources.{DvSnapshotRelation, SnapshotFileIndex}
   *    the side is EXACTLY in sync with the view: the coarse count is
   *    `count_distinct(__v)` over the side's member fine groups —
   *    state-sized, exact (the side holds every live (fine keys, value)
-  *    pair), joined back on the coarse keys. Anything else
+  *    pair), joined back on the coarse keys.
+  *    `graft_bottomk(h, k)` over the same hash argument and the same k
+  *    as a sketch state column derives as the KMV MERGE of the member
+  *    fine groups' sketches — bottomk(∪ bottomk(G_i)) = bottomk(∪ G_i),
+  *    so the routed sketch (and any estimator on top) is bitwise the
+  *    direct plan's; a mismatched k or hash expression refuses
+  *    (truncation at different thresholds does not commute). Anything
+  *    else
   *    (multi-argument DISTINCT, FILTER clauses, floating AVG, non-key
   *    predicates not in the defining tree) stays on the fact table —
   *    wrong-but-routed is never an option.
@@ -377,6 +384,8 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
     var maxCol = Map.empty[Expression, String]
     var cntColOf = Map.empty[Expression, String] // COUNT(x): non-null count
     var cntCol = Option.empty[String]
+    // graft_bottomk(h, k) KMV sketch state, by (normalized hash arg, k)
+    var kmvCol = Map.empty[(Expression, Int), String]
     def isCountStar(c: Count): Boolean = c.children match {
       case Seq(Literal(v, _)) => v != null
       case _ => false
@@ -395,6 +404,8 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
             case s: Sum => sumCol += normD(s.child) -> nm
             case m: Min => minCol += normD(m.child) -> nm
             case m: Max => maxCol += normD(m.child) -> nm
+            case b: graft.expressions.BottomK =>
+              kmvCol += (normD(b.child), b.k) -> nm
             case _ => // unusable state column; queries needing it refuse
           }
         case other if gmNorm.contains(normD(other)) =>
@@ -601,6 +612,26 @@ case class MvAutoRoute(session: SparkSession) extends Rule[LogicalPlan] {
                 AggOut(F.min(F.col(minCol(normQ(m.child)))))
               case m: Max if maxCol.contains(normQ(m.child)) =>
                 AggOut(F.max(F.col(maxCol(normQ(m.child)))))
+              // graft_bottomk(h, k) over the SAME hash argument and the
+              // SAME k as a sketch state column: the coarse sketch is
+              // the KMV merge of the member fine groups' sketches —
+              // bottomk(∪ bottomk(G_i)) = bottomk(∪ G_i), the classic
+              // merge identity, so the routed sketch (and any estimate
+              // derived from it) is BITWISE the direct plan's. A
+              // different k or hash expression refuses: k-truncation
+              // does not commute across mismatched thresholds.
+              case b: graft.expressions.BottomK
+                  if kmvCol.contains((normQ(b.child), b.k)) =>
+                // the transform(coalesce) wrapper only re-pins element
+                // non-nullability (manifest DDL loses containsNull=false
+                // on the state column; sketch elements are never null) —
+                // without it the final bind-cast to the query's exact
+                // array type is rejected
+                AggOut(F.transform(
+                  F.slice(F.array_sort(F.array_distinct(F.flatten(
+                    F.collect_list(F.col(kmvCol((normQ(b.child), b.k))))))),
+                    1, b.k),
+                  x => F.coalesce(x, F.lit(0L))))
               // AVG(x) = SUM(sum state) / SUM(non-null-count state) —
               // exact when the sums are DECIMAL (the routed division
               // replays Average's own evaluate chain bitwise: exact

@@ -3321,6 +3321,99 @@ object LayoutPack extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** KMV SKETCH CONTAINMENT ROUTE — the approximate-distinct answer at
+    * a COARSER grain reads sketch STATE, never the fact table: a query
+    * asking `graft_bottomk(h, k)` per status routes onto the
+    * (status, priority)-keyed sketch MV by the classic KMV merge
+    * identity — bottomk(∪ bottomk(G_i)) = bottomk(∪ G_i) — so the
+    * routed sketch AND the estimator derived from it are BITWISE the
+    * direct plan's (a mismatched k or hash expression refuses:
+    * truncation at different thresholds does not commute). The build
+    * REQUIRES the incremental sketch fold in the fixture and the
+    * MV-only plan pin in the route. At 100 TB the coarse distinct
+    * estimate costs k longs per fine group, not a fact pass.
+    */
+  val q197 = QueryDef.staged(
+    "q197_kmv_route",
+    // oracle: per-status row count + the KMV estimator replayed over
+    // the post-churn fact (bottom-16 md5-derived 32-bit hashes)
+    Some("""WITH f AS (
+           |  SELECT * FROM orders WHERE NOT (o_orderkey % 10 = 3)
+           |), h AS (
+           |  SELECT DISTINCT o_orderstatus,
+           |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+           |  FROM f WHERE o_custkey IS NOT NULL
+           |), r AS (
+           |  SELECT o_orderstatus, hv,
+           |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn
+           |  FROM h
+           |), s AS (
+           |  SELECT o_orderstatus, min(hv) AS h_min, max(hv) AS h_k,
+           |    (CAST(count(*) - 1 AS DOUBLE) * 4294967296.0) / max(hv) AS est_users
+           |  FROM r WHERE rn <= 16 GROUP BY o_orderstatus
+           |), c AS (
+           |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM f GROUP BY o_orderstatus
+           |)
+           |SELECT c.o_orderstatus, c.n, s.h_min, s.h_k, s.est_users
+           |FROM c JOIN s USING (o_orderstatus) ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the 2-key sketch MV, one churn
+    // window + the incremental fold (required) so the route serves
+    // post-churn state.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q197").toString
+    t.spark.conf.set("spark.sql.catalog.g197", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g197.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g197.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_orderdate")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g197.db.mv AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  graft_bottomk(CAST(CONV(SUBSTRING(MD5(CAST(o_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT), 16) AS uk
+        |FROM g197.db.src GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= cut97).select(cols.map(col): _*))
+    Snapshot.delete(t.spark, s"$root/db/src", col("o_orderkey") % 10 === 3)
+    t.spark.sql("REFRESH MATERIALIZED VIEW g197.db.mv")
+    val op = Snapshot.latestManifest(t.spark, s"$root/db/mv").get.operation
+    require(op.contains("(incremental)"),
+      s"q197: the sketch fold must stay incremental, got: $op")
+    root
+  } { (t, root: String) =>
+    // MEASURED: the routed coarse sketch + the plan pin + the
+    // estimator over the merged sketch.
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/mv")
+    try {
+      val routed = t.spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  graft_bottomk(CAST(CONV(SUBSTRING(MD5(CAST(o_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT), 16) AS uk
+          |FROM g197.db.src GROUP BY o_orderstatus""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/mv"),
+        s"q197: expected the sketch merge onto the MV alone, got $scans")
+      routed.select(col("o_orderstatus"), col("n"),
+          element_at(col("uk"), 1).as("h_min"),
+          element_at(col("uk"), size(col("uk"))).as("h_k"),
+          (((size(col("uk")) - 1).cast("double")) * 4294967296.0 /
+            element_at(col("uk"), size(col("uk")))).as("est_users"))
+        .orderBy("o_orderstatus")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197)
 }

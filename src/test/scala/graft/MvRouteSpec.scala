@@ -736,4 +736,59 @@ class MvRouteSpec extends SparkSpec {
       assert(scanPaths(distNonKey) == Set(srcPath), "non-key distinct refuses")
     } finally spark.conf.unset("spark.graft.mv.autoRoute")
   }
+
+  test("KMV sketch containment: coarser graft_bottomk merges the state sketches") {
+    spark.conf.set("spark.sql.catalog.gmr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+    graft.expressions.GraftFunctions.register(spark)
+    val srcPath = s"$wh/db/src13"
+    val mvPath = s"$wh/db/mv13"
+    // ~41 distinct users spread over (k, b) fine groups; k=8 keeps the
+    // sketch a strict subset, so the merge actually truncates
+    Snapshot.create(spark, srcPath,
+      (0L until 600L).map(i => (i, s"k${i % 4}", s"b${i % 3}", s"u${i % 41}"))
+        .toDF("id", "k", "b", "u"))
+    val hashSql =
+      "CAST(CONV(SUBSTRING(MD5(CAST(u AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW gmr.db.mv13 AS
+         |SELECT k, b, COUNT(*) AS n, graft_bottomk($hashSql, 8) AS uk
+         |FROM gmr.db.src13 GROUP BY k, b""".stripMargin)
+    def agree(q: String): Unit = {
+      spark.conf.unset("spark.graft.mv.autoRoute")
+      val direct = spark.sql(q).collect().toSeq
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      val routed = spark.sql(q)
+      assert(scanPaths(routed) == Set(mvPath), s"must route: $q -> ${scanPaths(routed)}")
+      assert(routed.collect().toSeq == direct, s"routed must agree bitwise: $q")
+    }
+    try {
+      spark.conf.set("spark.graft.mv.autoRoute", mvPath)
+      // the coarse sketch is the KMV merge of the member fine groups'
+      // sketches — bottomk(∪ bottomk(G_i)) = bottomk(∪ G_i) — so the
+      // routed sketch (and the estimator on top of it) is bitwise the
+      // direct plan's
+      agree(s"""SELECT k, COUNT(*) AS n, graft_bottomk($hashSql, 8) AS uk
+               |FROM gmr.db.src13 GROUP BY k ORDER BY k""".stripMargin)
+      // the GLOBAL sketch merges every group
+      agree(s"""SELECT graft_bottomk($hashSql, 8) AS uk
+               |FROM gmr.db.src13""".stripMargin)
+      // ...and the estimator expression rides OVER the routed aggregate
+      agree(s"""SELECT k, element_at(uk, size(uk)) AS hk FROM (
+               |  SELECT k, graft_bottomk($hashSql, 8) AS uk
+               |  FROM gmr.db.src13 GROUP BY k) ORDER BY k""".stripMargin)
+      // a DIFFERENT k must refuse: truncation at mismatched thresholds
+      // does not commute (the state's 8th statistic is not the 4th's)
+      val otherK = spark.sql(
+        s"""SELECT k, graft_bottomk($hashSql, 4) AS uk
+           |FROM gmr.db.src13 GROUP BY k""".stripMargin)
+      assert(scanPaths(otherK) == Set(srcPath), "mismatched k refuses")
+      // ...as must a different hash argument
+      val otherArg = spark.sql(
+        """SELECT k, graft_bottomk(CAST(id AS BIGINT), 8) AS uk
+          |FROM gmr.db.src13 GROUP BY k""".stripMargin)
+      assert(scanPaths(otherArg) == Set(srcPath), "mismatched argument refuses")
+    } finally spark.conf.unset("spark.graft.mv.autoRoute")
+  }
 }
