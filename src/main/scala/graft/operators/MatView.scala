@@ -526,6 +526,40 @@ object MatView {
     Some(vFroms.head.getOrElse(0L) -> vNows.head)
   }
 
+  /** `REFRESH MATERIALIZED VIEW … CASCADE`: refresh the view's own MV
+    * sources FIRST (depth-first, each table visited once), then the
+    * view — one statement lands an entire STACKED rollup family (the
+    * reference's hora → diario → mensual tiers as materialized views,
+    * consumo_usuarios.py:278-291) at the fleet's current fact
+    * versions; without the cascade each outer tier would trail its
+    * source by one refresh. Each per-table refresh keeps its own
+    * exactly-once commit contract — a crash mid-cascade leaves a
+    * prefix of the stack refreshed and the rerun no-ops over it.
+    */
+  def refreshCascade(spark: SparkSession, mvPath: String,
+                     resolvePath: Seq[String] => String): Option[(Long, Long)] = {
+    def go(path: String, seen: Set[String]): Unit = {
+      val root = Snapshot.qualifiedRoot(spark, path)
+      if (seen.contains(root)) return
+      val m = Snapshot.latestManifest(spark, path).getOrElse(return)
+      val sqlText = m.properties.getOrElse(SqlProp, return)
+      val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+      sourceRelations(plan, sqlText).foreach { src =>
+        go(resolvePath(src), seen + root)
+      }
+      refresh(spark, path, resolvePath)
+    }
+    val m = Snapshot.latestManifest(spark, mvPath).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table: $mvPath"))
+    val sqlText = m.properties.getOrElse(SqlProp, throw new IllegalArgumentException(
+      s"not a materialized view (no $SqlProp property): $mvPath"))
+    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    sourceRelations(plan, sqlText).foreach { src =>
+      go(resolvePath(src), Set(Snapshot.qualifiedRoot(spark, mvPath)))
+    }
+    refresh(spark, mvPath, resolvePath)
+  }
+
   /** Auto-route support ([[graft.plans.MvAutoRoute]]): the CURRENT MV
     * version, its defining SQL, and each source's (name parts,
     * recorded watermark). None when the table is not an MV.

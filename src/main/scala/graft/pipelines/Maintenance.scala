@@ -52,13 +52,62 @@ object Maintenance {
     }
 
   /** The tick's stages: one per table, independent (no deps — a broken
-    * table must not block the fleet).
+    * table must not block the fleet), ORDERED sources-first: a STACKED
+    * materialized view (an MV whose defining SQL reads another table in
+    * this tick's list — the reference's hora → diario → mensual rollup
+    * family as materialized tiers) must refresh AFTER its source, or
+    * the whole cascade lands one tick stale. [[dependencyOrder]] sorts
+    * topologically by resolved MV-source edges; stages stay dep-FREE so
+    * a failed upstream doesn't block the downstream (its refresh just
+    * folds to the upstream's last committed version — still exact).
     */
   def stages(spark: SparkSession, tables: Seq[(String, String)],
              tick: Long, resolvePath: Seq[String] => String): Seq[Runner.Stage] =
-    tables.map { case (name, path) =>
+    dependencyOrder(spark, tables, resolvePath).map { case (name, path) =>
       Runner.Stage(s"maintain_$name")(() => maintain(spark, path, tick, resolvePath))
     }
+
+  /** Stable topological order of the tick's tables by MV-source edges:
+    * each MV's recorded source names resolve through `resolvePath` and
+    * match other listed tables by qualified root. Kahn's algorithm with
+    * the given order as the tie-break; an unresolvable source (outside
+    * the fleet, or a resolver error) simply contributes no edge, and a
+    * cycle (impossible for MVs — creation requires existing sources)
+    * degrades to the given order for the strongly-connected remainder.
+    */
+  private[pipelines] def dependencyOrder(
+      spark: SparkSession, tables: Seq[(String, String)],
+      resolvePath: Seq[String] => String): Seq[(String, String)] = {
+    if (tables.size < 2) return tables
+    val rootOf = tables.map { case (n, p) =>
+      n -> (try Snapshot.qualifiedRoot(spark, p) catch { case _: Exception => p })
+    }.toMap
+    val byRoot = rootOf.map(_.swap)
+    val srcsOf: Map[String, Set[String]] = tables.map { case (n, p) =>
+      n -> (Snapshot.latestManifest(spark, p) match {
+        case Some(m) if MatView.isMatView(m) =>
+          m.properties.getOrElse(MatView.SourceProp, "").split(',').toSet
+            .filter(_.nonEmpty)
+            .flatMap { srcName =>
+              try byRoot.get(Snapshot.qualifiedRoot(spark,
+                resolvePath(srcName.split('.').toSeq)))
+              catch { case _: Exception => None }
+            } - n
+        case _ => Set.empty[String]
+      })
+    }.toMap
+    val remaining = scala.collection.mutable.LinkedHashMap(tables: _*)
+    val done = scala.collection.mutable.Set.empty[String]
+    val out = Seq.newBuilder[(String, String)]
+    while (remaining.nonEmpty) {
+      val ready = remaining.keys.find(n => srcsOf(n).forall(done))
+      // no ready node = a cycle: emit the first remaining as-is
+      val next = ready.getOrElse(remaining.keys.head)
+      out += next -> remaining.remove(next).get
+      done += next
+    }
+    out.result()
+  }
 
   /** Run one fleet tick through the DAG runner. Flags live under
     * `flagDir/tick_<tick>` — a re-run of a completed tick costs one

@@ -427,11 +427,19 @@ object GraftSqlParser {
       if (toks0.length < 4 || !toks0(1).is("MATERIALIZED") || !toks0(2).is("VIEW"))
         return None
       val (parts, after) = ident(toks0, 3)
-      if (after != toks0.length) throw new IllegalStateException(
+      // optional CASCADE: refresh the view's own MV sources first
+      // (depth-first), so one statement lands a whole stacked rollup
+      // family at the current fact versions
+      val cascade = after == toks0.length - 1 && toks0(after).is("CASCADE")
+      if (after != toks0.length && !cascade) throw new IllegalStateException(
         s"REFRESH MATERIALIZED VIEW: unexpected trailing text in: $text0")
-      return Some(maintCmd(s"REFRESH MATERIALIZED VIEW ${parts.mkString(".")}") {
+      val tail = if (cascade) " CASCADE" else ""
+      return Some(maintCmd(s"REFRESH MATERIALIZED VIEW ${parts.mkString(".")}$tail") {
         (sp, path) =>
-          graft.operators.MatView.refresh(sp, path, catalogSourcePath(sp)); Nil
+          if (cascade)
+            graft.operators.MatView.refreshCascade(sp, path, catalogSourcePath(sp))
+          else graft.operators.MatView.refresh(sp, path, catalogSourcePath(sp))
+          Nil
       }(parts))
     }
     val text = stripTrailingSemi(sqlText)

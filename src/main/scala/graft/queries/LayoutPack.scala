@@ -3414,6 +3414,101 @@ object LayoutPack extends QueryPack {
     } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
   }
 
+  /** STACKED MATERIALIZED VIEWS — the reference's hora → diario →
+    * mensual rollup family as materialized TIERS: a day-grain MV over
+    * the fact, a month-grain MV over the DAY MV. Each tier refreshes
+    * from its own source's change window — the outer tier folds the
+    * inner's net-reconciled replace commits (exceptAll cancellation
+    * reduces the whole-state rewrite to exactly the dented day rows),
+    * so the monthly refresh is O(changed days), never a fact pass. One
+    * fleet maintenance tick lands the WHOLE stack: [[Maintenance]]
+    * orders tables sources-first (topological by resolved MV-source
+    * edges — name order would run the outer tier first and leave it a
+    * tick stale). The build REQUIRES both refreshes "(incremental)",
+    * the inner-before-outer execution order, and the monthly query
+    * over the day MV routing onto the month state (smallest-state
+    * candidate). At 100 TB: fact churn → day fold O(change) → month
+    * fold O(dented days) → queries read month state.
+    */
+  val q198 = QueryDef.staged(
+    "q198_stacked_mv",
+    // oracle: the monthly rollup recomputed from the post-churn fact
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+           |  CAST(COUNT(DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS ndias,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE NOT (o_orderkey % 10 = 6)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { t =>
+    // FIXTURE (untimed): catalog, fact, the two-tier stack with
+    // per-table refresh policy.
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_q198").toString
+    t.spark.conf.set("spark.sql.catalog.g198", "graft.catalog.GraftCatalog")
+    t.spark.conf.set("spark.sql.catalog.g198.warehouse", root)
+    t.spark.sql("CREATE NAMESPACE IF NOT EXISTS g198.db")
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate")
+    Snapshot.create(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") < cut97).select(cols.map(col): _*))
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g198.db.dia AS
+        |SELECT date_trunc('day', o_orderdate) AS dia, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM g198.db.src GROUP BY date_trunc('day', o_orderdate)""".stripMargin)
+    // the OUTER tier is named to sort BEFORE its source — only the
+    // dependency order makes the cascade land in one tick
+    t.spark.sql(
+      """CREATE MATERIALIZED VIEW g198.db.agg AS
+        |SELECT date_trunc('month', dia) AS mes, COUNT(*) AS ndias,
+        |  SUM(n) AS n, SUM(total) AS total
+        |FROM g198.db.dia GROUP BY date_trunc('month', dia)""".stripMargin)
+    t.spark.sql("ALTER MATERIALIZED VIEW g198.db.dia SET REFRESH EVERY 1 TICKS")
+    t.spark.sql("ALTER MATERIALIZED VIEW g198.db.agg SET REFRESH EVERY 1 TICKS")
+    root
+  } { (t, root: String) =>
+    // MEASURED: fact churn + ONE fleet tick (both tiers fold, ordered
+    // sources-first) + the routed monthly query over the day MV.
+    import graft.operators.Snapshot
+    import graft.pipelines.Maintenance
+    Snapshot.append(t.spark, s"$root/db/src",
+      t.orders.where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(Seq("o_orderkey", "o_totalprice", "o_orderdate").map(col): _*))
+    Snapshot.delete(t.spark, s"$root/db/src", col("o_orderkey") % 10 === 6)
+    val out = Maintenance.tickNamespace(t.spark, "g198.db", 1L, s"$root/flags")
+    require(out.values.forall(_.ok), s"q198: tick failed: $out")
+    val order = out.keys.toSeq
+    require(order.indexOf("maintain_dia") < order.indexOf("maintain_agg"),
+      s"q198: sources must refresh first, got $order")
+    Seq("dia", "agg").foreach { nm =>
+      val op = Snapshot.latestManifest(t.spark, s"$root/db/$nm").get.operation
+      require(op.contains("(incremental)"),
+        s"q198: the $nm tier must fold incrementally, got: $op")
+    }
+    t.spark.conf.set("spark.graft.mv.autoRoute", s"$root/db/dia,$root/db/agg")
+    try {
+      val routed = t.spark.sql(
+        """SELECT CAST(date_trunc('month', dia) AS DATE) AS mes,
+          |  COUNT(*) AS ndias, SUM(n) AS n, SUM(total) AS total
+          |FROM g198.db.dia GROUP BY date_trunc('month', dia)""".stripMargin)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case i: graft.sources.SnapshotFileIndex => Seq(i.pinnedPath)
+                case _ => Seq.empty[String]
+              }
+            case _ => Seq.empty[String]
+          }
+      }.flatten.toSet
+      require(scans == Set(s"$root/db/agg"),
+        s"q198: expected the month-state route, got $scans")
+      routed.select(col("mes"), col("ndias"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("mes")
+    } finally t.spark.conf.unset("spark.graft.mv.autoRoute")
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197)
+    Seq(q80, q84, q87, q106, q116, q117, q118, q119, q120, q121, q122, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q165, q166, q167, q168, q171, q172, q173, q178, q179, q180, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198)
 }

@@ -186,4 +186,50 @@ class MaintenanceSpec extends SparkSpec {
       Snapshot.setProperties(spark, srcP, Map("graft.mv.refreshEvery" -> "nightly"))
     }
   }
+
+  test("a stacked fleet tick refreshes sources before their dependents") {
+    val wh = Files.createTempDirectory("graft-maint-stack").toString
+    spark.conf.set("spark.sql.catalog.gmc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmc.db")
+    Snapshot.create(spark, s"$wh/db/src",
+      (0L until 200L).map(i => (i, s"k${i % 5}", s"b${i % 3}", i % 20))
+        .toDF("id", "k", "b", "v"))
+    // tier 1 over the fact; tier 2 over tier 1 — NAMED so the naive
+    // name-sorted listing would run the OUTER view first ("agg" < "dia")
+    // and leave it one tick stale
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmc.db.dia AS
+        |SELECT k, b, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gmc.db.src GROUP BY k, b""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmc.db.agg AS
+        |SELECT k, COUNT(*) AS nb, SUM(n) AS n, SUM(total) AS total
+        |FROM gmc.db.dia GROUP BY k""".stripMargin)
+    spark.sql("ALTER MATERIALIZED VIEW gmc.db.dia SET REFRESH EVERY 1 TICKS")
+    spark.sql("ALTER MATERIALIZED VIEW gmc.db.agg SET REFRESH EVERY 1 TICKS")
+    // churn the fact, then ONE fleet tick
+    Snapshot.append(spark, s"$wh/db/src",
+      (1000L until 1060L).map(i => (i, s"k${i % 5}", s"b${i % 3}", i % 20))
+        .toDF("id", "k", "b", "v"))
+    Snapshot.delete(spark, s"$wh/db/src", col("id") % 7 === 2)
+    val out = Maintenance.tickNamespace(spark, "gmc.db", 1L, s"$wh/flags")
+    assert(out.values.forall(_.ok), out.toString)
+    // execution order (the returned map preserves it): the inner tier
+    // ran before the outer, despite the name sort saying otherwise
+    val order = out.keys.toSeq
+    assert(order.indexOf("maintain_dia") < order.indexOf("maintain_agg"),
+      s"sources must refresh first, got $order")
+    // ...and therefore the OUTER view is fresh through the cascade in
+    // this very tick — equal to a recompute from the raw fact
+    assert(spark.table("gmc.db.agg").select("k", "nb", "n", "total")
+      .collect().toSet ==
+      spark.sql(
+        """SELECT k, COUNT(DISTINCT b) AS nb, COUNT(*) AS n,
+          |  SUM(CAST(v AS DECIMAL(18,2))) AS total
+          |FROM gmc.db.src GROUP BY k""".stripMargin).collect().toSet,
+      "the outer tier must land at this tick's fact state")
+    assert(Snapshot.latestManifest(spark, s"$wh/db/agg").get.operation
+      .contains("(incremental)"), "the cascade step folds, not recomputes")
+  }
 }

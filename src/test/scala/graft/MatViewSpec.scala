@@ -831,4 +831,78 @@ class MatViewSpec extends SparkSpec {
     assert(Snapshot.latestManifest(spark, mvO).get.operation
       .contains("(full recompute)"), "ordinal grouping demotes")
   }
+
+  test("stacked MVs: a rollup over a rollup folds incrementally through the cascade") {
+    val wh = Files.createTempDirectory("graft-mv-stack").toString
+    spark.conf.set("spark.sql.catalog.gms", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gms.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gms.db")
+    val (srcP, diaP, mesP) = (s"$wh/db/src", s"$wh/db/dia", s"$wh/db/mes")
+    // ts spans 4 months of days; v feeds an exact decimal sum
+    def rows(r: Range) = r.map { i =>
+      (i.toLong, "2024-%02d-%02d 10:00:00".format(1 + i % 4, 1 + i % 25),
+        (i % 50).toLong)
+    }.toDF("id", "tss", "v").selectExpr("id", "CAST(tss AS TIMESTAMP) AS ts", "v")
+    Snapshot.create(spark, srcP, rows(0 until 400))
+    // tier 1: day grain over the fact; tier 2: month grain over tier 1
+    // (the reference's hora → diario → mensual family as MATERIALIZED
+    // tiers — each refresh folds only its own source's change window)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gms.db.dia AS
+        |SELECT date_trunc('day', ts) AS dia, COUNT(*) AS n,
+        |  SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gms.db.src GROUP BY date_trunc('day', ts)""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gms.db.mes AS
+        |SELECT date_trunc('month', dia) AS mes, COUNT(*) AS ndias,
+        |  SUM(n) AS n, SUM(total) AS total
+        |FROM gms.db.dia GROUP BY date_trunc('month', dia)""".stripMargin)
+    def fromRaw() = spark.sql(
+      """SELECT date_trunc('month', ts) AS mes,
+        |  COUNT(DISTINCT date_trunc('day', ts)) AS ndias, COUNT(*) AS n,
+        |  SUM(CAST(v AS DECIMAL(18,2))) AS total
+        |FROM gms.db.src GROUP BY 1""".stripMargin)
+      .collect().toSet
+    def state() = spark.table("gms.db.mes")
+      .select("mes", "ndias", "n", "total").collect().toSet
+    def opOf(p: String) = Snapshot.latestManifest(spark, p).get.operation
+    assert(state() == fromRaw(), "initial stacked state")
+    def refreshBoth(): Unit = {
+      spark.sql("REFRESH MATERIALIZED VIEW gms.db.dia")
+      spark.sql("REFRESH MATERIALIZED VIEW gms.db.mes")
+    }
+    // churn 1: new days + churn inside existing days — BOTH tiers fold
+    // incrementally: dia from src's change feed, mes from dia's
+    // net-reconciled replace window (exceptAll cancellation reduces the
+    // whole-state rewrite to exactly the dented day rows)
+    Snapshot.append(spark, srcP, rows(1000 until 1120))
+    Snapshot.delete(spark, srcP, col("id") % 10 === 3)
+    refreshBoth()
+    assert(opOf(diaP).contains("(incremental)"), s"dia: ${opOf(diaP)}")
+    assert(opOf(mesP).contains("(incremental)"), s"mes: ${opOf(mesP)}")
+    assert(state() == fromRaw(), "stacked fold after churn 1")
+    // churn 2: delete an entire month — the day rows drop out of dia,
+    // and the month group must drop out of mes through the cascade
+    Snapshot.delete(spark, srcP, month(col("ts")) === 2)
+    refreshBoth()
+    assert(opOf(mesP).contains("(incremental)"), s"mes: ${opOf(mesP)}")
+    assert(state() == fromRaw(), "stacked fold after a month-killing delete")
+    assert(!state().exists(_.getTimestamp(0).toString.startsWith("2024-02")),
+      "the emptied month must drop, exactly like the recompute")
+    // an unchanged inner tier makes the outer refresh a no-op
+    val vMes = Snapshot.latestVersion(spark, mesP).get
+    spark.sql("REFRESH MATERIALIZED VIEW gms.db.mes")
+    assert(Snapshot.latestVersion(spark, mesP).get == vMes,
+      "no inner change → no outer commit")
+    // REFRESH … CASCADE: one statement refreshes the inner tier first,
+    // then the outer — the whole stack lands at the current fact state
+    Snapshot.append(spark, srcP, rows(5000 until 5060))
+    val vDia = Snapshot.latestVersion(spark, diaP).get
+    spark.sql("REFRESH MATERIALIZED VIEW gms.db.mes CASCADE")
+    assert(Snapshot.latestVersion(spark, diaP).get > vDia,
+      "CASCADE must refresh the inner tier")
+    assert(opOf(diaP).contains("(incremental)"), s"dia: ${opOf(diaP)}")
+    assert(opOf(mesP).contains("(incremental)"), s"mes: ${opOf(mesP)}")
+    assert(state() == fromRaw(), "one CASCADE statement lands the whole stack")
+  }
 }
