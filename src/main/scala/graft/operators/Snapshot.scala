@@ -821,11 +821,77 @@ object Snapshot {
     // `net` cancellation reduces that to exactly the deleted rows
     val dvChanged = to.files.intersect(from.files)
       .filter(f => from.dvs.get(f) != to.dvs.get(f))
-    val added = to.files.diff(from.files) ++ dvChanged
-    val removed = from.files.diff(to.files) ++ dvChanged
-    val ins = readFiles(spark, path, to, Some(added))
-    val del = readFiles(spark, path, from, Some(removed))
-    val (insN, delN) = if (net) (ins.exceptAll(del), del.exceptAll(ins)) else (ins, del)
+    val pathAdded = to.files.diff(from.files)
+    val pathRemoved = from.files.diff(to.files)
+    if (!net) {
+      val ins = readFiles(spark, path, to, Some(pathAdded ++ dvChanged))
+      val del = readFiles(spark, path, from, Some(pathRemoved ++ dvChanged))
+      return ins.withColumn("_change_type", lit("insert"))
+        .unionByName(del.withColumn("_change_type", lit("delete")))
+    }
+    // NET path: a dv-changed file's from→to multiset difference is
+    // exactly the rows at its newly-masked positions (deletes) plus the
+    // rows at its newly-unmasked positions (inserts) — the surviving
+    // bulk B cancels by the multiset identity (A ⊎ B) ∖ (M ⊎ B) =
+    // A ∖ M, so it is never read, never shuffled, never compared. The
+    // old formulation fed BOTH whole states of every dv-changed file
+    // through a double exceptAll: table-sized shuffles to reconstruct a
+    // change-sized feed (the dominant cost of every MV refresh over a
+    // DV-tier delete). Position extraction is a semi-join of the raw
+    // file scan against the dv-row DIFFERENCE (dv-sized, broadcast
+    // under the same gate the read core uses); the final exceptAll
+    // pair runs over change-sized remainders only — and is skipped
+    // outright when either side is statically empty (pure-append /
+    // pure-delete windows). Output multisets are IDENTICAL to the old
+    // plan's: same rows, same counts, provably (see the identity
+    // above), so every CDC consumer hashes the same.
+    def dvDiffRows(readM: Manifest, newer: Map[String, DvRef],
+                   older: Map[String, DvRef]): Option[DataFrame] = {
+      // only files where the newer side HAS a vector can contribute
+      val files = dvChanged.filter(f => newer.contains(f))
+      if (files.isEmpty) return None
+      val newRows = readDvRows(spark, path, readM, files.flatMap(newer.get).map(_.file))
+      val oldRefs = files.flatMap(older.get).map(_.file)
+      val diff =
+        if (oldRefs.isEmpty) newRows
+        else {
+          val oldRows = readDvRows(spark, path, readM, oldRefs)
+          val anti = to.partitionCols.foldLeft(
+            newRows(DvFileCol) === oldRows(DvFileCol) &&
+              newRows(DvPosCol) === oldRows(DvPosCol)) { (c, pc) =>
+            c && (newRows(DvColPrefix + pc) <=> oldRows(DvColPrefix + pc))
+          }
+          newRows.join(oldRows, anti, "left_anti")
+        }
+      val raw = readFilesMeta(spark, path, readM.copy(dvs = Map.empty),
+        Some(files), meta = true)
+      val cond = to.partitionCols.foldLeft(
+        element_at(split(raw(MetaFile), "/"), -1) === diff(DvFileCol) &&
+          raw(MetaPos) === diff(DvPosCol)) { (c, pc) =>
+        c && (raw(pc) <=> diff(DvColPrefix + pc))
+      }
+      val gate = spark.conf.getOption(DvBroadcastMaxRowsKey)
+        .flatMap(_.toLongOption).getOrElse(DvBroadcastMaxRowsDefault)
+      val newRowCount = files.flatMap(newer.get).map(_.rows).sum
+      val build = if (newRowCount <= gate) broadcast(diff) else diff.hint("shuffle_hash")
+      Some(raw.join(build, cond, "left_semi").drop(MetaFile, MetaPos))
+    }
+    // deletes: positions masked at to but not at from; inserts:
+    // positions unmasked again (vector shrank — restore-shaped commits)
+    val dvDeletes = dvDiffRows(from, to.dvs, from.dvs)
+    val dvInserts = dvDiffRows(to, from.dvs, to.dvs)
+    val insParts = (if (pathAdded.nonEmpty)
+      Seq(readFiles(spark, path, to, Some(pathAdded))) else Nil) ++ dvInserts
+    val delParts = (if (pathRemoved.nonEmpty)
+      Seq(readFiles(spark, path, from, Some(pathRemoved))) else Nil) ++ dvDeletes
+    val emptyRel = readFiles(spark, path, to, Some(Nil))
+    val (insN, delN) = (insParts.reduceOption(_ unionByName _),
+      delParts.reduceOption(_ unionByName _)) match {
+      case (None, None)       => (emptyRel, emptyRel)
+      case (Some(a), None)    => (a, emptyRel)
+      case (None, Some(m))    => (emptyRel, m)
+      case (Some(a), Some(m)) => (a.exceptAll(m), m.exceptAll(a))
+    }
     insN.withColumn("_change_type", lit("insert"))
       .unionByName(delN.withColumn("_change_type", lit("delete")))
   }

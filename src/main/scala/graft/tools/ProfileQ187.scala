@@ -16,6 +16,7 @@ object ProfileQ187 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.graft.mv.profile", "true")
     import graft.operators.Snapshot
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
