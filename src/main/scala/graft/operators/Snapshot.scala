@@ -75,6 +75,17 @@ object Snapshot {
   val DvBroadcastMaxRowsKey = "spark.graft.dv.broadcastMaxRows"
   private val DvBroadcastMaxRowsDefault = 1000000L
 
+  /** Candidate-row ceiling for the fused single-scan DML path (delete
+    * caches matched positions and derives tier counts from the cache).
+    * Bounds the cached position set (file ref + position + partition
+    * values per matched row); above it the classic two-scan path runs.
+    * A data-volume gate, not a core-count one — the same default is
+    * reasonable on a cluster, where 4M cached rows are a few hundred
+    * MB spread over executors.
+    */
+  val DmlFusedScanMaxRowsKey = "spark.graft.dml.fusedScanMaxRows"
+  private val DmlFusedScanMaxRowsDefault = 4000000L
+
   /** A file whose deletion vector covers at least this fraction of its
     * PHYSICAL rows is folded (rewritten without its deleted rows) by
     * the next DML commit on the table — the maintenance trigger that
@@ -205,6 +216,18 @@ object Snapshot {
     * concurrently-writing snapshot tables in the same JVM.
     */
   private val writeConfLock = new Object
+
+  /** Stage timing for the DML verbs, printed only under
+    * `spark.graft.dml.profile=true` — diagnostic seam for the
+    * optimization rounds; zero cost when off.
+    */
+  private def dmlProf[A](spark: SparkSession, label: String)(f: => A): A =
+    if (!spark.conf.getOption("spark.graft.dml.profile").contains("true")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[dmlprof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
   /** A concurrent commit took this version first. APPEND-family writers
     * catch it and rebase ([[append]]'s retry loop); read-modify-write
@@ -3656,32 +3679,69 @@ object Snapshot {
     val m = latestManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
     val pred = pinDmlExpr(spark, m, "delete", pred0)
-    val matched = matchedPerFile(spark, path, m, pred)
-    if (matched.isEmpty) return m.version
-    // live rows = physical rows minus already-deleted positions — the
-    // whole-file and fraction tiers must judge against what a reader
-    // actually sees, or a second delete on a DV'd file mis-tiers
-    val (whole, rest) = matched.partition { case (f, n) => liveRowsOf(m, f).contains(n) }
-    val (dvTier, rewriteTier) = dvTierSplit(m, rest, dvMaxFraction)
-    val rewrite = rewriteTier.keys.toSeq.sorted
-    val newFiles =
-      if (rewrite.isEmpty) Nil
-      else writeTxnFiles(
-        readFiles(spark, path, m, Some(rewrite)).where(!coalesce(pred, lit(false))),
-        path, m.partitionCols, m.colMap,
-        sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2)
-    val dvNew =
-      if (dvTier.isEmpty) Map.empty[String, DvRef]
-      else writeDv(spark, path, m, pred, dvTier)
-    val committed = commitRebasing(spark, path, m,
-      drop = whole.keySet ++ rewrite.toSet,
-      touched = dvTier.keySet,
-      addFiles = newFiles,
-      addStats =
-        if (newFiles.isEmpty) Map.empty
-        else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
-      addDvs = dvNew, op = "DELETE")
-    if (dvNew.isEmpty) committed else maybeFoldDense(spark, path, committed)
+    val hit = coalesce(pred, lit(false))
+    val candidates = SnapshotStats.prune(spark, m, pred, Some(path))
+    if (candidates.isEmpty) return m.version
+    // FUSED single scan for bounded candidate sets: the per-file match
+    // counts (tier decision) and the DV tier's matched positions come
+    // from ONE persisted pass over the stats-pruned candidates instead
+    // of two — the common point-delete pays one table read, not two.
+    // Gated by the candidates' manifest row counts (driver-known, no
+    // job) so an unpruned 100 TB band delete never caches a
+    // table-sized position set; above the gate, the two-scan path is
+    // unchanged. The gate is data volume, not core count — the same
+    // threshold is right on a cluster.
+    val fusedGate = spark.conf.getOption(DmlFusedScanMaxRowsKey)
+      .flatMap(_.toLongOption).getOrElse(DmlFusedScanMaxRowsDefault)
+    val candRows = candidates.map(f => liveRowsOf(m, f))
+    val fused = candRows.forall(_.isDefined) &&
+      candRows.flatten.sum <= fusedGate
+    val matchedRows =
+      if (!fused) null
+      else readFilesMeta(spark, path, m, Some(candidates), meta = true)
+        .where(hit)
+        .select((m.partitionCols.map(col) ++ Seq(col(MetaFile), col(MetaPos))): _*)
+        .persist()
+    try {
+      val matched = dmlProf(spark, "delete: matchedPerFile")(
+        if (fused)
+          countsToManifest(path, m, matchedRows
+            .groupBy(col(MetaFile).as("__file")).count()
+            .collect().map(r => (r.getString(0), r.getLong(1))))
+        else matchedPerFile(spark, path, m, pred))
+      if (matched.isEmpty) return m.version
+      // live rows = physical rows minus already-deleted positions — the
+      // whole-file and fraction tiers must judge against what a reader
+      // actually sees, or a second delete on a DV'd file mis-tiers
+      val (whole, rest) = matched.partition { case (f, n) => liveRowsOf(m, f).contains(n) }
+      val (dvTier, rewriteTier) = dvTierSplit(m, rest, dvMaxFraction)
+      val rewrite = rewriteTier.keys.toSeq.sorted
+      val newFiles =
+        if (rewrite.isEmpty) Nil
+        else dmlProf(spark, "delete: rewrite write")(writeTxnFiles(
+          readFiles(spark, path, m, Some(rewrite)).where(!coalesce(pred, lit(false))),
+          path, m.partitionCols, m.colMap,
+          sortBy = writeSortSpec(m)._1, sortRange = writeSortSpec(m)._2))
+      val dvNew =
+        if (dvTier.isEmpty) Map.empty[String, DvRef]
+        // the fused matched-rows cache serves the vector directly only
+        // when it holds EXACTLY the dv tier's rows (no whole-file or
+        // rewrite-tier rows mixed in — a pure point delete)
+        else if (fused && whole.isEmpty && rewrite.isEmpty)
+          dmlProf(spark, "delete: writeDv (fused)")(
+            writeDvFrom(spark, path, m, matchedRows, dvTier))
+        else dmlProf(spark, "delete: writeDv")(writeDv(spark, path, m, pred, dvTier))
+      val committed = dmlProf(spark, "delete: stats+commit")(commitRebasing(spark, path, m,
+        drop = whole.keySet ++ rewrite.toSet,
+        touched = dvTier.keySet,
+        addFiles = newFiles,
+        addStats =
+          if (newFiles.isEmpty) Map.empty
+          else statsFor(spark, path, newFiles, m.schemaDdl, m.partitionCols, m.colMap),
+        addDvs = dvNew, op = "DELETE"))
+      if (dvNew.isEmpty) committed
+      else dmlProf(spark, "delete: maybeFoldDense")(maybeFoldDense(spark, path, committed))
+    } finally if (matchedRows != null) matchedRows.unpersist()
   }
 
   /** Row-level DELETE of every row whose `keyCol` value appears in

@@ -21,6 +21,7 @@ object ProfileProtocol {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.graft.dml.profile", "true")
     val t = graft.Tables(spark, sfDir)
     def prof[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

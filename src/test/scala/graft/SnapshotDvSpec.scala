@@ -352,4 +352,39 @@ class SnapshotDvSpec extends SparkSpec {
     assert(err.getMessage.contains("deletion vectors") ||
       Option(err.getCause).exists(_.getMessage.contains("deletion vectors")))
   }
+  test("fused single-scan delete == two-scan delete, both tiers") {
+    // the fused path (matched positions cached from one scan) must
+    // produce the exact state the classic two-scan path does — same
+    // survivors, same tiering, same vector rows; and a gate of 0
+    // forces the fallback so both paths stay exercised
+    def runDelete(gate: String): (Set[(Long, String, Long)], Map[String, Long], String) = {
+      val dir = tmp(s"fused$gate")
+      Snapshot.create(spark, dir, fixture(0 until 1000).repartition(1))
+      Snapshot.append(spark, dir, fixture(1000 until 2000).repartition(1))
+      spark.conf.set(Snapshot.DmlFusedScanMaxRowsKey, gate)
+      try Snapshot.delete(spark, dir, col("id") % 100 === 7L)
+      finally spark.conf.unset(Snapshot.DmlFusedScanMaxRowsKey)
+      val m = Snapshot.latestManifest(spark, dir).get
+      (rows(Snapshot.read(spark, dir)),
+        m.dvs.map { case (f, r) => f -> r.rows },
+        m.operation)
+    }
+    val (fusedRows, fusedDvs, fusedOp) = runDelete(gate = "10000000")
+    val (plainRows, plainDvs, plainOp) = runDelete(gate = "0")
+    assert(fusedRows == plainRows)
+    assert(fusedDvs.values.toSeq.sorted == plainDvs.values.toSeq.sorted)
+    assert(fusedOp == plainOp)
+    assert(fusedRows == rows(fixture(0 until 2000)).filterNot(_._1 % 100 == 7))
+    // rewrite-tier (band) delete through the fused count path: the
+    // matched cache is NOT reused for vectors there, results identical
+    def runBand(gate: String): Set[(Long, String, Long)] = {
+      val dir = tmp(s"band$gate")
+      Snapshot.create(spark, dir, fixture(0 until 2000).repartition(1))
+      spark.conf.set(Snapshot.DmlFusedScanMaxRowsKey, gate)
+      try Snapshot.delete(spark, dir, col("p") === "odd")
+      finally spark.conf.unset(Snapshot.DmlFusedScanMaxRowsKey)
+      rows(Snapshot.read(spark, dir))
+    }
+    assert(runBand("10000000") == runBand("0"))
+  }
 }
