@@ -139,7 +139,11 @@ object Bench {
         else {
           val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
           val sha = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-          if (p.waitFor() == 0 && sha.nonEmpty) Some(s"$sha:${esc(sfDir)}") else None
+          // cpus is part of the stamp: a low-core scaling run must never
+          // merge per-query minima from a 32-core run of the same commit
+          // (round 15's c8 summary merged 140 32-core minima and
+          // corrupted the driver's scaling ratios)
+          if (p.waitFor() == 0 && sha.nonEmpty) Some(s"$sha:${esc(sfDir)}:c$cpus") else None
         }
       } catch { case _: Exception => None }
     val bestPath = java.nio.file.Paths.get("target", "bench_summary_best.json")
