@@ -351,9 +351,14 @@ object MatView {
         def replayReads(k: Int): Map[String, LogicalPlan] =
           srcs.indices.map { i =>
             val pos = chg.indexOf(i)
+            // the SIGNED net feed: every consumer below (grouped/side/
+            // avg delta) folds sign-linearly, so the value-level
+            // exceptAll cancellation pair — two full shuffles of the
+            // change streams — is provably a no-op here and skipped
+            // (readChangesSigned; MIN/MAX/KMV dent tiers only widen)
             srcKey(srcs(i)) -> (
-              if (pos == k) Snapshot.readChanges(spark, paths(i),
-                froms(i), vNows(i), net = true).queryExecution.logical
+              if (pos == k) Snapshot.readChangesSigned(spark, paths(i),
+                froms(i), vNows(i)).queryExecution.logical
               else if (pos >= 0 && pos < k) readAt(i, vNows(i))
               else readAt(i, froms(i)))
           }.toMap
@@ -915,10 +920,15 @@ object MatView {
     val perFeed = feeds.map(_.where(ColumnBridge.column(e).isNotNull)
       .groupBy(keyCols :+ ColumnBridge.column(e).as("__v"): _*)
       .agg(sum(sign).as("__dc")))
-    if (perFeed.size == 1) perFeed.head
+    // zero-sum rows (signed-feed cancellation pairs, rewrite windows)
+    // change no occurrence count — drop them so a net-no-op window
+    // yields an EMPTY delta (metadata-only side commit, no rewrite)
+    val eff = col("__dc") =!= 0
+    if (perFeed.size == 1) perFeed.head.where(eff)
     else perFeed.reduce(_ unionByName _)
       .groupBy(mergeKeys :+ col("__v"): _*)
       .agg(sum(col("__dc")).as("__dc"))
+      .where(eff)
   }
 
   /** Fold a [[sideDelta]] into the current side state: null-safe join
@@ -1004,9 +1014,32 @@ object MatView {
     }
     val keyCols = shape.keys.zipWithIndex.map { case ((_, ke), i) =>
       ColumnBridge.column(ke).as(s"__gk_$i") }
+    // drop NEUTRAL delta rows — groups whose window nets to no state
+    // change. With the SIGNED feed (no exceptAll cancellation) a
+    // compaction/rewrite window grids out as all-zero rows; filtering
+    // them (a) keeps the no-op-window contract (empty delta → metadata
+    // commit, no file rewrite) and (b) keeps the fold's delta side
+    // O(truly-changed groups). Per column: count/sum neutral iff the
+    // signed sum is 0 or NULL; MIN/MAX neutral iff the window's insert
+    // and delete extrema agree (min(S∖D∪I) = min(S) when min(I) =
+    // min(D) and counts cancel: a deleted minimum is re-inserted, and
+    // anything else deleted sits above it — provably no state change);
+    // KMV neutral only when the window touched nothing (bottom-k
+    // equality of ins/del hashes does NOT imply the sketch survives —
+    // a deleted mid-sketch hash can hide behind matching bottom-ks).
+    val effective = shape.cols.flatMap {
+      case (name, CountStar | CountOf(_) | SumOf(_)) =>
+        Seq(coalesce(col(s"__d_$name") =!= 0, lit(false)))
+      case (name, MinOf(_) | MaxOf(_)) =>
+        Seq(!(col(s"__ins_$name") <=> col(s"__del_$name")))
+      case (name, KmvOf(_, _)) =>
+        Seq(col(s"__delmin_$name").isNotNull ||
+          size(coalesce(col(s"__ins_$name"), array().cast("array<bigint>"))) > 0)
+      case _ => Seq.empty
+    }.reduceOption(_ || _).getOrElse(lit(true))
     val perFeed = feeds.map(_.groupBy(keyCols: _*)
       .agg(aggs.head, aggs.tail: _*))
-    if (perFeed.size == 1) perFeed.head
+    if (perFeed.size == 1) perFeed.head.where(effective)
     else {
       val merge = shape.cols.flatMap {
         case (name, CountStar | CountOf(_) | SumOf(_)) =>
@@ -1027,6 +1060,7 @@ object MatView {
       perFeed.reduce(_ unionByName _)
         .groupBy(shape.keys.indices.map(i => col(s"__gk_$i")): _*)
         .agg(merge.head, merge.tail: _*)
+        .where(effective)
     }
   }
 
@@ -1118,11 +1152,16 @@ object MatView {
           size(cur) < k || dm <= element_at(cur, size(cur))), lit(false))
     }
     val liveness = shape.cols.collectFirst { case (n, CountStar) => n }.get
-    val folded = cur.join(dlt, on, "full_outer")
+    val folded0 = cur.join(dlt, on, "full_outer")
       .select(shape.cols.map { case (n, c) => outCol(n, c) } :+
         recFlags.reduceOption(_ || _).getOrElse(lit(false)).as("__rec"): _*)
       .where(col(liveness) > 0)
-    if (recFlags.isEmpty) return folded.drop("__rec")
+    if (recFlags.isEmpty) return folded0.drop("__rec")
+    // the dent-tiered path reads the fold THREE times (the emptiness
+    // probe, the keep branch, the affected key set feeding the
+    // re-derivation semi-join) — materialize the state-sized fold once
+    // instead of re-running the full-outer join per consumer
+    val folded = folded0.localCheckpoint()
     val keep = folded.where(!col("__rec")).drop("__rec")
     val affected = folded.where(col("__rec"))
       .select(shape.keys.map { case (sn, _) => col(sn) }: _*)

@@ -833,7 +833,29 @@ object Snapshot {
     * consumer.
     */
   def readChanges(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long,
-                  net: Boolean = false): DataFrame = {
+                  net: Boolean = false): DataFrame =
+    readChangesImpl(spark, path, fromVersion, toVersion, net, cancel = true)
+
+  /** The SIGNED net change feed: the same change-sized insert/delete
+    * streams as `readChanges(net = true)` MINUS the final value-level
+    * `exceptAll` cancellation pair — two full shuffles of the change
+    * streams whose only effect is removing matched (+row, −row) pairs
+    * (a row deleted somewhere and an identical row inserted elsewhere
+    * in the same window). For a SIGN-LINEAR consumer — anything that
+    * folds `sum(±1)`/`sum(±x)` per group, i.e. every MV/rollup delta
+    * fold — those pairs contribute exactly zero, so the fold result is
+    * IDENTICAL while the feed skips both shuffles. MIN/MAX/KMV delete
+    * tiers only see a SUPERSET of delete candidates, which can only
+    * widen the (exact-by-construction) re-derivation set, never change
+    * results. NOT for consumers that ship the feed itself (CDC
+    * replication, streams): there the cancellation is semantic.
+    */
+  private[graft] def readChangesSigned(spark: SparkSession, path: String,
+                                       fromVersion: Long, toVersion: Long): DataFrame =
+    readChangesImpl(spark, path, fromVersion, toVersion, net = true, cancel = false)
+
+  private def readChangesImpl(spark: SparkSession, path: String, fromVersion: Long,
+                              toVersion: Long, net: Boolean, cancel: Boolean): DataFrame = {
     require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
     val from = manifest(spark, path, fromVersion)
     val to = manifest(spark, path, toVersion)
@@ -913,7 +935,8 @@ object Snapshot {
       case (None, None)       => (emptyRel, emptyRel)
       case (Some(a), None)    => (a, emptyRel)
       case (None, Some(m))    => (emptyRel, m)
-      case (Some(a), Some(m)) => (a.exceptAll(m), m.exceptAll(a))
+      case (Some(a), Some(m)) =>
+        if (cancel) (a.exceptAll(m), m.exceptAll(a)) else (a, m)
     }
     insN.withColumn("_change_type", lit("insert"))
       .unionByName(delN.withColumn("_change_type", lit("delete")))

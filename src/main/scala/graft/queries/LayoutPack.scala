@@ -281,7 +281,9 @@ object LayoutPack extends QueryPack {
         sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
     graft.operators.Snapshot.mergeById(t.spark, dir, upd, "o_orderkey", "o_orderpriority")
     val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val delta = graft.operators.Snapshot.readChanges(t.spark, dir, 1L, 2L, net = true)
+    // signed feed: this fold is sum-of-signs per group, so the net
+    // feed's exceptAll cancellation is a provable no-op — skipped
+    val delta = graft.operators.Snapshot.readChangesSigned(t.spark, dir, 1L, 2L)
       .groupBy("o_orderpriority")
       .agg(sum(sgn).as("dn"),
         sum((col("o_totalprice").cast("decimal(18,2)") * sgn).cast("decimal(28,2)")).as("dtotal"))
@@ -738,7 +740,7 @@ object LayoutPack extends QueryPack {
     val cutH1 = lit("1997-06-01 00:00:00").cast("timestamp")
     val cut96 = lit("1996-01-01 00:00:00").cast("timestamp")
     val fold = FeedConsumer.additiveRollup(Seq("o_orderpriority"), "o_totalprice") _
-    FeedConsumer.drain(t.spark, src, dst, "q127")(fold)
+    FeedConsumer.drain(t.spark, src, dst, "q127", signed = true)(fold)
     Snapshot.append(t.spark, src,
       t.orders.where(col("o_orderdate") >= cut97 && col("o_orderdate") < cutH1)
         .select("o_orderkey", "o_orderpriority", "o_totalprice"))
@@ -748,7 +750,9 @@ object LayoutPack extends QueryPack {
         .select(col("o_orderkey"), col("o_orderpriority"),
           (col("o_totalprice") * 3).as("o_totalprice")),
       "o_orderkey", "o_orderpriority")
-    FeedConsumer.drain(t.spark, src, dst, "q127")(fold)
+    // additiveRollup is sign-linear: the signed feed folds identically
+    // (oracle-gated) and skips the exceptAll cancellation shuffles
+    FeedConsumer.drain(t.spark, src, dst, "q127", signed = true)(fold)
     Snapshot.read(t.spark, dst)
       .select(col("o_orderpriority"), col("n"), col("total").cast("double").as("total"))
       .orderBy("o_orderpriority")

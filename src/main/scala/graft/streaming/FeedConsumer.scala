@@ -41,7 +41,16 @@ object FeedConsumer {
     * (insert/delete). Returns Some(fromVersion -> toVersion) when the
     * consumer advanced, None when already up to date.
     */
-  def drain(spark: SparkSession, srcPath: String, dstPath: String, consumerId: String)
+  /** `signed = true` feeds `apply` the SIGNED net feed
+    * ([[Snapshot.readChangesSigned]]): the same change streams minus
+    * the value-level exceptAll cancellation pair — two full shuffles
+    * whose removed (+row, −row) pairs contribute exactly zero to any
+    * sign-linear fold ([[additiveRollup]] and every count/sum delta).
+    * Only set it for such folds; an `apply` that inspects feed rows
+    * individually needs the exact net feed.
+    */
+  def drain(spark: SparkSession, srcPath: String, dstPath: String, consumerId: String,
+            signed: Boolean = false)
            (apply: (DataFrame, DataFrame) => DataFrame): Option[(Long, Long)] = {
     val vNow = Snapshot.latestVersion(spark, srcPath).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $srcPath"))
@@ -51,7 +60,9 @@ object FeedConsumer {
     val vFrom = dstM.streamBatch.get(consumerId)
     if (vFrom.exists(_ >= vNow)) return None
     val feed = vFrom match {
-      case Some(v) => Snapshot.readChanges(spark, srcPath, v, vNow, net = true)
+      case Some(v) =>
+        if (signed) Snapshot.readChangesSigned(spark, srcPath, v, vNow)
+        else Snapshot.readChanges(spark, srcPath, v, vNow, net = true)
       case None    => Snapshot.readVersion(spark, srcPath, vNow)
         .withColumn("_change_type", lit("insert"))
     }
