@@ -296,9 +296,14 @@ object Dedup {
           .where(col("__df") > maxDocFreq).select("sh")
         allPosting.join(hot, Seq("sh"), "left_anti")
       }
-    // the self-join's two sides are the identical subtree shuffled on the
-    // same key, so ReuseExchange computes the posting exchange once
-    posting.as("a")
+    // SHUFFLE_HASH self-join: the two sides are the identical subtree
+    // shuffled on the same key, so ReuseExchange computes the posting
+    // exchange ONCE — the broadcast plan the optimizer picks at small
+    // sizes instead evaluates the whole scan+tokenize+hash subtree
+    // twice (a broadcast side is rebuilt, not reused), and at corpus
+    // scale the posting table never fits a broadcast anyway, so the
+    // hinted plan is also the 100 TB plan. No sort (vs sort-merge).
+    posting.hint("shuffle_hash").as("a")
       .join(posting.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("a.n").as("na"),
         col("b.id").as("id_b"), col("b.n").as("nb"))
@@ -391,14 +396,30 @@ object Dedup {
         banded0.withColumn("__bs", count(lit(1)).over(w))
           .where(col("__bs") <= maxBucket).drop("__bs")
       }
-    val cand = banded.as("a")
+    // SHUFFLE_HASH self-join + ReuseExchange: one evaluation of the
+    // banding subtree (scan + minhash signatures) instead of the two a
+    // broadcast build would pay — see shinglePairAgg for the rationale
+    val cand = banded.hint("shuffle_hash").as("a")
       .join(banded.as("b"),
         col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sh = df.select(col(idCol).as("id"),
-      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
+      // the candidate set feeds THREE consumers (the id restriction
+      // below, twice, and the verification join) — materialize the
+      // collision-sized pair list once instead of re-running the
+      // banded self-join per consumer
+      .localCheckpoint()
+    // verify ONLY candidate docs: shingle STRINGS are built for the
+    // semi-joined candidate ids — O(collisions) docs — never for the
+    // whole corpus (which the previous plan re-shingled twice, once
+    // per verification join)
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
@@ -428,11 +449,21 @@ object Dedup {
         col("a.bk.band") === col("b.bk.band") && col("a.bk.key") === col("b.bk.key"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
-      TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
+      // collision-sized; three consumers (two id restrictions + the
+      // verification join) — materialize once (see minhashLshPairs)
+      .localCheckpoint()
+    // shingle strings only for candidate docs (semi-join per side) —
+    // never for either whole corpus
+    def sh(df: DataFrame, ids: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"),
+        TextFns.wordShingles(TextFns.tokens(col(textCol)), k).as("shingles"))
+    val shL = sh(left, cand.select(col("id_a").as("id")).distinct())
+    val shR = sh(right, cand.select(col("id_b").as("id")).distinct())
     cand
-      .join(sh(left).select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
-      .join(sh(right).select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .join(shL.select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(shR.select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))
@@ -459,10 +490,9 @@ object Dedup {
     // null ids never meet an equi-join key, so they cannot link
     // components in EITHER tier; dropped up front (the driver tier
     // would otherwise have to order null, which Spark's min never does)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edgesPlan = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .persist()
     // TIERED, like every size-dependent strategy in Spark (broadcast
     // thresholds, AQE): the edge list is the pair graph, a vanishing
     // fraction of the corpus by construction (near-dups are rare), and
@@ -474,17 +504,24 @@ object Dedup {
     // fixpoint (min label per component, type-exact ordering) is
     // identical by construction, so the tier is invisible to results.
     // The final labels→ids join is the same broadcast either way.
-    val edgeCount = edges.count()
-    if (edgeCount <= driverMaxEdges) {
-      driverCanonicalize(edges, pairs.schema(aCol).dataType) match {
+    // The gate and the collect are ONE job: limit(max+1).collect()
+    // returns the complete edge set iff it fits the tier (a result of
+    // <= max rows under a max+1 limit is necessarily exhaustive), so
+    // the pair pipeline — the expensive part — is evaluated once, not
+    // once for a count and again for the collect.
+    val probe = edgesPlan.limit(
+      math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= driverMaxEdges) {
+      driverCanonicalize(probe, pairs.schema(aCol).dataType,
+        edgesPlan.sparkSession) match {
         case Some(labelsDf) =>
-          edges.unpersist()
           return ids.select(col(idCol).as("id"))
             .join(labelsDf, Seq("id"), "left")
             .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
         case None => () // unsupported id type: fall through to the loop
       }
     }
+    val edges = edgesPlan.persist()
     // only edge-touched nodes need propagation — a vanishing fraction of
     // the corpus (near-dups are rare by construction); everything else
     // is its own canonical id and never enters the loop
@@ -549,8 +586,9 @@ object Dedup {
     * the caller then runs the distributed loop, which needs no
     * driver-side ordering at all.
     */
-  private def driverCanonicalize(edges: DataFrame,
-                                 idType: org.apache.spark.sql.types.DataType)
+  private def driverCanonicalize(rows: Array[Row],
+                                 idType: org.apache.spark.sql.types.DataType,
+                                 spark: org.apache.spark.sql.SparkSession)
       : Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val ord: Ordering[Any] = idType match {
@@ -563,8 +601,6 @@ object Dedup {
               .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String])))
       case _ => return None
     }
-    val spark = edges.sparkSession
-    val rows = edges.collect()
     val index = new java.util.HashMap[Any, Integer]()
     val values = scala.collection.mutable.ArrayBuffer.empty[Any]
     val parent = scala.collection.mutable.ArrayBuffer.empty[Int]

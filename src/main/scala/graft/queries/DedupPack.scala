@@ -262,8 +262,13 @@ object DedupPack extends QueryPack {
       .withColumnRenamed("canonical_id", "component_id")
     val q = t.documents.select(col("doc_id"),
       TextFns.qualityScore(col("text"), TextFns.tokens(col("text"))).as("quality"))
+    // TWO consumers read j (the survivor election aggregate and the
+    // final output join) and its quality column is the expensive text
+    // scoring pass — materialize once; at 100 TB this is the persisted
+    // stage boundary between scoring and election
     val j = comp.join(q, comp("id") === q("doc_id"))
       .select(col("id"), col("component_id"), col("quality"))
+      .localCheckpoint()
     val surv = j.groupBy("component_id")
       .agg(max_by(col("id"), struct(col("quality"), -col("id"))).as("survivor_id"))
     j.join(surv, "component_id")

@@ -47,10 +47,11 @@ class DstCanonSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
-  test("canonicalize runs exactly one Spark job per propagation iteration") {
-    // the convergence check must NOT be a second driver action: the
-    // changed-label count folds into the same job that materializes the
-    // next labels (AQE/broadcast disabled so one action == one job)
+  test("canonicalize driver tier runs exactly ONE job: the gate and the collect fuse") {
+    // the tier gate (edge count <= driverMaxEdges) must NOT be its own
+    // driver action: limit(max+1).collect() both proves the edge set
+    // fits AND delivers it, so the pair pipeline — the expensive part —
+    // is evaluated once (it used to be a count job plus a collect job)
     val sc = spark.sparkContext
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -73,11 +74,48 @@ class DstCanonSpec extends SparkSpec {
       while (System.currentTimeMillis() < deadline && last != jobs.get()) {
         last = jobs.get(); Thread.sleep(150)
       }
-      // chain 1-2-3 with pointer jumping converges in 2 iterations
-      // (one change round — neighbour min + jump resolve 3→1 together —
-      // then one verify round): exactly one fused materialize+count job
-      // each. Plain propagation would take 3.
-      assert(jobs.get() == 2, s"expected 2 jobs, saw ${jobs.get()}")
+      // 3 edges sit far under driverMaxEdges: the fused gate+collect is
+      // the only action (union-find itself is driver-side milliseconds)
+      assert(jobs.get() == 1, s"expected 1 job, saw ${jobs.get()}")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("canonicalize distributed tier runs one job per propagation iteration") {
+    // driverMaxEdges = 0 forces the pointer-jumping loop; the
+    // convergence check must NOT be a second driver action: the
+    // changed-label count folds into the same job that materializes the
+    // next labels (AQE/broadcast disabled so one action == one job)
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.addSparkListener(listener)
+    try {
+      val ids = (1L to 7L).toDF("doc_id")
+      val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+      Dedup.canonicalize(ids, "doc_id", pairs, driverMaxEdges = 0)
+      var last = -1
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline && last != jobs.get()) {
+        last = jobs.get(); Thread.sleep(150)
+      }
+      // 1 tier-probe job (limit(1).collect()), then chain 1-2-3 with
+      // pointer jumping converges in 2 iterations (one change round —
+      // neighbour min + jump resolve 3→1 together — then one verify
+      // round): exactly one fused materialize+count job each. Plain
+      // propagation would take 3.
+      assert(jobs.get() == 3, s"expected 3 jobs, saw ${jobs.get()}")
     } finally {
       sc.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
