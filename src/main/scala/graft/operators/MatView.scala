@@ -206,9 +206,21 @@ object MatView {
     val reads = srcs.indices.map(i => srcKey(srcs(i)) ->
       Snapshot.readVersion(spark, paths(i), vs(i)).queryExecution.logical).toMap
     val result = PlanBridge.dataFrame(spark, substituted(plan, reads))
+    // rollup-shaped views (and their side states, below) cluster by the
+    // first group key with RANGE-distributed writes: state files carry
+    // globally disjoint key ranges from the first commit — the layout
+    // the file-restricted incremental fold (foldCommitRestricted)
+    // prunes against, so a churn window rewrites only dented files
+    // (§6: sort order on write decides what readers/rewriters skip)
+    val shapeC = rollupShape(plan)
+    val stateCluster = shapeC.toSeq.flatMap(_.keys.headOption.map(_._1))
+    val layoutProps: Map[String, String] =
+      if (stateCluster.isEmpty) Map.empty
+      else Map("graft.write.sorted" -> "range")
     Snapshot.create(spark, mvPath, result,
+      clusterBy = stateCluster,
       properties = Map(SqlProp -> sqlText,
-        SourceProp -> srcs.map(_.mkString(".")).mkString(",")))
+        SourceProp -> srcs.map(_.mkString(".")).mkString(",")) ++ layoutProps)
     // a fresh view must be discoverable by the very next routed query
     graft.plans.MvAutoRoute.invalidateDiscovery()
     // watermarks ride a follow-up metadata commit on the fresh table
@@ -221,7 +233,6 @@ object MatView {
     // distinct-state side tables from the SAME pinned reads. A crash
     // before a side lands leaves it missing — the first REFRESH heals
     // by full recompute (sideOk demotes) and recreates it.
-    val shapeC = rollupShape(plan)
     shapeC.filter(_.distinctCols.nonEmpty).foreach { sh =>
       val childDf = PlanBridge.dataFrame(spark, substituted(sh.child, reads))
       sh.distinctCols.foreach { case (n, e) =>
@@ -229,7 +240,8 @@ object MatView {
         require(Snapshot.latestVersion(spark, sp).isEmpty,
           s"distinct-state side table already exists: $sp")
         Snapshot.create(spark, sp, sideState(childDf, sh, e),
-          properties = Map(SideProp -> mvPath))
+          clusterBy = stateCluster,
+          properties = Map(SideProp -> mvPath) ++ layoutProps)
         val sm = Snapshot.latestManifest(spark, sp).get
         Snapshot.commitMetaOn(spark, sp, sm,
           s"MATERIALIZE DISTINCT STATE ${vs.mkString("v", ",v", "")}")(mm =>
@@ -246,7 +258,8 @@ object MatView {
         require(Snapshot.latestVersion(spark, sp).isEmpty,
           s"avg-state side table already exists: $sp")
         Snapshot.create(spark, sp, avgSideState(childDf, sh),
-          properties = Map(SideProp -> mvPath))
+          clusterBy = stateCluster,
+          properties = Map(SideProp -> mvPath) ++ layoutProps)
         val sm = Snapshot.latestManifest(spark, sp).get
         Snapshot.commitMetaOn(spark, sp, sm,
           s"MATERIALIZE AVG STATE ${vs.mkString("v", ",v", "")}")(mm =>
@@ -400,9 +413,9 @@ object MatView {
               Snapshot.commitMetaOn(spark, sp, sm,
                 s"REFRESH DISTINCT STATE $opTail (no-op window)")(stamp)
             else
-              Snapshot.replaceWholeTableOn(spark, sp, sm,
-                foldSide(Snapshot.readManifestFiles(spark, sp, sm, sm.files),
-                  sDelta, shape),
+              foldCommitRestricted(spark, sp, sm, sDelta,
+                shape.keys.headOption.map(_._1),
+                cur => foldSide(cur, sDelta, shape),
                 op = s"REFRESH DISTINCT STATE $opTail (incremental)",
                 finish = stamp)
           }
@@ -437,9 +450,9 @@ object MatView {
               Snapshot.commitMetaOn(spark, sp, sm,
                 s"REFRESH AVG STATE $opTail (no-op window)")(stamp)
             else
-              Snapshot.replaceWholeTableOn(spark, sp, sm,
-                foldDeltas(Snapshot.readManifestFiles(spark, sp, sm, sm.files),
-                  aDelta, ash, childAtNew),
+              foldCommitRestricted(spark, sp, sm, aDelta,
+                ash.keys.headOption.map(_._1),
+                cur => foldDeltas(cur, aDelta, ash, childAtNew),
                 op = s"REFRESH AVG STATE $opTail (incremental)",
                 finish = stamp)
           }
@@ -457,6 +470,20 @@ object MatView {
       if (delta0.isEmpty)
         Snapshot.commitMetaOn(spark, mvPath, mvM,
           s"REFRESH MATERIALIZED VIEW $opTail (no-op window)")(stamp)
+      // patch-free shapes commit through the file-restricted fold: a
+      // group ABSENT from the view delta provably kept its state row.
+      // Shapes with COUNT(DISTINCT)/AVG columns cannot restrict on the
+      // view delta alone — a value swap inside a group can change the
+      // side state (and so the patched column) while every view-owned
+      // aggregate nets to neutral — so they keep the whole rewrite.
+      else if (shape.distinctCols.isEmpty && shape.avgCols.isEmpty)
+        prof(spark, "view fold+commit") {
+          foldCommitRestricted(spark, mvPath, mvM, delta0,
+            shape.keys.headOption.map(_._1),
+            cur => foldDeltas(cur, delta0, shape, childAtNew),
+            op = s"REFRESH MATERIALIZED VIEW $opTail (incremental)",
+            finish = stamp)
+        }
       else prof(spark, "view fold+commit") {
         val folded = foldDeltas(current, delta0, shape, childAtNew)
         // COUNT(DISTINCT) columns derive from the just-committed side
@@ -501,7 +528,10 @@ object MatView {
                   finish = stamp)
               case None =>
                 Snapshot.create(spark, sp, sideState(childDf, sh, e),
-                  properties = Map(SideProp -> mvPath))
+                  clusterBy = sh.keys.headOption.map(_._1).toSeq,
+                  properties = Map(SideProp -> mvPath) ++
+                    (if (sh.keys.isEmpty) Map.empty[String, String]
+                     else Map("graft.write.sorted" -> "range")))
                 val sm = Snapshot.latestManifest(spark, sp).get
                 Snapshot.commitMetaOn(spark, sp, sm,
                   s"MATERIALIZE DISTINCT STATE $opTail")(stamp)
@@ -525,7 +555,10 @@ object MatView {
                   finish = stamp)
               case None =>
                 Snapshot.create(spark, sp, avgSideState(childDf, sh),
-                  properties = Map(SideProp -> mvPath))
+                  clusterBy = sh.keys.headOption.map(_._1).toSeq,
+                  properties = Map(SideProp -> mvPath) ++
+                    (if (sh.keys.isEmpty) Map.empty[String, String]
+                     else Map("graft.write.sorted" -> "range")))
                 val sm = Snapshot.latestManifest(spark, sp).get
                 Snapshot.commitMetaOn(spark, sp, sm,
                   s"MATERIALIZE AVG STATE $opTail")(stamp)
@@ -954,6 +987,58 @@ object MatView {
         (coalesce(col("__cur.__vcnt"), lit(0L)) +
           coalesce(col("__dlt.__dc"), lit(0L))).as("__vcnt"): _*)
       .where(col("__vcnt") > 0)
+  }
+
+  /** File-restricted state-fold commit — the O(changed-files) WRITE
+    * path for incremental refreshes (opt guide §2.4/§6). Collects the
+    * delta's first-group-key values (gated by
+    * `spark.graft.mv.foldKeysMax`, default 1000), stats-prunes the
+    * state manifest to the files that might hold an affected group,
+    * runs `fold` over ONLY those files' rows, and retains every other
+    * live file byte-identical ([[Snapshot.replaceFilesOn]] — their
+    * stats ride along, no data pass). Sound because every fold here is
+    * per-group local: a state row whose group key matches no delta key
+    * passes through the full-outer fold join unchanged (COUNT/SUM add
+    * 0, MIN/MAX fold a null insert, dent flags coalesce to false, the
+    * liveness guard keeps it), so fold(touched ⊎ retained) =
+    * fold(touched) ⊎ retained — and a file the pruner drops provably
+    * holds no delta key (prune() keeps a superset of matching files;
+    * first-key containment bounds full-key containment). Falls back to
+    * the whole-table rewrite whenever restriction is unsound
+    * (partitioned or DV-carrying state) or useless (≤1 file, gate
+    * exceeded, nothing retained). With the state layout clustered by
+    * the group keys (`graft.write.sorted=range`, set at creation)
+    * state files carry disjoint key ranges, so at scale a churn window
+    * rewrites only the dented files: the refresh write path becomes
+    * O(change) like the read path, instead of a whole-state rewrite
+    * per refresh window.
+    */
+  private def foldCommitRestricted(spark: SparkSession, sp: String,
+                                   sm: Snapshot.Manifest, delta: DataFrame,
+                                   stateKey: Option[String],
+                                   fold: DataFrame => DataFrame,
+                                   op: String,
+                                   finish: Snapshot.Manifest => Snapshot.Manifest): Long = {
+    def whole(): Long = Snapshot.replaceWholeTableOn(spark, sp, sm,
+      fold(Snapshot.readManifestFiles(spark, sp, sm, sm.files)), op, finish)
+    val gate = spark.conf.getOption("spark.graft.mv.foldKeysMax")
+      .map(_.toInt).getOrElse(1000)
+    if (stateKey.isEmpty || gate <= 0 || sm.files.size <= 1 ||
+      sm.partitionCols.nonEmpty || sm.dvs.nonEmpty) return whole()
+    // the delta is caller-checkpointed: this key collect reads the
+    // materialized change-sized copy, never the replay trees
+    val keys = delta.select(col("__gk_0")).distinct()
+      .limit(gate + 1).collect().map(_.get(0))
+    if (keys.length > gate || keys.isEmpty) return whole()
+    val nonNull = keys.filter(_ != null)
+    val k = col(stateKey.get)
+    val pred = ((if (nonNull.nonEmpty) Seq(k.isin(nonNull.toSeq: _*)) else Nil) ++
+      (if (nonNull.length < keys.length) Seq(k.isNull) else Nil)).reduce(_ || _)
+    val touched = SnapshotStats.prune(spark, sm, pred, Some(sp))
+    val retained = sm.files.diff(touched)
+    if (retained.isEmpty) return whole()
+    Snapshot.replaceFilesOn(spark, sp, sm, retained,
+      fold(Snapshot.readManifestFiles(spark, sp, sm, touched)), op, finish)
   }
 
   /** Overwrite one COUNT(DISTINCT) column of the folded view with the

@@ -3334,6 +3334,36 @@ object Snapshot {
       dvs = Map.empty, blooms = Map.empty)))
   }
 
+  /** PARTIAL rewrite commit: `retained` live files of `m` survive
+    * byte-identical (their stats and bloom refs ride along), the rest
+    * are replaced by `replacement`'s files — the O(changed files) write
+    * path for state folds whose delta provably cannot touch the
+    * retained files (the caller proves it, typically via manifest-stats
+    * pruning on the fold keys). Unpartitioned, DV-free tables only:
+    * retained DV bookkeeping is the caller's problem and no current
+    * caller has one.
+    */
+  private[graft] def replaceFilesOn(spark: SparkSession, path: String, m: Manifest,
+                                    retained: Seq[String], replacement: DataFrame,
+                                    op: String = "MERGE",
+                                    finish: Manifest => Manifest = identity): Long = {
+    require(m.partitionCols.isEmpty, "replaceFilesOn: unpartitioned tables only")
+    require(m.dvs.isEmpty, "replaceFilesOn: tables with deletion vectors unsupported")
+    val keepSet = retained.toSet
+    require(keepSet.subsetOf(m.files.toSet),
+      "replaceFilesOn: retained files must be live in the pinned manifest")
+    val (sortBy5, sortRange5) = writeSortSpec(m)
+    val newFiles = writeTxnFiles(replacement, path, Nil, m.colMap,
+      withNotNullChecks(m.constraints, m.schemaDdl), m.generatedCols,
+      sortBy = sortBy5, sortRange = sortRange5)
+    commitManifest(spark, path, finish(m.copy(version = m.version + 1, operation = op,
+      files = (retained ++ newFiles).sorted,
+      stats = m.stats.view.filterKeys(keepSet).toMap ++
+        statsFor(spark, path, newFiles, m.schemaDdl, Nil, m.colMap),
+      dvs = Map.empty,
+      blooms = m.blooms.view.filterKeys(keepSet).toMap)))
+  }
+
   /** Metadata-only commit against a CALLER-PINNED manifest: no file
     * change, just whatever `finish` sets (e.g. a consumer watermark for
     * a window that carried no data changes). Versioned against THAT

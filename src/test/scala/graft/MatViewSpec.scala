@@ -905,4 +905,76 @@ class MatViewSpec extends SparkSpec {
     assert(opOf(mesP).contains("(incremental)"), s"mes: ${opOf(mesP)}")
     assert(state() == fromRaw(), "one CASCADE statement lands the whole stack")
   }
+
+  test("file-restricted fold rewrites only dented state files, identical to a whole rewrite") {
+    val root = Files.createTempDirectory("graft-mv-restrict").toString
+    val srcP = s"$root/src"
+    val reg = Map("src" -> srcP, "mv" -> s"$root/mv")
+    // enough distinct groups that the range-clustered state spans
+    // several files once the advisory partition size is squeezed
+    Snapshot.create(spark, srcP,
+      (0L until 6000L).map(i => (i, f"k${i % 400}%04d", i % 100)).toDF("id", "k", "v"))
+    // the fixture needs the range-clustered state to SPAN files: stop
+    // AQE from coalescing the (tiny) test-sized exchange to one
+    val advisoryKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val advisoryOld = spark.conf.getOption(advisoryKey)
+    spark.conf.set(advisoryKey, "false")
+    try {
+      val defining =
+        """SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS total,
+          |MIN(v) AS lo FROM src GROUP BY k""".stripMargin
+      Snapshot.sql(spark, s"CREATE MATERIALIZED VIEW mv AS $defining", reg)
+      val mvP = s"$root/mv"
+      val m0 = Snapshot.latestManifest(spark, mvP).get
+      assert(m0.clusterBy == Seq("k") &&
+        m0.properties.get("graft.write.sorted").contains("range"),
+        "rollup MV state must declare the range-clustered layout")
+      assert(m0.files.size > 1,
+        s"fixture needs a multi-file state, got ${m0.files.size} file(s)")
+      def state(): Set[Row] = Snapshot.read(spark, mvP).collect().toSet
+      def recompute(): Set[Row] = Snapshot.read(spark, srcP)
+        .groupBy("k").agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).as("total"), min("v").as("lo"))
+        .collect().toSet
+      // churn window dents FEW groups: an append into two groups and a
+      // min-killing delete in a third (exercises the childAtNew
+      // re-derivation under restriction)
+      Snapshot.append(spark, srcP,
+        Seq((9001L, "k0007", 3L), (9002L, "k0007", 77L), (9003L, "k0123", 5L))
+          .toDF("id", "k", "v"))
+      Snapshot.delete(spark, srcP, col("k") === "k0200" && col("v") <= 0)
+      Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+      val m1 = Snapshot.latestManifest(spark, mvP).get
+      assert(m1.operation.contains("(incremental)"), m1.operation)
+      val retained = m1.files.intersect(m0.files)
+      assert(retained.nonEmpty,
+        s"a 3-group dent over ${m0.files.size} clustered files must retain " +
+          s"undented files byte-identical (files now: ${m1.files.size})")
+      // retained files keep their stats entries verbatim
+      retained.foreach(f => assert(m1.stats.get(f) == m0.stats.get(f)))
+      assert(state() == recompute(), "restricted fold == full recompute")
+      // parity: the same churn with the restriction gated OFF commits a
+      // whole rewrite with the identical result set
+      val gateKey = "spark.graft.mv.foldKeysMax"
+      spark.conf.set(gateKey, "0")
+      try {
+        Snapshot.append(spark, srcP,
+          Seq((9004L, "k0055", 8L)).toDF("id", "k", "v"))
+        Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+        val m2 = Snapshot.latestManifest(spark, mvP).get
+        assert(m2.files.intersect(m1.files).isEmpty,
+          "gate 0 must force the whole-table rewrite")
+        assert(state() == recompute(), "whole rewrite parity")
+      } finally spark.conf.unset(gateKey)
+      // and the restricted path folds the NEXT window on top of the
+      // rewritten layout correctly too
+      Snapshot.delete(spark, srcP, col("k") === "k0007")
+      Snapshot.sql(spark, "REFRESH MATERIALIZED VIEW mv", reg)
+      assert(state() == recompute(), "group-killing delete under restriction")
+      assert(!state().exists(_.getString(0) == "k0007"))
+    } finally advisoryOld match {
+      case Some(v) => spark.conf.set(advisoryKey, v)
+      case None    => spark.conf.unset(advisoryKey)
+    }
+  }
 }
