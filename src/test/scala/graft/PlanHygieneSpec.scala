@@ -150,14 +150,21 @@ class PlanHygieneSpec extends SparkSpec {
       // round 10, so its pinned plan is the incremental fold only —
       // contraction joins + remap over localCheckpointed inputs.
       "q109_incremental_components" -> (7, 1, 8, 4, 0, 0),
-      "q95_quality_survivorship"    -> (6, 1, 8, 3, 2, 0),
+      // r16: q95 materializes its scored component join once
+      // (localCheckpoint, two consumers) — the survivor election reads
+      // the checkpointed RDD, so the visible plan is the election only
+      "q95_quality_survivorship"    -> (2, 1, 4, 1, 0, 0),
       "q79_semantic_dedup"          -> (2, 1, 3, 1, 0, 0),
       "q70_pipeline_survivors"      -> (2, 1, 3, 1, 1, 0),
       "q44_dedup_survivors"         -> (2, 1, 3, 1, 0, 0),
       // one fact pass per grain x 2 loads; spine/dim joins broadcast
       // (bnlj = the two broadcast range/overlap joins)
       "q62_consumo_bloques"         -> (4, 1, 1, 0, 8, 2),
-      "q27_jaccard_pairs"           -> (1, 1, 1, 0, 1, 0),
+      // r16: the posting self-join is SHUFFLE_HASH-hinted so both sides
+      // are the identical exchange (ReuseExchange computes it once) —
+      // 2 hash exchanges for the join sides + 1 for the pair aggregate;
+      // the ShuffledHashJoin itself is not in the counted set
+      "q27_jaccard_pairs"           -> (3, 1, 1, 0, 0, 0),
       "q92_bloom_pruned_join"       -> (1, 1, 1, 0, 1, 0),
       "q66_indicadores_cia"         -> (3, 1, 1, 0, 2, 2),
       "q67_trafico_digital"         -> (4, 1, 3, 0, 0, 0))
